@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` (single JVM); the configs below are
+chosen so the same code is correct on a large cluster:
+
+- AQE on (runtime partition coalescing + skew-join splitting) so plans
+  self-correct at 100 TB where static ``shuffle.partitions`` can't.
+- ``shuffle.partitions`` defaults to the local core count; on a real
+  cluster this is overridden (or left to AQE's coalescing) — queries in
+  this repo never hard-code partition counts.
+- Session timezone pinned to UTC so results hash-match the DuckDB
+  oracle (DuckDB timestamps are UTC-naive).
+- Arrow enabled: every Pandas-UDF path in this repo transfers via Arrow
+  batches, never row-at-a-time pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "opensearch_dynamodb_etl_cdk_spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Register the driver's parquet tables as temp views; return dict of DFs.
+
+    Columnar parquet scans give Catalyst filter pushdown + column pruning
+    for free; every catalog query reads through these views.
+    """
+    all_names = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    explicit = names is not None
+    out = {}
+    for name in names or all_names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+        elif explicit:
+            raise FileNotFoundError(f"table {name!r} not found at {path}")
+    return out
