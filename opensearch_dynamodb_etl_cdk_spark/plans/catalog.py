@@ -122,3 +122,930 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Search-DSL family (SURVEY §2.7): term/terms/range/bool/prefix/wildcard/
+# exists/ids/match/sort+size — the OpenSearch query DSL the reference's
+# indexes (custom_resource.py:343-383) exist to serve, as Spark predicates.
+# All simple predicates compile to parquet-pushed filters (PushedFilters in
+# .explain), so at 100 TB they scan only matching row groups.
+# ---------------------------------------------------------------------------
+
+@register(
+    "term_filter",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+    doc="DSL `term` query: exact match on a keyword field.",
+    tags=("dsl", "filter"),
+)
+def term_filter(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")["customer"]
+    return c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "terms_in_filter",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice FROM part
+    WHERE p_brand IN ('Brand#1', 'Brand#7', 'Brand#13')
+    """,
+    doc="DSL `terms` query: membership in a value set.",
+    tags=("dsl", "filter"),
+)
+def terms_in_filter(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")["part"]
+    return p.filter(F.col("p_brand").isin("Brand#1", "Brand#7", "Brand#13")).select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+
+
+@register(
+    "range_filter",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+    doc="DSL `range` query on a date field (fare validity window analog, SURVEY Q2).",
+    tags=("dsl", "filter"),
+)
+def range_filter(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@register(
+    "bool_filter",
+    oracle="""
+    SELECT COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity BETWEEN 10 AND 20 AND NOT l_linestatus = 'O'
+    """,
+    doc="DSL `bool` query: must + filter + must_not composition.",
+    tags=("dsl", "filter"),
+)
+def bool_filter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_returnflag") == "R")
+            & F.col("l_quantity").between(10, 20)
+            & ~(F.col("l_linestatus") == "O")
+        )
+        .agg(F.count("*").alias("n"), dsum(F.col("l_quantity")).alias("sum_qty"))
+    )
+
+
+@register(
+    "prefix_filter",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n FROM part
+    WHERE p_name LIKE 'red %' GROUP BY p_brand
+    """,
+    doc="DSL `prefix` query (startswith on the SK analog) + terms agg.",
+    tags=("dsl", "filter"),
+)
+def prefix_filter(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")["part"]
+    return (
+        p.filter(F.col("p_name").startswith("red "))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "wildcard_filter",
+    oracle="""
+    SELECT COUNT(*) AS n FROM part WHERE p_name LIKE '%gear%'
+    """,
+    doc="DSL `wildcard` query: infix LIKE.",
+    tags=("dsl", "filter"),
+)
+def wildcard_filter(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")["part"]
+    return p.filter(F.col("p_name").like("%gear%")).agg(F.count("*").alias("n"))
+
+
+@register(
+    "exists_filter",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events
+    WHERE props IS NOT NULL GROUP BY event_type
+    """,
+    doc="DSL `exists` query: field-present predicate.",
+    tags=("dsl", "filter"),
+)
+def exists_filter(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    return (
+        e.filter(F.col("props").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "ids_lookup",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey IN (1, 7, 42, 999)
+    """,
+    doc="DSL `ids` query: point lookups by document id (primary key).",
+    tags=("dsl", "filter"),
+)
+def ids_lookup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.filter(F.col("o_orderkey").isin(1, 7, 42, 999)).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "match_fulltext",
+    oracle="""
+    SELECT lang, COUNT(*) AS n FROM documents
+    WHERE text LIKE '%spark%' GROUP BY lang
+    """,
+    doc="DSL `match` (unanalyzed containment; analyzed mode = tokenized inverted index, operators/search.py).",
+    tags=("dsl", "fulltext"),
+)
+def match_fulltext(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return (
+        d.filter(F.col("text").contains("spark"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "match_phrase",
+    oracle="""
+    SELECT COUNT(*) AS n FROM documents WHERE text LIKE '%batch stream%'
+    """,
+    doc="DSL `match_phrase`: adjacent-token phrase containment.",
+    tags=("dsl", "fulltext"),
+)
+def match_phrase(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return d.filter(F.col("text").contains("batch stream")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    doc="DSL sort+size: top-k (Spark physical plan = TakeOrderedAndProject, no full sort).",
+    tags=("dsl", "topk"),
+)
+def sort_limit_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .limit(10)
+    )
+
+
+@register(
+    "sort_from_size_page",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 20
+    """,
+    doc="DSL from/size pagination: offset + limit with deterministic tie-break.",
+    tags=("dsl", "topk"),
+)
+def sort_from_size_page(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .offset(20)
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation family (SURVEY §2.7): terms / date_histogram / stats /
+# cardinality / top_hits — all map-side-partial aggregations in Spark
+# (partial_agg → shuffle by group key → final_agg), which is the shape
+# that scales: shuffle volume is |groups|, not |rows|.
+# ---------------------------------------------------------------------------
+
+@register(
+    "terms_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS doc_count FROM events GROUP BY event_type
+    """,
+    doc="Terms aggregation: bucket counts per keyword value.",
+    tags=("agg",),
+)
+def terms_agg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    return e.groupBy("event_type").agg(F.count("*").alias("doc_count"))
+
+
+@register(
+    "date_histogram_agg",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS doc_count,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+    doc="date_histogram aggregation: per-day buckets (calendar interval).",
+    tags=("agg", "time"),
+)
+def date_histogram_agg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    return (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("doc_count"), dsum(F.col("value")).alias("sum_value"))
+    )
+
+
+@register(
+    "tumbling_window_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling 1h window agg via F.window (streaming-compatible shape, SURVEY §2.8 ST3).",
+    tags=("agg", "time", "streaming"),
+)
+def tumbling_window_agg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stats_agg",
+    oracle="""
+    SELECT event_type,
+           MIN(value) AS min_value, MAX(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_value,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="stats aggregation: min/max/sum/avg/count in one pass.",
+    tags=("agg",),
+)
+def stats_agg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    return e.groupBy("event_type").agg(
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        dsum(F.col("value")).alias("sum_value"),
+        davg(F.col("value")).alias("avg_value"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "cardinality_agg",
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Cardinality aggregation, exact (distinct-count); approx variant below.",
+    tags=("agg",),
+)
+def cardinality_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts")
+    )
+
+
+@register(
+    "approx_cardinality_agg",
+    oracle=None,  # HLL sketches differ across engines by design — rows-only
+    doc="Cardinality aggregation, approximate: HyperLogLog++ — the 100 TB path "
+    "(fixed-size sketch, no distinct shuffle). Bounded rel. error 2%.",
+    tags=("agg", "approx"),
+)
+def approx_cardinality_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx")
+    )
+
+
+@register(
+    "percentile_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(quantile_cont(value, 0.5) AS DOUBLE) AS p50,
+           CAST(quantile_cont(value, 0.95) AS DOUBLE) AS p95
+    FROM events GROUP BY event_type
+    """,
+    doc="percentiles aggregation (exact interpolated; approx_percentile is the sketch path at scale).",
+    tags=("agg",),
+)
+def percentile_agg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    return e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+
+
+@register(
+    "top_hits_per_bucket",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="top_hits aggregation: latest document per bucket (window row_number).",
+    tags=("agg", "window"),
+)
+def top_hits_per_bucket(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")["orders"]
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DynamoDB access-pattern family (SURVEY §2.6 Q1–Q7): composite-key
+# synthesis/decomposition (`concat_ws('#')` / `split`), PK point lookups,
+# SK string-range queries, GSI-style re-sorts. At scale these stay
+# pushdown-friendly: the composite key is derived, so filters land on the
+# underlying columns before the key is built.
+# ---------------------------------------------------------------------------
+
+@register(
+    "pk_point_lookup",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value FROM events WHERE user_id = 42
+    """,
+    doc="SURVEY Q1 analog: Query PK = :val — all items under one partition key.",
+    tags=("keys", "filter"),
+)
+def pk_point_lookup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    return e.filter(F.col("user_id") == 42).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+
+
+@register(
+    "composite_sk_range",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority || '#' || strftime(o_orderdate, '%Y-%m-%d') || '#' || o_orderstatus AS sk,
+           split_part(o_orderpriority || '#' || strftime(o_orderdate, '%Y-%m-%d') || '#' || o_orderstatus, '#', 2) AS sk_date,
+           split_part(o_orderpriority || '#' || strftime(o_orderdate, '%Y-%m-%d') || '#' || o_orderstatus, '#', 3) AS sk_status
+    FROM orders
+    WHERE o_orderpriority || '#' || strftime(o_orderdate, '%Y-%m-%d') || '#' || o_orderstatus
+          BETWEEN '1-URGENT#1996-01-01' AND '1-URGENT#1996-12-31~'
+    """,
+    doc="SURVEY Q2 analog: overloaded composite SK (`priority#date#status`) built "
+    "with concat_ws('#'), string BETWEEN range (DynamoDB SK semantics), then "
+    "decomposed with split().",
+    tags=("keys", "filter"),
+)
+def composite_sk_range(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")["orders"]
+    sk = F.concat_ws(
+        "#",
+        F.col("o_orderpriority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderstatus"),
+    )
+    parts = F.split(F.col("sk"), "#")
+    return (
+        o.withColumn("sk", sk)
+        .filter(F.col("sk").between("1-URGENT#1996-01-01", "1-URGENT#1996-12-31~"))
+        .select(
+            "o_orderkey",
+            "sk",
+            parts.getItem(1).alias("sk_date"),
+            parts.getItem(2).alias("sk_status"),
+        )
+    )
+
+
+@register(
+    "gsi_reverse_lookup",
+    oracle="""
+    SELECT event_id, user_id, ts FROM events
+    WHERE event_type = 'purchase'
+    ORDER BY ts ASC, event_id ASC LIMIT 50
+    """,
+    doc="SURVEY Q4 analog: GSI reverse lookup = filter on the alternate "
+    "partition key + sort on the alternate sort key. No index object needed: "
+    "a GSI is a re-sort in Spark.",
+    tags=("keys", "topk"),
+)
+def gsi_reverse_lookup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .select("event_id", "user_id", "ts")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family (SURVEY §2.9: absent in the reference, provided Spark-first).
+# Dimension tables are broadcast (no shuffle of the fact side); the
+# fact-fact join shuffles on the join key with AQE handling skew.
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="Star-schema rollup with explicitly broadcast dimensions: at 100 TB the "
+    "fact side never shuffles for dim joins.",
+    tags=("join", "agg"),
+)
+def join_broadcast_dims(spark, sf_dir):
+    t = _t(spark, sf_dir, "customer", "nation", "region")
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("sum_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_fact_dim",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Fact⋈dim join + agg; Catalyst/AQE picks broadcast when the dim fits.",
+    tags=("join", "agg"),
+)
+def join_fact_dim(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders", "customer")
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "join_large_agg",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Fact⋈fact shuffle join on the natural key; AQE skew-join splits hot "
+    "keys at scale. Partial aggregation keeps shuffle volume at |groups|.",
+    tags=("join", "agg"),
+)
+def join_large_agg(spark, sf_dir):
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), dsum(revenue, 4).alias("revenue"))
+    )
+
+
+@register(
+    "semi_join_exists",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+    doc="EXISTS as left-semi join: no row multiplication, early-out probe.",
+    tags=("join",),
+)
+def semi_join_exists(spark, sf_dir):
+    t = _t(spark, sf_dir, "customer", "orders")
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "anti_join_not_exists",
+    oracle="""
+    SELECT COUNT(*) AS n_customers_without_orders FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="NOT EXISTS as left-anti join.",
+    tags=("join",),
+)
+def anti_join_not_exists(spark, sf_dir):
+    t = _t(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .agg(F.count("*").alias("n_customers_without_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations + multi-dimensional aggregation (SURVEY §2.9).
+# ---------------------------------------------------------------------------
+
+def _custkeys_in_year(t, year: int):
+    return (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+        )
+        .select("o_custkey")
+    )
+
+
+_Y_SQL = (
+    "SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '{y}-01-01' "
+    "AND o_orderdate < TIMESTAMP '{y1}-01-01'"
+)
+
+
+@register(
+    "set_union",
+    oracle=f"""
+    SELECT o_custkey FROM ({_Y_SQL.format(y=1995, y1=1996)})
+    UNION
+    SELECT o_custkey FROM ({_Y_SQL.format(y=1996, y1=1997)})
+    """,
+    doc="UNION DISTINCT of key sets (export ∪ stream analog, SURVEY ST2).",
+    tags=("setop",),
+)
+def set_union(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders")
+    return _custkeys_in_year(t, 1995).union(_custkeys_in_year(t, 1996)).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle=f"""
+    SELECT o_custkey FROM ({_Y_SQL.format(y=1995, y1=1996)})
+    INTERSECT
+    SELECT o_custkey FROM ({_Y_SQL.format(y=1996, y1=1997)})
+    """,
+    doc="INTERSECT of key sets.",
+    tags=("setop",),
+)
+def set_intersect(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders")
+    return _custkeys_in_year(t, 1995).intersect(_custkeys_in_year(t, 1996))
+
+
+@register(
+    "set_except",
+    oracle=f"""
+    SELECT o_custkey FROM ({_Y_SQL.format(y=1995, y1=1996)})
+    EXCEPT
+    SELECT o_custkey FROM ({_Y_SQL.format(y=1996, y1=1997)})
+    """,
+    doc="EXCEPT of key sets.",
+    tags=("setop",),
+)
+def set_except(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders")
+    return _custkeys_in_year(t, 1995).subtract(_custkeys_in_year(t, 1996))
+
+
+@register(
+    "rollup_agg",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="ROLLUP hierarchy totals (region → nation → grand total).",
+    tags=("agg", "groupingsets"),
+)
+def rollup_agg(spark, sf_dir):
+    t = _t(spark, sf_dir, "customer", "nation", "region")
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n"), dsum(F.col("c_acctbal")).alias("sum_acctbal"))
+    )
+
+
+@register(
+    "cube_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE: all grouping-set combinations in one pass (expand + partial agg).",
+    tags=("agg", "groupingsets"),
+)
+def cube_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum(F.col("l_quantity")).alias("sum_qty")
+    )
+
+
+@register(
+    "pivot_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS "O",
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS "F"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Pivot: rows → columns on a low-cardinality key (explicit value list — "
+    "never let pivot scan for distinct values at scale).",
+    tags=("agg", "pivot"),
+)
+def pivot_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum(F.col("l_quantity")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-function family (SURVEY §2.9; top_hits analog is above). All
+# windows partition by a high-cardinality key so state per partition is
+# bounded — no global windows.
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_rank_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rnk, drnk FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk,
+             DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk
+      FROM part
+    ) WHERE rnk <= 3
+    """,
+    doc="rank/dense_rank per group, top-3 by price within brand.",
+    tags=("window",),
+)
+def window_rank_per_group(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")["part"]
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return (
+        p.withColumn("rnk", F.rank().over(w))
+        .withColumn("drnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rnk", "drnk")
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,2)))
+                OVER (PARTITION BY l_orderkey
+                      ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+    FROM lineitem
+    """,
+    doc="Cumulative sum per order (frame: unbounded preceding → current row). "
+    "(l_orderkey, l_linenumber) is not unique in the synthetic data, so the "
+    "ordering carries a full tie-break chain to stay deterministic.",
+    tags=("window",),
+)
+def window_running_sum(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy(
+            "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+        )
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(28,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_qty"),
+    )
+
+
+@register(
+    "window_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+    doc="lag(): per-user delta between consecutive events.",
+    tags=("window", "time"),
+)
+def window_lag_delta(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions FROM flagged
+    GROUP BY user_id
+    """,
+    doc="Sessionization via lag+gap>30min cumulative flags (batch twin of "
+    "streaming session_window).",
+    tags=("window", "time", "streaming"),
+)
+def sessionization(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").cast("bigint").alias("n_sessions"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC / keyed-upsert analogs (SURVEY §2.4 K1): last-write-wins materialization
+# expressed over the events table so the DuckDB oracle can check it. The
+# streaming implementation of the same semantics lives in streaming/pipeline.py.
+# ---------------------------------------------------------------------------
+
+@register(
+    "keyed_upsert_latest",
+    oracle="""
+    SELECT user_id, event_id, event_type, value FROM (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="K1 last-write-wins by key: the per-key latest image that the keyed "
+    "upsert sink materializes (reference: document_id+action, "
+    "custom_resource.py:350-351).",
+    tags=("cdc", "window"),
+)
+def keyed_upsert_latest(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+@register(
+    "cdc_route_counts",
+    oracle="""
+    SELECT CASE event_type WHEN 'click' THEN 'fare'
+                           WHEN 'view' THEN 'flight'
+                           ELSE 'dropped' END AS route,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+    doc="R1–R3 content-based routing with the silent drop made observable: "
+    "events routed to two sinks, unrouted counted as 'dropped' "
+    "(reference: custom_resource.py:340-342, drop is implicit).",
+    tags=("cdc", "route"),
+)
+def cdc_route_counts(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    route = (
+        F.when(F.col("event_type") == "click", "fare")
+        .when(F.col("event_type") == "view", "flight")
+        .otherwise("dropped")
+    )
+    return e.groupBy(route.alias("route")).agg(F.count("*").alias("n"))
+
+
+@register(
+    "json_extract_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(props->>'$.k' AS BIGINT) AS DECIMAL(28,0))) AS DOUBLE) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured JSON payload extraction (props column; DynamoDB-JSON "
+    "codec is the richer variant in functions/ddb.py).",
+    tags=("json", "agg"),
+)
+def json_extract_agg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"), dsum(k, 0).alias("sum_k")
+    )
+
+
+@register(
+    "scalar_functions",
+    oracle="""
+    SELECT o_orderkey,
+           upper(o_orderstatus) AS status_u,
+           substr(o_orderpriority, 3) AS prio_name,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           floor(o_totalprice / 1000.0 * 100) / 100 AS price_k,
+           length(o_orderpriority) AS prio_len
+    FROM orders WHERE o_orderkey <= 500
+    """,
+    doc="Scalar function library parity: string/date/math expressions "
+    "(SURVEY §2.9 scalar functions row).",
+    tags=("scalar",),
+)
+def scalar_functions(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.filter(F.col("o_orderkey") <= 500).select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_u"),
+        F.substring("o_orderpriority", 3, 2147483647).alias("prio_name"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        # floor-based truncation: round() on doubles disagrees across engines
+        # at binary-representation boundaries; floor of the same double is
+        # bit-deterministic in both.
+        (F.floor(F.col("o_totalprice") / 1000.0 * 100) / 100).alias("price_k"),
+        F.length("o_orderpriority").cast("bigint").alias("prio_len"),
+    )

@@ -32,6 +32,9 @@ def get_spark(app_name: str = "opensearch_dynamodb_etl_cdk_spark") -> SparkSessi
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet stores ts as timestamp[ns], which the Spark parquet
+        # reader rejects; read the raw int64 nanos and convert in load_tables.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
@@ -56,6 +59,14 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
+            # Nanosecond parquet timestamps arrive as int64 (nanosAsLong);
+            # floor-truncate to microseconds exactly as DuckDB's Python
+            # fetch does, so oracle comparisons agree.
+            from pyspark.sql import functions as F
+
+            for field_ in df.schema.fields:
+                if field_.name == "ts" and field_.dataType.simpleString() == "bigint":
+                    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
             df.createOrReplaceTempView(name)
             out[name] = df
         elif explicit:
