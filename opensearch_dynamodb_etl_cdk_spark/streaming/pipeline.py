@@ -1,0 +1,207 @@
+"""The CDC ETL pipeline: bootstrap (export) + tail (stream) → routed,
+keyed index tables with a DLQ (SURVEY §3.2/3.3 — the reference's whole
+dataflow program, custom_resource.py:324-404, re-expressed Spark-first).
+
+Shape:
+
+    export snapshot (batch)          CDC events (readStream)
+          │                                 │
+          └── shared transform() ───────────┘
+                 · unmarshal (functions/ddb.py, expression-based)
+                 · _id = pk|sk   (document_id parity, T2)
+                 · _action from event type (T3)
+                 · route predicates (operators/routing.py)
+                 · per-key latest (operators/upsert.py)
+          foreachBatch: MERGE into parquet index table per route
+          failures → dlq/<route>/ parquet side-output (W3)
+
+Delivery semantics: Structured Streaming checkpointing gives
+at-least-once re-delivery of a failed micro-batch; the MERGE is
+idempotent by (key, seq), so the observable effect is exactly-once
+(SURVEY K2) — same property the reference gets from OSIS ack + keyed
+upsert.
+
+Scale notes:
+- The index "table" is hash-partitioned parquet (``bucket = hash(_id) %
+  n_buckets`` directory partitioning). A micro-batch only rewrites the
+  buckets it touches — merge cost tracks |batch|, not |index|.
+- On a cluster this would be Delta/Iceberg MERGE INTO; the emulation
+  here keeps the same logical plan (anti-join + union per touched
+  partition) without requiring their jars (not in this image).
+- Per-key ordering inside a batch is by sequence number via max_by —
+  never task order. Across batches, monotone sequence numbers make
+  late re-delivery a no-op (guarded by max_by on merge).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.ddb import parse_item, unmarshal
+from ..operators.routing import Router, type_route
+from ..operators.upsert import apply_cdc_batch, derive_action, latest_by_key
+from ..sources.flights import ALIASES, SUPERSET_ATTRS
+
+CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("event_name", T.StringType()),
+        T.StructField("event_ts", T.StringType()),
+        T.StructField("pk", T.StringType()),
+        T.StructField("sk", T.StringType()),
+        T.StructField("new_image_json", T.StringType()),
+    ]
+)
+
+N_BUCKETS = 16  # hash buckets for index-table partitioning
+
+
+@dataclass
+class PipelineConfig:
+    """Mirrors the reference's 60-line YAML pipeline definition
+    (custom_resource.py:324-384): routes + per-route sink + DLQ."""
+
+    index_root: str
+    checkpoint_root: str
+    routes: tuple[str, ...] = ("fare", "flight")
+    attrs: dict = field(default_factory=lambda: dict(SUPERSET_ATTRS))
+    aliases: dict = field(default_factory=lambda: dict(ALIASES))
+
+
+class FlightsEtlPipeline:
+    def __init__(self, spark: SparkSession, config: PipelineConfig):
+        self.spark = spark
+        self.cfg = config
+        self.router = Router([type_route(r) for r in config.routes])
+
+    # -- shared transform (one code path for bootstrap and tail, ST2) -------
+
+    def transform_cdc(self, cdc: DataFrame) -> DataFrame:
+        parsed = parse_item(F.col("new_image_json"))
+        return cdc.select(
+            F.concat_ws("|", F.col("pk"), F.col("sk")).alias("_id"),
+            F.col("seq").alias("_seq"),
+            derive_action(F.col("event_name")).alias("_action"),
+            *unmarshal(parsed, self.cfg.attrs, aliases=self.cfg.aliases),
+        ).withColumn("_bucket", F.pmod(F.xxhash64("_id"), F.lit(N_BUCKETS)))
+
+    def transform_export(self, items: DataFrame, base_seq: int = 0) -> DataFrame:
+        """Export snapshot rows (item_json) → same shape as a CDC batch of
+        INSERTs at sequence `base_seq` (history-before-stream, ST1)."""
+        as_cdc = items.select(
+            F.lit(base_seq).alias("seq"),
+            F.lit("INSERT").alias("event_name"),
+            F.lit(None).cast("string").alias("event_ts"),
+            F.get_json_object("item_json", "$.PK.S").alias("pk"),
+            F.get_json_object("item_json", "$.SK.S").alias("sk"),
+            F.col("item_json").alias("new_image_json"),
+        )
+        return self.transform_cdc(as_cdc)
+
+    # -- index table I/O ------------------------------------------------------
+
+    def _index_path(self, route: str) -> str:
+        return os.path.join(self.cfg.index_root, route)
+
+    def read_index(self, route: str) -> DataFrame | None:
+        path = self._index_path(route)
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None  # not yet materialized
+
+    def _merge_route(self, route_df: DataFrame, route: str) -> None:
+        """MERGE one route's slice of a micro-batch into its index table.
+
+        Only the hash buckets present in the batch are rewritten
+        (dynamic partition overwrite) — merge cost ∝ touched buckets.
+        """
+        batch = route_df.persist()
+        try:
+            touched = [r._bucket for r in batch.select("_bucket").distinct().collect()]
+            if not touched:
+                return
+            current = self.read_index(route)
+            if current is not None:
+                current = current.filter(F.col("_bucket").isin(touched))
+            merged = apply_cdc_batch(current, batch)
+            # Materialize before writing: the merge plan reads the same
+            # parquet files the write is about to replace (no Delta txn log
+            # in this image) — localCheckpoint breaks the lineage so the
+            # overwrite never races its own input.
+            merged = merged.localCheckpoint(eager=True)
+            (
+                merged.repartition(max(1, len(touched)), "_bucket")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_bucket")
+                .parquet(self._index_path(route))
+            )
+        finally:
+            batch.unpersist()
+
+    def _write_dlq(self, failed: DataFrame, route: str, error: str) -> None:
+        (
+            failed.withColumn("_error", F.lit(error))
+            .withColumn("_route", F.lit(route))
+            .write.mode("append")
+            .parquet(os.path.join(self.cfg.index_root, "dlq", route))
+        )
+
+    # -- batch entry points ----------------------------------------------------
+
+    def bootstrap(self, items: DataFrame) -> None:
+        """Initial load from a full export (SURVEY §3.3): one MERGE per route."""
+        batch = self.transform_export(items)
+        self._apply_batch(batch)
+
+    def _apply_batch(self, batch: DataFrame) -> None:
+        # REMOVE events carry no image (NEW_IMAGE stream view → keys only),
+        # so route predicates over document fields are NULL for them.
+        # Deletes therefore bypass routing and are applied to every route's
+        # index by key (a delete for an absent key is a no-op).
+        deletes = batch.filter(F.col("_action") == "delete")
+        parts = self.router.split(batch.filter(F.col("_action") != "delete"))
+        for route in self.cfg.routes:
+            slice_ = parts[route].unionByName(deletes)
+            try:
+                self._merge_route(slice_, route)
+            except Exception as exc:  # DLQ side-output (W3) — never lose docs
+                self._write_dlq(slice_, route, repr(exc))
+
+    # -- streaming entry point ---------------------------------------------------
+
+    def start_stream(self, cdc_path: str, trigger_once: bool = True):
+        """Tail CDC events from a file source (test stand-in for the
+        DynamoDB-Streams poller; prod swaps in Kinesis/Kafka with the
+        same schema — start_position LATEST ≙ startingOffsets latest)."""
+        stream = (
+            self.spark.readStream.schema(CDC_SCHEMA)
+            .json(cdc_path)
+        )
+        transformed = self.transform_cdc(stream)
+
+        def process(batch_df: DataFrame, epoch_id: int) -> None:
+            self._apply_batch(batch_df)
+
+        writer = (
+            transformed.writeStream.foreachBatch(process)
+            .option("checkpointLocation", self.cfg.checkpoint_root)
+            .outputMode("update")
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # -- query surface over the materialized indexes -------------------------
+
+    def index_view(self, route: str) -> DataFrame | None:
+        df = self.read_index(route)
+        if df is not None:
+            df.createOrReplaceTempView(f"{route}_index")
+        return df

@@ -1,0 +1,146 @@
+"""End-to-end ETL pipeline tests: bootstrap from export, CDC tail via
+Structured Streaming, keyed MERGE, DLQ, and the reference's golden
+invariants (22 fare / 13 flight / 5 dropped; probe item appears after
+stream insert) — SURVEY §5 e2e strategy."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_dynamodb_etl_cdk_spark.sources.fixture_gen import (
+    gen_cdc_events,
+    gen_corpus,
+    probe_item,
+)
+from opensearch_dynamodb_etl_cdk_spark.streaming.pipeline import (
+    FlightsEtlPipeline,
+    PipelineConfig,
+)
+
+
+@pytest.fixture()
+def pipeline(spark, tmp_path):
+    cfg = PipelineConfig(
+        index_root=str(tmp_path / "indexes"),
+        checkpoint_root=str(tmp_path / "chk"),
+    )
+    return FlightsEtlPipeline(spark, cfg)
+
+
+def _write_cdc_files(path, events, files=2):
+    os.makedirs(path, exist_ok=True)
+    per = (len(events) + files - 1) // files
+    for i in range(files):
+        chunk = events[i * per : (i + 1) * per]
+        with open(os.path.join(path, f"cdc_{i}.json"), "w") as f:
+            for e in chunk:
+                f.write(json.dumps(e) + "\n")
+
+
+def test_bootstrap_golden_counts(spark, pipeline):
+    items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    pipeline.bootstrap(items)
+    fare = pipeline.index_view("fare")
+    flight = pipeline.index_view("flight")
+    assert fare.count() == 22
+    assert flight.count() == 13
+    # keyed: one row per _id
+    assert fare.select("_id").distinct().count() == 22
+    # unmarshalled columns usable for the Q2-style query
+    q2 = fare.filter(
+        (F.col("pk") == "DEN")
+        & F.col("fare_class").isin("nonstop", "direct")
+        & F.col("start_ts").between("2021-08-01", "2021-09-01")
+    )
+    assert q2.count() >= 1
+
+
+def test_stream_tail_applies_cdc(spark, pipeline, tmp_path):
+    """Bootstrap from corpus, then stream the F3 CDC replay: MODIFY wins,
+    REMOVE deletes, duplicate delivery is idempotent, probe item lands."""
+    items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    pipeline.bootstrap(items)
+
+    cdc_dir = str(tmp_path / "cdc")
+    events = gen_cdc_events()
+    # drop the initial bulk inserts (bootstrap already loaded them) but keep
+    # the interesting tail: modify/remove/duplicate/probe
+    tail = [e for e in events if e["seq"] > 40] + [
+        dict(e, seq=e["seq"]) for e in events if e["seq"] > 40
+    ]  # whole tail delivered twice → at-least-once
+    _write_cdc_files(cdc_dir, tail)
+
+    q = pipeline.start_stream(cdc_dir)
+    q.awaitTermination(120)
+
+    fare = pipeline.index_view("fare")
+    ids = {r._id for r in fare.select("_id").collect()}
+    # probe item (late INSERT via stream) present
+    assert "JFK|DEN#2021-12-12T00:00:00#nonstop" in ids
+    # REMOVEd fare absent
+    removed = [e for e in events if e["event_name"] == "REMOVE"][0]
+    assert f"{removed['pk']}|{removed['sk']}" not in ids
+    # MODIFY flipped class on the first fare
+    modified = [e for e in events if e["event_name"] == "MODIFY"][0]
+    mid = f"{modified['pk']}|{modified['sk']}"
+    assert fare.filter(F.col("_id") == mid).collect()[0].fare_class == "direct"
+    # still exactly one row per key
+    assert fare.select("_id").distinct().count() == fare.count()
+    # 22 - 1 removed + 1 probe = 22
+    assert fare.count() == 22
+
+
+def test_stream_restart_checkpoint_no_reapply(spark, pipeline, tmp_path):
+    """Restarting the stream over the same files must not duplicate state
+    (checkpoint) — and adding a new file picks up only the delta."""
+    items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    pipeline.bootstrap(items)
+    cdc_dir = str(tmp_path / "cdc")
+    events = [e for e in gen_cdc_events() if e["seq"] > 40]
+    _write_cdc_files(cdc_dir, events, files=1)
+
+    q = pipeline.start_stream(cdc_dir)
+    q.awaitTermination(120)
+    count1 = pipeline.index_view("fare").count()
+
+    # restart with no new data
+    q = pipeline.start_stream(cdc_dir)
+    q.awaitTermination(120)
+    assert pipeline.index_view("fare").count() == count1
+
+    # new file with one more REMOVE
+    probe = json.loads(probe_item())
+    with open(os.path.join(cdc_dir, "cdc_more.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "seq": 1000,
+                    "event_name": "REMOVE",
+                    "event_ts": "2021-12-13T00:00:00",
+                    "pk": probe["PK"]["S"],
+                    "sk": probe["SK"]["S"],
+                    "new_image_json": None,
+                }
+            )
+            + "\n"
+        )
+    q = pipeline.start_stream(cdc_dir)
+    q.awaitTermination(120)
+    fare = pipeline.index_view("fare")
+    assert fare.count() == count1 - 1
+    assert "JFK|DEN#2021-12-12T00:00:00#nonstop" not in {
+        r._id for r in fare.select("_id").collect()
+    }
+
+
+def test_unrouted_items_not_in_indexes(spark, pipeline):
+    """R3 parity: assignment/booking items reach no index table."""
+    items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    pipeline.bootstrap(items)
+    for route in ("fare", "flight"):
+        idx = pipeline.index_view(route)
+        assert idx.filter(F.col("type").isin("assignment", "booking")).count() == 0
