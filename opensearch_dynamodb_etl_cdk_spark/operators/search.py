@@ -1,0 +1,296 @@
+"""OpenSearch query-DSL interpreter → Spark DataFrame plans (SURVEY §2.7).
+
+The reference's pipeline exists to make DynamoDB data searchable in
+OpenSearch (README.md:1-7; collection type SEARCH,
+lib/opensearch-dynamodb-etl-cdk-stack.ts:88-92). This module closes the
+loop: a user of the reference can take the query bodies they POST to
+``/fare/_search`` today and run them against the index frames this
+engine materializes.
+
+Supported query clauses: match_all, term, terms, range (gt/gte/lt/lte),
+prefix, wildcard (* ?), exists, ids, match (analyzed, or/and operator),
+match_phrase, bool (must/filter/should/must_not with
+minimum_should_match=1 when should is present alongside nothing else).
+
+Supported aggregations: terms (with one level of sub-aggregations),
+min/max/sum/avg/stats/value_count, cardinality (exact or approx),
+percentiles, date_histogram (calendar_interval hour/day/month),
+top_hits (within terms buckets via window).
+
+Everything compiles to Column expressions / DataFrame plans — Catalyst
+pushes the filters into the scan; aggregations are partial-aggregated
+map-side. ``match`` tokenizes with the standard-analyzer approximation
+``lower → split on non-alphanumerics``.
+
+Scale note: hit retrieval stays a DataFrame (never collected); only
+aggregation summaries (small by construction) are collected into the
+response dict, mirroring the DSL's response shape.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _analyze(col: Column) -> Column:
+    """Standard-analyzer approximation: lowercase, split on non-alphanum."""
+    return F.filter(
+        F.split(F.lower(col), r"[^\p{L}\p{Nd}]+"), lambda t: t != ""
+    )
+
+
+def _analyze_text(s: str) -> list[str]:
+    return [t for t in re.split(r"[^\w]+", s.lower()) if t]
+
+
+def _wildcard_to_regex(pattern: str) -> str:
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def compile_query(q: dict[str, Any]) -> Column:
+    """DSL query clause → boolean Column predicate."""
+    if not q:
+        return F.lit(True)
+    if len(q) != 1:
+        raise ValueError(f"query clause must have exactly one key, got {list(q)}")
+    (kind, body), = q.items()
+
+    if kind == "match_all":
+        return F.lit(True)
+
+    if kind == "term":
+        (field, spec), = body.items()
+        value = spec["value"] if isinstance(spec, dict) else spec
+        return F.col(field) == F.lit(value)
+
+    if kind == "terms":
+        (field, values), = body.items()
+        return F.col(field).isin(list(values))
+
+    if kind == "range":
+        (field, spec), = body.items()
+        pred = F.lit(True)
+        ops = {"gte": "__ge__", "gt": "__gt__", "lte": "__le__", "lt": "__lt__"}
+        for op, val in spec.items():
+            if op not in ops:
+                raise ValueError(f"unsupported range op {op}")
+            pred = pred & getattr(F.col(field), ops[op])(F.lit(val))
+        return pred
+
+    if kind == "prefix":
+        (field, spec), = body.items()
+        value = spec["value"] if isinstance(spec, dict) else spec
+        return F.col(field).startswith(value)
+
+    if kind == "wildcard":
+        (field, spec), = body.items()
+        value = spec["value"] if isinstance(spec, dict) else spec
+        return F.col(field).rlike(_wildcard_to_regex(value))
+
+    if kind == "exists":
+        return F.col(body["field"]).isNotNull()
+
+    if kind == "ids":
+        return F.col("_id").isin(list(body["values"]))
+
+    if kind == "match":
+        (field, spec), = body.items()
+        if isinstance(spec, dict):
+            text, operator = spec["query"], spec.get("operator", "or")
+        else:
+            text, operator = spec, "or"
+        tokens = _analyze_text(str(text))
+        if not tokens:
+            return F.lit(True)
+        terms_arr = _analyze(F.col(field))
+        preds = [F.array_contains(terms_arr, t) for t in tokens]
+        combined = preds[0]
+        for p in preds[1:]:
+            combined = (combined & p) if operator == "and" else (combined | p)
+        return combined
+
+    if kind == "match_phrase":
+        (field, spec), = body.items()
+        text = spec["query"] if isinstance(spec, dict) else spec
+        tokens = _analyze_text(str(text))
+        # adjacent-token phrase over the analyzed form
+        phrase = " ".join(tokens)
+        analyzed_doc = F.array_join(_analyze(F.col(field)), " ")
+        return (
+            F.concat(F.lit(" "), analyzed_doc, F.lit(" ")).contains(f" {phrase} ")
+            if tokens
+            else F.lit(True)
+        )
+
+    if kind == "bool":
+        pred = F.lit(True)
+        for clause in body.get("must", []) + body.get("filter", []):
+            pred = pred & compile_query(clause)
+        for clause in body.get("must_not", []):
+            pred = pred & ~F.coalesce(compile_query(clause), F.lit(False))
+        should = [compile_query(c) for c in body.get("should", [])]
+        if should:
+            sp = should[0]
+            for s in should[1:]:
+                sp = sp | s
+            min_should = body.get(
+                "minimum_should_match",
+                1 if not (body.get("must") or body.get("filter")) else 0,
+            )
+            pred = pred & sp if min_should else pred & F.coalesce(sp | F.lit(True), F.lit(True))
+        return pred
+
+    raise ValueError(f"unsupported query kind: {kind}")
+
+
+def _sort_cols(sort_spec) -> list[Column]:
+    cols = []
+    for s in sort_spec:
+        if isinstance(s, str):
+            cols.append(F.col(s).asc())
+        else:
+            (field, spec), = s.items()
+            order = spec.get("order", "asc") if isinstance(spec, dict) else spec
+            cols.append(F.col(field).desc() if order == "desc" else F.col(field).asc())
+    return cols
+
+
+def _metric_agg(name: str, spec: dict) -> Column:
+    (kind, body), = spec.items()
+    field = body.get("field")
+    col = F.col(field) if field else None
+    if kind == "sum":
+        return F.sum(col.cast("decimal(28,6)")).cast("double").alias(name)
+    if kind == "avg":
+        return (F.sum(col.cast("decimal(28,6)")).cast("double") / F.count(col)).alias(name)
+    if kind == "min":
+        return F.min(col).alias(name)
+    if kind == "max":
+        return F.max(col).alias(name)
+    if kind == "value_count":
+        return F.count(col).alias(name)
+    if kind == "cardinality":
+        if body.get("exact", False):
+            return F.countDistinct(col).alias(name)
+        return F.approx_count_distinct(col, rsd=0.02).alias(name)
+    if kind == "percentiles":
+        percents = body.get("percents", [50.0])
+        return F.expr(
+            f"percentile({field}, array({','.join(str(p / 100.0) for p in percents)}))"
+        ).alias(name)
+    raise ValueError(f"unsupported metric aggregation: {kind}")
+
+
+def execute_search(df: DataFrame, body: dict[str, Any]) -> dict[str, Any]:
+    """Run a DSL search body; returns ``{"hits": DataFrame, "aggregations":
+    dict}`` — hits stay distributed, aggregation summaries are collected."""
+    filtered = df.filter(compile_query(body.get("query", {"match_all": {}})))
+
+    hits = filtered
+    if body.get("sort"):
+        hits = hits.orderBy(*_sort_cols(body["sort"]))
+    if body.get("from"):
+        hits = hits.offset(int(body["from"]))
+    if "size" in body:
+        hits = hits.limit(int(body["size"]))
+
+    aggregations: dict[str, Any] = {}
+    for name, spec in (body.get("aggs") or {}).items():
+        aggregations[name] = _run_agg(filtered, name, spec)
+
+    return {"hits": hits, "aggregations": aggregations}
+
+
+def _run_agg(df: DataFrame, name: str, spec: dict) -> Any:
+    kind = next(k for k in spec if k != "aggs")
+    body = spec[kind]
+    sub = spec.get("aggs") or {}
+
+    if kind == "terms":
+        field = body["field"]
+        size = int(body.get("size", 10))
+        metric_cols = [_metric_agg(n, s) for n, s in sub.items() if "top_hits" not in s]
+        grouped = (
+            df.groupBy(field)
+            .agg(F.count("*").alias("doc_count"), *metric_cols)
+            .orderBy(F.col("doc_count").desc(), F.col(field).asc())
+            .limit(size)
+        )
+        buckets = []
+        top_hits_specs = {n: s for n, s in sub.items() if "top_hits" in s}
+        rows = grouped.collect()
+        th_rows: dict[str, dict] = {}
+        for th_name, th_spec in top_hits_specs.items():
+            th_body = th_spec["top_hits"]
+            th_size = int(th_body.get("size", 1))
+            sort_cols = _sort_cols(th_body.get("sort", []))
+            w = W.partitionBy(field).orderBy(*(sort_cols or [F.lit(1)]))
+            ranked = df.withColumn("__rn", F.row_number().over(w)).filter(
+                F.col("__rn") <= th_size
+            )
+            th_rows[th_name] = {}
+            for r in ranked.collect():
+                th_rows[th_name].setdefault(r[field], []).append(
+                    {k: v for k, v in r.asDict().items() if k != "__rn"}
+                )
+        for r in rows:
+            b = {"key": r[field], "doc_count": r["doc_count"]}
+            for n in sub:
+                if n in th_rows:
+                    b[n] = {"hits": th_rows[n].get(r[field], [])}
+                else:
+                    b[n] = {"value": r[n]}
+            buckets.append(b)
+        return {"buckets": buckets}
+
+    if kind == "date_histogram":
+        field = body["field"]
+        interval = body.get("calendar_interval", body.get("interval", "day"))
+        if interval not in ("hour", "day", "month", "year", "week", "minute"):
+            raise ValueError(f"unsupported interval {interval}")
+        bucket = F.date_trunc(interval, F.col(field))
+        metric_cols = [_metric_agg(n, s) for n, s in sub.items()]
+        rows = (
+            df.groupBy(bucket.alias("key"))
+            .agg(F.count("*").alias("doc_count"), *metric_cols)
+            .orderBy("key")
+            .collect()
+        )
+        return {
+            "buckets": [
+                {
+                    "key": r["key"],
+                    "doc_count": r["doc_count"],
+                    **{n: {"value": r[n]} for n in sub},
+                }
+                for r in rows
+            ]
+        }
+
+    if kind == "stats":
+        field = body["field"]
+        col = F.col(field)
+        r = df.agg(
+            F.count(col).alias("count"),
+            F.min(col).alias("min"),
+            F.max(col).alias("max"),
+            F.sum(col.cast("decimal(28,6)")).cast("double").alias("sum"),
+        ).collect()[0]
+        avg = (r["sum"] / r["count"]) if r["count"] else None
+        return {"count": r["count"], "min": r["min"], "max": r["max"], "sum": r["sum"], "avg": avg}
+
+    # plain metric aggregation at the top level
+    r = df.agg(_metric_agg(name, spec)).collect()[0]
+    return {"value": r[name]}

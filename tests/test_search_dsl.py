@@ -1,0 +1,195 @@
+"""Search-DSL interpreter tests over the materialized flights corpus and
+the documents table — the queries a reference user runs against
+OpenSearch today (SURVEY §2.7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+    compile_query,
+    execute_search,
+)
+from opensearch_dynamodb_etl_cdk_spark.sources.fixture_gen import gen_corpus
+from opensearch_dynamodb_etl_cdk_spark.sources.flights import unmarshal_items_df
+
+
+@pytest.fixture(scope="module")
+def items(spark):
+    df = unmarshal_items_df(
+        spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    ).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def fares(items):
+    return items.filter(F.col("type") == "fare")
+
+
+def test_term_and_terms(fares):
+    res = execute_search(fares, {"query": {"term": {"fare_class": "nonstop"}}})
+    assert res["hits"].count() == fares.filter(F.col("fare_class") == "nonstop").count()
+    res = execute_search(fares, {"query": {"terms": {"pk": ["DEN", "SFO"]}}})
+    assert res["hits"].count() == fares.filter(F.col("pk").isin("DEN", "SFO")).count()
+
+
+def test_range_on_timestamp(fares):
+    res = execute_search(
+        fares,
+        {"query": {"range": {"start_ts": {"gte": "2021-08-01", "lt": "2021-08-15"}}}},
+    )
+    expected = fares.filter(
+        (F.col("start_ts") >= "2021-08-01") & (F.col("start_ts") < "2021-08-15")
+    ).count()
+    assert res["hits"].count() == expected
+
+
+def test_bool_query(fares):
+    body = {
+        "query": {
+            "bool": {
+                "must": [{"term": {"fare_class": "nonstop"}}],
+                "must_not": [{"term": {"pk": "DEN"}}],
+                "filter": [{"exists": {"field": "dest"}}],
+            }
+        }
+    }
+    res = execute_search(fares, body)
+    expected = fares.filter(
+        (F.col("fare_class") == "nonstop") & (F.col("pk") != "DEN")
+    ).count()
+    assert res["hits"].count() == expected
+
+
+def test_bool_should(fares):
+    body = {
+        "query": {
+            "bool": {
+                "should": [{"term": {"pk": "DEN"}}, {"term": {"pk": "SFO"}}],
+            }
+        }
+    }
+    assert (
+        execute_search(fares, body)["hits"].count()
+        == fares.filter(F.col("pk").isin("DEN", "SFO")).count()
+    )
+
+
+def test_prefix_wildcard_ids(fares):
+    res = execute_search(fares, {"query": {"prefix": {"sk": "JFK#"}}})
+    assert res["hits"].count() == fares.filter(F.col("sk").startswith("JFK#")).count()
+
+    res = execute_search(fares, {"query": {"wildcard": {"sk": "*nonstop"}}})
+    assert res["hits"].count() == fares.filter(F.col("sk").endswith("nonstop")).count()
+
+    some_id = fares.select("_id").collect()[0]._id
+    res = execute_search(fares, {"query": {"ids": {"values": [some_id]}}})
+    assert res["hits"].count() == 1
+
+
+def test_match_analyzed(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # 'spark' as an analyzed token, not substring: "sparkly" must not match
+    res = execute_search(docs, {"query": {"match": {"text": "spark merge"}}})
+    got = res["hits"].count()
+    toks = F.split(F.lower(F.col("text")), r"[^\p{L}\p{Nd}]+")
+    expected = docs.filter(
+        F.array_contains(toks, "spark") | F.array_contains(toks, "merge")
+    ).count()
+    assert got == expected
+
+    res_and = execute_search(
+        docs, {"query": {"match": {"text": {"query": "spark merge", "operator": "and"}}}}
+    )
+    expected_and = docs.filter(
+        F.array_contains(toks, "spark") & F.array_contains(toks, "merge")
+    ).count()
+    assert res_and["hits"].count() == expected_and
+    assert res_and["hits"].count() <= got
+
+
+def test_match_phrase(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = execute_search(docs, {"query": {"match_phrase": {"text": "batch stream"}}})
+    assert res["hits"].count() == docs.filter(F.col("text").contains("batch stream")).count()
+
+
+def test_sort_from_size(fares):
+    body = {
+        "query": {"match_all": {}},
+        "sort": [{"sk": {"order": "desc"}}],
+        "from": 2,
+        "size": 3,
+    }
+    res = execute_search(fares, body)
+    got = [r.sk for r in res["hits"].select("sk").collect()]
+    expected = [r.sk for r in fares.orderBy(F.col("sk").desc()).select("sk").collect()][2:5]
+    assert got == expected
+
+
+def test_terms_agg_with_metrics_and_top_hits(fares):
+    body = {
+        "query": {"match_all": {}},
+        "size": 0,
+        "aggs": {
+            "by_class": {
+                "terms": {"field": "fare_class", "size": 5},
+                "aggs": {
+                    "n_dests": {"cardinality": {"field": "dest", "exact": True}},
+                    "latest": {
+                        "top_hits": {"size": 1, "sort": [{"start_ts": {"order": "desc"}}]}
+                    },
+                },
+            }
+        },
+    }
+    res = execute_search(fares, body)
+    buckets = res["aggregations"]["by_class"]["buckets"]
+    assert {b["key"] for b in buckets} == {"nonstop", "direct"}
+    total = sum(b["doc_count"] for b in buckets)
+    assert total == fares.count()
+    for b in buckets:
+        assert b["n_dests"]["value"] >= 1
+        assert len(b["latest"]["hits"]) == 1
+
+
+def test_date_histogram_agg(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    body = {
+        "aggs": {
+            "per_day": {
+                "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                "aggs": {"v": {"sum": {"field": "value"}}},
+            }
+        }
+    }
+    res = execute_search(events, body)
+    buckets = res["aggregations"]["per_day"]["buckets"]
+    assert sum(b["doc_count"] for b in buckets) == events.count()
+    assert all(b["v"]["value"] is not None for b in buckets)
+
+
+def test_stats_and_percentiles(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    res = execute_search(
+        events,
+        {
+            "query": {"term": {"event_type": "click"}},
+            "aggs": {"s": {"stats": {"field": "value"}}},
+        },
+    )
+    s = res["aggregations"]["s"]
+    assert s["count"] == events.filter(F.col("event_type") == "click").count()
+    assert s["min"] <= s["avg"] <= s["max"]
+
+
+def test_unsupported_clause_raises():
+    with pytest.raises(ValueError, match="unsupported query kind"):
+        compile_query({"fuzzy": {"x": "y"}})
