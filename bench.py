@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline catalog queries
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <float>}
+
+Execution is forced with the noop sink (full pipeline runs, nothing
+collects to the driver) so timings measure the distributed plan, not
+result transfer. A small warm-up query runs first so JVM/codegen
+startup is not billed to the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from opensearch_dynamodb_etl_cdk_spark.session import get_spark
+from opensearch_dynamodb_etl_cdk_spark.plans.catalog import CATALOG
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative spread: flagship agg, fact-fact join, window, top-k,
+# time bucketing, CDC materialization, and the extension families
+# (dedup LSH, ANN, text analysis, multimodal).
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_large_agg",
+    "join_broadcast_dims",
+    "top_hits_per_bucket",
+    "window_running_sum",
+    "date_histogram_agg",
+    "keyed_upsert_latest",
+    "sort_limit_topk",
+    "cardinality_agg",
+    "minhash_near_dup_pairs",
+    "simhash_near_dup_pairs",
+    "ann_multiquery_topk",
+    "token_topk",
+    "doc_quality_scores",
+    "multimodal_frame_counts",
+]
+
+
+def run_once(spark, name: str) -> float:
+    df = CATALOG[name].fn(spark, SF_DIR)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    # warm-up: JVM/codegen/parquet-footer caches
+    spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_once(spark, name), 4)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,194 @@
+"""Text-analysis column expressions for the documents pipeline
+(SURVEY §2.10 E4; driver charter: language-ID, quality scoring, token
+counting, fingerprinting). All JVM-side expressions — no Python in the
+hot path — so they pipeline into scans at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"[^\p{L}\p{Nd}]+"
+
+# Minimal per-language stopword sets for the n-gram/stopword language-ID
+# heuristic. Deterministic and tiny by design — this is a heuristic
+# operator, not a model.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "ist", "den", "im"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"],
+    "zh": ["de", "le", "shi", "zai", "he", "you", "wo", "ta", "men", "bu"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Standard-analyzer approximation: lowercase, split on non-alphanum."""
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def token_count_from(toks: Column) -> Column:
+    return F.size(toks).cast("bigint")
+
+
+def token_count(col: Column) -> Column:
+    return token_count_from(tokens(col))
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for normalized dedup: analyzed tokens re-joined."""
+    return F.array_join(tokens(col), " ")
+
+
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Word k-shingles from an already-materialized token array.
+
+    Callers should project the token array in a SEPARATE select first:
+    this expression references ``toks`` four times, and if ``toks`` is
+    the raw ``tokens(text)`` expression Catalyst's CollapseProject
+    re-inlines the regex split per reference (~9× slower measured).
+    """
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+    )
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles over the analyzed tokens (for MinHash / Jaccard).
+    Prefer the two-step ``tokens`` → ``shingles_from_tokens`` projection
+    in per-row-heavy pipelines (see shingles_from_tokens)."""
+    return shingles_from_tokens(tokens(col), k)
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Character n-grams of the normalized text (language-ID features)."""
+    s = normalize_text(col)
+    length = F.length(s)
+    return F.when(length < n, F.array(s)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), length - n + 1), lambda i: F.substring(s, i, n)
+        )
+    )
+
+
+def fingerprint(col: Column, k: int = 8) -> Column:
+    """Deterministic document fingerprint: md5 of the first-k analyzed
+    tokens — the classic 'prefix fingerprint' for clustering near-identical
+    heads; portable across engines (md5 is everywhere)."""
+    return F.md5(F.array_join(F.slice(tokens(col), 1, k), " "))
+
+
+def stopword_hits_from(toks: Column, lang: str) -> Column:
+    """Number of *distinct* stopwords of `lang` present (set semantics —
+    matches DuckDB list_intersect for oracle checks)."""
+    return F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]]))
+    )
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    return stopword_hits_from(tokens(col), lang)
+
+
+def langid_from(
+    toks: Column, langs: tuple[str, ...] = ("en", "es", "de", "fr", "zh")
+) -> Column:
+    """Stopword-vote language ID with deterministic first-wins tie-break.
+    Project the token array in a separate select first (see
+    shingles_from_tokens) — this references it once per language."""
+    hits = {lang: stopword_hits_from(toks, lang) for lang in langs}
+    best = F.greatest(*hits.values()) if len(hits) > 1 else list(hits.values())[0]
+    expr = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties → build in reverse
+        expr = F.when(hits[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def langid(col: Column, langs: tuple[str, ...] = ("en", "es", "de", "fr", "zh")) -> Column:
+    return langid_from(tokens(col), langs)
+
+
+def punct_ratio(col: Column) -> Column:
+    stripped = F.regexp_replace(col, r"[^.,!?;:]", "")
+    return F.length(stripped).cast("double") / F.length(col).cast("double")
+
+
+def mean_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return total.cast("double") / F.size(toks).cast("double")
+
+
+def stopword_ratio_from(toks: Column, lang: str = "en") -> Column:
+    """Share of token *occurrences* that are stopwords (quality signal)."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits.cast("double") / F.size(toks).cast("double")
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    return stopword_ratio_from(tokens(col), lang)
+
+
+def quality_score_from(text_col: Column, toks: Column) -> Column:
+    """Composite [0,1] quality heuristic: penalize extreme punctuation,
+    very short docs, and all-stopword docs. Deterministic expression —
+    portable to the SQL oracle. ``toks`` should be a materialized token
+    array column (referenced twice)."""
+    n = token_count_from(toks)
+    len_term = F.least(n.cast("double") / F.lit(20.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text_col) * 5.0, F.lit(1.0))
+    sw = stopword_ratio_from(toks)
+    sw_term = F.lit(1.0) - F.abs(sw - F.lit(0.4))
+    return (len_term + punct_term + sw_term) / F.lit(3.0)
+
+
+def quality_score(col: Column) -> Column:
+    return quality_score_from(col, tokens(col))
+
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash over analyzed tokens, pure expressions: per-token
+    xxhash64, per-bit ±1 votes, sign → bit. Near-duplicate docs differ in
+    few bits (hamming via bit_count(a ^ b)).
+
+    Bit positions are unrolled with Python ints (shift amounts are
+    static; pyspark's shiftright takes int numBits, not a Column): one
+    small fold per bit rather than one fold carrying a 64-wide array —
+    same op count, linear expression tree, and ANSI-safe arithmetic
+    (votes are bounded by token count; the sign bit is the long min
+    literal, never a shifted 1)."""
+    toks = tokens(col)
+
+    def bit_vote(b: int) -> Column:
+        return F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.when(
+                F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(-1).cast("long")),
+        )
+
+    packed = F.lit(0).cast("long")
+    for b in range(64):
+        vote = bit_vote(b)
+        bitval = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
+        packed = packed.bitwiseOR(
+            F.when(vote > 0, bitval).otherwise(F.lit(0).cast("long"))
+        )
+    return packed
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

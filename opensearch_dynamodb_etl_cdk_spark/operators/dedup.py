@@ -1,0 +1,307 @@
+"""Deduplication operators for large-scale training-data pipelines
+(driver charter; SURVEY §2.10 E1/E2):
+
+- exact (hash-groupBy), normalized-exact
+- MinHash + LSH banding (shingle → minhash → band → bucket self-join →
+  exact-Jaccard verify)
+- SimHash (64-bit, pigeonhole chunk blocking, hamming verify)
+- n-gram Jaccard with deterministic blocking (oracle-checkable)
+
+Scale design: every candidate-generation step is a groupBy/join on a
+bounded-size key (hash, band bucket, simhash chunk) — never an
+unblocked O(n²) self-join. Verification joins only touch candidate
+pairs. The heaviest shuffle is |docs| × bands rows of (bucket, id) —
+linear in corpus size. Skewed buckets (boilerplate docs) are capped by
+``max_bucket`` to bound the quadratic within-bucket blowup; AQE
+skew-join handles residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    hamming64,
+    normalize_text,
+    shingles_from_tokens,
+    tokens,
+)
+from ..session import min_partitions
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One representative (min id) per exact text; group key is md5(text)
+    so the shuffle carries 16-byte keys, not full documents."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+    )
+
+
+def normalized_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup after analyzer normalization (case/punct/whitespace)."""
+    return (
+        df.groupBy(F.md5(normalize_text(F.col(text_col))).alias("norm_hash"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+    )
+
+
+def _shingle_frame(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int
+) -> DataFrame:
+    # two-step projection: tokenize once, THEN shingle (the shingle expr
+    # references the token array 4×; inlining the regex split per
+    # reference measured ~9× slower). min_partitions parallelizes the
+    # interpreted array work when the scan was a single small file.
+    tk = min_partitions(df).select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    return tk.select(
+        F.col(id_col),
+        F.array_distinct(shingles_from_tokens(F.col("toks"), shingle_k)).alias(
+            "shingle_set"
+        ),
+    )
+
+
+def _signature_cols(
+    sh: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """(id, h0..h{n-1}) minhash signature, codegen-friendly shape.
+
+    Each shingle STRING is hashed exactly once (xxhash64); the hash
+    family is derived from that 8-byte value (h_i = xxhash64(x, i),
+    constant-width input) — 64× less string hashing than hashing the
+    shingle per function. Explode → project → partial min-agg keeps the
+    whole pipeline in whole-stage codegen (array lambdas would fall
+    back to interpreted eval), and the shuffle carries one row per doc
+    with n_hashes longs."""
+    ex = sh.select(F.col(id_col), F.explode("shingle_set").alias("s")).select(
+        id_col, F.xxhash64("s").alias("x")
+    )
+    return ex.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("x"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """id + minhash signature (array<long>) + shingle set per doc."""
+    sh = _shingle_frame(df, text_col, id_col, shingle_k)
+    sig = _signature_cols(sh, id_col, num_hashes)
+    return sig.join(sh, id_col).select(
+        id_col,
+        F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"),
+        "shingle_set",
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    banding: r = num_hashes/bands rows per band; two docs collide in a
+    band iff their signature slice matches exactly → candidate. Exact
+    Jaccard on the shingle sets verifies (no false positives; recall
+    governed by (1-t^r)^b).
+
+    Physical shape (100 TB design): the banded frame is 3 narrow longs
+    × bands per doc — linear in corpus size — and is persisted so the
+    bucket-size cap and the self-join probe the SAME materialization
+    instead of recomputing the shingle→hash pipeline per branch. Only
+    candidate pairs (tiny) ever see the shingle arrays again, via two
+    keyed joins for the exact-Jaccard verify."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    # persisted: consumed three times (signature build + both verify
+    # joins); shingling is interpreted array work, worth paying once
+    sh = _shingle_frame(df, text_col, id_col, shingle_k).persist()
+    sig = _signature_cols(sh, id_col, num_hashes)
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)]).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        id_col, F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, "bk.band", "bk.bucket").persist()
+
+    # cap pathological buckets (boilerplate floods): quadratic blowup guard
+    counts = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    capped = banded.join(
+        counts.filter(F.col("n") <= max_bucket).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+
+    left = capped.select("band", "bucket", F.col(id_col).alias("id_a"))
+    right = capped.select("band", "bucket", F.col(id_col).alias("id_b"))
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand.join(
+        sh.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("sh_b")),
+        "id_b",
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def dedup_by_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop the higher-id member of every near-dup pair (single-pass
+    approximation of connected components — exact CC needs iteration,
+    documented trade-off for pipeline use)."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash) via explode → hash-once → 64 partial-agg bit sums —
+    the codegen shape (the per-row ``simhash64`` expression folds arrays
+    in interpreted eval; this computes the identical signature: per-token
+    vote_b = ±1, sum > 0 ⇒ bit set, duplicates counted)."""
+    ex = min_partitions(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
+    ).select(id_col, F.xxhash64("t").alias("x"))
+    aggs = [
+        F.sum(F.shiftright(F.col("x"), b).bitwiseAND(F.lit(1)).cast("long")).alias(
+            f"s{b}"
+        )
+        for b in range(64)
+    ] + [F.count("*").alias("n")]
+    v = ex.groupBy(id_col).agg(*aggs)
+    packed = F.lit(0).cast("long")
+    for b in range(64):
+        bitval = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
+        packed = packed.bitwiseOR(
+            F.when(F.col(f"s{b}") * 2 - F.col("n") > 0, bitval).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sig = v.select(F.col(id_col), packed.alias("simhash"))
+    # docs with zero tokens vanish in the explode; rejoin as signature 0
+    # (simhash64's fold over an empty array yields all-zero votes)
+    return df.select(id_col).join(sig, id_col, "left").select(
+        id_col, F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on each of the four 16-bit chunks
+    (pigeonhole: hamming ≤ 3 ⇒ at least one chunk identical), verify
+    hamming over the full 64 bits."""
+    sh = simhash_frame(df, text_col, id_col).persist()
+    chunked = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select(id_col, "simhash", "ck.chunk", "ck.key")
+    left = chunked.select("chunk", "key", F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"))
+    right = chunked.select("chunk", "key", F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"))
+    return (
+        left.join(right, ["chunk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64(F.col("h_a"), F.col("h_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def blocked_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    block_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs within deterministic blocks.
+
+    Unlike LSH this is deterministic and SQL-expressible (the DuckDB
+    oracle runs the same blocked all-pairs) — the oracle-checkable
+    member of the dedup family. Blocks must be chosen so |block| stays
+    modest (here: language)."""
+    tk = min_partitions(df).select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    sh = tk.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col),
+        F.array_distinct(shingles_from_tokens(F.col("toks"), shingle_k)).alias("sh"),
+    )
+    left = sh.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    right = sh.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    return (
+        left.join(right, list(block_cols))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

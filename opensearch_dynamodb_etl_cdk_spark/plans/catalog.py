@@ -1049,3 +1049,8 @@ def scalar_functions(spark, sf_dir):
         (F.floor(F.col("o_totalprice") / 1000.0 * 100) / 100).alias("price_k"),
         F.length("o_orderpriority").cast("bigint").alias("prio_len"),
     )
+
+
+# Extension families (dedup / similarity / text / multimodal) register
+# themselves on import; kept in a sibling module to bound file size.
+from . import catalog_ext  # noqa: E402,F401

@@ -1,0 +1,461 @@
+"""Extension-operator catalog: LLM-training-data pipeline queries over the
+``documents`` / ``embeddings`` tables (driver charter; SURVEY §2.10
+E1–E5) — dedup (exact / MinHash-LSH / SimHash / blocked Jaccard),
+similarity search (brute-force / multi-query / LSH-ANN), text analysis
+(language-ID, quality, tokens, fingerprints), and multimodal binary
+columns.
+
+Oracle bit-exactness rules (empirically verified against DuckDB):
+
+- Tokenization: Spark ``split(lower(text), '[^\\p{L}\\p{Nd}]+')`` ≡
+  DuckDB ``string_split_regex`` with the same RE2-compatible class.
+- Cosine: the query vector is sourced FROM THE TABLE in both engines.
+  DuckDB parses bare decimal literals as DECIMAL first, which rounds
+  the reconstructed double by 1 ulp — literals are banned in vector
+  oracles. The dot/norm folds use ``list_reduce`` seeded with 0.0,
+  matching ``F.aggregate``'s sequential left fold bit-for-bit
+  (``list_sum`` pairwise-sums and drifts by 1 ulp).
+- MinHash-LSH at 64 hashes / 32 bands (r=2) has per-pair miss
+  probability (1-j²)³² ≈ 4e-10 at j=0.7, so the exact all-pairs
+  Jaccard oracle is safe; verification is exact so no false positives.
+
+Scale notes (100 TB): all candidate generation is groupBy/join on
+bounded keys (hash, band bucket, label block) — never an unblocked
+self-join; ANN materializes narrow bucket signatures; multimodal
+payloads stay on executors with Arrow-batched UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..functions import text as T
+from .catalog import register, _t
+
+# --- shared DuckDB fragments (verified bit-exact vs the Spark twins) ----
+
+TOK = r"list_filter(string_split_regex(lower(text), '[^\pL\p{Nd}]+'), x -> x != '')"
+
+SHINGLE_CTE = f"""
+tk AS (SELECT doc_id, lang, {TOK} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, lang,
+         list_distinct(
+           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(generate_series(1, len(toks) - 2),
+                                    i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+           END) AS s
+  FROM tk)
+"""
+
+JACCARD = ("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+           " / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)")
+
+
+def _fold(lst: str) -> str:
+    return f"list_reduce(list_prepend(0.0, {lst}), (acc, x) -> acc + x)"
+
+
+def _cos(a: str, b: str) -> str:
+    dot = _fold(f"list_transform(generate_series(1, len({a})), "
+                f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))")
+    na = _fold(f"list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    nb = _fold(f"list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    return f"{dot} / (sqrt({na}) * sqrt({nb}))"
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (E1/E2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "exact_dedup_groups",
+    oracle="""
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup: one representative per md5(text); shuffle carries "
+    "16-byte hashes, never document bodies.",
+    tags=("dedup",),
+)
+def exact_dedup_groups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return D.exact_dedup(d)
+
+
+@register(
+    "normalized_dedup_groups",
+    oracle=f"""
+    SELECT md5(array_to_string({TOK}, ' ')) AS norm_hash,
+           MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup after analyzer normalization (case/punct/whitespace).",
+    tags=("dedup",),
+)
+def normalized_dedup_groups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return D.normalized_dedup(d)
+
+
+@register(
+    "jaccard_near_dup_pairs",
+    oracle=f"""
+    WITH {SHINGLE_CTE}
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, {JACCARD} AS jaccard
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.7
+    """,
+    doc="Deterministic blocked near-dup pairs: exact 3-shingle Jaccard within "
+    "language blocks (the SQL-expressible member of the dedup family).",
+    tags=("dedup",),
+)
+def jaccard_near_dup_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return D.blocked_jaccard_pairs(d, threshold=0.7, block_cols=("lang",))
+
+
+@register(
+    "minhash_near_dup_pairs",
+    oracle=f"""
+    WITH {SHINGLE_CTE}
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, {JACCARD} AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.7
+    """,
+    doc="MinHash+LSH near-dup pairs (64 hashes, 32 bands → r=2) with exact "
+    "Jaccard verification of candidates only. Oracle = exact all-pairs "
+    "Jaccard: verification kills false positives and band recall at "
+    "j≥0.7 is 1-(1-j²)³² ≈ 1-4e-10, so the sets coincide. At scale the "
+    "banded (bucket, id) shuffle is linear in corpus size; the oracle's "
+    "quadratic all-pairs join exists only for sf0.01 checking.",
+    tags=("dedup", "lsh"),
+)
+def minhash_near_dup_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return D.minhash_lsh_pairs(d, num_hashes=64, bands=32, threshold=0.7)
+
+
+@register(
+    "near_dup_survivor_count",
+    oracle=f"""
+    WITH {SHINGLE_CTE},
+    pairs AS (
+      SELECT id_b FROM (
+        SELECT b.doc_id AS id_b, {JACCARD} AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.7)
+    SELECT COUNT(*) AS n_docs FROM documents
+    WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs)
+    """,
+    doc="Corpus size after near-dup removal (drop higher-id member of each "
+    "MinHash pair; anti-join, single pass).",
+    tags=("dedup", "lsh"),
+)
+def near_dup_survivor_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    pairs = D.minhash_lsh_pairs(d, num_hashes=64, bands=32, threshold=0.7)
+    return D.dedup_by_pairs(d, pairs).agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "simhash_near_dup_pairs",
+    oracle=None,  # xxhash64 has no DuckDB twin — rows-only check
+    doc="SimHash near-dup pairs: 64-bit signature, pigeonhole blocking on "
+    "16-bit chunks (hamming ≤ 3 ⇒ some chunk equal), exact hamming verify. "
+    "Property-tested in tests/test_dedup_similarity.py.",
+    tags=("dedup", "lsh"),
+)
+def simhash_near_dup_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return D.simhash_pairs(d, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis family (E4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_stats_by_lang",
+    oracle=f"""
+    WITH tk AS (SELECT lang, CAST(len({TOK}) AS BIGINT) AS n FROM documents)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS sum_tokens,
+           CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM tk GROUP BY lang
+    """,
+    doc="Token-count statistics per language (analyzer = lowercase + "
+    "unicode-class split, shared with dedup shingling).",
+    tags=("text",),
+)
+def text_stats_by_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    tk = d.select("lang", T.token_count(F.col("text")).alias("n"))
+    return tk.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("sum_tokens"),
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
+
+
+def _langid_sql() -> str:
+    def hits(lang: str) -> str:
+        lst = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+        return f"len(list_intersect(toks, [{lst}]))"
+
+    langs = ("en", "es", "de", "fr", "zh")
+    best = "greatest(" + ", ".join(hits(lg) for lg in langs) + ")"
+    whens = " ".join(f"WHEN {hits(lg)} = {best} THEN '{lg}'" for lg in langs)
+    return f"CASE WHEN {best} = 0 THEN 'und' {whens} ELSE 'und' END"
+
+
+@register(
+    "langid_eval",
+    oracle=f"""
+    WITH tk AS (SELECT lang, {TOK} AS toks FROM documents)
+    SELECT lang, {_langid_sql()} AS pred_lang, COUNT(*) AS n
+    FROM tk GROUP BY 1, 2
+    """,
+    doc="Language-ID confusion counts: stopword-vote heuristic prediction vs "
+    "the labeled lang column (first-wins deterministic tie-break).",
+    tags=("text",),
+)
+def langid_eval(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    tk = d.select("lang", T.tokens(F.col("text")).alias("toks"))
+    return tk.groupBy(
+        "lang", T.langid_from(F.col("toks")).alias("pred_lang")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "doc_quality_scores",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, text, {TOK} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+          / CAST(length(text) AS DOUBLE) AS pr,
+        CAST(len(list_filter(toks, t -> list_contains(
+            ['the','and','of','to','in','is','a','that','it','for'], t))) AS DOUBLE)
+          / CAST(len(toks) AS DOUBLE) AS swr
+      FROM tk)
+    SELECT doc_id, n_tokens,
+           (least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+            + (1.0 - least(pr * 5.0, 1.0))
+            + (1.0 - abs(swr - 0.4))) / 3.0 AS quality
+    FROM m
+    """,
+    doc="Per-document quality score: length / punctuation / stopword-ratio "
+    "composite, all JVM-side expressions (bit-exact vs the SQL oracle).",
+    tags=("text",),
+)
+def doc_quality_scores(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    tk = d.select("doc_id", "text", T.tokens(F.col("text")).alias("toks"))
+    return tk.select(
+        "doc_id",
+        T.token_count_from(F.col("toks")).alias("n_tokens"),
+        T.quality_score_from(F.col("text"), F.col("toks")).alias("quality"),
+    )
+
+
+@register(
+    "token_topk",
+    oracle=f"""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest({TOK}) AS token FROM documents)
+    GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+    """,
+    doc="Corpus-level token frequency top-k (explode → partial-agg groupBy → "
+    "TakeOrdered; shuffle volume is |vocab|, not |tokens|).",
+    tags=("text", "topk"),
+)
+def token_topk(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "doc_fingerprint_groups",
+    oracle=f"""
+    SELECT md5(array_to_string(list_slice({TOK}, 1, 8), ' ')) AS fp,
+           COUNT(*) AS n_docs, MIN(doc_id) AS doc_id
+    FROM documents GROUP BY 1
+    """,
+    doc="Document fingerprinting: md5 over the first 8 analyzed tokens "
+    "(prefix fingerprint), grouped to find shared-head clusters.",
+    tags=("text", "dedup"),
+)
+def doc_fingerprint_groups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return d.groupBy(T.fingerprint(F.col("text")).alias("fp")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity-search family (E3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, {_cos('e.embedding', 'q.qv')} AS score
+    FROM embeddings e, q
+    ORDER BY score DESC, e.vec_id ASC LIMIT 10
+    """,
+    doc="Exact cosine top-10 for one query vector (vec_id=0, sourced from "
+    "the table — see module docstring on literal parsing). Physical plan "
+    "is scan → project → TakeOrderedAndProject: no corpus shuffle.",
+    tags=("similarity", "topk"),
+)
+def ann_bruteforce_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return S.brute_force_topk(e, qvec, k=10)
+
+
+@register(
+    "ann_multiquery_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5)
+    SELECT q_id, vec_id, score FROM (
+      SELECT q.q_id, e.vec_id, {_cos('e.embedding', 'q.qv')} AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.q_id
+               ORDER BY {_cos('e.embedding', 'q.qv')} DESC, e.vec_id ASC) AS rn
+      FROM embeddings e, q
+    ) WHERE rn <= 5
+    """,
+    doc="Exact top-5 per query for a broadcast query set (5 vectors): "
+    "corpus never shuffles; window partitions by query id.",
+    tags=("similarity", "topk", "join"),
+)
+def ann_multiquery_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return S.topk_join(e, queries, k=5)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # approximate by design — rows-only; recall property-tested
+    doc="LSH-bucketed ANN top-10 (8-bit random-hyperplane signatures × 8 "
+    "tables, seeded/deterministic; exact re-rank of candidates only) — the "
+    "100 TB path where signatures are precomputed narrow columns.",
+    tags=("similarity", "topk", "lsh"),
+)
+def ann_lsh_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return S.lsh_ann_topk(e, qvec, k=10)
+
+
+@register(
+    "closest_pair_per_label",
+    oracle=f"""
+    SELECT label, id_a, id_b, score FROM (
+      SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+             {_cos('a.embedding', 'b.embedding')} AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.label
+               ORDER BY {_cos('a.embedding', 'b.embedding')} DESC,
+                        a.vec_id ASC, b.vec_id ASC) AS rn
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE rn = 1
+    """,
+    doc="Embedding-cosine near-dup probe: most-similar pair within each "
+    "label block (deterministic blocked self-join — block key bounds the "
+    "quadratic term; the unblocked variant is the LSH path).",
+    tags=("similarity", "dedup"),
+)
+def closest_pair_per_label(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    from ..functions.vectors import cosine
+
+    a = e.select(
+        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = e.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("label", "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("score"))
+    )
+    w = W.partitionBy("label").orderBy(
+        F.col("score").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", "id_a", "id_b", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal family (E5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_feature_stats",
+    oracle="""
+    SELECT source, COUNT(*) AS n_items,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes
+    FROM documents GROUP BY source
+    """,
+    doc="Multimodal plumbing: binary payload column + metadata struct, "
+    "Arrow-batched mapInPandas feature extraction (deterministic fake "
+    "decoder — real image/audio decode is stubbed, see operators/"
+    "multimodal.py), aggregated per source.",
+    tags=("multimodal",),
+)
+def multimodal_feature_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    feats = M.extract_features(M.attach_payload(d))
+    return feats.groupBy("source").agg(
+        F.count("*").alias("n_items"), F.sum("n_bytes").alias("sum_bytes")
+    )
+
+
+@register(
+    "multimodal_frame_counts",
+    oracle="""
+    SELECT source,
+           CAST(SUM((octet_length(encode(text)) + 255) // 256) AS BIGINT) AS n_frames,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_frame_bytes
+    FROM documents GROUP BY source
+    """,
+    doc="Frame-sampling fan-out (1 payload → N fixed-size frames inside the "
+    "UDF, video frame-extraction shape) aggregated per source.",
+    tags=("multimodal",),
+)
+def multimodal_frame_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    frames = M.sample_frames(M.attach_payload(d), frame_size=256)
+    return frames.groupBy("source").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("frame_bytes").alias("sum_frame_bytes"),
+    )

@@ -43,6 +43,23 @@ def get_spark(app_name: str = "opensearch_dynamodb_etl_cdk_spark") -> SparkSessi
     return spark
 
 
+def min_partitions(df, target: int | None = None):
+    """Repartition up to the session's parallelism when the input scan
+    produced fewer partitions.
+
+    Small parquet files arrive as ONE partition, which serializes
+    per-row-heavy work (interpreted array lambdas, Pandas UDFs) onto a
+    single core. At real scale inputs already carry many partitions and
+    this is a no-op — the repartition only fires on under-split inputs,
+    so it never adds a shuffle to a 100 TB scan that is already wide.
+    """
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Register the driver's parquet tables as temp views; return dict of DFs.
 
