@@ -416,6 +416,208 @@ def closest_pair_per_label(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Advanced join + SQL families (SURVEY §2.9: absent in the reference,
+# provided Spark-first): as-of join, broadcast range join, grouping sets.
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_last_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT MAX(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts <= p.ts) AS last_click_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+    doc="As-of join: each purchase matched to the user's most recent "
+    "click at-or-before it. Implemented as union + running max over a "
+    "(user, time) window — one shuffle on the key, no per-row probe; "
+    "the oracle states the same semantics as a correlated subquery.",
+    tags=("join", "asof", "time"),
+)
+def asof_last_click(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.lit(0).alias("side"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        "event_id",
+    )
+    # clicks sort before purchases at equal ts (side 0 < 1) so an
+    # exactly-simultaneous click counts as "at-or-before"
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ets", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_ts", F.max("click_ts").over(w))
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", F.col("ets").alias("ts"), "last_click_ts")
+    )
+
+
+@register(
+    "range_band_join",
+    oracle="""
+    SELECT band, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    JOIN (VALUES ('low', 0.0, 100000.0),
+                 ('mid', 100000.0, 300000.0),
+                 ('high', 300000.0, 1e18)) AS b(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+    doc="Range (interval) join against a tiny band dimension: broadcast "
+    "nested-loop on the broadcast side only — the fact table never "
+    "shuffles for the join.",
+    tags=("join", "range"),
+)
+def range_band_join(spark, sf_dir):
+    from .catalog import dsum
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100000.0), ("mid", 100000.0, 300000.0), ("high", 300000.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT r_name, n_name, COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (n_name), ())
+"""
+
+
+@register(
+    "grouping_sets_agg",
+    oracle=_GROUPING_SETS_SQL,
+    doc="Explicit GROUPING SETS (per-region, per-nation, grand total) via "
+    "Spark SQL over the registered views — one Expand + partial agg pass, "
+    "identical SQL runs on both engines.",
+    tags=("agg", "groupingsets", "sql"),
+)
+def grouping_sets_agg(spark, sf_dir):
+    _t(spark, sf_dir, "customer", "nation", "region")  # registers views
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Full-text analyzed match + TF-IDF (E4; DSL `match` in analyzed mode —
+# the inverted-index formulation, vs the LIKE containment in catalog.py)
+# ---------------------------------------------------------------------------
+
+def _analyzed_match(spark, sf_dir, min_terms: int):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    tk = d.select("doc_id", "lang", F.array_distinct(T.tokens(F.col("text"))).alias("toks"))
+    inv = tk.select("doc_id", "lang", F.explode("toks").alias("token")).filter(
+        F.col("token").isin("fast", "spark")
+    )
+    matched = inv.groupBy("doc_id", "lang").agg(
+        F.countDistinct("token").alias("nt")
+    )
+    return (
+        matched.filter(F.col("nt") >= min_terms)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "match_analyzed_or",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n FROM (
+      SELECT lang, len(list_intersect(list_distinct({TOK}), ['fast', 'spark'])) AS nt
+      FROM documents) WHERE nt >= 1 GROUP BY lang
+    """,
+    doc="DSL `match` (analyzed, OR of terms): tokenize → explode → "
+    "inverted-index term filter → per-doc term count. The posting-list "
+    "shuffle carries only matching (doc, term) rows.",
+    tags=("fulltext", "text"),
+)
+def match_analyzed_or(spark, sf_dir):
+    return _analyzed_match(spark, sf_dir, 1)
+
+
+@register(
+    "match_analyzed_and",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n FROM (
+      SELECT lang, len(list_intersect(list_distinct({TOK}), ['fast', 'spark'])) AS nt
+      FROM documents) WHERE nt = 2 GROUP BY lang
+    """,
+    doc="DSL `match` with operator=and: all query terms must appear.",
+    tags=("fulltext", "text"),
+)
+def match_analyzed_and(spark, sf_dir):
+    return _analyzed_match(spark, sf_dir, 2)
+
+
+@register(
+    "tfidf_top_term",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest({TOK}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT doc_id, token, tfidf FROM (
+      SELECT tf.doc_id, tf.token,
+             CAST(tf.tf AS DOUBLE) * n.n / dfreq.dfreq AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE) * n.n / dfreq.dfreq DESC,
+                        tf.token ASC) AS rn
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ) WHERE rn = 1 AND doc_id < 20
+    """,
+    doc="TF-IDF (rational idf = N/df, no log — bit-portable across "
+    "engines): top term per document. Shuffles carry (doc, term, tf) "
+    "aggregates, never raw text.",
+    tags=("text", "window"),
+)
+def tfidf_top_term(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    n = d.count()
+    tk = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+    tf = tk.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
+    scored = tf.join(dfreq, "token").withColumn(
+        "tfidf", F.col("tf").cast("double") * F.lit(n) / F.col("dfreq")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("doc_id") < 20))
+        .select("doc_id", "token", "tfidf")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal family (E5)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,107 @@
+"""Physical-plan audits: the properties that make these queries viable
+at 100 TB must be visible in the plan, not assumed — filter pushdown to
+the parquet scan, column pruning, broadcast joins for dimensions,
+TakeOrderedAndProject for top-k (no global sort), and whole-stage
+codegen on the hot paths."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from opensearch_dynamodb_etl_cdk_spark.plans.catalog import CATALOG
+
+
+def plan_of(spark, sf_dir, name: str, mode: str = "formatted") -> str:
+    df = CATALOG[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_term_filter_pushes_predicate_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "term_filter")
+    assert "PushedFilters" in plan
+    assert "c_mktsegment" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_q1_pushes_date_filter_and_prunes_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    pushed = plan.split("PushedFilters")[1].splitlines()[0]
+    assert "l_shipdate" in pushed
+    # column pruning: the scan schema must not include unused columns
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_shipmode" not in read_schema
+    # partial aggregation: map-side partial + final after shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_broadcast_dims_join_never_shuffles_fact(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_broadcast_dims")
+    assert "BroadcastHashJoin" in plan
+    # the only exchanges should be broadcast + the final agg shuffle —
+    # no hash-partitioning of customer for the join itself
+    join_section = plan.split("HashAggregate")[0]
+    assert "SortMergeJoin" not in plan
+
+
+def test_sort_limit_is_topk_not_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_stays_in_wholestage_codegen(spark, sf_dir):
+    # AQE prints isFinalPlan=false without codegen markers in simple
+    # mode; the codegen explain enumerates the generated subtrees
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary", mode="codegen")
+    assert "WholeStageCodegen" in plan
+
+
+def test_semi_join_is_left_semi(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "semi_join_exists")
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_is_left_anti(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "anti_join_not_exists")
+    assert "LeftAnti" in plan
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """CartesianProduct = unbounded row blowup at scale. The only
+    intentional cross join (ann multiquery) must be broadcast-nested-loop
+    with the tiny query side broadcast."""
+    for name in CATALOG:
+        plan = plan_of(spark, sf_dir, name, mode="simple")
+        assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+
+
+def test_ann_multiquery_broadcasts_queries(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ann_multiquery_topk", mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_windows_partition_by_key(spark, sf_dir):
+    """No window in the catalog may run without a partition key (a
+    global window serializes the whole dataset through one task)."""
+    for name in ("top_hits_per_bucket", "window_rank_per_group",
+                 "window_running_sum", "keyed_upsert_latest"):
+        plan = plan_of(spark, sf_dir, name, mode="formatted")
+        for line in plan.splitlines():
+            if "partitionBy" in line.lower():
+                continue
+        # formatted explain prints Arguments for Window nodes; ensure
+        # none declares an empty partition spec
+        assert "windowspecdefinition()" not in plan.lower().replace(" ", "")
+
+
+def test_exact_dedup_shuffles_hashes_not_documents(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "exact_dedup_groups", mode="formatted")
+    # group key is the md5, and partial aggregation runs before the
+    # exchange so full text never crosses the shuffle un-reduced
+    assert plan.count("HashAggregate") >= 2
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "lang" not in read_schema  # pruned: only text + doc_id read
