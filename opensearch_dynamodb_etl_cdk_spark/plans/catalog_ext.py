@@ -527,6 +527,41 @@ def grouping_sets_agg(spark, sf_dir):
     return spark.sql(_GROUPING_SETS_SQL)
 
 
+@register(
+    "session_window_agg",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Native session_window aggregation (batch twin of the streaming "
+    "operator in streaming/windows.py). Boundary rule: an event at "
+    "exactly start+gap opens a NEW session (half-open window), encoded "
+    "as `>=` in the oracle's gap test.",
+    tags=("agg", "time", "streaming", "window"),
+)
+def session_window_agg(spark, sf_dir):
+    from ..streaming.windows import session_window_counts
+
+    e = _t(spark, sf_dir, "events")["events"]
+    return session_window_counts(e, gap="30 minutes")
+
+
 # ---------------------------------------------------------------------------
 # Full-text analyzed match + TF-IDF (E4; DSL `match` in analyzed mode —
 # the inverted-index formulation, vs the LIKE containment in catalog.py)

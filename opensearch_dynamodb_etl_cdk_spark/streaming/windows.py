@@ -1,0 +1,125 @@
+"""Streaming windowed aggregation, session windows, watermarked late-data
+handling, streaming dedup, and a custom stateful operator
+(``applyInPandasWithState``) — SURVEY §2.8 ST3 marks these absent in the
+reference; the driver charter requires them as first-class streaming
+capabilities.
+
+Every function here accepts either a batch DataFrame or a streaming one
+(``spark.readStream``): the transformations are identical — that is the
+point of Structured Streaming's unified model, and it is how the batch
+twins in ``plans/catalog.py`` oracle-check the same logic DuckDB can see.
+
+Scale notes: windowed aggs carry partial aggregates per (window, key) —
+state size is |open windows| × |keys|, bounded by the watermark horizon;
+session windows and the stateful operator partition state by key so it
+shards across executors; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_counts(
+    events: DataFrame,
+    window_dur: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling (or sliding, if ``slide`` given) event-time window counts
+    with a watermark: late events beyond the horizon are dropped, state
+    for closed windows is purged (bounded memory on unbounded streams)."""
+    win = F.window(ts_col, window_dur, slide or window_dur)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win, key_col)
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            key_col,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Native session windows: a session extends ``gap`` past each event;
+    an event at exactly start+gap begins a NEW session (half-open
+    interval). The batch twin's oracle encodes the same boundary rule."""
+    events = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        events.groupBy(F.session_window(ts_col, gap), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon: duplicate
+    deliveries of the same event id are dropped with bounded state
+    (state per key is evicted once the watermark passes it)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+RUNNING_TOTALS_OUTPUT = "user_id bigint, n_events bigint, sum_value double"
+RUNNING_TOTALS_STATE = "n bigint, s double"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum) maintained across micro-batches, emitted on
+    every update. State is a 2-field tuple per key, sharded by the
+    groupBy — the template for bespoke streaming state machines the
+    built-in aggregates can't express."""
+
+    def update(
+        key, pdfs: Iterator, state: GroupState
+    ) -> Iterator:
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            RUNNING_TOTALS_OUTPUT,
+            RUNNING_TOTALS_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
