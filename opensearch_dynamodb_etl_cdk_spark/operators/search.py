@@ -99,6 +99,26 @@ def compile_query(q: dict[str, Any]) -> Column:
         value = spec["value"] if isinstance(spec, dict) else spec
         return F.col(field).rlike(_wildcard_to_regex(value))
 
+    if kind == "regexp":
+        (field, spec), = body.items()
+        value = spec["value"] if isinstance(spec, dict) else spec
+        # DSL regexp anchors to the whole field value
+        return F.col(field).rlike(f"^(?:{value})$")
+
+    if kind == "fuzzy":
+        (field, spec), = body.items()
+        if isinstance(spec, dict):
+            value, fuzziness = spec["value"], spec.get("fuzziness", "AUTO")
+        else:
+            value, fuzziness = spec, "AUTO"
+        if fuzziness == "AUTO":  # public DSL AUTO rule: 0 / 1 / 2 by length
+            n = len(str(value))
+            fuzziness = 0 if n < 3 else (1 if n <= 5 else 2)
+        return F.exists(
+            _analyze(F.col(field)),
+            lambda t: F.levenshtein(t, F.lit(str(value).lower())) <= int(fuzziness),
+        )
+
     if kind == "exists":
         return F.col(body["field"]).isNotNull()
 

@@ -122,6 +122,77 @@ def lsh_ann_topk(
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic pseudo-random centroid sample: the n vectors with
+    the smallest xxhash64(id). (A k-means refinement pass would improve
+    balance; the sample is the deterministic, oracle-friendly baseline —
+    and at 100 TB the centroid set is computed once and reused.)"""
+    rows = (
+        df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col).cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r.v] for r in rows]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cluster_col: str = "_cluster",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid, as a pure
+    expression: array of (score, cid) structs → array_max picks the
+    best (struct ordering compares score first, cid breaks ties).
+    At scale this column is materialized once next to the vectors
+    (narrow int) and queries touch only probed clusters."""
+    cells = F.array(
+        *[
+            F.struct(
+                cosine(F.col(vec_col), F.array(*[F.lit(x) for x in c])).alias("s"),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn(cluster_col, F.array_max(cells).getField("c"))
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the n_probe centroids nearest the
+    query, exact cosine re-rank only within those cells. Recall is
+    tunable via n_probe/n_centroids; candidates ≈ corpus × n_probe /
+    n_centroids."""
+    cents = ivf_centroids(df, n_centroids, id_col, vec_col)
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot_ = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot_ / (na * nb) if na and nb else 0.0
+
+    probes = sorted(
+        range(len(cents)), key=lambda i: cos(query_vec, cents[i]), reverse=True
+    )[:n_probe]
+    assigned = ivf_assign(df, cents, vec_col)
+    candidates = assigned.filter(F.col("_cluster").isin(probes)).drop("_cluster")
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
 def cosine_scores_pandas(
     df: DataFrame,
     query_vec: list[float],

@@ -653,6 +653,169 @@ def tfidf_top_term(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-shaped headline queries (join + filter + agg compositions)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-03-15'
+      AND l_shipdate > DATE '1996-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: segment filter on the customer dim (semi-join "
+    "reduction), two-fact join, grouped revenue, top-10. Filters push to "
+    "all three scans before any join.",
+    tags=("join", "agg", "topk", "flagship"),
+)
+def q3_shipping_priority(spark, sf_dir):
+    from .catalog import dsum
+
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1996-03-15").cast("date"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(revenue, 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .limit(10)
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure scan + conjunctive pushed filters + single "
+    "agg — the query that measures raw scan/codegen throughput.",
+    tags=("agg", "filter", "flagship"),
+)
+def q6_forecast_revenue(spark, sf_dir):
+    from .catalog import dsum
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSL long tail: regexp + fuzzy via the query-DSL interpreter
+# ---------------------------------------------------------------------------
+
+@register(
+    "regexp_match",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n FROM part
+    WHERE regexp_full_match(p_name, '(?:(red|green).*)') GROUP BY p_brand
+    """,
+    doc="DSL `regexp` query (whole-value anchored), compiled through the "
+    "query-DSL interpreter (operators/search.py).",
+    tags=("dsl", "filter"),
+)
+def regexp_match(spark, sf_dir):
+    from ..operators.search import compile_query
+
+    p = _t(spark, sf_dir, "part")["part"]
+    return (
+        p.filter(compile_query({"regexp": {"p_name": "(red|green).*"}}))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "fuzzy_match",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n FROM (
+      SELECT lang,
+             len(list_filter({TOK}, t -> levenshtein(t, 'spak') <= 1)) AS m
+      FROM documents) WHERE m > 0 GROUP BY lang
+    """,
+    doc="DSL `fuzzy` query: any analyzed token within levenshtein 1 of "
+    "the (misspelled) term, via the interpreter's fuzzy clause.",
+    tags=("dsl", "fulltext"),
+)
+def fuzzy_match(spark, sf_dir):
+    from ..operators.search import compile_query
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return (
+        d.filter(compile_query({"fuzzy": {"text": {"value": "spak", "fuzziness": 1}}}))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN + salted skew aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate by design — recall property-tested
+    doc="IVF approximate top-10: deterministic centroid sample, max-cosine "
+    "cell assignment (materialize-once narrow column at scale), probe the "
+    "4 nearest cells, exact re-rank of candidates only.",
+    tags=("similarity", "topk", "ivf"),
+)
+def ann_ivf_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return S.ivf_ann_topk(e, qvec, k=10, n_centroids=16, n_probe=4)
+
+
+@register(
+    "salted_skew_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Two-phase salted aggregation on a 3-key (maximally hot) group: "
+    "phase 1 fans each hot key over 16 salt partitions, phase 2 combines "
+    "16 partials per key — bit-identical to the direct groupBy (decimal "
+    "partials), no reducer ever sees a full hot key.",
+    tags=("agg", "skew"),
+)
+def salted_skew_agg(spark, sf_dir):
+    from ..operators.skew import salted_sum_count
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return salted_sum_count(
+        li, ["l_returnflag"], "l_quantity", "l_orderkey",
+        n_salt=16, sum_alias="sum_qty", count_alias="n",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal family (E5)
 # ---------------------------------------------------------------------------
 

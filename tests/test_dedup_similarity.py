@@ -125,6 +125,63 @@ def test_lsh_ann_agrees_with_brute_force_on_clusters(spark):
     assert len(set(bf) & set(ann)) >= 4
 
 
+def test_ivf_ann_recall_on_clusters(spark):
+    """IVF with enough probes must recover the exact top-k on clustered
+    data (the true neighbours live in the probed cells)."""
+    rng = random.Random(5)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(4)]
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(30):
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in c]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[5][1]
+    bf = [r.vec_id for r in S.brute_force_topk(df, q, k=5).collect()]
+    ivf = [r.vec_id for r in S.ivf_ann_topk(df, q, k=5, n_centroids=8, n_probe=4).collect()]
+    assert len(set(bf) & set(ivf)) >= 4
+    assert ivf[0] == bf[0]
+
+
+def test_salted_agg_equals_direct(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.operators.skew import (
+        salted_join,
+        salted_sum_count,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    direct = {
+        r.l_returnflag: (r.s, r.n)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(28,2)")).cast("double").alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    salted = {
+        r.l_returnflag: (r.sum_value, r.n)
+        for r in salted_sum_count(li, ["l_returnflag"], "l_quantity", "l_orderkey").collect()
+    }
+    assert salted == direct
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plain = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority").count().collect()
+    )
+    s_join = (
+        salted_join(
+            li.withColumnRenamed("l_orderkey", "k"),
+            orders.withColumnRenamed("o_orderkey", "k"),
+            ["k"], "k",
+        )
+        .groupBy("o_orderpriority").count().collect()
+    )
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, s_join))
+
+
 def test_topk_join_matches_per_query_brute_force(spark):
     rng = random.Random(11)
     rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(50)]
