@@ -156,6 +156,24 @@ def quality_score(col: Column) -> Column:
     return quality_score_from(col, tokens(col))
 
 
+# BPE-ish pre-tokenizer: contraction suffixes, letter runs, digit runs,
+# punctuation runs, each optionally space-prefixed (GPT-2-style pattern
+# minus lookaheads, so the same regex runs on Java regex and RE2).
+BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """Pre-tokenization the way byte-pair-encoding tokenizers split text
+    before merges: words, numbers, punctuation runs, contractions —
+    the unit LLM data pipelines budget by ("token counting" charter op).
+    """
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_RE), 0)
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    return F.size(bpe_ish_tokens(col)).cast("bigint")
+
+
 def simhash64(col: Column) -> Column:
     """64-bit SimHash over analyzed tokens, pure expressions: per-token
     xxhash64, per-bit ±1 votes, sign → bit. Near-duplicate docs differ in

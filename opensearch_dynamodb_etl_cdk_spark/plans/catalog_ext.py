@@ -290,6 +290,30 @@ def token_topk(spark, sf_dir):
 
 
 @register(
+    "bpe_token_budget",
+    oracle=r"""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?\pL+| ?\pN+| ?[^\s\pL\pN]+'))) AS BIGINT)
+             AS sum_bpe_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+    doc="Token-budget accounting with a BPE-ish pre-tokenizer (GPT-2-style "
+    "split: contractions / letter runs / digit runs / punctuation runs, no "
+    "lookaheads so Java regex and RE2 agree) — the unit LLM pipelines "
+    "meter corpora by.",
+    tags=("text",),
+)
+def bpe_token_budget(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return d.groupBy("lang").agg(
+        F.sum(T.bpe_ish_token_count(F.col("text"))).alias("sum_bpe_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@register(
     "doc_fingerprint_groups",
     oracle=f"""
     SELECT md5(array_to_string(list_slice({TOK}, 1, 8), ' ')) AS fp,
