@@ -156,6 +156,24 @@ def quality_score(col: Column) -> Column:
     return quality_score_from(col, tokens(col))
 
 
+def rolling_hash(col: Column, base: int = 31, mod: int = (1 << 31) - 1) -> Column:
+    """Karp–Rabin polynomial rolling hash over the code points of the
+    normalized text: h = (h·base + codepoint) mod m, folded left to
+    right. Pure integer arithmetic (every step < 2^36, ANSI-safe) and
+    engine-portable — DuckDB computes the identical value, unlike
+    xxhash64/md5-based fingerprints."""
+    s = normalize_text(col)
+    cps = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.ascii(F.substring(s, i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        cps,
+        F.lit(0).cast("long"),
+        lambda acc, cp: F.pmod(acc * base + cp, F.lit(mod).cast("long")),
+    )
+
+
 # BPE-ish pre-tokenizer: contraction suffixes, letter runs, digit runs,
 # punctuation runs, each optionally space-prefixed (GPT-2-style pattern
 # minus lookaheads, so the same regex runs on Java regex and RE2).

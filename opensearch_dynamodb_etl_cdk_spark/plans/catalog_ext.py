@@ -331,6 +331,30 @@ def doc_fingerprint_groups(spark, sf_dir):
     )
 
 
+@register(
+    "rolling_hash_fingerprint",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, array_to_string({TOK}, ' ') AS s FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, length(s)),
+                              i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+             (acc, cp) -> (acc * 31 + cp) % 2147483647) AS rh
+    FROM norm
+    """,
+    doc="Karp–Rabin rolling-hash document fingerprint over normalized "
+    "text (charter: 'document fingerprinting (rolling hash)') — integer "
+    "polynomial fold, bit-identical across engines.",
+    tags=("text", "dedup"),
+)
+def rolling_hash_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return d.select("doc_id", T.rolling_hash(F.col("text")).alias("rh"))
+
+
 # ---------------------------------------------------------------------------
 # Similarity-search family (E3)
 # ---------------------------------------------------------------------------
