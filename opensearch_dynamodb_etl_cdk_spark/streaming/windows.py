@@ -87,6 +87,45 @@ def streaming_dedup(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream inner join within a time horizon: every right event
+    matched to same-key left events it follows within ``horizon``
+    (click→purchase attribution shape). Both sides carry watermarks and
+    the join condition bounds event-time distance, so Spark can expire
+    buffered state — without the bound, stream-stream join state grows
+    forever. Works identically on batch frames (the test twin)."""
+    l = left
+    r = right
+    if left.isStreaming:
+        l = l.withWatermark(ts_col, watermark)
+    if right.isStreaming:
+        r = r.withWatermark(ts_col, watermark)
+    l = l.select(
+        F.col(key),
+        F.col(ts_col).alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+    )
+    r = r.select(
+        F.col(key).alias("_rk"),
+        F.col(ts_col).alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    return l.join(
+        r,
+        (F.col(key) == F.col("_rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).drop("_rk")
+
+
 RUNNING_TOTALS_OUTPUT = "user_id bigint, n_events bigint, sum_value double"
 RUNNING_TOTALS_STATE = "n bigint, s double"
 

@@ -192,4 +192,24 @@ def test_stats_and_percentiles(spark, sf_dir):
 
 def test_unsupported_clause_raises():
     with pytest.raises(ValueError, match="unsupported query kind"):
-        compile_query({"fuzzy": {"x": "y"}})
+        compile_query({"more_like_this": {"x": "y"}})
+
+
+def test_fuzzy_clause(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick spark engine"), (2, "nothing relevant here")],
+        "doc_id long, text string",
+    )
+    hits = df.filter(
+        compile_query({"fuzzy": {"text": {"value": "spak", "fuzziness": 1}}})
+    ).collect()
+    assert [r.doc_id for r in hits] == [1]
+
+
+def test_regexp_clause(spark):
+    df = spark.createDataFrame(
+        [(1, "red rose"), (2, "dark red rose"), (3, "green leaf")],
+        "doc_id long, text string",
+    )
+    hits = df.filter(compile_query({"regexp": {"text": "(red|green).*"}})).collect()
+    assert sorted(r.doc_id for r in hits) == [1, 3]  # whole-value anchored

@@ -115,6 +115,33 @@ def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
     assert len({r.event_id for r in got}) == 10
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    from opensearch_dynamodb_etl_cdk_spark.streaming.windows import interval_join
+
+    src = str(tmp_path / "src")
+    _write(src, _rows(n=30))
+    mk = lambda reader: (
+        reader.filter(F.col("event_type") == "click"),
+        reader.filter(F.col("event_type") == "view"),
+    )
+    s_clicks, s_views = mk(spark.readStream.schema(EVENT_SCHEMA).json(src))
+    out = _run_stream(
+        spark,
+        interval_join(s_clicks, s_views, horizon="1 hour"),
+        tmp_path,
+        "ssj",
+        "append",
+    )
+    b_clicks, b_views = mk(spark.read.schema(EVENT_SCHEMA).json(src))
+    expected = sorted(
+        (r.user_id, r.l_id, r.r_id)
+        for r in interval_join(b_clicks, b_views, horizon="1 hour").collect()
+    )
+    got = sorted((r.user_id, r.l_id, r.r_id) for r in out.collect())
+    assert got == expected
+    assert got  # non-trivial: at least one attribution pair
+
+
 def test_stateful_running_totals_across_batches(spark, tmp_path):
     """applyInPandasWithState: state accumulates across micro-batches
     (maxFilesPerTrigger=1 forces two batches in one availableNow run)."""
