@@ -32,6 +32,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # (dedup LSH, ANN, text analysis, multimodal).
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
     "join_large_agg",
     "join_broadcast_dims",
     "top_hits_per_bucket",

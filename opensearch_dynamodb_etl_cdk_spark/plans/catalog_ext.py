@@ -314,6 +314,40 @@ def bpe_token_budget(spark, sf_dir):
 
 
 @register(
+    "vocab_by_lang_pandas",
+    oracle=f"""
+    WITH v AS (
+      SELECT lang, COUNT(DISTINCT token) AS vocab
+      FROM (SELECT lang, unnest({TOK}) AS token FROM documents) GROUP BY lang
+    ), c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang)
+    SELECT v.lang, v.vocab, c.n_docs FROM v JOIN c USING (lang)
+    """,
+    doc="Per-language vocabulary via grouped-map applyInPandas: tokens "
+    "are produced JVM-side (analyzer parity), Python only does the "
+    "per-group set union over Arrow batches — the grouped-map UDF "
+    "pattern with deterministic integer outputs.",
+    tags=("text", "pandas-udf"),
+)
+def vocab_by_lang_pandas(spark, sf_dir):
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    tk = d.select("lang", T.tokens(F.col("text")).alias("toks"))
+
+    def vocab(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        vs = set()
+        for arr in pdf["toks"]:
+            vs.update(arr)
+        return pd.DataFrame(
+            {"lang": [pdf["lang"].iloc[0]], "vocab": [len(vs)], "n_docs": [len(pdf)]}
+        )
+
+    return tk.groupBy("lang").applyInPandas(
+        vocab, "lang string, vocab bigint, n_docs bigint"
+    )
+
+
+@register(
     "doc_fingerprint_groups",
     oracle=f"""
     SELECT md5(array_to_string(list_slice({TOK}, 1, 8), ' ')) AS fp,
