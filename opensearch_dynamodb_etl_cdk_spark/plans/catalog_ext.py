@@ -366,6 +366,44 @@ def doc_fingerprint_groups(spark, sf_dir):
 
 
 @register(
+    "histogram_agg",
+    oracle="""
+    SELECT floor(value / 50.0) * 50.0 AS bucket_lo, COUNT(*) AS doc_count,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+    doc="DSL `histogram` aggregation: fixed-interval numeric buckets "
+    "(floor(value/step)*step — floor on doubles is bit-deterministic "
+    "across engines, unlike round).",
+    tags=("agg", "dsl"),
+)
+def histogram_agg(spark, sf_dir):
+    from .catalog import dsum
+
+    e = _t(spark, sf_dir, "events")["events"]
+    return (
+        e.groupBy((F.floor(F.col("value") / 50.0) * 50.0).alias("bucket_lo"))
+        .agg(F.count("*").alias("doc_count"), dsum(F.col("value")).alias("sum_value"))
+    )
+
+
+@register(
+    "approx_percentile_agg",
+    oracle=None,  # t-digest/GK sketches differ across engines by design
+    doc="percentiles aggregation, approximate: the fixed-size-sketch path "
+    "for 100 TB (exact percentile needs a per-group sort; the sketch "
+    "merges map-side). Exact twin: percentile_agg.",
+    tags=("agg", "approx"),
+)
+def approx_percentile_agg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+    )
+
+
+@register(
     "rolling_hash_fingerprint",
     oracle=f"""
     WITH norm AS (
