@@ -1,0 +1,94 @@
+"""DLQ side-output (SURVEY W3) and empty/degenerate-input edges for the
+extension operators — the failure paths a long-running pipeline actually
+hits."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_dynamodb_etl_cdk_spark.operators import dedup as D
+from opensearch_dynamodb_etl_cdk_spark.operators import similarity as S
+from opensearch_dynamodb_etl_cdk_spark.sources.fixture_gen import gen_corpus
+from opensearch_dynamodb_etl_cdk_spark.streaming.pipeline import (
+    FlightsEtlPipeline,
+    PipelineConfig,
+)
+from opensearch_dynamodb_etl_cdk_spark.streaming.windows import (
+    session_window_counts,
+    windowed_counts,
+)
+
+
+def test_dlq_captures_failed_route_with_error(spark, tmp_path, monkeypatch):
+    """A sink-side failure must land the route's documents in
+    dlq/<route>/ with the error attached — never lose documents (W3)."""
+    cfg = PipelineConfig(
+        index_root=str(tmp_path / "indexes"),
+        checkpoint_root=str(tmp_path / "chk"),
+    )
+    pipe = FlightsEtlPipeline(spark, cfg)
+
+    original = pipe._merge_route
+
+    def failing_merge(route_df, route):
+        if route == "fare":
+            raise RuntimeError("simulated sink outage")
+        return original(route_df, route)
+
+    monkeypatch.setattr(pipe, "_merge_route", failing_merge)
+    items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    pipe.bootstrap(items)
+
+    dlq = spark.read.parquet(os.path.join(cfg.index_root, "dlq", "fare"))
+    assert dlq.count() == 22  # every fare doc captured, none lost
+    assert dlq.filter(F.col("_error").contains("simulated sink outage")).count() == 22
+    assert {r._route for r in dlq.select("_route").distinct().collect()} == {"fare"}
+    # the healthy route still materialized
+    assert pipe.read_index("flight").count() == 13
+    # and the failed route produced no (partial) index
+    assert pipe.read_index("fare") is None
+
+
+EMPTY_DOCS = "doc_id long, text string, lang string"
+
+
+def test_dedup_operators_on_empty_corpus(spark):
+    empty = spark.createDataFrame([], EMPTY_DOCS)
+    assert D.exact_dedup(empty).count() == 0
+    assert D.minhash_lsh_pairs(empty, num_hashes=64, bands=32).count() == 0
+    assert D.simhash_pairs(empty).count() == 0
+    assert D.blocked_jaccard_pairs(empty, block_cols=("lang",)).count() == 0
+
+
+def test_ann_on_empty_corpus(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert S.brute_force_topk(empty, [1.0, 0.0], k=5).count() == 0
+    assert S.lsh_ann_topk(empty, [1.0, 0.0], k=5, bits=4, n_tables=2).count() == 0
+
+
+def test_single_doc_corpus_no_pairs(spark):
+    one = spark.createDataFrame([(1, "only one document here", "en")], EMPTY_DOCS)
+    assert D.minhash_lsh_pairs(one, num_hashes=64, bands=32).count() == 0
+    assert D.simhash_pairs(one).count() == 0
+
+
+def test_short_text_shingle_fallback(spark):
+    """Docs with fewer tokens than the shingle width fall back to the
+    whole-text shingle — two identical short docs must still pair."""
+    df = spark.createDataFrame(
+        [(1, "hi there", "en"), (2, "hi there", "en"), (3, "bye now", "en")],
+        EMPTY_DOCS,
+    )
+    pairs = D.minhash_lsh_pairs(df, num_hashes=64, bands=32, threshold=0.7).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_streaming_aggs_on_empty_batch(spark):
+    empty = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    assert windowed_counts(empty).count() == 0
+    assert session_window_counts(empty).count() == 0
