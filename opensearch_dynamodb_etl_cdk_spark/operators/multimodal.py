@@ -125,25 +125,29 @@ def sample_frames(df: DataFrame, frame_size: int = 256) -> DataFrame:
     descriptor rows hit the shuffle."""
 
     def run(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            ids, srcs, idxs, sizes = [], [], [], []
-            for doc_id, src, payload in zip(
-                pdf["doc_id"], pdf["source"], pdf["payload"]
-            ):
-                n = len(payload)
-                for i in range(0, max((n + frame_size - 1) // frame_size, 0)):
-                    ids.append(doc_id)
-                    srcs.append(src)
-                    idxs.append(i)
-                    sizes.append(min(frame_size, n - i * frame_size))
+            n = pdf["payload"].map(len).to_numpy(dtype=np.int64)
+            k = (n + frame_size - 1) // frame_size  # frames per payload
+            if k.sum() == 0:
+                yield pd.DataFrame(
+                    {"doc_id": [], "source": [], "frame_index": [], "frame_bytes": []}
+                )
+                continue
+            row = np.repeat(np.arange(len(pdf)), k)
+            # concatenated 0..k_i ranges without a Python loop:
+            # global arange minus each row's cumulative frame offset
+            offsets = np.repeat(np.concatenate(([0], np.cumsum(k)[:-1])), k)
+            fi = np.arange(k.sum()) - offsets
+            fb = np.minimum(frame_size, n[row] - fi * frame_size)
             yield pd.DataFrame(
                 {
-                    "doc_id": ids,
-                    "source": srcs,
-                    "frame_index": idxs,
-                    "frame_bytes": sizes,
+                    "doc_id": pdf["doc_id"].to_numpy()[row],
+                    "source": pdf["source"].to_numpy()[row],
+                    "frame_index": fi,
+                    "frame_bytes": fb,
                 }
             )
 
