@@ -125,14 +125,21 @@ def mean_token_len(col: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    return total.cast("double") / F.size(toks).cast("double")
+    # token-less docs: NULL mean, not an ANSI divide-by-zero
+    return F.when(
+        F.size(toks) > 0, total.cast("double") / F.size(toks).cast("double")
+    )
 
 
 def stopword_ratio_from(toks: Column, lang: str = "en") -> Column:
-    """Share of token *occurrences* that are stopwords (quality signal)."""
+    """Share of token *occurrences* that are stopwords (quality signal).
+    Token-less docs score 0.0 (ANSI mode would otherwise raise on the
+    divide — punctuation-only docs DO occur in real corpora)."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return hits.cast("double") / F.size(toks).cast("double")
+    return F.when(
+        F.size(toks) > 0, hits.cast("double") / F.size(toks).cast("double")
+    ).otherwise(F.lit(0.0))
 
 
 def stopword_ratio(col: Column, lang: str = "en") -> Column:

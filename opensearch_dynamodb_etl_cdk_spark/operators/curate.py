@@ -1,0 +1,84 @@
+"""End-to-end training-data curation: the composed pipeline a corpus
+actually goes through before tokenization — language filter, quality
+and length gates, exact dedup — as one declarative plan.
+
+Every stage is a Column predicate or a hash-groupBy, so the whole
+pipeline is a single Catalyst plan: filters collapse into the scan,
+the only shuffle is the dedup groupBy on 16-byte hashes. Nothing here
+is bespoke execution — that is the point: curation at 100 TB is a
+query, not a job framework.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    langid_from,
+    normalize_text,
+    quality_score_from,
+    token_count_from,
+    tokens,
+)
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    allowed_langs: tuple[str, ...] = ("en", "es", "de", "fr", "zh")
+    min_quality: float = 0.5
+    min_tokens: int = 10
+    max_tokens: int = 100_000
+    use_predicted_lang: bool = False  # True: gate on langid(), not the label
+
+
+def curate(
+    df: DataFrame,
+    cfg: CurationConfig = CurationConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Curated corpus: gated rows, exact-deduped by normalized text
+    (min id survives), with the quality metrics attached."""
+    tk = df.withColumn("_toks", tokens(F.col(text_col)))
+    lang = (
+        langid_from(F.col("_toks"))
+        if cfg.use_predicted_lang
+        else F.col(lang_col)
+    )
+    gated = (
+        tk.withColumn("_lang", lang)
+        .withColumn("_n_tokens", token_count_from(F.col("_toks")))
+        .withColumn("_quality", quality_score_from(F.col(text_col), F.col("_toks")))
+        .filter(
+            F.col("_lang").isin(*cfg.allowed_langs)
+            & (F.col("_quality") >= cfg.min_quality)
+            & F.col("_n_tokens").between(cfg.min_tokens, cfg.max_tokens)
+        )
+    )
+    # exact dedup on the normalized form: min-id row per hash survives
+    w = W.partitionBy(F.md5(normalize_text(F.col(text_col)))).orderBy(F.col(id_col))
+    return (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("_lang").alias("lang"),
+            F.col("_n_tokens").alias("n_tokens"),
+            F.col("_quality").alias("quality"),
+            F.col(text_col),
+        )
+    )
+
+
+def curation_report(curated: DataFrame) -> DataFrame:
+    """Per-language summary of the curated corpus (the number a data
+    lead actually reads: docs and token budget surviving curation)."""
+    return curated.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("quality").alias("min_quality"),
+    )

@@ -936,6 +936,96 @@ def salted_skew_agg(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline: deterministic sampling, splits, curation
+# ---------------------------------------------------------------------------
+
+_BUCKET_SQL = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+
+@register(
+    "deterministic_sample_stats",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n FROM documents
+    WHERE {_BUCKET_SQL} < 10 GROUP BY lang
+    """,
+    doc="Exact repeatable 10% sample by hash bucket of the id — same rows "
+    "on any partitioning, cluster, or engine (df.sample() is only "
+    "seed-stable for a fixed plan). Membership is a per-row expression: "
+    "no shuffle, no state.",
+    tags=("sampling",),
+)
+def deterministic_sample_stats(spark, sf_dir):
+    from ..operators.sampling import deterministic_sample
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return deterministic_sample(d, 10).groupBy("lang").agg(F.count("*").alias("n"))
+
+
+@register(
+    "train_test_split_counts",
+    oracle=f"""
+    SELECT CASE WHEN {_BUCKET_SQL} < 10 THEN 'test' ELSE 'train' END AS split,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+    doc="Deterministic disjoint-exhaustive train/test split (hash-bucket "
+    "membership; a document never migrates between splits as the corpus "
+    "grows).",
+    tags=("sampling",),
+)
+def train_test_split_counts(spark, sf_dir):
+    from ..operators.sampling import train_test_split
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    train, test = train_test_split(d, test_pct=10)
+    return train.select(F.lit("train").alias("split")).union(
+        test.select(F.lit("test").alias("split"))
+    ).groupBy("split").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "curated_corpus_report",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, text, lang, {TOK} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, lang,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        (least(CAST(len(toks) AS DOUBLE) / 20.0, 1.0)
+         + (1.0 - least((CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE)) * 5.0, 1.0))
+         + (1.0 - abs(CAST(len(list_filter(toks, t -> list_contains(
+               ['the','and','of','to','in','is','a','that','it','for'], t))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) - 0.4))) / 3.0 AS quality,
+        md5(array_to_string(toks, ' ')) AS nh
+      FROM tk),
+    gated AS (
+      SELECT * FROM m
+      WHERE lang IN ('en','es','de','fr','zh')
+        AND quality >= 0.5 AND n_tokens BETWEEN 10 AND 100000),
+    dedup AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY nh ORDER BY doc_id) AS rn
+      FROM gated)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           MIN(quality) AS min_quality
+    FROM dedup WHERE rn = 1 GROUP BY lang
+    """,
+    doc="The composed curation pipeline (operators/curate.py): language "
+    "gate, quality gate, token-length gate, exact dedup on normalized "
+    "text — one Catalyst plan whose only shuffle is the dedup window on "
+    "16-byte hashes, reported per language.",
+    tags=("text", "dedup", "pipeline"),
+)
+def curated_corpus_report(spark, sf_dir):
+    from ..operators.curate import CurationConfig, curate, curation_report
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return curation_report(curate(d, CurationConfig()))
+
+
+# ---------------------------------------------------------------------------
 # Multimodal family (E5)
 # ---------------------------------------------------------------------------
 
