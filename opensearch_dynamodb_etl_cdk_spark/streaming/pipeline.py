@@ -198,6 +198,29 @@ class FlightsEtlPipeline:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    # -- maintenance -----------------------------------------------------------
+
+    def compact(self, route: str, files_per_bucket: int = 1) -> None:
+        """Rewrite a route's index with bounded files per hash bucket.
+
+        Every micro-batch MERGE rewrites its touched buckets, so steady
+        streaming accumulates small files (the classic streaming-sink
+        pathology: at scale, scan cost becomes file-count-bound, not
+        byte-bound). Compaction is the same dynamic-partition-overwrite
+        write the MERGE uses — one coalesced file set per bucket, same
+        data, run off the hot path."""
+        current = self.read_index(route)
+        if current is None:
+            return
+        snapshot = current.localCheckpoint(eager=True)  # break lineage vs overwrite
+        (
+            snapshot.repartition(N_BUCKETS * files_per_bucket, "_bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket")
+            .parquet(self._index_path(route))
+        )
+
     # -- query surface over the materialized indexes -------------------------
 
     def index_view(self, route: str) -> DataFrame | None:

@@ -137,6 +137,39 @@ def test_stream_restart_checkpoint_no_reapply(spark, pipeline, tmp_path):
     }
 
 
+def test_compact_bounds_files_and_preserves_data(spark, pipeline, tmp_path):
+    """Repeated MERGEs accumulate small files; compact() rewrites the
+    index to a bounded file count per bucket without changing a row."""
+    items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    pipeline.bootstrap(items)
+    # a second merge of the same corpus (idempotent) adds more files
+    pipeline.bootstrap(items)
+
+    def parquet_files(route):
+        root = os.path.join(pipeline.cfg.index_root, route)
+        return [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    before = pipeline.read_index("fare").orderBy("_id").collect()
+    n_before = len(parquet_files("fare"))
+
+    pipeline.compact("fare")
+
+    after = pipeline.read_index("fare").orderBy("_id").collect()
+    assert after == before
+    n_after = len(parquet_files("fare"))
+    assert n_after <= n_before
+    # bounded: at most files_per_bucket=1 file per populated bucket
+    from collections import Counter
+
+    per_bucket = Counter(os.path.dirname(p) for p in parquet_files("fare"))
+    assert max(per_bucket.values()) == 1
+
+
 def test_unrouted_items_not_in_indexes(spark, pipeline):
     """R3 parity: assignment/booking items reach no index table."""
     items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
