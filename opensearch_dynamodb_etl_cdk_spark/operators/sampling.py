@@ -42,6 +42,25 @@ def train_test_split(
     return df.filter(b >= test_pct), df.filter(b < test_pct)
 
 
+def stratified_sample(
+    df: DataFrame,
+    fractions_pct: dict[str, int],
+    stratum_col: str,
+    id_col: str = "doc_id",
+    default_pct: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: each stratum keeps its own
+    hash-bucket fraction (e.g. downsample over-represented languages).
+    Membership is still a per-row expression — no shuffle, and a row's
+    fate never changes as other strata grow."""
+    pct = None
+    for value, p in fractions_pct.items():
+        cond = F.col(stratum_col) == F.lit(value)
+        pct = F.when(cond, F.lit(p)) if pct is None else pct.when(cond, F.lit(p))
+    pct = F.lit(default_pct) if pct is None else pct.otherwise(F.lit(default_pct))
+    return df.filter(hash_bucket(F.col(id_col)) < pct)
+
+
 def shuffle_for_training(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Global deterministic shuffle: sort by a hash of the id. One
     range-partitioned sort; output order is stable across runs (unlike

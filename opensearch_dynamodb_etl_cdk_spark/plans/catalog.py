@@ -1051,6 +1051,8 @@ def scalar_functions(spark, sf_dir):
     )
 
 
-# Extension families (dedup / similarity / text / multimodal) register
-# themselves on import; kept in a sibling module to bound file size.
+# Extension families (dedup / similarity / text / multimodal, then
+# subqueries / funnels / cohorts / components) register themselves on
+# import; kept in sibling modules to bound file size.
 from . import catalog_ext  # noqa: E402,F401
+from . import catalog_analytics  # noqa: E402,F401

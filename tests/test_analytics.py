@@ -1,0 +1,78 @@
+"""Unit tests for the analytics-catalog additions: connected
+components, stratified sampling, and funnel shape invariants.
+
+(The value-level correctness of every catalog entry is covered by the
+DuckDB oracle harness in test_catalog_oracle.py; these tests pin the
+operator semantics on constructed inputs where the answer is known by
+hand.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opensearch_dynamodb_etl_cdk_spark.operators.graph import (
+    component_sizes,
+    connected_components,
+)
+from opensearch_dynamodb_etl_cdk_spark.operators.sampling import (
+    hash_bucket,
+    stratified_sample,
+)
+from opensearch_dynamodb_etl_cdk_spark.plans.catalog import CATALOG
+
+
+def test_connected_components_chain_and_island(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round) + pair 10-11
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    sizes = {
+        r["component_id"]: r["n_members"]
+        for r in component_sizes(connected_components(edges)).collect()
+    }
+    assert sizes == {1: 4, 10: 2}
+
+
+def test_connected_components_merges_via_shared_node(spark):
+    # two stars sharing node 5 → single component labeled by min id
+    edges = spark.createDataFrame(
+        [(5, 100), (5, 200), (7, 5), (300, 7)], ["id_a", "id_b"]
+    )
+    labels = connected_components(edges).collect()
+    assert {r["component_id"] for r in labels} == {5}
+    assert len(labels) == 5
+
+
+def test_stratified_sample_is_deterministic_and_respects_strata(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    strata = {"en": 25, "fr": 50}
+    s1 = stratified_sample(d, strata, "lang")
+    # deterministic: same rows on a different partitioning
+    s2 = stratified_sample(d.repartition(7), strata, "lang")
+    assert sorted(r["doc_id"] for r in s1.collect()) == sorted(
+        r["doc_id"] for r in s2.collect()
+    )
+    # strata not in the map are dropped entirely (default_pct=0)
+    assert s1.filter(~F.col("lang").isin(*strata)).count() == 0
+    # every sampled row satisfies its stratum's bucket bound
+    bad = s1.filter(
+        ~(
+            ((F.col("lang") == "en") & (hash_bucket(F.col("doc_id")) < 25))
+            | ((F.col("lang") == "fr") & (hash_bucket(F.col("doc_id")) < 50))
+        )
+    )
+    assert bad.count() == 0
+
+
+def test_funnel_stages_monotonically_shrink(spark, sf_dir):
+    rows = CATALOG["funnel_conversion"].fn(spark, sf_dir).collect()
+    by_stage = {r["stage"]: r["users"] for r in rows}
+    assert set(by_stage) == {"1_view", "2_click", "3_purchase"}
+    assert by_stage["1_view"] >= by_stage["2_click"] >= by_stage["3_purchase"]
+    assert by_stage["1_view"] > 0
