@@ -154,6 +154,25 @@ def compile_query(q: dict[str, Any]) -> Column:
             else F.lit(True)
         )
 
+    if kind == "multi_match":
+        # best_fields semantics without scoring: the match predicate is
+        # evaluated per field and OR-combined (a document matches if any
+        # field matches).
+        text, operator = body["query"], body.get("operator", "or")
+        preds = [
+            compile_query({"match": {f: {"query": text, "operator": operator}}})
+            for f in body["fields"]
+        ]
+        combined = preds[0]
+        for p in preds[1:]:
+            combined = combined | p
+        return combined
+
+    if kind == "constant_score":
+        # scoring is out of scope for a filter-algebra engine: the
+        # wrapped filter IS the constant_score semantics.
+        return compile_query(body["filter"])
+
     if kind == "bool":
         pred = F.lit(True)
         for clause in body.get("must", []) + body.get("filter", []):
@@ -162,14 +181,22 @@ def compile_query(q: dict[str, Any]) -> Column:
             pred = pred & ~F.coalesce(compile_query(clause), F.lit(False))
         should = [compile_query(c) for c in body.get("should", [])]
         if should:
-            sp = should[0]
-            for s in should[1:]:
-                sp = sp | s
             min_should = body.get(
                 "minimum_should_match",
                 1 if not (body.get("must") or body.get("filter")) else 0,
             )
-            pred = pred & sp if min_should else pred & F.coalesce(sp | F.lit(True), F.lit(True))
+            if min_should >= 2:
+                # count satisfied should clauses (null-safe) and compare
+                n_sat = sum(
+                    F.coalesce(p, F.lit(False)).cast("int") for p in should
+                )
+                pred = pred & (n_sat >= F.lit(min_should))
+            elif min_should == 1:
+                sp = should[0]
+                for s in should[1:]:
+                    sp = sp | s
+                pred = pred & sp
+            # min_should == 0 → should clauses affect scoring only; no-op
         return pred
 
     raise ValueError(f"unsupported query kind: {kind}")

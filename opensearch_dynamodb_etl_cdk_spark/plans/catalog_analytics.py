@@ -411,6 +411,75 @@ def ntile_quartiles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Search-DSL additions: multi_match and bool.minimum_should_match.
+# ---------------------------------------------------------------------------
+
+
+def _tokc(col: str) -> str:
+    """DuckDB analyzer fragment for an arbitrary column (same tokenizer
+    as the Spark side: lowercase, split on non-alphanumeric)."""
+    return (
+        f"list_filter(string_split_regex(lower({col}), '[^\\pL\\p{{Nd}}]+'),"
+        " x -> x != '')"
+    )
+
+
+@register(
+    "multi_match_fulltext",
+    oracle=f"""
+    SELECT p_partkey, p_name, p_type FROM part
+    WHERE len(list_intersect(list_distinct({_tokc('p_name')}), ['blue','promo'])) >= 1
+       OR len(list_intersect(list_distinct({_tokc('p_type')}), ['blue','promo'])) >= 1
+    """,
+    doc="DSL `multi_match` (best_fields, operator=or): the analyzed "
+    "match predicate evaluated over several fields and OR-combined — "
+    "one scan, all per-field predicates in a single codegen stage.",
+    tags=("dsl", "fulltext"),
+)
+def multi_match_fulltext(spark, sf_dir):
+    from ..operators.search import compile_query
+
+    p = _t(spark, sf_dir, "part")["part"]
+    return p.filter(
+        compile_query(
+            {"multi_match": {"query": "blue PROMO", "fields": ["p_name", "p_type"]}}
+        )
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@register(
+    "bool_min_should_match",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+    WHERE (CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+         + CASE WHEN c_acctbal >= 5000 THEN 1 ELSE 0 END
+         + CASE WHEN c_name LIKE '%1' THEN 1 ELSE 0 END) >= 2
+    """,
+    doc="DSL `bool` with minimum_should_match=N: satisfied-clause "
+    "counting compiled to a sum of null-safe int casts — stays a "
+    "single-pass pushdown-friendly predicate, no join or subquery.",
+    tags=("dsl", "filter"),
+)
+def bool_min_should_match(spark, sf_dir):
+    from ..operators.search import compile_query
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    q = {
+        "bool": {
+            "should": [
+                {"term": {"c_mktsegment": "BUILDING"}},
+                {"range": {"c_acctbal": {"gte": 5000}}},
+                {"wildcard": {"c_name": "*1"}},
+            ],
+            "minimum_should_match": 2,
+        }
+    }
+    return c.filter(compile_query(q)).select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Near-dup cluster labeling: connected components over MinHash pairs.
 # ---------------------------------------------------------------------------
 

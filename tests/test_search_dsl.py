@@ -213,3 +213,49 @@ def test_regexp_clause(spark):
     )
     hits = df.filter(compile_query({"regexp": {"text": "(red|green).*"}})).collect()
     assert sorted(r.doc_id for r in hits) == [1, 3]  # whole-value anchored
+
+
+def test_multi_match_and_constant_score(spark, sf_dir):
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    hits = p.filter(
+        compile_query(
+            {"multi_match": {"query": "blue PROMO", "fields": ["p_name", "p_type"]}}
+        )
+    )
+    def has(col, tok):
+        return F.array_contains(F.split(F.lower(col), r"[^\p{L}\p{Nd}]+"), tok)
+
+    expected = p.filter(
+        has("p_name", "blue")
+        | has("p_name", "promo")
+        | has("p_type", "blue")
+        | has("p_type", "promo")
+    )
+    assert hits.count() == expected.count() > 0
+    # constant_score is a transparent wrapper around its filter
+    cs = p.filter(
+        compile_query({"constant_score": {"filter": {"term": {"p_type": "PROMO"}}}})
+    )
+    assert cs.count() == p.filter(F.col("p_type") == "PROMO").count()
+
+
+def test_bool_minimum_should_match_counts(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    q = {
+        "bool": {
+            "should": [
+                {"term": {"c_mktsegment": "BUILDING"}},
+                {"range": {"c_acctbal": {"gte": 5000}}},
+                {"wildcard": {"c_name": "*1"}},
+            ],
+            "minimum_should_match": 2,
+        }
+    }
+    got = c.filter(compile_query(q)).count()
+    n_sat = (
+        (F.col("c_mktsegment") == "BUILDING").cast("int")
+        + (F.col("c_acctbal") >= 5000).cast("int")
+        + F.col("c_name").endswith("1").cast("int")
+    )
+    expected = c.filter(n_sat >= 2).count()
+    assert got == expected > 0
