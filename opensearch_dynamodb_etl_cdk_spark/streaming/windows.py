@@ -162,3 +162,24 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (re-read per batch) static dimension — the streaming analog of the
+    route-level document enrichment a search pipeline does before
+    indexing.
+
+    Scale notes: the dimension is broadcast (no stream-side shuffle, no
+    streaming state) — the stream stays partitioned as it arrives, and a
+    100 TB/day stream pays only a map-side hash probe per row. For
+    dimensions too large to broadcast, pass ``broadcast_dim=False`` and
+    pre-bucket both sides on the key.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, key, "left")

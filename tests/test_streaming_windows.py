@@ -206,3 +206,33 @@ def test_stateful_totals_recover_from_checkpoint(spark, tmp_path):
     finals = {r.user_id: r.n_events for batch in collected for r in batch}
     for uid, n in finals.items():
         assert n == n_first[uid] + 3  # 9 new events over 3 users
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    from opensearch_dynamodb_etl_cdk_spark.streaming.windows import (
+        stream_static_enrich,
+    )
+
+    src = str(tmp_path / "src_enrich")
+    rows = _rows()
+    _write(src, rows)
+    dim = spark.createDataFrame(
+        [(0, "free"), (1, "pro")], "user_id long, tier string"
+    )
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+    enriched = stream_static_enrich(stream, dim).select(
+        "event_id", "user_id", "tier"
+    )
+    got = _run_stream(spark, enriched, tmp_path, "enriched", "append").collect()
+
+    batch = (
+        spark.read.schema(EVENT_SCHEMA)
+        .json(src)
+        .join(dim, "user_id", "left")
+        .select("event_id", "user_id", "tier")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    # user 2 has no dimension row → null tier survives the left join
+    assert any(t[2] is None for t in map(tuple, got))
