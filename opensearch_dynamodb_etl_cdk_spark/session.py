@@ -71,6 +71,10 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
     explicit = names is not None
+    # events.parquet stores ts as timestamp[ns]; a session built outside
+    # get_spark() (e.g. the correctness harness) rejects it unless this
+    # runtime-settable conf is on. Idempotent under our own session too.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for name in names or all_names:
         path = os.path.join(sf_dir, f"{name}.parquet")
