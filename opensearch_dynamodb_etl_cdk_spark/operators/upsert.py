@@ -72,14 +72,29 @@ def apply_cdc_batch(
 ) -> DataFrame:
     """MERGE a CDC micro-batch into the current index frame.
 
-    Returns the new index: previous rows whose key is untouched, plus
-    the batch's per-key latest images, minus deletes. Idempotent under
-    re-delivery of the same batch (exactly-once effect, SURVEY K2).
+    Returns the new index: the per-key *highest-sequence* image across
+    both the stored index and the batch, minus deletes. The returned
+    frame (and therefore the stored index) KEEPS the ``seq`` column —
+    that is what makes last-write-wins hold *across* micro-batches: a
+    late re-delivered event with a lower sequence number than the stored
+    image loses the ``max_by`` and cannot clobber it (the reference's
+    per-key-latest semantic, custom_resource.py:350-351, is by sequence,
+    not by arrival order). Idempotent under re-delivery of the same
+    batch (exactly-once effect, SURVEY K2): a replayed (key, seq) ties
+    with the stored row carrying an identical image.
+
+    Known limit (matches the reference sink): deletes are not stored as
+    tombstones, so an upsert with a lower seq re-delivered *after* the
+    delete's batch re-creates the document — same behavior as an
+    OpenSearch delete followed by a late index call without external
+    versioning.
     """
     latest = latest_by_key(batch, key=key, seq=seq)
-    survivors = latest.filter(F.col(action) != "delete").drop(action, seq)
     if index is None:
-        return survivors
-    keys = latest.select(F.col(key))
-    untouched = index.join(keys, on=key, how="left_anti")
-    return untouched.unionByName(survivors)
+        return latest.filter(F.col(action) != "delete").drop(action)
+    prior = index
+    if seq not in prior.columns:  # legacy index written without seq
+        prior = prior.withColumn(seq, F.lit(-1).cast("long"))
+    prior = prior.withColumn(action, F.lit("index"))
+    merged = latest_by_key(prior.unionByName(latest), key=key, seq=seq)
+    return merged.filter(F.col(action) != "delete").drop(action)

@@ -29,8 +29,14 @@ Scale notes:
   here keeps the same logical plan (anti-join + union per touched
   partition) without requiring their jars (not in this image).
 - Per-key ordering inside a batch is by sequence number via max_by —
-  never task order. Across batches, monotone sequence numbers make
-  late re-delivery a no-op (guarded by max_by on merge).
+  never task order. Across batches the index stores ``_seq`` per row
+  and the merge takes the per-key max over union(stored, batch), so a
+  late re-delivery with a lower sequence number loses to the stored
+  image (true last-write-wins, not last-arrived-wins).
+- A batch whose deletes empty an entire hash bucket removes that
+  bucket's partition directory explicitly — dynamic partition
+  overwrite alone never rewrites a partition absent from the output,
+  which would silently resurrect deleted documents.
 """
 
 from __future__ import annotations
@@ -85,7 +91,7 @@ class FlightsEtlPipeline:
         parsed = parse_item(F.col("new_image_json"))
         return cdc.select(
             F.concat_ws("|", F.col("pk"), F.col("sk")).alias("_id"),
-            F.col("seq").alias("_seq"),
+            F.col("seq").cast("long").alias("_seq"),
             derive_action(F.col("event_name")).alias("_action"),
             *unmarshal(parsed, self.cfg.attrs, aliases=self.cfg.aliases),
         ).withColumn("_bucket", F.pmod(F.xxhash64("_id"), F.lit(N_BUCKETS)))
@@ -120,6 +126,10 @@ class FlightsEtlPipeline:
 
         Only the hash buckets present in the batch are rewritten
         (dynamic partition overwrite) — merge cost ∝ touched buckets.
+        Buckets the batch touched but the merge left empty (deletes
+        wiped every doc in them) are removed from disk explicitly:
+        dynamic overwrite only replaces partitions present in the
+        output, so without this step deleted documents would survive.
         """
         batch = route_df.persist()
         try:
@@ -142,8 +152,26 @@ class FlightsEtlPipeline:
                 .partitionBy("_bucket")
                 .parquet(self._index_path(route))
             )
+            surviving = {
+                r._bucket for r in merged.select("_bucket").distinct().collect()
+            }
+            self._remove_buckets(route, set(touched) - surviving)
         finally:
             batch.unpersist()
+
+    def _remove_buckets(self, route: str, buckets: set) -> None:
+        """Drop emptied hash-bucket partition directories via the Hadoop
+        FileSystem API (portable across local/HDFS/object stores)."""
+        if not buckets:
+            return
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        for b in sorted(buckets):
+            p = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(self._index_path(route), f"_bucket={b}")
+            )
+            fs = p.getFileSystem(conf)
+            fs.delete(p, True)
 
     def _write_dlq(self, failed: DataFrame, route: str, error: str) -> None:
         (

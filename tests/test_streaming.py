@@ -17,6 +17,7 @@ from opensearch_dynamodb_etl_cdk_spark.sources.fixture_gen import (
     probe_item,
 )
 from opensearch_dynamodb_etl_cdk_spark.streaming.pipeline import (
+    CDC_SCHEMA,
     FlightsEtlPipeline,
     PipelineConfig,
 )
@@ -168,6 +169,72 @@ def test_compact_bounds_files_and_preserves_data(spark, pipeline, tmp_path):
 
     per_bucket = Counter(os.path.dirname(p) for p in parquet_files("fare"))
     assert max(per_bucket.values()) == 1
+
+
+def test_lower_seq_in_later_batch_does_not_clobber(spark, pipeline):
+    """Cross-batch last-write-wins (K1): a stale re-delivered MODIFY with
+    a LOWER sequence number arriving in a LATER micro-batch must lose to
+    the stored higher-seq image — by sequence, never by arrival order."""
+    items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    pipeline.bootstrap(items)
+    first = json.loads(gen_corpus()[0])
+    pk, sk = first["PK"]["S"], first["SK"]["S"]
+    mid = f"{pk}|{sk}"
+
+    def modify(seq, klass):
+        img = dict(first)
+        img["class"] = {"S": klass}
+        return {
+            "seq": seq,
+            "event_name": "MODIFY",
+            "event_ts": "2021-09-01T00:00:00",
+            "pk": pk,
+            "sk": sk,
+            "new_image_json": json.dumps(img, sort_keys=True),
+        }
+
+    newer = spark.createDataFrame([modify(100, "direct")], CDC_SCHEMA)
+    pipeline._apply_batch(pipeline.transform_cdc(newer))
+    fare = pipeline.read_index("fare")
+    assert fare.filter(F.col("_id") == mid).collect()[0].fare_class == "direct"
+
+    stale = spark.createDataFrame([modify(50, "nonstop")], CDC_SCHEMA)
+    pipeline._apply_batch(pipeline.transform_cdc(stale))
+    row = pipeline.read_index("fare").filter(F.col("_id") == mid).collect()[0]
+    assert row.fare_class == "direct"  # seq-100 image survived the stale seq-50
+    assert row._seq == 100
+
+
+def test_deletes_that_empty_buckets_remove_partitions(spark, pipeline):
+    """Delete-survival (W1): a batch whose deletes empty entire hash
+    buckets must leave zero rows AND zero parquet files on disk —
+    dynamic partition overwrite alone would leave the old files."""
+    items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    pipeline.bootstrap(items)
+    removes = [
+        {
+            "seq": 1000 + i,
+            "event_name": "REMOVE",
+            "event_ts": "2021-09-02T00:00:00",
+            "pk": d["PK"]["S"],
+            "sk": d["SK"]["S"],
+            "new_image_json": None,
+        }
+        for i, d in enumerate(json.loads(s) for s in gen_corpus())
+    ]
+    batch = spark.createDataFrame(removes, CDC_SCHEMA)
+    pipeline._apply_batch(pipeline.transform_cdc(batch))
+    for route in ("fare", "flight"):
+        idx = pipeline.read_index(route)
+        assert idx is None or idx.count() == 0
+        root = os.path.join(pipeline.cfg.index_root, route)
+        files = [
+            f
+            for _, _, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        assert files == []
 
 
 def test_unrouted_items_not_in_indexes(spark, pipeline):
