@@ -90,6 +90,144 @@ def bucket_signature(vec_col, planes: list[list[float]]):
     return sig
 
 
+def query_signatures(
+    query_vec: list[float], bits: int = 8, n_tables: int = 8, seed: int = 42
+) -> list[tuple[int, int]]:
+    """Driver-side (table, bucket) signature pairs for ONE query vector —
+    bits × n_tables dot products in plain Python (microseconds; never a
+    Spark job). Must stay bit-identical to :func:`bucket_signature`."""
+    dim = len(query_vec)
+    out = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, bits, t, seed)
+        sig = sum(
+            (1 << i)
+            for i, plane in enumerate(planes)
+            if sum(a * b for a, b in zip(query_vec, plane)) > 0
+        )
+        out.append((t, sig))
+    return out
+
+
+def build_lsh_index(
+    df: DataFrame,
+    bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Materialized LSH index: one (id, table, bucket) row per vector per
+    table — the build-once / query-many path (the reference's whole
+    design: materialize the index, query it repeatedly, never rescan the
+    source per search — custom_resource.py:343-383).
+
+    All signatures come from one codegen projection over a single corpus
+    scan (explode of n_tables structs); the output is three narrow
+    columns — at 100 TB the index is ~n_tables × 20 bytes/vector, cheap
+    to persist partitioned by ``table`` and sorted/z-ordered by
+    ``bucket`` so bucket-equality predicates prune row groups."""
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col))).first()[0]
+    entries = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, bits, t, seed)
+        entries.append(
+            F.struct(
+                F.lit(t).alias("table"),
+                bucket_signature(vec_col, planes).cast("long").alias("bucket"),
+            )
+        )
+    return df.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("tb")
+    ).select(id_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+
+def lsh_candidate_ids(
+    index: DataFrame,
+    query_vec: list[float],
+    bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Candidate ids for one query from the materialized index: an OR of
+    n_tables ``(table = t AND bucket = b)`` equality pairs — a pushable
+    predicate (shows up in PushedFilters on a parquet-persisted index),
+    so only matching row groups are read. Candidates ≈ corpus ×
+    n_tables / 2^bits ≪ corpus."""
+    pred = None
+    for t, b in query_signatures(query_vec, bits, n_tables, seed):
+        p = (F.col("table") == t) & (F.col("bucket") == b)
+        pred = p if pred is None else (pred | p)
+    return index.filter(pred).select(id_col).distinct()
+
+
+def query_lsh_topk(
+    df: DataFrame,
+    index: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k against a *materialized* index: bucket lookup →
+    broadcast-semi-join the candidate ids against the corpus → exact
+    cosine re-rank of candidates only. The corpus is scanned once with
+    an id-equality semi join (broadcast: |candidates| ≪ corpus) — no
+    per-query signature folds over the full corpus."""
+    cands = lsh_candidate_ids(index, query_vec, bits, n_tables, seed, id_col)
+    candidates = df.join(F.broadcast(cands), on=id_col, how="left_semi")
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def query_lsh_topk_multi(
+    df: DataFrame,
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Batch ANN: signature-frame the query set with the SAME
+    :func:`build_lsh_index` expressions, join query buckets to the index
+    on (table, bucket) — the bucket-key join, linear in index size — then
+    exact re-rank per query. Query side is broadcast (small)."""
+    q_idx = build_lsh_index(
+        queries, bits, n_tables, seed, id_col=q_id_col, vec_col=q_vec_col,
+        dim=len(queries.select(q_vec_col).head()[0]),
+    )
+    pairs = (
+        index.join(F.broadcast(q_idx), on=["table", "bucket"])
+        .select(q_id_col, id_col)
+        .distinct()
+    )
+    scored = (
+        pairs.join(df, on=id_col)
+        .join(F.broadcast(queries), on=q_id_col)
+        .select(
+            F.col(q_id_col),
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col(q_vec_col)).alias("score"),
+        )
+    )
+    w = W.partitionBy(q_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def lsh_ann_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -100,12 +238,12 @@ def lsh_ann_topk(
     n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: union of same-bucket candidates over n_tables
-    hyperplane tables, exact cosine re-rank of candidates only.
-
-    At 100 TB the bucket signatures are precomputed/materialized once
-    (cheap narrow columns) and candidates come from a bucket-key join —
-    the full corpus is never scored."""
+    """One-shot approximate top-k (no index on disk): same bucket
+    semantics as the materialized path, evaluated in a single corpus
+    scan. Use :func:`build_lsh_index` + :func:`query_lsh_topk` when the
+    corpus is queried more than once — this variant re-folds signatures
+    per call and exists for ad-hoc queries and as the semantics oracle
+    for the indexed path (both produce identical candidates)."""
     dim = len(query_vec)
     cand_pred = None
     for t in range(n_tables):
@@ -164,6 +302,57 @@ def ivf_assign(
     return df.withColumn(cluster_col, F.array_max(cells).getField("c"))
 
 
+def build_ivf_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "_cluster",
+) -> DataFrame:
+    """Materialized IVF cell assignment: (id, cluster) — two narrow
+    columns computed in one codegen scan, persisted once (partition the
+    parquet by ``cluster`` at scale so probes prune partitions). Queries
+    then read only probed cells instead of re-assigning the corpus."""
+    return ivf_assign(df, centroids, vec_col, cluster_col).select(id_col, cluster_col)
+
+
+def ivf_probes(
+    centroids: list[list[float]], query_vec: list[float], n_probe: int = 4
+) -> list[int]:
+    """Driver-side: ids of the n_probe centroids nearest the query."""
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot_ = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot_ / (na * nb) if na and nb else 0.0
+
+    return sorted(
+        range(len(centroids)), key=lambda i: cos(query_vec, centroids[i]), reverse=True
+    )[:n_probe]
+
+
+def query_ivf_topk(
+    df: DataFrame,
+    index: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "_cluster",
+) -> DataFrame:
+    """IVF ANN against a materialized cell-assignment index: the cluster
+    ∈ probes filter is a pushable IN-predicate on the index scan; the
+    candidate ids broadcast-semi-join the corpus; exact re-rank of
+    candidates only (≈ corpus × n_probe / n_centroids rows)."""
+    probes = ivf_probes(centroids, query_vec, n_probe)
+    cands = index.filter(F.col(cluster_col).isin(probes)).select(id_col)
+    candidates = df.join(F.broadcast(cands), on=id_col, how="left_semi")
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
 def ivf_ann_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -178,16 +367,7 @@ def ivf_ann_topk(
     tunable via n_probe/n_centroids; candidates ≈ corpus × n_probe /
     n_centroids."""
     cents = ivf_centroids(df, n_centroids, id_col, vec_col)
-
-    def cos(a: list[float], b: list[float]) -> float:
-        dot_ = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return dot_ / (na * nb) if na and nb else 0.0
-
-    probes = sorted(
-        range(len(cents)), key=lambda i: cos(query_vec, cents[i]), reverse=True
-    )[:n_probe]
+    probes = ivf_probes(cents, query_vec, n_probe)
     assigned = ivf_assign(df, cents, vec_col)
     candidates = assigned.filter(F.col("_cluster").isin(probes)).drop("_cluster")
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)

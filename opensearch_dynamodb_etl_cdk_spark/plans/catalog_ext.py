@@ -27,6 +27,8 @@ payloads stay on executors with Arrow-batched UDFs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -488,6 +490,90 @@ def ann_lsh_topk(spark, sf_dir):
     qvec = [float(x) for x in
             e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
     return S.lsh_ann_topk(e, qvec, k=10)
+
+
+# --- materialized ANN indexes (build once per session+sf, query many) ----
+# Parquet under the repo's gitignored spark-warehouse/; partitioned by
+# table / cluster and sorted by bucket so query predicates prune
+# partitions and row groups (the reference's materialize-once design,
+# custom_resource.py:343-383).
+
+_ANN_IDX_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "spark-warehouse",
+    "ann_idx",
+)
+_ANN_IDX_BUILT: set[str] = set()
+
+
+def _idx_path(kind: str, sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(_ANN_IDX_ROOT, f"{kind}_{tag}")
+
+
+def _lsh_index(spark, sf_dir, e):
+    path = _idx_path("lsh", sf_dir)
+    if path not in _ANN_IDX_BUILT:
+        (
+            S.build_lsh_index(e)
+            .sortWithinPartitions("bucket")
+            .write.mode("overwrite")
+            .partitionBy("table")
+            .parquet(path)
+        )
+        _ANN_IDX_BUILT.add(path)
+    return spark.read.parquet(path)
+
+
+def _ivf_index(spark, sf_dir, e, centroids):
+    path = _idx_path("ivf", sf_dir)
+    if path not in _ANN_IDX_BUILT:
+        (
+            S.build_ivf_index(e, centroids)
+            .write.mode("overwrite")
+            .partitionBy("_cluster")
+            .parquet(path)
+        )
+        _ANN_IDX_BUILT.add(path)
+    return spark.read.parquet(path)
+
+
+@register(
+    "ann_lsh_indexed_topk",
+    oracle=None,  # approximate by design — equals ann_lsh_topk, property-tested
+    doc="ANN top-10 against a PERSISTED LSH signature table (id, table, "
+    "bucket — parquet partitioned by table, sorted by bucket): bucket-key "
+    "lookup with pushed (table, bucket) equality predicates, broadcast "
+    "semi-join of candidate ids, exact re-rank of candidates only. "
+    "Build-once/query-many — the corpus is never signature-folded per "
+    "query (reference: materialized OpenSearch index, "
+    "custom_resource.py:343-383).",
+    tags=("similarity", "topk", "lsh", "index"),
+)
+def ann_lsh_indexed_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    idx = _lsh_index(spark, sf_dir, e)
+    return S.query_lsh_topk(e, idx, qvec, k=10)
+
+
+@register(
+    "ann_ivf_indexed_topk",
+    oracle=None,  # approximate by design — equals ann_ivf_topk, property-tested
+    doc="IVF ANN top-10 against a PERSISTED cell-assignment table "
+    "(id, cluster — parquet partitioned by cluster): probing 4 of 16 "
+    "cells is partition pruning on the index scan; candidates broadcast "
+    "semi-join the corpus; exact re-rank of candidates only.",
+    tags=("similarity", "topk", "ivf", "index"),
+)
+def ann_ivf_indexed_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    cents = S.ivf_centroids(e, 16)
+    idx = _ivf_index(spark, sf_dir, e, cents)
+    return S.query_ivf_topk(e, idx, cents, qvec, k=10, n_probe=4)
 
 
 @register(

@@ -125,6 +125,88 @@ def test_lsh_ann_agrees_with_brute_force_on_clusters(spark):
     assert len(set(bf) & set(ann)) >= 4
 
 
+def test_lsh_indexed_matches_oneshot_and_bounds_candidates(spark):
+    """The materialized-index path (build_lsh_index + query_lsh_topk)
+    must return exactly the one-shot lsh_ann_topk rows (identical bucket
+    semantics), and the bucket lookup must touch far fewer ids than the
+    corpus (candidates ~ n × n_tables / 2^bits ≪ n)."""
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+    idx = S.build_lsh_index(df, bits=8, n_tables=8)
+    indexed = S.query_lsh_topk(df, idx, q, k=5, bits=8, n_tables=8).collect()
+    oneshot = S.lsh_ann_topk(df, q, k=5, bits=8, n_tables=8).collect()
+    assert [(r.vec_id, r.score) for r in indexed] == [
+        (r.vec_id, r.score) for r in oneshot
+    ]
+    n_cand = S.lsh_candidate_ids(idx, q, bits=8, n_tables=8).count()
+    assert 1 <= n_cand < 400 / 4  # bucket lookup, not a corpus scan
+
+
+def test_lsh_indexed_recall_on_planted_neighbors(spark):
+    """Recall ≥ 0.9: 10 planted near-neighbours of the query (tiny
+    noise → same hyperplane signs w.h.p.) among 500 random background
+    vectors must appear in the indexed ANN top-10."""
+    rng = random.Random(13)
+    q = [rng.gauss(0, 1) for _ in range(32)]
+    rows = [(i, [x + rng.gauss(0, 0.02) for x in q]) for i in range(10)]
+    rows += [
+        (i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(10, 510)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = S.build_lsh_index(df, bits=8, n_tables=8)
+    got = {r.vec_id for r in S.query_lsh_topk(df, idx, q, k=10).collect()}
+    planted = set(range(10))
+    assert len(got & planted) >= 9  # recall ≥ 0.9
+
+
+def test_lsh_multiquery_matches_per_query(spark):
+    """Batch bucket-key join path ≡ one query_lsh_topk per query."""
+    rng = random.Random(17)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = S.build_lsh_index(df, bits=8, n_tables=8)
+    # q_vec as double: the expression-side signature fold then matches the
+    # driver-side float64 fold bit-for-bit (float32 queries could flip a
+    # near-zero sign bit vs the per-query driver-side path).
+    queries = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(3)], "q_id long, q_vec array<double>"
+    )
+    multi = S.query_lsh_topk_multi(df, idx, queries, k=5)
+    got = {
+        (r.q_id, r.vec_id, round(r.score, 9)) for r in multi.collect()
+    }
+    want = set()
+    for i in range(3):
+        for r in S.query_lsh_topk(df, idx, rows[i][1], k=5).collect():
+            want.add((i, r.vec_id, round(r.score, 9)))
+    assert got == want
+
+
+def test_ivf_indexed_matches_oneshot(spark):
+    """Materialized IVF cell-assignment path ≡ one-shot ivf_ann_topk."""
+    rng = random.Random(19)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(4)]
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(30):
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in c]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[7][1]
+    cents = S.ivf_centroids(df, 8)
+    idx = S.build_ivf_index(df, cents)
+    indexed = S.query_ivf_topk(df, idx, cents, q, k=5, n_probe=4).collect()
+    oneshot = S.ivf_ann_topk(df, q, k=5, n_centroids=8, n_probe=4).collect()
+    assert [(r.vec_id, r.score) for r in indexed] == [
+        (r.vec_id, r.score) for r in oneshot
+    ]
+
+
 def test_ivf_ann_recall_on_clusters(spark):
     """IVF with enough probes must recover the exact top-k on clustered
     data (the true neighbours live in the probed cells)."""
