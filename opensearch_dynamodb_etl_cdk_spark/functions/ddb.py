@@ -90,11 +90,11 @@ def av_scalar(av: Column, dtype: str) -> Column:
         return F.unbase64(av.getField("B"))
     if dtype == "array<string>":
         return av.getField("SS")
+    if dtype == "array<binary>":  # BS — must precede the generic array< branch
+        return F.transform(av.getField("BS"), lambda x: F.unbase64(x))
     if dtype.startswith("array<"):  # numeric set, e.g. array<decimal(38,9)>
         elem = dtype[len("array<"):-1]
         return F.transform(av.getField("NS"), lambda x: x.cast(elem))
-    if dtype == "array<binary>":
-        return F.transform(av.getField("BS"), lambda x: F.unbase64(x))
     # numeric scalars: N carries arbitrary-precision decimal as string
     return av.getField("N").cast(dtype)
 

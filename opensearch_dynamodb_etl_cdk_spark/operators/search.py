@@ -233,9 +233,11 @@ def _metric_agg(name: str, spec: dict) -> Column:
             return F.countDistinct(col).alias(name)
         return F.approx_count_distinct(col, rsd=0.02).alias(name)
     if kind == "percentiles":
+        # Column-based, never string-interpolated SQL: DSL bodies are
+        # user input, and field names are identifiers, not expressions.
         percents = body.get("percents", [50.0])
-        return F.expr(
-            f"percentile({field}, array({','.join(str(p / 100.0) for p in percents)}))"
+        return F.percentile(
+            col, F.array(*[F.lit(float(p) / 100.0) for p in percents])
         ).alias(name)
     raise ValueError(f"unsupported metric aggregation: {kind}")
 
@@ -284,8 +286,15 @@ def _run_agg(df: DataFrame, name: str, spec: dict) -> Any:
             th_size = int(th_body.get("size", 1))
             sort_cols = _sort_cols(th_body.get("sort", []))
             w = W.partitionBy(field).orderBy(*(sort_cols or [F.lit(1)]))
-            ranked = df.withColumn("__rn", F.row_number().over(w)).filter(
-                F.col("__rn") <= th_size
+            # Bound the collect: only hits belonging to the selected
+            # top-`size` buckets come back (≤ size × th_size rows) — a
+            # broadcast semi-join on the bucket keys, never the
+            # top-th_size rows of EVERY bucket of a high-cardinality
+            # field (driver OOM at scale otherwise).
+            ranked = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= th_size)
+                .join(F.broadcast(grouped.select(field)), on=field, how="left_semi")
             )
             th_rows[th_name] = {}
             for r in ranked.collect():

@@ -63,6 +63,22 @@ def test_scalar_types_roundtrip(spark):
     assert row.ns == [1.0, 2.5]
 
 
+def test_binary_set_roundtrip(spark):
+    """BS must decode via its own branch — the generic ``array<`` branch
+    reads NS and would silently null every binary set."""
+    item = {
+        "bs": {"BS": ["aGVsbG8=", "d29ybGQ="]},  # b"hello", b"world"
+        "ns": {"NS": ["1", "2"]},
+    }
+    df = _df_from_items(spark, [json.dumps(item)])
+    parsed = parse_item(F.col("item_json"))
+    row = df.select(
+        *unmarshal(parsed, {"bs": "array<binary>", "ns": "array<bigint>"})
+    ).collect()[0]
+    assert [bytes(b) for b in row.bs] == [b"hello", b"world"]
+    assert row.ns == [1, 2]
+
+
 def test_nested_m_and_l(spark):
     item = {
         "m": {"M": {"inner": {"S": "x"}, "deep": {"M": {"k": {"N": "7"}}}}},

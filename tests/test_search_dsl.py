@@ -190,6 +190,46 @@ def test_stats_and_percentiles(spark, sf_dir):
     assert s["min"] <= s["avg"] <= s["max"]
 
 
+def test_top_hits_high_cardinality_bounded(spark):
+    """top_hits under terms on a high-cardinality field: results cover
+    exactly the selected top-`size` buckets (the collect is bounded to
+    size × th_size rows via the bucket-key semi-join) and each bucket's
+    hit is its true per-group maximum."""
+    rows = [(i, f"g{i % 200:03d}", float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    body = {
+        "size": 0,
+        "aggs": {
+            "g": {
+                "terms": {"field": "grp", "size": 3},
+                "aggs": {
+                    "top": {"top_hits": {"size": 2, "sort": [{"v": {"order": "desc"}}]}}
+                },
+            }
+        },
+    }
+    res = execute_search(df, body)
+    buckets = res["aggregations"]["g"]["buckets"]
+    assert len(buckets) == 3
+    assert sum(len(b["top"]["hits"]) for b in buckets) <= 3 * 2
+    for b in buckets:
+        grp_max = max(v for _, g, v in rows if g == b["key"])
+        assert b["top"]["hits"][0]["v"] == grp_max
+
+
+def test_percentiles_special_char_field(spark):
+    """Field names are identifiers, not SQL: a name that would break a
+    string-interpolated expression must work (injection-safe path)."""
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(101)], ["the value"]
+    )
+    res = execute_search(
+        df,
+        {"aggs": {"p": {"percentiles": {"field": "the value", "percents": [50.0]}}}},
+    )
+    assert res["aggregations"]["p"]["value"] == [50.0]
+
+
 def test_unsupported_clause_raises():
     with pytest.raises(ValueError, match="unsupported query kind"):
         compile_query({"more_like_this": {"x": "y"}})
