@@ -394,19 +394,23 @@ def stratified_sample_counts(spark, sf_dir):
     """,
     doc="ntile quantile bucketing (equal-count quartiles of account "
     "balance) with a unique-key tie-break so bucket membership is "
-    "deterministic. NOTE a global-order ntile funnels rows through one "
-    "window partition; the 100 TB formulation replaces it with "
-    "percentile-boundary lookup (percentile_agg) + broadcast range "
-    "join — this catalog entry exists for DSL parity on bounded sets.",
+    "deterministic. Computed WITHOUT a global window: range-partitioned "
+    "two-phase global rank (operators/ranking.py) + the NTILE split as "
+    "arithmetic — bit-identical to SQL NTILE, parallel at any scale.",
     tags=("window", "agg"),
 )
 def ntile_quartiles(spark, sf_dir):
+    from ..operators.ranking import ntile_ranked
+
     c = _t(spark, sf_dir, "customer")["customer"]
-    w = W.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
-    return (
-        c.select(F.ntile(4).over(w).alias("quartile"), "c_acctbal")
-        .groupBy("quartile")
-        .agg(F.count("*").alias("n"), dsum(F.col("c_acctbal")).alias("sum_bal"))
+    tiled = ntile_ranked(
+        c.select("c_acctbal", "c_custkey"),
+        4,
+        ["c_acctbal", "c_custkey"],
+        bucket_col="quartile",
+    )
+    return tiled.groupBy("quartile").agg(
+        F.count("*").alias("n"), dsum(F.col("c_acctbal")).alias("sum_bal")
     )
 
 

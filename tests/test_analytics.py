@@ -76,3 +76,65 @@ def test_funnel_stages_monotonically_shrink(spark, sf_dir):
     assert set(by_stage) == {"1_view", "2_click", "3_purchase"}
     assert by_stage["1_view"] >= by_stage["2_click"] >= by_stage["3_purchase"]
     assert by_stage["1_view"] > 0
+
+
+def test_global_rank_and_ntile_match_window_functions(spark):
+    """Two-phase range-partitioned rank/ntile ≡ the global-window SQL
+    functions, including non-divisible totals and tie-break keys — and
+    the physical plan contains no unpartitioned window."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from opensearch_dynamodb_etl_cdk_spark.operators.ranking import (
+        global_rank,
+        ntile_ranked,
+    )
+
+    rng = random.Random(23)
+    rows = [(i, rng.randint(0, 50) * 1.0) for i in range(1003)]  # 1003 % 4 != 0, ties
+    df = spark.createDataFrame(rows, "id long, v double")
+
+    w = W.orderBy("v", "id")
+    want = {
+        (r.id, r.rn, r.q)
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("rn"),
+            F.ntile(4).over(w).alias("q"),
+        ).collect()
+    }
+    ranked = global_rank(df, ["v", "id"], n_partitions=8, rank_col="rn")
+    tiled = ntile_ranked(df, 4, ["v", "id"], n_partitions=8, bucket_col="q")
+    got = {
+        (a.id, a.rn, b.q)
+        for a, b in zip(
+            sorted(ranked.collect(), key=lambda r: r.id),
+            sorted(tiled.collect(), key=lambda r: r.id),
+        )
+    }
+    assert got == want
+
+    plan = tiled._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "partitionBy" not in line:
+            # Spark prints window specs as [... windowspecdefinition(pid, ...)]
+            assert "__range_pid" in line or "windowspecdefinition" not in line
+
+
+def test_ntile_fewer_rows_than_buckets(spark):
+    from pyspark.sql import Window as W
+
+    from opensearch_dynamodb_etl_cdk_spark.operators.ranking import ntile_ranked
+
+    df = spark.createDataFrame([(1, 5.0), (2, 1.0)], "id long, v double")
+    got = {
+        (r.id, r.q)
+        for r in ntile_ranked(df, 4, ["v", "id"], bucket_col="q").collect()
+    }
+    w = W.orderBy("v", "id")
+    want = {
+        (r.id, r.q)
+        for r in df.select("id", F.ntile(4).over(w).alias("q")).collect()
+    }
+    assert got == want
