@@ -10,11 +10,15 @@ engine materializes.
 Supported query clauses: match_all, term, terms, range (gt/gte/lt/lte),
 prefix, wildcard (* ?), exists, ids, match (analyzed, or/and operator),
 match_phrase, bool (must/filter/should/must_not with
-minimum_should_match=1 when should is present alongside nothing else).
+minimum_should_match as a count, a negative count, or a percentage —
+default 1 when should is present alongside nothing else).
 
-Supported aggregations: terms (with one level of sub-aggregations),
-min/max/sum/avg/stats/value_count, cardinality (exact or approx),
-percentiles, date_histogram (calendar_interval hour/day/month),
+Supported aggregations: terms (with metric sub-aggregations, top_hits,
+and one nested terms level — terms→terms→metric, computed in a single
+plan via a (parent, child) groupBy + per-parent window, never a query
+per bucket), min/max/sum/avg/stats/value_count, cardinality (exact or
+approx), percentiles, date_histogram (calendar_interval
+minute/hour/day/week/month/year or fixed_interval ms/s/m/h/d),
 top_hits (within terms buckets via window).
 
 Everything compiles to Column expressions / DataFrame plans — Catalyst
@@ -181,9 +185,12 @@ def compile_query(q: dict[str, Any]) -> Column:
             pred = pred & ~F.coalesce(compile_query(clause), F.lit(False))
         should = [compile_query(c) for c in body.get("should", [])]
         if should:
-            min_should = body.get(
-                "minimum_should_match",
-                1 if not (body.get("must") or body.get("filter")) else 0,
+            min_should = _min_should_count(
+                body.get(
+                    "minimum_should_match",
+                    1 if not (body.get("must") or body.get("filter")) else 0,
+                ),
+                len(should),
             )
             if min_should >= 2:
                 # count satisfied should clauses (null-safe) and compare
@@ -200,6 +207,34 @@ def compile_query(q: dict[str, Any]) -> Column:
         return pred
 
     raise ValueError(f"unsupported query kind: {kind}")
+
+
+def _fixed_interval_micros(spec: str) -> int:
+    """"90s" / "30m" / "12h" / "7d" / "250ms" → interval in microseconds."""
+    m = re.fullmatch(r"\s*(\d+)(ms|s|m|h|d)\s*", str(spec))
+    if not m:
+        raise ValueError(f"unsupported fixed_interval {spec!r}")
+    n, unit = int(m.group(1)), m.group(2)
+    per = {"ms": 1_000, "s": 1_000_000, "m": 60_000_000,
+           "h": 3_600_000_000, "d": 86_400_000_000}[unit]
+    return n * per
+
+
+def _min_should_count(spec, total: int) -> int:
+    """``minimum_should_match`` value → required clause count (public DSL
+    rules): positive int n → n; negative int -n → total - n; "P%" →
+    floor(total × P/100); "-P%" → total - floor(total × P/100)."""
+    if isinstance(spec, str):
+        s = spec.strip()
+        if s.endswith("%"):
+            pct = float(s[:-1])
+            if pct < 0:
+                return total - int(total * (-pct) / 100.0)
+            return int(total * pct / 100.0)
+        spec = int(s)
+    if spec < 0:
+        return total + spec
+    return int(spec)
 
 
 def _sort_cols(sort_spec) -> list[Column]:
@@ -270,7 +305,11 @@ def _run_agg(df: DataFrame, name: str, spec: dict) -> Any:
     if kind == "terms":
         field = body["field"]
         size = int(body.get("size", 10))
-        metric_cols = [_metric_agg(n, s) for n, s in sub.items() if "top_hits" not in s]
+        metric_cols = [
+            _metric_agg(n, s)
+            for n, s in sub.items()
+            if "top_hits" not in s and "terms" not in s
+        ]
         grouped = (
             df.groupBy(field)
             .agg(F.count("*").alias("doc_count"), *metric_cols)
@@ -279,7 +318,44 @@ def _run_agg(df: DataFrame, name: str, spec: dict) -> Any:
         )
         buckets = []
         top_hits_specs = {n: s for n, s in sub.items() if "top_hits" in s}
+        nested_terms_specs = {n: s for n, s in sub.items() if "terms" in s}
         rows = grouped.collect()
+        # nested terms→terms→metric: ONE plan for all parent buckets — a
+        # semi-join on the selected parent keys, a (parent, child) groupBy,
+        # and a per-parent window top-`size` — never a query per bucket.
+        nested_rows: dict[str, dict] = {}
+        for nt_name, nt_spec in nested_terms_specs.items():
+            nt_body = nt_spec["terms"]
+            cf = nt_body["field"]
+            csize = int(nt_body.get("size", 10))
+            csub = nt_spec.get("aggs") or {}
+            if any("terms" in s or "top_hits" in s for s in csub.values()):
+                raise ValueError(
+                    "sub-aggregations below a nested terms level must be metrics"
+                )
+            cmetrics = [_metric_agg(n, s) for n, s in csub.items()]
+            child = (
+                df.join(F.broadcast(grouped.select(field)), on=field, how="left_semi")
+                .groupBy(field, cf)
+                .agg(F.count("*").alias("doc_count"), *cmetrics)
+            )
+            cw = W.partitionBy(field).orderBy(
+                F.col("doc_count").desc(), F.col(cf).asc()
+            )
+            crows = (
+                child.withColumn("__rn", F.row_number().over(cw))
+                .filter(F.col("__rn") <= csize)
+                .collect()
+            )
+            nested_rows[nt_name] = {}
+            for r in sorted(crows, key=lambda r: r["__rn"]):
+                nested_rows[nt_name].setdefault(r[field], []).append(
+                    {
+                        "key": r[cf],
+                        "doc_count": r["doc_count"],
+                        **{n: {"value": r[n]} for n in csub},
+                    }
+                )
         th_rows: dict[str, dict] = {}
         for th_name, th_spec in top_hits_specs.items():
             th_body = th_spec["top_hits"]
@@ -306,6 +382,8 @@ def _run_agg(df: DataFrame, name: str, spec: dict) -> Any:
             for n in sub:
                 if n in th_rows:
                     b[n] = {"hits": th_rows[n].get(r[field], [])}
+                elif n in nested_rows:
+                    b[n] = {"buckets": nested_rows[n].get(r[field], [])}
                 else:
                     b[n] = {"value": r[n]}
             buckets.append(b)
@@ -313,10 +391,19 @@ def _run_agg(df: DataFrame, name: str, spec: dict) -> Any:
 
     if kind == "date_histogram":
         field = body["field"]
-        interval = body.get("calendar_interval", body.get("interval", "day"))
-        if interval not in ("hour", "day", "month", "year", "week", "minute"):
-            raise ValueError(f"unsupported interval {interval}")
-        bucket = F.date_trunc(interval, F.col(field))
+        if "fixed_interval" in body:
+            # fixed_interval: epoch-aligned buckets of an exact duration
+            # ("90s", "30m", "12h", "7d") — arithmetic on epoch micros,
+            # unlike calendar_interval's calendar-aware date_trunc.
+            micros = _fixed_interval_micros(body["fixed_interval"])
+            bucket = F.timestamp_micros(
+                (F.unix_micros(F.col(field)) - F.unix_micros(F.col(field)) % micros)
+            )
+        else:
+            interval = body.get("calendar_interval", body.get("interval", "day"))
+            if interval not in ("hour", "day", "month", "year", "week", "minute"):
+                raise ValueError(f"unsupported interval {interval}")
+            bucket = F.date_trunc(interval, F.col(field))
         metric_cols = [_metric_agg(n, s) for n, s in sub.items()]
         rows = (
             df.groupBy(bucket.alias("key"))

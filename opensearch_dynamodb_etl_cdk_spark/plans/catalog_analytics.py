@@ -520,3 +520,59 @@ def near_dup_components(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")["documents"]
     pairs = D.minhash_lsh_pairs(d, num_hashes=64, bands=32, threshold=0.7)
     return connected_components(pairs.select("id_a", "id_b"))
+
+
+@register(
+    "nested_terms_agg",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderpriority AS parent_key, COUNT(*) AS pn
+      FROM orders GROUP BY 1 ORDER BY pn DESC, parent_key LIMIT 3),
+    c AS (
+      SELECT o.o_orderpriority AS parent_key, o.o_orderstatus AS child_key,
+             COUNT(*) AS doc_count,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+      FROM orders o JOIN p ON o.o_orderpriority = p.parent_key
+      GROUP BY 1, 2),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY parent_key ORDER BY doc_count DESC, child_key) AS rn
+      FROM c)
+    SELECT parent_key, child_key, doc_count, sum_price FROM r WHERE rn <= 2
+    """,
+    doc="DSL nested terms→terms→metric aggregation, flattened to rows "
+    "(operators/search.py _run_agg builds the same plan into the "
+    "OpenSearch response shape): top-3 parent buckets by doc_count, "
+    "top-2 child buckets per parent, one (parent, child) groupBy + "
+    "per-parent window — a single plan, never a query per bucket.",
+    tags=("dsl", "agg", "window"),
+)
+def nested_terms_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")["orders"]
+    parents = (
+        o.groupBy(F.col("o_orderpriority").alias("parent_key"))
+        .agg(F.count("*").alias("pn"))
+        .orderBy(F.col("pn").desc(), F.col("parent_key").asc())
+        .limit(3)
+        .select("parent_key")
+    )
+    child = (
+        o.join(
+            F.broadcast(parents),
+            o["o_orderpriority"] == parents["parent_key"],
+            "inner",
+        )
+        .groupBy("parent_key", F.col("o_orderstatus").alias("child_key"))
+        .agg(
+            F.count("*").alias("doc_count"),
+            dsum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+    w = W.partitionBy("parent_key").orderBy(
+        F.col("doc_count").desc(), F.col("child_key").asc()
+    )
+    return (
+        child.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("parent_key", "child_key", "doc_count", "sum_price")
+    )

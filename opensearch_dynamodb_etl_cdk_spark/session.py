@@ -32,6 +32,10 @@ def get_spark(app_name: str = "opensearch_dynamodb_etl_cdk_spark") -> SparkSessi
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 32 MB scan splits (default 128 MB): big inputs fan out to ~4×
+        # more tasks, keeping all local cores busy; parallelism on tiny
+        # test files stays bounded by their row-group count either way.
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         # events.parquet stores ts as timestamp[ns], which the Spark parquet
         # reader rejects; read the raw int64 nanos and convert in load_tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -60,34 +64,64 @@ def min_partitions(df, target: int | None = None):
     return df
 
 
+def _ns_timestamp_columns(path: str) -> set[str]:
+    """Top-level column names stored as parquet timestamp[ns] (from the
+    file footer via pyarrow) — the columns nanosAsLong surfaces as int64."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        schema = pq.read_schema(path)
+        return {
+            f.name
+            for f in schema
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        }
+    except Exception:
+        return set()
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Register the driver's parquet tables as temp views; return dict of DFs.
 
     Columnar parquet scans give Catalyst filter pushdown + column pruning
     for free; every catalog query reads through these views.
+
+    SESSION-WIDE SIDE EFFECT (intentional, documented): this sets
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` on the caller's session
+    and leaves it set. Some driver tables store timestamp[ns], which the
+    Spark parquet reader otherwise rejects; the conf is consulted at
+    EXECUTION time too, so restoring it after this call would break the
+    lazy DataFrames returned here. Consequence for callers: later reads
+    of other ns-timestamp parquet in the same session yield int64 nanos
+    instead of erroring. Every ns column in tables loaded HERE is
+    converted back to a proper timestamp (detected from the parquet
+    footer, not by column name), truncated to microseconds exactly as
+    DuckDB's fetch does so oracle comparisons agree.
     """
     all_names = [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
     explicit = names is not None
-    # events.parquet stores ts as timestamp[ns]; a session built outside
-    # get_spark() (e.g. the correctness harness) rejects it unless this
-    # runtime-settable conf is on. Idempotent under our own session too.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for name in names or all_names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
-            # Nanosecond parquet timestamps arrive as int64 (nanosAsLong);
-            # floor-truncate to microseconds exactly as DuckDB's Python
-            # fetch does, so oracle comparisons agree.
             from pyspark.sql import functions as F
 
+            ns_cols = _ns_timestamp_columns(path)
             for field_ in df.schema.fields:
-                if field_.name == "ts" and field_.dataType.simpleString() == "bigint":
-                    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                if (
+                    field_.name in ns_cols
+                    and field_.dataType.simpleString() == "bigint"
+                ):
+                    df = df.withColumn(
+                        field_.name,
+                        F.timestamp_micros(F.expr(f"`{field_.name}` div 1000")),
+                    )
             df.createOrReplaceTempView(name)
             out[name] = df
         elif explicit:

@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.ddb import parse_item, unmarshal
-from ..operators.routing import Router, type_route
+from ..operators.routing import UNROUTED, Router, type_route
 from ..operators.upsert import apply_cdc_batch, derive_action, latest_by_key
 from ..sources.flights import ALIASES, SUPERSET_ATTRS
 
@@ -184,23 +184,77 @@ class FlightsEtlPipeline:
     # -- batch entry points ----------------------------------------------------
 
     def bootstrap(self, items: DataFrame) -> None:
-        """Initial load from a full export (SURVEY §3.3): one MERGE per route."""
+        """Initial load from a full export (SURVEY §3.3): one MERGE per
+        route. Metrics epoch for the bootstrap batch is -1."""
         batch = self.transform_export(items)
-        self._apply_batch(batch)
+        self._apply_batch(batch, epoch_id=-1)
 
-    def _apply_batch(self, batch: DataFrame) -> None:
+    def _apply_batch(self, batch: DataFrame, epoch_id: int = -1) -> None:
         # REMOVE events carry no image (NEW_IMAGE stream view → keys only),
         # so route predicates over document fields are NULL for them.
         # Deletes therefore bypass routing and are applied to every route's
         # index by key (a delete for an absent key is a no-op).
-        deletes = batch.filter(F.col("_action") == "delete")
-        parts = self.router.split(batch.filter(F.col("_action") != "delete"))
+        batch = batch.persist()
+        try:
+            deletes = batch.filter(F.col("_action") == "delete")
+            parts = self.router.split(batch.filter(F.col("_action") != "delete"))
+            dlq_counts: dict[str, int] = {}
+            for route in self.cfg.routes:
+                slice_ = parts[route].unionByName(deletes)
+                try:
+                    self._merge_route(slice_, route)
+                    dlq_counts[route] = 0
+                except Exception as exc:  # DLQ side-output (W3) — never lose docs
+                    dlq_counts[route] = slice_.count()
+                    self._write_dlq(slice_, route, repr(exc))
+            self._write_metrics(batch, epoch_id, dlq_counts)
+        finally:
+            batch.unpersist()
+
+    # -- observability (W5 — reference analog: the vended CloudWatch log
+    #    group, lib/opensearch-dynamodb-etl-cdk-stack.ts:104-108) ---------
+
+    def _write_metrics(
+        self, batch: DataFrame, epoch_id: int, dlq_counts: dict[str, int]
+    ) -> None:
+        """Append one row per route (plus the audited drop) to the
+        ``_metrics`` table: rows in / routed / merged / deleted / DLQ'd
+        per micro-batch. One extra aggregation job over the already-
+        persisted batch — counts, never data, reach the driver."""
+        tagged = self.router.tag(
+            batch.filter(F.col("_action") != "delete"), "_route"
+        )
+        route_counts = {
+            r["_route"]: r["n"]
+            for r in tagged.groupBy("_route").agg(F.count("*").alias("n")).collect()
+        }
+        n_delete = batch.filter(F.col("_action") == "delete").count()
+        n_in = sum(route_counts.values()) + n_delete
+        rows = []
         for route in self.cfg.routes:
-            slice_ = parts[route].unionByName(deletes)
-            try:
-                self._merge_route(slice_, route)
-            except Exception as exc:  # DLQ side-output (W3) — never lose docs
-                self._write_dlq(slice_, route, repr(exc))
+            routed = route_counts.get(route, 0)
+            dlq = dlq_counts.get(route, 0)
+            merged = 0 if dlq else routed
+            rows.append((epoch_id, route, n_in, routed, merged, n_delete, dlq))
+        rows.append(
+            (epoch_id, "dropped", n_in, route_counts.get(UNROUTED, 0), 0, 0, 0)
+        )
+        mdf = self.spark.createDataFrame(
+            rows,
+            "epoch long, route string, rows_in long, rows_routed long, "
+            "rows_merged long, rows_deleted long, rows_dlq long",
+        )
+        mdf.coalesce(1).write.mode("append").parquet(
+            os.path.join(self.cfg.index_root, "_metrics")
+        )
+
+    def read_metrics(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(
+                os.path.join(self.cfg.index_root, "_metrics")
+            )
+        except Exception:
+            return None
 
     # -- streaming entry point ---------------------------------------------------
 
@@ -215,7 +269,7 @@ class FlightsEtlPipeline:
         transformed = self.transform_cdc(stream)
 
         def process(batch_df: DataFrame, epoch_id: int) -> None:
-            self._apply_batch(batch_df)
+            self._apply_batch(batch_df, epoch_id=epoch_id)
 
         writer = (
             transformed.writeStream.foreachBatch(process)

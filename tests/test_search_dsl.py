@@ -190,6 +190,97 @@ def test_stats_and_percentiles(spark, sf_dir):
     assert s["min"] <= s["avg"] <= s["max"]
 
 
+def test_nested_terms_terms_metric(fares):
+    """terms→terms→metric: per fare_class, the top origins with their max
+    start_ts — OpenSearch response shape, one Spark plan."""
+    body = {
+        "size": 0,
+        "aggs": {
+            "by_class": {
+                "terms": {"field": "fare_class", "size": 5},
+                "aggs": {
+                    "by_origin": {
+                        "terms": {"field": "origin", "size": 3},
+                        "aggs": {"latest": {"max": {"field": "start_ts"}}},
+                    }
+                },
+            }
+        },
+    }
+    res = execute_search(fares, body)
+    buckets = res["aggregations"]["by_class"]["buckets"]
+    assert {b["key"] for b in buckets} == {"nonstop", "direct"}
+    for b in buckets:
+        inner = b["by_origin"]["buckets"]
+        assert 1 <= len(inner) <= 3
+        # ordered by doc_count desc
+        counts = [ib["doc_count"] for ib in inner]
+        assert counts == sorted(counts, reverse=True)
+        for ib in inner:
+            assert ib["latest"]["value"] is not None
+        # child doc_counts sum to ≤ parent doc_count
+        assert sum(counts) <= b["doc_count"]
+
+
+def test_nested_terms_rejects_third_bucket_level(fares):
+    body = {
+        "aggs": {
+            "a": {
+                "terms": {"field": "fare_class"},
+                "aggs": {
+                    "b": {
+                        "terms": {"field": "origin"},
+                        "aggs": {"c": {"terms": {"field": "dest"}}},
+                    }
+                },
+            }
+        }
+    }
+    with pytest.raises(ValueError, match="metrics"):
+        execute_search(fares, body)
+
+
+def test_fixed_interval_histogram(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    body = {
+        "aggs": {
+            "per_12h": {
+                "date_histogram": {"field": "ts", "fixed_interval": "12h"},
+                "aggs": {"v": {"sum": {"field": "value"}}},
+            }
+        }
+    }
+    res = execute_search(events, body)
+    buckets = res["aggregations"]["per_12h"]["buckets"]
+    assert sum(b["doc_count"] for b in buckets) == events.count()
+    # every bucket key is 12h-aligned
+    for b in buckets:
+        assert b["key"].hour in (0, 12)
+        assert b["key"].minute == 0 and b["key"].second == 0
+    with pytest.raises(ValueError, match="fixed_interval"):
+        execute_search(
+            events,
+            {"aggs": {"x": {"date_histogram": {"field": "ts", "fixed_interval": "1q"}}}},
+        )
+
+
+def test_minimum_should_match_percentage(fares):
+    clauses = [
+        {"term": {"fare_class": "nonstop"}},
+        {"prefix": {"sk": "JFK#"}},
+        {"term": {"pk": "DEN"}},
+    ]
+    body_pct = {"query": {"bool": {"should": clauses, "minimum_should_match": "67%"}}}
+    body_two = {"query": {"bool": {"should": clauses, "minimum_should_match": 2}}}
+    n_pct = execute_search(fares, body_pct)["hits"].count()
+    n_two = execute_search(fares, body_two)["hits"].count()
+    assert n_pct == n_two  # floor(3 × 0.67) = 2
+    body_neg = {"query": {"bool": {"should": clauses, "minimum_should_match": -1}}}
+    assert execute_search(fares, body_neg)["hits"].count() == n_two
+
+
 def test_top_hits_high_cardinality_bounded(spark):
     """top_hits under terms on a high-cardinality field: results cover
     exactly the selected top-`size` buckets (the collect is bounded to

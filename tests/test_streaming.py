@@ -171,6 +171,32 @@ def test_compact_bounds_files_and_preserves_data(spark, pipeline, tmp_path):
     assert max(per_bucket.values()) == 1
 
 
+def test_metrics_golden_counts(spark, pipeline):
+    """W5 observability: the bootstrap batch appends per-route metrics —
+    40 rows in, 22 fare / 13 flight routed+merged, 5 dropped, 0 DLQ'd
+    (the reference's CloudWatch log group analog)."""
+    items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    pipeline.bootstrap(items)
+    m = {r.route: r for r in pipeline.read_metrics().collect()}
+    assert m["fare"].rows_in == 40
+    assert m["fare"].rows_routed == m["fare"].rows_merged == 22
+    assert m["flight"].rows_routed == m["flight"].rows_merged == 13
+    assert m["dropped"].rows_routed == 5
+    assert m["fare"].rows_deleted == 0 and m["fare"].rows_dlq == 0
+    assert m["fare"].epoch == -1
+
+    # a streamed CDC tail adds per-epoch rows with the delete counted
+    removed = [e for e in gen_cdc_events() if e["event_name"] == "REMOVE"][0]
+    batch = spark.createDataFrame([removed], CDC_SCHEMA)
+    pipeline._apply_batch(pipeline.transform_cdc(batch), epoch_id=7)
+    m7 = {
+        r.route: r
+        for r in pipeline.read_metrics().filter(F.col("epoch") == 7).collect()
+    }
+    assert m7["fare"].rows_deleted == 1
+    assert m7["fare"].rows_routed == 0
+
+
 def test_lower_seq_in_later_batch_does_not_clobber(spark, pipeline):
     """Cross-batch last-write-wins (K1): a stale re-delivered MODIFY with
     a LOWER sequence number arriving in a LATER micro-batch must lose to
