@@ -843,12 +843,19 @@ def match_analyzed_and(spark, sf_dir):
 )
 def tfidf_top_term(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")["documents"]
-    n = d.count()
+    # corpus size joins in as a broadcast single-row frame — one plan,
+    # no separate driver-side count() action
+    n = d.agg(F.count("*").alias("__n"))
     tk = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
     tf = tk.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
-    scored = tf.join(dfreq, "token").withColumn(
-        "tfidf", F.col("tf").cast("double") * F.lit(n) / F.col("dfreq")
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf", F.col("tf").cast("double") * F.col("__n") / F.col("dfreq")
+        )
+        .drop("__n")
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
     return (
