@@ -19,7 +19,9 @@ plan via a (parent, child) groupBy + per-parent window, never a query
 per bucket), min/max/sum/avg/stats/value_count, cardinality (exact or
 approx), percentiles, date_histogram (calendar_interval
 minute/hour/day/week/month/year or fixed_interval ms/s/m/h/d),
-top_hits (within terms buckets via window).
+top_hits (within terms buckets via window), range / filters (all
+buckets + metrics in one conditional-aggregation pass), filter,
+missing.
 
 Everything compiles to Column expressions / DataFrame plans — Catalyst
 pushes the filters into the scan; aggregations are partial-aggregated
@@ -207,6 +209,27 @@ def compile_query(q: dict[str, Any]) -> Column:
         return pred
 
     raise ValueError(f"unsupported query kind: {kind}")
+
+
+def _conditional_metric(kind: str, col: Column, name: str) -> Column:
+    """Metric aggregate over a WHEN-guarded column (rows outside the
+    bucket are NULL and ignored by the aggregate) — lets range/filters
+    buckets share one aggregation pass instead of one scan per bucket."""
+    if kind == "sum":
+        return F.sum(col.cast("decimal(28,6)")).cast("double").alias(name)
+    if kind == "avg":
+        return (F.sum(col.cast("decimal(28,6)")).cast("double") / F.count(col)).alias(name)
+    if kind == "min":
+        return F.min(col).alias(name)
+    if kind == "max":
+        return F.max(col).alias(name)
+    if kind == "value_count":
+        return F.count(col).alias(name)
+    if kind == "cardinality":
+        return F.countDistinct(col).alias(name)
+    raise ValueError(
+        f"unsupported metric {kind!r} inside a range/filters bucket"
+    )
 
 
 def _fixed_interval_micros(spec: str) -> int:
@@ -433,6 +456,82 @@ def _run_agg(df: DataFrame, name: str, spec: dict) -> Any:
         ).collect()[0]
         avg = (r["sum"] / r["count"]) if r["count"] else None
         return {"count": r["count"], "min": r["min"], "max": r["max"], "sum": r["sum"], "avg": avg}
+
+    if kind == "range":
+        # numeric range buckets [from, to); unbounded ends allowed.
+        # All buckets + their metric sub-aggs in ONE conditional-agg pass
+        # (no per-bucket scans, no shuffle per bucket).
+        field = body["field"]
+        col = F.col(field)
+        agg_cols, keys = [], []
+        for i, r_ in enumerate(body["ranges"]):
+            lo, hi = r_.get("from"), r_.get("to")
+            pred = F.lit(True)
+            if lo is not None:
+                pred = pred & (col >= F.lit(lo))
+            if hi is not None:
+                pred = pred & (col < F.lit(hi))
+            key = r_.get(
+                "key",
+                f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}",
+            )
+            keys.append(key)
+            agg_cols.append(
+                F.sum(pred.cast("long")).alias(f"__n{i}")
+            )
+            for n, s in sub.items():
+                # conditional metric: evaluate only on rows in the bucket
+                (mk, mb), = s.items()
+                mcol = F.when(pred, F.col(mb["field"]))
+                agg_cols.append(_conditional_metric(mk, mcol, f"__m{i}_{n}"))
+        row = df.agg(*agg_cols).collect()[0]
+        buckets = []
+        for i, r_ in enumerate(body["ranges"]):
+            b = {"key": keys[i], "doc_count": row[f"__n{i}"] or 0}
+            if r_.get("from") is not None:
+                b["from"] = r_["from"]
+            if r_.get("to") is not None:
+                b["to"] = r_["to"]
+            for n in sub:
+                b[n] = {"value": row[f"__m{i}_{n}"]}
+            buckets.append(b)
+        return {"buckets": buckets}
+
+    if kind == "filter":
+        # single-filter bucket: sub-aggs evaluated on the filtered frame
+        sub_df = df.filter(compile_query(body))
+        out: dict[str, Any] = {"doc_count": sub_df.count()}
+        for n, s in sub.items():
+            out[n] = _run_agg(sub_df, n, s)
+        return out
+
+    if kind == "filters":
+        # named filter buckets in ONE conditional-agg pass over the frame
+        named = body["filters"]
+        agg_cols = []
+        for fname, clause in named.items():
+            pred = F.coalesce(compile_query(clause), F.lit(False))
+            agg_cols.append(F.sum(pred.cast("long")).alias(f"__n_{fname}"))
+            for n, s in sub.items():
+                (mk, mb), = s.items()
+                mcol = F.when(pred, F.col(mb["field"]))
+                agg_cols.append(_conditional_metric(mk, mcol, f"__m_{fname}_{n}"))
+        row = df.agg(*agg_cols).collect()[0]
+        buckets = {}
+        for fname in named:
+            b = {"doc_count": row[f"__n_{fname}"] or 0}
+            for n in sub:
+                b[n] = {"value": row[f"__m_{fname}_{n}"]}
+            buckets[fname] = b
+        return {"buckets": buckets}
+
+    if kind == "missing":
+        field = body["field"]
+        sub_df = df.filter(F.col(field).isNull())
+        out = {"doc_count": sub_df.count()}
+        for n, s in sub.items():
+            out[n] = _run_agg(sub_df, n, s)
+        return out
 
     # plain metric aggregation at the top level
     r = df.agg(_metric_agg(name, spec)).collect()[0]

@@ -321,6 +321,72 @@ def test_percentiles_special_char_field(spark):
     assert res["aggregations"]["p"]["value"] == [50.0]
 
 
+def test_range_agg_one_pass(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    body = {
+        "aggs": {
+            "v_ranges": {
+                "range": {
+                    "field": "value",
+                    "ranges": [
+                        {"to": 10.0},
+                        {"from": 10.0, "to": 100.0, "key": "mid"},
+                        {"from": 100.0},
+                    ],
+                },
+                "aggs": {"m": {"max": {"field": "value"}}},
+            }
+        }
+    }
+    res = execute_search(events, body)
+    buckets = res["aggregations"]["v_ranges"]["buckets"]
+    assert [b["key"] for b in buckets] == ["*-10.0", "mid", "100.0-*"]
+    n_null = events.filter(F.col("value").isNull()).count()
+    assert sum(b["doc_count"] for b in buckets) == events.count() - n_null
+    mid = buckets[1]
+    want = events.filter(
+        (F.col("value") >= 10.0) & (F.col("value") < 100.0)
+    )
+    assert mid["doc_count"] == want.count()
+    assert mid["m"]["value"] == want.agg(F.max("value")).collect()[0][0]
+
+
+def test_filters_and_filter_and_missing_aggs(fares):
+    body = {
+        "aggs": {
+            "by_kind": {
+                "filters": {
+                    "filters": {
+                        "nonstop": {"term": {"fare_class": "nonstop"}},
+                        "from_den": {"term": {"pk": "DEN"}},
+                    }
+                },
+                "aggs": {"dests": {"cardinality": {"field": "dest", "exact": True}}},
+            },
+            "only_nonstop": {
+                "filter": {"term": {"fare_class": "nonstop"}},
+                "aggs": {"dests": {"cardinality": {"field": "dest", "exact": True}}},
+            },
+            "no_seat": {"missing": {"field": "seat"}},
+        }
+    }
+    res = execute_search(fares, body)
+    fb = res["aggregations"]["by_kind"]["buckets"]
+    n_nonstop = fares.filter(F.col("fare_class") == "nonstop").count()
+    assert fb["nonstop"]["doc_count"] == n_nonstop
+    assert fb["nonstop"]["dests"]["value"] >= 1
+    assert res["aggregations"]["only_nonstop"]["doc_count"] == n_nonstop
+    assert (
+        res["aggregations"]["only_nonstop"]["dests"]["value"]
+        == fb["nonstop"]["dests"]["value"]
+    )
+    assert res["aggregations"]["no_seat"]["doc_count"] == fares.filter(
+        F.col("seat").isNull()
+    ).count()
+
+
 def test_unsupported_clause_raises():
     with pytest.raises(ValueError, match="unsupported query kind"):
         compile_query({"more_like_this": {"x": "y"}})
