@@ -105,3 +105,47 @@ def test_exact_dedup_shuffles_hashes_not_documents(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     read_schema = plan.split("ReadSchema")[1].splitlines()[0]
     assert "lang" not in read_schema  # pruned: only text + doc_id read
+
+
+def test_ntile_has_no_global_window(spark, sf_dir):
+    """The quartile plan's only Window operator is partitioned by the
+    range-partition id — never an empty-partition (single-task) window."""
+    plan = plan_of(spark, sf_dir, "ntile_quartiles")
+    assert "Window" in plan
+    for chunk in plan.split("Arguments")[1:]:
+        head = chunk.splitlines()[0]
+        if "windowspecdefinition" in head:
+            assert "__range_pid" in head
+
+
+def test_indexed_lsh_pushes_bucket_predicates_and_broadcasts(spark, sf_dir):
+    """Materialized-index ANN: (table, bucket) equality pairs reach the
+    index scan as pushed filters; candidate ids join the corpus via a
+    broadcast join, never a corpus shuffle."""
+    plan = plan_of(spark, sf_dir, "ann_lsh_indexed_topk")
+    pushed = [
+        seg.splitlines()[0] for seg in plan.split("PushedFilters")[1:]
+    ]
+    assert any("bucket" in p for p in pushed)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_indexed_ivf_prunes_cluster_partitions(spark, sf_dir):
+    """IVF index is parquet partitioned by _cluster: probing 4 of 16
+    cells must show as a partition filter (pruned scan), and candidates
+    broadcast-join the corpus."""
+    plan = plan_of(spark, sf_dir, "ann_ivf_indexed_topk")
+    part = [seg.splitlines()[0] for seg in plan.split("PartitionFilters")[1:]]
+    assert any("_cluster" in p for p in part)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_nested_terms_agg_single_plan_partial_aggs(spark, sf_dir):
+    """Nested terms→terms→metric: one plan with map-side partial
+    aggregation and a broadcast semi-join on the selected parent keys —
+    no per-bucket scans."""
+    plan = plan_of(spark, sf_dir, "nested_terms_agg")
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan
