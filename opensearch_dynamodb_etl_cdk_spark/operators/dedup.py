@@ -19,6 +19,7 @@ skew-join handles residual imbalance.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -308,4 +309,65 @@ def blocked_jaccard_pairs(
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    max_bucket: int = 2000,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (the scale
+    path for embedding dedup — driver charter E2 'embedding-cosine
+    near-dup').
+
+    Candidates are id pairs sharing a random-hyperplane bucket in any
+    table (reuses :mod:`operators.similarity`'s index expressions; pass
+    a persisted ``build_lsh_index`` frame via ``index`` to skip the
+    signature scan). Quadratic work happens only within buckets, capped
+    at ``max_bucket`` rows (boilerplate/skew guard, same convention as
+    MinHash banding); the exact cosine verify touches candidate pairs
+    only — never an unblocked O(n²) self-join.
+    """
+    from .similarity import build_lsh_index
+    from ..functions.vectors import cosine
+
+    idx = index if index is not None else build_lsh_index(
+        df, bits=bits, n_tables=n_tables, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    sized = idx.withColumn(
+        "__bn", F.count("*").over(Window.partitionBy("table", "bucket"))
+    )
+    bounded = sized.filter(F.col("__bn") <= max_bucket).drop("__bn")
+    a, b = bounded.alias("a"), bounded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b",
+            cosine(F.col("__va"), F.col("__vb")).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
     )

@@ -1162,3 +1162,23 @@ def multimodal_frame_counts(spark, sf_dir):
         F.count("*").alias("n_frames"),
         F.sum("frame_bytes").alias("sum_frame_bytes"),
     )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=None,  # LSH bucketing not SQL-expressible; planted-dup recall
+    # and exact-cosine verification are property-tested in pytest
+    doc="Embedding-cosine near-duplicate pairs via LSH bucket candidate "
+    "generation + exact cosine verify (operators/dedup.py::"
+    "embedding_near_dup_pairs — the E2 scale path: quadratic work only "
+    "within capped buckets, verify touches candidates only). Threshold "
+    "0.45 is calibrated to the synthetic embeddings table, whose max "
+    "pairwise cosine is ~0.51 (no planted duplicates).",
+    tags=("dedup", "similarity", "lsh"),
+)
+def embedding_near_dup_pairs(spark, sf_dir):
+    from ..operators.dedup import embedding_near_dup_pairs as _pairs
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    idx = _lsh_index(spark, sf_dir, e)
+    return _pairs(e, threshold=0.45, index=idx).orderBy("id_a", "id_b")

@@ -325,3 +325,34 @@ def test_quality_score_bounds(spark, sf_dir):
         F.max(T.quality_score(F.col("text"))).alias("hi"),
     ).collect()[0]
     assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+
+def test_embedding_near_dup_pairs_finds_planted(spark):
+    """Planted embedding near-dups (tiny noise, cosine ≈ 1) must all
+    surface; unrelated random pairs must not. Verification is exact
+    cosine, so no false positives above the threshold."""
+    rng = random.Random(29)
+    base = [[rng.gauss(0, 1) for _ in range(32)] for _ in range(6)]
+    rows = []
+    vid = 0
+    planted = set()
+    for b in base:
+        a_id, b_id = vid, vid + 1
+        rows.append((a_id, b))
+        rows.append((b_id, [x + rng.gauss(0, 0.01) for x in b]))
+        planted.add((a_id, b_id))
+        vid += 2
+    for _ in range(300):
+        rows.append((vid, [rng.gauss(0, 1) for _ in range(32)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    from opensearch_dynamodb_etl_cdk_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert got == planted
