@@ -19,9 +19,9 @@ plan via a (parent, child) groupBy + per-parent window, never a query
 per bucket), min/max/sum/avg/stats/value_count, cardinality (exact or
 approx), percentiles, date_histogram (calendar_interval
 minute/hour/day/week/month/year or fixed_interval ms/s/m/h/d),
-top_hits (within terms buckets via window), range / filters (all
-buckets + metrics in one conditional-aggregation pass), filter,
-missing.
+top_hits (within terms buckets via window), histogram (numeric fixed
+interval), range / filters (all buckets + metrics in one
+conditional-aggregation pass), filter, missing.
 
 Everything compiles to Column expressions / DataFrame plans — Catalyst
 pushes the filters into the scan; aggregations are partial-aggregated
@@ -456,6 +456,30 @@ def _run_agg(df: DataFrame, name: str, spec: dict) -> Any:
         ).collect()[0]
         avg = (r["sum"] / r["count"]) if r["count"] else None
         return {"count": r["count"], "min": r["min"], "max": r["max"], "sum": r["sum"], "avg": avg}
+
+    if kind == "histogram":
+        # numeric fixed-interval buckets: floor(value / interval) × interval
+        field = body["field"]
+        interval = float(body["interval"])
+        bucket = (F.floor(F.col(field) / interval) * interval).alias("key")
+        metric_cols = [_metric_agg(n, s) for n, s in sub.items()]
+        rows = (
+            df.filter(F.col(field).isNotNull())
+            .groupBy(bucket)
+            .agg(F.count("*").alias("doc_count"), *metric_cols)
+            .orderBy("key")
+            .collect()
+        )
+        return {
+            "buckets": [
+                {
+                    "key": r["key"],
+                    "doc_count": r["doc_count"],
+                    **{n: {"value": r[n]} for n in sub},
+                }
+                for r in rows
+            ]
+        }
 
     if kind == "range":
         # numeric range buckets [from, to); unbounded ends allowed.

@@ -151,15 +151,24 @@ def lsh_candidate_ids(
     n_tables: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
+    probe_flips: int = 0,
 ) -> DataFrame:
     """Candidate ids for one query from the materialized index: an OR of
-    n_tables ``(table = t AND bucket = b)`` equality pairs — a pushable
-    predicate (shows up in PushedFilters on a parquet-persisted index),
-    so only matching row groups are read. Candidates ≈ corpus ×
-    n_tables / 2^bits ≪ corpus."""
+    n_tables ``(table = t AND bucket IN (...))`` predicates — pushable
+    (shows up in PushedFilters on a parquet-persisted index), so only
+    matching row groups are read. Candidates ≈ corpus × n_tables /
+    2^bits ≪ corpus.
+
+    ``probe_flips=1`` enables multi-probe: each table also probes the
+    ``bits`` buckets at hamming distance 1 from the query signature
+    (sign bits nearest the hyperplane flip first) — recall rises
+    without growing the index, candidates grow ×(1 + bits)."""
     pred = None
     for t, b in query_signatures(query_vec, bits, n_tables, seed):
-        p = (F.col("table") == t) & (F.col("bucket") == b)
+        buckets = [b]
+        if probe_flips >= 1:
+            buckets += [b ^ (1 << i) for i in range(bits)]
+        p = (F.col("table") == t) & F.col("bucket").isin(buckets)
         pred = p if pred is None else (pred | p)
     return index.filter(pred).select(id_col).distinct()
 
@@ -174,13 +183,17 @@ def query_lsh_topk(
     bits: int = 8,
     n_tables: int = 8,
     seed: int = 42,
+    probe_flips: int = 0,
 ) -> DataFrame:
     """ANN top-k against a *materialized* index: bucket lookup →
     broadcast-semi-join the candidate ids against the corpus → exact
     cosine re-rank of candidates only. The corpus is scanned once with
     an id-equality semi join (broadcast: |candidates| ≪ corpus) — no
-    per-query signature folds over the full corpus."""
-    cands = lsh_candidate_ids(index, query_vec, bits, n_tables, seed, id_col)
+    per-query signature folds over the full corpus. ``probe_flips``
+    passes through to :func:`lsh_candidate_ids` (multi-probe)."""
+    cands = lsh_candidate_ids(
+        index, query_vec, bits, n_tables, seed, id_col, probe_flips
+    )
     candidates = df.join(F.broadcast(cands), on=id_col, how="left_semi")
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 

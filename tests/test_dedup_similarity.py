@@ -356,3 +356,37 @@ def test_embedding_near_dup_pairs_finds_planted(spark):
         for r in embedding_near_dup_pairs(df, threshold=0.95).collect()
     }
     assert got == planted
+
+
+def test_lsh_multiprobe_recall_supersets_single_probe(spark):
+    """probe_flips=1 candidates are a superset of the single-probe set
+    and stay bounded (≤ ×(1+bits)); recall never decreases."""
+    rng = random.Random(31)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+    idx = S.build_lsh_index(df, bits=8, n_tables=4)
+    single = {
+        r.vec_id
+        for r in S.lsh_candidate_ids(idx, q, bits=8, n_tables=4).collect()
+    }
+    multi = {
+        r.vec_id
+        for r in S.lsh_candidate_ids(
+            idx, q, bits=8, n_tables=4, probe_flips=1
+        ).collect()
+    }
+    assert single <= multi
+    assert len(multi) <= len(single) * (1 + 8) + 8
+    bf = {r.vec_id for r in S.brute_force_topk(df, q, k=5).collect()}
+    got_s = {
+        r.vec_id
+        for r in S.query_lsh_topk(df, idx, q, k=5, bits=8, n_tables=4).collect()
+    }
+    got_m = {
+        r.vec_id
+        for r in S.query_lsh_topk(
+            df, idx, q, k=5, bits=8, n_tables=4, probe_flips=1
+        ).collect()
+    }
+    assert len(got_m & bf) >= len(got_s & bf)

@@ -456,3 +456,24 @@ def test_bool_minimum_should_match_counts(spark, sf_dir):
     )
     expected = c.filter(n_sat >= 2).count()
     assert got == expected > 0
+
+
+def test_numeric_histogram_agg(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    body = {
+        "aggs": {
+            "v_hist": {
+                "histogram": {"field": "value", "interval": 50.0},
+                "aggs": {"m": {"min": {"field": "value"}}},
+            }
+        }
+    }
+    res = execute_search(events, body)
+    buckets = res["aggregations"]["v_hist"]["buckets"]
+    n_notnull = events.filter(F.col("value").isNotNull()).count()
+    assert sum(b["doc_count"] for b in buckets) == n_notnull
+    for b in buckets:
+        assert b["key"] % 50.0 == 0
+        assert b["key"] <= b["m"]["value"] < b["key"] + 50.0
