@@ -70,13 +70,20 @@ N_BUCKETS = 16  # hash buckets for index-table partitioning
 @dataclass
 class PipelineConfig:
     """Mirrors the reference's 60-line YAML pipeline definition
-    (custom_resource.py:324-384): routes + per-route sink + DLQ."""
+    (custom_resource.py:324-384): routes + per-route sink + DLQ.
+
+    ``n_buckets`` sizes the index's hash partitioning: per-batch merge
+    cost ∝ touched buckets, so size it ≫ expected concurrent-batch key
+    spread but ≪ total keys (each bucket should hold enough rows for
+    healthy parquet files). 16 suits the test corpus; a 100 TB index
+    wants O(10⁴) so a micro-batch rewrites a small fraction of data."""
 
     index_root: str
     checkpoint_root: str
     routes: tuple[str, ...] = ("fare", "flight")
     attrs: dict = field(default_factory=lambda: dict(SUPERSET_ATTRS))
     aliases: dict = field(default_factory=lambda: dict(ALIASES))
+    n_buckets: int = N_BUCKETS
 
 
 class FlightsEtlPipeline:
@@ -94,7 +101,7 @@ class FlightsEtlPipeline:
             F.col("seq").cast("long").alias("_seq"),
             derive_action(F.col("event_name")).alias("_action"),
             *unmarshal(parsed, self.cfg.attrs, aliases=self.cfg.aliases),
-        ).withColumn("_bucket", F.pmod(F.xxhash64("_id"), F.lit(N_BUCKETS)))
+        ).withColumn("_bucket", F.pmod(F.xxhash64("_id"), F.lit(self.cfg.n_buckets)))
 
     def transform_export(self, items: DataFrame, base_seq: int = 0) -> DataFrame:
         """Export snapshot rows (item_json) → same shape as a CDC batch of
@@ -296,7 +303,7 @@ class FlightsEtlPipeline:
             return
         snapshot = current.localCheckpoint(eager=True)  # break lineage vs overwrite
         (
-            snapshot.repartition(N_BUCKETS * files_per_bucket, "_bucket")
+            snapshot.repartition(self.cfg.n_buckets * files_per_bucket, "_bucket")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_bucket")
