@@ -251,8 +251,15 @@ class FlightsEtlPipeline:
             "epoch long, route string, rows_in long, rows_routed long, "
             "rows_merged long, rows_deleted long, rows_dlq long",
         )
-        mdf.coalesce(1).write.mode("append").parquet(
-            os.path.join(self.cfg.index_root, "_metrics")
+        # partitioned by epoch + dynamic overwrite: re-delivery of a
+        # failed micro-batch rewrites its own epoch's rows instead of
+        # appending duplicates — metrics stay exactly-once like the data.
+        (
+            mdf.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(os.path.join(self.cfg.index_root, "_metrics"))
         )
 
     def read_metrics(self) -> DataFrame | None:

@@ -196,6 +196,13 @@ def test_metrics_golden_counts(spark, pipeline):
     assert m7["fare"].rows_deleted == 1
     assert m7["fare"].rows_routed == 0
 
+    # re-delivery of the same epoch overwrites its rows — no duplicates
+    pipeline._apply_batch(pipeline.transform_cdc(batch), epoch_id=7)
+    n_rows_epoch7 = (
+        pipeline.read_metrics().filter(F.col("epoch") == 7).count()
+    )
+    assert n_rows_epoch7 == len(pipeline.cfg.routes) + 1
+
 
 def test_lower_seq_in_later_batch_does_not_clobber(spark, pipeline):
     """Cross-batch last-write-wins (K1): a stale re-delivered MODIFY with
