@@ -225,7 +225,7 @@ def query_lsh_topk_multi(
         .distinct()
     )
     scored = (
-        pairs.join(df, on=id_col)
+        df.join(F.broadcast(pairs), on=id_col)  # corpus never shuffles
         .join(F.broadcast(queries), on=q_id_col)
         .select(
             F.col(q_id_col),
