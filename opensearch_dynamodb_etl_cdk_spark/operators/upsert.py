@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 ACTION_COL = "_action"
 SEQ_COL = "_seq"
+DELETED_COL = "_deleted"
 
 
 def derive_action(event_name: Column) -> Column:
@@ -69,6 +70,7 @@ def apply_cdc_batch(
     key: str = "_id",
     seq: str = SEQ_COL,
     action: str = ACTION_COL,
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """MERGE a CDC micro-batch into the current index frame.
 
@@ -83,18 +85,33 @@ def apply_cdc_batch(
     batch (exactly-once effect, SURVEY K2): a replayed (key, seq) ties
     with the stored row carrying an identical image.
 
-    Known limit (matches the reference sink): deletes are not stored as
+    Default (matches the reference sink): deletes are not stored as
     tombstones, so an upsert with a lower seq re-delivered *after* the
     delete's batch re-creates the document — same behavior as an
     OpenSearch delete followed by a late index call without external
-    versioning.
+    versioning. Pass ``keep_tombstones=True`` for strictly stronger
+    semantics: deletes persist as rows flagged ``_deleted`` (body NULL)
+    carrying their sequence number, so the stale upsert loses the
+    ``max_by`` and stays dead. Read paths must filter ``_deleted``;
+    compaction can purge (see streaming/pipeline.py).
     """
     latest = latest_by_key(batch, key=key, seq=seq)
-    if index is None:
-        return latest.filter(F.col(action) != "delete").drop(action)
     prior = index
-    if seq not in prior.columns:  # legacy index written without seq
-        prior = prior.withColumn(seq, F.lit(-1).cast("long"))
-    prior = prior.withColumn(action, F.lit("index"))
-    merged = latest_by_key(prior.unionByName(latest), key=key, seq=seq)
+    if prior is not None:
+        if seq not in prior.columns:  # legacy index written without seq
+            prior = prior.withColumn(seq, F.lit(-1).cast("long"))
+        if DELETED_COL in prior.columns:
+            prior = prior.withColumn(
+                action,
+                F.when(F.col(DELETED_COL), "delete").otherwise("index"),
+            ).drop(DELETED_COL)
+        else:
+            prior = prior.withColumn(action, F.lit("index"))
+        merged = latest_by_key(prior.unionByName(latest), key=key, seq=seq)
+    else:
+        merged = latest
+    if keep_tombstones:
+        return merged.withColumn(
+            DELETED_COL, F.col(action) == "delete"
+        ).drop(action)
     return merged.filter(F.col(action) != "delete").drop(action)

@@ -84,6 +84,11 @@ class PipelineConfig:
     attrs: dict = field(default_factory=lambda: dict(SUPERSET_ATTRS))
     aliases: dict = field(default_factory=lambda: dict(ALIASES))
     n_buckets: int = N_BUCKETS
+    # True = deletes persist as _deleted-flagged tombstone rows (with
+    # their seq), so a stale lower-seq upsert re-delivered AFTER the
+    # delete's batch cannot resurrect the doc. False (default) matches
+    # the reference sink: a delete removes the row outright.
+    keep_tombstones: bool = False
 
 
 class FlightsEtlPipeline:
@@ -146,7 +151,9 @@ class FlightsEtlPipeline:
             current = self.read_index(route)
             if current is not None:
                 current = current.filter(F.col("_bucket").isin(touched))
-            merged = apply_cdc_batch(current, batch)
+            merged = apply_cdc_batch(
+                current, batch, keep_tombstones=self.cfg.keep_tombstones
+            )
             # Materialize before writing: the merge plan reads the same
             # parquet files the write is about to replace (no Delta txn log
             # in this image) — localCheckpoint breaks the lineage so the
@@ -296,7 +303,9 @@ class FlightsEtlPipeline:
 
     # -- maintenance -----------------------------------------------------------
 
-    def compact(self, route: str, files_per_bucket: int = 1) -> None:
+    def compact(
+        self, route: str, files_per_bucket: int = 1, purge_tombstones: bool = False
+    ) -> None:
         """Rewrite a route's index with bounded files per hash bucket.
 
         Every micro-batch MERGE rewrites its touched buckets, so steady
@@ -304,11 +313,18 @@ class FlightsEtlPipeline:
         pathology: at scale, scan cost becomes file-count-bound, not
         byte-bound). Compaction is the same dynamic-partition-overwrite
         write the MERGE uses — one coalesced file set per bucket, same
-        data, run off the hot path."""
+        data, run off the hot path. ``purge_tombstones`` drops
+        ``_deleted`` rows (retention boundary: a stale upsert older than
+        the purged tombstone CAN resurrect after the purge — run purges
+        only past the source's maximum re-delivery horizon)."""
         current = self.read_index(route)
         if current is None:
             return
+        before = {r._bucket for r in current.select("_bucket").distinct().collect()}
+        if purge_tombstones and "_deleted" in current.columns:
+            current = current.filter(~F.col("_deleted"))
         snapshot = current.localCheckpoint(eager=True)  # break lineage vs overwrite
+        after = {r._bucket for r in snapshot.select("_bucket").distinct().collect()}
         (
             snapshot.repartition(self.cfg.n_buckets * files_per_bucket, "_bucket")
             .write.mode("overwrite")
@@ -316,11 +332,19 @@ class FlightsEtlPipeline:
             .partitionBy("_bucket")
             .parquet(self._index_path(route))
         )
+        # a purge can empty a bucket; dynamic overwrite never rewrites a
+        # partition absent from its output, so drop those dirs explicitly
+        self._remove_buckets(route, before - after)
 
     # -- query surface over the materialized indexes -------------------------
 
     def index_view(self, route: str) -> DataFrame | None:
+        """Live documents only: tombstone rows (``_deleted``) are an
+        implementation detail of the merge, never part of query results."""
         df = self.read_index(route)
-        if df is not None:
-            df.createOrReplaceTempView(f"{route}_index")
+        if df is None:
+            return None
+        if "_deleted" in df.columns:
+            df = df.filter(~F.col("_deleted")).drop("_deleted")
+        df.createOrReplaceTempView(f"{route}_index")
         return df

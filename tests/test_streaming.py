@@ -270,6 +270,70 @@ def test_deletes_that_empty_buckets_remove_partitions(spark, pipeline):
         assert files == []
 
 
+def test_tombstones_block_stale_resurrection(spark, tmp_path):
+    """keep_tombstones=True: a REMOVE persists as a _deleted row with its
+    seq, so a STALE lower-seq upsert in a LATER batch cannot resurrect
+    the doc — while a genuinely newer upsert still can."""
+    cfg = PipelineConfig(
+        index_root=str(tmp_path / "indexes"),
+        checkpoint_root=str(tmp_path / "chk"),
+        keep_tombstones=True,
+    )
+    pipeline = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    pipeline.bootstrap(items)
+    first = json.loads(gen_corpus()[0])
+    pk, sk = first["PK"]["S"], first["SK"]["S"]
+    mid = f"{pk}|{sk}"
+
+    def event(seq, name, image):
+        return {
+            "seq": seq, "event_name": name, "event_ts": "2021-09-01T00:00:00",
+            "pk": pk, "sk": sk,
+            "new_image_json": json.dumps(image, sort_keys=True) if image else None,
+        }
+
+    # delete at seq 100
+    pipeline._apply_batch(
+        pipeline.transform_cdc(
+            spark.createDataFrame([event(100, "REMOVE", None)], CDC_SCHEMA)
+        ),
+        epoch_id=1,
+    )
+    assert pipeline.index_view("fare").filter(F.col("_id") == mid).count() == 0
+
+    # stale upsert at seq 50 in a LATER batch: must stay dead
+    pipeline._apply_batch(
+        pipeline.transform_cdc(
+            spark.createDataFrame([event(50, "MODIFY", first)], CDC_SCHEMA)
+        ),
+        epoch_id=2,
+    )
+    assert pipeline.index_view("fare").filter(F.col("_id") == mid).count() == 0
+    assert pipeline.index_view("fare").count() == 21  # others untouched
+
+    # genuinely newer insert at seq 200: resurrects
+    pipeline._apply_batch(
+        pipeline.transform_cdc(
+            spark.createDataFrame([event(200, "INSERT", first)], CDC_SCHEMA)
+        ),
+        epoch_id=3,
+    )
+    assert pipeline.index_view("fare").filter(F.col("_id") == mid).count() == 1
+
+    # tombstone purge at compaction keeps only live rows on disk
+    pipeline._apply_batch(
+        pipeline.transform_cdc(
+            spark.createDataFrame([event(300, "REMOVE", None)], CDC_SCHEMA)
+        ),
+        epoch_id=4,
+    )
+    pipeline.compact("fare", purge_tombstones=True)
+    raw = pipeline.read_index("fare")
+    assert raw.filter(F.col("_deleted")).count() == 0
+    assert pipeline.index_view("fare").count() == 21
+
+
 def test_unrouted_items_not_in_indexes(spark, pipeline):
     """R3 parity: assignment/booking items reach no index table."""
     items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
