@@ -73,14 +73,38 @@ N_RUNS = 2  # best-of-2: first execution pays JIT/codegen warm-up (up to
 # regression comparison against BASELINE
 
 
+def _warm_python_workers(spark) -> None:
+    """Spin up the reusable Python worker pool (one per core) with a
+    no-op mapInPandas pass so the first Pandas-UDF headline query is not
+    billed ~5 s of daemon/Arrow cold start."""
+
+    def _ident(batches):
+        yield from batches
+
+    (
+        spark.range(0, 320, 1, 32)
+        .mapInPandas(_ident, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+
 def main() -> None:
     spark = get_spark("bench")
-    # warm-up: JVM/codegen/parquet-footer caches
+    # warm-up: JVM/codegen/parquet-footer caches + Python worker pool
     spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
+    _warm_python_workers(spark)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(min(run_once(spark, name) for _ in range(N_RUNS)), 4)
+        # Drop cached frames so one query's cache residue (e.g. the
+        # persisted MinHash banded frame) doesn't distort the memory
+        # pressure seen by the next query. Within a query's best-of-2
+        # the cache still works; disk-persisted ANN indexes are
+        # unaffected.
+        spark.catalog.clearCache()
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
