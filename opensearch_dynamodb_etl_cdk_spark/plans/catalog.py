@@ -1056,3 +1056,4 @@ def scalar_functions(spark, sf_dir):
 # import; kept in sibling modules to bound file size.
 from . import catalog_ext  # noqa: E402,F401
 from . import catalog_analytics  # noqa: E402,F401
+from . import catalog_tpch  # noqa: E402,F401

@@ -1,0 +1,901 @@
+"""TPC-H suite completion: the join/subquery shapes not yet in the
+catalog — Q2, Q7–Q13, Q15–Q17, Q19–Q22 — adapted to the driver's
+trimmed schema (no partsupp table; no comment/phone/shipmode/commit/
+receipt columns). Each query keeps the REFERENCE SHAPE of its TPC-H
+counterpart (the join tree, the subquery structure, the aggregate
+pattern) while substituting available columns, and carries an exact
+DuckDB oracle twin.
+
+Together with q1/q3/q4/q5/q6/q14/q18 in plans/catalog.py and
+plans/catalog_analytics.py this covers all 22 TPC-H query shapes.
+
+Adaptations (documented per query): part↔supplier facts come from
+lineitem (the only bridge without partsupp); supply cost is proxied by
+min unit price; ship delay (l_shipdate − o_orderdate) stands in for
+commit/receipt lateness; order priority stands in for comment filters.
+
+Oracle discipline follows plans/catalog.py: money aggregates via
+associative decimal sums surfaced as double (order-independent across
+engines); MIN/MAX on raw doubles (order-independent by definition);
+per-group means via decimal-sum/count; every computed column aliased
+identically on both sides; deterministic tie-breaks on every LIMIT.
+
+Scale notes (100 TB): dimension frames (region/nation/supplier/part
+after filters) are broadcast; fact-fact joins shuffle on their keys;
+correlated subqueries are decorrelated by hand into aggregate-and-join
+form (the same strategy Catalyst uses, made explicit) so no query ever
+re-executes a subquery per row; scalar thresholds travel as broadcast
+1-row frames, never driver-side collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import _t, dsum, register
+
+
+def _disc_price():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated scalar MIN subquery).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, unit_cost
+    FROM part, supplier, ps, nation, region
+    WHERE p_partkey = ps.partkey AND s_suppkey = ps.suppkey
+      AND p_size <= 15 AND p_type = 'LARGE'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND unit_cost = (
+        SELECT MIN(ps2.unit_cost)
+        FROM ps ps2, supplier s2, nation n2, region r2
+        WHERE ps2.partkey = p_partkey AND s2.s_suppkey = ps2.suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape: minimum-cost supplier per part via a correlated "
+    "scalar MIN subquery, decorrelated to a per-part MIN aggregate joined "
+    "back on (partkey, unit_cost). partsupp is synthesized from lineitem "
+    "as MIN(l_extendedprice/l_quantity) per (part, supplier) — MIN of "
+    "doubles is order-independent, so the equality join is exact. "
+    "region/nation broadcast; the per-part MIN reuses the same shuffle "
+    "key as the join that consumes it.",
+    tags=("tpch", "join", "subquery"),
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    t = _t(spark, sf_dir, "part", "supplier", "lineitem", "nation", "region")
+    ps = (
+        t["lineitem"]
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    r = t["region"].filter(F.col("r_name") == "EUROPE")
+    n = t["nation"].join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    s_eu = t["supplier"].join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    # Eligible (part, supplier) offers within the region.
+    offers = ps.join(s_eu, ps["suppkey"] == s_eu["s_suppkey"])
+    # Decorrelated scalar subquery: regional minimum cost per part.
+    # (renamed key: min_cost derives from offers, so a same-name join
+    # would be an ambiguous self-join reference)
+    min_cost = offers.groupBy(F.col("partkey").alias("mc_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    p = t["part"].filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+    return (
+        offers.join(
+            min_cost,
+            (F.col("partkey") == F.col("mc_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), offers["partkey"] == p["p_partkey"])
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "unit_cost")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between a nation pair, by year.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(volume AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate <  DATE '1998-01-01') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: bidirectional nation-pair trade volume by ship "
+    "year. Two broadcast joins against nation (aliased twice), the "
+    "disjunctive pair predicate applied after both are attached, "
+    "fact-fact lineitem⋈orders shuffled on orderkey. The date filter "
+    "pushes to the lineitem scan.",
+    tags=("tpch", "join", "agg"),
+)
+def q7_volume_shipping(spark, sf_dir):
+    t = _t(spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation")
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    s = t["supplier"].join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    c = t["customer"].join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    joined = (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            _disc_price().alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("volume"), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share within a region, by year.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_5'
+                         THEN CAST(volume AS DECIMAL(28,4))
+                         ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(volume AS DECIMAL(28,4))) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+           region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate >= DATE '1995-01-01'
+        AND o_orderdate <  DATE '1997-01-01'
+        AND p_type = 'STANDARD') all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8 shape: one nation's share of regional revenue by order "
+    "year — a conditional-aggregation ratio over an 8-way join tree. "
+    "part (filtered), supplier+nation, and customer-nation-region are "
+    "broadcast; both sums are associative decimal folds so the double "
+    "division is bit-identical across engines.",
+    tags=("tpch", "join", "agg"),
+)
+def q8_market_share(spark, sf_dir):
+    t = _t(
+        spark, sf_dir, "part", "supplier", "lineitem", "orders", "customer",
+        "nation", "region",
+    )
+    r = t["region"].filter(F.col("r_name") == "ASIA")
+    n1 = t["nation"].join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    c = t["customer"].join(
+        F.broadcast(n1), F.col("c_nationkey") == n1["n_nationkey"]
+    ).select("c_custkey")
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    s = t["supplier"].join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    p = t["part"].filter(F.col("p_type") == "STANDARD")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    vol = _disc_price().cast("decimal(28,4)")
+    national = F.when(F.col("nation") == "NATION_5", vol).otherwise(
+        F.lit(0).cast("decimal(28,4)")
+    )
+    return (
+        joined.select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"),
+                      national.alias("national_volume"))
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum("national_volume").cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-line profit by nation and year.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount)
+                  - p_retailprice * l_quantity AS DECIMAL(28,4)) AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%gear%') profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape: profit by supplier nation and order year over a "
+    "5-way join. Supply cost is proxied by p_retailprice*l_quantity "
+    "(no partsupp table in this schema). part is filtered on a "
+    "substring LIKE then broadcast; profit rows are cast to decimal "
+    "per-row so the per-group sum is order-independent.",
+    tags=("tpch", "join", "agg"),
+)
+def q9_product_profit(spark, sf_dir):
+    t = _t(spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation")
+    p = t["part"].filter(F.col("p_name").like("%gear%"))
+    s = t["supplier"].join(
+        F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    amount = (
+        _disc_price() - F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(28,4)")
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item reporting: top customers by lost revenue.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
+                AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-01-01'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: top-20 customers by revenue lost to returns in "
+    "a quarter. The returnflag + date filters push to the scans before "
+    "the fact-fact join; nation is broadcast; the LIMIT rides a "
+    "TakeOrderedAndProject with c_custkey as the deterministic "
+    "tie-break (revenue doubles are decimal-fold exact).",
+    tags=("tpch", "join", "agg", "topk"),
+)
+def q10_returned_items(spark, sf_dir):
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    c = t["customer"].join(
+        F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(_disc_price(), 4).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important parts: value concentration above a global fraction.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS val
+      FROM lineitem GROUP BY l_partkey)
+    SELECT partkey, CAST(val AS DOUBLE) AS part_value
+    FROM v
+    WHERE CAST(val AS DOUBLE) >
+          (SELECT CAST(SUM(val) AS DOUBLE) * 0.0007 FROM v)
+    ORDER BY part_value DESC, partkey
+    """,
+    doc="TPC-H Q11 shape: parts whose traded value exceeds a fixed "
+    "fraction of the global total — a HAVING-over-scalar-subquery, "
+    "decorrelated to a broadcast 1-row threshold joined against the "
+    "per-part aggregate (no partsupp: value = sum of lineitem "
+    "extendedprice per part). Both sides aggregate decimals and compare "
+    "as double, so the threshold test is engine-order-independent.",
+    tags=("tpch", "agg", "subquery"),
+)
+def q11_important_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    v = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).alias("val")
+    )
+    thresh = v.agg(
+        (F.sum("val").cast("double") * F.lit(0.0007)).alias("threshold")
+    )
+    return (
+        v.join(F.broadcast(thresh))
+        .filter(F.col("val").cast("double") > F.col("threshold"))
+        .select("partkey", F.col("val").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping-delay classification (shipmode stand-in).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q12_ship_delay_priority",
+    oracle="""
+    SELECT delay_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM (
+      SELECT CASE WHEN DATE_DIFF('day', CAST(o_orderdate AS DATE),
+                                 CAST(l_shipdate AS DATE)) > 90 THEN 'late'
+                  WHEN DATE_DIFF('day', CAST(o_orderdate AS DATE),
+                                 CAST(l_shipdate AS DATE)) > 30 THEN 'slow'
+                  ELSE 'fast' END AS delay_bucket,
+             o_orderpriority
+      FROM orders, lineitem
+      WHERE o_orderkey = l_orderkey
+        AND l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate <  DATE '1997-01-01') classified
+    GROUP BY delay_bucket
+    ORDER BY delay_bucket
+    """,
+    doc="TPC-H Q12 shape: line counts by priority class within shipping "
+    "buckets. The schema has no l_shipmode/commitdate/receiptdate, so "
+    "the bucket is the ship delay (l_shipdate − o_orderdate) banded at "
+    "30/90 days — same CASE-sum pivot over a fact-fact join, shuffled "
+    "on orderkey with the year filter pushed to the lineitem scan.",
+    tags=("tpch", "join", "agg"),
+)
+def q12_ship_delay_priority(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    delay = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    bucket = (
+        F.when(delay > 90, "late").when(delay > 30, "slow").otherwise("fast")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(bucket.alias("delay_bucket"), high.alias("is_high"))
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~F.col("is_high"), 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (left outer join).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape: distribution of customers by order count, "
+    "including zero-order customers via a LEFT OUTER join with a "
+    "non-key residual predicate (priority stands in for the comment "
+    "filter; the residual must live in the join condition, not a WHERE, "
+    "to preserve unmatched customers). Two-level aggregation: per-key "
+    "count partially aggregates map-side; the distribution re-shuffles "
+    "only (c_count) pairs.",
+    tags=("tpch", "join", "agg"),
+)
+def q13_customer_distribution(spark, sf_dir):
+    t = _t(spark, sf_dir, "customer", "orders")
+    c, o = t["customer"], t["orders"]
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "5-LOW"),
+            "left_outer",
+        )
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier by quarterly revenue (view + scalar MAX subquery).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
+               AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_rev = (SELECT MAX(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 shape: supplier(s) achieving the maximum quarterly "
+    "revenue — the revenue view reused on both sides of a scalar MAX "
+    "subquery. The MAX travels as a broadcast 1-row frame joined "
+    "against the aggregated view (computed once, exact decimal sums so "
+    "the equality is engine-safe); supplier is broadcast.",
+    tags=("tpch", "agg", "subquery"),
+)
+def q15_top_supplier(spark, sf_dir):
+    t = _t(spark, sf_dir, "supplier", "lineitem")
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_disc_price().cast("decimal(28,4)")).alias("total_rev"))
+    )
+    best = revenue.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        revenue.join(F.broadcast(best))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier counts by part attribute (NOT IN subquery).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q16_part_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape: distinct supplier counts per part attribute, "
+    "excluding a NOT IN supplier subquery (negative account balance "
+    "stands in for the complaints comment filter; lineitem is the "
+    "part↔supplier bridge without partsupp). The NOT IN decorrelates to "
+    "a broadcast left-anti join — safe here because s_suppkey is "
+    "non-null by construction; part filters push to the scan.",
+    tags=("tpch", "join", "agg", "subquery"),
+)
+def q16_part_supplier_counts(spark, sf_dir):
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = t["part"].filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated AVG subquery).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#3' AND p_type = 'SMALL'
+      AND l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                      / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    doc="TPC-H Q17 shape: revenue from orders below 20% of a part's "
+    "average quantity — a correlated AVG subquery, decorrelated to a "
+    "per-part aggregate joined back on partkey (restricted via semi-join "
+    "to the filtered parts first so the aggregate only shuffles "
+    "qualifying keys). The mean is a decimal-sum/count so the 0.2× "
+    "threshold double is bit-identical across engines.",
+    tags=("tpch", "join", "subquery", "agg"),
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    t = _t(spark, sf_dir, "lineitem", "part")
+    li = t["lineitem"]
+    p = t["part"].filter((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL"))
+    pk = p.select("p_partkey")
+    # Per-part mean quantity over ALL lineitem rows of qualifying parts.
+    avg_qty = (
+        li.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            (
+                F.lit(0.2)
+                * (
+                    F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double")
+                    / F.count(F.lit(1))
+                )
+            ).alias("qty_threshold")
+        )
+        .select(F.col("l_partkey").alias("t_partkey"), "qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — disjunctive bracketed predicates.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND (
+         (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+          AND l_quantity BETWEEN 1 AND 20)
+      OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+          AND l_quantity BETWEEN 10 AND 30)
+      OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+          AND l_quantity BETWEEN 20 AND 40))
+    """,
+    doc="TPC-H Q19 shape: revenue under three disjoint brand/size/"
+    "quantity brackets — the disjunctive-predicate pushdown test. The "
+    "part-side conjuncts (brand, size) prune the broadcast build side; "
+    "the mixed OR evaluates as a residual on the joined rows inside "
+    "whole-stage codegen.",
+    tags=("tpch", "join", "filter"),
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    t = _t(spark, sf_dir, "lineitem", "part")
+    brackets = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(5, 20)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(10, 40)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(brackets)
+        .agg(dsum(_disc_price(), 4).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion (nested IN with HAVING).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q20_potential_promotion",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey AND p_name LIKE 'small%'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(28,2))) > 50)
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 shape: suppliers who moved a threshold volume of any "
+    "name-matched part (nested IN → grouped HAVING subquery; the "
+    "availqty half-sum test becomes a fixed volume threshold without "
+    "partsupp). Decorrelated to a per-(supplier, part) decimal-sum "
+    "aggregate filtered and semi-joined into the supplier dimension; "
+    "nation is broadcast.",
+    tags=("tpch", "join", "subquery", "agg"),
+)
+def q20_potential_promotion(spark, sf_dir):
+    t = _t(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    p = t["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
+    movers = (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    n = t["nation"].filter(F.col("n_name") == "NATION_3")
+    return (
+        t["supplier"]
+        .join(movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND CAST(l1.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 75
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND CAST(l3.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 75)
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+    doc="TPC-H Q21 shape: the sole late supplier on multi-supplier "
+    "finished orders (lateness = shipped >75 days after order date; the "
+    "schema has no commit/receipt dates). The correlated EXISTS / NOT "
+    "EXISTS pair decorrelates to two per-order aggregates computed in "
+    "ONE pass over lineitem⋈orders — distinct supplier count and "
+    "distinct LATE supplier count — joined back on orderkey: EXISTS ⇔ "
+    "n_supp ≥ 2, NOT EXISTS ⇔ n_late_supp = 1 (l1 itself is late, so a "
+    "singleton late set can only be l1's supplier). No per-row subquery "
+    "re-execution anywhere.",
+    tags=("tpch", "join", "subquery", "agg"),
+)
+def q21_waiting_supplier(spark, sf_dir):
+    t = _t(spark, sf_dir, "supplier", "lineitem", "orders", "nation")
+    fo = t["orders"].filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+    lines = li.join(fo, F.col("l_orderkey") == F.col("o_orderkey"))
+    late = F.col("l_shipdate").cast("date") > F.date_add(
+        F.col("o_orderdate").cast("date"), 75
+    )
+    # One pass: per finished order, distinct suppliers and distinct late
+    # suppliers.
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    ).select(
+        F.col("l_orderkey").alias("po_orderkey"), "n_supp", "n_late_supp"
+    )
+    n = t["nation"].filter(F.col("n_name") == "NATION_1")
+    s = t["supplier"].join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        lines.filter(late)
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity (scalar subquery + NOT EXISTS).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q22_sales_opportunity",
+    oracle="""
+    SELECT n_name AS cust_nation, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS totacctbal
+    FROM customer, nation
+    WHERE c_nationkey = n_nationkey
+      AND n_name IN ('NATION_1', 'NATION_3', 'NATION_5', 'NATION_7',
+                     'NATION_9', 'NATION_11', 'NATION_13')
+      AND c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2000-01-01')
+    GROUP BY n_name
+    ORDER BY cust_nation
+    """,
+    doc="TPC-H Q22 shape: well-funded customers in target nations who "
+    "with no recent orders (nation stands in for the phone country "
+    "code; recency replaces never-ordered, which is empty at this "
+    "order density). The "
+    "positive-balance mean travels as a broadcast 1-row scalar (decimal-"
+    "sum/count, engine-exact); the NOT EXISTS is a left-anti join "
+    "against orders on custkey; nation is broadcast.",
+    tags=("tpch", "join", "subquery", "agg"),
+)
+def q22_sales_opportunity(spark, sf_dir):
+    t = _t(spark, sf_dir, "customer", "nation", "orders")
+    target = t["nation"].filter(
+        F.col("n_name").isin(
+            "NATION_1", "NATION_3", "NATION_5", "NATION_7",
+            "NATION_9", "NATION_11", "NATION_13",
+        )
+    )
+    c = t["customer"]
+    thresh = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            t["orders"].filter(
+                F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(target), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("cust_nation"))
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cust_nation")
+    )
