@@ -23,6 +23,11 @@ top_hits (within terms buckets via window), histogram (numeric fixed
 interval), range / filters (all buckets + metrics in one
 conditional-aggregation pass), filter, missing.
 
+Pagination / result shaping: sort + from/size, ``search_after``
+(keyset pagination — a pushed-down cursor filter instead of a deep
+offset), ``collapse`` (one best hit per field value via a per-group
+window top-1).
+
 Everything compiles to Column expressions / DataFrame plans — Catalyst
 pushes the filters into the scan; aggregations are partial-aggregated
 map-side. ``match`` tokenizes with the standard-analyzer approximation
@@ -260,16 +265,50 @@ def _min_should_count(spec, total: int) -> int:
     return int(spec)
 
 
-def _sort_cols(sort_spec) -> list[Column]:
-    cols = []
+def _sort_fields(sort_spec) -> list[tuple[str, bool]]:
+    """sort spec → [(field, descending)] pairs."""
+    out = []
     for s in sort_spec:
         if isinstance(s, str):
-            cols.append(F.col(s).asc())
+            out.append((s, False))
         else:
             (field, spec), = s.items()
             order = spec.get("order", "asc") if isinstance(spec, dict) else spec
-            cols.append(F.col(field).desc() if order == "desc" else F.col(field).asc())
-    return cols
+            out.append((field, order == "desc"))
+    return out
+
+
+def _sort_cols(sort_spec) -> list[Column]:
+    return [
+        F.col(f).desc() if desc else F.col(f).asc()
+        for f, desc in _sort_fields(sort_spec)
+    ]
+
+
+def _search_after_pred(sort_spec, values) -> Column:
+    """``search_after`` keyset-pagination predicate: rows strictly after
+    the cursor tuple in the sort order, as the lexicographic expansion
+    (c1 > v1) OR (c1 = v1 AND c2 > v2) OR … (direction flipped per
+    field's order). A pushed-down filter — the engine-side replacement
+    for deep ``from`` offsets, which at scale force every executor to
+    materialize and skip `from` rows; the cursor filter prunes at the
+    scan instead. Sort fields must be non-null for a total order (the
+    DSL contract: search_after requires explicit sort keys; use a
+    unique tie-breaker field last)."""
+    fields = _sort_fields(sort_spec)
+    if len(fields) != len(values):
+        raise ValueError(
+            f"search_after expects {len(fields)} values (one per sort key), "
+            f"got {len(values)}"
+        )
+    pred = F.lit(False)
+    eq_prefix = F.lit(True)
+    for (field, desc), v in zip(fields, values):
+        col = F.col(field)
+        strict = (col < F.lit(v)) if desc else (col > F.lit(v))
+        pred = pred | (eq_prefix & strict)
+        eq_prefix = eq_prefix & (col == F.lit(v))
+    return pred
 
 
 def _metric_agg(name: str, spec: dict) -> Column:
@@ -306,9 +345,30 @@ def execute_search(df: DataFrame, body: dict[str, Any]) -> dict[str, Any]:
     filtered = df.filter(compile_query(body.get("query", {"match_all": {}})))
 
     hits = filtered
+    if body.get("collapse"):
+        # Field collapse: keep each group's best hit under the request
+        # sort — a per-group window top-1, partitioned by the collapse
+        # key (bounded state per group, no global window).
+        ckey = body["collapse"]["field"]
+        w = W.partitionBy(ckey).orderBy(
+            *(_sort_cols(body.get("sort", [])) or [F.lit(1)])
+        )
+        hits = (
+            hits.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    if body.get("search_after") is not None:
+        if not body.get("sort"):
+            raise ValueError("search_after requires an explicit sort")
+        hits = hits.filter(
+            _search_after_pred(body["sort"], list(body["search_after"]))
+        )
     if body.get("sort"):
         hits = hits.orderBy(*_sort_cols(body["sort"]))
     if body.get("from"):
+        if body.get("search_after") is not None:
+            raise ValueError("search_after and from are mutually exclusive")
         hits = hits.offset(int(body["from"]))
     if "size" in body:
         hits = hits.limit(int(body["size"]))

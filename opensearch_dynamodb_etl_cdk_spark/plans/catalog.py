@@ -338,6 +338,68 @@ def sort_from_size_page(spark, sf_dir):
     )
 
 
+@register(
+    "search_after_page",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice < 50000.0
+       OR (o_totalprice = 50000.0 AND o_orderkey > 0)
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    doc="DSL search_after keyset pagination (operators/search.py::"
+    "execute_search): the cursor tuple compiles to a pushed-down "
+    "lexicographic filter + TakeOrderedAndProject — constant work per "
+    "page at any depth, unlike from/size offsets which skip-scan `from` "
+    "rows on every executor.",
+    tags=("dsl", "topk"),
+)
+def search_after_page(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    res = execute_search(
+        o,
+        {
+            "sort": [{"o_totalprice": "desc"}, {"o_orderkey": "asc"}],
+            "search_after": [50000.0, 0],
+            "size": 10,
+        },
+    )
+    return res["hits"].select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "collapse_best_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders) t
+    WHERE rn = 1
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    doc="DSL collapse (operators/search.py::execute_search): one best "
+    "hit per collapse-field value via a per-group window top-1 "
+    "(partitioned by the collapse key — bounded state per group, no "
+    "global window), then the request sort + size on the survivors.",
+    tags=("dsl", "window", "topk"),
+)
+def collapse_best_per_group(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    res = execute_search(
+        o,
+        {
+            "collapse": {"field": "o_custkey"},
+            "sort": [{"o_totalprice": "desc"}, {"o_orderkey": "asc"}],
+            "size": 10,
+        },
+    )
+    return res["hits"].select("o_custkey", "o_orderkey", "o_totalprice")
+
+
 # ---------------------------------------------------------------------------
 # Aggregation family (SURVEY §2.7): terms / date_histogram / stats /
 # cardinality / top_hits — all map-side-partial aggregations in Spark

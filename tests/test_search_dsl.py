@@ -477,3 +477,80 @@ def test_numeric_histogram_agg(spark, sf_dir):
     for b in buckets:
         assert b["key"] % 50.0 == 0
         assert b["key"] <= b["m"]["value"] < b["key"] + 50.0
+
+
+def test_search_after_keyset_pagination(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    sort = [{"o_totalprice": "desc"}, {"o_orderkey": "asc"}]
+    page1 = execute_search(o, {"sort": sort, "size": 5})["hits"].collect()
+    cursor = [page1[-1]["o_totalprice"], page1[-1]["o_orderkey"]]
+    page2 = execute_search(
+        o, {"sort": sort, "search_after": cursor, "size": 5}
+    )["hits"].collect()
+    # keyset page 2 == offset page 2
+    offset2 = execute_search(o, {"sort": sort, "from": 5, "size": 5})[
+        "hits"
+    ].collect()
+    key = lambda r: (r["o_totalprice"], r["o_orderkey"])
+    assert [key(r) for r in page2] == [key(r) for r in offset2]
+    # no overlap with page 1, strictly after the cursor
+    assert {r["o_orderkey"] for r in page1}.isdisjoint(
+        {r["o_orderkey"] for r in page2}
+    )
+    # the cursor filter is a pushed-down predicate, not an offset:
+    # the physical plan must contain no GlobalLimit-with-offset
+    plan = execute_search(o, {"sort": sort, "search_after": cursor, "size": 5})[
+        "hits"
+    ]._jdf.queryExecution().executedPlan().toString()
+    assert "offset" not in plan.lower()
+
+
+def test_search_after_requires_sort_and_matching_arity(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    with pytest.raises(ValueError, match="requires an explicit sort"):
+        execute_search(o, {"search_after": [1]})
+    with pytest.raises(ValueError, match="one per sort key"):
+        execute_search(
+            o, {"sort": [{"o_totalprice": "desc"}], "search_after": [1.0, 2]}
+        )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        execute_search(
+            o,
+            {"sort": [{"o_totalprice": "desc"}], "search_after": [1.0], "from": 3},
+        )
+
+
+def test_collapse_one_hit_per_field_value(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    res = execute_search(
+        o,
+        {
+            "collapse": {"field": "o_custkey"},
+            "sort": [{"o_totalprice": "desc"}, {"o_orderkey": "asc"}],
+            "size": 10,
+        },
+    )
+    rows = res["hits"].collect()
+    assert len(rows) == 10
+    # one hit per collapse key
+    assert len({r["o_custkey"] for r in rows}) == 10
+    # each survivor is its customer's best order under the sort
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    best = {
+        r["o_custkey"]: r["o_orderkey"]
+        for r in o.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .collect()
+    }
+    for r in rows:
+        assert best[r["o_custkey"]] == r["o_orderkey"]
