@@ -149,3 +149,38 @@ def test_nested_terms_agg_single_plan_partial_aggs(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "nested_terms_agg")
     assert plan.count("HashAggregate") >= 2
     assert "BroadcastHashJoin" in plan
+
+
+def test_q10_topk_and_returnflag_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan  # LIMIT 20 is top-k, no global sort
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_returnflag" in l for l in pushed)  # filter reaches the scan
+
+
+def test_q2_decorrelated_min_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q2_min_cost_supplier", mode="simple")
+    # region/nation/part ride broadcast joins; the correlated MIN is an
+    # aggregate joined back, never a per-row subquery re-execution
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q17_threshold_is_broadcast_not_subquery(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q17_small_quantity_revenue", mode="simple")
+    # the per-part 0.2×avg threshold joins in as a broadcast frame
+    assert "BroadcastHashJoin" in plan
+    pushed = [l for l in plan_of(spark, sf_dir, "q17_small_quantity_revenue").splitlines()
+              if "PushedFilters" in l]
+    assert any("p_brand" in l for l in pushed)  # part filter at the scan
+
+
+def test_q21_exists_pair_pushes_status_filter(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q21_waiting_supplier")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    # the finished-orders filter reaches every orders scan
+    assert any("o_orderstatus" in l for l in pushed)
+    # EXISTS/NOT EXISTS decorrelation: aggregates + joins, no per-row
+    # subquery nodes survive in the physical plan
+    assert "Subquery" not in plan or "SubqueryBroadcast" in plan
