@@ -21,7 +21,9 @@ approx), percentiles, date_histogram (calendar_interval
 minute/hour/day/week/month/year or fixed_interval ms/s/m/h/d),
 top_hits (within terms buckets via window), histogram (numeric fixed
 interval), range / filters (all buckets + metrics in one
-conditional-aggregation pass), filter, missing.
+conditional-aggregation pass), filter, missing, significant_terms
+(JLH-scored foreground-vs-background over-representation, keyword or
+analyzed).
 
 Pagination / result shaping: sort + from/size, ``search_after``
 (keyset pagination — a pushed-down cursor filter instead of a deep
@@ -339,6 +341,54 @@ def _metric_agg(name: str, spec: dict) -> Column:
     raise ValueError(f"unsupported metric aggregation: {kind}")
 
 
+def significant_terms_frame(
+    foreground: DataFrame,
+    background: DataFrame,
+    field: str,
+    size: int = 10,
+    analyzed: bool = False,
+) -> DataFrame:
+    """``significant_terms``: terms over-represented in the foreground
+    (query-filtered) set relative to the background corpus, scored with
+    the public JLH formula (fg_pct − bg_pct) × (fg_pct / bg_pct).
+
+    One plan: per-term counts on each side (shuffle volume = |terms|,
+    not |rows|, thanks to map-side partial aggregation), inner join on
+    the term, totals attached as broadcast 1-row frames, score in a
+    codegen projection, top-`size` via TakeOrderedAndProject. No
+    driver-side loops; ``analyzed=True`` explodes the standard-analyzer
+    tokens first (text fields), otherwise terms are the raw field
+    values (keyword fields).
+    """
+    if analyzed:
+        fg = foreground.select(F.explode(_analyze(F.col(field))).alias("key"))
+        bg = background.select(F.explode(_analyze(F.col(field))).alias("key"))
+    else:
+        fg = foreground.filter(F.col(field).isNotNull()).select(
+            F.col(field).alias("key")
+        )
+        bg = background.filter(F.col(field).isNotNull()).select(
+            F.col(field).alias("key")
+        )
+    fg_counts = fg.groupBy("key").agg(F.count("*").alias("doc_count"))
+    bg_counts = bg.groupBy("key").agg(F.count("*").alias("bg_count"))
+    fg_total = fg.agg(F.count("*").alias("fg_total"))
+    bg_total = bg.agg(F.count("*").alias("bg_total"))
+    fg_pct = F.col("doc_count") / F.col("fg_total")
+    bg_pct = F.col("bg_count") / F.col("bg_total")
+    score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    return (
+        fg_counts.join(bg_counts, "key")
+        .join(F.broadcast(fg_total))
+        .join(F.broadcast(bg_total))
+        .withColumn("score", score)
+        .filter(F.col("score") > 0)  # only over-represented terms signify
+        .select("key", "doc_count", "bg_count", "score")
+        .orderBy(F.col("score").desc(), F.col("key").asc())
+        .limit(size)
+    )
+
+
 def execute_search(df: DataFrame, body: dict[str, Any]) -> dict[str, Any]:
     """Run a DSL search body; returns ``{"hits": DataFrame, "aggregations":
     dict}`` — hits stay distributed, aggregation summaries are collected."""
@@ -375,12 +425,15 @@ def execute_search(df: DataFrame, body: dict[str, Any]) -> dict[str, Any]:
 
     aggregations: dict[str, Any] = {}
     for name, spec in (body.get("aggs") or {}).items():
-        aggregations[name] = _run_agg(filtered, name, spec)
+        # the unfiltered frame is the significant_terms background corpus
+        aggregations[name] = _run_agg(filtered, name, spec, background=df)
 
     return {"hits": hits, "aggregations": aggregations}
 
 
-def _run_agg(df: DataFrame, name: str, spec: dict) -> Any:
+def _run_agg(
+    df: DataFrame, name: str, spec: dict, background: DataFrame | None = None
+) -> Any:
     kind = next(k for k in spec if k != "aggs")
     body = spec[kind]
     sub = spec.get("aggs") or {}
@@ -581,12 +634,30 @@ def _run_agg(df: DataFrame, name: str, spec: dict) -> Any:
             buckets.append(b)
         return {"buckets": buckets}
 
+    if kind == "significant_terms":
+        bg = background if background is not None else df
+        rows = significant_terms_frame(
+            df, bg, body["field"], int(body.get("size", 10)),
+            analyzed=bool(body.get("analyzed", False)),
+        ).collect()
+        return {
+            "buckets": [
+                {
+                    "key": r["key"],
+                    "doc_count": r["doc_count"],
+                    "bg_count": r["bg_count"],
+                    "score": r["score"],
+                }
+                for r in rows
+            ]
+        }
+
     if kind == "filter":
         # single-filter bucket: sub-aggs evaluated on the filtered frame
         sub_df = df.filter(compile_query(body))
         out: dict[str, Any] = {"doc_count": sub_df.count()}
         for n, s in sub.items():
-            out[n] = _run_agg(sub_df, n, s)
+            out[n] = _run_agg(sub_df, n, s, background=background)
         return out
 
     if kind == "filters":
@@ -614,7 +685,7 @@ def _run_agg(df: DataFrame, name: str, spec: dict) -> Any:
         sub_df = df.filter(F.col(field).isNull())
         out = {"doc_count": sub_df.count()}
         for n, s in sub.items():
-            out[n] = _run_agg(sub_df, n, s)
+            out[n] = _run_agg(sub_df, n, s, background=background)
         return out
 
     # plain metric aggregation at the top level

@@ -421,6 +421,44 @@ def terms_agg(spark, sf_dir):
 
 
 @register(
+    "significant_terms_agg",
+    oracle="""
+    SELECT key, doc_count, bg_count, score FROM (
+      SELECT fg.key, fg.doc_count, bg.bg_count,
+             ((CAST(fg.doc_count AS DOUBLE) / t.fg_total)
+              - (CAST(bg.bg_count AS DOUBLE) / t.bg_total))
+             * ((CAST(fg.doc_count AS DOUBLE) / t.fg_total)
+                / (CAST(bg.bg_count AS DOUBLE) / t.bg_total)) AS score
+      FROM (SELECT o_orderpriority AS key, COUNT(*) AS doc_count
+            FROM orders WHERE o_totalprice >= 40000
+            GROUP BY o_orderpriority) fg
+      JOIN (SELECT o_orderpriority AS key, COUNT(*) AS bg_count
+            FROM orders GROUP BY o_orderpriority) bg ON fg.key = bg.key
+      CROSS JOIN (
+        SELECT (SELECT COUNT(*) FROM orders WHERE o_totalprice >= 40000)
+                 AS fg_total,
+               (SELECT COUNT(*) FROM orders) AS bg_total) t) scored
+    WHERE score > 0
+    ORDER BY score DESC, key ASC LIMIT 10
+    """,
+    doc="significant_terms aggregation (operators/search.py::"
+    "significant_terms_frame): terms over-represented in the "
+    "query-filtered foreground vs the full corpus, JLH-scored. One "
+    "plan: per-term counts both sides (shuffle = |terms|), term join, "
+    "broadcast totals, top-k. Integer counts divide identically in "
+    "both engines, so the double scores hash-match exactly.",
+    tags=("agg", "dsl"),
+)
+def significant_terms_agg(spark, sf_dir):
+    from ..operators.search import significant_terms_frame
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return significant_terms_frame(
+        o.filter(F.col("o_totalprice") >= 40000), o, "o_orderpriority", size=10
+    )
+
+
+@register(
     "date_histogram_agg",
     oracle="""
     SELECT CAST(ts AS DATE) AS day, COUNT(*) AS doc_count,

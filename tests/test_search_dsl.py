@@ -554,3 +554,56 @@ def test_collapse_one_hit_per_field_value(spark, sf_dir):
     }
     for r in rows:
         assert best[r["o_custkey"]] == r["o_orderkey"]
+
+
+def test_significant_terms_keyword_field(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    res = execute_search(
+        o,
+        {
+            "query": {"range": {"o_totalprice": {"gte": 40000}}},
+            "aggs": {
+                "sig": {
+                    "significant_terms": {"field": "o_orderpriority", "size": 3}
+                }
+            },
+        },
+    )
+    buckets = res["aggregations"]["sig"]["buckets"]
+    assert 0 < len(buckets) <= 3
+    fg_total = o.filter(F.col("o_totalprice") >= 40000).count()
+    bg_total = o.count()
+    for b in buckets:
+        # JLH score recomputed from the reported counts must agree
+        fg_pct = b["doc_count"] / fg_total
+        bg_pct = b["bg_count"] / bg_total
+        assert fg_pct > bg_pct  # only over-represented terms
+        assert b["score"] == pytest.approx((fg_pct - bg_pct) * (fg_pct / bg_pct))
+    # descending score order
+    scores = [b["score"] for b in buckets]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_significant_terms_analyzed_text(fares):
+    res = execute_search(
+        fares,
+        {
+            "query": {"term": {"pk": "DEN"}},
+            "aggs": {
+                "sig": {
+                    "significant_terms": {
+                        "field": "sk", "size": 5, "analyzed": True,
+                    }
+                }
+            },
+        },
+    )
+    buckets = res["aggregations"]["sig"]["buckets"]
+    assert buckets, "DEN fares must surface at least one significant sk token"
+    # sk is DEST#ts#class: DEN's dominant destination token (atl in the
+    # fixture corpus) must rank first — it is the most over-represented
+    # token of DEN's sort keys relative to the whole corpus
+    assert buckets[0]["key"] == "atl"
+    assert buckets[0]["doc_count"] == 3
