@@ -52,6 +52,12 @@ HEADLINE = [
     "token_topk",
     "doc_quality_scores",
     "multimodal_frame_counts",
+    # round-3 additions: widest TPC-H join tree with decorrelated
+    # EXISTS pair, profit rollup over 5 tables, and the DSL
+    # significant_terms foreground/background term join
+    "q9_product_profit",
+    "q21_waiting_supplier",
+    "significant_terms_agg",
 ]
 
 # NOTE q1_pricing_summary at sf0.1 is scan-bound by the testdata layout:
