@@ -607,3 +607,37 @@ def test_significant_terms_analyzed_text(fares):
     # token of DEN's sort keys relative to the whole corpus
     assert buckets[0]["key"] == "atl"
     assert buckets[0]["doc_count"] == 3
+
+
+def test_search_after_pred_matches_tuple_order(spark):
+    """Property: the lexicographic cursor predicate selects exactly the
+    rows strictly after the cursor under Python tuple ordering with the
+    same per-field directions."""
+    from hypothesis import given, settings, strategies as st
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        _search_after_pred,
+    )
+
+    rows = [(a, b, i) for i, (a, b) in enumerate(
+        [(x, y) for x in range(4) for y in range(4)]
+    )]
+    df = spark.createDataFrame(rows, "a int, b int, id int").cache()
+    sort = [{"a": "asc"}, {"b": "desc"}, {"id": "asc"}]
+
+    def key(r):
+        return (r[0], -r[1], r[2])
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(0, 3), st.integers(0, 3), st.integers(0, 15))
+    def check(ca, cb, cid):
+        cursor = (ca, cb, cid)
+        got = {
+            r["id"]
+            for r in df.filter(
+                _search_after_pred(sort, list(cursor))
+            ).collect()
+        }
+        expected = {r[2] for r in rows if key(r) > (ca, -cb, cid)}
+        assert got == expected
+
+    check()
