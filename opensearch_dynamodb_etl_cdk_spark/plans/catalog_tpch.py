@@ -30,6 +30,7 @@ re-executes a subquery per row; scalar thresholds travel as broadcast
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .catalog import _t, dsum, register
@@ -793,12 +794,13 @@ def q20_potential_promotion(spark, sf_dir):
     doc="TPC-H Q21 shape: the sole late supplier on multi-supplier "
     "finished orders (lateness = shipped >75 days after order date; the "
     "schema has no commit/receipt dates). The correlated EXISTS / NOT "
-    "EXISTS pair decorrelates to two per-order aggregates computed in "
-    "ONE pass over lineitem⋈orders — distinct supplier count and "
-    "distinct LATE supplier count — joined back on orderkey: EXISTS ⇔ "
-    "n_supp ≥ 2, NOT EXISTS ⇔ n_late_supp = 1 (l1 itself is late, so a "
-    "singleton late set can only be l1's supplier). No per-row subquery "
-    "re-execution anywhere.",
+    "EXISTS pair decorrelates to two per-order distinct-supplier "
+    "window aggregates over lineitem⋈orders — EXISTS ⇔ n_supp ≥ 2, "
+    "NOT EXISTS ⇔ n_late_supp = 1 (l1 itself is late, so a singleton "
+    "late set can only be l1's supplier). The window scans the fact "
+    "join ONCE (a per-orderkey aggregate-and-join would scan it twice) "
+    "and its state is bounded by lines-per-order, a schema constant. "
+    "No per-row subquery re-execution anywhere.",
     tags=("tpch", "join", "subquery", "agg"),
 )
 def q21_waiting_supplier(spark, sf_dir):
@@ -811,22 +813,27 @@ def q21_waiting_supplier(spark, sf_dir):
     late = F.col("l_shipdate").cast("date") > F.date_add(
         F.col("o_orderdate").cast("date"), 75
     )
-    # One pass: per finished order, distinct suppliers and distinct late
-    # suppliers.
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
-    ).select(
-        F.col("l_orderkey").alias("po_orderkey"), "n_supp", "n_late_supp"
+    w = W.partitionBy("l_orderkey")
+    lines = (
+        lines.withColumn("__late", late)
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("__late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
     )
     n = t["nation"].filter(F.col("n_name") == "NATION_1")
     s = t["supplier"].join(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     )
     return (
-        lines.filter(late)
-        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        lines.filter(
+            F.col("__late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+        )
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
