@@ -341,3 +341,61 @@ def test_unrouted_items_not_in_indexes(spark, pipeline):
     for route in ("fare", "flight"):
         idx = pipeline.index_view(route)
         assert idx.filter(F.col("type").isin("assignment", "booking")).count() == 0
+
+
+def test_dsl_search_over_live_index(spark, pipeline):
+    """Close the reference's loop end-to-end: the CDC pipeline
+    materializes per-route indexes, and the OpenSearch-DSL bodies a
+    reference user POSTs to /fare/_search run directly against the live
+    index view — filters, pagination, and aggregations."""
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import execute_search
+
+    items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    pipeline.bootstrap(items)
+    fare = pipeline.index_view("fare")
+
+    # bool filter: DEN nonstop fares in August (access pattern Q2)
+    res = execute_search(
+        fare,
+        {
+            "query": {
+                "bool": {
+                    "must": [{"term": {"pk": "DEN"}}],
+                    "filter": [
+                        {"term": {"fare_class": "nonstop"}},
+                        {"range": {"start_ts": {"gte": "2021-08-01",
+                                                "lt": "2021-09-01"}}},
+                    ],
+                }
+            }
+        },
+    )
+    expected = fare.filter(
+        (F.col("pk") == "DEN")
+        & (F.col("fare_class") == "nonstop")
+        & (F.col("start_ts") >= "2021-08-01")
+        & (F.col("start_ts") < "2021-09-01")
+    ).count()
+    assert res["hits"].count() == expected > 0
+
+    # terms aggregation over the whole index
+    res = execute_search(
+        fare,
+        {"size": 0, "aggs": {"by_class": {"terms": {"field": "fare_class"}}}},
+    )
+    buckets = res["aggregations"]["by_class"]["buckets"]
+    assert sum(b["doc_count"] for b in buckets) == 22
+
+    # keyset pagination walks the full index without overlap
+    sort = [{"sk": "asc"}, {"_id": "asc"}]
+    seen, cursor = [], None
+    for _ in range(30):
+        body = {"sort": sort, "size": 5}
+        if cursor is not None:
+            body["search_after"] = cursor
+        page = execute_search(fare, body)["hits"].select("sk", "_id").collect()
+        if not page:
+            break
+        seen.extend((r["sk"], r["_id"]) for r in page)
+        cursor = [page[-1]["sk"], page[-1]["_id"]]
+    assert len(seen) == 22 == len(set(seen))
