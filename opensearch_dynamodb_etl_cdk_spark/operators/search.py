@@ -431,6 +431,101 @@ def execute_search(df: DataFrame, body: dict[str, Any]) -> dict[str, Any]:
     return {"hits": hits, "aggregations": aggregations}
 
 
+def composite_frame(
+    df: DataFrame, body: dict, metric_cols: list[Column] | None = None
+) -> DataFrame:
+    """``composite`` aggregation plan: paginated bucket enumeration,
+    ordered by the composite key tuple and resumable via ``after``.
+
+    The after-cursor compiles to the same lexicographic keyset predicate
+    as ``search_after`` — applied AFTER the groupBy (i.e. on |buckets|
+    rows, not |rows|), so each page costs one aggregation + top-k,
+    constant in page depth. This is the scale-safe way to walk ALL
+    buckets of a high-cardinality field: ``terms`` has a size ceiling
+    and deep ``from`` offsets re-materialize skipped buckets on every
+    executor, while the cursor filter prunes them before the sort.
+    """
+    sources: list[tuple[str, Column, bool]] = []  # (name, keyed expr, desc)
+    for src in body["sources"]:
+        (sname, sspec), = src.items()
+        (skind, sbody), = sspec.items()
+        desc = sbody.get("order", "asc") == "desc"
+        if skind == "terms":
+            expr = F.col(sbody["field"])
+        elif skind == "date_histogram":
+            if "fixed_interval" in sbody:
+                micros = _fixed_interval_micros(sbody["fixed_interval"])
+                c = F.col(sbody["field"])
+                expr = F.timestamp_micros(
+                    F.unix_micros(c) - F.unix_micros(c) % micros
+                )
+            else:
+                expr = F.date_trunc(
+                    sbody.get("calendar_interval", "day"), F.col(sbody["field"])
+                )
+        elif skind == "histogram":
+            interval = float(sbody["interval"])
+            expr = F.floor(F.col(sbody["field"]) / interval) * interval
+        else:
+            raise ValueError(f"unsupported composite source {skind!r}")
+        sources.append((sname, expr.alias(sname), desc))
+    grouped = df.groupBy(*[e for _, e, _ in sources]).agg(
+        F.count("*").alias("doc_count"), *(metric_cols or [])
+    )
+    after = body.get("after")
+    if after is not None:
+        sort_spec = [{n: "desc" if desc else "asc"} for n, _, desc in sources]
+        grouped = grouped.filter(
+            _search_after_pred(sort_spec, [after[n] for n, _, _ in sources])
+        )
+    return grouped.orderBy(
+        *[F.col(n).desc() if desc else F.col(n).asc() for n, _, desc in sources]
+    ).limit(int(body.get("size", 10)))
+
+
+PIPELINE_AGGS = ("cumulative_sum", "derivative")
+
+
+def _split_pipeline_aggs(sub: dict) -> tuple[dict, dict]:
+    """Partition sub-agg specs into (metric, pipeline). Pipeline aggs
+    (cumulative_sum / derivative) are bucket post-processing over the
+    already-reduced histogram — O(|buckets|) driver work on rows the
+    response collects anyway, never a second pass over the data."""
+    metric = {n: s for n, s in sub.items()
+              if not any(k in s for k in PIPELINE_AGGS)}
+    pipe = {n: s for n, s in sub.items()
+            if any(k in s for k in PIPELINE_AGGS)}
+    return metric, pipe
+
+
+def _apply_pipeline_aggs(buckets: list[dict], pipe_sub: dict) -> None:
+    """Evaluate pipeline aggs in place over key-ordered buckets.
+    ``buckets_path`` names a sibling metric or ``_count``."""
+    for n, s in pipe_sub.items():
+        (kind, body), = s.items()
+        path = body["buckets_path"]
+
+        def val(b: dict):
+            return b["doc_count"] if path == "_count" else b[path]["value"]
+
+        if kind == "cumulative_sum":
+            running = 0.0
+            for b in buckets:
+                v = val(b)
+                running += v if v is not None else 0.0
+                b[n] = {"value": running}
+        elif kind == "derivative":
+            prev = None
+            for b in buckets:
+                v = val(b)
+                b[n] = {
+                    "value": None
+                    if prev is None or v is None
+                    else v - prev
+                }
+                prev = v
+
+
 def _run_agg(
     df: DataFrame, name: str, spec: dict, background: DataFrame | None = None
 ) -> Any:
@@ -525,6 +620,81 @@ def _run_agg(
             buckets.append(b)
         return {"buckets": buckets}
 
+    if kind == "multi_terms":
+        # top-k composite keys by doc count: one groupBy over all key
+        # fields (shuffle = |distinct key tuples|, map-side partials),
+        # then TakeOrderedAndProject — same scale shape as `terms`.
+        fields = [t["field"] for t in body["terms"]]
+        size = int(body.get("size", 10))
+        metric_cols = [_metric_agg(n, s) for n, s in sub.items()]
+        rows = (
+            df.groupBy(*fields)
+            .agg(F.count("*").alias("doc_count"), *metric_cols)
+            .orderBy(
+                F.col("doc_count").desc(), *[F.col(f).asc() for f in fields]
+            )
+            .limit(size)
+            .collect()
+        )
+        return {
+            "buckets": [
+                {
+                    "key": [r[f] for f in fields],
+                    "doc_count": r["doc_count"],
+                    **{n: {"value": r[n]} for n in sub},
+                }
+                for r in rows
+            ]
+        }
+
+    if kind == "composite":
+        key_names = [next(iter(src)) for src in body["sources"]]
+        size = int(body.get("size", 10))
+        rows = composite_frame(
+            df, body, [_metric_agg(n, s) for n, s in sub.items()]
+        ).collect()
+        buckets = [
+            {
+                "key": {n: r[n] for n in key_names},
+                "doc_count": r["doc_count"],
+                **{n: {"value": r[n]} for n in sub},
+            }
+            for r in rows
+        ]
+        out: dict[str, Any] = {"buckets": buckets}
+        if len(buckets) == size and buckets:
+            out["after_key"] = buckets[-1]["key"]
+        return out
+
+    if kind == "extended_stats":
+        # count/min/max/sum/avg + sum_of_squares/variance/std_deviation
+        # in ONE pass. Variance from exact decimal sums ((Σx² − (Σx)²/n)/n
+        # in double at the end) so the result is deterministic across
+        # engines and partition orders — a naive double Σx² accumulation
+        # would drift with task order.
+        field = body["field"]
+        col = F.col(field)
+        r = df.agg(
+            F.count(col).alias("count"),
+            F.min(col).alias("min"),
+            F.max(col).alias("max"),
+            F.sum(col.cast("decimal(28,6)")).cast("double").alias("sum"),
+            F.sum((col * col).cast("decimal(28,6)")).cast("double").alias("sos"),
+        ).collect()[0]
+        n = r["count"]
+        avg = (r["sum"] / n) if n else None
+        variance = ((r["sos"] - r["sum"] * r["sum"] / n) / n) if n else None
+        return {
+            "count": n,
+            "min": r["min"],
+            "max": r["max"],
+            "sum": r["sum"],
+            "avg": avg,
+            "sum_of_squares": r["sos"],
+            "variance": variance,
+            "std_deviation": (variance ** 0.5) if variance is not None else None,
+        }
+
     if kind == "date_histogram":
         field = body["field"]
         if "fixed_interval" in body:
@@ -540,23 +710,24 @@ def _run_agg(
             if interval not in ("hour", "day", "month", "year", "week", "minute"):
                 raise ValueError(f"unsupported interval {interval}")
             bucket = F.date_trunc(interval, F.col(field))
-        metric_cols = [_metric_agg(n, s) for n, s in sub.items()]
+        metric_sub, pipe_sub = _split_pipeline_aggs(sub)
+        metric_cols = [_metric_agg(n, s) for n, s in metric_sub.items()]
         rows = (
             df.groupBy(bucket.alias("key"))
             .agg(F.count("*").alias("doc_count"), *metric_cols)
             .orderBy("key")
             .collect()
         )
-        return {
-            "buckets": [
-                {
-                    "key": r["key"],
-                    "doc_count": r["doc_count"],
-                    **{n: {"value": r[n]} for n in sub},
-                }
-                for r in rows
-            ]
-        }
+        buckets = [
+            {
+                "key": r["key"],
+                "doc_count": r["doc_count"],
+                **{n: {"value": r[n]} for n in metric_sub},
+            }
+            for r in rows
+        ]
+        _apply_pipeline_aggs(buckets, pipe_sub)
+        return {"buckets": buckets}
 
     if kind == "stats":
         field = body["field"]
@@ -575,7 +746,8 @@ def _run_agg(
         field = body["field"]
         interval = float(body["interval"])
         bucket = (F.floor(F.col(field) / interval) * interval).alias("key")
-        metric_cols = [_metric_agg(n, s) for n, s in sub.items()]
+        metric_sub, pipe_sub = _split_pipeline_aggs(sub)
+        metric_cols = [_metric_agg(n, s) for n, s in metric_sub.items()]
         rows = (
             df.filter(F.col(field).isNotNull())
             .groupBy(bucket)
@@ -583,16 +755,16 @@ def _run_agg(
             .orderBy("key")
             .collect()
         )
-        return {
-            "buckets": [
-                {
-                    "key": r["key"],
-                    "doc_count": r["doc_count"],
-                    **{n: {"value": r[n]} for n in sub},
-                }
-                for r in rows
-            ]
-        }
+        buckets = [
+            {
+                "key": r["key"],
+                "doc_count": r["doc_count"],
+                **{n: {"value": r[n]} for n in metric_sub},
+            }
+            for r in rows
+        ]
+        _apply_pipeline_aggs(buckets, pipe_sub)
+        return {"buckets": buckets}
 
     if kind == "range":
         # numeric range buckets [from, to); unbounded ends allowed.

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 from dataclasses import dataclass, field
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -455,6 +456,152 @@ def significant_terms_agg(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")["orders"]
     return significant_terms_frame(
         o.filter(F.col("o_totalprice") >= 40000), o, "o_orderpriority", size=10
+    )
+
+
+@register(
+    "composite_agg_page",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS doc_count
+    FROM events
+    GROUP BY 1, 2
+    HAVING (event_type > 'click')
+        OR (event_type = 'click'
+            AND CAST(date_trunc('day', ts) AS TIMESTAMP) > TIMESTAMP '2024-01-20')
+    ORDER BY event_type ASC, day ASC LIMIT 15
+    """,
+    doc="DSL `composite` aggregation (operators/search.py::composite_frame): "
+    "paginated bucket walk over (event_type, day) resuming after the cursor "
+    "('click', 2024-01-20). The after-key compiles to a lexicographic keyset "
+    "predicate applied post-groupBy (|buckets| rows, not |rows|): page cost "
+    "is one agg + top-k regardless of page depth — the scale-safe way to "
+    "enumerate every bucket of a high-cardinality field.",
+    tags=("agg", "dsl"),
+)
+def composite_agg_page(spark, sf_dir):
+    from ..operators.search import composite_frame
+
+    e = _t(spark, sf_dir, "events")["events"]
+    return composite_frame(
+        e,
+        {
+            "sources": [
+                {"event_type": {"terms": {"field": "event_type"}}},
+                {"day": {"date_histogram": {"field": "ts",
+                                            "calendar_interval": "day"}}},
+            ],
+            "size": 15,
+            "after": {"event_type": "click",
+                      "day": datetime(2024, 1, 20, 0, 0, 0)},
+        },
+    )
+
+
+@register(
+    "multi_terms_agg",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS doc_count FROM documents
+    GROUP BY lang, source
+    ORDER BY doc_count DESC, lang ASC, source ASC LIMIT 10
+    """,
+    doc="DSL `multi_terms` aggregation: top-k composite keys by doc count — "
+    "one groupBy over all key fields (map-side partials, shuffle = |distinct "
+    "tuples|) + TakeOrderedAndProject, same scale shape as `terms`.",
+    tags=("agg", "dsl"),
+)
+def multi_terms_agg(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return (
+        d.groupBy("lang", "source")
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("lang").asc(), F.col("source").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "extended_stats_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(value) AS n, MIN(value) AS min_value, MAX(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value) AS avg_value,
+           CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS sum_sq,
+           (CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+            - CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+              * CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value))
+           / COUNT(value) AS variance,
+           SQRT((CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+                 - CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   * CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value))
+                / COUNT(value)) AS std_dev
+    FROM events GROUP BY event_type
+    """,
+    doc="DSL `extended_stats` aggregation: count/min/max/sum/avg + "
+    "sum-of-squares/variance/stddev in ONE pass. Variance derives from "
+    "exact decimal sums ((Σx² − (Σx)²/n)/n evaluated in double at the "
+    "end), so the result is independent of partition/accumulation order "
+    "— a naive double Σx² drifts with task order and would never "
+    "hash-match across engines.",
+    tags=("agg", "dsl"),
+)
+def extended_stats_agg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    v = F.col("value")
+    out = e.groupBy("event_type").agg(
+        F.count(v).alias("n"),
+        F.min(v).alias("min_value"),
+        F.max(v).alias("max_value"),
+        F.sum(v.cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        F.sum((v * v).cast("decimal(28,6)")).cast("double").alias("sum_sq"),
+    )
+    variance = (
+        F.col("sum_sq") - F.col("sum_value") * F.col("sum_value") / F.col("n")
+    ) / F.col("n")
+    return out.select(
+        "event_type", "n", "min_value", "max_value", "sum_value",
+        (F.col("sum_value") / F.col("n")).alias("avg_value"),
+        "sum_sq",
+        variance.alias("variance"),
+        F.sqrt(variance).alias("std_dev"),
+    )
+
+
+@register(
+    "bucket_cumulative_derivative",
+    oracle="""
+    WITH per_day AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY CAST(ts AS DATE))
+    SELECT day, sum_value,
+           CAST(SUM(CAST(sum_value AS DECIMAL(28,2)))
+                OVER (ORDER BY day) AS DOUBLE) AS cum_sum,
+           sum_value - LAG(sum_value) OVER (ORDER BY day) AS delta
+    FROM per_day
+    """,
+    doc="DSL pipeline aggregations `cumulative_sum` + `derivative` over a "
+    "date_histogram: running total and day-over-day delta of the per-day "
+    "sum. The window is unpartitioned BY DESIGN and safe at any scale: it "
+    "runs over the already-reduced histogram (|buckets| = |days|, not "
+    "|rows|), so a 100 TB input still feeds it only one row per day.",
+    tags=("agg", "dsl", "time"),
+)
+def bucket_cumulative_derivative(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    per_day = e.groupBy(F.to_date("ts").alias("day")).agg(
+        dsum(F.col("value")).alias("sum_value")
+    )
+    w = W.orderBy("day")
+    return per_day.select(
+        "day",
+        "sum_value",
+        F.sum(F.col("sum_value").cast("decimal(28,2)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_sum"),
+        (F.col("sum_value") - F.lag("sum_value").over(w)).alias("delta"),
     )
 
 

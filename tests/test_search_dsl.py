@@ -641,3 +641,103 @@ def test_search_after_pred_matches_tuple_order(spark):
         assert got == expected
 
     check()
+
+
+def test_composite_agg_pagination(spark, sf_dir):
+    """composite: walk ALL (event_type, day) buckets in key order via the
+    after-cursor; pages must tile the full bucket set without overlap."""
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    total = (
+        events.groupBy("event_type", F.date_trunc("day", "ts")).count().count()
+    )
+    body = {
+        "size": 0,
+        "aggs": {
+            "pages": {
+                "composite": {
+                    "sources": [
+                        {"event_type": {"terms": {"field": "event_type"}}},
+                        {"day": {"date_histogram": {"field": "ts",
+                                                    "calendar_interval": "day"}}},
+                    ],
+                    "size": 7,
+                }
+            }
+        },
+    }
+    seen = []
+    for _ in range(100):
+        res = execute_search(events, body)["aggregations"]["pages"]
+        for b in res["buckets"]:
+            seen.append((b["key"]["event_type"], b["key"]["day"]))
+        if "after_key" not in res:
+            break
+        body["aggs"]["pages"]["composite"]["after"] = res["after_key"]
+    assert len(seen) == total == len(set(seen))
+    assert seen == sorted(seen)
+
+
+def test_multi_terms_agg(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    res = execute_search(
+        docs,
+        {"size": 0, "aggs": {
+            "pairs": {"multi_terms": {
+                "terms": [{"field": "lang"}, {"field": "source"}], "size": 5}}}},
+    )
+    buckets = res["aggregations"]["pairs"]["buckets"]
+    assert len(buckets) == 5
+    counts = [b["doc_count"] for b in buckets]
+    assert counts == sorted(counts, reverse=True)
+    top = docs.groupBy("lang", "source").count().agg(F.max("count")).collect()[0][0]
+    assert buckets[0]["doc_count"] == top
+
+
+def test_extended_stats_agg(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    res = execute_search(
+        events, {"size": 0, "aggs": {"es": {"extended_stats": {"field": "value"}}}}
+    )
+    es = res["aggregations"]["es"]
+    assert es["count"] == events.count()
+    assert es["variance"] >= 0
+    assert abs(es["std_deviation"] ** 2 - es["variance"]) < 1e-9
+    assert abs(es["avg"] - es["sum"] / es["count"]) < 1e-9
+
+
+def test_pipeline_cumulative_sum_and_derivative(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    body = {
+        "size": 0,
+        "aggs": {
+            "per_day": {
+                "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                "aggs": {
+                    "v": {"sum": {"field": "value"}},
+                    "cum": {"cumulative_sum": {"buckets_path": "v"}},
+                    "delta": {"derivative": {"buckets_path": "v"}},
+                    "cum_n": {"cumulative_sum": {"buckets_path": "_count"}},
+                },
+            }
+        },
+    }
+    buckets = execute_search(events, body)["aggregations"]["per_day"]["buckets"]
+    assert buckets[0]["delta"]["value"] is None
+    run = 0.0
+    for i, b in enumerate(buckets):
+        run += b["v"]["value"]
+        assert abs(b["cum"]["value"] - run) < 1e-6
+        if i:
+            assert abs(
+                b["delta"]["value"]
+                - (b["v"]["value"] - buckets[i - 1]["v"]["value"])
+            ) < 1e-9
+    assert buckets[-1]["cum_n"]["value"] == sum(b["doc_count"] for b in buckets)
