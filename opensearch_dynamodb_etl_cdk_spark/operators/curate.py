@@ -20,6 +20,7 @@ from ..functions.text import (
     langid_from,
     normalize_text,
     quality_score_from,
+    shingles_from_tokens,
     token_count_from,
     tokens,
 )
@@ -70,6 +71,62 @@ def curate(
             F.col("_n_tokens").alias("n_tokens"),
             F.col("_quality").alias("quality"),
             F.col(text_col),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing word
+    ``k``-grams with a held-out evaluation set — the standard pre-training
+    hygiene step (eval answers leaking into training data inflate scores).
+
+    Returns one row per contaminated document:
+    ``(doc_id, n_grams, n_hits, contamination_ratio)`` where ``n_grams``
+    counts the document's DISTINCT k-grams and ``n_hits`` how many of
+    them appear anywhere in the benchmark. Thresholding (drop vs audit)
+    is the caller's policy; this operator only measures.
+
+    Scale shape (100 TB corpus vs MB-scale eval set): the benchmark gram
+    set reduces to DISTINCT grams and BROADCASTS — the corpus side never
+    shuffles for the membership probe; the only corpus shuffle is the
+    per-doc count groupBy on ``doc_id`` (map-side partials). If the
+    benchmark ever outgrows broadcast range, drop the hint and Spark
+    falls back to a shuffle join on the gram — same plan semantics.
+    Two-step token projection per shingles_from_tokens' CollapseProject
+    note.
+    """
+    c_toks = corpus.select(id_col, tokens(F.col(text_col)).alias("__toks"))
+    c_grams = c_toks.select(
+        id_col,
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("__toks"), k))
+        ).alias("gram"),
+    )
+    b_toks = benchmark.select(tokens(F.col(text_col)).alias("__toks"))
+    b_grams = (
+        b_toks.select(
+            F.explode(shingles_from_tokens(F.col("__toks"), k)).alias("gram")
+        )
+        .distinct()
+    )
+    per_doc = c_grams.join(F.broadcast(b_grams), "gram", "left_semi")
+    hits = per_doc.groupBy(id_col).agg(F.count("*").alias("n_hits"))
+    totals = c_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    return (
+        totals.join(hits, id_col)
+        .select(
+            id_col,
+            "n_grams",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_grams")).alias(
+                "contamination_ratio"
+            ),
         )
     )
 

@@ -1118,6 +1118,41 @@ def curated_corpus_report(spark, sf_dir):
     return curation_report(curate(d, CurationConfig()))
 
 
+@register(
+    "decontamination_report",
+    oracle=f"""
+    WITH {SHINGLE_CTE},
+    bench AS (
+      SELECT DISTINCT gram FROM (
+        SELECT unnest(s) AS gram FROM sh WHERE doc_id % 50 = 0)),
+    corpus AS (
+      SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 50 <> 0),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id),
+    hit AS (
+      SELECT c.doc_id, COUNT(*) AS n_hits
+      FROM corpus c JOIN bench b USING (gram) GROUP BY c.doc_id)
+    SELECT t.doc_id, t.n_grams, h.n_hits,
+           CAST(h.n_hits AS DOUBLE) / t.n_grams AS contamination_ratio
+    FROM tot t JOIN hit h USING (doc_id)
+    """,
+    doc="Benchmark decontamination (operators/curate.py::decontaminate): "
+    "corpus documents sharing word 3-grams with a held-out eval set "
+    "(doc_id % 50 == 0 plays the benchmark) — the pre-training hygiene "
+    "step that keeps eval answers out of training data. The benchmark "
+    "gram set reduces to DISTINCT grams and broadcasts; the corpus side "
+    "never shuffles for the membership probe, only for the per-doc "
+    "count groupBy.",
+    tags=("text", "curation", "pipeline"),
+)
+def decontamination_report(spark, sf_dir):
+    from ..operators.curate import decontaminate
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(corpus, bench, k=3)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal family (E5)
 # ---------------------------------------------------------------------------

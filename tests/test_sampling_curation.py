@@ -73,3 +73,30 @@ def test_curate_predicted_lang_mode(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     out = curate(df, CurationConfig(min_tokens=5, use_predicted_lang=True)).collect()
     assert len(out) == 1 and out[0].lang == "en"
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.curate import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains a verbatim benchmark span -> contaminated
+            (1, "we believe the secret benchmark answer is forty two exactly "
+                "as printed in the eval set"),
+            # clean document, no shared 3-gram
+            (2, "a completely unrelated document about gardening and soil"),
+            # partial 2-word overlap only -> no shared 3-gram
+            (3, "benchmark answer sheets are sold separately"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in decontaminate(corpus, bench, k=3).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    assert r.n_hits == 6  # 6 of the benchmark's shingles appear verbatim
+    assert 0 < r.contamination_ratio <= 1
+    assert r.n_grams > r.n_hits
