@@ -620,6 +620,38 @@ def _run_agg(
             buckets.append(b)
         return {"buckets": buckets}
 
+    if kind == "rare_terms":
+        # bottom-k buckets by doc count (the long tail `terms` hides).
+        # Same one-groupBy shape as `terms`; ascending TakeOrdered.
+        field = body["field"]
+        max_count = int(body.get("max_doc_count", 1))
+        size = int(body.get("size", 100))
+        rows = (
+            df.filter(F.col(field).isNotNull())
+            .groupBy(field)
+            .agg(F.count("*").alias("doc_count"))
+            .filter(F.col("doc_count") <= max_count)
+            .orderBy(F.col("doc_count").asc(), F.col(field).asc())
+            .limit(size)
+            .collect()
+        )
+        return {
+            "buckets": [
+                {"key": r[field], "doc_count": r["doc_count"]} for r in rows
+            ]
+        }
+
+    if kind == "weighted_avg":
+        # Σ(value·weight) / Σ(weight), both as exact decimal sums so the
+        # ratio is accumulation-order independent.
+        vcol = F.col(body["value"]["field"])
+        wcol = F.col(body["weight"]["field"])
+        r = df.agg(
+            F.sum((vcol * wcol).cast("decimal(28,6)")).cast("double").alias("vw"),
+            F.sum(wcol.cast("decimal(28,6)")).cast("double").alias("w"),
+        ).collect()[0]
+        return {"value": (r["vw"] / r["w"]) if r["w"] else None}
+
     if kind == "multi_terms":
         # top-k composite keys by doc count: one groupBy over all key
         # fields (shuffle = |distinct key tuples|, map-side partials),

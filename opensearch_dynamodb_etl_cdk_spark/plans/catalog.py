@@ -606,6 +606,55 @@ def bucket_cumulative_derivative(spark, sf_dir):
 
 
 @register(
+    "rare_terms_agg",
+    oracle="""
+    SELECT user_id AS key, COUNT(*) AS doc_count FROM events
+    GROUP BY user_id HAVING COUNT(*) <= 52
+    ORDER BY doc_count ASC, key ASC LIMIT 100
+    """,
+    doc="DSL `rare_terms` aggregation: bottom-k buckets by doc count (the "
+    "long tail `terms` hides; here: least-active users) — one groupBy + "
+    "HAVING + ascending TakeOrderedAndProject; same map-side-partial "
+    "scale shape as terms.",
+    tags=("agg", "dsl"),
+)
+def rare_terms_agg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    return (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .filter(F.col("doc_count") <= 52)
+        .orderBy(F.col("doc_count").asc(), F.col("key").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "weighted_avg_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+           / CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="DSL `weighted_avg` metric: Σ(value·weight)/Σ(weight) from exact "
+    "decimal sums (accumulation-order independent), grouped per return "
+    "flag — one aggregation pass.",
+    tags=("agg", "dsl"),
+)
+def weighted_avg_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    v, w = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        (
+            F.sum((v * w).cast("decimal(28,6)")).cast("double")
+            / F.sum(w.cast("decimal(28,6)")).cast("double")
+        ).alias("weighted_avg_price")
+    )
+
+
+@register(
     "date_histogram_agg",
     oracle="""
     SELECT CAST(ts AS DATE) AS day, COUNT(*) AS doc_count,

@@ -184,3 +184,34 @@ def test_q21_exists_pair_pushes_status_filter(spark, sf_dir):
     # EXISTS/NOT EXISTS decorrelation: aggregates + joins, no per-row
     # subquery nodes survive in the physical plan
     assert "Subquery" not in plan or "SubqueryBroadcast" in plan
+
+
+def test_decontamination_broadcasts_benchmark_grams(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "decontamination_report")
+    # the benchmark gram set must broadcast: the corpus side never
+    # shuffles for the membership probe
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the only shuffles are the per-doc count groupBys + benchmark distinct
+    assert "CartesianProduct" not in plan
+
+
+def test_composite_page_filters_after_groupby(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "composite_agg_page", mode="extended")
+    # keyset cursor applies to the aggregated buckets (post-groupBy HAVING
+    # shape), and the page is a top-k, never a global sort + offset
+    assert "TakeOrderedAndProject" in plan
+    assert "Offset" not in plan
+
+
+def test_extended_stats_single_aggregation_pass(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "extended_stats_agg")
+    # one partial + one final aggregate — all eight metrics in a single
+    # pass, no per-metric scans (formatted mode prints each node twice:
+    # once in the tree, once in the detail section)
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("HashAggregate") == 4
+
+
+def test_rare_terms_is_ascending_topk(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "rare_terms_agg")
+    assert "TakeOrderedAndProject" in plan

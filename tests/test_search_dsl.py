@@ -741,3 +741,31 @@ def test_pipeline_cumulative_sum_and_derivative(spark, sf_dir):
                 - (b["v"]["value"] - buckets[i - 1]["v"]["value"])
             ) < 1e-9
     assert buckets[-1]["cum_n"]["value"] == sum(b["doc_count"] for b in buckets)
+
+
+def test_rare_terms_agg(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 2 + [("c",), ("d",), (None,)],
+        "k string",
+    )
+    res = execute_search(
+        df,
+        {"size": 0, "aggs": {
+            "tail": {"rare_terms": {"field": "k", "max_doc_count": 2}}}},
+    )
+    buckets = res["aggregations"]["tail"]["buckets"]
+    assert [(b["key"], b["doc_count"]) for b in buckets] == [
+        ("c", 1), ("d", 1), ("b", 2)]
+
+
+def test_weighted_avg_agg(spark):
+    df = spark.createDataFrame(
+        [(10.0, 1.0), (20.0, 3.0)], "v double, w double"
+    )
+    res = execute_search(
+        df,
+        {"size": 0, "aggs": {
+            "wa": {"weighted_avg": {"value": {"field": "v"},
+                                    "weight": {"field": "w"}}}}},
+    )
+    assert abs(res["aggregations"]["wa"]["value"] - 17.5) < 1e-9
