@@ -424,11 +424,56 @@ def execute_search(df: DataFrame, body: dict[str, Any]) -> dict[str, Any]:
         hits = hits.limit(int(body["size"]))
 
     aggregations: dict[str, Any] = {}
+    sibling_pipe: dict[str, dict] = {}
     for name, spec in (body.get("aggs") or {}).items():
+        if any(k in spec for k in SIBLING_PIPELINE_AGGS):
+            sibling_pipe[name] = spec  # evaluated after its source agg
+            continue
         # the unfiltered frame is the significant_terms background corpus
         aggregations[name] = _run_agg(filtered, name, spec, background=df)
+    for name, spec in sibling_pipe.items():
+        aggregations[name] = _run_sibling_pipeline(aggregations, spec)
 
     return {"hits": hits, "aggregations": aggregations}
+
+
+SIBLING_PIPELINE_AGGS = (
+    "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
+)
+
+
+def _run_sibling_pipeline(aggregations: dict, spec: dict) -> dict:
+    """Sibling pipeline aggregations (``avg_bucket`` etc.): a scalar over
+    a sibling multi-bucket agg's metric values, addressed as
+    ``buckets_path: "<agg>><metric>"`` (or ``<agg>>_count``). Pure
+    post-processing of the already-collected bucket list."""
+    (kind, body), = spec.items()
+    src, _, metric = body["buckets_path"].partition(">")
+    if src not in aggregations or "buckets" not in aggregations[src]:
+        raise ValueError(f"buckets_path {body['buckets_path']!r}: no sibling "
+                         f"multi-bucket aggregation named {src!r}")
+    buckets = aggregations[src]["buckets"]
+    vals = [
+        b["doc_count"] if metric == "_count" else b[metric]["value"]
+        for b in buckets
+    ]
+    vals = [v for v in vals if v is not None]
+    if not vals:
+        empty = {"value": None}
+        return dict(empty, count=0, min=None, max=None, avg=None, sum=None) \
+            if kind == "stats_bucket" else empty
+    if kind == "avg_bucket":
+        return {"value": sum(vals) / len(vals)}
+    if kind == "sum_bucket":
+        return {"value": sum(vals)}
+    if kind == "min_bucket":
+        return {"value": min(vals)}
+    if kind == "max_bucket":
+        return {"value": max(vals)}
+    return {
+        "count": len(vals), "min": min(vals), "max": max(vals),
+        "sum": sum(vals), "avg": sum(vals) / len(vals),
+    }
 
 
 def composite_frame(
@@ -619,6 +664,22 @@ def _run_agg(
                     b[n] = {"value": r[n]}
             buckets.append(b)
         return {"buckets": buckets}
+
+    if kind == "percentile_ranks":
+        # % of observed values ≤ each probe value — one conditional-agg
+        # pass for all probes (exact integer counts → deterministic
+        # double ratios).
+        col = F.col(body["field"])
+        values = body["values"]
+        aggs = [
+            (
+                F.sum(F.when(col <= float(v), 1).otherwise(0)) * 100.0
+                / F.count(col)
+            ).alias(f"__p{i}")
+            for i, v in enumerate(values)
+        ]
+        row = df.agg(*aggs).collect()[0]
+        return {"values": {str(v): row[f"__p{i}"] for i, v in enumerate(values)}}
 
     if kind == "rare_terms":
         # bottom-k buckets by doc count (the long tail `terms` hides).

@@ -655,6 +655,66 @@ def weighted_avg_agg(spark, sf_dir):
 
 
 @register(
+    "percentile_ranks_agg",
+    oracle="""
+    SELECT event_type,
+           100.0 * SUM(CASE WHEN value <= 25 THEN 1 ELSE 0 END) / COUNT(value) AS rank_25,
+           100.0 * SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END) / COUNT(value) AS rank_50,
+           100.0 * SUM(CASE WHEN value <= 75 THEN 1 ELSE 0 END) / COUNT(value) AS rank_75
+    FROM events GROUP BY event_type
+    """,
+    doc="DSL `percentile_ranks`: %% of observed values at or below each "
+    "probe, all probes in ONE conditional-agg pass (exact integer counts "
+    "-> deterministic double ratios), grouped per event type.",
+    tags=("agg", "dsl"),
+)
+def percentile_ranks_agg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    v = F.col("value")
+    return e.groupBy("event_type").agg(
+        *[
+            (
+                F.sum(F.when(v <= t, 1).otherwise(0)) * 100.0 / F.count(v)
+            ).alias(f"rank_{t}")
+            for t in (25, 50, 75)
+        ]
+    )
+
+
+@register(
+    "daily_value_stats",
+    oracle="""
+    WITH per_day AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY CAST(ts AS DATE))
+    SELECT COUNT(*) AS n_days,
+           MIN(sum_value) AS min_daily, MAX(sum_value) AS max_daily,
+           CAST(SUM(CAST(sum_value AS DECIMAL(28,2))) AS DOUBLE) AS total,
+           CAST(SUM(CAST(sum_value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_daily
+    FROM per_day
+    """,
+    doc="DSL sibling pipeline aggs (`stats_bucket`/`avg_bucket`/...) as a "
+    "distributed twin: scalar stats over a sibling date_histogram's "
+    "per-bucket sums — a two-level aggregation where level 2 runs over "
+    "|buckets| rows, not |rows|.",
+    tags=("agg", "dsl", "time"),
+)
+def daily_value_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    per_day = e.groupBy(F.to_date("ts").alias("day")).agg(
+        dsum(F.col("value")).alias("sum_value")
+    )
+    return per_day.agg(
+        F.count("*").alias("n_days"),
+        F.min("sum_value").alias("min_daily"),
+        F.max("sum_value").alias("max_daily"),
+        dsum(F.col("sum_value")).alias("total"),
+        (dsum(F.col("sum_value")) / F.count("*")).alias("avg_daily"),
+    )
+
+
+@register(
     "date_histogram_agg",
     oracle="""
     SELECT CAST(ts AS DATE) AS day, COUNT(*) AS doc_count,

@@ -769,3 +769,49 @@ def test_weighted_avg_agg(spark):
                                     "weight": {"field": "w"}}}}},
     )
     assert abs(res["aggregations"]["wa"]["value"] - 17.5) < 1e-9
+
+
+def test_sibling_pipeline_bucket_aggs(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    body = {
+        "size": 0,
+        "aggs": {
+            "per_day": {
+                "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                "aggs": {"v": {"sum": {"field": "value"}}},
+            },
+            "avg_daily": {"avg_bucket": {"buckets_path": "per_day>v"}},
+            "best_day": {"max_bucket": {"buckets_path": "per_day>v"}},
+            "total": {"sum_bucket": {"buckets_path": "per_day>v"}},
+            "day_stats": {"stats_bucket": {"buckets_path": "per_day>_count"}},
+        },
+    }
+    aggs = execute_search(events, body)["aggregations"]
+    vals = [b["v"]["value"] for b in aggs["per_day"]["buckets"]]
+    assert abs(aggs["avg_daily"]["value"] - sum(vals) / len(vals)) < 1e-6
+    assert aggs["best_day"]["value"] == max(vals)
+    assert abs(aggs["total"]["value"] - sum(vals)) < 1e-6
+    assert aggs["day_stats"]["count"] == len(vals)
+    assert aggs["day_stats"]["sum"] == events.count()
+
+
+def test_sibling_pipeline_requires_existing_source():
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        _run_sibling_pipeline,
+    )
+
+    with pytest.raises(ValueError, match="no sibling"):
+        _run_sibling_pipeline({}, {"avg_bucket": {"buckets_path": "nope>v"}})
+
+
+def test_percentile_ranks(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+    res = execute_search(
+        df,
+        {"size": 0, "aggs": {
+            "pr": {"percentile_ranks": {"field": "v", "values": [25, 50, 99.5]}}}},
+    )
+    ranks = res["aggregations"]["pr"]["values"]
+    assert ranks["25"] == 25.0 and ranks["50"] == 50.0 and ranks["99.5"] == 99.0
