@@ -58,6 +58,11 @@ HEADLINE = [
     "q9_product_profit",
     "q21_waiting_supplier",
     "significant_terms_agg",
+    # round-3 late additions: the composite paginated bucket walk (keyset
+    # cursor post-groupBy) and the training-pipeline decontamination probe
+    # (broadcast benchmark gram set)
+    "composite_agg_page",
+    "decontamination_report",
 ]
 
 # NOTE q1_pricing_summary at sf0.1 is scan-bound by the testdata layout:
