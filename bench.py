@@ -101,6 +101,17 @@ def _warm_python_workers(spark) -> None:
     )
 
 
+def _unpersist_all_rdds(spark) -> None:
+    """Free persistent RDDs clearCache misses — localCheckpoint blocks
+    (lineage breaks in the MERGE sink and iterative graph ops) stay
+    pinned in block storage otherwise, and 25 queries of residue shifts
+    GC pressure onto whichever queries run last in the headline order."""
+    entries = spark.sparkContext._jsc.sc().getPersistentRDDs().toList()
+    it = entries.iterator()
+    while it.hasNext():
+        it.next()._2().unpersist(True)
+
+
 def main() -> None:
     spark = get_spark("bench")
     # warm-up: JVM/codegen/parquet-footer caches + Python worker pool
@@ -116,6 +127,7 @@ def main() -> None:
         # the cache still works; disk-persisted ANN indexes are
         # unaffected.
         spark.catalog.clearCache()
+        _unpersist_all_rdds(spark)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
