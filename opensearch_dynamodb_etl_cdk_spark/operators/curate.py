@@ -131,6 +131,57 @@ def decontaminate(
     )
 
 
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition statistics — the Gopher-style quality
+    signals that catch boilerplate and degenerate generations exact
+    dedup misses: a document that is one phrase looped 500 times is
+    unique as a whole but useless as training data.
+
+    Returns ``(doc_id, n_tokens, n_distinct_tokens, distinct_ratio,
+    top_unigram_ratio, top_bigram_ratio)`` where the top-x ratios are
+    the most frequent unigram's/bigram's share of the document's
+    token/bigram stream. Filtering thresholds are caller policy.
+
+    Shape: explode → count per (doc, gram) → per-doc max/sum — two
+    groupBys keyed by doc_id whose partial aggregates combine map-side;
+    the shuffled rows are (id, hash-sized gram, count), never document
+    bodies. Documents with a single token define the bigram stream as
+    the whole text (same convention as shingles_from_tokens k<n)."""
+    tk = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    uni = tk.select(id_col, F.explode("__toks").alias("g"))
+    big = tk.select(
+        id_col, F.explode(shingles_from_tokens(F.col("__toks"), 2)).alias("g")
+    )
+
+    def top_share(grams: DataFrame, out: str) -> DataFrame:
+        per = grams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+        return per.groupBy(id_col).agg(
+            (
+                F.max("c").cast("double") / F.sum("c").cast("double")
+            ).alias(out),
+            F.sum("c").alias(f"__n_{out}"),
+            F.count("*").alias(f"__d_{out}"),
+        )
+    u = top_share(uni, "top_unigram_ratio")
+    b = top_share(big, "top_bigram_ratio").select(id_col, "top_bigram_ratio")
+    return (
+        u.join(b, id_col)
+        .select(
+            F.col(id_col),
+            F.col("__n_top_unigram_ratio").alias("n_tokens"),
+            F.col("__d_top_unigram_ratio").alias("n_distinct_tokens"),
+            (
+                F.col("__d_top_unigram_ratio").cast("double")
+                / F.col("__n_top_unigram_ratio").cast("double")
+            ).alias("distinct_ratio"),
+            "top_unigram_ratio",
+            "top_bigram_ratio",
+        )
+    )
+
+
 def curation_report(curated: DataFrame) -> DataFrame:
     """Per-language summary of the curated corpus (the number a data
     lead actually reads: docs and token budget surviving curation)."""

@@ -66,3 +66,60 @@ def shuffle_for_training(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     range-partitioned sort; output order is stable across runs (unlike
     orderBy(rand()))."""
     return df.orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+
+
+def mixture_resample(
+    df: DataFrame,
+    targets: dict[str, float],
+    mix_col: str = "lang",
+    id_col: str = "doc_id",
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Downsample a corpus to a target domain/language mixture.
+
+    Given target weights (e.g. ``{"en": .4, "es": .2, ...}``), the
+    achievable corpus size is set by the most over-demanded group:
+    ``budget = min(count_g / weight_g)``. Each group keeps
+    ``budget * weight_g`` rows via the deterministic md5 bucket (so the
+    kept set is stable across runs/engines) and the output realizes the
+    target mixture as closely as ``resolution`` allows, keeping the
+    limiting group intact.
+
+    Shape: one count aggregation over the mixture column (tiny result),
+    the scalar budget and per-group thresholds derived from it and
+    BROADCAST back onto the corpus — the corpus itself never shuffles;
+    membership stays a per-row filter. Groups absent from ``targets``
+    are dropped (weight 0).
+    """
+    w_expr = None
+    for value, w in targets.items():
+        cond = F.col(mix_col) == F.lit(value)
+        w_expr = F.when(cond, F.lit(float(w))) if w_expr is None else w_expr.when(
+            cond, F.lit(float(w))
+        )
+    w_expr = w_expr.otherwise(F.lit(0.0))
+
+    counts = (
+        df.filter(w_expr > 0)
+        .groupBy(mix_col)
+        .agg(F.count("*").alias("__n"))
+        .withColumn("__w", w_expr)
+    )
+    budget = counts.agg(
+        F.min(F.col("__n").cast("double") / F.col("__w")).alias("__budget")
+    )
+    thresholds = (
+        counts.crossJoin(F.broadcast(budget))
+        .select(
+            mix_col,
+            F.floor(
+                F.col("__budget") * F.col("__w") / F.col("__n").cast("double")
+                * F.lit(resolution)
+            ).alias("__thr"),
+        )
+    )
+    return (
+        df.join(F.broadcast(thresholds), mix_col)
+        .filter(hash_bucket(F.col(id_col), resolution) < F.col("__thr"))
+        .drop("__thr")
+    )

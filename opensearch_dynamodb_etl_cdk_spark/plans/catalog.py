@@ -1413,3 +1413,4 @@ def scalar_functions(spark, sf_dir):
 from . import catalog_ext  # noqa: E402,F401
 from . import catalog_analytics  # noqa: E402,F401
 from . import catalog_tpch  # noqa: E402,F401
+from . import catalog_pipeline  # noqa: E402,F401

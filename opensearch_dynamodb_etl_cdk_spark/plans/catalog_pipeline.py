@@ -1,0 +1,191 @@
+"""Training-data pipeline catalog: PII scrubbing, repetition quality,
+sequence packing, and mixture resampling over the ``documents`` table
+(driver charter §2.10 extensions — the corpus-preparation stages
+between raw crawl and tokenizer that exact dedup / quality scoring
+alone don't cover).
+
+Oracle discipline follows catalog_ext.py: identical tokenization
+fragments, PII regexes restricted to the Java-regex ∩ RE2 dialect,
+double arithmetic mirrored operation-for-operation (DuckDB bare
+decimal literals parse as DECIMAL, so every fractional literal is
+CAST(... AS DOUBLE) on the oracle side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..operators.curate import repetition_metrics
+from ..operators.packing import packing_report
+from ..operators.privacy import EMAIL_RE, IPV4_RE, PHONE_RE, pii_report
+from ..operators.sampling import mixture_resample
+from .catalog import register, _t
+from .catalog_ext import TOK
+
+_PII_COUNTS = f"""
+SELECT source,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS e,
+       len(regexp_extract_all(text, '{PHONE_RE}')) AS p,
+       len(regexp_extract_all(text, '{IPV4_RE}')) AS i
+FROM documents
+"""
+
+
+@register(
+    "pii_scrub_report",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_pii,
+           CAST(SUM(e) AS BIGINT) AS n_emails,
+           CAST(SUM(p) AS BIGINT) AS n_phones,
+           CAST(SUM(i) AS BIGINT) AS n_ipv4
+    FROM ({_PII_COUNTS})
+    GROUP BY source
+    """,
+    doc="PII scrub audit (operators/privacy.py::pii_report): per-source "
+    "document and match counts for the email/phone/IPv4 regex classes. "
+    "Pure regexp_* projections folded into one aggregation pass — the "
+    "scrub costs a 100 TB corpus exactly one scan, no shuffle beyond "
+    "the tiny per-source rollup. Patterns live in the Java-regex ∩ RE2 "
+    "dialect so engine match counts agree; planted-PII semantics are "
+    "pytest-verified (the synthetic corpus itself is PII-free).",
+    tags=("privacy", "pipeline", "text"),
+)
+def pii_scrub_report(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return pii_report(d, group_col="source")
+
+
+_BIGRAM = """
+CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+     ELSE list_transform(generate_series(1, len(toks) - 1),
+                         i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+END
+"""
+
+
+@register(
+    "repetition_quality_report",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOK} AS toks FROM documents),
+    uni AS (SELECT doc_id, unnest(toks) AS g FROM tk),
+    big AS (SELECT doc_id, unnest({_BIGRAM}) AS g FROM tk),
+    u1 AS (SELECT doc_id, g, COUNT(*) AS c FROM uni GROUP BY doc_id, g),
+    b1 AS (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY doc_id, g),
+    u AS (SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 COUNT(*) AS n_distinct_tokens,
+                 CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS distinct_ratio,
+                 CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_unigram_ratio
+          FROM u1 GROUP BY doc_id),
+    b AS (SELECT doc_id,
+                 CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_ratio
+          FROM b1 GROUP BY doc_id)
+    SELECT u.doc_id, u.n_tokens, u.n_distinct_tokens, u.distinct_ratio,
+           u.top_unigram_ratio, b.top_bigram_ratio
+    FROM u JOIN b USING (doc_id)
+    """,
+    doc="Gopher-style repetition quality (operators/curate.py::"
+    "repetition_metrics): per-document distinct-token ratio and top "
+    "unigram/bigram share — catches looped boilerplate that survives "
+    "exact dedup. Shuffled rows are (id, gram, count) triples, never "
+    "bodies; both groupBys combine map-side.",
+    tags=("text", "quality", "pipeline"),
+)
+def repetition_quality_report(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return repetition_metrics(d)
+
+
+_PACK_BUDGET = 512
+
+
+@register(
+    "sequence_packing_report",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, len({TOK}) AS n FROM documents),
+    off AS (
+      SELECT lang, n,
+             COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+      FROM tk)
+    SELECT lang AS stream,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(FLOOR((CAST(SUM(n) AS DOUBLE) - 1) / {_PACK_BUDGET}) + 1 AS BIGINT)
+             AS n_bins,
+           CAST(SUM(CASE WHEN n > 0 AND
+                         FLOOR(CAST(o AS DOUBLE) / {_PACK_BUDGET})
+                         <> FLOOR((CAST(o AS DOUBLE) + GREATEST(n, 1) - 1) / {_PACK_BUDGET})
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing,
+           CAST(SUM(n) AS DOUBLE)
+             / CAST(FLOOR((CAST(SUM(n) AS DOUBLE) - 1) / {_PACK_BUDGET}) + 1 AS DOUBLE)
+             / CAST({_PACK_BUDGET} AS DOUBLE) AS fill_frac
+    FROM off
+    GROUP BY lang
+    """,
+    doc="Sequence packing layout (operators/packing.py): concat-and-chop "
+    f"the per-language token stream into {_PACK_BUDGET}-token training "
+    "sequences; reports bins produced, boundary-crossing documents, and "
+    "fill fraction. The layout is a pure window expression over the "
+    "exclusive running token sum — no sequential recurrence, one "
+    "range-partitioned shuffle per stream (salt wide streams into "
+    "shards at scale).",
+    tags=("pipeline", "packing", "window"),
+)
+def sequence_packing_report(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return packing_report(d, budget=_PACK_BUDGET)
+
+
+_MIX_TARGETS = {"en": 0.4, "es": 0.2, "de": 0.2, "fr": 0.1, "zh": 0.1}
+_MIX_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN CAST({v} AS DOUBLE)" for k, v in _MIX_TARGETS.items()
+) + " END"
+
+
+@register(
+    "mixture_resample_counts",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n, {_MIX_CASE} AS w
+      FROM documents
+      WHERE lang IN ({", ".join(repr(k) for k in _MIX_TARGETS)})
+      GROUP BY lang),
+    b AS (SELECT MIN(CAST(n AS DOUBLE) / w) AS budget FROM c),
+    t AS (SELECT lang,
+                 FLOOR(budget * w / CAST(n AS DOUBLE) * 10000) AS thr
+          FROM c, b),
+    kept AS (
+      SELECT d.lang
+      FROM documents d JOIN t USING (lang)
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 10000 < thr)
+    SELECT lang, COUNT(*) AS n_kept,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE)
+             AS mix_share
+    FROM kept GROUP BY lang
+    """,
+    doc="Domain-mixture resampling (operators/sampling.py::"
+    "mixture_resample): downsample to target language weights "
+    f"{_MIX_TARGETS} — achievable size set by the most over-demanded "
+    "group, membership by the engine-portable md5 bucket. The corpus "
+    "never shuffles: per-group thresholds derive from a tiny count "
+    "aggregate and broadcast back as a per-row filter.",
+    tags=("pipeline", "sampling"),
+)
+def mixture_resample_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    kept = mixture_resample(d, _MIX_TARGETS, mix_col="lang")
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+        .withColumn(
+            "mix_share",
+            F.col("n_kept").cast("double")
+            / F.sum("n_kept").over(W.partitionBy()).cast("double"),
+        )
+    )

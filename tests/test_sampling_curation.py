@@ -100,3 +100,121 @@ def test_decontaminate_flags_planted_overlap(spark):
     assert r.n_hits == 6  # 6 of the benchmark's shingles appear verbatim
     assert 0 < r.contamination_ratio <= 1
     assert r.n_grams > r.n_hits
+
+
+def test_pii_counts_and_redaction(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.privacy import (
+        pii_count,
+        pii_report,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "contact jane.doe+spam@mail.example.co.uk or +1 (303) 555 0142", "a"),
+        (2, "server at 10.0.42.7 rebooted; admin@example.org paged", "a"),
+        (3, "no identifiers in this document at all", "b"),
+        (4, "twice: a@b.io then c.d@e-f.org and ip 192.168.1.1", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            pii_count(F.col("text"), "email").alias("e"),
+            pii_count(F.col("text"), "phone").alias("p"),
+            pii_count(F.col("text"), "ipv4").alias("i"),
+            redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (got[1].e, got[1].p, got[1].i) == (1, 1, 0)
+    assert (got[2].e, got[2].p, got[2].i) == (1, 0, 1)
+    assert (got[3].e, got[3].p, got[3].i) == (0, 0, 0)
+    assert (got[4].e, got[4].p, got[4].i) == (2, 0, 1)
+    assert "<EMAIL>" in got[1].red and "<PHONE>" in got[1].red
+    assert "jane.doe" not in got[1].red and "303" not in got[1].red
+    assert got[4].red.count("<EMAIL>") == 2 and "<IP>" in got[4].red
+    assert got[3].red == rows[2][1]  # clean text untouched
+
+    rep = {r.source: r for r in pii_report(df).collect()}
+    assert rep["a"].docs_with_pii == 2 and rep["b"].docs_with_pii == 1
+    assert rep["b"].n_emails == 2 and rep["b"].n_ipv4 == 1
+
+
+def test_repetition_metrics_flags_looped_text(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.curate import (
+        repetition_metrics,
+    )
+
+    rows = [
+        (1, "buy now " * 50),                      # 2 tokens looped 50x
+        (2, "a varied sentence with mostly unique words in it today"),
+        (3, "solo"),                               # single token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    # looped doc: 100 tokens, 2 distinct; every bigram stream slot is
+    # 'buy now' or 'now buy' (99 bigrams, 50 of one kind)
+    assert m[1].n_tokens == 100 and m[1].n_distinct_tokens == 2
+    assert m[1].top_unigram_ratio == 0.5
+    assert m[1].top_bigram_ratio == 50 / 99
+    assert m[1].distinct_ratio == 0.02
+    # varied doc: every token unique
+    assert m[2].distinct_ratio == 1.0
+    assert m[2].top_unigram_ratio == 0.1 and m[2].top_bigram_ratio == 1 / 9
+    # single-token doc: bigram stream degenerates to the whole text
+    assert m[3].n_tokens == 1 and m[3].top_bigram_ratio == 1.0
+
+
+def test_pack_assignments_and_report(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.packing import (
+        pack_assignments,
+        packing_report,
+    )
+
+    # tokens per doc: 4, 3, 5 in one stream; budget 6 ->
+    # offsets 0,4,7; doc1 spans [0,3] bin 0; doc2 [4,6] crosses 0->1;
+    # doc3 [7,11] crosses 1->... floor(7/6)=1, floor(11/6)=1 -> stays
+    rows = [
+        (1, "w w w w", "en"),
+        (2, "x x x", "en"),
+        (3, "y y y y y", "en"),
+        (4, "", "de"),  # empty doc occupies no tokens, never crosses
+        (5, "z z", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    a = {r.doc_id: r for r in pack_assignments(df, budget=6).collect()}
+    assert (a[1].token_offset, a[1].start_bin, a[1].end_bin, a[1].crosses) == (0, 0, 0, False)
+    assert (a[2].token_offset, a[2].start_bin, a[2].end_bin, a[2].crosses) == (4, 0, 1, True)
+    assert (a[3].token_offset, a[3].start_bin, a[3].end_bin, a[3].crosses) == (7, 1, 1, False)
+    assert a[4].n_tokens == 0 and a[4].crosses is False
+    r = {x.stream: x for x in packing_report(df, budget=6).collect()}
+    assert r["en"].total_tokens == 12 and r["en"].n_bins == 2
+    assert r["en"].n_crossing == 1 and r["en"].fill_frac == 1.0
+    assert r["de"].total_tokens == 2 and r["de"].n_bins == 1
+
+
+def test_mixture_resample_hits_targets(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.operators.sampling import (
+        mixture_resample,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    targets = {"en": 0.5, "es": 0.25, "zh": 0.25}
+    kept = mixture_resample(d, targets, mix_col="lang")
+    counts = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # only targeted groups survive
+    assert set(counts) <= set(targets)
+    total = sum(counts.values())
+    # the limiting group is kept (nearly) intact and every achieved
+    # share is within the md5-bucket quantization of its target
+    orig = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    budget = min(orig[g] / w for g, w in targets.items())
+    limiting = min(targets, key=lambda g: orig[g] / targets[g])
+    assert counts[limiting] >= 0.95 * orig[limiting]
+    for g, w in targets.items():
+        assert abs(counts[g] / total - w) < 0.12
+    # determinism: same rows regardless of partitioning
+    kept2 = mixture_resample(d.repartition(13), targets, mix_col="lang")
+    assert {r.doc_id for r in kept2.select("doc_id").collect()} == {
+        r.doc_id for r in kept.select("doc_id").collect()
+    }
