@@ -528,14 +528,17 @@ def composite_frame(
     ).limit(int(body.get("size", 10)))
 
 
-PIPELINE_AGGS = ("cumulative_sum", "derivative")
+PIPELINE_AGGS = (
+    "cumulative_sum", "derivative", "moving_fn", "serial_diff",
+    "bucket_script", "bucket_selector", "bucket_sort",
+)
 
 
 def _split_pipeline_aggs(sub: dict) -> tuple[dict, dict]:
     """Partition sub-agg specs into (metric, pipeline). Pipeline aggs
-    (cumulative_sum / derivative) are bucket post-processing over the
-    already-reduced histogram — O(|buckets|) driver work on rows the
-    response collects anyway, never a second pass over the data."""
+    are bucket post-processing over the already-reduced histogram —
+    O(|buckets|) driver work on rows the response collects anyway,
+    never a second pass over the data."""
     metric = {n: s for n, s in sub.items()
               if not any(k in s for k in PIPELINE_AGGS)}
     pipe = {n: s for n, s in sub.items()
@@ -543,32 +546,149 @@ def _split_pipeline_aggs(sub: dict) -> tuple[dict, dict]:
     return metric, pipe
 
 
-def _apply_pipeline_aggs(buckets: list[dict], pipe_sub: dict) -> None:
-    """Evaluate pipeline aggs in place over key-ordered buckets.
-    ``buckets_path`` names a sibling metric or ``_count``."""
+def _bucket_value(b: dict, path: str):
+    """Resolve a ``buckets_path`` against one bucket: ``_count`` or a
+    sibling metric/pipeline value already attached to the bucket."""
+    return b["doc_count"] if path == "_count" else b[path]["value"]
+
+
+def _eval_script(expr: str, params: dict[str, Any]):
+    """Evaluate a restricted painless-style arithmetic script over
+    resolved ``params.<name>`` values: numbers, + - * / %, comparisons,
+    boolean and/or/not, parentheses. A tiny ``ast`` walk — never
+    ``eval`` — because DSL bodies are user input."""
+    import ast
+    import operator as op
+
+    BIN = {ast.Add: op.add, ast.Sub: op.sub, ast.Mult: op.mul,
+           ast.Div: op.truediv, ast.Mod: op.mod}
+    CMP = {ast.Gt: op.gt, ast.GtE: op.ge, ast.Lt: op.lt,
+           ast.LtE: op.le, ast.Eq: op.eq, ast.NotEq: op.ne}
+
+    def ev(node):
+        if isinstance(node, ast.Expression):
+            return ev(node.body)
+        if isinstance(node, ast.Constant) and isinstance(node.value, (int, float)):
+            return node.value
+        if isinstance(node, ast.BinOp) and type(node.op) in BIN:
+            return BIN[type(node.op)](ev(node.left), ev(node.right))
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+            return -ev(node.operand)
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.Not):
+            return not ev(node.operand)
+        if isinstance(node, ast.Compare) and len(node.ops) == 1 \
+                and type(node.ops[0]) in CMP:
+            return CMP[type(node.ops[0])](ev(node.left), ev(node.comparators[0]))
+        if isinstance(node, ast.BoolOp):
+            vals = [ev(v) for v in node.values]
+            return all(vals) if isinstance(node.op, ast.And) else any(vals)
+        if isinstance(node, ast.Attribute) and isinstance(node.value, ast.Name) \
+                and node.value.id == "params":
+            if node.attr not in params:
+                raise ValueError(f"script references unknown param {node.attr!r}")
+            return params[node.attr]
+        raise ValueError(f"unsupported script construct: {ast.dump(node)}")
+
+    return ev(ast.parse(expr.replace("&&", " and ").replace("||", " or "),
+                        mode="eval"))
+
+
+_MOVING_FNS = {
+    "unweightedAvg": lambda vs: sum(vs) / len(vs),
+    "sum": lambda vs: float(sum(vs)),
+    "min": lambda vs: float(min(vs)),
+    "max": lambda vs: float(max(vs)),
+}
+
+
+def _apply_pipeline_aggs(buckets: list[dict], pipe_sub: dict) -> list[dict]:
+    """Evaluate parent pipeline aggs over key-ordered buckets, in spec
+    order (later pipelines may reference earlier ones' outputs).
+    Returns the resulting bucket list — ``bucket_selector`` filters it
+    and ``bucket_sort`` reorders/truncates it, so callers must use the
+    return value. All of this is O(|buckets|) driver post-processing of
+    the already-collected response, mirroring how the search DSL layers
+    pipelines over one reduced histogram."""
     for n, s in pipe_sub.items():
         (kind, body), = s.items()
-        path = body["buckets_path"]
-
-        def val(b: dict):
-            return b["doc_count"] if path == "_count" else b[path]["value"]
 
         if kind == "cumulative_sum":
+            path = body["buckets_path"]
             running = 0.0
             for b in buckets:
-                v = val(b)
+                v = _bucket_value(b, path)
                 running += v if v is not None else 0.0
                 b[n] = {"value": running}
         elif kind == "derivative":
+            path = body["buckets_path"]
             prev = None
             for b in buckets:
-                v = val(b)
+                v = _bucket_value(b, path)
                 b[n] = {
-                    "value": None
-                    if prev is None or v is None
-                    else v - prev
+                    "value": None if prev is None or v is None else v - prev
                 }
                 prev = v
+        elif kind == "moving_fn":
+            # window covers the `window` buckets strictly BEFORE the
+            # current one (shift moves it right); empty window → null.
+            path = body["buckets_path"]
+            window = int(body["window"])
+            shift = int(body.get("shift", 0))
+            fn = next(
+                (f for name_, f in _MOVING_FNS.items()
+                 if name_ in body.get("script", "unweightedAvg")),
+                _MOVING_FNS["unweightedAvg"],
+            )
+            vals = [_bucket_value(b, path) for b in buckets]
+            for i, b in enumerate(buckets):
+                lo, hi = i - window + shift, i + shift
+                win = [v for v in vals[max(0, lo):max(0, hi)] if v is not None]
+                b[n] = {"value": fn(win) if win else None}
+        elif kind == "serial_diff":
+            path = body["buckets_path"]
+            lag = int(body.get("lag", 1))
+            vals = [_bucket_value(b, path) for b in buckets]
+            for i, b in enumerate(buckets):
+                prev = vals[i - lag] if i >= lag else None
+                v = vals[i]
+                b[n] = {
+                    "value": None if prev is None or v is None else v - prev
+                }
+        elif kind == "bucket_script":
+            paths = body["buckets_path"]
+            for b in buckets:
+                params = {p: _bucket_value(b, path) for p, path in paths.items()}
+                b[n] = {
+                    "value": None
+                    if any(v is None for v in params.values())
+                    else _eval_script(body["script"], params)
+                }
+        elif kind == "bucket_selector":
+            paths = body["buckets_path"]
+            kept = []
+            for b in buckets:
+                params = {p: _bucket_value(b, path) for p, path in paths.items()}
+                if all(v is not None for v in params.values()) and bool(
+                    _eval_script(body["script"], params)
+                ):
+                    kept.append(b)
+            buckets = kept
+        elif kind == "bucket_sort":
+            for spec_ in reversed(body.get("sort", [])):
+                (path, sbody), = spec_.items()
+                desc = (
+                    sbody.get("order", "asc") if isinstance(sbody, dict) else sbody
+                ) == "desc"
+                buckets = sorted(
+                    buckets,
+                    key=lambda b: _bucket_value(b, path),
+                    reverse=desc,
+                )
+            frm = int(body.get("from", 0))
+            buckets = buckets[frm:]
+            if "size" in body:
+                buckets = buckets[: int(body["size"])]
+    return buckets
 
 
 def _run_agg(
@@ -581,9 +701,10 @@ def _run_agg(
     if kind == "terms":
         field = body["field"]
         size = int(body.get("size", 10))
+        metric_sub, pipe_sub = _split_pipeline_aggs(sub)
         metric_cols = [
             _metric_agg(n, s)
-            for n, s in sub.items()
+            for n, s in metric_sub.items()
             if "top_hits" not in s and "terms" not in s
         ]
         grouped = (
@@ -655,7 +776,7 @@ def _run_agg(
                 )
         for r in rows:
             b = {"key": r[field], "doc_count": r["doc_count"]}
-            for n in sub:
+            for n in metric_sub:
                 if n in th_rows:
                     b[n] = {"hits": th_rows[n].get(r[field], [])}
                 elif n in nested_rows:
@@ -663,6 +784,7 @@ def _run_agg(
                 else:
                     b[n] = {"value": r[n]}
             buckets.append(b)
+        buckets = _apply_pipeline_aggs(buckets, pipe_sub)
         return {"buckets": buckets}
 
     if kind == "percentile_ranks":
@@ -819,7 +941,7 @@ def _run_agg(
             }
             for r in rows
         ]
-        _apply_pipeline_aggs(buckets, pipe_sub)
+        buckets = _apply_pipeline_aggs(buckets, pipe_sub)
         return {"buckets": buckets}
 
     if kind == "stats":
@@ -856,7 +978,7 @@ def _run_agg(
             }
             for r in rows
         ]
-        _apply_pipeline_aggs(buckets, pipe_sub)
+        buckets = _apply_pipeline_aggs(buckets, pipe_sub)
         return {"buckets": buckets}
 
     if kind == "range":

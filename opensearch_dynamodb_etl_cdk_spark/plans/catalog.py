@@ -606,6 +606,88 @@ def bucket_cumulative_derivative(spark, sf_dir):
 
 
 @register(
+    "moving_fn_serial_diff_agg",
+    oracle="""
+    WITH per_day AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY CAST(ts AS DATE))
+    SELECT day, sum_value,
+           CAST(SUM(CAST(sum_value AS DECIMAL(28,2)))
+                OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                AS DOUBLE)
+             / COUNT(sum_value)
+                OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+             AS moving_avg_7d,
+           sum_value - LAG(sum_value, 7) OVER (ORDER BY day) AS diff_7d
+    FROM per_day
+    """,
+    doc="DSL pipeline aggregations `moving_fn` (7-bucket unweighted "
+    "average over the PRECEDING window, current bucket excluded — "
+    "OpenSearch shift=0 semantics) + `serial_diff` (lag 7, the "
+    "week-over-week seasonal delta) over a date_histogram. Like "
+    "cumulative_sum, the unpartitioned window is safe at any scale: it "
+    "runs over the reduced histogram, one row per day. Decimal-exact "
+    "window sums keep the moving average bit-stable across engines.",
+    tags=("agg", "dsl", "time"),
+)
+def moving_fn_serial_diff_agg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    per_day = e.groupBy(F.to_date("ts").alias("day")).agg(
+        dsum(F.col("value")).alias("sum_value")
+    )
+    wf = W.orderBy("day").rowsBetween(-7, -1)
+    return per_day.select(
+        "day",
+        "sum_value",
+        (
+            F.sum(F.col("sum_value").cast("decimal(28,2)")).over(wf).cast("double")
+            / F.count("sum_value").over(wf)
+        ).alias("moving_avg_7d"),
+        (F.col("sum_value") - F.lag("sum_value", 7).over(W.orderBy("day"))).alias(
+            "diff_7d"
+        ),
+    )
+
+
+@register(
+    "bucket_script_selector_page",
+    oracle="""
+    WITH per_day AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS doc_count,
+             CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY CAST(ts AS DATE))
+    SELECT day, doc_count, sum_value,
+           sum_value / doc_count AS per_event
+    FROM per_day
+    WHERE doc_count >= 300
+    ORDER BY per_event DESC, day ASC LIMIT 7
+    """,
+    doc="DSL pipeline aggregations `bucket_script` (derived per-bucket "
+    "metric: value per event) + `bucket_selector` (drop thin buckets) + "
+    "`bucket_sort` (page the top 7 by the derived metric): the "
+    "histogram reduces first, so script/filter/sort all run over "
+    "|buckets| rows — HAVING + top-k in relational terms, never a "
+    "second pass over the events.",
+    tags=("agg", "dsl", "time"),
+)
+def bucket_script_selector_page(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    per_day = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("doc_count"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+    return (
+        per_day.withColumn(
+            "per_event", F.col("sum_value") / F.col("doc_count")
+        )
+        .filter(F.col("doc_count") >= 300)
+        .orderBy(F.col("per_event").desc(), F.col("day").asc())
+        .limit(7)
+    )
+
+
+@register(
     "rare_terms_agg",
     oracle="""
     SELECT user_id AS key, COUNT(*) AS doc_count FROM events

@@ -815,3 +815,92 @@ def test_percentile_ranks(spark):
     )
     ranks = res["aggregations"]["pr"]["values"]
     assert ranks["25"] == 25.0 and ranks["50"] == 50.0 and ranks["99.5"] == 99.0
+
+
+def test_moving_fn_and_serial_diff(spark):
+    # 5 daily buckets with known sums: 10, 20, 40, 30, 50
+    rows = []
+    for day, v in [(1, 10.0), (2, 20.0), (3, 40.0), (4, 30.0), (5, 50.0)]:
+        rows.append((f"2024-01-0{day} 00:00:00", v))
+    df = spark.createDataFrame(rows, "ts_s string, value double").select(
+        F.to_timestamp("ts_s").alias("ts"), "value"
+    )
+    body = {
+        "size": 0,
+        "aggs": {
+            "per_day": {
+                "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                "aggs": {
+                    "v": {"sum": {"field": "value"}},
+                    "ma": {"moving_fn": {
+                        "buckets_path": "v", "window": 2,
+                        "script": "MovingFunctions.unweightedAvg(values)"}},
+                    "mmax": {"moving_fn": {
+                        "buckets_path": "v", "window": 2,
+                        "script": "MovingFunctions.max(values)"}},
+                    "d2": {"serial_diff": {"buckets_path": "v", "lag": 2}},
+                },
+            }
+        },
+    }
+    b = execute_search(df, body)["aggregations"]["per_day"]["buckets"]
+    # window = 2 PRECEDING buckets, excluding current (shift 0)
+    assert b[0]["ma"]["value"] is None
+    assert b[1]["ma"]["value"] == 10.0
+    assert b[2]["ma"]["value"] == 15.0      # avg(10, 20)
+    assert b[3]["ma"]["value"] == 30.0      # avg(20, 40)
+    assert b[4]["mmax"]["value"] == 40.0    # max(40, 30)
+    assert [x["d2"]["value"] for x in b] == [None, None, 30.0, 10.0, 10.0]
+
+
+def test_bucket_script_selector_sort(spark):
+    rows = (
+        [("a", 10.0)] * 4 + [("b", 1.0)] * 2 + [("c", 100.0)] * 3
+        + [("d", 5.0)] * 1
+    )
+    df = spark.createDataFrame(rows, "k string, value double")
+    body = {
+        "size": 0,
+        "aggs": {
+            "byk": {
+                "terms": {"field": "k"},
+                "aggs": {
+                    "v": {"sum": {"field": "value"}},
+                    "per_doc": {"bucket_script": {
+                        "buckets_path": {"s": "v", "n": "_count"},
+                        "script": "params.s / params.n"}},
+                    "keep": {"bucket_selector": {
+                        "buckets_path": {"n": "_count"},
+                        "script": "params.n >= 2"}},
+                    "order": {"bucket_sort": {
+                        "sort": [{"per_doc": {"order": "desc"}}], "size": 2}},
+                },
+            }
+        },
+    }
+    b = execute_search(df, body)["aggregations"]["byk"]["buckets"]
+    # d (1 doc) dropped by the selector; remaining sorted by per-doc
+    # value desc (c=100, a=10, b=1) and truncated to 2
+    assert [x["key"] for x in b] == ["c", "a"]
+    assert b[0]["per_doc"]["value"] == 100.0 and b[1]["per_doc"]["value"] == 10.0
+
+
+def test_bucket_script_rejects_hostile_input(spark):
+    df = spark.createDataFrame([("a", 1.0)], "k string, value double")
+    body = {
+        "size": 0,
+        "aggs": {
+            "byk": {
+                "terms": {"field": "k"},
+                "aggs": {
+                    "v": {"sum": {"field": "value"}},
+                    "x": {"bucket_script": {
+                        "buckets_path": {"s": "v"},
+                        "script": "__import__('os').system('true')"}},
+                },
+            }
+        },
+    }
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported script construct"):
+        execute_search(df, body)
