@@ -215,3 +215,42 @@ def test_extended_stats_single_aggregation_pass(spark, sf_dir):
 def test_rare_terms_is_ascending_topk(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "rare_terms_agg")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pii_report_is_single_pass_no_join(spark, sf_dir):
+    # the scrub is a projection + one aggregation: no joins, no extra
+    # scans — a 100 TB corpus pays exactly one pass
+    plan = plan_of(spark, sf_dir, "pii_scrub_report")
+    assert "Join" not in plan
+    # exactly one scan in the plan tree (formatted mode repeats each
+    # node once in the tree and once in the detail section)
+    assert plan.split("(1)")[0].count("Scan parquet") == 1
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_mixture_resample_broadcasts_thresholds(spark, sf_dir):
+    # per-group thresholds (tiny) broadcast onto the corpus; the corpus
+    # itself must not be hash-partitioned for the membership join
+    plan = plan_of(spark, sf_dir, "mixture_resample_counts")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sequence_packing_single_stream_window(spark, sf_dir):
+    # one window keyed by the stream column computes the running offset;
+    # no unpartitioned window anywhere in the plan
+    plan = plan_of(spark, sf_dir, "sequence_packing_report")
+    assert "partitionBy" not in plan  # formatted mode spells windows as
+    # Window [..], [lang], [doc_id ASC ...] — assert the stream key is
+    # the window partition spec instead
+    assert "[lang#" in plan or "[lang]" in plan
+
+
+def test_moving_fn_windows_over_reduced_histogram(spark, sf_dir):
+    # the unpartitioned window is fed by the per-day aggregate (one row
+    # per day), never the raw events: the aggregate must appear BELOW
+    # the window in the plan tree
+    plan = plan_of(spark, sf_dir, "moving_fn_serial_diff_agg", mode="simple")
+    win_pos = plan.index("Window")
+    agg_pos = plan.rindex("HashAggregate")
+    assert agg_pos > win_pos  # explain prints leaves last: agg below window
