@@ -1021,6 +1021,78 @@ def _run_agg(
             buckets.append(b)
         return {"buckets": buckets}
 
+    if kind == "date_range":
+        # date range buckets [from, to) with string date bounds — same
+        # one-conditional-agg-pass shape as numeric `range`.
+        field = body["field"]
+        col = F.col(field)
+        agg_cols, keys = [], []
+        for i, r_ in enumerate(body["ranges"]):
+            lo, hi = r_.get("from"), r_.get("to")
+            pred = F.lit(True)
+            if lo is not None:
+                pred = pred & (col >= F.to_timestamp(F.lit(lo)))
+            if hi is not None:
+                pred = pred & (col < F.to_timestamp(F.lit(hi)))
+            key = r_.get(
+                "key",
+                f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}",
+            )
+            keys.append(key)
+            agg_cols.append(F.sum(pred.cast("long")).alias(f"__n{i}"))
+            for n, s in sub.items():
+                (mk, mb), = s.items()
+                mcol = F.when(pred, F.col(mb["field"]))
+                agg_cols.append(_conditional_metric(mk, mcol, f"__m{i}_{n}"))
+        row = df.agg(*agg_cols).collect()[0]
+        buckets = []
+        for i, r_ in enumerate(body["ranges"]):
+            b = {"key": keys[i], "doc_count": row[f"__n{i}"] or 0}
+            if r_.get("from") is not None:
+                b["from"] = r_["from"]
+            if r_.get("to") is not None:
+                b["to"] = r_["to"]
+            for n in sub:
+                b[n] = {"value": row[f"__m{i}_{n}"]}
+            buckets.append(b)
+        return {"buckets": buckets}
+
+    if kind == "adjacency_matrix":
+        # doc counts for every named filter AND every pairwise
+        # intersection ("A&B") — the co-occurrence matrix, still ONE
+        # conditional-agg pass: k filters → k + k(k-1)/2 sums over the
+        # same scan, never a pass per cell.
+        named = list(body["filters"].items())
+        preds = {
+            fname: F.coalesce(compile_query(clause), F.lit(False))
+            for fname, clause in named
+        }
+        agg_cols = [
+            F.sum(p.cast("long")).alias(f"__n_{fname}")
+            for fname, p in preds.items()
+        ]
+        pair_names = []
+        for i in range(len(named)):
+            for j in range(i + 1, len(named)):
+                a, b_ = named[i][0], named[j][0]
+                pair_names.append((a, b_))
+                agg_cols.append(
+                    F.sum((preds[a] & preds[b_]).cast("long")).alias(
+                        f"__x_{a}_{b_}"
+                    )
+                )
+        row = df.agg(*agg_cols).collect()[0]
+        buckets = []
+        for fname, _ in named:
+            n = row[f"__n_{fname}"] or 0
+            if n:
+                buckets.append({"key": fname, "doc_count": n})
+        for a, b_ in pair_names:
+            n = row[f"__x_{a}_{b_}"] or 0
+            if n:
+                buckets.append({"key": f"{a}&{b_}", "doc_count": n})
+        return {"buckets": buckets}
+
     if kind == "significant_terms":
         bg = background if background is not None else df
         rows = significant_terms_frame(

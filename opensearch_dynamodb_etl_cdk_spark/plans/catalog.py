@@ -606,6 +606,68 @@ def bucket_cumulative_derivative(spark, sf_dir):
 
 
 @register(
+    "date_range_agg",
+    oracle="""
+    SELECT CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 'early' ELSE 'late' END
+             AS key,
+           COUNT(*) AS doc_count,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+    doc="DSL `date_range` aggregation: doc counts + metric per named "
+    "date band. Expressed as one derived-label groupBy (single pass, "
+    "map-side partials) — the executor variant in operators/search.py "
+    "folds all bands into one conditional-agg row instead; both shapes "
+    "scan the events exactly once.",
+    tags=("agg", "dsl", "time"),
+)
+def date_range_agg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    label = F.when(
+        F.col("ts") < F.to_timestamp(F.lit("2024-01-11")), "early"
+    ).otherwise("late")
+    return e.groupBy(label.alias("key")).agg(
+        F.count("*").alias("doc_count"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+@register(
+    "adjacency_matrix_agg",
+    oracle="""
+    SELECT 'clicks' AS key, COUNT(*) FILTER (event_type = 'click') AS doc_count
+    FROM events
+    UNION ALL
+    SELECT 'big', COUNT(*) FILTER (value >= 90.0) FROM events
+    UNION ALL
+    SELECT 'clicks&big', COUNT(*) FILTER (event_type = 'click' AND value >= 90.0)
+    FROM events
+    """,
+    doc="DSL `adjacency_matrix` aggregation: doc counts for each named "
+    "filter and each pairwise intersection — k + k(k-1)/2 conditional "
+    "sums over ONE scan (operators/search.py adjacency_matrix branch), "
+    "never a pass per matrix cell; the single agg row unpivots to the "
+    "bucket list.",
+    tags=("agg", "dsl"),
+)
+def adjacency_matrix_agg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    clicks = F.col("event_type") == "click"
+    big = F.col("value") >= 90.0
+    row = e.agg(
+        F.sum(clicks.cast("long")).alias("n_clicks"),
+        F.sum(big.cast("long")).alias("n_big"),
+        F.sum((clicks & big).cast("long")).alias("n_both"),
+    )
+    return row.select(
+        F.expr(
+            "stack(3, 'clicks', n_clicks, 'big', n_big, 'clicks&big', n_both) "
+            "AS (key, doc_count)"
+        )
+    )
+
+
+@register(
     "moving_fn_serial_diff_agg",
     oracle="""
     WITH per_day AS (

@@ -904,3 +904,55 @@ def test_bucket_script_rejects_hostile_input(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unsupported script construct"):
         execute_search(df, body)
+
+
+def test_date_range_agg(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    body = {
+        "size": 0,
+        "aggs": {
+            "eras": {
+                "date_range": {
+                    "field": "ts",
+                    "ranges": [
+                        {"key": "early", "to": "2024-01-11"},
+                        {"key": "late", "from": "2024-01-11"},
+                    ],
+                },
+                "aggs": {"v": {"sum": {"field": "value"}}},
+            }
+        },
+    }
+    b = execute_search(events, body)["aggregations"]["eras"]["buckets"]
+    assert [x["key"] for x in b] == ["early", "late"]
+    cutoff = F.to_timestamp(F.lit("2024-01-11"))
+    assert b[0]["doc_count"] == events.filter(F.col("ts") < cutoff).count()
+    assert b[1]["doc_count"] == events.filter(F.col("ts") >= cutoff).count()
+    assert b[0]["doc_count"] + b[1]["doc_count"] == events.count()
+    assert b[0]["v"]["value"] is not None
+
+
+def test_adjacency_matrix_agg(spark):
+    rows = [
+        ("click", 5.0), ("click", 50.0), ("view", 50.0),
+        ("view", 1.0), ("purchase", 99.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    body = {
+        "size": 0,
+        "aggs": {
+            "m": {
+                "adjacency_matrix": {
+                    "filters": {
+                        "clicks": {"term": {"event_type": "click"}},
+                        "big": {"range": {"value": {"gte": 40}}},
+                    }
+                }
+            }
+        },
+    }
+    b = {x["key"]: x["doc_count"] for x in
+         execute_search(df, body)["aggregations"]["m"]["buckets"]}
+    assert b == {"clicks": 2, "big": 3, "clicks&big": 1}
