@@ -45,3 +45,32 @@ def normalize(a: Column) -> Column:
     """Unit-normalize; after this, cosine = dot (one fewer pass at scale)."""
     n = l2_norm(a)
     return F.transform(a, lambda x: x.cast("double") / n)
+
+
+def int8_scale(a: Column) -> Column:
+    """Per-vector symmetric int8 quantization scale: max-abs / 127.
+
+    Zero vectors get scale 1.0 so quantize/dequantize stay total
+    functions (they round-trip 0 exactly). Double math throughout —
+    Spark and DuckDB agree bit-for-bit, keeping the quantization
+    oracle-checkable.
+    """
+    m = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
+    return F.when(m > 0, m / F.lit(127.0)).otherwise(F.lit(1.0))
+
+
+def quantize_int8(a: Column, scale: Column) -> Column:
+    """Symmetric linear quantization to array<tinyint> (¼ the bytes of
+    float32, 1/8 of the doubles they'd otherwise occupy in shuffle).
+    Spark ``round`` is HALF_UP (away from zero), same as DuckDB's
+    ``round`` — the engines produce identical codes. |code| ≤ 127 by
+    construction of :func:`int8_scale`, so the tinyint cast never wraps.
+    """
+    return F.transform(
+        a, lambda x: F.round(x.cast("double") / scale).cast("tinyint")
+    )
+
+
+def dequantize_int8(q: Column, scale: Column) -> Column:
+    """Reconstruct doubles from int8 codes; error ≤ scale/2 per element."""
+    return F.transform(q, lambda x: x.cast("double") * scale)

@@ -29,7 +29,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..functions.vectors import cosine, dot, l2_norm
+from ..functions.vectors import (
+    cosine,
+    dot,
+    int8_scale,
+    l2_norm,
+    quantize_int8,
+)
 
 
 def brute_force_topk(
@@ -383,6 +389,79 @@ def ivf_ann_topk(
     probes = ivf_probes(cents, query_vec, n_probe)
     assigned = ivf_assign(df, cents, vec_col)
     candidates = assigned.filter(F.col("_cluster").isin(probes)).drop("_cluster")
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "q_vec",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Add symmetric-int8 codes + per-vector scale next to the float
+    embeddings — one codegen projection, no shuffle. At 100 TB the
+    (codes, scale) pair is 4× smaller than float32 on disk and in
+    shuffle; scoring on codes keeps 4× more vectors per scan byte, with
+    the float column kept for exact re-rank of the short candidate
+    list only."""
+    scale = int8_scale(F.col(vec_col))
+    return df.withColumn(scale_col, scale).withColumn(
+        q_col, quantize_int8(F.col(vec_col), F.col(scale_col))
+    )
+
+
+def _quantize_py(vec: list[float]) -> list[int]:
+    """Driver-side int8 codes for one query vector — bit-identical to
+    :func:`~..functions.vectors.quantize_int8` (HALF_UP = away from
+    zero; Python's built-in round is banker's and must not be used)."""
+    m = max((abs(float(x)) for x in vec), default=0.0)
+    scale = m / 127.0 if m > 0 else 1.0
+    return [
+        int(math.copysign(math.floor(abs(float(x) / scale) + 0.5), x))
+        for x in vec
+    ]
+
+
+def int8_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_col: str = "q_vec",
+) -> DataFrame:
+    """Exact-over-codes cosine top-k: score int8 codes against the int8
+    query. The per-vector scales cancel inside cosine (cos(s·q, t·p) =
+    cos(q, p)), so no dequantize pass is needed — the scan reads ONLY
+    the narrow code column. ``df`` must carry ``q_col`` (from
+    :func:`quantize_embeddings`, precomputed/persisted at scale)."""
+    if q_col not in df.columns:
+        df = quantize_embeddings(df, vec_col=vec_col, q_col=q_col)
+    q = F.array(*[F.lit(int(c)).cast("tinyint") for c in _quantize_py(query_vec)])
+    scored = df.select(
+        F.col(id_col), cosine(F.col(q_col), q).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def int8_rerank_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    prefilter: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_col: str = "q_vec",
+) -> DataFrame:
+    """Two-stage retrieval: int8 scan selects ``prefilter`` candidates
+    (narrow-column pass), float re-rank returns the exact-cosine top-k
+    over those candidates only. The float column is read for ≤
+    ``prefilter`` rows via a broadcast semi-join — at 100 TB the wide
+    scan never happens."""
+    cands = int8_topk(
+        df, query_vec, k=prefilter, id_col=id_col, vec_col=vec_col, q_col=q_col
+    ).select(id_col)
+    candidates = df.join(F.broadcast(cands), on=id_col, how="left_semi")
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
 

@@ -36,6 +36,7 @@ from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..functions import text as T
+from ..functions import vectors as V
 from .catalog import register, _t
 
 # --- shared DuckDB fragments (verified bit-exact vs the Spark twins) ----
@@ -574,6 +575,148 @@ def ann_ivf_indexed_topk(spark, sf_dir):
     cents = S.ivf_centroids(e, 16)
     idx = _ivf_index(spark, sf_dir, e, cents)
     return S.query_ivf_topk(e, idx, cents, qvec, k=10, n_probe=4)
+
+
+# --- int8 quantization (E3: compressed-vector retrieval tier) ------------
+# Symmetric per-vector max-abs/127 scaling; codes are ¼ the scan bytes of
+# float32. Scales cancel inside cosine, so the int8 scoring pass reads only
+# the narrow code column; the float column is touched for the short
+# re-rank list alone. All double math — DuckDB mirrors it bit-for-bit.
+
+_Q_SCALE = (
+    "CASE WHEN list_max(list_transform({v}, x -> abs(CAST(x AS DOUBLE)))) > 0 "
+    "THEN list_max(list_transform({v}, x -> abs(CAST(x AS DOUBLE)))) / 127.0 "
+    "ELSE 1.0 END"
+)
+
+_QZ_CTE = f"""
+sc AS (SELECT vec_id, label, embedding,
+              {_Q_SCALE.format(v='embedding')} AS s
+       FROM embeddings),
+qz AS (SELECT vec_id, label, embedding, s,
+              list_transform(embedding, x -> round(CAST(x AS DOUBLE) / s)) AS qv
+       FROM sc)
+"""
+
+
+@register(
+    "embedding_quantization_report",
+    oracle=f"""
+    WITH {_QZ_CTE},
+    er AS (
+      SELECT label, len(embedding) AS dim,
+             list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE)/s)*s)) AS errs,
+             list_transform(embedding,
+               x -> round(CAST(x AS DOUBLE)/s)*s) AS deq,
+             embedding
+      FROM qz)
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(list_sum(list_transform(errs,
+                e -> CAST(round(e * 1000000000.0) AS BIGINT))) AS BIGINT))
+                AS BIGINT) AS sum_err_nano,
+           CAST(SUM(dim) AS BIGINT) AS sum_dim,
+           MAX(list_max(errs)) AS max_abs_err,
+           MIN({_cos('embedding', 'deq')}) AS min_cos
+    FROM er GROUP BY label
+    """,
+    doc="Per-label int8 quantization quality report: total reconstruction "
+    "error (summed in exact integer nanounits so the cross-engine hash is "
+    "order-independent), worst per-element error, and worst "
+    "original-vs-dequantized cosine. max/min reductions are "
+    "order-independent over doubles; no cross-row double sums.",
+    tags=("similarity", "quantization"),
+)
+def embedding_quantization_report(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    v = F.col("embedding")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    d = (
+        e.withColumn("_s", V.int8_scale(v))
+        .select(
+            "label",
+            F.size(v).cast("long").alias("dim"),
+            F.transform(
+                v,
+                lambda x: F.abs(
+                    xd(x) - F.round(xd(x) / F.col("_s")) * F.col("_s")
+                ),
+            ).alias("errs"),
+            F.transform(
+                v, lambda x: F.round(xd(x) / F.col("_s")) * F.col("_s")
+            ).alias("deq"),
+            v,
+        )
+    )
+    d = d.select(
+        "label",
+        "dim",
+        F.aggregate(
+            F.transform(F.col("errs"), lambda t: F.round(t * F.lit(1e9)).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).alias("err_nano"),
+        F.array_max(F.col("errs")).alias("row_max"),
+        V.cosine(v, F.col("deq")).alias("row_cos"),
+    )
+    return d.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("err_nano").alias("sum_err_nano"),
+        F.sum("dim").alias("sum_dim"),
+        F.max("row_max").alias("max_abs_err"),
+        F.min("row_cos").alias("min_cos"),
+    )
+
+
+@register(
+    "ann_int8_topk",
+    oracle=f"""
+    WITH {_QZ_CTE},
+    q AS (SELECT qv AS qqv FROM qz WHERE vec_id = 0)
+    SELECT qz.vec_id, {_cos('qz.qv', 'q.qqv')} AS score
+    FROM qz, q
+    ORDER BY score DESC, qz.vec_id ASC LIMIT 10
+    """,
+    doc="Cosine top-10 scored entirely on int8 codes (per-vector scales "
+    "cancel inside cosine): the scan reads only the narrow code column — "
+    "4× less I/O than float32 at 100 TB. Deterministic (HALF_UP codes on "
+    "both engines), so fully oracle-checked despite being a compressed "
+    "approximation of the float ranking.",
+    tags=("similarity", "topk", "quantization"),
+)
+def ann_int8_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return S.int8_topk(S.quantize_embeddings(e), qvec, k=10)
+
+
+@register(
+    "ann_int8_rerank_topk",
+    oracle=f"""
+    WITH {_QZ_CTE},
+    q AS (SELECT qv AS qqv FROM qz WHERE vec_id = 0),
+    pre AS (
+      SELECT qz.vec_id FROM qz, q
+      ORDER BY {_cos('qz.qv', 'q.qqv')} DESC, qz.vec_id ASC LIMIT 50
+    ),
+    qf AS (SELECT embedding AS fv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, {_cos('e.embedding', 'qf.fv')} AS score
+    FROM embeddings e JOIN pre USING (vec_id), qf
+    ORDER BY score DESC, e.vec_id ASC LIMIT 10
+    """,
+    doc="Two-stage retrieval: int8-code scan picks 50 candidates, float "
+    "re-rank returns the exact-cosine top-10 over candidates only (the "
+    "wide float column is read through a broadcast semi-join of ≤50 ids). "
+    "The production shape for compressed-vector stores.",
+    tags=("similarity", "topk", "quantization"),
+)
+def ann_int8_rerank_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return S.int8_rerank_topk(S.quantize_embeddings(e), qvec, k=10, prefilter=50)
 
 
 @register(

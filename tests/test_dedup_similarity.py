@@ -390,3 +390,90 @@ def test_lsh_multiprobe_recall_supersets_single_probe(spark):
         ).collect()
     }
     assert len(got_m & bf) >= len(got_s & bf)
+
+
+# --- int8 quantization tier (E3) -----------------------------------------
+
+
+def _vec_corpus(spark, n=300, dim=16, seed=3):
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(dim)]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, [float(x) for x in rows[0][1]]
+
+
+def test_int8_roundtrip_error_bounded(spark):
+    """Codes stay in [-127, 127]; |x − dequant(x)| ≤ scale/2 per element."""
+    from opensearch_dynamodb_etl_cdk_spark.functions import vectors as V
+
+    df, _ = _vec_corpus(spark)
+    q = S.quantize_embeddings(df)
+    chk = q.select(
+        F.array_min("q_vec").alias("lo"),
+        F.array_max("q_vec").alias("hi"),
+        F.array_max(
+            F.zip_with(
+                F.col("embedding"),
+                V.dequantize_int8(F.col("q_vec"), F.col("q_scale")),
+                lambda a, b: F.abs(a.cast("double") - b),
+            )
+        ).alias("max_err"),
+        (F.col("q_scale") / 2 * 1.000001).alias("bound"),
+    )
+    bad = chk.filter(
+        (F.col("lo") < -127) | (F.col("hi") > 127)
+        | (F.col("max_err") > F.col("bound"))
+    )
+    assert bad.count() == 0
+
+
+def test_int8_query_codes_match_spark_expression(spark):
+    """Driver-side _quantize_py is bit-identical to the Column path."""
+    df, qvec = _vec_corpus(spark, n=5)
+    spark_codes = (
+        S.quantize_embeddings(df)
+        .filter(F.col("vec_id") == 0)
+        .select("q_vec")
+        .head()[0]
+    )
+    assert [int(c) for c in spark_codes] == S._quantize_py(qvec)
+
+
+def test_int8_topk_tracks_exact_ranking(spark):
+    df, qvec = _vec_corpus(spark)
+    exact = [r.vec_id for r in S.brute_force_topk(df, qvec, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in S.int8_topk(S.quantize_embeddings(df), qvec, k=10).collect()
+    ]
+    assert approx[0] == 0  # self-match survives quantization
+    assert len(set(exact) & set(approx)) >= 7
+
+
+def test_int8_rerank_full_prefilter_equals_brute_force(spark):
+    df, qvec = _vec_corpus(spark)
+    exact = S.brute_force_topk(df, qvec, k=10).collect()
+    got = S.int8_rerank_topk(
+        S.quantize_embeddings(df), qvec, k=10, prefilter=df.count()
+    ).collect()
+    assert [(r.vec_id, r.score) for r in got] == [
+        (r.vec_id, r.score) for r in exact
+    ]
+
+
+def test_int8_rerank_scores_are_exact_cosines(spark):
+    """Re-rank stage scores candidates with FULL-precision cosine: every
+    returned (id, score) must equal the brute-force score for that id."""
+    df, qvec = _vec_corpus(spark)
+    bf = {
+        r.vec_id: r.score
+        for r in S.brute_force_topk(df, qvec, k=300).collect()
+    }
+    got = S.int8_rerank_topk(
+        S.quantize_embeddings(df), qvec, k=10, prefilter=50
+    ).collect()
+    assert len(got) == 10
+    for r in got:
+        assert r.score == bf[r.vec_id]
