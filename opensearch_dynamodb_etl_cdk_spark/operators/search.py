@@ -72,6 +72,335 @@ def _wildcard_to_regex(pattern: str) -> str:
     return "^" + "".join(out) + "$"
 
 
+# --- query_string / simple_query_string mini-language --------------------
+# A recursive-descent parser from the Lucene-ish query-string syntax to
+# the DSL dict algebra above — parsing happens once on the driver; the
+# output compiles through compile_query like any hand-written body, so
+# every produced predicate stays a pushable Column expression.
+
+_QS_TOKEN = re.compile(
+    r"""\s*(?:
+      (?P<lparen>\() |
+      (?P<rparen>\)) |
+      (?P<op>AND\b|OR\b|NOT\b) |
+      (?P<sign>[+-](?=[\w."([{])) |
+      (?P<field>[\w.]+:) |
+      (?P<quoted>"[^"]*") |
+      (?P<range>[\[\{][^\]\}]*\sTO\s[^\]\}]*[\]\}]) |
+      (?P<cmp>(?:>=|<=|>|<)[^\s()]+) |
+      (?P<word>[^\s()"]+)
+    )""",
+    re.X,
+)
+
+
+def _qs_tokenize(q: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(q):
+        m = _QS_TOKEN.match(q, pos)
+        if not m or m.end() == m.start():
+            if q[pos:].strip():
+                raise ValueError(f"query_string: cannot tokenize at {q[pos:]!r}")
+            break
+        pos = m.end()
+        for name, val in m.groupdict().items():
+            if val is not None:
+                out.append((name, val))
+                break
+    return out
+
+
+def _coerce_qs_value(text: str):
+    try:
+        return int(text)
+    except ValueError:
+        try:
+            return float(text)
+        except ValueError:
+            return text
+
+
+def _qs_term_clause(field: str | None, kind: str, text: str,
+                    default_field: str | None, fields: list[str] | None,
+                    analyze_wildcard: bool = False) -> dict:
+    """One parsed term (+ optional explicit field) → a DSL clause dict."""
+    if field is None and fields:
+        # bare term against a fields list → OR across fields
+        subs = [
+            _qs_term_clause(f, kind, text, None, None, analyze_wildcard)
+            for f in fields
+        ]
+        if len(subs) == 1:
+            return subs[0]
+        return {"bool": {"should": subs, "minimum_should_match": 1}}
+    tgt = field or default_field
+    if tgt is None:
+        raise ValueError(
+            f"query_string: term {text!r} has no field and no default_field/fields"
+        )
+    if kind == "quoted":
+        return {"match_phrase": {tgt: text[1:-1]}}
+    if kind == "range":
+        lo_inc, hi_inc = text[0] == "[", text[-1] == "]"
+        lo, hi = re.split(r"\sTO\s", text[1:-1].strip(), maxsplit=1)
+        spec = {}
+        if lo.strip() != "*":
+            spec["gte" if lo_inc else "gt"] = _coerce_qs_value(lo.strip())
+        if hi.strip() != "*":
+            spec["lte" if hi_inc else "lt"] = _coerce_qs_value(hi.strip())
+        return {"range": {tgt: spec}}
+    if kind == "cmp":
+        op = {"<=": "lte", ">=": "gte", "<": "lt", ">": "gt"}[
+            re.match(r">=|<=|>|<", text).group()
+        ]
+        return {"range": {tgt: {op: _coerce_qs_value(text.lstrip("<>="))}}}
+    # word
+    if "*" in text or "?" in text:
+        return {"wildcard": {tgt: text.lower() if analyze_wildcard else text}}
+    val = _coerce_qs_value(text)
+    if isinstance(val, (int, float)):
+        return {"term": {tgt: val}}
+    return {"match": {tgt: text}}
+
+
+def _qs_combine(op: str, clauses: list[dict]) -> dict:
+    if len(clauses) == 1:
+        return clauses[0]
+    if op == "or":
+        return {"bool": {"should": clauses, "minimum_should_match": 1}}
+    return {"bool": {"must": clauses}}
+
+
+def parse_query_string(
+    q: str,
+    default_field: str | None = None,
+    fields: list[str] | None = None,
+    default_operator: str = "or",
+    analyze_wildcard: bool = False,
+) -> dict:
+    """Lucene-style query string → DSL dict (bool/term/match/match_phrase/
+    wildcard/range). Grammar: OR < AND < NOT < (+/- sign) < primary;
+    adjacency uses ``default_operator``. ``field:value``, quoted phrases,
+    ``[a TO b]`` / ``{a TO b}`` ranges, ``field:>=v`` comparisons, ``*``/
+    ``?`` wildcards, and ``+required`` / ``-prohibited`` signs."""
+    tokens = _qs_tokenize(q)
+    if not tokens:
+        return {"match_all": {}}
+    pos = 0
+
+    def peek():
+        return tokens[pos] if pos < len(tokens) else (None, None)
+
+    def parse_or():
+        nonlocal pos
+        parts = [parse_and()]
+        while peek() == ("op", "OR"):
+            pos += 1
+            parts.append(parse_and())
+        return _qs_combine("or", parts)
+
+    def parse_and():
+        nonlocal pos
+        musts, must_nots, shoulds = [], [], []
+        explicit_and = False
+
+        def take(clause, sign):
+            if sign == "+":
+                musts.append(clause)
+            elif sign == "-":
+                must_nots.append(clause)
+            else:
+                shoulds.append(clause)
+
+        take(*parse_not())
+        while True:
+            name, val = peek()
+            if name == "op" and val == "AND":
+                pos += 1
+                explicit_and = True
+                take(*parse_not())
+            elif name in ("lparen", "field", "quoted", "range", "cmp",
+                          "word", "sign") or (name == "op" and val == "NOT"):
+                take(*parse_not())  # adjacency → default_operator
+            else:
+                break
+        use_and = explicit_and or default_operator.lower() == "and"
+        if use_and:
+            musts.extend(shoulds)
+            shoulds = []
+        if not must_nots and not musts:
+            return _qs_combine("or", shoulds)
+        if not must_nots and not shoulds and len(musts) >= 1:
+            return _qs_combine("and", musts)
+        b: dict[str, Any] = {}
+        if musts:
+            b["must"] = musts
+        if must_nots:
+            b["must_not"] = must_nots
+        if shoulds:
+            b["should"] = shoulds
+            b["minimum_should_match"] = 1
+        return {"bool": b}
+
+    def parse_not():
+        nonlocal pos
+        name, val = peek()
+        if name == "op" and val == "NOT":
+            pos += 1
+            clause, sign = parse_not()
+            if sign == "-":  # NOT -x → x required to be absent… keep simple: double negation
+                return clause, "+"
+            return clause, "-"
+        if name == "sign":
+            pos += 1
+            clause, _ = parse_not()
+            return clause, val
+        return parse_primary(), None
+
+    def parse_primary():
+        nonlocal pos
+        name, val = peek()
+        if name == "lparen":
+            pos += 1
+            inner = parse_or()
+            if peek()[0] != "rparen":
+                raise ValueError("query_string: unbalanced parenthesis")
+            pos += 1
+            return inner
+        field = None
+        if name == "field":
+            field = val[:-1]
+            pos += 1
+            name, val = peek()
+            if name == "lparen":  # field:(a OR b) — grouped terms on one field
+                pos += 1
+                return _parse_grouped_field(field)
+        if name not in ("quoted", "range", "cmp", "word"):
+            raise ValueError(f"query_string: expected a term, got {val!r}")
+        pos += 1
+        return _qs_term_clause(
+            field, name, val, default_field, fields, analyze_wildcard
+        )
+
+    def _parse_grouped_field(field: str):
+        # re-parse the parenthesized group with default_field = field
+        nonlocal pos
+        depth, start = 1, pos
+        while pos < len(tokens) and depth:
+            if tokens[pos][0] == "lparen":
+                depth += 1
+            elif tokens[pos][0] == "rparen":
+                depth -= 1
+            pos += 1
+        if depth:
+            raise ValueError("query_string: unbalanced parenthesis")
+        inner_tokens = tokens[start:pos - 1]
+        text = _qs_detokenize(inner_tokens)
+        return parse_query_string(
+            text, default_field=field, fields=None,
+            default_operator=default_operator,
+            analyze_wildcard=analyze_wildcard,
+        )
+
+    out = parse_or()
+    if pos != len(tokens):
+        raise ValueError(
+            f"query_string: trailing tokens {tokens[pos:]!r}"
+        )
+    return out
+
+
+def _qs_detokenize(tokens: list[tuple[str, str]]) -> str:
+    parts = []
+    for name, val in tokens:
+        if name == "lparen":
+            parts.append("(")
+        elif name == "rparen":
+            parts.append(")")
+        elif name == "field":
+            parts.append(val)  # keeps trailing ':'
+            continue
+        else:
+            parts.append(val)
+    # re-join field prefixes tightly: "f:" followed by term
+    out, i = [], 0
+    while i < len(parts):
+        if parts[i].endswith(":") and i + 1 < len(parts):
+            out.append(parts[i] + parts[i + 1])
+            i += 2
+        else:
+            out.append(parts[i])
+            i += 1
+    return " ".join(out)
+
+
+def parse_simple_query_string(
+    q: str,
+    fields: list[str],
+    default_operator: str = "or",
+) -> dict:
+    """simple_query_string: ``+`` = AND, ``|`` = OR, ``-`` = NOT,
+    quoted phrases, trailing ``*`` = prefix, parentheses; whitespace
+    adjacency uses ``default_operator``. Unlike query_string it never
+    raises on odd input — bad fragments degrade to plain terms (the
+    public contract of the simple variant)."""
+    toks: list[str] = []
+    for m in re.finditer(r'"[^"]*"|\(|\)|\||\+|-|[^\s()|+-]+', q):
+        toks.append(m.group())
+    pos = 0
+
+    def term_clause(text: str) -> dict:
+        if text.startswith('"') and text.endswith('"') and len(text) >= 2:
+            phrase = text[1:-1]
+            subs = [{"match_phrase": {f: phrase}} for f in fields]
+        elif text.endswith("*") and len(text) > 1 and "*" not in text[:-1]:
+            subs = [{"prefix": {f: text[:-1]}} for f in fields]
+        else:
+            subs = [{"match": {f: text}} for f in fields]
+        if len(subs) == 1:
+            return subs[0]
+        return {"bool": {"should": subs, "minimum_should_match": 1}}
+
+    def parse_or_s():
+        nonlocal pos
+        parts = [parse_and_s()]
+        while pos < len(toks) and toks[pos] == "|":
+            pos += 1
+            parts.append(parse_and_s())
+        return _qs_combine("or", parts)
+
+    def parse_and_s():
+        nonlocal pos
+        glue = "and" if default_operator.lower() == "and" else "or"
+        parts = [parse_unary_s()]
+        explicit_and = False
+        while pos < len(toks) and toks[pos] not in ("|", ")"):
+            if toks[pos] == "+":
+                pos += 1
+                explicit_and = True
+            parts.append(parse_unary_s())
+        return _qs_combine("and" if explicit_and else glue, parts)
+
+    def parse_unary_s():
+        nonlocal pos
+        if pos < len(toks) and toks[pos] == "-":
+            pos += 1
+            return {"bool": {"must_not": [parse_unary_s()]}}
+        if pos < len(toks) and toks[pos] == "(":
+            pos += 1
+            inner = parse_or_s()
+            if pos < len(toks) and toks[pos] == ")":
+                pos += 1
+            return inner
+        if pos >= len(toks):
+            return {"match_all": {}}
+        t = toks[pos]
+        pos += 1
+        return term_clause(t)
+
+    return parse_or_s()
+
+
 def compile_query(q: dict[str, Any]) -> Column:
     """DSL query clause → boolean Column predicate."""
     if not q:
@@ -185,6 +514,26 @@ def compile_query(q: dict[str, Any]) -> Column:
         # scoring is out of scope for a filter-algebra engine: the
         # wrapped filter IS the constant_score semantics.
         return compile_query(body["filter"])
+
+    if kind == "query_string":
+        return compile_query(
+            parse_query_string(
+                body["query"],
+                default_field=body.get("default_field"),
+                fields=body.get("fields"),
+                default_operator=body.get("default_operator", "or"),
+                analyze_wildcard=bool(body.get("analyze_wildcard", False)),
+            )
+        )
+
+    if kind == "simple_query_string":
+        return compile_query(
+            parse_simple_query_string(
+                body["query"],
+                fields=body["fields"],
+                default_operator=body.get("default_operator", "or"),
+            )
+        )
 
     if kind == "bool":
         pred = F.lit(True)

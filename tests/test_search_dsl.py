@@ -956,3 +956,98 @@ def test_adjacency_matrix_agg(spark):
     b = {x["key"]: x["doc_count"] for x in
          execute_search(df, body)["aggregations"]["m"]["buckets"]}
     assert b == {"clicks": 2, "big": 3, "clicks&big": 1}
+
+
+# --- query_string / simple_query_string ----------------------------------
+
+
+@pytest.fixture(scope="module")
+def qs_docs(spark):
+    rows = [
+        (0, "alpha bravo charlie", "en", 10),
+        (1, "alpha delta", "en", 25),
+        (2, "bravo echo", "de", 40),
+        (3, "charlie delta echo", "en", 55),
+        (4, "Foxtrot golf", "fr", 70),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n int"
+    ).cache()
+    df.count()
+    return df
+
+
+def _ids(df, clause):
+    return {r.doc_id for r in df.filter(compile_query(clause)).collect()}
+
+
+def test_query_string_fields_and_bool(qs_docs):
+    q = {"query_string": {"query": "text:alpha AND lang:en"}}
+    assert _ids(qs_docs, q) == {0, 1}
+    q = {"query_string": {"query": "alpha OR echo", "default_field": "text"}}
+    assert _ids(qs_docs, q) == {0, 1, 2, 3}
+    q = {"query_string": {"query": "lang:en AND NOT delta",
+                          "default_field": "text"}}
+    assert _ids(qs_docs, q) == {0}
+
+
+def test_query_string_ranges_and_comparisons(qs_docs):
+    assert _ids(qs_docs, {"query_string": {"query": "n:[25 TO 55]"}}) == {1, 2, 3}
+    assert _ids(qs_docs, {"query_string": {"query": "n:{25 TO 55}"}}) == {2}
+    assert _ids(qs_docs, {"query_string": {"query": "n:>=55"}}) == {3, 4}
+    assert _ids(qs_docs, {"query_string": {"query": "n:[40 TO *]"}}) == {2, 3, 4}
+
+
+def test_query_string_signs_wildcard_phrase_group(qs_docs):
+    q = {"query_string": {"query": "+alpha -delta", "default_field": "text"}}
+    assert _ids(qs_docs, q) == {0}
+    q = {"query_string": {"query": "text:Fox*"}}
+    assert _ids(qs_docs, q) == {4}
+    q = {"query_string": {"query": '"alpha bravo"', "default_field": "text"}}
+    assert _ids(qs_docs, q) == {0}
+    q = {"query_string": {"query": "text:(alpha OR echo)"}}
+    assert _ids(qs_docs, q) == {0, 1, 2, 3}
+
+
+def test_query_string_fields_list_and_default_and(qs_docs):
+    q = {"query_string": {"query": "de", "fields": ["text", "lang"]}}
+    assert _ids(qs_docs, q) == {2}
+    q = {"query_string": {"query": "alpha charlie", "default_field": "text",
+                          "default_operator": "and"}}
+    assert _ids(qs_docs, q) == {0}
+    q = {"query_string": {"query": "alpha charlie", "default_field": "text"}}
+    assert _ids(qs_docs, q) == {0, 1, 3}
+
+
+def test_query_string_errors():
+    with pytest.raises(ValueError):
+        compile_query({"query_string": {"query": "no_field_anywhere"}})
+    with pytest.raises(ValueError):
+        compile_query(
+            {"query_string": {"query": "(a OR b", "default_field": "text"}}
+        )
+
+
+def test_simple_query_string(qs_docs):
+    q = {"simple_query_string": {"query": "alpha | echo", "fields": ["text"]}}
+    assert _ids(qs_docs, q) == {0, 1, 2, 3}
+    q = {"simple_query_string": {"query": "alpha -delta", "fields": ["text"],
+                                 "default_operator": "and"}}
+    assert _ids(qs_docs, q) == {0}
+    q = {"simple_query_string": {"query": "brav*", "fields": ["text"]}}
+    assert _ids(qs_docs, q) == {2}
+    q = {"simple_query_string": {"query": '"charlie delta"', "fields": ["text"]}}
+    assert _ids(qs_docs, q) == {3}
+    q = {"simple_query_string": {"query": "charlie + echo", "fields": ["text"]}}
+    assert _ids(qs_docs, q) == {3}
+
+
+def test_query_string_through_execute_search(qs_docs):
+    body = {
+        "query": {"query_string": {"query": "lang:en AND (alpha OR echo)",
+                                   "default_field": "text"}},
+        "sort": [{"doc_id": "asc"}],
+        "size": 10,
+    }
+    res = execute_search(qs_docs, body)
+    assert [h["doc_id"] for h in res["hits"]["hits"]] == [0, 1, 3]
