@@ -122,6 +122,16 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
                         field_.name,
                         F.timestamp_micros(F.expr(f"`{field_.name}` div 1000")),
                     )
+                elif field_.dataType.simpleString() == "timestamp_ntz":
+                    # Parquet timestamp[us] with isAdjustedToUTC=false infers
+                    # as TIMESTAMP_NTZ (Spark 3.4+). Normalize to TimestampType
+                    # under the UTC session zone — same wall-clock instants,
+                    # but NTZ forbids numeric casts (cast to long) that the
+                    # catalog's time arithmetic relies on, and the DuckDB
+                    # oracle compares naive-UTC either way.
+                    df = df.withColumn(
+                        field_.name, F.col(field_.name).cast("timestamp")
+                    )
             df.createOrReplaceTempView(name)
             out[name] = df
         elif explicit:

@@ -1050,4 +1050,4 @@ def test_query_string_through_execute_search(qs_docs):
         "size": 10,
     }
     res = execute_search(qs_docs, body)
-    assert [h["doc_id"] for h in res["hits"]["hits"]] == [0, 1, 3]
+    assert [r.doc_id for r in res["hits"].collect()] == [0, 1, 3]
