@@ -1128,6 +1128,66 @@ def fuzzy_match(spark, sf_dir):
     )
 
 
+@register(
+    "query_string_search",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars FROM documents
+    WHERE lang IN ('en', 'de')
+      AND (list_contains({TOK}, 'spark') OR list_contains({TOK}, 'merge'))
+      AND NOT list_contains({TOK}, 'batch')
+      AND n_chars >= 200
+    GROUP BY lang
+    """,
+    doc="Lucene-style `query_string` (field groups, AND/OR/NOT, open "
+    "range) parsed driver-side to the DSL dict algebra, then compiled to "
+    "one pushable Column predicate (operators/search.py::parse_query_string).",
+    tags=("dsl", "fulltext"),
+)
+def query_string_search(spark, sf_dir):
+    from ..operators.search import compile_query
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    q = {"query_string": {
+        "query": "lang:(en OR de) AND (spark OR merge) AND NOT batch"
+                 " AND n_chars:[200 TO *]",
+        "default_field": "text",
+    }}
+    return (
+        d.filter(compile_query(q))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@register(
+    "simple_query_string_search",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n FROM documents
+    WHERE (' ' || text || ' ') LIKE '% fast merge %'
+       OR (list_contains({TOK}, 'spark') AND NOT list_contains({TOK}, 'batch'))
+    GROUP BY source
+    """,
+    doc="`simple_query_string` (`|`=OR, `-`=NOT, quoted phrase) over the "
+    "documents corpus; degrades-not-raises parse contract "
+    "(operators/search.py::parse_simple_query_string).",
+    tags=("dsl", "fulltext"),
+)
+def simple_query_string_search(spark, sf_dir):
+    from ..operators.search import compile_query
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    q = {"simple_query_string": {
+        "query": '"fast merge" | spark -batch',
+        "fields": ["text"],
+        "default_operator": "and",
+    }}
+    return (
+        d.filter(compile_query(q))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN + salted skew aggregation
 # ---------------------------------------------------------------------------
