@@ -30,6 +30,10 @@ Pagination / result shaping: sort + from/size, ``search_after``
 offset), ``collapse`` (one best hit per field value via a per-group
 window top-1).
 
+Vector search: a top-level ``knn`` query (k-NN plugin search shape)
+with cosine scoring, efficient pre-``filter``, ``min_score``, and a
+``_score`` column on the hits (see :func:`_execute_knn`).
+
 Everything compiles to Column expressions / DataFrame plans — Catalyst
 pushes the filters into the scan; aggregations are partial-aggregated
 map-side. ``match`` tokenizes with the standard-analyzer approximation
@@ -738,10 +742,49 @@ def significant_terms_frame(
     )
 
 
+def _execute_knn(df: DataFrame, knn_body: dict[str, Any],
+                 default_size: int) -> DataFrame:
+    """Top-level ``knn`` query (OpenSearch k-NN plugin search shape):
+    ``{"knn": {field: {"vector": [...], "k": N, "filter": {...},
+    "min_score": s}}}``. Scores every (optionally pre-filtered) row by
+    cosine similarity and keeps the top ``k`` — an efficient-filter kNN:
+    the ``filter`` clause compiles to a pushed-down predicate evaluated
+    BEFORE scoring, so the scan prunes first (OpenSearch "efficient
+    pre-filtering", not post-filtering). ``_score`` is raw cosine in
+    [-1, 1] (space_type=cosinesimil without the plugin's affine rescale,
+    documented engine difference).
+
+    Physical plan: scan → filter → project(score) →
+    TakeOrderedAndProject — the corpus never shuffles; only
+    k·partitions candidate rows reach the driver-side heap. At 100 TB
+    this is the exact-scoring tier; the LSH/IVF indexed tiers in
+    operators/similarity.py serve the approximate path.
+    """
+    from ..functions.vectors import cosine
+
+    (field, spec), = knn_body.items()
+    vec = [float(x) for x in spec["vector"]]
+    k = int(spec.get("k", default_size))
+    base = df
+    if spec.get("filter"):
+        base = base.filter(compile_query(spec["filter"]))
+    qarr = F.array(*[F.lit(x) for x in vec])
+    scored = base.withColumn("_score", cosine(F.col(field), qarr))
+    if spec.get("min_score") is not None:
+        scored = scored.filter(F.col("_score") >= float(spec["min_score"]))
+    return scored.orderBy(F.col("_score").desc()).limit(k)
+
+
 def execute_search(df: DataFrame, body: dict[str, Any]) -> dict[str, Any]:
     """Run a DSL search body; returns ``{"hits": DataFrame, "aggregations":
     dict}`` — hits stay distributed, aggregation summaries are collected."""
-    filtered = df.filter(compile_query(body.get("query", {"match_all": {}})))
+    query = body.get("query", {"match_all": {}})
+    if len(query) == 1 and next(iter(query)) == "knn":
+        filtered = _execute_knn(df, query["knn"], int(body.get("size", 10)))
+        if not body.get("sort"):
+            filtered = filtered.orderBy(F.col("_score").desc())
+    else:
+        filtered = df.filter(compile_query(query))
 
     hits = filtered
     if body.get("collapse"):

@@ -1188,6 +1188,33 @@ def simple_query_string_search(spark, sf_dir):
     )
 
 
+@register(
+    "knn_search_dsl",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
+    SELECT e.vec_id, e.label, {_cos('e.embedding', 'q.qv')} AS _score
+    FROM embeddings e, q WHERE e.label >= 1
+    ORDER BY _score DESC LIMIT 10
+    """,
+    doc="Top-level `knn` DSL query (k-NN plugin search shape) through "
+    "execute_search: efficient pre-filter (label >= 1) pushed below "
+    "cosine scoring, exact top-10. Plan: scan → filter → project → "
+    "TakeOrderedAndProject, no corpus shuffle.",
+    tags=("dsl", "similarity", "topk"),
+)
+def knn_search_dsl(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 7).select("embedding").head()[0]]
+    body = {"query": {"knn": {"embedding": {
+        "vector": qvec, "k": 10,
+        "filter": {"range": {"label": {"gte": 1}}},
+    }}}}
+    return execute_search(e, body)["hits"].select("vec_id", "label", "_score")
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN + salted skew aggregation
 # ---------------------------------------------------------------------------

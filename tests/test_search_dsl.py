@@ -1051,3 +1051,56 @@ def test_query_string_through_execute_search(qs_docs):
     }
     res = execute_search(qs_docs, body)
     assert [r.doc_id for r in res["hits"].collect()] == [0, 1, 3]
+
+
+# --- knn vector search ----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def knn_docs(spark):
+    # Unit-ish vectors with known cosine ordering vs the query [1, 0]:
+    # doc 0 is identical, 1 is close, 2 orthogonal-ish, 3 opposite.
+    rows = [
+        (0, [1.0, 0.0], "en"),
+        (1, [0.9, 0.1], "en"),
+        (2, [0.1, 0.9], "de"),
+        (3, [-1.0, 0.0], "en"),
+        (4, [0.7, 0.3], "de"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, lang string"
+    ).cache()
+    df.count()
+    return df
+
+
+def test_knn_topk_order_and_score(knn_docs):
+    body = {"query": {"knn": {"embedding": {"vector": [1.0, 0.0], "k": 3}}}}
+    hits = execute_search(knn_docs, body)["hits"].collect()
+    assert [r.vec_id for r in hits] == [0, 1, 4]
+    assert hits[0]._score == pytest.approx(1.0)
+    assert hits[0]._score >= hits[1]._score >= hits[2]._score
+
+
+def test_knn_prefilter_and_min_score(knn_docs):
+    body = {"query": {"knn": {"embedding": {
+        "vector": [1.0, 0.0], "k": 5, "filter": {"term": {"lang": "de"}}}}}}
+    hits = execute_search(knn_docs, body)["hits"].collect()
+    assert [r.vec_id for r in hits] == [4, 2]  # pre-filter, then score order
+    body["query"]["knn"]["embedding"]["min_score"] = 0.5
+    hits = execute_search(knn_docs, body)["hits"].collect()
+    assert [r.vec_id for r in hits] == [4]
+
+
+def test_knn_k_defaults_to_size_and_aggs_over_knn_hits(knn_docs):
+    body = {
+        "query": {"knn": {"embedding": {"vector": [1.0, 0.0]}}},
+        "size": 2,
+        "aggs": {"langs": {"terms": {"field": "lang"}}},
+    }
+    res = execute_search(knn_docs, body)
+    assert [r.vec_id for r in res["hits"].collect()] == [0, 1]
+    # aggregations run over the k retrieved hits, not the whole corpus
+    buckets = {b["key"]: b["doc_count"]
+               for b in res["aggregations"]["langs"]["buckets"]}
+    assert buckets == {"en": 2}
