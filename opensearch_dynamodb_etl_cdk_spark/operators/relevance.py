@@ -1,0 +1,130 @@
+"""BM25 relevance scoring for analyzed match queries (SURVEY §2.7).
+
+The reference's OpenSearch collection is a SEARCH-type collection
+(lib/opensearch-dynamodb-etl-cdk-stack.ts:88-92): queries POSTed to it
+are ranked by Lucene BM25, not just filtered. The DSL interpreter in
+operators/search.py deliberately implements the filter algebra (scores
+don't change which documents match); this module adds the scoring tier
+— the same Lucene BM25 formula, expressed as ONE declarative Spark
+plan:
+
+    idf(t)  = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    score   = Σ_t idf(t) · tf_t·(k1+1) / (tf_t + k1·(1 − b + b·dl/avgdl))
+
+with k1 = 1.2, b = 0.75 (Lucene defaults).
+
+Scale shape (100 TB): corpus statistics (N, avgdl, one df per query
+term) reduce to a SINGLE one-row aggregate — a map-side-combined pass
+over the corpus — which joins back in as a broadcast. Per-document
+term frequencies are codegen array expressions over the analyzed
+tokens; the final top-k is TakeOrderedAndProject. Two corpus passes
+total (stats + score), zero shuffles of document bodies; the stats
+pass reduces to one row per partition before the combine. For a
+standing corpus the stats row can be persisted and reused across
+queries — pass ``stats`` to skip the first pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .search import _analyze, _analyze_text
+
+K1 = 1.2
+B = 0.75
+
+
+def corpus_stats(df: DataFrame, field: str, terms: list[str]) -> DataFrame:
+    """One-row frame: corpus size ``_n``, average analyzed doc length
+    ``_avgdl``, and document frequency ``_df_i`` per query term —
+    everything BM25 needs from the corpus, in one aggregate pass."""
+    toks = _analyze(F.col(field))
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(F.size(toks)).alias("_avgdl"),
+    ]
+    for i, t in enumerate(terms):
+        aggs.append(
+            F.sum(F.array_contains(toks, t).cast("long")).alias(f"_df_{i}")
+        )
+    return df.agg(*aggs)
+
+
+def _idf(n: Column, df_t: Column) -> Column:
+    return F.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+
+
+def score_match_bm25(
+    df: DataFrame,
+    field: str,
+    query: str,
+    k1: float = K1,
+    b: float = B,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Score every document matching ANY analyzed query term (OR match
+    semantics) with Lucene BM25; returns the input columns plus
+    ``_score``. Callers top-k with ``orderBy(desc("_score"), <id>)`` —
+    which collapses to TakeOrderedAndProject, never a sort of the
+    corpus."""
+    terms = _analyze_text(query)
+    if not terms:
+        raise ValueError("score_match_bm25: query analyzed to zero terms")
+    if stats is None:
+        stats = corpus_stats(df, field, terms)
+
+    toks = _analyze(F.col(field))
+    scored = df.withColumn("_toks", toks).withColumn(
+        "_dl", F.size("_toks").cast("double")
+    )
+    # broadcast the one-row stats frame — a dimension join of width 1
+    scored = scored.crossJoin(F.broadcast(stats))
+
+    n = F.col("_n").cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+    )
+    def _tf(term: str) -> Column:
+        # NB: the lambda must take exactly one arg — a second parameter
+        # (even defaulted) makes F.filter pass the element INDEX into it
+        return F.size(F.filter(F.col("_toks"), lambda x: x == term)).cast(
+            "double"
+        )
+
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        tf = _tf(t)
+        contrib = _idf(n, F.col(f"_df_{i}").cast("double")) * (
+            tf * F.lit(k1 + 1.0) / (tf + norm)
+        )
+        score = score + F.when(tf > 0, contrib).otherwise(F.lit(0.0))
+
+    drop = ["_toks", "_dl", "_n", "_avgdl"] + [f"_df_{i}" for i in range(len(terms))]
+    return (
+        scored.withColumn("_score", score)
+        .filter(F.col("_score") > 0)
+        .drop(*drop)
+    )
+
+
+def field_value_factor(
+    scored: DataFrame,
+    field: str,
+    factor: float = 1.0,
+    modifier: str = "none",
+    missing: float = 1.0,
+) -> DataFrame:
+    """``function_score``'s field_value_factor over an already-scored
+    frame: ``_score ×= modifier(factor · field)``. Modifiers: none,
+    log1p, sqrt, square — pure column arithmetic, no extra pass."""
+    v = F.coalesce(F.col(field).cast("double"), F.lit(missing)) * F.lit(factor)
+    if modifier == "log1p":
+        v = F.log(F.lit(1.0) + v)
+    elif modifier == "sqrt":
+        v = F.sqrt(v)
+    elif modifier == "square":
+        v = v * v
+    elif modifier != "none":
+        raise ValueError(f"unsupported field_value_factor modifier {modifier!r}")
+    return scored.withColumn("_score", F.col("_score") * v)

@@ -1215,6 +1215,57 @@ def knn_search_dsl(spark, sf_dir):
     return execute_search(e, body)["hits"].select("vec_id", "label", "_score")
 
 
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_NORM = (f"{_BM25_K1!r}*({1.0 - _BM25_B!r} + {_BM25_B!r}*dl/avgdl)")
+
+
+def _bm25_term(i: int) -> str:
+    return (
+        f"CASE WHEN tf{i} > 0 THEN "
+        f"ln(1.0 + (n - df{i} + 0.5)/(df{i} + 0.5))"
+        f" * (tf{i} * {_BM25_K1 + 1.0!r} / (tf{i} + {_BM25_NORM}))"
+        f" ELSE 0.0 END"
+    )
+
+
+@register(
+    "bm25_ranked_search",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOK} AS toks FROM documents),
+    st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(len(toks)) AS avgdl,
+                  CAST(SUM(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+                  CAST(SUM(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+           FROM tk),
+    sc AS (SELECT t.doc_id,
+                  CAST(len(list_filter(t.toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+                  CAST(len(list_filter(t.toks, x -> x = 'merge')) AS DOUBLE) AS tf1,
+                  CAST(len(t.toks) AS DOUBLE) AS dl,
+                  st.n, st.avgdl, st.df0, st.df1
+           FROM tk t, st)
+    SELECT doc_id, _score FROM (
+      SELECT doc_id, ({_bm25_term(0)}) + ({_bm25_term(1)}) AS _score FROM sc)
+    WHERE _score > 0
+    ORDER BY _score DESC, doc_id ASC LIMIT 20
+    """,
+    doc="Lucene BM25 ranked retrieval for an analyzed OR-match "
+    "(operators/relevance.py): corpus stats (N, avgdl, per-term df) in "
+    "ONE map-side-combined aggregate broadcast back as a width-1 "
+    "dimension; per-doc tf as codegen array expressions; top-20 via "
+    "TakeOrderedAndProject — two corpus passes, zero body shuffles.",
+    tags=("dsl", "fulltext", "ranking"),
+)
+def bm25_ranked_search(spark, sf_dir):
+    from ..operators.relevance import score_match_bm25
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    s = score_match_bm25(d, "text", "spark merge")
+    return (
+        s.select("doc_id", "_score")
+        .orderBy(F.col("_score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN + salted skew aggregation
 # ---------------------------------------------------------------------------

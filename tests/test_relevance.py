@@ -1,0 +1,89 @@
+"""BM25 ranked retrieval (operators/relevance.py): Lucene-formula
+properties on a hand-built corpus, plus function_score modifiers."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_dynamodb_etl_cdk_spark.operators.relevance import (
+    corpus_stats,
+    field_value_factor,
+    score_match_bm25,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # 'rare' appears in 1 doc, 'common' in 4 of 5; doc 3 repeats 'common'.
+    rows = [
+        (0, "common alpha beta", 2.0),
+        (1, "common gamma delta", 1.0),
+        (2, "rare epsilon zeta", 4.0),
+        (3, "common common eta theta", 1.0),
+        (4, "common iota kappa", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, boost double").cache()
+    df.count()
+    return df
+
+
+def _scores(df, query, **kw):
+    out = score_match_bm25(df, "text", query, **kw)
+    return {r.doc_id: r._score for r in out.collect()}
+
+
+def test_bm25_matches_closed_form(corpus):
+    # Single-term query: check one score against the formula by hand.
+    s = _scores(corpus, "rare")
+    assert set(s) == {2}
+    n, df_t, dl, avgdl = 5.0, 1.0, 3.0, (3 + 3 + 3 + 4 + 3) / 5.0
+    idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+    tf = 1.0
+    expected = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert s[2] == pytest.approx(expected, rel=1e-12)
+
+
+def test_bm25_rare_term_outranks_common(corpus):
+    s = _scores(corpus, "rare common")
+    # every doc containing either term matches (OR semantics)
+    assert set(s) == {0, 1, 2, 3, 4}
+    # the rare-term doc scores above any common-term doc
+    assert s[2] > max(s[0], s[1], s[3], s[4])
+
+
+def test_bm25_tf_saturation_and_monotonicity(corpus):
+    s = _scores(corpus, "common")
+    # doc 3 has tf=2 → scores higher than tf=1 docs of similar length,
+    # but less than 2x (BM25 saturation), despite being the longest doc.
+    one_tf = s[0]
+    assert s[3] > one_tf
+    assert s[3] < 2 * one_tf
+
+
+def test_bm25_precomputed_stats_path(corpus):
+    stats = corpus_stats(corpus, "text", ["common"]).cache()
+    via_stats = _scores(corpus, "common", stats=stats)
+    direct = _scores(corpus, "common")
+    assert via_stats == direct
+
+
+def test_bm25_empty_query_raises(corpus):
+    with pytest.raises(ValueError):
+        score_match_bm25(corpus, "text", "...")
+
+
+def test_field_value_factor_modifiers(corpus):
+    scored = score_match_bm25(corpus, "text", "rare")
+    base = {r.doc_id: r._score for r in scored.collect()}
+    boosted = field_value_factor(scored, "boost", factor=1.0, modifier="none")
+    got = {r.doc_id: r._score for r in boosted.collect()}
+    assert got[2] == pytest.approx(base[2] * 4.0)
+    sq = field_value_factor(scored, "boost", modifier="square")
+    assert {r.doc_id: r._score for r in sq.collect()}[2] == pytest.approx(
+        base[2] * 16.0
+    )
+    with pytest.raises(ValueError):
+        field_value_factor(scored, "boost", modifier="cube")
