@@ -775,9 +775,92 @@ def _execute_knn(df: DataFrame, knn_body: dict[str, Any],
     return scored.orderBy(F.col("_score").desc()).limit(k)
 
 
+def vocabulary(df: DataFrame, field: str) -> DataFrame:
+    """Corpus vocabulary ``(term, freq)`` for a text field — the frame
+    the term suggester probes. One explode + one groupBy: the shuffle
+    carries (term) tokens only, never document bodies; partial counts
+    combine map-side. For a standing corpus, persist/reuse this frame
+    across suggest calls (the suggester accepts it via ``vocab``)."""
+    return (
+        df.select(F.explode(_analyze(F.col(field))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def term_suggest(
+    df: DataFrame,
+    field: str,
+    text: str,
+    size: int = 5,
+    max_edits: int = 2,
+    prefix_length: int = 1,
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """OpenSearch term-suggester ("did you mean") over the corpus
+    vocabulary: candidates within ``max_edits`` Levenshtein edits of the
+    (analyzed) input term, sharing its first ``prefix_length``
+    characters (Lucene DirectSpellChecker's default pruning — the
+    prefix filter prunes the vocabulary BEFORE any edit-distance
+    computation), ranked by ``score = 1 − d/max(len)`` then corpus
+    frequency. Returns ``(term, freq, score)``; the input term itself
+    is excluded (suggest-mode ``missing`` semantics).
+    """
+    toks = _analyze_text(text)
+    if len(toks) != 1:
+        raise ValueError(
+            f"term_suggest expects one analyzed term, got {toks!r}"
+        )
+    q = toks[0]
+    v = vocab if vocab is not None else vocabulary(df, field)
+    cand = v.filter(F.col("term") != q)
+    if prefix_length > 0:
+        cand = cand.filter(
+            F.col("term").startswith(q[:prefix_length])
+        )
+    d = F.levenshtein(F.col("term"), F.lit(q))
+    cand = cand.filter(d <= max_edits).withColumn(
+        "score",
+        F.lit(1.0)
+        - d.cast("double") / F.greatest(F.length("term"), F.lit(len(q))).cast("double"),
+    )
+    return cand.orderBy(
+        F.col("score").desc(), F.col("freq").desc(), F.col("term").asc()
+    ).limit(size)
+
+
+def execute_suggest(df: DataFrame, suggest_body: dict[str, Any]) -> dict[str, Any]:
+    """The ``suggest`` section of a search body → OpenSearch-shaped
+    response: ``{name: [{"text": ..., "options": [{"text", "freq",
+    "score"}, ...]}]}``. Option lists are ≤ size by construction —
+    the only collect is bounded."""
+    out: dict[str, Any] = {}
+    for name, spec in suggest_body.items():
+        term_spec = spec.get("term")
+        if term_spec is None:
+            raise ValueError(f"suggester {name!r}: only 'term' is supported")
+        rows = term_suggest(
+            df,
+            field=term_spec["field"],
+            text=spec["text"],
+            size=int(term_spec.get("size", 5)),
+            max_edits=int(term_spec.get("max_edits", 2)),
+            prefix_length=int(term_spec.get("prefix_length", 1)),
+        ).collect()
+        out[name] = [{
+            "text": spec["text"],
+            "options": [
+                {"text": r.term, "freq": r.freq, "score": r.score}
+                for r in rows
+            ],
+        }]
+    return out
+
+
 def execute_search(df: DataFrame, body: dict[str, Any]) -> dict[str, Any]:
     """Run a DSL search body; returns ``{"hits": DataFrame, "aggregations":
-    dict}`` — hits stay distributed, aggregation summaries are collected."""
+    dict, "suggest": dict (when requested)}`` — hits stay distributed,
+    aggregation/suggest summaries are collected."""
     query = body.get("query", {"match_all": {}})
     if len(query) == 1 and next(iter(query)) == "knn":
         filtered = _execute_knn(df, query["knn"], int(body.get("size", 10)))
@@ -826,7 +909,10 @@ def execute_search(df: DataFrame, body: dict[str, Any]) -> dict[str, Any]:
     for name, spec in sibling_pipe.items():
         aggregations[name] = _run_sibling_pipeline(aggregations, spec)
 
-    return {"hits": hits, "aggregations": aggregations}
+    res = {"hits": hits, "aggregations": aggregations}
+    if body.get("suggest"):
+        res["suggest"] = execute_suggest(df, body["suggest"])
+    return res
 
 
 SIBLING_PIPELINE_AGGS = (

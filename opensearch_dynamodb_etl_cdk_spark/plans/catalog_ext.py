@@ -1215,6 +1215,32 @@ def knn_search_dsl(spark, sf_dir):
     return execute_search(e, body)["hits"].select("vec_id", "label", "_score")
 
 
+@register(
+    "term_suggester",
+    oracle=f"""
+    WITH v AS (SELECT t AS term, COUNT(*) AS freq
+               FROM (SELECT unnest({TOK}) AS t FROM documents) GROUP BY t)
+    SELECT term, freq,
+           1.0 - CAST(levenshtein(term, 'spak') AS DOUBLE)
+                 / CAST(GREATEST(len(term), 4) AS DOUBLE) AS score
+    FROM v
+    WHERE term != 'spak' AND starts_with(term, 's')
+      AND levenshtein(term, 'spak') <= 2
+    ORDER BY score DESC, freq DESC, term ASC LIMIT 5
+    """,
+    doc="Term suggester ('did you mean spak'): corpus vocabulary "
+    "aggregate (token-only shuffle), Lucene-style first-char prefix "
+    "pruning BEFORE edit distance, score = 1 - d/max(len), rank by "
+    "(score, freq). operators/search.py::term_suggest.",
+    tags=("dsl", "suggest"),
+)
+def term_suggester(spark, sf_dir):
+    from ..operators.search import term_suggest
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return term_suggest(d, "text", "spak", size=5)
+
+
 _BM25_K1, _BM25_B = 1.2, 0.75
 _BM25_NORM = (f"{_BM25_K1!r}*({1.0 - _BM25_B!r} + {_BM25_B!r}*dl/avgdl)")
 

@@ -1104,3 +1104,40 @@ def test_knn_k_defaults_to_size_and_aggs_over_knn_hits(knn_docs):
     buckets = {b["key"]: b["doc_count"]
                for b in res["aggregations"]["langs"]["buckets"]}
     assert buckets == {"en": 2}
+
+
+# --- term suggester -------------------------------------------------------
+
+
+def test_term_suggest_ranks_by_distance_then_freq(qs_docs):
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import term_suggest
+
+    # vocabulary: alpha(x2) bravo(x2) charlie(x2) delta(x2) echo(x2)
+    # foxtrot golf; query 'deltaa' → delta (1 edit)
+    rows = term_suggest(qs_docs, "text", "deltaa", size=3).collect()
+    assert rows[0].term == "delta"
+    assert rows[0].freq == 2
+    assert rows[0].score == pytest.approx(1.0 - 1.0 / 6.0)
+
+
+def test_term_suggest_prefix_pruning(qs_docs):
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import term_suggest
+
+    # 'xcho' is 1 edit from 'echo' but prefix_length=1 prunes it
+    assert term_suggest(qs_docs, "text", "xcho").count() == 0
+    assert (
+        term_suggest(qs_docs, "text", "xcho", prefix_length=0).collect()[0].term
+        == "echo"
+    )
+
+
+def test_suggest_through_execute_search(qs_docs):
+    body = {
+        "query": {"match_all": {}},
+        "size": 0,
+        "suggest": {"fix": {"text": "alpa", "term": {"field": "text", "size": 2}}},
+    }
+    res = execute_search(qs_docs, body)
+    opts = res["suggest"]["fix"][0]["options"]
+    assert opts[0]["text"] == "alpha"
+    assert opts[0]["freq"] == 2
