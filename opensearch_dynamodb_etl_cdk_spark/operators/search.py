@@ -857,6 +857,80 @@ def execute_suggest(df: DataFrame, suggest_body: dict[str, Any]) -> dict[str, An
     return out
 
 
+def _highlight_terms(query: dict[str, Any], field: str) -> list[str]:
+    """Walk a query tree collecting the terms that target ``field`` —
+    the terms the highlighter wraps. Positive contexts only (OpenSearch
+    never highlights ``must_not`` terms)."""
+    if not query:
+        return []
+    (kind, body), = query.items()
+    if kind in ("term", "match", "match_phrase"):
+        (f, spec), = body.items()
+        if f != field:
+            return []
+        val = spec.get("query", spec.get("value")) if isinstance(spec, dict) else spec
+        return _analyze_text(str(val))
+    if kind == "terms":
+        (f, values), = body.items()
+        return [str(v).lower() for v in values] if f == field else []
+    if kind == "multi_match":
+        return _analyze_text(str(body["query"])) if field in body["fields"] else []
+    if kind == "query_string":
+        return _highlight_terms(
+            parse_query_string(
+                body["query"],
+                default_field=body.get("default_field"),
+                fields=body.get("fields"),
+                default_operator=body.get("default_operator", "or"),
+            ),
+            field,
+        )
+    if kind == "simple_query_string":
+        return _highlight_terms(
+            parse_simple_query_string(
+                body["query"], fields=body["fields"],
+                default_operator=body.get("default_operator", "or"),
+            ),
+            field,
+        )
+    if kind in ("bool", "constant_score"):
+        clauses = (
+            [body["filter"]] if kind == "constant_score"
+            else body.get("must", []) + body.get("filter", []) + body.get("should", [])
+        )
+        out: list[str] = []
+        for c in clauses:
+            for t in _highlight_terms(c, field):
+                if t not in out:
+                    out.append(t)
+        return out
+    return []
+
+
+def apply_highlight(
+    hits: DataFrame, query: dict[str, Any], highlight: dict[str, Any]
+) -> DataFrame:
+    """``highlight`` section with ``number_of_fragments: 0`` semantics
+    (whole-field highlighting — the one fragment mode that stays a pure
+    column projection): for each requested field, adds
+    ``_highlight_<field>`` wrapping every query term targeting that
+    field in pre/post tags. Word-bounded, case-insensitive, original
+    case preserved; a pure JVM ``regexp_replace`` — no extra pass, no
+    Python."""
+    pre = (highlight.get("pre_tags") or ["<em>"])[0]
+    post = (highlight.get("post_tags") or ["</em>"])[0]
+    for field in highlight.get("fields", {}):
+        terms = _highlight_terms(query, field)
+        if not terms:
+            continue
+        pattern = r"(?i)\b(" + "|".join(re.escape(t) for t in terms) + r")\b"
+        hits = hits.withColumn(
+            f"_highlight_{field}",
+            F.regexp_replace(F.col(field), pattern, f"{pre}$1{post}"),
+        )
+    return hits
+
+
 def execute_search(df: DataFrame, body: dict[str, Any]) -> dict[str, Any]:
     """Run a DSL search body; returns ``{"hits": DataFrame, "aggregations":
     dict, "suggest": dict (when requested)}`` — hits stay distributed,
@@ -897,6 +971,8 @@ def execute_search(df: DataFrame, body: dict[str, Any]) -> dict[str, Any]:
         hits = hits.offset(int(body["from"]))
     if "size" in body:
         hits = hits.limit(int(body["size"]))
+    if body.get("highlight"):
+        hits = apply_highlight(hits, query, body["highlight"])
 
     aggregations: dict[str, Any] = {}
     sibling_pipe: dict[str, dict] = {}

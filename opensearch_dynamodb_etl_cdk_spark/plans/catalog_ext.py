@@ -1216,6 +1216,35 @@ def knn_search_dsl(spark, sf_dir):
 
 
 @register(
+    "highlight_search",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(text, '(?i)\\b(spark|merge)\\b', '<em>\\1</em>', 'g')
+             AS _highlight_text
+    FROM documents
+    WHERE list_contains({TOK}, 'spark') OR list_contains({TOK}, 'merge')
+    ORDER BY doc_id ASC LIMIT 50
+    """,
+    doc="DSL `highlight` (number_of_fragments=0 whole-field mode): query "
+    "terms wrapped in pre/post tags via one JVM regexp_replace projection "
+    "over the already-limited hits — no extra pass, no Python "
+    "(operators/search.py::apply_highlight).",
+    tags=("dsl", "fulltext"),
+)
+def highlight_search(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    body = {
+        "query": {"match": {"text": "spark merge"}},
+        "sort": [{"doc_id": "asc"}],
+        "size": 50,
+        "highlight": {"fields": {"text": {}}},
+    }
+    return execute_search(d, body)["hits"].select("doc_id", "_highlight_text")
+
+
+@register(
     "term_suggester",
     oracle=f"""
     WITH v AS (SELECT t AS term, COUNT(*) AS freq

@@ -1141,3 +1141,41 @@ def test_suggest_through_execute_search(qs_docs):
     opts = res["suggest"]["fix"][0]["options"]
     assert opts[0]["text"] == "alpha"
     assert opts[0]["freq"] == 2
+
+
+# --- highlight ------------------------------------------------------------
+
+
+def test_highlight_wraps_matched_terms(qs_docs):
+    body = {
+        "query": {"match": {"text": "alpha echo"}},
+        "sort": [{"doc_id": "asc"}],
+        "highlight": {"fields": {"text": {}}},
+    }
+    rows = execute_search(qs_docs, body)["hits"].collect()
+    by_id = {r.doc_id: r._highlight_text for r in rows}
+    assert by_id[0] == "<em>alpha</em> bravo charlie"
+    assert by_id[3] == "charlie delta <em>echo</em>"
+
+
+def test_highlight_custom_tags_and_case_preservation(qs_docs):
+    body = {
+        "query": {"match": {"text": "foxtrot"}},
+        "highlight": {"fields": {"text": {}},
+                      "pre_tags": ["<b>"], "post_tags": ["</b>"]},
+    }
+    rows = execute_search(qs_docs, body)["hits"].collect()
+    # doc 4 text is "Foxtrot golf" — original case kept inside the tags
+    assert rows[0]._highlight_text == "<b>Foxtrot</b> golf"
+
+
+def test_highlight_skips_must_not_terms(qs_docs):
+    body = {
+        "query": {"bool": {"must": [{"match": {"text": "charlie"}}],
+                           "must_not": [{"match": {"text": "alpha"}}]}},
+        "sort": [{"doc_id": "asc"}],
+        "highlight": {"fields": {"text": {}}},
+    }
+    rows = execute_search(qs_docs, body)["hits"].collect()
+    assert [r.doc_id for r in rows] == [3]
+    assert rows[0]._highlight_text == "<em>charlie</em> delta echo"
