@@ -63,6 +63,12 @@ HEADLINE = [
     # (broadcast benchmark gram set)
     "composite_agg_page",
     "decontamination_report",
+    # round-3 relevance tier: BM25 ranked retrieval (broadcast corpus
+    # stats + codegen tf), filtered knn through the DSL, and the
+    # vocabulary-aggregate term suggester
+    "bm25_ranked_search",
+    "knn_search_dsl",
+    "term_suggester",
 ]
 
 # NOTE q1_pricing_summary at sf0.1 is scan-bound by the testdata layout:
