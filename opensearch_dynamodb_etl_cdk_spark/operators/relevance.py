@@ -108,6 +108,84 @@ def score_match_bm25(
     )
 
 
+def more_like_this(
+    df: DataFrame,
+    field: str,
+    like: str | None = None,
+    like_id=None,
+    id_col: str = "doc_id",
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    max_query_terms: int = 25,
+    minimum_should_match: str | int = "30%",
+) -> DataFrame:
+    """OpenSearch ``more_like_this``: find documents similar to a given
+    text (``like``) or document (``like_id``). Per the public MLT
+    contract: candidate terms are the like-text's analyzed tokens with
+    within-text tf ≥ ``min_term_freq``; candidates below ``min_doc_freq``
+    corpus document frequency drop; the remaining terms rank by
+    tf·idf (Lucene idf, ties broken by term) and the top
+    ``max_query_terms`` become a ``should`` disjunction guarded by
+    ``minimum_should_match``.
+
+    Corpus statistics (N + one df per candidate term) reduce to a
+    SINGLE one-row aggregate whose collect is one row of ≤
+    |candidates| + 1 integers — the driver-side term selection is the
+    analog of similarity.py::query_signatures (microseconds of Python,
+    never a corpus shuffle). The returned frame is the corpus filtered
+    by the compiled disjunction — one more scan, predicate fully
+    pushable."""
+    import math
+
+    from .search import _analyze_text as _terms, compile_query
+
+    if (like is None) == (like_id is None):
+        raise ValueError("more_like_this: pass exactly one of like / like_id")
+    if like is None:
+        row = df.filter(F.col(id_col) == like_id).select(field).head()
+        if row is None:
+            raise ValueError(f"more_like_this: no row with {id_col}={like_id!r}")
+        like = row[0]
+
+    toks = _terms(str(like))
+    tf = {t: toks.count(t) for t in set(toks)}
+    cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
+    if not cand:
+        raise ValueError(
+            "more_like_this: no candidate term reaches min_term_freq"
+        )
+
+    from .search import _analyze
+
+    atoks = _analyze(F.col(field))
+    stats = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.array_contains(atoks, t).cast("long")).alias(f"_df_{i}")
+            for i, t in enumerate(cand)
+        ],
+    ).head()
+    n = float(stats["_n"])
+    scored = []
+    for i, t in enumerate(cand):
+        d = float(stats[f"_df_{i}"])
+        if d >= min_doc_freq:
+            idf = math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+            scored.append((tf[t] * idf, t))
+    if not scored:
+        raise ValueError("more_like_this: every candidate is below min_doc_freq")
+    sel = [t for _, t in sorted(scored, key=lambda s: (-s[0], s[1]))[:max_query_terms]]
+
+    clause = {"bool": {
+        "should": [{"match": {field: t}} for t in sel],
+        "minimum_should_match": minimum_should_match,
+    }}
+    pred = compile_query(clause)
+    if like_id is not None:
+        pred = pred & (F.col(id_col) != F.lit(like_id))
+    return df.filter(pred)
+
+
 def field_value_factor(
     scored: DataFrame,
     field: str,

@@ -1216,6 +1216,48 @@ def knn_search_dsl(spark, sf_dir):
 
 
 @register(
+    "more_like_this_search",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, {TOK} AS toks FROM documents),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tk),
+    src AS (SELECT unnest(toks) AS t FROM tk WHERE doc_id = 0),
+    tf AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS tf FROM src
+           GROUP BY t HAVING COUNT(*) >= 2),
+    dfq AS (SELECT tf.t, tf.tf,
+                   CAST((SELECT COUNT(*) FROM tk
+                         WHERE list_contains(tk.toks, tf.t)) AS DOUBLE) AS df
+            FROM tf),
+    sel AS (SELECT t FROM dfq, nn WHERE df >= 5.0
+            ORDER BY tf * ln(1.0 + (n - df + 0.5)/(df + 0.5)) DESC, t ASC
+            LIMIT 10),
+    sl AS (SELECT list(t) AS ts,
+                  CAST(floor((COUNT(*) * 60.0)/100.0) AS BIGINT) AS msm
+           FROM sel)
+    SELECT lang, COUNT(*) AS n_similar
+    FROM tk, sl WHERE doc_id != 0
+      AND len(list_filter(sl.ts, s -> list_contains(tk.toks, s))) >= sl.msm
+    GROUP BY lang
+    """,
+    doc="`more_like_this` (like_id=0): candidate terms tf>=2 within the "
+    "like doc, corpus df>=5, top-10 by tf*idf, 30% minimum_should_match "
+    "disjunction. Corpus stats reduce to ONE one-row aggregate; the "
+    "oracle recomputes the identical term selection in SQL "
+    "(operators/relevance.py::more_like_this).",
+    tags=("dsl", "fulltext"),
+)
+def more_like_this_search(spark, sf_dir):
+    from ..operators.relevance import more_like_this
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    sim = more_like_this(
+        d, "text", like_id=0,
+        min_term_freq=2, min_doc_freq=5, max_query_terms=10,
+        minimum_should_match="60%",
+    )
+    return sim.groupBy("lang").agg(F.count("*").alias("n_similar"))
+
+
+@register(
     "highlight_search",
     oracle=f"""
     SELECT doc_id,

@@ -87,3 +87,55 @@ def test_field_value_factor_modifiers(corpus):
     )
     with pytest.raises(ValueError):
         field_value_factor(scored, "boost", modifier="cube")
+
+
+# --- more_like_this -------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mlt_corpus(spark):
+    # doc 0 repeats 'spark' and 'merge' (tf>=2 candidates); 'spark'
+    # appears in 4 docs, 'merge' in 3, 'unique' in 1 (drops at df>=2... )
+    rows = [
+        (0, "spark spark merge merge unique unique"),
+        (1, "spark merge alpha"),
+        (2, "spark merge beta"),
+        (3, "spark gamma delta"),
+        (4, "epsilon zeta eta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    df.count()
+    return df
+
+
+def test_mlt_finds_similar_excludes_source(mlt_corpus):
+    from opensearch_dynamodb_etl_cdk_spark.operators.relevance import (
+        more_like_this,
+    )
+
+    out = more_like_this(
+        mlt_corpus, "text", like_id=0,
+        min_term_freq=2, min_doc_freq=2, max_query_terms=5,
+        minimum_should_match=2,
+    )
+    got = sorted(r.doc_id for r in out.collect())
+    # selected terms: spark, merge ('unique' drops at df>=2); docs
+    # sharing both: 1, 2 — doc 0 itself excluded, 3 has only one, 4 none
+    assert got == [1, 2]
+
+
+def test_mlt_like_text_and_validation(mlt_corpus):
+    from opensearch_dynamodb_etl_cdk_spark.operators.relevance import (
+        more_like_this,
+    )
+
+    out = more_like_this(
+        mlt_corpus, "text", like="spark spark gamma gamma",
+        min_term_freq=2, min_doc_freq=1, max_query_terms=5,
+        minimum_should_match=1,
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [0, 1, 2, 3]
+    with pytest.raises(ValueError):
+        more_like_this(mlt_corpus, "text")  # neither like nor like_id
+    with pytest.raises(ValueError):
+        more_like_this(mlt_corpus, "text", like="all distinct words here")
