@@ -371,3 +371,64 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+def repeated_ngram_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+    key: str = "hash",
+) -> DataFrame:
+    """Cross-document repeated n-gram spans — the distributed
+    approximation of exact-substring training-data dedup (suffix-array
+    style: a token window appearing in ≥ ``min_docs`` documents marks
+    memorizable boilerplate). Per document: total token windows, windows
+    shared with other documents, and the repeated fraction.
+
+    Plan (linear, three bounded shuffles — the shape that survives
+    100 TB):
+
+    1. tokenize once, derive all ``size − n + 1`` sliding windows in a
+       codegen projection, explode to (doc, window-key) rows;
+    2. per-key distinct-doc counts (map-side partial agg; the shuffle
+       carries the key + doc id only — with ``key="hash"`` an 8-byte
+       xxhash64, never document text);
+    3. equi-join the per-key counts back and reduce per document.
+
+    ``key="text"`` keeps the raw n-gram string as the group key — exact
+    (no collision risk) and what the DuckDB oracle mirrors;
+    ``key="hash"`` is the at-scale default (8-byte shuffle keys; an
+    xxhash64 collision merging two distinct grams is ~2⁻⁶⁴ per pair and
+    only perturbs counts, never correctness of the pipeline gate).
+    """
+    toks = tokens(F.col(text_col))
+    tk = min_partitions(df).select(
+        F.col(id_col), toks.alias("__toks")
+    ).filter(F.size("__toks") >= n)
+    gram = F.array_join(
+        F.slice(F.col("__toks"), F.col("__i"), F.lit(n)), " "
+    )
+    keyed = gram if key == "text" else F.xxhash64(gram)
+    w = tk.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(1), F.size("__toks") - (n - 1))
+        ).alias("__i"),
+        F.col("__toks"),
+    ).select(F.col(id_col), keyed.alias("__g"))
+    counts = w.groupBy("__g").agg(
+        F.count_distinct(F.col(id_col)).alias("__nd")
+    )
+    flagged = w.join(counts, "__g").select(
+        F.col(id_col), (F.col("__nd") >= min_docs).alias("__rep")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.col("__rep").cast("long")).alias("n_repeated"),
+        (
+            F.sum(F.col("__rep").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("repeated_frac"),
+    )

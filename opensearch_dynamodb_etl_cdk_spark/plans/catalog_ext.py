@@ -1216,6 +1216,33 @@ def knn_search_dsl(spark, sf_dir):
 
 
 @register(
+    "repeated_ngram_report",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOK} AS toks FROM documents),
+    w AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+          FROM tk, unnest(generate_series(1, len(toks) - 4)) AS u(i)
+          WHERE len(toks) >= 5),
+    c AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY gram)
+    SELECT w.doc_id, COUNT(*) AS n_windows,
+           CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+           CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS repeated_frac
+    FROM w JOIN c USING (gram) GROUP BY w.doc_id
+    """,
+    doc="Cross-document repeated 5-gram spans (exact-substring dedup "
+    "signal, operators/dedup.py::repeated_ngram_report): sliding windows "
+    "in a codegen projection, per-gram distinct-doc counts, per-doc "
+    "repeated fraction. Catalog runs the at-scale xxhash64-keyed path; "
+    "the oracle groups the raw gram strings — counts agree absent a "
+    "~2^-64 hash collision.",
+    tags=("dedup", "text"),
+)
+def repeated_ngram_report_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return D.repeated_ngram_report(d, n=5, min_docs=2, key="hash")
+
+
+@register(
     "more_like_this_search",
     oracle=f"""
     WITH tk AS (SELECT doc_id, lang, {TOK} AS toks FROM documents),

@@ -477,3 +477,31 @@ def test_int8_rerank_scores_are_exact_cosines(spark):
     assert len(got) == 10
     for r in got:
         assert r.score == bf[r.vec_id]
+
+
+def test_repeated_ngram_report_planted_span(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.dedup import (
+        repeated_ngram_report,
+    )
+
+    shared = "one two three four five"  # a 5-token span in docs 0 and 1
+    rows = [
+        (0, shared + " aaa bbb ccc"),
+        (1, "xxx yyy " + shared),
+        (2, "p q r s t u v w"),
+        (3, "tiny"),  # < n tokens: contributes no windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repeated_ngram_report(df, n=5).collect()}
+    assert 3 not in out
+    # doc 0: 8 tokens -> 4 windows, exactly window[0] is the shared span
+    assert out[0].n_windows == 4 and out[0].n_repeated == 1
+    assert out[0].repeated_frac == pytest.approx(0.25)
+    # doc 1: 7 tokens -> 3 windows, last one shared
+    assert out[1].n_windows == 3 and out[1].n_repeated == 1
+    assert out[2].n_repeated == 0
+    # text-keyed path (oracle twin) agrees with the hash-keyed default
+    out_txt = {r.doc_id: r for r in
+               repeated_ngram_report(df, n=5, key="text").collect()}
+    assert {k: (v.n_windows, v.n_repeated) for k, v in out.items()} == \
+           {k: (v.n_windows, v.n_repeated) for k, v in out_txt.items()}
