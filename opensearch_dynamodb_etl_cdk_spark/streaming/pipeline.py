@@ -348,3 +348,41 @@ class FlightsEtlPipeline:
             df = df.filter(~F.col("_deleted")).drop("_deleted")
         df.createOrReplaceTempView(f"{route}_index")
         return df
+
+    def multi_index_view(self, pattern: str = "*") -> DataFrame | None:
+        """OpenSearch multi-index search target (``GET /fare,flight/
+        _search``, ``GET /f*/_search``): the union of the matching live
+        index views, schema-merged by name (missing columns null) with
+        an ``_index`` column naming each hit's source index — the
+        response metadata OpenSearch attaches per hit. Comma-separated
+        names and ``*``/``?`` wildcards per the public index-pattern
+        rules; unknown literal names raise (OpenSearch 404) while
+        unmatched wildcards are silently empty.
+
+        Remains a pure union plan: per-route filters compiled from a
+        search body still push into each route's parquet scan."""
+        import fnmatch
+
+        parts = [p.strip() for p in pattern.split(",") if p.strip()]
+        routes: list[str] = []
+        for p in parts:
+            if "*" in p or "?" in p:
+                routes.extend(
+                    r for r in self.cfg.routes
+                    if fnmatch.fnmatchcase(r, p) and r not in routes
+                )
+            elif p in self.cfg.routes:
+                if p not in routes:
+                    routes.append(p)
+            else:
+                raise ValueError(f"no such index: {p!r}")
+        out: DataFrame | None = None
+        for r in routes:
+            df = self.index_view(r)
+            if df is None:
+                continue
+            df = df.withColumn("_index", F.lit(r))
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True
+            )
+        return out

@@ -399,3 +399,35 @@ def test_dsl_search_over_live_index(spark, pipeline):
         seen.extend((r["sk"], r["_id"]) for r in page)
         cursor = [page[-1]["sk"], page[-1]["_id"]]
     assert len(seen) == 22 == len(set(seen))
+
+
+def test_multi_index_search(spark, pipeline):
+    """OpenSearch multi-index patterns (`GET /fare,flight/_search`,
+    wildcards) over the live route indexes: schema-merged union with
+    per-hit `_index` metadata; DSL bodies run unchanged on top."""
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import execute_search
+
+    items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    pipeline.bootstrap(items)
+
+    both = pipeline.multi_index_view("fare,flight")
+    assert both.count() == 35  # 22 fares + 13 flights
+    by_index = {r._index: r.n for r in
+                both.groupBy("_index").agg(F.count("*").alias("n")).collect()}
+    assert by_index == {"fare": 22, "flight": 13}
+
+    # wildcard patterns: '*' matches all routes, 'f*' both, 'z*' none-but-valid
+    assert pipeline.multi_index_view("*").count() == 35
+    assert pipeline.multi_index_view("fl*").count() == 13
+    with pytest.raises(ValueError):
+        pipeline.multi_index_view("bookings")
+
+    # a DSL body runs unchanged across indexes; _index is filterable
+    res = execute_search(
+        both,
+        {"query": {"bool": {"must": [{"term": {"pk": "DEN"}}]}},
+         "size": 100},
+    )
+    got = res["hits"].select("_index", "_id").collect()
+    assert {r._index for r in got} == {"fare", "flight"}
+    assert len(got) == both.filter(F.col("pk") == "DEN").count()
