@@ -931,6 +931,39 @@ def apply_highlight(
     return hits
 
 
+def percolate(
+    df: DataFrame,
+    queries: dict[str, dict[str, Any]],
+    matched_col: str = "_matched_queries",
+    only_matches: bool = False,
+) -> DataFrame:
+    """Percolator (reverse search): evaluate a registry of stored query
+    bodies against each document and attach the names of the queries it
+    satisfies — the alerting/classification primitive (``percolate``
+    query in the public DSL).
+
+    Every stored query compiles to a Column predicate once on the
+    driver; one projection evaluates ALL of them per row — a single
+    corpus pass regardless of registry size, no joins, no shuffle.
+    Matched names surface as an array column (OpenSearch's per-hit
+    ``_percolator_document_slot`` inverse). Suits O(10³) stored
+    queries; beyond that, batch the registry into multiple projections.
+    ``only_matches`` filters to documents matching at least one query
+    (streaming alert shape: percolate the CDC tail, sink the matches).
+    """
+    preds = {name: compile_query(q) for name, q in queries.items()}
+    arr = F.array_compact(
+        F.array(*[
+            F.when(F.coalesce(p, F.lit(False)), F.lit(name))
+            for name, p in preds.items()
+        ])
+    )
+    out = df.withColumn(matched_col, arr)
+    if only_matches:
+        out = out.filter(F.size(matched_col) > 0)
+    return out
+
+
 def execute_search(df: DataFrame, body: dict[str, Any]) -> dict[str, Any]:
     """Run a DSL search body; returns ``{"hits": DataFrame, "aggregations":
     dict, "suggest": dict (when requested)}`` — hits stay distributed,

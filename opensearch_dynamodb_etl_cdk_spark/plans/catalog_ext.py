@@ -1216,6 +1216,41 @@ def knn_search_dsl(spark, sf_dir):
 
 
 @register(
+    "percolate_counts",
+    oracle=f"""
+    SELECT 'has_spark' AS query_name, COUNT(*) AS n FROM documents
+    WHERE list_contains({TOK}, 'spark')
+    UNION ALL
+    SELECT 'long_doc', COUNT(*) FROM documents WHERE n_chars >= 400
+    UNION ALL
+    SELECT 'en_merge', COUNT(*) FROM documents
+    WHERE lang = 'en' AND list_contains({TOK}, 'merge')
+    """,
+    doc="Percolator (reverse search): a registry of stored DSL queries "
+    "evaluated against every document in ONE projection pass — no joins, "
+    "no shuffle (operators/search.py::percolate). Output: per-stored-"
+    "query match counts.",
+    tags=("dsl", "percolate"),
+)
+def percolate_counts(spark, sf_dir):
+    from ..operators.search import percolate
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    registry = {
+        "has_spark": {"match": {"text": "spark"}},
+        "long_doc": {"range": {"n_chars": {"gte": 400}}},
+        "en_merge": {"bool": {"must": [{"term": {"lang": "en"}},
+                                       {"match": {"text": "merge"}}]}},
+    }
+    return (
+        percolate(d, registry, only_matches=True)
+        .select(F.explode("_matched_queries").alias("query_name"))
+        .groupBy("query_name")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
     "repeated_ngram_report",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {TOK} AS toks FROM documents),

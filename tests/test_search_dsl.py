@@ -1179,3 +1179,31 @@ def test_highlight_skips_must_not_terms(qs_docs):
     rows = execute_search(qs_docs, body)["hits"].collect()
     assert [r.doc_id for r in rows] == [3]
     assert rows[0]._highlight_text == "<em>charlie</em> delta echo"
+
+
+# --- percolator -----------------------------------------------------------
+
+
+def test_percolate_attaches_matched_query_names(qs_docs):
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import percolate
+
+    registry = {
+        "has_alpha": {"match": {"text": "alpha"}},
+        "big_n": {"range": {"n": {"gte": 50}}},
+        "never": {"term": {"lang": "xx"}},
+    }
+    rows = {r.doc_id: set(r._matched_queries)
+            for r in percolate(qs_docs, registry).collect()}
+    assert rows[0] == {"has_alpha"}
+    assert rows[1] == {"has_alpha"}
+    assert rows[3] == {"big_n"}
+    assert rows[4] == {"big_n"}
+    assert rows[2] == set()
+
+
+def test_percolate_only_matches_filter(qs_docs):
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import percolate
+
+    registry = {"de_docs": {"term": {"lang": "de"}}}
+    out = percolate(qs_docs, registry, only_matches=True).collect()
+    assert [r.doc_id for r in out] == [2]
