@@ -431,3 +431,45 @@ def test_multi_index_search(spark, pipeline):
     got = res["hits"].select("_index", "_id").collect()
     assert {r._index for r in got} == {"fare", "flight"}
     assert len(got) == both.filter(F.col("pk") == "DEN").count()
+
+
+def test_streaming_percolate_alerts(spark, pipeline, tmp_path):
+    """Percolator over the CDC tail (the alerting shape): stored queries
+    compile once, the streaming micro-batches evaluate them in a single
+    projection, and only matching events reach the alert sink."""
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import percolate
+
+    cdc_dir = str(tmp_path / "cdc")
+    _write_cdc_files(cdc_dir, gen_cdc_events())
+
+    registry = {
+        "den_activity": {"term": {"pk": "DEN"}},
+        "removals": {"term": {"_action": "delete"}},
+    }
+    stream = (
+        spark.readStream.schema(CDC_SCHEMA).json(cdc_dir)
+        .transform(pipeline.transform_cdc)
+        .transform(lambda df: percolate(df, registry, only_matches=True))
+        .select("_id", "_action", "_matched_queries")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("percolate_alerts")
+        .option("checkpointLocation", str(tmp_path / "chk_perc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    alerts = spark.table("percolate_alerts")
+    batch = pipeline.transform_cdc(
+        spark.read.schema(CDC_SCHEMA).json(cdc_dir)
+    )
+    n_den = batch.filter(F.col("pk") == "DEN").count()
+    n_rem = batch.filter(F.col("_action") == "delete").count()
+    got = {r[0]: r[1] for r in
+           alerts.select(F.explode("_matched_queries")).groupBy("col")
+           .count().collect()}
+    assert got.get("den_activity", 0) == n_den > 0
+    assert got.get("removals", 0) == n_rem > 0
+    assert alerts.count() <= batch.count()
