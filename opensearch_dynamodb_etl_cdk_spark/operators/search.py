@@ -836,9 +836,22 @@ def execute_suggest(df: DataFrame, suggest_body: dict[str, Any]) -> dict[str, An
     the only collect is bounded."""
     out: dict[str, Any] = {}
     for name, spec in suggest_body.items():
+        phrase_spec = spec.get("phrase")
+        if phrase_spec is not None:
+            opts = phrase_suggest(
+                df,
+                field=phrase_spec["field"],
+                text=spec["text"],
+                size=int(phrase_spec.get("size", 3)),
+                max_edits=int(phrase_spec.get("max_edits", 1)),
+            )
+            out[name] = [{"text": spec["text"], "options": opts}]
+            continue
         term_spec = spec.get("term")
         if term_spec is None:
-            raise ValueError(f"suggester {name!r}: only 'term' is supported")
+            raise ValueError(
+                f"suggester {name!r}: only 'term'/'phrase' are supported"
+            )
         rows = term_suggest(
             df,
             field=term_spec["field"],
@@ -855,6 +868,166 @@ def execute_suggest(df: DataFrame, suggest_body: dict[str, Any]) -> dict[str, An
             ],
         }]
     return out
+
+
+def bigram_model(df: DataFrame, field: str) -> DataFrame:
+    """Corpus bigram counts ``(w1, w2, freq)`` over the analyzed field —
+    the language-model frame the phrase suggester scores against. One
+    sliding-window explode + one groupBy; the shuffle carries token
+    pairs only. Persist and reuse for a standing corpus."""
+    toks = _analyze(F.col(field))
+    pair = F.struct(
+        F.element_at(F.col("__toks"), F.col("__i")).alias("w1"),
+        F.element_at(F.col("__toks"), F.col("__i") + 1).alias("w2"),
+    )
+    return (
+        df.select(toks.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.size("__toks") - 1)).alias("__i"),
+            "__toks",
+        )
+        .select(pair.alias("__p"))
+        .select("__p.w1", "__p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def phrase_suggest(
+    df: DataFrame,
+    field: str,
+    text: str,
+    size: int = 3,
+    max_edits: int = 1,
+    max_candidates: int = 4,
+    backoff: float = 0.4,
+    vocab: DataFrame | None = None,
+    bigrams: DataFrame | None = None,
+) -> list[dict[str, Any]]:
+    """Phrase suggester ("did you mean", whole-phrase): correct a
+    multi-term query against a corpus language model. Public contract
+    (candidate generation per term + n-gram LM ranking), Spark-shaped:
+
+    1. per input term, candidate corrections from the vocabulary within
+       ``max_edits`` (first-char prefix pruning, as :func:`term_suggest`)
+       plus the term itself if known — ONE vocabulary pass for all terms
+       (the per-term predicates OR-combine into a single filter);
+    2. score every phrase in the candidate lattice with a bigram
+       stupid-backoff model: ``P(w2|w1) = freq(w1 w2)/freq(w1)``,
+       falling back to ``backoff · freq(w2)/N``; only the lattice's own
+       unigrams/bigrams are looked up — the collect is ≤
+       ``max_candidates`` per term + ``max_candidates²`` per adjacency,
+       never the model frames;
+    3. return the top ``size`` corrections with their scores,
+       highlighted OpenSearch-style.
+
+    The lattice walk is exhaustive over ≤ ``max_candidates^n_terms``
+    phrases only when tiny; beyond 10k phrases it switches to a greedy
+    per-position beam (still deterministic)."""
+    import math
+
+    terms = _analyze_text(text)
+    if not terms:
+        return []
+    v = vocab if vocab is not None else vocabulary(df, field)
+    bg = bigrams if bigrams is not None else bigram_model(df, field)
+
+    # one vocabulary pass: candidates for every input term
+    cand_pred = None
+    for t in terms:
+        p = (F.col("term").startswith(t[:1])) & (
+            F.levenshtein(F.col("term"), F.lit(t)) <= max_edits
+        )
+        cand_pred = p if cand_pred is None else (cand_pred | p)
+    cand_rows = v.filter(cand_pred).collect()
+
+    by_term: dict[str, list[tuple[str, int]]] = {}
+    uni: dict[str, int] = {}
+    for r in cand_rows:
+        uni[r.term] = r.freq
+        for t in terms:
+            if r.term.startswith(t[:1]) and _lev(r.term, t) <= max_edits:
+                by_term.setdefault(t, []).append((r.term, r.freq))
+    cands: list[list[str]] = []
+    for t in terms:
+        opts = sorted(
+            by_term.get(t, []), key=lambda x: (x[0] != t, -x[1], x[0])
+        )[:max_candidates]
+        cands.append([w for w, _ in opts] or [t])
+
+    # bounded bigram lookup: only adjacent candidate pairs
+    pair_pred = None
+    for a, b in zip(cands, cands[1:]):
+        p = F.col("w1").isin(a) & F.col("w2").isin(b)
+        pair_pred = p if pair_pred is None else (pair_pred | p)
+    pair_freq: dict[tuple[str, str], int] = {}
+    if pair_pred is not None:
+        pair_freq = {
+            (r.w1, r.w2): r.freq for r in bg.filter(pair_pred).collect()
+        }
+    n_tokens = sum(uni.values()) or 1
+
+    def step_score(w1: str | None, w2: str) -> float:
+        u2 = uni.get(w2, 0)
+        if w1 is None:
+            return math.log((u2 + 1e-9) / n_tokens)
+        f12, u1 = pair_freq.get((w1, w2), 0), uni.get(w1, 0)
+        if f12 > 0 and u1 > 0:
+            return math.log(f12 / u1)
+        return math.log(backoff * (u2 + 1e-9) / n_tokens)
+
+    n_phrases = 1
+    for c in cands:
+        n_phrases *= len(c)
+    if n_phrases <= 10_000:
+        import itertools
+
+        phrases = itertools.product(*cands)
+    else:  # greedy beam of width size per position
+        beam: list[tuple[float, tuple[str, ...]]] = [(0.0, ())]
+        for c in cands:
+            nxt = [
+                (s + step_score(ph[-1] if ph else None, w), ph + (w,))
+                for s, ph in beam
+                for w in c
+            ]
+            beam = sorted(nxt, key=lambda x: (-x[0], x[1]))[:max(size, 8)]
+        phrases = [ph for _, ph in beam]
+
+    scored: list[tuple[float, str]] = []
+    for ph in phrases:
+        s, prev = 0.0, None
+        for w in ph:
+            s += step_score(prev, w)
+            prev = w
+        scored.append((s, " ".join(ph)))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    out = []
+    for s, phrase in scored[:size]:
+        out.append({
+            "text": phrase,
+            "score": s,
+            "highlighted": " ".join(
+                w if w == t else f"<em>{w}</em>"
+                for w, t in zip(phrase.split(" "), terms)
+            ),
+        })
+    return out
+
+
+def _lev(a: str, b: str) -> int:
+    """Tiny driver-side Levenshtein (candidate re-association only —
+    vocab-scale filtering runs JVM-side in :func:`phrase_suggest`)."""
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
 
 
 def _highlight_terms(query: dict[str, Any], field: str) -> list[str]:

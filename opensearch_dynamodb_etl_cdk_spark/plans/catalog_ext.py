@@ -1216,6 +1216,28 @@ def knn_search_dsl(spark, sf_dir):
 
 
 @register(
+    "phrase_suggester",
+    oracle=None,  # candidate-lattice walk is driver-side post-processing
+    # of two Spark frames (vocabulary + bigram LM) — not SQL-expressible;
+    # deterministic behavior is pinned by tests/test_search_dsl.py
+    doc="Phrase suggester ('did you mean', whole phrase): per-term "
+    "vocabulary candidates in ONE pass, bigram stupid-backoff LM scoring "
+    "with lookups bounded to the candidate lattice "
+    "(operators/search.py::phrase_suggest).",
+    tags=("dsl", "suggest"),
+)
+def phrase_suggester(spark, sf_dir):
+    from ..operators.search import phrase_suggest
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    opts = phrase_suggest(d, "text", "spak querry", size=3)
+    return spark.createDataFrame(
+        [(o["text"], float(o["score"]), o["highlighted"]) for o in opts],
+        "suggestion string, score double, highlighted string",
+    )
+
+
+@register(
     "percolate_counts",
     oracle=f"""
     SELECT 'has_spark' AS query_name, COUNT(*) AS n FROM documents

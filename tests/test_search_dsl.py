@@ -1207,3 +1207,55 @@ def test_percolate_only_matches_filter(qs_docs):
     registry = {"de_docs": {"term": {"lang": "de"}}}
     out = percolate(qs_docs, registry, only_matches=True).collect()
     assert [r.doc_id for r in out] == [2]
+
+
+# --- phrase suggester -----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def phrase_docs(spark):
+    # bigram LM: "spark streaming" dominates; "spark query" rare;
+    # "stream processing" present for the second position
+    rows = [
+        (0, "spark streaming guide"),
+        (1, "spark streaming basics"),
+        (2, "spark streaming internals"),
+        (3, "spark query planner"),
+        (4, "stream processing notes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    df.count()
+    return df
+
+
+def test_phrase_suggest_corrects_both_terms(phrase_docs):
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import phrase_suggest
+
+    opts = phrase_suggest(phrase_docs, "text", "spak streeming", size=3)
+    assert opts[0]["text"] == "spark streaming"
+    assert opts[0]["highlighted"] == "<em>spark</em> <em>streaming</em>"
+    # scores are sorted descending
+    scores = [o["score"] for o in opts]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_phrase_suggest_prefers_likely_bigram(phrase_docs):
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import phrase_suggest
+
+    # 'spark streamin' could correct the 2nd term to 'streaming' (freq 3,
+    # strong bigram) — must outrank any unigram-only alternative
+    opts = phrase_suggest(phrase_docs, "text", "spark streamin", size=2)
+    assert opts[0]["text"] == "spark streaming"
+    # a known-correct phrase suggests itself first (identity candidate)
+    opts = phrase_suggest(phrase_docs, "text", "spark query", size=1)
+    assert opts[0]["text"] == "spark query"
+
+
+def test_phrase_suggest_through_execute_search(phrase_docs):
+    body = {
+        "size": 0,
+        "suggest": {"fix": {"text": "spak streeming",
+                            "phrase": {"field": "text"}}},
+    }
+    res = execute_search(phrase_docs, body)
+    assert res["suggest"]["fix"][0]["options"][0]["text"] == "spark streaming"
