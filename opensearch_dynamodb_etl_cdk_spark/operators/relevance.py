@@ -37,16 +37,23 @@ B = 0.75
 
 def corpus_stats(df: DataFrame, field: str, terms: list[str]) -> DataFrame:
     """One-row frame: corpus size ``_n``, average analyzed doc length
-    ``_avgdl``, and document frequency ``_df_i`` per query term —
-    everything BM25 needs from the corpus, in one aggregate pass."""
+    ``_avgdl``, and document frequency ``_df_<term>`` per query term —
+    everything BM25 needs from the corpus, in one aggregate pass.
+
+    The df columns are named BY TERM (analyzed tokens are ``[a-z0-9_]``
+    so they are valid column names), not positionally: reusing a
+    persisted stats frame with a query it wasn't built for fails fast
+    with an unresolved-column error instead of silently reading another
+    term's document frequency. Only ``_n``/``_avgdl`` are
+    query-independent."""
     toks = _analyze(F.col(field))
     aggs = [
         F.count(F.lit(1)).alias("_n"),
         F.avg(F.size(toks)).alias("_avgdl"),
     ]
-    for i, t in enumerate(terms):
+    for t in terms:
         aggs.append(
-            F.sum(F.array_contains(toks, t).cast("long")).alias(f"_df_{i}")
+            F.sum(F.array_contains(toks, t).cast("long")).alias(f"_df_{t}")
         )
     return df.agg(*aggs)
 
@@ -68,7 +75,9 @@ def score_match_bm25(
     ``_score``. Callers top-k with ``orderBy(desc("_score"), <id>)`` —
     which collapses to TakeOrderedAndProject, never a sort of the
     corpus."""
-    terms = _analyze_text(query)
+    # dedupe (order-preserving): each unique term scores once, and the
+    # per-term _df_<term> stats columns must be unique
+    terms = list(dict.fromkeys(_analyze_text(query)))
     if not terms:
         raise ValueError("score_match_bm25: query analyzed to zero terms")
     if stats is None:
@@ -93,14 +102,14 @@ def score_match_bm25(
         )
 
     score = F.lit(0.0)
-    for i, t in enumerate(terms):
+    for t in terms:
         tf = _tf(t)
-        contrib = _idf(n, F.col(f"_df_{i}").cast("double")) * (
+        contrib = _idf(n, F.col(f"_df_{t}").cast("double")) * (
             tf * F.lit(k1 + 1.0) / (tf + norm)
         )
         score = score + F.when(tf > 0, contrib).otherwise(F.lit(0.0))
 
-    drop = ["_toks", "_dl", "_n", "_avgdl"] + [f"_df_{i}" for i in range(len(terms))]
+    drop = ["_toks", "_dl", "_n", "_avgdl"] + [f"_df_{t}" for t in terms]
     return (
         scored.withColumn("_score", score)
         .filter(F.col("_score") > 0)
@@ -126,7 +135,10 @@ def more_like_this(
     corpus document frequency drop; the remaining terms rank by
     tf·idf (Lucene idf, ties broken by term) and the top
     ``max_query_terms`` become a ``should`` disjunction guarded by
-    ``minimum_should_match``.
+    ``minimum_should_match`` — resolved against the SELECTED term count
+    and clamped to at least 1, so a small selection under a percentage
+    spec (e.g. 3 terms at "30%" → floor 0.9 = 0) still requires one
+    shared term: MLT never degenerates to match-all.
 
     Corpus statistics (N + one df per candidate term) reduce to a
     SINGLE one-row aggregate whose collect is one row of ≤
@@ -137,7 +149,7 @@ def more_like_this(
     pushable."""
     import math
 
-    from .search import _analyze_text as _terms, compile_query
+    from .search import _min_should_count, compile_query
 
     if (like is None) == (like_id is None):
         raise ValueError("more_like_this: pass exactly one of like / like_id")
@@ -147,7 +159,7 @@ def more_like_this(
             raise ValueError(f"more_like_this: no row with {id_col}={like_id!r}")
         like = row[0]
 
-    toks = _terms(str(like))
+    toks = _analyze_text(str(like))
     tf = {t: toks.count(t) for t in set(toks)}
     cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
     if not cand:
@@ -155,20 +167,18 @@ def more_like_this(
             "more_like_this: no candidate term reaches min_term_freq"
         )
 
-    from .search import _analyze
-
     atoks = _analyze(F.col(field))
     stats = df.agg(
         F.count(F.lit(1)).alias("_n"),
         *[
-            F.sum(F.array_contains(atoks, t).cast("long")).alias(f"_df_{i}")
-            for i, t in enumerate(cand)
+            F.sum(F.array_contains(atoks, t).cast("long")).alias(f"_df_{t}")
+            for t in cand
         ],
     ).head()
     n = float(stats["_n"])
     scored = []
-    for i, t in enumerate(cand):
-        d = float(stats[f"_df_{i}"])
+    for t in cand:
+        d = float(stats[f"_df_{t}"])
         if d >= min_doc_freq:
             idf = math.log(1.0 + (n - d + 0.5) / (d + 0.5))
             scored.append((tf[t] * idf, t))
@@ -176,9 +186,10 @@ def more_like_this(
         raise ValueError("more_like_this: every candidate is below min_doc_freq")
     sel = [t for _, t in sorted(scored, key=lambda s: (-s[0], s[1]))[:max_query_terms]]
 
+    msm = max(1, _min_should_count(minimum_should_match, len(sel)))
     clause = {"bool": {
         "should": [{"match": {field: t}} for t in sel],
-        "minimum_should_match": minimum_should_match,
+        "minimum_should_match": msm,
     }}
     pred = compile_query(clause)
     if like_id is not None:

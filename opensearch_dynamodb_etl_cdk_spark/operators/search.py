@@ -759,20 +759,37 @@ def _execute_knn(df: DataFrame, knn_body: dict[str, Any],
     k·partitions candidate rows reach the driver-side heap. At 100 TB
     this is the exact-scoring tier; the LSH/IVF indexed tiers in
     operators/similarity.py serve the approximate path.
+
+    Zero-norm embeddings have no cosine direction: they score NULL and
+    are excluded from the hits (OpenSearch rejects them at index time
+    for cosine spaces; under Spark's default ANSI mode an unguarded
+    division would instead fail the whole query). ``tie_break`` names a
+    column appended ascending to the score ordering so the k-boundary
+    is deterministic under score ties.
     """
-    from ..functions.vectors import cosine
+    from ..functions.vectors import cosine, l2_norm
 
     (field, spec), = knn_body.items()
     vec = [float(x) for x in spec["vector"]]
+    if not any(vec):
+        raise ValueError("knn: query vector has zero norm")
     k = int(spec.get("k", default_size))
     base = df
     if spec.get("filter"):
         base = base.filter(compile_query(spec["filter"]))
     qarr = F.array(*[F.lit(x) for x in vec])
-    scored = base.withColumn("_score", cosine(F.col(field), qarr))
+    scored = base.withColumn(
+        "_score",
+        F.when(
+            l2_norm(F.col(field)) > 0, cosine(F.col(field), qarr)
+        ).otherwise(F.lit(None).cast("double")),
+    ).filter(F.col("_score").isNotNull())
     if spec.get("min_score") is not None:
         scored = scored.filter(F.col("_score") >= float(spec["min_score"]))
-    return scored.orderBy(F.col("_score").desc()).limit(k)
+    order = [F.col("_score").desc()]
+    if spec.get("tie_break"):
+        order.append(F.col(spec["tie_break"]).asc())
+    return scored.orderBy(*order).limit(k)
 
 
 def vocabulary(df: DataFrame, field: str) -> DataFrame:
@@ -966,7 +983,11 @@ def phrase_suggest(
         pair_freq = {
             (r.w1, r.w2): r.freq for r in bg.filter(pair_pred).collect()
         }
-    n_tokens = sum(uni.values()) or 1
+    # true corpus token count for the unigram backoff normalizer — a
+    # one-row aggregate over the vocabulary frame, NOT the sum of the
+    # few collected candidates (which would inflate backoff scores
+    # relative to genuine bigram probabilities)
+    n_tokens = (v.agg(F.sum("freq").alias("n")).head()["n"] or 0) or 1
 
     def step_score(w1: str | None, w2: str) -> float:
         u2 = uni.get(w2, 0)
@@ -1142,7 +1163,8 @@ def execute_search(df: DataFrame, body: dict[str, Any]) -> dict[str, Any]:
     dict, "suggest": dict (when requested)}`` — hits stay distributed,
     aggregation/suggest summaries are collected."""
     query = body.get("query", {"match_all": {}})
-    if len(query) == 1 and next(iter(query)) == "knn":
+    is_knn = len(query) == 1 and next(iter(query)) == "knn"
+    if is_knn:
         filtered = _execute_knn(df, query["knn"], int(body.get("size", 10)))
         if not body.get("sort"):
             filtered = filtered.orderBy(F.col("_score").desc())
@@ -1152,11 +1174,16 @@ def execute_search(df: DataFrame, body: dict[str, Any]) -> dict[str, Any]:
     hits = filtered
     if body.get("collapse"):
         # Field collapse: keep each group's best hit under the request
-        # sort — a per-group window top-1, partitioned by the collapse
-        # key (bounded state per group, no global window).
+        # sort (for an unsorted knn query: by score, matching the
+        # top-scored-per-group public contract) — a per-group window
+        # top-1, partitioned by the collapse key (bounded state per
+        # group, no global window).
         ckey = body["collapse"]["field"]
+        default_order = (
+            [F.col("_score").desc()] if is_knn else [F.lit(1)]
+        )
         w = W.partitionBy(ckey).orderBy(
-            *(_sort_cols(body.get("sort", [])) or [F.lit(1)])
+            *(_sort_cols(body.get("sort", [])) or default_order)
         )
         hits = (
             hits.withColumn("__rn", F.row_number().over(w))

@@ -1194,7 +1194,7 @@ def simple_query_string_search(spark, sf_dir):
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
     SELECT e.vec_id, e.label, {_cos('e.embedding', 'q.qv')} AS _score
     FROM embeddings e, q WHERE e.label >= 1
-    ORDER BY _score DESC LIMIT 10
+    ORDER BY _score DESC, e.vec_id ASC LIMIT 10
     """,
     doc="Top-level `knn` DSL query (k-NN plugin search shape) through "
     "execute_search: efficient pre-filter (label >= 1) pushed below "
@@ -1211,6 +1211,7 @@ def knn_search_dsl(spark, sf_dir):
     body = {"query": {"knn": {"embedding": {
         "vector": qvec, "k": 10,
         "filter": {"range": {"label": {"gte": 1}}},
+        "tie_break": "vec_id",  # deterministic k-boundary under ties
     }}}}
     return execute_search(e, body)["hits"].select("vec_id", "label", "_score")
 
@@ -1315,7 +1316,7 @@ def repeated_ngram_report_q(spark, sf_dir):
             ORDER BY tf * ln(1.0 + (n - df + 0.5)/(df + 0.5)) DESC, t ASC
             LIMIT 10),
     sl AS (SELECT list(t) AS ts,
-                  CAST(floor((COUNT(*) * 60.0)/100.0) AS BIGINT) AS msm
+                  GREATEST(1, CAST(floor((COUNT(*) * 60.0)/100.0) AS BIGINT)) AS msm
            FROM sel)
     SELECT lang, COUNT(*) AS n_similar
     FROM tk, sl WHERE doc_id != 0

@@ -356,8 +356,11 @@ class FlightsEtlPipeline:
         an ``_index`` column naming each hit's source index — the
         response metadata OpenSearch attaches per hit. Comma-separated
         names and ``*``/``?`` wildcards per the public index-pattern
-        rules; unknown literal names raise (OpenSearch 404) while
-        unmatched wildcards are silently empty.
+        rules; unknown literal names raise (OpenSearch 404), while a
+        wildcard matching no route — or only routes whose indexes are
+        not yet materialized — returns ``None`` (no frame to schema an
+        empty result from; callers treat ``None`` as the empty index,
+        exactly as :meth:`index_view` callers already do).
 
         Remains a pure union plan: per-route filters compiled from a
         search body still push into each route's parquet scan."""

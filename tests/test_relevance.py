@@ -139,3 +139,45 @@ def test_mlt_like_text_and_validation(mlt_corpus):
         more_like_this(mlt_corpus, "text")  # neither like nor like_id
     with pytest.raises(ValueError):
         more_like_this(mlt_corpus, "text", like="all distinct words here")
+
+
+def test_mlt_percentage_msm_clamps_to_one(mlt_corpus):
+    """30% of 2 selected terms floors to 0 — MLT must still require at
+    least one shared term, never degenerate to match-all."""
+    from opensearch_dynamodb_etl_cdk_spark.operators.relevance import (
+        more_like_this,
+    )
+
+    out = more_like_this(
+        mlt_corpus, "text", like_id=0,
+        min_term_freq=2, min_doc_freq=2, max_query_terms=5,
+        minimum_should_match="30%",
+    )
+    got = sorted(r.doc_id for r in out.collect())
+    # selected: spark, merge; docs sharing >= 1: 1, 2, 3 — doc 4 (zero
+    # shared terms) must NOT match
+    assert got == [1, 2, 3]
+
+
+def test_bm25_stale_stats_frame_fails_fast(corpus):
+    from opensearch_dynamodb_etl_cdk_spark.operators.relevance import (
+        corpus_stats,
+        score_match_bm25,
+    )
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    stats = corpus_stats(corpus, "text", ["common"])
+    with pytest.raises(AnalysisException):
+        score_match_bm25(corpus, "text", "rare", stats=stats).collect()
+
+
+def test_bm25_duplicate_query_terms_deduped(corpus):
+    from opensearch_dynamodb_etl_cdk_spark.operators.relevance import (
+        score_match_bm25,
+    )
+
+    once = {r.doc_id: r._score
+            for r in score_match_bm25(corpus, "text", "rare").collect()}
+    twice = {r.doc_id: r._score
+             for r in score_match_bm25(corpus, "text", "rare rare").collect()}
+    assert once == twice

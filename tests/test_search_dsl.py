@@ -1259,3 +1259,31 @@ def test_phrase_suggest_through_execute_search(phrase_docs):
     }
     res = execute_search(phrase_docs, body)
     assert res["suggest"]["fix"][0]["options"][0]["text"] == "spark streaming"
+
+
+def test_knn_zero_norm_vectors_excluded_not_crashing(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 0.0]),  # zero-norm: no cosine direction
+        (2, [0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    body = {"query": {"knn": {"embedding": {"vector": [1.0, 0.0], "k": 5}}}}
+    hits = execute_search(df, body)["hits"].collect()
+    assert [r.vec_id for r in hits] == [0, 2]  # doc 1 excluded, no error
+    with pytest.raises(ValueError):
+        execute_search(
+            df, {"query": {"knn": {"embedding": {"vector": [0.0, 0.0]}}}}
+        )
+
+
+def test_knn_collapse_keeps_best_scored_per_group(knn_docs):
+    body = {
+        "query": {"knn": {"embedding": {"vector": [1.0, 0.0], "k": 5,
+                                        "tie_break": "vec_id"}}},
+        "collapse": {"field": "lang"},
+    }
+    hits = execute_search(knn_docs, body)["hits"].collect()
+    best = {r.lang: r.vec_id for r in hits}
+    # per lang, the top-cosine doc: en -> 0 (identical), de -> 4 (0.7,0.3)
+    assert best == {"en": 0, "de": 4}
