@@ -1051,6 +1051,43 @@ def _lev(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _apply_source_filter(hits: DataFrame, source, body: dict) -> DataFrame:
+    """``_source`` response filtering → a Spark projection, which is the
+    scale-relevant difference: Catalyst prunes the un-selected columns
+    all the way into the parquet scan's ReadSchema, so a 2-field
+    ``_source`` over a wide index reads 2 columns, not the row. Forms
+    per the public DSL: ``false`` (metadata only), a list of field
+    names (``*``/``?`` patterns allowed), or ``{"includes": [...],
+    "excludes": [...]}``. Response-shaping columns the request itself
+    added (``_score``, ``_highlight_*``, script fields) are always
+    kept."""
+    import fnmatch
+
+    cols = hits.columns
+    keep_always = [
+        c for c in cols
+        if c == "_score" or c.startswith("_highlight_")
+        or c in (body.get("script_fields") or {})
+    ]
+    if source is False:
+        return hits.select(*(keep_always or ["*"]))
+    if isinstance(source, dict):
+        inc = source.get("includes") or ["*"]
+        exc = source.get("excludes") or []
+    else:
+        inc = list(source) if isinstance(source, (list, tuple)) else [source]
+        exc = []
+    def _m(c: str, pats) -> bool:
+        return any(fnmatch.fnmatchcase(c, p) for p in pats)
+    selected = [
+        c for c in cols
+        if c in keep_always or (_m(c, inc) and not _m(c, exc))
+    ]
+    if not selected:
+        raise ValueError(f"_source filter selects no columns from {cols}")
+    return hits.select(*selected)
+
+
 def _highlight_terms(query: dict[str, Any], field: str) -> list[str]:
     """Walk a query tree collecting the terms that target ``field`` —
     the terms the highlighter wraps. Positive contexts only (OpenSearch
@@ -1206,6 +1243,17 @@ def execute_search(df: DataFrame, body: dict[str, Any]) -> dict[str, Any]:
         hits = hits.limit(int(body["size"]))
     if body.get("highlight"):
         hits = apply_highlight(hits, query, body["highlight"])
+    if body.get("script_fields"):
+        # Derived per-hit fields. The public DSL runs Painless here; this
+        # engine's script dialect is the Spark SQL expression language —
+        # evaluated as Column expressions inside codegen, never Python.
+        # Scripts are part of the (trusted-caller) search body, exactly
+        # like the DSL's own script fields.
+        for fname, fspec in body["script_fields"].items():
+            script = fspec["script"] if isinstance(fspec, dict) else fspec
+            hits = hits.withColumn(fname, F.expr(script))
+    if body.get("_source") is not None:
+        hits = _apply_source_filter(hits, body["_source"], body)
 
     aggregations: dict[str, Any] = {}
     sibling_pipe: dict[str, dict] = {}

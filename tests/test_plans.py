@@ -254,3 +254,49 @@ def test_moving_fn_windows_over_reduced_histogram(spark, sf_dir):
     win_pos = plan.index("Window")
     agg_pos = plan.rindex("HashAggregate")
     assert agg_pos > win_pos  # explain prints leaves last: agg below window
+
+
+def test_bm25_broadcasts_stats_and_takes_ordered(spark, sf_dir):
+    """BM25: the one-row corpus-stats aggregate joins back as a
+    broadcast; top-k is TakeOrderedAndProject, never a corpus sort."""
+    plan = plan_of(spark, sf_dir, "bm25_ranked_search")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortExec" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_knn_dsl_pushes_prefilter_no_shuffle(spark, sf_dir):
+    """knn: the efficient pre-filter reaches the parquet scan; the
+    corpus never shuffles; top-k is TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "knn_search_dsl")
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(label,1)" in plan.split("PushedFilters")[1].splitlines()[0]
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_term_suggester_partial_aggregates_vocab(spark, sf_dir):
+    """Term suggester: vocabulary counts partial-aggregate map-side
+    (two HashAggregates around one exchange); candidate ranking is a
+    bounded top-k."""
+    plan = plan_of(spark, sf_dir, "term_suggester")
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_percolate_single_pass_no_join(spark, sf_dir):
+    """Percolator: the whole stored-query registry evaluates in one
+    projection — no joins of any kind in the plan."""
+    plan = plan_of(spark, sf_dir, "percolate_counts")
+    for op in ("Join", "CartesianProduct"):
+        assert op not in plan
+
+
+def test_repeated_ngram_shuffles_hashes_only(spark, sf_dir):
+    """Repeated n-gram report: the gram shuffle carries xxhash64 keys,
+    never document text (no 'text' column past the first projection)."""
+    plan = plan_of(spark, sf_dir, "repeated_ngram_report", mode="simple")
+    assert "xxhash64" in plan
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchanges, "expected gram/doc shuffles"
+    assert all("text" not in l for l in exchanges)

@@ -1287,3 +1287,40 @@ def test_knn_collapse_keeps_best_scored_per_group(knn_docs):
     best = {r.lang: r.vec_id for r in hits}
     # per lang, the top-cosine doc: en -> 0 (identical), de -> 4 (0.7,0.3)
     assert best == {"en": 0, "de": 4}
+
+
+# --- _source filtering + script_fields ------------------------------------
+
+
+def test_source_filtering_projects_columns(qs_docs):
+    body = {"query": {"term": {"lang": "en"}}, "_source": ["doc_id", "lang"]}
+    hits = execute_search(qs_docs, body)["hits"]
+    assert hits.columns == ["doc_id", "lang"]
+    body = {"_source": {"includes": ["*"], "excludes": ["text"]}}
+    assert "text" not in execute_search(qs_docs, body)["hits"].columns
+    body = {"_source": False, "query": {"knn": {
+        "embedding": {"vector": [1.0], "k": 1}}}}
+    # _source: false keeps only response-shaping columns (_score)
+    df = qs_docs.select("doc_id", F.array(F.lit(1.0)).alias("embedding"))
+    assert execute_search(df, body)["hits"].columns == ["_score"]
+
+
+def test_source_filter_reaches_parquet_scan(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    body = {"query": {"range": {"n_chars": {"gte": 100}}},
+            "_source": ["doc_id", "lang"]}
+    plan = execute_search(docs, body)["hits"]._jdf.queryExecution() \
+        .executedPlan().toString()
+    # column pruning: the scan must not read the wide text column
+    assert "text" not in plan.split("ReadSchema")[-1]
+
+
+def test_script_fields_evaluate_sql_expressions(qs_docs):
+    body = {
+        "query": {"term": {"lang": "en"}},
+        "sort": [{"doc_id": "asc"}],
+        "script_fields": {"n_doubled": {"script": "n * 2"}},
+        "_source": ["doc_id", "n_doubled"],
+    }
+    rows = execute_search(qs_docs, body)["hits"].collect()
+    assert [(r.doc_id, r.n_doubled) for r in rows] == [(0, 20), (1, 50), (3, 110)]
