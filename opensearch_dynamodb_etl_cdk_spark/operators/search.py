@@ -1266,10 +1266,59 @@ def execute_search(df: DataFrame, body: dict[str, Any]) -> dict[str, Any]:
     for name, spec in sibling_pipe.items():
         aggregations[name] = _run_sibling_pipeline(aggregations, spec)
 
+    if body.get("rescore"):
+        hits = _apply_rescore(hits, body["rescore"])
+
     res = {"hits": hits, "aggregations": aggregations}
     if body.get("suggest"):
         res["suggest"] = execute_suggest(df, body["suggest"])
     return res
+
+
+def _apply_rescore(hits: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """``rescore``: second-pass ranking over the already-limited hit
+    window — ``final = query_weight·primary + rescore_query_weight·
+    secondary``. The secondary scorer runs as a projection over ≤
+    window rows (the request's ``size``), so an expensive scorer (a
+    second embedding field, a longer vector) costs window-sized work,
+    not a corpus pass — the public two-stage retrieval shape, same as
+    the int8 rerank tier in operators/similarity.py.
+
+    Supported rescore queries: ``knn`` (cosine against any vector
+    column of the hits) and ``script`` (a Spark SQL expression over hit
+    columns). A filter-only primary carries no ``_score``; it enters
+    the combination as 0."""
+    from ..functions.vectors import cosine, l2_norm
+
+    rq = spec["query"]
+    qw = float(spec.get("query_weight", 1.0))
+    rqw = float(spec.get("rescore_query_weight", 1.0))
+    rbody = rq.get("rescore_query", rq)  # allow both nesting forms
+    (kind, rspec), = rbody.items()
+    if kind == "knn":
+        (field, kspec), = rspec.items()
+        vec = [float(x) for x in kspec["vector"]]
+        if not any(vec):
+            raise ValueError("rescore knn: query vector has zero norm")
+        qarr = F.array(*[F.lit(x) for x in vec])
+        secondary = F.when(
+            l2_norm(F.col(field)) > 0, cosine(F.col(field), qarr)
+        ).otherwise(F.lit(0.0))
+    elif kind == "script":
+        secondary = F.expr(
+            rspec["script"] if isinstance(rspec, dict) else rspec
+        ).cast("double")
+    else:
+        raise ValueError(f"unsupported rescore query kind: {kind}")
+    primary = (
+        F.col("_score") if "_score" in hits.columns else F.lit(0.0)
+    )
+    return (
+        hits.withColumn(
+            "_score", F.lit(qw) * primary + F.lit(rqw) * secondary
+        )
+        .orderBy(F.col("_score").desc())
+    )
 
 
 SIBLING_PIPELINE_AGGS = (

@@ -1324,3 +1324,38 @@ def test_script_fields_evaluate_sql_expressions(qs_docs):
     }
     rows = execute_search(qs_docs, body)["hits"].collect()
     assert [(r.doc_id, r.n_doubled) for r in rows] == [(0, 20), (1, 50), (3, 110)]
+
+
+# --- rescore --------------------------------------------------------------
+
+
+def test_rescore_knn_reranks_window(knn_docs):
+    # primary: knn toward [1,0]; rescore: knn toward [0,1] with heavy
+    # weight — the ordering must flip toward the second vector
+    body = {
+        "query": {"knn": {"embedding": {"vector": [1.0, 0.0], "k": 3,
+                                        "tie_break": "vec_id"}}},
+        "rescore": {
+            "query": {"rescore_query": {"knn": {"embedding": {
+                "vector": [0.0, 1.0]}}},
+            },
+            "query_weight": 0.1,
+            "rescore_query_weight": 10.0,
+        },
+    }
+    hits = execute_search(knn_docs, body)["hits"].collect()
+    assert len(hits) == 3  # window = primary k; rescore never widens it
+    # among the window {0, 1, 4}, doc 4 ([0.7,0.3]) is closest to [0,1]
+    assert hits[0].vec_id == 4
+    assert [r._score for r in hits] == sorted(
+        (r._score for r in hits), reverse=True)
+
+
+def test_rescore_script_over_filter_primary(qs_docs):
+    # filter-only primary (no _score): combination uses 0 + script
+    body = {
+        "query": {"term": {"lang": "en"}},
+        "rescore": {"query": {"rescore_query": {"script": "CAST(n AS DOUBLE)"}}},
+    }
+    hits = execute_search(qs_docs, body)["hits"].collect()
+    assert [r.doc_id for r in hits] == [3, 1, 0]  # n desc: 55, 25, 10
