@@ -349,6 +349,41 @@ class FlightsEtlPipeline:
         df.createOrReplaceTempView(f"{route}_index")
         return df
 
+    def cat_indices(self) -> list[dict]:
+        """``_cat/indices`` analog: one dict per route with live doc
+        count, tombstone count, bucket count, and on-disk bytes — the
+        operational snapshot an index operator reads daily (pairs with
+        the per-batch ``_metrics`` table, W5). Counts come from one
+        aggregate per index; sizes from the filesystem listing."""
+        out = []
+        for route in self.cfg.routes:
+            df = self.read_index(route)
+            if df is None:
+                out.append({"index": route, "status": "missing",
+                            "docs": 0, "tombstones": 0, "buckets": 0,
+                            "bytes": 0})
+                continue
+            has_tomb = "_deleted" in df.columns
+            row = df.agg(
+                F.count(F.lit(1)).alias("rows"),
+                (F.sum(F.col("_deleted").cast("long")) if has_tomb
+                 else F.lit(0)).alias("tombs"),
+                F.countDistinct("_bucket").alias("buckets"),
+            ).head()
+            path = self._index_path(route)
+            nbytes = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(path) for f in fs
+            )
+            out.append({
+                "index": route, "status": "open",
+                "docs": int(row["rows"]) - int(row["tombs"] or 0),
+                "tombstones": int(row["tombs"] or 0),
+                "buckets": int(row["buckets"]),
+                "bytes": nbytes,
+            })
+        return out
+
     def multi_index_view(self, pattern: str = "*") -> DataFrame | None:
         """OpenSearch multi-index search target (``GET /fare,flight/
         _search``, ``GET /f*/_search``): the union of the matching live

@@ -473,3 +473,14 @@ def test_streaming_percolate_alerts(spark, pipeline, tmp_path):
     assert got.get("den_activity", 0) == n_den > 0
     assert got.get("removals", 0) == n_rem > 0
     assert alerts.count() <= batch.count()
+
+
+def test_cat_indices_operational_snapshot(spark, pipeline):
+    assert all(r["status"] == "missing" for r in pipeline.cat_indices())
+    items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    pipeline.bootstrap(items)
+    cat = {r["index"]: r for r in pipeline.cat_indices()}
+    assert cat["fare"]["docs"] == 22 and cat["flight"]["docs"] == 13
+    assert cat["fare"]["status"] == "open"
+    assert cat["fare"]["bytes"] > 0
+    assert 1 <= cat["fare"]["buckets"] <= pipeline.cfg.n_buckets
