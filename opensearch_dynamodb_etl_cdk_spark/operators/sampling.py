@@ -61,11 +61,25 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(id_col)) < pct)
 
 
-def shuffle_for_training(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Global deterministic shuffle: sort by a hash of the id. One
+def shuffle_for_training(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str | None = None,
+    key: str = "xxhash64",
+) -> DataFrame:
+    """Global deterministic shuffle: sort by a hash of (seed, id). One
     range-partitioned sort; output order is stable across runs (unlike
-    orderBy(rand()))."""
-    return df.orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+    ``orderBy(rand())``) and re-seedable per epoch (``seed="epoch3"``
+    gives a different but equally stable order). ``key="xxhash64"``
+    (default, cheapest) or ``"md5"`` (engine-portable — the DuckDB
+    oracle reproduces the identical order)."""
+    salted = (
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+        if seed is not None
+        else F.col(id_col).cast("string")
+    )
+    h = F.xxhash64(salted) if key == "xxhash64" else F.md5(salted)
+    return df.orderBy(h, F.col(id_col))
 
 
 def mixture_resample(

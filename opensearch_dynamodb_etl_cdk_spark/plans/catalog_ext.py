@@ -1520,6 +1520,32 @@ def deterministic_sample_stats(spark, sf_dir):
 
 
 @register(
+    "training_shuffle_order",
+    oracle="""
+    SELECT doc_id, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key, doc_id LIMIT 25
+    """,
+    doc="Seeded deterministic global shuffle for training order "
+    "(operators/sampling.py::shuffle_for_training, md5 portable mode): "
+    "one range-partitioned sort by hash(seed, id) — stable across runs "
+    "and plans, re-seedable per epoch; first 25 rows shown.",
+    tags=("sampling", "training"),
+)
+def training_shuffle_order(spark, sf_dir):
+    from ..operators.sampling import shuffle_for_training
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    out = shuffle_for_training(d, seed="epoch1", key="md5")
+    return out.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    ).limit(25)
+
+
+@register(
     "train_test_split_counts",
     oracle=f"""
     SELECT CASE WHEN {_BUCKET_SQL} < 10 THEN 'test' ELSE 'train' END AS split,

@@ -218,3 +218,13 @@ def test_mixture_resample_hits_targets(spark, sf_dir):
     assert {r.doc_id for r in kept2.select("doc_id").collect()} == {
         r.doc_id for r in kept.select("doc_id").collect()
     }
+
+
+def test_shuffle_seeded_epochs_differ_but_stable(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    e1 = [r.doc_id for r in shuffle_for_training(d, seed="epoch1", key="md5").collect()]
+    e1b = [r.doc_id for r in shuffle_for_training(d, seed="epoch1", key="md5").collect()]
+    e2 = [r.doc_id for r in shuffle_for_training(d, seed="epoch2", key="md5").collect()]
+    assert e1 == e1b            # same seed → identical order
+    assert e1 != e2             # different epoch → different order
+    assert sorted(e1) == sorted(e2)  # same corpus, permuted
