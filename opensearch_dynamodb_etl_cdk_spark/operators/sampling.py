@@ -73,6 +73,8 @@ def shuffle_for_training(
     gives a different but equally stable order). ``key="xxhash64"``
     (default, cheapest) or ``"md5"`` (engine-portable — the DuckDB
     oracle reproduces the identical order)."""
+    if key not in ("xxhash64", "md5"):
+        raise ValueError(f"shuffle_for_training: unknown key {key!r}")
     salted = (
         F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
         if seed is not None

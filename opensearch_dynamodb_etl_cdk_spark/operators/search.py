@@ -1058,19 +1058,28 @@ def _apply_source_filter(hits: DataFrame, source, body: dict) -> DataFrame:
     ``_source`` over a wide index reads 2 columns, not the row. Forms
     per the public DSL: ``false`` (metadata only), a list of field
     names (``*``/``?`` patterns allowed), or ``{"includes": [...],
-    "excludes": [...]}``. Response-shaping columns the request itself
-    added (``_score``, ``_highlight_*``, script fields) are always
-    kept."""
+    "excludes": [...]}``; ``true`` is the public no-op (full source).
+    Response-shaping and metadata columns the request itself added
+    (``_score``, ``_highlight_*``, script fields, ``_id``/``_index``)
+    are always kept."""
     import fnmatch
 
     cols = hits.columns
     keep_always = [
         c for c in cols
-        if c == "_score" or c.startswith("_highlight_")
+        if c in ("_score", "_id", "_index") or c.startswith("_highlight_")
         or c in (body.get("script_fields") or {})
     ]
+    if source is True:
+        return hits
     if source is False:
-        return hits.select(*(keep_always or ["*"]))
+        if not keep_always:
+            raise ValueError(
+                "_source: false with no metadata/response-shaping columns "
+                "would produce a zero-column frame; project explicitly or "
+                "keep an _id column in the index"
+            )
+        return hits.select(*keep_always)
     if isinstance(source, dict):
         inc = source.get("includes") or ["*"]
         exc = source.get("excludes") or []
@@ -1241,6 +1250,13 @@ def execute_search(df: DataFrame, body: dict[str, Any]) -> dict[str, Any]:
         hits = hits.offset(int(body["from"]))
     if "size" in body:
         hits = hits.limit(int(body["size"]))
+    # query-phase rescoring runs BEFORE fetch-phase response shaping
+    # (highlight / script_fields / _source): a _source filter that drops
+    # the rescore vector column must not break the rescorer.
+    if body.get("rescore"):
+        stages = body["rescore"]
+        for stage in stages if isinstance(stages, list) else [stages]:
+            hits = _apply_rescore(hits, stage)
     if body.get("highlight"):
         hits = apply_highlight(hits, query, body["highlight"])
     if body.get("script_fields"):
@@ -1266,9 +1282,6 @@ def execute_search(df: DataFrame, body: dict[str, Any]) -> dict[str, Any]:
     for name, spec in sibling_pipe.items():
         aggregations[name] = _run_sibling_pipeline(aggregations, spec)
 
-    if body.get("rescore"):
-        hits = _apply_rescore(hits, body["rescore"])
-
     res = {"hits": hits, "aggregations": aggregations}
     if body.get("suggest"):
         res["suggest"] = execute_suggest(df, body["suggest"])
@@ -1287,13 +1300,24 @@ def _apply_rescore(hits: DataFrame, spec: dict[str, Any]) -> DataFrame:
     Supported rescore queries: ``knn`` (cosine against any vector
     column of the hits) and ``script`` (a Spark SQL expression over hit
     columns). A filter-only primary carries no ``_score``; it enters
-    the combination as 0."""
+    the combination as 0. A list of rescore stages (public multi-stage
+    form) is applied sequentially by the caller. ``tie_break`` (at
+    either nesting level) names a column appended ascending to the
+    final ordering so equal combined scores order deterministically."""
     from ..functions.vectors import cosine, l2_norm
 
     rq = spec["query"]
-    qw = float(spec.get("query_weight", 1.0))
-    rqw = float(spec.get("rescore_query_weight", 1.0))
+    # weights live inside `query` in the public DSL shape; accept the
+    # flat form too, inner taking precedence
+    qw = float(rq.get("query_weight", spec.get("query_weight", 1.0)))
+    rqw = float(
+        rq.get("rescore_query_weight", spec.get("rescore_query_weight", 1.0))
+    )
     rbody = rq.get("rescore_query", rq)  # allow both nesting forms
+    if rbody is rq:
+        rbody = {k: v for k, v in rq.items()
+                 if k not in ("query_weight", "rescore_query_weight",
+                              "tie_break")}
     (kind, rspec), = rbody.items()
     if kind == "knn":
         (field, kspec), = rspec.items()
@@ -1313,11 +1337,15 @@ def _apply_rescore(hits: DataFrame, spec: dict[str, Any]) -> DataFrame:
     primary = (
         F.col("_score") if "_score" in hits.columns else F.lit(0.0)
     )
+    order = [F.col("_score").desc()]
+    tie = spec.get("tie_break", rq.get("tie_break"))
+    if tie:
+        order.append(F.col(tie).asc())
     return (
         hits.withColumn(
             "_score", F.lit(qw) * primary + F.lit(rqw) * secondary
         )
-        .orderBy(F.col("_score").desc())
+        .orderBy(*order)
     )
 
 

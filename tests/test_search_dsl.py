@@ -1359,3 +1359,55 @@ def test_rescore_script_over_filter_primary(qs_docs):
     }
     hits = execute_search(qs_docs, body)["hits"].collect()
     assert [r.doc_id for r in hits] == [3, 1, 0]  # n desc: 55, 25, 10
+
+
+def test_source_true_is_noop_and_false_keeps_metadata(items):
+    fares = items.filter(F.col("type") == "fare")
+    body = {"query": {"term": {"pk": "DEN"}}, "_source": True}
+    assert execute_search(fares, body)["hits"].columns == fares.columns
+    body = {"query": {"term": {"pk": "DEN"}}, "_source": False}
+    # _id is index metadata: kept even with source disabled
+    assert execute_search(fares, body)["hits"].columns == ["_id"]
+
+
+def test_source_false_without_metadata_raises(qs_docs):
+    with pytest.raises(ValueError):
+        execute_search(qs_docs, {"_source": False})
+
+
+def test_rescore_composes_with_source_filter(knn_docs):
+    # _source drops the embedding column, but rescore (query phase)
+    # runs before fetch-phase shaping — must not break
+    body = {
+        "query": {"knn": {"embedding": {"vector": [1.0, 0.0], "k": 3,
+                                        "tie_break": "vec_id"}}},
+        "rescore": {"query": {"rescore_query": {"knn": {"embedding": {
+            "vector": [0.0, 1.0]}}},
+            "query_weight": 0.1, "rescore_query_weight": 10.0,
+            "tie_break": "vec_id"}},
+        "_source": ["vec_id"],
+    }
+    hits = execute_search(knn_docs, body)["hits"].collect()
+    assert [r.vec_id for r in hits][0] == 4
+    assert set(execute_search(knn_docs, body)["hits"].columns) == \
+        {"vec_id", "_score"}
+
+
+def test_rescore_public_weight_nesting_and_list_form(knn_docs):
+    # weights inside `query` (the public DSL shape) must take effect
+    inner = {"query": {"rescore_query": {"knn": {"embedding": {
+        "vector": [0.0, 1.0]}}},
+        "query_weight": 0.1, "rescore_query_weight": 10.0,
+        "tie_break": "vec_id"}}
+    body = {"query": {"knn": {"embedding": {"vector": [1.0, 0.0], "k": 3,
+                                            "tie_break": "vec_id"}}},
+            "rescore": inner}
+    assert execute_search(knn_docs, body)["hits"].collect()[0].vec_id == 4
+    # list form: stages apply sequentially (second stage re-boosts [1,0])
+    body["rescore"] = [inner,
+                      {"query": {"rescore_query": {"knn": {"embedding": {
+                          "vector": [1.0, 0.0]}}},
+                          "query_weight": 0.0,
+                          "rescore_query_weight": 1.0,
+                          "tie_break": "vec_id"}}]
+    assert execute_search(knn_docs, body)["hits"].collect()[0].vec_id == 0
