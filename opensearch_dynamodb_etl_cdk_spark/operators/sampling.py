@@ -139,3 +139,63 @@ def mixture_resample(
         .filter(hash_bucket(F.col(id_col), resolution) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def select_until_token_budget(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    order_by: list,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Budget-bounded corpus selection: walk the corpus in ``order_by``
+    order (e.g. quality descending) and keep documents while the
+    cumulative ``token_col`` stays within ``budget`` — the "best N
+    tokens" selection a training run starts from. Use a unique
+    tie-break key in ``order_by`` for deterministic output.
+
+    The global cumulative sum is computed the scale-safe way (same
+    two-phase shape as operators/ranking.py): ``repartitionByRange`` on
+    the ordering key, per-partition subtotals (one row per partition)
+    prefix-summed on the driver and broadcast back as a literal map,
+    then a window cumsum PARTITIONED by the range-partition id plus the
+    partition's offset. Bounded per-task state; never a single-task
+    global window. Cost: the range shuffle evaluates twice (subtotal
+    job + select job) unless the caller persists the input.
+    """
+    from pyspark.sql import Window as W
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    if n_partitions is None:
+        n_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    pid = "__range_pid"
+    d = df.repartitionByRange(n_partitions, *cols).withColumn(
+        pid, F.spark_partition_id()
+    )
+    subtotals = {
+        r[pid]: r["s"]
+        for r in d.groupBy(pid).agg(F.sum(token_col).alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(subtotals):
+        offsets[p] = acc
+        acc += subtotals[p] or 0
+    off_map = F.create_map(
+        *[F.lit(x) for p_off in offsets.items() for x in p_off]
+    )
+    w = (
+        W.partitionBy(pid)
+        .orderBy(*cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = (
+        F.sum(F.col(token_col)).over(w).cast("long")
+        + off_map[F.col(pid)].cast("long")
+    )
+    return (
+        d.withColumn("__cum", cum)
+        .filter(F.col("__cum") <= budget)
+        .drop(pid, "__cum")
+    )

@@ -1546,6 +1546,40 @@ def training_shuffle_order(spark, sf_dir):
 
 
 @register(
+    "token_budget_selection",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, n_chars, len({TOK}) AS n_tokens
+               FROM documents),
+    c AS (SELECT *, SUM(n_tokens) OVER (
+            ORDER BY n_chars DESC, doc_id ASC
+            ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM c WHERE cum <= 20000 GROUP BY lang
+    """,
+    doc="Budget-bounded corpus selection (best docs until 20k tokens, "
+    "longest-first order): global cumulative sum via the two-phase "
+    "range-partition + driver-prefix-offset shape — never a single-task "
+    "global window (operators/sampling.py::select_until_token_budget).",
+    tags=("sampling", "training"),
+)
+def token_budget_selection(spark, sf_dir):
+    from ..functions.text import tokens
+    from ..operators.sampling import select_until_token_budget
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    d = d.withColumn("n_tokens", F.size(tokens(F.col("text"))))
+    kept = select_until_token_budget(
+        d, budget=20_000, token_col="n_tokens",
+        order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+@register(
     "train_test_split_counts",
     oracle=f"""
     SELECT CASE WHEN {_BUCKET_SQL} < 10 THEN 'test' ELSE 'train' END AS split,

@@ -384,6 +384,42 @@ class FlightsEtlPipeline:
             })
         return out
 
+    def get_mapping(self, route: str) -> dict:
+        """``GET /<index>/_mapping`` analog: the index's Spark schema
+        rendered as an OpenSearch mapping (public field-type names).
+        Arrays map to their element type (OpenSearch fields are
+        multi-valued by nature); structs become ``object`` properties;
+        internal columns (``_bucket``, ``_seq``, ``_deleted``) are
+        implementation detail and excluded."""
+        df = self.index_view(route)
+        if df is None:
+            raise ValueError(f"no such index: {route!r}")
+
+        def field_mapping(dt) -> dict:
+            s = dt.simpleString()
+            if s.startswith("array<"):
+                return field_mapping(dt.elementType)
+            if s.startswith("struct<"):
+                return {
+                    "type": "object",
+                    "properties": {
+                        f.name: field_mapping(f.dataType) for f in dt.fields
+                    },
+                }
+            scalar = {
+                "string": "keyword", "long": "long", "int": "integer",
+                "double": "double", "float": "float", "boolean": "boolean",
+                "timestamp": "date", "timestamp_ntz": "date", "date": "date",
+                "binary": "binary",
+            }
+            return {"type": scalar.get(s, "keyword")}
+
+        hidden = {"_bucket", "_seq", "_deleted"}
+        return {route: {"mappings": {"properties": {
+            f.name: field_mapping(f.dataType)
+            for f in df.schema.fields if f.name not in hidden
+        }}}}
+
     def multi_index_view(self, pattern: str = "*") -> DataFrame | None:
         """OpenSearch multi-index search target (``GET /fare,flight/
         _search``, ``GET /f*/_search``): the union of the matching live

@@ -228,3 +228,43 @@ def test_shuffle_seeded_epochs_differ_but_stable(spark, sf_dir):
     assert e1 == e1b            # same seed → identical order
     assert e1 != e2             # different epoch → different order
     assert sorted(e1) == sorted(e2)  # same corpus, permuted
+
+
+def test_select_until_token_budget_exact_prefix(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.sampling import (
+        select_until_token_budget,
+    )
+
+    rows = [(i, 10) for i in range(100)]  # 100 docs x 10 tokens
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    kept = select_until_token_budget(
+        df, budget=250, token_col="n_tokens",
+        order_by=[F.col("doc_id").asc()], n_partitions=8,
+    )
+    got = sorted(r.doc_id for r in kept.collect())
+    assert got == list(range(25))  # exactly the first 250/10 docs
+    # budget smaller than one doc -> empty; huge budget -> everything
+    assert select_until_token_budget(
+        df, 5, "n_tokens", [F.col("doc_id")], n_partitions=8).count() == 0
+    assert select_until_token_budget(
+        df, 10**9, "n_tokens", [F.col("doc_id")], n_partitions=8).count() == 100
+
+
+def test_select_until_token_budget_no_global_window(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.sampling import (
+        select_until_token_budget,
+    )
+    import contextlib, io
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit(7).alias("n_tokens"))
+    kept = select_until_token_budget(
+        df, 700, "n_tokens", [F.col("doc_id")], n_partitions=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        kept.explain(mode="simple")
+    plan = buf.getvalue()
+    # every Window node must be partitioned by the range-partition id
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "__range_pid" in line

@@ -484,3 +484,16 @@ def test_cat_indices_operational_snapshot(spark, pipeline):
     assert cat["fare"]["status"] == "open"
     assert cat["fare"]["bytes"] > 0
     assert 1 <= cat["fare"]["buckets"] <= pipeline.cfg.n_buckets
+
+
+def test_get_mapping_renders_opensearch_field_types(spark, pipeline):
+    items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    pipeline.bootstrap(items)
+    m = pipeline.get_mapping("fare")
+    props = m["fare"]["mappings"]["properties"]
+    assert props["_id"]["type"] == "keyword"
+    assert props["start_ts"]["type"] == "date"
+    # internal merge columns never leak into the public mapping
+    assert not ({"_bucket", "_seq", "_deleted"} & props.keys())
+    with pytest.raises(ValueError):
+        pipeline.get_mapping("nope")
