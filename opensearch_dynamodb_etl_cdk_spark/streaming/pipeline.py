@@ -384,6 +384,64 @@ class FlightsEtlPipeline:
             })
         return out
 
+    def _next_seq(self, route: str) -> int:
+        idx = self.read_index(route)
+        if idx is None or "_seq" not in idx.columns:
+            return 1
+        top = idx.agg(F.max("_seq").alias("m")).head()["m"]
+        return int(top or 0) + 1
+
+    def delete_by_query(self, route: str, query: dict) -> int:
+        """``_delete_by_query`` analog: documents matching a DSL query
+        body are deleted through the SAME CDC merge path as streamed
+        REMOVEs — a synthetic delete batch at the next sequence number,
+        so last-write-wins ordering, emptied-bucket removal, and
+        tombstone mode all apply unchanged. Returns the deleted count
+        (the public response's ``deleted`` field). Cost ∝ touched
+        buckets, exactly like a streamed micro-batch."""
+        from ..operators.search import compile_query
+
+        idx = self.index_view(route)
+        if idx is None:
+            return 0
+        matches = idx.filter(compile_query(query))
+        n = matches.count()
+        if n == 0:
+            return 0
+        batch = matches.withColumn(
+            "_seq", F.lit(self._next_seq(route)).cast("long")
+        ).withColumn("_action", F.lit("delete"))
+        self._merge_route(batch, route)
+        return n
+
+    def update_by_query(
+        self, route: str, query: dict, set_fields: dict[str, str]
+    ) -> int:
+        """``_update_by_query`` analog: matching documents get
+        ``set_fields`` (column → Spark SQL expression, this engine's
+        script dialect) applied and re-enter the index as upserts at the
+        next sequence number — the same MERGE path as streamed MODIFYs.
+        Returns the updated count."""
+        from ..operators.search import compile_query
+
+        idx = self.index_view(route)
+        if idx is None:
+            return 0
+        matches = idx.filter(compile_query(query))
+        n = matches.count()
+        if n == 0:
+            return 0
+        batch = matches
+        for col_name, expr in set_fields.items():
+            if col_name not in batch.columns:
+                raise ValueError(f"update_by_query: no field {col_name!r}")
+            batch = batch.withColumn(col_name, F.expr(expr))
+        batch = batch.withColumn(
+            "_seq", F.lit(self._next_seq(route)).cast("long")
+        ).withColumn("_action", F.lit("upsert"))
+        self._merge_route(batch, route)
+        return n
+
     def get_mapping(self, route: str) -> dict:
         """``GET /<index>/_mapping`` analog: the index's Spark schema
         rendered as an OpenSearch mapping (public field-type names).

@@ -497,3 +497,34 @@ def test_get_mapping_renders_opensearch_field_types(spark, pipeline):
     assert not ({"_bucket", "_seq", "_deleted"} & props.keys())
     with pytest.raises(ValueError):
         pipeline.get_mapping("nope")
+
+
+def test_delete_by_query_through_merge_path(spark, pipeline):
+    items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    pipeline.bootstrap(items)
+    n_den = pipeline.index_view("fare").filter(F.col("pk") == "DEN").count()
+    deleted = pipeline.delete_by_query("fare", {"term": {"pk": "DEN"}})
+    assert deleted == n_den > 0
+    fare = pipeline.index_view("fare")
+    assert fare.filter(F.col("pk") == "DEN").count() == 0
+    assert fare.count() == 22 - n_den
+    # no match -> 0, index untouched
+    assert pipeline.delete_by_query("fare", {"term": {"pk": "ZZZ"}}) == 0
+    assert pipeline.index_view("fare").count() == 22 - n_den
+
+
+def test_update_by_query_bumps_seq_and_applies_script(spark, pipeline):
+    items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    pipeline.bootstrap(items)
+    updated = pipeline.update_by_query(
+        "fare", {"term": {"fare_class": "nonstop"}},
+        {"fare_class": "'express'"},
+    )
+    assert updated > 0
+    fare = pipeline.index_view("fare")
+    assert fare.filter(F.col("fare_class") == "nonstop").count() == 0
+    assert fare.filter(F.col("fare_class") == "express").count() == updated
+    assert fare.count() == 22  # upserts, not inserts: same doc count
+    # a later streamed event with a HIGHER seq still wins over the update
+    with pytest.raises(ValueError):
+        pipeline.update_by_query("fare", {"match_all": {}}, {"nope": "'x'"})
