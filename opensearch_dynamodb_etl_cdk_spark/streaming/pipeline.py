@@ -442,6 +442,40 @@ class FlightsEtlPipeline:
         self._merge_route(batch, route)
         return n
 
+    def reindex(
+        self,
+        source: str,
+        dest: str,
+        query: dict | None = None,
+        set_fields: dict[str, str] | None = None,
+    ) -> int:
+        """``_reindex`` analog: copy the source index's live documents
+        (optionally filtered by a DSL ``query`` and transformed by
+        ``set_fields`` script expressions) into ``dest``'s index table
+        through the same keyed merge path — re-runnable (per-key
+        upserts), bucket layout preserved. ``dest`` may be a new table
+        name outside the configured routes. Returns the copied count."""
+        from ..operators.search import compile_query
+
+        src = self.index_view(source)
+        if src is None:
+            raise ValueError(f"no such index: {source!r}")
+        batch = src
+        if query is not None:
+            batch = batch.filter(compile_query(query))
+        for col_name, expr in (set_fields or {}).items():
+            if col_name not in batch.columns:
+                raise ValueError(f"reindex: no field {col_name!r}")
+            batch = batch.withColumn(col_name, F.expr(expr))
+        n = batch.count()
+        if n == 0:
+            return 0
+        batch = batch.withColumn(
+            "_seq", F.lit(self._next_seq(dest)).cast("long")
+        ).withColumn("_action", F.lit("index"))
+        self._merge_route(batch, dest)
+        return n
+
     def get_mapping(self, route: str) -> dict:
         """``GET /<index>/_mapping`` analog: the index's Spark schema
         rendered as an OpenSearch mapping (public field-type names).

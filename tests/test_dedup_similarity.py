@@ -505,3 +505,30 @@ def test_repeated_ngram_report_planted_span(spark):
                repeated_ngram_report(df, n=5, key="text").collect()}
     assert {k: (v.n_windows, v.n_repeated) for k, v in out.items()} == \
            {k: (v.n_windows, v.n_repeated) for k, v in out_txt.items()}
+
+
+def test_refresh_lsh_index_matches_full_rebuild(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.operators.similarity import (
+        build_lsh_index,
+        refresh_lsh_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200).cache()
+    base = build_lsh_index(e).cache()
+
+    # mutate: vector 3 changes (swap in vector 7's embedding), 5 deleted
+    changed = (
+        e.filter(F.col("vec_id") == 7)
+        .select(F.lit(3).cast("long").alias("vec_id"), "embedding")
+    )
+    new_corpus = (
+        e.filter(~F.col("vec_id").isin(3, 5))
+        .unionByName(changed.withColumn("label", F.lit(None).cast("int")).select(e.columns))
+    )
+    deleted = spark.createDataFrame([(5,)], "vec_id long")
+
+    refreshed = refresh_lsh_index(base, changed=changed, deleted_ids=deleted)
+    rebuilt = build_lsh_index(new_corpus)
+    got = {tuple(r) for r in refreshed.collect()}
+    want = {tuple(r) for r in rebuilt.collect()}
+    assert got == want  # incremental == full rebuild, bit-identical

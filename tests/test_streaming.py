@@ -528,3 +528,20 @@ def test_update_by_query_bumps_seq_and_applies_script(spark, pipeline):
     # a later streamed event with a HIGHER seq still wins over the update
     with pytest.raises(ValueError):
         pipeline.update_by_query("fare", {"match_all": {}}, {"nope": "'x'"})
+
+
+def test_reindex_filtered_transformed_copy(spark, pipeline):
+    items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    pipeline.bootstrap(items)
+    n = pipeline.reindex(
+        "fare", "fare_den", query={"term": {"pk": "DEN"}},
+        set_fields={"fare_class": "upper(fare_class)"},
+    )
+    assert n == pipeline.index_view("fare").filter(F.col("pk") == "DEN").count()
+    copy = pipeline.index_view("fare_den")
+    assert copy.count() == n
+    assert copy.filter(F.col("fare_class").rlike("^[A-Z]+$")).count() == n
+    # re-running is idempotent (per-key upserts, not appends)
+    assert pipeline.reindex("fare", "fare_den",
+                            query={"term": {"pk": "DEN"}}) == n
+    assert pipeline.index_view("fare_den").count() == n
