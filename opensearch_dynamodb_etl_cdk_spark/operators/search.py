@@ -1204,6 +1204,54 @@ def percolate(
     return out
 
 
+def explain_match(
+    df: DataFrame, query: dict[str, Any], id_value, id_col: str = "_id"
+) -> dict[str, Any]:
+    """``GET /<index>/_explain/<id>`` analog: why did (or didn't) one
+    document match a query? Decomposes the query into its leaf clauses
+    and evaluates ALL of them plus the full predicate in one projection
+    over the single id-selected row (a pushed id-equality scan — this
+    never touches the rest of the corpus). Returns ``{"matched": bool,
+    "clauses": {<path>: bool}}`` with bool-tree paths like
+    ``must[0].term``."""
+    leaves: dict[str, Column] = {}
+
+    def walk(q: dict, path: str) -> None:
+        if not q:
+            return
+        (kind, body_), = q.items()
+        if kind == "bool":
+            for section in ("must", "filter", "should", "must_not"):
+                for i, c in enumerate(body_.get(section, [])):
+                    walk(c, f"{path}{section}[{i}].")
+            return
+        if kind == "constant_score":
+            walk(body_["filter"], f"{path}constant_score.")
+            return
+        leaves[f"{path}{kind}"] = compile_query(q)
+
+    walk(query, "")
+    row = (
+        df.filter(F.col(id_col) == F.lit(id_value))
+        .select(
+            F.coalesce(compile_query(query), F.lit(False)).alias("__matched"),
+            *[
+                F.coalesce(p, F.lit(False)).alias(f"__c{i}")
+                for i, p in enumerate(leaves.values())
+            ],
+        )
+        .head()
+    )
+    if row is None:
+        raise ValueError(f"explain_match: no row with {id_col}={id_value!r}")
+    return {
+        "matched": bool(row["__matched"]),
+        "clauses": {
+            name: bool(row[f"__c{i}"]) for i, name in enumerate(leaves)
+        },
+    }
+
+
 def execute_search(df: DataFrame, body: dict[str, Any]) -> dict[str, Any]:
     """Run a DSL search body; returns ``{"hits": DataFrame, "aggregations":
     dict, "suggest": dict (when requested)}`` — hits stay distributed,

@@ -1411,3 +1411,101 @@ def test_rescore_public_weight_nesting_and_list_form(knn_docs):
                           "rescore_query_weight": 1.0,
                           "tie_break": "vec_id"}}]
     assert execute_search(knn_docs, body)["hits"].collect()[0].vec_id == 0
+
+
+# --- explain --------------------------------------------------------------
+
+
+def test_explain_match_decomposes_bool_tree(qs_docs):
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import explain_match
+
+    q = {"bool": {
+        "must": [{"match": {"text": "alpha"}}],
+        "filter": [{"range": {"n": {"lte": 30}}}],
+        "must_not": [{"term": {"lang": "de"}}],
+    }}
+    ex = explain_match(qs_docs, q, 1, id_col="doc_id")
+    assert ex["matched"] is True
+    assert ex["clauses"] == {
+        "must[0].match": True,
+        "filter[0].range": True,
+        "must_not[0].term": False,
+    }
+    ex = explain_match(qs_docs, q, 3, id_col="doc_id")  # n=55 fails range
+    assert ex["matched"] is False
+    assert ex["clauses"]["filter[0].range"] is False
+    with pytest.raises(ValueError):
+        explain_match(qs_docs, q, 999, id_col="doc_id")
+
+
+# --- query_string parser properties ---------------------------------------
+
+
+def test_query_string_parser_properties(qs_docs):
+    """Property-ish sweep: random well-formed query strings over a tiny
+    vocabulary never crash the parser, and the compiled predicate agrees
+    with a driver-side reference evaluator on every doc."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo"]
+    docs = {r.doc_id: set(r.text.lower().split()) for r in qs_docs.collect()}
+
+    def ref_eval(tokens, doc):
+        # mirror the parser's documented grammar: OR splits and-groups;
+        # within a group, NOT marks prohibited terms and ANY explicit
+        # AND promotes all non-prohibited terms to required (else the
+        # group is any-of under default_operator=or)
+        groups, cur = [], []
+        for t in tokens:
+            if t == "OR":
+                groups.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        groups.append(cur)
+
+        def group_match(g):
+            terms, prohibited, explicit_and, neg = [], [], False, False
+            for t in g:
+                if t == "AND":
+                    explicit_and = True
+                elif t == "NOT":
+                    neg = True
+                else:
+                    (prohibited if neg else terms).append(t)
+                    neg = False
+            if any(t in doc for t in prohibited):
+                return False
+            if not terms:
+                return True  # only prohibitions, all absent
+            if explicit_and:
+                return all(t in doc for t in terms)
+            return any(t in doc for t in terms)
+
+        return any(group_match(g) for g in groups)
+
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import compile_query
+
+    for _ in range(25):
+        n = rng.randint(1, 4)
+        toks, parts = [], []
+        for i in range(n):
+            if i:
+                c = rng.choice(["AND", "OR", ""])
+                if c:
+                    toks.append(c)
+                    parts.append(c)
+            if rng.random() < 0.2:
+                toks.append("NOT")
+                parts.append("NOT")
+            w = rng.choice(vocab)
+            toks.append(w)
+            parts.append(w)
+        qs = " ".join(parts)
+        pred = compile_query(
+            {"query_string": {"query": qs, "default_field": "text"}})
+        got = {r.doc_id for r in qs_docs.filter(pred).collect()}
+        want = {d for d, words in docs.items() if ref_eval(toks, words)}
+        assert got == want, f"query {qs!r}: spark={got} ref={want}"
