@@ -539,6 +539,14 @@ def compile_query(q: dict[str, Any]) -> Column:
             )
         )
 
+    if kind == "span_term":
+        (field, spec), = body.items()
+        value = spec["value"] if isinstance(spec, dict) else spec
+        return F.array_contains(_analyze(F.col(field)), str(value).lower())
+
+    if kind == "span_near":
+        return _compile_span_near(body)
+
     if kind == "bool":
         pred = F.lit(True)
         for clause in body.get("must", []) + body.get("filter", []):
@@ -601,6 +609,67 @@ def _fixed_interval_micros(spec: str) -> int:
     per = {"ms": 1_000, "s": 1_000_000, "m": 60_000_000,
            "h": 3_600_000_000, "d": 86_400_000_000}[unit]
     return n * per
+
+
+def _compile_span_near(body: dict[str, Any]) -> Column:
+    """``span_near``: the clause terms occur within a token window —
+    Lucene span semantics: a tuple of occurrence positions (one per
+    clause) with total gap ``max − min − (n−1) ≤ slop``; ``in_order``
+    additionally requires strictly increasing positions.
+
+    Pure Column expressions: per-term position arrays from one analyzed
+    pass (``filter(sequence(1, len), i → tok[i] = t)``), then an
+    existential quantifier per clause — ``exists`` nested n deep over
+    the position arrays. Work per row ∝ Π|positions_i| in the worst
+    case, bounded in practice by term rarity; everything stays in
+    codegen, no explode, no shuffle."""
+    clauses = body["clauses"]
+    slop = int(body.get("slop", 0))
+    in_order = bool(body.get("in_order", True))
+    if len(clauses) < 2:
+        raise ValueError("span_near needs at least two clauses")
+    fields, terms = set(), []
+    for c in clauses:
+        (ck, cb), = c.items()
+        if ck != "span_term":
+            raise ValueError(f"span_near clause must be span_term, got {ck}")
+        (f, spec), = cb.items()
+        fields.add(f)
+        terms.append(str(spec["value"] if isinstance(spec, dict) else spec).lower())
+    if len(fields) != 1:
+        raise ValueError("span_near clauses must target one field")
+    toks = _analyze(F.col(fields.pop()))
+
+    def positions(term: str) -> Column:
+        # NB: single-arg lambda (see the F.filter index-arg trap above)
+        return F.filter(
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda i: F.element_at(toks, i) == term,
+        )
+
+    pos_arrays = [positions(t) for t in terms]
+    n = len(terms)
+    max_span = slop + n - 1  # max-min allowed
+
+    def quantify(i: int, bound: list[Column]) -> Column:
+        if i == n:
+            distinct = F.lit(True)
+            for a in range(n):
+                for b in range(a + 1, n):
+                    distinct = distinct & (bound[a] != bound[b])
+            span_ok = (
+                F.greatest(*bound) - F.least(*bound) <= F.lit(max_span)
+                if n > 1 else F.lit(True)
+            )
+            if in_order:
+                order_ok = F.lit(True)
+                for a in range(n - 1):
+                    order_ok = order_ok & (bound[a] < bound[a + 1])
+                return order_ok & span_ok
+            return distinct & span_ok
+        return F.exists(pos_arrays[i], lambda p: quantify(i + 1, bound + [p]))
+
+    return quantify(0, [])
 
 
 def _min_should_count(spec, total: int) -> int:

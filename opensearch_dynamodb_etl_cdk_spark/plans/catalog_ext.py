@@ -1301,6 +1301,37 @@ def repeated_ngram_report_q(spark, sf_dir):
 
 
 @register(
+    "span_near_search",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, {TOK} AS toks FROM documents),
+    p AS (SELECT doc_id, lang,
+            list_filter(generate_series(1, len(toks)), i -> toks[i] = 'spark') AS p1,
+            list_filter(generate_series(1, len(toks)), i -> toks[i] = 'merge') AS p2
+          FROM tk)
+    SELECT lang, COUNT(*) AS n FROM p
+    WHERE len(list_filter(p1,
+            a -> len(list_filter(p2, b -> b > a AND b - a <= 4)) > 0)) > 0
+    GROUP BY lang
+    """,
+    doc="`span_near` (span_term 'spark' then 'merge', slop 3, in_order): "
+    "Lucene span semantics via per-term position arrays + nested "
+    "existential quantifiers — pure codegen expressions, no explode, no "
+    "shuffle (operators/search.py::_compile_span_near).",
+    tags=("dsl", "fulltext", "span"),
+)
+def span_near_search(spark, sf_dir):
+    from ..operators.search import compile_query
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    q = {"span_near": {
+        "clauses": [{"span_term": {"text": "spark"}},
+                    {"span_term": {"text": "merge"}}],
+        "slop": 3, "in_order": True}}
+    return d.filter(compile_query(q)).groupBy("lang").agg(
+        F.count("*").alias("n"))
+
+
+@register(
     "more_like_this_search",
     oracle=f"""
     WITH tk AS (SELECT doc_id, lang, {TOK} AS toks FROM documents),

@@ -1509,3 +1509,54 @@ def test_query_string_parser_properties(qs_docs):
         got = {r.doc_id for r in qs_docs.filter(pred).collect()}
         want = {d for d, words in docs.items() if ref_eval(toks, words)}
         assert got == want, f"query {qs!r}: spark={got} ref={want}"
+
+
+# --- span queries ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    rows = [
+        (0, "quick brown fox jumps"),          # quick..fox gap 1
+        (1, "quick fox"),                      # adjacent, in order
+        (2, "fox quick"),                      # adjacent, reversed
+        (3, "quick very very very brown fox"), # gap 4
+        (4, "quick quick fox"),                # repeated first term
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    df.count()
+    return df
+
+
+def _span_ids(df, slop, in_order, terms=("quick", "fox")):
+    q = {"span_near": {
+        "clauses": [{"span_term": {"text": t}} for t in terms],
+        "slop": slop, "in_order": in_order}}
+    return {r.doc_id for r in df.filter(compile_query(q)).collect()}
+
+
+def test_span_near_in_order_slop(span_docs):
+    assert _span_ids(span_docs, 0, True) == {1, 4}        # adjacent only
+    assert _span_ids(span_docs, 1, True) == {0, 1, 4}     # one token between
+    assert _span_ids(span_docs, 4, True) == {0, 1, 3, 4}  # wide window
+    # reversed doc 2 never matches in_order
+    assert 2 not in _span_ids(span_docs, 10, True)
+
+
+def test_span_near_unordered_and_three_clauses(span_docs):
+    assert _span_ids(span_docs, 0, False) == {1, 2, 4}  # either direction
+    three = {"span_near": {
+        "clauses": [{"span_term": {"text": t}}
+                    for t in ("quick", "brown", "fox")],
+        "slop": 0, "in_order": True}}
+    got = {r.doc_id for r in span_docs.filter(compile_query(three)).collect()}
+    assert got == {0}  # contiguous ordered triple only in doc 0
+    with pytest.raises(ValueError):
+        compile_query({"span_near": {"clauses": [
+            {"span_term": {"text": "quick"}}]}})
+
+
+def test_span_term_standalone(span_docs):
+    q = {"span_term": {"text": "brown"}}
+    assert {r.doc_id for r in span_docs.filter(compile_query(q)).collect()} \
+        == {0, 3}
