@@ -539,6 +539,42 @@ def compile_query(q: dict[str, Any]) -> Column:
             )
         )
 
+    if kind == "terms_set":
+        # like `terms`, but each document carries its own match
+        # threshold: count of query terms present in the analyzed field
+        # must reach `minimum_should_match_field`'s value for that row
+        (field, spec), = body.items()
+        values = [str(v).lower() for v in spec["terms"]]
+        thr = F.col(spec["minimum_should_match_field"]).cast("int")
+        toks = _analyze(F.col(field))
+        n_matched = sum(
+            F.array_contains(toks, v).cast("int") for v in values
+        )
+        return n_matched >= thr
+
+    if kind == "script":
+        # script filter; the script dialect is the Spark SQL expression
+        # language (same trusted-caller contract as script_fields)
+        script = body["script"] if isinstance(body, dict) else body
+        if isinstance(script, dict):
+            script = script.get("source", script.get("script"))
+        return F.expr(str(script)).cast("boolean")
+
+    if kind == "match_bool_prefix":
+        # every term matches analyzed, except the last which matches as
+        # a prefix of any token (search-as-you-type contract)
+        (field, spec), = body.items()
+        text = spec["query"] if isinstance(spec, dict) else spec
+        tokens = _analyze_text(str(text))
+        if not tokens:
+            return F.lit(True)
+        toks = _analyze(F.col(field))
+        pred = F.lit(True)
+        for t in tokens[:-1]:
+            pred = pred & F.array_contains(toks, t)
+        last = tokens[-1]
+        return pred & F.exists(toks, lambda x: x.startswith(last))
+
     if kind == "span_term":
         (field, spec), = body.items()
         value = spec["value"] if isinstance(spec, dict) else spec

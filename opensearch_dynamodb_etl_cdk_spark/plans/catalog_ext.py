@@ -1301,6 +1301,33 @@ def repeated_ngram_report_q(spark, sf_dir):
 
 
 @register(
+    "terms_set_search",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n FROM documents
+    WHERE (CASE WHEN list_contains({TOK}, 'spark') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains({TOK}, 'merge') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains({TOK}, 'stream') THEN 1 ELSE 0 END)
+          >= CAST(floor(n_chars / 200) AS INT)
+    GROUP BY lang
+    """,
+    doc="`terms_set`: per-document match threshold from a field "
+    "(n_chars/200 via a script-ish derived column) — matched-term count "
+    "compared row-wise, one pass, fully pushable.",
+    tags=("dsl", "filter"),
+)
+def terms_set_search(spark, sf_dir):
+    from ..operators.search import compile_query
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    d = d.withColumn("required", (F.col("n_chars") / 200).cast("int"))
+    q = {"terms_set": {"text": {
+        "terms": ["spark", "merge", "stream"],
+        "minimum_should_match_field": "required"}}}
+    return d.filter(compile_query(q)).groupBy("lang").agg(
+        F.count("*").alias("n"))
+
+
+@register(
     "span_near_search",
     oracle=f"""
     WITH tk AS (SELECT doc_id, lang, {TOK} AS toks FROM documents),

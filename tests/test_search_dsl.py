@@ -1560,3 +1560,40 @@ def test_span_term_standalone(span_docs):
     q = {"span_term": {"text": "brown"}}
     assert {r.doc_id for r in span_docs.filter(compile_query(q)).collect()} \
         == {0, 3}
+
+
+# --- terms_set / script / match_bool_prefix -------------------------------
+
+
+def test_terms_set_per_doc_threshold(spark):
+    rows = [
+        (0, "red green blue", 2),
+        (1, "red yellow pink", 2),
+        (2, "red green blue", 3),
+        (3, "cyan magenta", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, required int")
+    q = {"terms_set": {"text": {
+        "terms": ["red", "green", "blue"],
+        "minimum_should_match_field": "required"}}}
+    got = {r.doc_id for r in df.filter(compile_query(q)).collect()}
+    # doc0: 3 matched >= 2 ok; doc1: 1 < 2; doc2: 3 >= 3 ok; doc3: 0 < 1
+    assert got == {0, 2}
+
+
+def test_script_query_predicate(qs_docs):
+    q = {"script": {"script": "n > 30 AND lang = 'en'"}}
+    got = {r.doc_id for r in qs_docs.filter(compile_query(q)).collect()}
+    assert got == {3}
+    q = {"script": {"script": {"source": "n % 2 = 0"}}}
+    got = {r.doc_id for r in qs_docs.filter(compile_query(q)).collect()}
+    assert got == {0, 2, 4}
+
+
+def test_match_bool_prefix_search_as_you_type(qs_docs):
+    q = {"match_bool_prefix": {"text": "charlie del"}}
+    got = {r.doc_id for r in qs_docs.filter(compile_query(q)).collect()}
+    assert got == {3}  # has 'charlie' and a token starting 'del'
+    q = {"match_bool_prefix": {"text": "fox"}}
+    got = {r.doc_id for r in qs_docs.filter(compile_query(q)).collect()}
+    assert got == {4}  # 'Foxtrot' prefix, analyzed lowercase
