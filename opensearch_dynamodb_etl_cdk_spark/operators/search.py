@@ -554,26 +554,40 @@ def compile_query(q: dict[str, Any]) -> Column:
 
     if kind == "script":
         # script filter; the script dialect is the Spark SQL expression
-        # language (same trusted-caller contract as script_fields)
-        script = body["script"] if isinstance(body, dict) else body
-        if isinstance(script, dict):
-            script = script.get("source", script.get("script"))
+        # language (same trusted-caller contract as script_fields).
+        # Accepted shapes: "expr", {"script": ...}, {"source": ...} —
+        # nested or flat, mirroring the public API's leniency.
+        script = body
+        while isinstance(script, dict):
+            inner = script.get("script", script.get("source"))
+            if inner is None:
+                raise ValueError(
+                    f"script query needs a 'script'/'source' key, got {script}"
+                )
+            script = inner
         return F.expr(str(script)).cast("boolean")
 
     if kind == "match_bool_prefix":
-        # every term matches analyzed, except the last which matches as
-        # a prefix of any token (search-as-you-type contract)
+        # all terms match analyzed except the last, which matches as a
+        # prefix of any token (search-as-you-type). `operator` follows
+        # the public default OR (any clause suffices); "and" requires
+        # every clause, like the sibling `match` kind.
         (field, spec), = body.items()
-        text = spec["query"] if isinstance(spec, dict) else spec
+        if isinstance(spec, dict):
+            text, operator = spec["query"], spec.get("operator", "or")
+        else:
+            text, operator = spec, "or"
         tokens = _analyze_text(str(text))
         if not tokens:
             return F.lit(True)
         toks = _analyze(F.col(field))
-        pred = F.lit(True)
-        for t in tokens[:-1]:
-            pred = pred & F.array_contains(toks, t)
         last = tokens[-1]
-        return pred & F.exists(toks, lambda x: x.startswith(last))
+        preds = [F.array_contains(toks, t) for t in tokens[:-1]]
+        preds.append(F.exists(toks, lambda x: x.startswith(last)))
+        combined = preds[0]
+        for p in preds[1:]:
+            combined = (combined & p) if operator == "and" else (combined | p)
+        return combined
 
     if kind == "span_term":
         (field, spec), = body.items()

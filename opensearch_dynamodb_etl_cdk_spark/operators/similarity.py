@@ -515,6 +515,15 @@ def refresh_lsh_index(
     in. Cost ∝ |delta| + one pass over the index; never a corpus
     re-scan. Callers persist the result partitioned by ``table`` exactly
     as the built index (the keyed-merge analog for the ANN tier)."""
+    if changed is not None:
+        # delete-only micro-batches hand over an EMPTY upsert frame;
+        # probing it for the vector dim (or unioning empty signatures)
+        # is wasted work and would NPE — fold it into the no-change path
+        first = changed.select(vec_col).head()
+        if first is None:
+            changed = None
+        else:
+            dim = len(first[0])
     drop = None
     if changed is not None:
         drop = changed.select(id_col)
@@ -525,7 +534,6 @@ def refresh_lsh_index(
     if drop is not None:
         out = out.join(F.broadcast(drop.distinct()), on=id_col, how="left_anti")
     if changed is not None:
-        dim = len(changed.select(vec_col).head()[0])
         out = out.unionByName(
             build_lsh_index(
                 changed, bits, n_tables, seed, id_col, vec_col, dim=dim

@@ -100,10 +100,17 @@ class FlightsEtlPipeline:
     # -- shared transform (one code path for bootstrap and tail, ST2) -------
 
     def transform_cdc(self, cdc: DataFrame) -> DataFrame:
+        # _seq = 2 × source sequence: stream events occupy the EVEN
+        # numbers, leaving the odd numbers to synthetic admin batches
+        # (delete/update_by_query, reindex — see _next_synth_seq). An
+        # admin op can then outrank everything already stored without
+        # ever colliding with, or shadowing, a FUTURE stream event:
+        # the next real event (source seq strictly greater) maps above
+        # any single stacked admin op.
         parsed = parse_item(F.col("new_image_json"))
         return cdc.select(
             F.concat_ws("|", F.col("pk"), F.col("sk")).alias("_id"),
-            F.col("seq").cast("long").alias("_seq"),
+            (F.col("seq").cast("long") * 2).alias("_seq"),
             derive_action(F.col("event_name")).alias("_action"),
             *unmarshal(parsed, self.cfg.attrs, aliases=self.cfg.aliases),
         ).withColumn("_bucket", F.pmod(F.xxhash64("_id"), F.lit(self.cfg.n_buckets)))
@@ -384,63 +391,92 @@ class FlightsEtlPipeline:
             })
         return out
 
-    def _next_seq(self, route: str) -> int:
-        idx = self.read_index(route)
+    _INTERNAL_COLS = ("_id", "_seq", "_action", "_bucket", "_deleted")
+
+    def _next_synth_seq(self, idx: DataFrame | None) -> int:
+        """Next ODD sequence number above everything stored: admin
+        batches live in the odd half of the sequence space (stream
+        events are even, transform_cdc), so a single admin op outranks
+        all stored images yet still loses to the NEXT real stream event
+        (2·(s_max+1) > 2·s_max+1). Stacked admin ops stay monotonic;
+        k ops in a row shadow at most the next k−1 stream events of the
+        touched keys — the same conflict window public by-query APIs
+        resolve with versioned conflict aborts."""
         if idx is None or "_seq" not in idx.columns:
             return 1
-        top = idx.agg(F.max("_seq").alias("m")).head()["m"]
-        return int(top or 0) + 1
+        top = int(idx.agg(F.max("_seq").alias("m")).head()["m"] or 0)
+        return top + 1 if top % 2 == 0 else top + 2
+
+    def _validate_set_fields(self, cols, set_fields: dict, op: str) -> None:
+        for col_name in set_fields:
+            if col_name in self._INTERNAL_COLS:
+                raise ValueError(
+                    f"{op}: {col_name!r} is an internal merge column — "
+                    "scripts cannot rewrite identity/sequence/bucket "
+                    "invariants"
+                )
+            if col_name not in cols:
+                raise ValueError(f"{op}: no field {col_name!r}")
 
     def delete_by_query(self, route: str, query: dict) -> int:
         """``_delete_by_query`` analog: documents matching a DSL query
         body are deleted through the SAME CDC merge path as streamed
-        REMOVEs — a synthetic delete batch at the next sequence number,
-        so last-write-wins ordering, emptied-bucket removal, and
-        tombstone mode all apply unchanged. Returns the deleted count
-        (the public response's ``deleted`` field). Cost ∝ touched
-        buckets, exactly like a streamed micro-batch."""
+        REMOVEs — a synthetic delete batch at the next (odd, admin-half)
+        sequence number, so last-write-wins ordering, emptied-bucket
+        removal, and tombstone mode all apply unchanged. Returns the
+        deleted count (the public response's ``deleted`` field). The
+        index is scanned once for the match+max-seq (persisted), then
+        merge cost ∝ touched buckets like a streamed micro-batch."""
         from ..operators.search import compile_query
 
         idx = self.index_view(route)
         if idx is None:
             return 0
-        matches = idx.filter(compile_query(query))
-        n = matches.count()
-        if n == 0:
-            return 0
-        batch = matches.withColumn(
-            "_seq", F.lit(self._next_seq(route)).cast("long")
-        ).withColumn("_action", F.lit("delete"))
-        self._merge_route(batch, route)
-        return n
+        matches = idx.filter(compile_query(query)).persist()
+        try:
+            n = matches.count()
+            if n == 0:
+                return 0
+            batch = matches.withColumn(
+                "_seq", F.lit(self._next_synth_seq(idx)).cast("long")
+            ).withColumn("_action", F.lit("delete"))
+            self._merge_route(batch, route)
+            return n
+        finally:
+            matches.unpersist()
 
     def update_by_query(
         self, route: str, query: dict, set_fields: dict[str, str]
     ) -> int:
         """``_update_by_query`` analog: matching documents get
         ``set_fields`` (column → Spark SQL expression, this engine's
-        script dialect) applied and re-enter the index as upserts at the
-        next sequence number — the same MERGE path as streamed MODIFYs.
-        Returns the updated count."""
+        script dialect; internal merge columns are rejected) applied and
+        re-enter the index as upserts at the next admin sequence number
+        — the same MERGE path as streamed MODIFYs. Returns the updated
+        count. A stream event arriving after the update carries a higher
+        effective sequence and wins, exactly like a subsequent index op
+        after a public update_by_query."""
         from ..operators.search import compile_query
 
         idx = self.index_view(route)
         if idx is None:
             return 0
-        matches = idx.filter(compile_query(query))
-        n = matches.count()
-        if n == 0:
-            return 0
-        batch = matches
-        for col_name, expr in set_fields.items():
-            if col_name not in batch.columns:
-                raise ValueError(f"update_by_query: no field {col_name!r}")
-            batch = batch.withColumn(col_name, F.expr(expr))
-        batch = batch.withColumn(
-            "_seq", F.lit(self._next_seq(route)).cast("long")
-        ).withColumn("_action", F.lit("upsert"))
-        self._merge_route(batch, route)
-        return n
+        self._validate_set_fields(idx.columns, set_fields, "update_by_query")
+        matches = idx.filter(compile_query(query)).persist()
+        try:
+            n = matches.count()
+            if n == 0:
+                return 0
+            batch = matches
+            for col_name, expr in set_fields.items():
+                batch = batch.withColumn(col_name, F.expr(expr))
+            batch = batch.withColumn(
+                "_seq", F.lit(self._next_synth_seq(idx)).cast("long")
+            ).withColumn("_action", F.lit("upsert"))
+            self._merge_route(batch, route)
+            return n
+        finally:
+            matches.unpersist()
 
     def reindex(
         self,
@@ -460,18 +496,17 @@ class FlightsEtlPipeline:
         src = self.index_view(source)
         if src is None:
             raise ValueError(f"no such index: {source!r}")
+        self._validate_set_fields(src.columns, set_fields or {}, "reindex")
         batch = src
         if query is not None:
             batch = batch.filter(compile_query(query))
         for col_name, expr in (set_fields or {}).items():
-            if col_name not in batch.columns:
-                raise ValueError(f"reindex: no field {col_name!r}")
             batch = batch.withColumn(col_name, F.expr(expr))
         n = batch.count()
         if n == 0:
             return 0
         batch = batch.withColumn(
-            "_seq", F.lit(self._next_seq(dest)).cast("long")
+            "_seq", F.lit(self._next_synth_seq(self.read_index(dest))).cast("long")
         ).withColumn("_action", F.lit("index"))
         self._merge_route(batch, dest)
         return n

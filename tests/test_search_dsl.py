@@ -1585,15 +1585,21 @@ def test_script_query_predicate(qs_docs):
     q = {"script": {"script": "n > 30 AND lang = 'en'"}}
     got = {r.doc_id for r in qs_docs.filter(compile_query(q)).collect()}
     assert got == {3}
-    q = {"script": {"script": {"source": "n % 2 = 0"}}}
+    q = {"script": {"source": "n % 2 = 0"}}  # flat one-level shape
     got = {r.doc_id for r in qs_docs.filter(compile_query(q)).collect()}
     assert got == {0, 2, 4}
 
 
 def test_match_bool_prefix_search_as_you_type(qs_docs):
+    # default OR: 'charlie' present OR a token starting 'del'
     q = {"match_bool_prefix": {"text": "charlie del"}}
     got = {r.doc_id for r in qs_docs.filter(compile_query(q)).collect()}
-    assert got == {3}  # has 'charlie' and a token starting 'del'
+    assert got == {0, 1, 3}
+    # operator and: both clauses required
+    q = {"match_bool_prefix": {"text": {"query": "charlie del",
+                                        "operator": "and"}}}
+    got = {r.doc_id for r in qs_docs.filter(compile_query(q)).collect()}
+    assert got == {3}
     q = {"match_bool_prefix": {"text": "fox"}}
     got = {r.doc_id for r in qs_docs.filter(compile_query(q)).collect()}
     assert got == {4}  # 'Foxtrot' prefix, analyzed lowercase

@@ -235,7 +235,7 @@ def test_lower_seq_in_later_batch_does_not_clobber(spark, pipeline):
     pipeline._apply_batch(pipeline.transform_cdc(stale))
     row = pipeline.read_index("fare").filter(F.col("_id") == mid).collect()[0]
     assert row.fare_class == "direct"  # seq-100 image survived the stale seq-50
-    assert row._seq == 100
+    assert row._seq == 200  # stored as 2 x source seq (even = stream half)
 
 
 def test_deletes_that_empty_buckets_remove_partitions(spark, pipeline):
@@ -525,9 +525,26 @@ def test_update_by_query_bumps_seq_and_applies_script(spark, pipeline):
     assert fare.filter(F.col("fare_class") == "nonstop").count() == 0
     assert fare.filter(F.col("fare_class") == "express").count() == updated
     assert fare.count() == 22  # upserts, not inserts: same doc count
-    # a later streamed event with a HIGHER seq still wins over the update
+    # bad script field names fail fast — including internal merge columns
     with pytest.raises(ValueError):
         pipeline.update_by_query("fare", {"match_all": {}}, {"nope": "'x'"})
+    with pytest.raises(ValueError):
+        pipeline.update_by_query("fare", {"match_all": {}}, {"_bucket": "0"})
+    # a later STREAMED event beats the admin update (admin ops take the
+    # odd half of the sequence space, below every future source seq)
+    target = fare.limit(1).collect()[0]
+    pk, sk = target._id.split("|", 1)
+    ev = {"seq": 1000, "event_name": "MODIFY", "event_ts": None,
+          "pk": pk, "sk": sk,
+          "new_image_json": json.dumps({
+              "PK": {"S": pk}, "SK": {"S": sk}, "type": {"S": "fare"},
+              "class": {"S": "streamed"}})}
+    batch = pipeline.transform_cdc(
+        spark.createDataFrame([ev], CDC_SCHEMA))
+    pipeline._apply_batch(batch, epoch_id=99)
+    row = pipeline.index_view("fare").filter(
+        F.col("_id") == target._id).collect()[0]
+    assert row.fare_class == "streamed"
 
 
 def test_reindex_filtered_transformed_copy(spark, pipeline):
