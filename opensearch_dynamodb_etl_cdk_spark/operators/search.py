@@ -1377,23 +1377,42 @@ def execute_search(df: DataFrame, body: dict[str, Any]) -> dict[str, Any]:
     aggregation/suggest summaries are collected."""
     query = body.get("query", {"match_all": {}})
     is_knn = len(query) == 1 and next(iter(query)) == "knn"
+    scored = is_knn
     if is_knn:
         filtered = _execute_knn(df, query["knn"], int(body.get("size", 10)))
         if not body.get("sort"):
             filtered = filtered.orderBy(F.col("_score").desc())
     else:
         filtered = df.filter(compile_query(query))
+        if body.get("track_scores") and len(query) == 1 \
+                and next(iter(query)) == "match":
+            # relevance-ranked match: BM25 _score over the matching
+            # docs, with corpus-level statistics (one broadcast one-row
+            # aggregate over the FULL frame — idf must see the corpus,
+            # not the filtered subset)
+            from .relevance import corpus_stats, score_match_bm25
+
+            (field, spec), = query["match"].items()
+            text = str(spec["query"] if isinstance(spec, dict) else spec)
+            terms = list(dict.fromkeys(_analyze_text(text)))
+            filtered = score_match_bm25(
+                filtered, field, text,
+                stats=corpus_stats(df, field, terms),
+            )
+            scored = True
+            if not body.get("sort"):
+                filtered = filtered.orderBy(F.col("_score").desc())
 
     hits = filtered
     if body.get("collapse"):
         # Field collapse: keep each group's best hit under the request
-        # sort (for an unsorted knn query: by score, matching the
+        # sort (for an unsorted scored query: by _score, matching the
         # top-scored-per-group public contract) — a per-group window
         # top-1, partitioned by the collapse key (bounded state per
         # group, no global window).
         ckey = body["collapse"]["field"]
         default_order = (
-            [F.col("_score").desc()] if is_knn else [F.lit(1)]
+            [F.col("_score").desc()] if scored else [F.lit(1)]
         )
         w = W.partitionBy(ckey).orderBy(
             *(_sort_cols(body.get("sort", [])) or default_order)

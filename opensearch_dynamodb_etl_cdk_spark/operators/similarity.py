@@ -540,3 +540,38 @@ def refresh_lsh_index(
             )
         )
     return out
+
+
+def refresh_ivf_index(
+    index: DataFrame,
+    centroids: list[list[float]],
+    changed: DataFrame | None = None,
+    deleted_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "_cluster",
+) -> DataFrame:
+    """Incremental IVF cell-assignment maintenance under CDC (the
+    :func:`refresh_lsh_index` twin): changed vectors re-assign against
+    the SAME stored centroids (delta-sized codegen work — cell geometry
+    is frozen between retrains, so the refreshed index equals a full
+    re-assignment bit-for-bit), stale/deleted rows drop via a broadcast
+    anti-join. Centroid RETRAINING is a separate, deliberate operation:
+    at scale you re-derive centroids from a deterministic sample only
+    when drift warrants paying a full re-assignment."""
+    if changed is not None and changed.select(vec_col).head() is None:
+        changed = None
+    drop = None
+    if changed is not None:
+        drop = changed.select(id_col)
+    if deleted_ids is not None:
+        ids = deleted_ids.select(id_col)
+        drop = ids if drop is None else drop.unionByName(ids)
+    out = index
+    if drop is not None:
+        out = out.join(F.broadcast(drop.distinct()), on=id_col, how="left_anti")
+    if changed is not None:
+        out = out.unionByName(
+            build_ivf_index(changed, centroids, id_col, vec_col, cluster_col)
+        )
+    return out

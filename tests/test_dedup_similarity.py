@@ -532,3 +532,35 @@ def test_refresh_lsh_index_matches_full_rebuild(spark, sf_dir):
     got = {tuple(r) for r in refreshed.collect()}
     want = {tuple(r) for r in rebuilt.collect()}
     assert got == want  # incremental == full rebuild, bit-identical
+
+
+def test_refresh_ivf_index_matches_full_reassignment(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_centroids,
+        refresh_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200).cache()
+    cents = ivf_centroids(e, n_centroids=8)
+    base = build_ivf_index(e, cents)
+
+    changed = (
+        e.filter(F.col("vec_id") == 11)
+        .select(F.lit(2).cast("long").alias("vec_id"), "embedding")
+    )
+    deleted = spark.createDataFrame([(9,)], "vec_id long")
+    refreshed = refresh_ivf_index(base, cents, changed=changed,
+                                  deleted_ids=deleted)
+    new_corpus = (
+        e.filter(~F.col("vec_id").isin(2, 9))
+        .select("vec_id", "embedding")
+        .unionByName(changed)
+    )
+    rebuilt = build_ivf_index(new_corpus, cents)
+    assert {tuple(r) for r in refreshed.collect()} == \
+           {tuple(r) for r in rebuilt.collect()}
+    # empty delta + no deletes is a no-op
+    noop = refresh_ivf_index(base, cents, changed=changed.limit(0))
+    assert {tuple(r) for r in noop.collect()} == \
+           {tuple(r) for r in base.collect()}

@@ -1603,3 +1603,23 @@ def test_match_bool_prefix_search_as_you_type(qs_docs):
     q = {"match_bool_prefix": {"text": "fox"}}
     got = {r.doc_id for r in qs_docs.filter(compile_query(q)).collect()}
     assert got == {4}  # 'Foxtrot' prefix, analyzed lowercase
+
+
+def test_track_scores_bm25_ranked_match(qs_docs):
+    body = {
+        "query": {"match": {"text": "delta echo"}},
+        "track_scores": True,
+        "size": 10,
+    }
+    hits = execute_search(qs_docs, body)["hits"].collect()
+    assert "_score" in hits[0].asDict()
+    # doc 3 contains both terms -> highest BM25; all hits carry scores desc
+    assert hits[0].doc_id == 3
+    scores = [r._score for r in hits]
+    assert scores == sorted(scores, reverse=True)
+    assert {r.doc_id for r in hits} == {1, 2, 3}  # OR-match semantics kept
+    # without track_scores there is no _score column
+    cols = execute_search(
+        qs_docs, {"query": {"match": {"text": "delta echo"}}}
+    )["hits"].columns
+    assert "_score" not in cols
