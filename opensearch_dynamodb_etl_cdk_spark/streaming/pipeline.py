@@ -547,6 +547,82 @@ class FlightsEtlPipeline:
             for f in df.schema.fields if f.name not in hidden
         }}}}
 
+    # -- aliases + snapshots (operational surface) -------------------------
+
+    def put_alias(self, alias: str, pattern: str) -> None:
+        """``POST /_aliases`` add-action analog: name an index pattern.
+        Aliases resolve inside :meth:`multi_index_view`, so a search
+        against an alias is a search against its pattern's union —
+        filter pushdown per route unchanged. Stored as a JSON file next
+        to the index tables (survives restarts like the indexes)."""
+        import json
+
+        aliases = self.get_aliases()
+        aliases[alias] = pattern
+        os.makedirs(self.cfg.index_root, exist_ok=True)
+        with open(os.path.join(self.cfg.index_root, "_aliases.json"), "w") as f:
+            json.dump(aliases, f)
+
+    def delete_alias(self, alias: str) -> None:
+        import json
+
+        aliases = self.get_aliases()
+        aliases.pop(alias, None)
+        with open(os.path.join(self.cfg.index_root, "_aliases.json"), "w") as f:
+            json.dump(aliases, f)
+
+    def get_aliases(self) -> dict[str, str]:
+        import json
+
+        path = os.path.join(self.cfg.index_root, "_aliases.json")
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def snapshot(self, snapshot_dir: str, pattern: str = "*") -> list[str]:
+        """``_snapshot`` analog: copy the matching index tables (parquet
+        files + bucket layout, byte-for-byte) into ``snapshot_dir``.
+        Returns the snapshotted route names. Restore with
+        :meth:`restore`. File-level copy — no Spark job, no re-encode;
+        at real scale this is the storage layer's cheap object copy."""
+        import fnmatch
+        import shutil
+
+        done = []
+        for route in self.cfg.routes:
+            if not fnmatch.fnmatchcase(route, pattern):
+                continue
+            src = self._index_path(route)
+            if not os.path.isdir(src):
+                continue
+            shutil.copytree(src, os.path.join(snapshot_dir, route),
+                            dirs_exist_ok=True)
+            done.append(route)
+        return done
+
+    def restore(self, snapshot_dir: str, pattern: str = "*") -> list[str]:
+        """Restore snapshotted index tables over the live ones (the
+        public restore contract: the index returns to the snapshot
+        state; writes after the snapshot are gone)."""
+        import fnmatch
+        import shutil
+
+        done = []
+        for route in sorted(os.listdir(snapshot_dir)):
+            if not fnmatch.fnmatchcase(route, pattern):
+                continue
+            src = os.path.join(snapshot_dir, route)
+            if not os.path.isdir(src):
+                continue
+            dst = self._index_path(route)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            shutil.copytree(src, dst)
+            done.append(route)
+        return done
+
     def multi_index_view(self, pattern: str = "*") -> DataFrame | None:
         """OpenSearch multi-index search target (``GET /fare,flight/
         _search``, ``GET /f*/_search``): the union of the matching live
@@ -564,7 +640,18 @@ class FlightsEtlPipeline:
         search body still push into each route's parquet scan."""
         import fnmatch
 
-        parts = [p.strip() for p in pattern.split(",") if p.strip()]
+        aliases = self.get_aliases()
+        parts: list[str] = []
+        for raw in pattern.split(","):
+            raw = raw.strip()
+            if not raw:
+                continue
+            if raw in aliases:  # alias → its pattern's parts
+                parts.extend(
+                    q.strip() for q in aliases[raw].split(",") if q.strip()
+                )
+            else:
+                parts.append(raw)
         routes: list[str] = []
         for p in parts:
             if "*" in p or "?" in p:

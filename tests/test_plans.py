@@ -306,3 +306,12 @@ def test_repeated_ngram_shuffles_hashes_only(spark, sf_dir):
     exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert exchanges, "expected gram/doc shuffles"
     assert all("text" not in l for l in exchanges)
+
+
+def test_span_near_no_shuffle_no_explode(spark, sf_dir):
+    """span_near: positional quantifiers stay row-local expressions —
+    no Exchange, no Generate (explode) anywhere in the filter plan."""
+    plan = plan_of(spark, sf_dir, "span_near_search", mode="simple")
+    before_agg = plan.split("HashAggregate")[-1]  # below the count agg
+    assert "Generate" not in before_agg
+    assert "Exchange" not in before_agg

@@ -562,3 +562,25 @@ def test_reindex_filtered_transformed_copy(spark, pipeline):
     assert pipeline.reindex("fare", "fare_den",
                             query={"term": {"pk": "DEN"}}) == n
     assert pipeline.index_view("fare_den").count() == n
+
+
+def test_aliases_and_snapshot_restore(spark, pipeline, tmp_path):
+    items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    pipeline.bootstrap(items)
+
+    # alias resolves to its pattern inside multi-index search
+    pipeline.put_alias("all-travel", "fare,flight")
+    assert pipeline.multi_index_view("all-travel").count() == 35
+    pipeline.delete_alias("all-travel")
+    with pytest.raises(ValueError):
+        pipeline.multi_index_view("all-travel")  # now an unknown literal
+
+    # snapshot, mutate, restore → snapshot state returns
+    snap = str(tmp_path / "snap")
+    assert sorted(pipeline.snapshot(snap)) == ["fare", "flight"]
+    n_before = pipeline.index_view("fare").count()
+    assert pipeline.delete_by_query("fare", {"match_all": {}}) == n_before
+    assert pipeline.read_index("fare") is None or \
+        pipeline.index_view("fare").count() == 0
+    assert pipeline.restore(snap, "fare") == ["fare"]
+    assert pipeline.index_view("fare").count() == n_before
