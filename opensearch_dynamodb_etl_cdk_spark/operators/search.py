@@ -1395,13 +1395,21 @@ def execute_search(df: DataFrame, body: dict[str, Any]) -> dict[str, Any]:
             (field, spec), = query["match"].items()
             text = str(spec["query"] if isinstance(spec, dict) else spec)
             terms = list(dict.fromkeys(_analyze_text(text)))
-            filtered = score_match_bm25(
-                filtered, field, text,
-                stats=corpus_stats(df, field, terms),
-            )
-            scored = True
-            if not body.get("sort"):
-                filtered = filtered.orderBy(F.col("_score").desc())
+            if terms:  # zero-term match is match_all: nothing to score
+                filtered = score_match_bm25(
+                    filtered, field, text,
+                    stats=corpus_stats(df, field, terms),
+                )
+                scored = True
+                if not body.get("sort"):
+                    # deterministic under score ties: break on a row
+                    # hash of the source columns (no natural id here)
+                    tie = F.xxhash64(
+                        *[F.col(c) for c in df.columns]
+                    )
+                    filtered = filtered.orderBy(
+                        F.col("_score").desc(), tie.asc()
+                    )
 
     hits = filtered
     if body.get("collapse"):

@@ -516,14 +516,26 @@ def refresh_lsh_index(
     re-scan. Callers persist the result partitioned by ``table`` exactly
     as the built index (the keyed-merge analog for the ANN tier)."""
     if changed is not None:
-        # delete-only micro-batches hand over an EMPTY upsert frame;
-        # probing it for the vector dim (or unioning empty signatures)
-        # is wasted work and would NPE — fold it into the no-change path
+        # the dim probe needs a row; delete-only micro-batches hand over
+        # an EMPTY upsert frame — fold it into the no-change path
         first = changed.select(vec_col).head()
         if first is None:
             changed = None
         else:
             dim = len(first[0])
+    return _refresh_index_rows(
+        index, changed, deleted_ids, id_col,
+        lambda c: build_lsh_index(
+            c, bits, n_tables, seed, id_col, vec_col, dim=dim
+        ),
+    )
+
+
+def _refresh_index_rows(index, changed, deleted_ids, id_col, build):
+    """Shared delta-maintenance shape for materialized ANN indexes:
+    drop rows for changed/deleted ids (broadcast anti-join — a
+    micro-batch delta is always small), union freshly-built rows for
+    the changed vectors. Fully lazy; linear in |index| + |delta|."""
     drop = None
     if changed is not None:
         drop = changed.select(id_col)
@@ -534,11 +546,7 @@ def refresh_lsh_index(
     if drop is not None:
         out = out.join(F.broadcast(drop.distinct()), on=id_col, how="left_anti")
     if changed is not None:
-        out = out.unionByName(
-            build_lsh_index(
-                changed, bits, n_tables, seed, id_col, vec_col, dim=dim
-            )
-        )
+        out = out.unionByName(build(changed))
     return out
 
 
@@ -558,20 +566,11 @@ def refresh_ivf_index(
     re-assignment bit-for-bit), stale/deleted rows drop via a broadcast
     anti-join. Centroid RETRAINING is a separate, deliberate operation:
     at scale you re-derive centroids from a deterministic sample only
-    when drift warrants paying a full re-assignment."""
-    if changed is not None and changed.select(vec_col).head() is None:
-        changed = None
-    drop = None
-    if changed is not None:
-        drop = changed.select(id_col)
-    if deleted_ids is not None:
-        ids = deleted_ids.select(id_col)
-        drop = ids if drop is None else drop.unionByName(ids)
-    out = index
-    if drop is not None:
-        out = out.join(F.broadcast(drop.distinct()), on=id_col, how="left_anti")
-    if changed is not None:
-        out = out.unionByName(
-            build_ivf_index(changed, centroids, id_col, vec_col, cluster_col)
-        )
-    return out
+    when drift warrants paying a full re-assignment. Unlike the LSH
+    twin there is no data probe — cell assignment needs only the given
+    centroids, so the refresh plan stays fully lazy (an empty delta
+    composes through the anti-join and union as a no-op)."""
+    return _refresh_index_rows(
+        index, changed, deleted_ids, id_col,
+        lambda c: build_ivf_index(c, centroids, id_col, vec_col, cluster_col),
+    )

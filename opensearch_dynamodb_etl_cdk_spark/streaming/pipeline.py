@@ -553,23 +553,32 @@ class FlightsEtlPipeline:
         """``POST /_aliases`` add-action analog: name an index pattern.
         Aliases resolve inside :meth:`multi_index_view`, so a search
         against an alias is a search against its pattern's union —
-        filter pushdown per route unchanged. Stored as a JSON file next
-        to the index tables (survives restarts like the indexes)."""
-        import json
-
+        filter pushdown per route unchanged. Persisted as a JSON file
+        next to the index tables (atomic tmp+rename write); alias names
+        colliding with a real index are rejected, as the public API
+        does."""
+        if alias in self.cfg.routes or os.path.isdir(self._index_path(alias)):
+            raise ValueError(
+                f"alias {alias!r} collides with an existing index name"
+            )
         aliases = self.get_aliases()
         aliases[alias] = pattern
-        os.makedirs(self.cfg.index_root, exist_ok=True)
-        with open(os.path.join(self.cfg.index_root, "_aliases.json"), "w") as f:
-            json.dump(aliases, f)
+        self._write_aliases(aliases)
 
     def delete_alias(self, alias: str) -> None:
+        self._write_aliases(
+            {k: v for k, v in self.get_aliases().items() if k != alias}
+        )
+
+    def _write_aliases(self, aliases: dict[str, str]) -> None:
         import json
 
-        aliases = self.get_aliases()
-        aliases.pop(alias, None)
-        with open(os.path.join(self.cfg.index_root, "_aliases.json"), "w") as f:
+        os.makedirs(self.cfg.index_root, exist_ok=True)
+        path = os.path.join(self.cfg.index_root, "_aliases.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(aliases, f)
+        os.replace(tmp, path)  # atomic: readers never see a partial file
 
     def get_aliases(self) -> dict[str, str]:
         import json
@@ -581,24 +590,43 @@ class FlightsEtlPipeline:
         except FileNotFoundError:
             return {}
 
+    def _all_index_names(self) -> list[str]:
+        """Every live index table under index_root — configured routes
+        plus tables created by :meth:`reindex` — in sorted order."""
+        names = set(self.cfg.routes)
+        if os.path.isdir(self.cfg.index_root):
+            for entry in os.listdir(self.cfg.index_root):
+                # "_"-prefixed dirs (_metrics) and the DLQ tree are
+                # side-channel tables, not searchable indexes
+                if entry.startswith("_") or entry == "dlq":
+                    continue
+                if os.path.isdir(os.path.join(self.cfg.index_root, entry)):
+                    names.add(entry)
+        return sorted(names)
+
     def snapshot(self, snapshot_dir: str, pattern: str = "*") -> list[str]:
         """``_snapshot`` analog: copy the matching index tables (parquet
-        files + bucket layout, byte-for-byte) into ``snapshot_dir``.
-        Returns the snapshotted route names. Restore with
-        :meth:`restore`. File-level copy — no Spark job, no re-encode;
-        at real scale this is the storage layer's cheap object copy."""
+        files + bucket layout, byte-for-byte) into ``snapshot_dir`` —
+        EVERY live table, including ones :meth:`reindex` created outside
+        the configured routes. Each destination is replaced wholesale,
+        so re-snapshotting never merges stale part-files from a previous
+        snapshot. Returns the snapshotted names. File-level copy — no
+        Spark job, no re-encode; at real scale this is the storage
+        layer's cheap object copy."""
         import fnmatch
         import shutil
 
         done = []
-        for route in self.cfg.routes:
+        for route in self._all_index_names():
             if not fnmatch.fnmatchcase(route, pattern):
                 continue
             src = self._index_path(route)
             if not os.path.isdir(src):
                 continue
-            shutil.copytree(src, os.path.join(snapshot_dir, route),
-                            dirs_exist_ok=True)
+            dst = os.path.join(snapshot_dir, route)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            shutil.copytree(src, dst)
             done.append(route)
         return done
 

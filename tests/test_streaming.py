@@ -584,3 +584,28 @@ def test_aliases_and_snapshot_restore(spark, pipeline, tmp_path):
         pipeline.index_view("fare").count() == 0
     assert pipeline.restore(snap, "fare") == ["fare"]
     assert pipeline.index_view("fare").count() == n_before
+
+
+def test_snapshot_replaces_stale_files_and_covers_reindexed(spark, pipeline, tmp_path):
+    items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    pipeline.bootstrap(items)
+    pipeline.reindex("fare", "fare_copy")
+    snap = str(tmp_path / "snap")
+    # reindexed tables are first-class snapshot members
+    assert "fare_copy" in pipeline.snapshot(snap)
+    # mutate (rewrites bucket files), re-snapshot into the SAME dir,
+    # restore: no stale part-files may survive the second snapshot
+    n = pipeline.index_view("fare").count()
+    pipeline.delete_by_query("fare", {"term": {"pk": "DEN"}})
+    n_after = pipeline.index_view("fare").count()
+    assert n_after < n
+    pipeline.snapshot(snap)
+    pipeline.restore(snap, "fare")
+    assert pipeline.index_view("fare").count() == n_after  # not n, no dupes
+
+
+def test_put_alias_rejects_index_name_collision(spark, pipeline):
+    with pytest.raises(ValueError):
+        pipeline.put_alias("fare", "flight")
+    # delete_alias on a fresh pipeline (no index_root yet) is a no-op
+    pipeline.delete_alias("never-existed")
