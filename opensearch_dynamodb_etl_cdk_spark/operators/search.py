@@ -539,6 +539,15 @@ def compile_query(q: dict[str, Any]) -> Column:
             )
         )
 
+    if kind == "wrapper":
+        # base64-embedded JSON query (the public escape hatch for
+        # clients that can't ship raw JSON bodies) — decode and compile
+        import base64
+        import json
+
+        b64 = body["query"] if isinstance(body, dict) else body
+        return compile_query(json.loads(base64.b64decode(b64)))
+
     if kind == "terms_set":
         # like `terms`, but each document carries its own match
         # threshold: count of query terms present in the analyzed field

@@ -1623,3 +1623,14 @@ def test_track_scores_bm25_ranked_match(qs_docs):
         qs_docs, {"query": {"match": {"text": "delta echo"}}}
     )["hits"].columns
     assert "_score" not in cols
+
+
+def test_wrapper_query_decodes_embedded_body(qs_docs):
+    import base64
+    import json
+
+    inner = {"term": {"lang": "de"}}
+    b64 = base64.b64encode(json.dumps(inner).encode()).decode()
+    got = {r.doc_id for r in
+           qs_docs.filter(compile_query({"wrapper": {"query": b64}})).collect()}
+    assert got == {2}
