@@ -199,3 +199,45 @@ def select_until_token_budget(
         .filter(F.col("__cum") <= budget)
         .drop(pid, "__cum")
     )
+
+
+def mixture_upsample(
+    df: DataFrame,
+    repeats: dict[str, float],
+    mix_col: str = "lang",
+    id_col: str = "doc_id",
+    resolution: int = 100,
+) -> DataFrame:
+    """Repeat-factor data mixing (the upsampling half of
+    :func:`mixture_resample`): each domain's documents appear
+    ``floor(r)`` or ``ceil(r)`` times so realized multiplicity hits the
+    target ``r`` exactly at ``resolution`` granularity — the "epochs
+    per source" recipe of mixture-weighted training runs. Deterministic:
+    the same md5 hash bucket of the id decides which rows carry the
+    extra copy, so the materialized mixture is stable across runs,
+    partitionings, and engines. ``r < 1`` degrades gracefully to
+    downsampling (0-or-1 copies). Output adds ``_epoch`` (1-based copy
+    number); domains absent from ``repeats`` keep one copy.
+
+    Shape: copies is a per-row expression; the only row-count change is
+    the explode of a ``sequence(1, copies)`` — no shuffle, no join; at
+    100 TB the explode amplifies exactly the bytes the recipe asked
+    for."""
+    r_expr = None
+    for value, r in repeats.items():
+        if r < 0:
+            raise ValueError(f"mixture_upsample: negative repeat {r} for {value!r}")
+        cond = F.col(mix_col) == F.lit(value)
+        r_expr = F.when(cond, F.lit(float(r))) if r_expr is None \
+            else r_expr.when(cond, F.lit(float(r)))
+    r_expr = F.lit(1.0) if r_expr is None else r_expr.otherwise(F.lit(1.0))
+    base = F.floor(r_expr).cast("int")
+    frac_thr = F.floor((r_expr - F.floor(r_expr)) * resolution).cast("long")
+    extra = (hash_bucket(F.col(id_col), resolution) < frac_thr).cast("int")
+    copies = base + extra
+    # NB: Spark's sequence(1, 0) DESCENDS ([1, 0]) rather than being
+    # empty — zero-copy rows must explode an explicit empty array
+    epochs = F.when(
+        copies >= 1, F.sequence(F.lit(1), copies)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn("_epoch", F.explode(epochs))

@@ -1638,6 +1638,33 @@ def token_budget_selection(spark, sf_dir):
 
 
 @register(
+    "mixture_upsample_counts",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n FROM (
+      SELECT lang, unnest(generate_series(1,
+        CASE lang
+          WHEN 'de' THEN 2 + CASE WHEN {_BUCKET_SQL} < 50 THEN 1 ELSE 0 END
+          WHEN 'fr' THEN 2
+          WHEN 'zh' THEN CASE WHEN {_BUCKET_SQL} < 50 THEN 1 ELSE 0 END
+          ELSE 1 END)) AS _epoch
+      FROM documents)
+    GROUP BY lang
+    """,
+    doc="Repeat-factor data mixing (epochs per source): de x2.5, fr x2, "
+    "zh x0.5 via deterministic floor/ceil hash-bucket repeats — copies "
+    "is a per-row expression + one explode, no shuffle, no join "
+    "(operators/sampling.py::mixture_upsample).",
+    tags=("sampling", "training"),
+)
+def mixture_upsample_counts(spark, sf_dir):
+    from ..operators.sampling import mixture_upsample
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    up = mixture_upsample(d, {"de": 2.5, "fr": 2.0, "zh": 0.5})
+    return up.groupBy("lang").agg(F.count("*").alias("n"))
+
+
+@register(
     "train_test_split_counts",
     oracle=f"""
     SELECT CASE WHEN {_BUCKET_SQL} < 10 THEN 'test' ELSE 'train' END AS split,

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from opensearch_dynamodb_etl_cdk_spark.operators.curate import (
@@ -268,3 +269,32 @@ def test_select_until_token_budget_no_global_window(spark):
     for line in plan.splitlines():
         if "Window [" in line:
             assert "__range_pid" in line
+
+
+def test_mixture_upsample_repeat_factors(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.sampling import (
+        mixture_upsample,
+    )
+
+    rows = [(i, "en" if i < 100 else "de") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    up = mixture_upsample(df, {"de": 2.5})
+    counts = {r.lang: r.n for r in
+              up.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["en"] == 100          # untouched domains keep one copy
+    assert 230 <= counts["de"] <= 270   # ~2.5x of 100, hash-bucket exact
+    # per-doc multiplicity is floor/ceil of r and _epoch enumerates copies
+    per_doc = {r.doc_id: r.n for r in
+               up.filter(F.col("lang") == "de").groupBy("doc_id")
+               .agg(F.count("*").alias("n")).collect()}
+    assert set(per_doc.values()) == {2, 3}
+    assert up.filter(F.col("_epoch") < 1).count() == 0
+    # determinism: identical output on re-run
+    again = mixture_upsample(df, {"de": 2.5})
+    assert sorted((r.doc_id, r._epoch) for r in again.collect()) == \
+           sorted((r.doc_id, r._epoch) for r in up.collect())
+    # r < 1 downsamples; negative rejected
+    down = mixture_upsample(df, {"de": 0.5})
+    assert down.filter(F.col("lang") == "de").count() < 100
+    with pytest.raises(ValueError):
+        mixture_upsample(df, {"de": -1.0})
