@@ -223,16 +223,27 @@ def mixture_upsample(
     the explode of a ``sequence(1, copies)`` — no shuffle, no join; at
     100 TB the explode amplifies exactly the bytes the recipe asked
     for."""
-    r_expr = None
+    import math
+
+    # base copies and the fractional-bucket threshold are driver-side
+    # integers per value (round, not floor: IEEE doubles put e.g.
+    # 0.3·100 at 29.999…98, and flooring would silently skew the
+    # realized mixture by one bucket)
+    base_expr, thr_expr = None, None
     for value, r in repeats.items():
         if r < 0:
             raise ValueError(f"mixture_upsample: negative repeat {r} for {value!r}")
+        b = int(math.floor(r))
+        thr = round((float(r) - b) * resolution)
         cond = F.col(mix_col) == F.lit(value)
-        r_expr = F.when(cond, F.lit(float(r))) if r_expr is None \
-            else r_expr.when(cond, F.lit(float(r)))
-    r_expr = F.lit(1.0) if r_expr is None else r_expr.otherwise(F.lit(1.0))
-    base = F.floor(r_expr).cast("int")
-    frac_thr = F.floor((r_expr - F.floor(r_expr)) * resolution).cast("long")
+        base_expr = F.when(cond, F.lit(b)) if base_expr is None \
+            else base_expr.when(cond, F.lit(b))
+        thr_expr = F.when(cond, F.lit(thr)) if thr_expr is None \
+            else thr_expr.when(cond, F.lit(thr))
+    base = (F.lit(1) if base_expr is None else base_expr.otherwise(F.lit(1)))
+    frac_thr = (
+        F.lit(0) if thr_expr is None else thr_expr.otherwise(F.lit(0))
+    ).cast("long")
     extra = (hash_bucket(F.col(id_col), resolution) < frac_thr).cast("int")
     copies = base + extra
     # NB: Spark's sequence(1, 0) DESCENDS ([1, 0]) rather than being

@@ -1412,13 +1412,18 @@ def execute_search(df: DataFrame, body: dict[str, Any]) -> dict[str, Any]:
                 scored = True
                 if not body.get("sort"):
                     # deterministic under score ties: break on a row
-                    # hash of the source columns (no natural id here)
-                    tie = F.xxhash64(
-                        *[F.col(c) for c in df.columns]
-                    )
-                    filtered = filtered.orderBy(
-                        F.col("_score").desc(), tie.asc()
-                    )
+                    # hash of the source columns (no natural id here).
+                    # MapType is unhashable in Spark and dots in names
+                    # would parse as struct paths — skip/quote them.
+                    hashable = [
+                        F.col(f"`{sf.name}`")
+                        for sf in df.schema.fields
+                        if not sf.dataType.simpleString().startswith("map<")
+                    ]
+                    order = [F.col("_score").desc()]
+                    if hashable:
+                        order.append(F.xxhash64(*hashable).asc())
+                    filtered = filtered.orderBy(*order)
 
     hits = filtered
     if body.get("collapse"):

@@ -493,6 +493,11 @@ class FlightsEtlPipeline:
         name outside the configured routes. Returns the copied count."""
         from ..operators.search import compile_query
 
+        if dest in self.get_aliases():
+            raise ValueError(
+                f"reindex: {dest!r} is an alias name — it would shadow "
+                "the new index (the public API rejects this collision)"
+            )
         src = self.index_view(source)
         if src is None:
             raise ValueError(f"no such index: {source!r}")
@@ -680,14 +685,15 @@ class FlightsEtlPipeline:
                 )
             else:
                 parts.append(raw)
+        names = self._all_index_names()  # routes + reindex-created tables
         routes: list[str] = []
         for p in parts:
             if "*" in p or "?" in p:
                 routes.extend(
-                    r for r in self.cfg.routes
+                    r for r in names
                     if fnmatch.fnmatchcase(r, p) and r not in routes
                 )
-            elif p in self.cfg.routes:
+            elif p in names:
                 if p not in routes:
                     routes.append(p)
             else:

@@ -298,3 +298,17 @@ def test_mixture_upsample_repeat_factors(spark):
     assert down.filter(F.col("lang") == "de").count() < 100
     with pytest.raises(ValueError):
         mixture_upsample(df, {"de": -1.0})
+
+
+def test_mixture_upsample_inexact_fraction_rounds_not_floors(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.sampling import (
+        mixture_upsample,
+    )
+
+    # 2.3: IEEE (2.3-2)*100 = 29.999...98 — flooring would skew the
+    # mixture to 2.29; the driver-side round keeps the full 30 buckets
+    rows = [(i, "de") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    n = mixture_upsample(df, {"de": 2.3}).count()
+    # 2000 base copies + ~30% of 1000 extras (hash-bucket exact ±noise)
+    assert 2250 <= n <= 2350

@@ -609,3 +609,16 @@ def test_put_alias_rejects_index_name_collision(spark, pipeline):
         pipeline.put_alias("fare", "flight")
     # delete_alias on a fresh pipeline (no index_root yet) is a no-op
     pipeline.delete_alias("never-existed")
+
+
+def test_reindexed_tables_searchable_and_alias_collision_blocked(spark, pipeline):
+    items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    pipeline.bootstrap(items)
+    pipeline.reindex("fare", "fare_copy")
+    # reindexed tables are first-class search targets: literal + wildcard
+    assert pipeline.multi_index_view("fare_copy").count() == 22
+    assert pipeline.multi_index_view("fare*").count() == 44  # fare + copy
+    # reindex cannot create a table shadowed by an existing alias
+    pipeline.put_alias("hot", "fare")
+    with pytest.raises(ValueError):
+        pipeline.reindex("fare", "hot")
