@@ -69,6 +69,11 @@ HEADLINE = [
     "bm25_ranked_search",
     "knn_search_dsl",
     "term_suggester",
+    # round-3 late additions: positional span matching (pure codegen
+    # quantifiers) and the cross-document repeated n-gram dedup signal
+    # (8-byte hash shuffle keys)
+    "span_near_search",
+    "repeated_ngram_report",
 ]
 
 # NOTE q1_pricing_summary at sf0.1 is scan-bound by the testdata layout:

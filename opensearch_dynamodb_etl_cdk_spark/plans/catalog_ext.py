@@ -1342,14 +1342,17 @@ def terms_set_search(spark, sf_dir):
     """,
     doc="`span_near` (span_term 'spark' then 'merge', slop 3, in_order): "
     "Lucene span semantics via per-term position arrays + nested "
-    "existential quantifiers — pure codegen expressions, no explode, no "
-    "shuffle (operators/search.py::_compile_span_near).",
+    "existential quantifiers — row-local expressions, no explode, no "
+    "shuffle (operators/search.py::_compile_span_near). min_partitions "
+    "parallelizes the interpreted array lambdas when the scan arrives "
+    "as a single small file.",
     tags=("dsl", "fulltext", "span"),
 )
 def span_near_search(spark, sf_dir):
+    from ..session import min_partitions
     from ..operators.search import compile_query
 
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = min_partitions(_t(spark, sf_dir, "documents")["documents"])
     q = {"span_near": {
         "clauses": [{"span_term": {"text": "spark"}},
                     {"span_term": {"text": "merge"}}],
