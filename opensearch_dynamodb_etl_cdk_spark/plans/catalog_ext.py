@@ -1776,9 +1776,10 @@ def decontamination_report(spark, sf_dir):
     FROM documents GROUP BY source
     """,
     doc="Multimodal plumbing: binary payload column + metadata struct, "
-    "Arrow-batched mapInPandas feature extraction (deterministic fake "
-    "decoder — real image/audio decode is stubbed, see operators/"
-    "multimodal.py), aggregated per source.",
+    "Arrow-batched mapInPandas feature extraction (cheap checksum "
+    "decoder; real BMP/WAV decode is exercised end-to-end by "
+    "multimodal_bmp_decode_stats / multimodal_wav_decode_stats), "
+    "aggregated per source.",
     tags=("multimodal",),
 )
 def multimodal_feature_stats(spark, sf_dir):
@@ -1807,6 +1808,86 @@ def multimodal_frame_counts(spark, sf_dir):
     return frames.groupBy("source").agg(
         F.count("*").alias("n_frames"),
         F.sum("frame_bytes").alias("sum_frame_bytes"),
+    )
+
+
+@register(
+    "multimodal_bmp_decode_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_items,
+           CAST(SUM((1 + doc_id % 13) * (1 + doc_id % 7)) AS BIGINT) AS sum_pixels,
+           CAST(SUM(CAST(1 + doc_id % 13 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_width,
+           CAST(SUM(CAST(1 + doc_id % 7 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_height,
+           CAST(SUM(CAST(doc_id % 251 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_pixel,
+           CAST(SUM(54 + (3 * (1 + doc_id % 13)
+                          + (4 - (3 * (1 + doc_id % 13)) % 4) % 4)
+                         * (1 + doc_id % 7)) AS BIGINT) AS sum_payload_bytes
+    FROM documents GROUP BY lang
+    """,
+    doc="REAL image decode end-to-end: synthesize genuine uncompressed "
+    "24-bit BMP bytes per document (operators/multimodal.py::encode_bmp, "
+    "geometry and pixel value closed-form in doc_id), parse them back "
+    "with the dependency-free BMP decoder (::decode_bmp — header, "
+    "orientation, 4-byte row padding), aggregate per lang. The oracle "
+    "recomputes width/height/pixel stats AND the padded file size from "
+    "the doc_id formulas, so any header- or padding-level decode bug "
+    "breaks the hash. Payload bytes never leave the executors.",
+    tags=("multimodal",),
+)
+def multimodal_bmp_decode_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    media = M.synthesize_media(d, "image", keep=("lang",))
+    feats = M.extract_media_features(media, keep=("lang",))
+    exact = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast("double") / F.count(
+        F.lit(1)
+    )
+    return feats.groupBy("lang").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_units").alias("sum_pixels"),
+        exact("width").alias("avg_width"),
+        exact("height").alias("avg_height"),
+        exact("mean_value").alias("avg_pixel"),
+        F.sum("n_bytes").alias("sum_payload_bytes"),
+    )
+
+
+@register(
+    "multimodal_wav_decode_stats",
+    oracle="""
+    SELECT source, COUNT(*) AS n_items,
+           CAST(SUM(50 + doc_id % 100) AS BIGINT) AS sum_frames,
+           CAST(SUM(CAST(8000 + (doc_id % 5) * 1000 AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(1) AS avg_sample_rate,
+           CAST(SUM(CAST(doc_id % 1000 - 500 AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(1) AS avg_amplitude,
+           MIN((50 + doc_id % 100) * 1000.0 / (8000 + (doc_id % 5) * 1000))
+               AS min_duration_ms,
+           MAX((50 + doc_id % 100) * 1000.0 / (8000 + (doc_id % 5) * 1000))
+               AS max_duration_ms
+    FROM documents GROUP BY source
+    """,
+    doc="REAL audio decode end-to-end: synthesize genuine 16-bit PCM "
+    "RIFF/WAVE bytes per document (operators/multimodal.py::encode_wav), "
+    "parse them back with the chunk-walking WAV decoder (::decode_wav), "
+    "aggregate per source. Duration is min/max (order-independent "
+    "per-row doubles) and rate/amplitude averages use the exact-decimal "
+    "sum so both engines agree bit-for-bit.",
+    tags=("multimodal",),
+)
+def multimodal_wav_decode_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    media = M.synthesize_media(d, "audio", keep=("source",))
+    feats = M.extract_media_features(media, keep=("source",))
+    exact = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast("double") / F.count(
+        F.lit(1)
+    )
+    return feats.groupBy("source").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_units").alias("sum_frames"),
+        exact("sample_rate").alias("avg_sample_rate"),
+        exact("mean_value").alias("avg_amplitude"),
+        F.min("duration_ms").alias("min_duration_ms"),
+        F.max("duration_ms").alias("max_duration_ms"),
     )
 
 

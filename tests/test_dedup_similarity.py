@@ -299,11 +299,15 @@ def test_multimodal_features_and_frames(spark):
     assert sorted(f.frame_bytes for f in per_doc[2]) == [44, 256]
 
 
-def test_decode_stubs_raise(spark):
+def test_decode_dispatch(spark):
+    # BMP/WAV decode for real now (test_multimodal_codecs.py); formats
+    # needing codec libraries the container lacks still raise.
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG")
+        M.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
     with pytest.raises(NotImplementedError):
-        M.decode_audio(b"RIFF")
+        M.decode_audio(b"OggS" + b"\x00" * 16)
+    assert M.decode_image(M.encode_bmp(2, 2, 9))["n_units"] == 4
+    assert M.decode_audio(M.encode_wav(8000, 1, 8, 1))["n_units"] == 8
 
 
 def test_langid_on_clear_sentences(spark):

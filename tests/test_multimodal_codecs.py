@@ -1,0 +1,221 @@
+"""Real media decode (E5): dependency-free BMP/WAV codecs.
+
+The fixtures under tests/fixtures/ are checked-in binary files; the
+golden assertions below read raw header bytes at the offsets the public
+format specs define (BMP width at byte 18, bpp at 28; WAV fmt fields
+after the 'fmt ' chunk id), so the decoders are verified against the
+format contract, not merely against our own encoder.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from opensearch_dynamodb_etl_cdk_spark.operators import multimodal as M
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _fixture(name: str) -> bytes:
+    with open(os.path.join(FIXTURES, name), "rb") as f:
+        return f.read()
+
+
+# ---------------------------------------------------------------------------
+# Golden fixture files: header bytes at spec-defined offsets.
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_fixture_header_golden():
+    raw = _fixture("tiny_5x3.bmp")
+    assert raw[:2] == b"BM"
+    assert struct.unpack_from("<I", raw, 2)[0] == len(raw)  # file size field
+    assert struct.unpack_from("<I", raw, 10)[0] == 54  # pixel data offset
+    assert struct.unpack_from("<I", raw, 14)[0] == 40  # BITMAPINFOHEADER size
+    assert struct.unpack_from("<i", raw, 18)[0] == 5  # width
+    assert struct.unpack_from("<i", raw, 22)[0] == 3  # height
+    assert struct.unpack_from("<H", raw, 28)[0] == 24  # bits per pixel
+    assert struct.unpack_from("<I", raw, 30)[0] == 0  # BI_RGB
+    # stride: 5*3=15 data bytes padded to 16; padding byte is zero
+    assert len(raw) == 54 + 16 * 3
+    assert raw[54 + 15] == 0 and raw[54 + 14] == 129
+
+
+def test_bmp_fixture_decodes():
+    f = M.decode_bmp(_fixture("tiny_5x3.bmp"))
+    assert f == {
+        "media_kind": "image",
+        "width": 5,
+        "height": 3,
+        "bit_depth": 24,
+        "n_units": 15,
+        "mean_value": 129.0,
+        "n_bytes": 102,
+    }
+
+
+def test_wav_fixture_header_golden():
+    raw = _fixture("tiny_8k_stereo.wav")
+    assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+    assert struct.unpack_from("<I", raw, 4)[0] == len(raw) - 8  # RIFF size
+    assert raw[12:16] == b"fmt "
+    fmt, ch, sr, byte_rate, block_align, bits = struct.unpack_from("<HHIIHH", raw, 20)
+    assert (fmt, ch, sr, bits) == (1, 2, 8000, 16)
+    assert byte_rate == 8000 * 2 * 2 and block_align == 4
+    assert raw[36:40] == b"data"
+    assert struct.unpack_from("<I", raw, 40)[0] == 25 * 2 * 2  # frames*ch*2
+
+
+def test_wav_fixture_decodes():
+    f = M.decode_wav(_fixture("tiny_8k_stereo.wav"))
+    assert f == {
+        "media_kind": "audio",
+        "sample_rate": 8000,
+        "channels": 2,
+        "bit_depth": 16,
+        "n_units": 25,
+        "duration_ms": 25 * 1000.0 / 8000,
+        "mean_value": -321.0,
+        "n_bytes": 144,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Round-trip properties and spec-level edge cases.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 20),
+    v=st.integers(0, 255),
+)
+def test_bmp_roundtrip_property(w, h, v):
+    f = M.decode_bmp(M.encode_bmp(w, h, v))
+    assert (f["width"], f["height"], f["n_units"]) == (w, h, w * h)
+    assert f["mean_value"] == pytest.approx(v, abs=1e-12)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    sr=st.sampled_from([8000, 16000, 44100]),
+    ch=st.integers(1, 2),
+    nf=st.integers(0, 200),
+    sv=st.integers(-32768, 32767),
+)
+def test_wav_roundtrip_property(sr, ch, nf, sv):
+    f = M.decode_wav(M.encode_wav(sr, ch, nf, sv))
+    assert (f["sample_rate"], f["channels"], f["n_units"]) == (sr, ch, nf)
+    if nf:
+        assert f["mean_value"] == pytest.approx(sv, abs=1e-9)
+
+
+def test_bmp_top_down_orientation():
+    raw = bytearray(M.encode_bmp(3, 2, 7))
+    struct.pack_into("<i", raw, 22, -2)  # negative height = top-down
+    f = M.decode_bmp(bytes(raw))
+    assert f["height"] == 2 and f["mean_value"] == pytest.approx(7)
+
+
+def test_bmp_padding_excluded_from_mean():
+    # width 5 → 15 data bytes + 1 zero pad byte per row; a parser that
+    # averaged the stride would report 255*15/16, not 255.
+    f = M.decode_bmp(M.encode_bmp(5, 4, 255))
+    assert f["mean_value"] == pytest.approx(255.0)
+
+
+def test_wav_skips_unknown_chunks():
+    # Insert a LIST metadata chunk between fmt and data (odd size →
+    # word-aligned skip), as real-world encoders do.
+    raw = M.encode_wav(8000, 1, 10, 100)
+    fmt_chunk = raw[12:36]
+    data_chunk = raw[36:]
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad to even
+    rebuilt_body = b"WAVE" + fmt_chunk + junk + data_chunk
+    rebuilt = b"RIFF" + struct.pack("<I", len(rebuilt_body)) + rebuilt_body
+    f = M.decode_wav(rebuilt)
+    assert f["sample_rate"] == 8000 and f["n_units"] == 10
+    assert f["mean_value"] == pytest.approx(100.0)
+
+
+@pytest.mark.parametrize(
+    "payload,exc",
+    [
+        (b"BM" + b"\x00" * 10, ValueError),  # truncated header
+        (b"XX" + b"\x00" * 60, ValueError),  # bad magic
+        (b"RIFF\x04\x00\x00\x00WAVE", ValueError),  # no fmt/data
+        (b"\x89PNG\r\n\x1a\n" + b"\x00" * 20, NotImplementedError),
+        (b"\xff\xd8\xff\xe0" + b"\x00" * 20, NotImplementedError),
+        (b"OggS" + b"\x00" * 20, NotImplementedError),
+        (b"ID3\x03" + b"\x00" * 20, NotImplementedError),
+    ],
+)
+def test_malformed_and_unsupported(payload, exc):
+    dispatch = (
+        M.decode_audio
+        if payload[:4] in (b"RIFF", b"OggS") or payload[:3] == b"ID3"
+        else M.decode_image
+    )
+    with pytest.raises(exc):
+        dispatch(payload)
+
+
+def test_bmp_truncated_pixels_rejected():
+    raw = M.encode_bmp(6, 6, 3)
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_bmp(raw[:-5])
+
+
+def test_bmp_compressed_rejected():
+    raw = bytearray(M.encode_bmp(2, 2, 1))
+    struct.pack_into("<I", raw, 30, 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError, match="compressed"):
+        M.decode_bmp(bytes(raw))
+
+
+def test_wav_non_pcm_rejected():
+    raw = bytearray(M.encode_wav(8000, 1, 4, 0))
+    struct.pack_into("<H", raw, 20, 3)  # IEEE float format tag
+    with pytest.raises(NotImplementedError, match="non-PCM"):
+        M.decode_wav(bytes(raw))
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing: synthesize → extract round trip, distributed.
+# ---------------------------------------------------------------------------
+
+
+def test_synthesize_extract_image_roundtrip(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"].limit(50)
+    feats = M.extract_media_features(
+        M.synthesize_media(d, "image", keep=("lang",)), keep=("lang",)
+    )
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert rows
+    for doc_id, r in rows.items():
+        w, h, v = M.bmp_params(doc_id)
+        assert (r["width"], r["height"], r["n_units"]) == (w, h, w * h)
+        assert r["mean_value"] == pytest.approx(v)
+        assert r["media_kind"] == "image" and r["lang"] is not None
+
+
+def test_synthesize_extract_audio_roundtrip(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"].limit(50)
+    feats = M.extract_media_features(
+        M.synthesize_media(d, "audio", keep=("source",)), keep=("source",)
+    )
+    for r in feats.collect():
+        sr, ch, nf, sv = M.wav_params(r["doc_id"])
+        assert (r["sample_rate"], r["channels"], r["n_units"]) == (sr, ch, nf)
+        assert r["mean_value"] == pytest.approx(sv)
+        assert r["duration_ms"] == pytest.approx(nf * 1000.0 / sr)
