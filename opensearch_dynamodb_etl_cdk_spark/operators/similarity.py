@@ -284,18 +284,55 @@ def ivf_centroids(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 3,
 ) -> list[list[float]]:
-    """Deterministic pseudo-random centroid sample: the n vectors with
-    the smallest xxhash64(id). (A k-means refinement pass would improve
-    balance; the sample is the deterministic, oracle-friendly baseline —
-    and at 100 TB the centroid set is computed once and reused.)"""
+    """IVF coarse-quantizer centroids: deterministic hash-sample init
+    refined by distributed Lloyd (k-means) iterations.
+
+    Init: the n vectors with the smallest xxhash64(id) — deterministic,
+    seed-free. Refinement: each iteration assigns every vector to its
+    max-cosine centroid in one codegen scan (:func:`ivf_assign`) and
+    recomputes each centroid as the per-dimension mean of its members.
+    The means are ``dim`` scalar aggregates per cell (no explode — the
+    shuffle carries n_centroids × dim partials, not corpus rows), with
+    sums in decimal so the result is bit-identical across partitionings
+    and re-runs — centroids computed at build time and again at query
+    time must agree exactly or indexed/one-shot paths diverge. Empty
+    cells keep their previous centroid. Driver traffic per iteration is
+    n_centroids × dim doubles.
+
+    At 100 TB the centroid set is computed once on a sample partition
+    set and reused; refinement cost is refine_iters corpus scans, each
+    a map-side partial-agg with a tiny shuffle.
+    """
     rows = (
         df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col).cast("string")).alias("h"))
         .orderBy("h")
         .limit(n_centroids)
         .collect()
     )
-    return [[float(x) for x in r.v] for r in rows]
+    cents = [[float(x) for x in r.v] for r in rows]
+    if not cents or refine_iters <= 0:
+        return cents
+    dim = len(cents[0])
+    mean_cols = [
+        (
+            F.sum(F.col(vec_col).getItem(i).cast("decimal(38,18)"))
+            / F.count(F.lit(1))
+        )
+        .cast("double")
+        .alias(f"_d{i}")
+        for i in range(dim)
+    ]
+    for _ in range(refine_iters):
+        stats = ivf_assign(df, cents, vec_col).groupBy("_cluster").agg(*mean_cols).collect()
+        new = [list(c) for c in cents]
+        for r in stats:
+            new[r["_cluster"]] = [float(r[f"_d{i}"]) for i in range(dim)]
+        if new == cents:  # converged early
+            break
+        cents = new
+    return cents
 
 
 def ivf_assign(

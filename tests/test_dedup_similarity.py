@@ -226,6 +226,70 @@ def test_ivf_ann_recall_on_clusters(spark):
     assert ivf[0] == bf[0]
 
 
+def _planted_clusters(rng, n_clusters=8, per_cluster=40, dim=16, spread=0.05):
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows, vid = [], 0
+    for c in centers:
+        for _ in range(per_cluster):
+            rows.append((vid, [x + rng.gauss(0, spread) for x in c]))
+            vid += 1
+    return rows
+
+
+def test_ivf_kmeans_recall_tight(spark):
+    """With Lloyd refinement the coarse quantizer must recover ≥0.95 of
+    the exact top-20 on planted clusters with only 2 of 8 cells probed
+    (the true neighbours all live in the query's cluster, so a centroid
+    set that tracks the cluster structure nails them)."""
+    rng = random.Random(23)
+    rows = _planted_clusters(rng)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[45][1]  # a member of cluster 1
+    bf = {r.vec_id for r in S.brute_force_topk(df, q, k=20).collect()}
+    ivf = {
+        r.vec_id
+        for r in S.ivf_ann_topk(df, q, k=20, n_centroids=8, n_probe=2).collect()
+    }
+    assert len(bf & ivf) / len(bf) >= 0.95
+
+
+def test_ivf_kmeans_improves_objective(spark):
+    """Lloyd refinement must improve the quantizer objective (mean
+    max-cosine of each vector to its assigned centroid) over the raw
+    hash-sample init on clustered data."""
+    rng = random.Random(31)
+    rows = _planted_clusters(rng, spread=0.3)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def objective(cents):
+        cells = F.array(
+            *[
+                S.cosine(F.col("embedding"), F.array(*[F.lit(x) for x in c]))
+                for c in cents
+            ]
+        )
+        return df.select(
+            F.avg(F.array_max(cells)).alias("o")
+        ).head()["o"]
+
+    raw = S.ivf_centroids(df, 8, refine_iters=0)
+    refined = S.ivf_centroids(df, 8, refine_iters=3)
+    assert objective(refined) > objective(raw)
+
+
+def test_ivf_centroids_deterministic_across_partitionings(spark):
+    """Centroids are computed independently at index build and query
+    time, so refinement must be bit-deterministic — including across
+    different input partitionings (decimal sums, not double sums)."""
+    rng = random.Random(37)
+    rows = _planted_clusters(rng, n_clusters=4, per_cluster=25)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = S.ivf_centroids(df, 8, refine_iters=3)
+    b = S.ivf_centroids(df.repartition(7), 8, refine_iters=3)
+    c = S.ivf_centroids(df.repartition(1), 8, refine_iters=3)
+    assert a == b == c
+
+
 def test_salted_agg_equals_direct(spark, sf_dir):
     from opensearch_dynamodb_etl_cdk_spark.operators.skew import (
         salted_join,
