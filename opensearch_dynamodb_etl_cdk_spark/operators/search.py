@@ -52,6 +52,8 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.scripts import safe_expr, unsafe_scripts_allowed
+
 
 def _analyze(col: Column) -> Column:
     """Standard-analyzer approximation: lowercase, split on non-alphanum."""
@@ -405,8 +407,15 @@ def parse_simple_query_string(
     return parse_or_s()
 
 
-def compile_query(q: dict[str, Any]) -> Column:
-    """DSL query clause → boolean Column predicate."""
+def compile_query(q: dict[str, Any], allow_unsafe_scripts: bool = False) -> Column:
+    """DSL query clause → boolean Column predicate.
+
+    ``script`` clauses are guarded against JVM/UDF escape hatches
+    (functions/scripts.py); pass ``allow_unsafe_scripts=True`` from a
+    trusted caller to lift the guard for this compilation."""
+    if allow_unsafe_scripts:
+        with unsafe_scripts_allowed():
+            return compile_query(q)
     if not q:
         return F.lit(True)
     if len(q) != 1:
@@ -563,7 +572,10 @@ def compile_query(q: dict[str, Any]) -> Column:
 
     if kind == "script":
         # script filter; the script dialect is the Spark SQL expression
-        # language (same trusted-caller contract as script_fields).
+        # language, guarded against JVM/UDF escape hatches (reflect /
+        # java_method) unless the caller opted into unsafe scripts —
+        # Painless is sandboxed, Spark SQL is not, and search bodies are
+        # the most externally-exposed input in the engine.
         # Accepted shapes: "expr", {"script": ...}, {"source": ...} —
         # nested or flat, mirroring the public API's leniency.
         script = body
@@ -574,7 +586,7 @@ def compile_query(q: dict[str, Any]) -> Column:
                     f"script query needs a 'script'/'source' key, got {script}"
                 )
             script = inner
-        return F.expr(str(script)).cast("boolean")
+        return safe_expr(script).cast("boolean")
 
     if kind == "match_bool_prefix":
         # all terms match analyzed except the last, which matches as a
@@ -1400,10 +1412,21 @@ def explain_match(
     }
 
 
-def execute_search(df: DataFrame, body: dict[str, Any]) -> dict[str, Any]:
+def execute_search(
+    df: DataFrame, body: dict[str, Any], allow_unsafe_scripts: bool = False
+) -> dict[str, Any]:
     """Run a DSL search body; returns ``{"hits": DataFrame, "aggregations":
     dict, "suggest": dict (when requested)}`` — hits stay distributed,
-    aggregation/suggest summaries are collected."""
+    aggregation/suggest summaries are collected.
+
+    Script surfaces (``script`` query, ``script_fields``, rescore
+    ``script``) evaluate in the Spark SQL expression language with the
+    JVM/UDF escape hatches (reflect / java_method / call_udf) rejected;
+    a trusted caller needing them opts in with
+    ``allow_unsafe_scripts=True``."""
+    if allow_unsafe_scripts:
+        with unsafe_scripts_allowed():
+            return execute_search(df, body)
     query = body.get("query", {"match_all": {}})
     is_knn = len(query) == 1 and next(iter(query)) == "knn"
     scored = is_knn
@@ -1490,12 +1513,12 @@ def execute_search(df: DataFrame, body: dict[str, Any]) -> dict[str, Any]:
     if body.get("script_fields"):
         # Derived per-hit fields. The public DSL runs Painless here; this
         # engine's script dialect is the Spark SQL expression language —
-        # evaluated as Column expressions inside codegen, never Python.
-        # Scripts are part of the (trusted-caller) search body, exactly
-        # like the DSL's own script fields.
+        # evaluated as Column expressions inside codegen, never Python,
+        # and guarded against JVM/UDF escape hatches (safe_expr) unless
+        # the caller passed allow_unsafe_scripts=True.
         for fname, fspec in body["script_fields"].items():
             script = fspec["script"] if isinstance(fspec, dict) else fspec
-            hits = hits.withColumn(fname, F.expr(script))
+            hits = hits.withColumn(fname, safe_expr(script))
     if body.get("_source") is not None:
         hits = _apply_source_filter(hits, body["_source"], body)
 
@@ -1557,7 +1580,7 @@ def _apply_rescore(hits: DataFrame, spec: dict[str, Any]) -> DataFrame:
             l2_norm(F.col(field)) > 0, cosine(F.col(field), qarr)
         ).otherwise(F.lit(0.0))
     elif kind == "script":
-        secondary = F.expr(
+        secondary = safe_expr(
             rspec["script"] if isinstance(rspec, dict) else rspec
         ).cast("double")
     else:

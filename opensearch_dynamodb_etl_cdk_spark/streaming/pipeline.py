@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.ddb import parse_item, unmarshal
+from ..functions.scripts import safe_expr
 from ..operators.routing import UNROUTED, Router, type_route
 from ..operators.upsert import apply_cdc_batch, derive_action, latest_by_key
 from ..sources.flights import ALIASES, SUPERSET_ATTRS
@@ -469,7 +470,10 @@ class FlightsEtlPipeline:
                 return 0
             batch = matches
             for col_name, expr in set_fields.items():
-                batch = batch.withColumn(col_name, F.expr(expr))
+                # script dialect with the JVM/UDF escape hatches blocked
+                # (functions/scripts.py); wrap in unsafe_scripts_allowed()
+                # for a trusted administrative caller needing them.
+                batch = batch.withColumn(col_name, safe_expr(expr))
             batch = batch.withColumn(
                 "_seq", F.lit(self._next_synth_seq(idx)).cast("long")
             ).withColumn("_action", F.lit("upsert"))
@@ -506,7 +510,7 @@ class FlightsEtlPipeline:
         if query is not None:
             batch = batch.filter(compile_query(query))
         for col_name, expr in (set_fields or {}).items():
-            batch = batch.withColumn(col_name, F.expr(expr))
+            batch = batch.withColumn(col_name, safe_expr(expr))
         n = batch.count()
         if n == 0:
             return 0

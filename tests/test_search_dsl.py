@@ -1326,6 +1326,71 @@ def test_script_fields_evaluate_sql_expressions(qs_docs):
     assert [(r.doc_id, r.n_doubled) for r in rows] == [(0, 20), (1, 50), (3, 110)]
 
 
+# --- script guard: JVM/UDF escape hatches blocked by default --------------
+
+
+def test_script_surfaces_block_jvm_escape_hatches(qs_docs):
+    import pytest as _pytest
+
+    hostile = "reflect('java.lang.System', 'getProperty', 'user.dir') IS NOT NULL"
+    # script query
+    with _pytest.raises(PermissionError, match="reflect"):
+        execute_search(qs_docs, {"query": {"script": {"script": hostile}}})
+    # script_fields
+    with _pytest.raises(PermissionError, match="blocked function"):
+        execute_search(
+            qs_docs,
+            {"script_fields": {"x": {"script": "java_method('java.lang.Math', 'random')"}}},
+        )
+    # rescore script
+    with _pytest.raises(PermissionError, match="blocked function"):
+        execute_search(
+            qs_docs,
+            {"rescore": {"query": {"rescore_query": {
+                "script": "CAST(`REFLECT`('a','b') AS DOUBLE)"}}}},
+        )
+    # smuggled through a base64 wrapper body
+    import base64 as _b64
+    import json as _json
+
+    wrapped = _b64.b64encode(
+        _json.dumps({"script": {"script": hostile}}).encode()
+    ).decode()
+    with _pytest.raises(PermissionError, match="blocked function"):
+        execute_search(qs_docs, {"query": {"wrapper": {"query": wrapped}}})
+
+
+def test_script_guard_opt_in_and_benign_pass(qs_docs):
+    # benign scripts still work unchanged; a column name merely
+    # containing a blocked substring is fine (word-boundary match)
+    rows = execute_search(
+        qs_docs,
+        {"query": {"script": {"script": "n > 30"}},
+         "_source": ["doc_id"], "sort": [{"doc_id": "asc"}]},
+    )["hits"].collect()
+    assert len(rows) > 0
+    # explicit opt-in lifts the guard (trusted caller): reflect runs
+    got = execute_search(
+        qs_docs,
+        {"query": {"script": {
+            "script": "reflect('java.lang.Math', 'abs', -1) = '1'"}},
+         "_source": ["doc_id"]},
+        allow_unsafe_scripts=True,
+    )["hits"]
+    assert got.count() == qs_docs.count()
+
+
+def test_update_by_query_blocks_hostile_set_fields(tmp_path, spark):
+    from opensearch_dynamodb_etl_cdk_spark.functions.scripts import safe_expr
+    import pytest as _pytest
+
+    with _pytest.raises(PermissionError, match="blocked function"):
+        safe_expr("reflect('java.lang.Runtime','getRuntime')")
+    # call_udf is a registered-function trampoline — also blocked
+    with _pytest.raises(PermissionError):
+        safe_expr("call_udf('anything', col)")
+
+
 # --- rescore --------------------------------------------------------------
 
 
