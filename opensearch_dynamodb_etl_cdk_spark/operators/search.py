@@ -1006,44 +1006,83 @@ def term_suggest(
     ).limit(size)
 
 
-def execute_suggest(df: DataFrame, suggest_body: dict[str, Any]) -> dict[str, Any]:
+def execute_suggest(
+    df: DataFrame,
+    suggest_body: dict[str, Any],
+    vocabs: dict[str, DataFrame] | None = None,
+    bigrams: dict[str, DataFrame] | None = None,
+) -> dict[str, Any]:
     """The ``suggest`` section of a search body → OpenSearch-shaped
     response: ``{name: [{"text": ..., "options": [{"text", "freq",
     "score"}, ...]}]}``. Option lists are ≤ size by construction —
-    the only collect is bounded."""
+    the only collects are bounded.
+
+    The corpus vocabulary (and the phrase suggester's bigram model) is
+    computed ONCE per field across all suggester entries in the request
+    and cached for the duration of the call — a request with three
+    suggesters over the same field costs one vocabulary pass, not three.
+    A standing corpus can pass persisted frames via ``vocabs`` /
+    ``bigrams`` (field → frame) to skip the per-request build entirely.
+    """
+    vocab_cache: dict[str, DataFrame] = dict(vocabs or {})
+    bigram_cache: dict[str, DataFrame] = dict(bigrams or {})
+    built: list[DataFrame] = []  # frames we persisted; released on exit
+
+    def _vocab(field: str) -> DataFrame:
+        if field not in vocab_cache:
+            v = vocabulary(df, field).persist()
+            vocab_cache[field] = v
+            built.append(v)
+        return vocab_cache[field]
+
+    def _bigrams(field: str) -> DataFrame:
+        if field not in bigram_cache:
+            b = bigram_model(df, field).persist()
+            bigram_cache[field] = b
+            built.append(b)
+        return bigram_cache[field]
+
     out: dict[str, Any] = {}
-    for name, spec in suggest_body.items():
-        phrase_spec = spec.get("phrase")
-        if phrase_spec is not None:
-            opts = phrase_suggest(
+    try:
+        for name, spec in suggest_body.items():
+            phrase_spec = spec.get("phrase")
+            if phrase_spec is not None:
+                field = phrase_spec["field"]
+                opts = phrase_suggest(
+                    df,
+                    field=field,
+                    text=spec["text"],
+                    size=int(phrase_spec.get("size", 3)),
+                    max_edits=int(phrase_spec.get("max_edits", 1)),
+                    vocab=_vocab(field),
+                    bigrams=_bigrams(field),
+                )
+                out[name] = [{"text": spec["text"], "options": opts}]
+                continue
+            term_spec = spec.get("term")
+            if term_spec is None:
+                raise ValueError(
+                    f"suggester {name!r}: only 'term'/'phrase' are supported"
+                )
+            rows = term_suggest(
                 df,
-                field=phrase_spec["field"],
+                field=term_spec["field"],
                 text=spec["text"],
-                size=int(phrase_spec.get("size", 3)),
-                max_edits=int(phrase_spec.get("max_edits", 1)),
-            )
-            out[name] = [{"text": spec["text"], "options": opts}]
-            continue
-        term_spec = spec.get("term")
-        if term_spec is None:
-            raise ValueError(
-                f"suggester {name!r}: only 'term'/'phrase' are supported"
-            )
-        rows = term_suggest(
-            df,
-            field=term_spec["field"],
-            text=spec["text"],
-            size=int(term_spec.get("size", 5)),
-            max_edits=int(term_spec.get("max_edits", 2)),
-            prefix_length=int(term_spec.get("prefix_length", 1)),
-        ).collect()
-        out[name] = [{
-            "text": spec["text"],
-            "options": [
-                {"text": r.term, "freq": r.freq, "score": r.score}
-                for r in rows
-            ],
-        }]
+                size=int(term_spec.get("size", 5)),
+                max_edits=int(term_spec.get("max_edits", 2)),
+                prefix_length=int(term_spec.get("prefix_length", 1)),
+                vocab=_vocab(term_spec["field"]),
+            ).collect()
+            out[name] = [{
+                "text": spec["text"],
+                "options": [
+                    {"text": r.term, "freq": r.freq, "score": r.score}
+                    for r in rows
+                ],
+            }]
+    finally:
+        for frame in built:
+            frame.unpersist()
     return out
 
 
@@ -1089,7 +1128,10 @@ def phrase_suggest(
     1. per input term, candidate corrections from the vocabulary within
        ``max_edits`` (first-char prefix pruning, as :func:`term_suggest`)
        plus the term itself if known — ONE vocabulary pass for all terms
-       (the per-term predicates OR-combine into a single filter);
+       (a broadcast join against the tiny input-term frame) with a
+       per-term frequency-ranked cap, so the driver collect is bounded
+       at n_terms × cap rows even against a pathological short term on
+       a 100 TB vocabulary;
     2. score every phrase in the candidate lattice with a bigram
        stupid-backoff model: ``P(w2|w1) = freq(w1 w2)/freq(w1)``,
        falling back to ``backoff · freq(w2)/N``; only the lattice's own
@@ -1110,22 +1152,37 @@ def phrase_suggest(
     v = vocab if vocab is not None else vocabulary(df, field)
     bg = bigrams if bigrams is not None else bigram_model(df, field)
 
-    # one vocabulary pass: candidates for every input term
-    cand_pred = None
-    for t in terms:
-        p = (F.col("term").startswith(t[:1])) & (
-            F.levenshtein(F.col("term"), F.lit(t)) <= max_edits
-        )
-        cand_pred = p if cand_pred is None else (cand_pred | p)
-    cand_rows = v.filter(cand_pred).collect()
+    # one vocabulary pass: candidates for every input term, via a
+    # broadcast join against the (tiny) input-term frame with a
+    # PER-TERM frequency cap — on a 100 TB corpus vocabulary a short
+    # query term can otherwise match a huge candidate set, and the
+    # collect must stay bounded at n_terms × cap rows no matter what.
+    cap = max(max_candidates * 8, 64)
+    terms_df = v.sparkSession.createDataFrame(
+        [(t,) for t in dict.fromkeys(terms)], "q string"
+    )
+    matched = v.join(
+        F.broadcast(terms_df),
+        F.col("term").startswith(F.substring(F.col("q"), 1, 1))
+        & (F.levenshtein(F.col("term"), F.col("q")) <= max_edits),
+    )
+    wq = W.partitionBy("q").orderBy(
+        (F.col("term") != F.col("q")).asc(),  # the term itself ranks first
+        F.col("freq").desc(),
+        F.col("term").asc(),
+    )
+    cand_rows = (
+        matched.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= cap)
+        .select("q", "term", "freq")
+        .collect()
+    )
 
     by_term: dict[str, list[tuple[str, int]]] = {}
     uni: dict[str, int] = {}
     for r in cand_rows:
         uni[r.term] = r.freq
-        for t in terms:
-            if r.term.startswith(t[:1]) and _lev(r.term, t) <= max_edits:
-                by_term.setdefault(t, []).append((r.term, r.freq))
+        by_term.setdefault(r.q, []).append((r.term, r.freq))
     cands: list[list[str]] = []
     for t in terms:
         opts = sorted(
@@ -1195,20 +1252,6 @@ def phrase_suggest(
             ),
         })
     return out
-
-
-def _lev(a: str, b: str) -> int:
-    """Tiny driver-side Levenshtein (candidate re-association only —
-    vocab-scale filtering runs JVM-side in :func:`phrase_suggest`)."""
-    if a == b:
-        return 0
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
-        prev = cur
-    return prev[-1]
 
 
 def _apply_source_filter(hits: DataFrame, source, body: dict) -> DataFrame:
@@ -1413,7 +1456,11 @@ def explain_match(
 
 
 def execute_search(
-    df: DataFrame, body: dict[str, Any], allow_unsafe_scripts: bool = False
+    df: DataFrame,
+    body: dict[str, Any],
+    allow_unsafe_scripts: bool = False,
+    suggest_vocabs: dict[str, DataFrame] | None = None,
+    suggest_bigrams: dict[str, DataFrame] | None = None,
 ) -> dict[str, Any]:
     """Run a DSL search body; returns ``{"hits": DataFrame, "aggregations":
     dict, "suggest": dict (when requested)}`` — hits stay distributed,
@@ -1423,10 +1470,18 @@ def execute_search(
     ``script``) evaluate in the Spark SQL expression language with the
     JVM/UDF escape hatches (reflect / java_method / call_udf) rejected;
     a trusted caller needing them opts in with
-    ``allow_unsafe_scripts=True``."""
+    ``allow_unsafe_scripts=True``.
+
+    ``suggest_vocabs`` / ``suggest_bigrams`` (field → persisted frame)
+    let a standing corpus skip the per-request vocabulary/bigram build
+    in the ``suggest`` section (see :func:`execute_suggest`)."""
     if allow_unsafe_scripts:
         with unsafe_scripts_allowed():
-            return execute_search(df, body)
+            return execute_search(
+                df, body,
+                suggest_vocabs=suggest_vocabs,
+                suggest_bigrams=suggest_bigrams,
+            )
     query = body.get("query", {"match_all": {}})
     is_knn = len(query) == 1 and next(iter(query)) == "knn"
     scored = is_knn
@@ -1456,12 +1511,14 @@ def execute_search(
                 if not body.get("sort"):
                     # deterministic under score ties: break on a row
                     # hash of the source columns (no natural id here).
-                    # MapType is unhashable in Spark and dots in names
-                    # would parse as struct paths — skip/quote them.
+                    # MapType is unhashable in Spark — anywhere in the
+                    # type tree (array<map<...>>, struct fields), not
+                    # just top-level — and dots in names would parse as
+                    # struct paths: skip/quote them.
                     hashable = [
                         F.col(f"`{sf.name}`")
                         for sf in df.schema.fields
-                        if not sf.dataType.simpleString().startswith("map<")
+                        if "map<" not in sf.dataType.simpleString()
                     ]
                     order = [F.col("_score").desc()]
                     if hashable:
@@ -1495,19 +1552,37 @@ def execute_search(
         )
     if body.get("sort"):
         hits = hits.orderBy(*_sort_cols(body["sort"]))
-    if body.get("from"):
-        if body.get("search_after") is not None:
-            raise ValueError("search_after and from are mutually exclusive")
-        hits = hits.offset(int(body["from"]))
-    if "size" in body:
-        hits = hits.limit(int(body["size"]))
-    # query-phase rescoring runs BEFORE fetch-phase response shaping
-    # (highlight / script_fields / _source): a _source filter that drops
-    # the rescore vector column must not break the rescorer.
+    frm = int(body.get("from") or 0)
+    if frm and body.get("search_after") is not None:
+        raise ValueError("search_after and from are mutually exclusive")
     if body.get("rescore"):
+        # Public contract: rescore the TOP window of the primary
+        # ordering first (window_size, at least from+size), THEN
+        # paginate over the rescored ordering — rescoring each page
+        # independently would reorder page contents for from > 0.
+        # Query-phase rescoring also runs BEFORE fetch-phase response
+        # shaping (highlight / script_fields / _source): a _source
+        # filter that drops the rescore vector column must not break
+        # the rescorer.
         stages = body["rescore"]
-        for stage in stages if isinstance(stages, list) else [stages]:
+        stages = stages if isinstance(stages, list) else [stages]
+        if "size" in body:
+            window = max(
+                [frm + int(body["size"])]
+                + [int(s.get("window_size", 0)) for s in stages]
+            )
+            hits = hits.limit(window)
+        for stage in stages:
             hits = _apply_rescore(hits, stage)
+        if frm:
+            hits = hits.offset(frm)
+        if "size" in body:
+            hits = hits.limit(int(body["size"]))
+    else:
+        if frm:
+            hits = hits.offset(frm)
+        if "size" in body:
+            hits = hits.limit(int(body["size"]))
     if body.get("highlight"):
         hits = apply_highlight(hits, query, body["highlight"])
     if body.get("script_fields"):
@@ -1535,7 +1610,9 @@ def execute_search(
 
     res = {"hits": hits, "aggregations": aggregations}
     if body.get("suggest"):
-        res["suggest"] = execute_suggest(df, body["suggest"])
+        res["suggest"] = execute_suggest(
+            df, body["suggest"], vocabs=suggest_vocabs, bigrams=suggest_bigrams
+        )
     return res
 
 

@@ -637,12 +637,24 @@ class FlightsEtlPipeline:
                 shutil.rmtree(dst)
             shutil.copytree(src, dst)
             done.append(route)
+        # OpenSearch snapshots include alias state by default; carry the
+        # alias registry alongside the tables (and drop a stale copy if
+        # there are no live aliases — snapshots replace wholesale).
+        live_aliases = os.path.join(self.cfg.index_root, "_aliases.json")
+        snap_aliases = os.path.join(snapshot_dir, "_aliases.json")
+        if self.get_aliases():
+            os.makedirs(snapshot_dir, exist_ok=True)
+            shutil.copy2(live_aliases, snap_aliases)
+        elif os.path.isfile(snap_aliases):
+            os.remove(snap_aliases)
         return done
 
     def restore(self, snapshot_dir: str, pattern: str = "*") -> list[str]:
         """Restore snapshotted index tables over the live ones (the
         public restore contract: the index returns to the snapshot
-        state; writes after the snapshot are gone)."""
+        state; writes after the snapshot are gone). Alias state rides
+        along when the snapshot carries it (``include_aliases`` public
+        default), replacing the live registry wholesale."""
         import fnmatch
         import shutil
 
@@ -658,6 +670,12 @@ class FlightsEtlPipeline:
                 shutil.rmtree(dst)
             shutil.copytree(src, dst)
             done.append(route)
+        snap_aliases = os.path.join(snapshot_dir, "_aliases.json")
+        if os.path.isfile(snap_aliases):
+            os.makedirs(self.cfg.index_root, exist_ok=True)
+            shutil.copy2(
+                snap_aliases, os.path.join(self.cfg.index_root, "_aliases.json")
+            )
         return done
 
     def multi_index_view(self, pattern: str = "*") -> DataFrame | None:

@@ -1261,6 +1261,66 @@ def test_phrase_suggest_through_execute_search(phrase_docs):
     assert res["suggest"]["fix"][0]["options"][0]["text"] == "spark streaming"
 
 
+def test_phrase_suggest_candidate_collect_is_capped(spark):
+    """A short input term matching a large vocabulary slice must not
+    pull the whole slice to the driver: candidates are capped per term
+    by corpus frequency — and the frequent true correction survives."""
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import phrase_suggest
+
+    # 300 one-edit decoys of 'spark' (sparkN...) + the real term with
+    # high frequency
+    rows = [(i, f"spark{i:03d} noise") for i in range(300)]
+    rows += [(1000 + i, "spark streaming") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    opts = phrase_suggest(df, "text", "spak streaming", size=1)
+    assert opts[0]["text"] == "spark streaming"
+
+
+def test_multiple_suggesters_share_one_vocabulary(phrase_docs):
+    """Several suggesters over the same field in one request: results
+    must match standalone runs (the vocabulary is computed once and
+    shared — behavioral equivalence is the contract)."""
+    body = {
+        "size": 0,
+        "suggest": {
+            "t1": {"text": "spak", "term": {"field": "text"}},
+            "t2": {"text": "streeming", "term": {"field": "text"}},
+            "p1": {"text": "spak streeming", "phrase": {"field": "text"}},
+        },
+    }
+    res = execute_search(phrase_docs, body)["suggest"]
+    assert res["t1"][0]["options"][0]["text"] == "spark"
+    assert res["t2"][0]["options"][0]["text"] == "streaming"
+    assert res["p1"][0]["options"][0]["text"] == "spark streaming"
+
+
+def test_suggest_accepts_persisted_vocab_frames(phrase_docs):
+    """A standing corpus passes prebuilt vocab/bigram frames through
+    execute_search; results must equal the per-request build."""
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        bigram_model,
+        vocabulary,
+    )
+
+    v = vocabulary(phrase_docs, "text").persist()
+    b = bigram_model(phrase_docs, "text").persist()
+    try:
+        body = {
+            "size": 0,
+            "suggest": {"fix": {"text": "spak streeming",
+                                "phrase": {"field": "text"}}},
+        }
+        fresh = execute_search(phrase_docs, body)["suggest"]
+        reused = execute_search(
+            phrase_docs, body,
+            suggest_vocabs={"text": v}, suggest_bigrams={"text": b},
+        )["suggest"]
+        assert fresh == reused
+    finally:
+        v.unpersist()
+        b.unpersist()
+
+
 def test_knn_zero_norm_vectors_excluded_not_crashing(spark):
     rows = [
         (0, [1.0, 0.0]),
@@ -1424,6 +1484,36 @@ def test_rescore_script_over_filter_primary(qs_docs):
     }
     hits = execute_search(qs_docs, body)["hits"].collect()
     assert [r.doc_id for r in hits] == [3, 1, 0]  # n desc: 55, 25, 10
+
+
+def test_rescore_pages_over_one_rescored_ordering(qs_docs):
+    """Public contract: rescore the top window FIRST, then paginate —
+    pages must partition one rescored ordering, not each be rescored
+    independently (which reorders page contents for from > 0)."""
+    base = {
+        "query": {"exists": {"field": "doc_id"}},
+        "sort": [{"doc_id": "asc"}],
+        "rescore": {"query": {"rescore_query": {"script": "CAST(n AS DOUBLE)"}},
+                    "window_size": 4},
+    }
+    whole = execute_search(qs_docs, dict(base, size=4))["hits"].collect()
+    p0 = execute_search(qs_docs, dict(base, size=2))["hits"].collect()
+    p1 = execute_search(qs_docs, {**base, "from": 2, "size": 2})["hits"].collect()
+    assert [r.doc_id for r in p0] + [r.doc_id for r in p1] == \
+        [r.doc_id for r in whole]
+
+
+def test_track_scores_tiebreak_skips_nested_maps(spark):
+    """A nested map (array<map<...>>) is unhashable too — the BM25
+    tie-break hash must skip it, not fail analysis."""
+    df = spark.createDataFrame(
+        [(1, "spark engine", [{"k": "v"}]), (2, "spark core", [{"a": "b"}])],
+        "doc_id long, text string, meta array<map<string,string>>",
+    )
+    hits = execute_search(
+        df, {"query": {"match": {"text": "spark"}}, "track_scores": True}
+    )["hits"].collect()
+    assert len(hits) == 2 and all(r._score > 0 for r in hits)
 
 
 def test_source_true_is_noop_and_false_keeps_metadata(items):

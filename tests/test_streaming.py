@@ -586,6 +586,31 @@ def test_aliases_and_snapshot_restore(spark, pipeline, tmp_path):
     assert pipeline.index_view("fare").count() == n_before
 
 
+def test_snapshot_carries_alias_state(spark, pipeline, tmp_path):
+    """OpenSearch snapshots include aliases by default; a restore must
+    bring back alias state too, not just index tables."""
+    items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    pipeline.bootstrap(items)
+    pipeline.put_alias("all-travel", "fare,flight")
+    snap = str(tmp_path / "snap")
+    pipeline.snapshot(snap)
+    # losing the alias after the snapshot...
+    pipeline.delete_alias("all-travel")
+    with pytest.raises(ValueError):
+        pipeline.multi_index_view("all-travel")
+    # ...restore brings it back along with the tables
+    pipeline.restore(snap)
+    assert pipeline.get_aliases() == {"all-travel": "fare,flight"}
+    assert pipeline.multi_index_view("all-travel").count() == 35
+    # a later alias-free snapshot replaces wholesale: stale snapshot
+    # alias file must not survive
+    pipeline.delete_alias("all-travel")
+    pipeline.snapshot(snap)
+    import os as _os
+
+    assert not _os.path.exists(_os.path.join(snap, "_aliases.json"))
+
+
 def test_snapshot_replaces_stale_files_and_covers_reindexed(spark, pipeline, tmp_path):
     items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
     pipeline.bootstrap(items)
