@@ -197,6 +197,70 @@ def more_like_this(
     return df.filter(pred)
 
 
+def decay_score(
+    kind: str,
+    value: Column,
+    origin: float,
+    scale: float,
+    offset: float = 0.0,
+    decay: float = 0.5,
+) -> Column:
+    """``function_score`` decay curve over a numeric distance — the
+    public gauss/exp/linear contract:
+
+        dist      = max(0, |value − origin| − offset)
+        gauss     = exp(−dist² / 2σ²),  σ² = −scale² / (2·ln decay)
+        exp       = exp(ln(decay)/scale · dist)
+        linear    = max(0, (s − dist)/s),  s = scale / (1 − decay)
+
+    so the curve is 1 inside ``offset`` of the origin and exactly
+    ``decay`` at distance ``scale``. Dates decay by passing a day/ms
+    distance column (e.g. ``F.datediff``) as ``value`` with a numeric
+    origin — same shape as the public date variant. Pure column
+    arithmetic: no extra pass, no shuffle, codegen-friendly. A NULL
+    value yields NULL (callers treat missing as decay 1.0 — see
+    :func:`apply_decay`)."""
+    import math
+
+    if not (0.0 < decay < 1.0):
+        raise ValueError(f"decay must be in (0, 1), got {decay}")
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    dist = F.greatest(
+        F.abs(value.cast("double") - F.lit(float(origin))) - F.lit(float(offset)),
+        F.lit(0.0),
+    )
+    if kind == "gauss":
+        sigma2 = -(float(scale) ** 2) / (2.0 * math.log(decay))
+        return F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+    if kind == "exp":
+        lam = math.log(decay) / float(scale)
+        return F.exp(F.lit(lam) * dist)
+    if kind == "linear":
+        s = float(scale) / (1.0 - decay)
+        return F.greatest((F.lit(s) - dist) / F.lit(s), F.lit(0.0))
+    raise ValueError(f"unsupported decay kind {kind!r} (gauss/exp/linear)")
+
+
+def apply_decay(
+    scored: DataFrame,
+    kind: str,
+    field: str | Column,
+    origin: float,
+    scale: float,
+    offset: float = 0.0,
+    decay: float = 0.5,
+) -> DataFrame:
+    """``function_score`` decay applied multiplicatively to ``_score``
+    (multiply boost_mode, the public default). Documents missing the
+    field keep their score (decay 1.0), per the public contract."""
+    value = F.col(field) if isinstance(field, str) else field
+    d = decay_score(kind, value, origin, scale, offset, decay)
+    return scored.withColumn(
+        "_score", F.col("_score") * F.coalesce(d, F.lit(1.0))
+    )
+
+
 def field_value_factor(
     scored: DataFrame,
     field: str,

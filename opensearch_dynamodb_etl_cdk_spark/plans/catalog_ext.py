@@ -1509,6 +1509,88 @@ def bm25_ranked_search(spark, sf_dir):
     )
 
 
+_GAUSS_SIGMA2 = -(2000.0**2) / (2.0 * __import__("math").log(0.5))
+_EXP_LAMBDA = __import__("math").log(0.5) / 2000.0
+
+
+@register(
+    "function_score_decay_linear",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           (60.0 - GREATEST(CAST(ABS(datediff('day', DATE '1995-06-17',
+                                              o_orderdate)) AS DOUBLE) - 7.0,
+                            0.0)) / 60.0 AS decay_score
+    FROM orders
+    WHERE ABS(datediff('day', DATE '1995-06-17', o_orderdate)) <= 60
+    """,
+    doc="function_score LINEAR date decay (operators/relevance.py::"
+    "decay_score): score 1 within offset=7 days of the origin, exactly "
+    "decay=0.5 at scale=30 days, hitting 0 at scale/(1-decay)=60 — the "
+    "public decay contract as pure column arithmetic over a datediff "
+    "distance (bit-exact vs the oracle: no transcendental functions in "
+    "the linear curve). No extra pass, no shuffle; the date band filter "
+    "pushes into the scan.",
+    tags=("dsl", "ranking", "function_score"),
+)
+def function_score_decay_linear(spark, sf_dir):
+    from ..operators.relevance import decay_score
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    d = F.datediff(F.col("o_orderdate"), F.lit("1995-06-17").cast("date"))
+    return (
+        o.filter(F.abs(d) <= 60)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            decay_score("linear", d, origin=0.0, scale=30.0,
+                        offset=7.0, decay=0.5).alias("decay_score"),
+        )
+    )
+
+
+@register(
+    "function_score_decay_gauss_exp",
+    oracle=f"""
+    WITH d AS (
+      SELECT c_custkey,
+             GREATEST(ABS(CAST(c_acctbal AS DOUBLE) - 5000.0) - 100.0, 0.0)
+               AS dist
+      FROM customer)
+    SELECT c_custkey,
+           ROUND(EXP(-(dist * dist) / {2.0 * _GAUSS_SIGMA2!r}), 6)
+             AS gauss_score,
+           ROUND(EXP({_EXP_LAMBDA!r} * dist), 6) AS exp_score
+    FROM d
+    """,
+    doc="function_score GAUSS and EXP numeric decay over customer "
+    "account balance (origin 5000, offset 100, scale 2000, decay 0.5): "
+    "the public curves — exp(-dist²/2σ²) with σ² = -scale²/(2·ln decay), "
+    "and exp(ln(decay)/scale · dist). Scores rounded to 6 decimals on "
+    "both sides (transcendental last-ulp differences between libm "
+    "implementations are below that). Pure column arithmetic, zero "
+    "extra passes.",
+    tags=("dsl", "ranking", "function_score"),
+)
+def function_score_decay_gauss_exp(spark, sf_dir):
+    from ..operators.relevance import decay_score
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.round(
+            decay_score("gauss", bal, origin=5000.0, scale=2000.0,
+                        offset=100.0, decay=0.5),
+            6,
+        ).alias("gauss_score"),
+        F.round(
+            decay_score("exp", bal, origin=5000.0, scale=2000.0,
+                        offset=100.0, decay=0.5),
+            6,
+        ).alias("exp_score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN + salted skew aggregation
 # ---------------------------------------------------------------------------

@@ -75,6 +75,67 @@ def test_bm25_empty_query_raises(corpus):
         score_match_bm25(corpus, "text", "...")
 
 
+def test_decay_curves_match_public_contract(spark):
+    """gauss/exp/linear each: 1 inside offset, exactly `decay` at
+    distance scale, monotonically decreasing beyond."""
+    from opensearch_dynamodb_etl_cdk_spark.operators.relevance import decay_score
+
+    vals = [(float(v),) for v in (0, 50, 100, 1100, 2100, 3100, 5000)]
+    df = spark.createDataFrame(vals, "v double")
+    for kind in ("gauss", "exp", "linear"):
+        out = {
+            r.v: r.s
+            for r in df.select(
+                "v",
+                decay_score(kind, F.col("v"), origin=0.0, scale=1000.0,
+                            offset=100.0, decay=0.5).alias("s"),
+            ).collect()
+        }
+        assert out[0.0] == out[50.0] == out[100.0] == 1.0  # inside offset
+        assert out[1100.0] == pytest.approx(0.5, rel=1e-12)  # decay @ scale
+        seq = [out[v] for v in (100.0, 1100.0, 2100.0, 3100.0, 5000.0)]
+        assert all(a > b or (a == b == 0.0) for a, b in zip(seq, seq[1:]))
+    # closed-form spot checks at dist=2000 (2x scale)
+    g = {r.v: r.s for r in df.select("v", decay_score(
+        "gauss", F.col("v"), 0.0, 1000.0, 100.0, 0.5).alias("s")).collect()}
+    assert g[2100.0] == pytest.approx(0.5 ** 4, rel=1e-9)  # exp(-4σ²/2σ²)... = decay^(d/s)²
+    e = {r.v: r.s for r in df.select("v", decay_score(
+        "exp", F.col("v"), 0.0, 1000.0, 100.0, 0.5).alias("s")).collect()}
+    assert e[2100.0] == pytest.approx(0.25, rel=1e-9)  # decay^(d/s)
+    lin = {r.v: r.s for r in df.select("v", decay_score(
+        "linear", F.col("v"), 0.0, 1000.0, 100.0, 0.5).alias("s")).collect()}
+    assert lin[2100.0] == 0.0  # past the zero point s = 2000
+    assert lin[1100.0] == 0.5
+
+
+def test_apply_decay_multiplies_score_and_defaults_missing_to_one(corpus, spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.relevance import apply_decay
+
+    scored = score_match_bm25(corpus, "text", "rare")
+    base = {r.doc_id: r._score for r in scored.collect()}
+    out = apply_decay(scored, "linear", "boost", origin=4.0, scale=1.0,
+                      offset=0.0, decay=0.5)
+    got = {r.doc_id: r._score for r in out.collect()}
+    assert got[2] == pytest.approx(base[2])  # boost=4.0 == origin → decay 1
+    # a NULL field keeps the primary score (missing → 1.0)
+    with_null = spark.createDataFrame(
+        [(9, None, 2.0)], "doc_id long, boost double, _score double"
+    )
+    kept = apply_decay(with_null, "gauss", "boost", 0.0, 1.0).collect()
+    assert kept[0]._score == 2.0
+
+
+def test_decay_rejects_bad_params(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.relevance import decay_score
+
+    with pytest.raises(ValueError):
+        decay_score("gauss", F.lit(1.0), 0.0, 1000.0, decay=1.0)
+    with pytest.raises(ValueError):
+        decay_score("gauss", F.lit(1.0), 0.0, -5.0)
+    with pytest.raises(ValueError):
+        decay_score("cosine", F.lit(1.0), 0.0, 1000.0)
+
+
 def test_field_value_factor_modifiers(corpus):
     scored = score_match_bm25(corpus, "text", "rare")
     base = {r.doc_id: r._score for r in scored.collect()}
