@@ -4,22 +4,28 @@ near-duplicate groups (driver charter, SURVEY §2.10 E2: a near-dup
 transitive closure "which documents form one duplicate cluster" so a
 single survivor per cluster can be kept).
 
-Algorithm: iterative min-label propagation. Every node starts labeled
-with itself; each round a node adopts the minimum of its own label and
-its neighbors' labels; fixpoint = every node carries the minimum node
-id of its component. Rounds needed = graph diameter (near-dup clusters
-are shallow — duplicates of a common source connect within 1–2 hops).
+Algorithm: alternating large-star / small-star contraction (Kiveris et
+al., "Connected Components in MapReduce and Beyond", 2014) — the
+published O(log² n)-round algorithm, robust to adversarial diameters:
+
+* large-star(u): every neighbor LARGER than u re-attaches to
+  m = min(N(u) ∪ {u}) — long tails collapse toward small ids;
+* small-star(u): every neighbor ≤ u (and u itself) attaches to the
+  minimum neighbor — stars flatten so each node points at its
+  component's current minimum.
+
+At the fixpoint every edge is (node, component-min) and the label read
+is a projection. Naive min-label propagation needs diameter rounds — a
+million-node chain is a million joins; star contraction roughly halves
+chains every round.
 
 Scale notes (100 TB): the driver loop is control flow only — each
-round is one distributed join + groupBy keyed on node id, shuffle
-linear in |edges|. `localCheckpoint` truncates lineage so plans don't
-grow with iteration count. For adversarial graphs (long chains) the
-round count grows with diameter; the published fix is large-star /
-small-star contraction (Kiveris et al., "Connected Components in
-MapReduce and Beyond") which converges in O(log² n) — the loop body
-here is the building block either way. Convergence is detected with a
-`limit(1).count()` on changed labels, so the check short-circuits and
-never materializes a full diff.
+round is two keyed groupBy/join passes, shuffle linear in |edges|,
+edges always carried canonically as (larger, smaller) so the frames
+stay narrow and `distinct` bounds growth. `localCheckpoint` truncates
+lineage per round. Convergence = the canonical edge set is unchanged
+(two `exceptAll(...).limit(1)` probes that short-circuit without
+materializing a full diff).
 """
 
 from __future__ import annotations
@@ -28,60 +34,88 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round over a canonical (a > b) edge frame:
+    for each node, neighbors larger than it re-attach to the minimum
+    of its closed neighborhood. Output is canonical again."""
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = sym.groupBy("a").agg(
+        F.least(F.col("a"), F.min("b")).alias("m")
+    )
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: every node (and each of its ≤ neighbors)
+    attaches to its minimum neighbor. Input/output canonical (a > b)."""
+    mins = e.groupBy("a").agg(F.min("b").alias("m"))
+    out = (
+        e.join(mins, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .union(mins.select(F.col("a"), F.col("m").alias("b")))
+    )
+    return out.filter(F.col("a") != F.col("b")).distinct()
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Label every node that appears in ``pairs`` with the minimum node
     id reachable from it. Returns ``(node, component_id)``.
 
     ``pairs`` is an undirected edge list (one row per pair, either
-    orientation); isolated nodes (no edges) are not labeled — callers
+    orientation); self-loops are ignored for contraction but their
+    nodes are still labeled (with themselves, if isolated). Isolated
+    nodes never appearing in ``pairs`` are not labeled — callers
     wanting them keep ``coalesce(component_id, node)`` after a left
     join.
     """
-    fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = fwd.union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    # cache the edge list: it is re-joined every round
-    sym = sym.localCheckpoint()
-
-    labels = (
-        sym.select(F.col("a").alias("node"))
+    raw = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    nodes = (
+        raw.select("a")
+        .union(raw.select(F.col("b").alias("a")))
         .distinct()
-        .select("node", F.col("node").alias("component_id"))
+        .select(F.col("a").alias("node"))
+        .localCheckpoint()
+    )
+    # canonical (larger, smaller) distinct edge set
+    e = (
+        raw.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
         .localCheckpoint()
     )
 
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("component_id").alias("nbr_min"))
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        unchanged = (
+            e2.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(e2).limit(1).count() == 0
         )
-        new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
-            .select(
-                labels["node"],
-                F.least(
-                    labels["component_id"],
-                    F.coalesce(nbr_min["nbr_min"], labels["component_id"]),
-                ).alias("component_id"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        e = e2
+        if unchanged:
             break
-    return labels
+
+    # fixpoint edges are (member, component-min); roots and isolated
+    # nodes label themselves
+    member = e.groupBy(F.col("a").alias("node")).agg(
+        F.min("b").alias("component_id")
+    )
+    return nodes.join(member, "node", "left").select(
+        "node",
+        F.coalesce(F.col("component_id"), F.col("node")).alias("component_id"),
+    )
 
 
 def component_sizes(labels: DataFrame) -> DataFrame:

@@ -49,6 +49,63 @@ def test_connected_components_merges_via_shared_node(spark):
     assert len(labels) == 5
 
 
+def test_connected_components_long_chain_few_rounds(spark):
+    """Adversarial diameter: a 256-node chain. Star contraction must
+    converge within ~2·log2(n) alternating rounds (max_iter=12 here) —
+    naive min-label propagation would need 255."""
+    n = 256
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(edges, max_iter=12).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_matches_union_find_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    n, m = 200, 150
+    pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    seen = {x for ab in pairs for x in ab}
+    # ground truth: min node id per component, over nodes in the edge list
+    comp_min: dict[int, int] = {}
+    for x in seen:
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    want = {x: comp_min[find(x)] for x in seen}
+
+    edges = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == want
+
+
+def test_connected_components_self_loops_and_isolated_pairs(spark):
+    edges = spark.createDataFrame([(1, 1), (2, 3)], ["id_a", "id_b"])
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2}
+
+
 def test_stratified_sample_is_deterministic_and_respects_strata(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     strata = {"en": 25, "fr": 50}
