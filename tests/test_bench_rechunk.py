@@ -1,0 +1,40 @@
+"""The bench's one-time fixture re-layout (bench.py::_rechunked) must be
+result-invariant: every headline query returns exactly the same rows
+from the re-chunked multi-file parquet as from the raw single-row-group
+fixture — re-chunking may only change task parallelism, never values
+(the ns-timestamp normalization in load_tables must survive the
+rewrite, partitioning-sensitive plans must stay deterministic)."""
+
+from __future__ import annotations
+
+import pytest
+
+import bench
+from opensearch_dynamodb_etl_cdk_spark.plans.catalog import CATALOG
+
+
+@pytest.fixture(scope="module")
+def rechunk_dir(spark, sf_dir, tmp_path_factory):
+    import os
+
+    root = str(tmp_path_factory.mktemp("rechunk"))
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    frames = load_tables(spark, sf_dir, bench.TABLES)
+    for t in bench.TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        n = max(1, min(32, os.path.getsize(src) // (256 * 1024)))
+        frames[t].repartition(int(n)).write.mode("overwrite").parquet(
+            os.path.join(root, f"{t}.parquet")
+        )
+    return root
+
+
+@pytest.mark.parametrize("name", bench.HEADLINE)
+def test_headline_query_invariant_under_rechunk(name, spark, sf_dir, rechunk_dir):
+    q = CATALOG[name]
+    raw = sorted((tuple(r) for r in q.fn(spark, sf_dir).collect()), key=repr)
+    re_ = sorted(
+        (tuple(r) for r in q.fn(spark, rechunk_dir).collect()), key=repr
+    )
+    assert raw == re_, f"{name}: first diff {next((a, b) for a, b in zip(raw, re_) if a != b) if raw and re_ else (len(raw), len(re_))}"

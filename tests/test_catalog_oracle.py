@@ -81,3 +81,25 @@ def test_rows_only_runs(name, spark, sf_dir):
     sdf = q.fn(spark, sf_dir)
     assert sdf.count() >= 0
     assert len(sdf.columns) > 0
+
+
+def test_every_registered_query_is_enumerated_here():
+    """Registration ↔ test-parametrization parity: every query the
+    driver can sample from __spark_entry__ must appear in exactly one
+    of the two parametrized suites above, so none can silently escape
+    the local mirror (the driver itself samples only a 50-name subset
+    per round)."""
+    import __spark_entry__ as entry
+
+    driver_names = set(entry.queries())
+    assert driver_names == set(CATALOG), (
+        "driver contract and CATALOG diverged: "
+        f"only-driver={sorted(driver_names - set(CATALOG))[:5]} "
+        f"only-catalog={sorted(set(CATALOG) - driver_names)[:5]}"
+    )
+    enumerated = set(ORACLE_QUERIES) | set(ROWS_ONLY_QUERIES)
+    assert enumerated == set(CATALOG)
+    oracle_names = set(entry.oracle_sql())
+    assert oracle_names == set(ORACLE_QUERIES)
+    # regression floor: the catalog must not silently shrink
+    assert len(CATALOG) >= 150, len(CATALOG)

@@ -334,6 +334,78 @@ def test_tombstones_block_stale_resurrection(spark, tmp_path):
     assert pipeline.index_view("fare").count() == 21
 
 
+def test_tombstone_churn_with_compaction_stays_bounded(spark, tmp_path):
+    """Long INSERT→REMOVE churn on one key with keep_tombstones=True:
+    periodic compaction must keep the index's file count AND on-disk
+    bytes bounded — per-key upsert means churn rewrites one latest-state
+    row, never accumulates history rows, and compact() folds the small
+    merge files back down."""
+    cfg = PipelineConfig(
+        index_root=str(tmp_path / "indexes"),
+        checkpoint_root=str(tmp_path / "chk"),
+        keep_tombstones=True,
+    )
+    pipeline = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    pipeline.bootstrap(items)
+    first = json.loads(gen_corpus()[0])
+    pk, sk = first["PK"]["S"], first["SK"]["S"]
+    mid = f"{pk}|{sk}"
+
+    def event(seq, name, image):
+        return {
+            "seq": seq, "event_name": name, "event_ts": "2021-09-01T00:00:00",
+            "pk": pk, "sk": sk,
+            "new_image_json": json.dumps(image, sort_keys=True) if image else None,
+        }
+
+    def stats():
+        root = os.path.join(cfg.index_root, "fare")
+        files = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        return len(files), sum(os.path.getsize(p) for p in files)
+
+    observed = []
+    seq = 1000
+    for cycle in range(8):
+        pipeline._apply_batch(
+            pipeline.transform_cdc(
+                spark.createDataFrame([event(seq, "REMOVE", None)], CDC_SCHEMA)
+            ),
+            epoch_id=10 + 2 * cycle,
+        )
+        pipeline._apply_batch(
+            pipeline.transform_cdc(
+                spark.createDataFrame(
+                    [event(seq + 1, "INSERT", first)], CDC_SCHEMA
+                )
+            ),
+            epoch_id=11 + 2 * cycle,
+        )
+        seq += 2
+        if cycle % 2 == 1:  # periodic compaction, off the hot path
+            pipeline.compact("fare")
+            observed.append(stats())
+
+    # live state correct after all the churn (key ends alive)
+    assert pipeline.index_view("fare").filter(F.col("_id") == mid).count() == 1
+    assert pipeline.index_view("fare").count() == 22
+    # exactly one raw row per key — churn never accumulates history
+    raw = pipeline.read_index("fare")
+    assert raw.count() == raw.select("_id").distinct().count() == 22
+
+    # bounded growth: post-compaction file count and bytes are flat
+    # (not monotonically growing with churn cycles)
+    n_files = [n for n, _ in observed]
+    n_bytes = [b for _, b in observed]
+    assert max(n_files) == min(n_files), n_files
+    assert max(n_bytes) <= int(min(n_bytes) * 1.1), n_bytes
+
+
 def test_unrouted_items_not_in_indexes(spark, pipeline):
     """R3 parity: assignment/booking items reach no index table."""
     items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
