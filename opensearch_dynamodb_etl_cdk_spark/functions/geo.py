@@ -1,0 +1,117 @@
+"""Geo primitives for the DSL's geo tier (SURVEY §2.7 extension).
+
+OpenSearch geo_point queries (geo_distance / geo_bounding_box / geo
+sort) over a struct column carrying ``lat``/``lon`` degree fields —
+the engine's geo_point analog. Everything is pure Column arithmetic
+(haversine great-circle distance on the WGS84 mean radius), so geo
+predicates stay inside whole-stage codegen and push as far as Catalyst
+can take ordinary comparisons; there is no geo index tier (OpenSearch
+uses BKD trees) — at 100 TB the coarse pre-filter is the bounding box,
+which IS pushable to the scan, with the exact haversine refining the
+candidates, mirroring the classic bbox→exact two-phase geo plan.
+
+No antimeridian (±180°) wrapping in the bounding box: boxes are taken
+as plain coordinate intervals, the common case; a crossing box can be
+expressed as the OR of two boxes by the caller.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
+
+_UNIT_KM = {
+    "km": 1.0,
+    "kilometers": 1.0,
+    "m": 0.001,
+    "meters": 0.001,
+    "mi": 1.609344,
+    "miles": 1.609344,
+    "nmi": 1.852,
+    "nauticalmiles": 1.852,
+    "yd": 0.0009144,
+    "yards": 0.0009144,
+    "ft": 0.0003048,
+    "feet": 0.0003048,
+}
+
+_DISTANCE_RE = re.compile(r"^\s*([0-9]*\.?[0-9]+)\s*([a-zA-Z]*)\s*$")
+
+
+def parse_distance_km(distance: str | float | int) -> float:
+    """Public distance-string grammar: a number with an optional unit
+    suffix (``500km``, ``10mi``, ``2500``); bare numbers are meters,
+    matching the OpenSearch default unit."""
+    if isinstance(distance, (int, float)):
+        return float(distance) * _UNIT_KM["m"]
+    m = _DISTANCE_RE.match(str(distance))
+    if not m:
+        raise ValueError(f"unparseable distance {distance!r}")
+    value, unit = float(m.group(1)), (m.group(2) or "m").lower()
+    if unit not in _UNIT_KM:
+        raise ValueError(f"unknown distance unit {unit!r} in {distance!r}")
+    return value * _UNIT_KM[unit]
+
+
+def parse_point(p) -> tuple[float, float]:
+    """(lat, lon) from the public geo_point formats: an object
+    ``{"lat": .., "lon": ..}``, a string ``"lat,lon"``, or a GeoJSON
+    array ``[lon, lat]`` (note the reversed order, per the spec)."""
+    if isinstance(p, dict):
+        return float(p["lat"]), float(p["lon"])
+    if isinstance(p, str):
+        lat_s, lon_s = p.split(",")
+        return float(lat_s), float(lon_s)
+    if isinstance(p, (list, tuple)) and len(p) == 2:
+        return float(p[1]), float(p[0])  # GeoJSON: [lon, lat]
+    raise ValueError(f"unparseable geo point {p!r}")
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in km between two (degree) coordinate
+    pairs — the standard haversine formula as codegen-able arithmetic."""
+    phi1, phi2 = F.radians(lat1), F.radians(lat2)
+    dphi = F.radians(lat2 - lat1) / 2.0
+    dlmb = F.radians(lon2 - lon1) / 2.0
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(phi1) * F.cos(phi2) * F.sin(dlmb) * F.sin(dlmb)
+    )
+    # clamp against rounding drift above 1.0 (antipodal points)
+    return (
+        F.lit(2.0 * EARTH_RADIUS_KM)
+        * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+    )
+
+
+def geo_distance_pred(
+    lat: Column, lon: Column, origin_lat: float, origin_lon: float,
+    distance: str | float,
+) -> Column:
+    """``geo_distance`` filter predicate: within ``distance`` of the
+    origin (inclusive, as the public query is)."""
+    return haversine_km(
+        lat, lon, F.lit(float(origin_lat)), F.lit(float(origin_lon))
+    ) <= F.lit(parse_distance_km(distance))
+
+
+def bounding_box_pred(
+    lat: Column, lon: Column,
+    top_left: tuple[float, float], bottom_right: tuple[float, float],
+) -> Column:
+    """``geo_bounding_box`` predicate — four plain comparisons, fully
+    pushable. Corners are (lat, lon) pairs; no antimeridian wrap."""
+    top, left = float(top_left[0]), float(top_left[1])
+    bottom, right = float(bottom_right[0]), float(bottom_right[1])
+    return (
+        (lat <= F.lit(top))
+        & (lat >= F.lit(bottom))
+        & (lon >= F.lit(left))
+        & (lon <= F.lit(right))
+    )

@@ -588,6 +588,51 @@ def compile_query(q: dict[str, Any], allow_unsafe_scripts: bool = False) -> Colu
             script = inner
         return safe_expr(script).cast("boolean")
 
+    if kind == "geo_distance":
+        # geo_distance over a geo_point struct column (lat/lon degree
+        # fields): exact haversine predicate — codegen arithmetic, no
+        # geo index tier; see functions/geo.py for the scale shape
+        # (pushable bbox pre-filter + exact refine).
+        from ..functions.geo import geo_distance_pred, parse_point
+
+        spec = dict(body)
+        distance = spec.pop("distance")
+        for ignored in ("distance_type", "validation_method", "unit",
+                        "ignore_unmapped", "_name"):
+            spec.pop(ignored, None)
+        (field, point), = spec.items()
+        lat0, lon0 = parse_point(point)
+        return geo_distance_pred(
+            F.col(f"{field}.lat"), F.col(f"{field}.lon"), lat0, lon0, distance
+        )
+
+    if kind == "geo_bounding_box":
+        # four pushable comparisons; corners accepted in either
+        # top_left/bottom_right or top_right/bottom_left form, plus the
+        # flat top/left/bottom/right shape.
+        from ..functions.geo import bounding_box_pred, parse_point
+
+        spec = dict(body)
+        for ignored in ("validation_method", "type", "ignore_unmapped",
+                        "_name"):
+            spec.pop(ignored, None)
+        (field, box), = spec.items()
+        if "top_left" in box:
+            tl = parse_point(box["top_left"])
+            br = parse_point(box["bottom_right"])
+        elif "top_right" in box:
+            tr = parse_point(box["top_right"])
+            bl = parse_point(box["bottom_left"])
+            tl, br = (tr[0], bl[1]), (bl[0], tr[1])
+        elif "top" in box:
+            tl = (float(box["top"]), float(box["left"]))
+            br = (float(box["bottom"]), float(box["right"]))
+        else:
+            raise ValueError(f"geo_bounding_box needs corner keys, got {box}")
+        return bounding_box_pred(
+            F.col(f"{field}.lat"), F.col(f"{field}.lon"), tl, br
+        )
+
     if kind == "match_bool_prefix":
         # all terms match analyzed except the last, which matches as a
         # prefix of any token (search-as-you-type). `operator` follows
@@ -793,11 +838,34 @@ def _sort_fields(sort_spec) -> list[tuple[str, bool]]:
     return out
 
 
+def _geo_sort_col(spec: dict) -> Column:
+    """``_geo_distance`` sort entry: order hits by haversine distance
+    from a point (unit affects only reported values, not ordering —
+    and only the ordering matters here)."""
+    from ..functions.geo import haversine_km, parse_point
+
+    spec = dict(spec)
+    order = spec.pop("order", "asc")
+    for ignored in ("unit", "distance_type", "mode", "ignore_unmapped"):
+        spec.pop(ignored, None)
+    (field, point), = spec.items()
+    lat0, lon0 = parse_point(point)
+    km = haversine_km(
+        F.col(f"{field}.lat"), F.col(f"{field}.lon"),
+        F.lit(lat0), F.lit(lon0),
+    )
+    return km.desc() if order == "desc" else km.asc()
+
+
 def _sort_cols(sort_spec) -> list[Column]:
-    return [
-        F.col(f).desc() if desc else F.col(f).asc()
-        for f, desc in _sort_fields(sort_spec)
-    ]
+    cols = []
+    for s in sort_spec:
+        if isinstance(s, dict) and "_geo_distance" in s:
+            cols.append(_geo_sort_col(s["_geo_distance"]))
+            continue
+        for f, desc in _sort_fields([s]):
+            cols.append(F.col(f).desc() if desc else F.col(f).asc())
+    return cols
 
 
 def _search_after_pred(sort_spec, values) -> Column:

@@ -1509,6 +1509,115 @@ def bm25_ranked_search(spark, sf_dir):
     )
 
 
+# Deterministic synthetic geo_point per customer (coordinates quantized
+# to 0.01°; closed-form in c_custkey so the DuckDB oracle recomputes
+# them exactly). The flights fixture carries no geo fields, so the geo
+# tier synthesizes its own — same pattern as the multimodal decode
+# queries.
+_GEO_LAT = "((c_custkey * 7919) % 18000) / 100.0 - 90.0"
+_GEO_LON = "((c_custkey * 104729) % 36000) / 100.0 - 180.0"
+_GEO_DIST_SQL = (
+    "2 * 6371.0088 * ASIN(SQRT(LEAST("
+    "SIN(RADIANS(40.7128 - lat) / 2) * SIN(RADIANS(40.7128 - lat) / 2)"
+    " + COS(RADIANS(lat)) * COS(RADIANS(40.7128))"
+    " * SIN(RADIANS(-74.006 - lon) / 2) * SIN(RADIANS(-74.006 - lon) / 2)"
+    ", 1.0)))"
+)
+
+
+def _geo_points(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")["customer"]
+    lat = ((F.col("c_custkey") * 7919) % 18000) / 100.0 - 90.0
+    lon = ((F.col("c_custkey") * 104729) % 36000) / 100.0 - 180.0
+    return c.select(
+        "c_custkey",
+        F.struct(lat.alias("lat"), lon.alias("lon")).alias("location"),
+    )
+
+
+@register(
+    "geo_distance_search",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM customer)
+    SELECT c_custkey, ROUND({_GEO_DIST_SQL}, 6) AS distance_km
+    FROM pts WHERE {_GEO_DIST_SQL} <= 3000.0
+    """,
+    doc="geo_distance DSL query (operators/search.py + functions/geo.py): "
+    "customers whose synthesized geo_point lies within 3000 km of NYC, "
+    "exact haversine as codegen column arithmetic — no geo index tier; "
+    "the scale shape is a pushable bounding-box pre-filter refining with "
+    "the exact distance. Reported distances rounded to 6 decimals on "
+    "both sides (libm last-ulp tolerance).",
+    tags=("dsl", "geo"),
+)
+def geo_distance_search(spark, sf_dir):
+    from ..functions.geo import haversine_km
+    from ..operators.search import execute_search
+
+    pts = _geo_points(spark, sf_dir)
+    hits = execute_search(
+        pts,
+        {"query": {"geo_distance": {
+            "distance": "3000km",
+            "location": {"lat": 40.7128, "lon": -74.006},
+        }}},
+    )["hits"]
+    return hits.select(
+        "c_custkey",
+        F.round(
+            haversine_km(
+                F.col("location.lat"), F.col("location.lon"),
+                F.lit(40.7128), F.lit(-74.006),
+            ),
+            6,
+        ).alias("distance_km"),
+    )
+
+
+@register(
+    "geo_bbox_nearest",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM customer)
+    SELECT c_custkey, lat, lon FROM pts
+    WHERE lat <= 60.0 AND lat >= 10.0 AND lon >= -120.0 AND lon <= -60.0
+    ORDER BY {_GEO_DIST_SQL} ASC, c_custkey ASC LIMIT 15
+    """,
+    doc="geo_bounding_box DSL filter (four pushable comparisons — the "
+    "predicate reaches the scan) composed with a _geo_distance sort: "
+    "the 15 in-box customers nearest NYC, tie-broken by key. "
+    "TakeOrderedAndProject over the filtered scan — never a full sort.",
+    tags=("dsl", "geo"),
+)
+def geo_bbox_nearest(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    pts = _geo_points(spark, sf_dir)
+    hits = execute_search(
+        pts,
+        {
+            "query": {"geo_bounding_box": {"location": {
+                "top_left": {"lat": 60.0, "lon": -120.0},
+                "bottom_right": {"lat": 10.0, "lon": -60.0},
+            }}},
+            "sort": [
+                {"_geo_distance": {
+                    "location": {"lat": 40.7128, "lon": -74.006},
+                    "order": "asc",
+                }},
+                {"c_custkey": "asc"},
+            ],
+            "size": 15,
+        },
+    )["hits"]
+    return hits.select(
+        "c_custkey",
+        F.col("location.lat").alias("lat"),
+        F.col("location.lon").alias("lon"),
+    )
+
+
 _GAUSS_SIGMA2 = -(2000.0**2) / (2.0 * __import__("math").log(0.5))
 _EXP_LAMBDA = __import__("math").log(0.5) / 2000.0
 

@@ -1321,6 +1321,113 @@ def test_suggest_accepts_persisted_vocab_frames(phrase_docs):
         b.unpersist()
 
 
+# --- geo tier -------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def geo_docs(spark):
+    # (id, lat, lon): NYC, London, Boston, Sydney, null island
+    rows = [
+        (0, 40.7128, -74.0060),
+        (1, 51.5074, -0.1278),
+        (2, 42.3601, -71.0589),
+        (3, -33.8688, 151.2093),
+        (4, 0.0, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "city_id long, lat double, lon double")
+    df = df.select(
+        "city_id",
+        F.struct(F.col("lat"), F.col("lon")).alias("location"),
+    ).cache()
+    df.count()
+    return df
+
+
+def test_geo_distance_filters_by_haversine(geo_docs):
+    # Boston is ~306 km from NYC; London ~5570 km; Sydney ~15990 km
+    body = {"query": {"geo_distance": {
+        "distance": "500km", "location": {"lat": 40.7128, "lon": -74.0060}}}}
+    got = {r.city_id for r in execute_search(geo_docs, body)["hits"].collect()}
+    assert got == {0, 2}
+    body["query"]["geo_distance"]["distance"] = "6000km"
+    got = {r.city_id for r in execute_search(geo_docs, body)["hits"].collect()}
+    assert got == {0, 1, 2}
+
+
+def test_geo_distance_point_formats_and_units(geo_docs):
+    from opensearch_dynamodb_etl_cdk_spark.functions.geo import (
+        parse_distance_km,
+        parse_point,
+    )
+
+    # the three public point shapes agree
+    for point in ({"lat": 40.7128, "lon": -74.006},
+                  "40.7128,-74.006",
+                  [-74.006, 40.7128]):  # GeoJSON order
+        assert parse_point(point) == (40.7128, -74.006)
+        body = {"query": {"geo_distance": {
+            "distance": "500km", "location": point}}}
+        got = {r.city_id
+               for r in execute_search(geo_docs, body)["hits"].collect()}
+        assert got == {0, 2}
+    # unit grammar: bare numbers are meters (public default)
+    assert parse_distance_km("500km") == 500.0
+    assert parse_distance_km("500000") == pytest.approx(500.0)
+    assert parse_distance_km(500000) == pytest.approx(500.0)
+    assert parse_distance_km("310.7mi") == pytest.approx(500.0, rel=1e-3)
+    with pytest.raises(ValueError):
+        parse_distance_km("12parsecs")
+
+
+def test_geo_bounding_box_corner_forms(geo_docs):
+    # box around the US northeast: catches NYC + Boston only
+    for box in (
+        {"top_left": {"lat": 45.0, "lon": -80.0},
+         "bottom_right": {"lat": 40.0, "lon": -70.0}},
+        {"top_right": {"lat": 45.0, "lon": -70.0},
+         "bottom_left": {"lat": 40.0, "lon": -80.0}},
+        {"top": 45.0, "left": -80.0, "bottom": 40.0, "right": -70.0},
+    ):
+        body = {"query": {"geo_bounding_box": {"location": box}}}
+        got = {r.city_id
+               for r in execute_search(geo_docs, body)["hits"].collect()}
+        assert got == {0, 2}, box
+
+
+def test_geo_distance_sort_orders_nearest_first(geo_docs):
+    body = {
+        "query": {"match_all": {}},
+        "sort": [{"_geo_distance": {
+            "location": {"lat": 40.7128, "lon": -74.0060},
+            "order": "asc", "unit": "km",
+        }}],
+    }
+    got = [r.city_id for r in execute_search(geo_docs, body)["hits"].collect()]
+    assert got == [0, 2, 1, 4, 3]  # NYC, Boston, London, null island, Sydney
+    body["sort"][0]["_geo_distance"]["order"] = "desc"
+    got = [r.city_id for r in execute_search(geo_docs, body)["hits"].collect()]
+    assert got == [3, 4, 1, 2, 0]
+
+
+def test_haversine_known_distance(spark):
+    from opensearch_dynamodb_etl_cdk_spark.functions.geo import haversine_km
+
+    df = spark.range(1)
+    # NYC ↔ London great-circle ≈ 5570 km; one degree on the equator
+    # ≈ 111.19 km; identical points = 0
+    row = df.select(
+        haversine_km(F.lit(40.7128), F.lit(-74.0060),
+                     F.lit(51.5074), F.lit(-0.1278)).alias("nyl"),
+        haversine_km(F.lit(0.0), F.lit(0.0),
+                     F.lit(0.0), F.lit(1.0)).alias("deg"),
+        haversine_km(F.lit(12.34), F.lit(56.78),
+                     F.lit(12.34), F.lit(56.78)).alias("zero"),
+    ).head()
+    assert row.nyl == pytest.approx(5570.2, abs=5.0)
+    assert row.deg == pytest.approx(111.19, abs=0.05)
+    assert row.zero == 0.0
+
+
 def test_knn_zero_norm_vectors_excluded_not_crashing(spark):
     rows = [
         (0, [1.0, 0.0]),
