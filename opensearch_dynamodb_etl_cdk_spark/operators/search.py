@@ -1020,6 +1020,176 @@ def _execute_knn(df: DataFrame, knn_body: dict[str, Any],
     return scored.orderBy(*order).limit(k)
 
 
+_FS_FUNCTION_KINDS = (
+    "weight", "field_value_factor", "script_score", "gauss", "exp", "linear"
+)
+
+
+def _fs_function_value(fn: dict[str, Any]) -> Column:
+    """One function_score function entry → its per-row value Column
+    (before the entry's ``weight`` multiplier)."""
+    from .relevance import decay_score
+
+    if "field_value_factor" in fn:
+        spec = fn["field_value_factor"]
+        v = F.coalesce(
+            F.col(spec["field"]).cast("double"),
+            F.lit(float(spec.get("missing", 1.0))),
+        ) * F.lit(float(spec.get("factor", 1.0)))
+        modifier = spec.get("modifier", "none")
+        if modifier == "log1p":
+            v = F.log(F.lit(1.0) + v)
+        elif modifier == "sqrt":
+            v = F.sqrt(v)
+        elif modifier == "square":
+            v = v * v
+        elif modifier == "reciprocal":
+            v = F.lit(1.0) / v
+        elif modifier != "none":
+            raise ValueError(f"unsupported fvf modifier {modifier!r}")
+        return v
+    if "script_score" in fn:
+        from ..functions.scripts import safe_expr
+
+        spec = fn["script_score"]
+        script = spec.get("script", spec) if isinstance(spec, dict) else spec
+        while isinstance(script, dict):
+            script = script.get("source", script.get("script"))
+        return safe_expr(script).cast("double")
+    for kind in ("gauss", "exp", "linear"):
+        if kind in fn:
+            (field, spec), = fn[kind].items()
+            return decay_score(
+                kind,
+                F.col(field),
+                origin=float(spec.get("origin", 0.0)),
+                scale=float(spec["scale"]),
+                offset=float(spec.get("offset", 0.0)),
+                decay=float(spec.get("decay", 0.5)),
+            )
+    # a bare {"filter": ..., "weight": w} entry: value 1 (the weight
+    # multiplier below supplies the boost)
+    if "weight" in fn or "filter" in fn:
+        return F.lit(1.0)
+    raise ValueError(
+        f"function_score entry needs one of {_FS_FUNCTION_KINDS}, got "
+        f"{sorted(fn)}"
+    )
+
+
+def _execute_function_score(df: DataFrame, fs: dict[str, Any]) -> DataFrame:
+    """``function_score`` query: filter by the inner query, then combine
+    per-document function values into ``_score`` per the public
+    contract — ``score_mode`` folds the values of the functions whose
+    ``filter`` matches (documents matching no function score 1),
+    ``max_boost`` clamps the combination, ``boost_mode`` merges it with
+    the primary query score, ``min_score`` prunes.
+
+    Primary score: BM25 when the inner query is a single ``match``
+    clause (corpus stats over the full frame, as track_scores); any
+    other inner query is filter-context and scores 1. Everything is a
+    single projection over the filtered frame — functions evaluate as
+    an array of (applies, value) structs folded in codegen; no extra
+    pass, no shuffle, no Python.
+    """
+    inner = fs.get("query", {"match_all": {}})
+    hits = df.filter(compile_query(inner))
+    primary = F.lit(1.0)
+    if len(inner) == 1 and next(iter(inner)) == "match":
+        from .relevance import corpus_stats, score_match_bm25
+
+        (field, spec), = inner["match"].items()
+        text = str(spec["query"] if isinstance(spec, dict) else spec)
+        terms = list(dict.fromkeys(_analyze_text(text)))
+        if terms:
+            hits = score_match_bm25(
+                hits, field, text, stats=corpus_stats(df, field, terms)
+            )
+            primary = F.col("_score")
+
+    functions = fs.get("functions")
+    if functions is None:
+        # single-function shorthand: the function keys sit directly in
+        # the function_score body
+        shorthand = {
+            k: v for k, v in fs.items() if k in _FS_FUNCTION_KINDS
+        }
+        functions = [shorthand] if shorthand else []
+
+    if functions:
+        entries = F.array(*[
+            F.struct(
+                (
+                    F.coalesce(compile_query(fn["filter"]), F.lit(False))
+                    if fn.get("filter") is not None
+                    else F.lit(True)
+                ).alias("ok"),
+                (
+                    _fs_function_value(fn)
+                    * F.lit(float(fn.get("weight", 1.0)))
+                ).alias("v"),
+                F.lit(float(fn.get("weight", 1.0))).alias("w"),
+            )
+            for fn in functions
+        ])
+        applied = F.filter(entries, lambda s: s["ok"])
+        vals = F.transform(applied, lambda s: s["v"])
+        n = F.size(applied)
+        mode = fs.get("score_mode", "multiply")
+        if mode == "multiply":
+            combined = F.aggregate(
+                vals, F.lit(1.0), lambda acc, v: acc * v
+            )
+        elif mode == "sum":
+            combined = F.aggregate(
+                vals, F.lit(0.0), lambda acc, v: acc + v
+            )
+        elif mode == "avg":
+            # weighted average, per the public contract: Σ(w·value) /
+            # Σw over the applying functions (v already carries w)
+            combined = F.aggregate(
+                vals, F.lit(0.0), lambda acc, v: acc + v
+            ) / F.aggregate(
+                F.transform(applied, lambda s: s["w"]),
+                F.lit(0.0),
+                lambda acc, w: acc + w,
+            )
+        elif mode == "max":
+            combined = F.array_max(vals)
+        elif mode == "min":
+            combined = F.array_min(vals)
+        elif mode == "first":
+            combined = F.element_at(applied, 1)["v"]
+        else:
+            raise ValueError(f"unsupported score_mode {mode!r}")
+        combined = F.when(n == 0, F.lit(1.0)).otherwise(combined)
+        if fs.get("max_boost") is not None:
+            combined = F.least(combined, F.lit(float(fs["max_boost"])))
+    else:
+        combined = F.lit(1.0)
+
+    boost_mode = fs.get("boost_mode", "multiply")
+    if boost_mode == "multiply":
+        score = primary * combined
+    elif boost_mode == "replace":
+        score = combined
+    elif boost_mode == "sum":
+        score = primary + combined
+    elif boost_mode == "avg":
+        score = (primary + combined) / F.lit(2.0)
+    elif boost_mode == "max":
+        score = F.greatest(primary, combined)
+    elif boost_mode == "min":
+        score = F.least(primary, combined)
+    else:
+        raise ValueError(f"unsupported boost_mode {boost_mode!r}")
+
+    hits = hits.withColumn("_score", score)
+    if fs.get("min_score") is not None:
+        hits = hits.filter(F.col("_score") >= float(fs["min_score"]))
+    return hits
+
+
 def vocabulary(df: DataFrame, field: str) -> DataFrame:
     """Corpus vocabulary ``(term, freq)`` for a text field — the frame
     the term suggester probes. One explode + one groupBy: the shuffle
@@ -1552,11 +1722,24 @@ def execute_search(
             )
     query = body.get("query", {"match_all": {}})
     is_knn = len(query) == 1 and next(iter(query)) == "knn"
-    scored = is_knn
+    is_fscore = len(query) == 1 and next(iter(query)) == "function_score"
+    scored = is_knn or is_fscore
     if is_knn:
         filtered = _execute_knn(df, query["knn"], int(body.get("size", 10)))
         if not body.get("sort"):
             filtered = filtered.orderBy(F.col("_score").desc())
+    elif is_fscore:
+        filtered = _execute_function_score(df, query["function_score"])
+        if not body.get("sort"):
+            hashable = [
+                F.col(f"`{sf.name}`")
+                for sf in df.schema.fields
+                if "map<" not in sf.dataType.simpleString()
+            ]
+            order = [F.col("_score").desc()]
+            if hashable:
+                order.append(F.xxhash64(*hashable).asc())
+            filtered = filtered.orderBy(*order)
     else:
         filtered = df.filter(compile_query(query))
         if body.get("track_scores") and len(query) == 1 \

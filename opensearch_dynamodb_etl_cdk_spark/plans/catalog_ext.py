@@ -1618,6 +1618,54 @@ def geo_bbox_nearest(spark, sf_dir):
     )
 
 
+@register(
+    "function_score_dsl_search",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND((CASE WHEN o_orderpriority = '1-URGENT'
+                       THEN 3.0 ELSE 0.0 END)
+                 + LN(1.0 + CAST(o_totalprice AS DOUBLE) * 0.00001)
+                 + (10000.0 - LEAST(CAST(o_custkey AS DOUBLE) - 0.0,
+                                    10000.0)) / 10000.0,
+                 9) AS fscore
+    FROM orders
+    WHERE o_totalprice >= 250000.0
+    """,
+    doc="The function_score DSL query end-to-end (operators/search.py::"
+    "_execute_function_score): inner range query, a weighted filter "
+    "function (+3 for urgent orders), field_value_factor log1p over the "
+    "price, and a linear decay over the customer key, combined with "
+    "score_mode=sum / boost_mode=replace. Everything folds in ONE "
+    "codegen projection (array of (applies, value) structs) — no extra "
+    "pass, no shuffle. Scores rounded to 9 decimals on both sides.",
+    tags=("dsl", "ranking", "function_score"),
+)
+def function_score_dsl_search(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    hits = execute_search(
+        o,
+        {"query": {"function_score": {
+            "query": {"range": {"o_totalprice": {"gte": 250000.0}}},
+            "functions": [
+                {"filter": {"term": {"o_orderpriority": "1-URGENT"}},
+                 "weight": 3},
+                {"field_value_factor": {"field": "o_totalprice",
+                                        "factor": 0.00001,
+                                        "modifier": "log1p"}},
+                {"linear": {"o_custkey": {"origin": 0, "scale": 5000,
+                                          "offset": 0, "decay": 0.5}}},
+            ],
+            "score_mode": "sum",
+            "boost_mode": "replace",
+        }}},
+    )["hits"]
+    return hits.select(
+        "o_orderkey", F.round(F.col("_score"), 9).alias("fscore")
+    )
+
+
 _GAUSS_SIGMA2 = -(2000.0**2) / (2.0 * __import__("math").log(0.5))
 _EXP_LAMBDA = __import__("math").log(0.5) / 2000.0
 

@@ -1321,6 +1321,129 @@ def test_suggest_accepts_persisted_vocab_frames(phrase_docs):
         b.unpersist()
 
 
+# --- function_score query -------------------------------------------------
+
+
+def test_function_score_filter_weight_and_fvf(qs_docs):
+    # docs: lang en → n in {10, 25, 55}; boost via weight-on-filter +
+    # field_value_factor, score_mode sum, primary filter-context (1.0)
+    body = {"query": {"function_score": {
+        "query": {"term": {"lang": "en"}},
+        "functions": [
+            {"filter": {"range": {"n": {"gte": 50}}}, "weight": 10},
+            {"field_value_factor": {"field": "n", "factor": 0.1,
+                                    "modifier": "none"}},
+        ],
+        "score_mode": "sum",
+        "boost_mode": "replace",
+    }}, "_source": ["doc_id", "_score"]}
+    got = {r.doc_id: r._score
+           for r in execute_search(qs_docs, body)["hits"].collect()}
+    # n=10 → 1.0; n=25 → 2.5; n=55 → 10 + 5.5
+    assert got == {0: pytest.approx(1.0), 1: pytest.approx(2.5),
+                   3: pytest.approx(15.5)}
+
+
+def test_function_score_modes_and_max_boost(qs_docs):
+    base = {
+        "query": {"term": {"lang": "en"}},
+        "functions": [
+            {"field_value_factor": {"field": "n", "factor": 0.1}},
+            {"weight": 2},
+        ],
+        "boost_mode": "replace",
+    }
+
+    def score_of(fs, doc_id=3):  # n = 55 → fvf 5.5
+        body = {"query": {"function_score": fs}, "_source": ["doc_id", "_score"]}
+        return {r.doc_id: r._score
+                for r in execute_search(qs_docs, body)["hits"].collect()}[doc_id]
+
+    assert score_of({**base, "score_mode": "multiply"}) == pytest.approx(11.0)
+    assert score_of({**base, "score_mode": "sum"}) == pytest.approx(7.5)
+    # weighted avg: (1·5.5 + 2·1)/(1+2) — the bare weight entry's
+    # value is 1, its weight 2
+    assert score_of({**base, "score_mode": "avg"}) == pytest.approx(7.5 / 3)
+    assert score_of({**base, "score_mode": "max"}) == pytest.approx(5.5)
+    assert score_of({**base, "score_mode": "min"}) == pytest.approx(2.0)
+    assert score_of({**base, "score_mode": "first"}) == pytest.approx(5.5)
+    assert score_of(
+        {**base, "score_mode": "multiply", "max_boost": 3.0}
+    ) == pytest.approx(3.0)
+
+
+def test_function_score_decay_and_min_score(qs_docs):
+    body = {"query": {"function_score": {
+        "query": {"match_all": {}},
+        "functions": [{"linear": {"n": {
+            "origin": 0, "scale": 50, "offset": 0, "decay": 0.5}}}],
+        "boost_mode": "replace",
+        "min_score": 0.5,
+    }}, "_source": ["doc_id", "_score"]}
+    got = {r.doc_id: r._score
+           for r in execute_search(qs_docs, body)["hits"].collect()}
+    # linear zero point = 100; score = (100 - n)/100; min_score 0.5 →
+    # keeps n <= 50
+    assert all(s >= 0.5 for s in got.values())
+    assert 3 not in got  # n=55 → 0.45, pruned
+
+
+def test_function_score_bm25_primary_multiplies(qs_docs):
+    # inner match query carries a BM25 primary; boost_mode multiply
+    fs = {
+        "query": {"match": {"text": "alpha"}},
+        "functions": [{"weight": 3}],
+    }
+    body = {"query": {"function_score": fs}, "_source": ["doc_id", "_score"]}
+    boosted = {r.doc_id: r._score
+               for r in execute_search(qs_docs, body)["hits"].collect()}
+    plain = {r.doc_id: r._score for r in execute_search(
+        qs_docs,
+        {"query": {"match": {"text": "alpha"}}, "track_scores": True,
+         "_source": ["doc_id", "_score"]},
+    )["hits"].collect()}
+    assert set(boosted) == set(plain) and len(boosted) > 0
+    for d in boosted:
+        assert boosted[d] == pytest.approx(plain[d] * 3.0)
+
+
+def test_function_score_no_matching_function_scores_one(qs_docs):
+    body = {"query": {"function_score": {
+        "query": {"term": {"lang": "en"}},
+        "functions": [{"filter": {"term": {"lang": "xx"}}, "weight": 9}],
+        "boost_mode": "replace",
+    }}, "_source": ["doc_id", "_score"]}
+    got = {r.doc_id: r._score
+           for r in execute_search(qs_docs, body)["hits"].collect()}
+    assert set(got.values()) == {1.0}
+
+
+def test_function_score_shorthand_and_script_score_guard(qs_docs):
+    # single-function shorthand: the function sits directly in the body
+    body = {"query": {"function_score": {
+        "query": {"term": {"lang": "en"}},
+        "field_value_factor": {"field": "n", "factor": 1.0},
+        "boost_mode": "replace",
+    }}, "_source": ["doc_id", "_score"]}
+    got = {r.doc_id: r._score
+           for r in execute_search(qs_docs, body)["hits"].collect()}
+    assert got == {0: pytest.approx(10.0), 1: pytest.approx(25.0),
+                   3: pytest.approx(55.0)}
+    # script_score works and is guarded like every script surface
+    body["query"]["function_score"] = {
+        "query": {"term": {"lang": "en"}},
+        "functions": [{"script_score": {"script": "n * 2.0"}}],
+        "boost_mode": "replace",
+    }
+    got = {r.doc_id: r._score
+           for r in execute_search(qs_docs, body)["hits"].collect()}
+    assert got[3] == pytest.approx(110.0)
+    body["query"]["function_score"]["functions"] = [
+        {"script_score": {"script": "reflect('a','b')"}}]
+    with pytest.raises(PermissionError):
+        execute_search(qs_docs, body)
+
+
 # --- geo tier -------------------------------------------------------------
 
 
