@@ -588,6 +588,20 @@ def compile_query(q: dict[str, Any], allow_unsafe_scripts: bool = False) -> Colu
             script = inner
         return safe_expr(script).cast("boolean")
 
+    if kind == "nested":
+        # nested query over an array<struct> column: matches when ANY
+        # element of `path` satisfies the inner query — compiled to
+        # F.exists with a per-element predicate, so the array is never
+        # exploded and the whole clause stays one codegen expression
+        # (OpenSearch stores nested docs as hidden child documents and
+        # block-joins; the array-typed column IS this engine's nested
+        # representation). score_mode is ignored (filter semantics).
+        path = body["path"]
+        inner = body["query"]
+        return F.exists(
+            F.col(path), lambda x: _compile_nested_pred(path, inner, x)
+        )
+
     if kind == "geo_distance":
         # geo_distance over a geo_point struct column (lat/lon degree
         # fields): exact haversine predicate — codegen arithmetic, no
@@ -725,6 +739,101 @@ def _fixed_interval_micros(spec: str) -> int:
     per = {"ms": 1_000, "s": 1_000_000, "m": 60_000_000,
            "h": 3_600_000_000, "d": 86_400_000_000}[unit]
     return n * per
+
+
+def _nested_field(path: str, field: str, x: Column) -> Column:
+    """Resolve an inner-query field name against the lambda element:
+    the public DSL spells nested fields fully qualified
+    (``items.qty``); the bare element-relative name is accepted too."""
+    prefix = path + "."
+    name = field[len(prefix):] if field.startswith(prefix) else field
+    return x[name]
+
+
+def _compile_nested_pred(path: str, q: dict[str, Any], x: Column) -> Column:
+    """The inner-query compiler for ``nested`` clauses: same clause
+    algebra as :func:`compile_query`, but every field resolves against
+    the array element ``x`` instead of a top-level column. Covers the
+    clause kinds that make sense per-element (term/terms/range/exists/
+    match/match_phrase/prefix/wildcard/bool); anything else raises."""
+    if not q:
+        return F.lit(True)
+    (kind, body), = q.items()
+    if kind == "match_all":
+        return F.lit(True)
+    if kind == "term":
+        (field, spec), = body.items()
+        value = spec["value"] if isinstance(spec, dict) else spec
+        return _nested_field(path, field, x) == F.lit(value)
+    if kind == "terms":
+        (field, values), = body.items()
+        return _nested_field(path, field, x).isin(list(values))
+    if kind == "range":
+        (field, spec), = body.items()
+        col = _nested_field(path, field, x)
+        ops = {"gte": "__ge__", "gt": "__gt__", "lte": "__le__", "lt": "__lt__"}
+        pred = F.lit(True)
+        for op, val in spec.items():
+            if op not in ops:
+                raise ValueError(f"unsupported range op {op}")
+            pred = pred & getattr(col, ops[op])(F.lit(val))
+        return pred
+    if kind == "exists":
+        return _nested_field(path, body["field"], x).isNotNull()
+    if kind in ("match", "match_phrase"):
+        (field, spec), = body.items()
+        text = str(spec["query"] if isinstance(spec, dict) else spec)
+        col = _nested_field(path, field, x)
+        if kind == "match_phrase":
+            toks = _analyze_text(text)
+            return F.lower(col).rlike(
+                r"(^|[^\p{L}\p{Nd}])"
+                + r"[^\p{L}\p{Nd}]+".join(re.escape(t) for t in toks)
+                + r"($|[^\p{L}\p{Nd}])"
+            ) if toks else F.lit(True)
+        toks = _analyze_text(text)
+        if not toks:
+            return F.lit(True)
+        analyzed = _analyze(col)
+        pred = F.lit(False)
+        for t in toks:  # OR semantics, as the top-level match default
+            pred = pred | F.array_contains(analyzed, t)
+        return pred
+    if kind == "prefix":
+        (field, spec), = body.items()
+        value = spec["value"] if isinstance(spec, dict) else spec
+        return _nested_field(path, field, x).startswith(str(value))
+    if kind == "wildcard":
+        (field, spec), = body.items()
+        value = spec["value"] if isinstance(spec, dict) else spec
+        pat = "".join(
+            ".*" if c == "*" else "." if c == "?" else re.escape(c)
+            for c in str(value)
+        )
+        return _nested_field(path, field, x).rlike(f"^{pat}$")
+    if kind == "bool":
+        pred = F.lit(True)
+        for clause in body.get("must", []) + body.get("filter", []):
+            pred = pred & _compile_nested_pred(path, clause, x)
+        for clause in body.get("must_not", []):
+            pred = pred & ~F.coalesce(
+                _compile_nested_pred(path, clause, x), F.lit(False)
+            )
+        should = [
+            _compile_nested_pred(path, c, x) for c in body.get("should", [])
+        ]
+        # standalone should → at least one must hold (public default);
+        # should alongside must/filter is scoring-only and filters
+        # nothing here (filter context)
+        if should and not (
+            body.get("must") or body.get("filter") or body.get("must_not")
+        ):
+            any_should = should[0]
+            for p in should[1:]:
+                any_should = any_should | p
+            pred = pred & any_should
+        return pred
+    raise ValueError(f"unsupported clause {kind!r} inside nested query")
 
 
 def _compile_span_near(body: dict[str, Any]) -> Column:

@@ -1619,6 +1619,52 @@ def geo_bbox_nearest(spark, sf_dir):
 
 
 @register(
+    "nested_query_search",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey,
+             [struct_pack(qty := c_custkey % 5,
+                          price := (c_custkey % 7) * 10),
+              struct_pack(qty := (c_custkey * 3) % 5,
+                          price := ((c_custkey * 3) % 7) * 10)] AS items
+      FROM customer)
+    SELECT c_custkey FROM t
+    WHERE len(list_filter(items,
+              e -> e.qty >= 3 AND e.price <= 30)) > 0
+    """,
+    doc="nested DSL query (operators/search.py::_compile_nested_pred): "
+    "documents whose array<struct> column contains an element satisfying "
+    "a bool of range clauses — per-ELEMENT conjunction, the semantics a "
+    "flattened evaluation gets wrong (qty and price must hold on the "
+    "same item). Compiled to F.exists with a per-element predicate: the "
+    "array is never exploded, the clause is one codegen expression. "
+    "Items synthesized closed-form from c_custkey so the oracle mirrors "
+    "with a DuckDB list_filter.",
+    tags=("dsl", "nested"),
+)
+def nested_query_search(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    ck = F.col("c_custkey")
+    item = lambda k: F.struct(
+        ((ck * k) % 5).alias("qty"), (((ck * k) % 7) * 10).alias("price")
+    )
+    docs = c.select("c_custkey", F.array(item(1), item(3)).alias("items"))
+    hits = execute_search(
+        docs,
+        {"query": {"nested": {
+            "path": "items",
+            "query": {"bool": {"must": [
+                {"range": {"items.qty": {"gte": 3}}},
+                {"range": {"items.price": {"lte": 30}}},
+            ]}},
+        }}},
+    )["hits"]
+    return hits.select("c_custkey")
+
+
+@register(
     "function_score_dsl_search",
     oracle="""
     SELECT o_orderkey,

@@ -1321,6 +1321,94 @@ def test_suggest_accepts_persisted_vocab_frames(phrase_docs):
         b.unpersist()
 
 
+# --- nested query ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def nested_docs(spark):
+    rows = [
+        (0, [(2, "book", 15.0), (1, "pen", 2.0)]),
+        (1, [(5, "book", 40.0)]),
+        (2, [(1, "lamp", 30.0), (3, "desk lamp", 99.0)]),
+        (3, []),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "order_id long, items array<struct<qty: long, name: string, price: double>>",
+    ).cache()
+    df.count()
+    return df
+
+
+def test_nested_query_any_element_matches(nested_docs):
+    body = {"query": {"nested": {
+        "path": "items",
+        "query": {"range": {"items.qty": {"gte": 3}}},
+    }}}
+    got = {r.order_id
+           for r in execute_search(nested_docs, body)["hits"].collect()}
+    assert got == {1, 2}
+    # bare element-relative field names are accepted too
+    body["query"]["nested"]["query"] = {"term": {"name": "pen"}}
+    got = {r.order_id
+           for r in execute_search(nested_docs, body)["hits"].collect()}
+    assert got == {0}
+
+
+def test_nested_bool_must_is_per_element(nested_docs):
+    # BOTH conditions must hold on the SAME element — order 2 has a
+    # cheap lamp and an expensive desk lamp, but no cheap desk lamp;
+    # a flattened (non-nested) evaluation would wrongly match it.
+    body = {"query": {"nested": {
+        "path": "items",
+        "query": {"bool": {"must": [
+            {"match": {"items.name": "lamp"}},
+            {"range": {"items.price": {"lte": 35.0}}},
+        ]}},
+    }}}
+    got = {r.order_id
+           for r in execute_search(nested_docs, body)["hits"].collect()}
+    assert got == {2}  # the plain lamp at 30.0
+    body["query"]["nested"]["query"]["bool"]["must"][0] = \
+        {"match_phrase": {"items.name": "desk lamp"}}
+    got = {r.order_id
+           for r in execute_search(nested_docs, body)["hits"].collect()}
+    assert got == set()  # desk lamp costs 99
+
+
+def test_nested_composes_with_top_level_bool(nested_docs):
+    body = {"query": {"bool": {
+        "must": [{"range": {"order_id": {"lte": 1}}}],
+        "filter": [{"nested": {
+            "path": "items",
+            "query": {"prefix": {"items.name": "bo"}},
+        }}],
+    }}}
+    got = {r.order_id
+           for r in execute_search(nested_docs, body)["hits"].collect()}
+    assert got == {0, 1}
+    # empty arrays never match; wildcard + should work per element
+    body = {"query": {"nested": {
+        "path": "items",
+        "query": {"bool": {"should": [
+            {"wildcard": {"items.name": "de?k*"}},
+            {"term": {"items.qty": 5}},
+        ]}},
+    }}}
+    got = {r.order_id
+           for r in execute_search(nested_docs, body)["hits"].collect()}
+    assert got == {1, 2}
+
+
+def test_nested_rejects_unsupported_inner_clause(nested_docs):
+    body = {"query": {"nested": {
+        "path": "items",
+        "query": {"fuzzy": {"items.name": "pen"}},
+    }}}
+    with pytest.raises(ValueError, match="nested"):
+        execute_search(nested_docs, body)["hits"].collect()
+
+
 # --- function_score query -------------------------------------------------
 
 
