@@ -2657,6 +2657,51 @@ def _run_agg(
             buckets.append(b)
         return {"buckets": buckets}
 
+    if kind == "geo_distance":
+        # distance-ring buckets [from, to) km around an origin point —
+        # same one-conditional-agg-pass shape as numeric `range`, with
+        # the haversine distance computed once in the projection (the
+        # geo tier's agg face; unit fixed to km, the public default
+        # ring unit here).
+        from ..functions.geo import haversine_km, parse_point
+
+        field = body["field"]
+        lat0, lon0 = parse_point(body["origin"])
+        dist = haversine_km(
+            F.col(f"{field}.lat"), F.col(f"{field}.lon"),
+            F.lit(lat0), F.lit(lon0),
+        )
+        agg_cols, keys = [], []
+        for i, r_ in enumerate(body["ranges"]):
+            lo, hi = r_.get("from"), r_.get("to")
+            pred = F.lit(True)
+            if lo is not None:
+                pred = pred & (dist >= F.lit(float(lo)))
+            if hi is not None:
+                pred = pred & (dist < F.lit(float(hi)))
+            key = r_.get(
+                "key",
+                f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}",
+            )
+            keys.append(key)
+            agg_cols.append(F.sum(pred.cast("long")).alias(f"__n{i}"))
+            for n, s in sub.items():
+                (mk, mb), = s.items()
+                mcol = F.when(pred, F.col(mb["field"]))
+                agg_cols.append(_conditional_metric(mk, mcol, f"__m{i}_{n}"))
+        row = df.agg(*agg_cols).collect()[0]
+        buckets = []
+        for i, r_ in enumerate(body["ranges"]):
+            b = {"key": keys[i], "doc_count": row[f"__n{i}"] or 0}
+            if r_.get("from") is not None:
+                b["from"] = float(r_["from"])
+            if r_.get("to") is not None:
+                b["to"] = float(r_["to"])
+            for n in sub:
+                b[n] = {"value": row[f"__m{i}_{n}"]}
+            buckets.append(b)
+        return {"buckets": buckets}
+
     if kind == "adjacency_matrix":
         # doc counts for every named filter AND every pairwise
         # intersection ("A&B") — the co-occurrence matrix, still ONE

@@ -1665,6 +1665,51 @@ def nested_query_search(spark, sf_dir):
 
 
 @register(
+    "geo_distance_rings_agg",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM customer),
+    d AS (SELECT c_custkey, {_GEO_DIST_SQL} AS km FROM pts)
+    SELECT CASE WHEN km < 2000.0 THEN 'near'
+                WHEN km < 5000.0 THEN 'mid'
+                ELSE 'far' END AS key,
+           COUNT(*) AS doc_count,
+           ROUND(MIN(km), 6) AS min_km,
+           ROUND(MAX(km), 6) AS max_km
+    FROM d GROUP BY 1
+    """,
+    doc="DSL `geo_distance` aggregation (distance rings around an "
+    "origin): doc counts per ring in ONE pass — the interpreter branch "
+    "(operators/search.py geo_distance agg) folds every ring into one "
+    "conditional-agg row; this catalog twin expresses the same rings "
+    "as a derived-label groupBy. Haversine computed once per row in "
+    "the projection; min/max are order-independent so the only "
+    "transcendental outputs are per-row (rounded 6).",
+    tags=("agg", "dsl", "geo"),
+)
+def geo_distance_rings_agg(spark, sf_dir):
+    from ..functions.geo import haversine_km
+
+    pts = _geo_points(spark, sf_dir)
+    km = haversine_km(
+        F.col("location.lat"), F.col("location.lon"),
+        F.lit(40.7128), F.lit(-74.006),
+    )
+    label = (
+        F.when(km < 2000.0, "near").when(km < 5000.0, "mid").otherwise("far")
+    )
+    return (
+        pts.select(label.alias("key"), km.alias("km"))
+        .groupBy("key")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.round(F.min("km"), 6).alias("min_km"),
+            F.round(F.max("km"), 6).alias("max_km"),
+        )
+    )
+
+
+@register(
     "function_score_dsl_search",
     oracle="""
     SELECT o_orderkey,

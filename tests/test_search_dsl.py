@@ -1620,6 +1620,32 @@ def test_geo_distance_sort_orders_nearest_first(geo_docs):
     assert got == [3, 4, 1, 2, 0]
 
 
+def test_geo_distance_aggregation_rings(geo_docs):
+    body = {
+        "size": 0,
+        "aggs": {"rings": {
+            "geo_distance": {
+                "field": "location",
+                "origin": {"lat": 40.7128, "lon": -74.0060},
+                "ranges": [
+                    {"to": 500, "key": "local"},
+                    {"from": 500, "to": 10000, "key": "regional"},
+                    {"from": 10000},
+                ],
+            },
+            "aggs": {"max_id": {"max": {"field": "city_id"}}},
+        }},
+    }
+    res = execute_search(geo_docs, body)["aggregations"]["rings"]
+    by_key = {b["key"]: b for b in res["buckets"]}
+    # NYC+Boston local; London + null island regional; Sydney beyond
+    assert by_key["local"]["doc_count"] == 2
+    assert by_key["regional"]["doc_count"] == 2
+    assert by_key["10000-*"]["doc_count"] == 1
+    assert by_key["local"]["max_id"]["value"] == 2
+    assert by_key["local"]["to"] == 500.0 and "from" not in by_key["local"]
+
+
 def test_haversine_known_distance(spark):
     from opensearch_dynamodb_etl_cdk_spark.functions.geo import haversine_km
 
