@@ -1829,6 +1829,17 @@ def execute_search(
                 suggest_vocabs=suggest_vocabs,
                 suggest_bigrams=suggest_bigrams,
             )
+    if body.get("runtime_mappings"):
+        # Runtime fields: computed at search time from a script (this
+        # engine's dialect = guarded Spark SQL expressions), visible to
+        # the query, sort, aggs and response exactly like mapped fields.
+        # A projection Catalyst folds into the scan stage — filters on
+        # runtime fields still prune/push where the expression allows.
+        for fname, fspec in body["runtime_mappings"].items():
+            script = fspec.get("script", fspec) if isinstance(fspec, dict) else fspec
+            while isinstance(script, dict):
+                script = script.get("source", script.get("script"))
+            df = df.withColumn(fname, safe_expr(script))
     query = body.get("query", {"match_all": {}})
     is_knn = len(query) == 1 and next(iter(query)) == "knn"
     is_fscore = len(query) == 1 and next(iter(query)) == "function_score"
@@ -2701,6 +2712,55 @@ def _run_agg(
                 b[n] = {"value": row[f"__m{i}_{n}"]}
             buckets.append(b)
         return {"buckets": buckets}
+
+    if kind == "geotile_grid":
+        # map-tile grid buckets (z/x/y slippy-map keys, the public
+        # geotile_grid contract): Web-Mercator tile indices as pure
+        # column arithmetic (ln/tan per row), one groupBy on the
+        # computed key + TakeOrdered top-size — the grid-faceting agg
+        # without any geo index. Out-of-mercator latitudes clamp to the
+        # edge tiles, as the public agg does.
+        import math as _math
+
+        field = body["field"]
+        z = int(body.get("precision", 7))
+        size = int(body.get("size", 10000))
+        n = 1 << z
+        lat, lon = F.col(f"{field}.lat"), F.col(f"{field}.lon")
+        x = F.least(
+            F.greatest(
+                F.floor((lon + 180.0) / 360.0 * F.lit(float(n))), F.lit(0)
+            ),
+            F.lit(n - 1),
+        )
+        # clamp to the Web-Mercator latitude bound BEFORE the
+        # transcendental: at ±90° tan+sec degenerates to 0 (ln blows
+        # up); the projection itself is only defined to ±85.051°.
+        lat = F.least(
+            F.greatest(lat, F.lit(-85.05112878)), F.lit(85.05112878)
+        )
+        phi = F.radians(lat)
+        yf = (
+            (F.lit(1.0)
+             - F.log(F.tan(phi) + F.lit(1.0) / F.cos(phi)) / F.lit(_math.pi))
+            / 2.0
+            * F.lit(float(n))
+        )
+        y = F.least(F.greatest(F.floor(yf), F.lit(0)), F.lit(n - 1))
+        key = F.concat_ws("/", F.lit(str(z)), x, y)
+        metric_cols = [_metric_agg(nm, s) for nm, s in sub.items()]
+        rows = (
+            df.groupBy(key.alias("key"))
+            .agg(F.count("*").alias("doc_count"), *metric_cols)
+            .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+            .limit(size)
+            .collect()
+        )
+        return {"buckets": [
+            {"key": r["key"], "doc_count": r["doc_count"],
+             **{nm: {"value": r[nm]} for nm in sub}}
+            for r in rows
+        ]}
 
     if kind == "adjacency_matrix":
         # doc counts for every named filter AND every pairwise

@@ -1710,6 +1710,66 @@ def geo_distance_rings_agg(spark, sf_dir):
 
 
 @register(
+    "geotile_grid_agg",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM customer),
+    cl AS (
+      SELECT c_custkey, lon,
+             LEAST(GREATEST(lat, -85.05112878), 85.05112878) AS lat
+      FROM pts),
+    t AS (
+      SELECT c_custkey,
+             LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * 128.0), 0), 127)
+               AS x,
+             LEAST(GREATEST(FLOOR((1.0 - LN(TAN(RADIANS(lat))
+                                           + 1.0 / COS(RADIANS(lat))) / PI())
+                                  / 2.0 * 128.0), 0), 127) AS y
+      FROM cl)
+    SELECT '7/' || CAST(CAST(x AS BIGINT) AS VARCHAR) || '/'
+               || CAST(CAST(y AS BIGINT) AS VARCHAR) AS key,
+           COUNT(*) AS doc_count
+    FROM t GROUP BY 1
+    ORDER BY doc_count DESC, key ASC LIMIT 20
+    """,
+    doc="DSL `geotile_grid` aggregation at precision 7: Web-Mercator "
+    "z/x/y tile keys as pure column arithmetic (ln/tan per row, "
+    "out-of-mercator latitudes clamped to edge tiles), one groupBy on "
+    "the computed key + TakeOrdered top-20 — grid faceting with no geo "
+    "index (operators/search.py geotile_grid branch).",
+    tags=("agg", "dsl", "geo"),
+)
+def geotile_grid_agg(spark, sf_dir):
+    import math
+
+    pts = _geo_points(spark, sf_dir)
+    z, n = 7, 128
+    lon = F.col("location.lon")
+    lat = F.least(
+        F.greatest(F.col("location.lat"), F.lit(-85.05112878)),
+        F.lit(85.05112878),
+    )
+    x = F.least(
+        F.greatest(F.floor((lon + 180.0) / 360.0 * F.lit(float(n))), F.lit(0)),
+        F.lit(n - 1),
+    )
+    phi = F.radians(lat)
+    yf = (
+        (F.lit(1.0) - F.log(F.tan(phi) + F.lit(1.0) / F.cos(phi)) / F.lit(math.pi))
+        / 2.0
+        * F.lit(float(n))
+    )
+    y = F.least(F.greatest(F.floor(yf), F.lit(0)), F.lit(n - 1))
+    key = F.concat_ws("/", F.lit(str(z)), x, y)
+    return (
+        pts.groupBy(key.alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+        .limit(20)
+    )
+
+
+@register(
     "function_score_dsl_search",
     oracle="""
     SELECT o_orderkey,

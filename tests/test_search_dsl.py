@@ -1321,6 +1321,34 @@ def test_suggest_accepts_persisted_vocab_frames(phrase_docs):
         b.unpersist()
 
 
+# --- runtime mappings -----------------------------------------------------
+
+
+def test_runtime_mappings_visible_to_query_sort_and_aggs(qs_docs):
+    body = {
+        "runtime_mappings": {
+            "n_bucket": {"type": "keyword",
+                         "script": "CASE WHEN n >= 30 THEN 'big' ELSE 'small' END"},
+        },
+        "query": {"term": {"n_bucket": "big"}},
+        "sort": [{"doc_id": "asc"}],
+        "_source": ["doc_id", "n_bucket"],
+        "aggs": {"by_bucket": {"terms": {"field": "n_bucket"}}},
+    }
+    res = execute_search(qs_docs, body)
+    rows = res["hits"].collect()
+    assert [r.doc_id for r in rows] and all(r.n_bucket == "big" for r in rows)
+    buckets = {b["key"]: b["doc_count"]
+               for b in res["aggregations"]["by_bucket"]["buckets"]}
+    assert set(buckets) == {"big"}
+    # guarded like every script surface
+    body["runtime_mappings"]["n_bucket"]["script"] = "reflect('a','b')"
+    import pytest as _pytest
+
+    with _pytest.raises(PermissionError):
+        execute_search(qs_docs, body)
+
+
 # --- nested query ---------------------------------------------------------
 
 
@@ -1644,6 +1672,39 @@ def test_geo_distance_aggregation_rings(geo_docs):
     assert by_key["10000-*"]["doc_count"] == 1
     assert by_key["local"]["max_id"]["value"] == 2
     assert by_key["local"]["to"] == 500.0 and "from" not in by_key["local"]
+
+
+def test_geotile_grid_buckets(geo_docs):
+    body = {
+        "size": 0,
+        "aggs": {"tiles": {"geotile_grid": {
+            "field": "location", "precision": 2,
+        }}},
+    }
+    res = execute_search(geo_docs, body)["aggregations"]["tiles"]
+    by_key = {b["key"]: b["doc_count"] for b in res["buckets"]}
+    # precision 2 → 4×4 world grid. NYC+Boston share tile 2/1/1;
+    # London 2/1/1? lon -0.13 → x=floor((179.87/360)*4)=1; lat 51.5 →
+    # northern row y=1 as well — verify against hand math:
+    # x = floor((lon+180)/360*4), y from mercator
+    import math
+
+    def tile(lat, lon, z=2):
+        n = 1 << z
+        x = min(max(math.floor((lon + 180.0) / 360.0 * n), 0), n - 1)
+        lat = min(max(lat, -85.05112878), 85.05112878)
+        phi = math.radians(lat)
+        yf = (1.0 - math.log(math.tan(phi) + 1.0 / math.cos(phi)) / math.pi) / 2.0 * n
+        y = min(max(math.floor(yf), 0), n - 1)
+        return f"{z}/{x}/{y}"
+
+    cities = [(40.7128, -74.0060), (51.5074, -0.1278), (42.3601, -71.0589),
+              (-33.8688, 151.2093), (0.0, 0.0)]
+    want: dict[str, int] = {}
+    for la, lo in cities:
+        k = tile(la, lo)
+        want[k] = want.get(k, 0) + 1
+    assert by_key == want
 
 
 def test_haversine_known_distance(spark):
