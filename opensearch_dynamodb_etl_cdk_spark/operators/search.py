@@ -528,6 +528,24 @@ def compile_query(q: dict[str, Any], allow_unsafe_scripts: bool = False) -> Colu
         # wrapped filter IS the constant_score semantics.
         return compile_query(body["filter"])
 
+    if kind == "dis_max":
+        # disjunction-max: in filter context a document matches if ANY
+        # sub-query matches (tie_breaker only shapes scores, which the
+        # filter algebra doesn't carry).
+        preds = [compile_query(q) for q in body["queries"]]
+        if not preds:
+            return F.lit(True)
+        combined = preds[0]
+        for p in preds[1:]:
+            combined = combined | p
+        return combined
+
+    if kind == "boosting":
+        # boosting query: matches exactly the positive query's set —
+        # the negative clause only DEMOTES scores (negative_boost),
+        # never filters, per the public contract.
+        return compile_query(body["positive"])
+
     if kind == "query_string":
         return compile_query(
             parse_query_string(

@@ -1321,6 +1321,30 @@ def test_suggest_accepts_persisted_vocab_frames(phrase_docs):
         b.unpersist()
 
 
+def test_dis_max_and_boosting_filter_context(qs_docs):
+    body = {"query": {"dis_max": {"queries": [
+        {"term": {"lang": "de"}},
+        {"range": {"n": {"gte": 50}}},
+    ], "tie_breaker": 0.7}}}
+    got = {r.doc_id for r in execute_search(qs_docs, body)["hits"].collect()}
+    want = {r.doc_id for r in execute_search(
+        qs_docs,
+        {"query": {"bool": {"should": [
+            {"term": {"lang": "de"}}, {"range": {"n": {"gte": 50}}}]}}},
+    )["hits"].collect()}
+    assert got == want and got
+    # boosting matches exactly the positive set — negative never filters
+    body = {"query": {"boosting": {
+        "positive": {"term": {"lang": "en"}},
+        "negative": {"range": {"n": {"gte": 50}}},
+        "negative_boost": 0.2,
+    }}}
+    got = {r.doc_id for r in execute_search(qs_docs, body)["hits"].collect()}
+    want = {r.doc_id for r in execute_search(
+        qs_docs, {"query": {"term": {"lang": "en"}}})["hits"].collect()}
+    assert got == want
+
+
 # --- runtime mappings -----------------------------------------------------
 
 
