@@ -1915,6 +1915,11 @@ def execute_search(
                     filtered = filtered.orderBy(*order)
 
     hits = filtered
+    if body.get("min_score") is not None and "_score" in hits.columns:
+        # top-level min_score: drop hits below the score floor (only
+        # meaningful for scored queries — knn / function_score /
+        # track_scores BM25; filter-context hits carry no _score)
+        hits = hits.filter(F.col("_score") >= float(body["min_score"]))
     if body.get("collapse"):
         # Field collapse: keep each group's best hit under the request
         # sort (for an unsorted scored query: by _score, matching the

@@ -1321,6 +1321,27 @@ def test_suggest_accepts_persisted_vocab_frames(phrase_docs):
         b.unpersist()
 
 
+def test_top_level_min_score_on_scored_queries(qs_docs):
+    scored = execute_search(
+        qs_docs,
+        {"query": {"match": {"text": "alpha"}}, "track_scores": True,
+         "_source": ["doc_id", "_score"]},
+    )["hits"].collect()
+    assert scored
+    floor = sorted((r._score for r in scored), reverse=True)[0]
+    kept = execute_search(
+        qs_docs,
+        {"query": {"match": {"text": "alpha"}}, "track_scores": True,
+         "min_score": floor, "_source": ["doc_id", "_score"]},
+    )["hits"].collect()
+    assert all(r._score >= floor for r in kept) and len(kept) < len(scored) + 1
+    # filter-context queries carry no _score: min_score is a no-op
+    plain = execute_search(
+        qs_docs, {"query": {"term": {"lang": "en"}}, "min_score": 99.0}
+    )["hits"].count()
+    assert plain == 3
+
+
 def test_dis_max_and_boosting_filter_context(qs_docs):
     body = {"query": {"dis_max": {"queries": [
         {"term": {"lang": "de"}},
