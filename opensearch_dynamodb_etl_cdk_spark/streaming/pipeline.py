@@ -357,6 +357,31 @@ class FlightsEtlPipeline:
         df.createOrReplaceTempView(f"{route}_index")
         return df
 
+    def count(self, pattern: str, query: dict | None = None) -> int:
+        """``GET /<index>/_count`` analog: documents matching a DSL
+        query body across an index pattern (aliases and wildcards
+        resolve as in :meth:`multi_index_view`). The predicate pushes
+        into each route's scan; the count aggregate is map-side
+        partial — no document ever leaves the executors."""
+        from ..operators.search import compile_query
+
+        view = self.multi_index_view(pattern)
+        if view is None:
+            return 0
+        q = (query or {}).get("query", query) or {"match_all": {}}
+        return view.filter(compile_query(q)).count()
+
+    def mget(self, route: str, ids: list[str]) -> DataFrame | None:
+        """``_mget`` analog: fetch documents by ``_id`` list from one
+        index — a pushable IN-predicate on the keyed table (the bucket
+        layout means only matching buckets' row groups survive
+        min/max pruning). Missing ids are simply absent, as the public
+        response marks them found=false."""
+        idx = self.index_view(route)
+        if idx is None:
+            return None
+        return idx.filter(F.col("_id").isin(list(ids)))
+
     def cat_indices(self) -> list[dict]:
         """``_cat/indices`` analog: one dict per route with live doc
         count, tombstone count, bucket count, and on-disk bytes — the

@@ -406,6 +406,25 @@ def test_tombstone_churn_with_compaction_stays_bounded(spark, tmp_path):
     assert max(n_bytes) <= int(min(n_bytes) * 1.1), n_bytes
 
 
+def test_count_and_mget(spark, pipeline):
+    items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    pipeline.bootstrap(items)
+    # _count over patterns, with and without a query body
+    assert pipeline.count("fare") == 22
+    assert pipeline.count("fare,flight") == 35
+    assert pipeline.count("fare", {"query": {"term": {"pk": "DEN"}}}) == \
+        pipeline.index_view("fare").filter(F.col("pk") == "DEN").count()
+    assert pipeline.count("f*") == 35
+    # bare query dicts (no "query" wrapper) accepted too
+    assert pipeline.count("fare", {"term": {"pk": "DEN"}}) == \
+        pipeline.count("fare", {"query": {"term": {"pk": "DEN"}}})
+    # _mget: present ids return rows, missing ids are absent
+    ids = [r._id for r in pipeline.index_view("fare").limit(2).collect()]
+    got = pipeline.mget("fare", ids + ["nope|missing"])
+    assert {r._id for r in got.collect()} == set(ids)
+    assert pipeline.mget("never-materialized", ["x"]) is None
+
+
 def test_unrouted_items_not_in_indexes(spark, pipeline):
     """R3 parity: assignment/booking items reach no index table."""
     items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
