@@ -84,6 +84,45 @@ def shuffle_for_training(
     return df.orderBy(h, F.col(id_col))
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str | None = None,
+    key_col: str = "_sample_key",
+) -> DataFrame:
+    """Seeded weighted sampling WITHOUT replacement (the
+    Efraimidis–Spirakis A-ES scheme): every row draws a deterministic
+    uniform ``u ∈ (0, 1]`` from md5(seed:id) — 13 hex chars = 52
+    mantissa bits, exact in a double on any engine — and ranks by
+    ``key = u^(1/w)``; the top-k keys ARE a weighted sample without
+    replacement (inclusion probability proportional to weight, the
+    published A-ES result). Heavier rows draw keys nearer 1.
+
+    Scale shape: the key is a per-row expression and the top-k is
+    TakeOrderedAndProject — no shuffle of the corpus, no state, and the
+    same sample on any partitioning/cluster/engine (unlike
+    ``df.sample``/``rand()``). Re-seedable per epoch. Rows with
+    non-positive weight are excluded (inclusion probability 0). The
+    ranking key is kept in ``key_col`` for auditability.
+    """
+    salted = (
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+        if seed is not None
+        else F.col(id_col).cast("string")
+    )
+    v = F.conv(F.substring(F.md5(salted), 1, 13), 16, 10).cast("long")
+    u = (v + F.lit(1)).cast("double") / F.lit(float(1 << 52))
+    w = F.col(weight_col).cast("double")
+    return (
+        df.filter(w > 0)
+        .withColumn(key_col, F.pow(u, F.lit(1.0) / w))
+        .orderBy(F.col(key_col).desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def mixture_resample(
     df: DataFrame,
     targets: dict[str, float],

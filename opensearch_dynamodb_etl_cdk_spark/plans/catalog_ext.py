@@ -1952,6 +1952,40 @@ _BUCKET_SQL = (
 
 
 @register(
+    "weighted_sample_topk",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, lang, n_chars,
+             (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                   AS BIGINT) + 1) / 4503599627370496.0 AS u
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, lang,
+           ROUND(POWER(u, 1.0 / CAST(n_chars AS DOUBLE)), 12) AS sample_key
+    FROM u
+    ORDER BY POWER(u, 1.0 / CAST(n_chars AS DOUBLE)) DESC, doc_id ASC
+    LIMIT 50
+    """,
+    doc="Seeded weighted sampling WITHOUT replacement (Efraimidis–"
+    "Spirakis A-ES; operators/sampling.py::weighted_sample): rank every "
+    "row by u^(1/weight) with u a deterministic md5 uniform (13 hex "
+    "chars = 52 mantissa bits, exact in a double on both engines), keep "
+    "the top-k — inclusion probability ∝ weight, identical sample on "
+    "any partitioning/engine. Per-row expression + TakeOrdered: no "
+    "corpus shuffle, no state. Keys rounded to 12 decimals for the "
+    "cross-engine compare.",
+    tags=("sampling", "pipeline"),
+)
+def weighted_sample_topk(spark, sf_dir):
+    from ..operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    s = weighted_sample(d, k=50, weight_col="n_chars")
+    return s.select(
+        "doc_id", "lang", F.round(F.col("_sample_key"), 12).alias("sample_key")
+    )
+
+
+@register(
     "deterministic_sample_stats",
     oracle=f"""
     SELECT lang, COUNT(*) AS n FROM documents

@@ -312,3 +312,33 @@ def test_mixture_upsample_inexact_fraction_rounds_not_floors(spark):
     n = mixture_upsample(df, {"de": 2.3}).count()
     # 2000 base copies + ~30% of 1000 extras (hash-bucket exact ±noise)
     assert 2250 <= n <= 2350
+
+
+def test_weighted_sample_properties(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    # one heavy row among light ones: across many seeds the heavy row
+    # must appear in nearly every k=5 sample (A-ES inclusion ∝ weight)
+    rows = [(i, 1.0) for i in range(100)] + [(1000, 500.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    hits = 0
+    for s in range(10):
+        ids = {r.doc_id for r in weighted_sample(df, 5, "w", seed=str(s)).collect()}
+        assert len(ids) == 5  # without replacement: k distinct rows
+        hits += 1000 in ids
+    assert hits >= 9
+
+    # deterministic across partitionings, and seed changes the sample
+    a = [r.doc_id for r in weighted_sample(df, 10, "w", seed="e1").collect()]
+    b = [r.doc_id for r in
+         weighted_sample(df.repartition(7), 10, "w", seed="e1").collect()]
+    c = [r.doc_id for r in weighted_sample(df, 10, "w", seed="e2").collect()]
+    assert a == b
+    assert a != c
+
+    # non-positive weights are never sampled
+    rows = [(1, 0.0), (2, -3.0), (3, 1.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    assert [r.doc_id for r in weighted_sample(df, 10, "w").collect()] == [3]
