@@ -318,3 +318,37 @@ def test_span_near_no_shuffle_no_explode(spark, sf_dir):
     # span predicate itself must never induce a key shuffle
     exchanges = [l for l in before_agg.splitlines() if "Exchange" in l]
     assert all("RoundRobinPartitioning" in l for l in exchanges)
+
+
+def test_weighted_sample_is_topk_not_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "weighted_sample_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan  # no corpus shuffle
+
+
+def test_geo_queries_are_single_pass_no_shuffle(spark, sf_dir):
+    # geo_distance / bbox compile to filters over one projection: the
+    # only exchange allowed is the final TakeOrdered/agg, never a join
+    plan = plan_of(spark, sf_dir, "geo_distance_search")
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    plan = plan_of(spark, sf_dir, "geo_bbox_nearest")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_function_score_is_one_projection_no_join(spark, sf_dir):
+    # functions fold as an array-of-structs expression: no join, no
+    # extra scan — a single Filter+Project over orders plus the final
+    # round projection
+    plan = plan_of(spark, sf_dir, "function_score_dsl_search")
+    assert "Join" not in plan
+    assert plan_of(spark, sf_dir, "function_score_dsl_search",
+                   mode="simple").count("FileScan") == 1
+    pushed = plan.split("PushedFilters")[1].splitlines()[0]
+    assert "o_totalprice" in pushed  # inner query still pushes
+
+
+def test_nested_query_never_explodes(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "nested_query_search")
+    assert "Generate" not in plan  # explode would appear as Generate
+    assert "Join" not in plan
