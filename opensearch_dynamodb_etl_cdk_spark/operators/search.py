@@ -2007,6 +2007,14 @@ def execute_search(
         res["suggest"] = execute_suggest(
             df, body["suggest"], vocabs=suggest_vocabs, bigrams=suggest_bigrams
         )
+    if body.get("profile"):
+        # OpenSearch profile API analog: expose the engine's execution
+        # breakdown — here that is the Catalyst physical plan for the
+        # hits frame (pushdown/pruning/codegen visible), which is the
+        # artifact a user tunes against on this engine.
+        res["profile"] = (
+            hits._jdf.queryExecution().executedPlan().toString()
+        )
     return res
 
 

@@ -1321,6 +1321,19 @@ def test_suggest_accepts_persisted_vocab_frames(phrase_docs):
         b.unpersist()
 
 
+def test_profile_returns_physical_plan(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = execute_search(
+        docs,
+        {"query": {"range": {"n_chars": {"gte": 100}}},
+         "_source": ["doc_id"], "profile": True},
+    )
+    assert "profile" in res
+    # the plan is the real executed plan: the pushed filter shows up
+    assert "n_chars" in res["profile"]
+    assert "FileScan" in res["profile"] or "Scan" in res["profile"]
+
+
 def test_top_level_min_score_on_scored_queries(qs_docs):
     scored = execute_search(
         qs_docs,
