@@ -1920,6 +1920,7 @@ def execute_search(
         # meaningful for scored queries — knn / function_score /
         # track_scores BM25; filter-context hits carry no _score)
         hits = hits.filter(F.col("_score") >= float(body["min_score"]))
+    inner_hits_df = None
     if body.get("collapse"):
         # Field collapse: keep each group's best hit under the request
         # sort (for an unsorted scored query: by _score, matching the
@@ -1930,6 +1931,20 @@ def execute_search(
         default_order = (
             [F.col("_score").desc()] if scored else [F.lit(1)]
         )
+        ih = body["collapse"].get("inner_hits")
+        if ih:
+            # inner_hits: the top-`size` hits of EVERY collapsed group
+            # under the inner sort — the same bounded per-group window,
+            # rank ≤ size instead of rank 1; surfaces as a separate
+            # distributed frame in the response (never collected here).
+            iw = W.partitionBy(ckey).orderBy(
+                *(_sort_cols(ih.get("sort", [])) or default_order)
+            )
+            inner_hits_df = (
+                hits.withColumn("__rn", F.row_number().over(iw))
+                .filter(F.col("__rn") <= int(ih.get("size", 3)))
+                .drop("__rn")
+            )
         w = W.partitionBy(ckey).orderBy(
             *(_sort_cols(body.get("sort", [])) or default_order)
         )
@@ -2003,6 +2018,10 @@ def execute_search(
         aggregations[name] = _run_sibling_pipeline(aggregations, spec)
 
     res = {"hits": hits, "aggregations": aggregations}
+    if inner_hits_df is not None:
+        name = (body["collapse"]["inner_hits"].get("name")
+                or body["collapse"]["field"])
+        res["inner_hits"] = {name: inner_hits_df}
     if body.get("suggest"):
         res["suggest"] = execute_suggest(
             df, body["suggest"], vocabs=suggest_vocabs, bigrams=suggest_bigrams

@@ -1321,6 +1321,31 @@ def test_suggest_accepts_persisted_vocab_frames(phrase_docs):
         b.unpersist()
 
 
+def test_collapse_inner_hits_top_n_per_group(qs_docs):
+    body = {
+        "query": {"exists": {"field": "doc_id"}},
+        "collapse": {"field": "lang", "inner_hits": {
+            "name": "by_lang", "size": 2, "sort": [{"n": "desc"}]}},
+        "sort": [{"lang": "asc"}],
+    }
+    res = execute_search(qs_docs, body)
+    # collapsed hits: one per lang
+    langs = [r.lang for r in res["hits"].collect()]
+    assert langs == sorted(set(langs))
+    # inner hits: top-2 per lang by n desc
+    inner = res["inner_hits"]["by_lang"]
+    rows = inner.collect()
+    per_lang: dict[str, list[int]] = {}
+    for r in sorted(rows, key=lambda r: (r.lang, -r.n)):
+        per_lang.setdefault(r.lang, []).append(r.n)
+    assert all(len(v) <= 2 for v in per_lang.values())
+    full = {r.lang: sorted((x.n for x in qs_docs.collect()
+                            if x.lang == r.lang), reverse=True)
+            for r in rows}
+    for lang, ns in per_lang.items():
+        assert ns == full[lang][: len(ns)]
+
+
 def test_profile_returns_physical_plan(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     res = execute_search(
