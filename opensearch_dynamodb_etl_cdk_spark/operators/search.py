@@ -695,6 +695,136 @@ def compile_query(q: dict[str, Any], allow_unsafe_scripts: bool = False) -> Colu
     if kind == "span_near":
         return _compile_span_near(body)
 
+    if kind == "span_or":
+        # Lucene span disjunction: any clause's span matches. In filter
+        # context that is the OR of the clause predicates (each clause
+        # is itself a span query and compiles recursively).
+        preds = [compile_query(c) for c in body["clauses"]]
+        combined = preds[0]
+        for p in preds[1:]:
+            combined = combined | p
+        return combined
+
+    if kind == "span_first":
+        return _compile_span_first(body)
+
+    if kind == "span_not":
+        return _compile_span_not(body)
+
+    if kind == "intervals":
+        (field, rule), = body.items()
+        return _compile_intervals(field, rule)
+
+    if kind == "match_phrase_prefix":
+        # phrase of all-but-last analyzed terms followed immediately by
+        # a token carrying the last term as a prefix (search-as-you-type
+        # over full text). Pure positional codegen, same lambda-binding
+        # packing as span_near — no explode, no shuffle; max_expansions
+        # is an inverted-index knob with no analog here (exact prefix
+        # test per candidate position instead of term enumeration).
+        (field, spec), = body.items()
+        text = spec["query"] if isinstance(spec, dict) else spec
+        tokens = _analyze_text(str(text))
+        if not tokens:
+            return F.lit(True)
+        toks = _analyze(F.col(field))
+        last = tokens[-1]
+        if len(tokens) == 1:
+            return F.exists(toks, lambda t: t.startswith(last))
+        n = len(tokens)
+
+        def phrase_at(tc: Column, i: Column) -> Column:
+            # try_element_at: the guard below keeps the sequence short,
+            # but a doc shorter than the phrase still probes past the
+            # array end — ANSI mode makes plain element_at THROW there
+            p = F.lit(True)
+            for j, t in enumerate(tokens[:-1]):
+                p = p & (F.try_element_at(tc, i + F.lit(j)) == t)
+            return p & F.try_element_at(tc, i + F.lit(n - 1)).startswith(last)
+
+        packed = F.array(F.struct(toks.alias("t")))
+        return F.exists(
+            packed,
+            lambda s: F.coalesce(
+                F.exists(
+                    # greatest(…, 1) keeps the sequence ascending when the
+                    # doc is shorter than the phrase (sequence(1, 0) would
+                    # count DOWN); out-of-range element_at yields NULL,
+                    # the equality NULL, and the outer coalesce folds the
+                    # no-match NULL to false.
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(
+                            F.size(s.getField("t")) - F.lit(n - 1), F.lit(1)
+                        ),
+                    ),
+                    lambda i: phrase_at(s.getField("t"), i),
+                ),
+                F.lit(False),
+            ),
+        )
+
+    if kind == "combined_fields":
+        # term-centric multi-field match: each analyzed query term may
+        # appear in ANY of the listed fields (the public contract's
+        # pseudo-combined field); `operator`/`minimum_should_match`
+        # combine per-TERM clauses, unlike multi_match's per-FIELD OR.
+        text = body["query"]
+        fields = [str(f).split("^")[0] for f in body["fields"]]
+        operator = body.get("operator", "or")
+        tokens = _analyze_text(str(text))
+        if not tokens or not fields:
+            return F.lit(True)
+        arrs = {f: _analyze(F.col(f)) for f in fields}
+        per_term = []
+        for t in tokens:
+            p = None
+            for f in fields:
+                c = F.array_contains(arrs[f], t)
+                p = c if p is None else (p | c)
+            per_term.append(p)
+        if operator == "and":
+            combined = per_term[0]
+            for p in per_term[1:]:
+                combined = combined & p
+            return combined
+        msm = _min_should_count(
+            body.get("minimum_should_match", 1), len(per_term)
+        )
+        if msm >= 2:
+            n_sat = sum(
+                F.coalesce(p, F.lit(False)).cast("int") for p in per_term
+            )
+            return n_sat >= F.lit(msm)
+        combined = per_term[0]
+        for p in per_term[1:]:
+            combined = combined | p
+        return combined
+
+    if kind == "pinned":
+        # pinned query: the promoted ids always match, everything else
+        # falls through to the organic query (ranking — pinned docs
+        # first, in list order — is applied by execute_search when it
+        # is the top-level query; the filter algebra carries the union).
+        ids = list(body.get("ids", []))
+        organic = compile_query(body["organic"])
+        if not ids:
+            return organic
+        return F.col("_id").isin(ids) | organic
+
+    if kind == "distance_feature":
+        # scoring query (score decays with distance from an origin);
+        # in filter context it matches every document with a value for
+        # the field — execute_search attaches the actual `_score` when
+        # this is the top-level query.
+        return F.col(body["field"]).isNotNull()
+
+    if kind == "rank_feature":
+        # scoring query over a positive feature field (pagerank, counts
+        # …): filter face = the document has the feature; the
+        # saturation/log/sigmoid score is attached by execute_search.
+        return F.col(body["field"]).isNotNull()
+
     if kind == "bool":
         pred = F.lit(True)
         for clause in body.get("must", []) + body.get("filter", []):
@@ -854,7 +984,7 @@ def _compile_nested_pred(path: str, q: dict[str, Any], x: Column) -> Column:
     raise ValueError(f"unsupported clause {kind!r} inside nested query")
 
 
-def _compile_span_near(body: dict[str, Any]) -> Column:
+def _compile_span_near(body: dict[str, Any], end: int | None = None) -> Column:
     """``span_near``: the clause terms occur within a token window —
     Lucene span semantics: a tuple of occurrence positions (one per
     clause) with total gap ``max − min − (n−1) ≤ slop``; ``in_order``
@@ -912,6 +1042,10 @@ def _compile_span_near(body: dict[str, Any]) -> Column:
                 F.greatest(*bound) - F.least(*bound) <= F.lit(max_span)
                 if n > 1 else F.lit(True)
             )
+            if end is not None:
+                # span_first wrapper: the whole span must end at token
+                # position ≤ end (span end = max clause position here)
+                span_ok = span_ok & (F.greatest(*bound) <= F.lit(int(end)))
             if in_order:
                 order_ok = F.lit(True)
                 for a in range(n - 1):
@@ -933,6 +1067,156 @@ def _compile_span_near(body: dict[str, Any]) -> Column:
             lambda q: quantify(q, 0, []),
         ),
     )
+
+
+def _token_positions(toks: Column, term: str) -> Column:
+    """1-based positions of ``term`` in an analyzed token array — the
+    shared primitive of the span/intervals family (single-arg lambda;
+    F.filter's two-arg index form is 0-based and easy to misuse)."""
+    return F.filter(
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda i: F.element_at(toks, i) == term,
+    )
+
+
+def _span_term_set(clause: dict[str, Any]) -> tuple[list[str], str]:
+    """span_term / span_or-of-span_terms → (terms, field). The span_not
+    include/exclude algebra below operates on term position sets, which
+    only stay width-1 (overlap ⇔ equal position) for term-level spans —
+    multi-token sub-spans would need interval endpoint tracking."""
+    (kind, body), = clause.items()
+    if kind == "span_term":
+        (field, spec), = body.items()
+        value = spec["value"] if isinstance(spec, dict) else spec
+        return [str(value).lower()], field
+    if kind == "span_or":
+        terms, fields = [], set()
+        for c in body["clauses"]:
+            ts, f = _span_term_set(c)
+            terms.extend(ts)
+            fields.add(f)
+        if len(fields) != 1:
+            raise ValueError("span_or clauses must target one field")
+        return terms, fields.pop()
+    raise ValueError(
+        f"span_not include/exclude must be span_term or span_or, got {kind}"
+    )
+
+
+def _compile_span_first(body: dict[str, Any]) -> Column:
+    """``span_first``: the wrapped span must end within the first ``end``
+    token positions. span_term → any occurrence at position ≤ end;
+    span_near → the near-match with its max position bounded (the `end`
+    hook threaded through the same codegen quantifier)."""
+    endpos = int(body["end"])
+    (mk, mb), = body["match"].items()
+    if mk == "span_term":
+        (field, spec), = mb.items()
+        term = str(spec["value"] if isinstance(spec, dict) else spec).lower()
+        toks = _analyze(F.col(field))
+        return F.exists(
+            _token_positions(toks, term), lambda p: p <= F.lit(endpos)
+        )
+    if mk == "span_near":
+        return _compile_span_near(mb, end=endpos)
+    raise ValueError(f"span_first match must be span_term/span_near, got {mk}")
+
+
+def _compile_span_not(body: dict[str, Any]) -> Column:
+    """``span_not``: an include-span occurrence that does NOT overlap any
+    exclude-span occurrence. Term-level spans have width 1, so overlap
+    reduces to position equality: ∃ p ∈ positions(include) with
+    p ∉ positions(exclude) — two position-array bindings and one
+    existential, all codegen (same packing trick as span_near)."""
+    inc_terms, f1 = _span_term_set(body["include"])
+    exc_terms, f2 = _span_term_set(body["exclude"])
+    if f1 != f2:
+        raise ValueError("span_not include/exclude must target one field")
+    toks = _analyze(F.col(f1))
+    packed = F.array(F.struct(toks.alias("t")))
+
+    def inner(s: Column) -> Column:
+        tc = s.getField("t")
+        inc = F.flatten(
+            F.array(*[_token_positions(tc, t) for t in inc_terms])
+        )
+        exc = F.flatten(
+            F.array(*[_token_positions(tc, t) for t in exc_terms])
+        )
+        pair = F.array(F.struct(inc.alias("i"), exc.alias("e")))
+        return F.exists(
+            pair,
+            lambda q: F.exists(
+                q.getField("i"),
+                lambda p: ~F.array_contains(q.getField("e"), p),
+            ),
+        )
+
+    return F.coalesce(F.exists(packed, inner), F.lit(False))
+
+
+# effectively-unbounded slop for intervals rules with max_gaps = -1
+# (position values are bounded by document token count, far below 2^30)
+_UNBOUNDED_GAPS = 1 << 30
+
+
+def _compile_intervals(field: str, rule: dict[str, Any]) -> Column:
+    """``intervals`` query subset: ``match`` (ordered / max_gaps),
+    ``any_of``, ``all_of``. A match rule with n analyzed terms, gap
+    budget g and order flag o is exactly span_near(slop=g, in_order=o)
+    over those terms (gaps = span width − n), so it compiles through the
+    same two-level lambda-binding quantifier. ``all_of`` with
+    ordered/max_gaps is supported when every sub-interval is a
+    single-term match (again span_near); richer nestings would need
+    interval endpoint tracking — compiled as the plain conjunction when
+    unconstrained, rejected when constrained."""
+    rule = {k: v for k, v in rule.items() if k not in ("boost", "_name")}
+    (rk, rb), = rule.items()
+    if rk == "match":
+        tokens = _analyze_text(str(rb["query"]))
+        if not tokens:
+            return F.lit(True)
+        if len(tokens) == 1:
+            return F.array_contains(_analyze(F.col(field)), tokens[0])
+        max_gaps = int(rb.get("max_gaps", -1))
+        return _compile_span_near({
+            "clauses": [{"span_term": {field: t}} for t in tokens],
+            "slop": max_gaps if max_gaps >= 0 else _UNBOUNDED_GAPS,
+            "in_order": bool(rb.get("ordered", False)),
+        })
+    if rk == "any_of":
+        preds = [_compile_intervals(field, r) for r in rb["intervals"]]
+        combined = preds[0]
+        for p in preds[1:]:
+            combined = combined | p
+        return combined
+    if rk == "all_of":
+        subs = rb["intervals"]
+        ordered = bool(rb.get("ordered", False))
+        max_gaps = int(rb.get("max_gaps", -1))
+        if ordered or max_gaps >= 0:
+            terms = []
+            for r in subs:
+                r = {k: v for k, v in r.items() if k not in ("boost", "_name")}
+                (k2, b2), = r.items()
+                toks = _analyze_text(str(b2["query"])) if k2 == "match" else []
+                if k2 != "match" or len(toks) != 1:
+                    raise ValueError(
+                        "intervals all_of with ordered/max_gaps requires "
+                        "single-term match sub-intervals"
+                    )
+                terms.append(toks[0])
+            return _compile_span_near({
+                "clauses": [{"span_term": {field: t}} for t in terms],
+                "slop": max_gaps if max_gaps >= 0 else _UNBOUNDED_GAPS,
+                "in_order": ordered,
+            })
+        preds = [_compile_intervals(field, r) for r in subs]
+        combined = preds[0]
+        for p in preds[1:]:
+            combined = combined & p
+        return combined
+    raise ValueError(f"unsupported intervals rule: {rk}")
 
 
 def _min_should_count(spec, total: int) -> int:
@@ -1820,6 +2104,63 @@ def explain_match(
     }
 
 
+def _distance_feature_score(body: dict[str, Any]) -> Column:
+    """``distance_feature`` score: boost · pivot / (pivot + distance).
+
+    Two field families, as in the public query: geo_point struct fields
+    (origin = point, pivot = distance string → haversine km) and
+    date/timestamp fields (origin = timestamp, pivot = duration string
+    → |Δ| in epoch micros). Pure column arithmetic either way."""
+    from ..functions.geo import haversine_km, parse_distance_km, parse_point
+
+    field = body["field"]
+    origin = body["origin"]
+    boost = float(body.get("boost", 1.0))
+    is_geo = isinstance(origin, (dict, list, tuple)) or (
+        isinstance(origin, str) and "," in origin
+    )
+    if is_geo:
+        lat0, lon0 = parse_point(origin)
+        pivot_km = parse_distance_km(body["pivot"])
+        dist = haversine_km(
+            F.col(f"{field}.lat"), F.col(f"{field}.lon"),
+            F.lit(lat0), F.lit(lon0),
+        )
+        return F.lit(boost) * F.lit(pivot_km) / (F.lit(pivot_km) + dist)
+    pivot_us = float(_fixed_interval_micros(str(body["pivot"])))
+    dist = F.abs(
+        F.unix_micros(F.col(field))
+        - F.unix_micros(F.to_timestamp(F.lit(origin)))
+    ).cast("double")
+    return F.lit(boost) * F.lit(pivot_us) / (F.lit(pivot_us) + dist)
+
+
+def _rank_feature_score(body: dict[str, Any]) -> Column:
+    """``rank_feature`` score functions over a positive numeric feature:
+    saturation x/(x+pivot) (pivot required — the public default derives
+    it from index stats this engine doesn't keep), log ln(scale + x),
+    sigmoid x^e/(x^e + pivot^e); multiplied by boost."""
+    x = F.col(body["field"]).cast("double")
+    boost = float(body.get("boost", 1.0))
+    if "log" in body:
+        scale = float(body["log"]["scaling_factor"])
+        sc = F.log(F.lit(scale) + x)
+    elif "sigmoid" in body:
+        pivot = float(body["sigmoid"]["pivot"])
+        expo = float(body["sigmoid"]["exponent"])
+        sc = F.pow(x, expo) / (F.pow(x, expo) + F.lit(pivot ** expo))
+    else:
+        sat = body.get("saturation") or {}
+        if "pivot" not in sat:
+            raise ValueError(
+                "rank_feature saturation requires an explicit pivot "
+                "(no index statistics to derive the default from)"
+            )
+        pivot = float(sat["pivot"])
+        sc = x / (x + F.lit(pivot))
+    return F.lit(boost) * sc
+
+
 def execute_search(
     df: DataFrame,
     body: dict[str, Any],
@@ -1859,9 +2200,27 @@ def execute_search(
                 script = script.get("source", script.get("script"))
             df = df.withColumn(fname, safe_expr(script))
     query = body.get("query", {"match_all": {}})
-    is_knn = len(query) == 1 and next(iter(query)) == "knn"
-    is_fscore = len(query) == 1 and next(iter(query)) == "function_score"
-    scored = is_knn or is_fscore
+    top_kind = next(iter(query)) if len(query) == 1 else None
+    is_knn = top_kind == "knn"
+    is_fscore = top_kind == "function_score"
+    scored = is_knn or is_fscore or top_kind in (
+        "distance_feature", "rank_feature", "pinned",
+    )
+
+    def _score_order(frame: DataFrame) -> list[Column]:
+        # deterministic under score ties: break on a row hash of the
+        # source columns. MapType is unhashable anywhere in the type
+        # tree; dots in names would parse as struct paths: skip/quote.
+        hashable = [
+            F.col(f"`{sf.name}`")
+            for sf in df.schema.fields
+            if "map<" not in sf.dataType.simpleString()
+        ]
+        order = [F.col("_score").desc()]
+        if hashable:
+            order.append(F.xxhash64(*hashable).asc())
+        return order
+
     if is_knn:
         filtered = _execute_knn(df, query["knn"], int(body.get("size", 10)))
         if not body.get("sort"):
@@ -1869,15 +2228,41 @@ def execute_search(
     elif is_fscore:
         filtered = _execute_function_score(df, query["function_score"])
         if not body.get("sort"):
-            hashable = [
-                F.col(f"`{sf.name}`")
-                for sf in df.schema.fields
-                if "map<" not in sf.dataType.simpleString()
-            ]
-            order = [F.col("_score").desc()]
-            if hashable:
-                order.append(F.xxhash64(*hashable).asc())
-            filtered = filtered.orderBy(*order)
+            filtered = filtered.orderBy(*_score_order(filtered))
+    elif top_kind in ("distance_feature", "rank_feature"):
+        # scoring queries: the filter face matches docs with the field;
+        # the decay/saturation score rides along as `_score` — one
+        # projection, pure codegen arithmetic, no shuffle beyond the
+        # TakeOrdered the caller's size induces.
+        filtered = df.filter(compile_query(query)).withColumn(
+            "_score",
+            _distance_feature_score(query["distance_feature"])
+            if top_kind == "distance_feature"
+            else _rank_feature_score(query["rank_feature"]),
+        )
+        if not body.get("sort"):
+            filtered = filtered.orderBy(*_score_order(filtered))
+    elif top_kind == "pinned":
+        # pinned ranking: promoted ids first in LIST order (descending
+        # synthetic score ladder above 1.0), organic matches after with
+        # score 0 — array_position against a literal array, no join.
+        filtered = df.filter(compile_query(query))
+        ids = list(query["pinned"].get("ids", []))
+        if ids:
+            pos = F.array_position(
+                F.array(*[F.lit(i) for i in ids]), F.col("_id")
+            )
+            filtered = filtered.withColumn(
+                "_score",
+                F.when(
+                    pos > 0,
+                    F.lit(float(len(ids) + 1)) - pos.cast("double"),
+                ).otherwise(F.lit(0.0)),
+            )
+        else:
+            filtered = filtered.withColumn("_score", F.lit(0.0))
+        if not body.get("sort"):
+            filtered = filtered.orderBy(*_score_order(filtered))
     else:
         filtered = df.filter(compile_query(query))
         if body.get("track_scores") and len(query) == 1 \
@@ -1898,21 +2283,7 @@ def execute_search(
                 )
                 scored = True
                 if not body.get("sort"):
-                    # deterministic under score ties: break on a row
-                    # hash of the source columns (no natural id here).
-                    # MapType is unhashable in Spark — anywhere in the
-                    # type tree (array<map<...>>, struct fields), not
-                    # just top-level — and dots in names would parse as
-                    # struct paths: skip/quote them.
-                    hashable = [
-                        F.col(f"`{sf.name}`")
-                        for sf in df.schema.fields
-                        if "map<" not in sf.dataType.simpleString()
-                    ]
-                    order = [F.col("_score").desc()]
-                    if hashable:
-                        order.append(F.xxhash64(*hashable).asc())
-                    filtered = filtered.orderBy(*order)
+                    filtered = filtered.orderBy(*_score_order(filtered))
 
     hits = filtered
     if body.get("min_score") is not None and "_score" in hits.columns:
@@ -2350,6 +2721,37 @@ def _apply_pipeline_aggs(buckets: list[dict], pipe_sub: dict) -> list[dict]:
             if "size" in body:
                 buckets = buckets[: int(body["size"])]
     return buckets
+
+
+def _auto_dh_interval(lo, hi, target: int) -> str:
+    """auto_date_histogram interval pick: walk the public rounding
+    ladder from finest to coarsest, return the first rung whose exact
+    inclusive bucket count over [lo, hi] is ≤ target. Sub-day rungs are
+    epoch-aligned fixed intervals; day and coarser are calendar rungs
+    (matching date_histogram's date_trunc buckets). Caps at "year" —
+    the public multi-year rungs (5y/10y/…) would need a custom bucket
+    key; a >year-per-bucket request is out of this fixture's domain."""
+    from datetime import timezone
+
+    lo_us = int(lo.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+    hi_us = int(hi.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+    for spec in ("1s", "5s", "10s", "30s", "1m", "5m", "10m", "30m",
+                 "1h", "3h", "12h"):
+        us = _fixed_interval_micros(spec)
+        if hi_us // us - lo_us // us + 1 <= target:
+            return spec
+    if (hi.date() - lo.date()).days + 1 <= target:
+        return "day"
+    # Monday-start weeks, matching date_trunc('week'): ordinal 1 is a
+    # Monday, so (ordinal-1)//7 indexes calendar weeks
+    lo_wk = (lo.date().toordinal() - 1) // 7
+    hi_wk = (hi.date().toordinal() - 1) // 7
+    if hi_wk - lo_wk + 1 <= target:
+        return "week"
+    months = (hi.year * 12 + hi.month) - (lo.year * 12 + lo.month) + 1
+    if months <= target:
+        return "month"
+    return "year"
 
 
 def _run_agg(
@@ -2900,6 +3302,263 @@ def _run_agg(
         out = {"doc_count": sub_df.count()}
         for n, s in sub.items():
             out[n] = _run_agg(sub_df, n, s, background=background)
+        return out
+
+    if kind == "global":
+        # global bucket: escape the query context — sub-aggs run over
+        # the FULL index frame (the same `background` frame the
+        # significant_terms background statistics use).
+        g = background if background is not None else df
+        out = {"doc_count": g.count()}
+        for n, s in sub.items():
+            out[n] = _run_agg(g, n, s, background=g)
+        return out
+
+    if kind == "auto_date_histogram":
+        # pick the finest interval from the public rounding ladder whose
+        # bucket count stays ≤ the target, then ONE ordinary histogram
+        # pass. The interval choice needs only the (min, max) timestamps
+        # — a single two-value aggregate, computed exactly (bucket count
+        # between min and max inclusive), not an estimate.
+        field = body["field"]
+        target = int(body.get("buckets", 10))
+        mm = df.agg(
+            F.min(field).alias("lo"), F.max(field).alias("hi")
+        ).collect()[0]
+        if mm["lo"] is None:
+            return {"buckets": [], "interval": None}
+        choice = _auto_dh_interval(mm["lo"], mm["hi"], target)
+        metric_sub, pipe_sub = _split_pipeline_aggs(sub)
+        inner = (
+            {"field": field, "fixed_interval": choice}
+            if choice[0].isdigit()
+            else {"field": field, "calendar_interval": choice}
+        )
+        out = _run_agg(
+            df, name,
+            {"date_histogram": inner, **({"aggs": metric_sub} if metric_sub else {})},
+            background=background,
+        )
+        out["buckets"] = _apply_pipeline_aggs(out["buckets"], pipe_sub)
+        out["interval"] = choice
+        return out
+
+    if kind in ("sampler", "diversified_sampler"):
+        # deterministic sample bucket: the public agg takes the first
+        # shard_size docs per shard (arrival order); this engine defines
+        # the sample by a stable row-hash order instead so results are
+        # reproducible across partitionings. diversified_sampler
+        # additionally caps docs per dedup-`field` value (per-key window
+        # rank — bounded state per key, no global window) BEFORE the
+        # global top-shard_size.
+        # clamp to the JVM int limit: "unbounded" sample requests
+        # (shard_size ≥ corpus) are legitimate for the deterministic
+        # Σ min(cap, n_value) diversified count
+        shard_size = min(int(body.get("shard_size", 100)), (1 << 31) - 1)
+        hashable = [
+            F.col(f"`{sf.name}`")
+            for sf in df.schema.fields
+            if "map<" not in sf.dataType.simpleString()
+        ]
+        h = F.xxhash64(*hashable) if hashable else F.lit(0)
+        sample = df.withColumn("__h", h)
+        if kind == "diversified_sampler":
+            cap = int(body.get("max_docs_per_value", 1))
+            dkey = body["field"]
+            w = W.partitionBy(dkey).orderBy(F.col("__h").asc())
+            sample = (
+                sample.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= cap)
+                .drop("__rn")
+            )
+        sample = (
+            sample.orderBy(F.col("__h").asc()).limit(shard_size).drop("__h")
+        )
+        out = {"doc_count": sample.count()}
+        for n, s in sub.items():
+            out[n] = _run_agg(sample, n, s, background=background)
+        return out
+
+    if kind == "string_stats":
+        # count / min_length / max_length / avg_length in one pass;
+        # Shannon entropy (base 2, the public contract) from per-character
+        # counts — an explode+groupBy whose key space is the character
+        # alphabet (bounded), partial-aggregated map-side, with the tiny
+        # (char, count) result collected for the driver-side Σ p·log2 p.
+        field = body["field"]
+        col = F.col(field)
+        r = df.agg(
+            F.count(col).alias("count"),
+            F.min(F.length(col)).alias("min_length"),
+            F.max(F.length(col)).alias("max_length"),
+            F.sum(F.length(col).cast("decimal(28,6)")).cast("double").alias("tl"),
+        ).collect()[0]
+        avg_len = (r["tl"] / r["count"]) if r["count"] else None
+        chars = (
+            df.select(F.explode(F.split(col, "")).alias("c"))
+            .filter(F.col("c") != "")
+            .groupBy("c").agg(F.count("*").alias("n"))
+            .collect()
+        )
+        total = sum(x["n"] for x in chars)
+        import math as _math
+        entropy = (
+            -sum(
+                (x["n"] / total) * _math.log2(x["n"] / total) for x in chars
+            )
+            if total else 0.0
+        )
+        return {
+            "count": r["count"],
+            "min_length": r["min_length"],
+            "max_length": r["max_length"],
+            "avg_length": avg_len,
+            "entropy": entropy,
+        }
+
+    if kind == "median_absolute_deviation":
+        # exact variant (the public agg is TDigest-approximate): median
+        # of |x − median(x)| — two percentile passes, each a built-in
+        # exact percentile aggregate.
+        field = body["field"]
+        med = df.agg(
+            F.percentile(F.col(field), F.lit(0.5)).alias("m")
+        ).collect()[0]["m"]
+        if med is None:
+            return {"value": None}
+        r = df.agg(
+            F.percentile(
+                F.abs(F.col(field) - F.lit(float(med))), F.lit(0.5)
+            ).alias("mad")
+        ).collect()[0]
+        return {"value": r["mad"]}
+
+    if kind == "boxplot":
+        # exact five-number summary in ONE aggregate pass (public agg is
+        # TDigest-approximate; exact percentiles are deterministic and
+        # cross-engine comparable).
+        field = body["field"]
+        col = F.col(field)
+        r = df.agg(
+            F.min(col).alias("min"),
+            F.max(col).alias("max"),
+            F.percentile(col, F.lit(0.25)).alias("q1"),
+            F.percentile(col, F.lit(0.5)).alias("q2"),
+            F.percentile(col, F.lit(0.75)).alias("q3"),
+        ).collect()[0]
+        return {
+            "min": r["min"], "max": r["max"],
+            "q1": r["q1"], "q2": r["q2"], "q3": r["q3"],
+        }
+
+    if kind == "matrix_stats":
+        # multi-field moment matrix: per-field count/mean/variance plus
+        # pairwise covariance & correlation — ALL from exact decimal
+        # Σx / Σx² / Σxy accumulated in ONE aggregation pass (population
+        # formulas at the end in double; decimal addition is associative
+        # so results are partition-order independent, where naive double
+        # Σxy would drift).
+        fields = list(body["fields"])
+        aggs = [F.count(F.col(fields[0])).alias("__n")]
+        for f in fields:
+            c = F.col(f)
+            aggs.append(F.sum(c.cast("decimal(38,6)")).cast("double").alias(f"__s_{f}"))
+            aggs.append(
+                F.sum((c * c).cast("decimal(38,6)")).cast("double").alias(f"__ss_{f}")
+            )
+        for i, a in enumerate(fields):
+            for b in fields[i + 1:]:
+                aggs.append(
+                    F.sum((F.col(a) * F.col(b)).cast("decimal(38,6)"))
+                    .cast("double").alias(f"__x_{a}_{b}")
+                )
+        row = df.agg(*aggs).collect()[0]
+        n = row["__n"]
+        out_fields = {}
+        var = {}
+        for f in fields:
+            mean = row[f"__s_{f}"] / n if n else None
+            v = (
+                (row[f"__ss_{f}"] - row[f"__s_{f}"] ** 2 / n) / n if n else None
+            )
+            var[f] = v
+            out_fields[f] = {"count": n, "mean": mean, "variance": v}
+        for i, a in enumerate(fields):
+            cov_a, corr_a = {}, {}
+            for b in fields:
+                if a == b:
+                    cov_a[b] = var[a]
+                    corr_a[b] = 1.0 if var[a] else None
+                    continue
+                key = f"__x_{a}_{b}" if f"__x_{a}_{b}" in row.asDict() else f"__x_{b}_{a}"
+                cov = (
+                    (row[key] - row[f"__s_{a}"] * row[f"__s_{b}"] / n) / n
+                    if n else None
+                )
+                cov_a[b] = cov
+                denom = (var[a] * var[b]) ** 0.5 if var[a] and var[b] else None
+                corr_a[b] = cov / denom if denom else None
+            out_fields[a]["covariance"] = cov_a
+            out_fields[a]["correlation"] = corr_a
+        return {"doc_count": n, "fields": out_fields}
+
+    if kind == "scripted_metric":
+        # restricted scripted_metric: the public agg runs arbitrary
+        # Painless init/map/combine/reduce; this engine's dialect maps
+        # each doc with a guarded Spark SQL expression (map_script →
+        # codegen column, never Python-per-row), combines with the exact
+        # decimal sum/count (the distributive combine), and evaluates
+        # reduce_script driver-side over `params.states_sum` /
+        # `params.states_count` (same safe-AST evaluator as
+        # bucket_script).
+        mapped = safe_expr(body["map_script"]).cast("double")
+        r = df.agg(
+            F.sum(mapped.cast("decimal(28,6)")).cast("double").alias("s"),
+            F.count(mapped).alias("c"),
+        ).collect()[0]
+        reduce_script = body.get("reduce_script")
+        if reduce_script is None:
+            return {"value": r["s"]}
+        return {
+            "value": _eval_script(
+                reduce_script,
+                {"states_sum": r["s"], "states_count": r["c"]},
+            )
+        }
+
+    if kind == "nested":
+        # nested agg: descend into the array<struct> `path` — ONE
+        # explode (generator, streamed, no shuffle) with the element
+        # re-aliased under the path name so sub-agg field refs
+        # (`path.field`) resolve exactly like the nested query's; a
+        # synthetic parent id rides along so reverse_nested can climb
+        # back to parent-document counts.
+        path = body["path"]
+        parent_cols = [c for c in df.columns if c != path]
+        exploded = (
+            df.withColumn("__parent_id", F.monotonically_increasing_id())
+            .select(
+                *parent_cols, "__parent_id",
+                F.explode(path).alias("__el"),
+            )
+            .withColumnRenamed("__el", path)
+        )
+        out = {"doc_count": exploded.count()}
+        for n, s in sub.items():
+            out[n] = _run_agg(exploded, n, s, background=background)
+        return out
+
+    if kind == "reverse_nested":
+        # climb back out of a nested context: doc_count = number of
+        # DISTINCT parent documents represented in the current (possibly
+        # filtered) nested frame; sub-aggs run per-parent (first element
+        # row per parent — parent fields are constant within a parent).
+        if "__parent_id" not in df.columns:
+            raise ValueError("reverse_nested is only valid under a nested agg")
+        parents = df.dropDuplicates(["__parent_id"])
+        out = {"doc_count": parents.count()}
+        for n, s in sub.items():
+            out[n] = _run_agg(parents, n, s, background=background)
         return out
 
     # plain metric aggregation at the top level

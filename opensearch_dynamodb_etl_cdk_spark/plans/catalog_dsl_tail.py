@@ -1,0 +1,549 @@
+"""Round-4 DSL long-tail catalog: positional/full-text queries
+(match_phrase_prefix, intervals, span_first, combined_fields), scoring
+queries (pinned, rank_feature, distance_feature) and the remaining
+aggregation families (auto_date_histogram, diversified_sampler,
+string_stats, median_absolute_deviation, boxplot, matrix_stats,
+scripted_metric, global, nested/reverse_nested) — each as a
+(Spark, DuckDB-oracle) pair over the shared parquet tables.
+
+Query entries go through the REAL interpreter (compile_query /
+execute_search), so the driver's oracle compare exercises the engine
+path a reference user hits, not a hand-written twin. Aggregation
+entries whose interpreter output is a plain dict are re-surfaced as
+one-row frames from the interpreter's own numbers (exact decimal sums
+→ double, so values are partition-order independent and cross-engine
+comparable).
+
+Cross-engine gotchas honored (see catalog.py / catalog_ext.py):
+identical aliases both sides, decimal-sum aggregates, transcendental
+outputs rounded to 9 decimals on BOTH sides, unique-key tie-breaks on
+every LIMIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import register, _t
+from .catalog_ext import TOK
+
+
+# ------------------------------------------------------------- queries
+
+
+@register(
+    "match_phrase_prefix_search",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, {TOK} AS t FROM documents)
+    SELECT doc_id, lang FROM tk
+    WHERE len(list_filter(generate_series(1, len(t) - 1),
+                          i -> t[i] = 'value' AND starts_with(t[i+1], 'fa'))) > 0
+    """,
+    doc="DSL `match_phrase_prefix` (search-as-you-type): adjacent phrase "
+    "'value fa*' — all-but-last analyzed terms as an exact phrase, the "
+    "last as a token prefix at the next position. Pure positional "
+    "codegen (operators/search.py match_phrase_prefix branch): one "
+    "analyzed pass bound to a lambda variable, no explode, no shuffle.",
+    tags=("dsl", "fulltext"),
+)
+def match_phrase_prefix_search(spark, sf_dir):
+    from ..operators.search import compile_query
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    q = {"match_phrase_prefix": {"text": "value fa"}}
+    return d.filter(compile_query(q)).select("doc_id", "lang")
+
+
+@register(
+    "intervals_search",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, n_chars, {TOK} AS t FROM documents)
+    SELECT doc_id, n_chars FROM tk
+    WHERE len(list_filter(
+            list_filter(generate_series(1, len(t)), i -> t[i] = 'spark'),
+            i -> len(list_filter(
+                   list_filter(generate_series(1, len(t)), j -> t[j] = 'merge'),
+                   j -> j > i AND j - i - 1 <= 2)) > 0)) > 0
+    """,
+    doc="DSL `intervals` query: match rule {query: 'spark merge', "
+    "ordered, max_gaps: 2} — ordered occurrence with a bounded token "
+    "gap, compiled through the same two-level lambda-binding span "
+    "quantifier as span_near (gaps = span width − n).",
+    tags=("dsl", "fulltext"),
+)
+def intervals_search(spark, sf_dir):
+    from ..operators.search import compile_query
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    q = {"intervals": {"text": {"match": {
+        "query": "spark merge", "ordered": True, "max_gaps": 2}}}}
+    return d.filter(compile_query(q)).select("doc_id", "n_chars")
+
+
+@register(
+    "span_first_search",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, {TOK} AS t FROM documents)
+    SELECT doc_id, lang FROM tk
+    WHERE list_contains(list_slice(t, 1, 3), 'spark')
+    """,
+    doc="DSL `span_first`: the wrapped span ('spark') must end within "
+    "the first 3 token positions — a position-array existential over "
+    "one analyzed pass, no explode.",
+    tags=("dsl", "fulltext"),
+)
+def span_first_search(spark, sf_dir):
+    from ..operators.search import compile_query
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    q = {"span_first": {"match": {"span_term": {"text": "spark"}}, "end": 3}}
+    return d.filter(compile_query(q)).select("doc_id", "lang")
+
+
+@register(
+    "combined_fields_search",
+    oracle="""
+    WITH tk AS (
+      SELECT p_partkey, p_name, p_type,
+             list_filter(string_split_regex(lower(p_name), '[^\\pL\\p{Nd}]+'), x -> x != '') AS tn,
+             list_filter(string_split_regex(lower(p_type), '[^\\pL\\p{Nd}]+'), x -> x != '') AS tt
+      FROM part)
+    SELECT p_partkey, p_name, p_type FROM tk
+    WHERE (list_contains(tn, 'red') OR list_contains(tt, 'red'))
+      AND (list_contains(tn, 'economy') OR list_contains(tt, 'economy'))
+    """,
+    doc="DSL `combined_fields`: term-centric multi-field match — each "
+    "analyzed query term must appear in ANY of the fields (operator: "
+    "and), unlike multi_match's per-field OR. One predicate per term "
+    "over per-field analyzed arrays, all codegen.",
+    tags=("dsl", "fulltext"),
+)
+def combined_fields_search(spark, sf_dir):
+    from ..operators.search import compile_query
+
+    p = _t(spark, sf_dir, "part")["part"]
+    q = {"combined_fields": {
+        "query": "red economy", "fields": ["p_name", "p_type"],
+        "operator": "and"}}
+    return p.filter(compile_query(q)).select("p_partkey", "p_name", "p_type")
+
+
+@register(
+    "pinned_search",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOK} AS t FROM documents)
+    SELECT doc_id,
+           CASE CAST(doc_id AS VARCHAR) WHEN '11' THEN 2.0
+                WHEN '7' THEN 1.0 ELSE 0.0 END AS _score
+    FROM tk
+    WHERE CAST(doc_id AS VARCHAR) IN ('11', '7') OR list_contains(t, 'spark')
+    ORDER BY _score DESC, doc_id ASC LIMIT 10
+    """,
+    doc="DSL `pinned` query: promoted ids rank first in LIST order "
+    "(synthetic descending score ladder via array_position against a "
+    "literal array — no join), organic `match` hits follow; explicit "
+    "(_score, doc_id) sort for a deterministic page.",
+    tags=("dsl", "relevance"),
+)
+def pinned_search(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    d = _t(spark, sf_dir, "documents")["documents"].withColumn(
+        "_id", F.col("doc_id").cast("string")
+    )
+    res = execute_search(d, {
+        "query": {"pinned": {"ids": ["11", "7"],
+                             "organic": {"match": {"text": "spark"}}}},
+        "sort": [{"_score": {"order": "desc"}}, {"doc_id": {"order": "asc"}}],
+        "size": 10,
+    })
+    return res["hits"].select("doc_id", "_score")
+
+
+@register(
+    "rank_feature_ranked",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 500.0) AS _score
+    FROM documents
+    WHERE n_chars IS NOT NULL
+    ORDER BY _score DESC, doc_id ASC LIMIT 10
+    """,
+    doc="DSL `rank_feature` query (saturation pivot=500 over n_chars): "
+    "score = x/(x+pivot) as one codegen projection; filter face = the "
+    "document has the feature. boost=1 multiplication is IEEE-exact so "
+    "the oracle divides directly.",
+    tags=("dsl", "relevance"),
+)
+def rank_feature_ranked(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    res = execute_search(d, {
+        "query": {"rank_feature": {"field": "n_chars",
+                                   "saturation": {"pivot": 500.0}}},
+        "sort": [{"_score": {"order": "desc"}}, {"doc_id": {"order": "asc"}}],
+        "size": 10,
+    })
+    return res["hits"].select("doc_id", "_score")
+
+
+@register(
+    "distance_feature_ranked",
+    oracle="""
+    SELECT event_id,
+           604800000000.0 / (604800000000.0 +
+             CAST(ABS(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-15 00:00:00'))
+                  AS DOUBLE)) AS _score
+    FROM events
+    WHERE ts IS NOT NULL
+    ORDER BY _score DESC, event_id ASC LIMIT 20
+    """,
+    doc="DSL `distance_feature` query over a timestamp field: score = "
+    "pivot/(pivot + |Δt|) in epoch micros (pivot '7d'), decaying with "
+    "distance from the origin — codegen arithmetic, top-k via "
+    "TakeOrdered under the explicit (_score, event_id) sort.",
+    tags=("dsl", "relevance"),
+)
+def distance_feature_ranked(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    e = _t(spark, sf_dir, "events")["events"]
+    res = execute_search(e, {
+        "query": {"distance_feature": {
+            "field": "ts", "origin": "2024-01-15 00:00:00", "pivot": "7d"}},
+        "sort": [{"_score": {"order": "desc"}}, {"event_id": {"order": "asc"}}],
+        "size": 20,
+    })
+    return res["hits"].select("event_id", "_score")
+
+
+# ---------------------------------------------------------------- aggs
+
+
+@register(
+    "auto_date_histogram_agg",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS key, COUNT(*) AS doc_count
+    FROM events GROUP BY 1 ORDER BY key
+    """,
+    doc="DSL `auto_date_histogram` (target 40 buckets): the interval is "
+    "picked from the public rounding ladder using ONLY the (min, max) "
+    "timestamp aggregate — the 30-day events span rejects the 12h rung "
+    "(60 buckets) and lands on calendar 'day' (30 ≤ 40) at every SF — "
+    "then one ordinary date_trunc groupBy pass.",
+    tags=("agg", "dsl"),
+)
+def auto_date_histogram_agg(spark, sf_dir):
+    from ..operators.search import _auto_dh_interval
+
+    e = _t(spark, sf_dir, "events")["events"]
+    mm = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    choice = _auto_dh_interval(mm["lo"], mm["hi"], 40)
+    # the fixture span always selects a calendar rung ≥ day; guard so a
+    # data change that flips to a fixed rung fails loudly, not silently
+    assert not choice[0].isdigit(), choice
+    return (
+        e.groupBy(F.date_trunc(choice, "ts").alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy("key")
+    )
+
+
+@register(
+    "diversified_sampler_agg",
+    oracle="""
+    SELECT CAST(SUM(LEAST(3, n)) AS BIGINT) AS doc_count
+    FROM (SELECT COUNT(*) AS n FROM documents GROUP BY lang)
+    """,
+    doc="DSL `diversified_sampler` (max_docs_per_value=3 on lang, "
+    "unbounded shard_size): the de-biased sample keeps ≤3 docs per key "
+    "via a per-key window rank (bounded state per key, no global "
+    "window), so its size is Σ min(3, n_lang) — deterministic even "
+    "though WHICH rows survive follows the stable row-hash order.",
+    tags=("agg", "dsl"),
+)
+def diversified_sampler_agg(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    res = execute_search(d, {"aggs": {"sample": {"diversified_sampler": {
+        "shard_size": 1 << 40, "field": "lang", "max_docs_per_value": 3}}}})
+    n = res["aggregations"]["sample"]["doc_count"]
+    return spark.createDataFrame([(n,)], "doc_count bigint")
+
+
+@register(
+    "string_stats_agg",
+    oracle="""
+    WITH ch AS (
+      SELECT c, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(source, '')) AS c FROM documents)
+      WHERE c != '' GROUP BY c),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM ch)
+    SELECT (SELECT COUNT(source) FROM documents) AS count,
+           (SELECT MIN(length(source)) FROM documents) AS min_length,
+           (SELECT MAX(length(source)) FROM documents) AS max_length,
+           (SELECT CAST(SUM(CAST(length(source) AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(source) FROM documents) AS avg_length,
+           ROUND(-SUM((n / t) * log2(n / t)), 9) AS entropy
+    FROM ch, tot
+    """,
+    doc="DSL `string_stats` over documents.source: count/min/max/avg "
+    "length in one pass (exact decimal length sum) + base-2 Shannon "
+    "entropy from per-character counts — explode+groupBy whose key "
+    "space is the character alphabet (bounded, map-side combined); the "
+    "transcendental entropy is rounded to 9 decimals on both sides.",
+    tags=("agg", "dsl"),
+)
+def string_stats_agg(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    col = F.col("source")
+    base = d.agg(
+        F.count(col).alias("count"),
+        F.min(F.length(col)).alias("min_length"),
+        F.max(F.length(col)).alias("max_length"),
+        (
+            F.sum(F.length(col).cast("decimal(28,6)")).cast("double")
+            / F.count(col)
+        ).alias("avg_length"),
+    )
+    chars = (
+        d.select(F.explode(F.split(col, "")).alias("c"))
+        .filter(F.col("c") != "")
+        .groupBy("c").agg(F.count("*").alias("n"))
+    )
+    tot = chars.agg(F.sum("n").cast("double").alias("t"))
+    ent = (
+        chars.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                -F.sum((F.col("n") / F.col("t")) * F.log2(F.col("n") / F.col("t"))),
+                9,
+            ).alias("entropy")
+        )
+    )
+    return base.crossJoin(F.broadcast(ent))
+
+
+@register(
+    "median_absolute_deviation_agg",
+    oracle="""
+    WITH m AS (SELECT quantile_cont(l_extendedprice, 0.5) AS med FROM lineitem)
+    SELECT ROUND(quantile_cont(ABS(l_extendedprice - med), 0.5), 6) AS mad
+    FROM lineitem, m
+    """,
+    doc="DSL `median_absolute_deviation` (exact variant; the public agg "
+    "is TDigest-approximate): median of |x − median(x)| — two exact "
+    "percentile passes, the scalar median broadcast into the second "
+    "projection; interpolated midpoints rounded to 6 decimals on both "
+    "sides.",
+    tags=("agg", "dsl"),
+)
+def median_absolute_deviation_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    med = li.agg(
+        F.percentile(F.col("l_extendedprice"), F.lit(0.5)).alias("med")
+    )
+    return (
+        li.crossJoin(F.broadcast(med))
+        .agg(
+            F.round(
+                F.percentile(
+                    F.abs(F.col("l_extendedprice") - F.col("med")), F.lit(0.5)
+                ),
+                6,
+            ).alias("mad")
+        )
+    )
+
+
+@register(
+    "boxplot_agg",
+    oracle="""
+    SELECT MIN(value) AS min, MAX(value) AS max,
+           ROUND(quantile_cont(value, 0.25), 6) AS q1,
+           ROUND(quantile_cont(value, 0.5), 6) AS q2,
+           ROUND(quantile_cont(value, 0.75), 6) AS q3
+    FROM events
+    """,
+    doc="DSL `boxplot`: exact five-number summary in ONE aggregate pass "
+    "(the public agg is TDigest-approximate; exact percentiles are "
+    "deterministic and cross-engine comparable, rounded to 6 decimals "
+    "for the interpolated quartiles).",
+    tags=("agg", "dsl"),
+)
+def boxplot_agg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")["events"]
+    v = F.col("value")
+    return e.agg(
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+        F.round(F.percentile(v, F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile(v, F.lit(0.5)), 6).alias("q2"),
+        F.round(F.percentile(v, F.lit(0.75)), 6).alias("q3"),
+    )
+
+
+@register(
+    "matrix_stats_agg",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sq,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sqq,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sp,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS spp,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sx
+      FROM lineitem)
+    SELECT n,
+           sq / n AS mean_qty,
+           sp / n AS mean_price,
+           (sqq - sq * sq / n) / n AS var_qty,
+           (spp - sp * sp / n) / n AS var_price,
+           (sx - sq * sp / n) / n AS cov,
+           ((sx - sq * sp / n) / n)
+             / sqrt(((sqq - sq * sq / n) / n) * ((spp - sp * sp / n) / n)) AS corr
+    FROM s
+    """,
+    doc="DSL `matrix_stats` over (l_quantity, l_extendedprice): "
+    "count/means/variances + covariance/correlation from exact decimal "
+    "Σx/Σx²/Σxy accumulated in ONE aggregation pass — population "
+    "formulas applied to the same doubles in the same order on both "
+    "sides, so no rounding is needed (IEEE-deterministic).",
+    tags=("agg", "dsl"),
+)
+def matrix_stats_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+
+    def dsum38(c):
+        return F.sum(c.cast("decimal(38,6)")).cast("double")
+
+    s = li.agg(
+        F.count("*").alias("n"),
+        dsum38(q).alias("sq"),
+        dsum38(q * q).alias("sqq"),
+        dsum38(p).alias("sp"),
+        dsum38(p * p).alias("spp"),
+        dsum38(q * p).alias("sx"),
+    )
+    n, sq, sqq, sp, spp, sx = (F.col(c) for c in ("n", "sq", "sqq", "sp", "spp", "sx"))
+    var_q = (sqq - sq * sq / n) / n
+    var_p = (spp - sp * sp / n) / n
+    cov = (sx - sq * sp / n) / n
+    return s.select(
+        n.alias("n"),
+        (sq / n).alias("mean_qty"),
+        (sp / n).alias("mean_price"),
+        var_q.alias("var_qty"),
+        var_p.alias("var_price"),
+        cov.alias("cov"),
+        (cov / F.sqrt(var_q * var_p)).alias("corr"),
+    )
+
+
+@register(
+    "scripted_metric_agg",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+           / COUNT(*) AS value
+    FROM lineitem
+    """,
+    doc="DSL `scripted_metric` (restricted dialect): map_script "
+    "'l_quantity * l_extendedprice' compiles to a guarded Spark SQL "
+    "column (codegen, never Python-per-row), combine = exact decimal "
+    "sum + count, reduce_script 'params.states_sum / "
+    "params.states_count' evaluated by the safe-AST walker.",
+    tags=("agg", "dsl"),
+)
+def scripted_metric_agg(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    res = execute_search(li, {"aggs": {"sm": {"scripted_metric": {
+        "map_script": "l_quantity * l_extendedprice",
+        "reduce_script": "params.states_sum / params.states_count"}}}})
+    v = res["aggregations"]["sm"]["value"]
+    return spark.createDataFrame([(float(v),)], "value double")
+
+
+@register(
+    "global_agg_escape",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM documents WHERE lang = 'en') AS matched,
+           (SELECT COUNT(*) FROM documents) AS global_count,
+           (SELECT MAX(n_chars) FROM documents) AS max_chars
+    """,
+    doc="DSL `global` aggregation: escapes the query context — the "
+    "sub-agg max runs over the FULL index frame while the hits honor "
+    "the `term` query (one extra count over the background frame, no "
+    "re-scan per sub-agg).",
+    tags=("agg", "dsl"),
+)
+def global_agg_escape(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    res = execute_search(d, {
+        "query": {"term": {"lang": "en"}},
+        "aggs": {"all_docs": {"global": {}, "aggs": {
+            "mx": {"max": {"field": "n_chars"}}}}},
+    })
+    matched = res["hits"].count()
+    g = res["aggregations"]["all_docs"]
+    return spark.createDataFrame(
+        [(matched, g["doc_count"], g["mx"]["value"])],
+        "matched bigint, global_count bigint, max_chars bigint",
+    )
+
+
+@register(
+    "nested_reverse_nested_agg",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM lineitem WHERE l_orderkey <= 2000) AS elements,
+           (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+            FROM lineitem WHERE l_orderkey <= 2000) AS sum_qty,
+           (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem
+            WHERE l_orderkey <= 2000) AS parents,
+           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+            FROM orders WHERE o_orderkey <= 2000
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey)) AS parent_price
+    """,
+    doc="DSL `nested` + `reverse_nested` aggregations over an "
+    "array<struct> items column (orders with their lineitems collected "
+    "per order): nested descends with ONE explode (generator, no "
+    "shuffle), element sums via exact decimal aggregates; "
+    "reverse_nested climbs back to DISTINCT parent documents via the "
+    "synthetic parent id and aggregates parent fields.",
+    tags=("agg", "dsl"),
+)
+def nested_reverse_nested_agg(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    li = t["lineitem"].filter(F.col("l_orderkey") <= 2000)
+    o = t["orders"].filter(F.col("o_orderkey") <= 2000)
+    items = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(F.col("l_quantity").alias("qty"))
+        ).alias("items")
+    )
+    parent = o.join(
+        items, o["o_orderkey"] == items["l_orderkey"], "left"
+    ).select("o_orderkey", "o_totalprice", "items")
+    res = execute_search(parent, {"aggs": {"per_item": {
+        "nested": {"path": "items"},
+        "aggs": {
+            "sum_qty": {"sum": {"field": "items.qty"}},
+            "back": {"reverse_nested": {},
+                     "aggs": {"parent_price": {"sum": {"field": "o_totalprice"}}}},
+        },
+    }}})
+    a = res["aggregations"]["per_item"]
+    return spark.createDataFrame(
+        [(a["doc_count"], float(a["sum_qty"]["value"]),
+          a["back"]["doc_count"], float(a["back"]["parent_price"]["value"]))],
+        "elements bigint, sum_qty double, parents bigint, parent_price double",
+    )

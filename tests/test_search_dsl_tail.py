@@ -1,0 +1,328 @@
+"""Round-4 DSL long-tail tests: positional queries (span_or/first/not,
+intervals, match_phrase_prefix), term-centric multi-field matching
+(combined_fields), scoring queries (pinned, distance_feature,
+rank_feature), and the remaining aggregation families
+(auto_date_histogram, sampler/diversified_sampler, string_stats,
+median_absolute_deviation, boxplot, matrix_stats, scripted_metric,
+global, nested/reverse_nested).
+
+Every assertion is a DataFrame recomputation or hand-computed closed
+form over a small in-memory frame — the same strategy as
+tests/test_search_dsl.py (SURVEY §5)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+    compile_query,
+    execute_search,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark merge batch window sort", 10.0, "2024-01-01 00:00:10"),
+            (2, "merge spark window batch", 3.0, "2024-01-01 05:00:00"),
+            (3, "table scan only", 0.5, "2024-01-03 00:00:00"),
+            (4, "spa cial prefix spar", 7.0, "2024-02-01 00:00:00"),
+        ],
+        "id long, text string, feat double, ts string",
+    ).withColumn("_id", F.col("id").cast("string")).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def nested_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 1.0, [{"k": "x", "v": 1.0}, {"k": "y", "v": 3.0}]),
+            (2, 2.0, [{"k": "x", "v": 5.0}]),
+            (3, 3.0, []),
+            (4, 4.0, [{"k": "z", "v": 2.0}]),
+        ],
+        "id long, x double, items array<struct<k:string,v:double>>",
+    ).cache()
+    df.count()
+    return df
+
+
+def _ids(df, q):
+    return sorted(r.id for r in df.filter(compile_query(q)).collect())
+
+
+# ---------------------------------------------------------------- queries
+
+
+def test_match_phrase_prefix(docs):
+    assert _ids(docs, {"match_phrase_prefix": {"text": "spark mer"}}) == [1]
+    # single-term form: any token carrying the prefix
+    assert _ids(docs, {"match_phrase_prefix": {"text": "spar"}}) == [1, 2, 4]
+    # phrase longer than the document never matches (sequence guard)
+    assert _ids(
+        docs,
+        {"match_phrase_prefix": {"text": "table scan only and much more"}},
+    ) == []
+
+
+def test_combined_fields_term_centric(docs):
+    # OR (default): any term in any field
+    assert _ids(
+        docs, {"combined_fields": {"query": "spark scan", "fields": ["text"]}}
+    ) == [1, 2, 3]
+    # AND: every term must appear in at least one field
+    assert _ids(
+        docs,
+        {"combined_fields": {
+            "query": "spark scan", "fields": ["text"], "operator": "and"
+        }},
+    ) == []
+    # minimum_should_match with multiple fields and boost suffix
+    assert _ids(
+        docs,
+        {"combined_fields": {
+            "query": "spark scan window",
+            "fields": ["text^2"],
+            "minimum_should_match": 2,
+        }},
+    ) == [1, 2]
+
+
+def test_intervals_match_ordered_gaps(docs):
+    q = {"intervals": {"text": {"match": {
+        "query": "spark batch", "ordered": True, "max_gaps": 1}}}}
+    assert _ids(docs, q) == [1, 2]
+    # order violated in both docs containing the terms
+    assert _ids(docs, {"intervals": {"text": {"match": {
+        "query": "batch spark", "ordered": True}}}}) == []
+    # unbounded gaps, unordered → any positions
+    assert _ids(docs, {"intervals": {"text": {"match": {
+        "query": "sort spark"}}}}) == [1]
+
+
+def test_intervals_any_of_all_of(docs):
+    assert _ids(docs, {"intervals": {"text": {"any_of": {"intervals": [
+        {"match": {"query": "sort"}}, {"match": {"query": "only"}},
+    ]}}}}) == [1, 3]
+    assert _ids(docs, {"intervals": {"text": {"all_of": {"intervals": [
+        {"match": {"query": "spark"}}, {"match": {"query": "sort"}},
+    ]}}}}) == [1]
+    # constrained all_of over single-term sub-intervals = span_near
+    assert _ids(docs, {"intervals": {"text": {"all_of": {
+        "ordered": True, "max_gaps": 0,
+        "intervals": [{"match": {"query": "spark"}},
+                      {"match": {"query": "merge"}}],
+    }}}}) == [1]
+    # constrained all_of over multi-term sub-intervals is rejected
+    with pytest.raises(ValueError):
+        compile_query({"intervals": {"text": {"all_of": {
+            "ordered": True,
+            "intervals": [{"match": {"query": "spark merge"}}],
+        }}}})
+
+
+def test_span_or_first_not(docs):
+    assert _ids(docs, {"span_or": {"clauses": [
+        {"span_term": {"text": "sort"}}, {"span_term": {"text": "only"}},
+    ]}}) == [1, 3]
+    # merge at position 1 only in doc 2
+    assert _ids(docs, {"span_first": {
+        "match": {"span_term": {"text": "merge"}}, "end": 1}}) == [2]
+    # span_near wrapped in span_first: spark..window span ends ≤ 3
+    assert _ids(docs, {"span_first": {
+        "match": {"span_near": {
+            "clauses": [{"span_term": {"text": "spark"}},
+                        {"span_term": {"text": "window"}}],
+            "slop": 5, "in_order": True}},
+        "end": 3}}) == [2]
+    # span_not: include positions minus exclude positions
+    assert _ids(docs, {"span_not": {
+        "include": {"span_term": {"text": "spark"}},
+        "exclude": {"span_term": {"text": "spark"}}}}) == []
+    assert _ids(docs, {"span_not": {
+        "include": {"span_or": {"clauses": [
+            {"span_term": {"text": "merge"}},
+            {"span_term": {"text": "only"}}]}},
+        "exclude": {"span_term": {"text": "table"}}}}) == [1, 2, 3]
+
+
+def test_pinned_ranking(docs):
+    # filter face: union of ids and organic matches
+    assert _ids(docs, {"pinned": {
+        "ids": ["3"], "organic": {"match": {"text": "spark"}}}}) == [1, 2, 3]
+    # ranking: pinned ids first, in list order, then organic
+    res = execute_search(docs, {"query": {"pinned": {
+        "ids": ["3", "2"], "organic": {"match": {"text": "spark"}}}},
+        "size": 3})
+    got = [r.id for r in res["hits"].collect()]
+    assert got[:2] == [3, 2]
+    assert set(got) == {3, 2, 1}
+
+
+def test_rank_feature_scoring(docs):
+    res = execute_search(docs, {"query": {"rank_feature": {
+        "field": "feat", "saturation": {"pivot": 5.0}}}, "size": 2})
+    rows = res["hits"].select("id", "_score").collect()
+    assert [r.id for r in rows] == [1, 4]
+    assert abs(rows[0]["_score"] - 10.0 / 15.0) < 1e-12
+    # log and sigmoid variants
+    res = execute_search(docs, {"query": {"rank_feature": {
+        "field": "feat", "log": {"scaling_factor": 1.0}}}, "size": 1})
+    assert abs(res["hits"].collect()[0]["_score"] - math.log(11.0)) < 1e-12
+    res = execute_search(docs, {"query": {"rank_feature": {
+        "field": "feat", "sigmoid": {"pivot": 5.0, "exponent": 2.0}}},
+        "size": 1})
+    assert abs(res["hits"].collect()[0]["_score"] - 100.0 / 125.0) < 1e-12
+    with pytest.raises(ValueError):
+        execute_search(docs, {"query": {"rank_feature": {"field": "feat"}}})
+
+
+def test_distance_feature_scoring(docs):
+    res = execute_search(docs, {"query": {"distance_feature": {
+        "field": "ts", "origin": "2024-01-01 00:00:10", "pivot": "7d"}},
+        "size": 4})
+    rows = res["hits"].select("id", "_score").collect()
+    assert [r.id for r in rows] == [1, 2, 3, 4]
+    assert abs(rows[0]["_score"] - 1.0) < 1e-12  # zero distance
+    # 2024-01-03: distance = 2d − 10s from origin
+    pivot_us = 7 * 86400e6
+    dist_us = (2 * 86400 - 10) * 1e6
+    assert abs(rows[2]["_score"] - pivot_us / (pivot_us + dist_us)) < 1e-12
+
+
+def test_distance_feature_geo(spark):
+    pts = spark.createDataFrame(
+        [(1, (0.0, 0.0)), (2, (0.0, 90.0)), (3, None)],
+        "id long, loc struct<lat:double,lon:double>",
+    )
+    res = execute_search(pts, {"query": {"distance_feature": {
+        "field": "loc", "origin": {"lat": 0.0, "lon": 0.0},
+        "pivot": "1000km"}}})
+    rows = {r.id: r["_score"] for r in res["hits"].collect()}
+    assert 3 not in rows  # null field filtered
+    assert abs(rows[1] - 1.0) < 1e-12
+    assert rows[2] < 0.1  # quarter of the equator away
+
+
+# ------------------------------------------------------------------ aggs
+
+
+def _agg(df, name, spec, query=None):
+    body = {"aggs": {name: spec}}
+    if query:
+        body["query"] = query
+    return execute_search(df, body)["aggregations"][name]
+
+
+def test_global_agg_escapes_query(docs):
+    r = _agg(docs, "g", {"global": {}, "aggs": {
+        "mx": {"max": {"field": "feat"}}}}, query={"term": {"id": 1}})
+    assert r["doc_count"] == 4
+    assert r["mx"]["value"] == 10.0
+
+
+def test_auto_date_histogram_ladder(docs):
+    # 31-day span: hour rungs overshoot until the target admits them
+    assert _agg(docs, "a", {"auto_date_histogram": {
+        "field": "ts", "buckets": 800}})["interval"] == "1h"
+    r = _agg(docs, "a", {"auto_date_histogram": {
+        "field": "ts", "buckets": 35}})
+    assert r["interval"] == "day"
+    assert [b["doc_count"] for b in r["buckets"]] == [2, 1, 1]
+    assert _agg(docs, "a", {"auto_date_histogram": {
+        "field": "ts", "buckets": 2}})["interval"] == "month"
+
+
+def test_sampler_and_diversified(docs):
+    r = _agg(docs, "s", {"sampler": {"shard_size": 2},
+                         "aggs": {"mx": {"max": {"field": "feat"}}}})
+    assert r["doc_count"] == 2 and "mx" in r
+    # per-value cap of 1 over a unique field keeps everything
+    r = _agg(docs, "d", {"diversified_sampler": {
+        "shard_size": 10, "field": "text", "max_docs_per_value": 1}})
+    assert r["doc_count"] == 4
+    # cap of 1 over a constant field keeps exactly one
+    one = docs.withColumn("k", F.lit("same"))
+    r = _agg(one, "d", {"diversified_sampler": {
+        "shard_size": 10, "field": "k", "max_docs_per_value": 1}})
+    assert r["doc_count"] == 1
+
+
+def test_string_stats_entropy(spark):
+    df = spark.createDataFrame(
+        [("aa",), ("bbbb",), ("cc",), ("d",)], "s string"
+    )
+    r = _agg(df, "ss", {"string_stats": {"field": "s"}})
+    assert r["count"] == 4
+    assert r["min_length"] == 1 and r["max_length"] == 4
+    assert abs(r["avg_length"] - 9 / 4) < 1e-12
+    expected = -sum((n / 9) * math.log2(n / 9) for n in (2, 4, 2, 1))
+    assert abs(r["entropy"] - expected) < 1e-12
+
+
+def test_median_absolute_deviation_exact(docs):
+    # feat = 0.5, 3, 7, 10 → median 5, |x−5| = 4.5, 2, 2, 5 → MAD 3.25
+    r = _agg(docs, "mad", {"median_absolute_deviation": {"field": "feat"}})
+    assert abs(r["value"] - 3.25) < 1e-12
+
+
+def test_boxplot_exact_quartiles(docs):
+    r = _agg(docs, "bp", {"boxplot": {"field": "feat"}})
+    assert r["min"] == 0.5 and r["max"] == 10.0
+    assert abs(r["q2"] - 5.0) < 1e-12
+    assert abs(r["q1"] - (0.5 + 0.75 * 2.5)) < 1e-12
+
+
+def test_matrix_stats_moments(spark):
+    xs, ys = [1.0, 2.0, 3.0, 4.0], [2.0, 4.0, 6.5, 7.5]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    r = _agg(df, "ms", {"matrix_stats": {"fields": ["x", "y"]}})
+    n = 4
+    mx, my = sum(xs) / n, sum(ys) / n
+    vx = sum((a - mx) ** 2 for a in xs) / n
+    vy = sum((a - my) ** 2 for a in ys) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / n
+    assert r["doc_count"] == n
+    assert abs(r["fields"]["x"]["variance"] - vx) < 1e-9
+    assert abs(r["fields"]["x"]["covariance"]["y"] - cov) < 1e-9
+    assert abs(
+        r["fields"]["y"]["correlation"]["x"] - cov / (vx * vy) ** 0.5
+    ) < 1e-9
+    # symmetric lookups resolve regardless of field order
+    assert abs(
+        r["fields"]["x"]["covariance"]["y"] - r["fields"]["y"]["covariance"]["x"]
+    ) < 1e-12
+
+
+def test_scripted_metric_restricted(docs):
+    r = _agg(docs, "sm", {"scripted_metric": {
+        "map_script": "feat * 2",
+        "reduce_script": "params.states_sum / params.states_count"}})
+    assert abs(r["value"] - (0.5 + 3 + 7 + 10) * 2 / 4) < 1e-12
+    # JVM escape hatches stay rejected in map_script
+    with pytest.raises(PermissionError):
+        _agg(docs, "sm", {"scripted_metric": {
+            "map_script": "reflect('java.lang.System', 'exit', 0)"}})
+
+
+def test_nested_and_reverse_nested(nested_docs):
+    r = _agg(nested_docs, "n", {"nested": {"path": "items"}, "aggs": {
+        "sv": {"sum": {"field": "items.v"}},
+        "back": {"reverse_nested": {},
+                 "aggs": {"sx": {"sum": {"field": "x"}}}},
+    }})
+    assert r["doc_count"] == 4  # total elements across docs
+    assert abs(r["sv"]["value"] - 11.0) < 1e-12
+    # three docs have ≥1 element; their x sum = 1+2+4
+    assert r["back"]["doc_count"] == 3
+    assert abs(r["back"]["sx"]["value"] - 7.0) < 1e-12
+    with pytest.raises(ValueError):
+        _agg(nested_docs, "r", {"reverse_nested": {}})
