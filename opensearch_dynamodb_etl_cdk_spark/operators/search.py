@@ -1917,9 +1917,15 @@ def _apply_source_filter(hits: DataFrame, source, body: dict) -> DataFrame:
     import fnmatch
 
     cols = hits.columns
+    dv = {
+        (s.get("field") if isinstance(s, dict) else s)
+        for s in (list(body.get("docvalue_fields") or [])
+                  + list(body.get("stored_fields") or []))
+    }
     keep_always = [
         c for c in cols
-        if c in ("_score", "_id", "_index") or c.startswith("_highlight_")
+        if c in ("_score", "_id", "_index", "_version") or c in dv
+        or c.startswith("_highlight_")
         or c in (body.get("script_fields") or {})
     ]
     if source is True:
@@ -2285,7 +2291,30 @@ def execute_search(
                 if not body.get("sort"):
                     filtered = filtered.orderBy(*_score_order(filtered))
 
+    if body.get("indices_boost") and "_score" in filtered.columns \
+            and "_index" in filtered.columns:
+        # indices_boost: per-index score multiplier on multi-index
+        # searches — one CASE column over `_index`, re-rank after.
+        ib = body["indices_boost"]
+        entries = (
+            list(ib.items()) if isinstance(ib, dict)
+            else [(k, v) for d in ib for k, v in d.items()]
+        )
+        mult = F.lit(1.0)
+        for idx_name, b in entries:
+            mult = F.when(
+                F.col("_index") == idx_name, F.lit(float(b))
+            ).otherwise(mult)
+        filtered = filtered.withColumn("_score", F.col("_score") * mult)
+        if not body.get("sort"):
+            filtered = filtered.orderBy(*_score_order(filtered))
+
     hits = filtered
+    if body.get("version") and "_seq" in hits.columns:
+        # version flag: surface the engine's LWW sequence as the hit's
+        # `_version` (the public API returns the doc version when
+        # `version: true`; `_seq` IS this engine's version counter).
+        hits = hits.withColumn("_version", F.col("_seq"))
     if body.get("min_score") is not None and "_score" in hits.columns:
         # top-level min_score: drop hits below the score floor (only
         # meaningful for scored queries — knn / function_score /
@@ -2374,8 +2403,28 @@ def execute_search(
         for fname, fspec in body["script_fields"].items():
             script = fspec["script"] if isinstance(fspec, dict) else fspec
             hits = hits.withColumn(fname, safe_expr(script))
+    dv_fields = [
+        (s.get("field") if isinstance(s, dict) else s)
+        for s in (list(body.get("docvalue_fields") or [])
+                  + list(body.get("stored_fields") or []))
+    ]
     if body.get("_source") is not None:
         hits = _apply_source_filter(hits, body["_source"], body)
+    elif dv_fields:
+        # docvalue_fields / stored_fields without a _source filter:
+        # project to the requested fields plus response metadata — the
+        # flat-fields form of the same scan-pruning projection.
+        meta = [
+            c for c in hits.columns
+            if (c in ("_score", "_id", "_index", "_version")
+                or c.startswith("_highlight_")
+                or c in (body.get("script_fields") or {}))
+            and c not in dv_fields
+        ]
+        missing = [f for f in dv_fields if f not in hits.columns]
+        if missing:
+            raise ValueError(f"docvalue/stored fields not found: {missing}")
+        hits = hits.select(*dv_fields, *meta)
 
     aggregations: dict[str, Any] = {}
     sibling_pipe: dict[str, dict] = {}

@@ -755,3 +755,145 @@ class FlightsEtlPipeline:
                 df, allowMissingColumns=True
             )
         return out
+
+    # -- search-protocol conveniences (msearch / scroll / field_caps) ------
+
+    def search(self, pattern: str, body: dict | None = None) -> dict:
+        """``GET /<pattern>/_search`` analog: resolve the index pattern
+        (aliases/wildcards, per :meth:`multi_index_view`) and run the
+        DSL body through the interpreter. Hits stay a distributed
+        frame; per-route predicates still push into each scan."""
+        from ..operators.search import execute_search
+
+        view = self.multi_index_view(pattern)
+        if view is None:
+            return {"hits": None, "aggregations": {}}
+        return execute_search(view, body or {})
+
+    def msearch(self, requests: list[tuple[str, dict]]) -> list[dict]:
+        """``_msearch`` analog: a batch of (index-pattern, body) pairs →
+        one response per request, in order. Each response's hits frame
+        is an independent lazy plan — callers that force them together
+        get Spark's scheduler-level parallelism for free (shared scan
+        stages dedup via the block cache), which is the engine-side
+        analog of the coordinating node fanning out the batch."""
+        return [self.search(pattern, body) for pattern, body in requests]
+
+    def create_scroll(
+        self, pattern: str, body: dict | None = None, size: int = 100
+    ) -> tuple[str, DataFrame | None]:
+        """``POST /<pattern>/_search?scroll=...`` analog: start a deep
+        scan cursor. Pages ride the keyset (search_after) machinery —
+        each page is a pushed-down range filter + TakeOrdered, NEVER a
+        growing offset (a `from`-based deep page forces every executor
+        to materialize and skip `from` rows; the cursor filter prunes
+        at the scan). The sort defaults to `_id asc` (a unique key) so
+        the cursor is total. Returns (scroll_id, first page frame).
+
+        Divergence from the public contract, documented: OpenSearch
+        scroll pins a point-in-time snapshot via segment refs; this
+        engine's pages re-read the live table, so a concurrent merge
+        between pages may surface/hide rows. Use a snapshot dir
+        (:meth:`snapshot`) when frozen iteration matters."""
+        import uuid
+
+        body = dict(body or {})
+        body.setdefault("sort", [{"_id": {"order": "asc"}}])
+        body["size"] = int(size)
+        body.pop("from", None)
+        sid = uuid.uuid4().hex
+        self._scrolls = getattr(self, "_scrolls", {})
+        self._scrolls[sid] = {"pattern": pattern, "body": body}
+        return sid, self._scroll_page(sid, after=None)
+
+    def _scroll_page(self, sid: str, after) -> DataFrame | None:
+        from ..operators.search import _sort_fields, execute_search
+
+        st = self._scrolls[sid]
+        body = dict(st["body"])
+        if after is not None:
+            body["search_after"] = after
+        view = self.multi_index_view(st["pattern"])
+        if view is None:
+            return None
+        page = execute_search(view, body)["hits"]
+        # advance the cursor: the LAST row's sort-key tuple. The page
+        # must materialize to know it — inherent to scrolling — but the
+        # collect is bounded by the page size, and the page itself is
+        # what the caller consumes anyway.
+        rows = page.collect()
+        fields = [f for f, _ in _sort_fields(body["sort"])]
+        st["after"] = [rows[-1][f] for f in fields] if rows else None
+        st["exhausted"] = len(rows) < int(body["size"])
+        return self.spark.createDataFrame(rows, page.schema) if rows else (
+            self.spark.createDataFrame([], page.schema)
+        )
+
+    def scroll(self, scroll_id: str) -> DataFrame | None:
+        """``GET /_search/scroll`` analog: the next page for a cursor
+        from :meth:`create_scroll`. Returns an empty-schema frame once
+        the scan is exhausted (the public API's empty-hits signal)."""
+        st = self._scrolls.get(scroll_id) if hasattr(self, "_scrolls") else None
+        if st is None:
+            raise ValueError(f"no such scroll {scroll_id!r}")
+        if st.get("exhausted"):
+            view = self.multi_index_view(st["pattern"])
+            from ..operators.search import execute_search
+
+            empty_body = dict(st["body"], size=0)
+            page = execute_search(view, empty_body)["hits"]
+            return page.limit(0)
+        return self._scroll_page(scroll_id, after=st.get("after"))
+
+    def clear_scroll(self, scroll_id: str) -> bool:
+        """``DELETE /_search/scroll`` analog: drop the cursor state."""
+        return (
+            getattr(self, "_scrolls", {}).pop(scroll_id, None) is not None
+        )
+
+    def field_caps(self, pattern: str = "*") -> dict:
+        """``GET /<pattern>/_field_caps`` analog: per-field capability
+        map across the matching indices — type (public mapping names,
+        via the same scalar table as :meth:`get_mapping`), searchable/
+        aggregatable flags, and the index list per type so type
+        CONFLICTS across indices are visible exactly as the public
+        response shapes them. Pure schema metadata: no data is read."""
+        import fnmatch as _fn
+
+        names = [
+            r for r in self._all_index_names()
+            if any(
+                _fn.fnmatchcase(r, p.strip()) or r == p.strip()
+                for p in pattern.split(",") if p.strip()
+            )
+        ]
+        scalar = {
+            "string": "keyword", "long": "long", "int": "integer",
+            "double": "double", "float": "float", "boolean": "boolean",
+            "timestamp": "date", "timestamp_ntz": "date", "date": "date",
+            "binary": "binary",
+        }
+        hidden = {"_bucket", "_seq", "_deleted"}
+        fields: dict[str, dict[str, dict]] = {}
+        for idx_name in names:
+            df = self.index_view(idx_name)
+            if df is None:
+                continue
+            for f in df.schema.fields:
+                if f.name in hidden:
+                    continue
+                s = f.dataType.simpleString()
+                if s.startswith("array<"):
+                    s = f.dataType.elementType.simpleString()
+                ftype = (
+                    "object" if s.startswith("struct<")
+                    else scalar.get(s, "keyword")
+                )
+                cap = fields.setdefault(f.name, {}).setdefault(ftype, {
+                    "type": ftype,
+                    "searchable": True,
+                    "aggregatable": ftype != "object",
+                    "indices": [],
+                })
+                cap["indices"].append(idx_name)
+        return {"indices": names, "fields": fields}

@@ -1,0 +1,141 @@
+"""Search-protocol API tests: _msearch, scroll cursors, _field_caps,
+docvalue_fields / stored_fields, indices_boost, and the version flag —
+the round-4 protocol surface over the materialized index tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_dynamodb_etl_cdk_spark.operators.search import execute_search
+from opensearch_dynamodb_etl_cdk_spark.sources.fixture_gen import gen_corpus
+from opensearch_dynamodb_etl_cdk_spark.streaming.pipeline import (
+    FlightsEtlPipeline,
+    PipelineConfig,
+)
+
+
+@pytest.fixture(scope="module")
+def booted(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("proto")
+    cfg = PipelineConfig(
+        index_root=str(tmp / "indexes"),
+        checkpoint_root=str(tmp / "chk"),
+    )
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+    return p
+
+
+def test_search_and_msearch(booted):
+    res = booted.search("fare", {"query": {"term": {"pk": "DEN"}}})
+    den = res["hits"].count()
+    assert den >= 1
+    batch = booted.msearch([
+        ("fare", {"query": {"term": {"pk": "DEN"}}}),
+        ("fare,flight", {"query": {"match_all": {}}}),
+    ])
+    assert batch[0]["hits"].count() == den
+    assert batch[1]["hits"].count() == 35  # 22 fares + 13 flights
+
+
+def test_scroll_pages_cover_everything_once(booted):
+    sid, first = booted.create_scroll("fare", size=9)
+    seen = [r["_id"] for r in first.collect()]
+    assert len(seen) == 9
+    while True:
+        page = booted.scroll(sid)
+        rows = page.collect()
+        if not rows:
+            break
+        seen.extend(r["_id"] for r in rows)
+    assert len(seen) == 22
+    assert len(set(seen)) == 22  # no duplicates, no misses
+    assert booted.clear_scroll(sid)
+    assert not booted.clear_scroll(sid)
+    with pytest.raises(ValueError):
+        booted.scroll("nope")
+
+
+def test_scroll_honors_query_and_sort(booted):
+    body = {"query": {"term": {"pk": "DEN"}},
+            "sort": [{"sk": {"order": "asc"}}, {"_id": {"order": "asc"}}]}
+    sid, first = booted.create_scroll("fare", body, size=2)
+    all_rows = first.collect()
+    while True:
+        rows = booted.scroll(sid).collect()
+        if not rows:
+            break
+        all_rows.extend(rows)
+    expected = booted.search(
+        "fare", {"query": {"term": {"pk": "DEN"}}}
+    )["hits"]
+    assert len(all_rows) == expected.count()
+    sks = [r["sk"] for r in all_rows]
+    assert sks == sorted(sks)  # pages arrive in global sort order
+
+
+def test_field_caps_types_and_indices(booted):
+    caps = booted.field_caps("*")
+    assert set(caps["indices"]) >= {"fare", "flight"}
+    # pk exists in both indexes with one type
+    pk = caps["fields"]["pk"]
+    assert list(pk) == ["keyword"]
+    assert set(pk["keyword"]["indices"]) >= {"fare", "flight"}
+    assert pk["keyword"]["searchable"] and pk["keyword"]["aggregatable"]
+    # internal merge columns never leak
+    assert "_bucket" not in caps["fields"]
+    assert "_seq" not in caps["fields"]
+
+
+def test_docvalue_and_stored_fields(booted):
+    view = booted.multi_index_view("fare")
+    res = execute_search(view, {
+        "query": {"term": {"pk": "DEN"}},
+        "docvalue_fields": ["pk", {"field": "sk"}],
+        "size": 5,
+    })
+    assert set(res["hits"].columns) == {"pk", "sk", "_id", "_index"}
+    # stored_fields composes with _source: false (metadata + fields)
+    res = execute_search(view, {
+        "query": {"term": {"pk": "DEN"}},
+        "stored_fields": ["fare_class"],
+        "_source": False,
+        "size": 5,
+    })
+    assert "fare_class" in res["hits"].columns
+    assert "_id" in res["hits"].columns
+    with pytest.raises(ValueError):
+        execute_search(view, {"docvalue_fields": ["no_such_col"]})
+
+
+def test_indices_boost_reranks(booted):
+    view = booted.multi_index_view("fare,flight")
+    # score every doc equally via pinned-with-no-ids (score 0) is useless;
+    # use a rank_feature-style scored query instead: match + track_scores
+    # over a shared analyzed field is fare-specific, so synthesize _score
+    # via function_score weight (uniform 1.0) and boost flight 3×.
+    body = {
+        "query": {"function_score": {
+            "query": {"match_all": {}},
+            "functions": [{"weight": 2.0}],
+        }},
+        "indices_boost": [{"flight": 3.0}],
+        "size": 13,
+    }
+    res = execute_search(view, body)
+    rows = res["hits"].select("_index", "_score").collect()
+    assert len(rows) == 13
+    assert all(r["_index"] == "flight" for r in rows)
+    assert all(abs(r["_score"] - 6.0) < 1e-12 for r in rows)
+
+
+def test_version_flag_surfaces_seq(booted):
+    idx = booted.read_index("fare")  # keeps _seq (merge state)
+    res = execute_search(idx, {"query": {"match_all": {}},
+                               "version": True, "size": 3})
+    rows = res["hits"].collect()
+    assert all(r["_version"] == r["_seq"] for r in rows)
