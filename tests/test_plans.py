@@ -352,3 +352,65 @@ def test_nested_query_never_explodes(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "nested_query_search")
     assert "Generate" not in plan  # explode would appear as Generate
     assert "Join" not in plan
+
+
+def test_match_phrase_prefix_no_shuffle_no_explode(spark, sf_dir):
+    """The positional phrase-prefix predicate is one codegen filter over
+    the scan — no Exchange, no Generate (explode), pushable column read."""
+    plan = plan_of(spark, sf_dir, "match_phrase_prefix_search")
+    assert "Generate" not in plan
+    assert "Exchange" not in plan
+
+
+def test_intervals_no_shuffle_no_explode(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "intervals_search")
+    assert "Generate" not in plan
+    assert "Exchange" not in plan
+
+
+def test_distance_feature_is_topk_no_shuffle_scan(spark, sf_dir):
+    """Scoring projection + TakeOrderedAndProject: the decay score never
+    forces a global sort or an aggregation pass over the events table."""
+    plan = plan_of(spark, sf_dir, "distance_feature_ranked")
+    assert "TakeOrderedAndProject" in plan
+    assert "HashAggregate" not in plan
+
+
+def test_rank_feature_is_topk_with_pruned_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "rank_feature_ranked")
+    assert "TakeOrderedAndProject" in plan
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "text" not in read_schema  # only doc_id + n_chars are read
+
+
+def test_matrix_stats_single_aggregation_pass(spark, sf_dir):
+    """All Σx/Σx²/Σxy moments in ONE two-phase aggregate — exactly one
+    shuffle (partial → final), never a pass per moment or field pair."""
+    plan = plan_of(spark, sf_dir, "matrix_stats_agg")
+    # formatted mode names each node twice (tree + detail): count headers
+    assert plan.count("Exchange (") == 1
+    assert plan.count("HashAggregate (") == 2
+
+
+def test_docvalue_fields_prune_to_scan(spark, sf_dir):
+    """docvalue_fields response shaping must reach the parquet scan as
+    column pruning: requesting 2 fields from documents reads 2 columns."""
+    import contextlib
+    import io
+
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        execute_search,
+    )
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    hits = execute_search(d, {
+        "query": {"term": {"lang": "en"}},
+        "docvalue_fields": ["doc_id", "lang"],
+    })["hits"]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        hits.explain(mode="formatted")
+    plan = buf.getvalue()
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "text" not in read_schema and "n_chars" not in read_schema
