@@ -235,3 +235,79 @@ def simhash64(col: Column) -> Column:
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def bigram_logprob_scores(
+    docs,
+    model_docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+):
+    """Stupid-backoff bigram language-model quality scores — the
+    KenLM-style fluency signal a training-data pipeline uses to rank or
+    filter documents (high average log-probability ≈ natural text; the
+    lowest-scoring tail is boilerplate/garbage).
+
+    ``model_docs`` supplies the LM counts (a held-out/train split —
+    scoring the corpus against itself makes every bigram "seen");
+    ``docs`` is scored. Per document: mean over its bigrams of
+    log₂ P(w|prev), where P = C(prev,w)/C(prev) when the model saw the
+    bigram, else ``alpha`` · C(w)/T (unknown words carry a 0.5
+    pseudo-count).
+
+    Scale shape (100 TB): the model is three keyed aggregates (unigram,
+    bigram, context counts) — shuffle keys are one or two short tokens;
+    scoring is keyed joins of the document bigram stream against those
+    count tables, never a broadcast of an unbounded vocabulary; the
+    per-document mean is one groupBy on the document id. The bigram
+    stream is produced by transform+explode over each token array (a
+    generator — no join with itself, no window).
+    """
+    tk = lambda frame: frame.select(  # noqa: E731
+        F.col(id_col), tokens(F.col(text_col)).alias("t")
+    )
+    bigram_pairs = (
+        "explode(transform(sequence(1, size(t) - 1), "
+        "i -> struct(t[i-1] AS prev, t[i] AS w)))"
+    )
+    bg = (
+        tk(docs)
+        .filter(F.size("t") >= 2)
+        .select(F.col(id_col), F.expr(bigram_pairs).alias("b"))
+        .select(id_col, "b.prev", "b.w")
+    )
+    mbg = (
+        tk(model_docs)
+        .filter(F.size("t") >= 2)
+        .select(F.expr(bigram_pairs).alias("b"))
+        .select("b.prev", "b.w")
+        .groupBy("prev", "w")
+        .agg(F.count("*").alias("cpw"))
+    )
+    ctx = mbg.groupBy("prev").agg(F.sum("cpw").alias("cp"))
+    mtok = tk(model_docs).select(F.explode("t").alias("w"))
+    uni = mtok.groupBy("w").agg(F.count("*").alias("cw"))
+    tot = mtok.agg(F.count("*").cast("double").alias("T"))
+
+    lp = F.when(
+        F.col("cpw").isNotNull(),
+        F.log2(F.col("cpw").cast("double") / F.col("cp").cast("double")),
+    ).otherwise(
+        F.log2(
+            F.lit(alpha)
+            * F.coalesce(F.col("cw").cast("double"), F.lit(0.5))
+            / F.col("T")
+        )
+    )
+    return (
+        bg.join(mbg, ["prev", "w"], "left")
+        .join(ctx, "prev", "left")
+        .join(uni, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum(lp) / F.count("*"), 6).alias("avg_logp"),
+        )
+    )

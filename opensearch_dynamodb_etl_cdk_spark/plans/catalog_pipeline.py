@@ -189,3 +189,48 @@ def mixture_resample_counts(spark, sf_dir):
             / F.sum("n_kept").over(W.partitionBy()).cast("double"),
         )
     )
+
+
+@register(
+    "lm_quality_scores",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOK} AS t FROM documents),
+    bg AS (
+      SELECT doc_id, t[i] AS prev, t[i+1] AS w
+      FROM tk, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2),
+    mtok AS (SELECT unnest(t) AS w FROM tk WHERE doc_id % 2 = 0),
+    uni AS (SELECT w, COUNT(*) AS cw FROM mtok GROUP BY w),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS T FROM mtok),
+    mbg AS (SELECT prev, w, COUNT(*) AS cpw FROM bg
+            WHERE doc_id % 2 = 0 GROUP BY prev, w),
+    ctx AS (SELECT prev, SUM(cpw) AS cp FROM mbg GROUP BY prev),
+    sc AS (
+      SELECT b.doc_id,
+             CASE WHEN m.cpw IS NOT NULL
+                  THEN log2(CAST(m.cpw AS DOUBLE) / CAST(c.cp AS DOUBLE))
+                  ELSE log2(0.4 * COALESCE(CAST(u.cw AS DOUBLE), 0.5) / t.T)
+             END AS lp
+      FROM bg b
+      LEFT JOIN mbg m ON b.prev = m.prev AND b.w = m.w
+      LEFT JOIN ctx c ON b.prev = c.prev
+      LEFT JOIN uni u ON b.w = u.w, tot t)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(SUM(lp) / COUNT(*), 6) AS avg_logp
+    FROM sc GROUP BY doc_id
+    """,
+    doc="Bigram stupid-backoff LM quality scores (functions/text.py::"
+    "bigram_logprob_scores): the corpus is scored against a model built "
+    "from the even-doc_id half (a train split — self-scoring would make "
+    "every bigram 'seen' and the backoff path dead). Model = three keyed "
+    "count aggregates; scoring = keyed joins on 1-2 token keys + one "
+    "per-document mean — no unbounded broadcast, no window. The "
+    "transcendental mean is rounded to 6 decimals on both sides.",
+    tags=("pipeline", "quality", "text"),
+)
+def lm_quality_scores(spark, sf_dir):
+    from ..functions.text import bigram_logprob_scores
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    model = d.filter(F.col("doc_id") % 2 == 0)
+    return bigram_logprob_scores(d, model)

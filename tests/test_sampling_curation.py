@@ -342,3 +342,35 @@ def test_weighted_sample_properties(spark):
     rows = [(1, 0.0), (2, -3.0), (3, 1.0)]
     df = spark.createDataFrame(rows, "doc_id long, w double")
     assert [r.doc_id for r in weighted_sample(df, 10, "w").collect()] == [3]
+
+
+def test_bigram_lm_stupid_backoff_arithmetic(spark):
+    """Planted example: seen bigram uses C(prev,w)/C(prev); unseen bigram
+    backs off to alpha·C(w)/T; unknown word gets the 0.5 pseudo-count."""
+    import math
+
+    from opensearch_dynamodb_etl_cdk_spark.functions.text import (
+        bigram_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),          # model doc: bigrams ab, ba, ab
+            (2, "a b"),              # seen bigram
+            (3, "b b"),              # unseen bigram, known word b
+            (4, "a zz"),             # unknown word zz
+        ],
+        "doc_id long, text string",
+    )
+    model = docs.filter("doc_id = 1")
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in bigram_logprob_scores(docs, model).collect()
+    }
+    # model counts: T=4 tokens (a b a b); C(a)=2, C(b)=2;
+    # C(a,b)=2, C(b,a)=1; C(prev=a)=2, C(prev=b)=1
+    assert out[2] == (1, round(math.log2(2 / 2), 6))          # P(b|a)=1
+    assert out[3] == (1, round(math.log2(0.4 * 2 / 4), 6))    # backoff to C(b)/T
+    assert out[4] == (1, round(math.log2(0.4 * 0.5 / 4), 6))  # unknown word
+    # doc 1 scores itself: mean of log2 P(b|a)=0, log2 P(a|b)=0, 0 → 0
+    assert out[1] == (3, 0.0)
