@@ -3613,3 +3613,112 @@ def _run_agg(
     # plain metric aggregation at the top level
     r = df.agg(_metric_agg(name, spec)).collect()[0]
     return {"value": r[name]}
+
+
+def render_search_template(source: Any, params: dict[str, Any]) -> Any:
+    """``_render/template`` analog: substitute ``{{var}}`` placeholders
+    (the mustache subset the public search-template API is almost always
+    used with) through a search-body tree. A string that is EXACTLY one
+    placeholder keeps the parameter's JSON type (numbers stay numbers —
+    ``"size": "{{k}}"`` renders to an int); embedded placeholders
+    interpolate as strings. Unknown parameters raise — a silently
+    half-rendered query is a wrong query. Sections/partials are not
+    supported (documented subset)."""
+    import re as _re
+
+    pat = _re.compile(r"\{\{\s*([\w.]+)\s*\}\}")
+
+    def render(node):
+        if isinstance(node, dict):
+            return {render(k): render(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [render(v) for v in node]
+        if isinstance(node, str):
+            m = pat.fullmatch(node)
+            if m:
+                name = m.group(1)
+                if name not in params:
+                    raise ValueError(f"missing template param {name!r}")
+                return params[name]
+
+            def sub(mm):
+                name = mm.group(1)
+                if name not in params:
+                    raise ValueError(f"missing template param {name!r}")
+                return str(params[name])
+
+            return pat.sub(sub, node)
+        return node
+
+    return render(source)
+
+
+def execute_search_template(
+    df: DataFrame, template: dict[str, Any], params: dict[str, Any]
+) -> dict[str, Any]:
+    """``_search/template`` analog: render then run — the rendered body
+    goes through the normal interpreter, so pushdown/pruning behave
+    exactly as for a literal body."""
+    body = render_search_template(template.get("source", template), params)
+    return execute_search(df, body)
+
+
+def rank_eval(
+    df: DataFrame, requests: list[dict[str, Any]], metric: dict[str, Any]
+) -> dict[str, Any]:
+    """``_rank_eval`` analog: run each templated/literal search request,
+    compare its top-k ranking against the request's rated documents, and
+    report per-request + mean metric. Metrics: ``precision`` (@k, with
+    ``relevant_rating_threshold``), ``mean_reciprocal_rank``, ``dcg``
+    (optionally normalized → NDCG).
+
+    The ranking itself executes distributed (each request is a normal
+    search — pushdown, TakeOrdered top-k); only the ≤ k hit ids per
+    request come back for the driver-side metric arithmetic, which is
+    how the public coordinating node computes it too."""
+    (mkind, mbody), = metric.items()
+    k = int(mbody.get("k", 10))
+    thr = int(mbody.get("relevant_rating_threshold", 1))
+
+    details: dict[str, Any] = {}
+    scores: list[float] = []
+    for req in requests:
+        body = dict(req["request"])
+        body.setdefault("size", k)
+        hits = execute_search(df, body)["hits"].limit(k)
+        id_col = "_id" if "_id" in hits.columns else hits.columns[0]
+        ranked = [r[id_col] for r in hits.collect()]
+        ratings = {str(r["_id"]): int(r["rating"]) for r in req["ratings"]}
+        if mkind == "precision":
+            rel = sum(1 for h in ranked if ratings.get(str(h), 0) >= thr)
+            score = rel / len(ranked) if ranked else 0.0
+        elif mkind == "mean_reciprocal_rank":
+            score = 0.0
+            for i, h in enumerate(ranked, 1):
+                if ratings.get(str(h), 0) >= thr:
+                    score = 1.0 / i
+                    break
+        elif mkind == "dcg":
+            import math as _math
+
+            def dcg(gains):
+                return sum(
+                    (2 ** g - 1) / _math.log2(i + 1)
+                    for i, g in enumerate(gains, 1)
+                )
+
+            score = dcg([ratings.get(str(h), 0) for h in ranked])
+            if mbody.get("normalize"):
+                ideal = dcg(sorted(ratings.values(), reverse=True)[:k])
+                score = score / ideal if ideal else 0.0
+        else:
+            raise ValueError(f"unsupported rank_eval metric {mkind!r}")
+        details[req.get("id", str(len(details)))] = {
+            "metric_score": score,
+            "hits": ranked,
+        }
+        scores.append(score)
+    return {
+        "metric_score": sum(scores) / len(scores) if scores else 0.0,
+        "details": details,
+    }

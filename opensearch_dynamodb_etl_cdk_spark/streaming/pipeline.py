@@ -897,3 +897,76 @@ class FlightsEtlPipeline:
                 })
                 cap["indices"].append(idx_name)
         return {"indices": names, "fields": fields}
+
+    # -- point-in-time search + analyze ------------------------------------
+
+    def analyze(self, text: str) -> dict:
+        """``_analyze`` API analog: run the engine's standard-analyzer
+        approximation (lowercase, split on non-alphanumerics — the same
+        expression every match/span/suggest path compiles against) over
+        a probe string, returning tokens with positions."""
+        from ..operators.search import _analyze_text
+
+        return {"tokens": [
+            {"token": t, "position": i}
+            for i, t in enumerate(_analyze_text(text))
+        ]}
+
+    def open_pit(self, pattern: str = "*") -> str:
+        """``POST /<pattern>/_pit`` analog: freeze a point-in-time view.
+        Implementation = a snapshot (file-level copy, no Spark job) of
+        the matching index tables under the index root; searches through
+        :meth:`search_pit` read the frozen files, so concurrent merges
+        never change a PIT reader's results — the consistency guarantee
+        scroll alone does not give on this engine (see
+        :meth:`create_scroll`). At real scale the copy is the storage
+        layer's cheap object clone."""
+        import uuid
+
+        pit_id = uuid.uuid4().hex
+        pit_dir = os.path.join(self.cfg.index_root, "_pits", pit_id)
+        done = self.snapshot(pit_dir, pattern)
+        if not done:
+            raise ValueError(f"pattern {pattern!r} matches no index")
+        return pit_id
+
+    def pit_view(self, pit_id: str) -> DataFrame | None:
+        """The frozen multi-index view of a PIT: union of the snapshot
+        tables with per-hit ``_index``, tombstones dropped — the same
+        shape :meth:`multi_index_view` serves for live searches."""
+        pit_dir = os.path.join(self.cfg.index_root, "_pits", pit_id)
+        if not os.path.isdir(pit_dir):
+            raise ValueError(f"no such pit {pit_id!r}")
+        out: DataFrame | None = None
+        for name in sorted(os.listdir(pit_dir)):
+            path = os.path.join(pit_dir, name)
+            if name.startswith("_") or not os.path.isdir(path):
+                continue
+            df = self.spark.read.parquet(path)
+            if "_deleted" in df.columns:
+                df = df.filter(~F.col("_deleted")).drop("_deleted")
+            df = df.withColumn("_index", F.lit(name))
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True
+            )
+        return out
+
+    def search_pit(self, pit_id: str, body: dict | None = None) -> dict:
+        """``_search`` with a ``pit`` id: the DSL body runs against the
+        frozen view — repeatable pages under a changing live index."""
+        from ..operators.search import execute_search
+
+        view = self.pit_view(pit_id)
+        if view is None:
+            return {"hits": None, "aggregations": {}}
+        return execute_search(view, body or {})
+
+    def close_pit(self, pit_id: str) -> bool:
+        """``DELETE /_pit`` analog: drop the frozen copy."""
+        import shutil
+
+        pit_dir = os.path.join(self.cfg.index_root, "_pits", pit_id)
+        if not os.path.isdir(pit_dir):
+            return False
+        shutil.rmtree(pit_dir)
+        return True

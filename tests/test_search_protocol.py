@@ -139,3 +139,83 @@ def test_version_flag_surfaces_seq(booted):
                                "version": True, "size": 3})
     rows = res["hits"].collect()
     assert all(r["_version"] == r["_seq"] for r in rows)
+
+
+def test_render_and_execute_search_template(booted):
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        execute_search_template,
+        render_search_template,
+    )
+
+    tmpl = {"query": {"term": {"pk": "{{airport}}"}}, "size": "{{k}}"}
+    rendered = render_search_template(tmpl, {"airport": "DEN", "k": 5})
+    assert rendered == {"query": {"term": {"pk": "DEN"}}, "size": 5}
+    # embedded placeholders interpolate as strings
+    assert render_search_template(
+        {"q": "prefix-{{x}}-suffix"}, {"x": 7}
+    ) == {"q": "prefix-7-suffix"}
+    with pytest.raises(ValueError):
+        render_search_template(tmpl, {"airport": "DEN"})  # missing k
+    view = booted.multi_index_view("fare")
+    res = execute_search_template(
+        view, {"source": tmpl}, {"airport": "DEN", "k": 5}
+    )
+    assert res["hits"].count() == min(
+        5, view.filter(F.col("pk") == "DEN").count()
+    )
+
+
+def test_rank_eval_metrics(booted):
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import rank_eval
+
+    view = booted.multi_index_view("fare")
+    ranked = [
+        r["_id"]
+        for r in view.orderBy("sk").limit(4).select("_id", "sk").collect()
+    ]
+    req = [{
+        "id": "q1",
+        "request": {"query": {"match_all": {}},
+                    "sort": [{"sk": {"order": "asc"}}]},
+        "ratings": [{"_id": ranked[0], "rating": 1},
+                    {"_id": ranked[2], "rating": 1}],
+    }]
+    out = rank_eval(view, req, {"precision": {"k": 4}})
+    assert out["metric_score"] == 0.5  # 2 relevant of 4 returned
+    out = rank_eval(view, req, {"mean_reciprocal_rank": {"k": 4}})
+    assert out["metric_score"] == 1.0  # first hit is relevant
+    # NDCG: gains [1,0,1,0] vs ideal [1,1]
+    import math
+
+    out = rank_eval(view, req, {"dcg": {"k": 4, "normalize": True}})
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3)
+    assert abs(out["metric_score"] - dcg / idcg) < 1e-12
+    with pytest.raises(ValueError):
+        rank_eval(view, req, {"expected_reciprocal_rank": {}})
+
+
+def test_pit_frozen_under_concurrent_delete(booted):
+    pit = booted.open_pit("fare")
+    before = booted.search_pit(pit, {"query": {"match_all": {}}})["hits"].count()
+    assert before == 22
+    # mutate the live index: delete every DEN fare
+    deleted = booted.delete_by_query("fare", {"term": {"pk": "DEN"}})
+    assert deleted >= 1
+    live = booted.search("fare", {})["hits"].count()
+    assert live == 22 - deleted
+    # the PIT still serves the frozen view
+    again = booted.search_pit(pit, {"query": {"match_all": {}}})["hits"].count()
+    assert again == 22
+    assert booted.close_pit(pit)
+    assert not booted.close_pit(pit)
+    with pytest.raises(ValueError):
+        booted.pit_view("missing")
+
+
+def test_analyze_api(booted):
+    out = booted.analyze("The Quick, Brown FOX!")
+    assert [t["token"] for t in out["tokens"]] == [
+        "the", "quick", "brown", "fox"
+    ]
+    assert [t["position"] for t in out["tokens"]] == [0, 1, 2, 3]
