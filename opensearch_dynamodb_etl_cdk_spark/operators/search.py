@@ -3038,6 +3038,13 @@ def _run_agg(
                 raise ValueError(f"unsupported interval {interval}")
             bucket = F.date_trunc(interval, F.col(field))
         metric_sub, pipe_sub = _split_pipeline_aggs(sub)
+        cumcard_sub = {
+            n: s for n, s in metric_sub.items()
+            if "cumulative_cardinality" in s
+        }
+        metric_sub = {
+            n: s for n, s in metric_sub.items() if n not in cumcard_sub
+        }
         metric_cols = [_metric_agg(n, s) for n, s in metric_sub.items()]
         rows = (
             df.groupBy(bucket.alias("key"))
@@ -3053,6 +3060,26 @@ def _run_agg(
             }
             for r in rows
         ]
+        # cumulative_cardinality: EXACT distinct-so-far per bucket via the
+        # first-seen rewrite — cum_card(bucket) = Σ_{b ≤ bucket} |values
+        # first seen in b|. One keyed aggregate (min bucket per value) +
+        # one small per-bucket count; never a per-bucket distinct over a
+        # growing prefix (quadratic) and never an HLL merge (approximate).
+        for cc_name, cc_spec in cumcard_sub.items():
+            cc_field = cc_spec["cumulative_cardinality"]["field"]
+            first_seen = (
+                df.filter(F.col(cc_field).isNotNull())
+                .groupBy(cc_field)
+                .agg(F.min(bucket).alias("key"))
+                .groupBy("key")
+                .agg(F.count("*").alias("n_first"))
+                .collect()
+            )
+            per_bucket = {r["key"]: r["n_first"] for r in first_seen}
+            running = 0
+            for b in buckets:
+                running += per_bucket.get(b["key"], 0)
+                b[cc_name] = {"value": running}
         buckets = _apply_pipeline_aggs(buckets, pipe_sub)
         return {"buckets": buckets}
 
@@ -3352,6 +3379,74 @@ def _run_agg(
         for n, s in sub.items():
             out[n] = _run_agg(sub_df, n, s, background=background)
         return out
+
+    if kind == "top_metrics":
+        # metric values of the top-sorted document(s): size=1 is exactly
+        # max_by/min_by — ONE aggregate pass, no sort, no row fetch.
+        # size>1 falls back to a TakeOrdered + projection (still top-k,
+        # never a global sort).
+        sort_spec = body["sort"]
+        sort_spec = sort_spec if isinstance(sort_spec, list) else [sort_spec]
+        (sfield, sdesc), = _sort_fields(sort_spec)
+        metrics = body["metrics"]
+        metrics = metrics if isinstance(metrics, list) else [metrics]
+        fields = [m["field"] for m in metrics]
+        size = int(body.get("size", 1))
+        if size == 1:
+            pick = F.max_by if sdesc else F.min_by
+            agg_cols = [
+                pick(F.col(f), F.col(sfield)).alias(f"__m_{f}")
+                for f in fields
+            ]
+            agg_cols.append(
+                (F.max(F.col(sfield)) if sdesc else F.min(F.col(sfield)))
+                .alias("__sort")
+            )
+            row = df.agg(*agg_cols).collect()[0]
+            return {"top": [{
+                "sort": [row["__sort"]],
+                "metrics": {f: row[f"__m_{f}"] for f in fields},
+            }]}
+        order = F.col(sfield).desc() if sdesc else F.col(sfield).asc()
+        rows = df.select(sfield, *fields).orderBy(order).limit(size).collect()
+        return {"top": [
+            {"sort": [r[sfield]], "metrics": {f: r[f] for f in fields}}
+            for r in rows
+        ]}
+
+    if kind == "geo_bounds":
+        # bounding box of a geo_point field: four min/max aggregates in
+        # one pass (top_left = max lat / min lon, bottom_right inverse).
+        field = body["field"]
+        lat, lon = F.col(f"{field}.lat"), F.col(f"{field}.lon")
+        r = df.agg(
+            F.max(lat).alias("t"), F.min(lat).alias("b"),
+            F.min(lon).alias("l"), F.max(lon).alias("r"),
+        ).collect()[0]
+        if r["t"] is None:
+            return {"bounds": None}
+        return {"bounds": {
+            "top_left": {"lat": r["t"], "lon": r["l"]},
+            "bottom_right": {"lat": r["b"], "lon": r["r"]},
+        }}
+
+    if kind == "geo_centroid":
+        # centroid of a geo_point field: exact decimal coordinate sums →
+        # deterministic double means (the public agg's planar mean; fine
+        # for the small extents aggs are used on — no great-circle mean).
+        field = body["field"]
+        lat, lon = F.col(f"{field}.lat"), F.col(f"{field}.lon")
+        r = df.agg(
+            F.sum(lat.cast("decimal(28,8)")).cast("double").alias("slat"),
+            F.sum(lon.cast("decimal(28,8)")).cast("double").alias("slon"),
+            F.count(lat).alias("n"),
+        ).collect()[0]
+        if not r["n"]:
+            return {"location": None, "count": 0}
+        return {
+            "location": {"lat": r["slat"] / r["n"], "lon": r["slon"] / r["n"]},
+            "count": r["n"],
+        }
 
     if kind == "global":
         # global bucket: escape the query context — sub-aggs run over

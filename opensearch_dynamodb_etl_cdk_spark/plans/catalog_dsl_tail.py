@@ -547,3 +547,115 @@ def nested_reverse_nested_agg(spark, sf_dir):
           a["back"]["doc_count"], float(a["back"]["parent_price"]["value"]))],
         "elements bigint, sum_qty double, parents bigint, parent_price double",
     )
+
+
+@register(
+    "top_metrics_agg",
+    oracle="""
+    SELECT MAX(event_id) AS sort_event_id,
+           arg_max(value, event_id) AS value,
+           arg_max(event_type, event_id) AS event_type
+    FROM events
+    """,
+    doc="DSL `top_metrics` (size=1): metric values of the top-sorted "
+    "document via max_by/min_by — ONE aggregate pass, no sort, no row "
+    "fetch (the public agg's common size=1 case is exactly the argmax "
+    "aggregate). Sorted by the unique event_id so the pick is "
+    "deterministic in both engines.",
+    tags=("agg", "dsl"),
+)
+def top_metrics_agg(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    e = _t(spark, sf_dir, "events")["events"]
+    res = execute_search(e, {"aggs": {"latest": {"top_metrics": {
+        "metrics": [{"field": "value"}, {"field": "event_type"}],
+        "sort": [{"event_id": {"order": "desc"}}],
+    }}}})
+    top = res["aggregations"]["latest"]["top"][0]
+    return spark.createDataFrame(
+        [(top["sort"][0], float(top["metrics"]["value"]),
+          top["metrics"]["event_type"])],
+        "sort_event_id bigint, value double, event_type string",
+    )
+
+
+@register(
+    "geo_bounds_centroid_agg",
+    oracle="""
+    WITH pts AS (
+      SELECT ((c_custkey * 7919) % 18000) / 100.0 - 90.0 AS lat,
+             ((c_custkey * 104729) % 36000) / 100.0 - 180.0 AS lon
+      FROM customer)
+    SELECT MAX(lat) AS top, MIN(lat) AS bottom,
+           MIN(lon) AS "left", MAX(lon) AS "right",
+           CAST(SUM(CAST(lat AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS c_lat,
+           CAST(SUM(CAST(lon AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS c_lon,
+           COUNT(*) AS n
+    FROM pts
+    """,
+    doc="DSL `geo_bounds` + `geo_centroid` over the synthesized customer "
+    "geo_points: bounding box = four min/max aggregates, centroid = "
+    "exact decimal coordinate sums → deterministic double means — both "
+    "in one pass each through the interpreter's agg branches.",
+    tags=("agg", "dsl", "geo"),
+)
+def geo_bounds_centroid_agg(spark, sf_dir):
+    from ..operators.search import execute_search
+    from .catalog_ext import _geo_points
+
+    pts = _geo_points(spark, sf_dir)
+    res = execute_search(pts, {"aggs": {
+        "box": {"geo_bounds": {"field": "location"}},
+        "mid": {"geo_centroid": {"field": "location"}},
+    }})
+    box = res["aggregations"]["box"]["bounds"]
+    mid = res["aggregations"]["mid"]
+    return spark.createDataFrame(
+        [(box["top_left"]["lat"], box["bottom_right"]["lat"],
+          box["top_left"]["lon"], box["bottom_right"]["lon"],
+          mid["location"]["lat"], mid["location"]["lon"], mid["count"])],
+        "top double, bottom double, left double, right double, "
+        "c_lat double, c_lon double, n bigint",
+    )
+
+
+@register(
+    "cumulative_cardinality_agg",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS key
+      FROM events GROUP BY user_id),
+    pb AS (SELECT key, COUNT(*) AS nf FROM fs GROUP BY key),
+    days AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS key,
+             COUNT(*) AS doc_count
+      FROM events GROUP BY 1)
+    SELECT d.key, d.doc_count,
+           CAST(SUM(COALESCE(p.nf, 0)) OVER (ORDER BY d.key) AS BIGINT)
+             AS cum_users
+    FROM days d LEFT JOIN pb p ON d.key = p.key ORDER BY d.key
+    """,
+    doc="DSL `cumulative_cardinality` pipeline agg under date_histogram "
+    "— EXACT distinct-users-so-far per day via the first-seen rewrite: "
+    "cum_card(b) = Σ first-seen counts up to b. One keyed aggregate "
+    "(min day per user) + a per-day count; never a distinct over a "
+    "growing prefix (quadratic) and never an HLL merge (approximate — "
+    "the public agg's path).",
+    tags=("agg", "dsl", "pipeline"),
+)
+def cumulative_cardinality_agg(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    e = _t(spark, sf_dir, "events")["events"]
+    res = execute_search(e, {"aggs": {"by_day": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {"cum_users": {
+            "cumulative_cardinality": {"field": "user_id"}}},
+    }}})
+    buckets = res["aggregations"]["by_day"]["buckets"]
+    return spark.createDataFrame(
+        [(b["key"], b["doc_count"], b["cum_users"]["value"])
+         for b in buckets],
+        "key timestamp, doc_count bigint, cum_users bigint",
+    )

@@ -326,3 +326,46 @@ def test_nested_and_reverse_nested(nested_docs):
     assert abs(r["back"]["sx"]["value"] - 7.0) < 1e-12
     with pytest.raises(ValueError):
         _agg(nested_docs, "r", {"reverse_nested": {}})
+
+
+def test_top_metrics_argmax_and_topk(docs):
+    r = _agg(docs, "t", {"top_metrics": {
+        "metrics": {"field": "feat"},
+        "sort": [{"ts": {"order": "desc"}}]}})
+    assert r["top"][0]["metrics"]["feat"] == 7.0  # latest ts is doc 4
+    r = _agg(docs, "t", {"top_metrics": {
+        "metrics": [{"field": "feat"}],
+        "sort": {"feat": {"order": "asc"}}, "size": 2}})
+    assert [x["metrics"]["feat"] for x in r["top"]] == [0.5, 3.0]
+
+
+def test_geo_bounds_and_centroid(spark):
+    pts = spark.createDataFrame(
+        [(1, (10.0, 20.0)), (2, (-5.0, 40.0)), (3, (2.5, -30.0)), (4, None)],
+        "id long, loc struct<lat:double,lon:double>",
+    )
+    r = _agg(pts, "b", {"geo_bounds": {"field": "loc"}})
+    assert r["bounds"]["top_left"] == {"lat": 10.0, "lon": -30.0}
+    assert r["bounds"]["bottom_right"] == {"lat": -5.0, "lon": 40.0}
+    r = _agg(pts, "c", {"geo_centroid": {"field": "loc"}})
+    assert r["count"] == 3
+    assert abs(r["location"]["lat"] - 7.5 / 3) < 1e-12
+    assert abs(r["location"]["lon"] - 10.0) < 1e-12
+    empty = pts.filter("id > 99")
+    assert _agg(empty, "b", {"geo_bounds": {"field": "loc"}})["bounds"] is None
+    assert _agg(empty, "c", {"geo_centroid": {"field": "loc"}})["count"] == 0
+
+
+def test_cumulative_cardinality_first_seen(spark):
+    e = spark.createDataFrame(
+        [("2024-01-01 01:00:00", 1), ("2024-01-01 02:00:00", 2),
+         ("2024-01-02 01:00:00", 1),  # returning user: not re-counted
+         ("2024-01-02 02:00:00", 3), ("2024-01-03 01:00:00", 1)],
+        "ts string, uid long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = _agg(e, "d", {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {"cu": {"cumulative_cardinality": {"field": "uid"}}},
+    })
+    assert [b["cu"]["value"] for b in r["buckets"]] == [2, 3, 3]
+    assert [b["doc_count"] for b in r["buckets"]] == [2, 2, 1]
