@@ -74,6 +74,19 @@ HEADLINE = [
     # (8-byte hash shuffle keys)
     "span_near_search",
     "repeated_ngram_report",
+    # round-4 additions: search-as-you-type positional prefix, intervals
+    # (ordered gap-bounded spans), decay-scored top-k, the one-pass
+    # moment matrix, one-pass string stats + alphabet entropy, and the
+    # bigram-LM quality scorer (three keyed count aggregates + keyed
+    # scoring joins). Only LAZY catalog fns qualify here — entries that
+    # collect inside fn() (interpreter dict → one-row frame) would do
+    # their work outside the timed region.
+    "match_phrase_prefix_search",
+    "intervals_search",
+    "distance_feature_ranked",
+    "matrix_stats_agg",
+    "string_stats_agg",
+    "lm_quality_scores",
 ]
 
 # The driver's fixture parquet ships ONE row group per table (sf0.1

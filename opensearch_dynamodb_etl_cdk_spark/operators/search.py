@@ -2813,18 +2813,58 @@ def _run_agg(
     if kind == "terms":
         field = body["field"]
         size = int(body.get("size", 10))
+        if body.get("missing") is not None:
+            # missing parameter: null keys participate as this value
+            df = df.withColumn(
+                field, F.coalesce(F.col(field), F.lit(body["missing"]))
+            )
+        else:
+            # public contract: documents without the field fall in NO
+            # bucket (the `missing` agg exists to count them)
+            df = df.filter(F.col(field).isNotNull())
+        if body.get("include") is not None:
+            inc = body["include"]
+            df = df.filter(
+                F.col(field).isin(list(inc)) if isinstance(inc, (list, tuple))
+                else F.col(field).rlike(f"^(?:{inc})$")
+            )
+        if body.get("exclude") is not None:
+            exc = body["exclude"]
+            df = df.filter(
+                ~F.col(field).isin(list(exc))
+                if isinstance(exc, (list, tuple))
+                else ~F.col(field).rlike(f"^(?:{exc})$")
+            )
         metric_sub, pipe_sub = _split_pipeline_aggs(sub)
         metric_cols = [
             _metric_agg(n, s)
             for n, s in metric_sub.items()
             if "top_hits" not in s and "terms" not in s
         ]
-        grouped = (
-            df.groupBy(field)
-            .agg(F.count("*").alias("doc_count"), *metric_cols)
-            .orderBy(F.col("doc_count").desc(), F.col(field).asc())
-            .limit(size)
+        # order: _count desc (default) / _key / a metric sub-agg's value —
+        # still ONE groupBy + TakeOrderedAndProject; ordering by a metric
+        # only changes the top-k key, never adds a pass.
+        order_spec = body.get("order") or {"_count": "desc"}
+        (okey, odir), = order_spec.items()
+        if okey == "_count":
+            ocol = F.col("doc_count")
+        elif okey == "_key":
+            ocol = F.col(field)
+        elif okey in metric_sub:
+            ocol = F.col(okey)
+        else:
+            raise ValueError(f"terms order references unknown agg {okey!r}")
+        order_cols = [
+            ocol.desc() if odir == "desc" else ocol.asc(),
+            F.col(field).asc(),
+        ]
+        grouped = df.groupBy(field).agg(
+            F.count("*").alias("doc_count"), *metric_cols
         )
+        min_dc = int(body.get("min_doc_count", 1))
+        if min_dc > 1:
+            grouped = grouped.filter(F.col("doc_count") >= min_dc)
+        grouped = grouped.orderBy(*order_cols).limit(size)
         buckets = []
         top_hits_specs = {n: s for n, s in sub.items() if "top_hits" in s}
         nested_terms_specs = {n: s for n, s in sub.items() if "terms" in s}

@@ -659,3 +659,35 @@ def cumulative_cardinality_agg(spark, sf_dir):
          for b in buckets],
         "key timestamp, doc_count bigint, cum_users bigint",
     )
+
+
+@register(
+    "terms_order_by_metric_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS doc_count,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+    FROM events GROUP BY event_type
+    ORDER BY total DESC, event_type ASC LIMIT 3
+    """,
+    doc="DSL `terms` agg ordered by a metric sub-aggregation (`order`: "
+    "{total: desc}) — the real-world 'top categories by revenue' shape. "
+    "Still ONE groupBy + TakeOrderedAndProject; ordering by the metric "
+    "only changes the top-k sort key, never adds a pass (interpreter "
+    "branch, exercised end-to-end).",
+    tags=("agg", "dsl"),
+)
+def terms_order_by_metric_agg(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    e = _t(spark, sf_dir, "events")["events"]
+    res = execute_search(e, {"aggs": {"by_type": {
+        "terms": {"field": "event_type", "size": 3,
+                  "order": {"total": "desc"}},
+        "aggs": {"total": {"sum": {"field": "value"}}},
+    }}})
+    buckets = res["aggregations"]["by_type"]["buckets"]
+    return spark.createDataFrame(
+        [(b["key"], b["doc_count"], b["total"]["value"]) for b in buckets],
+        "event_type string, doc_count bigint, total double",
+    )

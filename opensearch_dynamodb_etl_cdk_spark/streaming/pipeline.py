@@ -860,12 +860,21 @@ class FlightsEtlPipeline:
         response shapes them. Pure schema metadata: no data is read."""
         import fnmatch as _fn
 
+        aliases = self.get_aliases()
+        parts: list[str] = []
+        for raw in pattern.split(","):
+            raw = raw.strip()
+            if not raw:
+                continue
+            if raw in aliases:  # alias → its pattern's parts
+                parts.extend(
+                    q.strip() for q in aliases[raw].split(",") if q.strip()
+                )
+            else:
+                parts.append(raw)
         names = [
             r for r in self._all_index_names()
-            if any(
-                _fn.fnmatchcase(r, p.strip()) or r == p.strip()
-                for p in pattern.split(",") if p.strip()
-            )
+            if any(_fn.fnmatchcase(r, p) or r == p for p in parts)
         ]
         scalar = {
             "string": "keyword", "long": "long", "int": "integer",

@@ -369,3 +369,27 @@ def test_cumulative_cardinality_first_seen(spark):
     })
     assert [b["cu"]["value"] for b in r["buckets"]] == [2, 3, 3]
     assert [b["doc_count"] for b in r["buckets"]] == [2, 2, 1]
+
+
+def test_terms_agg_order_include_missing_min_doc_count(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0), ("c", 1.0), (None, 5.0)],
+        "k string, v double",
+    )
+    # order by metric desc: b (10) before a (3) before c/missing
+    r = _agg(df, "t", {
+        "terms": {"field": "k", "order": {"s": "desc"}, "missing": "unk"},
+        "aggs": {"s": {"sum": {"field": "v"}}}})
+    assert [b["key"] for b in r["buckets"]] == ["b", "unk", "a", "c"]
+    # _key ascending
+    r = _agg(df, "t", {"terms": {"field": "k", "order": {"_key": "asc"}}})
+    assert [b["key"] for b in r["buckets"]][:2] == ["a", "b"]
+    # include regex + min_doc_count
+    r = _agg(df, "t", {"terms": {"field": "k", "include": "a|b",
+                                 "min_doc_count": 2}})
+    assert [b["key"] for b in r["buckets"]] == ["a"]
+    # exclude list
+    r = _agg(df, "t", {"terms": {"field": "k", "exclude": ["a"]}})
+    assert "a" not in [b["key"] for b in r["buckets"]]
+    with pytest.raises(ValueError):
+        _agg(df, "t", {"terms": {"field": "k", "order": {"nope": "desc"}}})

@@ -219,3 +219,12 @@ def test_analyze_api(booted):
         "the", "quick", "brown", "fox"
     ]
     assert [t["position"] for t in out["tokens"]] == [0, 1, 2, 3]
+
+
+def test_field_caps_resolves_aliases(booted):
+    booted.put_alias("travel", "fare,flight")
+    try:
+        caps = booted.field_caps("travel")
+        assert set(caps["indices"]) == {"fare", "flight"}
+    finally:
+        booted.delete_alias("travel")
