@@ -281,3 +281,57 @@ def field_value_factor(
     elif modifier != "none":
         raise ValueError(f"unsupported field_value_factor modifier {modifier!r}")
     return scored.withColumn("_score", F.col("_score") * v)
+
+
+def rrf_fuse(
+    frames: list[DataFrame],
+    id_cols: list[str],
+    k: int = 60,
+    window: int = 100,
+    size: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion — the hybrid-search combiner (public
+    hybrid query with an RRF processor): each sub-ranking contributes
+    1/(k + rank) per document; documents missing from a sub-ranking's
+    window contribute nothing there.
+
+    Each input frame must carry ``_score``. Ranks are assigned over the
+    top-``window`` rows only (the public rank_window_size contract):
+    TakeOrdered bounds the frame to ``window`` rows FIRST, so the
+    rank-assigning global window runs over ≤ window rows — bounded
+    single-task state by design, never a global sort of the corpus. The
+    fusion itself is a union + one groupBy on the id (shuffle =
+    |subqueries| × window rows, trivially small), then TakeOrdered
+    top-``size``. Ties break on the id columns at every step so the
+    fused ranking is deterministic. The fused score is rounded to 9
+    decimals: contributions are transcendental-free rationals but their
+    sum order across subqueries is not fixed."""
+    from pyspark.sql import Window as W
+
+    order = lambda: [F.col("_score").desc()] + [  # noqa: E731
+        F.col(c).asc() for c in id_cols
+    ]
+    parts = []
+    for f in frames:
+        top = f.select(*id_cols, "_score").orderBy(*order()).limit(window)
+        ranked = top.withColumn(
+            "__rank", F.row_number().over(W.orderBy(*order()))
+        )
+        parts.append(
+            ranked.select(
+                *id_cols,
+                (1.0 / (F.lit(float(k)) + F.col("__rank"))).alias("__c"),
+            )
+        )
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    return (
+        allc.groupBy(*id_cols)
+        .agg(
+            F.round(F.sum("__c"), 9).alias("_score"),
+            F.count("*").alias("matched_subqueries"),
+        )
+        .orderBy(*order())
+        .limit(size)
+    )

@@ -691,3 +691,57 @@ def terms_order_by_metric_agg(spark, sf_dir):
         [(b["key"], b["doc_count"], b["total"]["value"]) for b in buckets],
         "event_type string, doc_count bigint, total double",
     )
+
+
+@register(
+    "hybrid_rrf_search",
+    oracle="""
+    WITH s1 AS (
+      SELECT event_id,
+             604800000000.0 / (604800000000.0 +
+               CAST(ABS(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-15 00:00:00'))
+                    AS DOUBLE)) AS _score
+      FROM events WHERE ts IS NOT NULL),
+    r1 AS (
+      SELECT event_id,
+             ROW_NUMBER() OVER (ORDER BY _score DESC, event_id ASC) AS rk
+      FROM s1 QUALIFY rk <= 100),
+    s2 AS (
+      SELECT event_id, value / (value + 50.0) AS _score
+      FROM events WHERE value IS NOT NULL),
+    r2 AS (
+      SELECT event_id,
+             ROW_NUMBER() OVER (ORDER BY _score DESC, event_id ASC) AS rk
+      FROM s2 QUALIFY rk <= 100),
+    fused AS (
+      SELECT event_id, 1.0 / (60.0 + rk) AS c FROM r1
+      UNION ALL
+      SELECT event_id, 1.0 / (60.0 + rk) AS c FROM r2)
+    SELECT event_id, ROUND(SUM(c), 9) AS _score,
+           COUNT(*) AS matched_subqueries
+    FROM fused GROUP BY event_id
+    ORDER BY _score DESC, event_id ASC LIMIT 10
+    """,
+    doc="Hybrid search via reciprocal-rank fusion (operators/relevance."
+    "py::rrf_fuse — the public hybrid query's RRF processor): a recency "
+    "ranking (distance_feature decay) fused with a magnitude ranking "
+    "(rank_feature saturation), 1/(60+rank) contributions over "
+    "rank_window_size=100. Rank windows are TakeOrdered-bounded BEFORE "
+    "the single-task rank window, so state is ≤ window rows by "
+    "construction; the fusion is one tiny keyed groupBy.",
+    tags=("dsl", "relevance"),
+)
+def hybrid_rrf_search(spark, sf_dir):
+    from ..operators.relevance import rrf_fuse
+    from ..operators.search import execute_search
+
+    e = _t(spark, sf_dir, "events")["events"]
+    recency = execute_search(e, {"query": {"distance_feature": {
+        "field": "ts", "origin": "2024-01-15 00:00:00", "pivot": "7d"}}},
+    )["hits"]
+    magnitude = execute_search(e, {"query": {"rank_feature": {
+        "field": "value", "saturation": {"pivot": 50.0}}}},
+    )["hits"]
+    return rrf_fuse(
+        [recency, magnitude], ["event_id"], k=60, window=100, size=10
+    )

@@ -242,3 +242,28 @@ def test_bm25_duplicate_query_terms_deduped(corpus):
     twice = {r.doc_id: r._score
              for r in score_match_bm25(corpus, "text", "rare rare").collect()}
     assert once == twice
+
+
+def test_rrf_fuse_rank_contributions(spark):
+    """Hand-computed reciprocal-rank fusion: contributions are 1/(k+rank)
+    per sub-ranking; docs outside a ranking's window contribute nothing;
+    ties break on the id so the fused order is deterministic."""
+    from opensearch_dynamodb_etl_cdk_spark.operators.relevance import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "id long, _score double"
+    )
+    b = spark.createDataFrame(
+        [(3, 0.99), (1, 0.5)], "id long, _score double"
+    )
+    out = {
+        r["id"]: (r["_score"], r["matched_subqueries"])
+        for r in rrf_fuse([a, b], ["id"], k=60, window=2, size=10).collect()
+    }
+    # window=2: doc 3 falls OUT of ranking a; doc 2 out of ranking b
+    assert out[1] == (round(1 / 61 + 1 / 62, 9), 2)
+    assert out[3] == (round(1 / 61, 9), 1)
+    assert out[2] == (round(1 / 62, 9), 1)
+    # fused order: doc1 (both rankings) first
+    top = rrf_fuse([a, b], ["id"], k=60, window=2, size=1).collect()
+    assert top[0]["id"] == 1
