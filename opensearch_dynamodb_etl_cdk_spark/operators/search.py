@@ -3366,11 +3366,14 @@ def _run_agg(
                 buckets.append({"key": f"{a}&{b_}", "doc_count": n})
         return {"buckets": buckets}
 
-    if kind == "significant_terms":
+    if kind in ("significant_terms", "significant_text"):
+        # significant_text IS significant_terms over the analyzed token
+        # stream (the public agg's free-text variant) — same JLH
+        # foreground/background scoring, analyzer on by default.
         bg = background if background is not None else df
         rows = significant_terms_frame(
             df, bg, body["field"], int(body.get("size", 10)),
-            analyzed=bool(body.get("analyzed", False)),
+            analyzed=bool(body.get("analyzed", kind == "significant_text")),
         ).collect()
         return {
             "buckets": [

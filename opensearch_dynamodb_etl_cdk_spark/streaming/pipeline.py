@@ -979,3 +979,101 @@ class FlightsEtlPipeline:
             return False
         shutil.rmtree(pit_dir)
         return True
+
+    # -- bulk write API ----------------------------------------------------
+
+    def bulk(self, route: str, actions: list[dict]) -> dict:
+        """``_bulk`` analog: a list of ``{"index": {"_id", "doc"}}`` /
+        ``{"update": {"_id", "doc"}}`` / ``{"delete": {"_id"}}`` actions
+        applied atomically-per-doc through the SAME CDC merge path as
+        streamed events. Each action takes its own odd (admin-half)
+        sequence — actions on the same ``_id`` within one bulk resolve
+        in LIST order, exactly as the public API applies them, because
+        later actions carry strictly higher sequences; n actions shadow
+        at most the next n−1 stream events of the touched keys (the
+        documented admin-op conflict window).
+
+        ``update`` is a partial document merge: the current image is
+        fetched by id (an mget — bounded by the action count, never a
+        scan) and unspecified fields are preserved. Unknown or internal
+        fields are rejected up front. Returns per-action-type counts."""
+        idx = self.index_view(route)
+        if idx is None:
+            raise ValueError(
+                f"bulk: index {route!r} is not materialized (bootstrap first)"
+            )
+        data_cols = [c for c in idx.columns if c not in ("_seq", "_bucket",
+                                                         "_deleted")]
+        base_seq = self._next_synth_seq(self.read_index(route))
+        upserts: list[tuple] = []
+        deletes: list[tuple] = []
+        counts = {"indexed": 0, "updated": 0, "deleted": 0}
+
+        update_ids = [
+            str(a["update"]["_id"]) for a in actions if "update" in a
+        ]
+        current: dict[str, dict] = {}
+        if update_ids:
+            fetched = self.mget(route, update_ids)
+            if fetched is not None:
+                current = {
+                    r["_id"]: r.asDict() for r in fetched.collect()
+                }
+        for i, action in enumerate(actions):
+            (op, body), = action.items()
+            seq = base_seq + 2 * i  # stays in the odd admin half
+            _id = str(body["_id"])
+            if op == "delete":
+                deletes.append((_id, seq))
+                counts["deleted"] += 1
+                continue
+            doc = dict(body.get("doc") or {})
+            self._validate_set_fields(data_cols, doc, "bulk")
+            if op == "update":
+                if _id not in current:
+                    raise ValueError(f"bulk update: no document {_id!r}")
+                merged = {**current[_id], **doc}
+                counts["updated"] += 1
+            elif op == "index":
+                merged = doc
+                counts["indexed"] += 1
+            else:
+                raise ValueError(f"unsupported bulk action {op!r}")
+            upserts.append(
+                tuple([_id, seq] + [merged.get(c) for c in data_cols
+                                    if c != "_id"])
+            )
+
+        schema_fields = [f for f in idx.schema.fields
+                         if f.name in data_cols and f.name != "_id"]
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [T.StructField("_id", T.StringType()),
+             T.StructField("_seq", T.LongType())] + schema_fields
+        )
+        frames = []
+        if upserts:
+            frames.append(
+                self.spark.createDataFrame(upserts, schema)
+                .withColumn("_action", F.lit("upsert"))
+            )
+        if deletes:
+            del_df = self.spark.createDataFrame(
+                deletes, "  _id string, _seq long"
+            )
+            for f in schema_fields:
+                del_df = del_df.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+            frames.append(del_df.withColumn("_action", F.lit("delete")))
+        if not frames:
+            return {"items": 0, **counts}
+        batch = frames[0]
+        for f in frames[1:]:
+            batch = batch.unionByName(f)
+        batch = batch.withColumn(
+            "_bucket", F.pmod(F.xxhash64("_id"), F.lit(self.cfg.n_buckets))
+        )
+        self._merge_route(batch, route)
+        return {"items": len(actions), **counts}

@@ -228,3 +228,65 @@ def test_field_caps_resolves_aliases(booted):
         assert set(caps["indices"]) == {"fare", "flight"}
     finally:
         booted.delete_alias("travel")
+
+
+def test_bulk_index_update_delete_in_order(spark, tmp_path_factory):
+    """_bulk applies actions in list order through the merge path:
+    index → update preserves unspecified fields → delete wins last;
+    later actions on the same id carry strictly higher sequences."""
+    tmp = tmp_path_factory.mktemp("bulk")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+    before = p.index_view("fare").count()
+
+    some = p.index_view("fare").select("_id", "fare_class").limit(2).collect()
+    victim, updatee = some[0]["_id"], some[1]["_id"]
+    out = p.bulk("fare", [
+        {"index": {"_id": "NEW|1", "doc": {"pk": "NEW", "sk": "1",
+                                           "fare_class": "nonstop"}}},
+        {"update": {"_id": updatee, "doc": {"fare_class": "redeye"}}},
+        {"delete": {"_id": victim}},
+    ])
+    assert out == {"items": 3, "indexed": 1, "updated": 1, "deleted": 1}
+    after = p.index_view("fare")
+    assert after.count() == before  # +1 new, −1 deleted
+    assert after.filter(F.col("_id") == victim).count() == 0
+    row = after.filter(F.col("_id") == updatee).collect()[0]
+    assert row["fare_class"] == "redeye"
+    assert row["pk"] is not None  # unspecified fields preserved
+    assert after.filter(F.col("_id") == "NEW|1").count() == 1
+
+    # same-id actions resolve in list order: index then delete → gone
+    p.bulk("fare", [
+        {"index": {"_id": "TMP|1", "doc": {"pk": "TMP", "sk": "1"}}},
+        {"delete": {"_id": "TMP|1"}},
+    ])
+    assert p.index_view("fare").filter(F.col("_id") == "TMP|1").count() == 0
+    # ...and delete then index → present (order matters, not action type)
+    p.bulk("fare", [
+        {"delete": {"_id": "NEW|1"}},
+        {"index": {"_id": "NEW|1", "doc": {"pk": "NEW", "sk": "1"}}},
+    ])
+    assert p.index_view("fare").filter(F.col("_id") == "NEW|1").count() == 1
+    # internal/unknown fields rejected
+    with pytest.raises(ValueError):
+        p.bulk("fare", [{"index": {"_id": "x", "doc": {"_seq": 9}}}])
+    with pytest.raises(ValueError):
+        p.bulk("fare", [{"update": {"_id": "missing!", "doc": {}}}])
+
+
+def test_significant_text_is_analyzed_significant_terms(booted):
+    view = booted.multi_index_view("fare")
+    # use whatever pk survives earlier mutating tests in this module
+    # (the PIT test deletes the DEN docs) — foreground must be non-empty
+    pk = view.select("pk").limit(1).collect()[0]["pk"]
+    res = execute_search(view, {
+        "query": {"term": {"pk": pk}},
+        "aggs": {"sig": {"significant_text": {"field": "sk", "size": 3}}},
+    })
+    assert len(res["aggregations"]["sig"]["buckets"]) >= 1
