@@ -110,7 +110,16 @@ TABLES = [
 def _rechunked(spark, sf_dir: str) -> str:
     from opensearch_dynamodb_etl_cdk_spark.session import load_tables
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    # Split rule measured best-of-three on an idle box: 1 MiB per split
+    # with an 8-split FLOOR for any non-tiny table. 256 KiB everywhere
+    # made sub-second join trees pay a task-scheduling tax (q9 0.67 s →
+    # 0.40 s after coarsening); plain 1 MiB then collapsed the small-in-
+    # bytes but compute-heavy text tables to one file and serialized the
+    # text family (bm25 0.53 s → 0.28 s and lm_quality 0.97 s → 0.62 s
+    # once the floor restored their parallelism). Bytes proxy scan cost,
+    # not per-row compute — hence floor, not divisor, for small tables.
+    # The "-f8" suffix invalidates layouts from earlier rules.
+    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf") + "-f8"
     root = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "spark-warehouse", "bench_rechunk", tag,
@@ -124,7 +133,9 @@ def _rechunked(spark, sf_dir: str) -> str:
         frames = load_tables(spark, sf_dir, TABLES)
         for t in TABLES:
             src = os.path.join(sf_dir, f"{t}.parquet")
-            n = max(1, min(32, os.path.getsize(src) // (256 * 1024)))
+            size = os.path.getsize(src)
+            n = min(32, max(1 if size < 64 * 1024 else 8,
+                            size // (1024 * 1024)))
             (
                 frames[t]
                 .repartition(int(n))

@@ -23,7 +23,11 @@ def rechunk_dir(spark, sf_dir, tmp_path_factory):
     frames = load_tables(spark, sf_dir, bench.TABLES)
     for t in bench.TABLES:
         src = os.path.join(sf_dir, f"{t}.parquet")
-        n = max(1, min(32, os.path.getsize(src) // (256 * 1024)))
+        # sf0.001 files are all < 1 MiB (the bench divisor), which would
+        # yield n=1 everywhere and test nothing: keep a finer divisor so
+        # the invariance property is exercised against a genuinely
+        # multi-file layout
+        n = max(1, min(32, os.path.getsize(src) // (64 * 1024)))
         frames[t].repartition(int(n)).write.mode("overwrite").parquet(
             os.path.join(root, f"{t}.parquet")
         )
