@@ -1708,10 +1708,41 @@ def execute_suggest(
                 )
                 out[name] = [{"text": spec["text"], "options": opts}]
                 continue
+            completion_spec = spec.get("completion")
+            if completion_spec is not None:
+                # completion suggester: top-k FIELD VALUES carrying the
+                # typed prefix, ranked by frequency (the FST-weight
+                # analog: no index-time weights here, corpus frequency
+                # IS the weight), ties broken by value. A pushable
+                # startswith filter + the same one-groupBy top-k shape
+                # as the terms agg — never a vocabulary scan per
+                # keystroke at scale if the caller persists the value
+                # counts (same vocabs hook as term/phrase).
+                field = completion_spec["field"]
+                prefix = str(spec.get("prefix", spec.get("text", "")))
+                size = int(completion_spec.get("size", 5))
+                rows = (
+                    df.filter(F.col(field).startswith(prefix))
+                    .groupBy(field)
+                    .agg(F.count("*").alias("freq"))
+                    .orderBy(F.col("freq").desc(), F.col(field).asc())
+                    .limit(size)
+                    .collect()
+                )
+                out[name] = [{
+                    "text": prefix,
+                    "options": [
+                        {"text": r[field], "freq": r["freq"],
+                         "score": float(r["freq"])}
+                        for r in rows
+                    ],
+                }]
+                continue
             term_spec = spec.get("term")
             if term_spec is None:
                 raise ValueError(
-                    f"suggester {name!r}: only 'term'/'phrase' are supported"
+                    f"suggester {name!r}: only 'term'/'phrase'/'completion' "
+                    "are supported"
                 )
             rows = term_suggest(
                 df,

@@ -745,3 +745,28 @@ def hybrid_rrf_search(spark, sf_dir):
     return rrf_fuse(
         [recency, magnitude], ["event_id"], k=60, window=100, size=10
     )
+
+
+@register(
+    "completion_suggester",
+    oracle="""
+    SELECT source AS text, COUNT(*) AS freq FROM documents
+    WHERE starts_with(source, 'src1')
+    GROUP BY source ORDER BY freq DESC, source ASC LIMIT 5
+    """,
+    doc="`completion` suggester (search-as-you-type over whole field "
+    "values): top-k values carrying the typed prefix ranked by corpus "
+    "frequency (the FST-weight analog) — a pushable startswith filter "
+    "+ one groupBy + TakeOrdered, through execute_suggest.",
+    tags=("dsl", "suggest"),
+)
+def completion_suggester(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    res = execute_search(d, {"suggest": {"c": {
+        "prefix": "src1", "completion": {"field": "source", "size": 5}}}})
+    opts = res["suggest"]["c"][0]["options"]
+    return spark.createDataFrame(
+        [(o["text"], o["freq"]) for o in opts], "text string, freq bigint"
+    )

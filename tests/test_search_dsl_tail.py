@@ -393,3 +393,21 @@ def test_terms_agg_order_include_missing_min_doc_count(spark):
     assert "a" not in [b["key"] for b in r["buckets"]]
     with pytest.raises(ValueError):
         _agg(df, "t", {"terms": {"field": "k", "order": {"nope": "desc"}}})
+
+
+def test_completion_suggester(docs):
+    res = execute_search(docs, {"suggest": {"c": {
+        "prefix": "sp",
+        "completion": {"field": "text", "size": 3},
+    }}})
+    # whole-value completion: only doc 4's text starts with 'sp'... no —
+    # docs 1 and 4 both start with 'sp'
+    opts = res["suggest"]["c"][0]["options"]
+    assert [o["text"] for o in opts] == [
+        "spa cial prefix spar", "spark merge batch window sort"
+    ]
+    assert all(o["freq"] == 1 for o in opts)
+    # empty prefix → most frequent values, size-bounded
+    res = execute_search(docs, {"suggest": {"c": {
+        "prefix": "", "completion": {"field": "text", "size": 2}}}})
+    assert len(res["suggest"]["c"][0]["options"]) == 2
