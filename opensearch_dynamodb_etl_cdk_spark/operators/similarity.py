@@ -611,3 +611,203 @@ def refresh_ivf_index(
         index, changed, deleted_ids, id_col,
         lambda c: build_ivf_index(c, centroids, id_col, vec_col, cluster_col),
     )
+
+
+# -- product quantization (ADC) ------------------------------------------
+# Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011) — the memory-compressed ANN tier: split the
+# vector into m subspaces, k-means each subspace to k codewords, store
+# each vector as m small codes (here 64 float32 dims → m=8 codes ≈ 32×
+# compression), and score queries against a per-query lookup table
+# (asymmetric distance computation) instead of the raw vectors.
+
+
+def _subspace_slice(vec_col, start: int, length: int):
+    return F.slice(vec_col, start + 1, length)  # F.slice is 1-based
+
+
+def _assign_l2_code(slice_col, codewords: list[list[float]]):
+    """Nearest codeword by L2 over one subspace slice — array of
+    (negdist², code) structs, array_max picks min distance (ties → the
+    LARGEST code under struct ordering; deterministic either way, and
+    both engines of this codebase share the rule)."""
+    cells = F.array(*[
+        F.struct(
+            (-F.aggregate(
+                F.zip_with(
+                    slice_col,
+                    F.array(*[F.lit(float(x)) for x in cw]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )).alias("s"),
+            F.lit(i).alias("c"),
+        )
+        for i, cw in enumerate(codewords)
+    ])
+    return F.array_max(cells).getField("c")
+
+
+def train_pq(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: the same deterministic
+    hash-sample init + distributed Lloyd as the IVF centroids, but per
+    subspace and under L2 (codebooks minimize RECONSTRUCTION error;
+    cosine is the query-time metric, computed against the
+    reconstruction). All m subspaces train in the SAME scan per
+    iteration: assignment is m codegen argmin columns, the update one
+    groupBy per subspace over (code, dim-slice partial sums) — shuffle
+    carries m × k × (dim/m) = k × dim decimal partials, not corpus
+    rows. Returns ``codebooks[j][code] = codeword`` (m × k × dim/m,
+    driver-side — tiny, broadcast into every later expression)."""
+    dim_row = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not dim_row:
+        return []
+    dim = dim_row[0]["d"]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    seeds = (
+        df.select(vec_col, F.xxhash64(F.col(id_col).cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    books = [
+        [[float(x) for x in r[vec_col]][j * sub:(j + 1) * sub] for r in seeds]
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        assigned = df.select(vec_col, *[
+            _assign_l2_code(
+                _subspace_slice(F.col(vec_col), j * sub, sub), books[j]
+            ).alias(f"_c{j}")
+            for j in range(m)
+        ])
+        new = [list(map(list, b)) for b in books]
+        for j in range(m):
+            mean_cols = [
+                (
+                    F.sum(
+                        F.col(vec_col).getItem(j * sub + i)
+                        .cast("decimal(38,18)")
+                    ) / F.count(F.lit(1))
+                ).cast("double").alias(f"_d{i}")
+                for i in range(sub)
+            ]
+            stats = assigned.groupBy(f"_c{j}").agg(*mean_cols).collect()
+            for r in stats:
+                new[j][r[f"_c{j}"]] = [float(r[f"_d{i}"]) for i in range(sub)]
+        if new == books:
+            break
+        books = new
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectors → (id, codes array<int>, recon_norm): one codegen scan,
+    m argmin columns. ``recon_norm`` = ‖reconstruction‖ (subspaces are
+    orthogonal, so the squared norm is the sum of the chosen codewords'
+    squared norms — an m-lookup against a literal table, no vector
+    math). The output is the narrow frame that persists as the PQ
+    index: m small ints + one float per vector."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    code_cols = [
+        _assign_l2_code(
+            _subspace_slice(F.col(vec_col), j * sub, sub), codebooks[j]
+        ).alias(f"_c{j}")
+        for j in range(m)
+    ]
+    norm2 = [  # norm2[j][code] = ‖codeword‖²
+        [sum(x * x for x in cw) for cw in codebooks[j]]
+        for j in range(m)
+    ]
+    out = df.select(F.col(id_col), *code_cols)
+    norm_expr = sum(
+        F.element_at(
+            F.array(*[F.lit(v) for v in norm2[j]]), F.col(f"_c{j}") + 1
+        )
+        for j in range(m)
+    )
+    return out.select(
+        id_col,
+        F.array(*[F.col(f"_c{j}") for j in range(m)]).alias("codes"),
+        F.sqrt(norm_expr).alias("recon_norm"),
+    )
+
+
+def query_pq_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k: per-query lookup table LUT[j][code] = ⟨q_j, codeword⟩
+    computed driver-side (m × k floats), then score = Σ_j LUT[j][codes_j]
+    / (‖q‖·recon_norm) — the EXACT cosine between the query and each
+    vector's PQ reconstruction, evaluated as m array lookups + one
+    divide per row, never touching the original vectors. TakeOrdered
+    top-k; ties break on id."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = [float(x) for x in query_vec]
+    qnorm = sum(x * x for x in q) ** 0.5
+    lut = [
+        [sum(q[j * sub + i] * cw[i] for i in range(sub))
+         for cw in codebooks[j]]
+        for j in range(m)
+    ]
+    ip = sum(
+        F.element_at(
+            F.array(*[F.lit(v) for v in lut[j]]),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        )
+        for j in range(m)
+    )
+    score = ip / (F.lit(qnorm) * F.col("recon_norm"))
+    return (
+        codes.select(id_col, score.alias("_score"))
+        .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pq_rerank_topk(
+    df: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    pool: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ search: ADC shortlists ``pool`` candidates from the
+    compressed codes, then the exact cosine re-ranks ONLY those (a
+    broadcast semi-join on the candidate ids against the full vectors —
+    the corpus is touched for pool rows, not scanned). The standard
+    recall-repair for PQ's quantization loss."""
+    cand = query_pq_topk(codes, codebooks, query_vec, k=pool, id_col=id_col)
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    from ..functions.vectors import cosine
+
+    return (
+        df.join(F.broadcast(cand.select(id_col)), on=id_col, how="left_semi")
+        .select(id_col, cosine(F.col(vec_col), qarr).alias("_score"))
+        .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -770,3 +770,67 @@ def completion_suggester(spark, sf_dir):
     return spark.createDataFrame(
         [(o["text"], o["freq"]) for o in opts], "text string, freq bigint"
     )
+
+
+# --- product quantization (ADC) ANN tier --------------------------------
+
+_PQ_CACHE: dict = {}
+
+
+def _pq_artifacts(spark, sf_dir):
+    """Train-once-per-(session, sf) codebooks + encoded codes — the PQ
+    index is a narrow (id, m codes, recon_norm) frame, built off the
+    query path exactly like the LSH/IVF index tables."""
+    from ..operators import similarity as S
+
+    key = sf_dir
+    if key not in _PQ_CACHE:
+        e = _t(spark, sf_dir, "embeddings")["embeddings"]
+        books = S.train_pq(e, m=16, k=16, iters=2)
+        codes = S.pq_encode(e, books).persist()
+        codes.count()
+        _PQ_CACHE[key] = (books, codes)
+    return _PQ_CACHE[key]
+
+
+@register(
+    "ann_pq_topk",
+    oracle=None,  # approximate by design — rows-only; ADC-vs-reconstruction
+    # exactness and rerank recall are pytest properties
+    doc="Product-quantization ANN top-10 (Jégou et al. 2011; m=16 "
+    "subspaces × 16 codewords = 16 bytes/vector, 16× compression): "
+    "asymmetric distance — a per-query m×k inner-product lookup table, "
+    "score = Σ LUT[j][code_j] / (‖q‖·recon_norm), the EXACT cosine to "
+    "each vector's reconstruction — evaluated as m array lookups per "
+    "row over the narrow code frame; the raw vectors are never "
+    "touched. operators/similarity.py::train_pq/pq_encode/query_pq_topk.",
+    tags=("similarity", "topk", "pq"),
+)
+def ann_pq_topk(spark, sf_dir):
+    from ..operators import similarity as S
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    books, codes = _pq_artifacts(spark, sf_dir)
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return S.query_pq_topk(codes, books, qvec, k=10)
+
+
+@register(
+    "ann_pq_rerank_topk",
+    oracle=None,  # approximate by design — rows-only; recall ≥ 0.8 pytest
+    doc="Two-stage PQ search: ADC shortlists 50 candidates from the "
+    "compressed codes, exact cosine re-ranks only those (broadcast "
+    "semi-join — the corpus is touched for 50 rows, not scanned). "
+    "Recall 10/10 vs brute force on the fixture at these parameters "
+    "(tests/test_dedup_similarity.py::test_pq_rerank_recall_on_embeddings).",
+    tags=("similarity", "topk", "pq"),
+)
+def ann_pq_rerank_topk(spark, sf_dir):
+    from ..operators import similarity as S
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    books, codes = _pq_artifacts(spark, sf_dir)
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return S.pq_rerank_topk(e, codes, books, qvec, k=10, pool=50)

@@ -632,3 +632,65 @@ def test_refresh_ivf_index_matches_full_reassignment(spark, sf_dir):
     noop = refresh_ivf_index(base, cents, changed=changed.limit(0))
     assert {tuple(r) for r in noop.collect()} == \
            {tuple(r) for r in base.collect()}
+
+
+def test_pq_adc_equals_reconstruction_cosine(spark):
+    """With hand-built codebooks (no training), the ADC score must equal
+    the exact cosine between the query and the PQ reconstruction."""
+    from opensearch_dynamodb_etl_cdk_spark.operators.similarity import (
+        pq_encode,
+        query_pq_topk,
+    )
+
+    books = [
+        [[1.0, 0.0], [0.0, 1.0]],       # subspace 0 codewords
+        [[2.0, 0.0], [0.0, 2.0]],       # subspace 1 codewords
+    ]
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0, 0.0]),     # codes (0,0), recon = itself
+         (2, [0.0, 1.0, 0.0, 2.0]),     # codes (1,1), recon = itself
+         (3, [0.9, 0.1, 1.9, 0.1])],    # nearest codes (0,0)
+        "vec_id long, embedding array<double>",
+    )
+    codes = pq_encode(df, books)
+    got = {r["vec_id"]: (list(r["codes"]), r["recon_norm"])
+           for r in codes.collect()}
+    assert got[1] == ([0, 0], 5 ** 0.5)
+    assert got[2] == ([1, 1], 5 ** 0.5)
+    assert got[3][0] == [0, 0]
+    q = [1.0, 0.0, 2.0, 0.0]
+    out = {r["vec_id"]: r["_score"]
+           for r in query_pq_topk(codes, books, q, k=3).collect()}
+    # doc 1 and 3 share reconstruction == q → cosine 1; doc 2 orthogonal
+    assert abs(out[1] - 1.0) < 1e-12
+    assert abs(out[3] - 1.0) < 1e-12
+    assert abs(out[2] - 0.0) < 1e-12
+
+
+def test_pq_rerank_recall_on_embeddings(spark, sf_dir):
+    """Trained PQ (m=16, k=16 → 16 bytes/vector, 16×) + exact re-rank
+    over a 50-candidate pool recovers ≥ 0.8 of the true cosine top-10;
+    codes are deterministic across repartitionings."""
+    from opensearch_dynamodb_etl_cdk_spark.operators.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_rerank_topk,
+        train_pq,
+    )
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    books = train_pq(e, m=16, k=16, iters=2)
+    codes = pq_encode(e, books).persist()
+    q = e.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    q = [float(x) for x in q]
+    truth = {r["vec_id"] for r in brute_force_topk(e, q, k=10).collect()}
+    got = {r["vec_id"]
+           for r in pq_rerank_topk(e, codes, books, q, k=10, pool=50).collect()}
+    assert len(truth & got) >= 8, (truth, got)
+    # determinism: a different partitioning yields identical codes
+    codes2 = pq_encode(e.repartition(7), books)
+    a = sorted(map(tuple, codes.select("vec_id", "codes").collect()))
+    b = sorted(map(tuple, codes2.select("vec_id", "codes").collect()))
+    assert a == b
+    codes.unpersist()
