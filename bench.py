@@ -87,6 +87,10 @@ HEADLINE = [
     "matrix_stats_agg",
     "string_stats_agg",
     "lm_quality_scores",
+    # PQ ADC search: codebook training + encoding happen inside fn()
+    # (session-cached, billed outside the timed region like the other
+    # index builds); the timed part is the m-lookup ADC scan + rerank
+    "ann_pq_rerank_topk",
 ]
 
 # The driver's fixture parquet ships ONE row group per table (sf0.1
