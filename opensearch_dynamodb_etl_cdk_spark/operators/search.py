@@ -428,6 +428,8 @@ def compile_query(q: dict[str, Any], allow_unsafe_scripts: bool = False) -> Colu
     if kind == "term":
         (field, spec), = body.items()
         value = spec["value"] if isinstance(spec, dict) else spec
+        if isinstance(spec, dict) and spec.get("case_insensitive"):
+            return F.lower(F.col(field)) == F.lit(str(value).lower())
         return F.col(field) == F.lit(value)
 
     if kind == "terms":
@@ -447,17 +449,25 @@ def compile_query(q: dict[str, Any], allow_unsafe_scripts: bool = False) -> Colu
     if kind == "prefix":
         (field, spec), = body.items()
         value = spec["value"] if isinstance(spec, dict) else spec
+        if isinstance(spec, dict) and spec.get("case_insensitive"):
+            return F.lower(F.col(field)).startswith(str(value).lower())
         return F.col(field).startswith(value)
 
     if kind == "wildcard":
         (field, spec), = body.items()
         value = spec["value"] if isinstance(spec, dict) else spec
+        if isinstance(spec, dict) and spec.get("case_insensitive"):
+            # (?i) stays inside the pattern so pushdown-ineligible rlike
+            # still evaluates in codegen, same as the sensitive form
+            return F.col(field).rlike("(?i)" + _wildcard_to_regex(value))
         return F.col(field).rlike(_wildcard_to_regex(value))
 
     if kind == "regexp":
         (field, spec), = body.items()
         value = spec["value"] if isinstance(spec, dict) else spec
         # DSL regexp anchors to the whole field value
+        if isinstance(spec, dict) and spec.get("case_insensitive"):
+            return F.col(field).rlike(f"(?i)^(?:{value})$")
         return F.col(field).rlike(f"^(?:{value})$")
 
     if kind == "fuzzy":
@@ -1951,7 +1961,8 @@ def _apply_source_filter(hits: DataFrame, source, body: dict) -> DataFrame:
     dv = {
         (s.get("field") if isinstance(s, dict) else s)
         for s in (list(body.get("docvalue_fields") or [])
-                  + list(body.get("stored_fields") or []))
+                  + list(body.get("stored_fields") or [])
+                  + list(body.get("fields") or []))
     }
     keep_always = [
         c for c in cols
@@ -2437,7 +2448,11 @@ def execute_search(
     dv_fields = [
         (s.get("field") if isinstance(s, dict) else s)
         for s in (list(body.get("docvalue_fields") or [])
-                  + list(body.get("stored_fields") or []))
+                  + list(body.get("stored_fields") or [])
+                  # the modern `fields` response option shares the flat
+                  # projection path (format hints have no analog here —
+                  # columns are already typed)
+                  + list(body.get("fields") or []))
     ]
     if body.get("_source") is not None:
         hits = _apply_source_filter(hits, body["_source"], body)

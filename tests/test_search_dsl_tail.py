@@ -411,3 +411,28 @@ def test_completion_suggester(docs):
     res = execute_search(docs, {"suggest": {"c": {
         "prefix": "", "completion": {"field": "text", "size": 2}}}})
     assert len(res["suggest"]["c"][0]["options"]) == 2
+
+
+def test_case_insensitive_term_prefix_wildcard_regexp(spark):
+    df = spark.createDataFrame(
+        [(1, "Spark"), (2, "SPARK"), (3, "spar"), (4, "other")],
+        "id long, s string",
+    )
+    assert _ids(df, {"term": {"s": {"value": "spark",
+                                    "case_insensitive": True}}}) == [1, 2]
+    assert _ids(df, {"term": {"s": {"value": "spark"}}}) == []
+    assert _ids(df, {"prefix": {"s": {"value": "sp",
+                                      "case_insensitive": True}}}) == [1, 2, 3]
+    assert _ids(df, {"wildcard": {"s": {"value": "s*k",
+                                        "case_insensitive": True}}}) == [1, 2]
+    assert _ids(df, {"regexp": {"s": {"value": "spar.?",
+                                      "case_insensitive": True}}}) == [1, 2, 3]
+    assert _ids(df, {"regexp": {"s": {"value": "spar.?"}}}) == [3]
+
+
+def test_fields_response_option(docs):
+    res = execute_search(docs, {
+        "query": {"term": {"id": 1}},
+        "fields": ["text", {"field": "feat"}],
+    })
+    assert set(res["hits"].columns) == {"text", "feat", "_id"}
