@@ -811,3 +811,175 @@ def pq_rerank_topk(
         .orderBy(F.col("_score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def build_ivfpq(
+    df: DataFrame,
+    n_centroids: int = 16,
+    m: int = 16,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+):
+    """IVF-PQ (the FAISS IVFPQ layout, Jégou et al. 2011 §V): coarse
+    IVF centroids partition the corpus; each vector's RESIDUAL from its
+    centroid is product-quantized. Residuals concentrate near zero, so
+    the same codebook budget quantizes them far better than raw
+    vectors — the standard billion-scale trade.
+
+    Returns ``(index, centroids, codebooks)`` where ``index`` is the
+    narrow frame (id, _cluster, codes, recon_norm) and ``recon_norm`` =
+    ‖centroid + residual-reconstruction‖, computed at build time from
+    the subspace decomposition (‖c + r̂‖² = Σ_j ‖c_j + cw_{j,code_j}‖²,
+    an (n_centroids × m × k)-entry literal lookup — no vector math at
+    query time).
+
+    Scale shape: centroid training + residual PQ training are the
+    existing scan-shaped Lloyd loops; encoding is ONE pass (cluster
+    argmax + m code argmins + the norm lookups, all codegen); the
+    persisted index is ~(4 + m) bytes of codes per vector."""
+    cents = ivf_centroids(df, n_centroids, id_col, vec_col, refine_iters=iters)
+    cent_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in cents
+    ])
+    assigned = ivf_assign(df, cents, vec_col).withColumn(
+        "_res",
+        F.zip_with(
+            F.col(vec_col),
+            F.element_at(cent_arr, F.col("_cluster") + 1),
+            lambda a, b: a - b,
+        ),
+    )
+    books = train_pq(
+        assigned, m=m, k=k, id_col=id_col, vec_col="_res", iters=iters
+    )
+    sub = len(books[0][0])
+    # norm²[cluster][j][code] = ‖centroid_slice + codeword‖²
+    nt = [
+        [
+            [
+                sum(
+                    (c[j * sub + i] + cw[i]) ** 2 for i in range(sub)
+                )
+                for cw in books[j]
+            ]
+            for j in range(m)
+        ]
+        for c in cents
+    ]
+    code_cols = [
+        _assign_l2_code(
+            _subspace_slice(F.col("_res"), j * sub, sub), books[j]
+        ).alias(f"_c{j}")
+        for j in range(m)
+    ]
+    enc = assigned.select(F.col(id_col), F.col("_cluster"), *code_cols)
+    norm2 = sum(
+        F.element_at(
+            F.element_at(
+                F.array(*[
+                    F.array(*[F.lit(v) for v in nt[cl][j]])
+                    for cl in range(len(cents))
+                ]),
+                F.col("_cluster") + 1,
+            ),
+            F.col(f"_c{j}") + 1,
+        )
+        for j in range(m)
+    )
+    index = enc.select(
+        id_col,
+        "_cluster",
+        F.array(*[F.col(f"_c{j}") for j in range(m)]).alias("codes"),
+        F.sqrt(norm2).alias("recon_norm"),
+    )
+    return index, cents, books
+
+
+def query_ivfpq_topk(
+    index: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ ADC search: probe the nprobe max-cosine cells (driver
+    arithmetic over the tiny centroid list → a pushable IN-predicate on
+    the cluster column — partition pruning on a cluster-partitioned
+    index), then score survivors as ⟨q, c + r̂⟩ = cellIP[cluster] +
+    Σ_j LUT[j][code_j], normalized by ‖q‖·recon_norm — the exact cosine
+    to each vector's IVF-PQ reconstruction, via m+1 array lookups per
+    row."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = [float(x) for x in query_vec]
+    qnorm = sum(x * x for x in q) ** 0.5
+
+    def cos_c(c):
+        ip = sum(a * b for a, b in zip(q, c))
+        cn = sum(x * x for x in c) ** 0.5
+        return ip / (qnorm * cn) if cn else -2.0
+
+    order = sorted(
+        range(len(centroids)), key=lambda i: (-cos_c(centroids[i]), i)
+    )
+    probes = order[:nprobe]
+    cell_ip = [sum(a * b for a, b in zip(q, c)) for c in centroids]
+    lut = [
+        [sum(q[j * sub + i] * cw[i] for i in range(sub))
+         for cw in codebooks[j]]
+        for j in range(m)
+    ]
+    ip = F.element_at(
+        F.array(*[F.lit(v) for v in cell_ip]), F.col("_cluster") + 1
+    ) + sum(
+        F.element_at(
+            F.array(*[F.lit(v) for v in lut[j]]),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        )
+        for j in range(m)
+    )
+    score = ip / (F.lit(qnorm) * F.col("recon_norm"))
+    return (
+        index.filter(F.col("_cluster").isin(probes))
+        .select(id_col, score.alias("_score"))
+        .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivfpq_rerank_topk(
+    df: DataFrame,
+    index: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    pool: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with exact re-rank (the production FAISS pattern): cell
+    pruning + ADC shortlist a ``pool`` from the compressed index, the
+    exact cosine re-ranks only those rows (broadcast semi-join against
+    the raw vectors). ADC alone carries the quantization loss (recon
+    cosine ≈ 0.85 at 16× on this fixture); the pool stage is what
+    restores recall — same division of labor as the int8 and flat-PQ
+    rerank paths."""
+    cand = query_ivfpq_topk(
+        index, centroids, codebooks, query_vec,
+        k=pool, nprobe=nprobe, id_col=id_col,
+    )
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    from ..functions.vectors import cosine
+
+    return (
+        df.join(F.broadcast(cand.select(id_col)), on=id_col, how="left_semi")
+        .select(id_col, cosine(F.col(vec_col), qarr).alias("_score"))
+        .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

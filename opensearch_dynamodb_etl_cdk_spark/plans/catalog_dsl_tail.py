@@ -834,3 +834,37 @@ def ann_pq_rerank_topk(spark, sf_dir):
     qvec = [float(x) for x in
             e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
     return S.pq_rerank_topk(e, codes, books, qvec, k=10, pool=50)
+
+
+_IVFPQ_CACHE: dict = {}
+
+
+@register(
+    "ann_ivfpq_rerank_topk",
+    oracle=None,  # approximate by design — rows-only; exactness at full
+    # probe/pool and clustered recall are pytest properties
+    doc="IVF-PQ ANN (FAISS IVFPQ layout): coarse IVF cells + "
+    "product-quantized RESIDUALS (residuals concentrate near zero, so "
+    "the codebook budget quantizes them far better than raw vectors); "
+    "query = driver-side cell probe (pushable IN on the cluster "
+    "column) + ADC over cellIP/LUT lookups + exact re-rank of a "
+    "50-candidate pool. Degenerates bit-exactly to brute force at full "
+    "probe/full pool (tests/test_dedup_similarity.py::"
+    "test_ivfpq_full_probe_full_pool_is_exact).",
+    tags=("similarity", "topk", "pq", "ivf"),
+)
+def ann_ivfpq_rerank_topk(spark, sf_dir):
+    from ..operators import similarity as S
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    if sf_dir not in _IVFPQ_CACHE:
+        idx, cents, books = S.build_ivfpq(e, n_centroids=16, m=16, k=16,
+                                          iters=2)
+        idx = idx.persist()
+        idx.count()
+        _IVFPQ_CACHE[sf_dir] = (idx, cents, books)
+    idx, cents, books = _IVFPQ_CACHE[sf_dir]
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return S.ivfpq_rerank_topk(e, idx, cents, books, qvec, k=10,
+                               nprobe=8, pool=50)

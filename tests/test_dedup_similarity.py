@@ -694,3 +694,42 @@ def test_pq_rerank_recall_on_embeddings(spark, sf_dir):
     b = sorted(map(tuple, codes2.select("vec_id", "codes").collect()))
     assert a == b
     codes.unpersist()
+
+
+def test_ivfpq_rerank_recall_on_clusters(spark):
+    """IVF-PQ (residual-encoded codes) + exact re-rank on planted
+    clusters: probing 2 of 8 cells recovers ≥0.9 of the true top-10 —
+    residuals concentrate near zero so the codebooks quantize them far
+    better than raw vectors (the FAISS IVFPQ rationale)."""
+    rng = random.Random(47)
+    rows = _planted_clusters(rng)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx, cents, books = S.build_ivfpq(df, n_centroids=8, m=4, k=16, iters=2)
+    q = rows[45][1]
+    bf = {r.vec_id for r in S.brute_force_topk(df, q, k=10).collect()}
+    got = {
+        r.vec_id
+        for r in S.ivfpq_rerank_topk(
+            df, idx, cents, books, q, k=10, nprobe=2, pool=40
+        ).collect()
+    }
+    assert len(bf & got) >= 9, (bf, got)
+
+
+def test_ivfpq_full_probe_full_pool_is_exact(spark):
+    """With every cell probed and a corpus-sized re-rank pool, IVF-PQ
+    degenerates to exact search: the compressed stage then only orders
+    the shortlist, and the exact re-rank must reproduce brute force
+    bit-for-bit (scores AND order)."""
+    rng = random.Random(53)
+    rows = _planted_clusters(rng, n_clusters=4, per_cluster=25)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx, cents, books = S.build_ivfpq(df, n_centroids=4, m=4, k=16, iters=1)
+    q = rows[3][1]
+    bf = [(r.vec_id, r["score"])
+          for r in S.brute_force_topk(df, q, k=10).collect()]
+    got = [(r.vec_id, r["_score"])
+           for r in S.ivfpq_rerank_topk(
+               df, idx, cents, books, q, k=10, nprobe=4, pool=100,
+           ).collect()]
+    assert got == bf
