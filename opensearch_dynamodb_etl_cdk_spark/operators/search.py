@@ -494,13 +494,32 @@ def compile_query(q: dict[str, Any], allow_unsafe_scripts: bool = False) -> Colu
         (field, spec), = body.items()
         if isinstance(spec, dict):
             text, operator = spec["query"], spec.get("operator", "or")
+            fuzziness = spec.get("fuzziness")
         else:
-            text, operator = spec, "or"
+            text, operator, fuzziness = spec, "or", None
         tokens = _analyze_text(str(text))
         if not tokens:
             return F.lit(True)
         terms_arr = _analyze(F.col(field))
-        preds = [F.array_contains(terms_arr, t) for t in tokens]
+
+        def term_pred(t: str) -> Column:
+            if fuzziness is None:
+                return F.array_contains(terms_arr, t)
+            # match + fuzziness: each query term matches any doc token
+            # within its edit budget (AUTO = 0/1/2 by term length, the
+            # public rule) — same levenshtein existential as the fuzzy
+            # query, shared budget logic
+            fz = fuzziness
+            if fz == "AUTO":
+                fz = 0 if len(t) < 3 else (1 if len(t) <= 5 else 2)
+            if int(fz) == 0:
+                return F.array_contains(terms_arr, t)
+            return F.exists(
+                terms_arr,
+                lambda x: F.levenshtein(x, F.lit(t)) <= int(fz),
+            )
+
+        preds = [term_pred(t) for t in tokens]
         combined = preds[0]
         for p in preds[1:]:
             combined = (combined & p) if operator == "and" else (combined | p)

@@ -436,3 +436,19 @@ def test_fields_response_option(docs):
         "fields": ["text", {"field": "feat"}],
     })
     assert set(res["hits"].columns) == {"text", "feat", "_id"}
+
+
+def test_match_with_fuzziness(docs):
+    # "spak" within 1 edit of "spark"; "windov" within 1 of "window"
+    assert _ids(docs, {"match": {"text": {
+        "query": "spak windov", "operator": "and",
+        "fuzziness": 1}}}) == [1, 2]
+    # AUTO: "spak" (4 chars → budget 1) matches; short "sp" (budget 0) not
+    assert _ids(docs, {"match": {"text": {
+        "query": "spak", "fuzziness": "AUTO"}}}) == [1, 2, 4]
+    assert _ids(docs, {"match": {"text": {
+        "query": "sp", "fuzziness": "AUTO"}}}) == []
+    # fuzziness 0 behaves exactly like plain match
+    assert _ids(docs, {"match": {"text": {
+        "query": "spark", "fuzziness": 0}}}) == _ids(
+        docs, {"match": {"text": "spark"}})
