@@ -539,14 +539,31 @@ def compile_query(q: dict[str, Any], allow_unsafe_scripts: bool = False) -> Colu
         )
 
     if kind == "multi_match":
-        # best_fields semantics without scoring: the match predicate is
-        # evaluated per field and OR-combined (a document matches if any
-        # field matches).
+        # best_fields/most_fields semantics without scoring: the match
+        # predicate per field, OR-combined (a document matches if any
+        # field matches). `type` variants: phrase / phrase_prefix wrap
+        # the positional kinds per field; cross_fields is term-centric —
+        # exactly the combined_fields algebra.
         text, operator = body["query"], body.get("operator", "or")
-        preds = [
-            compile_query({"match": {f: {"query": text, "operator": operator}}})
-            for f in body["fields"]
-        ]
+        fields = [str(f).split("^")[0] for f in body["fields"]]
+        type_ = body.get("type", "best_fields")
+        if type_ == "cross_fields":
+            return compile_query({"combined_fields": {
+                "query": text, "fields": fields, "operator": operator}})
+        if type_ in ("phrase", "phrase_prefix"):
+            inner = (
+                "match_phrase" if type_ == "phrase" else "match_phrase_prefix"
+            )
+            preds = [compile_query({inner: {f: text}}) for f in fields]
+        elif type_ in ("best_fields", "most_fields"):
+            preds = [
+                compile_query(
+                    {"match": {f: {"query": text, "operator": operator}}}
+                )
+                for f in fields
+            ]
+        else:
+            raise ValueError(f"unsupported multi_match type {type_!r}")
         combined = preds[0]
         for p in preds[1:]:
             combined = combined | p

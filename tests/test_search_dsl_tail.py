@@ -452,3 +452,28 @@ def test_match_with_fuzziness(docs):
     assert _ids(docs, {"match": {"text": {
         "query": "spark", "fuzziness": 0}}}) == _ids(
         docs, {"match": {"text": "spark"}})
+
+
+def test_multi_match_types(spark):
+    df = spark.createDataFrame(
+        [(1, "spark merge engine", "other"),
+         (2, "other", "spark merge engine"),
+         (3, "merge spark", "nothing"),
+         (4, "spar king", "nothing")],
+        "id long, a string, b string",
+    )
+    # phrase: adjacent in ANY field
+    assert _ids(df, {"multi_match": {
+        "query": "spark merge", "fields": ["a", "b"],
+        "type": "phrase"}}) == [1, 2]
+    # phrase_prefix: last term a prefix
+    assert _ids(df, {"multi_match": {
+        "query": "spar", "fields": ["a", "b"],
+        "type": "phrase_prefix"}}) == [1, 2, 3, 4]
+    # cross_fields + and: each term in any field
+    assert _ids(df, {"multi_match": {
+        "query": "spark nothing", "fields": ["a", "b"],
+        "type": "cross_fields", "operator": "and"}}) == [3]
+    with pytest.raises(ValueError):
+        compile_query({"multi_match": {
+            "query": "x", "fields": ["a"], "type": "bool_prefix_wrong"}})
