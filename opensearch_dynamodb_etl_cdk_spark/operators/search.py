@@ -1410,8 +1410,12 @@ def significant_terms_frame(
         )
     fg_counts = fg.groupBy("key").agg(F.count("*").alias("doc_count"))
     bg_counts = bg.groupBy("key").agg(F.count("*").alias("bg_count"))
-    fg_total = fg.agg(F.count("*").alias("fg_total"))
-    bg_total = bg.agg(F.count("*").alias("bg_total"))
+    # totals derived FROM the per-term count frames (Σ counts ≡ row
+    # count), not from a fresh scan — the shared subplan lets Catalyst
+    # emit a ReusedExchange, so each side is scanned and shuffled once
+    # for counts AND total (4 corpus scans → 2)
+    fg_total = fg_counts.agg(F.sum("doc_count").alias("fg_total"))
+    bg_total = bg_counts.agg(F.sum("bg_count").alias("bg_total"))
     fg_pct = F.col("doc_count") / F.col("fg_total")
     bg_pct = F.col("bg_count") / F.col("bg_total")
     score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
