@@ -547,6 +547,26 @@ def compile_query(q: dict[str, Any], allow_unsafe_scripts: bool = False) -> Colu
         text, operator = body["query"], body.get("operator", "or")
         fields = [str(f).split("^")[0] for f in body["fields"]]
         type_ = body.get("type", "best_fields")
+        # reject (rather than silently ignore) options the per-field
+        # rewrite cannot forward — a quietly-degraded multi_match (e.g.
+        # fuzziness dropped → exact matching) is worse than an error
+        # boost/_name are legitimately inert in filter context (the
+        # public API ignores boost there too); anything else unknown
+        # raises
+        known = {"query", "fields", "type", "operator", "fuzziness",
+                 "boost", "_name"}
+        unknown = set(body) - known
+        if unknown:
+            raise ValueError(
+                f"unsupported multi_match options {sorted(unknown)}"
+            )
+        fuzziness = body.get("fuzziness")
+        if fuzziness is not None and type_ not in ("best_fields",
+                                                   "most_fields"):
+            raise ValueError(
+                f"multi_match: fuzziness is not supported with "
+                f"type {type_!r} (the public API rejects it too)"
+            )
         if type_ == "cross_fields":
             return compile_query({"combined_fields": {
                 "query": text, "fields": fields, "operator": operator}})
@@ -556,10 +576,11 @@ def compile_query(q: dict[str, Any], allow_unsafe_scripts: bool = False) -> Colu
             )
             preds = [compile_query({inner: {f: text}}) for f in fields]
         elif type_ in ("best_fields", "most_fields"):
+            per_field = {"query": text, "operator": operator}
+            if fuzziness is not None:
+                per_field["fuzziness"] = fuzziness
             preds = [
-                compile_query(
-                    {"match": {f: {"query": text, "operator": operator}}}
-                )
+                compile_query({"match": {f: dict(per_field)}})
                 for f in fields
             ]
         else:
@@ -3730,9 +3751,15 @@ def _run_agg(
         # Σx / Σx² / Σxy accumulated in ONE aggregation pass (population
         # formulas at the end in double; decimal addition is associative
         # so results are partition-order independent, where naive double
-        # Σxy would drift).
+        # Σxy would drift). Documents missing ANY listed field are
+        # excluded up front (the public agg's listwise deletion), so
+        # every moment is computed over ONE consistent row subset.
         fields = list(body["fields"])
-        aggs = [F.count(F.col(fields[0])).alias("__n")]
+        complete = F.lit(True)
+        for f in fields:
+            complete = complete & F.col(f).isNotNull()
+        df = df.filter(complete)
+        aggs = [F.count(F.lit(1)).alias("__n")]
         for f in fields:
             c = F.col(f)
             aggs.append(F.sum(c.cast("decimal(38,6)")).cast("double").alias(f"__s_{f}"))
@@ -3899,7 +3926,12 @@ def rank_eval(
     The ranking itself executes distributed (each request is a normal
     search — pushdown, TakeOrdered top-k); only the ≤ k hit ids per
     request come back for the driver-side metric arithmetic, which is
-    how the public coordinating node computes it too."""
+    how the public coordinating node computes it too.
+
+    A request with neither an explicit ``sort`` nor a scoring query
+    (the public API always ranks by ``_score``) gets a deterministic
+    ``_id`` ranking injected — otherwise the collected ranking (and the
+    metric) would be partition-order nondeterministic."""
     (mkind, mbody), = metric.items()
     k = int(mbody.get("k", 10))
     thr = int(mbody.get("relevant_rating_threshold", 1))
@@ -3908,10 +3940,23 @@ def rank_eval(
     scores: list[float] = []
     for req in requests:
         body = dict(req["request"])
-        body.setdefault("size", k)
-        hits = execute_search(df, body)["hits"].limit(k)
+        explicit_sort = bool(body.get("sort"))
+        if explicit_sort:
+            body.setdefault("size", k)
+        else:
+            # let the deterministic orderBy below pick the top k —
+            # an unsorted `size` limit would select arbitrary rows
+            body.pop("size", None)
+            if "knn" in (body.get("query") or {}):
+                body["size"] = k  # knn's own TakeOrdered is score-ranked
+        hits = execute_search(df, body)["hits"]
         id_col = "_id" if "_id" in hits.columns else hits.columns[0]
-        ranked = [r[id_col] for r in hits.collect()]
+        if not explicit_sort:
+            order = (
+                [F.col("_score").desc()] if "_score" in hits.columns else []
+            ) + [F.col(id_col).asc()]
+            hits = hits.orderBy(*order)
+        ranked = [r[id_col] for r in hits.limit(k).collect()]
         ratings = {str(r["_id"]): int(r["rating"]) for r in req["ratings"]}
         if mkind == "precision":
             rel = sum(1 for h in ranked if ratings.get(str(h), 0) >= thr)

@@ -995,8 +995,12 @@ class FlightsEtlPipeline:
 
         ``update`` is a partial document merge: the current image is
         fetched by id (an mget — bounded by the action count, never a
-        scan) and unspecified fields are preserved. Unknown or internal
-        fields are rejected up front. Returns per-action-type counts."""
+        scan) and unspecified fields are preserved. The in-flight
+        images are overlaid as actions are processed, so an update that
+        follows an index/update/delete of the same ``_id`` in the SAME
+        bulk sees that earlier action's result (not the stale pre-bulk
+        image), exactly like the public API. Unknown or internal fields
+        are rejected up front. Returns per-action-type counts."""
         idx = self.index_view(route)
         if idx is None:
             raise ValueError(
@@ -1026,6 +1030,9 @@ class FlightsEtlPipeline:
             if op == "delete":
                 deletes.append((_id, seq))
                 counts["deleted"] += 1
+                # later updates on this id in the same bulk must fail,
+                # exactly as the public API reports document_missing
+                current.pop(_id, None)
                 continue
             doc = dict(body.get("doc") or {})
             self._validate_set_fields(data_cols, doc, "bulk")
@@ -1039,6 +1046,12 @@ class FlightsEtlPipeline:
                 counts["indexed"] += 1
             else:
                 raise ValueError(f"unsupported bulk action {op!r}")
+            # overlay the in-flight image so later same-id actions in
+            # this bulk merge against THIS result, not the pre-bulk one
+            current[_id] = {
+                "_id": _id,
+                **{c: merged.get(c) for c in data_cols if c != "_id"},
+            }
             upserts.append(
                 tuple([_id, seq] + [merged.get(c) for c in data_cols
                                     if c != "_id"])

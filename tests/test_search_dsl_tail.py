@@ -477,3 +477,47 @@ def test_multi_match_types(spark):
     with pytest.raises(ValueError):
         compile_query({"multi_match": {
             "query": "x", "fields": ["a"], "type": "bool_prefix_wrong"}})
+
+
+def test_matrix_stats_listwise_deletion(spark):
+    """Documents missing ANY listed field are excluded entirely (the
+    public matrix_stats contract) — moments never mix per-field null
+    subsets."""
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, None), (None, 6.0), (3.0, 4.0)],
+        "x double, y double",
+    )
+    r = _agg(df, "ms", {"matrix_stats": {"fields": ["x", "y"]}})
+    # only (1,2) and (3,4) are complete → n=2, perfectly correlated
+    assert r["doc_count"] == 2
+    assert r["fields"]["x"]["count"] == 2
+    assert abs(r["fields"]["x"]["mean"] - 2.0) < 1e-12
+    assert abs(r["fields"]["y"]["mean"] - 3.0) < 1e-12
+    assert abs(r["fields"]["x"]["variance"] - 1.0) < 1e-12
+    assert abs(r["fields"]["x"]["covariance"]["y"] - 1.0) < 1e-12
+    assert abs(r["fields"]["x"]["correlation"]["y"] - 1.0) < 1e-12
+
+
+def test_multi_match_forwards_fuzziness(spark):
+    df = spark.createDataFrame(
+        [(1, "spark mergw", "other"), (2, "other", "nothing spark"),
+         (3, "zzz", "yyy")],
+        "id long, a string, b string",
+    )
+    # fuzziness reaches the per-field match: "merge" ~1~ "mergw"
+    assert _ids(df, {"multi_match": {
+        "query": "spark merge", "fields": ["a", "b"],
+        "operator": "and", "fuzziness": 1}}) == [1]
+    # without fuzziness the misspelling does NOT match
+    assert _ids(df, {"multi_match": {
+        "query": "spark merge", "fields": ["a", "b"],
+        "operator": "and"}}) == []
+    # unsupported options raise instead of silently degrading
+    with pytest.raises(ValueError):
+        compile_query({"multi_match": {
+            "query": "x", "fields": ["a"], "tie_breaker": 0.3}})
+    # fuzziness is invalid with phrase types (public API rejects it)
+    with pytest.raises(ValueError):
+        compile_query({"multi_match": {
+            "query": "x y", "fields": ["a"], "type": "phrase",
+            "fuzziness": 1}})

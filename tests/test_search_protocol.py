@@ -290,3 +290,67 @@ def test_significant_text_is_analyzed_significant_terms(booted):
         "aggs": {"sig": {"significant_text": {"field": "sk", "size": 3}}},
     })
     assert len(res["aggregations"]["sig"]["buckets"]) >= 1
+
+
+def test_bulk_same_id_chained_actions(spark, tmp_path_factory):
+    """Same-id actions within ONE bulk see earlier actions' results:
+    index→update merges against the in-flight doc (not the stale
+    pre-bulk image / a missing-document error), update→update chains,
+    and update-after-delete fails like the public document_missing."""
+    tmp = tmp_path_factory.mktemp("bulk_chain")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+
+    # index then update the SAME new id in one bulk: the update must
+    # merge into the just-indexed doc
+    out = p.bulk("fare", [
+        {"index": {"_id": "CHN|1", "doc": {"pk": "CHN", "sk": "1",
+                                           "fare_class": "economy"}}},
+        {"update": {"_id": "CHN|1", "doc": {"fare_class": "business"}}},
+    ])
+    assert out["indexed"] == 1 and out["updated"] == 1
+    row = p.index_view("fare").filter(F.col("_id") == "CHN|1").collect()[0]
+    assert row["fare_class"] == "business"
+    assert row["pk"] == "CHN"  # preserved from the in-batch index
+
+    # update→update chains: second update sees the first's result
+    pre = p.index_view("fare").select("_id", "pk").filter(
+        F.col("_id") != "CHN|1").limit(1).collect()[0]
+    p.bulk("fare", [
+        {"update": {"_id": pre["_id"], "doc": {"fare_class": "first"}}},
+        {"update": {"_id": pre["_id"], "doc": {"sk": "999"}}},
+    ])
+    row = p.index_view("fare").filter(F.col("_id") == pre["_id"]).collect()[0]
+    assert row["fare_class"] == "first"  # first update's field survived
+    assert row["sk"] == "999"
+    assert row["pk"] == pre["pk"]
+
+    # update after an in-batch delete of the same id → document missing
+    with pytest.raises(ValueError):
+        p.bulk("fare", [
+            {"delete": {"_id": "CHN|1"}},
+            {"update": {"_id": "CHN|1", "doc": {"fare_class": "x"}}},
+        ])
+
+
+def test_rank_eval_deterministic_without_sort(booted):
+    """A request with no sort and no scoring query gets a deterministic
+    _id ranking injected — the metric is reproducible run-to-run."""
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import rank_eval
+
+    view = booted.multi_index_view("fare")
+    ids = sorted(r["_id"] for r in view.select("_id").collect())
+    req = [{
+        "id": "q",
+        "request": {"query": {"match_all": {}}},  # unsorted, unscored
+        "ratings": [{"_id": ids[0], "rating": 1}],
+    }]
+    out1 = rank_eval(view, req, {"precision": {"k": 3}})
+    out2 = rank_eval(view, req, {"precision": {"k": 3}})
+    assert out1["details"]["q"]["hits"] == ids[:3]
+    assert out1 == out2
