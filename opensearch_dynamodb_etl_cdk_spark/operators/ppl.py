@@ -1,0 +1,488 @@
+"""PPL (Piped Processing Language) compiler → Spark DataFrame plans.
+
+OpenSearch ships a second query language next to the DSL: PPL, a
+Splunk-style pipe syntax (``search source=index | where ... | stats
+... by ... | sort ... | head N``) served by the SQL/PPL plugin. A user
+of the reference stack (DynamoDB → OpenSearch,
+``lib/opensearch-dynamodb-etl-cdk-stack.ts``) queries the indexed data
+through exactly this surface, so the engine re-expresses it Spark-first:
+each pipe stage folds into ONE declarative DataFrame transformation and
+the whole pipeline stays a single Catalyst plan — filters written as
+``where`` stages reach the parquet scan as pushed filters, ``fields``
+projections prune the read schema, and ``stats`` compiles to a regular
+partial-aggregate/final-aggregate shuffle. Nothing is interpreted
+row-by-row and nothing materializes between stages.
+
+Scalar expressions use the engine's guarded Spark-SQL dialect
+(:func:`..functions.scripts.safe_expr` — same sandbox as the script
+query / Painless surfaces): PPL's expression grammar (``=``, ``!=``,
+``and/or/not``, arithmetic, ``like``, scalar functions) is a subset of
+Spark SQL's, so expressions compile directly with the JVM escape
+hatches blocked.
+
+Determinism contract (the cross-engine-testable superset of the public
+semantics): ``stats`` sum/avg/var/stddev accumulate exact decimals and
+surface doubles (partition-order independent — the same pattern as the
+catalog's ``dsum``); ``dedup`` keeps the first row per key under the
+pipeline's current ``sort`` order (falling back to a whole-row
+tiebreak) where the public command keeps undefined ingestion order;
+``top``/``rare`` break count ties by value ascending.
+
+Supported commands: ``search source=``, ``where``, ``fields [+|-]``,
+``eval``, ``rename``, ``stats`` (count/sum/avg/min/max/dc/
+distinct_count/stddev_samp/stddev_pop/var_samp/var_pop/percentile,
+``by`` fields and ``span(field, interval)`` buckets), ``eventstats``,
+``sort``, ``head``, ``dedup``, ``top``, ``rare``, ``parse``,
+``fillnull``, ``lookup`` (broadcast enrich join), ``trendline``
+(``sma(N, field)``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scripts import safe_expr
+
+__all__ = ["ppl_query", "PPLError"]
+
+
+class PPLError(ValueError):
+    """Raised for malformed or unsupported PPL."""
+
+
+# ---------------------------------------------------------------- lexing
+
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split on `sep` at paren/bracket depth 0 and outside quotes."""
+    parts, depth, buf, quote = [], 0, [], None
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if quote:
+            buf.append(ch)
+            if ch == quote and (i == 0 or s[i - 1] != "\\"):
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch in "([":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail or parts:
+        parts.append(tail)
+    return [p for p in parts if p != ""]
+
+
+def _parse_call(s: str) -> tuple[str, str] | None:
+    """``fn( args )`` with balanced parens → (fn, args); else None."""
+    m = re.match(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*\(", s)
+    if not m:
+        return None
+    depth, start = 0, m.end() - 1
+    for i in range(start, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                if s[i + 1:].strip():
+                    return None  # trailing text → not a bare call
+                return m.group(1).lower(), s[start + 1:i].strip()
+    raise PPLError(f"unbalanced parentheses in {s!r}")
+
+
+_SPAN_UNITS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+
+
+def _span_column(args: str) -> tuple[str, Column]:
+    """``span(field, 1d)`` → (out_name, bucket Column).
+
+    Time units s/m/h/d/w floor the timestamp to the interval via epoch
+    arithmetic (codegen; no UDF); a bare number buckets a numeric field
+    by fixed width. The bucket column is named ``<field>_span`` — a
+    clean identifier (the public plugin surfaces the raw ``span(...)``
+    text, which is hostile to downstream tooling)."""
+    parts = _split_top(args, ",")
+    if len(parts) != 2:
+        raise PPLError(f"span() needs (field, interval), got {args!r}")
+    field, interval = parts[0].strip(), parts[1].strip()
+    m = re.match(r"^(\d+(?:\.\d+)?)([smhdw]?)$", interval)
+    if not m:
+        raise PPLError(f"unsupported span interval {interval!r}")
+    width, unit = float(m.group(1)), m.group(2)
+    name = f"{field}_span"
+    if unit:
+        secs = int(width * _SPAN_UNITS[unit])
+        col = F.timestamp_seconds(
+            (F.unix_timestamp(F.col(field)) / secs).cast("long") * secs
+        )
+    else:
+        col = (F.floor(F.col(field) / width) * width).cast("double")
+    return name, col
+
+
+# ------------------------------------------------------------ aggregates
+
+def _dsum(c: Column) -> Column:
+    return F.sum(c.cast("decimal(28,6)")).cast("double")
+
+
+def _agg_column(fn: str, args: str, over=None) -> Column:
+    """One stats function → an aggregate Column. sum/avg/var/stddev use
+    the exact-decimal accumulate pattern so results are partition-order
+    independent and bit-comparable to a DuckDB oracle using the same
+    casts. ``over`` (eventstats) windowizes each PRIMITIVE aggregate —
+    composite forms like avg = Σ/n stay arithmetic over windowed
+    primitives, which Spark accepts where `.over()` on the composite
+    would not."""
+    fn = fn.lower()
+
+    def W(agg: Column) -> Column:
+        return agg.over(over) if over is not None else agg
+
+    def dsum(c: Column) -> Column:
+        # window applies to the raw sum, THEN the double cast — `.over`
+        # on a cast-wrapped aggregate leaves the sum un-windowed
+        return W(F.sum(c.cast("decimal(28,6)"))).cast("double")
+
+    if fn == "count":
+        if not args or args == "*":
+            return W(F.count(F.lit(1)))
+        return W(F.count(safe_expr(args)))
+    if fn in ("dc", "distinct_count"):
+        if over is not None:
+            return W(F.size(F.collect_set(safe_expr(args))))
+        return F.count_distinct(safe_expr(args))
+    c = None if not args else safe_expr(args)
+    if fn == "sum":
+        return dsum(c)
+    if fn == "avg":
+        return dsum(c) / W(F.count(c))
+    if fn == "min":
+        return W(F.min(c))
+    if fn == "max":
+        return W(F.max(c))
+    if fn in ("var_samp", "var_pop", "stddev_samp", "stddev_pop"):
+        # exact decimal Σx / Σx² → population/sample formula in double
+        n = W(F.count(c))
+        s = dsum(c)
+        ss = dsum(c * c)
+        denom = n if fn.endswith("_pop") else (n - F.lit(1))
+        var = (ss - s * s / n) / denom
+        return F.sqrt(var) if fn.startswith("stddev") else var
+    if fn == "percentile":
+        parts = _split_top(args, ",")
+        if len(parts) != 2:
+            raise PPLError("percentile needs (field, p)")
+        p = float(parts[1])
+        if p > 1:
+            p = p / 100.0
+        return W(F.percentile(safe_expr(parts[0]), F.lit(p)))
+    raise PPLError(f"unsupported stats function {fn!r}")
+
+
+def _parse_stats(rest: str) -> tuple[list[tuple[str, str, str]], str | None]:
+    """``agg [as name], ... [by g1, span(f, 1d), ...]`` →
+    ([(fn, args, out_name)], by_clause_or_None)."""
+    by = None
+    for m in re.finditer(r"\bby\b", rest, re.IGNORECASE):
+        head = rest[:m.start()]
+        # the clause separator is the first `by` at paren depth 0 and
+        # outside quotes — one inside an agg expression is not it
+        if (head.count("(") == head.count(")")
+                and head.count("'") % 2 == 0 and head.count('"') % 2 == 0):
+            rest, by = head, rest[m.end():].strip()
+            break
+    aggs = []
+    for part in _split_top(rest, ","):
+        am = re.match(r"^(.*?)(?:\s+as\s+([A-Za-z_][A-Za-z0-9_]*))?$",
+                      part.strip(), re.IGNORECASE | re.DOTALL)
+        expr, alias = am.group(1).strip(), am.group(2)
+        call = _parse_call(expr)
+        if not call:
+            raise PPLError(f"stats expects aggregate calls, got {expr!r}")
+        fn, args = call
+        aggs.append((fn, args, alias or expr))
+    return aggs, by
+
+
+def _parse_by(by: str) -> tuple[list[str], list[tuple[str, Column]]]:
+    """`by` clause → (plain group fields, [(span_name, span_col)])."""
+    plain, spans = [], []
+    for g in _split_top(by, ","):
+        call = _parse_call(g)
+        if call and call[0] == "span":
+            spans.append(_span_column(call[1]))
+        else:
+            plain.append(g.strip())
+    return plain, spans
+
+
+# ------------------------------------------------------------- commands
+
+def _sort_columns(spec: str) -> tuple[list[Column], list[tuple[str, bool]]]:
+    cols, keys = [], []
+    for part in _split_top(spec, ","):
+        part = part.strip()
+        asc = True
+        if part.startswith("-"):
+            asc, part = False, part[1:].strip()
+        elif part.startswith("+"):
+            part = part[1:].strip()
+        low = part.lower()
+        for suffix, a in ((" desc", False), (" asc", True)):
+            if low.endswith(suffix):
+                part, asc = part[: -len(suffix)].strip(), a
+                break
+        c = safe_expr(part)
+        cols.append(c.asc() if asc else c.desc())
+        keys.append((part, asc))
+    return cols, keys
+
+
+def _named_groups(pattern: str) -> dict[str, int]:
+    """Map named capture groups to their 1-based group index (Java/PCRE
+    ``(?<name>...)`` syntax, the form the public parse command takes)."""
+    out, idx, i = {}, 0, 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if ch == "(":
+            nm = re.match(r"\(\?<([A-Za-z][A-Za-z0-9]*)>", pattern[i:])
+            if nm:
+                idx += 1
+                out[nm.group(1)] = idx
+            elif not pattern.startswith("(?", i):
+                idx += 1
+        i += 1
+    if not out:
+        raise PPLError("parse pattern has no (?<name>...) capture groups")
+    return out
+
+
+def _unquote(s: str) -> str:
+    s = s.strip()
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+        return s[1:-1]
+    return s
+
+
+def ppl_query(
+    query: str,
+    resolve: Callable[[str], DataFrame],
+) -> DataFrame:
+    """Compile a PPL pipeline into one DataFrame plan.
+
+    ``resolve`` maps a source name (index/table) to its DataFrame —
+    the pipeline object passes its index views, the catalog passes
+    parquet table loaders. Multi-source names (``source=a,b``) resolve
+    each and union by name (the public multi-index search semantics).
+    """
+    stages = _split_top(query.strip(), "|")
+    if not stages:
+        raise PPLError("empty PPL query")
+
+    head = stages[0]
+    m = re.match(r"^(?:search\s+)?source\s*=\s*([A-Za-z0-9_.,*-]+)\s*(.*)$",
+                 head.strip(), re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise PPLError(f"PPL must start with 'search source=<name>', got {head!r}")
+    names, residual = m.group(1), m.group(2).strip()
+    frames = [resolve(n.strip()) for n in names.split(",")]
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionByName(f, allowMissingColumns=True)
+    if residual:  # search-command filter expression rides the scan
+        df = df.filter(safe_expr(residual).cast("boolean"))
+
+    sort_state: list[tuple[str, bool]] = []
+
+    for stage in stages[1:]:
+        stage = stage.strip()
+        sm = re.match(r"^([A-Za-z_]+)\s*(.*)$", stage, re.DOTALL)
+        if not sm:
+            raise PPLError(f"unparseable stage {stage!r}")
+        cmd, rest = sm.group(1).lower(), sm.group(2).strip()
+
+        if cmd == "where":
+            df = df.filter(safe_expr(rest).cast("boolean"))
+
+        elif cmd == "fields":
+            drop = rest.startswith("-")
+            rest2 = rest[1:] if rest[:1] in "+-" else rest
+            names_ = [f.strip() for f in _split_top(rest2, ",")]
+            df = df.drop(*names_) if drop else df.select(*names_)
+
+        elif cmd == "eval":
+            for assign in _split_top(rest, ","):
+                name, _, expr = assign.partition("=")
+                if not expr:
+                    raise PPLError(f"eval expects name = expr, got {assign!r}")
+                df = df.withColumn(name.strip(), safe_expr(expr.strip()))
+
+        elif cmd == "rename":
+            for pair in _split_top(rest, ","):
+                pm = re.match(r"^(\S+)\s+as\s+(\S+)$", pair.strip(),
+                              re.IGNORECASE)
+                if not pm:
+                    raise PPLError(f"rename expects 'a as b', got {pair!r}")
+                df = df.withColumnRenamed(pm.group(1), pm.group(2))
+
+        elif cmd in ("stats", "eventstats"):
+            aggs, by = _parse_stats(rest)
+            plain, spans = _parse_by(by) if by else ([], [])
+            for name, col in spans:
+                df = df.withColumn(name, col)
+            group_cols = plain + [n for n, _ in spans]
+            if cmd == "stats":
+                agg_cols = [_agg_column(fn, args).alias(out)
+                            for fn, args, out in aggs]
+                df = (df.groupBy(*group_cols).agg(*agg_cols)
+                      if group_cols else df.agg(*agg_cols))
+            else:
+                w = (Window.partitionBy(*group_cols) if group_cols
+                     else Window.partitionBy())
+                for fn, args, out in aggs:
+                    df = df.withColumn(out, _agg_column(fn, args, over=w))
+            sort_state = []
+
+        elif cmd == "sort":
+            cols, sort_state = _sort_columns(rest)
+            df = df.orderBy(*cols)
+
+        elif cmd == "head":
+            df = df.limit(int(rest) if rest else 10)
+
+        elif cmd == "dedup":
+            dm = re.match(r"^(\d+\s+)?(.*)$", rest, re.DOTALL)
+            keep = int(dm.group(1)) if dm.group(1) else 1
+            keys = [k.strip() for k in _split_top(dm.group(2), ",")]
+            if sort_state:
+                order = [
+                    (F.col(k).asc() if asc else F.col(k).desc())
+                    for k, asc in sort_state
+                ]
+            else:
+                # public dedup keeps undefined ingestion order; a scan
+                # has none, so keep the deterministic whole-row minimum
+                order = [F.col(c).asc_nulls_last() for c in df.columns
+                         if c not in keys]
+            order = order or [F.lit(1).asc()]
+            w = Window.partitionBy(*keys).orderBy(*order)
+            df = (df.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= keep).drop("__rn"))
+
+        elif cmd in ("top", "rare"):
+            tm = re.match(r"^(\d+\s+)?(.*?)(?:\s+by\s+(.*))?$", rest,
+                          re.IGNORECASE | re.DOTALL)
+            n = int(tm.group(1)) if tm.group(1) else 10
+            fields = [f.strip() for f in _split_top(tm.group(2), ",")]
+            by_fields = ([b.strip() for b in _split_top(tm.group(3), ",")]
+                         if tm.group(3) else [])
+            counted = df.groupBy(*(by_fields + fields)).agg(
+                F.count(F.lit(1)).alias("count")
+            )
+            cnt_order = (F.col("count").desc() if cmd == "top"
+                         else F.col("count").asc())
+            tiebreak = [F.col(f).asc() for f in fields]
+            if by_fields:
+                w = Window.partitionBy(*by_fields).orderBy(cnt_order,
+                                                           *tiebreak)
+                df = (counted.withColumn("__rk", F.row_number().over(w))
+                      .filter(F.col("__rk") <= n).drop("__rk")
+                      .orderBy(*[F.col(b).asc() for b in by_fields],
+                               cnt_order, *tiebreak))
+            else:
+                df = counted.orderBy(cnt_order, *tiebreak).limit(n)
+            sort_state = []
+
+        elif cmd == "parse":
+            pm = re.match(r"^(\S+)\s+(.+)$", rest, re.DOTALL)
+            if not pm:
+                raise PPLError(f"parse expects: parse <field> '<regex>'")
+            field, pattern = pm.group(1), _unquote(pm.group(2))
+            for name, idx in _named_groups(pattern).items():
+                df = df.withColumn(
+                    name, F.regexp_extract(F.col(field), pattern, idx)
+                )
+
+        elif cmd == "fillnull":
+            fm = re.match(r"^with\s+(.+?)\s+in\s+(.+)$", rest,
+                          re.IGNORECASE | re.DOTALL)
+            if not fm:
+                raise PPLError("fillnull expects: with <value> in f1, f2")
+            value = _unquote(fm.group(1))
+            names_ = [f.strip() for f in _split_top(fm.group(2), ",")]
+            df = df.fillna(value, subset=names_)
+
+        elif cmd == "lookup":
+            lm = re.match(
+                r"^(\S+)\s+(\S+)(?:\s+as\s+(\S+))?$", rest, re.IGNORECASE
+            )
+            if not lm:
+                raise PPLError("lookup expects: lookup <table> <key> [as <local>]")
+            table, rkey, lkey = lm.group(1), lm.group(2), lm.group(3)
+            right = resolve(table)
+            lkey = lkey or rkey
+            # enrichment joins broadcast the lookup side: lookup tables
+            # are dimension-sized by construction, the fact side never
+            # shuffles
+            overlapping = [c for c in right.columns
+                           if c in df.columns and c != rkey]
+            right = right.drop(*overlapping)
+            cond = df[lkey] == right[rkey]
+            df = df.join(F.broadcast(right), cond, "left")
+            if rkey != lkey or rkey in df.columns:
+                df = df.drop(right[rkey])
+
+        elif cmd == "trendline":
+            tm = re.match(
+                r"^sma\s*\(\s*(\d+)\s*,\s*([^)]+)\)(?:\s+as\s+(\w+))?$",
+                rest, re.IGNORECASE,
+            )
+            if not tm:
+                raise PPLError("trendline expects: sma(N, field) [as alias]")
+            n, field = int(tm.group(1)), tm.group(2).strip()
+            out = tm.group(3) or f"{field}_trendline"
+            if not sort_state:
+                raise PPLError(
+                    "trendline requires an explicit preceding sort — a "
+                    "moving average over undefined order is meaningless"
+                )
+            # an ordered moving window is inherently a global sequence;
+            # pair with head/where to bound it (the public command also
+            # runs on the sorted result set)
+            w = (
+                Window.orderBy(*[
+                    (F.col(k).asc() if asc else F.col(k).desc())
+                    for k, asc in sort_state
+                ]).rowsBetween(-(n - 1), 0)
+            )
+            sma = F.avg(F.col(field)).over(w)
+            df = df.withColumn(
+                out,
+                F.when(
+                    F.count(F.lit(1)).over(w) >= n, sma
+                ),  # public sma is null until the window fills
+            )
+
+        else:
+            raise PPLError(f"unsupported PPL command {cmd!r}")
+
+    return df

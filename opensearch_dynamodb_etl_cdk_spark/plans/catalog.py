@@ -1559,3 +1559,4 @@ from . import catalog_analytics  # noqa: E402,F401
 from . import catalog_tpch  # noqa: E402,F401
 from . import catalog_pipeline  # noqa: E402,F401
 from . import catalog_dsl_tail  # noqa: E402,F401
+from . import catalog_ppl  # noqa: E402,F401

@@ -1,0 +1,203 @@
+"""PPL (Piped Processing Language) catalog: each entry is a literal PPL
+pipeline string compiled by the REAL compiler
+(:mod:`..operators.ppl`) paired with a hand-written DuckDB oracle —
+the driver's compare exercises the exact surface a reference-stack
+user types into the OpenSearch SQL/PPL plugin.
+
+Cross-engine rules honored: identical output aliases both sides,
+decimal-sum accumulate for sum/avg (partition-order independent),
+unique-key tie-breaks on every head/LIMIT, UTC day-floor spans mirrored
+with ``date_trunc('day', ...)``.
+"""
+
+from __future__ import annotations
+
+from ..operators.ppl import ppl_query
+from .catalog import register, _t
+
+
+def _run(spark, sf_dir: str, query: str, *tables: str):
+    loaded = _t(spark, sf_dir, *tables)
+    return ppl_query(query, lambda n: loaded[n])
+
+
+@register(
+    "ppl_where_sort_head",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_returnflag = 'A'
+    ORDER BY l_quantity DESC, l_orderkey, l_linenumber
+    LIMIT 50
+    """,
+    doc="PPL search/where/fields/sort/head pipeline: the filter stages "
+    "reach the parquet scan as pushed filters, the fields stage prunes "
+    "ReadSchema, sort+head fuses to TakeOrdered (no global sort).",
+    tags=("ppl",),
+)
+def ppl_where_sort_head(spark, sf_dir):
+    return _run(
+        spark, sf_dir,
+        "search source=lineitem l_quantity > 45 "
+        "| where l_returnflag = 'A' "
+        "| fields l_orderkey, l_linenumber, l_quantity "
+        "| sort -l_quantity, l_orderkey, l_linenumber | head 50",
+        "lineitem",
+    )
+
+
+@register(
+    "ppl_stats_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(o_totalprice) AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="PPL stats..by: count/sum/avg per group — one partial/final "
+    "hash-aggregate shuffle, exact decimal accumulate (bit-identical "
+    "to the oracle's same-cast SQL regardless of partition order).",
+    tags=("ppl", "agg"),
+)
+def ppl_stats_by_priority(spark, sf_dir):
+    return _run(
+        spark, sf_dir,
+        "source=orders | stats count() as cnt, sum(o_totalprice) as total, "
+        "avg(o_totalprice) as avg_price by o_orderpriority",
+        "orders",
+    )
+
+
+@register(
+    "ppl_span_daily",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_span,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+    FROM events GROUP BY 1
+    """,
+    doc="PPL stats by span(ts, 1d): UTC epoch-floor day buckets in "
+    "codegen (no UDF) — the PPL twin of date_histogram.",
+    tags=("ppl", "agg", "time"),
+)
+def ppl_span_daily(spark, sf_dir):
+    return _run(
+        spark, sf_dir,
+        "source=events | stats count() as cnt, sum(value) as total "
+        "by span(ts, 1d)",
+        "events",
+    )
+
+
+@register(
+    "ppl_eventstats_above_mean",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderpriority, o_totalprice,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                  OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+               / COUNT(o_totalprice) OVER (PARTITION BY o_orderpriority)
+               AS mean_price
+      FROM orders)
+    SELECT o_orderpriority, COUNT(*) AS cnt
+    FROM w WHERE o_totalprice > mean_price
+    GROUP BY o_orderpriority
+    """,
+    doc="PPL eventstats: per-group mean appended WITHOUT collapsing "
+    "(window aggregate), then filtered and re-aggregated — the "
+    "standard above-group-average pipeline in one pass over the scan.",
+    tags=("ppl", "agg", "window"),
+)
+def ppl_eventstats_above_mean(spark, sf_dir):
+    return _run(
+        spark, sf_dir,
+        "source=orders "
+        "| eventstats avg(o_totalprice) as mean_price by o_orderpriority "
+        "| where o_totalprice > mean_price "
+        "| stats count() as cnt by o_orderpriority",
+        "orders",
+    )
+
+
+@register(
+    "ppl_dedup_latest_event",
+    oracle="""
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+    doc="PPL sort + dedup: latest event per user — dedup keeps the "
+    "first row per key under the pipeline's current sort order "
+    "(row_number window, partition-parallel; ties broken by event_id "
+    "so the answer is deterministic).",
+    tags=("ppl", "window"),
+)
+def ppl_dedup_latest_event(spark, sf_dir):
+    return _run(
+        spark, sf_dir,
+        "source=events | sort -ts, event_id | dedup user_id "
+        "| fields user_id, event_id, event_type",
+        "events",
+    )
+
+
+@register(
+    "ppl_top_event_types",
+    oracle="""
+    SELECT event_type, COUNT(*) AS count FROM events
+    GROUP BY event_type ORDER BY count DESC, event_type LIMIT 3
+    """,
+    doc="PPL top N field: most common values — groupBy count + "
+    "TakeOrdered with a value-ascending tie-break.",
+    tags=("ppl", "agg"),
+)
+def ppl_top_event_types(spark, sf_dir):
+    return _run(spark, sf_dir, "source=events | top 3 event_type", "events")
+
+
+@register(
+    "ppl_parse_props",
+    oracle="""
+    SELECT regexp_extract(props, '"k": ([0-9]+)', 1) AS kval,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1 HAVING COUNT(*) >= 100 ORDER BY kval
+    """,
+    doc="PPL parse: named-group regex extraction ((?<kval>...) → "
+    "regexp_extract by group index, codegen) feeding a stats stage.",
+    tags=("ppl", "text"),
+)
+def ppl_parse_props(spark, sf_dir):
+    return _run(
+        spark, sf_dir,
+        'source=events | parse props \'"k": (?<kval>[0-9]+)\' '
+        "| stats count() as cnt by kval | where cnt >= 100 | sort kval",
+        "events",
+    )
+
+
+@register(
+    "ppl_lookup_nation",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS cnt,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS bal
+    FROM customer c LEFT JOIN nation n
+      ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="PPL lookup: dimension enrich via BROADCAST left join (the "
+    "customer side never shuffles for the join; only the final "
+    "25-group aggregate exchanges).",
+    tags=("ppl", "join"),
+)
+def ppl_lookup_nation(spark, sf_dir):
+    return _run(
+        spark, sf_dir,
+        "source=customer | lookup nation n_nationkey as c_nationkey "
+        "| stats count() as cnt, sum(c_acctbal) as bal by n_name",
+        "customer", "nation",
+    )

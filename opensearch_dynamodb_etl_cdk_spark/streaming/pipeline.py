@@ -770,6 +770,22 @@ class FlightsEtlPipeline:
             return {"hits": None, "aggregations": {}}
         return execute_search(view, body or {})
 
+    def ppl(self, query: str) -> DataFrame:
+        """``POST /_plugins/_ppl`` analog: run a PPL pipeline whose
+        ``source=`` names resolve to live index views (aliases and
+        index patterns per :meth:`multi_index_view`). The result stays
+        a distributed frame; ``where`` stages push into each route's
+        scan exactly as DSL queries do."""
+        from ..operators.ppl import ppl_query
+
+        def resolve(name: str) -> DataFrame:
+            view = self.multi_index_view(name)
+            if view is None:
+                raise ValueError(f"ppl: index {name!r} is not materialized")
+            return view
+
+        return ppl_query(query, resolve)
+
     def msearch(self, requests: list[tuple[str, dict]]) -> list[dict]:
         """``_msearch`` analog: a batch of (index-pattern, body) pairs →
         one response per request, in order. Each response's hits frame

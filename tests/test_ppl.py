@@ -1,0 +1,238 @@
+"""PPL compiler tests: every command recomputed with plain DataFrame
+ops or hand-computed closed forms over a small in-memory frame
+(SURVEY §5 strategy). The sf-backed catalog entries carry the DuckDB
+oracles; these tests pin the per-command semantics and the error
+surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_dynamodb_etl_cdk_spark.operators.ppl import PPLError, ppl_query
+from opensearch_dynamodb_etl_cdk_spark.sources.fixture_gen import gen_corpus
+from opensearch_dynamodb_etl_cdk_spark.streaming.pipeline import (
+    FlightsEtlPipeline,
+    PipelineConfig,
+)
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    sales = spark.createDataFrame(
+        [
+            (1, "a", "red", 10.0, "2024-01-01 00:10:00"),
+            (2, "a", "blue", 20.0, "2024-01-01 10:00:00"),
+            (3, "b", "red", 30.0, "2024-01-02 00:00:00"),
+            (4, "b", "red", 5.0, "2024-01-02 12:00:00"),
+            (5, "c", None, 40.0, "2024-01-03 00:00:00"),
+            (6, "a", "blue", 15.0, "2024-01-03 08:00:00"),
+        ],
+        "id long, grp string, color string, amount double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).cache()
+    dims = spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta")], "grp string, label string"
+    )
+    logs = spark.createDataFrame(
+        [(1, "GET /api/a 200"), (2, "POST /api/b 500"), (3, "bad line")],
+        "id long, msg string",
+    )
+    sales.count()
+    return {"sales": sales, "dims": dims, "logs": logs}
+
+
+@pytest.fixture(scope="module")
+def run(tables):
+    def _run(q):
+        return ppl_query(q, lambda n: tables[n])
+    return _run
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_search_where_fields_sort_head(run, tables):
+    out = run("search source=sales amount > 5 | where color = 'red' "
+              "| fields id, amount | sort -amount | head 2")
+    assert rows(out) == [(3, 30.0), (1, 10.0)]
+    # bare `source=` and +prefix sort
+    out = run("source=sales | fields id | sort +id | head 3")
+    assert rows(out) == [(1,), (2,), (3,)]
+
+
+def test_fields_exclude_and_eval(run):
+    out = run("source=sales | eval doubled = amount * 2, tag = upper(grp) "
+              "| fields - ts, color | sort id | head 1")
+    r = out.collect()[0]
+    assert r["doubled"] == 20.0 and r["tag"] == "A"
+    assert "ts" not in out.columns and "color" not in out.columns
+
+
+def test_stats_by_exact(run, tables):
+    out = run("source=sales | stats count() as cnt, sum(amount) as total, "
+              "avg(amount) as mean by grp | sort grp")
+    assert rows(out) == [
+        ("a", 3, 45.0, 15.0), ("b", 2, 35.0, 17.5), ("c", 1, 40.0, 40.0),
+    ]
+    # global stats (no by)
+    out = run("source=sales | stats min(amount) as lo, max(amount) as hi, "
+              "dc(color) as colors")
+    assert rows(out) == [(5.0, 40.0, 2)]
+
+
+def test_stats_variance_and_percentile(run):
+    out = run("source=sales | stats var_pop(amount) as vp, "
+              "stddev_samp(amount) as sd, percentile(amount, 50) as p50")
+    vals = [10.0, 20.0, 30.0, 5.0, 40.0, 15.0]
+    n = len(vals)
+    mean = sum(vals) / n
+    vp = sum((v - mean) ** 2 for v in vals) / n
+    sd = (sum((v - mean) ** 2 for v in vals) / (n - 1)) ** 0.5
+    r = out.collect()[0]
+    assert abs(r["vp"] - vp) < 1e-9
+    assert abs(r["sd"] - sd) < 1e-9
+    assert r["p50"] == 17.5
+
+
+def test_stats_span_buckets(run):
+    out = run("source=sales | stats sum(amount) as total by span(ts, 1d) "
+              "| sort ts_span")
+    got = [(str(r["ts_span"]), r["total"]) for r in out.collect()]
+    assert got == [
+        ("2024-01-01 00:00:00", 30.0),
+        ("2024-01-02 00:00:00", 35.0),
+        ("2024-01-03 00:00:00", 55.0),
+    ]
+    # numeric span
+    out = run("source=sales | stats count() as c by span(amount, 20) "
+              "| sort amount_span")
+    assert rows(out) == [(0.0, 3), (20.0, 2), (40.0, 1)]
+
+
+def test_eventstats_appends_without_collapsing(run, tables):
+    out = run("source=sales | eventstats avg(amount) as grp_mean by grp "
+              "| where amount > grp_mean | sort id")
+    # group means: a=15, b=17.5, c=40 → above-mean rows: id2 (20>15), id3
+    assert [r["id"] for r in out.collect()] == [2, 3]
+    assert out.count() == 2
+
+
+def test_dedup_respects_sort_order(run):
+    out = run("source=sales | sort -amount | dedup grp | sort grp")
+    # highest-amount row per grp
+    assert [(r["grp"], r["amount"]) for r in out.collect()] == [
+        ("a", 20.0), ("b", 30.0), ("c", 40.0)]
+    # dedup N keeps up to N per key; unsorted falls back to
+    # deterministic whole-row order
+    out = run("source=sales | dedup 2 grp")
+    assert out.count() == 5  # 2+2+1
+    assert rows(out) == rows(run("source=sales | dedup 2 grp"))
+
+
+def test_top_and_rare(run):
+    out = run("source=sales | top 1 color")
+    assert rows(out) == [("red", 3)]
+    out = run("source=sales | rare 1 color")
+    # null group excluded? public top/rare count null as a group; ours
+    # keeps whatever groupBy yields — nulls group together
+    first = out.collect()[0]
+    assert first["count"] == 1
+    out = run("source=sales | top 1 color by grp | sort grp")
+    got = [(r["grp"], r["color"], r["count"]) for r in out.collect()]
+    assert got == [("a", "blue", 2), ("b", "red", 2), ("c", None, 1)]
+
+
+def test_parse_named_groups(run):
+    out = run(r"source=logs | parse msg '(?<verb>[A-Z]+) (?<path>\S+) "
+              r"(?<status>\d+)' | where status != '' | sort id "
+              r"| fields verb, path, status")
+    assert rows(out) == [("GET", "/api/a", "200"), ("POST", "/api/b", "500")]
+
+
+def test_fillnull_and_rename(run):
+    out = run("source=sales | fillnull with 'none' in color "
+              "| rename color as colour | sort id | fields colour")
+    assert [r["colour"] for r in out.collect()][4] == "none"
+
+
+def test_lookup_broadcast_enrich(run):
+    out = run("source=sales | lookup dims grp | sort id | fields id, label")
+    got = [r["label"] for r in out.collect()]
+    assert got == ["alpha", "alpha", "beta", "beta", None, "alpha"]
+
+
+def test_trendline_sma(run):
+    out = run("source=sales | sort id | trendline sma(2, amount) as sma2 "
+              "| fields id, sma2")
+    got = [r["sma2"] for r in out.collect()]
+    assert got[0] is None  # window not filled yet
+    assert got[1:] == [15.0, 25.0, 17.5, 22.5, 27.5]
+    with pytest.raises(PPLError):
+        run("source=sales | trendline sma(2, amount)")  # no sort
+
+
+def test_multi_source_union(run, tables):
+    out = run("source=sales,sales | stats count() as c")
+    assert rows(out) == [(12,)]
+
+
+def test_error_surface(run):
+    with pytest.raises(PPLError):
+        run("from sales")  # must start with source=
+    with pytest.raises(PPLError):
+        run("source=sales | frobnicate x")
+    with pytest.raises(PPLError):
+        run("source=sales | stats amount")  # not an aggregate call
+    with pytest.raises(PPLError):
+        run("source=sales | stats sum(amount) by span(ts)")  # bad span
+    # script-sandbox: JVM escape hatches blocked in expressions
+    with pytest.raises(PermissionError):
+        run("source=sales | where reflect('java.lang.System', 'exit') = 0")
+
+
+def test_by_keyword_only_at_top_level(run):
+    # `by` inside a quoted string must not split the stats clause
+    out = run("source=logs | where msg != 'stand by me' "
+              "| stats count() as c")
+    assert rows(out) == [(3,)]
+
+
+@pytest.fixture(scope="module")
+def booted(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ppl_pipe")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+    return p
+
+
+def test_pipeline_ppl_entrypoint(booted):
+    """The _plugins/_ppl analog resolves index names to live views."""
+    out = booted.ppl("source=fare | stats count() as n by pk | sort pk")
+    assert out.count() >= 1
+    direct = booted.multi_index_view("fare").groupBy("pk").count().count()
+    assert out.count() == direct
+    with pytest.raises(ValueError):
+        booted.ppl("source=missing_index | head 1")
+
+
+def test_ppl_plan_pushdown(spark, sf_dir):
+    """where/fields stages reach the scan: pushed filter, pruned
+    ReadSchema, TakeOrdered fusion for sort+head."""
+    from opensearch_dynamodb_etl_cdk_spark.plans.catalog import CATALOG
+
+    df = CATALOG["ppl_where_sort_head"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThan(l_quantity,45" in plan
+    assert "TakeOrderedAndProject" in plan
+    import re as _re
+
+    rs = _re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    read_cols = {c.split(":")[0] for c in rs.split(",")}
+    assert read_cols == {"l_orderkey", "l_linenumber", "l_quantity",
+                         "l_returnflag"}
