@@ -1,0 +1,258 @@
+"""Distributed BPE tokenizer training and encoding.
+
+A training-data pipeline doesn't just *count* tokens — at some point it
+*learns* the tokenizer from the corpus. Classic BPE (Sennrich et al.
+2016, "Neural Machine Translation of Rare Words with Subword Units")
+trains on the word-frequency table, not the raw corpus, and that is
+what makes it distributable:
+
+1. ONE corpus pass builds ``(word, count)`` — explode the BPE-ish
+   pre-tokens (same public GPT-2-style pre-tokenizer regex as
+   ``functions.text``) and hash-aggregate. At 100 TB the corpus is
+   huge but the DISTINCT pre-token vocabulary is bounded (tens of
+   millions of rows — kilobytes per executor partition), so every
+   subsequent merge iteration touches only this small table and the
+   raw corpus is never re-read.
+2. Each merge iteration is two narrow distributed steps over the word
+   table: (a) adjacent-pair counts weighted by word frequency — a
+   lambda-transform explode + hash agg on 2-symbol keys; (b) the
+   argmax pair (ONE row to the driver, deterministic count-then-lex
+   tiebreak) folded back in as a leftmost-greedy adjacent merge via
+   ``F.aggregate`` — pure codegen, no Python per row.
+3. ``localCheckpoint`` truncates lineage each round (the same pattern
+   as ``operators.graph``), so plan depth stays O(1) across hundreds
+   of merges.
+
+Encoding applies the learned merge ranks with the standard
+lowest-rank-first algorithm — a per-batch Arrow pandas path
+(``mapInPandas``) with an LRU word cache, because a rank-priority loop
+is data-dependent control flow the Column algebra can't express; the
+per-word cache makes it O(distinct words) per batch, not O(tokens).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import bpe_ish_tokens
+
+__all__ = ["word_counts", "train_bpe", "bpe_encode", "reference_bpe_merges"]
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One corpus pass → the ``(word, count)`` table BPE trains on."""
+    return (
+        df.select(F.explode(bpe_ish_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+# Python twin of functions.text.BPE_ISH_RE (Java \p{L}/\p{N} classes →
+# the stdlib-re equivalents): letters = [^\W\d_], digits = \d, "other"
+# = neither whitespace nor letter nor digit (underscore included).
+# Identical tokenization on the BMP text the tests and corpora use.
+_PY_PRE_RE = re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+"
+)
+
+
+def _merge_fold(syms: Column, a: str, b: str) -> Column:
+    """Leftmost-greedy merge of adjacent (a, b) → 'ab' in one fold.
+
+    The fold appends each symbol unless the accumulator's last element
+    is ``a`` and the current is ``b`` — then the last element becomes
+    the merged symbol. Greedy-left by construction: 'aaa' under (a,a)
+    → ['aa','a'], matching the reference algorithm.
+    """
+    merged = F.lit(a + b)
+    la, lb = F.lit(a), F.lit(b)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (x == lb),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 100,
+    min_pair_count: int = 2,
+) -> list[dict]:
+    """Learn ``num_merges`` BPE merges from the corpus.
+
+    Returns the ordered merge table: ``[{"rank", "left", "right",
+    "merged", "pair_count"}, ...]`` — deterministic for a given corpus
+    (ties broken by pair lexicographic order, matching
+    :func:`reference_bpe_merges`). Stops early when no pair reaches
+    ``min_pair_count``.
+    """
+    words = word_counts(df, text_col).withColumn(
+        "syms", F.split(F.col("word"), "")
+    ).select("syms", "count")
+    words = words.localCheckpoint(eager=True)
+
+    merges: list[dict] = []
+    for rank in range(num_merges):
+        pair_struct = F.expr(
+            "zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)), "
+            "slice(syms, 2, greatest(size(syms) - 1, 0)), "
+            "(x, y) -> struct(x AS a, y AS b))"
+        )
+        top = (
+            words.select(F.col("count"), F.explode(pair_struct).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("count").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_pair_count:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append(
+            {"rank": rank, "left": a, "right": b, "merged": a + b,
+             "pair_count": n}
+        )
+        has_pair = F.exists(
+            F.expr(
+                "zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)), "
+                "slice(syms, 2, greatest(size(syms) - 1, 0)), "
+                "(x, y) -> struct(x AS a, y AS b))"
+            ),
+            lambda p: (p["a"] == F.lit(a)) & (p["b"] == F.lit(b)),
+        )
+        nxt = words.withColumn(
+            "syms",
+            F.when(has_pair, _merge_fold(F.col("syms"), a, b))
+            .otherwise(F.col("syms")),
+        )
+        # truncate lineage every round: plan depth stays O(1) and each
+        # iteration's pair count reads materialized blocks, not a
+        # re-derivation from the corpus
+        nxt = nxt.localCheckpoint(eager=True)
+        words.unpersist()
+        words = nxt
+    words.unpersist()
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize with learned merges: pre-tokenize, then apply merges
+    lowest-rank-first per word (the standard BPE encode loop).
+
+    Arrow-batched ``mapInPandas`` with a per-batch word cache — rank
+    priority is data-dependent control flow, the one place Python is
+    the right tool; the cache bounds work by DISTINCT words per batch.
+    The merge table is tiny (``num_merges`` rows) and ships via task
+    closure (broadcast-equivalent at this size)."""
+    ranks = {(m["left"], m["right"]): m["rank"] for m in merges}
+    pre = _PY_PRE_RE
+
+    out_fields = df.schema.fields + [
+        T.StructField(out_col, T.ArrayType(T.StringType()))
+    ]
+    out_schema = T.StructType(out_fields)
+    in_cols = [f.name for f in df.schema.fields]
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        syms = list(word)
+        while len(syms) > 1:
+            best, best_rank = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            pair = (syms[best], syms[best + 1])
+            # merge ALL adjacent occurrences of the chosen pair,
+            # leftmost-first (reference behavior)
+            out, i = [], 0
+            while i < len(syms):
+                if (i < len(syms) - 1
+                        and (syms[i], syms[i + 1]) == pair):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[word] = syms
+        return syms
+
+    def run(batches: Iterator) -> Iterator:
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            toks = [
+                [t for w in pre.findall(s or "")
+                 for t in encode_word(w, cache)]
+                for s in pdf[text_col]
+            ]
+            pdf = pdf[in_cols].copy()
+            pdf[out_col] = toks
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def reference_bpe_merges(
+    texts: list[str], num_merges: int, min_pair_count: int = 2
+) -> list[dict]:
+    """Pure-Python reference BPE (test oracle): same pre-tokenizer,
+    same greedy-left merge, same count-then-lex tiebreak."""
+    pre = _PY_PRE_RE
+    counts: dict[tuple, int] = {}
+    for s in texts:
+        for w in pre.findall(s or ""):
+            k = tuple(w)
+            counts[k] = counts.get(k, 0) + 1
+    merges = []
+    for rank in range(num_merges):
+        pairs: dict[tuple, int] = {}
+        for syms, c in counts.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        if n < min_pair_count:
+            break
+        merges.append({"rank": rank, "left": a, "right": b,
+                       "merged": a + b, "pair_count": n})
+        nxt: dict[tuple, int] = {}
+        for syms, c in counts.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k = tuple(out)
+            nxt[k] = nxt.get(k, 0) + c
+        counts = nxt
+    return merges

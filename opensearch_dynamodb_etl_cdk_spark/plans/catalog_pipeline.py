@@ -234,3 +234,52 @@ def lm_quality_scores(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")["documents"]
     model = d.filter(F.col("doc_id") % 2 == 0)
     return bigram_logprob_scores(d, model)
+
+
+@register(
+    "bpe_word_counts",
+    oracle=r"""
+    SELECT word, COUNT(*) AS count FROM (
+      SELECT unnest(regexp_extract_all(
+        text,
+        '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'
+      )) AS word FROM documents)
+    GROUP BY word HAVING COUNT(*) >= 50
+    """,
+    doc="BPE training phase 1 (operators/bpe.py::word_counts): the ONE "
+    "corpus pass that every merge iteration then reuses — explode the "
+    "GPT-2-style pre-tokens, hash-aggregate to (word, count). At 100 TB "
+    "the distinct-pretoken table this produces is the bounded structure "
+    "(~10^7 rows) the whole trainer iterates on; the corpus is never "
+    "re-read. Filtered to count>=50 for a stable cross-engine frame.",
+    tags=("pipeline", "text", "bpe"),
+)
+def bpe_word_counts(spark, sf_dir):
+    from ..operators.bpe import word_counts
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return word_counts(d, "text").filter(F.col("count") >= 50)
+
+
+@register(
+    "bpe_train_merges",
+    oracle=None,  # iterative argmax+rewrite has no SQL twin — rows-only;
+    # tests/test_bpe.py proves EXACT equality with a pure-Python
+    # reference implementation (same tiebreak, same greedy-left rewrite)
+    doc="Distributed BPE training (operators/bpe.py::train_bpe): 20 "
+    "merges learned from the documents corpus. Each iteration = one "
+    "2-symbol-key pair-count aggregate over the bounded word table + a "
+    "1-row argmax collect + a codegen fold rewrite; localCheckpoint "
+    "keeps plan depth O(1). Deterministic count-then-lex tiebreak.",
+    tags=("pipeline", "text", "bpe"),
+)
+def bpe_train_merges(spark, sf_dir):
+    from ..operators.bpe import train_bpe
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    merges = train_bpe(d, "text", num_merges=20)
+    return spark.createDataFrame(
+        [(m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
+         for m in merges],
+        "rank int, left string, right string, merged string, pair_count long",
+    )

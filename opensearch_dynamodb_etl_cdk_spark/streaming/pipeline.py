@@ -770,6 +770,41 @@ class FlightsEtlPipeline:
             return {"hits": None, "aggregations": {}}
         return execute_search(view, body or {})
 
+    def sql(self, query: str) -> DataFrame:
+        """``POST /_plugins/_sql`` analog: read-only SQL over the live
+        indexes. Every materialized route registers as a temp view under
+        its index name (plus current aliases), then the statement runs
+        through Spark SQL — the engine's dialect is Spark's ANSI-ish
+        SQL, a superset of the plugin's. Only ``SELECT``/``WITH`` heads
+        are accepted (the public plugin is read-only too) and the
+        script sandbox applies: JVM/UDF escape hatches
+        (``reflect``/``java_method``/...) are rejected exactly as on
+        the Painless surfaces."""
+        import re as _re
+
+        from ..functions.scripts import validate_script
+
+        q = query.strip().rstrip(";")
+        head = _re.split(r"\s", q, 1)[0].lower()
+        if head not in ("select", "with"):
+            raise ValueError(
+                f"sql: only SELECT statements are supported, got {head!r}"
+            )
+        validate_script(q)
+        registered = False
+        for route in self.cfg.routes:
+            view = self.index_view(route)
+            if view is not None:
+                view.createOrReplaceTempView(route)
+                registered = True
+        for alias, pattern in self.get_aliases().items():
+            view = self.multi_index_view(pattern)
+            if view is not None:
+                view.createOrReplaceTempView(alias)
+        if not registered:
+            raise ValueError("sql: no index is materialized (bootstrap first)")
+        return self.spark.sql(q)
+
     def ppl(self, query: str) -> DataFrame:
         """``POST /_plugins/_ppl`` analog: run a PPL pipeline whose
         ``source=`` names resolve to live index views (aliases and

@@ -354,3 +354,36 @@ def test_rank_eval_deterministic_without_sort(booted):
     out2 = rank_eval(view, req, {"precision": {"k": 3}})
     assert out1["details"]["q"]["hits"] == ids[:3]
     assert out1 == out2
+
+
+def test_sql_plugin_analog(booted):
+    """_plugins/_sql: routes (and aliases) become SQL tables; read-only
+    with the script sandbox enforced."""
+    out = booted.sql(
+        "SELECT pk, COUNT(*) AS n FROM fare GROUP BY pk ORDER BY pk"
+    )
+    direct = booted.index_view("fare").groupBy("pk").count()
+    assert out.count() == direct.count()
+    got = {(r["pk"], r["n"]) for r in out.collect()}
+    want = {(r["pk"], r["count"]) for r in direct.collect()}
+    assert got == want
+    # joins across indexes work (it is ordinary Spark SQL underneath)
+    both = booted.sql(
+        "SELECT f.pk FROM fare f JOIN flight g ON f.pk = g.pk LIMIT 5"
+    )
+    assert both.count() >= 0
+    # alias names resolve as tables
+    booted.put_alias("fares_sql", "fare")
+    try:
+        assert booted.sql("SELECT COUNT(*) AS c FROM fares_sql").collect()[
+            0]["c"] == booted.index_view("fare").count()
+    finally:
+        booted.delete_alias("fares_sql")
+    # read-only: DML/DDL heads rejected
+    with pytest.raises(ValueError):
+        booted.sql("DROP TABLE fare")
+    with pytest.raises(ValueError):
+        booted.sql("INSERT INTO fare VALUES (1)")
+    # script sandbox applies to SQL text
+    with pytest.raises(PermissionError):
+        booted.sql("SELECT reflect('java.lang.System', 'getenv') FROM fare")
