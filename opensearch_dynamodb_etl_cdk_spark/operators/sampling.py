@@ -291,3 +291,53 @@ def mixture_upsample(
         copies >= 1, F.sequence(F.lit(1), copies)
     ).otherwise(F.array().cast("array<int>"))
     return df.withColumn("_epoch", F.explode(epochs))
+
+
+def temperature_resample(
+    df: DataFrame,
+    mix_col: str = "lang",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Temperature-based mixture smoothing: downsample so group shares
+    realize ``p_i ∝ n_i^alpha`` (the standard multilingual-corpus
+    exponent rule; ``alpha=1`` keeps the natural mixture, ``alpha→0``
+    approaches uniform by downsampling the head).
+
+    The target normalization cancels out of the thresholds: each
+    group's keep-rate is exactly ``(n_min / n_i)^(1-alpha)`` — the
+    SMALLEST group survives in full and larger groups shrink by the
+    power rule, which is the most data anyone can keep while hitting
+    the target proportions. Same shape as :func:`mixture_resample`:
+    one tiny count aggregate, per-group thresholds broadcast back, the
+    corpus itself never shuffles, membership stays the engine-portable
+    md5-bucket filter.
+
+    ``alpha=0.5`` routes through ``sqrt`` (IEEE correctly-rounded in
+    both the JVM and C libm, so FLOOR boundaries match a DuckDB oracle
+    bit-for-bit); other exponents use ``pow`` (within 1 ulp — fine in
+    practice, noted for oracle authors).
+    """
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(mix_col).agg(F.count(F.lit(1)).alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    ratio = F.col("__nmin").cast("double") / F.col("__n").cast("double")
+    exponent = 1.0 - alpha
+    factor = (
+        F.sqrt(ratio) if abs(exponent - 0.5) < 1e-12
+        else F.pow(ratio, F.lit(exponent))
+    )
+    thresholds = (
+        counts.crossJoin(F.broadcast(nmin))
+        .select(
+            mix_col,
+            F.floor(factor * F.lit(resolution)).alias("__thr"),
+        )
+    )
+    return (
+        df.join(F.broadcast(thresholds), mix_col)
+        .filter(hash_bucket(F.col(id_col), resolution) < F.col("__thr"))
+        .drop("__thr")
+    )

@@ -283,3 +283,35 @@ def bpe_train_merges(spark, sf_dir):
          for m in merges],
         "rank int, left string, right string, merged string, pair_count long",
     )
+
+
+@register(
+    "temperature_mixture_counts",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n) AS nmin FROM c),
+    t AS (SELECT lang,
+                 FLOOR(sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE))
+                       * 10000) AS thr
+          FROM c, m),
+    kept AS (
+      SELECT d.lang FROM documents d JOIN t USING (lang)
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 10000 < thr)
+    SELECT lang, COUNT(*) AS n_kept FROM kept GROUP BY lang
+    """,
+    doc="Temperature mixture smoothing (operators/sampling.py::"
+    "temperature_resample, alpha=0.5): per-language keep-rate "
+    "(n_min/n_i)^0.5 realizes p_i ∝ sqrt(n_i) — the smallest language "
+    "kept in full, the head downsampled by the power rule. Thresholds "
+    "from one tiny aggregate broadcast back; sqrt is IEEE "
+    "correctly-rounded on both engines so the FLOOR boundary matches "
+    "bit-for-bit.",
+    tags=("pipeline", "sampling"),
+)
+def temperature_mixture_counts(spark, sf_dir):
+    from ..operators.sampling import temperature_resample
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    kept = temperature_resample(d, mix_col="lang", alpha=0.5)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))

@@ -374,3 +374,44 @@ def test_bigram_lm_stupid_backoff_arithmetic(spark):
     assert out[4] == (1, round(math.log2(0.4 * 0.5 / 4), 6))  # unknown word
     # doc 1 scores itself: mean of log2 P(b|a)=0, log2 P(a|b)=0, 0 → 0
     assert out[1] == (3, 0.0)
+
+
+def test_temperature_resample_alpha_half(spark, sf_dir):
+    """alpha=0.5: keep-rate (n_min/n_i)^0.5 — the smallest group kept
+    ~in full, larger groups shrunk toward uniform; realized shares
+    within md5-bucket quantization of the closed form."""
+    from opensearch_dynamodb_etl_cdk_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    before = {r["lang"]: r["count"] for r in
+              d.groupBy("lang").count().collect()}
+    kept = temperature_resample(d, mix_col="lang", alpha=0.5)
+    after = {r["lang"]: r["count"] for r in
+             kept.groupBy("lang").count().collect()}
+    nmin = min(before.values())
+    for lang, n in before.items():
+        expect = (nmin / n) ** 0.5
+        got = after.get(lang, 0) / n
+        assert abs(got - expect) < 0.05, (lang, got, expect)
+    # smallest group's keep-rate is the maximum (threshold 10000 = all)
+    smallest = min(before, key=before.get)
+    assert after[smallest] == before[smallest]
+    # deterministic: same rows both runs
+    again = temperature_resample(d, mix_col="lang", alpha=0.5)
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) \
+        == sorted(r["doc_id"] for r in again.select("doc_id").collect())
+
+
+def test_temperature_resample_alpha_one_keeps_everything(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = temperature_resample(d, mix_col="lang", alpha=1.0)
+    # (n_min/n)^0 = 1 → threshold == resolution → every row kept
+    assert kept.count() == d.count()
+    with pytest.raises(ValueError):
+        temperature_resample(d, alpha=1.5)
