@@ -902,6 +902,62 @@ class FlightsEtlPipeline:
             getattr(self, "_scrolls", {}).pop(scroll_id, None) is not None
         )
 
+    def terms_enum(
+        self,
+        pattern: str,
+        field: str,
+        prefix: str = "",
+        size: int = 10,
+        case_insensitive: bool = False,
+        search_after: str | None = None,
+    ) -> list[str]:
+        """``POST /<pattern>/_terms_enum`` analog: up to ``size``
+        DISTINCT values of ``field`` starting with ``prefix``, sorted
+        ascending — the autocomplete primitive. One pushed
+        prefix-filter scan → distinct → TakeOrdered; with
+        ``search_after`` the keyset predicate also pushes, so paging
+        never rescans delivered terms."""
+        view = self.multi_index_view(pattern)
+        if view is None:
+            return []
+        col = F.col(field).cast("string")
+        if case_insensitive:
+            cond = F.lower(col).startswith(prefix.lower())
+        else:
+            cond = col.startswith(prefix)
+        terms = view.filter(col.isNotNull() & cond)
+        if search_after is not None:
+            terms = terms.filter(col > F.lit(search_after))
+        out = (
+            terms.select(col.alias("term")).distinct()
+            .orderBy(F.col("term").asc()).limit(int(size))
+        )
+        return [r["term"] for r in out.collect()]
+
+    def validate_query(self, pattern: str, body: dict) -> dict:
+        """``GET /<pattern>/_validate/query`` analog: compile the query
+        against the live mapping WITHOUT executing it. Invalid bodies
+        (unknown query kinds, missing fields, blocked script functions,
+        malformed options) report ``valid: False`` with the
+        explanation instead of raising — the public API's contract."""
+        from ..operators.search import compile_query
+
+        view = self.multi_index_view(pattern)
+        if view is None:
+            return {"valid": False,
+                    "error": f"no such index pattern {pattern!r}"}
+        try:
+            pred = compile_query(body.get("query", {"match_all": {}}))
+            # analysis-time check: resolve columns/types against the
+            # schema (no job runs — .filter only builds the plan, and
+            # the explain string forces analysis)
+            view.filter(pred.cast("boolean"))._jdf.queryExecution() \
+                .analyzed()
+            return {"valid": True, "error": None}
+        except Exception as e:  # noqa: BLE001 — the API maps ALL
+            # compile/analysis failures to a structured response
+            return {"valid": False, "error": str(e)[:500]}
+
     def field_caps(self, pattern: str = "*") -> dict:
         """``GET /<pattern>/_field_caps`` analog: per-field capability
         map across the matching indices — type (public mapping names,

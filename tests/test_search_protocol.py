@@ -387,3 +387,38 @@ def test_sql_plugin_analog(booted):
     # script sandbox applies to SQL text
     with pytest.raises(PermissionError):
         booted.sql("SELECT reflect('java.lang.System', 'getenv') FROM fare")
+
+
+def test_terms_enum(booted):
+    """_terms_enum: distinct sorted prefix-matched values with keyset
+    paging."""
+    pks = sorted({r["pk"] for r in
+                  booted.multi_index_view("fare").select("pk").collect()})
+    assert booted.terms_enum("fare", "pk", "", size=100) == pks
+    d_terms = [p for p in pks if p.startswith("D")]
+    assert booted.terms_enum("fare", "pk", "D", size=100) == d_terms
+    assert booted.terms_enum("fare", "pk", "d", size=100,
+                             case_insensitive=True) == d_terms
+    # keyset paging: two pages reassemble the full list, no overlap
+    first = booted.terms_enum("fare", "pk", "", size=2)
+    rest = booted.terms_enum("fare", "pk", "", size=100,
+                             search_after=first[-1])
+    assert first + rest == pks
+    assert booted.terms_enum("missing*", "pk") == []
+
+
+def test_validate_query(booted):
+    ok = booted.validate_query("fare", {"query": {"term": {"pk": "DEN"}}})
+    assert ok == {"valid": True, "error": None}
+    bad = booted.validate_query("fare", {"query": {"nope": {}}})
+    assert bad["valid"] is False and bad["error"]
+    # unknown field fails analysis, not execution
+    bad2 = booted.validate_query(
+        "fare", {"query": {"term": {"no_such_col": 1}}})
+    assert bad2["valid"] is False
+    # blocked script functions surface as invalid, not PermissionError
+    bad3 = booted.validate_query(
+        "fare", {"query": {"script": {"script": "reflect('a','b')"}}})
+    assert bad3["valid"] is False
+    missing = booted.validate_query("missing_index*", {})
+    assert missing["valid"] is False
