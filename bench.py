@@ -91,6 +91,15 @@ HEADLINE = [
     # (session-cached, billed outside the timed region like the other
     # index builds); the timed part is the m-lookup ADC scan + rerank
     "ann_pq_rerank_topk",
+    # round-5 additions: the PPL surface (stats..by aggregate and the
+    # sort+dedup latest-per-key window, both through the REAL pipe
+    # compiler), the BPE trainer's corpus pass (the bounded word table
+    # every merge iteration reuses), and temperature mixture smoothing
+    # (closed-form keep-rates, md5-bucket membership filter)
+    "ppl_stats_by_priority",
+    "ppl_dedup_latest_event",
+    "bpe_word_counts",
+    "temperature_mixture_counts",
 ]
 
 # The driver's fixture parquet ships ONE row group per table (sf0.1

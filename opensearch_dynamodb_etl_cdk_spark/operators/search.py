@@ -2270,6 +2270,128 @@ def _rank_feature_score(body: dict[str, Any]) -> Column:
     return F.lit(boost) * sc
 
 
+def _as_list(v: Any) -> list:
+    if v is None:
+        return []
+    return v if isinstance(v, list) else [v]
+
+
+_JOIN_FIELD_KINDS = ("has_child", "has_parent", "parent_id")
+
+
+def _execute_join_field(
+    df: DataFrame, kind: str, spec: dict[str, Any]
+) -> DataFrame:
+    """``has_child`` / ``has_parent`` / ``parent_id`` over a join-field
+    corpus: ``df`` holds BOTH relation sides (the public join-field
+    model — one index, a type-discriminator column, children carrying
+    the parent key). The spec's ``join_field`` names the engine's
+    mapping: ``{"type_field": "_index", "parent_type": ..., "key":
+    <parent id col>, "child_key": <child FK col, defaults to key>}``.
+
+    Spark-first shape: the relation filter + inner query compile into
+    the matching side's scan (pushed predicates), then ONE left-semi
+    join on the key keeps qualifying docs of the other side — the
+    distributed analog of the public implementation's same-shard
+    parent/child join (colocate via bucketing on the key for the
+    zero-exchange layout). ``min_children``/``max_children`` replace
+    the semi-join's right side with a count-filtered key aggregate.
+    Scores do not propagate (score_mode none — filter context), as with
+    this engine's other join-context queries."""
+    jf = dict(spec.get("join_field") or {})
+    type_col = jf.get("type_field", "_index")
+    key = jf["key"]
+    child_key = jf.get("child_key", key)
+
+    if kind == "parent_id":
+        # pure pushable predicate: children of ONE parent
+        return df.filter(
+            (F.col(type_col) == F.lit(spec["type"]))
+            & (F.col(child_key).cast("string") == F.lit(str(spec["id"])))
+        )
+
+    inner = spec.get("query", {"match_all": {}})
+    if kind == "has_child":
+        child_type, parent_type = spec["type"], jf["parent_type"]
+        children = df.filter(
+            (F.col(type_col) == F.lit(child_type)) & compile_query(inner)
+        )
+        lo = spec.get("min_children")
+        hi = spec.get("max_children")
+        if lo is not None or hi is not None:
+            counts = children.groupBy(
+                F.col(child_key).alias("__jk")
+            ).agg(F.count(F.lit(1)).alias("__nc"))
+            if lo is not None:
+                counts = counts.filter(F.col("__nc") >= int(lo))
+            if hi is not None:
+                counts = counts.filter(F.col("__nc") <= int(hi))
+            right = counts.select("__jk")
+        else:
+            right = children.select(F.col(child_key).alias("__jk"))
+        parents = df.filter(F.col(type_col) == F.lit(parent_type))
+        return parents.join(
+            right, parents[key] == right["__jk"], "left_semi"
+        )
+
+    if kind == "has_parent":
+        parent_type = spec["parent_type"]
+        child_types = jf.get("child_types")
+        parents = df.filter(
+            (F.col(type_col) == F.lit(parent_type)) & compile_query(inner)
+        ).select(F.col(key).alias("__jk"))
+        children = df.filter(
+            F.col(type_col).isin(list(child_types)) if child_types
+            else F.col(type_col) != F.lit(parent_type)
+        )
+        return children.join(
+            parents, children[child_key] == parents["__jk"], "left_semi"
+        )
+
+    raise ValueError(f"unsupported join-field query {kind!r}")
+
+
+def _apply_join_field_queries(
+    df: DataFrame, query: dict[str, Any]
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Pre-pass: join-field queries are FRAME transforms (semi-joins),
+    not Column predicates, so they lift out of the query tree before
+    ``compile_query`` sees it. Supported positions: the top-level query
+    and direct ``bool.must``/``bool.filter`` clauses (where the public
+    semantics are also a pure intersection); elsewhere (should/must_not)
+    raises rather than silently approximating."""
+    if not query or len(query) != 1:
+        return df, query
+    kind = next(iter(query))
+    if kind in _JOIN_FIELD_KINDS:
+        return _execute_join_field(df, kind, query[kind]), {"match_all": {}}
+    if kind != "bool":
+        return df, query
+    body = dict(query["bool"])
+    for clause in ("should", "must_not"):
+        for q in _as_list(body.get(clause)):
+            if len(q) == 1 and next(iter(q)) in _JOIN_FIELD_KINDS:
+                raise ValueError(
+                    f"join-field queries are not supported under "
+                    f"bool.{clause} (no pure-intersection rewrite)"
+                )
+    changed = False
+    for clause in ("must", "filter"):
+        kept = []
+        for q in _as_list(body.get(clause)):
+            if len(q) == 1 and next(iter(q)) in _JOIN_FIELD_KINDS:
+                k = next(iter(q))
+                df = _execute_join_field(df, k, q[k])
+                changed = True
+            else:
+                kept.append(q)
+        if clause in body:
+            body[clause] = kept
+    if not changed:
+        return df, query
+    return df, {"bool": body}
+
+
 def execute_search(
     df: DataFrame,
     body: dict[str, Any],
@@ -2309,6 +2431,7 @@ def execute_search(
                 script = script.get("source", script.get("script"))
             df = df.withColumn(fname, safe_expr(script))
     query = body.get("query", {"match_all": {}})
+    df, query = _apply_join_field_queries(df, query)
     top_kind = next(iter(query)) if len(query) == 1 else None
     is_knn = top_kind == "knn"
     is_fscore = top_kind == "function_score"

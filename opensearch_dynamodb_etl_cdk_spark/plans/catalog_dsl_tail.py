@@ -868,3 +868,84 @@ def ann_ivfpq_rerank_topk(spark, sf_dir):
             e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
     return S.ivfpq_rerank_topk(e, idx, cents, books, qvec, k=10,
                                nprobe=8, pool=50)
+
+
+# ------------------------------------------------- join-field queries
+
+_JF_SPEC = {"type_field": "rel", "parent_type": "order",
+            "key": "jkey", "child_key": "jkey"}
+
+
+def _join_field_corpus(spark, sf_dir):
+    """orders (parents) + lineitem (children) as ONE join-field frame —
+    the public parent/child model: one index, a relation discriminator,
+    children carrying the parent key."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    parents = t["orders"].select(
+        F.col("o_orderkey").alias("jkey"),
+        F.lit("order").alias("rel"),
+        F.col("o_orderpriority"),
+        F.lit(None).cast("double").alias("l_quantity"),
+    )
+    children = t["lineitem"].select(
+        F.col("l_orderkey").alias("jkey"),
+        F.lit("item").alias("rel"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.col("l_quantity"),
+    )
+    return parents.unionByName(children)
+
+
+@register(
+    "has_child_search",
+    oracle="""
+    SELECT o_orderkey AS jkey, o_orderpriority
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_quantity >= 50)
+    """,
+    doc="DSL has_child (operators/search.py::_execute_join_field): "
+    "parents whose children match the inner query — the inner range "
+    "pushes into the child side's scan, then ONE left-semi join on the "
+    "join key (the distributed analog of the public same-shard "
+    "parent/child join; bucket both sides on the key for the "
+    "zero-exchange layout).",
+    tags=("dsl", "join"),
+)
+def has_child_search(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    corpus = _join_field_corpus(spark, sf_dir)
+    res = execute_search(corpus, {"query": {"has_child": {
+        "type": "item",
+        "query": {"range": {"l_quantity": {"gte": 50}}},
+        "join_field": _JF_SPEC,
+    }}})
+    return res["hits"].select("jkey", "o_orderpriority")
+
+
+@register(
+    "has_parent_search",
+    oracle="""
+    SELECT l_orderkey AS jkey, l_quantity
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+    doc="DSL has_parent: children whose parent matches — the parent "
+    "predicate pushes into the parent scan, qualifying keys semi-join "
+    "back onto the child side.",
+    tags=("dsl", "join"),
+)
+def has_parent_search(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    corpus = _join_field_corpus(spark, sf_dir)
+    res = execute_search(corpus, {"query": {"has_parent": {
+        "parent_type": "order",
+        "query": {"term": {"o_orderpriority": "1-URGENT"}},
+        "join_field": _JF_SPEC,
+    }}})
+    return res["hits"].select("jkey", "l_quantity")

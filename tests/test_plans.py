@@ -414,3 +414,29 @@ def test_docvalue_fields_prune_to_scan(spark, sf_dir):
     plan = buf.getvalue()
     read_schema = plan.split("ReadSchema")[1].splitlines()[0]
     assert "text" not in read_schema and "n_chars" not in read_schema
+
+
+def test_temperature_resample_broadcasts_thresholds(spark, sf_dir):
+    # same contract as mixture_resample: per-group keep-rate thresholds
+    # (25 rows) broadcast onto the corpus — the corpus never shuffles
+    # for membership
+    plan = plan_of(spark, sf_dir, "temperature_mixture_counts")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ppl_stats_partial_aggregation(spark, sf_dir):
+    # PPL stats..by compiles to the standard two-phase hash aggregate
+    # (map-side partial before the exchange), same as a hand-written
+    # groupBy — the pipe syntax must not cost a plan shape
+    plan = plan_of(spark, sf_dir, "ppl_stats_by_priority")
+    assert plan.count("HashAggregate") >= 2
+    assert "Scan parquet" in plan
+
+
+def test_ppl_lookup_is_broadcast(spark, sf_dir):
+    # the lookup command is an enrich join: dimension side broadcast,
+    # fact side never exchange-partitioned for the join
+    plan = plan_of(spark, sf_dir, "ppl_lookup_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
