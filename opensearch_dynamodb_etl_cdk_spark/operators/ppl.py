@@ -32,9 +32,11 @@ Supported commands: ``search source=``, ``where``, ``fields [+|-]``,
 ``eval``, ``rename``, ``stats`` (count/sum/avg/min/max/dc/
 distinct_count/stddev_samp/stddev_pop/var_samp/var_pop/percentile,
 ``by`` fields and ``span(field, interval)`` buckets), ``eventstats``,
-``sort``, ``head``, ``dedup``, ``top``, ``rare``, ``parse``,
+``sort``, ``head``, ``dedup``, ``top``, ``rare``, ``parse``, ``grok``
+(built-in pattern library, ``%{PATTERN:alias[:int|:float]}``),
 ``fillnull``, ``lookup`` (broadcast enrich join), ``trendline``
-(``sma(N, field)``).
+(``sma(N, field)``), and the ``describe <source>`` head command
+(schema as rows).
 """
 
 from __future__ import annotations
@@ -283,6 +285,57 @@ def _unquote(s: str) -> str:
     return s
 
 
+# Built-in grok primitives (the public pattern library's common core).
+# Every pattern uses NON-capturing groups only, so the expanded regex's
+# capture indices map 1:1 to the %{...:name} aliases.
+_GROK_PATTERNS = {
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "SPACE": r"\s*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "IP": r"(?:(?:25[0-5]|2[0-4]\d|[01]?\d?\d)\.){3}"
+          r"(?:25[0-5]|2[0-4]\d|[01]?\d?\d)",
+    "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})"
+                r"(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b",
+    "UUID": r"[0-9a-fA-F]{8}(?:-[0-9a-fA-F]{4}){3}-[0-9a-fA-F]{12}",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN(?:ING)?|ERROR|FATAL|"
+                r"SEVERE|CRITICAL)",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}"
+                         r"(?::\d{2}(?:\.\d+)?)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+}
+
+_GROK_REF = re.compile(
+    r"%\{(\w+)(?::([A-Za-z][A-Za-z0-9]*))?(?::(int|float))?\}"
+)
+
+
+def _expand_grok(pattern: str) -> tuple[str, dict[str, str]]:
+    """``%{PATTERN:alias[:type]}`` references → one Java regex with
+    ``(?<alias>...)`` groups, plus the alias→cast map."""
+    casts: dict[str, str] = {}
+
+    def repl(m: re.Match) -> str:
+        name, alias, typ = m.group(1), m.group(2), m.group(3)
+        base = _GROK_PATTERNS.get(name)
+        if base is None:
+            raise PPLError(f"unknown grok pattern %{{{name}}}")
+        if alias:
+            if typ:
+                casts[alias] = typ
+            return f"(?<{alias}>{base})"
+        return f"(?:{base})"
+
+    regex = _GROK_REF.sub(repl, pattern)
+    if not casts and "?<" not in regex:
+        raise PPLError("grok pattern binds no %{PATTERN:alias} fields")
+    return regex, casts
+
+
 def ppl_query(
     query: str,
     resolve: Callable[[str], DataFrame],
@@ -299,10 +352,24 @@ def ppl_query(
         raise PPLError("empty PPL query")
 
     head = stages[0]
+    dm = re.match(r"^describe\s+([A-Za-z0-9_.-]+)$", head.strip(),
+                  re.IGNORECASE)
+    if dm:
+        if len(stages) > 1:
+            raise PPLError("describe takes no piped commands")
+        src = resolve(dm.group(1))
+        rows = [(f.name, f.dataType.simpleString(), f.nullable)
+                for f in src.schema.fields]
+        return src.sparkSession.createDataFrame(
+            rows, "col_name string, data_type string, nullable boolean"
+        )
     m = re.match(r"^(?:search\s+)?source\s*=\s*([A-Za-z0-9_.,*-]+)\s*(.*)$",
                  head.strip(), re.IGNORECASE | re.DOTALL)
     if not m:
-        raise PPLError(f"PPL must start with 'search source=<name>', got {head!r}")
+        raise PPLError(
+            f"PPL must start with 'search source=<name>' or "
+            f"'describe <name>', got {head!r}"
+        )
     names, residual = m.group(1), m.group(2).strip()
     frames = [resolve(n.strip()) for n in names.split(",")]
     df = frames[0]
@@ -421,6 +488,24 @@ def ppl_query(
                 df = df.withColumn(
                     name, F.regexp_extract(F.col(field), pattern, idx)
                 )
+
+        elif cmd == "grok":
+            gm = re.match(r"^(\S+)\s+(.+)$", rest, re.DOTALL)
+            if not gm:
+                raise PPLError("grok expects: grok <field> '<pattern>'")
+            field, raw = gm.group(1), _unquote(gm.group(2))
+            regex, casts = _expand_grok(raw)
+            for name, idx in _named_groups(regex).items():
+                col = F.regexp_extract(F.col(field), regex, idx)
+                typ = casts.get(name)
+                # try_cast: a non-matching row extracts '' — that is
+                # a null typed field, not a query error (ANSI cast
+                # would throw)
+                if typ == "int":
+                    col = col.try_cast("long")
+                elif typ == "float":
+                    col = col.try_cast("double")
+                df = df.withColumn(name, col)
 
         elif cmd == "fillnull":
             fm = re.match(r"^with\s+(.+?)\s+in\s+(.+)$", rest,

@@ -201,3 +201,26 @@ def ppl_lookup_nation(spark, sf_dir):
         "| stats count() as cnt, sum(c_acctbal) as bal by n_name",
         "customer", "nation",
     )
+
+
+@register(
+    "ppl_grok_typed",
+    oracle="""
+    SELECT CAST(regexp_extract(props, '"k": ([+-]?\\d+)', 1) AS BIGINT)
+             AS kv,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1 HAVING COUNT(*) >= 100 ORDER BY kv
+    """,
+    doc="PPL grok: %{INT:kv:int} expands from the built-in pattern "
+    "library to a typed extraction (regexp_extract + try_cast, "
+    "codegen) feeding a stats stage — the log-wrangling twin of parse.",
+    tags=("ppl", "text"),
+)
+def ppl_grok_typed(spark, sf_dir):
+    return _run(
+        spark, sf_dir,
+        "source=events | grok props '\"k\": %{INT:kv:int}' "
+        "| stats count() as cnt by kv | where cnt >= 100 | sort kv",
+        "events",
+    )

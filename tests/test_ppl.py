@@ -236,3 +236,41 @@ def test_ppl_plan_pushdown(spark, sf_dir):
     read_cols = {c.split(":")[0] for c in rs.split(",")}
     assert read_cols == {"l_orderkey", "l_linenumber", "l_quantity",
                          "l_returnflag"}
+
+
+def test_grok_pattern_library(run):
+    out = run(r"source=logs | grok msg '%{WORD:verb} %{NOTSPACE:path} "
+              r"%{INT:status:int}' | where status is not null "
+              r"| sort id | fields verb, path, status")
+    assert rows(out) == [("GET", "/api/a", 200), ("POST", "/api/b", 500)]
+    # typed cast: status is a bigint now
+    assert dict(out.dtypes)["status"] == "bigint"
+    with pytest.raises(PPLError):
+        run("source=logs | grok msg '%{NOPE:x}'")
+    with pytest.raises(PPLError):
+        run("source=logs | grok msg 'no bindings here'")
+
+
+def test_grok_ip_and_number(run, tables):
+    df = tables["logs"].sparkSession.createDataFrame(
+        [(1, "10.0.0.1 took 3.5ms"), (2, "256.1.1.1 took 7ms")],
+        "id long, msg string",
+    )
+    out = ppl_query(
+        "source=t | grok msg '%{IP:ip} took %{NUMBER:ms:float}ms' "
+        "| sort id | fields ip, ms",
+        lambda n: df,
+    )
+    got = rows(out)
+    assert got[0] == ("10.0.0.1", 3.5)
+    # unanchored (public grok semantics): "256.1.1.1" yields the valid
+    # IPv4 substring starting one character in
+    assert got[1] == ("56.1.1.1", 7.0)
+
+
+def test_describe_command(run, tables):
+    out = run("describe sales")
+    got = {r["col_name"]: r["data_type"] for r in out.collect()}
+    assert got["amount"] == "double" and got["ts"] == "timestamp"
+    with pytest.raises(PPLError):
+        run("describe sales | head 1")
