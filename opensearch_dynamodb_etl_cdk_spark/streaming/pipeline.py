@@ -92,6 +92,42 @@ class PipelineConfig:
     keep_tombstones: bool = False
 
 
+import re as _sql_re
+
+# OpenSearch SQL-plugin full-text functions → the interpreter's analyzer
+# algebra as plain SQL text (codegen-evaluable, no UDF). Longest names
+# first so MATCH_PHRASE is not half-eaten by MATCH.
+_SQL_FT_RE = _sql_re.compile(
+    r"\b(MATCH_PHRASE|MATCHPHRASE|MATCH_QUERY|MATCHQUERY|MATCH)\s*\(\s*"
+    r"([A-Za-z_][A-Za-z0-9_.]*)\s*,\s*'([^']*)'\s*\)",
+    _sql_re.IGNORECASE,
+)
+
+
+def _rewrite_sql_fulltext(q: str) -> str:
+    from ..operators.search import _analyze_text
+
+    def repl(m: _sql_re.Match) -> str:
+        fn, field, text = m.group(1).upper(), m.group(2), m.group(3)
+        toks = _analyze_text(text)
+        if not toks:
+            return "TRUE"
+        analyzed = (
+            f"filter(split(lower({field}), '[^\\\\p{{L}}\\\\p{{Nd}}]+'), "
+            "t -> t != '')"
+        )
+        if fn in ("MATCH_PHRASE", "MATCHPHRASE"):
+            phrase = " ".join(toks)
+            return (
+                f"contains(concat(' ', array_join({analyzed}, ' '), ' '), "
+                f"' {phrase} ')"
+            )
+        quoted = ", ".join(f"'{t}'" for t in toks)
+        return f"arrays_overlap({analyzed}, array({quoted}))"
+
+    return _SQL_FT_RE.sub(repl, q)
+
+
 class FlightsEtlPipeline:
     def __init__(self, spark: SparkSession, config: PipelineConfig):
         self.spark = spark
@@ -775,16 +811,23 @@ class FlightsEtlPipeline:
         indexes. Every materialized route registers as a temp view under
         its index name (plus current aliases), then the statement runs
         through Spark SQL — the engine's dialect is Spark's ANSI-ish
-        SQL, a superset of the plugin's. Only ``SELECT``/``WITH`` heads
-        are accepted (the public plugin is read-only too) and the
-        script sandbox applies: JVM/UDF escape hatches
-        (``reflect``/``java_method``/...) are rejected exactly as on
-        the Painless surfaces."""
+        SQL, a superset of the plugin's. The plugin's full-text
+        functions are supported by textual rewrite into the SAME
+        analyzer algebra the DSL interpreter compiles to:
+        ``MATCH_QUERY(field, 'text')`` / ``MATCHQUERY`` / ``MATCH`` →
+        any analyzed token present (``arrays_overlap``),
+        ``MATCH_PHRASE(field, 'text')`` / ``MATCHPHRASE`` → adjacent
+        analyzed tokens — so a WHERE full-text predicate evaluates in
+        whole-stage codegen like every other filter. Only
+        ``SELECT``/``WITH`` heads are accepted (the public plugin is
+        read-only too) and the script sandbox applies: JVM/UDF escape
+        hatches (``reflect``/``java_method``/...) are rejected exactly
+        as on the Painless surfaces."""
         import re as _re
 
         from ..functions.scripts import validate_script
 
-        q = query.strip().rstrip(";")
+        q = _rewrite_sql_fulltext(query.strip().rstrip(";"))
         head = _re.split(r"\s", q, 1)[0].lower()
         if head not in ("select", "with"):
             raise ValueError(

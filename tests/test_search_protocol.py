@@ -422,3 +422,27 @@ def test_validate_query(booted):
     assert bad3["valid"] is False
     missing = booted.validate_query("missing_index*", {})
     assert missing["valid"] is False
+
+
+def test_sql_fulltext_functions(booted):
+    """The SQL plugin's full-text functions rewrite into the SAME
+    analyzer algebra as the DSL match/match_phrase — results agree with
+    the interpreter on the same corpus."""
+    got = booted.sql(
+        "SELECT _id FROM fare WHERE MATCH_QUERY(fare_class, 'nonstop')"
+    )
+    dsl = booted.search("fare", {"query": {"match": {
+        "fare_class": "nonstop"}}})["hits"]
+    assert {r["_id"] for r in got.collect()} \
+        == {r["_id"] for r in dsl.select("_id").collect()}
+    assert got.count() >= 1
+    # phrase form: adjacency of analyzed tokens
+    phrase = booted.sql(
+        "SELECT _id FROM fare WHERE MATCHPHRASE(fare_class, 'nonstop')"
+    )
+    assert phrase.count() == got.count()
+    # empty analyzed text degrades to TRUE, like a match-all
+    allrows = booted.sql(
+        "SELECT COUNT(*) AS c FROM fare WHERE MATCH(fare_class, '!!!')"
+    ).collect()[0]["c"]
+    assert allrows == booted.index_view("fare").count()
