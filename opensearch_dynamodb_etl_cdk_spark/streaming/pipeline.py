@@ -187,7 +187,14 @@ class FlightsEtlPipeline:
         dynamic overwrite only replaces partitions present in the
         output, so without this step deleted documents would survive.
         """
-        batch = route_df.persist()
+        # the route's LIVE bucket count governs placement — a resized
+        # index (_split/_shrink) differs from cfg.n_buckets, so the
+        # batch's precomputed _bucket is recomputed here, the one place
+        # bucket placement is decided
+        nb = self._route_n_buckets(route)
+        batch = route_df.withColumn(
+            "_bucket", F.pmod(F.xxhash64("_id"), F.lit(nb))
+        ).persist()
         try:
             touched = [r._bucket for r in batch.select("_bucket").distinct().collect()]
             if not touched:
@@ -347,6 +354,82 @@ class FlightsEtlPipeline:
 
     # -- maintenance -----------------------------------------------------------
 
+    def _route_n_buckets(self, route: str) -> int:
+        """The route's live hash-bucket count: per-index override from
+        ``_settings.json`` (written by :meth:`split_index` /
+        :meth:`shrink_index`; the leading underscore keeps it invisible
+        to the parquet reader), else the pipeline default."""
+        import json
+
+        path = os.path.join(self._index_path(route), "_settings.json")
+        try:
+            with open(path) as f:
+                return int(json.load(f)["n_buckets"])
+        except (FileNotFoundError, NotADirectoryError):
+            return self.cfg.n_buckets
+
+    def _write_route_settings(self, route: str, n_buckets: int) -> None:
+        import json
+
+        path = os.path.join(self._index_path(route), "_settings.json")
+        with open(path, "w") as f:
+            json.dump({"n_buckets": int(n_buckets)}, f)
+
+    def _resize_index(self, route: str, new_n: int) -> dict:
+        current = self.read_index(route)
+        if current is None:
+            raise ValueError(f"resize: index {route!r} is not materialized")
+        before = {
+            r._bucket for r in current.select("_bucket").distinct().collect()
+        }
+        snapshot = current.withColumn(
+            "_bucket", F.pmod(F.xxhash64("_id"), F.lit(new_n))
+        ).localCheckpoint(eager=True)  # break lineage vs the overwrite
+        (
+            snapshot.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket")
+            .parquet(self._index_path(route))
+        )
+        after = {
+            r._bucket for r in snapshot.select("_bucket").distinct().collect()
+        }
+        self._remove_buckets(route, before - after)
+        self._write_route_settings(route, new_n)
+        return {"acknowledged": True, "n_buckets": new_n}
+
+    def split_index(self, route: str, factor: int = 2) -> dict:
+        """``_split`` analog: multiply the route's hash-bucket count.
+
+        Because placement is ``pmod(hash, n)``, a row in old bucket
+        ``b`` can only land in ``{b, b+n, b+2n, ...}`` under
+        ``n*factor`` — every old bucket fans out to a DISJOINT set of
+        new buckets, so the rewrite is MAP-ONLY (no shuffle, no
+        cross-bucket data movement), exactly why the public API
+        restricts split targets to multiples of the source shard
+        count. Subsequent merges pick up the new count from the
+        per-route settings."""
+        if factor < 2:
+            raise ValueError("split factor must be >= 2")
+        return self._resize_index(
+            route, self._route_n_buckets(route) * int(factor)
+        )
+
+    def shrink_index(self, route: str, factor: int = 2) -> dict:
+        """``_shrink`` analog: divide the bucket count. ``pmod(hash,
+        n/factor)`` sends each old bucket wholly into ONE new bucket
+        (b mod n/factor) — again map-only; the new bucket's files are
+        the union of ``factor`` old buckets' files until the next
+        :meth:`compact` coalesces them. The public API's same
+        constraint applies: the target must divide the source count."""
+        nb = self._route_n_buckets(route)
+        if factor < 2 or nb % int(factor) != 0:
+            raise ValueError(
+                f"shrink factor must be >= 2 and divide the current "
+                f"bucket count {nb}"
+            )
+        return self._resize_index(route, nb // int(factor))
+
     def compact(
         self, route: str, files_per_bucket: int = 1, purge_tombstones: bool = False
     ) -> None:
@@ -370,7 +453,9 @@ class FlightsEtlPipeline:
         snapshot = current.localCheckpoint(eager=True)  # break lineage vs overwrite
         after = {r._bucket for r in snapshot.select("_bucket").distinct().collect()}
         (
-            snapshot.repartition(self.cfg.n_buckets * files_per_bucket, "_bucket")
+            snapshot.repartition(
+                self._route_n_buckets(route) * files_per_bucket, "_bucket"
+            )
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_bucket")
