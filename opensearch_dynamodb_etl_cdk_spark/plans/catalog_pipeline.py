@@ -315,3 +315,31 @@ def temperature_mixture_counts(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")["documents"]
     kept = temperature_resample(d, mix_col="lang", alpha=0.5)
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register(
+    "pca_embedding_summary",
+    oracle=None,  # eigendecomposition has no DuckDB twin — rows-only;
+    # tests/test_pca.py proves agreement with single-node numpy PCA
+    # (eigenvalues rtol 1e-7), orthonormality, exact projection and
+    # partition-count invariance
+    doc="Distributed PCA fit over the embedding column (operators/"
+    "pca.py): ONE Arrow-batched pass reduces the corpus to per-batch "
+    "(n, Σx, XᵀX) moment rows — 100 TB of vectors collapse to "
+    "#partitions × (d²+d+1) doubles — combined on the driver and "
+    "factored with eigh (d is model-sized, never corpus-sized). "
+    "Returns per-component explained variance, rounded to 6 decimals.",
+    tags=("pipeline", "embedding"),
+)
+def pca_embedding_summary(spark, sf_dir):
+    from ..operators.pca import pca_fit
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    model = pca_fit(e, "embedding", k=8)
+    return spark.createDataFrame(
+        [(i, round(v, 6), round(r, 6))
+         for i, (v, r) in enumerate(
+             zip(model["explained_variance"],
+                 model["explained_variance_ratio"]))],
+        "component int, variance double, ratio double",
+    )
