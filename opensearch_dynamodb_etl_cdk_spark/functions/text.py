@@ -311,3 +311,65 @@ def bigram_logprob_scores(
             F.round(F.sum(lp) / F.count("*"), 6).alias("avg_logp"),
         )
     )
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+):
+    """Split documents into fixed-size token windows with optional
+    overlap — the standard pre-training / RAG chunking step.
+
+    Pure Column algebra end to end: tokenize once, derive the window
+    start positions with ``sequence`` (stride = chunk − overlap), slice
+    each window and explode. One narrow projection + one generate — no
+    shuffle, no UDF; at 100 TB this is a map-only pass whose output
+    rows are exactly the training samples. The trailing window is kept
+    even when short (dropping it would silently lose corpus tail
+    tokens); empty documents yield no chunks.
+
+    Output: (id, chunk_id, n_tokens, chunk_text) with chunk_id the
+    0-based window index.
+    """
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    # window starts 1, 1+stride, ... covering every token; a doc with
+    # n <= chunk tokens gets exactly one window
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(
+            (F.ceil((F.size(toks) - F.lit(chunk_tokens))
+                    / F.lit(stride)) * F.lit(stride)) + F.lit(1),
+            F.lit(1),
+        ),
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_id"),
+            F.slice(toks, s, chunk_tokens).alias("toks"),
+        ),
+    )
+    out = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.filter(chunks, lambda c: F.size(c["toks"]) > 0)
+            ).alias("c"),
+        )
+        .select(
+            "id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c.toks").alias("n_tokens"),
+            F.array_join("c.toks", " ").alias("chunk_text"),
+        )
+    )
+    return out

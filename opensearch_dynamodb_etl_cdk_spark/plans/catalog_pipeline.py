@@ -343,3 +343,38 @@ def pca_embedding_summary(spark, sf_dir):
                  model["explained_variance_ratio"]))],
         "component int, variance double, ratio double",
     )
+
+
+@register(
+    "document_chunks",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^\pL\p{Nd}]+'),
+                         x -> x != '') AS toks
+      FROM documents),
+    w AS (SELECT doc_id, toks,
+                 greatest(CAST(ceil((len(toks) - 16) / 8.0) AS BIGINT)
+                            * 8 + 1, 1) AS last_start
+          FROM tk),
+    s AS (SELECT doc_id, toks,
+                 unnest(range(1, last_start + 1, 8)) AS start
+          FROM w)
+    SELECT doc_id AS id,
+           CAST((start - 1) / 8 AS INT) AS chunk_id,
+           len(toks[start:start+15]) AS n_tokens,
+           array_to_string(toks[start:start+15], ' ') AS chunk_text
+    FROM s WHERE len(toks[start:start+15]) > 0
+    """,
+    doc="Document chunking (functions/text.py::chunk_documents): "
+    "16-token windows, 8-token overlap — tokenize once, window starts "
+    "from `sequence` (stride 8), slice + explode. Map-only (no "
+    "shuffle, no UDF); the exploded rows ARE the training samples. "
+    "Trailing short windows kept (dropping them loses corpus tail).",
+    tags=("pipeline", "text"),
+)
+def document_chunks(spark, sf_dir):
+    from ..functions.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return chunk_documents(d, chunk_tokens=16, overlap=8)

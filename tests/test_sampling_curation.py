@@ -415,3 +415,33 @@ def test_temperature_resample_alpha_one_keeps_everything(spark, sf_dir):
     assert kept.count() == d.count()
     with pytest.raises(ValueError):
         temperature_resample(d, alpha=1.5)
+
+
+def test_chunk_documents_windows(spark):
+    from opensearch_dynamodb_etl_cdk_spark.functions.text import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x y"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=3, overlap=1)
+    rows = [(r["id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+            for r in out.orderBy("id", "chunk_id").collect()]
+    assert rows == [
+        (1, 0, 3, "a b c"), (1, 1, 3, "c d e"), (1, 2, 3, "e f g"),
+        (1, 3, 2, "g h"),  # trailing short window kept
+        (2, 0, 2, "x y"),
+    ]
+    # every token covered: union of chunks reconstructs the doc when
+    # overlap tokens are removed from continuation chunks
+    body = "".join(
+        t if i == 0 else " " + " ".join(t.split(" ")[1:])
+        for i, t in enumerate(r[3] for r in rows if r[0] == 1)
+    )
+    assert body == "a b c d e f g h"
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
