@@ -42,6 +42,7 @@ Scale notes:
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -475,7 +476,10 @@ class FlightsEtlPipeline:
             return None
         if "_deleted" in df.columns:
             df = df.filter(~F.col("_deleted")).drop("_deleted")
-        df.createOrReplaceTempView(f"{route}_index")
+        # SQL-friendly convenience view; index names may carry chars
+        # (rollover generations like logs-000002) invalid in view names
+        view_name = re.sub(r"[^A-Za-z0-9_]", "_", f"{route}_index")
+        df.createOrReplaceTempView(view_name)
         return df
 
     def count(self, pattern: str, query: dict | None = None) -> int:
@@ -665,6 +669,68 @@ class FlightsEtlPipeline:
         ).withColumn("_action", F.lit("index"))
         self._merge_route(batch, dest)
         return n
+
+    def rollover(
+        self,
+        alias: str,
+        conditions: dict | None = None,
+        new_index: str | None = None,
+    ) -> dict:
+        """``POST /<alias>/_rollover`` analog: when the alias's single
+        write index meets a condition (``max_docs`` live documents,
+        ``max_size_bytes`` on disk; no conditions = roll
+        unconditionally), the next generation is created EMPTY with the
+        same schema and the alias atomically flips to it — the standard
+        time/size-sliced index lifecycle. The old generation stays
+        readable under its own name and in wildcard patterns. The new
+        name is the old one with its ``-NNNNNN`` suffix incremented
+        (or ``new_index`` explicitly, as in the public API)."""
+        import re as _re
+
+        aliases = self.get_aliases()
+        target = aliases.get(alias)
+        if target is None or "," in target or "*" in target:
+            raise ValueError(
+                f"rollover: alias {alias!r} must point to exactly one "
+                f"index (got {target!r})"
+            )
+        cur = self.index_view(target)
+        if cur is None:
+            raise ValueError(f"rollover: index {target!r} not materialized")
+
+        met: dict[str, bool] = {}
+        conds = conditions or {}
+        if "max_docs" in conds:
+            met["max_docs"] = cur.count() >= int(conds["max_docs"])
+        if "max_size_bytes" in conds:
+            root = self._index_path(target)
+            size = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(root) for f in fs
+            )
+            met["max_size_bytes"] = size >= int(conds["max_size_bytes"])
+        rolled = (not conds) or any(met.values())
+        if not rolled:
+            return {"rolled_over": False, "old_index": target,
+                    "new_index": None, "conditions": met}
+
+        if new_index is None:
+            m = _re.match(r"^(.*)-(\d+)$", target)
+            if not m:
+                raise ValueError(
+                    f"rollover: index {target!r} has no -NNNNNN suffix; "
+                    "pass new_index explicitly (the public API's rule)"
+                )
+            new_index = f"{m.group(1)}-{int(m.group(2)) + 1:0{len(m.group(2))}d}"
+        if os.path.isdir(self._index_path(new_index)):
+            raise ValueError(f"rollover: {new_index!r} already exists")
+        # same schema, zero rows; repartition(1) guarantees one part
+        # file so the parquet footer carries the schema for readers
+        empty = self.spark.createDataFrame([], self.read_index(target).schema)
+        empty.repartition(1).write.parquet(self._index_path(new_index))
+        self.put_alias(alias, new_index)
+        return {"rolled_over": True, "old_index": target,
+                "new_index": new_index, "conditions": met}
 
     def get_mapping(self, route: str) -> dict:
         """``GET /<index>/_mapping`` analog: the index's Spark schema

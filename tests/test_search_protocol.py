@@ -446,3 +446,47 @@ def test_sql_fulltext_functions(booted):
         "SELECT COUNT(*) AS c FROM fare WHERE MATCH(fare_class, '!!!')"
     ).collect()[0]["c"]
     assert allrows == booted.index_view("fare").count()
+
+
+def test_rollover_lifecycle(spark, tmp_path_factory):
+    """_rollover: conditions gate the roll; the new generation is an
+    empty same-schema index; the alias flips atomically and the old
+    generation stays readable."""
+    tmp = tmp_path_factory.mktemp("rollover")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+    n = p.reindex("fare", "fares-000001")
+    assert n > 0
+    p.put_alias("fares_write", "fares-000001")
+
+    # condition not met → no roll
+    out = p.rollover("fares_write", {"max_docs": n + 1})
+    assert out == {"rolled_over": False, "old_index": "fares-000001",
+                   "new_index": None, "conditions": {"max_docs": False}}
+
+    # met → new empty generation, alias flipped
+    out = p.rollover("fares_write", {"max_docs": n})
+    assert out["rolled_over"] is True
+    assert out["new_index"] == "fares-000002"
+    assert p.get_aliases()["fares_write"] == "fares-000002"
+    assert p.index_view("fares-000002").count() == 0
+    assert p.index_view("fares-000001").count() == n  # old gen intact
+    # schema carried over
+    assert set(p.index_view("fares-000002").columns) \
+        == set(p.index_view("fares-000001").columns)
+    # unconditional roll increments again
+    out = p.rollover("fares_write")
+    assert out["new_index"] == "fares-000003"
+    # suffix rule: alias to a non-numbered index needs explicit name
+    p.put_alias("plain", "fare")
+    with pytest.raises(ValueError):
+        p.rollover("plain")
+    out = p.rollover("plain", new_index="fare-v2")
+    assert out["new_index"] == "fare-v2"
+    with pytest.raises(ValueError):
+        p.rollover("missing_alias")
