@@ -66,6 +66,43 @@ def _analyze_text(s: str) -> list[str]:
     return [t for t in re.split(r"[^\w]+", s.lower()) if t]
 
 
+# Lucene's standard English stopword set (public, from StopAnalyzer).
+_EN_STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with",
+)
+
+# minimal English plural stemming (the EnglishMinimalStemmer rule):
+# strip ONE trailing 's' from tokens of length ≥ 4 unless the token
+# ends in 'ss'/'us'/'is' — deliberately conservative, no Porter
+# over-stemming, and expressible identically in a DuckDB oracle.
+_EN_STEM_RE = r"^(.{3,}?)(?<!s)(?<!u)(?<!i)s$"
+
+
+def _stem_en(tok: Column) -> Column:
+    return F.regexp_replace(tok, _EN_STEM_RE, "$1")  # Java backref syntax
+
+
+def _analyze_en(col: Column) -> Column:
+    """``english_light`` analyzer: standard tokenize → stopword drop →
+    minimal plural stem. Pure Column algebra (codegen)."""
+    return F.transform(
+        F.filter(_analyze(col), lambda t: ~t.isin(*_EN_STOPWORDS)),
+        _stem_en,
+    )
+
+
+def _analyze_text_en(s: str) -> list[str]:
+    out = []
+    for t in _analyze_text(s):
+        if t in _EN_STOPWORDS:
+            continue
+        out.append(re.sub(_EN_STEM_RE, r"\1", t))  # Python backref syntax
+    return out
+
+
 def _wildcard_to_regex(pattern: str) -> str:
     out = []
     for ch in pattern:
@@ -495,12 +532,24 @@ def compile_query(q: dict[str, Any], allow_unsafe_scripts: bool = False) -> Colu
         if isinstance(spec, dict):
             text, operator = spec["query"], spec.get("operator", "or")
             fuzziness = spec.get("fuzziness")
+            analyzer = spec.get("analyzer", "standard")
         else:
-            text, operator, fuzziness = spec, "or", None
-        tokens = _analyze_text(str(text))
+            text, operator, fuzziness, analyzer = spec, "or", None, "standard"
+        if analyzer == "english_light":
+            # query-time analyzer override: stopword drop + minimal
+            # plural stem on BOTH the query text and the field tokens
+            tokens = _analyze_text_en(str(text))
+            terms_arr = _analyze_en(F.col(field))
+        elif analyzer == "standard":
+            tokens = _analyze_text(str(text))
+            terms_arr = _analyze(F.col(field))
+        else:
+            raise ValueError(
+                f"unsupported analyzer {analyzer!r} "
+                "(standard | english_light)"
+            )
         if not tokens:
             return F.lit(True)
-        terms_arr = _analyze(F.col(field))
 
         def term_pred(t: str) -> Column:
             if fuzziness is None:

@@ -949,3 +949,42 @@ def has_parent_search(spark, sf_dir):
         "join_field": _JF_SPEC,
     }}})
     return res["hits"].select("jkey", "l_quantity")
+
+
+@register(
+    "match_english_analyzer",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, lang,
+             list_transform(
+               list_filter({TOK}, t -> t NOT IN
+                 ('a','an','and','are','as','at','be','but','by','for',
+                  'if','in','into','is','it','no','not','of','on','or',
+                  'such','that','the','their','then','there','these',
+                  'they','this','to','was','will','with')),
+               t -> CASE WHEN len(t) >= 4 AND t LIKE '%s'
+                          AND NOT (t LIKE '%ss' OR t LIKE '%us'
+                                   OR t LIKE '%is')
+                         THEN t[1:len(t)-1] ELSE t END
+             ) AS toks
+      FROM documents)
+    SELECT doc_id, lang FROM tk
+    WHERE list_contains(toks, 'value') AND list_contains(toks, 'table')
+    """,
+    doc="DSL match with the english_light query-time analyzer "
+    "(operators/search.py::_analyze_en): standard tokenize → Lucene "
+    "stopword drop → minimal plural stem (strip one trailing 's', "
+    "never after s/u/i), applied to BOTH query text and field tokens "
+    "in pure Column algebra. The query 'values tables' stems to "
+    "value+table and matches the singular corpus; the DuckDB twin "
+    "mirrors the stem as a CASE (RE2 has no lookbehind).",
+    tags=("dsl", "text"),
+)
+def match_english_analyzer(spark, sf_dir):
+    from ..operators.search import compile_query
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return d.filter(compile_query({"match": {"text": {
+        "query": "values tables", "operator": "and",
+        "analyzer": "english_light",
+    }}})).select("doc_id", "lang")

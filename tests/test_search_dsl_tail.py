@@ -521,3 +521,39 @@ def test_multi_match_forwards_fuzziness(spark):
         compile_query({"multi_match": {
             "query": "x y", "fields": ["a"], "type": "phrase",
             "fuzziness": 1}})
+
+
+def test_match_english_light_analyzer(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        _analyze_text_en,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the dogs bark loudly"), (2, "a dog barks"),
+         (3, "glass classes"), (4, "cactus status")],
+        "id long, text string",
+    )
+    # plural stem unifies dogs/dog and bark/barks
+    assert _ids(df, {"match": {"text": {
+        "query": "dog bark", "operator": "and",
+        "analyzer": "english_light"}}}) == [1, 2]
+    # standard analyzer does NOT
+    assert _ids(df, {"match": {"text": {
+        "query": "dog bark", "operator": "and"}}}) == []
+    # stopwords are dropped from the query: "the dog" matches doc 2
+    assert _ids(df, {"match": {"text": {
+        "query": "the dog", "analyzer": "english_light"}}}) == [1, 2]
+    # ss/us endings never stripped
+    assert _analyze_text_en("glass cactus classes dogs") == [
+        "glass", "cactus", "classe", "dog"]
+    assert _ids(df, {"match": {"text": {
+        "query": "glass", "analyzer": "english_light"}}}) == [3]
+    assert _ids(df, {"match": {"text": {
+        "query": "cactus", "analyzer": "english_light"}}}) == [4]
+    # a stopword-only query degrades to match-all, like the public
+    # analyzer chain emitting zero tokens
+    assert _ids(df, {"match": {"text": {
+        "query": "the an of", "analyzer": "english_light"}}}) == [1, 2, 3, 4]
+    with pytest.raises(ValueError):
+        compile_query({"match": {"text": {
+            "query": "x", "analyzer": "icu_fancy"}}})
