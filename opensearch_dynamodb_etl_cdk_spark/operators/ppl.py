@@ -34,6 +34,7 @@ distinct_count/stddev_samp/stddev_pop/var_samp/var_pop/percentile,
 ``by`` fields and ``span(field, interval)`` buckets), ``eventstats``,
 ``sort``, ``head``, ``dedup``, ``top``, ``rare``, ``parse``, ``grok``
 (built-in pattern library, ``%{PATTERN:alias[:int|:float]}``),
+``expand`` (array explode), ``flatten`` (struct promotion),
 ``fillnull``, ``lookup`` (broadcast enrich join), ``trendline``
 (``sma(N, field)``), and the ``describe <source>`` head command
 (schema as rows).
@@ -488,6 +489,30 @@ def ppl_query(
                 df = df.withColumn(
                     name, F.regexp_extract(F.col(field), pattern, idx)
                 )
+
+        elif cmd == "expand":
+            em = re.match(r"^(\S+)(?:\s+as\s+(\S+))?$", rest, re.IGNORECASE)
+            if not em:
+                raise PPLError("expand expects: expand <field> [as alias]")
+            field, alias = em.group(1), em.group(2) or em.group(1)
+            others = [c for c in df.columns if c != field]
+            # explode_outer: a row with an empty/null array survives
+            # with a null element (the public command keeps the doc)
+            df = df.select(
+                *others, F.explode_outer(F.col(field)).alias(alias)
+            )
+
+        elif cmd == "flatten":
+            field = rest.strip()
+            if not field:
+                raise PPLError("flatten expects: flatten <field>")
+            dt = dict(df.dtypes).get(field)
+            if dt is None or not dt.startswith("struct<"):
+                raise PPLError(
+                    f"flatten: {field!r} is not a struct column ({dt})"
+                )
+            others = [c for c in df.columns if c != field]
+            df = df.select(*others, F.col(f"{field}.*"))
 
         elif cmd == "grok":
             gm = re.match(r"^(\S+)\s+(.+)$", rest, re.DOTALL)

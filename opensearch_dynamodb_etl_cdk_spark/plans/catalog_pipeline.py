@@ -378,3 +378,29 @@ def document_chunks(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")["documents"]
     return chunk_documents(d, chunk_tokens=16, overlap=8)
+
+
+@register(
+    "kmeans_cluster_sizes",
+    oracle=None,  # Lloyd iterations have no SQL twin — rows-only;
+    # determinism and recall are pinned by tests/test_similarity
+    # (bit-identical centroids across partitionings and re-runs)
+    doc="Corpus clustering as a first-class operator (operators/"
+    "similarity.py::ivf_centroids + ivf_assign reused as plain "
+    "k-means): deterministic hash-sample init, 5 distributed Lloyd "
+    "iterations (assignment = one codegen scan; re-estimation = "
+    "n_clusters × dim decimal-mean partials — the shuffle never "
+    "carries corpus rows), then ONE count aggregate per cluster. The "
+    "standard corpus-exploration / domain-discovery step before "
+    "mixture decisions.",
+    tags=("pipeline", "embedding"),
+)
+def kmeans_cluster_sizes(spark, sf_dir):
+    from ..operators.similarity import ivf_assign, ivf_centroids
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    cents = ivf_centroids(e, n_centroids=8, refine_iters=5)
+    return (
+        ivf_assign(e, cents, cluster_col="cluster")
+        .groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    )

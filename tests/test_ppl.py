@@ -274,3 +274,26 @@ def test_describe_command(run, tables):
     assert got["amount"] == "double" and got["ts"] == "timestamp"
     with pytest.raises(PPLError):
         run("describe sales | head 1")
+
+
+def test_expand_and_flatten(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], {"x": 1, "y": "p"}),
+         (2, [], {"x": 2, "y": "q"}),
+         (3, None, {"x": 3, "y": "r"})],
+        "id long, tags array<string>, meta struct<x:long, y:string>",
+    )
+    out = ppl_query("source=t | expand tags | sort id, tags",
+                    lambda n: df)
+    got = [(r["id"], r["tags"]) for r in out.collect()]
+    # empty/null arrays keep their row with a null element
+    assert got == [(1, "a"), (1, "b"), (2, None), (3, None)]
+    out = ppl_query("source=t | flatten meta | where x >= 2 | sort id "
+                    "| fields id, x, y", lambda n: df)
+    assert rows(out) == [(2, 2, "q"), (3, 3, "r")]
+    with pytest.raises(PPLError):
+        ppl_query("source=t | flatten tags", lambda n: df)  # not a struct
+    # expand with alias keeps the original name free
+    out = ppl_query("source=t | expand tags as tag | where tag = 'a'",
+                    lambda n: df)
+    assert [r["id"] for r in out.collect()] == [1]
