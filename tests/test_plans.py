@@ -440,3 +440,27 @@ def test_ppl_lookup_is_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ppl_lookup_nation")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_document_chunks_map_only(spark, sf_dir):
+    # chunking is tokenize→window→explode: a single map-only stage,
+    # NO Exchange anywhere in the plan
+    plan = plan_of(spark, sf_dir, "document_chunks")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_bpe_word_counts_partial_aggregation(spark, sf_dir):
+    # the trainer's corpus pass: explode + two-phase hash aggregate
+    # (map-side combine shrinks the shuffle to distinct pretokens)
+    plan = plan_of(spark, sf_dir, "bpe_word_counts")
+    assert plan.count("HashAggregate") >= 2
+    assert "Generate" in plan
+
+
+def test_has_child_semi_join_pushdown(spark, sf_dir):
+    # the inner child query must push into the scan; the parent/child
+    # correlation is ONE left-semi join
+    plan = plan_of(spark, sf_dir, "has_child_search")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(l_quantity,50" in plan
