@@ -103,6 +103,87 @@ def _analyze_text_en(s: str) -> list[str]:
     return out
 
 
+# ------------------------------------------------------------ date math
+
+_DM_TOKEN = re.compile(r"([+-])(\d+)([yMwdhHms])")
+_DM_SYNTAX = re.compile(
+    r"^(now|.+?\|\|)((?:[+-]\d+[yMwdhHms])*)(/([yMwdhHms]))?$"
+)
+
+
+def _dm_shift(dt, num: int, unit: str):
+    """Calendar-aware date-math arithmetic (stdlib only)."""
+    import datetime as _dt
+
+    if unit == "y":
+        return dt.replace(year=dt.year + num)
+    if unit == "M":
+        total = dt.year * 12 + (dt.month - 1) + num
+        y, m = divmod(total, 12)
+        import calendar
+
+        day = min(dt.day, calendar.monthrange(y, m + 1)[1])
+        return dt.replace(year=y, month=m + 1, day=day)
+    secs = {"w": 604800, "d": 86400, "h": 3600, "H": 3600,
+            "m": 60, "s": 1}[unit]
+    return dt + _dt.timedelta(seconds=num * secs)
+
+
+def _dm_floor(dt, unit: str):
+    if unit == "y":
+        return dt.replace(month=1, day=1, hour=0, minute=0, second=0,
+                          microsecond=0)
+    if unit == "M":
+        return dt.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    if unit == "w":  # ISO week starts Monday, the public rounding unit
+        floored = dt.replace(hour=0, minute=0, second=0, microsecond=0)
+        return _dm_shift(floored, -dt.weekday(), "d")
+    if unit == "d":
+        return dt.replace(hour=0, minute=0, second=0, microsecond=0)
+    if unit in ("h", "H"):
+        return dt.replace(minute=0, second=0, microsecond=0)
+    if unit == "m":
+        return dt.replace(second=0, microsecond=0)
+    return dt.replace(microsecond=0)
+
+
+def _resolve_date_math(expr: str, op: str, now=None):
+    """``now-7d/d`` / ``2024-01-15||+1M/d`` → (possibly rewritten op,
+    concrete datetime), implementing the public rounding rule: the
+    LOWER-bound ops round down to the unit start (gte/lt), the
+    UPPER-bound ops round up (gt ≡ ≥ next unit start, lte ≡ < next
+    unit start — exact on microsecond timestamps, no last-millisecond
+    approximation)."""
+    import datetime as _dt
+
+    m = _DM_SYNTAX.match(expr.strip())
+    if not m:
+        raise ValueError(f"unparseable date math {expr!r}")
+    anchor_s, ops_s, _, round_unit = m.groups()
+    if anchor_s == "now":
+        if now is None:
+            anchor = _dt.datetime.utcnow()
+        elif isinstance(now, _dt.datetime):
+            anchor = now
+        else:
+            anchor = _dt.datetime.fromisoformat(str(now))
+    else:
+        anchor = _dt.datetime.fromisoformat(anchor_s[:-2].strip())
+    for sign, num, unit in _DM_TOKEN.findall(ops_s or ""):
+        anchor = _dm_shift(anchor, int(num) * (1 if sign == "+" else -1),
+                           unit)
+    if round_unit:
+        floored = _dm_floor(anchor, round_unit)
+        if op in ("gte", "lt"):
+            anchor = floored
+        else:  # gt / lte round UP: compare against the next unit start
+            nxt = _dm_shift(floored, 1, round_unit)
+            if round_unit == "w":
+                nxt = _dm_shift(floored, 7, "d")
+            anchor, op = nxt, {"gt": "gte", "lte": "lt"}[op]
+    return op, anchor
+
+
 def _wildcard_to_regex(pattern: str) -> str:
     out = []
     for ch in pattern:
@@ -475,11 +556,18 @@ def compile_query(q: dict[str, Any], allow_unsafe_scripts: bool = False) -> Colu
 
     if kind == "range":
         (field, spec), = body.items()
+        spec = dict(spec)
+        # date math: `now` defaults to request time (coordinator-
+        # evaluated, like the public API); tests/oracles pin it with
+        # the engine's `now` extension for reproducibility
+        now_anchor = spec.pop("now", None)
         pred = F.lit(True)
         ops = {"gte": "__ge__", "gt": "__gt__", "lte": "__le__", "lt": "__lt__"}
         for op, val in spec.items():
             if op not in ops:
                 raise ValueError(f"unsupported range op {op}")
+            if isinstance(val, str) and ("now" in val[:3] or "||" in val):
+                op, val = _resolve_date_math(val, op, now_anchor)
             pred = pred & getattr(F.col(field), ops[op])(F.lit(val))
         return pred
 

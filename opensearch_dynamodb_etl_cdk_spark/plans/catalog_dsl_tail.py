@@ -988,3 +988,29 @@ def match_english_analyzer(spark, sf_dir):
         "query": "values tables", "operator": "and",
         "analyzer": "english_light",
     }}})).select("doc_id", "lang")
+
+
+@register(
+    "range_date_math",
+    oracle="""
+    SELECT event_id, ts FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-26 00:00:00'
+    """,
+    doc="DSL range with date math (operators/search.py::"
+    "_resolve_date_math): gte now-20d/d + lte now/d with the request "
+    "`now` pinned to 2024-01-25T13:45:00 — offsets are calendar-aware "
+    "(stdlib month/year arithmetic, day clamping) and rounding follows "
+    "the public rule (lower-bound ops floor, upper-bound ops become "
+    "next-unit-start exclusive, exact on microsecond timestamps). The "
+    "resolved literals push into the parquet scan like any range.",
+    tags=("dsl", "time"),
+)
+def range_date_math(spark, sf_dir):
+    from ..operators.search import compile_query
+
+    e = _t(spark, sf_dir, "events")["events"]
+    return e.filter(compile_query({"range": {"ts": {
+        "gte": "now-20d/d", "lte": "now/d",
+        "now": "2024-01-25T13:45:00",
+    }}})).select("event_id", "ts")

@@ -557,3 +557,51 @@ def test_match_english_light_analyzer(spark):
     with pytest.raises(ValueError):
         compile_query({"match": {"text": {
             "query": "x", "analyzer": "icu_fancy"}}})
+
+
+def test_range_date_math(spark):
+    import datetime as dt
+
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        _resolve_date_math,
+    )
+
+    now = dt.datetime(2024, 3, 15, 13, 45, 30)
+    # offsets without rounding keep the operator
+    assert _resolve_date_math("now-7d", "gte", now) == (
+        "gte", dt.datetime(2024, 3, 8, 13, 45, 30))
+    assert _resolve_date_math("now+2h", "lt", now) == (
+        "lt", dt.datetime(2024, 3, 15, 15, 45, 30))
+    # calendar month arithmetic clamps the day
+    assert _resolve_date_math("2024-01-31||+1M", "gte", now) == (
+        "gte", dt.datetime(2024, 2, 29))
+    # rounding: gte/lt floor; gt/lte become next-unit-start exclusive
+    assert _resolve_date_math("now/d", "gte", now) == (
+        "gte", dt.datetime(2024, 3, 15))
+    assert _resolve_date_math("now/d", "lt", now) == (
+        "lt", dt.datetime(2024, 3, 15))
+    assert _resolve_date_math("now/d", "lte", now) == (
+        "lt", dt.datetime(2024, 3, 16))
+    assert _resolve_date_math("now/d", "gt", now) == (
+        "gte", dt.datetime(2024, 3, 16))
+    assert _resolve_date_math("now/M", "gte", now) == (
+        "gte", dt.datetime(2024, 3, 1))
+    assert _resolve_date_math("now-1y/y", "lte", now) == (
+        "lt", dt.datetime(2024, 1, 1))
+    # week floors to Monday (2024-03-15 is a Friday)
+    assert _resolve_date_math("now/w", "gte", now) == (
+        "gte", dt.datetime(2024, 3, 11))
+    with pytest.raises(ValueError):
+        _resolve_date_math("nowish-1d", "gte", now)
+
+    # end-to-end: predicate over a timestamp frame
+    df = spark.createDataFrame(
+        [(1, "2024-03-10 12:00:00"), (2, "2024-03-14 00:00:00"),
+         (3, "2024-03-15 23:59:59"), (4, "2024-03-16 00:00:00")],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    hits = df.filter(compile_query({"range": {"ts": {
+        "gte": "now-2d/d", "lte": "now/d",
+        "now": "2024-03-15T13:45:30",
+    }}}))
+    assert sorted(r["id"] for r in hits.collect()) == [2, 3]
