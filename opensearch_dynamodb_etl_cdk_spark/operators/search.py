@@ -599,15 +599,24 @@ def compile_query(q: dict[str, Any], allow_unsafe_scripts: bool = False) -> Colu
         (field, spec), = body.items()
         if isinstance(spec, dict):
             value, fuzziness = spec["value"], spec.get("fuzziness", "AUTO")
+            prefix_length = int(spec.get("prefix_length", 0))
         else:
-            value, fuzziness = spec, "AUTO"
+            value, fuzziness, prefix_length = spec, "AUTO", 0
         if fuzziness == "AUTO":  # public DSL AUTO rule: 0 / 1 / 2 by length
             n = len(str(value))
             fuzziness = 0 if n < 3 else (1 if n <= 5 else 2)
-        return F.exists(
-            _analyze(F.col(field)),
-            lambda t: F.levenshtein(t, F.lit(str(value).lower())) <= int(fuzziness),
-        )
+        qv = str(value).lower()
+
+        def tok_pred(t: Column) -> Column:
+            p = F.levenshtein(t, F.lit(qv)) <= int(fuzziness)
+            if prefix_length > 0:
+                # Lucene semantics: candidates must share the exact
+                # prefix; the edit budget applies to the whole term
+                # (the shared prefix contributes zero edits)
+                p = p & t.startswith(qv[:prefix_length])
+            return p
+
+        return F.exists(_analyze(F.col(field)), tok_pred)
 
     if kind == "exists":
         return F.col(body["field"]).isNotNull()
@@ -1478,8 +1487,22 @@ def _sort_cols(sort_spec) -> list[Column]:
         if isinstance(s, dict) and "_geo_distance" in s:
             cols.append(_geo_sort_col(s["_geo_distance"]))
             continue
+        # `missing`: where null documents sort. The public default is
+        # _last regardless of direction — which is also Spark's default
+        # for asc but NOT for desc, so desc needs the explicit variant.
+        missing = "_last"
+        if isinstance(s, dict):
+            (_, spec0), = s.items()
+            if isinstance(spec0, dict):
+                missing = spec0.get("missing", "_last")
         for f, desc in _sort_fields([s]):
-            cols.append(F.col(f).desc() if desc else F.col(f).asc())
+            c = F.col(f)
+            if missing == "_first":
+                cols.append(c.desc_nulls_first() if desc
+                            else c.asc_nulls_first())
+            else:
+                cols.append(c.desc_nulls_last() if desc
+                            else c.asc_nulls_last())
     return cols
 
 

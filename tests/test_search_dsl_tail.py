@@ -605,3 +605,44 @@ def test_range_date_math(spark):
         "now": "2024-03-15T13:45:30",
     }}}))
     assert sorted(r["id"] for r in hits.collect()) == [2, 3]
+
+
+def test_sort_missing_and_fuzzy_prefix_length(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        execute_search,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "spark"), (2, None, "spavk"), (3, 1.0, "quark")],
+        "id long, v double, w string",
+    )
+    # default missing=_last for BOTH directions (public contract)
+    hits = execute_search(df, {"sort": [{"v": {"order": "asc"}}]})["hits"]
+    assert [r["id"] for r in hits.collect()] == [3, 1, 2]
+    hits = execute_search(df, {"sort": [{"v": {"order": "desc"}}]})["hits"]
+    assert [r["id"] for r in hits.collect()] == [1, 3, 2]
+    # missing=_first overrides
+    hits = execute_search(df, {"sort": [
+        {"v": {"order": "asc", "missing": "_first"}}]})["hits"]
+    assert [r["id"] for r in hits.collect()] == [2, 3, 1]
+
+    # fuzzy prefix_length: spavk ~1~ spark shares 'spa'; quark does not
+    assert sorted(r["id"] for r in df.filter(compile_query(
+        {"fuzzy": {"w": {"value": "spark", "fuzziness": 1}}}
+    )).collect()) == [1, 2]
+    assert sorted(r["id"] for r in df.filter(compile_query(
+        {"fuzzy": {"w": {"value": "spark", "fuzziness": 1,
+                         "prefix_length": 3}}}
+    )).collect()) == [1, 2]
+    # quark is 1 edit away but fails prefix_length=1 ('q' != 's')
+    assert sorted(r["id"] for r in df.filter(compile_query(
+        {"fuzzy": {"w": {"value": "quark", "fuzziness": 1,
+                         "prefix_length": 1}}}
+    )).collect()) == [3]
+    assert sorted(r["id"] for r in df.filter(compile_query(
+        {"fuzzy": {"w": {"value": "quark", "fuzziness": 2}}}
+    )).collect()) == [1, 3]  # spark ~2~ quark without the prefix gate
+    assert sorted(r["id"] for r in df.filter(compile_query(
+        {"fuzzy": {"w": {"value": "quark", "fuzziness": 2,
+                         "prefix_length": 1}}}
+    )).collect()) == [3]  # ...and the prefix gate still excludes it
