@@ -3454,19 +3454,39 @@ def _run_agg(
 
     if kind == "date_histogram":
         field = body["field"]
+        fcol = F.col(field)
+        tz = body.get("time_zone")
+        if tz:
+            # time_zone: bucket boundaries in the LOCAL calendar — shift
+            # into the zone, truncate, report local wall-clock keys (the
+            # public response keys render in the requested zone). Named
+            # zones ride the JVM tz database; "+05:30" offsets work too.
+            fcol = F.from_utc_timestamp(fcol, tz)
+        off = body.get("offset")
+        off_micros = 0
+        if off:
+            sign = -1 if str(off).startswith("-") else 1
+            off_micros = sign * _fixed_interval_micros(
+                str(off).lstrip("+-")
+            )
+            fcol = F.timestamp_micros(F.unix_micros(fcol) - off_micros)
         if "fixed_interval" in body:
             # fixed_interval: epoch-aligned buckets of an exact duration
             # ("90s", "30m", "12h", "7d") — arithmetic on epoch micros,
             # unlike calendar_interval's calendar-aware date_trunc.
             micros = _fixed_interval_micros(body["fixed_interval"])
             bucket = F.timestamp_micros(
-                (F.unix_micros(F.col(field)) - F.unix_micros(F.col(field)) % micros)
+                (F.unix_micros(fcol) - F.unix_micros(fcol) % micros)
             )
         else:
             interval = body.get("calendar_interval", body.get("interval", "day"))
             if interval not in ("hour", "day", "month", "year", "week", "minute"):
                 raise ValueError(f"unsupported interval {interval}")
-            bucket = F.date_trunc(interval, F.col(field))
+            bucket = F.date_trunc(interval, fcol)
+        if off_micros:
+            # boundaries shifted for truncation; keys report the true
+            # (offset) bucket start, per the public contract
+            bucket = F.timestamp_micros(F.unix_micros(bucket) + off_micros)
         metric_sub, pipe_sub = _split_pipeline_aggs(sub)
         cumcard_sub = {
             n: s for n, s in metric_sub.items()

@@ -646,3 +646,52 @@ def test_sort_missing_and_fuzzy_prefix_length(spark):
         {"fuzzy": {"w": {"value": "quark", "fuzziness": 2,
                          "prefix_length": 1}}}
     )).collect()) == [3]  # ...and the prefix gate still excludes it
+
+
+def test_date_histogram_offset_and_time_zone(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        execute_search,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 03:00:00"), (2, "2024-01-01 07:00:00"),
+         (3, "2024-01-02 05:00:00"), (4, "2024-01-02 23:30:00")],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def buckets(body):
+        res = execute_search(df, {"size": 0, "aggs": {"h": body}})
+        return [(str(b["key"]), b["doc_count"])
+                for b in res["aggregations"]["h"]["buckets"]]
+
+    # offset +6h: day buckets start at 06:00 — 03:00 belongs to the
+    # PREVIOUS day's bucket (2023-12-31 06:00)
+    got = buckets({"date_histogram": {
+        "field": "ts", "calendar_interval": "day", "offset": "+6h"}})
+    assert got == [
+        ("2023-12-31 06:00:00", 1),
+        ("2024-01-01 06:00:00", 2),
+        ("2024-01-02 06:00:00", 1),
+    ]
+    # negative offset shifts the other way
+    got = buckets({"date_histogram": {
+        "field": "ts", "fixed_interval": "1d", "offset": "-4h"}})
+    assert got[0][0] == "2023-12-31 20:00:00"
+    # time_zone +05:30: 23:30 UTC rolls into the NEXT local day
+    got = buckets({"date_histogram": {
+        "field": "ts", "calendar_interval": "day",
+        "time_zone": "+05:30"}})
+    assert got == [
+        ("2024-01-01 00:00:00", 2),
+        ("2024-01-02 00:00:00", 1),
+        ("2024-01-03 00:00:00", 1),
+    ]
+    # a named zone resolves through the JVM tz database
+    got = buckets({"date_histogram": {
+        "field": "ts", "calendar_interval": "day",
+        "time_zone": "America/New_York"}})
+    assert got == [
+        ("2023-12-31 00:00:00", 1),
+        ("2024-01-01 00:00:00", 1),
+        ("2024-01-02 00:00:00", 2),
+    ]
