@@ -955,7 +955,62 @@ class FlightsEtlPipeline:
         view = self.multi_index_view(pattern)
         if view is None:
             return {"hits": None, "aggregations": {}}
-        return execute_search(view, body or {})
+        return execute_search(view, self._resolve_terms_lookup(body or {}))
+
+    def _resolve_terms_lookup(self, body: dict) -> dict:
+        """Terms-lookup pre-resolve: a ``terms`` query whose spec is
+        ``{"index", "id", "path"}`` fetches that ONE document (bounded
+        mget, never a scan) and inlines its ``path`` value(s) as the
+        terms list — the coordinator-side resolution the public API
+        performs before fanning the query out. Walks the whole body so
+        lookups nest under bool/dis_max/function_score like any other
+        clause."""
+        def walk(node):
+            if isinstance(node, list):
+                return [walk(x) for x in node]
+            if not isinstance(node, dict):
+                return node
+            if len(node) == 1 and "terms" in node \
+                    and isinstance(node["terms"], dict):
+                spec = node["terms"]
+                lookup_fields = [
+                    f for f, v in spec.items()
+                    if isinstance(v, dict) and {"index", "id", "path"}
+                    <= set(v)
+                ]
+                if lookup_fields:
+                    (field,) = lookup_fields
+                    lk = spec[field]
+                    got = self.mget(lk["index"], [str(lk["id"])])
+                    rows = got.collect() if got is not None else []
+                    if not rows:
+                        raise ValueError(
+                            f"terms lookup: no document {lk['id']!r} "
+                            f"in {lk['index']!r}"
+                        )
+                    val = rows[0][lk["path"]]
+                    values = (list(val) if isinstance(val, (list, tuple))
+                              else [val])
+                    return {"terms": {field: values}}
+            return {k: walk(v) for k, v in node.items()}
+
+        return walk(body)
+
+    def msearch_template(
+        self, requests: list[tuple[str, dict, dict]]
+    ) -> list[dict]:
+        """``_msearch/template`` analog: each entry is (index pattern,
+        template, params) — render then run through :meth:`search`,
+        results in request order (the multi-search contract)."""
+        from ..operators.search import render_search_template
+
+        out = []
+        for pattern, template, params in requests:
+            body = render_search_template(
+                template.get("source", template), params
+            )
+            out.append(self.search(pattern, body))
+        return out
 
     def sql(self, query: str) -> DataFrame:
         """``POST /_plugins/_sql`` analog: read-only SQL over the live

@@ -490,3 +490,41 @@ def test_rollover_lifecycle(spark, tmp_path_factory):
     assert out["new_index"] == "fare-v2"
     with pytest.raises(ValueError):
         p.rollover("missing_alias")
+
+
+def test_terms_lookup_query(booted):
+    """terms lookup: the terms list comes from ONE fetched document."""
+    view = booted.multi_index_view("fare")
+    anchor = view.select("_id", "pk").limit(1).collect()[0]
+    res = booted.search("fare", {"query": {"terms": {"pk": {
+        "index": "fare", "id": anchor["_id"], "path": "pk"}}}})
+    want = view.filter(F.col("pk") == anchor["pk"]).count()
+    assert res["hits"].count() == want
+    # nested under bool.filter
+    res = booted.search("fare", {"query": {"bool": {"filter": [
+        {"terms": {"pk": {"index": "fare", "id": anchor["_id"],
+                          "path": "pk"}}},
+        {"exists": {"field": "sk"}},
+    ]}}})
+    assert res["hits"].count() <= want
+    with pytest.raises(ValueError):
+        booted.search("fare", {"query": {"terms": {"pk": {
+            "index": "fare", "id": "no|such", "path": "pk"}}}})
+    # plain terms lists are untouched
+    res = booted.search("fare", {"query": {"terms": {
+        "pk": [anchor["pk"]]}}})
+    assert res["hits"].count() == want
+
+
+def test_msearch_template(booted):
+    tmpl = {"query": {"term": {"pk": "{{p}}"}}}
+    pks = [r["pk"] for r in booted.multi_index_view("fare")
+           .select("pk").distinct().limit(2).collect()]
+    out = booted.msearch_template([
+        ("fare", tmpl, {"p": pks[0]}),
+        ("fare", tmpl, {"p": pks[1]}),
+    ])
+    assert len(out) == 2
+    for res, pk in zip(out, pks):
+        got = {r["pk"] for r in res["hits"].select("pk").collect()}
+        assert got == {pk}
