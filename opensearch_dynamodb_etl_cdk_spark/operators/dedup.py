@@ -432,3 +432,41 @@ def repeated_ngram_report(
             / F.count(F.lit(1)).cast("double")
         ).alias("repeated_frac"),
     )
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The APPLY step of near-dup curation: label duplicate clusters
+    (connected components over the verified pair list) and keep ONE
+    representative per cluster — the highest-``quality_col`` member,
+    ties to the smallest id. Documents in no cluster survive untouched.
+
+    Shape: components iterate on the (tiny) edge list, never the
+    corpus; the corpus is touched by one LEFT join against the node
+    labels (broadcast-sized for realistic dup rates) and one
+    row_number window partitioned by cluster — both keyed, both
+    skew-bounded by the largest dup cluster.
+    """
+    from pyspark.sql import Window
+
+    from .graph import connected_components
+
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    labeled = df.join(
+        comps.withColumnRenamed("node", "__node"),
+        df[id_col] == F.col("__node"),
+        "left",
+    )
+    cluster = F.coalesce(F.col("component_id"), F.col(id_col))
+    w = Window.partitionBy(cluster).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__node", "component_id")
+    )

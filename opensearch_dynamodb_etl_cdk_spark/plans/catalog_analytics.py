@@ -576,3 +576,46 @@ def nested_terms_agg(spark, sf_dir):
         .filter(F.col("rn") <= 2)
         .select("parent_key", "child_key", "doc_count", "sum_price")
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {SHINGLE_CTE},
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, {JACCARD} AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.7),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    comp AS (SELECT src AS node, MIN(dst) AS cid FROM reach GROUP BY src),
+    lab AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             COALESCE(c.cid, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM lab) WHERE rn = 1
+    """,
+    doc="Near-dup curation APPLY step (operators/dedup.py::"
+    "keep_best_per_cluster): cluster the verified MinHash pairs "
+    "(components iterate on the edge list, never the corpus), keep the "
+    "longest member per cluster (ties → smallest id), pass everything "
+    "unclustered through. One LEFT join of corpus × node labels + one "
+    "cluster-partitioned row_number window.",
+    tags=("dedup", "graph", "pipeline"),
+)
+def dedup_keep_best(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    pairs = D.minhash_lsh_pairs(d, num_hashes=64, bands=32, threshold=0.7)
+    return D.keep_best_per_cluster(d, pairs, "n_chars").select(
+        "doc_id", "lang", "n_chars"
+    )

@@ -733,3 +733,25 @@ def test_ivfpq_full_probe_full_pool_is_exact(spark):
                df, idx, cents, books, q, k=10, nprobe=4, pool=100,
            ).collect()]
     assert got == bf
+
+
+def test_keep_best_per_cluster(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.dedup import (
+        keep_best_per_cluster,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (4, 7), (5, 99)],
+        "doc_id long, quality long",
+    )
+    # clusters: {1,2,3} (chained), {4} via pair, 5 untouched... use
+    # pairs (1,2),(2,3),(4,1)? keep simple: {1,2,3,4} chain + lone 5
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    kept = keep_best_per_cluster(docs, pairs, "quality")
+    got = sorted(r["doc_id"] for r in kept.collect())
+    # cluster {1,2,3}: quality tie 2 vs 3 → smaller id 2 survives
+    assert got == [2, 4, 5]
+    # all original columns intact
+    assert set(kept.columns) == {"doc_id", "quality"}
