@@ -2552,6 +2552,70 @@ def _apply_join_field_queries(
     return df, {"bool": body}
 
 
+def _execute_retriever(
+    df: DataFrame,
+    body: dict[str, Any],
+    suggest_vocabs=None,
+    suggest_bigrams=None,
+) -> dict[str, Any]:
+    """The modern ``retriever`` envelope: ``standard`` wraps a query,
+    ``knn`` maps onto the knn query, ``rrf`` runs its child retrievers
+    recursively and fuses their rankings with reciprocal-rank fusion
+    (:func:`..relevance.rrf_fuse` — rank windows TakeOrdered-bounded,
+    fusion one keyed groupBy). Fused hits re-join the source frame by
+    ``_id`` so the response carries full documents plus the fused
+    ``_score``."""
+    spec = body["retriever"]
+    (kind, rbody), = spec.items()
+    rest = {k: v for k, v in body.items() if k != "retriever"}
+
+    if kind == "standard":
+        return execute_search(
+            df, {**rest, "query": rbody.get("query", {"match_all": {}})},
+            suggest_vocabs=suggest_vocabs, suggest_bigrams=suggest_bigrams,
+        )
+    if kind == "knn":
+        knn = {k: v for k, v in rbody.items()
+               if k in ("field", "query_vector", "k", "filter", "min_score")}
+        knn.setdefault("k", int(rest.get("size", 10)))
+        return execute_search(
+            df, {**rest, "query": {"knn": knn}},
+            suggest_vocabs=suggest_vocabs, suggest_bigrams=suggest_bigrams,
+        )
+    if kind == "rrf":
+        from .relevance import rrf_fuse
+
+        children = rbody.get("retrievers")
+        if not children or len(children) < 2:
+            raise ValueError("rrf retriever needs >= 2 child retrievers")
+        window = int(rbody.get("rank_window_size", 100))
+        rank_k = int(rbody.get("rank_constant", 60))
+        size = int(rest.get("size", 10))
+        id_col = "_id" if "_id" in df.columns else df.columns[0]
+        frames = []
+        for child in children:
+            hits = _execute_retriever(
+                df, {"retriever": child, "size": window},
+                suggest_vocabs=suggest_vocabs,
+                suggest_bigrams=suggest_bigrams,
+            )["hits"]
+            if "_score" not in hits.columns:
+                raise ValueError(
+                    "rrf child retrievers must produce scored rankings "
+                    "(unscored filter-context children have no rank order)"
+                )
+            frames.append(hits)
+        fused = rrf_fuse(frames, [id_col], k=rank_k, window=window,
+                         size=size)
+        docs = df.drop("_score") if "_score" in df.columns else df
+        hits = (
+            fused.join(docs, id_col)
+            .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+        )
+        return {"hits": hits, "aggregations": {}}
+    raise ValueError(f"unsupported retriever {kind!r}")
+
+
 def execute_search(
     df: DataFrame,
     body: dict[str, Any],
@@ -2579,6 +2643,11 @@ def execute_search(
                 suggest_vocabs=suggest_vocabs,
                 suggest_bigrams=suggest_bigrams,
             )
+    if "retriever" in body:
+        return _execute_retriever(
+            df, body,
+            suggest_vocabs=suggest_vocabs, suggest_bigrams=suggest_bigrams,
+        )
     if body.get("runtime_mappings"):
         # Runtime fields: computed at search time from a script (this
         # engine's dialect = guarded Spark SQL expressions), visible to

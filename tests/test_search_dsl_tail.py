@@ -695,3 +695,37 @@ def test_date_histogram_offset_and_time_zone(spark):
         ("2024-01-01 00:00:00", 1),
         ("2024-01-02 00:00:00", 2),
     ]
+
+
+def test_retriever_envelope(docs):
+    # standard retriever = plain query
+    res = execute_search(docs, {"retriever": {"standard": {
+        "query": {"match": {"text": "spark"}}}}, "size": 5})
+    assert sorted(r.id for r in res["hits"].collect()) == [1, 2]
+    # rrf retriever fuses two scored children
+    res = execute_search(docs, {"retriever": {"rrf": {
+        "retrievers": [
+            {"standard": {"query": {"rank_feature": {
+                "field": "feat", "saturation": {"pivot": 5.0}}}}},
+            {"standard": {"query": {"distance_feature": {
+                "field": "ts", "origin": "2024-01-01 00:00:10",
+                "pivot": "7d"}}}},
+        ],
+        "rank_constant": 60, "rank_window_size": 10,
+    }}, "size": 4})
+    rows = res["hits"].select("id", "_score", "text").collect()
+    assert len(rows) == 4
+    # doc 1: rank 1 on feat (10.0) and rank 1 on recency → top fused
+    assert rows[0]["id"] == 1
+    assert abs(rows[0]["_score"] - 2 / 61) < 1e-9
+    assert rows[0]["text"] is not None  # full documents joined back
+    with pytest.raises(ValueError):
+        execute_search(docs, {"retriever": {"rrf": {
+            "retrievers": [{"standard": {"query": {"match_all": {}}}}]}}})
+    with pytest.raises(ValueError):
+        execute_search(docs, {"retriever": {"rrf": {"retrievers": [
+            {"standard": {"query": {"match_all": {}}}},
+            {"standard": {"query": {"term": {"text": "x"}}}},
+        ]}}})  # unscored children rejected
+    with pytest.raises(ValueError):
+        execute_search(docs, {"retriever": {"splines": {}}})
