@@ -297,3 +297,65 @@ def test_expand_and_flatten(spark):
     out = ppl_query("source=t | expand tags as tag | where tag = 'a'",
                     lambda n: df)
     assert [r["id"] for r in out.collect()] == [1]
+
+
+# ---------------------------------------------------------- lexer props
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from opensearch_dynamodb_etl_cdk_spark.operators.ppl import (
+    _expand_grok,
+    _named_groups,
+    _parse_call,
+    _split_top,
+)
+
+_atom = st.text(
+    alphabet="abcXYZ01_ ", min_size=0, max_size=8
+).map(str.strip)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_atom.filter(bool), min_size=1, max_size=6))
+def test_split_top_round_trips_plain_parts(parts):
+    # no separators/quotes/parens inside parts → split(join) == parts
+    assert _split_top(",".join(parts), ",") == parts
+
+
+@settings(max_examples=200, deadline=None)
+@given(_atom, _atom)
+def test_split_top_respects_quotes_and_parens(a, b):
+    s = f"f({a}, {b}), '{a},{b}', tail"
+    parts = _split_top(s, ",")
+    # the quoted and parenthesized commas never split
+    assert len(parts) == 3
+    assert parts[0].startswith("f(") and parts[0].endswith(")")
+    assert parts[1].startswith("'") and parts[1].endswith("'")
+    assert parts[2] == "tail"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.sampled_from(["sum", "avg", "count", "span"]),
+       _atom.filter(bool))
+def test_parse_call_inverse(fn, arg):
+    got = _parse_call(f"{fn}({arg})")
+    assert got == (fn, arg)
+    # trailing junk is not a bare call
+    assert _parse_call(f"{fn}({arg}) + 1") is None
+    # a bare identifier is not a call
+    assert _parse_call(fn) is None
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(
+    st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,5}", fullmatch=True),
+    min_size=1, max_size=4, unique=True,
+))
+def test_grok_named_group_indices(names):
+    pattern = " ".join(f"%{{WORD:{n}}}" for n in names)
+    regex, _ = _expand_grok(pattern)
+    groups = _named_groups(regex)
+    # every alias present, indices are 1..n in order
+    assert list(groups) == names
+    assert list(groups.values()) == list(range(1, len(names) + 1))
