@@ -2575,11 +2575,16 @@ def _execute_retriever(
             suggest_vocabs=suggest_vocabs, suggest_bigrams=suggest_bigrams,
         )
     if kind == "knn":
-        knn = {k: v for k, v in rbody.items()
-               if k in ("field", "query_vector", "k", "filter", "min_score")}
-        knn.setdefault("k", int(rest.get("size", 10)))
+        # the retriever's flat shape → the knn query's field-keyed spec
+        spec_knn = {
+            "vector": rbody["query_vector"],
+            "k": int(rbody.get("k", rest.get("size", 10))),
+        }
+        for opt in ("filter", "min_score", "tie_break"):
+            if rbody.get(opt) is not None:
+                spec_knn[opt] = rbody[opt]
         return execute_search(
-            df, {**rest, "query": {"knn": knn}},
+            df, {**rest, "query": {"knn": {rbody["field"]: spec_knn}}},
             suggest_vocabs=suggest_vocabs, suggest_bigrams=suggest_bigrams,
         )
     if kind == "rrf":

@@ -729,3 +729,19 @@ def test_retriever_envelope(docs):
         ]}}})  # unscored children rejected
     with pytest.raises(ValueError):
         execute_search(docs, {"retriever": {"splines": {}}})
+
+
+def test_retriever_knn(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        execute_search,
+    )
+
+    df = spark.createDataFrame(
+        [("1", [1.0, 0.0]), ("2", [0.9, 0.1]), ("3", [0.0, 1.0])],
+        "_id string, embedding array<double>",
+    )
+    res = execute_search(df, {"retriever": {"knn": {
+        "field": "embedding", "query_vector": [1.0, 0.0], "k": 2}}})
+    got = [r["_id"] for r in res["hits"].collect()]
+    assert got == ["1", "2"]
+    assert "_score" in res["hits"].columns
