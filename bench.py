@@ -100,6 +100,11 @@ HEADLINE = [
     "ppl_dedup_latest_event",
     "bpe_word_counts",
     "temperature_mixture_counts",
+    # round-5 late additions: the join-field semi-join (parents gated
+    # by a pushed child predicate) and the dedup APPLY step
+    # (components on the edge list + cluster-partitioned window)
+    "has_child_search",
+    "dedup_keep_best",
 ]
 
 # The driver's fixture parquet ships ONE row group per table (sf0.1
