@@ -638,13 +638,18 @@ class FlightsEtlPipeline:
         dest: str,
         query: dict | None = None,
         set_fields: dict[str, str] | None = None,
+        pipeline: str | dict | None = None,
     ) -> int:
         """``_reindex`` analog: copy the source index's live documents
-        (optionally filtered by a DSL ``query`` and transformed by
-        ``set_fields`` script expressions) into ``dest``'s index table
-        through the same keyed merge path — re-runnable (per-key
-        upserts), bucket layout preserved. ``dest`` may be a new table
-        name outside the configured routes. Returns the copied count."""
+        (optionally filtered by a DSL ``query``, transformed by
+        ``set_fields`` script expressions and/or an ingest ``pipeline``
+        — a registered id or an inline ``{"processors": [...]}`` body)
+        into ``dest``'s index table through the same keyed merge path —
+        re-runnable (per-key upserts), bucket layout preserved. The
+        processor chain folds into the SAME plan that writes the index:
+        ingest transforms cost zero extra passes. ``dest`` may be a new
+        table name outside the configured routes. Returns the copied
+        count."""
         from ..operators.search import compile_query
 
         if dest in self.get_aliases():
@@ -661,6 +666,17 @@ class FlightsEtlPipeline:
             batch = batch.filter(compile_query(query))
         for col_name, expr in (set_fields or {}).items():
             batch = batch.withColumn(col_name, safe_expr(expr))
+        if pipeline is not None:
+            from ..functions.ingest import apply_processors
+
+            batch = apply_processors(
+                batch, self._ingest_processors(pipeline)
+            )
+            if "_id" not in batch.columns:
+                raise ValueError(
+                    "reindex pipeline removed _id — documents would be "
+                    "unaddressable"
+                )
         n = batch.count()
         if n == 0:
             return 0
@@ -790,6 +806,87 @@ class FlightsEtlPipeline:
         self._write_aliases(
             {k: v for k, v in self.get_aliases().items() if k != alias}
         )
+
+    # -- ingest pipelines ---------------------------------------------------
+
+    def _ingest_path(self) -> str:
+        return os.path.join(self.cfg.index_root, "_ingest_pipelines.json")
+
+    def _read_ingest(self) -> dict:
+        import json
+
+        try:
+            with open(self._ingest_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def put_ingest_pipeline(self, pipeline_id: str, body: dict) -> dict:
+        """``PUT /_ingest/pipeline/<id>`` analog: validate the
+        processor kinds up front (unknown processors fail HERE, not at
+        first use) and persist the chain (atomic tmp+rename, same as
+        the alias registry)."""
+        import json
+
+        processors = list(body.get("processors", []))
+        for p in processors:
+            (kind, spec), = p.items()
+            if kind not in ("set", "remove", "rename", "lowercase",
+                            "uppercase", "trim", "convert", "gsub",
+                            "split", "join", "grok", "date", "script"):
+                raise ValueError(f"unsupported ingest processor {kind!r}")
+        reg = self._read_ingest()
+        reg[pipeline_id] = {"processors": processors,
+                            "description": body.get("description", "")}
+        os.makedirs(self.cfg.index_root, exist_ok=True)
+        tmp = self._ingest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(reg, f)
+        os.replace(tmp, self._ingest_path())
+        return {"acknowledged": True}
+
+    def get_ingest_pipeline(self, pipeline_id: str | None = None) -> dict:
+        reg = self._read_ingest()
+        if pipeline_id is None:
+            return reg
+        if pipeline_id not in reg:
+            raise ValueError(f"no such ingest pipeline {pipeline_id!r}")
+        return reg[pipeline_id]
+
+    def delete_ingest_pipeline(self, pipeline_id: str) -> bool:
+        import json
+
+        reg = self._read_ingest()
+        existed = reg.pop(pipeline_id, None) is not None
+        if existed:
+            tmp = self._ingest_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(reg, f)
+            os.replace(tmp, self._ingest_path())
+        return existed
+
+    def _ingest_processors(self, pipeline: str | dict) -> list[dict]:
+        if isinstance(pipeline, dict):
+            return list(pipeline.get("processors", []))
+        return list(self.get_ingest_pipeline(pipeline)["processors"])
+
+    def simulate_ingest(
+        self, pipeline: str | dict, docs: list[dict]
+    ) -> list[dict]:
+        """``POST /_ingest/pipeline/_simulate`` analog: run the chain
+        on ad-hoc documents and return the transformed docs (list
+        order preserved via a transient row number)."""
+        from ..functions.ingest import apply_processors
+
+        df = self.spark.createDataFrame(
+            [{**d, "__sim_order": i} for i, d in enumerate(docs)]
+        )
+        out = apply_processors(df, self._ingest_processors(pipeline))
+        rows = sorted(out.collect(), key=lambda r: r["__sim_order"])
+        return [
+            {k: v for k, v in r.asDict().items() if k != "__sim_order"}
+            for r in rows
+        ]
 
     def _write_aliases(self, aliases: dict[str, str]) -> None:
         import json
