@@ -236,3 +236,31 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
     # user 2 has no dimension row → null tier survives the left join
     assert any(t[2] is None for t in map(tuple, got))
+
+
+def test_ppl_pipeline_over_stream_matches_batch(spark, tmp_path):
+    """A PPL pipeline compiles to a plan that runs unchanged over a
+    readStream (the unified-model property): where→eval→stats..by span
+    on a file stream in update mode equals the same PPL over the batch
+    frame."""
+    from opensearch_dynamodb_etl_cdk_spark.operators.ppl import ppl_query
+
+    src = str(tmp_path / "ppl_src")
+    _write(src, _rows(n=40))
+    query = (
+        "source=events | where value >= 4 "
+        "| eval vat = value * 1.1 "
+        "| stats count() as cnt, sum(vat) as total "
+        "by event_type, span(ts, 1h)"
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+    out = ppl_query(query, lambda n: stream)
+    assert out.isStreaming
+    got = _run_stream(spark, out, tmp_path, "ppl_stream", "update")
+    batch = ppl_query(
+        query, lambda n: spark.read.schema(EVENT_SCHEMA).json(src)
+    )
+    want = {tuple(r) for r in batch.collect()}
+    have = {tuple(r) for r in got.collect()}
+    assert have == want
+    assert len(want) > 1
