@@ -115,3 +115,33 @@ def bounding_box_pred(
         & (lon >= F.lit(left))
         & (lon <= F.lit(right))
     )
+
+
+def point_in_polygon_pred(
+    lat: Column, lon: Column, vertices: list[tuple[float, float]]
+) -> Column:
+    """Even-odd ray casting entirely in Column algebra: for each
+    non-horizontal edge, a crossing iff the edge straddles the point's
+    latitude and the edge's longitude at that latitude lies east of the
+    point; odd crossing count = inside. The polygon is a request-time
+    constant, so slopes precompute in Python and the predicate is a
+    fixed chain of comparisons — whole-stage codegen, no UDF, no
+    geometry library. Planar even-odd (no great-circle edges, no
+    antimeridian wrap) — the documented approximation for the
+    coordinate ranges the engine's geo tier covers."""
+    if len(vertices) < 3:
+        raise ValueError("geo_polygon needs at least 3 points")
+    crossings = F.lit(0)
+    n = len(vertices)
+    for i in range(n):
+        y1, x1 = (float(v) for v in vertices[i])
+        y2, x2 = (float(v) for v in vertices[(i + 1) % n])
+        if y1 == y2:
+            continue  # horizontal edges never cross a horizontal ray
+        slope = (x2 - x1) / (y2 - y1)
+        cond = (
+            ((F.lit(y1) > lat) != (F.lit(y2) > lat))
+            & (lon < (lat - F.lit(y1)) * F.lit(slope) + F.lit(x1))
+        )
+        crossings = crossings + cond.cast("int")
+    return crossings % 2 == 1

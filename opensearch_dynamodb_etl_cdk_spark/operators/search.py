@@ -851,6 +851,20 @@ def compile_query(q: dict[str, Any], allow_unsafe_scripts: bool = False) -> Colu
             F.col(f"{field}.lat"), F.col(f"{field}.lon"), lat0, lon0, distance
         )
 
+    if kind == "geo_polygon":
+        # even-odd ray casting over request-constant vertices — a fixed
+        # comparison chain in codegen (functions/geo.py)
+        from ..functions.geo import parse_point, point_in_polygon_pred
+
+        spec = dict(body)
+        for ignored in ("validation_method", "ignore_unmapped", "_name"):
+            spec.pop(ignored, None)
+        (field, pbody), = spec.items()
+        vertices = [parse_point(pt) for pt in pbody["points"]]
+        return point_in_polygon_pred(
+            F.col(f"{field}.lat"), F.col(f"{field}.lon"), vertices
+        )
+
     if kind == "geo_bounding_box":
         # four pushable comparisons; corners accepted in either
         # top_left/bottom_right or top_right/bottom_left form, plus the

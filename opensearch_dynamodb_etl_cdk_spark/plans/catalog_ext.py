@@ -2333,3 +2333,52 @@ def embedding_near_dup_pairs(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     idx = _lsh_index(spark, sf_dir, e)
     return _pairs(e, threshold=0.45, index=idx).orderBy("id_a", "id_b")
+
+
+_POLY = [(30.0, 0.0), (0.0, 60.0), (-30.0, 0.0), (0.0, -60.0)]
+
+
+def _poly_crossing_sql() -> str:
+    terms = []
+    n = len(_POLY)
+    for i in range(n):
+        y1, x1 = _POLY[i]
+        y2, x2 = _POLY[(i + 1) % n]
+        if y1 == y2:
+            continue
+        slope = (x2 - x1) / (y2 - y1)
+        terms.append(
+            f"CASE WHEN (({y1!r} > lat) <> ({y2!r} > lat)) AND "
+            f"(lon < (lat - {y1!r}) * {slope!r} + {x1!r}) "
+            "THEN 1 ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "geo_polygon_filter",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM customer)
+    SELECT c_custkey, lat, lon FROM pts
+    WHERE ({_poly_crossing_sql()}) % 2 = 1
+    """,
+    doc="geo_polygon DSL filter (functions/geo.py::point_in_polygon_"
+    "pred): even-odd ray casting as a FIXED comparison chain over the "
+    "request-constant vertices — whole-stage codegen, no geometry "
+    "library; oracle runs the identical edge arithmetic (same Python-"
+    "precomputed slopes in both SQL texts → IEEE-identical crossings).",
+    tags=("dsl", "geo"),
+)
+def geo_polygon_filter(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    pts = _geo_points(spark, sf_dir)
+    hits = execute_search(pts, {"query": {"geo_polygon": {"location": {
+        "points": [{"lat": la, "lon": lo} for la, lo in _POLY],
+    }}}})["hits"]
+    return hits.select(
+        "c_custkey",
+        F.col("location.lat").alias("lat"),
+        F.col("location.lon").alias("lon"),
+    )

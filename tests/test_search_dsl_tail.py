@@ -745,3 +745,23 @@ def test_retriever_knn(spark):
     got = [r["_id"] for r in res["hits"].collect()]
     assert got == ["1", "2"]
     assert "_score" in res["hits"].columns
+
+
+def test_geo_polygon_ray_casting(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0),      # center: inside the diamond
+         (2, 25.0, 0.1),     # near the top vertex: inside
+         (3, 29.0, 40.0),    # upper-right, outside the slanted edge
+         (4, -31.0, 0.0),    # below the bottom vertex
+         (5, 0.0, 59.0)],    # just inside the right vertex
+        "id long, lat double, lon double",
+    ).select("id", F.struct("lat", "lon").alias("location"))
+    q = {"geo_polygon": {"location": {"points": [
+        {"lat": 30.0, "lon": 0.0}, {"lat": 0.0, "lon": 60.0},
+        {"lat": -30.0, "lon": 0.0}, {"lat": 0.0, "lon": -60.0},
+    ]}}}
+    assert sorted(r.id for r in df.filter(compile_query(q)).collect()) \
+        == [1, 2, 5]
+    with pytest.raises(ValueError):
+        compile_query({"geo_polygon": {"location": {"points": [
+            {"lat": 0, "lon": 0}, {"lat": 1, "lon": 1}]}}})
