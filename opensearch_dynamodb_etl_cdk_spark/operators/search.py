@@ -938,6 +938,9 @@ def compile_query(q: dict[str, Any], allow_unsafe_scripts: bool = False) -> Colu
     if kind == "span_not":
         return _compile_span_not(body)
 
+    if kind in ("span_within", "span_containing"):
+        return _compile_span_within(body)
+
     if kind == "intervals":
         (field, rule), = body.items()
         return _compile_intervals(field, rule)
@@ -1347,6 +1350,91 @@ def _compile_span_first(body: dict[str, Any]) -> Column:
     if mk == "span_near":
         return _compile_span_near(mb, end=endpos)
     raise ValueError(f"span_first match must be span_term/span_near, got {mk}")
+
+
+def _compile_span_within(body: dict[str, Any]) -> Column:
+    """``span_within`` / ``span_containing``: a little span enclosed by
+    a big span. In filter context both kinds reduce to the SAME
+    document predicate — ∃ little occurrence [l] and big occurrence
+    [b_min, b_max] with b_min ≤ l ≤ b_max (they differ only in which
+    span the scoring layer would return). Little must be a span_term /
+    span_or-of-terms (width-1 spans); big may be a span_term or a
+    span_near of span_terms — the big span's assignment reuses the
+    span_near quantifier shape and the little positions ride the same
+    level-2 packing so nothing is re-derived per quantifier leaf."""
+    little_terms, lf = _span_term_set(body["little"])
+    (bk, bb), = body["big"].items()
+    if bk == "span_term":
+        (bf, bspec), = bb.items()
+        big_terms = [str(bspec["value"] if isinstance(bspec, dict)
+                         else bspec).lower()]
+        slop, in_order = 0, False
+    elif bk == "span_near":
+        big_terms, slop, in_order, fields = [], int(bb.get("slop", 0)), \
+            bool(bb.get("in_order", False)), set()
+        for c in bb["clauses"]:
+            (ck, cb), = c.items()
+            if ck != "span_term":
+                raise ValueError(
+                    f"span_within big clauses must be span_term, got {ck}"
+                )
+            (f, spec), = cb.items()
+            fields.add(f)
+            big_terms.append(
+                str(spec["value"] if isinstance(spec, dict) else spec).lower()
+            )
+        if len(fields) != 1:
+            raise ValueError("span_within big clauses must target one field")
+        bf = fields.pop()
+    else:
+        raise ValueError(
+            f"span_within big must be span_term/span_near, got {bk}"
+        )
+    if lf != bf:
+        raise ValueError("span_within little/big must target one field")
+
+    toks = _analyze(F.col(lf))
+    n = len(big_terms)
+    max_span = slop + n - 1
+
+    def quantify(q: Column, i: int, bound: list[Column]) -> Column:
+        if i == n:
+            ok = F.lit(True)
+            for a in range(n):
+                for b in range(a + 1, n):
+                    ok = ok & (bound[a] != bound[b])
+            if n > 1:
+                ok = ok & (
+                    F.greatest(*bound) - F.least(*bound) <= F.lit(max_span)
+                )
+            if in_order:
+                for a in range(n - 1):
+                    ok = ok & (bound[a] < bound[a + 1])
+            lo = F.least(*bound) if n > 1 else bound[0]
+            hi = F.greatest(*bound) if n > 1 else bound[0]
+            return ok & F.exists(
+                q.getField("little"),
+                lambda p: (lo <= p) & (p <= hi),
+            )
+        return F.exists(
+            q.getField(f"p{i}"), lambda p: quantify(q, i + 1, bound + [p])
+        )
+
+    packed = F.array(F.struct(toks.alias("t")))
+    return F.exists(
+        packed,
+        lambda s: F.exists(
+            F.array(F.struct(
+                *[_token_positions(s.getField("t"), t).alias(f"p{i}")
+                  for i, t in enumerate(big_terms)],
+                F.flatten(F.array(*[
+                    _token_positions(s.getField("t"), t)
+                    for t in little_terms
+                ])).alias("little"),
+            )),
+            lambda q: quantify(q, 0, []),
+        ),
+    )
 
 
 def _compile_span_not(body: dict[str, Any]) -> Column:

@@ -765,3 +765,39 @@ def test_geo_polygon_ray_casting(spark):
     with pytest.raises(ValueError):
         compile_query({"geo_polygon": {"location": {"points": [
             {"lat": 0, "lon": 0}, {"lat": 1, "lon": 1}]}}})
+
+
+def test_span_within_containing(docs):
+    # doc1: "spark merge batch window sort" — 'batch' lies inside the
+    # spark..sort span; doc2: "merge spark window batch" — 'batch' is
+    # OUTSIDE the spark..window span
+    within = {"span_within": {
+        "little": {"span_term": {"text": "batch"}},
+        "big": {"span_near": {
+            "clauses": [{"span_term": {"text": "spark"}},
+                        {"span_term": {"text": "sort"}}],
+            "slop": 5, "in_order": True}},
+    }}
+    assert _ids(docs, within) == [1]
+    # span_containing in filter context = same document predicate
+    containing = {"span_containing": {
+        "little": {"span_term": {"text": "batch"}},
+        "big": within["span_within"]["big"]}}
+    assert _ids(docs, containing) == [1]
+    # big window that does not cover the little term
+    assert _ids(docs, {"span_within": {
+        "little": {"span_term": {"text": "batch"}},
+        "big": {"span_near": {
+            "clauses": [{"span_term": {"text": "merge"}},
+                        {"span_term": {"text": "spark"}}],
+            "slop": 0, "in_order": True}},
+    }}) == []
+    # span_term big: little must share the (width-1) position — i.e.
+    # only when little == big term positions overlap
+    assert _ids(docs, {"span_within": {
+        "little": {"span_term": {"text": "spark"}},
+        "big": {"span_term": {"text": "spark"}}}}) == [1, 2]
+    with pytest.raises(ValueError):
+        compile_query({"span_within": {
+            "little": {"span_term": {"text": "x"}},
+            "big": {"match": {"text": "y"}}}})
