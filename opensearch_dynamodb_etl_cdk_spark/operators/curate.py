@@ -190,3 +190,43 @@ def curation_report(curated: DataFrame) -> DataFrame:
         F.sum("n_tokens").alias("sum_tokens"),
         F.min("quality").alias("min_quality"),
     )
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Semantic decontamination: flag corpus items whose embedding is
+    near-identical (cosine ≥ threshold) to ANY benchmark item — the
+    paraphrase-robust complement to n-gram decontamination (which
+    misses reworded eval questions entirely).
+
+    Shape mirrors the n-gram decontaminator: the benchmark is
+    evaluation-set-sized (thousands, not billions) so it BROADCASTS and
+    the corpus never shuffles — one broadcast nested-loop pass scoring
+    |corpus| × |benchmark| cosines in codegen, then a per-item max.
+    Returns (id, max_benchmark_cosine, contaminated).
+    """
+    bench = F.broadcast(
+        benchmark.select(
+            F.col(id_col).alias("__bid"), F.col(vec_col).alias("__bv")
+        )
+    )
+    from ..functions.vectors import cosine
+
+    scored = corpus.select(id_col, vec_col).crossJoin(bench).select(
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__bv")).alias("__cos"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.max("__cos").alias("max_benchmark_cosine"))
+        .select(
+            id_col,
+            F.round("max_benchmark_cosine", 9).alias("max_benchmark_cosine"),
+            (F.col("max_benchmark_cosine") >= threshold).alias("contaminated"),
+        )
+    )

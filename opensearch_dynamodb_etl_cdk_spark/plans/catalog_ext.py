@@ -2382,3 +2382,31 @@ def geo_polygon_filter(spark, sf_dir):
         F.col("location.lat").alias("lat"),
         F.col("location.lon").alias("lon"),
     )
+
+
+@register(
+    "embedding_decontamination",
+    oracle=f"""
+    WITH bench AS (
+      SELECT embedding AS bv FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT e.vec_id, MAX({_cos('e.embedding', 'b.bv')}) AS mc
+      FROM embeddings e, bench b GROUP BY e.vec_id)
+    SELECT vec_id, ROUND(mc, 9) AS max_benchmark_cosine,
+           mc >= 0.95 AS contaminated
+    FROM scored
+    """,
+    doc="Semantic decontamination (operators/curate.py::"
+    "embedding_decontaminate): max cosine of every corpus embedding "
+    "against a BROADCAST benchmark set (10 vectors here; eval sets are "
+    "benchmark-sized, the corpus never shuffles) — flags paraphrased "
+    "eval leakage the n-gram decontaminator cannot see. Cosine summed "
+    "in array order on both engines; reported values rounded to 9.",
+    tags=("pipeline", "embedding", "decontamination"),
+)
+def embedding_decontamination(spark, sf_dir):
+    from ..operators.curate import embedding_decontaminate
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    bench = e.filter(F.col("vec_id") % 50 == 0)
+    return embedding_decontaminate(e, bench, threshold=0.95)

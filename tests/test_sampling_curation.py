@@ -445,3 +445,28 @@ def test_chunk_documents_windows(spark):
         chunk_documents(df, chunk_tokens=0)
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_embedding_decontaminate_flags_planted(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.curate import (
+        embedding_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.99, 0.14, 0.0]),
+         (3, [0.0, 1.0, 0.0]), (4, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: (r["contaminated"], r["max_benchmark_cosine"])
+           for r in embedding_decontaminate(
+               corpus, bench, threshold=0.95).collect()}
+    assert out[1][0] is True and abs(out[1][1] - 1.0) < 1e-9
+    assert out[2][0] is True  # near-paraphrase direction, cos ≈ .990
+    assert out[3][0] is False and out[4][0] is False
+    # plan: benchmark side is broadcast — no shuffle of the corpus
+    plan = embedding_decontaminate(corpus, bench)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
