@@ -496,6 +496,33 @@ class FlightsEtlPipeline:
         q = (query or {}).get("query", query) or {"match_all": {}}
         return view.filter(compile_query(q)).count()
 
+    # -- single-document CRUD (thin wrappers over bulk/mget: same LWW
+    # merge path, same admin-sequence semantics) ----------------------------
+
+    def get_doc(self, route: str, doc_id: str) -> dict | None:
+        """``GET /<index>/_doc/<id>`` analog: the document as a dict,
+        or None (found=false)."""
+        got = self.mget(route, [str(doc_id)])
+        rows = got.limit(1).collect() if got is not None else []
+        return rows[0].asDict() if rows else None
+
+    def index_doc(self, route: str, doc_id: str, doc: dict) -> dict:
+        """``PUT /<index>/_doc/<id>`` analog: full-document index
+        (replace)."""
+        return self.bulk(route, [{"index": {"_id": str(doc_id),
+                                            "doc": doc}}])
+
+    def update_doc(self, route: str, doc_id: str, doc: dict) -> dict:
+        """``POST /<index>/_update/<id>`` analog: partial merge —
+        unspecified fields preserved; missing document raises (the
+        public document_missing_exception)."""
+        return self.bulk(route, [{"update": {"_id": str(doc_id),
+                                             "doc": doc}}])
+
+    def delete_doc(self, route: str, doc_id: str) -> dict:
+        """``DELETE /<index>/_doc/<id>`` analog."""
+        return self.bulk(route, [{"delete": {"_id": str(doc_id)}}])
+
     def mget(self, route: str, ids: list[str]) -> DataFrame | None:
         """``_mget`` analog: fetch documents by ``_id`` list from one
         index — a pushable IN-predicate on the keyed table (the bucket

@@ -528,3 +528,30 @@ def test_msearch_template(booted):
     for res, pk in zip(out, pks):
         got = {r["pk"] for r in res["hits"].select("pk").collect()}
         assert got == {pk}
+
+
+def test_single_document_crud(spark, tmp_path_factory):
+    """GET/PUT/_update/DELETE /_doc wrappers ride the same LWW merge."""
+    tmp = tmp_path_factory.mktemp("doc_crud")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+
+    assert p.get_doc("fare", "no|such") is None
+    out = p.index_doc("fare", "CRUD|1", {"pk": "CRUD", "sk": "1",
+                                         "fare_class": "economy"})
+    assert out["indexed"] == 1
+    got = p.get_doc("fare", "CRUD|1")
+    assert got["fare_class"] == "economy" and got["pk"] == "CRUD"
+    p.update_doc("fare", "CRUD|1", {"fare_class": "business"})
+    got = p.get_doc("fare", "CRUD|1")
+    assert got["fare_class"] == "business"
+    assert got["pk"] == "CRUD"  # unspecified fields preserved
+    with pytest.raises(ValueError):
+        p.update_doc("fare", "no|such", {"fare_class": "x"})
+    p.delete_doc("fare", "CRUD|1")
+    assert p.get_doc("fare", "CRUD|1") is None
