@@ -922,6 +922,12 @@ def compile_query(q: dict[str, Any], allow_unsafe_scripts: bool = False) -> Colu
     if kind == "span_near":
         return _compile_span_near(body)
 
+    if kind == "span_multi":
+        # standalone: any analyzed token satisfies the wrapped
+        # multi-term predicate (SpanMultiTermQuery rewrite)
+        f, pred = _span_clause_token_pred({kind: body})
+        return F.exists(_analyze(F.col(f)), pred)
+
     if kind == "span_or":
         # Lucene span disjunction: any clause's span matches. In filter
         # context that is the OR of the clause predicates (each clause
@@ -1214,6 +1220,57 @@ def _compile_nested_pred(path: str, q: dict[str, Any], x: Column) -> Column:
     raise ValueError(f"unsupported clause {kind!r} inside nested query")
 
 
+def _span_clause_token_pred(clause: dict[str, Any]):
+    """A span_near/span_within clause → (field, token predicate).
+
+    span_term compares equality; span_multi wraps a multi-term query
+    (prefix / wildcard / regexp / fuzzy) whose predicate evaluates
+    against each ANALYZED token — exactly Lucene's SpanMultiTermQuery
+    rewrite, position-compatible with the span quantifiers."""
+    # NB: factories, not default-arg lambdas — PySpark introspects the
+    # lambda's parameter count to pick the higher-order-function arity,
+    # and a defaulted capture parameter would miscount as two args
+    def eq(v):
+        return lambda t: t == v
+
+    def starts(v):
+        return lambda t: t.startswith(v)
+
+    def rlike(rx):
+        return lambda t: t.rlike(rx)
+
+    def fuzz(v, budget):
+        return lambda t: F.levenshtein(t, F.lit(v)) <= budget
+
+    (ck, cb), = clause.items()
+    if ck == "span_term":
+        (f, spec), = cb.items()
+        term = str(spec["value"] if isinstance(spec, dict) else spec).lower()
+        return f, eq(term)
+    if ck == "span_multi":
+        (mk, mb), = cb["match"].items()
+        (f, spec), = mb.items()
+        value = spec["value"] if isinstance(spec, dict) else spec
+        if mk == "prefix":
+            return f, starts(str(value).lower())
+        if mk == "wildcard":
+            return f, rlike(_wildcard_to_regex(str(value).lower()))
+        if mk == "regexp":
+            return f, rlike(f"^(?:{value})$")
+        if mk == "fuzzy":
+            v = str(value).lower()
+            fz = spec.get("fuzziness", "AUTO") if isinstance(spec, dict) else "AUTO"
+            if fz == "AUTO":
+                n = len(v)
+                fz = 0 if n < 3 else (1 if n <= 5 else 2)
+            return f, fuzz(v, int(fz))
+        raise ValueError(f"span_multi match must be prefix/wildcard/"
+                         f"regexp/fuzzy, got {mk!r}")
+    raise ValueError(
+        f"span clause must be span_term or span_multi, got {ck!r}"
+    )
+
+
 def _compile_span_near(body: dict[str, Any], end: int | None = None) -> Column:
     """``span_near``: the clause terms occur within a token window —
     Lucene span semantics: a tuple of occurrence positions (one per
@@ -1231,19 +1288,16 @@ def _compile_span_near(body: dict[str, Any], end: int | None = None) -> Column:
     in_order = bool(body.get("in_order", True))
     if len(clauses) < 2:
         raise ValueError("span_near needs at least two clauses")
-    fields, terms = set(), []
+    fields, preds = set(), []
     for c in clauses:
-        (ck, cb), = c.items()
-        if ck != "span_term":
-            raise ValueError(f"span_near clause must be span_term, got {ck}")
-        (f, spec), = cb.items()
+        f, pred = _span_clause_token_pred(c)
         fields.add(f)
-        terms.append(str(spec["value"] if isinstance(spec, dict) else spec).lower())
+        preds.append(pred)
     if len(fields) != 1:
         raise ValueError("span_near clauses must target one field")
     toks = _analyze(F.col(fields.pop()))
 
-    n = len(terms)
+    n = len(preds)
     max_span = slop + n - 1  # max-min allowed
 
     # Two levels of single-element array-of-struct packing bind shared
@@ -1255,11 +1309,11 @@ def _compile_span_near(body: dict[str, Any], end: int | None = None) -> Column:
     # re-derives the inner O(tokens) filter per outer element).
     # Measured ~20× faster than the naive nesting on common terms
     # (12.2 s → 0.6 s for the sf0.1 span_near_search bench query).
-    def positions(tcol: Column, term: str) -> Column:
+    def positions(tcol: Column, pred) -> Column:
         # NB: single-arg lambda (see the F.filter index-arg trap above)
         return F.filter(
             F.sequence(F.lit(1), F.size(tcol)),
-            lambda i: F.element_at(tcol, i) == term,
+            lambda i: pred(F.element_at(tcol, i)),
         )
 
     def quantify(q: Column, i: int, bound: list[Column]) -> Column:
@@ -1291,8 +1345,8 @@ def _compile_span_near(body: dict[str, Any], end: int | None = None) -> Column:
         toks_packed,
         lambda s: F.exists(
             F.array(F.struct(*[
-                positions(s.getField("t"), t).alias(f"p{i}")
-                for i, t in enumerate(terms)
+                positions(s.getField("t"), pr).alias(f"p{i}")
+                for i, pr in enumerate(preds)
             ])),
             lambda q: quantify(q, 0, []),
         ),

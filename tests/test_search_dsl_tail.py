@@ -801,3 +801,29 @@ def test_span_within_containing(docs):
         compile_query({"span_within": {
             "little": {"span_term": {"text": "x"}},
             "big": {"match": {"text": "y"}}}})
+
+
+def test_span_multi(docs):
+    # standalone: prefix over analyzed tokens — 'spar' hits spark/spar
+    assert _ids(docs, {"span_multi": {"match": {
+        "prefix": {"text": {"value": "spar"}}}}}) == [1, 2, 4]
+    assert _ids(docs, {"span_multi": {"match": {
+        "wildcard": {"text": "w*dow"}}}}) == [1, 2]
+    assert _ids(docs, {"span_multi": {"match": {
+        "fuzzy": {"text": {"value": "scam", "fuzziness": 1}}}}}) == [3]
+    # inside span_near: prefix clause + exact clause with positions
+    assert _ids(docs, {"span_near": {
+        "clauses": [
+            {"span_multi": {"match": {"prefix": {"text": {
+                "value": "spar"}}}}},
+            {"span_term": {"text": "merge"}},
+        ],
+        "slop": 0, "in_order": True}}) == [1]  # "spark merge" adjacent
+    assert _ids(docs, {"span_near": {
+        "clauses": [
+            {"span_term": {"text": "merge"}},
+            {"span_multi": {"match": {"wildcard": {"text": "sp?rk"}}}},
+        ],
+        "slop": 0, "in_order": True}}) == [2]  # "merge spark"
+    with pytest.raises(ValueError):
+        compile_query({"span_multi": {"match": {"term": {"text": "x"}}}})
