@@ -224,3 +224,36 @@ def ppl_grok_typed(spark, sf_dir):
         "| stats count() as cnt by kv | where cnt >= 100 | sort kv",
         "events",
     )
+
+
+@register(
+    "ppl_percentile_stats",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(value) AS mean
+    FROM events GROUP BY event_type
+    """,
+    doc="PPL stats percentile(field, p): exact interpolated percentile "
+    "(both engines' exact quantile; rounded to 6 decimals for the "
+    "interpolation arithmetic) alongside the decimal-exact mean, one "
+    "hash aggregate per group.",
+    tags=("ppl", "agg"),
+)
+def ppl_percentile_stats(spark, sf_dir):
+    from pyspark.sql import functions as FF
+
+    df = _run(
+        spark, sf_dir,
+        "source=events | stats percentile(value, 50) as p50, "
+        "percentile(value, 95) as p95, avg(value) as mean by event_type",
+        "events",
+    )
+    return df.select(
+        "event_type",
+        FF.round("p50", 6).alias("p50"),
+        FF.round("p95", 6).alias("p95"),
+        "mean",
+    )
