@@ -534,6 +534,18 @@ class FlightsEtlPipeline:
             return None
         return idx.filter(F.col("_id").isin(list(ids)))
 
+    def cat_aliases(self) -> list[dict]:
+        """``_cat/aliases`` analog: one row per alias → index pattern."""
+        return [
+            {"alias": a, "index": p}
+            for a, p in sorted(self.get_aliases().items())
+        ]
+
+    def cat_count(self, pattern: str = "*") -> dict:
+        """``_cat/count`` analog: live doc count across a pattern."""
+        view = self.multi_index_view(pattern)
+        return {"count": 0 if view is None else view.count()}
+
     def cat_indices(self) -> list[dict]:
         """``_cat/indices`` analog: one dict per route with live doc
         count, tombstone count, bucket count, and on-disk bytes — the

@@ -555,3 +555,16 @@ def test_single_document_crud(spark, tmp_path_factory):
         p.update_doc("fare", "no|such", {"fare_class": "x"})
     p.delete_doc("fare", "CRUD|1")
     assert p.get_doc("fare", "CRUD|1") is None
+
+
+def test_cat_aliases_and_count(booted):
+    booted.put_alias("cat_probe", "fare")
+    try:
+        rows = booted.cat_aliases()
+        assert {"alias": "cat_probe", "index": "fare"} in rows
+    finally:
+        booted.delete_alias("cat_probe")
+    n_fare = booted.multi_index_view("fare").count()
+    assert booted.cat_count("fare") == {"count": n_fare}
+    assert booted.cat_count("*")["count"] >= n_fare
+    assert booted.cat_count("zilch*") == {"count": 0}
