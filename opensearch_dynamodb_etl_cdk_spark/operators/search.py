@@ -1114,6 +1114,82 @@ def _conditional_metric(kind: str, col: Column, name: str) -> Column:
     )
 
 
+_CAL_STEP = {"minute": (1, "m"), "hour": (1, "h"), "day": (1, "d"),
+             "week": (1, "w"), "month": (1, "M"), "year": (1, "y")}
+
+
+def _zero_fill_date_buckets(
+    buckets: list[dict], body: dict, metric_names: list[str]
+) -> list[dict]:
+    """``min_doc_count: 0`` / ``extended_bounds``: emit EMPTY buckets
+    for every interval step between the (possibly widened) bounds —
+    the zero-filled series every time chart expects. Response-shaping
+    over the ALREADY-collected buckets: O(#buckets) driver work, the
+    distributed aggregate is untouched (empty buckets, by definition,
+    have no rows to aggregate). Empty metric sub-aggs report null, as
+    the public response does."""
+    import datetime as _dt
+
+    eb = body.get("extended_bounds") or {}
+
+    def to_dt(v):
+        if isinstance(v, _dt.datetime):
+            return v
+        return _dt.datetime.fromisoformat(str(v))
+
+    present = {b["key"]: b for b in buckets}
+    lo_candidates = [b["key"] for b in buckets[:1]]
+    hi_candidates = [b["key"] for b in buckets[-1:]]
+    if "min" in eb:
+        lo_candidates.append(to_dt(eb["min"]))
+    if "max" in eb:
+        hi_candidates.append(to_dt(eb["max"]))
+    if not lo_candidates or not hi_candidates:
+        return buckets
+    lo, hi = min(lo_candidates), max(hi_candidates)
+
+    if "fixed_interval" in body:
+        micros = _fixed_interval_micros(body["fixed_interval"])
+        epoch = _dt.datetime(1970, 1, 1)
+
+        def floor_key(dt):
+            # naive datetimes are UTC wall-clock here (session TZ is
+            # UTC); epoch arithmetic avoids .timestamp()'s local-zone
+            # interpretation
+            us = int((dt - epoch).total_seconds() * 1_000_000)
+            return epoch + _dt.timedelta(microseconds=us - us % micros)
+
+        def step(dt):
+            return dt + _dt.timedelta(microseconds=micros)
+    else:
+        interval = body.get("calendar_interval", body.get("interval", "day"))
+        n, unit = _CAL_STEP[interval]
+
+        def floor_key(dt):
+            return _dm_floor(dt, unit)
+
+        def step(dt):
+            return _dm_shift(dt, n, unit) if unit != "w" \
+                else _dm_shift(dt, 7, "d")
+
+    out, cur = [], floor_key(lo)
+    hi = floor_key(hi)
+    empty_metrics = {n: {"value": None} for n in metric_names}
+    guard = 0
+    while cur <= hi:
+        out.append(present.get(
+            cur, {"key": cur, "doc_count": 0, **empty_metrics}
+        ))
+        cur = step(cur)
+        guard += 1
+        if guard > 100_000:
+            raise ValueError(
+                "zero-fill would emit >100k buckets — narrow the "
+                "interval or bounds (the public soft limit is 65k)"
+            )
+    return out
+
+
 def _fixed_interval_micros(spec: str) -> int:
     """"90s" / "30m" / "12h" / "7d" / "250ms" → interval in microseconds."""
     m = re.fullmatch(r"\s*(\d+)(ms|s|m|h|d)\s*", str(spec))
@@ -3740,6 +3816,11 @@ def _run_agg(
             }
             for r in rows
         ]
+        if body.get("min_doc_count", 1) == 0 or body.get("extended_bounds"):
+            buckets = _zero_fill_date_buckets(
+                buckets, body,
+                metric_names=list(metric_sub),
+            )
         # cumulative_cardinality: EXACT distinct-so-far per bucket via the
         # first-seen rewrite — cum_card(bucket) = Σ_{b ≤ bucket} |values
         # first seen in b|. One keyed aggregate (min bucket per value) +

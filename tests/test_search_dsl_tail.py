@@ -827,3 +827,45 @@ def test_span_multi(docs):
         "slop": 0, "in_order": True}}) == [2]  # "merge spark"
     with pytest.raises(ValueError):
         compile_query({"span_multi": {"match": {"term": {"text": "x"}}}})
+
+
+def test_date_histogram_zero_fill(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        execute_search,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 5.0), (2, "2024-01-04 00:00:00", 7.0)],
+        "id long, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def buckets(body):
+        res = execute_search(df, {"size": 0, "aggs": {"h": body}})
+        return [(str(b["key"]), b["doc_count"],
+                 b.get("s", {}).get("value"))
+                for b in res["aggregations"]["h"]["buckets"]]
+
+    # default: gaps are absent
+    got = buckets({"date_histogram": {"field": "ts",
+                                      "calendar_interval": "day"}})
+    assert [g[0] for g in got] == ["2024-01-01 00:00:00",
+                                   "2024-01-04 00:00:00"]
+    # min_doc_count=0 zero-fills the Jan 2 and Jan 3 gap, null metrics
+    got = buckets({
+        "date_histogram": {"field": "ts", "calendar_interval": "day",
+                           "min_doc_count": 0},
+        "aggs": {"s": {"sum": {"field": "v"}}},
+    })
+    assert [(g[0], g[1]) for g in got] == [
+        ("2024-01-01 00:00:00", 1), ("2024-01-02 00:00:00", 0),
+        ("2024-01-03 00:00:00", 0), ("2024-01-04 00:00:00", 1)]
+    assert got[0][2] == 5.0 and got[1][2] is None
+    # extended_bounds widens beyond the data
+    got = buckets({"date_histogram": {
+        "field": "ts", "fixed_interval": "1d", "min_doc_count": 0,
+        "extended_bounds": {"min": "2023-12-30T00:00:00",
+                            "max": "2024-01-05T00:00:00"}}})
+    assert got[0][0] == "2023-12-30 00:00:00"
+    assert got[-1][0] == "2024-01-05 00:00:00"
+    assert len(got) == 7
+    assert sum(g[1] for g in got) == 2
