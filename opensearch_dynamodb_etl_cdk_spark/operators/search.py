@@ -1798,10 +1798,17 @@ def significant_terms_frame(
     field: str,
     size: int = 10,
     analyzed: bool = False,
+    heuristic: str = "jlh",
 ) -> DataFrame:
     """``significant_terms``: terms over-represented in the foreground
     (query-filtered) set relative to the background corpus, scored with
-    the public JLH formula (fg_pct − bg_pct) × (fg_pct / bg_pct).
+    the public JLH formula (fg_pct − bg_pct) × (fg_pct / bg_pct) or one
+    of the alternative public heuristics: ``chi_square``
+    ((fg_pct − bg_pct)² / bg_pct — the one-sided variant with
+    include_negatives=false) or ``mutual_information`` (pointwise
+    fg_pct · log(fg_pct / bg_pct), over-represented side only). All
+    three are pure projections over the same two count frames — the
+    heuristic choice changes ONE codegen expression, never the plan.
 
     One plan: per-term counts on each side (shuffle volume = |terms|,
     not |rows|, thanks to map-side partial aggregation), inner join on
@@ -1831,7 +1838,22 @@ def significant_terms_frame(
     bg_total = bg_counts.agg(F.sum("bg_count").alias("bg_total"))
     fg_pct = F.col("doc_count") / F.col("fg_total")
     bg_pct = F.col("bg_count") / F.col("bg_total")
-    score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    if heuristic == "jlh":
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    elif heuristic == "chi_square":
+        score = (fg_pct - bg_pct) * (fg_pct - bg_pct) / bg_pct
+    elif heuristic == "mutual_information":
+        score = fg_pct * F.log(fg_pct / bg_pct)
+    else:
+        raise ValueError(
+            f"unsupported significance heuristic {heuristic!r} "
+            "(jlh | chi_square | mutual_information)"
+        )
+    if heuristic != "jlh":
+        # the >0 filter below implements include_negatives=false for
+        # jlh/mi; chi_square is sign-blind, so gate on over-representation
+        # explicitly
+        score = F.when(fg_pct > bg_pct, score).otherwise(F.lit(-1.0))
     return (
         fg_counts.join(bg_counts, "key")
         .join(F.broadcast(fg_total))
@@ -4092,9 +4114,14 @@ def _run_agg(
         # stream (the public agg's free-text variant) — same JLH
         # foreground/background scoring, analyzer on by default.
         bg = background if background is not None else df
+        heuristic = "jlh"
+        for h in ("jlh", "chi_square", "mutual_information", "gnd"):
+            if h in body:
+                heuristic = h
         rows = significant_terms_frame(
             df, bg, body["field"], int(body.get("size", 10)),
             analyzed=bool(body.get("analyzed", kind == "significant_text")),
+            heuristic=heuristic,
         ).collect()
         return {
             "buckets": [

@@ -869,3 +869,34 @@ def test_date_histogram_zero_fill(spark):
     assert got[-1][0] == "2024-01-05 00:00:00"
     assert len(got) == 7
     assert sum(g[1] for g in got) == 2
+
+
+def test_significant_terms_heuristics(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        significant_terms_frame,
+    )
+
+    fg = spark.createDataFrame(
+        [("hot",)] * 8 + [("common",)] * 2, "k string")
+    bg = spark.createDataFrame(
+        [("hot",)] * 10 + [("common",)] * 90, "k string")
+    for h in ("jlh", "chi_square", "mutual_information"):
+        rows = significant_terms_frame(fg, bg, "k", heuristic=h).collect()
+        # 'hot' is over-represented (80% fg vs 10% bg) under every
+        # heuristic; 'common' (20% vs 90%) never surfaces
+        assert rows[0]["key"] == "hot"
+        assert all(r["key"] != "common" for r in rows)
+        assert rows[0]["score"] > 0
+    # hand-checked values
+    jlh = significant_terms_frame(fg, bg, "k", heuristic="jlh").collect()[0]
+    assert abs(jlh["score"] - (0.8 - 0.1) * (0.8 / 0.1)) < 1e-9
+    chi = significant_terms_frame(
+        fg, bg, "k", heuristic="chi_square").collect()[0]
+    assert abs(chi["score"] - (0.7 * 0.7 / 0.1)) < 1e-9
+    import math
+
+    mi = significant_terms_frame(
+        fg, bg, "k", heuristic="mutual_information").collect()[0]
+    assert abs(mi["score"] - 0.8 * math.log(8.0)) < 1e-9
+    with pytest.raises(ValueError):
+        significant_terms_frame(fg, bg, "k", heuristic="gnd").collect()
