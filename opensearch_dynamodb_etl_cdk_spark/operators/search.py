@@ -3900,6 +3900,37 @@ def _run_agg(
             }
             for r in rows
         ]
+        if body.get("min_doc_count", 1) == 0 or body.get("extended_bounds"):
+            # numeric twin of the date_histogram zero-fill: stride the
+            # (possibly widened) key range, absent buckets empty
+            eb = body.get("extended_bounds") or {}
+            los = [b["key"] for b in buckets[:1]]
+            his = [b["key"] for b in buckets[-1:]]
+            if "min" in eb:
+                import math as _math
+
+                los.append(_math.floor(float(eb["min"]) / interval)
+                           * interval)
+            if "max" in eb:
+                import math as _math
+
+                his.append(_math.floor(float(eb["max"]) / interval)
+                           * interval)
+            if los and his:
+                present = {b["key"]: b for b in buckets}
+                empty = {n: {"value": None} for n in metric_sub}
+                n_steps = int(round((max(his) - min(los)) / interval))
+                if n_steps > 100_000:
+                    raise ValueError(
+                        "zero-fill would emit >100k buckets — narrow "
+                        "the interval or bounds"
+                    )
+                buckets = [
+                    (lambda k: present.get(
+                        k, {"key": k, "doc_count": 0, **empty}
+                    ))(min(los) + i * interval)
+                    for i in range(n_steps + 1)
+                ]
         buckets = _apply_pipeline_aggs(buckets, pipe_sub)
         return {"buckets": buckets}
 

@@ -900,3 +900,21 @@ def test_significant_terms_heuristics(spark):
     assert abs(mi["score"] - 0.8 * math.log(8.0)) < 1e-9
     with pytest.raises(ValueError):
         significant_terms_frame(fg, bg, "k", heuristic="gnd").collect()
+
+
+def test_numeric_histogram_zero_fill(docs):
+    res = execute_search(docs, {"size": 0, "aggs": {"h": {
+        "histogram": {"field": "feat", "interval": 2.0,
+                      "min_doc_count": 0}}}})
+    got = [(b["key"], b["doc_count"])
+           for b in res["aggregations"]["h"]["buckets"]]
+    # feat values 10, 3, 0.5, 7 → buckets 0,2,6,10 with 4,8 zero-filled
+    assert got == [(0.0, 1), (2.0, 1), (4.0, 0), (6.0, 1), (8.0, 0),
+                   (10.0, 1)]
+    res = execute_search(docs, {"size": 0, "aggs": {"h": {
+        "histogram": {"field": "feat", "interval": 5.0,
+                      "min_doc_count": 0,
+                      "extended_bounds": {"min": -5, "max": 15}}}}})
+    got = [(b["key"], b["doc_count"])
+           for b in res["aggregations"]["h"]["buckets"]]
+    assert got == [(-5.0, 0), (0.0, 2), (5.0, 1), (10.0, 1), (15.0, 0)]
