@@ -359,3 +359,28 @@ def test_grok_named_group_indices(names):
     # every alias present, indices are 1..n in order
     assert list(groups) == names
     assert list(groups.values()) == list(range(1, len(names) + 1))
+
+
+def test_grok_pattern_library_is_sane():
+    """Every built-in grok primitive compiles in Python re AND contains
+    no capturing groups (the expansion's alias→index mapping depends on
+    that invariant)."""
+    import re as _re
+
+    from opensearch_dynamodb_etl_cdk_spark.operators.ppl import (
+        _GROK_PATTERNS,
+    )
+
+    for name, pat in _GROK_PATTERNS.items():
+        compiled = _re.compile(pat)
+        assert compiled.groups == 0, f"{name} has capturing groups"
+    # smoke-match each primitive against a representative sample
+    samples = {
+        "WORD": "hello", "NOTSPACE": "a/b?c=1", "INT": "-42",
+        "NUMBER": "3.14", "USERNAME": "svc-user_1",
+        "IP": "192.168.0.1", "UUID": "123e4567-e89b-12d3-a456-426614174000",
+        "LOGLEVEL": "WARN", "TIMESTAMP_ISO8601": "2024-01-02T03:04:05Z",
+        "HTTPDATE": "10/Oct/2024:13:55:36 -0700", "HOSTNAME": "a.example.com",
+    }
+    for name, sample in samples.items():
+        assert _re.fullmatch(_GROK_PATTERNS[name], sample), name
