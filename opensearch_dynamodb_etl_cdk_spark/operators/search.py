@@ -3820,10 +3820,22 @@ def _run_agg(
             n: s for n, s in metric_sub.items()
             if "cumulative_cardinality" in s
         }
+        rate_sub = {n: s for n, s in metric_sub.items() if "rate" in s}
         metric_sub = {
-            n: s for n, s in metric_sub.items() if n not in cumcard_sub
+            n: s for n, s in metric_sub.items()
+            if n not in cumcard_sub and n not in rate_sub
         }
         metric_cols = [_metric_agg(n, s) for n, s in metric_sub.items()]
+        # rate sub-agg: the per-bucket raw (field sum, or doc count)
+        # aggregates distributed like any metric; the per-unit-time
+        # normalization divides by each bucket's ACTUAL length (calendar
+        # buckets vary) in the driver-side response shaping below
+        for rn, rs in rate_sub.items():
+            rfield = rs["rate"].get("field")
+            metric_cols.append(
+                (F.sum(F.col(rfield).cast("decimal(28,6)")).cast("double")
+                 if rfield else F.count(F.lit(1)).cast("double")).alias(rn)
+            )
         rows = (
             df.groupBy(bucket.alias("key"))
             .agg(F.count("*").alias("doc_count"), *metric_cols)
@@ -3834,7 +3846,8 @@ def _run_agg(
             {
                 "key": r["key"],
                 "doc_count": r["doc_count"],
-                **{n: {"value": r[n]} for n in metric_sub},
+                **{n: {"value": r[n]}
+                   for n in list(metric_sub) + list(rate_sub)},
             }
             for r in rows
         ]
@@ -3863,6 +3876,40 @@ def _run_agg(
             for b in buckets:
                 running += per_bucket.get(b["key"], 0)
                 b[cc_name] = {"value": running}
+        if rate_sub:
+            unit_secs = {"second": 1, "minute": 60, "hour": 3600,
+                         "day": 86400, "week": 604800}
+            if "fixed_interval" in body:
+                blen = _fixed_interval_micros(body["fixed_interval"]) / 1e6
+
+                def bucket_secs(key):
+                    return blen
+            else:
+                cal = body.get("calendar_interval",
+                               body.get("interval", "day"))
+                cn, cu = _CAL_STEP[cal]
+
+                def bucket_secs(key):
+                    nxt = (_dm_shift(key, cn, cu) if cu != "w"
+                           else _dm_shift(key, 7, "d"))
+                    return (nxt - key).total_seconds()
+
+            for rn, rs in rate_sub.items():
+                unit = rs["rate"].get("unit")
+                for b in buckets:
+                    raw = b.pop(rn, {"value": None})
+                    raw = raw["value"] if isinstance(raw, dict) else raw
+                    if unit is None:
+                        b[rn] = {"value": raw}  # default: per bucket
+                        continue
+                    if unit not in unit_secs:
+                        raise ValueError(
+                            f"rate unit must be one of {sorted(unit_secs)}, "
+                            f"got {unit!r}"
+                        )
+                    factor = bucket_secs(b["key"]) / unit_secs[unit]
+                    b[rn] = {"value": None if raw is None
+                             else raw / factor}
         buckets = _apply_pipeline_aggs(buckets, pipe_sub)
         return {"buckets": buckets}
 

@@ -918,3 +918,33 @@ def test_numeric_histogram_zero_fill(docs):
     got = [(b["key"], b["doc_count"])
            for b in res["aggregations"]["h"]["buckets"]]
     assert got == [(-5.0, 0), (0.0, 2), (5.0, 1), (10.0, 1), (15.0, 0)]
+
+
+def test_rate_agg_under_date_histogram(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        execute_search,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 24.0), (2, "2024-01-01 12:00:00", 24.0),
+         (3, "2024-02-15 00:00:00", 29.0)],
+        "id long, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    res = execute_search(df, {"size": 0, "aggs": {"h": {
+        "date_histogram": {"field": "ts", "calendar_interval": "month"},
+        "aggs": {
+            "per_day": {"rate": {"field": "v", "unit": "day"}},
+            "docs_per_day": {"rate": {"unit": "day"}},
+            "raw": {"rate": {"field": "v"}},
+        }}}})
+    b = res["aggregations"]["h"]["buckets"]
+    # January: Σv=48 over a 31-day bucket; February 2024: 29 days
+    assert abs(b[0]["per_day"]["value"] - 48.0 / 31) < 1e-12
+    assert abs(b[1]["per_day"]["value"] - 29.0 / 29) < 1e-12
+    assert abs(b[0]["docs_per_day"]["value"] - 2.0 / 31) < 1e-12
+    assert b[0]["raw"]["value"] == 48.0  # no unit → per bucket
+    with pytest.raises(ValueError):
+        execute_search(df, {"size": 0, "aggs": {"h": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "month"},
+            "aggs": {"r": {"rate": {"unit": "fortnight"}}}}}})
