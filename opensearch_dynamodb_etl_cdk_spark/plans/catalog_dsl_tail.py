@@ -1014,3 +1014,36 @@ def range_date_math(spark, sf_dir):
         "gte": "now-20d/d", "lte": "now/d",
         "now": "2024-01-25T13:45:00",
     }}})).select("event_id", "ts")
+
+
+@register(
+    "rate_per_day_agg",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS key, value
+      FROM events)
+    SELECT key, COUNT(*) AS doc_count,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+             / date_diff('day', key, key + INTERVAL 1 MONTH) AS per_day
+    FROM m GROUP BY key
+    """,
+    doc="`rate` sub-agg under a monthly date_histogram: value sum per "
+    "DAY — the raw decimal sum aggregates distributed, the "
+    "normalization divides by each bucket's actual calendar length "
+    "(31 for January) in response shaping. The DuckDB twin derives "
+    "the same divisor from date arithmetic.",
+    tags=("agg", "dsl", "time"),
+)
+def rate_per_day_agg(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    e = _t(spark, sf_dir, "events")["events"]
+    res = execute_search(e, {"size": 0, "aggs": {"h": {
+        "date_histogram": {"field": "ts", "calendar_interval": "month"},
+        "aggs": {"per_day": {"rate": {"field": "value", "unit": "day"}}},
+    }}})
+    rows = [(b["key"], b["doc_count"], b["per_day"]["value"])
+            for b in res["aggregations"]["h"]["buckets"]]
+    return spark.createDataFrame(
+        rows, "key timestamp, doc_count bigint, per_day double"
+    )
