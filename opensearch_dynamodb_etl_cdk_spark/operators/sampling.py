@@ -341,3 +341,27 @@ def temperature_resample(
         .filter(hash_bucket(F.col(id_col), resolution) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def three_way_split(
+    df: DataFrame,
+    val_pct: int = 5,
+    test_pct: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment as a COLUMN, not three
+    frames: the md5 hash bucket partitions [0,100) into test
+    [0, test), val [test, test+val) and train (the rest) — disjoint,
+    exhaustive, stable across runs/engines, and resumable (a re-run
+    assigns every id identically, the property random splits lose).
+    One projection; downstream consumers filter on ``split`` and the
+    predicate pushes like any literal comparison."""
+    if val_pct < 0 or test_pct < 0 or val_pct + test_pct >= 100:
+        raise ValueError("val_pct + test_pct must be in [0, 100)")
+    b = hash_bucket(F.col(id_col))
+    return df.withColumn(
+        "split",
+        F.when(b < test_pct, F.lit("test"))
+        .when(b < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )

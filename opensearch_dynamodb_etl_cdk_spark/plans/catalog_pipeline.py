@@ -404,3 +404,35 @@ def kmeans_cluster_sizes(spark, sf_dir):
         ivf_assign(e, cents, cluster_col="cluster")
         .groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "three_way_split_counts",
+    oracle="""
+    SELECT CASE
+             WHEN b < 5 THEN 'test'
+             WHEN b < 10 THEN 'val'
+             ELSE 'train' END AS split,
+           lang, COUNT(*) AS n
+    FROM (
+      SELECT lang,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS b
+      FROM documents)
+    GROUP BY 1, 2
+    """,
+    doc="Three-way train/val/test assignment (operators/sampling.py::"
+    "three_way_split): the md5 bucket partitions [0,100) — disjoint, "
+    "exhaustive, engine-portable and resumable (identical assignment "
+    "every run). Per-split × language counts verify the stratification "
+    "is hash-uniform, not accidentally correlated with language.",
+    tags=("pipeline", "sampling"),
+)
+def three_way_split_counts(spark, sf_dir):
+    from ..operators.sampling import three_way_split
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return (
+        three_way_split(d, val_pct=5, test_pct=5)
+        .groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -470,3 +470,26 @@ def test_embedding_decontaminate_flags_planted(spark):
     plan = embedding_decontaminate(corpus, bench)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_three_way_split_disjoint_exhaustive(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.operators.sampling import (
+        three_way_split,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = three_way_split(d, val_pct=5, test_pct=5)
+    counts = {r["split"]: r["count"]
+              for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == d.count()  # exhaustive
+    assert counts["train"] > counts["val"] + counts["test"]
+    # deterministic: identical assignment on re-run
+    again = three_way_split(d, val_pct=5, test_pct=5)
+    a = {(r["doc_id"], r["split"]) for r in
+         out.select("doc_id", "split").collect()}
+    b = {(r["doc_id"], r["split"]) for r in
+         again.select("doc_id", "split").collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        three_way_split(d, val_pct=60, test_pct=40)
