@@ -539,7 +539,19 @@ def ppl_query(
                 raise PPLError("fillnull expects: with <value> in f1, f2")
             value = _unquote(fm.group(1))
             names_ = [f.strip() for f in _split_top(fm.group(2), ",")]
-            df = df.fillna(value, subset=names_)
+            # coerce per column: DataFrame.fillna silently SKIPS subset
+            # columns whose type doesn't match the value's Python type
+            # (`with 0 in double_col` would no-op), so cast the literal
+            # to each target column's own type instead
+            types = dict(df.dtypes)
+            for name in names_:
+                if name not in types:
+                    raise PPLError(f"fillnull: unknown field {name!r}")
+                df = df.withColumn(
+                    name,
+                    F.coalesce(F.col(name),
+                               F.lit(value).try_cast(types[name])),
+                )
 
         elif cmd == "lookup":
             lm = re.match(

@@ -566,7 +566,10 @@ def compile_query(q: dict[str, Any], allow_unsafe_scripts: bool = False) -> Colu
         for op, val in spec.items():
             if op not in ops:
                 raise ValueError(f"unsupported range op {op}")
-            if isinstance(val, str) and ("now" in val[:3] or "||" in val):
+            if isinstance(val, str) and (val[:3] == "now" or "||" in val) \
+                    and _DM_SYNTAX.match(val.strip()):
+                # full-grammar match only: a plain keyword bound that
+                # merely starts with "now" ("nowhere") compares lexically
                 op, val = _resolve_date_math(val, op, now_anchor)
             pred = pred & getattr(F.col(field), ops[op])(F.lit(val))
         return pred
@@ -1118,6 +1121,18 @@ _CAL_STEP = {"minute": (1, "m"), "hour": (1, "h"), "day": (1, "d"),
              "week": (1, "w"), "month": (1, "M"), "year": (1, "y")}
 
 
+def _offset_micros(body: dict) -> int:
+    """Signed ``offset`` duration in microseconds ("+6h" → 21600000000,
+    "-1d" → -86400000000, absent → 0). Shared between the distributed
+    bucket-key expression and the driver-side zero-fill so both walk
+    the SAME (shifted) grid."""
+    off = body.get("offset")
+    if not off:
+        return 0
+    sign = -1 if str(off).startswith("-") else 1
+    return sign * _fixed_interval_micros(str(off).lstrip("+-"))
+
+
 def _zero_fill_date_buckets(
     buckets: list[dict], body: dict, metric_names: list[str]
 ) -> list[dict]:
@@ -1171,6 +1186,20 @@ def _zero_fill_date_buckets(
         def step(dt):
             return _dm_shift(dt, n, unit) if unit != "w" \
                 else _dm_shift(dt, 7, "d")
+
+    off_us = _offset_micros(body)
+    if off_us:
+        # the collected bucket keys live on the OFFSET grid (boundary =
+        # interval floor + offset); floor/step in the un-shifted space
+        # and re-add the offset so generated keys match `present`
+        _raw_floor, _raw_step = floor_key, step
+        _off = _dt.timedelta(microseconds=off_us)
+
+        def floor_key(dt):
+            return _raw_floor(dt - _off) + _off
+
+        def step(dt):
+            return _raw_step(dt - _off) + _off
 
     out, cur = [], floor_key(lo)
     hi = floor_key(hi)
@@ -3790,13 +3819,8 @@ def _run_agg(
             # public response keys render in the requested zone). Named
             # zones ride the JVM tz database; "+05:30" offsets work too.
             fcol = F.from_utc_timestamp(fcol, tz)
-        off = body.get("offset")
-        off_micros = 0
-        if off:
-            sign = -1 if str(off).startswith("-") else 1
-            off_micros = sign * _fixed_interval_micros(
-                str(off).lstrip("+-")
-            )
+        off_micros = _offset_micros(body)
+        if off_micros:
             fcol = F.timestamp_micros(F.unix_micros(fcol) - off_micros)
         if "fixed_interval" in body:
             # fixed_interval: epoch-aligned buckets of an exact duration
@@ -3964,19 +3988,24 @@ def _run_agg(
                 his.append(_math.floor(float(eb["max"]) / interval)
                            * interval)
             if los and his:
-                present = {b["key"]: b for b in buckets}
+                # match buckets by INTEGER stride index, not float key
+                # equality: floor(x/interval)*interval computed in the
+                # JVM and base+i*interval accumulated here can differ in
+                # the last ulp for non-integer intervals
+                present = {int(round(b["key"] / interval)): b
+                           for b in buckets}
                 empty = {n: {"value": None} for n in metric_sub}
-                n_steps = int(round((max(his) - min(los)) / interval))
-                if n_steps > 100_000:
+                base = int(round(min(los) / interval))
+                top = int(round(max(his) / interval))
+                if top - base > 100_000:
                     raise ValueError(
                         "zero-fill would emit >100k buckets — narrow "
                         "the interval or bounds"
                     )
                 buckets = [
-                    (lambda k: present.get(
-                        k, {"key": k, "doc_count": 0, **empty}
-                    ))(min(los) + i * interval)
-                    for i in range(n_steps + 1)
+                    present.get(ix, {"key": ix * interval,
+                                     "doc_count": 0, **empty})
+                    for ix in range(base, top + 1)
                 ]
         buckets = _apply_pipeline_aggs(buckets, pipe_sub)
         return {"buckets": buckets}

@@ -105,10 +105,36 @@ _SQL_FT_RE = _sql_re.compile(
 )
 
 
+def _sql_literal_spans(q: str) -> list[tuple[int, int]]:
+    """[start, end) spans of single-quoted SQL string literals ('' is
+    the escape). Lets the full-text rewrite skip MATCH(...)-shaped text
+    that happens to sit INSIDE a literal."""
+    spans, i, n = [], 0, len(q)
+    while i < n:
+        if q[i] != "'":
+            i += 1
+            continue
+        j = i + 1
+        while j < n:
+            if q[j] == "'":
+                if j + 1 < n and q[j + 1] == "'":
+                    j += 2
+                    continue
+                break
+            j += 1
+        spans.append((i, min(j, n - 1) + 1))
+        i = j + 1
+    return spans
+
+
 def _rewrite_sql_fulltext(q: str) -> str:
     from ..operators.search import _analyze_text
 
+    spans = _sql_literal_spans(q)
+
     def repl(m: _sql_re.Match) -> str:
+        if any(s <= m.start() < e for s, e in spans):
+            return m.group(0)  # inside a string literal — leave verbatim
         fn, field, text = m.group(1).upper(), m.group(2), m.group(3)
         toks = _analyze_text(text)
         if not toks:

@@ -384,3 +384,20 @@ def test_grok_pattern_library_is_sane():
     }
     for name, sample in samples.items():
         assert _re.fullmatch(_GROK_PATTERNS[name], sample), name
+
+
+def test_fillnull_numeric_column(run):
+    """`fillnull with 0 in <double field>` must coerce the literal to
+    the column type (r5 advisor: fillna silently skips type-mismatched
+    subset columns, leaving the nulls in place)."""
+    out = run("source=sales | eval halved = if(amount > 18.0, amount, "
+              "null) | fillnull with 0 in halved | sort id "
+              "| fields halved")
+    got = [r["halved"] for r in out.collect()]
+    assert got == [0.0, 20.0, 30.0, 0.0, 40.0, 0.0]
+    # string columns keep working, and unknown fields raise
+    out = run("source=sales | fillnull with 'none' in color | sort id "
+              "| fields color")
+    assert [r["color"] for r in out.collect()][4] == "none"
+    with pytest.raises(PPLError):
+        run("source=sales | fillnull with 0 in nope")

@@ -948,3 +948,85 @@ def test_rate_agg_under_date_histogram(spark):
             "date_histogram": {"field": "ts",
                                "calendar_interval": "month"},
             "aggs": {"r": {"rate": {"unit": "fortnight"}}}}}})
+
+
+def test_date_histogram_offset_with_zero_fill(spark):
+    """offset shifts bucket boundaries; zero-fill must stride the SAME
+    shifted grid (r5 advisor: keys were generated on the un-offset grid,
+    so every real bucket was replaced by a doc_count-0 one)."""
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        execute_search,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 07:00:00"), (2, "2024-01-01 05:00:00"),
+         (3, "2024-01-03 12:00:00")],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def buckets(body):
+        res = execute_search(df, {"size": 0, "aggs": {"h": body}})
+        return [(str(b["key"]), b["doc_count"])
+                for b in res["aggregations"]["h"]["buckets"]]
+
+    # fixed_interval + offset + min_doc_count:0 — the advisor's repro
+    got = buckets({"date_histogram": {
+        "field": "ts", "fixed_interval": "1d", "offset": "+6h",
+        "min_doc_count": 0}})
+    assert got == [
+        ("2023-12-31 06:00:00", 1),   # 05:00 doc: before the 06:00 edge
+        ("2024-01-01 06:00:00", 1),   # 07:00 doc
+        ("2024-01-02 06:00:00", 0),   # zero-filled gap
+        ("2024-01-03 06:00:00", 1),
+    ]
+    # calendar interval + negative offset + extended_bounds
+    got = buckets({"date_histogram": {
+        "field": "ts", "calendar_interval": "day", "offset": "-6h",
+        "min_doc_count": 0,
+        "extended_bounds": {"min": "2023-12-31T00:00:00",
+                            "max": "2024-01-04T00:00:00"}}})
+    assert [g[0] for g in got] == [
+        "2023-12-30 18:00:00", "2023-12-31 18:00:00",
+        "2024-01-01 18:00:00", "2024-01-02 18:00:00",
+        "2024-01-03 18:00:00"]
+    # both Jan 1 docs fall in [Dec 31 18:00, Jan 1 18:00); the Dec 30
+    # 18:00 bucket exists only because extended_bounds.min floors to it
+    assert [g[1] for g in got] == [0, 2, 0, 1, 0]
+    assert sum(g[1] for g in got) == 3  # no real bucket dropped
+
+
+def test_numeric_histogram_zero_fill_fractional_interval(docs):
+    """Non-integer interval: bucket matching is by integer stride index,
+    never float ==, so last-ulp drift can't swallow a real bucket."""
+    res = execute_search(docs, {"size": 0, "aggs": {"h": {
+        "histogram": {"field": "feat", "interval": 0.7,
+                      "min_doc_count": 0}}}})
+    got = [(b["key"], b["doc_count"])
+           for b in res["aggregations"]["h"]["buckets"]]
+    # feat 0.5, 3, 7, 10 → indices 0, 4, 10, 14 of the 0.7 stride
+    assert sum(c for _, c in got) == 4          # every real doc kept
+    assert len(got) == 15                       # indices 0..14 inclusive
+    nonzero = [i for i, (_, c) in enumerate(got) if c]
+    assert nonzero == [0, 4, 10, 14]
+
+
+def test_range_string_bound_starting_with_now(spark):
+    """A keyword bound that merely starts with 'now' ('nowhere') is a
+    plain lexical comparison, not a date-math parse error."""
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        compile_query,
+    )
+
+    df = spark.createDataFrame(
+        [("here",), ("nowhere",), ("zulu",)], "w string")
+    pred = compile_query({"range": {"w": {"gte": "nowhere"}}})
+    got = sorted(r["w"] for r in df.filter(pred).collect())
+    assert got == ["nowhere", "zulu"]
+    # genuine date math still resolves
+    import datetime as dt
+
+    op, val = __import__(
+        "opensearch_dynamodb_etl_cdk_spark.operators.search",
+        fromlist=["_resolve_date_math"],
+    )._resolve_date_math("now-1d/d", "gte", dt.datetime(2024, 1, 15, 13))
+    assert (op, val) == ("gte", dt.datetime(2024, 1, 14))

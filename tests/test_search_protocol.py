@@ -568,3 +568,22 @@ def test_cat_aliases_and_count(booted):
     assert booted.cat_count("fare") == {"count": n_fare}
     assert booted.cat_count("*")["count"] >= n_fare
     assert booted.cat_count("zilch*") == {"count": 0}
+
+
+def test_sql_fulltext_rewrite_skips_string_literals():
+    """MATCH(...)-shaped text INSIDE a SQL string literal is data, not a
+    full-text call — the rewrite must leave it verbatim (r5 advisor)."""
+    from opensearch_dynamodb_etl_cdk_spark.streaming.pipeline import (
+        _rewrite_sql_fulltext,
+    )
+
+    # literal containing a MATCH-shaped substring ('' = escaped quote)
+    q = "SELECT * FROM fare WHERE note = 'use MATCH(a, ''b'') here'"
+    assert _rewrite_sql_fulltext(q) == q
+    # a real call OUTSIDE the literal is still rewritten, the literal isn't
+    q2 = ("SELECT * FROM fare WHERE note = 'MATCH(a, ''b'')' "
+          "AND MATCH(fare_class, 'nonstop')")
+    out = _rewrite_sql_fulltext(q2)
+    assert "note = 'MATCH(a, ''b'')'" in out
+    assert "arrays_overlap" in out
+    assert "MATCH(fare_class" not in out
