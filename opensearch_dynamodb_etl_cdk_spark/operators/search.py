@@ -1822,7 +1822,7 @@ def _metric_agg(name: str, spec: dict) -> Column:
 
 
 def significant_terms_frame(
-    foreground: DataFrame,
+    foreground: DataFrame | Column,
     background: DataFrame,
     field: str,
     size: int = 10,
@@ -1839,14 +1839,45 @@ def significant_terms_frame(
     three are pure projections over the same two count frames — the
     heuristic choice changes ONE codegen expression, never the plan.
 
-    One plan: per-term counts on each side (shuffle volume = |terms|,
-    not |rows|, thanks to map-side partial aggregation), inner join on
-    the term, totals attached as broadcast 1-row frames, score in a
-    codegen projection, top-`size` via TakeOrderedAndProject. No
-    driver-side loops; ``analyzed=True`` explodes the standard-analyzer
-    tokens first (text fields), otherwise terms are the raw field
-    values (keyword fields).
+    ``foreground`` may be a ``Column`` predicate over ``background`` —
+    the common case (the DSL foreground is always the query filter over
+    the same corpus). That path computes BOTH counts in ONE conditional
+    aggregation pass: one corpus scan, one |terms| shuffle, no term
+    join. At 100 TB that halves the I/O relative to the two-frame form.
+
+    Two-frame fallback (independent foreground): per-term counts on
+    each side (shuffle volume = |terms|, not |rows|, thanks to map-side
+    partial aggregation), inner join on the term, totals attached as
+    broadcast 1-row frames, score in a codegen projection, top-`size`
+    via TakeOrderedAndProject. No driver-side loops; ``analyzed=True``
+    explodes the standard-analyzer tokens first (text fields),
+    otherwise terms are the raw field values (keyword fields).
     """
+    if isinstance(foreground, Column):
+        # single-scan path: flag each (row, term) with foreground
+        # membership, count both sides in one keyed aggregate
+        if analyzed:
+            base = background.select(
+                foreground.alias("__fg"),
+                F.explode(_analyze(F.col(field))).alias("key"),
+            )
+        else:
+            base = background.filter(F.col(field).isNotNull()).select(
+                foreground.alias("__fg"), F.col(field).alias("key")
+            )
+        joint = base.groupBy("key").agg(
+            F.count("*").alias("bg_count"),
+            F.count(F.when(F.col("__fg"), F.lit(1))).alias("doc_count"),
+        )
+        totals = joint.agg(
+            F.sum("doc_count").alias("fg_total"),
+            F.sum("bg_count").alias("bg_total"),
+        )
+        counts = (
+            joint.filter(F.col("doc_count") > 0)
+            .join(F.broadcast(totals))
+        )
+        return _score_significant_counts(counts, heuristic, size)
     if analyzed:
         fg = foreground.select(F.explode(_analyze(F.col(field))).alias("key"))
         bg = background.select(F.explode(_analyze(F.col(field))).alias("key"))
@@ -1865,6 +1896,19 @@ def significant_terms_frame(
     # for counts AND total (4 corpus scans → 2)
     fg_total = fg_counts.agg(F.sum("doc_count").alias("fg_total"))
     bg_total = bg_counts.agg(F.sum("bg_count").alias("bg_total"))
+    counts = (
+        fg_counts.join(bg_counts, "key")
+        .join(F.broadcast(fg_total))
+        .join(F.broadcast(bg_total))
+    )
+    return _score_significant_counts(counts, heuristic, size)
+
+
+def _score_significant_counts(
+    counts: DataFrame, heuristic: str, size: int
+) -> DataFrame:
+    """Shared scoring tail over a (key, doc_count, bg_count, fg_total,
+    bg_total) frame: one codegen projection + TakeOrderedAndProject."""
     fg_pct = F.col("doc_count") / F.col("fg_total")
     bg_pct = F.col("bg_count") / F.col("bg_total")
     if heuristic == "jlh":
@@ -1884,9 +1928,7 @@ def significant_terms_frame(
         # explicitly
         score = F.when(fg_pct > bg_pct, score).otherwise(F.lit(-1.0))
     return (
-        fg_counts.join(bg_counts, "key")
-        .join(F.broadcast(fg_total))
-        .join(F.broadcast(bg_total))
+        counts
         .withColumn("score", score)
         .filter(F.col("score") > 0)  # only over-represented terms signify
         .select("key", "doc_count", "bg_count", "score")
@@ -2970,6 +3012,7 @@ def execute_search(
             order.append(F.xxhash64(*hashable).asc())
         return order
 
+    fg_pred: Column | None = None
     if is_knn:
         filtered = _execute_knn(df, query["knn"], int(body.get("size", 10)))
         if not body.get("sort"):
@@ -3013,7 +3056,11 @@ def execute_search(
         if not body.get("sort"):
             filtered = filtered.orderBy(*_score_order(filtered))
     else:
-        filtered = df.filter(compile_query(query))
+        # the agg frame on this path IS df.filter(pred) — remember the
+        # predicate so significant_terms/_text can run its single-scan
+        # conditional-aggregation plan instead of a two-frame term join
+        fg_pred = compile_query(query)
+        filtered = df.filter(fg_pred)
         if body.get("track_scores") and len(query) == 1 \
                 and next(iter(query)) == "match":
             # relevance-ranked match: BM25 _score over the matching
@@ -3180,7 +3227,9 @@ def execute_search(
             sibling_pipe[name] = spec  # evaluated after its source agg
             continue
         # the unfiltered frame is the significant_terms background corpus
-        aggregations[name] = _run_agg(filtered, name, spec, background=df)
+        aggregations[name] = _run_agg(
+            filtered, name, spec, background=df, fg_pred=fg_pred
+        )
     for name, spec in sibling_pipe.items():
         aggregations[name] = _run_sibling_pipeline(aggregations, spec)
 
@@ -3551,8 +3600,12 @@ def _auto_dh_interval(lo, hi, target: int) -> str:
 
 
 def _run_agg(
-    df: DataFrame, name: str, spec: dict, background: DataFrame | None = None
+    df: DataFrame, name: str, spec: dict, background: DataFrame | None = None,
+    fg_pred: Column | None = None
 ) -> Any:
+    # fg_pred: ONLY valid at the top level — it asserts df ==
+    # background.filter(fg_pred). Recursive sub-agg calls re-filter df
+    # (bucket predicates), so they never forward it.
     kind = next(k for k in spec if k != "aggs")
     body = spec[kind]
     sub = spec.get("aggs") or {}
@@ -4226,7 +4279,11 @@ def _run_agg(
             if h in body:
                 heuristic = h
         rows = significant_terms_frame(
-            df, bg, body["field"], int(body.get("size", 10)),
+            # single-scan conditional-agg plan when the foreground is
+            # known to be `background.filter(fg_pred)` (top-level call)
+            fg_pred if (fg_pred is not None and background is not None)
+            else df,
+            bg, body["field"], int(body.get("size", 10)),
             analyzed=bool(body.get("analyzed", kind == "significant_text")),
             heuristic=heuristic,
         ).collect()

@@ -444,10 +444,12 @@ def terms_agg(spark, sf_dir):
     """,
     doc="significant_terms aggregation (operators/search.py::"
     "significant_terms_frame): terms over-represented in the "
-    "query-filtered foreground vs the full corpus, JLH-scored. One "
-    "plan: per-term counts both sides (shuffle = |terms|), term join, "
-    "broadcast totals, top-k. Integer counts divide identically in "
-    "both engines, so the double scores hash-match exactly.",
+    "query-filtered foreground vs the full corpus, JLH-scored. The "
+    "foreground is a predicate over the same corpus, so ONE "
+    "conditional-aggregation pass computes both counts: one scan, one "
+    "|terms| shuffle, broadcast totals, top-k — no term join. Integer "
+    "counts divide identically in both engines, so the double scores "
+    "hash-match exactly.",
     tags=("agg", "dsl"),
 )
 def significant_terms_agg(spark, sf_dir):
@@ -455,7 +457,7 @@ def significant_terms_agg(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders")["orders"]
     return significant_terms_frame(
-        o.filter(F.col("o_totalprice") >= 40000), o, "o_orderpriority", size=10
+        F.col("o_totalprice") >= 40000, o, "o_orderpriority", size=10
     )
 
 

@@ -1030,3 +1030,24 @@ def test_range_string_bound_starting_with_now(spark):
         fromlist=["_resolve_date_math"],
     )._resolve_date_math("now-1d/d", "gte", dt.datetime(2024, 1, 15, 13))
     assert (op, val) == ("gte", dt.datetime(2024, 1, 14))
+
+
+def test_significant_terms_predicate_single_scan(spark):
+    """foreground-as-Column: the single-scan conditional-agg plan must
+    return exactly the two-frame join's rows, for every heuristic."""
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        significant_terms_frame,
+    )
+
+    bg = spark.createDataFrame(
+        [("hot", 1)] * 8 + [("common", 1)] * 2
+        + [("hot", 0)] * 2 + [("common", 0)] * 88 + [(None, 1)],
+        "k string, flag int",
+    )
+    pred = F.col("flag") == 1
+    for h in ("jlh", "chi_square", "mutual_information"):
+        two = significant_terms_frame(
+            bg.filter(pred), bg, "k", heuristic=h).collect()
+        one = significant_terms_frame(pred, bg, "k", heuristic=h).collect()
+        assert [tuple(r) for r in one] == [tuple(r) for r in two]
+    assert significant_terms_frame(pred, bg, "k").collect()[0]["key"] == "hot"
