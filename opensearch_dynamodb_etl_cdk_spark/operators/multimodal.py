@@ -237,36 +237,140 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
-def decode_image(payload: bytes) -> dict:
-    """Image decode dispatch: BMP decodes for real (see ``decode_bmp``);
-    compressed formats need codec libraries the container lacks."""
-    if payload[:2] == b"BM":
-        return decode_bmp(payload)
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        raise NotImplementedError("PNG decode requires zlib-inflate imaging codec")
-    if payload[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("JPEG decode requires a DCT imaging codec")
-    raise ValueError("unrecognized image payload")
+# ---------------------------------------------------------- codec registry
+#
+# The production seam for compressed formats: each known container
+# format carries a magic-byte sniffer; a format decodes only if a
+# decoder is REGISTERED for it. BMP and WAV register their built-in
+# spec parsers at import; PNG/JPEG/MP3/OGG are recognized (so the
+# error is precise) but undecodable until a real codec is plugged in
+# with ``register_decoder`` — the default stays the loud raise.
+#
+# Distribution caveat, by design: Python workers re-import this module,
+# so a runtime registration made in the driver is NOT visible on
+# executors through module state. ``extract_media_features`` therefore
+# SNAPSHOTS the registry into the UDF closure at plan-build time — the
+# registered callables ship with the serialized closure, exactly like
+# any other captured function. Register before building the plan.
 
 
-def decode_audio(payload: bytes) -> dict:
-    """Audio decode dispatch: PCM WAV decodes for real (see
-    ``decode_wav``); compressed formats need codec libraries."""
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return decode_wav(payload)
-    if payload[:3] == b"ID3" or payload[:2] in (b"\xff\xfb", b"\xff\xf3"):
-        raise NotImplementedError("MP3 decode requires an MPEG audio codec")
-    if payload[:4] == b"OggS":
-        raise NotImplementedError("OGG decode requires a Vorbis/Opus codec")
-    raise ValueError("unrecognized audio payload")
+class MediaFormat:
+    """A sniffable container format: name + kind + magic matcher."""
+
+    __slots__ = ("name", "kind", "sniff", "hint")
+
+    def __init__(self, name: str, kind: str,
+                 sniff: Callable[[bytes], bool], hint: str):
+        self.name, self.kind, self.sniff, self.hint = name, kind, sniff, hint
 
 
-def decode_media(payload: bytes, media_type: str) -> dict:
+KNOWN_MEDIA_FORMATS: tuple[MediaFormat, ...] = (
+    MediaFormat("bmp", "image", lambda p: p[:2] == b"BM",
+                "BMP decode failed"),
+    MediaFormat("png", "image", lambda p: p[:8] == b"\x89PNG\r\n\x1a\n",
+                "PNG decode requires zlib-inflate imaging codec"),
+    MediaFormat("jpeg", "image", lambda p: p[:3] == b"\xff\xd8\xff",
+                "JPEG decode requires a DCT imaging codec"),
+    MediaFormat("wav", "audio",
+                lambda p: p[:4] == b"RIFF" and p[8:12] == b"WAVE",
+                "WAV decode failed"),
+    MediaFormat("mp3", "audio",
+                lambda p: p[:3] == b"ID3" or p[:2] in (b"\xff\xfb",
+                                                       b"\xff\xf3"),
+                "MP3 decode requires an MPEG audio codec"),
+    MediaFormat("ogg", "audio", lambda p: p[:4] == b"OggS",
+                "OGG decode requires a Vorbis/Opus codec"),
+)
+
+_BUILTIN_DECODERS: dict[str, Callable[[bytes], dict]] = {
+    "bmp": decode_bmp,
+    "wav": decode_wav,
+}
+_DECODERS: dict[str, Callable[[bytes], dict]] = dict(_BUILTIN_DECODERS)
+
+
+def register_decoder(
+    fmt: str, decoder: Callable[[bytes], dict]
+) -> Callable[[bytes], dict]:
+    """Plug a decoder in for a known format ('png', 'jpeg', 'mp3',
+    'ogg' — or override 'bmp'/'wav'). The decoder takes the raw payload
+    bytes and returns a feature dict with at least ``media_kind`` and
+    ``n_bytes`` (see ``decode_bmp``/``decode_wav`` for the full key
+    set). Returns the decoder, so it is usable as a decorator:
+    ``@partial(register_decoder, 'jpeg')``."""
+    known = {f.name for f in KNOWN_MEDIA_FORMATS}
+    if fmt not in known:
+        raise ValueError(f"unknown media format {fmt!r} (known: "
+                         f"{sorted(known)})")
+    if not callable(decoder):
+        raise TypeError("decoder must be callable(bytes) -> dict")
+    _DECODERS[fmt] = decoder
+    return decoder
+
+
+def unregister_decoder(fmt: str) -> None:
+    """Remove a plugged-in decoder; built-in formats (bmp/wav) revert
+    to their spec parsers."""
+    if fmt in _BUILTIN_DECODERS:
+        _DECODERS[fmt] = _BUILTIN_DECODERS[fmt]
+    else:
+        _DECODERS.pop(fmt, None)
+
+
+def detect_media_format(
+    payload: bytes, kind: str | None = None
+) -> MediaFormat | None:
+    """Sniff a payload's container format by magic bytes; ``kind``
+    restricts to 'image' or 'audio' formats."""
+    for f in KNOWN_MEDIA_FORMATS:
+        if (kind is None or f.kind == kind) and f.sniff(payload):
+            return f
+    return None
+
+
+def _decode_kind(
+    payload: bytes, kind: str,
+    decoders: dict[str, Callable[[bytes], dict]] | None,
+) -> dict:
+    f = detect_media_format(payload, kind)
+    if f is None:
+        raise ValueError(f"unrecognized {kind} payload")
+    dec = (_DECODERS if decoders is None else decoders).get(f.name)
+    if dec is None:
+        raise NotImplementedError(f.hint)
+    return dec(payload)
+
+
+def decode_image(
+    payload: bytes,
+    decoders: dict[str, Callable[[bytes], dict]] | None = None,
+) -> dict:
+    """Image decode dispatch through the codec registry: BMP decodes
+    for real (``decode_bmp``); PNG/JPEG raise until a codec is
+    ``register_decoder``-ed. ``decoders`` overrides the module registry
+    (used by Arrow closures that snapshot it at plan-build time)."""
+    return _decode_kind(payload, "image", decoders)
+
+
+def decode_audio(
+    payload: bytes,
+    decoders: dict[str, Callable[[bytes], dict]] | None = None,
+) -> dict:
+    """Audio decode dispatch through the codec registry: PCM WAV
+    decodes for real (``decode_wav``); MP3/OGG raise until a codec is
+    registered."""
+    return _decode_kind(payload, "audio", decoders)
+
+
+def decode_media(
+    payload: bytes, media_type: str,
+    decoders: dict[str, Callable[[bytes], dict]] | None = None,
+) -> dict:
     """Typed decoder entry point keyed by MIME-ish media_type."""
     if media_type.startswith("image/"):
-        return decode_image(payload)
+        return decode_image(payload, decoders)
     if media_type.startswith("audio/"):
-        return decode_audio(payload)
+        return decode_audio(payload, decoders)
     raise ValueError(f"no decoder for media_type {media_type!r}")
 
 
@@ -403,13 +507,17 @@ def extract_media_features(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFra
         "width height bit_depth sample_rate channels n_units "
         "duration_ms mean_value n_bytes"
     ).split()
+    # snapshot the codec registry NOW: executors re-import the module
+    # (losing runtime registrations), but the snapshot ships inside the
+    # serialized closure alongside the registered callables
+    decoders = dict(_DECODERS)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
             feats = [
-                decode_media(bytes(p), mt)
+                decode_media(bytes(p), mt, decoders)
                 for p, mt in zip(pdf["payload"], pdf["media_type"])
             ]
             out = {

@@ -219,3 +219,85 @@ def test_synthesize_extract_audio_roundtrip(spark, sf_dir):
         assert (r["sample_rate"], r["channels"], r["n_units"]) == (sr, ch, nf)
         assert r["mean_value"] == pytest.approx(sv)
         assert r["duration_ms"] == pytest.approx(nf * 1000.0 / sr)
+
+
+# ------------------------------------------------------- codec registry
+
+
+def test_registry_default_raises_for_compressed():
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    mp3 = b"ID3" + b"\x00" * 16
+    ogg = b"OggS" + b"\x00" * 16
+    for payload, fn in ((jpeg, M.decode_image), (png, M.decode_image),
+                        (mp3, M.decode_audio), (ogg, M.decode_audio)):
+        with pytest.raises(NotImplementedError):
+            fn(payload)
+    with pytest.raises(ValueError):
+        M.decode_image(b"GIF89a" + b"\x00" * 16)  # unknown magic
+    with pytest.raises(ValueError):
+        M.register_decoder("gif", lambda p: {})  # unknown format
+    with pytest.raises(TypeError):
+        M.register_decoder("jpeg", "not-callable")
+
+
+def test_registry_dispatch_and_revert():
+    jpeg = b"\xff\xd8\xff\xe0" + bytes(range(16))
+
+    def stub_jpeg(payload: bytes) -> dict:
+        return {"media_kind": "image", "width": 2, "height": 2,
+                "bit_depth": 8, "n_units": 4,
+                "mean_value": float(payload[-1]), "n_bytes": len(payload)}
+
+    M.register_decoder("jpeg", stub_jpeg)
+    try:
+        out = M.decode_media(jpeg, "image/jpeg")
+        assert out["width"] == 2 and out["mean_value"] == 15.0
+        # BMP still routes to the built-in spec parser
+        bmp = M.encode_bmp(3, 2, 9)
+        assert M.decode_image(bmp)["mean_value"] == pytest.approx(9)
+    finally:
+        M.unregister_decoder("jpeg")
+    with pytest.raises(NotImplementedError):
+        M.decode_image(jpeg)
+    # unregistering a built-in reverts to the spec parser, not nothing
+    M.unregister_decoder("bmp")
+    assert M.decode_image(M.encode_bmp(2, 2, 5))["width"] == 2
+
+
+def test_registered_decoder_flows_through_arrow_plumbing(spark):
+    """End-to-end: a registered stub JPEG decoder must dispatch inside
+    the mapInPandas workers (via the plan-build registry snapshot) and
+    its features must flow through the same MEDIA_FEATURE_SCHEMA path
+    as the built-in codecs."""
+    import pandas as pd
+
+    def stub_jpeg(payload: bytes) -> dict:
+        return {"media_kind": "image", "width": int(payload[4]),
+                "height": int(payload[5]), "bit_depth": 8,
+                "n_units": int(payload[4]) * int(payload[5]),
+                "mean_value": 0.5, "n_bytes": len(payload)}
+
+    base = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2],
+            "payload": [b"\xff\xd8\xff\xe0" + bytes([3, 4]),
+                        b"\xff\xd8\xff\xe0" + bytes([5, 6])],
+            "media_type": ["image/jpeg", "image/jpeg"],
+        })
+    )
+    # without a registered decoder the job must fail loudly
+    with pytest.raises(Exception, match="DCT imaging codec"):
+        M.extract_media_features(base).collect()
+    M.register_decoder("jpeg", stub_jpeg)
+    try:
+        # snapshot happens at plan build — register BEFORE calling
+        rows = {r["doc_id"]: r
+                for r in M.extract_media_features(base).collect()}
+    finally:
+        M.unregister_decoder("jpeg")
+    assert (rows[1]["width"], rows[1]["height"]) == (3, 4)
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["n_units"]) == (
+        5, 6, 30)
+    assert rows[1]["media_kind"] == "image"
+    assert rows[1]["sample_rate"] is None  # audio columns null for images
