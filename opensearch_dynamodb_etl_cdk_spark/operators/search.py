@@ -2765,7 +2765,8 @@ _JOIN_FIELD_KINDS = ("has_child", "has_parent", "parent_id")
 
 
 def _execute_join_field(
-    df: DataFrame, kind: str, spec: dict[str, Any]
+    df: DataFrame, kind: str, spec: dict[str, Any],
+    inner_sink: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """``has_child`` / ``has_parent`` / ``parent_id`` over a join-field
     corpus: ``df`` holds BOTH relation sides (the public join-field
@@ -2815,29 +2816,116 @@ def _execute_join_field(
         else:
             right = children.select(F.col(child_key).alias("__jk"))
         parents = df.filter(F.col(type_col) == F.lit(parent_type))
-        return parents.join(
+        result = parents.join(
             right, parents[key] == right["__jk"], "left_semi"
         )
+        ih = spec.get("inner_hits")
+        if ih is not None and inner_sink is not None:
+            # inner_hits: the per-parent matching children, top-`size`
+            # per parent key — a semi-join against the SURVIVING parent
+            # keys plus one bounded per-key window; stays a distributed
+            # frame in the response (never collected here). Rows carry
+            # the parent key (`child_key`), so callers re-associate
+            # children with their parent hit by a key equality.
+            ih = ih or {}
+            size = int(ih.get("size", 3))
+            order = _sort_cols(ih.get("sort", [])) or (
+                [F.col("_id").asc()] if "_id" in df.columns
+                else [F.lit(1)]
+            )
+            iw = W.partitionBy(child_key).orderBy(*order)
+            inner_sink[ih.get("name", child_type)] = (
+                children.join(
+                    result.select(F.col(key).alias("__jk")).distinct(),
+                    children[child_key] == F.col("__jk"), "left_semi",
+                )
+                .withColumn("__rn", F.row_number().over(iw))
+                .filter(F.col("__rn") <= size)
+                .drop("__rn")
+            )
+        return result
 
     if kind == "has_parent":
         parent_type = spec["parent_type"]
         child_types = jf.get("child_types")
-        parents = df.filter(
+        matching_parents = df.filter(
             (F.col(type_col) == F.lit(parent_type)) & compile_query(inner)
-        ).select(F.col(key).alias("__jk"))
+        )
+        parents = matching_parents.select(F.col(key).alias("__jk"))
         children = df.filter(
             F.col(type_col).isin(list(child_types)) if child_types
             else F.col(type_col) != F.lit(parent_type)
         )
-        return children.join(
+        result = children.join(
             parents, children[child_key] == parents["__jk"], "left_semi"
         )
+        ih = spec.get("inner_hits")
+        if ih is not None and inner_sink is not None:
+            # inner_hits: each child hit's matching parent — parent keys
+            # are unique in the join-field model, so no window is
+            # needed; bound to parents that actually gated a result row.
+            ih = ih or {}
+            inner_sink[ih.get("name", parent_type)] = (
+                matching_parents.join(
+                    result.select(
+                        F.col(child_key).alias("__jk")
+                    ).distinct(),
+                    matching_parents[key] == F.col("__jk"), "left_semi",
+                )
+            )
+        return result
 
     raise ValueError(f"unsupported join-field query {kind!r}")
 
 
+def _nested_inner_hits(
+    hits: DataFrame, query: dict[str, Any]
+) -> dict[str, DataFrame]:
+    """``inner_hits`` on ``nested`` clauses: for each hit, the array
+    elements that actually satisfied the inner query. The engine's
+    nested representation is the array<struct> column itself, so the
+    matched elements are ``F.filter(path, pred)`` — one codegen
+    projection over the already-filtered hits, no explode, no extra
+    scan. Supported positions mirror the join-field pre-pass: the
+    top-level query and direct ``bool.must``/``bool.filter`` clauses.
+    Each frame carries the hit's identifying columns plus the matched
+    elements bounded to ``size`` (default 3, public default)."""
+
+    def walk(q: dict[str, Any]):
+        if not q or len(q) != 1:
+            return
+        kind = next(iter(q))
+        if kind == "nested" and q["nested"].get("inner_hits") is not None:
+            yield q["nested"]
+        elif kind == "bool":
+            for clause in ("must", "filter"):
+                for sub in _as_list(q["bool"].get(clause)):
+                    yield from walk(sub)
+
+    out: dict[str, DataFrame] = {}
+    for spec in walk(query):
+        path, inner = spec["path"], spec["query"]
+        if path not in hits.columns:
+            continue  # projected away by _source filtering
+        ih = spec["inner_hits"] or {}
+        size = int(ih.get("size", 3))
+        matched = F.slice(
+            F.filter(
+                F.col(path),
+                lambda x: _compile_nested_pred(path, inner, x),
+            ),
+            1, size,
+        )
+        keep = [c for c in hits.columns if c != path]
+        out[ih.get("name", path)] = hits.select(
+            *keep, matched.alias(path)
+        )
+    return out
+
+
 def _apply_join_field_queries(
-    df: DataFrame, query: dict[str, Any]
+    df: DataFrame, query: dict[str, Any],
+    inner_sink: dict[str, DataFrame] | None = None,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Pre-pass: join-field queries are FRAME transforms (semi-joins),
     not Column predicates, so they lift out of the query tree before
@@ -2849,7 +2937,10 @@ def _apply_join_field_queries(
         return df, query
     kind = next(iter(query))
     if kind in _JOIN_FIELD_KINDS:
-        return _execute_join_field(df, kind, query[kind]), {"match_all": {}}
+        return (
+            _execute_join_field(df, kind, query[kind], inner_sink),
+            {"match_all": {}},
+        )
     if kind != "bool":
         return df, query
     body = dict(query["bool"])
@@ -2866,7 +2957,7 @@ def _apply_join_field_queries(
         for q in _as_list(body.get(clause)):
             if len(q) == 1 and next(iter(q)) in _JOIN_FIELD_KINDS:
                 k = next(iter(q))
-                df = _execute_join_field(df, k, q[k])
+                df = _execute_join_field(df, k, q[k], inner_sink)
                 changed = True
             else:
                 kept.append(q)
@@ -2990,7 +3081,8 @@ def execute_search(
                 script = script.get("source", script.get("script"))
             df = df.withColumn(fname, safe_expr(script))
     query = body.get("query", {"match_all": {}})
-    df, query = _apply_join_field_queries(df, query)
+    join_inner_hits: dict[str, DataFrame] = {}
+    df, query = _apply_join_field_queries(df, query, join_inner_hits)
     top_kind = next(iter(query)) if len(query) == 1 else None
     is_knn = top_kind == "knn"
     is_fscore = top_kind == "function_score"
@@ -3234,10 +3326,14 @@ def execute_search(
         aggregations[name] = _run_sibling_pipeline(aggregations, spec)
 
     res = {"hits": hits, "aggregations": aggregations}
+    for nname, nframe in _nested_inner_hits(hits, query).items():
+        join_inner_hits.setdefault(nname, nframe)
+    if join_inner_hits:
+        res["inner_hits"] = dict(join_inner_hits)
     if inner_hits_df is not None:
         name = (body["collapse"]["inner_hits"].get("name")
                 or body["collapse"]["field"])
-        res["inner_hits"] = {name: inner_hits_df}
+        res.setdefault("inner_hits", {})[name] = inner_hits_df
     if body.get("suggest"):
         res["suggest"] = execute_suggest(
             df, body["suggest"], vocabs=suggest_vocabs, bigrams=suggest_bigrams
@@ -4664,6 +4760,41 @@ def _run_agg(
         out = {"doc_count": parents.count()}
         for n, s in sub.items():
             out[n] = _run_agg(parents, n, s, background=background)
+        return out
+
+    if kind in ("children", "parent"):
+        # join-field bucket aggs: switch the doc set across the
+        # parent/child relation. `children` descends from a parent
+        # context to the child docs whose FK matches a parent in
+        # context; `parent` climbs from a child context to the distinct
+        # parents. Same corpus model as has_child/has_parent
+        # (_execute_join_field): one index, a type column, children
+        # carrying the parent key — and the same Spark shape: ONE
+        # left-semi join on the key, sub-aggs over the switched frame.
+        corpus = background if background is not None else df
+        jf = dict(body.get("join_field") or {})
+        type_col = jf.get("type_field", "_index")
+        key = jf["key"]
+        child_key = jf.get("child_key", key)
+        if kind == "children":
+            side = corpus.filter(F.col(type_col) == F.lit(body["type"]))
+            keys = df.select(F.col(key).alias("__jk")).distinct()
+            switched = side.join(
+                keys, side[child_key] == F.col("__jk"), "left_semi"
+            )
+        else:
+            parent_type = jf["parent_type"]
+            side = corpus.filter(F.col(type_col) == F.lit(parent_type))
+            src = df
+            if body.get("type") is not None:
+                src = src.filter(F.col(type_col) == F.lit(body["type"]))
+            keys = src.select(F.col(child_key).alias("__jk")).distinct()
+            switched = side.join(
+                keys, side[key] == F.col("__jk"), "left_semi"
+            )
+        out: dict[str, Any] = {"doc_count": switched.count()}
+        for n, s in sub.items():
+            out[n] = _run_agg(switched, n, s, background=background)
         return out
 
     # plain metric aggregation at the top level

@@ -886,12 +886,14 @@ def _join_field_corpus(spark, sf_dir):
         F.lit("order").alias("rel"),
         F.col("o_orderpriority"),
         F.lit(None).cast("double").alias("l_quantity"),
+        F.lit(None).cast("int").alias("l_linenumber"),
     )
     children = t["lineitem"].select(
         F.col("l_orderkey").alias("jkey"),
         F.lit("item").alias("rel"),
         F.lit(None).cast("string").alias("o_orderpriority"),
         F.col("l_quantity"),
+        F.col("l_linenumber"),
     )
     return parents.unionByName(children)
 
@@ -949,6 +951,82 @@ def has_parent_search(spark, sf_dir):
         "join_field": _JF_SPEC,
     }}})
     return res["hits"].select("jkey", "l_quantity")
+
+
+@register(
+    "has_child_inner_hits",
+    oracle="""
+    SELECT jkey, l_quantity, l_linenumber FROM (
+      SELECT l.l_orderkey AS jkey, l.l_quantity, l.l_linenumber,
+             ROW_NUMBER() OVER (PARTITION BY l.l_orderkey
+                                ORDER BY l.l_quantity DESC,
+                                         l.l_linenumber ASC) AS rn
+      FROM lineitem l WHERE l.l_quantity >= 49) t
+    WHERE rn <= 2
+    """,
+    doc="has_child inner_hits (operators/search.py::_execute_join_field"
+    " inner_sink): each surviving parent's matching children, top-2 "
+    "per parent under the inner sort — the matched-children semi-join "
+    "plus ONE bounded per-key window; the frame stays distributed. "
+    "l_linenumber tie-breaks (quantity ties are ubiquitous), keeping "
+    "the window deterministic in both engines.",
+    tags=("dsl", "join"),
+)
+def has_child_inner_hits(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    corpus = _join_field_corpus(spark, sf_dir)
+    res = execute_search(corpus, {"query": {"has_child": {
+        "type": "item",
+        "query": {"range": {"l_quantity": {"gte": 49}}},
+        "join_field": _JF_SPEC,
+        "inner_hits": {"name": "big_items", "size": 2,
+                       "sort": [{"l_quantity": "desc"},
+                                {"l_linenumber": "asc"}]},
+    }}})
+    return res["inner_hits"]["big_items"].select(
+        "jkey", "l_quantity", "l_linenumber"
+    )
+
+
+@register(
+    "children_agg",
+    oracle="""
+    SELECT COUNT(*) AS doc_count,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+             AS total_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+    doc="`children` bucket aggregation (operators/search.py::_run_agg):"
+    " switch from the parent doc set to the child docs whose FK "
+    "matches a parent in context — ONE left-semi join on the key, "
+    "metric sub-aggs over the switched frame. The `parent` twin climbs "
+    "the other way (distinct parents of the children in context).",
+    tags=("agg", "dsl", "join"),
+)
+def children_agg(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    corpus = _join_field_corpus(spark, sf_dir)
+    res = execute_search(corpus, {
+        "size": 0,
+        "query": {"term": {"o_orderpriority": "1-URGENT"}},
+        "aggs": {"to_items": {
+            "children": {"type": "item", "join_field": _JF_SPEC},
+            "aggs": {"total_qty": {"sum": {"field": "l_quantity"}},
+                     "max_qty": {"max": {"field": "l_quantity"}}},
+        }},
+    })
+    agg = res["aggregations"]["to_items"]
+    return spark.createDataFrame(
+        [(agg["doc_count"], agg["total_qty"]["value"],
+          agg["max_qty"]["value"])],
+        "doc_count long, total_qty double, max_qty double",
+    )
 
 
 @register(

@@ -1051,3 +1051,30 @@ def test_significant_terms_predicate_single_scan(spark):
         one = significant_terms_frame(pred, bg, "k", heuristic=h).collect()
         assert [tuple(r) for r in one] == [tuple(r) for r in two]
     assert significant_terms_frame(pred, bg, "k").collect()[0]["key"] == "hot"
+
+
+def test_nested_query_inner_hits(nested_docs):
+    res = execute_search(nested_docs, {"query": {"nested": {
+        "path": "items",
+        "query": {"range": {"items.v": {"gte": 3.0}}},
+        "inner_hits": {},
+    }}})
+    assert sorted(r.id for r in res["hits"].collect()) == [1, 2]
+    inner = {r["id"]: r["items"] for r in
+             res["inner_hits"]["items"].collect()}
+    # only the elements that satisfied the inner query survive
+    assert [(e["k"], e["v"]) for e in inner[1]] == [("y", 3.0)]
+    assert [(e["k"], e["v"]) for e in inner[2]] == [("x", 5.0)]
+    # size bounds the matched elements; custom name keys the frame
+    res = execute_search(nested_docs, {"query": {"nested": {
+        "path": "items",
+        "query": {"exists": {"field": "items.k"}},
+        "inner_hits": {"name": "els", "size": 1},
+    }}})
+    inner = {r["id"]: r["items"] for r in
+             res["inner_hits"]["els"].collect()}
+    assert all(len(v) == 1 for v in inner.values())
+    # no inner_hits key unless requested
+    res = execute_search(nested_docs, {"query": {"nested": {
+        "path": "items", "query": {"exists": {"field": "items.k"}}}}})
+    assert "inner_hits" not in res
