@@ -1500,25 +1500,63 @@ class FlightsEtlPipeline:
 
     # -- bulk write API ----------------------------------------------------
 
+    def _eval_update_script(
+        self, idx: DataFrame, data_cols: list[str],
+        image: dict, script: dict[str, str],
+    ) -> dict:
+        """Evaluate a bulk-update ``script`` (column → guarded Spark SQL
+        expression, the engine's dialect — see :meth:`update_by_query`)
+        against one document image: a one-row local frame with the
+        index's own column types, the script columns rewritten through
+        :func:`safe_expr`, collected back to a dict. One tiny local job
+        per call — bounded by the bulk's action count."""
+        self._validate_set_fields(data_cols, dict(script), "bulk")
+        from pyspark.sql import types as T
+
+        fields = [f for f in idx.schema.fields if f.name in data_cols]
+        row = self.spark.createDataFrame(
+            [tuple(image.get(f.name) for f in fields)],
+            T.StructType(fields),
+        )
+        for col_name, expr in script.items():
+            row = row.withColumn(col_name, safe_expr(expr))
+        return row.collect()[0].asDict()
+
     def bulk(self, route: str, actions: list[dict]) -> dict:
         """``_bulk`` analog: a list of ``{"index": {"_id", "doc"}}`` /
-        ``{"update": {"_id", "doc"}}`` / ``{"delete": {"_id"}}`` actions
-        applied atomically-per-doc through the SAME CDC merge path as
-        streamed events. Each action takes its own odd (admin-half)
-        sequence — actions on the same ``_id`` within one bulk resolve
-        in LIST order, exactly as the public API applies them, because
-        later actions carry strictly higher sequences; n actions shadow
-        at most the next n−1 stream events of the touched keys (the
-        documented admin-op conflict window).
+        ``{"create": {"_id", "doc"}}`` / ``{"update": {"_id", ...}}`` /
+        ``{"delete": {"_id"}}`` actions applied atomically-per-doc
+        through the SAME CDC merge path as streamed events. Each action
+        takes its own odd (admin-half) sequence — actions on the same
+        ``_id`` within one bulk resolve in LIST order, exactly as the
+        public API applies them, because later actions carry strictly
+        higher sequences; n actions shadow at most the next n−1 stream
+        events of the touched keys (the documented admin-op conflict
+        window).
 
-        ``update`` is a partial document merge: the current image is
-        fetched by id (an mget — bounded by the action count, never a
-        scan) and unspecified fields are preserved. The in-flight
-        images are overlaid as actions are processed, so an update that
-        follows an index/update/delete of the same ``_id`` in the SAME
-        bulk sees that earlier action's result (not the stale pre-bulk
-        image), exactly like the public API. Unknown or internal fields
-        are rejected up front. Returns per-action-type counts."""
+        ``create`` fails when the document already exists (the public
+        version_conflict), counting a document created earlier in the
+        SAME bulk and ignoring one deleted earlier in it. ``update`` is
+        a partial document merge: the current image is fetched by id
+        (an mget — bounded by the action count, never a scan) and
+        unspecified fields are preserved; a missing document raises
+        unless the action carries ``doc_as_upsert: true`` (the partial
+        doc IS the new document) or an ``upsert`` document (indexed
+        as-is, ``doc`` ignored — the public first-write semantics).
+        ``script`` updates use this engine's script dialect (column →
+        guarded Spark SQL expression over the current image, same as
+        :meth:`update_by_query`); with ``scripted_upsert: true`` the
+        script also runs for a missing document against the ``upsert``
+        image. Script evaluation costs one local one-row job per script
+        action — prefer :meth:`update_by_query` for scripting MANY
+        documents in one pass.
+
+        The in-flight images are overlaid as actions are processed, so
+        an update that follows an index/create/update/delete of the
+        same ``_id`` in the SAME bulk sees that earlier action's result
+        (not the stale pre-bulk image), exactly like the public API.
+        Unknown or internal fields are rejected up front. Returns
+        per-action-type counts."""
         idx = self.index_view(route)
         if idx is None:
             raise ValueError(
@@ -1529,14 +1567,15 @@ class FlightsEtlPipeline:
         base_seq = self._next_synth_seq(self.read_index(route))
         upserts: list[tuple] = []
         deletes: list[tuple] = []
-        counts = {"indexed": 0, "updated": 0, "deleted": 0}
+        counts = {"indexed": 0, "created": 0, "updated": 0, "deleted": 0}
 
-        update_ids = [
-            str(a["update"]["_id"]) for a in actions if "update" in a
+        fetch_ids = [
+            str(a[op]["_id"]) for a in actions for op in a
+            if op in ("update", "create")
         ]
         current: dict[str, dict] = {}
-        if update_ids:
-            fetched = self.mget(route, update_ids)
+        if fetch_ids:
+            fetched = self.mget(route, fetch_ids)
             if fetched is not None:
                 current = {
                     r["_id"]: r.asDict() for r in fetched.collect()
@@ -1555,10 +1594,53 @@ class FlightsEtlPipeline:
             doc = dict(body.get("doc") or {})
             self._validate_set_fields(data_cols, doc, "bulk")
             if op == "update":
-                if _id not in current:
+                script = body.get("script")
+                upsert_doc = body.get("upsert")
+                if upsert_doc is not None:
+                    self._validate_set_fields(
+                        data_cols, dict(upsert_doc), "bulk"
+                    )
+                exists = _id in current
+                if script is not None:
+                    if doc:
+                        raise ValueError(
+                            "bulk update: 'doc' and 'script' are "
+                            "mutually exclusive (public contract)"
+                        )
+                    if exists:
+                        merged = self._eval_update_script(
+                            idx, data_cols, current[_id], script
+                        )
+                    elif body.get("scripted_upsert"):
+                        base = {"_id": _id, **dict(upsert_doc or {})}
+                        merged = self._eval_update_script(
+                            idx, data_cols, base, script
+                        )
+                    elif upsert_doc is not None:
+                        merged = dict(upsert_doc)
+                    else:
+                        raise ValueError(
+                            f"bulk update: no document {_id!r}"
+                        )
+                elif exists:
+                    merged = {**current[_id], **doc}
+                elif body.get("doc_as_upsert"):
+                    merged = doc
+                elif upsert_doc is not None:
+                    # first write: the upsert document verbatim, the
+                    # partial doc does NOT also apply (public semantics)
+                    merged = dict(upsert_doc)
+                else:
                     raise ValueError(f"bulk update: no document {_id!r}")
-                merged = {**current[_id], **doc}
                 counts["updated"] += 1
+            elif op == "create":
+                if _id in current:
+                    raise ValueError(
+                        f"bulk create: document {_id!r} already exists "
+                        "(version_conflict)"
+                    )
+                merged = doc
+                counts["created"] += 1
             elif op == "index":
                 merged = doc
                 counts["indexed"] += 1

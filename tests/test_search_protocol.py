@@ -252,7 +252,8 @@ def test_bulk_index_update_delete_in_order(spark, tmp_path_factory):
         {"update": {"_id": updatee, "doc": {"fare_class": "redeye"}}},
         {"delete": {"_id": victim}},
     ])
-    assert out == {"items": 3, "indexed": 1, "updated": 1, "deleted": 1}
+    assert out == {"items": 3, "indexed": 1, "created": 0,
+                   "updated": 1, "deleted": 1}
     after = p.index_view("fare")
     assert after.count() == before  # +1 new, −1 deleted
     assert after.filter(F.col("_id") == victim).count() == 0
@@ -587,3 +588,121 @@ def test_sql_fulltext_rewrite_skips_string_literals():
     assert "note = 'MATCH(a, ''b'')'" in out
     assert "arrays_overlap" in out
     assert "MATCH(fare_class" not in out
+
+
+def test_bulk_create_and_upsert_semantics(spark, tmp_path_factory):
+    """create fails on an existing doc (incl. one created earlier in the
+    same bulk) and succeeds after a same-bulk delete; update honors
+    doc_as_upsert / upsert / script / scripted_upsert through the same
+    LWW merge path."""
+    tmp = tmp_path_factory.mktemp("bulk_create")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+    existing = p.index_view("fare").select("_id").limit(1).collect()[0]["_id"]
+
+    # create on a fresh id succeeds and is counted separately
+    out = p.bulk("fare", [
+        {"create": {"_id": "C|1", "doc": {"pk": "C", "sk": "1",
+                                          "fare_class": "nonstop"}}},
+    ])
+    assert out["created"] == 1 and out["indexed"] == 0
+    assert p.index_view("fare").filter(F.col("_id") == "C|1").count() == 1
+    # create on an existing id is a version conflict
+    with pytest.raises(ValueError, match="version_conflict"):
+        p.bulk("fare", [{"create": {"_id": existing, "doc": {}}}])
+    # ...including a doc created earlier in the SAME bulk
+    with pytest.raises(ValueError, match="version_conflict"):
+        p.bulk("fare", [
+            {"create": {"_id": "C|2", "doc": {"pk": "C", "sk": "2"}}},
+            {"create": {"_id": "C|2", "doc": {"pk": "C", "sk": "2"}}},
+        ])
+    # ...but a same-bulk delete clears the way
+    out = p.bulk("fare", [
+        {"delete": {"_id": "C|1"}},
+        {"create": {"_id": "C|1", "doc": {"pk": "C", "sk": "1",
+                                          "fare_class": "redeye"}}},
+    ])
+    assert out["created"] == 1 and out["deleted"] == 1
+    row = p.index_view("fare").filter(F.col("_id") == "C|1").collect()[0]
+    assert row["fare_class"] == "redeye"
+
+    # update without doc_as_upsert still raises on a missing doc
+    with pytest.raises(ValueError, match="no document"):
+        p.bulk("fare", [{"update": {"_id": "U|1",
+                                    "doc": {"fare_class": "x"}}}])
+    # doc_as_upsert: the partial doc becomes the document
+    out = p.bulk("fare", [
+        {"update": {"_id": "U|1", "doc": {"pk": "U", "sk": "1",
+                                          "fare_class": "nonstop"},
+                    "doc_as_upsert": True}},
+    ])
+    assert out["updated"] == 1
+    row = p.index_view("fare").filter(F.col("_id") == "U|1").collect()[0]
+    assert row["fare_class"] == "nonstop"
+    # existing doc: doc merges, upsert ignored
+    p.bulk("fare", [
+        {"update": {"_id": "U|1", "doc": {"fare_class": "redeye"},
+                    "upsert": {"pk": "ZZZ", "sk": "9"}}},
+    ])
+    row = p.index_view("fare").filter(F.col("_id") == "U|1").collect()[0]
+    assert row["fare_class"] == "redeye" and row["pk"] == "U"
+    # missing doc with upsert: the upsert document verbatim (doc ignored)
+    p.bulk("fare", [
+        {"update": {"_id": "U|2", "doc": {"fare_class": "never"},
+                    "upsert": {"pk": "U", "sk": "2",
+                               "fare_class": "firstwrite"}}},
+    ])
+    row = p.index_view("fare").filter(F.col("_id") == "U|2").collect()[0]
+    assert row["fare_class"] == "firstwrite"
+
+
+def test_bulk_scripted_update_and_scripted_upsert(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("bulk_script")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+    p.bulk("fare", [{"index": {"_id": "S|1", "doc": {
+        "pk": "S", "sk": "1", "fare_class": "nonstop"}}}])
+    # script over the current image, engine dialect (Spark SQL expr)
+    p.bulk("fare", [{"update": {"_id": "S|1", "script": {
+        "fare_class": "concat(fare_class, '-x')"}}}])
+    row = p.index_view("fare").filter(F.col("_id") == "S|1").collect()[0]
+    assert row["fare_class"] == "nonstop-x" and row["pk"] == "S"
+    # doc and script together are rejected
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        p.bulk("fare", [{"update": {"_id": "S|1", "doc": {"pk": "S"},
+                                    "script": {"pk": "'x'"}}}])
+    # script on missing doc without any upsert raises
+    with pytest.raises(ValueError, match="no document"):
+        p.bulk("fare", [{"update": {"_id": "S|2", "script": {
+            "fare_class": "'x'"}}}])
+    # upsert WITHOUT scripted_upsert: upsert indexed verbatim, no script
+    p.bulk("fare", [{"update": {"_id": "S|2",
+                                "script": {"fare_class":
+                                           "concat(fare_class, '-x')"},
+                                "upsert": {"pk": "S", "sk": "2",
+                                           "fare_class": "base"}}}])
+    row = p.index_view("fare").filter(F.col("_id") == "S|2").collect()[0]
+    assert row["fare_class"] == "base"
+    # scripted_upsert: the script ALSO runs against the upsert image
+    p.bulk("fare", [{"update": {"_id": "S|3",
+                                "script": {"fare_class":
+                                           "concat(fare_class, '-x')"},
+                                "upsert": {"pk": "S", "sk": "3",
+                                           "fare_class": "base"},
+                                "scripted_upsert": True}}])
+    row = p.index_view("fare").filter(F.col("_id") == "S|3").collect()[0]
+    assert row["fare_class"] == "base-x"
+    # the script dialect blocks the JVM/UDF escape hatches
+    with pytest.raises(Exception):
+        p.bulk("fare", [{"update": {"_id": "S|1", "script": {
+            "fare_class": "reflect('java.lang.System', 'getenv')"}}}])
