@@ -1769,6 +1769,140 @@ def geotile_grid_agg(spark, sf_dir):
     )
 
 
+def _geohash_key_sql(p: int, lat_expr: str, lon_expr: str) -> str:
+    """The DuckDB twin of operators/search.py::geohash_cell — the SAME
+    floor-divide/mod bit extraction, rendered as SQL text, so the two
+    engines agree character-for-character (floor and integer %2 are
+    exact in doubles at these magnitudes)."""
+    total = 5 * p
+    lonb, latb = (total + 1) // 2, total // 2
+    ix = (f"LEAST(FLOOR(({lon_expr} + 180.0) / 360.0 "
+          f"* {float(1 << lonb)}), {(1 << lonb) - 1})")
+    iy = (f"LEAST(FLOOR(({lat_expr} + 90.0) / 180.0 "
+          f"* {float(1 << latb)}), {(1 << latb) - 1})")
+    chars = []
+    for j in range(p):
+        terms = []
+        for i in range(5):
+            g = 5 * j + i
+            src, m = (ix, lonb - 1 - g // 2) if g % 2 == 0 \
+                else (iy, latb - 1 - g // 2)
+            terms.append(
+                f"(CAST(FLOOR({src} / {float(1 << m)}) AS BIGINT) % 2)"
+                f" * {1 << (4 - i)}"
+            )
+        val = " + ".join(terms)
+        chars.append(
+            "SUBSTRING('0123456789bcdefghjkmnpqrstuvwxyz', "
+            f"CAST({val} AS INTEGER) + 1, 1)"
+        )
+    return " || ".join(chars)
+
+
+@register(
+    "geohash_grid_agg",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM customer)
+    SELECT {_geohash_key_sql(4, 'lat', 'lon')} AS key,
+           COUNT(*) AS doc_count
+    FROM pts GROUP BY 1
+    ORDER BY doc_count DESC, key ASC LIMIT 20
+    """,
+    doc="DSL `geohash_grid` aggregation at precision 4: base-32 cell "
+    "keys as pure column arithmetic (interleaved lon/lat bit encoding "
+    "via floor-divide/mod, one codegen projection — operators/"
+    "search.py::geohash_cell, canonical-vector verified), one groupBy "
+    "+ TakeOrdered top-20 — grid faceting with no geo index, the "
+    "geohash sibling of geotile_grid_agg.",
+    tags=("agg", "dsl", "geo"),
+)
+def geohash_grid_agg(spark, sf_dir):
+    from ..operators.search import geohash_cell
+
+    pts = _geo_points(spark, sf_dir)
+    return (
+        pts.groupBy(geohash_cell("location", 4).alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+        .limit(20)
+    )
+
+
+_IP_EXPR_SQL = (
+    "'10.' || CAST((c_custkey // 65536) % 256 AS VARCHAR) || '.' "
+    "|| CAST((c_custkey // 256) % 256 AS VARCHAR) || '.' "
+    "|| CAST(c_custkey % 256 AS VARCHAR)"
+)
+
+
+@register(
+    "ip_range_agg",
+    oracle=f"""
+    WITH nums AS (
+      SELECT CAST(SPLIT_PART(ip, '.', 1) AS BIGINT) * 16777216
+             + CAST(SPLIT_PART(ip, '.', 2) AS BIGINT) * 65536
+             + CAST(SPLIT_PART(ip, '.', 3) AS BIGINT) * 256
+             + CAST(SPLIT_PART(ip, '.', 4) AS BIGINT) AS n,
+             bal
+      FROM (SELECT {_IP_EXPR_SQL} AS ip,
+                   CAST(c_acctbal AS DECIMAL(28,6)) AS bal
+            FROM customer))
+    SELECT '*-10.0.4.0' AS key,
+           COUNT(*) FILTER (WHERE n < 167773184) AS doc_count,
+           CAST(SUM(bal) FILTER (WHERE n < 167773184) AS DOUBLE)
+             AS bal_sum
+    FROM nums
+    UNION ALL
+    SELECT '10.0.4.0-*',
+           COUNT(*) FILTER (WHERE n >= 167773184),
+           CAST(SUM(bal) FILTER (WHERE n >= 167773184) AS DOUBLE)
+    FROM nums
+    UNION ALL
+    SELECT 'lownet',
+           COUNT(*) FILTER (WHERE n >= 167772160 AND n < 167774208),
+           CAST(SUM(bal) FILTER (WHERE n >= 167772160 AND n < 167774208)
+                AS DOUBLE)
+    FROM nums
+    """,
+    doc="DSL `ip_range` aggregation (operators/search.py ip_range "
+    "branch): IPv4 strings map to one long (split + base-256 "
+    "arithmetic, codegen), bounds and the CIDR mask (10.0.0.0/21) "
+    "resolve driver-side via the stdlib, and ALL buckets + their sum "
+    "sub-aggs evaluate in ONE conditional-agg pass — the single-scan "
+    "shape of the numeric range agg. The ip column is synthesized "
+    "from c_custkey with identical arithmetic in both engines.",
+    tags=("agg", "dsl"),
+)
+def ip_range_agg(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    ips = c.select(
+        F.concat_ws(
+            ".", F.lit("10"),
+            (F.floor(k / 65536) % 256).cast("long"),
+            (F.floor(k / 256) % 256).cast("long"),
+            (k % 256).cast("long"),
+        ).alias("ip"),
+        F.col("c_acctbal"),
+    )
+    res = execute_search(ips, {"size": 0, "aggs": {"r": {
+        "ip_range": {"field": "ip", "ranges": [
+            {"to": "10.0.4.0"},
+            {"from": "10.0.4.0"},
+            {"mask": "10.0.0.0/21", "key": "lownet"},
+        ]},
+        "aggs": {"bal_sum": {"sum": {"field": "c_acctbal"}}},
+    }}})
+    return spark.createDataFrame(
+        [(b["key"], b["doc_count"], b["bal_sum"]["value"])
+         for b in res["aggregations"]["r"]["buckets"]],
+        "key string, doc_count long, bal_sum double",
+    )
+
+
 @register(
     "function_score_dsl_search",
     oracle="""

@@ -1078,3 +1078,50 @@ def test_nested_query_inner_hits(nested_docs):
     res = execute_search(nested_docs, {"query": {"nested": {
         "path": "items", "query": {"exists": {"field": "items.k"}}}}})
     assert "inner_hits" not in res
+
+
+def test_geohash_grid_agg(spark):
+    df = spark.createDataFrame(
+        [(1, 42.605, -5.603), (2, 57.64911, 10.40744), (3, 42.6, -5.6)],
+        "id long, lat double, lon double",
+    ).select("id", F.struct("lat", "lon").alias("loc"))
+    res = execute_search(df, {"size": 0, "aggs": {"g": {
+        "geohash_grid": {"field": "loc", "precision": 5}}}})
+    got = sorted((b["key"], b["doc_count"])
+                 for b in res["aggregations"]["g"]["buckets"])
+    # canonical vectors: (42.605,-5.603)→ezs42, (57.64911,10.40744)→u4pru
+    assert got == [("ezs42", 2), ("u4pru", 1)]
+    res = execute_search(df, {"size": 0, "aggs": {"g": {
+        "geohash_grid": {"field": "loc", "precision": 11}}}})
+    keys = {b["key"] for b in res["aggregations"]["g"]["buckets"]}
+    assert "u4pruydqqvj" in keys  # the textbook full-precision vector
+    with pytest.raises(ValueError):
+        execute_search(df, {"size": 0, "aggs": {"g": {
+            "geohash_grid": {"field": "loc", "precision": 13}}}})
+
+
+def test_ip_range_agg(spark):
+    df = spark.createDataFrame(
+        [("10.0.0.1", 1.0), ("10.0.0.5", 2.0), ("10.0.0.200", 4.0),
+         ("192.168.1.1", 8.0)],
+        "ip string, v double",
+    )
+    res = execute_search(df, {"size": 0, "aggs": {"r": {
+        "ip_range": {"field": "ip", "ranges": [
+            {"to": "10.0.0.5"},
+            {"from": "10.0.0.5"},
+            {"mask": "10.0.0.0/24", "key": "tennet"},
+        ]},
+        "aggs": {"sv": {"sum": {"field": "v"}}}}}})
+    b = res["aggregations"]["r"]["buckets"]
+    # from inclusive, to exclusive; mask spans the whole /24
+    assert [(x["key"], x["doc_count"], x["sv"]["value"]) for x in b] == [
+        ("*-10.0.0.5", 1, 1.0),
+        ("10.0.0.5-*", 3, 14.0),
+        ("tennet", 3, 7.0),
+    ]
+    assert b[0]["to"] == "10.0.0.5" and b[1]["from"] == "10.0.0.5"
+    with pytest.raises(ValueError, match="IPv4"):
+        execute_search(df, {"size": 0, "aggs": {"r": {
+            "ip_range": {"field": "ip",
+                         "ranges": [{"from": "::1"}]}}}})
