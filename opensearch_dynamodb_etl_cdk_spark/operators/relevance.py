@@ -117,6 +117,100 @@ def score_match_bm25(
     )
 
 
+def score_multi_match_bm25(
+    df: DataFrame,
+    fields: list[str],
+    query: str,
+    type_: str = "best_fields",
+    tie_breaker: float = 0.0,
+    k1: float = K1,
+    b: float = B,
+    stats_frame: DataFrame | None = None,
+) -> DataFrame:
+    """Scored ``multi_match``: per-field Lucene BM25 combined with the
+    public field-combination rules — ``best_fields`` takes the best
+    field's score plus ``tie_breaker`` × the other fields' scores
+    (dis_max semantics), ``most_fields`` sums them. Per-field boosts
+    (``"title^2"``) multiply that field's score before combining.
+
+    One aggregate pass computes corpus stats for ALL fields (shared N,
+    per-field avgdl, per-(field, term) document frequency), broadcast
+    as a 1-row frame; every per-field score is then pure codegen over
+    the analyzed token arrays — one scan, no shuffle beyond the
+    caller's top-k."""
+    parsed = [
+        (f.split("^")[0], float(f.split("^")[1]) if "^" in str(f) else 1.0)
+        for f in (str(f) for f in fields)
+    ]
+    terms = list(dict.fromkeys(_analyze_text(query)))
+    if not terms:
+        raise ValueError("score_multi_match_bm25: query analyzed to "
+                         "zero terms")
+    if type_ not in ("best_fields", "most_fields"):
+        raise ValueError(
+            f"scored multi_match supports best_fields/most_fields, "
+            f"got {type_!r}"
+        )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for fname, _ in parsed:
+        toks = _analyze(F.col(fname))
+        aggs.append(F.avg(F.size(toks)).alias(f"_avgdl_{fname}"))
+        for t in terms:
+            aggs.append(
+                F.sum(F.array_contains(toks, t).cast("long"))
+                .alias(f"_df_{fname}_{t}")
+            )
+    # idf must see the CORPUS, not a query-filtered subset — callers
+    # scoring pre-filtered hits pass the full frame as stats_frame
+    stats = (stats_frame if stats_frame is not None else df).agg(*aggs)
+    scored = df.crossJoin(F.broadcast(stats))
+    n = F.col("_n").cast("double")
+    field_scores = []
+    for fname, boost in parsed:
+        toks = _analyze(F.col(fname))
+        dl = F.size(toks).cast("double")
+        norm = F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * dl / F.col(f"_avgdl_{fname}")
+        )
+        def _tf(term: str, _toks=toks) -> Column:
+            # one-arg lambda only: a second (even defaulted) parameter
+            # makes F.filter pass the element INDEX into it. The lambda
+            # is invoked eagerly inside F.filter, so capturing `term`
+            # from this helper's scope is safe.
+            return F.size(
+                F.filter(_toks, lambda x: x == term)
+            ).cast("double")
+
+        score = F.lit(0.0)
+        for t in terms:
+            tf = _tf(t)
+            contrib = _idf(n, F.col(f"_df_{fname}_{t}").cast("double")) * (
+                tf * F.lit(k1 + 1.0) / (tf + norm)
+            )
+            score = score + F.when(tf > 0, contrib).otherwise(F.lit(0.0))
+        field_scores.append(score * F.lit(float(boost)))
+    if len(field_scores) == 1:
+        combined = field_scores[0]
+    elif type_ == "most_fields":
+        combined = field_scores[0]
+        for s in field_scores[1:]:
+            combined = combined + s
+    else:  # best_fields: max + tie_breaker * (sum - max)
+        best = F.greatest(*field_scores)
+        total = field_scores[0]
+        for s in field_scores[1:]:
+            total = total + s
+        combined = best + F.lit(float(tie_breaker)) * (total - best)
+    drop = ["_n"] + [f"_avgdl_{fn}" for fn, _ in parsed] + [
+        f"_df_{fn}_{t}" for fn, _ in parsed for t in terms
+    ]
+    return (
+        scored.withColumn("_score", combined)
+        .filter(F.col("_score") > 0)
+        .drop(*drop)
+    )
+
+
 def more_like_this(
     df: DataFrame,
     field: str,

@@ -702,8 +702,11 @@ def compile_query(q: dict[str, Any], allow_unsafe_scripts: bool = False) -> Colu
         # boost/_name are legitimately inert in filter context (the
         # public API ignores boost there too); anything else unknown
         # raises
+        # tie_breaker only shapes scores (dis_max combination) — inert
+        # in filter context like boost; the scored path (track_scores →
+        # relevance.score_multi_match_bm25) honors it
         known = {"query", "fields", "type", "operator", "fuzziness",
-                 "boost", "_name"}
+                 "boost", "_name", "tie_breaker"}
         unknown = set(body) - known
         if unknown:
             raise ValueError(
@@ -3215,6 +3218,27 @@ def execute_search(
                 filtered = score_match_bm25(
                     filtered, field, text,
                     stats=corpus_stats(df, field, terms),
+                )
+                scored = True
+                if not body.get("sort"):
+                    filtered = filtered.orderBy(*_score_order(filtered))
+        elif body.get("track_scores") and len(query) == 1 \
+                and next(iter(query)) == "multi_match" \
+                and query["multi_match"].get("type", "best_fields") \
+                in ("best_fields", "most_fields"):
+            # relevance-ranked multi_match: per-field BM25 combined
+            # with the public field-combination rules — best_fields =
+            # dis_max with tie_breaker, most_fields = sum; per-field
+            # ^boosts multiply. Stats aggregate over the FULL frame.
+            from .relevance import score_multi_match_bm25
+
+            mm = query["multi_match"]
+            if list(dict.fromkeys(_analyze_text(str(mm["query"])))):
+                filtered = score_multi_match_bm25(
+                    filtered, list(mm["fields"]), str(mm["query"]),
+                    type_=mm.get("type", "best_fields"),
+                    tie_breaker=float(mm.get("tie_breaker", 0.0)),
+                    stats_frame=df,
                 )
                 scored = True
                 if not body.get("sort"):

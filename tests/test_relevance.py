@@ -267,3 +267,68 @@ def test_rrf_fuse_rank_contributions(spark):
     # fused order: doc1 (both rankings) first
     top = rrf_fuse([a, b], ["id"], k=60, window=2, size=1).collect()
     assert top[0]["id"] == 1
+
+
+def test_scored_multi_match_tie_breaker_and_boosts(spark):
+    """Scored multi_match: best_fields = dis_max + tie_breaker x others,
+    most_fields = sum, per-field ^boost multiplies — recomputed from
+    independent single-field BM25 runs."""
+    from opensearch_dynamodb_etl_cdk_spark.operators.relevance import (
+        score_match_bm25,
+        score_multi_match_bm25,
+    )
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        execute_search,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "spark shuffle merge", "spark overview notes"),
+         (2, "window sort merge", "spark spark spark"),
+         (3, "table scan", "filter pushdown")],
+        "id long, title string, body string",
+    ).cache()
+    df.count()
+
+    t = {r["id"]: r["_score"]
+         for r in score_match_bm25(df, "title", "spark").collect()}
+    b = {r["id"]: r["_score"]
+         for r in score_match_bm25(df, "body", "spark").collect()}
+
+    # best_fields with tie_breaker 0.3 and title^2
+    got = {r["id"]: r["_score"] for r in score_multi_match_bm25(
+        df, ["title^2", "body"], "spark",
+        type_="best_fields", tie_breaker=0.3).collect()}
+    for i in got:
+        ft, fb = 2.0 * t.get(i, 0.0), b.get(i, 0.0)
+        expect = max(ft, fb) + 0.3 * (ft + fb - max(ft, fb))
+        assert got[i] == pytest.approx(expect, rel=1e-12)
+    assert set(got) == {1, 2}  # doc 3 matches neither field
+
+    # most_fields sums
+    got = {r["id"]: r["_score"] for r in score_multi_match_bm25(
+        df, ["title", "body"], "spark", type_="most_fields").collect()}
+    for i in got:
+        assert got[i] == pytest.approx(
+            t.get(i, 0.0) + b.get(i, 0.0), rel=1e-12)
+
+    # end-to-end through the DSL with track_scores
+    res = execute_search(df, {
+        "query": {"multi_match": {
+            "query": "spark", "fields": ["title^2", "body"],
+            "tie_breaker": 0.3}},
+        "track_scores": True, "size": 3,
+    })
+    rows = res["hits"].select("id", "_score").collect()
+    assert [r["id"] for r in rows] == sorted(
+        got, key=lambda i: -max(2.0 * t.get(i, 0), b.get(i, 0))
+        - 0.3 * min(2.0 * t.get(i, 0), b.get(i, 0)))
+    # tie_breaker stays inert in pure filter context (no track_scores)
+    res = execute_search(df, {"query": {"multi_match": {
+        "query": "spark", "fields": ["title", "body"],
+        "tie_breaker": 0.5}}})
+    assert sorted(r["id"] for r in res["hits"].collect()) == [1, 2]
+    # unknown options still raise
+    with pytest.raises(ValueError, match="unsupported multi_match"):
+        execute_search(df, {"query": {"multi_match": {
+            "query": "spark", "fields": ["title"], "zero_terms_query":
+            "all"}}})
