@@ -105,6 +105,21 @@ HEADLINE = [
     # (components on the edge list + cluster-partitioned window)
     "has_child_search",
     "dedup_keep_best",
+    # round-6 additions: the 8-processor ingest chain folded into one
+    # codegen projection (the transform half of a pipeline=_reindex)
+    "ingest_pipeline_transform",
+]
+
+# Iterative/trainer operators do their distributed work INSIDE fn()
+# (centroid refinement collects per iteration; BPE's merge loop and the
+# PCA eigensolve are driver-coordinated over keyed aggregates), so the
+# timed region must include the fn() call itself, not just the final
+# frame's action. Kept separate from HEADLINE so the lazy entries'
+# timing discipline (plan-build outside, action inside) is unchanged.
+EAGER_HEADLINE = [
+    "kmeans_cluster_sizes",   # 5 Lloyd iterations + assignment groupBy
+    "pca_embedding_summary",  # Gram-matrix aggregate + driver eigensolve
+    "bpe_train_merges",       # 20 merge rounds over the bounded word table
 ]
 
 # The driver's fixture parquet ships ONE row group per table (sf0.1
@@ -172,6 +187,15 @@ def run_once(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def run_once_eager(spark, name: str, sf_dir: str) -> float:
+    """Time fn() + action together — the iterative trainers do their
+    distributed work inside fn()."""
+    t0 = time.perf_counter()
+    df = CATALOG[name].fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 N_RUNS = 2  # best-of-2: first execution pays JIT/codegen warm-up (up to
 # 2× on this single-JVM local mode), which would otherwise dominate the
 # regression comparison against BASELINE
@@ -213,9 +237,12 @@ def main() -> None:
     data_dir = _rechunked(spark, SF_DIR) if RECHUNK else SF_DIR
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name, runner in (
+        [(n, run_once) for n in HEADLINE]
+        + [(n, run_once_eager) for n in EAGER_HEADLINE]
+    ):
         timings[name] = round(
-            min(run_once(spark, name, data_dir) for _ in range(N_RUNS)), 4
+            min(runner(spark, name, data_dir) for _ in range(N_RUNS)), 4
         )
         # Drop cached frames so one query's cache residue (e.g. the
         # persisted MinHash banded frame) doesn't distort the memory

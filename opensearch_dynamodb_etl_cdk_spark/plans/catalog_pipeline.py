@@ -436,3 +436,45 @@ def three_way_split_counts(spark, sf_dir):
         three_way_split(d, val_pct=5, test_pct=5)
         .groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "ingest_pipeline_transform",
+    oracle="""
+    SELECT doc_id, source AS origin, UPPER(lang) AS lang_uc,
+           CAST(n_chars AS DOUBLE) AS n_chars_d,
+           (CAST(n_chars AS DOUBLE) > 500) AS flag,
+           LENGTH(REPLACE(REGEXP_REPLACE(text, '[0-9]+', '#', 'g'),
+                          ' ', '|')) AS jlen
+    FROM documents
+    """,
+    doc="An 8-processor ingest pipeline folded over the documents table "
+    "(functions/ingest.py::apply_processors — set/copy_from, uppercase, "
+    "gsub, split, join, convert, script, remove): the whole chain "
+    "compiles into ONE Catalyst projection (whole-stage codegen per "
+    "document, zero extra passes) — the transform half of a "
+    "pipeline-parameterized _reindex, benchable as a lazy frame.",
+    tags=("pipeline", "ingest", "bench"),
+)
+def ingest_pipeline_transform(spark, sf_dir):
+    from ..functions.ingest import apply_processors
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    out = apply_processors(d, [
+        {"set": {"field": "origin", "copy_from": "source"}},
+        {"uppercase": {"field": "lang", "target_field": "lang_uc"}},
+        {"gsub": {"field": "text", "pattern": "[0-9]+",
+                  "replacement": "#", "target_field": "text_clean"}},
+        {"split": {"field": "text_clean", "separator": " ",
+                   "target_field": "toks"}},
+        {"join": {"field": "toks", "separator": "|",
+                  "target_field": "joined"}},
+        {"convert": {"field": "n_chars", "type": "double",
+                     "target_field": "n_chars_d"}},
+        {"script": {"target_field": "flag", "source": "n_chars_d > 500"}},
+        {"remove": {"field": ["toks", "text_clean"]}},
+    ])
+    return out.select(
+        "doc_id", "origin", "lang_uc", "n_chars_d", "flag",
+        F.length("joined").cast("long").alias("jlen"),
+    )

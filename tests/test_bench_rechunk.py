@@ -34,7 +34,7 @@ def rechunk_dir(spark, sf_dir, tmp_path_factory):
     return root
 
 
-@pytest.mark.parametrize("name", bench.HEADLINE)
+@pytest.mark.parametrize("name", bench.HEADLINE + bench.EAGER_HEADLINE)
 def test_headline_query_invariant_under_rechunk(name, spark, sf_dir, rechunk_dir):
     q = CATALOG[name]
     raw = sorted((tuple(r) for r in q.fn(spark, sf_dir).collect()), key=repr)
