@@ -3018,6 +3018,168 @@ def _apply_join_field_queries(
     return df, {"bool": body}
 
 
+def _subquery_scored(df: DataFrame, q: dict[str, Any],
+                     default_size: int) -> DataFrame:
+    """One hybrid sub-query → a scored frame (input columns +
+    ``_score``). Scoring queries use their native scorers (BM25 / knn
+    cosine / function_score / feature scores); a pure filter clause
+    contributes constant relevance 1.0 (which min-max normalization
+    maps to 1 for every match — the public behavior for unscored
+    clauses)."""
+    (kind, body), = q.items()
+    if kind == "knn":
+        return _execute_knn(df, body, default_size)
+    if kind == "function_score":
+        return _execute_function_score(df, body)
+    if kind == "match":
+        from .relevance import score_match_bm25
+
+        (field, spec), = body.items()
+        text = str(spec["query"] if isinstance(spec, dict) else spec)
+        return score_match_bm25(df, field, text)
+    if kind == "multi_match":
+        from .relevance import score_multi_match_bm25
+
+        return score_multi_match_bm25(
+            df, list(body["fields"]), str(body["query"]),
+            type_=body.get("type", "best_fields"),
+            tie_breaker=float(body.get("tie_breaker", 0.0)),
+        )
+    if kind in ("distance_feature", "rank_feature"):
+        score = (_distance_feature_score(body)
+                 if kind == "distance_feature"
+                 else _rank_feature_score(body))
+        return df.filter(compile_query(q)).withColumn("_score", score)
+    return df.filter(compile_query(q)).withColumn("_score", F.lit(1.0))
+
+
+def _execute_hybrid(
+    df: DataFrame, body: dict[str, Any]
+) -> DataFrame:
+    """OpenSearch 2.x ``hybrid`` query + normalization processor: run
+    each sub-query's native scorer, normalize every sub-query's score
+    distribution independently (``min_max`` or ``l2`` — a one-row
+    aggregate broadcast back, never a driver collect), then combine
+    per document (``arithmetic_mean`` / ``geometric_mean`` /
+    ``harmonic_mean``, optionally weighted; a sub-query that did not
+    match a document contributes 0, and the mean-family combiners
+    follow the public rule of averaging over ALL sub-queries for
+    arithmetic and over the matching ones for geometric/harmonic).
+
+    Spark shape: per-sub-query scored frames reduce to (id, qi, score)
+    triples, union, ONE groupBy on the id with per-qi conditional max,
+    combination as a codegen projection, then a join back to the
+    source frame for full documents. Wide and shuffle-light: the only
+    shuffled rows are (id, score) pairs."""
+    spec = body["query"]["hybrid"]
+    queries = list(spec.get("queries") or [])
+    if not queries:
+        raise ValueError("hybrid query needs a non-empty 'queries' list")
+    size = int(body.get("size", 10))
+    proc = {}
+    for p in (body.get("search_pipeline") or {}).get(
+            "phase_results_processors", []):
+        if "normalization-processor" in p:
+            proc = p["normalization-processor"]
+    technique = (proc.get("normalization") or {}).get(
+        "technique", "min_max")
+    comb = proc.get("combination") or {}
+    comb_technique = comb.get("technique", "arithmetic_mean")
+    weights = (comb.get("parameters") or {}).get("weights")
+    if weights is not None and len(weights) != len(queries):
+        raise ValueError(
+            "combination.parameters.weights must have one weight per "
+            "hybrid sub-query"
+        )
+    w = [float(x) for x in (weights or [1.0] * len(queries))]
+
+    id_col = "_id" if "_id" in df.columns else df.columns[0]
+    parts = []
+    for i, q in enumerate(queries):
+        scored = _subquery_scored(df, q, size).select(
+            F.col(id_col).alias("__hid"),
+            F.col("_score").cast("double").alias("__s"),
+        )
+        if technique == "min_max":
+            stats = scored.agg(F.min("__s").alias("__lo"),
+                               F.max("__s").alias("__hi"))
+            norm = scored.crossJoin(F.broadcast(stats)).select(
+                "__hid",
+                F.when(
+                    F.col("__hi") > F.col("__lo"),
+                    (F.col("__s") - F.col("__lo"))
+                    / (F.col("__hi") - F.col("__lo")),
+                ).otherwise(F.lit(1.0)).alias("__ns"),
+            )
+        elif technique == "l2":
+            stats = scored.agg(
+                F.sqrt(F.sum(F.col("__s") * F.col("__s"))).alias("__n2")
+            )
+            norm = scored.crossJoin(F.broadcast(stats)).select(
+                "__hid",
+                F.when(F.col("__n2") > 0, F.col("__s") / F.col("__n2"))
+                .otherwise(F.lit(0.0)).alias("__ns"),
+            )
+        else:
+            raise ValueError(
+                f"unsupported normalization technique {technique!r}"
+            )
+        parts.append(norm.withColumn("__qi", F.lit(i)))
+    allq = parts[0]
+    for p in parts[1:]:
+        allq = allq.unionByName(p)
+    per_q = [
+        F.coalesce(
+            F.max(F.when(F.col("__qi") == i, F.col("__ns"))), F.lit(0.0)
+        ).alias(f"__q{i}")
+        for i in range(len(queries))
+    ]
+    fused = allq.groupBy("__hid").agg(*per_q)
+    qcols = [F.col(f"__q{i}") for i in range(len(queries))]
+    if comb_technique == "arithmetic_mean":
+        score = sum(
+            (c * F.lit(wi) for c, wi in zip(qcols, w)), F.lit(0.0)
+        ) / F.lit(sum(w))
+    elif comb_technique == "geometric_mean":
+        # over the MATCHING sub-queries only (public rule): weighted
+        # log-mean of the positive scores
+        num = sum(
+            (F.when(c > 0, F.lit(wi) * F.log(c)).otherwise(F.lit(0.0))
+             for c, wi in zip(qcols, w)),
+            F.lit(0.0),
+        )
+        den = sum(
+            (F.when(c > 0, F.lit(wi)).otherwise(F.lit(0.0))
+             for c, wi in zip(qcols, w)),
+            F.lit(0.0),
+        )
+        score = F.when(den > 0, F.exp(num / den)).otherwise(F.lit(0.0))
+    elif comb_technique == "harmonic_mean":
+        num = sum(
+            (F.when(c > 0, F.lit(wi)).otherwise(F.lit(0.0))
+             for c, wi in zip(qcols, w)),
+            F.lit(0.0),
+        )
+        den = sum(
+            (F.when(c > 0, F.lit(wi) / c).otherwise(F.lit(0.0))
+             for c, wi in zip(qcols, w)),
+            F.lit(0.0),
+        )
+        score = F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    else:
+        raise ValueError(
+            f"unsupported combination technique {comb_technique!r}"
+        )
+    fused = fused.select("__hid", score.alias("_score"))
+    docs = df.drop("_score") if "_score" in df.columns else df
+    return (
+        fused.join(docs, fused["__hid"] == docs[id_col])
+        .drop("__hid")
+        .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+        .limit(size)
+    )
+
+
 def _execute_retriever(
     df: DataFrame,
     body: dict[str, Any],
@@ -3119,6 +3281,8 @@ def execute_search(
             df, body,
             suggest_vocabs=suggest_vocabs, suggest_bigrams=suggest_bigrams,
         )
+    if "hybrid" in (body.get("query") or {}):
+        return {"hits": _execute_hybrid(df, body), "aggregations": {}}
     if body.get("runtime_mappings"):
         # Runtime fields: computed at search time from a script (this
         # engine's dialect = guarded Spark SQL expressions), visible to
@@ -3483,6 +3647,7 @@ def _apply_rescore(hits: DataFrame, spec: dict[str, Any]) -> DataFrame:
 
 SIBLING_PIPELINE_AGGS = (
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
+    "extended_stats_bucket", "percentiles_bucket",
 )
 
 
@@ -3505,7 +3670,7 @@ def _run_sibling_pipeline(aggregations: dict, spec: dict) -> dict:
     if not vals:
         empty = {"value": None}
         return dict(empty, count=0, min=None, max=None, avg=None, sum=None) \
-            if kind == "stats_bucket" else empty
+            if kind in ("stats_bucket", "extended_stats_bucket") else empty
     if kind == "avg_bucket":
         return {"value": sum(vals) / len(vals)}
     if kind == "sum_bucket":
@@ -3514,10 +3679,36 @@ def _run_sibling_pipeline(aggregations: dict, spec: dict) -> dict:
         return {"value": min(vals)}
     if kind == "max_bucket":
         return {"value": max(vals)}
-    return {
-        "count": len(vals), "min": min(vals), "max": max(vals),
-        "sum": sum(vals), "avg": sum(vals) / len(vals),
+    if kind == "percentiles_bucket":
+        # the public linear-interpolation rule over the SORTED sibling
+        # values ((n-1)·p/100 fractional rank), exact — these are
+        # driver-side lists, not a distributed sketch
+        sv = sorted(vals)
+        out_vals: dict[str, float] = {}
+        for p in body.get("percents", [1.0, 5.0, 25.0, 50.0, 75.0, 95.0,
+                                        99.0]):
+            rank = (len(sv) - 1) * float(p) / 100.0
+            lo = int(rank)
+            frac = rank - lo
+            v = sv[lo] if lo + 1 >= len(sv) \
+                else sv[lo] * (1 - frac) + sv[lo + 1] * frac
+            out_vals[str(float(p))] = v
+        return {"values": out_vals}
+    n = len(vals)
+    mean = sum(vals) / n
+    base = {
+        "count": n, "min": min(vals), "max": max(vals),
+        "sum": sum(vals), "avg": mean,
     }
+    if kind == "extended_stats_bucket":
+        sos = sum(v * v for v in vals)
+        var = sos / n - mean * mean
+        base.update({
+            "sum_of_squares": sos,
+            "variance": var,
+            "std_deviation": var ** 0.5 if var > 0 else 0.0,
+        })
+    return base
 
 
 def composite_frame(
@@ -3574,7 +3765,7 @@ def composite_frame(
 
 PIPELINE_AGGS = (
     "cumulative_sum", "derivative", "moving_fn", "serial_diff",
-    "bucket_script", "bucket_selector", "bucket_sort",
+    "bucket_script", "bucket_selector", "bucket_sort", "normalize",
 )
 
 
@@ -3732,6 +3923,48 @@ def _apply_pipeline_aggs(buckets: list[dict], pipe_sub: dict) -> list[dict]:
             buckets = buckets[frm:]
             if "size" in body:
                 buckets = buckets[: int(body["size"])]
+        elif kind == "normalize":
+            # rescale a sibling metric across the reduced histogram —
+            # the public techniques over the collected bucket list
+            vals = [_bucket_value(b, body["buckets_path"])
+                    for b in buckets]
+            present = [v for v in vals if v is not None]
+            method = body["method"]
+            import math as _math
+
+            if method == "percent_of_sum":
+                tot = sum(present) or 1.0
+                out = [None if v is None else v / tot for v in vals]
+            elif method == "mean":
+                # (x - min) shifted around the mean over the range,
+                # the public "mean" normalizer: (x - mean)/(max - min)
+                mean = sum(present) / len(present)
+                rng = (max(present) - min(present)) or 1.0
+                out = [None if v is None else (v - mean) / rng
+                       for v in vals]
+            elif method in ("rescale_0_1", "rescale_0_100"):
+                lo_, hi_ = min(present), max(present)
+                rng = (hi_ - lo_) or 1.0
+                scale = 100.0 if method == "rescale_0_100" else 1.0
+                out = [None if v is None else (v - lo_) / rng * scale
+                       for v in vals]
+            elif method == "z-score":
+                mean = sum(present) / len(present)
+                var = sum((v - mean) ** 2 for v in present) / len(present)
+                sd = var ** 0.5 or 1.0
+                out = [None if v is None else (v - mean) / sd
+                       for v in vals]
+            elif method == "softmax":
+                mx = max(present)  # shift for overflow safety
+                tot = sum(_math.exp(v - mx) for v in present)
+                out = [None if v is None else _math.exp(v - mx) / tot
+                       for v in vals]
+            else:
+                raise ValueError(
+                    f"unsupported normalize method {method!r}"
+                )
+            for b, v in zip(buckets, out):
+                b[n] = {"value": v}
     return buckets
 
 

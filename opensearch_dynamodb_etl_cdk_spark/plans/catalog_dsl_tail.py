@@ -1125,3 +1125,54 @@ def rate_per_day_agg(spark, sf_dir):
     return spark.createDataFrame(
         rows, "key timestamp, doc_count bigint, per_day double"
     )
+
+
+@register(
+    "hybrid_search_normalized",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS _id, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE)
+               / (CAST(o_totalprice AS DOUBLE) + 100000.0) AS a
+      FROM orders),
+    m AS (SELECT MIN(a) AS lo, MAX(a) AS hi FROM s)
+    SELECT _id,
+           (2.0 * ((a - lo) / (hi - lo))
+            + CASE WHEN o_orderpriority = '1-URGENT'
+                   THEN 1.0 ELSE 0.0 END) / 3.0 AS score
+    FROM s, m
+    ORDER BY score DESC, _id ASC LIMIT 20
+    """,
+    doc="OpenSearch 2.x hybrid query + normalization processor "
+    "(operators/search.py::_execute_hybrid): a rank_feature scorer and "
+    "a filter clause, each min-max normalized over its OWN score "
+    "distribution (one-row aggregate broadcast back, no driver "
+    "collect), combined with a weighted arithmetic mean (weights 2:1). "
+    "Only (id, score) pairs shuffle; documents re-join by id at the "
+    "end. min/max and the normalization arithmetic are IEEE-identical "
+    "in both engines, so scores hash-match exactly.",
+    tags=("dsl", "ranking", "hybrid"),
+)
+def hybrid_search_normalized(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    o = _t(spark, sf_dir, "orders")["orders"].select(
+        F.col("o_orderkey").cast("string").alias("_id"),
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    res = execute_search(o, {
+        "query": {"hybrid": {"queries": [
+            {"rank_feature": {"field": "o_totalprice",
+                              "saturation": {"pivot": 100000.0}}},
+            {"term": {"o_orderpriority": "1-URGENT"}},
+        ]}},
+        "size": 20,
+        "search_pipeline": {"phase_results_processors": [
+            {"normalization-processor": {
+                "normalization": {"technique": "min_max"},
+                "combination": {"technique": "arithmetic_mean",
+                                "parameters": {"weights": [2.0, 1.0]}},
+            }}]},
+    })
+    return res["hits"].select("_id", F.col("_score").alias("score"))

@@ -1107,17 +1107,102 @@ class FlightsEtlPipeline:
 
     # -- search-protocol conveniences (msearch / scroll / field_caps) ------
 
-    def search(self, pattern: str, body: dict | None = None) -> dict:
+    def search(self, pattern: str, body: dict | None = None,
+               search_pipeline: str | dict | None = None) -> dict:
         """``GET /<pattern>/_search`` analog: resolve the index pattern
         (aliases/wildcards, per :meth:`multi_index_view`) and run the
         DSL body through the interpreter. Hits stay a distributed
-        frame; per-route predicates still push into each scan."""
+        frame; per-route predicates still push into each scan.
+
+        ``search_pipeline`` (id or inline dict, the public
+        ``?search_pipeline=`` parameter) attaches a registered search
+        pipeline — its normalization-processor configures the hybrid
+        query's score normalization/combination."""
         from ..operators.search import execute_search
 
         view = self.multi_index_view(pattern)
         if view is None:
             return {"hits": None, "aggregations": {}}
-        return execute_search(view, self._resolve_terms_lookup(body or {}))
+        body = self._resolve_terms_lookup(body or {})
+        if search_pipeline is not None:
+            body = dict(body)
+            body["search_pipeline"] = (
+                search_pipeline if isinstance(search_pipeline, dict)
+                else self.get_search_pipeline(search_pipeline)
+            )
+        return execute_search(view, body)
+
+    # -- search pipelines ---------------------------------------------------
+
+    def _search_pipeline_path(self) -> str:
+        return os.path.join(self.cfg.index_root, "_search_pipelines.json")
+
+    def _read_search_pipelines(self) -> dict:
+        import json
+
+        try:
+            with open(self._search_pipeline_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def put_search_pipeline(self, pipeline_id: str, body: dict) -> dict:
+        """``PUT /_search/pipeline/<id>`` analog: validate the processor
+        kinds up front and persist (atomic tmp+rename, same registry
+        pattern as ingest pipelines). Supported phase-results
+        processor: ``normalization-processor`` (min_max/l2 score
+        normalization + mean-family combination for hybrid queries)."""
+        import json
+
+        for p in body.get("phase_results_processors", []):
+            (kind, spec), = p.items()
+            if kind != "normalization-processor":
+                raise ValueError(
+                    f"unsupported phase_results processor {kind!r}"
+                )
+            t = (spec.get("normalization") or {}).get(
+                "technique", "min_max")
+            if t not in ("min_max", "l2"):
+                raise ValueError(f"unsupported normalization {t!r}")
+            c = (spec.get("combination") or {}).get(
+                "technique", "arithmetic_mean")
+            if c not in ("arithmetic_mean", "geometric_mean",
+                         "harmonic_mean"):
+                raise ValueError(f"unsupported combination {c!r}")
+        reg = self._read_search_pipelines()
+        reg[pipeline_id] = {
+            "phase_results_processors":
+                list(body.get("phase_results_processors", [])),
+            "description": body.get("description", ""),
+        }
+        os.makedirs(self.cfg.index_root, exist_ok=True)
+        tmp = self._search_pipeline_path() + ".tmp"
+        import json as _json
+
+        with open(tmp, "w") as f:
+            _json.dump(reg, f)
+        os.replace(tmp, self._search_pipeline_path())
+        return {"acknowledged": True}
+
+    def get_search_pipeline(self, pipeline_id: str | None = None) -> dict:
+        reg = self._read_search_pipelines()
+        if pipeline_id is None:
+            return reg
+        if pipeline_id not in reg:
+            raise ValueError(f"no such search pipeline {pipeline_id!r}")
+        return reg[pipeline_id]
+
+    def delete_search_pipeline(self, pipeline_id: str) -> bool:
+        import json
+
+        reg = self._read_search_pipelines()
+        existed = reg.pop(pipeline_id, None) is not None
+        if existed:
+            tmp = self._search_pipeline_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(reg, f)
+            os.replace(tmp, self._search_pipeline_path())
+        return existed
 
     def _resolve_terms_lookup(self, body: dict) -> dict:
         """Terms-lookup pre-resolve: a ``terms`` query whose spec is

@@ -1125,3 +1125,137 @@ def test_ip_range_agg(spark):
         execute_search(df, {"size": 0, "aggs": {"r": {
             "ip_range": {"field": "ip",
                          "ranges": [{"from": "::1"}]}}}})
+
+
+def test_sibling_percentiles_and_extended_stats_bucket(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0), ("c", 2.0)],
+        "k string, v double",
+    )
+    res = execute_search(df, {"size": 0, "aggs": {
+        "per_k": {"terms": {"field": "k", "size": 10,
+                            "order": {"_key": "asc"}},
+                  "aggs": {"sv": {"sum": {"field": "v"}}}},
+        "pcts": {"percentiles_bucket": {"buckets_path": "per_k>sv",
+                                        "percents": [0.0, 50.0, 100.0]}},
+        "xs": {"extended_stats_bucket": {"buckets_path": "per_k>sv"}},
+    }})
+    # per-k sums: a=4, b=10, c=2 → sorted [2, 4, 10]
+    p = res["aggregations"]["pcts"]["values"]
+    assert p["0.0"] == 2.0 and p["50.0"] == 4.0 and p["100.0"] == 10.0
+    xs = res["aggregations"]["xs"]
+    assert xs["count"] == 3 and xs["sum"] == 16.0
+    assert xs["avg"] == pytest.approx(16.0 / 3)
+    assert xs["sum_of_squares"] == 4.0 + 100.0 + 16.0
+    var = (120.0 / 3) - (16.0 / 3) ** 2
+    assert xs["variance"] == pytest.approx(var)
+    assert xs["std_deviation"] == pytest.approx(var ** 0.5)
+
+
+def test_normalize_pipeline_agg(spark):
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", 2.0), ("b", 6.0), ("c", 12.0)],
+        "k string, v double",
+    )
+    body = {"size": 0, "aggs": {"per_k": {
+        "terms": {"field": "k", "size": 10, "order": {"_key": "asc"}},
+        "aggs": {
+            "sv": {"sum": {"field": "v"}},
+            "pct": {"normalize": {"buckets_path": "sv",
+                                  "method": "percent_of_sum"}},
+            "r01": {"normalize": {"buckets_path": "sv",
+                                  "method": "rescale_0_1"}},
+            "z": {"normalize": {"buckets_path": "sv",
+                                "method": "z-score"}},
+        }}}}
+    res = execute_search(df, body)
+    b = res["aggregations"]["per_k"]["buckets"]
+    # sums: a=4, b=6, c=12 (total 22)
+    assert [x["pct"]["value"] for x in b] == pytest.approx(
+        [4 / 22, 6 / 22, 12 / 22])
+    assert [x["r01"]["value"] for x in b] == pytest.approx(
+        [0.0, 2 / 8, 1.0])
+    import statistics
+    mean, sd = 22 / 3, statistics.pstdev([4.0, 6.0, 12.0])
+    assert [x["z"]["value"] for x in b] == pytest.approx(
+        [(4 - mean) / sd, (6 - mean) / sd, (12 - mean) / sd])
+    # softmax sums to 1 across buckets
+    res = execute_search(df, {"size": 0, "aggs": {"per_k": {
+        "terms": {"field": "k", "size": 10},
+        "aggs": {"sv": {"sum": {"field": "v"}},
+                 "sm": {"normalize": {"buckets_path": "sv",
+                                      "method": "softmax"}}}}}})
+    sm = [x["sm"]["value"]
+          for x in res["aggregations"]["per_k"]["buckets"]]
+    assert sum(sm) == pytest.approx(1.0)
+    with pytest.raises(ValueError, match="normalize method"):
+        execute_search(df, {"size": 0, "aggs": {"per_k": {
+            "terms": {"field": "k"},
+            "aggs": {"sv": {"sum": {"field": "v"}},
+                     "bad": {"normalize": {"buckets_path": "sv",
+                                           "method": "minmax"}}}}}})
+
+
+def test_hybrid_query_normalization_and_combination(spark):
+    df = spark.createDataFrame(
+        [("1", "spark merge", 10.0), ("2", "spark window", 5.0),
+         ("3", "table scan", 20.0), ("4", "spark spark", 0.0)],
+        "_id string, text string, feat double",
+    ).cache()
+    df.count()
+    # sub-query A: rank_feature saturation pivot 10 → feat/(feat+10)
+    # sub-query B: filter clause (constant 1.0 for docs 1,2,4; min_max
+    # maps an all-equal distribution to 1.0)
+    body = {"query": {"hybrid": {"queries": [
+        {"rank_feature": {"field": "feat",
+                          "saturation": {"pivot": 10.0}}},
+        {"wildcard": {"text": "*spark*"}},
+    ]}}, "size": 4}
+    res = execute_search(df, body)
+    rows = {r["_id"]: r["_score"] for r in res["hits"].collect()}
+    # raw A: 1→.5, 2→1/3, 3→2/3, 4→0 ; min_max over [0, 2/3]:
+    # 1→.75, 2→.5, 3→1, 4→0. raw B: const 1 for 1,2,4 → min_max all 1.
+    # arithmetic_mean (missing=0): 1→.875, 2→.75, 3→.5, 4→.5
+    assert rows["1"] == pytest.approx(0.875)
+    assert rows["2"] == pytest.approx(0.75)
+    assert rows["3"] == pytest.approx(0.5)
+    assert rows["4"] == pytest.approx(0.5)
+
+    # weighted arithmetic mean through a search pipeline config
+    body["search_pipeline"] = {"phase_results_processors": [
+        {"normalization-processor": {
+            "normalization": {"technique": "min_max"},
+            "combination": {"technique": "arithmetic_mean",
+                            "parameters": {"weights": [3.0, 1.0]}}}}]}
+    rows = {r["_id"]: r["_score"]
+            for r in execute_search(df, body)["hits"].collect()}
+    assert rows["1"] == pytest.approx((3 * 0.75 + 1 * 1.0) / 4)
+    assert rows["3"] == pytest.approx((3 * 1.0 + 0.0) / 4)
+
+    # geometric mean ignores non-matching sub-queries (public rule)
+    body["search_pipeline"] = {"phase_results_processors": [
+        {"normalization-processor": {
+            "combination": {"technique": "geometric_mean"}}}]}
+    rows = {r["_id"]: r["_score"]
+            for r in execute_search(df, body)["hits"].collect()}
+    assert rows["3"] == pytest.approx(1.0)   # only sub-query A matched
+    assert rows["1"] == pytest.approx((0.75 * 1.0) ** 0.5)
+
+    # l2 normalization: score / sqrt(sum of squares) per sub-query
+    import math
+    body["search_pipeline"] = {"phase_results_processors": [
+        {"normalization-processor": {
+            "normalization": {"technique": "l2"}}}]}
+    rows = {r["_id"]: r["_score"]
+            for r in execute_search(df, body)["hits"].collect()}
+    a = {"1": 0.5, "2": 1 / 3, "3": 2 / 3, "4": 0.0}
+    na = math.sqrt(sum(v * v for v in a.values()))
+    nb = math.sqrt(3.0)
+    assert rows["1"] == pytest.approx((a["1"] / na + 1 / nb) / 2)
+    assert rows["3"] == pytest.approx((a["3"] / na + 0) / 2)
+
+    with pytest.raises(ValueError, match="weights"):
+        execute_search(df, {**body, "search_pipeline": {
+            "phase_results_processors": [{"normalization-processor": {
+                "combination": {"technique": "arithmetic_mean",
+                                "parameters": {"weights": [1.0]}}}}]}})

@@ -706,3 +706,48 @@ def test_bulk_scripted_update_and_scripted_upsert(spark, tmp_path_factory):
     with pytest.raises(Exception):
         p.bulk("fare", [{"update": {"_id": "S|1", "script": {
             "fare_class": "reflect('java.lang.System', 'getenv')"}}}])
+
+
+def test_search_pipeline_registry_and_hybrid(spark, tmp_path_factory):
+    """PUT/GET/DELETE _search/pipeline + hybrid search through a
+    registered pipeline (the public ?search_pipeline= flow)."""
+    tmp = tmp_path_factory.mktemp("searchpipe")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+
+    spec = {"phase_results_processors": [{"normalization-processor": {
+        "normalization": {"technique": "min_max"},
+        "combination": {"technique": "arithmetic_mean"}}}]}
+    assert p.put_search_pipeline("norm", spec) == {"acknowledged": True}
+    assert p.get_search_pipeline("norm")["phase_results_processors"]
+    # validation up front
+    with pytest.raises(ValueError, match="phase_results processor"):
+        p.put_search_pipeline("bad", {"phase_results_processors": [
+            {"rerank": {}}]})
+    with pytest.raises(ValueError, match="normalization"):
+        p.put_search_pipeline("bad", {"phase_results_processors": [
+            {"normalization-processor": {
+                "normalization": {"technique": "rank"}}}]})
+    # hybrid search referencing the registered pipeline by id
+    res = p.search("fare", {
+        "query": {"hybrid": {"queries": [
+            {"term": {"pk": "DEN"}},
+            {"wildcard": {"fare_class": "*non*"}},
+        ]}},
+        "size": 5,
+    }, search_pipeline="norm")
+    rows = res["hits"].select("_id", "_score").collect()
+    assert rows and all(0.0 <= r["_score"] <= 1.0 for r in rows)
+    # both-clause matches (score 1.0) rank above single-clause (0.5)
+    scores = [r["_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    with pytest.raises(ValueError, match="no such search pipeline"):
+        p.search("fare", {"query": {"match_all": {}}},
+                 search_pipeline="nope")
+    assert p.delete_search_pipeline("norm") is True
+    assert p.delete_search_pipeline("norm") is False
