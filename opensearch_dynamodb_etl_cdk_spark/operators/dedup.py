@@ -18,7 +18,7 @@ skew-join handles residual imbalance.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -470,3 +470,86 @@ def keep_best_per_cluster(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__node", "component_id")
     )
+
+
+def split_sentences(col: Column) -> Column:
+    """Sentence segmentation as one codegen expression: mark each
+    terminator+whitespace boundary with a newline, split on it, drop
+    empties. Deliberately lookbehind-free so an RE2-based oracle
+    (DuckDB) can reproduce it byte-for-byte."""
+    marked = F.regexp_replace(col, r"([.!?])\s+", "$1\n")
+    return F.filter(
+        F.transform(F.split(marked, "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
+def sentence_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 3,
+) -> DataFrame:
+    """Corpus-level sentence deduplication (the C4/RefinedWeb move:
+    boilerplate sentences repeat across crawled pages and memorize
+    badly): every sentence of ``min_tokens``+ whitespace tokens keeps
+    ONLY its globally-first occurrence — ordered by (doc id, position),
+    so the rule is deterministic and resumable — and is dropped
+    everywhere else, including repeats inside the same document.
+    Shorter sentences always stay (greetings/headers below the length
+    bar carry no dedup signal). Documents reassemble in original
+    sentence order; a document whose every sentence was dropped keeps
+    an empty string.
+
+    Spark shape: ONE posexplode of the sentence array (generator,
+    streamed), a keyed min-aggregate on the sentence text (shuffle =
+    |sentences|, map-side combined), an inner re-join on the keeper
+    (sentence, id, pos) triple for eligible rows, and one groupBy(id)
+    to reassemble — no window over the whole corpus, no driver
+    collect. At 100 TB the sentence shuffle dominates and is linear in
+    corpus size."""
+    sents = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(split_sentences(F.col(text_col))).alias(
+            "__pos", "__s"
+        ),
+    )
+    eligible = F.size(F.split(F.col("__s"), r"\s+")) >= min_tokens
+    keepers = (
+        sents.filter(eligible)
+        .groupBy("__s")
+        .agg(F.min(F.struct("__id", "__pos")).alias("__keep"))
+        .select(
+            "__s",
+            F.col("__keep.__id").alias("__kid"),
+            F.col("__keep.__pos").alias("__kpos"),
+        )
+    )
+    kept = sents.filter(~eligible).unionByName(
+        sents.filter(eligible)
+        .join(keepers, "__s")
+        .filter(
+            (F.col("__id") == F.col("__kid"))
+            & (F.col("__pos") == F.col("__kpos"))
+        )
+        .select("__id", "__pos", "__s")
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__s"))),
+                lambda x: x["__s"],
+            ),
+            " ",
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    out = (
+        df.join(rebuilt, df[id_col] == rebuilt["__id"], "left")
+        .withColumn(text_col, F.coalesce(F.col("__text"), F.lit("")))
+        .withColumn(
+            "n_sentences_kept", F.coalesce(F.col("__n_kept"), F.lit(0))
+        )
+        .drop("__id", "__text", "__n_kept")
+    )
+    return out

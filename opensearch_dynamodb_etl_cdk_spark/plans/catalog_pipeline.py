@@ -478,3 +478,86 @@ def ingest_pipeline_transform(spark, sf_dir):
         "doc_id", "origin", "lang_uc", "n_chars_d", "flag",
         F.length("joined").cast("long").alias("jlen"),
     )
+
+
+@register(
+    "sentence_dedup_docs",
+    oracle=r"""
+    WITH arr AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 string_split(regexp_replace(text, '([.!?])\s+',
+                                             '\1' || chr(10), 'g'),
+                              chr(10)),
+                 s -> trim(s)),
+               s -> s != '') AS a
+      FROM documents),
+    sents AS (
+      SELECT doc_id, i AS pos, a[i] AS s
+      FROM arr, unnest(generate_series(1, len(a))) AS u(i)),
+    elig AS (
+      SELECT doc_id, pos, s,
+             len(string_split_regex(s, '\s+')) >= 3 AS e
+      FROM sents),
+    ranked AS (
+      SELECT doc_id, pos, s, e,
+             CASE WHEN e THEN ROW_NUMBER() OVER (
+               PARTITION BY s ORDER BY doc_id, pos) ELSE 1 END AS rn
+      FROM elig),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(s, ' ' ORDER BY pos) AS text,
+             COUNT(*) AS n_sentences_kept
+      FROM ranked WHERE rn = 1 GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(r.text, '') AS text,
+           COALESCE(r.n_sentences_kept, 0) AS n_sentences_kept
+    FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+    doc="Corpus-level sentence deduplication (operators/dedup.py::"
+    "sentence_dedup — the C4/RefinedWeb boilerplate-sentence removal): "
+    "every 3+-token sentence keeps only its globally-first (doc id, "
+    "position) occurrence; shorter sentences always stay; documents "
+    "reassemble in original order. ONE posexplode + one |sentences| "
+    "keyed min-aggregate + one rebuild groupBy — linear shuffle, no "
+    "corpus window, no driver collect. Lookbehind-free segmentation so "
+    "the RE2 oracle splits byte-identically.",
+    tags=("pipeline", "dedup"),
+)
+def sentence_dedup_docs(spark, sf_dir):
+    from ..operators.dedup import sentence_dedup
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return sentence_dedup(d).select("doc_id", "text", "n_sentences_kept")
+
+
+@register(
+    "bpe_encoded_token_stats",
+    oracle=None,
+    doc="Distributed BPE ENCODE with trained merges (operators/bpe.py::"
+    "bpe_encode — Arrow-batched, per-batch word cache, merge table "
+    "ships via closure): per-language document count, total and mean "
+    "encoded tokens. No SQL oracle BY DESIGN (the rank-priority merge "
+    "loop is data-dependent control flow); the trainer is proven "
+    "bit-identical to a pure-Python reference in tests/test_bpe.py and "
+    "the encoder's invariants (characters survive, merges only "
+    "concatenate, zero merges = chars) hold in "
+    "tests/test_dedup_similarity.py::test_bpe_encode_applies_merges.",
+    tags=("pipeline", "llm", "rows-only"),
+)
+def bpe_encoded_token_stats(spark, sf_dir):
+    from ..operators.bpe import bpe_encode, train_bpe
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    merges = train_bpe(d, "text", num_merges=30)
+    enc = bpe_encode(d, merges)
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("bpe_tokens")).alias("total_tokens"),
+            (F.sum(F.size("bpe_tokens")) / F.count(F.lit(1)))
+            .alias("mean_tokens"),
+        )
+    )

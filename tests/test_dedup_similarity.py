@@ -755,3 +755,59 @@ def test_keep_best_per_cluster(spark):
     assert got == [2, 4, 5]
     # all original columns intact
     assert set(kept.columns) == {"doc_id", "quality"}
+
+
+def test_sentence_dedup_keeps_global_first(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.dedup import (
+        sentence_dedup,
+        split_sentences,
+    )
+
+    df = spark.createDataFrame([
+        (1, "The quick brown fox jumps. Subscribe to our newsletter "
+            "today! A cat."),
+        (2, "Subscribe to our newsletter today! Another unique sentence "
+            "here."),
+        (3, "Subscribe to our newsletter today! Subscribe to our "
+            "newsletter today! Hi."),
+        (4, ""),
+    ], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in sentence_dedup(df).collect()}
+    # doc 1 is the global first occurrence of the boilerplate — intact;
+    # "A cat." (2 tokens) is below the bar and always kept
+    assert rows[1]["text"] == ("The quick brown fox jumps. Subscribe to "
+                               "our newsletter today! A cat.")
+    assert rows[1]["n_sentences_kept"] == 3
+    # later occurrences drop, including within-doc repeats
+    assert rows[2]["text"] == "Another unique sentence here."
+    assert rows[3]["text"] == "Hi."
+    assert (rows[4]["text"], rows[4]["n_sentences_kept"]) == ("", 0)
+    # segmentation: terminator+whitespace boundaries, trimmed, no empties
+    seg = df.select(split_sentences(F.col("text")).alias("s")) \
+        .collect()[0]["s"]
+    assert seg == ["The quick brown fox jumps.",
+                   "Subscribe to our newsletter today!", "A cat."]
+
+
+def test_bpe_encode_applies_merges(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.bpe import (
+        bpe_encode,
+        train_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "low low newer")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(df, "text", num_merges=3)
+    out = {r["doc_id"]: r["bpe_tokens"]
+           for r in bpe_encode(df, merges).collect()}
+    # every character survives (GPT-2-style pre-tokens keep their
+    # leading space), merges only concatenate
+    joined = "".join(out[1])
+    assert joined == "low lower lowest"
+    # the top merge (l+o or o+w, corpus-dependent) shrinks token counts
+    assert len(out[1]) < len("low lower lowest".replace(" ", ""))
+    # zero merges → pure character tokens
+    out0 = bpe_encode(df, [], out_col="chars").collect()[0]["chars"]
+    assert all(len(t) == 1 for t in out0)
