@@ -604,6 +604,153 @@ def ppl_query(
                 ),  # public sma is null until the window fills
             )
 
+        elif cmd == "join":
+            # `join [type=inner|left|semi|anti] <table> on l = r[, ...]`
+            # — the PPL 3.x join, equality-key dialect: keys name left
+            # and right columns, other overlapping right columns drop
+            # (the lookup rule), join type picks the Spark join. The
+            # planner broadcasts a dimension-sized right side on its
+            # own (AQE); no hint here because PPL joins arbitrary
+            # tables, unlike lookup's by-construction-small side.
+            jm = re.match(
+                r"^(?:type\s*=\s*(\w+)\s+)?([A-Za-z0-9_.-]+)\s+on\s+(.+)$",
+                rest, re.IGNORECASE | re.DOTALL,
+            )
+            if not jm:
+                raise PPLError(
+                    "join expects: join [type=<t>] <table> on l = r[, ...]"
+                )
+            jtype = (jm.group(1) or "inner").lower()
+            jtype = {"semi": "left_semi", "anti": "left_anti"}.get(
+                jtype, jtype)
+            if jtype not in ("inner", "left", "right", "full",
+                             "left_semi", "left_anti"):
+                raise PPLError(f"unsupported join type {jtype!r}")
+            right = resolve(jm.group(2))
+            pairs = []
+            for kv in _split_top(jm.group(3), ","):
+                lk, _, rk = kv.partition("=")
+                lk, rk = lk.strip(), rk.strip()
+                if not lk or not rk:
+                    raise PPLError(f"join key {kv!r} is not l = r")
+                pairs.append((lk, rk))
+            overlapping = [
+                c for c in right.columns
+                if c in df.columns and c not in {r for _, r in pairs}
+            ]
+            right = right.drop(*overlapping)
+            cond = None
+            for lk, rk in pairs:
+                p = df[lk] == right[rk]
+                cond = p if cond is None else cond & p
+            df = df.join(right, cond, jtype)
+            if jtype not in ("left_semi", "left_anti"):
+                # drop duplicate right key columns where names collide
+                for lk, rk in pairs:
+                    if rk in (c for c in df.columns) and lk == rk:
+                        df = df.drop(right[rk])
+
+        elif cmd == "appendcol":
+            # `appendcol [ <sub-pipeline> ]`: run the bracketed pipe on
+            # the SAME source and attach its columns. Documented
+            # subset: the sub-pipeline must reduce to exactly one row
+            # (the stats use the public command exists for) — it then
+            # attaches as a broadcast constant column set; multi-row
+            # positional zipping is rejected rather than approximated.
+            am = re.match(r"^\[(.*)\]$", rest, re.DOTALL)
+            if not am:
+                raise PPLError("appendcol expects: appendcol [ <pipe> ]")
+            sub_pipe = am.group(1).strip()
+            if not sub_pipe:
+                raise PPLError("appendcol sub-pipeline is empty")
+            # the sub-search runs on the SAME source (public contract):
+            # recurse through the compiler with the head's source list
+            sub = ppl_query(f"source={names} | {sub_pipe}", resolve)
+            if sub.count() != 1:
+                raise PPLError(
+                    "appendcol sub-pipeline must produce exactly one "
+                    "row (use stats); positional multi-row append is "
+                    "not supported"
+                )
+            dup = [c for c in sub.columns if c in df.columns]
+            df = df.crossJoin(F.broadcast(sub.drop(*dup)))
+
+        elif cmd == "patterns":
+            # `patterns <field> [new_field=<n>] [pattern=<regex>]` —
+            # log-template extraction: strip the variable parts
+            # (default: alphanumeric runs), leaving the punctuation
+            # skeleton that groups log lines into patterns.
+            pm = re.match(
+                r"^(\w+)"
+                r"(?:\s+new_field\s*=\s*['\"]?([\w.]+)['\"]?)?"
+                r"(?:\s+pattern\s*=\s*'([^']*)')?$",
+                rest, re.IGNORECASE,
+            )
+            if not pm:
+                raise PPLError(
+                    "patterns expects: patterns <field> "
+                    "[new_field=<name>] [pattern='<regex>']"
+                )
+            fld = pm.group(1)
+            out = pm.group(2) or "patterns_field"
+            pat = pm.group(3) or "[a-zA-Z0-9]+"
+            df = df.withColumn(
+                out, F.regexp_replace(F.col(fld), pat, "")
+            )
+
+        elif cmd == "fieldsummary":
+            # `fieldsummary [includefields=a,b,c]` → one row per field:
+            # count/distinct/min/max/avg/stddev/nulls. ONE aggregate
+            # pass computes every field's metrics (conditional columns),
+            # melted driver-side (field count is schema-bounded).
+            fm = re.match(
+                r"^(?:includefields\s*=\s*([\w.,\s]+))?$",
+                rest, re.IGNORECASE,
+            )
+            if not fm:
+                raise PPLError(
+                    "fieldsummary expects: fieldsummary "
+                    "[includefields=a,b,c]"
+                )
+            flds = (
+                [f.strip() for f in fm.group(1).split(",")]
+                if fm.group(1) else list(df.columns)
+            )
+            types = dict(df.dtypes)
+            unknown = [f for f in flds if f not in types]
+            if unknown:
+                raise PPLError(f"fieldsummary: unknown fields {unknown}")
+            aggs = []
+            for i, f in enumerate(flds):
+                c = F.col(f)
+                numeric = types[f] in ("tinyint", "smallint", "int",
+                                       "bigint", "float", "double") \
+                    or types[f].startswith("decimal")
+                aggs += [
+                    F.count(c).alias(f"__c{i}"),
+                    F.countDistinct(c).alias(f"__d{i}"),
+                    F.min(c).cast("string").alias(f"__mn{i}"),
+                    F.max(c).cast("string").alias(f"__mx{i}"),
+                    (F.avg(c) if numeric else F.lit(None).cast("double"))
+                    .alias(f"__av{i}"),
+                    (F.stddev(c) if numeric
+                     else F.lit(None).cast("double")).alias(f"__sd{i}"),
+                    F.count(F.when(c.isNull(), 1)).alias(f"__n{i}"),
+                ]
+            row = df.agg(*aggs).collect()[0]
+            out_rows = [
+                (f, types[f], row[f"__c{i}"], row[f"__d{i}"],
+                 row[f"__mn{i}"], row[f"__mx{i}"], row[f"__av{i}"],
+                 row[f"__sd{i}"], row[f"__n{i}"])
+                for i, f in enumerate(flds)
+            ]
+            df = df.sparkSession.createDataFrame(
+                out_rows,
+                "field string, type string, count long, distinct long, "
+                "min string, max string, avg double, stddev double, "
+                "nulls long",
+            )
+
         else:
             raise PPLError(f"unsupported PPL command {cmd!r}")
 

@@ -257,3 +257,118 @@ def ppl_percentile_stats(spark, sf_dir):
         FF.round("p95", 6).alias("p95"),
         "mean",
     )
+
+
+@register(
+    "ppl_join_revenue_by_nation",
+    oracle="""
+    SELECT n_name, COUNT(*) AS cnt,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="PPL `join` command (operators/ppl.py join stage — the PPL 3.x "
+    "equality-key join): customer enriched with its nation, aggregated "
+    "per nation name. The join shuffles on the key (AQE broadcasts the "
+    "25-row nation side on its own); overlapping non-key right columns "
+    "drop, the lookup rule.",
+    tags=("ppl", "join"),
+)
+def ppl_join_revenue_by_nation(spark, sf_dir):
+    return _run(
+        spark, sf_dir,
+        "source=customer | join type=inner nation on c_nationkey = "
+        "n_nationkey | stats count() as cnt, sum(c_acctbal) as bal "
+        "by n_name",
+        "customer", "nation",
+    )
+
+
+@register(
+    "ppl_appendcol_vs_mean",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(o_totalprice) AS mean_price
+      FROM orders)
+    SELECT o_orderkey, o_totalprice, mean_price
+    FROM orders, m
+    WHERE o_totalprice > 1.8 * mean_price
+    ORDER BY o_orderkey
+    """,
+    doc="PPL `appendcol` (single-row sub-pipeline subset): a stats "
+    "aggregate over the SAME source attaches as broadcast constant "
+    "columns — the compare-each-row-to-the-global-mean shape, one "
+    "corpus pass + a 1-row crossJoin, no window.",
+    tags=("ppl",),
+)
+def ppl_appendcol_vs_mean(spark, sf_dir):
+    return _run(
+        spark, sf_dir,
+        "source=orders | appendcol [ stats avg(o_totalprice) as "
+        "mean_price ] | where o_totalprice > 1.8 * mean_price "
+        "| fields o_orderkey, o_totalprice, mean_price | sort o_orderkey",
+        "orders",
+    )
+
+
+@register(
+    "ppl_patterns_templates",
+    oracle="""
+    SELECT regexp_replace(o_orderpriority, '[a-zA-Z0-9]+', '', 'g')
+             AS patterns_field,
+           COUNT(*) AS cnt
+    FROM orders GROUP BY 1
+    """,
+    doc="PPL `patterns` command: strip the variable (alphanumeric) "
+    "runs, group by the remaining punctuation skeleton — the "
+    "log-template extraction move, pure codegen regexp_replace.",
+    tags=("ppl",),
+)
+def ppl_patterns_templates(spark, sf_dir):
+    return _run(
+        spark, sf_dir,
+        "source=orders | patterns o_orderpriority "
+        "| stats count() as cnt by patterns_field",
+        "orders",
+    )
+
+
+@register(
+    "ppl_fieldsummary_orders",
+    oracle="""
+    SELECT 'o_totalprice' AS field, 'double' AS type,
+           COUNT(o_totalprice) AS count,
+           COUNT(DISTINCT o_totalprice) AS distinct,
+           CAST(MIN(o_totalprice) AS VARCHAR) AS min,
+           CAST(MAX(o_totalprice) AS VARCHAR) AS max,
+           ROUND(AVG(o_totalprice), 9) AS avg,
+           ROUND(STDDEV_SAMP(o_totalprice), 9) AS stddev,
+           COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS nulls
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', 'string',
+           COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority),
+           NULL, NULL,
+           COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END)
+    FROM orders
+    """,
+    doc="PPL `fieldsummary`: per-field count/distinct/min/max/avg/"
+    "stddev/nulls in ONE aggregate pass (schema-bounded melt "
+    "driver-side). avg/stddev rounded to 9 decimals on both sides "
+    "(float-sum accumulation order).",
+    tags=("ppl", "agg"),
+)
+def ppl_fieldsummary_orders(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    out = _run(
+        spark, sf_dir,
+        "source=orders | fieldsummary includefields=o_totalprice, "
+        "o_orderpriority",
+        "orders",
+    )
+    return out.withColumn("avg", F.round("avg", 9)) \
+              .withColumn("stddev", F.round("stddev", 9))

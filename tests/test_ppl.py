@@ -401,3 +401,57 @@ def test_fillnull_numeric_column(run):
     assert [r["color"] for r in out.collect()][4] == "none"
     with pytest.raises(PPLError):
         run("source=sales | fillnull with 0 in nope")
+
+
+def test_join_command(run, tables):
+    out = run("source=sales | join type=inner dims on grp = grp "
+              "| sort id | fields id, label")
+    assert [r["label"] for r in out.collect()] == [
+        "alpha", "alpha", "beta", "beta", "alpha"]  # grp c drops (inner)
+    out = run("source=sales | join type=left dims on grp = grp | sort id")
+    assert out.count() == 6  # left keeps the c row with null label
+    out = run("source=sales | join type=anti dims on grp = grp")
+    assert [r["grp"] for r in out.collect()] == ["c"]
+    out = run("source=sales | join type=semi dims on grp = grp")
+    assert out.count() == 5 and "label" not in out.columns
+    with pytest.raises(PPLError, match="join type"):
+        run("source=sales | join type=cross dims on grp = grp")
+    with pytest.raises(PPLError, match="join key"):
+        run("source=sales | join dims on grp")
+
+
+def test_appendcol_command(run):
+    out = run("source=sales | appendcol [ stats avg(amount) as "
+              "mean_amount ] | sort id | fields id, amount, mean_amount")
+    rows = out.collect()
+    assert all(r["mean_amount"] == pytest.approx(20.0) for r in rows)
+    assert [r["id"] for r in rows] == [1, 2, 3, 4, 5, 6]
+    with pytest.raises(PPLError, match="exactly one row"):
+        run("source=sales | appendcol [ fields amount ]")
+    with pytest.raises(PPLError, match="appendcol"):
+        run("source=sales | appendcol stats count()")
+
+
+def test_patterns_command(run):
+    out = run("source=logs | patterns msg | sort id "
+              "| fields msg, patterns_field")
+    got = [r["patterns_field"] for r in out.collect()]
+    # alphanumeric runs strip; the punctuation skeleton remains
+    assert got == [" // ", " // ", " "]
+    out = run("source=logs | patterns msg new_field=tpl pattern='[0-9]+'"
+              " | sort id | fields tpl")
+    assert out.collect()[0]["tpl"] == "GET /api/a "
+
+
+def test_fieldsummary_command(run):
+    out = run("source=sales | fieldsummary includefields=grp, amount")
+    rows = {r["field"]: r for r in out.collect()}
+    assert rows["grp"]["count"] == 6 and rows["grp"]["distinct"] == 3
+    assert rows["amount"]["avg"] == pytest.approx(20.0)
+    assert rows["amount"]["min"] == "5.0"
+    assert rows["grp"]["nulls"] == 0 and rows["grp"]["avg"] is None
+    # color has one null
+    out = run("source=sales | fieldsummary includefields=color")
+    assert out.collect()[0]["nulls"] == 1
+    with pytest.raises(PPLError, match="unknown fields"):
+        run("source=sales | fieldsummary includefields=nope")
