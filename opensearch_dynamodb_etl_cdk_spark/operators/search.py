@@ -3249,6 +3249,82 @@ def _execute_retriever(
     raise ValueError(f"unsupported retriever {kind!r}")
 
 
+def _apply_request_processors(
+    body: dict[str, Any], procs: list[dict]
+) -> dict[str, Any]:
+    """Search-pipeline request processors — rewrite the request BEFORE
+    execution, so added filters ride the normal compile/pushdown path.
+    Supported: ``filter_query`` (AND an extra query into the request,
+    the public processor's semantics)."""
+    body = dict(body)
+    for p in procs:
+        (kind, spec), = p.items()
+        if kind == "filter_query":
+            orig = body.get("query", {"match_all": {}})
+            body["query"] = {"bool": {
+                "must": [orig], "filter": [spec["query"]],
+            }}
+        else:
+            raise ValueError(
+                f"unsupported search-pipeline request processor {kind!r}"
+            )
+    return body
+
+
+def _apply_response_processors(
+    hits: DataFrame, procs: list[dict]
+) -> DataFrame:
+    """Search-pipeline response processors — frame transforms over the
+    hits AFTER execution, in list order. Supported: ``rename_field``,
+    ``truncate_hits``, ``sort``, ``collapse`` (keep the best hit per
+    field value under the current score order), and ``rerank`` with the
+    ``by_field`` technique (the document field BECOMES the score —
+    second-stage ranking by a precomputed signal, e.g. a popularity or
+    an offline model column)."""
+    for p in procs:
+        (kind, spec), = p.items()
+        if kind == "rename_field":
+            hits = hits.withColumnRenamed(
+                spec["field"], spec["target_field"]
+            )
+        elif kind == "truncate_hits":
+            hits = hits.limit(int(spec["target_size"]))
+        elif kind == "sort":
+            field = spec.get("field", "_score")
+            order = spec.get("sort_order", "desc" if field == "_score"
+                             else "asc")
+            col = (F.col(field).desc() if order == "desc"
+                   else F.col(field).asc())
+            hits = hits.orderBy(col)
+        elif kind == "collapse":
+            ckey = spec["field"]
+            order = ([F.col("_score").desc()]
+                     if "_score" in hits.columns else [F.lit(1)])
+            w = W.partitionBy(ckey).orderBy(*order)
+            hits = (
+                hits.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        elif kind == "rerank":
+            bf = spec.get("by_field")
+            if bf is None:
+                raise ValueError(
+                    "rerank processor supports the by_field technique"
+                )
+            tf = bf["target_field"]
+            hits = hits.withColumn(
+                "_score", F.col(tf).cast("double")
+            ).orderBy(F.col("_score").desc())
+            if bf.get("remove_target_field"):
+                hits = hits.drop(tf)
+        else:
+            raise ValueError(
+                f"unsupported search-pipeline response processor {kind!r}"
+            )
+    return hits
+
+
 def execute_search(
     df: DataFrame,
     body: dict[str, Any],
@@ -3276,13 +3352,25 @@ def execute_search(
                 suggest_vocabs=suggest_vocabs,
                 suggest_bigrams=suggest_bigrams,
             )
+    sp = body.get("search_pipeline") or {}
+    req_procs = sp.get("request_processors") or []
+    resp_procs = sp.get("response_processors") or []
+    if req_procs:
+        body = _apply_request_processors(body, req_procs)
     if "retriever" in body:
-        return _execute_retriever(
+        res = _execute_retriever(
             df, body,
             suggest_vocabs=suggest_vocabs, suggest_bigrams=suggest_bigrams,
         )
+        if resp_procs:
+            res["hits"] = _apply_response_processors(
+                res["hits"], resp_procs)
+        return res
     if "hybrid" in (body.get("query") or {}):
-        return {"hits": _execute_hybrid(df, body), "aggregations": {}}
+        hits = _execute_hybrid(df, body)
+        if resp_procs:
+            hits = _apply_response_processors(hits, resp_procs)
+        return {"hits": hits, "aggregations": {}}
     if body.get("runtime_mappings"):
         # Runtime fields: computed at search time from a script (this
         # engine's dialect = guarded Spark SQL expressions), visible to
@@ -3560,6 +3648,8 @@ def execute_search(
     for name, spec in sibling_pipe.items():
         aggregations[name] = _run_sibling_pipeline(aggregations, spec)
 
+    if resp_procs:
+        hits = _apply_response_processors(hits, resp_procs)
     res = {"hits": hits, "aggregations": aggregations}
     for nname, nframe in _nested_inner_hits(hits, query).items():
         join_inner_hits.setdefault(nname, nframe)

@@ -1149,11 +1149,27 @@ class FlightsEtlPipeline:
     def put_search_pipeline(self, pipeline_id: str, body: dict) -> dict:
         """``PUT /_search/pipeline/<id>`` analog: validate the processor
         kinds up front and persist (atomic tmp+rename, same registry
-        pattern as ingest pipelines). Supported phase-results
-        processor: ``normalization-processor`` (min_max/l2 score
-        normalization + mean-family combination for hybrid queries)."""
+        pattern as ingest pipelines). Supported: request processor
+        ``filter_query``; phase-results processor
+        ``normalization-processor`` (min_max/l2 score normalization +
+        mean-family combination for hybrid queries); response
+        processors ``rename_field`` / ``truncate_hits`` / ``sort`` /
+        ``collapse`` / ``rerank`` (by_field)."""
         import json
 
+        for p in body.get("request_processors", []):
+            (kind, spec), = p.items()
+            if kind != "filter_query":
+                raise ValueError(
+                    f"unsupported request processor {kind!r}"
+                )
+        for p in body.get("response_processors", []):
+            (kind, spec), = p.items()
+            if kind not in ("rename_field", "truncate_hits", "sort",
+                            "collapse", "rerank"):
+                raise ValueError(
+                    f"unsupported response processor {kind!r}"
+                )
         for p in body.get("phase_results_processors", []):
             (kind, spec), = p.items()
             if kind != "normalization-processor":
@@ -1171,10 +1187,11 @@ class FlightsEtlPipeline:
                 raise ValueError(f"unsupported combination {c!r}")
         reg = self._read_search_pipelines()
         reg[pipeline_id] = {
-            "phase_results_processors":
-                list(body.get("phase_results_processors", [])),
-            "description": body.get("description", ""),
+            k: list(body.get(k, []))
+            for k in ("request_processors", "phase_results_processors",
+                      "response_processors")
         }
+        reg[pipeline_id]["description"] = body.get("description", "")
         os.makedirs(self.cfg.index_root, exist_ok=True)
         tmp = self._search_pipeline_path() + ".tmp"
         import json as _json

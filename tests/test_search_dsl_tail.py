@@ -1259,3 +1259,46 @@ def test_hybrid_query_normalization_and_combination(spark):
             "phase_results_processors": [{"normalization-processor": {
                 "combination": {"technique": "arithmetic_mean",
                                 "parameters": {"weights": [1.0]}}}}]}})
+
+
+def test_search_pipeline_request_and_response_processors(docs):
+    pipeline = {
+        "request_processors": [
+            {"filter_query": {"query": {"range": {"feat": {"gte": 1.0}}}}},
+        ],
+        "response_processors": [
+            {"rerank": {"by_field": {"target_field": "feat"}}},
+            {"rename_field": {"field": "text", "target_field": "body"}},
+            {"truncate_hits": {"target_size": 2}},
+        ],
+    }
+    res = execute_search(docs, {
+        "query": {"match": {"text": "spark"}},
+        "search_pipeline": pipeline, "size": 10,
+    })
+    rows = res["hits"].collect()
+    # 'spark' matches docs 1 and 2; filter_query keeps feat >= 1;
+    # rerank by feat orders 1 (10) > 2 (3); truncate keeps 2
+    assert [r["id"] for r in rows] == [1, 2]
+    assert [r["_score"] for r in rows] == [10.0, 3.0]
+    assert "body" in res["hits"].columns and "text" not in res["hits"].columns
+
+    # collapse keeps the best-scored hit per key
+    df2 = docs.withColumn("grp", F.col("id") % 2)
+    res = execute_search(df2, {
+        "query": {"match_all": {}},
+        "search_pipeline": {"response_processors": [
+            {"rerank": {"by_field": {"target_field": "feat",
+                                     "remove_target_field": True}}},
+            {"collapse": {"field": "grp"}},
+        ]},
+        "size": 10,
+    })
+    rows = {r["grp"]: r["id"] for r in res["hits"].collect()}
+    # grp 0: ids 2(3.0),4(7.0) → 4 ; grp 1: ids 1(10.0),3(0.5) → 1
+    assert rows == {0: 4, 1: 1}
+    assert "feat" not in res["hits"].columns
+    with pytest.raises(ValueError, match="response processor"):
+        execute_search(docs, {"query": {"match_all": {}},
+                              "search_pipeline": {"response_processors": [
+                                  {"nope": {}}]}})
