@@ -1600,6 +1600,147 @@ class FlightsEtlPipeline:
         shutil.rmtree(pit_dir)
         return True
 
+    # -- data streams --------------------------------------------------------
+
+    def _ds_registry_path(self) -> str:
+        return os.path.join(self.cfg.index_root, "_data_streams.json")
+
+    def _read_data_streams(self) -> dict:
+        import json
+
+        try:
+            with open(self._ds_registry_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _write_data_streams(self, reg: dict) -> None:
+        import json
+
+        os.makedirs(self.cfg.index_root, exist_ok=True)
+        tmp = self._ds_registry_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(reg, f)
+        os.replace(tmp, self._ds_registry_path())
+
+    @staticmethod
+    def _ds_backing(name: str, gen: int) -> str:
+        return f".ds-{name}-{gen:06d}"
+
+    def create_data_stream(self, name: str) -> dict:
+        """``PUT /_data_stream/<name>`` analog: an append-only,
+        rollover-backed stream of timestamped documents. The backing
+        index ``.ds-<name>-000001`` materializes lazily on first append
+        (its schema comes from the first batch — this engine's stand-in
+        for the index template the public API requires). Every appended
+        document must carry ``@timestamp`` (the public data-stream
+        contract)."""
+        if re.search(r"[*,]", name):
+            raise ValueError(f"invalid data stream name {name!r}")
+        reg = self._read_data_streams()
+        if name in reg:
+            raise ValueError(f"data stream {name!r} already exists")
+        reg[name] = {"generation": 1, "next_seq": 0}
+        self._write_data_streams(reg)
+        return {"acknowledged": True}
+
+    def data_stream_append(self, name: str, docs: list[dict]) -> int:
+        """Append-only write (``POST /<stream>/_doc`` / ``_bulk`` with
+        ``create``): documents land in the CURRENT generation's backing
+        index — a plain parquet append, no merge, no shuffle (the
+        append-only contract is exactly what makes data streams cheap:
+        rollover bounds any file-count growth per generation). ``_id``s
+        are synthesized from a persisted monotonic sequence."""
+        reg = self._read_data_streams()
+        if name not in reg:
+            raise ValueError(f"no such data stream {name!r}")
+        if not docs:
+            return 0
+        for d in docs:
+            if "@timestamp" not in d:
+                raise ValueError(
+                    "data stream documents must carry @timestamp"
+                )
+        gen = reg[name]["generation"]
+        base = reg[name]["next_seq"]
+        backing = self._ds_backing(name, gen)
+        path = self._index_path(backing)
+        rows = [
+            {"_id": f"{name}-{base + i}",
+             **{k: v for k, v in d.items()}}
+            for i, d in enumerate(docs)
+        ]
+        df = self.spark.createDataFrame(rows)
+        df = df.withColumn(
+            "@timestamp", F.col("`@timestamp`").cast("timestamp")
+        )
+        existing = self.read_index(backing)
+        if existing is not None:
+            missing = set(existing.columns) ^ set(df.columns)
+            if missing:
+                raise ValueError(
+                    f"data stream append schema drift: {sorted(missing)}"
+                )
+            df = df.select(*existing.columns)
+        df.write.mode("append").parquet(path)
+        reg[name]["next_seq"] = base + len(docs)
+        self._write_data_streams(reg)
+        return len(docs)
+
+    def rollover_data_stream(self, name: str) -> dict:
+        """``POST /<stream>/_rollover``: bump the write generation; the
+        next append materializes the new backing index. Old generations
+        stay readable through the stream's search pattern."""
+        reg = self._read_data_streams()
+        if name not in reg:
+            raise ValueError(f"no such data stream {name!r}")
+        old = reg[name]["generation"]
+        reg[name]["generation"] = old + 1
+        self._write_data_streams(reg)
+        return {"rolled_over": True,
+                "old_index": self._ds_backing(name, old),
+                "new_index": self._ds_backing(name, old + 1)}
+
+    def get_data_stream(self, name: str | None = None) -> dict:
+        reg = self._read_data_streams()
+        if name is not None and name not in reg:
+            raise ValueError(f"no such data stream {name!r}")
+        out = {}
+        for n, meta in reg.items() if name is None else [(name, reg[name])]:
+            backing = [
+                i for i in self._all_index_names()
+                if i.startswith(f".ds-{n}-")
+            ]
+            out[n] = {"generation": meta["generation"],
+                      "indices": sorted(backing)}
+        return out
+
+    def delete_data_stream(self, name: str) -> bool:
+        """``DELETE /_data_stream/<name>``: drops the stream AND its
+        backing indexes (the public semantics — unlike deleting an
+        alias)."""
+        import shutil
+
+        reg = self._read_data_streams()
+        if name not in reg:
+            return False
+        for idx in self.get_data_stream(name)[name]["indices"]:
+            p = self._index_path(idx)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        del reg[name]
+        self._write_data_streams(reg)
+        return True
+
+    def search_data_stream(self, name: str, body: dict | None = None) -> dict:
+        """Search spans EVERY generation (the stream's backing pattern);
+        per-generation predicates still push into each scan, and a
+        @timestamp range prunes whole generations at the parquet
+        row-group level."""
+        if name not in self._read_data_streams():
+            raise ValueError(f"no such data stream {name!r}")
+        return self.search(f".ds-{name}-*", body)
+
     # -- bulk write API ----------------------------------------------------
 
     def _eval_update_script(

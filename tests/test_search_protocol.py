@@ -751,3 +751,61 @@ def test_search_pipeline_registry_and_hybrid(spark, tmp_path_factory):
                  search_pipeline="nope")
     assert p.delete_search_pipeline("norm") is True
     assert p.delete_search_pipeline("norm") is False
+
+
+def test_data_streams(spark, tmp_path_factory):
+    """Data streams: append-only writes to the current generation,
+    rollover bumps it, search spans every generation, delete drops the
+    backing indexes."""
+    tmp = tmp_path_factory.mktemp("ds")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+
+    assert p.create_data_stream("logs") == {"acknowledged": True}
+    with pytest.raises(ValueError, match="already exists"):
+        p.create_data_stream("logs")
+    with pytest.raises(ValueError, match="@timestamp"):
+        p.data_stream_append("logs", [{"msg": "no ts"}])
+
+    assert p.data_stream_append("logs", [
+        {"@timestamp": "2024-01-01 00:00:00", "level": "INFO", "msg": "a"},
+        {"@timestamp": "2024-01-01 01:00:00", "level": "WARN", "msg": "b"},
+    ]) == 2
+    out = p.rollover_data_stream("logs")
+    assert out == {"rolled_over": True, "old_index": ".ds-logs-000001",
+                   "new_index": ".ds-logs-000002"}
+    p.data_stream_append("logs", [
+        {"@timestamp": "2024-01-02 00:00:00", "level": "ERROR", "msg": "c"},
+    ])
+    meta = p.get_data_stream("logs")["logs"]
+    assert meta["generation"] == 2
+    assert meta["indices"] == [".ds-logs-000001", ".ds-logs-000002"]
+
+    # search spans every generation; _index names the backing index
+    res = p.search_data_stream("logs", {
+        "query": {"match_all": {}},
+        "sort": [{"@timestamp": "asc"}], "size": 10})
+    rows = res["hits"].collect()
+    assert [r["msg"] for r in rows] == ["a", "b", "c"]
+    assert rows[0]["_index"] == ".ds-logs-000001"
+    assert rows[-1]["_index"] == ".ds-logs-000002"
+    # a @timestamp range prunes
+    res = p.search_data_stream("logs", {"query": {"range": {
+        "@timestamp": {"gte": "2024-01-02T00:00:00"}}}})
+    assert [r["msg"] for r in res["hits"].collect()] == ["c"]
+    # ids are unique and monotonic across generations
+    assert p.data_stream_append("logs", [
+        {"@timestamp": "2024-01-03 00:00:00", "level": "INFO", "msg": "d"}
+    ]) == 1
+    res = p.search_data_stream("logs", {"size": 10})
+    assert len({r["_id"] for r in res["hits"].collect()}) == 4
+    # schema drift rejected
+    with pytest.raises(ValueError, match="schema drift"):
+        p.data_stream_append("logs", [
+            {"@timestamp": "2024-01-04 00:00:00", "other": 1}])
+
+    assert p.delete_data_stream("logs") is True
+    assert p.delete_data_stream("logs") is False
+    with pytest.raises(ValueError, match="no such data stream"):
+        p.search_data_stream("logs", {})
