@@ -3558,6 +3558,25 @@ def execute_search(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+    if body.get("slice") is not None:
+        # sliced scroll/PIT parallelism: worker `id` of `max` sees the
+        # deterministic hash partition of the id space — a pushable
+        # pmod predicate, so N workers scan disjoint slices without
+        # coordination (the public _id-hash slicing rule)
+        sl = body["slice"]
+        sid, smax = int(sl["id"]), int(sl["max"])
+        if not 0 <= sid < smax:
+            raise ValueError(f"slice id {sid} out of range [0, {smax})")
+        sfield = sl.get("field", "_id")
+        hits = hits.filter(
+            F.pmod(F.xxhash64(F.col(sfield)), F.lit(smax)) == F.lit(sid)
+        )
+    if body.get("terminate_after") is not None:
+        # terminate_after: stop collecting after N docs — an unordered
+        # early-exit bound. LocalLimit in the plan stops each scan task
+        # as soon as the global bound is satisfiable (the coordinator
+        # analog of the public per-shard cutoff).
+        hits = hits.limit(int(body["terminate_after"]))
     if body.get("search_after") is not None:
         if not body.get("sort"):
             raise ValueError("search_after requires an explicit sort")

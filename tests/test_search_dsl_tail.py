@@ -513,9 +513,11 @@ def test_multi_match_forwards_fuzziness(spark):
         "query": "spark merge", "fields": ["a", "b"],
         "operator": "and"}}) == []
     # unsupported options raise instead of silently degrading
+    # (tie_breaker moved to the known set in r6 — score-only, inert in
+    # filter context; the scored track_scores path honors it)
     with pytest.raises(ValueError):
         compile_query({"multi_match": {
-            "query": "x", "fields": ["a"], "tie_breaker": 0.3}})
+            "query": "x", "fields": ["a"], "zero_terms_query": "all"}})
     # fuzziness is invalid with phrase types (public API rejects it)
     with pytest.raises(ValueError):
         compile_query({"multi_match": {
@@ -1302,3 +1304,25 @@ def test_search_pipeline_request_and_response_processors(docs):
         execute_search(docs, {"query": {"match_all": {}},
                               "search_pipeline": {"response_processors": [
                                   {"nope": {}}]}})
+
+
+def test_slice_and_terminate_after(docs):
+    # slices partition the id space disjointly and exhaustively
+    parts = []
+    for sid in range(3):
+        res = execute_search(docs, {
+            "query": {"match_all": {}},
+            "slice": {"id": sid, "max": 3}, "size": 10})
+        parts.append({r["id"] for r in res["hits"].collect()})
+    assert set().union(*parts) == {1, 2, 3, 4}
+    assert sum(len(p) for p in parts) == 4  # disjoint
+    # same slice spec → same assignment (deterministic, resumable)
+    res = execute_search(docs, {"query": {"match_all": {}},
+                                "slice": {"id": 0, "max": 3}, "size": 10})
+    assert {r["id"] for r in res["hits"].collect()} == parts[0]
+    with pytest.raises(ValueError, match="slice id"):
+        execute_search(docs, {"slice": {"id": 3, "max": 3}})
+    # terminate_after bounds collection
+    res = execute_search(docs, {"query": {"match_all": {}},
+                                "terminate_after": 2, "size": 10})
+    assert res["hits"].count() == 2
