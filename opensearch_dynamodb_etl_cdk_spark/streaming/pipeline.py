@@ -45,7 +45,7 @@ import os
 import re
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -571,6 +571,76 @@ class FlightsEtlPipeline:
         """``_cat/count`` analog: live doc count across a pattern."""
         view = self.multi_index_view(pattern)
         return {"count": 0 if view is None else view.count()}
+
+    def termvectors(
+        self, route: str, doc_id: str, fields: list[str],
+        term_statistics: bool = False,
+    ) -> dict:
+        """``GET /<index>/_termvectors/<id>`` analog: per-field analyzed
+        terms of ONE document with term frequency and positions; with
+        ``term_statistics``, each term also carries its corpus document
+        frequency and total term frequency — computed in ONE bounded
+        aggregate over the index (only the requested doc's terms are
+        counted: a semi-filter on the term set, never a full vocabulary
+        materialization)."""
+        from ..operators.search import _analyze_text
+
+        fetched = self.mget(route, [str(doc_id)])
+        rows = [] if fetched is None else fetched.collect()
+        if not rows:
+            raise ValueError(f"termvectors: no document {doc_id!r}")
+        doc = rows[0].asDict()
+        out: dict = {"_id": str(doc_id), "term_vectors": {}}
+        idx = self.index_view(route)
+        for f in fields:
+            if f not in doc:
+                raise ValueError(f"termvectors: no field {f!r}")
+            toks = _analyze_text(str(doc[f] or ""))
+            terms: dict[str, dict] = {}
+            for pos, t in enumerate(toks):
+                e = terms.setdefault(t, {"term_freq": 0, "positions": []})
+                e["term_freq"] += 1
+                e["positions"].append(pos)
+            if term_statistics and terms:
+                tset = list(terms)
+                toks_col = F.filter(
+                    F.split(F.lower(F.col(f)), r"[^\p{L}\p{Nd}]+"),
+                    lambda x: x != "",
+                )
+                def _tf_sum(term: str) -> Column:
+                    # one-arg lambda only: F.filter passes the element
+                    # INDEX to a second parameter, even a defaulted one
+                    return F.sum(F.size(
+                        F.filter(toks_col, lambda x: x == term)
+                    ))
+
+                aggs = []
+                for i, t in enumerate(tset):
+                    aggs.append(F.sum(
+                        F.array_contains(toks_col, t).cast("long")
+                    ).alias(f"__df{i}"))
+                    aggs.append(_tf_sum(t).alias(f"__tf{i}"))
+                srow = idx.agg(*aggs).collect()[0]
+                for i, t in enumerate(tset):
+                    terms[t]["doc_freq"] = srow[f"__df{i}"]
+                    terms[t]["ttf"] = srow[f"__tf{i}"]
+            out["term_vectors"][f] = {"terms": terms}
+        return out
+
+    def cluster_health(self) -> dict:
+        """``GET /_cluster/health`` analog: green when every configured
+        route is materialized and readable, yellow when some are not
+        yet bootstrapped — the operational liveness answer, one cheap
+        listing + counts."""
+        names = self._all_index_names()
+        live = [n for n in names if self.read_index(n) is not None]
+        status = "green" if set(self.cfg.routes) <= set(live) else "yellow"
+        return {
+            "status": status,
+            "number_of_indices": len(live),
+            "active_routes": sorted(set(self.cfg.routes) & set(live)),
+            "pending_routes": sorted(set(self.cfg.routes) - set(live)),
+        }
 
     def cat_indices(self) -> list[dict]:
         """``_cat/indices`` analog: one dict per route with live doc

@@ -809,3 +809,42 @@ def test_data_streams(spark, tmp_path_factory):
     assert p.delete_data_stream("logs") is False
     with pytest.raises(ValueError, match="no such data stream"):
         p.search_data_stream("logs", {})
+
+
+def test_termvectors_and_cluster_health(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("tv")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    assert p.cluster_health()["status"] == "yellow"  # not bootstrapped
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+    h = p.cluster_health()
+    assert h["status"] == "green" and not h["pending_routes"]
+
+    p.bulk("fare", [{"index": {"_id": "TV|1", "doc": {
+        "pk": "TV", "sk": "1",
+        "fare_class": "nonstop red-eye nonstop"}}}])
+    tv = p.termvectors("fare", "TV|1", ["fare_class"])
+    terms = tv["term_vectors"]["fare_class"]["terms"]
+    assert terms["nonstop"]["term_freq"] == 2
+    assert terms["nonstop"]["positions"] == [0, 3]
+    assert terms["red"]["positions"] == [1]
+    # term_statistics: corpus df/ttf for exactly the doc's terms
+    tv = p.termvectors("fare", "TV|1", ["fare_class"],
+                       term_statistics=True)
+    terms = tv["term_vectors"]["fare_class"]["terms"]
+    live = p.index_view("fare")
+    expected_df = live.filter(
+        F.array_contains(
+            F.filter(F.split(F.lower(F.col("fare_class")),
+                             r"[^\p{L}\p{Nd}]+"), lambda x: x != ""),
+            "nonstop")).count()
+    assert terms["nonstop"]["doc_freq"] == expected_df
+    assert terms["nonstop"]["ttf"] >= terms["nonstop"]["doc_freq"]
+    with pytest.raises(ValueError, match="no document"):
+        p.termvectors("fare", "missing", ["fare_class"])
+    with pytest.raises(ValueError, match="no field"):
+        p.termvectors("fare", "TV|1", ["nope"])
