@@ -2038,7 +2038,8 @@ def _execute_knn(df: DataFrame, knn_body: dict[str, Any],
 
 
 _FS_FUNCTION_KINDS = (
-    "weight", "field_value_factor", "script_score", "gauss", "exp", "linear"
+    "weight", "field_value_factor", "script_score", "random_score",
+    "gauss", "exp", "linear",
 )
 
 
@@ -2073,6 +2074,25 @@ def _fs_function_value(fn: dict[str, Any]) -> Column:
         while isinstance(script, dict):
             script = script.get("source", script.get("script"))
         return safe_expr(script).cast("double")
+    if "random_score" in fn:
+        # reproducible per-document uniform [0, 1): the public contract
+        # (same seed + field → same scores on every run). Hash the
+        # (seed, field value) pair through md5 and take 13 hex chars =
+        # 52 mantissa bits — exact in a double, and the SAME recipe a
+        # SQL oracle can evaluate (the engine-wide md5-uniform rule;
+        # xxhash64 would be faster but has no cross-engine twin).
+        spec = fn["random_score"] or {}
+        seed = str(spec.get("seed", 0))
+        field = spec.get("field", "_id")
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(seed),
+                                  F.col(field).cast("string"))),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("double")
+        return h / F.lit(float(1 << 52))
     for kind in ("gauss", "exp", "linear"):
         if kind in fn:
             (field, spec), = fn[kind].items()

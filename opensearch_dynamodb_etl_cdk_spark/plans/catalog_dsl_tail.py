@@ -1176,3 +1176,38 @@ def hybrid_search_normalized(spark, sf_dir):
             }}]},
     })
     return res["hits"].select("_id", F.col("_score").alias("score"))
+
+
+@register(
+    "function_score_random",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(concat('0x',
+                substr(md5('42|' || CAST(o_orderkey AS VARCHAR)), 1, 13))
+                AS BIGINT) / 4503599627370496.0 AS score
+    FROM orders
+    ORDER BY score DESC, o_orderkey ASC LIMIT 15
+    """,
+    doc="function_score random_score (operators/search.py::"
+    "_fs_function_value): reproducible per-document uniform [0,1) from "
+    "md5(seed|field) — 13 hex chars = 52 mantissa bits, exact in a "
+    "double and bit-identical across engines (the repo-wide md5-uniform "
+    "recipe). The public use: stable random sampling / score jitter "
+    "that survives reruns and resumes.",
+    tags=("dsl", "ranking", "sampling"),
+)
+def function_score_random(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    res = execute_search(o, {
+        "query": {"function_score": {
+            "query": {"match_all": {}},
+            "random_score": {"seed": 42, "field": "o_orderkey"},
+            "boost_mode": "replace",
+        }},
+        "sort": [{"_score": {"order": "desc"}},
+                 {"o_orderkey": {"order": "asc"}}],
+        "size": 15,
+    })
+    return res["hits"].select("o_orderkey", F.col("_score").alias("score"))

@@ -332,3 +332,34 @@ def test_scored_multi_match_tie_breaker_and_boosts(spark):
         execute_search(df, {"query": {"multi_match": {
             "query": "spark", "fields": ["title"], "zero_terms_query":
             "all"}}})
+
+
+def test_function_score_random_score(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        execute_search,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(200)], "_id string")
+    body = {"query": {"function_score": {
+        "query": {"match_all": {}},
+        "random_score": {"seed": 42, "field": "_id"},
+        "boost_mode": "replace"}}, "size": 200}
+    s1 = {r["_id"]: r["_score"]
+          for r in execute_search(df, body)["hits"].collect()}
+    s2 = {r["_id"]: r["_score"]
+          for r in execute_search(df, body)["hits"].collect()}
+    assert s1 == s2                      # reproducible
+    assert all(0.0 <= v < 1.0 for v in s1.values())
+    assert len(set(s1.values())) == 200  # distinct per doc
+    # roughly uniform: mean near .5 (loose bound, deterministic data)
+    mean = sum(s1.values()) / len(s1)
+    assert 0.4 < mean < 0.6
+    # a different seed permutes the scores
+    body2 = {"query": {"function_score": {
+        "query": {"match_all": {}},
+        "random_score": {"seed": 7, "field": "_id"},
+        "boost_mode": "replace"}}, "size": 200}
+    s3 = {r["_id"]: r["_score"]
+          for r in execute_search(df, body2)["hits"].collect()}
+    assert s3 != s1
