@@ -106,8 +106,11 @@ HEADLINE = [
     "has_child_search",
     "dedup_keep_best",
     # round-6 additions: the 8-processor ingest chain folded into one
-    # codegen projection (the transform half of a pipeline=_reindex)
+    # codegen projection (the transform half of a pipeline=_reindex),
+    # and the corpus datacard (every per-doc text signal in one
+    # projection + dup-count join + rollup — the release summary table)
     "ingest_pipeline_transform",
+    "corpus_datacard",
 ]
 
 # Iterative/trainer operators do their distributed work INSIDE fn()

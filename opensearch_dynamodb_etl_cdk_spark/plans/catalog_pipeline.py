@@ -561,3 +561,96 @@ def bpe_encoded_token_stats(spark, sf_dir):
             .alias("mean_tokens"),
         )
     )
+
+
+def _langid_case_sql() -> str:
+    from ..functions import text as _T
+
+    def hits(lang: str) -> str:
+        lst = ", ".join(f"'{w}'" for w in _T.STOPWORDS[lang])
+        return f"len(list_intersect(toks, [{lst}]))"
+
+    langs = ("en", "es", "de", "fr", "zh")
+    best = "greatest(" + ", ".join(hits(lg) for lg in langs) + ")"
+    whens = " ".join(f"WHEN {hits(lg)} = {best} THEN '{lg}'"
+                     for lg in langs)
+    return f"CASE WHEN {best} = 0 THEN 'und' {whens} ELSE 'und' END"
+
+
+@register(
+    "corpus_datacard",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, source, lang, text, {TOK} AS toks FROM documents),
+    per AS (
+      SELECT source, lang,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             (least(CAST(len(toks) AS DOUBLE) / 20.0, 1.0)
+              + (1.0 - least(CAST(length(regexp_replace(text,
+                    '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                  / CAST(length(text) AS DOUBLE) * 5.0, 1.0))
+              + (1.0 - abs(CAST(len(list_filter(toks, t ->
+                    list_contains(['the','and','of','to','in','is',
+                                   'a','that','it','for'], t)))
+                    AS DOUBLE) / CAST(len(toks) AS DOUBLE) - 0.4)))
+             / 3.0 AS quality,
+             CASE WHEN {_langid_case_sql()} = lang
+                  THEN 1.0 ELSE 0.0 END AS agree,
+             CASE WHEN len(regexp_extract_all(text, '{EMAIL_RE}'))
+                       + len(regexp_extract_all(text, '{PHONE_RE}'))
+                       + len(regexp_extract_all(text, '{IPV4_RE}')) > 0
+                  THEN 1 ELSE 0 END AS haspii,
+             array_to_string(toks, ' ') AS norm
+      FROM tk),
+    dupc AS (SELECT norm, COUNT(*) AS c FROM per GROUP BY norm)
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(SUM(quality) / COUNT(*), 9) AS mean_quality,
+           SUM(agree) / COUNT(*) AS langid_agree_pct,
+           SUM(CASE WHEN c > 1 THEN 1.0 ELSE 0.0 END) / COUNT(*)
+             AS exact_dup_pct,
+           CAST(SUM(haspii) AS BIGINT) AS docs_with_pii
+    FROM per JOIN dupc USING (norm)
+    GROUP BY source, lang
+    """,
+    doc="The corpus datacard: per (source, language) — document count, "
+    "token volume, mean composite quality, language-ID agreement with "
+    "the label, normalized-exact duplicate fraction, and PII-bearing "
+    "document count. ONE projection computes every per-doc signal "
+    "(tokens/quality/langid/PII are all codegen), one |distinct-norm| "
+    "groupBy supplies the duplicate counts, one rollup aggregates — "
+    "the whole profile costs a 100 TB corpus two keyed passes. This is "
+    "the summary table a dataset release ships.",
+    tags=("pipeline", "text", "report"),
+)
+def corpus_datacard(spark, sf_dir):
+    from ..functions import text as _T
+    from ..operators.privacy import pii_count
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = _T.tokens(F.col("text"))
+    per = d.select(
+        "source", "lang",
+        _T.token_count_from(toks).alias("n_tokens"),
+        _T.quality_score_from(F.col("text"), toks).alias("quality"),
+        (_T.langid_from(toks) == F.col("lang"))
+        .cast("double").alias("agree"),
+        ((pii_count(F.col("text"), "email")
+          + pii_count(F.col("text"), "phone")
+          + pii_count(F.col("text"), "ipv4")) > 0)
+        .cast("long").alias("haspii"),
+        _T.normalize_text(F.col("text")).alias("norm"),
+    )
+    dupc = per.groupBy("norm").agg(F.count(F.lit(1)).alias("c"))
+    joined = per.join(dupc, "norm")
+    return joined.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum("quality") / F.count(F.lit(1)), 9)
+        .alias("mean_quality"),
+        (F.sum("agree") / F.count(F.lit(1))).alias("langid_agree_pct"),
+        (F.sum((F.col("c") > 1).cast("double")) / F.count(F.lit(1)))
+        .alias("exact_dup_pct"),
+        F.sum("haspii").alias("docs_with_pii"),
+    )
