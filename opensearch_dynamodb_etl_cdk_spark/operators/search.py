@@ -2029,11 +2029,24 @@ def _execute_knn(df: DataFrame, knn_body: dict[str, Any],
             l2_norm(F.col(field)) > 0, cosine(F.col(field), qarr)
         ).otherwise(F.lit(None).cast("double")),
     ).filter(F.col("_score").isNotNull())
+    radial = (spec.get("min_score") is not None
+              or spec.get("max_distance") is not None)
     if spec.get("min_score") is not None:
         scored = scored.filter(F.col("_score") >= float(spec["min_score"]))
+    if spec.get("max_distance") is not None:
+        # radial search by distance bound: for the cosine space,
+        # distance = 1 − cosine (the public space-type's distance form)
+        scored = scored.filter(
+            (F.lit(1.0) - F.col("_score"))
+            <= float(spec["max_distance"])
+        )
     order = [F.col("_score").desc()]
     if spec.get("tie_break"):
         order.append(F.col(spec["tie_break"]).asc())
+    if radial and "k" not in spec:
+        # radial search (the 2.14 API): the score/distance bound IS the
+        # result-set definition — every point inside the radius returns
+        return scored.orderBy(*order)
     return scored.orderBy(*order).limit(k)
 
 
@@ -3893,8 +3906,9 @@ def composite_frame(
 
 
 PIPELINE_AGGS = (
-    "cumulative_sum", "derivative", "moving_fn", "serial_diff",
-    "bucket_script", "bucket_selector", "bucket_sort", "normalize",
+    "cumulative_sum", "derivative", "moving_fn", "moving_avg",
+    "serial_diff", "bucket_script", "bucket_selector", "bucket_sort",
+    "normalize",
 )
 
 
@@ -4008,6 +4022,23 @@ def _apply_pipeline_aggs(buckets: list[dict], pipe_sub: dict) -> list[dict]:
                 lo, hi = i - window + shift, i + shift
                 win = [v for v in vals[max(0, lo):max(0, hi)] if v is not None]
                 b[n] = {"value": fn(win) if win else None}
+        elif kind == "moving_avg":
+            # the legacy moving_avg agg (OpenSearch keeps it): simple
+            # model = unweighted average over the trailing `window`
+            # buckets INCLUDING the current one
+            model = body.get("model", "simple")
+            if model != "simple":
+                raise ValueError(
+                    f"moving_avg supports the simple model, got {model!r}"
+                    " (use moving_fn for the scripted windows)"
+                )
+            path = body["buckets_path"]
+            window = int(body.get("window", 5))
+            vals = [_bucket_value(b, path) for b in buckets]
+            for i, b in enumerate(buckets):
+                win = [v for v in vals[max(0, i - window + 1):i + 1]
+                       if v is not None]
+                b[n] = {"value": sum(win) / len(win) if win else None}
         elif kind == "serial_diff":
             path = body["buckets_path"]
             lag = int(body.get("lag", 1))
@@ -4153,10 +4184,27 @@ def _run_agg(
             df = df.filter(F.col(field).isNotNull())
         if body.get("include") is not None:
             inc = body["include"]
-            df = df.filter(
-                F.col(field).isin(list(inc)) if isinstance(inc, (list, tuple))
-                else F.col(field).rlike(f"^(?:{inc})$")
-            )
+            if isinstance(inc, dict):
+                # partitioned enumeration of a high-cardinality field:
+                # worker `partition` of `num_partitions` sees the
+                # deterministic hash slice of the TERM space — the
+                # public paging scheme for walking every term without
+                # one giant response; a pushable pmod predicate here
+                nparts = int(inc["num_partitions"])
+                pid = int(inc["partition"])
+                if not 0 <= pid < nparts:
+                    raise ValueError(
+                        f"terms include.partition {pid} out of range "
+                        f"[0, {nparts})"
+                    )
+                df = df.filter(
+                    F.pmod(F.xxhash64(F.col(field)), F.lit(nparts))
+                    == F.lit(pid)
+                )
+            elif isinstance(inc, (list, tuple)):
+                df = df.filter(F.col(field).isin(list(inc)))
+            else:
+                df = df.filter(F.col(field).rlike(f"^(?:{inc})$"))
         if body.get("exclude") is not None:
             exc = body["exclude"]
             df = df.filter(

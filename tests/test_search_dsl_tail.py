@@ -1326,3 +1326,64 @@ def test_slice_and_terminate_after(docs):
     res = execute_search(docs, {"query": {"match_all": {}},
                                 "terminate_after": 2, "size": 10})
     assert res["hits"].count() == 2
+
+
+def test_knn_radial_search(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]), (4, [0.7, 0.7])]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    # radius by min_score, NO k: every point inside the bound returns
+    res = execute_search(df, {"query": {"knn": {"embedding": {
+        "vector": [1.0, 0.0], "min_score": 0.7}}}, "size": 100})
+    assert [r.vec_id for r in res["hits"].collect()] == [0, 1, 4]
+    # radius by max_distance (cosine distance = 1 - cosine)
+    res = execute_search(df, {"query": {"knn": {"embedding": {
+        "vector": [1.0, 0.0], "max_distance": 0.3}}}, "size": 100})
+    got = [r.vec_id for r in res["hits"].collect()]
+    assert got == [0, 1, 4]  # cos .3 boundary: 1, .994, .707
+    # k caps the radial set when both are given
+    res = execute_search(df, {"query": {"knn": {"embedding": {
+        "vector": [1.0, 0.0], "min_score": 0.7, "k": 2}}}, "size": 100})
+    assert [r.vec_id for r in res["hits"].collect()] == [0, 1]
+
+
+def test_terms_partition_and_moving_avg(spark):
+    df = spark.createDataFrame(
+        [(f"t{i % 7}", float(i)) for i in range(70)], "k string, v double")
+    # partitions enumerate the term space disjointly and exhaustively
+    seen: list[set] = []
+    for pid in range(3):
+        res = execute_search(df, {"size": 0, "aggs": {"t": {"terms": {
+            "field": "k", "size": 10,
+            "include": {"partition": pid, "num_partitions": 3}}}}})
+        seen.append({b["key"]
+                     for b in res["aggregations"]["t"]["buckets"]})
+    assert set().union(*seen) == {f"t{i}" for i in range(7)}
+    assert sum(len(s) for s in seen) == 7  # disjoint
+    with pytest.raises(ValueError, match="partition"):
+        execute_search(df, {"size": 0, "aggs": {"t": {"terms": {
+            "field": "k",
+            "include": {"partition": 3, "num_partitions": 3}}}}})
+
+    # moving_avg (legacy, simple model): trailing window incl. current
+    ts = spark.createDataFrame(
+        [(f"2024-01-0{d} 00:00:00", float(d)) for d in range(1, 6)],
+        "ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    res = execute_search(ts, {"size": 0, "aggs": {"h": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {"sv": {"sum": {"field": "v"}},
+                 "ma": {"moving_avg": {"buckets_path": "sv",
+                                       "window": 2}}}}}})
+    got = [b["ma"]["value"] for b in res["aggregations"]["h"]["buckets"]]
+    assert got == [1.0, 1.5, 2.5, 3.5, 4.5]
+    with pytest.raises(ValueError, match="simple model"):
+        execute_search(ts, {"size": 0, "aggs": {"h": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "day"},
+            "aggs": {"sv": {"sum": {"field": "v"}},
+                     "ma": {"moving_avg": {"buckets_path": "sv",
+                                           "model": "holt"}}}}}})
