@@ -639,16 +639,26 @@ def ppl_query(
                 if c in df.columns and c not in {r for _, r in pairs}
             ]
             right = right.drop(*overlapping)
+            left = df
             cond = None
             for lk, rk in pairs:
-                p = df[lk] == right[rk]
+                p = left[lk] == right[rk]
                 cond = p if cond is None else cond & p
-            df = df.join(right, cond, jtype)
+            df = left.join(right, cond, jtype)
             if jtype not in ("left_semi", "left_anti"):
-                # drop duplicate right key columns where names collide
+                # name-colliding key columns fold to ONE: coalesce so a
+                # right/full join's right-only rows keep their key (the
+                # left side is null there — dropping the right copy
+                # would null the key outright)
                 for lk, rk in pairs:
-                    if rk in (c for c in df.columns) and lk == rk:
-                        df = df.drop(right[rk])
+                    if lk == rk:
+                        df = (
+                            df.withColumn(
+                                "__ppl_jk", F.coalesce(left[lk], right[rk])
+                            )
+                            .drop(left[lk]).drop(right[rk])
+                            .withColumnRenamed("__ppl_jk", lk)
+                        )
 
         elif cmd == "appendcol":
             # `appendcol [ <sub-pipeline> ]`: run the bracketed pipe on

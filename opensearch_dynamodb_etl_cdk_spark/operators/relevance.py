@@ -151,14 +151,17 @@ def score_multi_match_bm25(
             f"scored multi_match supports best_fields/most_fields, "
             f"got {type_!r}"
         )
+    # positional aliases (_avgdl_0, _df_0_1): NAME-concatenated aliases
+    # can collide across (field, term) pairs whose joined strings are
+    # equal ('f'+'g_h' vs 'f_g'+'h') and blow up as ambiguous columns
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for fname, _ in parsed:
+    for fi, (fname, _) in enumerate(parsed):
         toks = _analyze(F.col(fname))
-        aggs.append(F.avg(F.size(toks)).alias(f"_avgdl_{fname}"))
-        for t in terms:
+        aggs.append(F.avg(F.size(toks)).alias(f"_avgdl_{fi}"))
+        for ti, t in enumerate(terms):
             aggs.append(
                 F.sum(F.array_contains(toks, t).cast("long"))
-                .alias(f"_df_{fname}_{t}")
+                .alias(f"_df_{fi}_{ti}")
             )
     # idf must see the CORPUS, not a query-filtered subset — callers
     # scoring pre-filtered hits pass the full frame as stats_frame
@@ -166,11 +169,11 @@ def score_multi_match_bm25(
     scored = df.crossJoin(F.broadcast(stats))
     n = F.col("_n").cast("double")
     field_scores = []
-    for fname, boost in parsed:
+    for fi, (fname, boost) in enumerate(parsed):
         toks = _analyze(F.col(fname))
         dl = F.size(toks).cast("double")
         norm = F.lit(k1) * (
-            F.lit(1.0 - b) + F.lit(b) * dl / F.col(f"_avgdl_{fname}")
+            F.lit(1.0 - b) + F.lit(b) * dl / F.col(f"_avgdl_{fi}")
         )
         def _tf(term: str, _toks=toks) -> Column:
             # one-arg lambda only: a second (even defaulted) parameter
@@ -182,9 +185,9 @@ def score_multi_match_bm25(
             ).cast("double")
 
         score = F.lit(0.0)
-        for t in terms:
+        for ti, t in enumerate(terms):
             tf = _tf(t)
-            contrib = _idf(n, F.col(f"_df_{fname}_{t}").cast("double")) * (
+            contrib = _idf(n, F.col(f"_df_{fi}_{ti}").cast("double")) * (
                 tf * F.lit(k1 + 1.0) / (tf + norm)
             )
             score = score + F.when(tf > 0, contrib).otherwise(F.lit(0.0))
@@ -201,8 +204,9 @@ def score_multi_match_bm25(
         for s in field_scores[1:]:
             total = total + s
         combined = best + F.lit(float(tie_breaker)) * (total - best)
-    drop = ["_n"] + [f"_avgdl_{fn}" for fn, _ in parsed] + [
-        f"_df_{fn}_{t}" for fn, _ in parsed for t in terms
+    drop = ["_n"] + [f"_avgdl_{fi}" for fi in range(len(parsed))] + [
+        f"_df_{fi}_{ti}"
+        for fi in range(len(parsed)) for ti in range(len(terms))
     ]
     return (
         scored.withColumn("_score", combined)

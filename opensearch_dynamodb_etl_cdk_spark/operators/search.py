@@ -63,7 +63,11 @@ def _analyze(col: Column) -> Column:
 
 
 def _analyze_text(s: str) -> list[str]:
-    return [t for t in re.split(r"[^\w]+", s.lower()) if t]
+    # [\W_]+ ≡ the column analyzer's [^\p{L}\p{Nd}]+ (Python \w keeps
+    # the underscore; the column form does not — the two sides MUST
+    # split identically or a '_'-bearing query term could never match
+    # any document token)
+    return [t for t in re.split(r"[\W_]+", s.lower()) if t]
 
 
 # Lucene's standard English stopword set (public, from StopAnalyzer).
@@ -566,10 +570,16 @@ def compile_query(q: dict[str, Any], allow_unsafe_scripts: bool = False) -> Colu
         for op, val in spec.items():
             if op not in ops:
                 raise ValueError(f"unsupported range op {op}")
-            if isinstance(val, str) and (val[:3] == "now" or "||" in val) \
-                    and _DM_SYNTAX.match(val.strip()):
-                # full-grammar match only: a plain keyword bound that
-                # merely starts with "now" ("nowhere") compares lexically
+            if isinstance(val, str) and (
+                "||" in val
+                or re.match(r"^now([+\-/ ]|$)", val.strip())
+            ):
+                # date-math INTENT ("now" alone or followed by an
+                # operator, or an anchor||…): malformed expressions
+                # still raise inside the resolver — a typo must not
+                # silently degrade to a lexical compare. A keyword bound
+                # that merely starts with "now" ("nowhere") is a plain
+                # literal and never enters this branch.
                 op, val = _resolve_date_math(val, op, now_anchor)
             pred = pred & getattr(F.col(field), ops[op])(F.lit(val))
         return pred
@@ -3087,7 +3097,8 @@ def _subquery_scored(df: DataFrame, q: dict[str, Any],
 
 
 def _execute_hybrid(
-    df: DataFrame, body: dict[str, Any]
+    df: DataFrame, body: dict[str, Any],
+    search_pipeline: dict[str, Any] | None = None,
 ) -> DataFrame:
     """OpenSearch 2.x ``hybrid`` query + normalization processor: run
     each sub-query's native scorer, normalize every sub-query's score
@@ -3110,8 +3121,9 @@ def _execute_hybrid(
         raise ValueError("hybrid query needs a non-empty 'queries' list")
     size = int(body.get("size", 10))
     proc = {}
-    for p in (body.get("search_pipeline") or {}).get(
-            "phase_results_processors", []):
+    sp = (search_pipeline if search_pipeline is not None
+          else body.get("search_pipeline") or {})
+    for p in sp.get("phase_results_processors", []):
         if "normalization-processor" in p:
             proc = p["normalization-processor"]
     technique = (proc.get("normalization") or {}).get(
@@ -3388,6 +3400,10 @@ def execute_search(
     sp = body.get("search_pipeline") or {}
     req_procs = sp.get("request_processors") or []
     resp_procs = sp.get("response_processors") or []
+    if sp:
+        # consume the pipeline HERE: nested execute_search calls (the
+        # retriever envelope's children) must not re-apply processors
+        body = {k: v for k, v in body.items() if k != "search_pipeline"}
     if req_procs:
         body = _apply_request_processors(body, req_procs)
     if "retriever" in body:
@@ -3400,7 +3416,14 @@ def execute_search(
                 res["hits"], resp_procs)
         return res
     if "hybrid" in (body.get("query") or {}):
-        hits = _execute_hybrid(df, body)
+        if body.get("aggs"):
+            raise ValueError(
+                "aggregations are not supported in a hybrid-query "
+                "request — run them as a separate request over the "
+                "same index (silently returning empty aggs would hide "
+                "the limitation)"
+            )
+        hits = _execute_hybrid(df, body, sp)
         if resp_procs:
             hits = _apply_response_processors(hits, resp_procs)
         return {"hits": hits, "aggregations": {}}
@@ -4089,6 +4112,13 @@ def _apply_pipeline_aggs(buckets: list[dict], pipe_sub: dict) -> list[dict]:
             vals = [_bucket_value(b, body["buckets_path"])
                     for b in buckets]
             present = [v for v in vals if v is not None]
+            if not present:
+                # nothing to normalize against (all-null metrics, e.g.
+                # a fully zero-filled histogram): every value is null,
+                # never a ZeroDivision/empty-min crash
+                for b in buckets:
+                    b[n] = {"value": None}
+                continue
             method = body["method"]
             import math as _math
 

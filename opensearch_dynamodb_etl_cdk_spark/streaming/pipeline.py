@@ -583,7 +583,7 @@ class FlightsEtlPipeline:
         aggregate over the index (only the requested doc's terms are
         counted: a semi-filter on the term set, never a full vocabulary
         materialization)."""
-        from ..operators.search import _analyze_text
+        from ..operators.search import _analyze, _analyze_text
 
         fetched = self.mget(route, [str(doc_id)])
         rows = [] if fetched is None else fetched.collect()
@@ -603,10 +603,9 @@ class FlightsEtlPipeline:
                 e["positions"].append(pos)
             if term_statistics and terms:
                 tset = list(terms)
-                toks_col = F.filter(
-                    F.split(F.lower(F.col(f)), r"[^\p{L}\p{Nd}]+"),
-                    lambda x: x != "",
-                )
+                # the engine's ONE analyzer — the doc-side term list
+                # above and this stats column must tokenize identically
+                toks_col = _analyze(F.col(f))
                 def _tf_sum(term: str) -> Column:
                     # one-arg lambda only: F.filter passes the element
                     # INDEX to a second parameter, even a defaulted one
@@ -1705,7 +1704,9 @@ class FlightsEtlPipeline:
         for the index template the public API requires). Every appended
         document must carry ``@timestamp`` (the public data-stream
         contract)."""
-        if re.search(r"[*,]", name):
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name):
+            # path separators / leading dots would nest or escape the
+            # backing-index layout under index_root
             raise ValueError(f"invalid data stream name {name!r}")
         reg = self._read_data_streams()
         if name in reg:
@@ -1826,9 +1827,28 @@ class FlightsEtlPipeline:
         self._validate_set_fields(data_cols, dict(script), "bulk")
         from pyspark.sql import types as T
 
+        def _coerce(v, dt):
+            # benign Python-type looseness (int for a double column,
+            # str numbers) must not fail the frame build — the
+            # non-script doc/upsert paths accept the same values
+            if v is None:
+                return None
+            s = dt.simpleString()
+            try:
+                if s in ("double", "float"):
+                    return float(v)
+                if s in ("bigint", "int", "smallint", "tinyint", "long"):
+                    return int(v)
+                if s == "string":
+                    return str(v)
+            except (TypeError, ValueError):
+                return v
+            return v
+
         fields = [f for f in idx.schema.fields if f.name in data_cols]
         row = self.spark.createDataFrame(
-            [tuple(image.get(f.name) for f in fields)],
+            [tuple(_coerce(image.get(f.name), f.dataType)
+                   for f in fields)],
             T.StructType(fields),
         )
         for col_name, expr in script.items():

@@ -455,3 +455,17 @@ def test_fieldsummary_command(run):
     assert out.collect()[0]["nulls"] == 1
     with pytest.raises(PPLError, match="unknown fields"):
         run("source=sales | fieldsummary includefields=nope")
+
+
+def test_join_full_coalesces_colliding_key(run):
+    out = run("source=sales | join type=full dims on grp = grp "
+              "| fields grp, label")
+    rows = [(r["grp"], r["label"]) for r in out.collect()]
+    # right/full join keeps the key for right-only rows (none here; add
+    # one by joining the other way: dims has only a,b — sales has c)
+    assert all(g is not None for g, _ in rows)
+    out = run("source=dims | join type=full sales on grp = grp "
+              "| fields grp")
+    # sales' c row survives with its key intact
+    assert "c" in {r["grp"] for r in out.collect()}
+    assert all(r["grp"] is not None for r in out.collect())

@@ -1387,3 +1387,49 @@ def test_terms_partition_and_moving_avg(spark):
             "aggs": {"sv": {"sum": {"field": "v"}},
                      "ma": {"moving_avg": {"buckets_path": "sv",
                                            "model": "holt"}}}}}})
+
+
+def test_review_r6_regressions(spark, docs):
+    """Round-6 review follow-ups: retriever+pipeline single-apply,
+    hybrid+aggs explicit rejection, all-null normalize, malformed
+    date-math raises."""
+    # response processors apply ONCE under a retriever envelope — a
+    # rerank that drops its source field would crash on a second pass
+    res = execute_search(docs, {
+        "retriever": {"standard": {"query": {"match_all": {}}}},
+        "search_pipeline": {"response_processors": [
+            {"rerank": {"by_field": {"target_field": "feat",
+                                     "remove_target_field": True}}}]},
+        "size": 4,
+    })
+    rows = res["hits"].collect()
+    assert [r["id"] for r in rows] == [1, 4, 2, 3]  # feat desc
+    assert "feat" not in res["hits"].columns
+
+    # hybrid + aggs: loud rejection, not silent empty aggs
+    with pytest.raises(ValueError, match="hybrid"):
+        execute_search(docs, {
+            "query": {"hybrid": {"queries": [{"match_all": {}}]}},
+            "aggs": {"n": {"value_count": {"field": "id"}}}})
+
+    # normalize over all-null metrics: null values, never a crash
+    df = spark.createDataFrame([("a", None), ("b", None)],
+                               "k string, v double")
+    res = execute_search(df, {"size": 0, "aggs": {"t": {
+        "terms": {"field": "k", "size": 10},
+        "aggs": {"sv": {"sum": {"field": "v"}},
+                 "z": {"normalize": {"buckets_path": "sv",
+                                     "method": "z-score"}}}}}})
+    assert all(b["z"]["value"] is None
+               for b in res["aggregations"]["t"]["buckets"])
+
+    # malformed date math raises; plain 'nowhere' stays lexical
+    with pytest.raises(ValueError, match="unparseable date math"):
+        docs.filter(compile_query(
+            {"range": {"ts": {"gte": "now-1months"}}})).count()
+    with pytest.raises(ValueError, match="unparseable date math"):
+        docs.filter(compile_query(
+            {"range": {"ts": {"gte": "now - 1d"}}})).count()
+    w = spark.createDataFrame([("nowhere",), ("zz",)], "w string")
+    assert w.filter(compile_query(
+        {"range": {"w": {"gte": "nowhere"}}})).count() == 2
