@@ -2022,34 +2022,58 @@ def _execute_knn(df: DataFrame, knn_body: dict[str, Any],
     column appended ascending to the score ordering so the k-boundary
     is deterministic under score ties.
     """
-    from ..functions.vectors import cosine, l2_norm
+    from ..functions.vectors import cosine, dot, l2_norm
 
     (field, spec), = knn_body.items()
     vec = [float(x) for x in spec["vector"]]
-    if not any(vec):
+    space = spec.get("space_type", "cosinesimil")
+    if space == "cosinesimil" and not any(vec):
         raise ValueError("knn: query vector has zero norm")
     k = int(spec.get("k", default_size))
     base = df
     if spec.get("filter"):
         base = base.filter(compile_query(spec["filter"]))
     qarr = F.array(*[F.lit(x) for x in vec])
-    scored = base.withColumn(
-        "_score",
-        F.when(
+    if space == "cosinesimil":
+        score = F.when(
             l2_norm(F.col(field)) > 0, cosine(F.col(field), qarr)
-        ).otherwise(F.lit(None).cast("double")),
-    ).filter(F.col("_score").isNotNull())
+        ).otherwise(F.lit(None).cast("double"))
+        # the cosine space's distance form: 1 − cosine
+        distance = F.lit(1.0) - score
+    elif space == "l2":
+        # the k-NN plugin's l2 score transform: 1 / (1 + d²) — monotone
+        # in distance, bounded (0, 1], exact squared-distance arithmetic
+        d2 = F.aggregate(
+            F.zip_with(F.col(field), qarr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        score = F.lit(1.0) / (F.lit(1.0) + d2)
+        distance = F.sqrt(d2)
+    elif space == "innerproduct":
+        # plugin transform: d ≥ 0 → d + 1, else 1 / (1 − d) — keeps the
+        # score positive and monotone in the raw dot product; the
+        # space's distance is the NEGATED dot product
+        d = dot(F.col(field), qarr)
+        score = F.when(d >= 0, d + 1.0).otherwise(
+            F.lit(1.0) / (F.lit(1.0) - d)
+        )
+        distance = -d
+    else:
+        raise ValueError(f"unsupported knn space_type {space!r}")
+    scored = base.withColumn("_score", score) \
+        .withColumn("__knn_dist", distance) \
+        .filter(F.col("_score").isNotNull())
     radial = (spec.get("min_score") is not None
               or spec.get("max_distance") is not None)
     if spec.get("min_score") is not None:
         scored = scored.filter(F.col("_score") >= float(spec["min_score"]))
     if spec.get("max_distance") is not None:
-        # radial search by distance bound: for the cosine space,
-        # distance = 1 − cosine (the public space-type's distance form)
+        # radial search by distance bound, in the SPACE's own distance
+        # (1−cos / euclidean / negated dot)
         scored = scored.filter(
-            (F.lit(1.0) - F.col("_score"))
-            <= float(spec["max_distance"])
+            F.col("__knn_dist") <= float(spec["max_distance"])
         )
+    scored = scored.drop("__knn_dist")
     order = [F.col("_score").desc()]
     if spec.get("tie_break"):
         order.append(F.col(spec["tie_break"]).asc())

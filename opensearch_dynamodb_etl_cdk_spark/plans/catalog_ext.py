@@ -2544,3 +2544,37 @@ def embedding_decontamination(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     bench = e.filter(F.col("vec_id") % 50 == 0)
     return embedding_decontaminate(e, bench, threshold=0.95)
+
+
+@register(
+    "knn_l2_search",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
+    SELECT e.vec_id, e.label,
+           1.0 / (1.0 + {_fold(
+               "list_transform(generate_series(1, len(e.embedding)), "
+               "i -> (CAST(e.embedding[i] AS DOUBLE)"
+               " - CAST(q.qv[i] AS DOUBLE))"
+               " * (CAST(e.embedding[i] AS DOUBLE)"
+               " - CAST(q.qv[i] AS DOUBLE)))")}) AS _score
+    FROM embeddings e, q
+    ORDER BY _score DESC, e.vec_id ASC LIMIT 10
+    """,
+    doc="`knn` with space_type=l2 (operators/search.py::_execute_knn): "
+    "the plugin's 1/(1+d²) score transform over exact squared "
+    "euclidean distance — same scan → project → TakeOrdered plan as "
+    "the cosine space, identical left-fold accumulation order in both "
+    "engines so scores hash-match exactly.",
+    tags=("dsl", "similarity", "topk"),
+)
+def knn_l2_search(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 7).select("embedding").head()[0]]
+    body = {"query": {"knn": {"embedding": {
+        "vector": qvec, "k": 10, "space_type": "l2",
+        "tie_break": "vec_id",
+    }}}}
+    return execute_search(e, body)["hits"].select("vec_id", "label", "_score")

@@ -1433,3 +1433,44 @@ def test_review_r6_regressions(spark, docs):
     w = spark.createDataFrame([("nowhere",), ("zz",)], "w string")
     assert w.filter(compile_query(
         {"range": {"w": {"gte": "nowhere"}}})).count() == 2
+
+
+def test_knn_space_types(spark):
+    rows = [(0, [1.0, 0.0]), (1, [2.0, 0.0]), (2, [0.0, 3.0]),
+            (3, [-1.0, 0.0])]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    q = [1.0, 0.0]
+
+    # l2: score = 1/(1+d^2); distances to q: 0, 1, sqrt(10), 2
+    res = execute_search(df, {"query": {"knn": {"embedding": {
+        "vector": q, "k": 4, "space_type": "l2"}}}})
+    hits = res["hits"].collect()
+    assert [r.vec_id for r in hits] == [0, 1, 3, 2]
+    assert hits[0]._score == pytest.approx(1.0)
+    assert hits[1]._score == pytest.approx(1.0 / 2.0)
+    assert hits[2]._score == pytest.approx(1.0 / 5.0)
+    assert hits[3]._score == pytest.approx(1.0 / 11.0)
+    # l2 radial by euclidean distance
+    res = execute_search(df, {"query": {"knn": {"embedding": {
+        "vector": q, "space_type": "l2", "max_distance": 1.5}}}})
+    assert [r.vec_id for r in res["hits"].collect()] == [0, 1]
+
+    # innerproduct: dots 1, 2, 0, -1 → scores 2, 3, 1, 1/2
+    res = execute_search(df, {"query": {"knn": {"embedding": {
+        "vector": q, "k": 4, "space_type": "innerproduct"}}}})
+    hits = res["hits"].collect()
+    assert [r.vec_id for r in hits] == [1, 0, 2, 3]
+    assert hits[0]._score == pytest.approx(3.0)
+    assert hits[-1]._score == pytest.approx(0.5)
+    # innerproduct radial: distance = -dot; max_distance 0 keeps dot>=0
+    res = execute_search(df, {"query": {"knn": {"embedding": {
+        "vector": q, "space_type": "innerproduct",
+        "max_distance": 0.0}}}})
+    assert sorted(r.vec_id for r in res["hits"].collect()) == [0, 1, 2]
+
+    with pytest.raises(ValueError, match="space_type"):
+        execute_search(df, {"query": {"knn": {"embedding": {
+            "vector": q, "k": 2, "space_type": "hamming"}}}})
