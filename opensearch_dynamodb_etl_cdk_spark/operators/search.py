@@ -1997,6 +1997,79 @@ def _score_significant_counts(
     )
 
 
+# ------------------------------------------------------ neural search
+#
+# The neural-search plugin's production seam: `neural` queries embed
+# the QUERY TEXT through a registered model and run knn with the
+# result (document embeddings are a precomputed column, exactly as the
+# plugin's ingest-time inference leaves them). Real model inference
+# needs libraries this container lacks, so the registry ships with ONE
+# honest dependency-free embedder — a deterministic hashed
+# bag-of-words projection — and real encoders plug in by model id
+# without touching the query path (same pattern as the multimodal
+# codec registry).
+
+_TEXT_EMBEDDERS: dict[str, Any] = {}
+
+
+def hashed_bow_embedder(dim: int = 64):
+    """Deterministic hashed bag-of-words text embedder: each analyzed
+    token hashes (md5) into one of ``dim`` buckets, counts l2-normalize.
+    Not a semantic model — a REAL, reproducible encoder that exercises
+    the full neural-search path (and doubles as the honest default
+    until a model runtime is plugged in)."""
+    import hashlib
+
+    def embed(text: str) -> list[float]:
+        v = [0.0] * dim
+        for t in _analyze_text(text):
+            h = int(hashlib.md5(t.encode()).hexdigest()[:13], 16)
+            v[h % dim] += 1.0
+        norm = sum(x * x for x in v) ** 0.5
+        return [x / norm for x in v] if norm else v
+
+    return embed
+
+
+def register_text_embedder(model_id: str, embed) -> None:
+    """Plug a text encoder in under a model id (``embed(text) ->
+    list[float]``). The bundled ``hashed-bow-<dim>`` ids resolve
+    without registration."""
+    if not callable(embed):
+        raise TypeError("embed must be callable(str) -> list[float]")
+    _TEXT_EMBEDDERS[model_id] = embed
+
+
+def _resolve_embedder(model_id: str):
+    if model_id in _TEXT_EMBEDDERS:
+        return _TEXT_EMBEDDERS[model_id]
+    m = re.fullmatch(r"hashed-bow-(\d+)", model_id)
+    if m:
+        return hashed_bow_embedder(int(m.group(1)))
+    raise ValueError(
+        f"no text embedder registered for model_id {model_id!r} "
+        "(register one with register_text_embedder, or use the "
+        "built-in 'hashed-bow-<dim>')"
+    )
+
+
+def _neural_to_knn(body: dict[str, Any]) -> dict[str, Any]:
+    """``neural`` query → the equivalent ``knn`` body: the query text
+    embeds DRIVER-SIDE through the registered model (one string — the
+    coordinator-side inference of the public plugin), documents score
+    against their precomputed embedding column."""
+    (field, spec), = body.items()
+    embed = _resolve_embedder(str(spec["model_id"]))
+    vec = [float(x) for x in embed(str(spec["query_text"]))]
+    knn_spec = {
+        k: v for k, v in spec.items()
+        if k in ("k", "filter", "min_score", "max_distance",
+                 "space_type", "tie_break")
+    }
+    knn_spec["vector"] = vec
+    return {field: knn_spec}
+
+
 def _execute_knn(df: DataFrame, knn_body: dict[str, Any],
                  default_size: int) -> DataFrame:
     """Top-level ``knn`` query (OpenSearch k-NN plugin search shape):
@@ -3096,6 +3169,8 @@ def _subquery_scored(df: DataFrame, q: dict[str, Any],
     (kind, body), = q.items()
     if kind == "knn":
         return _execute_knn(df, body, default_size)
+    if kind == "neural":
+        return _execute_knn(df, _neural_to_knn(body), default_size)
     if kind == "function_score":
         return _execute_function_score(df, body)
     if kind == "match":
@@ -3465,6 +3540,10 @@ def execute_search(
     query = body.get("query", {"match_all": {}})
     join_inner_hits: dict[str, DataFrame] = {}
     df, query = _apply_join_field_queries(df, query, join_inner_hits)
+    if len(query) == 1 and next(iter(query)) == "neural":
+        # neural → knn rewrite happens before dispatch so every knn
+        # feature (radial, space types, filters) applies unchanged
+        query = {"knn": _neural_to_knn(query["neural"])}
     top_kind = next(iter(query)) if len(query) == 1 else None
     is_knn = top_kind == "knn"
     is_fscore = top_kind == "function_score"

@@ -1474,3 +1474,49 @@ def test_knn_space_types(spark):
     with pytest.raises(ValueError, match="space_type"):
         execute_search(df, {"query": {"knn": {"embedding": {
             "vector": q, "k": 2, "space_type": "hamming"}}}})
+
+
+def test_neural_query_end_to_end(spark):
+    """neural → knn rewrite: query text embeds through the registered
+    model, documents score against their precomputed embedding column
+    (indexed with the SAME embedder, as the plugin's ingest inference
+    would leave them)."""
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        hashed_bow_embedder,
+        register_text_embedder,
+    )
+
+    embed = hashed_bow_embedder(16)
+    corpus = [
+        (1, "spark shuffle merge join"),
+        (2, "window sort aggregate"),
+        (3, "cats and dogs outside"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, embed(t)) for i, t in corpus],
+        "id long, text string, embedding array<double>",
+    )
+    res = execute_search(df, {"query": {"neural": {"embedding": {
+        "query_text": "spark shuffle merge join",
+        "model_id": "hashed-bow-16", "k": 2}}}})
+    hits = res["hits"].collect()
+    assert hits[0]["id"] == 1 and hits[0]["_score"] == pytest.approx(1.0)
+
+    # registered custom model wins over the built-in resolution
+    register_text_embedder("my-model", hashed_bow_embedder(16))
+    res2 = execute_search(df, {"query": {"neural": {"embedding": {
+        "query_text": "cats dogs", "model_id": "my-model", "k": 1}}}})
+    assert res2["hits"].collect()[0]["id"] == 3
+    with pytest.raises(ValueError, match="no text embedder"):
+        execute_search(df, {"query": {"neural": {"embedding": {
+            "query_text": "x", "model_id": "bert-base", "k": 1}}}})
+
+    # neural inside a hybrid query (the plugin's flagship combination)
+    res3 = execute_search(df, {"query": {"hybrid": {"queries": [
+        {"neural": {"embedding": {"query_text": "window sort aggregate",
+                                  "model_id": "hashed-bow-16", "k": 3}}},
+        {"match": {"text": "spark"}},
+    ]}}, "size": 3})
+    got = [r["id"] for r in res3["hits"].collect()]
+    assert got[0] in (1, 2)  # both carry a full-strength signal
+    assert set(got) >= {1, 2}
