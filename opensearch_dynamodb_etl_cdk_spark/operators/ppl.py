@@ -708,6 +708,44 @@ def ppl_query(
                 out, F.regexp_replace(F.col(fld), pat, "")
             )
 
+        elif cmd == "kmeans":
+            # `kmeans centroids=N [iterations=I] fields=a,b,c` — the
+            # PPL ML command: cluster rows on a numeric feature vector
+            # and append ClusterID. Reuses the engine's distributed
+            # Lloyd trainer (operators/similarity.py — deterministic
+            # hash-sample init, so assignments are reproducible).
+            km = re.match(
+                r"^centroids\s*=\s*(\d+)"
+                r"(?:\s+iterations\s*=\s*(\d+))?"
+                r"\s+fields\s*=\s*([\w.,\s]+)$",
+                rest, re.IGNORECASE,
+            )
+            if not km:
+                raise PPLError(
+                    "kmeans expects: kmeans centroids=N "
+                    "[iterations=I] fields=a,b,c"
+                )
+            from .similarity import ivf_assign, ivf_centroids
+
+            ncent = int(km.group(1))
+            iters = int(km.group(2) or 3)
+            feat_fields = [f.strip() for f in km.group(3).split(",")]
+            missing_f = [f for f in feat_fields if f not in df.columns]
+            if missing_f:
+                raise PPLError(f"kmeans: unknown fields {missing_f}")
+            with_vec = df.withColumn(
+                "__kmf",
+                F.array(*[F.col(f).cast("double") for f in feat_fields]),
+            ).withColumn("__kmid", F.monotonically_increasing_id())
+            cents = ivf_centroids(
+                with_vec, n_centroids=ncent, id_col="__kmid",
+                vec_col="__kmf", refine_iters=iters,
+            )
+            df = ivf_assign(
+                with_vec, cents, vec_col="__kmf",
+                cluster_col="ClusterID",
+            ).drop("__kmf", "__kmid")
+
         elif cmd == "fieldsummary":
             # `fieldsummary [includefields=a,b,c]` → one row per field:
             # count/distinct/min/max/avg/stddev/nulls. ONE aggregate

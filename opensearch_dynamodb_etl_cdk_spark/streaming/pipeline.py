@@ -882,6 +882,70 @@ class FlightsEtlPipeline:
         return {"rolled_over": True, "old_index": target,
                 "new_index": new_index, "conditions": met}
 
+    def delete_index(self, name: str) -> bool:
+        """``DELETE /<index>`` analog: drop a materialized index table.
+        Configured CDC routes are protected — the stream would recreate
+        them inconsistently; stop the pipeline and remove the route
+        first (the public API refuses deletes on write-targeted backing
+        indices for the same reason)."""
+        import shutil
+
+        if name in self.cfg.routes:
+            raise ValueError(
+                f"delete_index: {name!r} is a configured CDC route"
+            )
+        p = self._index_path(name)
+        if not os.path.isdir(p):
+            return False
+        shutil.rmtree(p)
+        return True
+
+    def apply_ism_policy(self, alias: str, policy: dict) -> dict:
+        """One maintenance tick of an ISM-style lifecycle policy over a
+        rollover alias — the index-state-management loop as an explicit,
+        idempotent call (run it from any scheduler):
+
+        * ``rollover``: condition dict for :meth:`rollover` (empty dict
+          = roll unconditionally) — cuts a new write generation when met
+        * ``keep_generations``: N — delete the OLDEST generations
+          beyond the newest N (the write index is always in the newest
+          N, so it is never deleted)
+
+        Returns what the tick did. Deleting a generation is the
+        retention boundary: snapshots (:meth:`snapshot`) are the
+        recovery path, exactly as with tombstone purges."""
+        import re as _re
+
+        out: dict = {"rolled_over": False, "deleted": []}
+        if policy.get("rollover") is not None:
+            r = self.rollover(alias, policy["rollover"] or None)
+            out["rolled_over"] = r["rolled_over"]
+        keep = policy.get("keep_generations")
+        if keep is not None:
+            keep = int(keep)
+            if keep < 1:
+                raise ValueError("keep_generations must be >= 1")
+            target = self.get_aliases().get(alias)
+            m = _re.match(r"^(.*)-(\d+)$", target or "")
+            if not m:
+                raise ValueError(
+                    f"ism: alias {alias!r} does not point at a "
+                    f"generation-suffixed index (got {target!r})"
+                )
+            prefix = m.group(1)
+            gens = sorted(
+                n for n in self._all_index_names()
+                if _re.fullmatch(
+                    _re.escape(prefix) + r"-\d+", n
+                )
+            )
+            for idx in gens[:-keep]:
+                if idx == target:
+                    continue  # never the write index
+                if self.delete_index(idx):
+                    out["deleted"].append(idx)
+        return out
+
     def get_mapping(self, route: str) -> dict:
         """``GET /<index>/_mapping`` analog: the index's Spark schema
         rendered as an OpenSearch mapping (public field-type names).

@@ -469,3 +469,19 @@ def test_join_full_coalesces_colliding_key(run):
     # sales' c row survives with its key intact
     assert "c" in {r["grp"] for r in out.collect()}
     assert all(r["grp"] is not None for r in out.collect())
+
+
+def test_kmeans_command(run):
+    out = run("source=sales | kmeans centroids=2 fields=amount, id "
+              "| fields id, ClusterID")
+    rows = out.collect()
+    assert len(rows) == 6 and "ClusterID" in out.columns
+    assert len({r["ClusterID"] for r in rows}) <= 2
+    # reproducible: deterministic init → identical assignment on rerun
+    again = run("source=sales | kmeans centroids=2 fields=amount, id "
+                "| fields id, ClusterID").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    with pytest.raises(PPLError, match="kmeans"):
+        run("source=sales | kmeans fields=amount")
+    with pytest.raises(PPLError, match="unknown fields"):
+        run("source=sales | kmeans centroids=2 fields=nope")

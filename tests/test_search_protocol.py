@@ -848,3 +848,46 @@ def test_termvectors_and_cluster_health(spark, tmp_path_factory):
         p.termvectors("fare", "missing", ["fare_class"])
     with pytest.raises(ValueError, match="no field"):
         p.termvectors("fare", "TV|1", ["nope"])
+
+
+def test_ism_policy_tick(spark, tmp_path_factory):
+    """ISM-lite: one tick rolls the write generation when conditions
+    are met and trims generations beyond keep_generations — never the
+    write index, never a configured CDC route."""
+    tmp = tmp_path_factory.mktemp("ism")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+    p.reindex("fare", "logs-000001")
+    p.put_alias("logs_write", "logs-000001")
+
+    # unconditional roll twice → generations 1..3
+    for _ in range(2):
+        out = p.apply_ism_policy("logs_write", {"rollover": {}})
+        assert out["rolled_over"] is True
+    assert p.get_aliases()["logs_write"] == "logs-000003"
+
+    # retention trims the oldest beyond keep_generations=2
+    out = p.apply_ism_policy("logs_write", {"keep_generations": 2})
+    assert out == {"rolled_over": False, "deleted": ["logs-000001"]}
+    assert p.index_view("logs-000001") is None
+    assert p.index_view("logs-000002") is not None
+    # idempotent: a second tick deletes nothing more
+    out = p.apply_ism_policy("logs_write", {"keep_generations": 2})
+    assert out["deleted"] == []
+    # combined: roll + trim in one tick
+    out = p.apply_ism_policy("logs_write", {"rollover": {},
+                                            "keep_generations": 2})
+    assert out["rolled_over"] is True
+    assert out["deleted"] == ["logs-000002"]
+
+    # CDC routes refuse deletion
+    with pytest.raises(ValueError, match="configured CDC route"):
+        p.delete_index("fare")
+    assert p.delete_index("never-existed") is False
+    with pytest.raises(ValueError, match="keep_generations"):
+        p.apply_ism_policy("logs_write", {"keep_generations": 0})
