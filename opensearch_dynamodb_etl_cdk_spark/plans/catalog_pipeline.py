@@ -642,8 +642,12 @@ def corpus_datacard(spark, sf_dir):
         .cast("long").alias("haspii"),
         _T.normalize_text(F.col("text")).alias("norm"),
     )
-    dupc = per.groupBy("norm").agg(F.count(F.lit(1)).alias("c"))
-    joined = per.join(dupc, "norm")
+    # duplicate counts via a window over the norm key: ONE |docs|
+    # shuffle (bounded per-key state), instead of a groupBy + join that
+    # moves the rows twice
+    joined = per.withColumn(
+        "c", F.count(F.lit(1)).over(W.partitionBy("norm"))
+    )
     return joined.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
