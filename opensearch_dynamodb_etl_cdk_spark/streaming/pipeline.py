@@ -882,6 +882,80 @@ class FlightsEtlPipeline:
         return {"rolled_over": True, "old_index": target,
                 "new_index": new_index, "conditions": met}
 
+    def rollup_tick(
+        self,
+        source_pattern: str,
+        dest: str,
+        ts_field: str,
+        interval: str,
+        groups: list[str],
+        metrics: dict[str, list[str]],
+    ) -> int:
+        """One tick of an index-rollup job (the rollup plugin's
+        continuous pre-aggregation, as an explicit idempotent call):
+        bucket the source by a fixed ``interval`` (epoch-aligned, like
+        date_histogram fixed_interval) and the ``groups`` fields,
+        aggregate ``metrics`` (field → [sum/min/max/avg/value_count]),
+        and append ONLY the complete windows newer than what ``dest``
+        already holds — the resume cursor is dest's own max window, so
+        a crashed tick re-runs safely and a scheduler can call this
+        forever. The newest (possibly still-filling) window is held
+        back until a later tick sees it complete.
+
+        Scale: each tick is one filtered aggregate over the new windows
+        (the cursor predicate prunes at the scan) plus an append of
+        tiny rollup rows — the query-time win is that dashboards read
+        |windows × groups| rows instead of raw events."""
+        from ..operators.search import _fixed_interval_micros
+
+        src = self.multi_index_view(source_pattern)
+        if src is None:
+            return 0
+        micros = _fixed_interval_micros(interval)
+        wcol = F.timestamp_micros(
+            F.unix_micros(F.col(ts_field))
+            - F.unix_micros(F.col(ts_field)) % micros
+        )
+        dest_path = self._index_path(dest)
+        cursor = None
+        if os.path.isdir(dest_path):
+            prev = self.spark.read.parquet(dest_path)
+            cursor = prev.agg(F.max("window")).collect()[0][0]
+        # hold back the newest (still-filling) source window
+        hi = src.agg(F.max(wcol).alias("h")).collect()[0]["h"]
+        if hi is None:
+            return 0
+        work = src.withColumn("window", wcol).filter(
+            F.col("window") < F.lit(hi)
+        )
+        if cursor is not None:
+            work = work.filter(F.col("window") > F.lit(cursor))
+        aggs = [F.count(F.lit(1)).alias("doc_count")]
+        for fld, kinds in metrics.items():
+            for kind in kinds:
+                if kind == "sum":
+                    aggs.append(
+                        F.sum(F.col(fld).cast("decimal(28,6)"))
+                        .cast("double").alias(f"{fld}_sum")
+                    )
+                elif kind == "min":
+                    aggs.append(F.min(fld).alias(f"{fld}_min"))
+                elif kind == "max":
+                    aggs.append(F.max(fld).alias(f"{fld}_max"))
+                elif kind == "avg":
+                    aggs.append(F.avg(fld).alias(f"{fld}_avg"))
+                elif kind == "value_count":
+                    aggs.append(F.count(fld).alias(f"{fld}_count"))
+                else:
+                    raise ValueError(
+                        f"unsupported rollup metric {kind!r}"
+                    )
+        rolled = work.groupBy("window", *groups).agg(*aggs)
+        n = rolled.count()
+        if n:
+            rolled.write.mode("append").parquet(dest_path)
+        return n
+
     def delete_index(self, name: str) -> bool:
         """``DELETE /<index>`` analog: drop a materialized index table.
         Configured CDC routes are protected — the stream would recreate

@@ -891,3 +891,54 @@ def test_ism_policy_tick(spark, tmp_path_factory):
     assert p.delete_index("never-existed") is False
     with pytest.raises(ValueError, match="keep_generations"):
         p.apply_ism_policy("logs_write", {"keep_generations": 0})
+
+
+def test_rollup_tick_resumes_and_matches_direct_agg(spark,
+                                                    tmp_path_factory):
+    """Index-rollup job: each tick appends only COMPLETE windows newer
+    than the dest's own cursor; the union of ticks equals one direct
+    aggregation; the newest (still-filling) window is held back."""
+    tmp = tmp_path_factory.mktemp("rollup_job")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    p.create_data_stream("m")
+    p.data_stream_append("m", [
+        {"@timestamp": f"2024-01-01 0{h}:{mm:02d}:00", "host": host,
+         "v": float(h * 10 + mm)}
+        for h in range(3) for mm in (0, 30) for host in ("a", "b")
+    ])
+
+    cfg_args = dict(source_pattern=".ds-m-*", dest="m_rollup",
+                    ts_field="@timestamp", interval="1h",
+                    groups=["host"],
+                    metrics={"v": ["sum", "max", "value_count"]})
+    n1 = p.rollup_tick(**cfg_args)
+    # hours 00 and 01 complete (02 is the newest window, held back)
+    assert n1 == 4  # 2 windows x 2 hosts
+    # a second tick with no new data appends nothing (idempotent)
+    assert p.rollup_tick(**cfg_args) == 0
+    # new data completes hour 02 once an 03 event lands
+    p.data_stream_append("m", [
+        {"@timestamp": "2024-01-01 03:00:00", "host": "a", "v": 1.0}])
+    n2 = p.rollup_tick(**cfg_args)
+    assert n2 == 2  # hour 02 for both hosts
+    rolled = spark.read.parquet(str(tmp / "i" / "m_rollup"))
+    direct = (
+        p.multi_index_view(".ds-m-*")
+        .withColumn("window", F.date_trunc("hour", F.col("@timestamp")))
+        .filter(F.col("window") < "2024-01-01 03:00:00")
+        .groupBy("window", "host")
+        .agg(F.count(F.lit(1)).alias("doc_count"),
+             F.sum(F.col("v").cast("decimal(28,6)")).cast("double")
+             .alias("v_sum"),
+             F.max("v").alias("v_max"),
+             F.count("v").alias("v_count"))
+    )
+    a = sorted(map(tuple, rolled.select(*direct.columns).collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="rollup metric"):
+        p.rollup_tick(source_pattern=".ds-m-*", dest="m2",
+                      ts_field="@timestamp", interval="1h", groups=[],
+                      metrics={"v": ["median"]})
