@@ -145,3 +145,73 @@ def point_in_polygon_pred(
         )
         crossings = crossings + cond.cast("int")
     return crossings % 2 == 1
+
+
+def _ring_vertices(ring) -> list[tuple[float, float]]:
+    """(lat, lon) vertex list from a GeoJSON ring ([lon, lat] pairs);
+    tolerates both closed (first == last, per the GeoJSON spec) and
+    unclosed rings by dropping the duplicate closing vertex."""
+    vs = [(float(p[1]), float(p[0])) for p in ring]
+    if len(vs) >= 2 and vs[0] == vs[-1]:
+        vs = vs[:-1]
+    return vs
+
+
+def shape_contains_point_pred(lat: Column, lon: Column, shape: dict) -> Column:
+    """True iff the document's geo_point lies inside the request-time
+    GeoJSON ``shape`` — the point-field evaluation of the public
+    ``geo_shape`` query. Supported types: ``point`` (exact coordinate
+    equality), ``envelope`` (the public [top-left, bottom-right]
+    lon/lat corner convention → 4 pushable comparisons), ``circle``
+    (center + radius string → exact haversine), ``polygon`` (outer ring
+    minus holes, even-odd ray casting), ``multipolygon`` and
+    ``geometrycollection`` (OR over members). Every branch is a fixed
+    chain of codegen comparisons over request-constant geometry — no
+    geometry library, no UDF, so the predicate pipelines into the scan
+    at any scale. Line types are rejected loudly: a point doc meets a
+    zero-width line only under exact-rational arithmetic this planar
+    double-precision tier does not provide."""
+    st = str(shape.get("type", "")).lower()
+    if st == "point":
+        plat, plon = parse_point(shape["coordinates"])
+        return (lat == F.lit(plat)) & (lon == F.lit(plon))
+    if st == "envelope":
+        (x1, y1), (x2, y2) = shape["coordinates"]  # [lon, lat] corners
+        return bounding_box_pred(
+            lat, lon, (float(y1), float(x1)), (float(y2), float(x2))
+        )
+    if st == "circle":
+        plat, plon = parse_point(shape["coordinates"])
+        return geo_distance_pred(lat, lon, plat, plon, shape["radius"])
+    if st == "polygon":
+        rings = shape["coordinates"]
+        pred = point_in_polygon_pred(lat, lon, _ring_vertices(rings[0]))
+        for hole in rings[1:]:
+            pred = pred & ~point_in_polygon_pred(
+                lat, lon, _ring_vertices(hole)
+            )
+        return pred
+    if st == "multipolygon":
+        preds = [
+            shape_contains_point_pred(
+                lat, lon, {"type": "polygon", "coordinates": poly}
+            )
+            for poly in shape["coordinates"]
+        ]
+        out = preds[0]
+        for p in preds[1:]:
+            out = out | p
+        return out
+    if st == "geometrycollection":
+        preds = [
+            shape_contains_point_pred(lat, lon, g)
+            for g in shape["geometries"]
+        ]
+        out = preds[0]
+        for p in preds[1:]:
+            out = out | p
+        return out
+    raise ValueError(
+        f"unsupported geo_shape type {st!r} (line types have zero-measure "
+        "intersection with point documents in this planar tier)"
+    )

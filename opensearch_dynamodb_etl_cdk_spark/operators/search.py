@@ -908,6 +908,42 @@ def compile_query(q: dict[str, Any], allow_unsafe_scripts: bool = False) -> Colu
             F.col(f"{field}.lat"), F.col(f"{field}.lon"), tl, br
         )
 
+    if kind == "geo_shape":
+        # geo_shape against the engine's geo_point representation: the
+        # document side is a point, the query side an inline GeoJSON
+        # shape (functions/geo.py::shape_contains_point_pred — fixed
+        # codegen comparison chain, no geometry library). Relations
+        # follow the point-doc semantics of the public query:
+        # intersects ≡ within (a point is inside iff it touches),
+        # disjoint is the negation (docs with a null point match
+        # neither side — the tri-valued NOT keeps that), and contains
+        # holds only for a point-typed shape equal to the document.
+        from ..functions.geo import shape_contains_point_pred
+
+        spec = dict(body)
+        for ignored in ("ignore_unmapped", "_name", "boost"):
+            spec.pop(ignored, None)
+        (field, sbody), = spec.items()
+        if "indexed_shape" in sbody:
+            raise ValueError(
+                "geo_shape indexed_shape (shapes stored in another index) "
+                "is unsupported — inline the shape"
+            )
+        shape = sbody["shape"]
+        relation = str(sbody.get("relation", "intersects")).lower()
+        pred = shape_contains_point_pred(
+            F.col(f"{field}.lat"), F.col(f"{field}.lon"), shape
+        )
+        if relation in ("intersects", "within"):
+            return pred
+        if relation == "disjoint":
+            return ~pred
+        if relation == "contains":
+            if str(shape.get("type", "")).lower() == "point":
+                return pred
+            return F.lit(False)
+        raise ValueError(f"unsupported geo_shape relation {relation!r}")
+
     if kind == "match_bool_prefix":
         # all terms match analyzed except the last, which matches as a
         # prefix of any token (search-as-you-type). `operator` follows

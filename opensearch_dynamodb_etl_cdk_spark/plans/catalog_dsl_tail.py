@@ -1211,3 +1211,100 @@ def function_score_random(spark, sf_dir):
         "size": 15,
     })
     return res["hits"].select("o_orderkey", F.col("_score").alias("score"))
+
+
+_GS_OUTER = [(30.0, 0.0), (0.0, 60.0), (-30.0, 0.0), (0.0, -60.0)]
+_GS_HOLE = [(10.0, 0.0), (0.0, 20.0), (-10.0, 0.0), (0.0, -20.0)]
+
+
+def _gs_ring(poly):
+    # GeoJSON ring: [lon, lat] pairs, closed (first == last)
+    ring = [[lo, la] for la, lo in poly]
+    return ring + [ring[0]]
+
+
+def _geo_shape_oracle() -> str:
+    from .catalog_ext import _GEO_LAT, _GEO_LON, _poly_crossing_sql
+
+    outer = _poly_crossing_sql(_GS_OUTER)
+    hole = _poly_crossing_sql(_GS_HOLE)
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM customer)
+    SELECT c_custkey, lat, lon FROM pts
+    WHERE ({outer}) % 2 = 1 AND NOT (({hole}) % 2 = 1)
+    """
+
+
+@register(
+    "geo_shape_polygon_hole",
+    oracle=_geo_shape_oracle(),
+    doc="geo_shape DSL query, polygon-with-hole against the geo_point "
+    "tier (operators/search.py geo_shape kind + functions/geo.py::"
+    "shape_contains_point_pred): inside the outer ring AND NOT inside "
+    "the hole ring, each ring an even-odd ray cast compiled to a FIXED "
+    "request-constant comparison chain — whole-stage codegen, no "
+    "geometry library, pipelines into the scan at any scale. Oracle "
+    "runs the identical edge arithmetic (same Python-precomputed "
+    "slopes in both texts → IEEE-identical crossing counts).",
+    tags=("dsl", "geo"),
+)
+def geo_shape_polygon_hole(spark, sf_dir):
+    from ..operators.search import execute_search
+    from .catalog_ext import _geo_points
+
+    pts = _geo_points(spark, sf_dir)
+    hits = execute_search(pts, {"query": {"geo_shape": {"location": {
+        "shape": {
+            "type": "polygon",
+            "coordinates": [_gs_ring(_GS_OUTER), _gs_ring(_GS_HOLE)],
+        },
+        "relation": "intersects",
+    }}}})["hits"]
+    return hits.select(
+        "c_custkey",
+        F.col("location.lat").alias("lat"),
+        F.col("location.lon").alias("lon"),
+    )
+
+
+def _geo_shape_disjoint_oracle() -> str:
+    from .catalog_ext import _GEO_DIST_SQL, _GEO_LAT, _GEO_LON
+
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM customer)
+    SELECT COUNT(*) AS outside_count FROM pts
+    WHERE NOT ((lat <= 60.0 AND lat >= 10.0
+                AND lon >= -120.0 AND lon <= -60.0)
+               OR {_GEO_DIST_SQL} <= 3000.0)
+    """
+
+
+@register(
+    "geo_shape_collection_disjoint",
+    oracle=_geo_shape_disjoint_oracle(),
+    doc="geo_shape with a geometrycollection (envelope + circle) and "
+    "relation=disjoint: documents outside BOTH members — the collection "
+    "ORs its members' containment predicates and disjoint negates the "
+    "union (tri-valued NOT drops null points, matching the public "
+    "unmapped-field behavior). Envelope = 4 pushable comparisons; "
+    "circle = the same haversine expression the geo_distance query "
+    "compiles, so both engines evaluate the identical IEEE tree.",
+    tags=("dsl", "geo"),
+)
+def geo_shape_collection_disjoint(spark, sf_dir):
+    from ..operators.search import execute_search
+    from .catalog_ext import _geo_points
+
+    pts = _geo_points(spark, sf_dir)
+    hits = execute_search(pts, {"query": {"geo_shape": {"location": {
+        "shape": {"type": "geometrycollection", "geometries": [
+            {"type": "envelope",
+             "coordinates": [[-120.0, 60.0], [-60.0, 10.0]]},
+            {"type": "circle", "coordinates": [-74.006, 40.7128],
+             "radius": "3000km"},
+        ]},
+        "relation": "disjoint",
+    }}}})["hits"]
+    return hits.agg(F.count("*").alias("outside_count"))

@@ -2472,12 +2472,12 @@ def embedding_near_dup_pairs(spark, sf_dir):
 _POLY = [(30.0, 0.0), (0.0, 60.0), (-30.0, 0.0), (0.0, -60.0)]
 
 
-def _poly_crossing_sql() -> str:
+def _poly_crossing_sql(poly: list[tuple[float, float]] = _POLY) -> str:
     terms = []
-    n = len(_POLY)
+    n = len(poly)
     for i in range(n):
-        y1, x1 = _POLY[i]
-        y2, x2 = _POLY[(i + 1) % n]
+        y1, x1 = poly[i]
+        y2, x2 = poly[(i + 1) % n]
         if y1 == y2:
             continue
         slope = (x2 - x1) / (y2 - y1)

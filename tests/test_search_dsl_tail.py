@@ -1520,3 +1520,68 @@ def test_neural_query_end_to_end(spark):
     got = [r["id"] for r in res3["hits"].collect()]
     assert got[0] in (1, 2)  # both carry a full-strength signal
     assert set(got) >= {1, 2}
+
+
+def test_geo_shape_relations_and_types(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0),      # inside outer diamond AND inside hole
+         (2, 15.0, 0.0),     # inside outer, outside hole
+         (3, 50.0, 0.0),     # outside everything
+         (4, None, None)],   # unmapped point
+        "id long, lat double, lon double",
+    ).select("id", F.struct("lat", "lon").alias("location"))
+
+    def ids(q):
+        return sorted(r.id for r in df.filter(compile_query(q)).collect())
+
+    ring = lambda poly: [[lo, la] for la, lo in poly] + [[poly[0][1], poly[0][0]]]
+    outer = [(30.0, 0.0), (0.0, 60.0), (-30.0, 0.0), (0.0, -60.0)]
+    hole = [(10.0, 0.0), (0.0, 20.0), (-10.0, 0.0), (0.0, -20.0)]
+    poly_hole = {"type": "polygon",
+                 "coordinates": [ring(outer), ring(hole)]}
+    # polygon with hole: only the annulus point matches
+    assert ids({"geo_shape": {"location": {"shape": poly_hole}}}) == [2]
+    # within ≡ intersects for point docs
+    assert ids({"geo_shape": {"location": {
+        "shape": poly_hole, "relation": "within"}}}) == [2]
+    # disjoint: negation, and the null point matches NEITHER side
+    assert ids({"geo_shape": {"location": {
+        "shape": poly_hole, "relation": "disjoint"}}}) == [1, 3]
+    # envelope ([lon, lat] top-left / bottom-right corners)
+    assert ids({"geo_shape": {"location": {"shape": {
+        "type": "envelope", "coordinates": [[-1.0, 20.0], [1.0, 10.0]],
+    }}}}) == [2]
+    # circle with a radius string
+    assert ids({"geo_shape": {"location": {"shape": {
+        "type": "circle", "coordinates": [0.0, 0.0], "radius": "10km",
+    }}}}) == [1]
+    # multipolygon: OR of members (hole diamond ∪ a box around (50, 0))
+    box = [(55.0, -5.0), (55.0, 5.0), (45.0, 5.0), (45.0, -5.0)]
+    assert ids({"geo_shape": {"location": {"shape": {
+        "type": "multipolygon",
+        "coordinates": [[ring(hole)], [ring(box)]],
+    }}}}) == [1, 3]
+    # geometrycollection
+    assert ids({"geo_shape": {"location": {"shape": {
+        "type": "geometrycollection", "geometries": [
+            {"type": "point", "coordinates": [0.0, 15.0]},
+            {"type": "circle", "coordinates": [0.0, 50.0],
+             "radius": "5km"},
+        ]}}}}) == [2, 3]
+    # contains: a point doc contains only a point shape equal to it
+    assert ids({"geo_shape": {"location": {
+        "shape": {"type": "point", "coordinates": [0.0, 15.0]},
+        "relation": "contains"}}}) == [2]
+    assert ids({"geo_shape": {"location": {
+        "shape": poly_hole, "relation": "contains"}}}) == []
+    # loud rejections: line types, unknown relation, indexed_shape
+    with pytest.raises(ValueError, match="geo_shape type"):
+        compile_query({"geo_shape": {"location": {"shape": {
+            "type": "linestring",
+            "coordinates": [[0.0, 0.0], [1.0, 1.0]]}}}})
+    with pytest.raises(ValueError, match="relation"):
+        compile_query({"geo_shape": {"location": {
+            "shape": poly_hole, "relation": "touches"}}})
+    with pytest.raises(ValueError, match="indexed_shape"):
+        compile_query({"geo_shape": {"location": {
+            "indexed_shape": {"index": "shapes", "id": "1"}}}})
