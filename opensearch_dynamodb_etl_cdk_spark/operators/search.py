@@ -5384,6 +5384,103 @@ def _run_agg(
             "q1": r["q1"], "q2": r["q2"], "q3": r["q3"],
         }
 
+    if kind == "t_test":
+        # Student's t-test between two value populations, the public
+        # shapes: paired (same docs, two fields), homoscedastic (pooled
+        # variance) and heteroscedastic (Welch, the public default).
+        # ALL moments come from ONE conditional-aggregation pass over
+        # the frame (exact decimal Σ/Σ² — partition-order independent);
+        # the reduced six scalars turn into t/dof/p driver-side, with
+        # the p-value from the exact incomplete-beta tail identity
+        # (functions/stats.py) — O(1) math on one row, so the special
+        # function never ships to executors. Returns the public
+        # {"value": p} plus the t statistic and dof it derives from.
+        import math
+
+        from ..functions.stats import student_t_two_sided_pvalue
+
+        ttype = str(body.get("type", "heteroscedastic")).lower()
+        a_spec, b_spec = body["a"], body["b"]
+        fa, fb = a_spec["field"], b_spec["field"]
+        dec = "decimal(38,9)"
+        if ttype == "paired":
+            if "filter" in a_spec or "filter" in b_spec:
+                raise ValueError("paired t_test does not accept filters")
+            # per-doc difference over rows carrying BOTH fields
+            d = F.when(
+                F.col(fa).isNotNull() & F.col(fb).isNotNull(),
+                F.col(fa) - F.col(fb),
+            )
+            row = df.agg(
+                F.count(d).alias("__n"),
+                F.sum(d.cast(dec)).cast("double").alias("__s"),
+                F.sum((d * d).cast(dec)).cast("double").alias("__ss"),
+            ).collect()[0]
+            n = row["__n"]
+            if n < 2:
+                return {"value": None, "t_statistic": None,
+                        "degrees_of_freedom": None, "n": n}
+            mean = row["__s"] / n
+            var = (row["__ss"] - row["__s"] * row["__s"] / n) / (n - 1)
+            if var <= 0.0:
+                return {"value": None, "t_statistic": None,
+                        "degrees_of_freedom": float(n - 1), "n": n}
+            t = mean / math.sqrt(var / n)
+            dof = float(n - 1)
+            counts = {"n": n}
+        elif ttype in ("homoscedastic", "heteroscedastic"):
+            pa = F.col(fa).isNotNull()
+            pb = F.col(fb).isNotNull()
+            if "filter" in a_spec:
+                pa = pa & compile_query(a_spec["filter"])
+            if "filter" in b_spec:
+                pb = pb & compile_query(b_spec["filter"])
+            va_col = F.when(pa, F.col(fa))
+            vb_col = F.when(pb, F.col(fb))
+            row = df.agg(
+                F.count(va_col).alias("__na"),
+                F.sum(va_col.cast(dec)).cast("double").alias("__sa"),
+                F.sum((va_col * va_col).cast(dec)).cast("double")
+                .alias("__ssa"),
+                F.count(vb_col).alias("__nb"),
+                F.sum(vb_col.cast(dec)).cast("double").alias("__sb"),
+                F.sum((vb_col * vb_col).cast(dec)).cast("double")
+                .alias("__ssb"),
+            ).collect()[0]
+            na, nb = row["__na"], row["__nb"]
+            if na < 2 or nb < 2:
+                return {"value": None, "t_statistic": None,
+                        "degrees_of_freedom": None, "na": na, "nb": nb}
+            ma, mb = row["__sa"] / na, row["__sb"] / nb
+            va = (row["__ssa"] - row["__sa"] * row["__sa"] / na) / (na - 1)
+            vb = (row["__ssb"] - row["__sb"] * row["__sb"] / nb) / (nb - 1)
+            if ttype == "homoscedastic":
+                pooled = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+                se2 = pooled / na + pooled / nb
+                dof = float(na + nb - 2)
+            else:
+                sea, seb = va / na, vb / nb
+                se2 = sea + seb
+                dof = (
+                    se2 * se2
+                    / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+                    if se2 > 0.0 else 0.0
+                )
+            if se2 <= 0.0:
+                return {"value": None, "t_statistic": None,
+                        "degrees_of_freedom": dof or None,
+                        "na": na, "nb": nb}
+            t = (ma - mb) / math.sqrt(se2)
+            counts = {"na": na, "nb": nb}
+        else:
+            raise ValueError(f"unsupported t_test type {ttype!r}")
+        return {
+            "value": student_t_two_sided_pvalue(t, dof),
+            "t_statistic": t,
+            "degrees_of_freedom": dof,
+            **counts,
+        }
+
     if kind == "matrix_stats":
         # multi-field moment matrix: per-field count/mean/variance plus
         # pairwise covariance & correlation — ALL from exact decimal

@@ -1308,3 +1308,108 @@ def geo_shape_collection_disjoint(spark, sf_dir):
         "relation": "disjoint",
     }}}})["hits"]
     return hits.agg(F.count("*").alias("outside_count"))
+
+
+@register(
+    "t_test_welch_agg",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN o_totalprice END) AS na,
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN CAST(o_totalprice AS DECIMAL(38,9)) END)
+                  AS DOUBLE) AS sa,
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN CAST(o_totalprice * o_totalprice AS DECIMAL(38,9)) END)
+                  AS DOUBLE) AS ssa,
+             COUNT(CASE WHEN o_orderpriority = '5-LOW'
+                        THEN o_totalprice END) AS nb,
+             CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                  THEN CAST(o_totalprice AS DECIMAL(38,9)) END)
+                  AS DOUBLE) AS sb,
+             CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                  THEN CAST(o_totalprice * o_totalprice AS DECIMAL(38,9)) END)
+                  AS DOUBLE) AS ssb
+      FROM orders),
+    m AS (
+      SELECT na, nb,
+             (ssa - sa * sa / na) / (na - 1) / na AS sea,
+             (ssb - sb * sb / nb) / (nb - 1) / nb AS seb,
+             sa / na - sb / nb AS dm
+      FROM s)
+    SELECT na, nb,
+           ROUND(dm / SQRT(sea + seb), 9) AS t_stat,
+           ROUND((sea + seb) * (sea + seb)
+                 / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6)
+             AS welch_dof
+    FROM m
+    """,
+    doc="DSL `t_test` aggregation, heteroscedastic (Welch — the public "
+    "default): URGENT vs LOW order totals from ONE conditional-"
+    "aggregation pass (exact decimal Σ/Σ² per side — no second scan, "
+    "no shuffle beyond the map-side partial agg). The reduced six "
+    "scalars become t and the Welch–Satterthwaite dof driver-side; "
+    "the p-value (exact incomplete-beta tail, functions/stats.py) "
+    "rides the same scalars and is pinned by pytest against published "
+    "critical values — this row oracles the distributed part.",
+    tags=("agg", "dsl", "stats"),
+)
+def t_test_welch_agg(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    res = execute_search(o, {"size": 0, "aggs": {"tt": {"t_test": {
+        "a": {"field": "o_totalprice",
+              "filter": {"term": {"o_orderpriority": "1-URGENT"}}},
+        "b": {"field": "o_totalprice",
+              "filter": {"term": {"o_orderpriority": "5-LOW"}}},
+        "type": "heteroscedastic",
+    }}}})
+    tt = res["aggregations"]["tt"]
+    return spark.createDataFrame(
+        [(tt["na"], tt["nb"],
+          round(tt["t_statistic"], 9),
+          round(tt["degrees_of_freedom"], 6))],
+        "na bigint, nb bigint, t_stat double, welch_dof double",
+    )
+
+
+@register(
+    "t_test_paired_agg",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity - l_linenumber AS DECIMAL(38,9)))
+                  AS DOUBLE) AS sd,
+             CAST(SUM(CAST((l_quantity - l_linenumber)
+                           * (l_quantity - l_linenumber)
+                           AS DECIMAL(38,9))) AS DOUBLE) AS ssd
+      FROM lineitem)
+    SELECT n,
+           ROUND((sd / n) / SQRT(((ssd - sd * sd / n) / (n - 1)) / n), 9)
+             AS t_stat,
+           n - 1 AS dof
+    FROM s
+    """,
+    doc="DSL `t_test` aggregation, paired: per-document differences "
+    "(l_quantity − l_linenumber) reduced in one exact-decimal pass; "
+    "t = mean(d)/sqrt(var_s(d)/n) with dof = n−1 computed driver-side "
+    "on the single reduced row — identical IEEE expression tree on "
+    "both engines, t rounded to 9.",
+    tags=("agg", "dsl", "stats"),
+)
+def t_test_paired_agg(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    res = execute_search(li, {"size": 0, "aggs": {"tt": {"t_test": {
+        "a": {"field": "l_quantity"},
+        "b": {"field": "l_linenumber"},
+        "type": "paired",
+    }}}})
+    tt = res["aggregations"]["tt"]
+    return spark.createDataFrame(
+        [(tt["n"], round(tt["t_statistic"], 9),
+          int(tt["degrees_of_freedom"]))],
+        "n bigint, t_stat double, dof bigint",
+    )
