@@ -4501,6 +4501,66 @@ def _run_agg(
         row = df.agg(*aggs).collect()[0]
         return {"values": {str(v): row[f"__p{i}"] for i, v in enumerate(values)}}
 
+    if kind == "variable_width_histogram":
+        # data-adaptive buckets. The public agg clusters values online
+        # per shard and merges — approximate AND shard-count dependent;
+        # this engine's dialect is the deterministic equivalent: at
+        # most `buckets` equal-depth clusters cut at exact percentile
+        # boundaries (rounded to 6 decimals so both engines assign from
+        # the same constants), each reporting the public min/key(mean)/
+        # max/doc_count shape. Two passes: a percentile reduce for the
+        # k-1 boundary scalars, then one groupBy on ≤k synthesized
+        # bucket ids — assignment is a fixed comparison chain over the
+        # broadcast-as-literals boundaries, so the second pass shuffles
+        # only k partial rows per task. Exact percentiles gather the
+        # column onto the reducer; at 100 TB set "exact": False to cut
+        # boundaries with approx_percentile instead (the agg is
+        # approximate by public contract, so the dialect stays honest).
+        field = body["field"]
+        k = int(body.get("buckets", 10))
+        if k < 1:
+            raise ValueError(f"variable_width_histogram buckets must be "
+                             f"positive, got {k}")
+        col = F.col(field)
+        vals = df.filter(col.isNotNull())
+        if k == 1:
+            cuts: list[float] = []
+        else:
+            ps = [i / k for i in range(1, k)]
+            if body.get("exact", True):
+                pcol = F.percentile(col, F.array(*[F.lit(p) for p in ps]))
+            else:
+                pcol = F.percentile_approx(
+                    col, F.array(*[F.lit(p) for p in ps]), 10_000
+                )
+            raw = vals.agg(pcol.alias("__cuts")).collect()[0]["__cuts"]
+            if raw is None:
+                return {"buckets": []}
+            # dedupe after rounding: heavy repeated values collapse
+            # adjacent boundaries, and duplicate cuts would mint empty
+            # buckets the public agg never shows
+            cuts = sorted({round(float(c), 6) for c in raw})
+        bucket_id = F.lit(0)
+        for c in cuts:
+            bucket_id = bucket_id + (col > F.lit(c)).cast("int")
+        rows = (
+            vals.groupBy(bucket_id.alias("__b"))
+            .agg(
+                F.count("*").alias("doc_count"),
+                F.min(col).alias("min"),
+                F.max(col).alias("max"),
+                (F.sum(col.cast("decimal(38,9)")).cast("double")
+                 / F.count("*")).alias("key"),
+            )
+            .orderBy("__b")
+            .collect()
+        )
+        return {"buckets": [
+            {"key": r["key"], "min": r["min"], "max": r["max"],
+             "doc_count": r["doc_count"]}
+            for r in rows
+        ]}
+
     if kind == "rare_terms":
         # bottom-k buckets by doc count (the long tail `terms` hides).
         # Same one-groupBy shape as `terms`; ascending TakeOrdered.

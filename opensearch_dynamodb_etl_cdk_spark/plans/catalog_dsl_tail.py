@@ -1413,3 +1413,51 @@ def t_test_paired_agg(spark, sf_dir):
           int(tt["degrees_of_freedom"]))],
         "n bigint, t_stat double, dof bigint",
     )
+
+
+@register(
+    "variable_width_histogram_agg",
+    oracle="""
+    WITH cuts AS (
+      SELECT ROUND(quantile_cont(l_quantity, 0.2), 6) AS c1,
+             ROUND(quantile_cont(l_quantity, 0.4), 6) AS c2,
+             ROUND(quantile_cont(l_quantity, 0.6), 6) AS c3,
+             ROUND(quantile_cont(l_quantity, 0.8), 6) AS c4
+      FROM lineitem),
+    b AS (
+      SELECT l_quantity AS v,
+             (CASE WHEN l_quantity > c1 THEN 1 ELSE 0 END
+              + CASE WHEN l_quantity > c2 THEN 1 ELSE 0 END
+              + CASE WHEN l_quantity > c3 THEN 1 ELSE 0 END
+              + CASE WHEN l_quantity > c4 THEN 1 ELSE 0 END) AS bk
+      FROM lineitem, cuts)
+    SELECT MIN(v) AS vmin,
+           CAST(SUM(CAST(v AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS key,
+           MAX(v) AS vmax,
+           COUNT(*) AS doc_count
+    FROM b GROUP BY bk ORDER BY bk
+    """,
+    doc="DSL `variable_width_histogram` (deterministic dialect): the "
+    "public agg clusters per shard and merges (approximate, shard-"
+    "count dependent); this engine cuts at exact equal-depth "
+    "percentile boundaries instead — same adaptive-bucket shape, "
+    "reproducible anywhere. Two passes: one percentile reduce for the "
+    "k−1 boundary scalars (swap to approx_percentile at 100 TB via "
+    "\"exact\": false), then ONE groupBy over ≤k synthesized bucket "
+    "ids whose assignment is a fixed comparison chain over rounded-"
+    "to-6 boundary literals — both engines cut on identical "
+    "constants, so membership is bit-identical.",
+    tags=("agg", "dsl"),
+)
+def variable_width_histogram_agg(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    res = execute_search(li, {"size": 0, "aggs": {"vwh": {
+        "variable_width_histogram": {"field": "l_quantity", "buckets": 5},
+    }}})
+    rows = [(b["min"], b["key"], b["max"], b["doc_count"])
+            for b in res["aggregations"]["vwh"]["buckets"]]
+    return spark.createDataFrame(
+        rows, "vmin double, key double, vmax double, doc_count bigint"
+    )

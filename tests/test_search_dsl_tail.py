@@ -1585,3 +1585,44 @@ def test_geo_shape_relations_and_types(spark):
     with pytest.raises(ValueError, match="indexed_shape"):
         compile_query({"geo_shape": {"location": {
             "indexed_shape": {"index": "shapes", "id": "1"}}}})
+
+
+def test_variable_width_histogram(spark):
+    df = spark.createDataFrame(
+        [(float(v),) for v in [1, 1, 1, 1, 2, 3, 10, 11, 12, 100]]
+        + [(None,)],
+        "v double",
+    )
+    res = execute_search(df, {"size": 0, "aggs": {"vwh": {
+        "variable_width_histogram": {"field": "v", "buckets": 3}}}})
+    bks = res["aggregations"]["vwh"]["buckets"]
+    # deterministic equal-depth dialect: cuts at the 1/3 and 2/3
+    # percentiles; nulls never counted
+    assert sum(b["doc_count"] for b in bks) == 10
+    assert len(bks) <= 3
+    assert [b["min"] for b in bks] == sorted(b["min"] for b in bks)
+    for b in bks:
+        assert b["min"] <= b["key"] <= b["max"]
+    # a single bucket degenerates to the plain stats of the column
+    one = execute_search(df, {"size": 0, "aggs": {"vwh": {
+        "variable_width_histogram": {"field": "v", "buckets": 1}}}})
+    (b0,) = one["aggregations"]["vwh"]["buckets"]
+    assert b0 == {"key": pytest.approx(14.2), "min": 1.0, "max": 100.0,
+                  "doc_count": 10}
+    # heavy repeated value: collapsed duplicate cuts never mint empty
+    # buckets
+    heavy = spark.createDataFrame(
+        [(5.0,)] * 20 + [(9.0,)], "v double")
+    hb = execute_search(heavy, {"size": 0, "aggs": {"vwh": {
+        "variable_width_histogram": {"field": "v", "buckets": 4}}}})
+    hbk = hb["aggregations"]["vwh"]["buckets"]
+    assert [b["doc_count"] for b in hbk] == [20, 1]
+    # approximate boundary mode still buckets every row
+    ap = execute_search(df, {"size": 0, "aggs": {"vwh": {
+        "variable_width_histogram": {"field": "v", "buckets": 3,
+                                     "exact": False}}}})
+    assert sum(b["doc_count"]
+               for b in ap["aggregations"]["vwh"]["buckets"]) == 10
+    with pytest.raises(ValueError, match="buckets"):
+        execute_search(df, {"size": 0, "aggs": {"vwh": {
+            "variable_width_histogram": {"field": "v", "buckets": 0}}}})
