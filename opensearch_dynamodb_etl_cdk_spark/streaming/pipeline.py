@@ -393,7 +393,19 @@ class FlightsEtlPipeline:
             with open(path) as f:
                 return int(json.load(f)["n_buckets"])
         except (FileNotFoundError, NotADirectoryError):
-            return self.cfg.n_buckets
+            pass
+        if not os.path.isdir(self._index_path(route)):
+            # first materialization: an index template matching this
+            # name supplies the bucket count (the public create-time
+            # settings application); pin it to _settings.json so a
+            # template added LATER never silently re-buckets a live
+            # index
+            sim = self.simulate_index_template(route)
+            if sim["matched"]:
+                os.makedirs(self._index_path(route), exist_ok=True)
+                self._write_route_settings(route, sim["n_buckets"])
+                return sim["n_buckets"]
+        return self.cfg.n_buckets
 
     def _write_route_settings(self, route: str, n_buckets: int) -> None:
         import json
@@ -746,6 +758,15 @@ class FlightsEtlPipeline:
         idx = self.index_view(route)
         if idx is None:
             return 0
+        if isinstance(set_fields, dict) and set(set_fields) <= {
+            "id", "source", "params", "lang"
+        } and ("id" in set_fields or "source" in set_fields):
+            set_fields = self.resolve_script(set_fields)
+            if not isinstance(set_fields, dict):
+                raise ValueError(
+                    "update_by_query script must resolve to a "
+                    "column→expression map"
+                )
         self._validate_set_fields(idx.columns, set_fields, "update_by_query")
         matches = idx.filter(compile_query(query)).persist()
         try:
@@ -1180,6 +1201,245 @@ class FlightsEtlPipeline:
         except FileNotFoundError:
             return {}
 
+    # -- stored scripts -----------------------------------------------------
+
+    def _stored_scripts_path(self) -> str:
+        return os.path.join(self.cfg.index_root, "_stored_scripts.json")
+
+    def _read_stored_scripts(self) -> dict:
+        import json
+
+        try:
+            with open(self._stored_scripts_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def put_script(self, script_id: str, body: dict) -> dict:
+        """``PUT /_scripts/<id>`` analog. The stored source is this
+        engine's script dialect: a guarded Spark SQL expression string
+        (query / script_score contexts) or a column→expression dict
+        (update-script contexts). Validated at PUT time through the
+        same escape-hatch guard every call site applies, so a bad
+        script fails HERE, not at first use; persisted atomically like
+        the alias/ingest registries."""
+        import json
+
+        spec = body.get("script", body)
+        source = spec.get("source")
+        if source is None:
+            raise ValueError("stored script needs a 'source'")
+        lang = spec.get("lang", "spark_sql")
+        if lang != "spark_sql":
+            raise ValueError(
+                f"unsupported stored-script lang {lang!r} (the engine's "
+                "dialect is guarded Spark SQL)"
+            )
+        from ..functions.scripts import validate_script
+
+        if isinstance(source, dict):
+            for expr in source.values():
+                validate_script(str(expr))
+        else:
+            validate_script(str(source))
+        reg = self._read_stored_scripts()
+        reg[script_id] = {"lang": lang, "source": source}
+        os.makedirs(self.cfg.index_root, exist_ok=True)
+        tmp = self._stored_scripts_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(reg, f)
+        os.replace(tmp, self._stored_scripts_path())
+        return {"acknowledged": True}
+
+    def get_script(self, script_id: str) -> dict:
+        reg = self._read_stored_scripts()
+        if script_id not in reg:
+            raise ValueError(f"no such stored script {script_id!r}")
+        return reg[script_id]
+
+    def delete_script(self, script_id: str) -> bool:
+        import json
+
+        reg = self._read_stored_scripts()
+        existed = reg.pop(script_id, None) is not None
+        if existed:
+            tmp = self._stored_scripts_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(reg, f)
+            os.replace(tmp, self._stored_scripts_path())
+        return existed
+
+    @staticmethod
+    def _sql_param_literal(v) -> str:
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if v is None:
+            return "NULL"
+        s = str(v).replace("'", "''")
+        return f"'{s}'"
+
+    def _substitute_params(self, source, params: dict):
+        """``params.<name>`` references in a stored script become SQL
+        literals at resolution time — the coordinator-side binding the
+        public API does at script compile. String params are quoted
+        (with '' escaping), so a param value can never splice syntax
+        into the guarded expression."""
+        import re as _re
+
+        def sub_one(text: str) -> str:
+            def repl(m):
+                name = m.group(1)
+                if name not in params:
+                    raise ValueError(
+                        f"stored script references unbound param {name!r}"
+                    )
+                return self._sql_param_literal(params[name])
+            return _re.sub(r"\bparams\.([A-Za-z_][A-Za-z0-9_]*)", repl,
+                           text)
+
+        if isinstance(source, dict):
+            return {k: sub_one(str(v)) for k, v in source.items()}
+        return sub_one(str(source))
+
+    def resolve_script(self, spec) -> object:
+        """A call-site ``script`` spec → executable source: stored-
+        script references ``{"id": ..., "params": {...}}`` fetch the
+        registered source and bind params; inline specs pass through
+        (binding params if present). Strings are already source."""
+        if not isinstance(spec, dict):
+            return spec
+        params = dict(spec.get("params") or {})
+        if "id" in spec and "source" not in spec:
+            source = self.get_script(str(spec["id"]))["source"]
+        else:
+            source = spec.get("source", spec)
+        # substitute unconditionally: a source referencing params.x
+        # with no binding must fail loudly here ("unbound param"), not
+        # surface later as an unresolvable column in the analyzer
+        return self._substitute_params(source, params)
+
+    def _resolve_stored_scripts(self, body: dict) -> dict:
+        """Search-body walk (same shape as the terms-lookup resolver):
+        every ``"script"``-keyed dict carrying an ``id`` (and no
+        inline ``source``) is replaced by its resolved source before
+        the body reaches the interpreter, so stored scripts work
+        anywhere an inline script does — script query, script_fields,
+        script_score, rescore — without the interpreter knowing the
+        registry exists."""
+        def walk(node):
+            if isinstance(node, list):
+                return [walk(x) for x in node]
+            if not isinstance(node, dict):
+                return node
+            out = {}
+            for k, v in node.items():
+                if (
+                    k == "script" and isinstance(v, dict)
+                    and "id" in v and "source" not in v
+                ):
+                    out[k] = {"source": self.resolve_script(v)}
+                else:
+                    out[k] = walk(v)
+            return out
+
+        return walk(body)
+
+    # -- index templates ----------------------------------------------------
+
+    def _index_template_path(self) -> str:
+        return os.path.join(self.cfg.index_root, "_index_templates.json")
+
+    def _read_index_templates(self) -> dict:
+        import json
+
+        try:
+            with open(self._index_template_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def put_index_template(self, name: str, body: dict) -> dict:
+        """``PUT /_index_template/<name>`` analog. The settings tier
+        this engine has is the hash-bucket count (the shard analog), so
+        a template carries ``index_patterns`` + ``template.settings``
+        with ``number_of_buckets`` (``number_of_shards`` accepted as
+        the public spelling) and a ``priority``; the highest-priority
+        matching template supplies the bucket count for indexes that
+        have no explicit per-index setting yet."""
+        import json
+
+        patterns = list(body.get("index_patterns") or [])
+        if not patterns:
+            raise ValueError("index template needs index_patterns")
+        settings = dict((body.get("template") or {}).get("settings") or {})
+        n = settings.get(
+            "number_of_buckets", settings.get("number_of_shards")
+        )
+        if n is not None and int(n) < 1:
+            raise ValueError(f"number_of_buckets must be positive, got {n}")
+        reg = self._read_index_templates()
+        reg[name] = {
+            "index_patterns": patterns,
+            "priority": int(body.get("priority", 0)),
+            "settings": settings,
+        }
+        os.makedirs(self.cfg.index_root, exist_ok=True)
+        tmp = self._index_template_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(reg, f)
+        os.replace(tmp, self._index_template_path())
+        return {"acknowledged": True}
+
+    def get_index_template(self, name: str | None = None) -> dict:
+        reg = self._read_index_templates()
+        if name is None:
+            return reg
+        if name not in reg:
+            raise ValueError(f"no such index template {name!r}")
+        return reg[name]
+
+    def delete_index_template(self, name: str) -> bool:
+        import json
+
+        reg = self._read_index_templates()
+        existed = reg.pop(name, None) is not None
+        if existed:
+            tmp = self._index_template_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(reg, f)
+            os.replace(tmp, self._index_template_path())
+        return existed
+
+    def simulate_index_template(self, index_name: str) -> dict:
+        """``POST /_index_template/_simulate_index/<name>`` analog:
+        the settings a new index with this name would get — matching
+        templates by (priority desc, name) with the winner's settings,
+        plus the resolved bucket count after engine defaults."""
+        import fnmatch
+
+        matches = sorted(
+            (
+                (tpl["priority"], name, tpl)
+                for name, tpl in self._read_index_templates().items()
+                if any(fnmatch.fnmatchcase(index_name, p)
+                       for p in tpl["index_patterns"])
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        if not matches:
+            return {"matched": [], "settings": {},
+                    "n_buckets": self.cfg.n_buckets}
+        _, _, winner = matches[0]
+        n = winner["settings"].get(
+            "number_of_buckets",
+            winner["settings"].get("number_of_shards", self.cfg.n_buckets),
+        )
+        return {"matched": [m[1] for m in matches],
+                "settings": dict(winner["settings"]),
+                "n_buckets": int(n)}
+
     def _all_index_names(self) -> list[str]:
         """Every live index table under index_root — configured routes
         plus tables created by :meth:`reindex` — in sorted order."""
@@ -1331,6 +1591,7 @@ class FlightsEtlPipeline:
         if view is None:
             return {"hits": None, "aggregations": {}}
         body = self._resolve_terms_lookup(body or {})
+        body = self._resolve_stored_scripts(body)
         if search_pipeline is not None:
             body = dict(body)
             body["search_pipeline"] = (
@@ -1962,6 +2223,16 @@ class FlightsEtlPipeline:
         index's own column types, the script columns rewritten through
         :func:`safe_expr`, collected back to a dict. One tiny local job
         per call — bounded by the bulk's action count."""
+        if isinstance(script, dict) and set(script) <= {
+            "id", "source", "params", "lang"
+        } and ("id" in script or "source" in script):
+            # public script envelope (stored-script reference or inline
+            # source + params) rather than the bare column map
+            script = self.resolve_script(script)
+            if not isinstance(script, dict):
+                raise ValueError(
+                    "update script must resolve to a column→expression map"
+                )
         self._validate_set_fields(data_cols, dict(script), "bulk")
         from pyspark.sql import types as T
 

@@ -942,3 +942,124 @@ def test_rollup_tick_resumes_and_matches_direct_agg(spark,
         p.rollup_tick(source_pattern=".ds-m-*", dest="m2",
                       ts_field="@timestamp", interval="1h", groups=[],
                       metrics={"v": ["median"]})
+
+
+def test_stored_scripts_registry_and_resolution(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("scripts")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+
+    # registry CRUD + PUT-time validation
+    p.put_script("is_class", {"script": {
+        "lang": "spark_sql", "source": "fare_class = params.cls"}})
+    assert p.get_script("is_class")["source"] == "fare_class = params.cls"
+    with pytest.raises(ValueError, match="lang"):
+        p.put_script("bad", {"script": {"lang": "painless",
+                                        "source": "doc['x']"}})
+    with pytest.raises(PermissionError):  # escape hatch blocked at PUT time
+        p.put_script("evil", {"script": {"source": "reflect('x')"}})
+    with pytest.raises(ValueError, match="source"):
+        p.put_script("empty", {"script": {}})
+
+    # stored script inside a search body: script query with params
+    direct = p.search("fare", {"query": {"bool": {"filter": [
+        {"script": {"script": {"source": "fare_class = 'nonstop'"}}},
+    ]}}})["hits"].count()
+    stored = p.search("fare", {"query": {"bool": {"filter": [
+        {"script": {"script": {"id": "is_class",
+                               "params": {"cls": "nonstop"}}}},
+    ]}}})["hits"].count()
+    assert stored == direct >= 1
+    # string params are quoted, never spliced: a malicious value stays
+    # a literal comparison (matches nothing) instead of new syntax
+    inj = p.search("fare", {"query": {"bool": {"filter": [
+        {"script": {"script": {"id": "is_class",
+                               "params": {"cls": "x' OR 1=1 --"}}}},
+    ]}}})["hits"].count()
+    assert inj == 0
+    with pytest.raises(ValueError, match="unbound param"):
+        p.search("fare", {"query": {"bool": {"filter": [
+            {"script": {"script": {"id": "is_class"}}}]}}})
+    with pytest.raises(ValueError, match="no such stored script"):
+        p.search("fare", {"query": {"bool": {"filter": [
+            {"script": {"script": {"id": "ghost"}}}]}}})
+
+    # stored column-map script through a bulk update
+    p.put_script("upclass", {"script": {"source": {
+        "fare_class": "upper(fare_class)"}}})
+    some = p.index_view("fare").select("_id", "fare_class").limit(1).collect()
+    _id, before = some[0]["_id"], some[0]["fare_class"]
+    p.bulk("fare", [{"update": {"_id": _id, "script": {"id": "upclass"}}}])
+    row = p.index_view("fare").filter(F.col("_id") == _id).collect()[0]
+    assert row["fare_class"] == before.upper()
+
+    # and through update_by_query with params
+    p.put_script("setclass", {"script": {"source": {
+        "fare_class": "params.v"}}})
+    n = p.update_by_query("fare", {"term": {"_id": _id}},
+                          {"id": "setclass", "params": {"v": "promo"}})
+    assert n == 1
+    row = p.index_view("fare").filter(F.col("_id") == _id).collect()[0]
+    assert row["fare_class"] == "promo"
+
+    assert p.delete_script("is_class")
+    assert not p.delete_script("is_class")
+
+
+def test_index_templates_apply_at_creation_only(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("templates")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+
+    p.put_index_template("fares", {
+        "index_patterns": ["fare*"],
+        "template": {"settings": {"number_of_buckets": 2}},
+        "priority": 10,
+    })
+    p.put_index_template("wide", {
+        "index_patterns": ["f*"],
+        "template": {"settings": {"number_of_shards": 7}},
+        "priority": 1,
+    })
+    with pytest.raises(ValueError, match="index_patterns"):
+        p.put_index_template("nopat", {"template": {"settings": {}}})
+    with pytest.raises(ValueError, match="positive"):
+        p.put_index_template("zero", {
+            "index_patterns": ["x*"],
+            "template": {"settings": {"number_of_buckets": 0}}})
+
+    # simulate: highest priority wins, both matches reported
+    sim = p.simulate_index_template("fare")
+    assert sim["matched"] == ["fares", "wide"]
+    assert sim["n_buckets"] == 2
+    # the public number_of_shards spelling resolves too
+    assert p.simulate_index_template("flight")["n_buckets"] == 7
+    assert p.simulate_index_template("other")["matched"] == []
+
+    # creation applies the template and PINS it
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+    fare = p.read_index("fare")
+    assert fare.select("_bucket").distinct().count() <= 2
+    assert p._route_n_buckets("fare") == 2
+    # a later, higher-priority template must NOT re-bucket a live index
+    p.put_index_template("late", {
+        "index_patterns": ["fare"],
+        "template": {"settings": {"number_of_buckets": 13}},
+        "priority": 99,
+    })
+    assert p._route_n_buckets("fare") == 2
+    assert p.simulate_index_template("fare")["n_buckets"] == 13
+
+    assert p.delete_index_template("wide")
+    assert not p.delete_index_template("wide")
+    with pytest.raises(ValueError, match="no such index template"):
+        p.get_index_template("wide")
