@@ -547,6 +547,12 @@ def compile_query(q: dict[str, Any], allow_unsafe_scripts: bool = False) -> Colu
     if kind == "match_all":
         return F.lit(True)
 
+    if kind == "match_none":
+        # the public match_all complement: matches no documents.
+        # Catalyst folds `false` into an empty scan (LocalTableScan),
+        # so a match_none branch inside a bool costs nothing.
+        return F.lit(False)
+
     if kind == "term":
         (field, spec), = body.items()
         value = spec["value"] if isinstance(spec, dict) else spec
@@ -3710,6 +3716,16 @@ def execute_search(
             filtered = filtered.orderBy(*_score_order(filtered))
 
     hits = filtered
+    if body.get("post_filter"):
+        # post_filter: narrows the HITS only — the aggregations below
+        # keep aggregating over `filtered` (the query result), which is
+        # the public faceted-navigation contract (facet counts ignore
+        # the facet the user just clicked). A plain pushable predicate.
+        hits = hits.filter(compile_query(body["post_filter"]))
+    # total-hits accounting sees the post_filter but NOT collapse /
+    # slice / paging (the public contract: collapse totals count the
+    # pre-collapse matching docs)
+    total_frame = hits
     if body.get("version") and "_seq" in hits.columns:
         # version flag: surface the engine's LWW sequence as the hit's
         # `_version` (the public API returns the doc version when
@@ -3865,6 +3881,27 @@ def execute_search(
     if resp_procs:
         hits = _apply_response_processors(hits, resp_procs)
     res = {"hits": hits, "aggregations": aggregations}
+    tth = body.get("track_total_hits")
+    if tth is not None and tth is not False:
+        # track_total_hits: the count of matching docs (post_filter
+        # included, pagination/collapse not). `true` counts exactly;
+        # an integer N is the public bounded count — one LocalLimit(N+1)
+        # job that stops scanning once N+1 rows exist, reporting
+        # {value: N, relation: "gte"} when the bound was hit. Counting
+        # only runs when requested, so an ordinary search stays
+        # one-job. (The engine has no 10k default cap to emulate —
+        # hits frames are lazy and unbounded by default.)
+        if tth is True:
+            res["total"] = {"value": total_frame.count(), "relation": "eq"}
+        else:
+            n = int(tth)
+            if n < 0:
+                raise ValueError("track_total_hits must be >= 0 or true")
+            cnt = total_frame.limit(n + 1).count()
+            res["total"] = (
+                {"value": n, "relation": "gte"} if cnt > n
+                else {"value": cnt, "relation": "eq"}
+            )
     for nname, nframe in _nested_inner_hits(hits, query).items():
         join_inner_hits.setdefault(nname, nframe)
     if join_inner_hits:
@@ -5061,6 +5098,88 @@ def _run_agg(
              **{nm: {"value": r[nm]} for nm in sub}}
             for r in rows
         ]}
+
+    if kind == "categorize_text":
+        # categorize_text: group semi-structured log/text messages into
+        # pattern buckets. The public agg runs an approximate drain-tree
+        # clusterer; this engine's deterministic dialect keys each doc
+        # by its maximal-letter-run token sequence (numbers, ids,
+        # punctuation — the parts that vary between instances of one
+        # log pattern — are the separators), which reproduces the
+        # common case (templated log lines differing only in numerics)
+        # exactly and is a pure codegen projection + ONE groupBy on the
+        # derived key: |patterns| shuffle rows, never |docs|. Docs whose
+        # text carries no letters fall in no bucket (public behavior
+        # for an all-filtered message).
+        field = body["field"]
+        size = int(body.get("size", 10))
+        toks = F.filter(
+            F.split(F.col(field), r"[^A-Za-z]+"), lambda t: t != ""
+        )
+        if body.get("max_tokens") is not None:
+            # bounded key length for adversarial inputs: the key is the
+            # first N tokens (the public max_matched_tokens analog)
+            toks = F.slice(toks, 1, int(body["max_tokens"]))
+        key = F.array_join(toks, " ")
+        metric_cols = [_metric_agg(nm, s) for nm, s in sub.items()]
+        rows = (
+            df.filter(F.col(field).isNotNull() & (key != F.lit("")))
+            .groupBy(key.alias("key"))
+            .agg(F.count("*").alias("doc_count"), *metric_cols)
+            .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+            .limit(size)
+            .collect()
+        )
+        return {"buckets": [
+            {"key": r["key"], "doc_count": r["doc_count"],
+             **{nm: {"value": r[nm]} for nm in sub}}
+            for r in rows
+        ]}
+
+    if kind == "geo_line":
+        # geo_line: the documents' points as a LineString ordered by
+        # the sort field, truncated to the first `size` points — the
+        # public track/trajectory agg. Scale shape: orderBy+limit is
+        # ONE distributed TakeOrdered (each task keeps its local top
+        # `size`, the driver merges size-bounded heaps); only ≤ size+1
+        # points ever reach the driver, never the corpus.
+        pf = body["point"]["field"]
+        sf_ = body["sort"]["field"]
+        size = int(body.get("size", 10000))
+        if not 0 < size <= 10000:
+            raise ValueError("geo_line size must be in (0, 10000]")
+        desc_ = str(body.get("sort_order", "asc")).lower() == "desc"
+        sort_col = F.col(sf_).desc() if desc_ else F.col(sf_).asc()
+        pts = (
+            df.filter(
+                F.col(sf_).isNotNull() & F.col(f"{pf}.lat").isNotNull()
+                & F.col(f"{pf}.lon").isNotNull()
+            )
+            .select(
+                F.col(sf_).alias("__s"),
+                F.col(f"{pf}.lon").alias("__lon"),
+                F.col(f"{pf}.lat").alias("__lat"),
+            )
+            # lon/lat tie-breaks: equal sort keys order deterministically
+            .orderBy(sort_col, F.col("__lon").asc(), F.col("__lat").asc())
+            .limit(size + 1)
+            .collect()
+        )
+        complete = len(pts) <= size
+        pts = pts[:size]
+        feature = {
+            "type": "Feature",
+            "geometry": {
+                "type": "LineString",
+                "coordinates": [
+                    [float(r["__lon"]), float(r["__lat"])] for r in pts
+                ],
+            },
+            "properties": {"complete": complete},
+        }
+        if body.get("include_sort"):
+            feature["properties"]["sort_values"] = [r["__s"] for r in pts]
+        return feature
 
     if kind == "ip_range":
         # ip_range buckets over an IPv4 string column: the dotted quad

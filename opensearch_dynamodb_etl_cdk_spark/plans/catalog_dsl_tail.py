@@ -1461,3 +1461,109 @@ def variable_width_histogram_agg(spark, sf_dir):
     return spark.createDataFrame(
         rows, "vmin double, key double, vmax double, doc_count bigint"
     )
+
+
+@register(
+    "post_filter_search",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_acctbal >= 1000.0 AND c_mktsegment = 'BUILDING'
+    """,
+    doc="DSL `post_filter` (faceted navigation): the query narrows the "
+    "aggregation frame, the post_filter narrows ONLY the returned hits "
+    "— facet counts keep ignoring the facet the user clicked "
+    "(operators/search.py execute_search post_filter branch; the "
+    "agg-independence half is pytest-asserted in "
+    "tests/test_search_dsl_tail.py). Both predicates are plain "
+    "pushable filters: the scan sees query AND post_filter for the "
+    "hits job, query alone for the agg job.",
+    tags=("dsl",),
+)
+def post_filter_search(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    res = execute_search(c, {
+        "query": {"range": {"c_acctbal": {"gte": 1000.0}}},
+        "post_filter": {"term": {"c_mktsegment": "BUILDING"}},
+        "aggs": {"segments": {"terms": {"field": "c_mktsegment"}}},
+    })
+    return res["hits"].select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+@register(
+    "categorize_text_agg",
+    oracle="""
+    WITH keys AS (
+      SELECT array_to_string(
+               list_filter(str_split_regex(text, '[^A-Za-z]+'),
+                           x -> x <> ''), ' ') AS key
+      FROM documents WHERE text IS NOT NULL)
+    SELECT key, COUNT(*) AS doc_count
+    FROM keys WHERE key <> ''
+    GROUP BY key ORDER BY doc_count DESC, key LIMIT 10
+    """,
+    doc="DSL `categorize_text` aggregation (deterministic dialect): the "
+    "public agg clusters log messages with an approximate drain-tree; "
+    "this engine keys each doc by its maximal-letter-run token "
+    "sequence — numbers/ids/punctuation (the per-instance variation in "
+    "a templated log line) become separators — so the common case "
+    "(log templates differing only in numerics) reproduces exactly and "
+    "the whole agg is one codegen projection + ONE groupBy shuffling "
+    "|patterns| keys, never |docs| (operators/search.py "
+    "categorize_text branch).",
+    tags=("agg", "dsl", "text"),
+)
+def categorize_text_agg(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    res = execute_search(d, {"size": 0, "aggs": {
+        "cats": {"categorize_text": {"field": "text", "size": 10}},
+    }})
+    rows = [(b["key"], b["doc_count"])
+            for b in res["aggregations"]["cats"]["buckets"]]
+    return spark.createDataFrame(rows, "key string, doc_count bigint")
+
+
+@register(
+    "geo_line_agg",
+    oracle="""
+    WITH pts AS (
+      SELECT ts,
+             ((user_id * 104729) % 36000) / 100.0 - 180.0 AS lon,
+             ((user_id * 7919) % 18000) / 100.0 - 90.0 AS lat
+      FROM events WHERE event_type = 'click')
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY ts, lon, lat) AS BIGINT) AS seq,
+           lon, lat
+    FROM pts ORDER BY ts, lon, lat LIMIT 50
+    """,
+    doc="DSL `geo_line` aggregation: click events as a trajectory — the "
+    "first 50 points by timestamp as a GeoJSON LineString "
+    "(operators/search.py geo_line branch). Scale shape: orderBy+limit "
+    "compiles to ONE distributed TakeOrdered (each task keeps a local "
+    "size-bounded heap, the driver merges heaps), so only ≤ size+1 "
+    "points ever leave the executors regardless of corpus size. "
+    "Deterministic under timestamp ties via (lon, lat) tie-breaks; "
+    "coordinates are the closed-form synthesized geo_points (exact "
+    "double arithmetic both engines).",
+    tags=("agg", "dsl", "geo"),
+)
+def geo_line_agg(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    e = _t(spark, sf_dir, "events")["events"]
+    lat = ((F.col("user_id") * 7919) % 18000) / 100.0 - 90.0
+    lon = ((F.col("user_id") * 104729) % 36000) / 100.0 - 180.0
+    pts = e.filter(F.col("event_type") == "click").select(
+        "ts", F.struct(lat.alias("lat"), lon.alias("lon")).alias("location"),
+    )
+    res = execute_search(pts, {"size": 0, "aggs": {"line": {"geo_line": {
+        "point": {"field": "location"},
+        "sort": {"field": "ts"},
+        "size": 50,
+    }}}})
+    coords = res["aggregations"]["line"]["geometry"]["coordinates"]
+    rows = [(i + 1, c[0], c[1]) for i, c in enumerate(coords)]
+    return spark.createDataFrame(rows, "seq bigint, lon double, lat double")

@@ -1626,3 +1626,125 @@ def test_variable_width_histogram(spark):
     with pytest.raises(ValueError, match="buckets"):
         execute_search(df, {"size": 0, "aggs": {"vwh": {
             "variable_width_histogram": {"field": "v", "buckets": 0}}}})
+
+
+def test_match_none_post_filter_track_total_hits(docs):
+    # match_none matches nothing, alone or inside a bool
+    assert docs.filter(compile_query({"match_none": {}})).count() == 0
+    assert docs.filter(compile_query({"bool": {
+        "should": [{"term": {"id": 1}}, {"match_none": {}}],
+    }})).count() == 1
+
+    # post_filter narrows hits but NOT aggregations
+    res = execute_search(docs, {
+        "query": {"range": {"feat": {"gte": 1.0}}},   # ids 1,2,4
+        "post_filter": {"term": {"id": 1}},
+        "aggs": {"n": {"value_count": {"field": "id"}}},
+        "track_total_hits": True,
+    })
+    assert res["hits"].count() == 1
+    assert res["aggregations"]["n"]["value"] == 3
+    # total reflects post_filter (public), exact under `true`
+    assert res["total"] == {"value": 1, "relation": "eq"}
+
+    # bounded track_total_hits: under the bound → eq, over → gte
+    res = execute_search(docs, {"query": {"match_all": {}},
+                                "size": 1, "track_total_hits": 2})
+    assert res["total"] == {"value": 2, "relation": "gte"}
+    res = execute_search(docs, {"query": {"match_all": {}},
+                                "size": 1, "track_total_hits": 100})
+    assert res["total"] == {"value": 4, "relation": "eq"}
+    # not requested → no count job, no key
+    res = execute_search(docs, {"query": {"match_all": {}}})
+    assert "total" not in res
+    with pytest.raises(ValueError, match="track_total_hits"):
+        execute_search(docs, {"query": {"match_all": {}},
+                              "track_total_hits": -1})
+
+
+def test_categorize_text_agg(spark):
+    df = spark.createDataFrame(
+        [(1, "Failed to connect to 10.0.0.1 after 3 retries"),
+         (2, "Failed to connect to 10.9.3.77 after 11 retries"),
+         (3, "User 1543 logged in"),
+         (4, "User 99 logged in"),
+         (5, "User 7 logged out"),
+         (6, "12345 67"),          # no letters: no bucket
+         (7, None)],
+        "id long, msg string",
+    )
+    res = execute_search(df, {"size": 0, "aggs": {"c": {
+        "categorize_text": {"field": "msg", "size": 10},
+    }}})
+    got = {b["key"]: b["doc_count"] for b in res["aggregations"]["c"]["buckets"]}
+    assert got == {
+        "Failed to connect to after retries": 2,
+        "User logged in": 2,
+        "User logged out": 1,
+    }
+    # ordering: doc_count desc then key asc; size caps buckets
+    keys = [b["key"] for b in res["aggregations"]["c"]["buckets"]]
+    assert keys == ["Failed to connect to after retries",
+                    "User logged in", "User logged out"]
+    res = execute_search(df, {"size": 0, "aggs": {"c": {
+        "categorize_text": {"field": "msg", "size": 1},
+    }}})
+    assert len(res["aggregations"]["c"]["buckets"]) == 1
+    # max_tokens bounds the pattern key (adversarial long messages)
+    res = execute_search(df, {"size": 0, "aggs": {"c": {
+        "categorize_text": {"field": "msg", "size": 10, "max_tokens": 2},
+    }}})
+    got = {b["key"]: b["doc_count"] for b in res["aggregations"]["c"]["buckets"]}
+    assert got == {"Failed to": 2, "User logged": 3}
+    # metric sub-agg rides the same single pass
+    res = execute_search(df, {"size": 0, "aggs": {"c": {
+        "categorize_text": {"field": "msg", "size": 10, "max_tokens": 2},
+        "aggs": {"max_id": {"max": {"field": "id"}}},
+    }}})
+    got = {b["key"]: b["max_id"]["value"]
+           for b in res["aggregations"]["c"]["buckets"]}
+    assert got == {"Failed to": 2, "User logged": 5}
+
+
+def test_geo_line_agg(spark):
+    rows = [
+        # (id, ts, lat, lon) — ts ties on id 3/4 break on (lon, lat)
+        (1, "2024-01-01 00:00:01", 10.0, 100.0),
+        (2, "2024-01-01 00:00:02", 11.0, 101.0),
+        (3, "2024-01-01 00:00:03", 12.0, 103.0),
+        (4, "2024-01-01 00:00:03", 12.0, 102.0),
+        (5, "2024-01-01 00:00:04", 13.0, 104.0),
+        (6, None, 99.0, 99.0),                     # null sort: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, ts string, lat double, lon double"
+    ).select(
+        "id", F.col("ts").cast("timestamp").alias("ts"),
+        F.struct("lat", "lon").alias("location"),
+    )
+    body = {"point": {"field": "location"}, "sort": {"field": "ts"}}
+    res = execute_search(df, {"size": 0, "aggs": {
+        "l": {"geo_line": dict(body, size=10, include_sort=True)},
+    }})["aggregations"]["l"]
+    assert res["geometry"]["type"] == "LineString"
+    assert res["geometry"]["coordinates"] == [
+        [100.0, 10.0], [101.0, 11.0], [102.0, 12.0], [103.0, 12.0],
+        [104.0, 13.0],
+    ]
+    assert res["properties"]["complete"] is True
+    assert len(res["properties"]["sort_values"]) == 5
+    # truncation: size smaller than the track → complete False
+    res = execute_search(df, {"size": 0, "aggs": {
+        "l": {"geo_line": dict(body, size=3)},
+    }})["aggregations"]["l"]
+    assert res["geometry"]["coordinates"] == [
+        [100.0, 10.0], [101.0, 11.0], [102.0, 12.0]]
+    assert res["properties"]["complete"] is False
+    # sort_order desc walks the track backwards
+    res = execute_search(df, {"size": 0, "aggs": {
+        "l": {"geo_line": dict(body, size=10, sort_order="desc")},
+    }})["aggregations"]["l"]
+    assert res["geometry"]["coordinates"][0] == [104.0, 13.0]
+    with pytest.raises(ValueError, match="size"):
+        execute_search(df, {"size": 0, "aggs": {
+            "l": {"geo_line": dict(body, size=0)}}})
