@@ -2410,6 +2410,7 @@ def term_suggest(
     max_edits: int = 2,
     prefix_length: int = 1,
     vocab: DataFrame | None = None,
+    suggest_mode: str = "missing",
 ) -> DataFrame:
     """OpenSearch term-suggester ("did you mean") over the corpus
     vocabulary: candidates within ``max_edits`` Levenshtein edits of the
@@ -2418,16 +2419,39 @@ def term_suggest(
     prefix filter prunes the vocabulary BEFORE any edit-distance
     computation), ranked by ``score = 1 − d/max(len)`` then corpus
     frequency. Returns ``(term, freq, score)``; the input term itself
-    is excluded (suggest-mode ``missing`` semantics).
+    is always excluded.
+
+    ``suggest_mode`` is the public tri-state: ``missing`` (default)
+    suggests only when the input term is absent from the index,
+    ``popular`` keeps only candidates strictly more frequent than the
+    input term, ``always`` never consults the input term's frequency.
+    The frequency probe is ONE point lookup against the (persisted)
+    vocabulary — an equality filter + limit(1), never a scan cost on
+    top of the candidate pass.
     """
     toks = _analyze_text(text)
     if len(toks) != 1:
         raise ValueError(
             f"term_suggest expects one analyzed term, got {toks!r}"
         )
+    if suggest_mode not in ("missing", "popular", "always"):
+        raise ValueError(
+            f"unsupported suggest_mode {suggest_mode!r} "
+            "(missing | popular | always)"
+        )
     q = toks[0]
     v = vocab if vocab is not None else vocabulary(df, field)
+    if suggest_mode in ("missing", "popular"):
+        hit = v.filter(F.col("term") == q).select("freq").limit(1).collect()
+        q_freq = hit[0]["freq"] if hit else 0
+        if suggest_mode == "missing" and q_freq > 0:
+            return v.select(
+                F.col("term"), F.col("freq"),
+                F.lit(0.0).alias("score"),
+            ).limit(0)
     cand = v.filter(F.col("term") != q)
+    if suggest_mode == "popular":
+        cand = cand.filter(F.col("freq") > q_freq)
     if prefix_length > 0:
         cand = cand.filter(
             F.col("term").startswith(q[:prefix_length])
@@ -2540,6 +2564,7 @@ def execute_suggest(
                 max_edits=int(term_spec.get("max_edits", 2)),
                 prefix_length=int(term_spec.get("prefix_length", 1)),
                 vocab=_vocab(term_spec["field"]),
+                suggest_mode=str(term_spec.get("suggest_mode", "missing")),
             ).collect()
             out[name] = [{
                 "text": spec["text"],

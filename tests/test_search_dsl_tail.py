@@ -1748,3 +1748,44 @@ def test_geo_line_agg(spark):
     with pytest.raises(ValueError, match="size"):
         execute_search(df, {"size": 0, "aggs": {
             "l": {"geo_line": dict(body, size=0)}}})
+
+
+def test_term_suggest_modes(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        term_suggest,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "delta delta delta"), (2, "delts"), (3, "delta belta")],
+        "id long, text string",
+    )
+    # input term EXISTS in the corpus: missing mode suppresses
+    assert term_suggest(df, "text", "delta").count() == 0
+    # ... but still suggests for an absent term
+    rows = term_suggest(df, "text", "deltaa").collect()
+    assert rows and rows[0]["term"] == "delta"
+    # popular: only candidates strictly more frequent than the input
+    # (delta freq 4 > delts freq 1; belta freq 1 is not > 1)
+    rows = term_suggest(df, "text", "delts",
+                        suggest_mode="popular").collect()
+    assert [r["term"] for r in rows] == ["delta"]
+    # always: the input term's own frequency is irrelevant (belta is
+    # pruned by the default prefix_length=1; prefix_length=0 admits it)
+    rows = term_suggest(df, "text", "delta",
+                        suggest_mode="always").collect()
+    assert {r["term"] for r in rows} == {"delts"}
+    rows = term_suggest(df, "text", "delta", prefix_length=0,
+                        suggest_mode="always").collect()
+    assert {r["term"] for r in rows} == {"delts", "belta"}
+    with pytest.raises(ValueError, match="suggest_mode"):
+        term_suggest(df, "text", "delta", suggest_mode="sometimes")
+    # the search-body surface forwards the option
+    res = execute_search(df, {"suggest": {
+        "s": {"text": "delta", "term": {"field": "text",
+                                        "suggest_mode": "always"}},
+    }})
+    assert len(res["suggest"]["s"][0]["options"]) == 1
+    res = execute_search(df, {"suggest": {
+        "s": {"text": "delta", "term": {"field": "text"}},
+    }})
+    assert res["suggest"]["s"][0]["options"] == []
