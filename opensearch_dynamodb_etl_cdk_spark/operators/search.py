@@ -1923,6 +1923,59 @@ def geohash_cell(field: str, precision: int = 5) -> Column:
     return F.concat(*chars)
 
 
+def hexgrid_cell(field: str, precision: int = 5) -> Column:
+    """Hexagon cell key ``res/q/r`` for a geo_point struct column —
+    the engine's ``geohex_grid`` dialect. The public agg keys on H3's
+    icosahedral grid; this engine keeps the agg's SHAPE (uniform
+    hexagon cells, a resolution ladder, top-size buckets) on a regular
+    pointy-top hex grid in Web-Mercator meters, which both this code
+    and a SQL oracle reproduce bit-identically: project, scale to
+    axial fractional coordinates, cube-round to the containing cell —
+    all closed-form codegen arithmetic, no UDF, no geo library.
+
+    Resolution ``p`` halves the cell edge per step (edge = earth
+    circumference / (6 · 2^p)); rounding is FLOOR(v + 0.5) in both
+    engines (banker's-rounding differences between engines would flip
+    boundary cells)."""
+    import math as _math
+
+    p = int(precision)
+    if not 0 <= p <= 15:
+        raise ValueError(f"geohex precision {p} out of range 0-15")
+    earth_r = 6378137.0
+    edge = (2 * _math.pi * earth_r) / (6.0 * (1 << p))
+    lat = F.least(F.greatest(F.col(f"{field}.lat"), F.lit(-85.05112878)),
+                  F.lit(85.05112878))
+    lon = F.col(f"{field}.lon")
+    # degrees→radians as an explicit multiply by one Python-computed
+    # constant (not F.radians): an identical-arithmetic SQL oracle then
+    # evaluates the same literal in the same association order
+    rad = _math.pi / 180.0
+    x = lon * F.lit(rad) * F.lit(earth_r)
+    y = F.log(F.tan(F.lit(_math.pi / 4.0) + lat * F.lit(rad) / 2.0)) \
+        * F.lit(earth_r)
+    qf = (F.lit(_math.sqrt(3.0) / 3.0) * x - y / 3.0) / F.lit(edge)
+    rf = (y * F.lit(2.0 / 3.0)) / F.lit(edge)
+    sf_ = -qf - rf
+
+    def rnd(c: Column) -> Column:
+        return F.floor(c + F.lit(0.5))
+
+    rq, rr, rs = rnd(qf), rnd(rf), rnd(sf_)
+    dq = F.abs(rq.cast("double") - qf)
+    dr = F.abs(rr.cast("double") - rf)
+    ds = F.abs(rs.cast("double") - sf_)
+    # cube-rounding repair: the axis that rounded farthest re-derives
+    # from the other two so q + r + s == 0 holds exactly
+    q_fix = F.when((dq > dr) & (dq > ds), -rr - rs).otherwise(rq)
+    r_fix = F.when(~((dq > dr) & (dq > ds)) & (dr > ds), -rq - rs) \
+        .otherwise(rr)
+    return F.concat_ws(
+        "/", F.lit(str(p)),
+        q_fix.cast("long"), r_fix.cast("long"),
+    )
+
+
 def significant_terms_frame(
     foreground: DataFrame | Column,
     background: DataFrame,
@@ -5110,6 +5163,28 @@ def _run_agg(
         p = int(body.get("precision", 5))
         size = int(body.get("size", 10000))
         key = geohash_cell(field, p)
+        metric_cols = [_metric_agg(nm, s) for nm, s in sub.items()]
+        rows = (
+            df.groupBy(key.alias("key"))
+            .agg(F.count("*").alias("doc_count"), *metric_cols)
+            .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+            .limit(size)
+            .collect()
+        )
+        return {"buckets": [
+            {"key": r["key"], "doc_count": r["doc_count"],
+             **{nm: {"value": r[nm]} for nm in sub}}
+            for r in rows
+        ]}
+
+    if kind == "geohex_grid":
+        # hex grid buckets (see :func:`hexgrid_cell` for the dialect):
+        # one groupBy on the computed cell key + TakeOrdered top-size —
+        # the same scale shape as geotile_grid/geohash_grid.
+        field = body["field"]
+        p = int(body.get("precision", 5))
+        size = int(body.get("size", 10000))
+        key = hexgrid_cell(field, p)
         metric_cols = [_metric_agg(nm, s) for nm, s in sub.items()]
         rows = (
             df.groupBy(key.alias("key"))

@@ -1567,3 +1567,73 @@ def geo_line_agg(spark, sf_dir):
     coords = res["aggregations"]["line"]["geometry"]["coordinates"]
     rows = [(i + 1, c[0], c[1]) for i, c in enumerate(coords)]
     return spark.createDataFrame(rows, "seq bigint, lon double, lat double")
+
+
+def _hexgrid_key_sql(p: int, lat_expr: str, lon_expr: str) -> str:
+    """Identical-arithmetic DuckDB twin of
+    ``operators.search.hexgrid_cell``: same Python-computed literals
+    (edge, pi/4, pi/180, sqrt(3)/3, 2/3), same association order, same
+    FLOOR(v+0.5) rounding — so both engines assign every point the
+    same hex cell bit-for-bit (1-ulp libm tan/ln differences could in
+    principle flip a point sitting ON a cell boundary; the synthesized
+    0.01-degree grid never does)."""
+    import math
+
+    earth_r = 6378137.0
+    edge = (2 * math.pi * earth_r) / (6.0 * (1 << p))
+    rad, pi4 = math.pi / 180.0, math.pi / 4.0
+    s33, tt = math.sqrt(3.0) / 3.0, 2.0 / 3.0
+    clat = f"LEAST(GREATEST({lat_expr}, -85.05112878), 85.05112878)"
+    x = f"({lon_expr} * {rad!r} * {earth_r!r})"
+    y = f"(LN(TAN({pi4!r} + {clat} * {rad!r} / 2.0)) * {earth_r!r})"
+    qf = f"(({s33!r} * {x} - {y} / 3.0) / {edge!r})"
+    rf = f"(({y} * {tt!r}) / {edge!r})"
+    sf = f"(-{qf} - {rf})"
+    rq, rr, rs = (f"FLOOR({c} + 0.5)" for c in (qf, rf, sf))
+    dq = f"ABS({rq} - {qf})"
+    dr = f"ABS({rr} - {rf})"
+    ds = f"ABS({rs} - {sf})"
+    qfix = f"(CASE WHEN {dq} > {dr} AND {dq} > {ds} " \
+           f"THEN -{rr} - {rs} ELSE {rq} END)"
+    rfix = f"(CASE WHEN NOT ({dq} > {dr} AND {dq} > {ds}) " \
+           f"AND {dr} > {ds} THEN -{rq} - {rs} ELSE {rr} END)"
+    return (f"concat('{p}', '/', CAST(CAST({qfix} AS BIGINT) AS VARCHAR),"
+            f" '/', CAST(CAST({rfix} AS BIGINT) AS VARCHAR))")
+
+
+@register(
+    "geohex_grid_agg",
+    oracle=f"""
+    WITH pts AS (
+      SELECT ((c_custkey * 7919) % 18000) / 100.0 - 90.0 AS lat,
+             ((c_custkey * 104729) % 36000) / 100.0 - 180.0 AS lon
+      FROM customer)
+    SELECT {_hexgrid_key_sql(3, 'lat', 'lon')} AS key,
+           COUNT(*) AS doc_count
+    FROM pts GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 20
+    """,
+    doc="DSL `geohex_grid` aggregation (deterministic dialect): the "
+    "public agg keys on H3's icosahedral hex grid; this engine keeps "
+    "the agg's shape — uniform hexagon cells, a resolution ladder "
+    "(edge halves per level), top-size buckets — on a regular "
+    "pointy-top hex grid in Web-Mercator meters "
+    "(operators/search.py::hexgrid_cell: project, scale to axial "
+    "fractional coordinates, cube-round — ONE codegen projection, no "
+    "UDF, no geo library) + one groupBy + TakeOrdered. Oracle is the "
+    "identical-arithmetic DuckDB twin.",
+    tags=("agg", "dsl", "geo"),
+)
+def geohex_grid_agg(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    lat = ((F.col("c_custkey") * 7919) % 18000) / 100.0 - 90.0
+    lon = ((F.col("c_custkey") * 104729) % 36000) / 100.0 - 180.0
+    pts = c.select(
+        F.struct(lat.alias("lat"), lon.alias("lon")).alias("location"))
+    res = execute_search(pts, {"size": 0, "aggs": {"grid": {
+        "geohex_grid": {"field": "location", "precision": 3, "size": 20},
+    }}})
+    rows = [(b["key"], b["doc_count"])
+            for b in res["aggregations"]["grid"]["buckets"]]
+    return spark.createDataFrame(rows, "key string, doc_count bigint")

@@ -1789,3 +1789,41 @@ def test_term_suggest_modes(spark):
         "s": {"text": "delta", "term": {"field": "text"}},
     }})
     assert res["suggest"]["s"][0]["options"] == []
+
+
+def test_geohex_grid_agg(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        hexgrid_cell,
+    )
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (0.001, 0.001), (45.0, 90.0), (45.0, 90.2),
+         (-30.0, -60.0), (89.9, 10.0)],
+        "lat double, lon double",
+    ).select(F.struct("lat", "lon").alias("location"))
+    keys = [r[0] for r in df.select(hexgrid_cell("location", 3)).collect()]
+    # the origin projects to (0, 0): axial cell 0/0 at every precision
+    assert keys[0] == "3/0/0"
+    # near-origin point shares the origin's cell; far points don't
+    assert keys[1] == "3/0/0"
+    assert keys[2] != keys[0] and keys[4] != keys[2]
+    # nearby points (0.2 degrees apart at res 3, edge ~835 km) co-bucket
+    assert keys[2] == keys[3]
+    # out-of-mercator latitude clamps instead of blowing up ln(tan)
+    assert keys[5].startswith("3/")
+    # resolution ladder: finer precision separates what coarse merges
+    fine = [r[0] for r in df.select(hexgrid_cell("location", 9)).collect()]
+    assert fine[2] != fine[3]
+    with pytest.raises(ValueError, match="precision"):
+        df.select(hexgrid_cell("location", 16)).collect()
+    # through the agg surface, with a metric sub-agg
+    res = execute_search(df.withColumn("v", F.lit(2.0)), {
+        "size": 0, "aggs": {"g": {
+            "geohex_grid": {"field": "location", "precision": 3},
+            "aggs": {"sv": {"sum": {"field": "v"}}},
+        }}})
+    buckets = res["aggregations"]["g"]["buckets"]
+    assert sum(b["doc_count"] for b in buckets) == 6
+    assert {b["key"] for b in buckets} == set(keys)
+    top = buckets[0]
+    assert top["doc_count"] == 2 and top["sv"]["value"] == 4.0
