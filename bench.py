@@ -123,6 +123,7 @@ EAGER_HEADLINE = [
     "kmeans_cluster_sizes",   # 5 Lloyd iterations + assignment groupBy
     "pca_embedding_summary",  # Gram-matrix aggregate + driver eigensolve
     "bpe_train_merges",       # 20 merge rounds over the bounded word table
+    "logreg_train_weights",   # 5 gradient scans (one aggregate each)
 ]
 
 # The driver's fixture parquet ships ONE row group per table (sf0.1

@@ -658,3 +658,101 @@ def corpus_datacard(spark, sf_dir):
         .alias("exact_dup_pct"),
         F.sum("haspii").alias("docs_with_pii"),
     )
+
+
+_QFEAT_SQL = f"""
+  WITH tk AS (SELECT doc_id, lang, text, {TOK} AS toks FROM documents),
+  feat AS (
+    SELECT doc_id, lang,
+      least(CAST(len(toks) AS DOUBLE) / 20.0, 1.0) AS x1,
+      CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE) AS x2,
+      CASE WHEN len(toks) > 0 THEN
+        CAST(len(list_filter(toks, t -> list_contains(
+          ['the','and','of','to','in','is','a','that','it','for'], t)))
+          AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+      ELSE 0.0 END AS x3
+    FROM tk)
+"""
+
+
+def _quality_features(d):
+    """(doc_id, lang, features array<double>) — the shared length /
+    punctuation / stopword quality features as one codegen projection
+    (same fragments as doc_quality_scores, proven cross-engine)."""
+    from ..functions import text as _T
+
+    toks = _T.tokens(F.col("text"))
+    n = _T.token_count_from(toks)
+    return d.select(
+        "doc_id", "lang",
+        F.array(
+            F.least(n.cast("double") / F.lit(20.0), F.lit(1.0)),
+            _T.punct_ratio(F.col("text")),
+            _T.stopword_ratio_from(toks),
+        ).alias("features"),
+    )
+
+
+@register(
+    "quality_classifier_scores",
+    oracle=f"""
+    {_QFEAT_SQL}
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + EXP(-(-1.0 + 2.5 * x1 + -3.0 * x2
+                                    + 1.0 * x3))), 9) AS quality_p
+    FROM feat
+    """,
+    doc="Logistic quality-classifier SCORING (operators/classifier.py::"
+    "logistic_score): fixed pretrained weights over the length/"
+    "punctuation/stopword features, sigmoid margin as one whole-stage-"
+    "codegen projection — the model-based corpus quality filter every "
+    "LLM pipeline runs after training a lightweight classifier on "
+    "labeled data. Map-only at any corpus size; margin folded "
+    "left-to-right so the SQL oracle reproduces it bit-for-bit "
+    "(sigmoid rounded to 9 decimals both sides for libm exp ulps).",
+    tags=("pipeline", "text", "classifier"),
+)
+def quality_classifier_scores(spark, sf_dir):
+    from ..operators.classifier import logistic_score
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    feats = _quality_features(d)
+    return feats.select(
+        "doc_id",
+        F.round(
+            logistic_score("features", -1.0, [2.5, -3.0, 1.0]), 9
+        ).alias("quality_p"),
+    )
+
+
+@register(
+    "logreg_train_weights",
+    oracle=None,  # iterative gradient descent has no SQL twin —
+    # rows-only; tests/test_classifier.py pins bit-exact partition
+    # invariance (decimal-summed gradients), NumPy-reference agreement
+    # (1e-9), and perfect separation on separable blobs
+    doc="Distributed logistic-regression TRAINING (operators/"
+    "classifier.py::train_logistic): label = (lang = 'en'), features = "
+    "the shared quality triple. Each iteration is ONE aggregate scan "
+    "producing d+2 scalars (per-dimension gradient + bias gradient + "
+    "loss, decimal-cast so the reduce is exact and partition-"
+    "invariant); the corpus never shuffles and nothing but the scalars "
+    "reaches the driver — at 100 TB training costs `iters` column "
+    "scans. Returned weights rounded to 9 decimals.",
+    tags=("pipeline", "text", "classifier"),
+)
+def logreg_train_weights(spark, sf_dir):
+    from ..operators.classifier import train_logistic
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    feats = _quality_features(d).withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    m = train_logistic(feats, "features", "label", dim=3, iters=5, lr=1.0)
+    rows = [("bias", round(m["bias"], 9)),
+            ("w_len", round(m["weights"][0], 9)),
+            ("w_punct", round(m["weights"][1], 9)),
+            ("w_stopword", round(m["weights"][2], 9)),
+            ("loss", round(m["loss"], 9))]
+    return spark.createDataFrame(rows, "name string, value double")
