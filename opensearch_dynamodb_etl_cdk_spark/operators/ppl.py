@@ -746,6 +746,75 @@ def ppl_query(
                 cluster_col="ClusterID",
             ).drop("__kmf", "__kmid")
 
+        elif cmd == "ad":
+            # `ad field=<numeric> [by <category>] [threshold=T]` — the
+            # PPL anomaly-detection command. The public implementation
+            # scores with a random-cut forest (per-node RNG state, not
+            # reproducible across engines); this engine's deterministic
+            # dialect is the robust z-score: score = |x − median| /
+            # (1.4826 · MAD), anomalous when score > threshold
+            # (default 3.0) — the classic consistency-scaled MAD rule.
+            # Shape: per-group median and MAD are TWO exact-percentile
+            # aggregates over |rows| (swap to approx_percentile at
+            # 100 TB — same plan, sketch instead of exact sort) whose
+            # small per-group results broadcast-join back; the frame
+            # stays lazy, nothing collects at compile time.
+            am = re.match(
+                r"^field\s*=\s*([\w.]+)"
+                r"(?:\s+by\s+([\w.]+))?"
+                r"(?:\s+threshold\s*=\s*(\d+(?:\.\d+)?))?$",
+                rest, re.IGNORECASE,
+            )
+            if not am:
+                raise PPLError(
+                    "ad expects: ad field=<numeric> [by <category>] "
+                    "[threshold=T]"
+                )
+            vfld, cat, thr = am.group(1), am.group(2), am.group(3)
+            if vfld not in df.columns:
+                raise PPLError(f"ad: unknown field {vfld!r}")
+            if cat is not None and cat not in df.columns:
+                raise PPLError(f"ad: unknown category field {cat!r}")
+            threshold = float(thr) if thr else 3.0
+            x = F.col(vfld).cast("double")
+            keys = [cat] if cat else []
+            gmed = (df.groupBy(*keys) if keys else df.groupBy()).agg(
+                F.expr(f"percentile({vfld}, 0.5)").alias("__med")
+            )
+            with_med = (
+                df.join(F.broadcast(gmed), on=keys) if keys
+                else df.crossJoin(F.broadcast(gmed))
+            )
+            gmad = (
+                with_med.groupBy(*keys) if keys else with_med.groupBy()
+            ).agg(
+                F.expr("percentile(abs(cast({} as double) - __med), 0.5)"
+                       .format(vfld)).alias("__mad")
+            )
+            stats = (
+                gmed.join(gmad, on=keys) if keys
+                else gmed.crossJoin(gmad)
+            )
+            joined = (
+                df.join(F.broadcast(stats), on=keys) if keys
+                else df.crossJoin(F.broadcast(stats))
+            )
+            scaled = F.col("__mad") * F.lit(1.4826)
+            score = F.when(
+                scaled > 0, F.abs(x - F.col("__med")) / scaled
+            ).otherwise(
+                # degenerate group (MAD 0: >=half the values identical):
+                # any deviation from the median is anomalous, score ∞
+                # is unhelpful — report 0 on the median, threshold+1 off
+                F.when(x == F.col("__med"), F.lit(0.0))
+                .otherwise(F.lit(threshold + 1.0))
+            )
+            df = joined.withColumn(
+                "anomaly_score", score
+            ).withColumn(
+                "anomalous", F.col("anomaly_score") > F.lit(threshold)
+            ).drop("__med", "__mad")
+
         elif cmd == "fieldsummary":
             # `fieldsummary [includefields=a,b,c]` → one row per field:
             # count/distinct/min/max/avg/stddev/nulls. ONE aggregate

@@ -372,3 +372,46 @@ def ppl_fieldsummary_orders(spark, sf_dir):
     )
     return out.withColumn("avg", F.round("avg", 9)) \
               .withColumn("stddev", F.round("stddev", 9))
+
+
+@register(
+    "ppl_ad_anomalies",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m
+      FROM events GROUP BY event_type),
+    mad AS (
+      SELECT e.event_type, quantile_cont(abs(e.value - med.m), 0.5) AS d
+      FROM events e JOIN med USING (event_type)
+      GROUP BY e.event_type),
+    scored AS (
+      SELECT e.event_id, e.event_type,
+             ROUND(abs(e.value - med.m) / (mad.d * 1.4826), 9) AS score
+      FROM events e
+      JOIN med USING (event_type) JOIN mad USING (event_type)
+      WHERE mad.d > 0)
+    SELECT event_id, event_type, score
+    FROM scored WHERE score > 3.0
+    ORDER BY score DESC, event_id LIMIT 100
+    """,
+    doc="PPL `ad` command (anomaly detection, deterministic dialect): "
+    "the public command scores with a random-cut forest (per-node RNG, "
+    "not reproducible); this engine scores the robust z-score "
+    "|x − median| / (1.4826·MAD) per category — two exact-percentile "
+    "aggregates whose per-group scalars broadcast-join back (swap to "
+    "approx_percentile at 100 TB, same plan shape); the frame stays "
+    "lazy. Pipeline: ad by event_type | where | eval round | sort | "
+    "head — compiled by the real PPL compiler.",
+    tags=("ppl", "ml"),
+)
+def ppl_ad_anomalies(spark, sf_dir):
+    return _run(
+        spark, sf_dir,
+        "search source=events "
+        "| ad field=value by event_type "
+        "| eval score = round(anomaly_score, 9) "
+        "| where score > 3.0 "
+        "| fields event_id, event_type, score "
+        "| sort -score, event_id | head 100",
+        "events",
+    )

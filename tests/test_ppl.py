@@ -485,3 +485,31 @@ def test_kmeans_command(run):
         run("source=sales | kmeans fields=amount")
     with pytest.raises(PPLError, match="unknown fields"):
         run("source=sales | kmeans centroids=2 fields=nope")
+
+
+def test_ad_command(run, tables):
+    # global (no `by`): amounts 10,20,30,5,40,15 — median 17.5,
+    # MAD = median(|x-17.5|) = median(7.5,2.5,12.5,12.5,22.5,2.5) = 10
+    out = run("source=sales | ad field=amount | fields id, anomaly_score,"
+              " anomalous")
+    got = {r["id"]: (r["anomaly_score"], r["anomalous"])
+           for r in out.collect()}
+    assert got[5][0] == pytest.approx(22.5 / (10.0 * 1.4826))
+    assert all(not a for (_, a) in got.values())  # none exceed 3.0
+    # threshold override flips the verdict
+    out = run("source=sales | ad field=amount threshold=1.0")
+    flagged = {r["id"] for r in out.collect() if r["anomalous"]}
+    assert flagged == {5}  # only 22.5/14.826 = 1.52 exceeds 1.0
+    # per-category: group b = (30, 5) → median 17.5, MAD 12.5
+    out = run("source=sales | ad field=amount by grp")
+    s = {r["id"]: r["anomaly_score"] for r in out.collect()}
+    assert s[3] == pytest.approx(12.5 / (12.5 * 1.4826))
+    # degenerate group (MAD 0): median row scores 0, others threshold+1
+    out = run("source=dims | eval v = 1.0 | ad field=v by grp")
+    assert all(r["anomaly_score"] == 0.0 for r in out.collect())
+    with pytest.raises(PPLError, match="ad expects"):
+        run("source=sales | ad amount")
+    with pytest.raises(PPLError, match="unknown field"):
+        run("source=sales | ad field=nope")
+    with pytest.raises(PPLError, match="unknown category"):
+        run("source=sales | ad field=amount by nope")
