@@ -2586,8 +2586,32 @@ def execute_suggest(
                 field = completion_spec["field"]
                 prefix = str(spec.get("prefix", spec.get("text", "")))
                 size = int(completion_spec.get("size", 5))
+                fz = completion_spec.get("fuzzy")
+                if fz is not None and fz is not False:
+                    # accepted spellings: true, {} (all defaults), or
+                    # {"fuzziness": ..., "prefix_length": ...}
+                    # fuzzy completion: match values whose same-length
+                    # head is within `fuzziness` edits of the typed
+                    # prefix (AUTO = the Lucene length ladder 0/1/2),
+                    # sharing the first `prefix_length` chars exactly —
+                    # the exact-prefix gate keeps the scan prunable.
+                    fz = fz if isinstance(fz, dict) else {}
+                    fuzziness = fz.get("fuzziness", "AUTO")
+                    if fuzziness == "AUTO":
+                        fuzziness = (0 if len(prefix) <= 2
+                                     else 1 if len(prefix) <= 5 else 2)
+                    plen = int(fz.get("prefix_length", 1))
+                    cond = F.levenshtein(
+                        F.substring(F.col(field), 1, len(prefix)),
+                        F.lit(prefix),
+                    ) <= int(fuzziness)
+                    if plen > 0:
+                        cond &= F.col(field).startswith(prefix[:plen])
+                    matched = df.filter(cond)
+                else:
+                    matched = df.filter(F.col(field).startswith(prefix))
                 rows = (
-                    df.filter(F.col(field).startswith(prefix))
+                    matched
                     .groupBy(field)
                     .agg(F.count("*").alias("freq"))
                     .orderBy(F.col("freq").desc(), F.col(field).asc())
@@ -6030,6 +6054,22 @@ def rank_eval(
             if mbody.get("normalize"):
                 ideal = dcg(sorted(ratings.values(), reverse=True)[:k])
                 score = score / ideal if ideal else 0.0
+        elif mkind == "expected_reciprocal_rank":
+            # the public cascade model: ERR = Σ_i (1/i)·R_i·Π_{j<i}(1−R_j)
+            # with R = (2^g − 1)/2^g_max; maximum_relevance is required
+            # by the public API too (grade normalization must be stated,
+            # not guessed from the observed ratings).
+            if "maximum_relevance" not in mbody:
+                raise ValueError(
+                    "expected_reciprocal_rank requires maximum_relevance"
+                )
+            gmax = int(mbody["maximum_relevance"])
+            denom = float(2 ** gmax)
+            score, keep = 0.0, 1.0
+            for i, h in enumerate(ranked, 1):
+                r = (2 ** min(ratings.get(str(h), 0), gmax) - 1) / denom
+                score += keep * r / i
+                keep *= 1.0 - r
         else:
             raise ValueError(f"unsupported rank_eval metric {mkind!r}")
         details[req.get("id", str(len(details)))] = {

@@ -653,6 +653,57 @@ class FlightsEtlPipeline:
             "pending_routes": sorted(set(self.cfg.routes) - set(live)),
         }
 
+    def cluster_stats(self) -> dict:
+        """``GET /_cluster/stats`` analog: the fleet-wide rollup —
+        index count, total live docs, total tombstones, on-disk bytes,
+        and the engine's parallelism figure standing in for node
+        count. One aggregate per live index (bounded by index count,
+        never corpus-shaped) plus a filesystem listing."""
+        docs = tombstones = size = 0
+        names = [n for n in self._all_index_names()
+                 if self.read_index(n) is not None]
+        for name in names:
+            df = self.read_index(name)
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.col("_deleted").cast("long")
+                    if "_deleted" in df.columns else F.lit(0)
+                ).alias("t"),
+            ).collect()[0]
+            docs += int(agg["n"]) - int(agg["t"] or 0)
+            tombstones += int(agg["t"] or 0)
+            p = self._index_path(name)
+            for root, _dirs, files in os.walk(p):
+                size += sum(
+                    os.path.getsize(os.path.join(root, fn)) for fn in files
+                )
+        return {
+            "indices": {
+                "count": len(names),
+                "docs": {"count": docs, "deleted": tombstones},
+                "store": {"size_in_bytes": size},
+            },
+            "nodes": {
+                "count": {"total": 1},
+                "parallelism": self.spark.sparkContext.defaultParallelism,
+            },
+        }
+
+    def forcemerge(self, route: str, *, max_num_segments: int = 1,
+                   only_expunge_deletes: bool = False) -> dict:
+        """``POST /<index>/_forcemerge`` analog: segment-count bound →
+        files-per-bucket bound, expunge-deletes → tombstone purge.
+        Delegates to :meth:`compact` (the same dynamic-partition
+        rewrite the MERGE path uses), so the public maintenance verb
+        and the engine's native one cannot drift."""
+        self.compact(
+            route,
+            files_per_bucket=max(1, int(max_num_segments)),
+            purge_tombstones=bool(only_expunge_deletes),
+        )
+        return {"acknowledged": True}
+
     def cat_indices(self) -> list[dict]:
         """``_cat/indices`` analog: one dict per route with live doc
         count, tombstone count, bucket count, and on-disk bytes — the

@@ -1063,3 +1063,83 @@ def test_index_templates_apply_at_creation_only(spark, tmp_path_factory):
     assert not p.delete_index_template("wide")
     with pytest.raises(ValueError, match="no such index template"):
         p.get_index_template("wide")
+
+
+def test_cluster_stats_and_forcemerge(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cstats")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+
+    stats = p.cluster_stats()
+    total = sum(p.index_view(r).count() for r in cfg.routes)
+    assert stats["indices"]["count"] >= len(cfg.routes)
+    assert stats["indices"]["docs"]["count"] == total
+    assert stats["indices"]["store"]["size_in_bytes"] > 0
+    assert stats["nodes"]["parallelism"] >= 1
+
+    # forcemerge = compact: doc-visible state unchanged, ack returned
+    before = sorted(
+        tuple(r) for r in p.index_view("fare").select("_id", "_seq").collect()
+    )
+    assert p.forcemerge("fare", max_num_segments=1) == {"acknowledged": True}
+    after = sorted(
+        tuple(r) for r in p.index_view("fare").select("_id", "_seq").collect()
+    )
+    assert before == after
+
+
+def test_rank_eval_err_and_fuzzy_completion(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        execute_search,
+        rank_eval,
+    )
+
+    df = spark.createDataFrame(
+        [("1", "apple", 5.0), ("2", "apply", 3.0), ("3", "maple", 1.0),
+         ("4", "apple", 2.0)],
+        "_id string, word string, sc double",
+    )
+    # ERR: ranking by sc desc -> ids 1,2,4(,3 filtered by k)
+    res = rank_eval(
+        df,
+        [{"id": "q", "request": {"query": {"match_all": {}},
+                                 "sort": [{"sc": "desc"}]},
+          "ratings": [{"_id": "1", "rating": 2}, {"_id": "2", "rating": 0},
+                      {"_id": "4", "rating": 1}]}],
+        {"expected_reciprocal_rank": {"maximum_relevance": 2, "k": 3}},
+    )
+    r1 = (2 ** 2 - 1) / 4.0           # 0.75
+    r3 = (2 ** 1 - 1) / 4.0           # 0.25
+    want = r1 / 1 + (1 - r1) * 0.0 / 2 + (1 - r1) * 1.0 * r3 / 3
+    assert abs(res["metric_score"] - want) < 1e-12
+    with pytest.raises(ValueError, match="maximum_relevance"):
+        rank_eval(df, [{"request": {"query": {"match_all": {}}},
+                        "ratings": []}],
+                  {"expected_reciprocal_rank": {"k": 3}})
+
+    # fuzzy completion: 'appel' is 2 edits from 'apple' head, 1st char
+    # anchored; exact prefix match would find nothing
+    res = execute_search(df, {"suggest": {"s": {
+        "prefix": "appel",
+        "completion": {"field": "word", "fuzzy": {"fuzziness": 2}},
+    }}})
+    opts = res["suggest"]["s"][0]["options"]
+    assert [o["text"] for o in opts] == ["apple", "apply"]
+    assert opts[0]["freq"] == 2
+    res = execute_search(df, {"suggest": {"s": {
+        "prefix": "appel", "completion": {"field": "word"},
+    }}})
+    assert res["suggest"]["s"][0]["options"] == []
+    # AUTO ladder: 5-char prefix -> 1 edit -> both apple and apply are
+    # one substitution from 'appli'; bare {} means all-default fuzzy
+    res = execute_search(df, {"suggest": {"s": {
+        "prefix": "appli",
+        "completion": {"field": "word", "fuzzy": {}},
+    }}})
+    assert [o["text"] for o in res["suggest"]["s"][0]["options"]] \
+        == ["apple", "apply"]
