@@ -983,8 +983,13 @@ def compile_query(q: dict[str, Any], allow_unsafe_scripts: bool = False) -> Colu
     if kind == "span_multi":
         # standalone: any analyzed token satisfies the wrapped
         # multi-term predicate (SpanMultiTermQuery rewrite)
-        f, pred = _span_clause_token_pred({kind: body})
+        _gf, f, pred = _span_clause_token_pred({kind: body})
         return F.exists(_analyze(F.col(f)), pred)
+
+    if kind == "field_masking_span":
+        # standalone mask is a no-op wrapper: match the inner span
+        # (the mask only matters inside a multi-clause span query)
+        return compile_query(body["query"])
 
     if kind == "span_or":
         # Lucene span disjunction: any clause's span matches. In filter
@@ -1381,12 +1386,19 @@ def _compile_nested_pred(path: str, q: dict[str, Any], x: Column) -> Column:
 
 
 def _span_clause_token_pred(clause: dict[str, Any]):
-    """A span_near/span_within clause → (field, token predicate).
+    """A span_near/span_within clause → (group_field, source_field,
+    token predicate).
 
     span_term compares equality; span_multi wraps a multi-term query
     (prefix / wildcard / regexp / fuzzy) whose predicate evaluates
     against each ANALYZED token — exactly Lucene's SpanMultiTermQuery
-    rewrite, position-compatible with the span quantifiers."""
+    rewrite, position-compatible with the span quantifiers.
+
+    ``field_masking_span`` reports the MASK as group_field (so the
+    one-field validity check of the enclosing span_near sees the
+    masked name — the Lucene contract) while positions keep coming
+    from the inner query's own source_field; for every other clause
+    the two are the same field."""
     # NB: factories, not default-arg lambdas — PySpark introspects the
     # lambda's parameter count to pick the higher-order-function arity,
     # and a defaulted capture parameter would miscount as two args
@@ -1403,31 +1415,36 @@ def _span_clause_token_pred(clause: dict[str, Any]):
         return lambda t: F.levenshtein(t, F.lit(v)) <= budget
 
     (ck, cb), = clause.items()
+    if ck == "field_masking_span":
+        mask = cb["field"]
+        _gf, sf, pred = _span_clause_token_pred(cb["query"])
+        return mask, sf, pred
     if ck == "span_term":
         (f, spec), = cb.items()
         term = str(spec["value"] if isinstance(spec, dict) else spec).lower()
-        return f, eq(term)
+        return f, f, eq(term)
     if ck == "span_multi":
         (mk, mb), = cb["match"].items()
         (f, spec), = mb.items()
         value = spec["value"] if isinstance(spec, dict) else spec
         if mk == "prefix":
-            return f, starts(str(value).lower())
+            return f, f, starts(str(value).lower())
         if mk == "wildcard":
-            return f, rlike(_wildcard_to_regex(str(value).lower()))
+            return f, f, rlike(_wildcard_to_regex(str(value).lower()))
         if mk == "regexp":
-            return f, rlike(f"^(?:{value})$")
+            return f, f, rlike(f"^(?:{value})$")
         if mk == "fuzzy":
             v = str(value).lower()
             fz = spec.get("fuzziness", "AUTO") if isinstance(spec, dict) else "AUTO"
             if fz == "AUTO":
                 n = len(v)
                 fz = 0 if n < 3 else (1 if n <= 5 else 2)
-            return f, fuzz(v, int(fz))
+            return f, f, fuzz(v, int(fz))
         raise ValueError(f"span_multi match must be prefix/wildcard/"
                          f"regexp/fuzzy, got {mk!r}")
     raise ValueError(
-        f"span clause must be span_term or span_multi, got {ck!r}"
+        f"span clause must be span_term, span_multi or "
+        f"field_masking_span, got {ck!r}"
     )
 
 
@@ -1448,14 +1465,21 @@ def _compile_span_near(body: dict[str, Any], end: int | None = None) -> Column:
     in_order = bool(body.get("in_order", True))
     if len(clauses) < 2:
         raise ValueError("span_near needs at least two clauses")
-    fields, preds = set(), []
+    fields, srcs, preds = set(), [], []
     for c in clauses:
-        f, pred = _span_clause_token_pred(c)
-        fields.add(f)
+        gf, sf, pred = _span_clause_token_pred(c)
+        fields.add(gf)
+        srcs.append(sf)
         preds.append(pred)
     if len(fields) != 1:
-        raise ValueError("span_near clauses must target one field")
-    toks = _analyze(F.col(fields.pop()))
+        raise ValueError(
+            "span_near clauses must target one field "
+            "(mask cross-field clauses with field_masking_span)"
+        )
+    # field_masking_span lets clauses draw positions from different
+    # SOURCE fields while agreeing on the masked name; one analyzed
+    # array per distinct source field, each bound once
+    src_order = list(dict.fromkeys(srcs))
 
     n = len(preds)
     max_span = slop + n - 1  # max-min allowed
@@ -1500,12 +1524,16 @@ def _compile_span_near(body: dict[str, Any], end: int | None = None) -> Column:
             q.getField(f"p{i}"), lambda p: quantify(q, i + 1, bound + [p])
         )
 
-    toks_packed = F.array(F.struct(toks.alias("t")))
+    toks_packed = F.array(F.struct(*[
+        _analyze(F.col(sf)).alias(f"t{k}") for k, sf in enumerate(src_order)
+    ]))
+    src_idx = {sf: k for k, sf in enumerate(src_order)}
     return F.exists(
         toks_packed,
         lambda s: F.exists(
             F.array(F.struct(*[
-                positions(s.getField("t"), pr).alias(f"p{i}")
+                positions(s.getField(f"t{src_idx[srcs[i]]}"), pr)
+                .alias(f"p{i}")
                 for i, pr in enumerate(preds)
             ])),
             lambda q: quantify(q, 0, []),

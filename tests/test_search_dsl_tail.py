@@ -1827,3 +1827,51 @@ def test_geohex_grid_agg(spark):
     assert {b["key"] for b in buckets} == set(keys)
     top = buckets[0]
     assert top["doc_count"] == 2 and top["sv"]["value"] == 4.0
+
+
+def test_field_masking_span(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma", "alpha delta"),
+         (2, "alpha beta gamma", "gamma alpha"),
+         (3, "beta beta beta", "alpha delta")],
+        "id long, text string, title string",
+    )
+    # cross-field span_near: 'alpha' from text, 'delta' positions drawn
+    # from title but masked AS text — doc 1: text alpha@1, title
+    # delta@2 → in-order within slop 1; doc 3: text has no alpha
+    q = {"span_near": {"clauses": [
+        {"span_term": {"text": "alpha"}},
+        {"field_masking_span": {
+            "query": {"span_term": {"title": "delta"}}, "field": "text"}},
+    ], "slop": 1, "in_order": True}}
+    got = {r["id"] for r in df.filter(compile_query(q)).collect()}
+    assert got == {1}
+    # unordered: text gamma (@3) near masked title alpha (@1 in doc 1,
+    # @2 in doc 2) — both within slop 2; doc 3 has no text gamma
+    q2 = {"span_near": {"clauses": [
+        {"span_term": {"text": "gamma"}},
+        {"field_masking_span": {
+            "query": {"span_term": {"title": "alpha"}}, "field": "text"}},
+    ], "slop": 2, "in_order": False}}
+    got = {r["id"] for r in df.filter(compile_query(q2)).collect()}
+    assert got == {1, 2}
+    # same-position cross-field pair violates the span non-overlap
+    # rule: text alpha@1 vs masked title alpha@1 in doc 1
+    q_overlap = {"span_near": {"clauses": [
+        {"span_term": {"text": "alpha"}},
+        {"field_masking_span": {
+            "query": {"span_term": {"title": "alpha"}}, "field": "text"}},
+    ], "slop": 5, "in_order": False}}
+    got = {r["id"] for r in df.filter(compile_query(q_overlap)).collect()}
+    assert got == {2}  # doc 2: text alpha@1, title alpha@2 — disjoint
+    # unmasked cross-field clauses still refuse
+    with pytest.raises(ValueError, match="one field"):
+        compile_query({"span_near": {"clauses": [
+            {"span_term": {"text": "alpha"}},
+            {"span_term": {"title": "delta"}},
+        ], "slop": 1}})
+    # standalone mask = the inner span
+    q3 = {"field_masking_span": {
+        "query": {"span_term": {"title": "delta"}}, "field": "text"}}
+    got = {r["id"] for r in df.filter(compile_query(q3)).collect()}
+    assert got == {1, 3}
