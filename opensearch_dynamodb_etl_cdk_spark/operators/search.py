@@ -1951,6 +1951,38 @@ def geohash_cell(field: str, precision: int = 5) -> Column:
     return F.concat(*chars)
 
 
+def geotile_cell(field: str, precision: int = 7) -> Column:
+    """Slippy-map ``z/x/y`` tile key for a geo_point struct column —
+    Web-Mercator tile indices as pure column arithmetic (ln/tan per
+    row, no UDF). Latitudes outside the Mercator domain clamp to the
+    edge tiles BEFORE the transcendental (±90° degenerates ln(tan+sec))
+    — the public geotile behavior. Shared by the geotile_grid agg and
+    the composite geotile_grid source."""
+    import math as _math
+
+    z = int(precision)
+    n = 1 << z
+    lat, lon = F.col(f"{field}.lat"), F.col(f"{field}.lon")
+    x = F.least(
+        F.greatest(
+            F.floor((lon + 180.0) / 360.0 * F.lit(float(n))), F.lit(0)
+        ),
+        F.lit(n - 1),
+    )
+    lat = F.least(
+        F.greatest(lat, F.lit(-85.05112878)), F.lit(85.05112878)
+    )
+    phi = F.radians(lat)
+    yf = (
+        (F.lit(1.0)
+         - F.log(F.tan(phi) + F.lit(1.0) / F.cos(phi)) / F.lit(_math.pi))
+        / 2.0
+        * F.lit(float(n))
+    )
+    y = F.least(F.greatest(F.floor(yf), F.lit(0)), F.lit(n - 1))
+    return F.concat_ws("/", F.lit(str(z)), x, y)
+
+
 def hexgrid_cell(field: str, precision: int = 5) -> Column:
     """Hexagon cell key ``res/q/r`` for a geo_point struct column —
     the engine's ``geohex_grid`` dialect. The public agg keys on H3's
@@ -4197,6 +4229,7 @@ def composite_frame(
     executor, while the cursor filter prunes them before the sort.
     """
     sources: list[tuple[str, Column, bool]] = []  # (name, keyed expr, desc)
+    drop_missing: list[Column] = []
     for src in body["sources"]:
         (sname, sspec), = src.items()
         (skind, sbody), = sspec.items()
@@ -4217,9 +4250,27 @@ def composite_frame(
         elif skind == "histogram":
             interval = float(sbody["interval"])
             expr = F.floor(F.col(sbody["field"]) / interval) * interval
+        elif skind == "geotile_grid":
+            fld = sbody["field"]
+            present = (F.col(f"{fld}.lat").isNotNull()
+                       & F.col(f"{fld}.lon").isNotNull())
+            # explicit null guard: F.least/greatest SKIP nulls, so an
+            # unguarded null point would silently clamp to an edge tile
+            expr = F.when(
+                present, geotile_cell(fld, int(sbody.get("precision", 7)))
+            )
         else:
             raise ValueError(f"unsupported composite source {skind!r}")
+        if skind != "geotile_grid":
+            fld = sbody.get("field")
+            present = F.col(fld).isNotNull() if fld is not None else None
+        if not sbody.get("missing_bucket") and present is not None:
+            # public default: docs without the source value fall in NO
+            # bucket; missing_bucket=true keeps them under a null key
+            drop_missing.append(present)
         sources.append((sname, expr.alias(sname), desc))
+    for cond in drop_missing:
+        df = df.filter(cond)
     grouped = df.groupBy(*[e for _, e, _ in sources]).agg(
         F.count("*").alias("doc_count"), *(metric_cols or [])
     )
@@ -5164,34 +5215,10 @@ def _run_agg(
         # computed key + TakeOrdered top-size — the grid-faceting agg
         # without any geo index. Out-of-mercator latitudes clamp to the
         # edge tiles, as the public agg does.
-        import math as _math
-
         field = body["field"]
         z = int(body.get("precision", 7))
         size = int(body.get("size", 10000))
-        n = 1 << z
-        lat, lon = F.col(f"{field}.lat"), F.col(f"{field}.lon")
-        x = F.least(
-            F.greatest(
-                F.floor((lon + 180.0) / 360.0 * F.lit(float(n))), F.lit(0)
-            ),
-            F.lit(n - 1),
-        )
-        # clamp to the Web-Mercator latitude bound BEFORE the
-        # transcendental: at ±90° tan+sec degenerates to 0 (ln blows
-        # up); the projection itself is only defined to ±85.051°.
-        lat = F.least(
-            F.greatest(lat, F.lit(-85.05112878)), F.lit(85.05112878)
-        )
-        phi = F.radians(lat)
-        yf = (
-            (F.lit(1.0)
-             - F.log(F.tan(phi) + F.lit(1.0) / F.cos(phi)) / F.lit(_math.pi))
-            / 2.0
-            * F.lit(float(n))
-        )
-        y = F.least(F.greatest(F.floor(yf), F.lit(0)), F.lit(n - 1))
-        key = F.concat_ws("/", F.lit(str(z)), x, y)
+        key = geotile_cell(field, z)
         metric_cols = [_metric_agg(nm, s) for nm, s in sub.items()]
         rows = (
             df.groupBy(key.alias("key"))

@@ -1875,3 +1875,43 @@ def test_field_masking_span(spark):
         "query": {"span_term": {"title": "delta"}}, "field": "text"}}
     got = {r["id"] for r in df.filter(compile_query(q3)).collect()}
     assert got == {1, 3}
+
+
+def test_composite_geotile_source_and_missing_bucket(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        composite_frame,
+        geotile_cell,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0, 20.0), (2, "a", 10.0, 20.0), (3, "b", -40.0, 100.0),
+         (4, None, 10.0, 20.0), (5, "c", None, None)],
+        "id long, cat string, lat double, lon double",
+    ).select("id", "cat", F.struct("lat", "lon").alias("loc"))
+
+    # geotile source buckets by tile; null point dropped by default
+    out = composite_frame(df, {"sources": [
+        {"tile": {"geotile_grid": {"field": "loc", "precision": 4}}},
+    ]}).collect()
+    keys = {r["tile"]: r["doc_count"] for r in out}
+    tile = df.filter(F.col("id") == 1).select(
+        geotile_cell("loc", 4)).collect()[0][0]
+    assert keys[tile] == 3  # ids 1,2,4 share the point
+    assert None not in keys and sum(keys.values()) == 4
+
+    # missing_bucket keeps the null under a null key (NOT an edge tile)
+    out = composite_frame(df, {"sources": [
+        {"tile": {"geotile_grid": {"field": "loc", "precision": 4,
+                                   "missing_bucket": True}}},
+    ]}).collect()
+    keys = {r["tile"]: r["doc_count"] for r in out}
+    assert keys.get(None) == 1
+
+    # terms source drops missing by default, keeps under missing_bucket
+    out = composite_frame(df, {"sources": [
+        {"c": {"terms": {"field": "cat"}}}]}).collect()
+    assert {r["c"] for r in out} == {"a", "b", "c"}
+    out = composite_frame(df, {"sources": [
+        {"c": {"terms": {"field": "cat", "missing_bucket": True}}},
+    ]}).collect()
+    assert {r["c"] for r in out} == {"a", "b", "c", None}
