@@ -575,13 +575,18 @@ def ppl_query(
 
         elif cmd == "trendline":
             tm = re.match(
-                r"^sma\s*\(\s*(\d+)\s*,\s*([^)]+)\)(?:\s+as\s+(\w+))?$",
+                r"^(sma|wma)\s*\(\s*(\d+)\s*,\s*([^)]+)\)"
+                r"(?:\s+as\s+(\w+))?$",
                 rest, re.IGNORECASE,
             )
             if not tm:
-                raise PPLError("trendline expects: sma(N, field) [as alias]")
-            n, field = int(tm.group(1)), tm.group(2).strip()
-            out = tm.group(3) or f"{field}_trendline"
+                raise PPLError(
+                    "trendline expects: sma(N, field) | wma(N, field) "
+                    "[as alias]"
+                )
+            kind_ma = tm.group(1).lower()
+            n, field = int(tm.group(2)), tm.group(3).strip()
+            out = tm.group(4) or f"{field}_trendline"
             if not sort_state:
                 raise PPLError(
                     "trendline requires an explicit preceding sort — a "
@@ -596,12 +601,29 @@ def ppl_query(
                     for k, asc in sort_state
                 ]).rowsBetween(-(n - 1), 0)
             )
-            sma = F.avg(F.col(field)).over(w)
+            if kind_ma == "sma":
+                ma = F.avg(F.col(field)).over(w)
+            else:
+                # wma: linearly-decaying weights — newest row weight n,
+                # oldest weight 1, normalized by n(n+1)/2. collect_list
+                # over a rows-bounded frame preserves frame order, so
+                # position i (0-based, oldest first) weights i+1.
+                vals = F.collect_list(F.col(field).cast("double")).over(w)
+                weighted = F.aggregate(
+                    F.zip_with(
+                        vals,
+                        F.sequence(F.lit(1), F.size(vals)),
+                        lambda v, i: v * i.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                ma = weighted / F.lit(float(n * (n + 1) // 2))
             df = df.withColumn(
                 out,
                 F.when(
-                    F.count(F.lit(1)).over(w) >= n, sma
-                ),  # public sma is null until the window fills
+                    F.count(F.lit(1)).over(w) >= n, ma
+                ),  # public trendline is null until the window fills
             )
 
         elif cmd == "join":

@@ -513,3 +513,16 @@ def test_ad_command(run, tables):
         run("source=sales | ad field=nope")
     with pytest.raises(PPLError, match="unknown category"):
         run("source=sales | ad field=amount by nope")
+
+
+def test_trendline_wma(run):
+    out = run("source=sales | sort +id | trendline wma(3, amount) as w "
+              "| fields id, w")
+    got = {r["id"]: r["w"] for r in out.collect()}
+    # ids 1..6 amounts 10,20,30,5,40,15; weights 1,2,3 (newest=3)
+    assert got[1] is None and got[2] is None
+    assert got[3] == pytest.approx((1 * 10 + 2 * 20 + 3 * 30) / 6.0)
+    assert got[4] == pytest.approx((1 * 20 + 2 * 30 + 3 * 5) / 6.0)
+    assert got[6] == pytest.approx((1 * 5 + 2 * 40 + 3 * 15) / 6.0)
+    with pytest.raises(PPLError, match="trendline"):
+        run("source=sales | sort +id | trendline ema(3, amount)")
