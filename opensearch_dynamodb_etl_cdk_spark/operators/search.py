@@ -2906,7 +2906,8 @@ def _apply_source_filter(hits: DataFrame, source, body: dict) -> DataFrame:
     }
     keep_always = [
         c for c in cols
-        if c in ("_score", "_id", "_index", "_version") or c in dv
+        if c in ("_score", "_id", "_index", "_version", "_explanation")
+        or c in dv
         or c.startswith("_highlight_")
         or c in (body.get("script_fields") or {})
     ]
@@ -3044,6 +3045,27 @@ def percolate(
     return out
 
 
+def _walk_explain_leaves(
+    q: dict, path: str, leaves: dict[str, Column]
+) -> None:
+    """Decompose a query into leaf clauses with bool-tree paths like
+    ``must[0].term`` — shared by the _explain API and the per-hit
+    ``explain: true`` response option."""
+    if not q:
+        return
+    (kind, body_), = q.items()
+    if kind == "bool":
+        for section in ("must", "filter", "should", "must_not"):
+            for i, c in enumerate(body_.get(section, [])):
+                _walk_explain_leaves(c, f"{path}{section}[{i}].", leaves)
+        return
+    if kind == "constant_score":
+        _walk_explain_leaves(body_["filter"], f"{path}constant_score.",
+                             leaves)
+        return
+    leaves[f"{path}{kind}"] = compile_query(q)
+
+
 def explain_match(
     df: DataFrame, query: dict[str, Any], id_value, id_col: str = "_id"
 ) -> dict[str, Any]:
@@ -3055,22 +3077,7 @@ def explain_match(
     "clauses": {<path>: bool}}`` with bool-tree paths like
     ``must[0].term``."""
     leaves: dict[str, Column] = {}
-
-    def walk(q: dict, path: str) -> None:
-        if not q:
-            return
-        (kind, body_), = q.items()
-        if kind == "bool":
-            for section in ("must", "filter", "should", "must_not"):
-                for i, c in enumerate(body_.get(section, [])):
-                    walk(c, f"{path}{section}[{i}].")
-            return
-        if kind == "constant_score":
-            walk(body_["filter"], f"{path}constant_score.")
-            return
-        leaves[f"{path}{kind}"] = compile_query(q)
-
-    walk(query, "")
+    _walk_explain_leaves(query, "", leaves)
     row = (
         df.filter(F.col(id_col) == F.lit(id_value))
         .select(
@@ -4000,6 +4007,23 @@ def execute_search(
         for fname, fspec in body["script_fields"].items():
             script = fspec["script"] if isinstance(fspec, dict) else fspec
             hits = hits.withColumn(fname, safe_expr(script))
+    if body.get("explain"):
+        # per-hit `explain: true`: decompose the query into its leaf
+        # clauses (the _explain API's walk) and attach every clause's
+        # verdict as ONE struct column — a codegen projection over the
+        # already-matched hits, no extra scan. Scored/knn queries have
+        # no boolean decomposition; their hits matched by construction.
+        leaves: dict[str, Column] = {}
+        if fg_pred is not None:
+            _walk_explain_leaves(query, "", leaves)
+        hits = hits.withColumn(
+            "_explanation",
+            F.struct(
+                F.lit(True).alias("matched"),
+                *[F.coalesce(c, F.lit(False)).alias(p)
+                  for p, c in leaves.items()],
+            ),
+        )
     dv_fields = [
         (s.get("field") if isinstance(s, dict) else s)
         for s in (list(body.get("docvalue_fields") or [])
@@ -4017,7 +4041,8 @@ def execute_search(
         # flat-fields form of the same scan-pruning projection.
         meta = [
             c for c in hits.columns
-            if (c in ("_score", "_id", "_index", "_version")
+            if (c in ("_score", "_id", "_index", "_version",
+                      "_explanation")
                 or c.startswith("_highlight_")
                 or c in (body.get("script_fields") or {}))
             and c not in dv_fields

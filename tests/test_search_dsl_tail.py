@@ -1915,3 +1915,27 @@ def test_composite_geotile_source_and_missing_bucket(spark):
         {"c": {"terms": {"field": "cat", "missing_bucket": True}}},
     ]}).collect()
     assert {r["c"] for r in out} == {"a", "b", "c", None}
+
+
+def test_explain_true_per_hit(docs):
+    res = execute_search(docs, {
+        "query": {"bool": {
+            "filter": [{"range": {"feat": {"gte": 1.0}}}],
+            "must": [{"exists": {"field": "text"}}],
+        }},
+        "explain": True,
+        "_source": ["id"],
+    })
+    rows = res["hits"].collect()
+    assert rows and all(r["_explanation"]["matched"] for r in rows)
+    ex = rows[0]["_explanation"].asDict()
+    assert ex["filter[0].range"] is True
+    assert ex["must[0].exists"] is True
+    # scored query: no boolean decomposition, matched-by-construction
+    res = execute_search(docs, {
+        "query": {"function_score": {
+            "query": {"match_all": {}}, "weight": 2.0}},
+        "explain": True, "size": 1,
+    })
+    r = res["hits"].collect()[0]
+    assert r["_explanation"]["matched"] is True
