@@ -1281,18 +1281,34 @@ class FlightsEtlPipeline:
         if source is None:
             raise ValueError("stored script needs a 'source'")
         lang = spec.get("lang", "spark_sql")
-        if lang != "spark_sql":
+        if lang == "mustache":
+            # stored SEARCH TEMPLATE (the public API stores templates
+            # through the same _scripts registry under lang mustache):
+            # the source is a search-body tree (or its JSON string)
+            # with {{param}} placeholders — rendered at search time by
+            # render_search_template, so no expression validation here
+            if isinstance(source, str):
+                import json as _json
+
+                source = _json.loads(source)
+            if not isinstance(source, dict):
+                raise ValueError(
+                    "mustache template source must be a search body "
+                    "(dict or its JSON string)"
+                )
+        elif lang != "spark_sql":
             raise ValueError(
                 f"unsupported stored-script lang {lang!r} (the engine's "
-                "dialect is guarded Spark SQL)"
+                "dialects are guarded Spark SQL and mustache templates)"
             )
-        from ..functions.scripts import validate_script
-
-        if isinstance(source, dict):
-            for expr in source.values():
-                validate_script(str(expr))
         else:
-            validate_script(str(source))
+            from ..functions.scripts import validate_script
+
+            if isinstance(source, dict):
+                for expr in source.values():
+                    validate_script(str(expr))
+            else:
+                validate_script(str(source))
         reg = self._read_stored_scripts()
         reg[script_id] = {"lang": lang, "source": source}
         os.makedirs(self.cfg.index_root, exist_ok=True)
@@ -1363,7 +1379,14 @@ class FlightsEtlPipeline:
             return spec
         params = dict(spec.get("params") or {})
         if "id" in spec and "source" not in spec:
-            source = self.get_script(str(spec["id"]))["source"]
+            stored = self.get_script(str(spec["id"]))
+            if stored["lang"] != "spark_sql":
+                raise ValueError(
+                    f"stored script {spec['id']!r} is a "
+                    f"{stored['lang']} template, not an expression "
+                    "script — use search_template for it"
+                )
+            source = stored["source"]
         else:
             source = spec.get("source", spec)
         # substitute unconditionally: a source referencing params.x
@@ -1779,18 +1802,52 @@ class FlightsEtlPipeline:
 
         return walk(body)
 
+    def _template_source(self, template: dict) -> dict:
+        """An inline template (``{"source": ...}`` or the body itself)
+        or a stored-template reference (``{"id": ...}`` pointing at a
+        ``lang: mustache`` entry in the _scripts registry) → the
+        un-rendered search-body tree."""
+        if "id" in template and "source" not in template:
+            stored = self.get_script(str(template["id"]))
+            if stored["lang"] != "mustache":
+                raise ValueError(
+                    f"stored script {template['id']!r} is a "
+                    f"{stored['lang']} script, not a search template"
+                )
+            return stored["source"]
+        return template.get("source", template)
+
+    def render_template(self, template: dict, params: dict) -> dict:
+        """``POST /_render/template`` analog: the search body a
+        template + params would produce, without running it (inline or
+        stored-by-id, like the public endpoint)."""
+        from ..operators.search import render_search_template
+
+        return render_search_template(self._template_source(template),
+                                      dict(params or {}))
+
+    def search_template(self, pattern: str, body: dict) -> dict:
+        """``GET /<index>/_search/template`` analog: render (inline
+        ``source`` or stored ``id``) then run through :meth:`search` —
+        the rendered body hits the normal interpreter, so pushdown and
+        pruning behave exactly as for a literal request."""
+        return self.search(
+            pattern, self.render_template(body, body.get("params") or {})
+        )
+
     def msearch_template(
         self, requests: list[tuple[str, dict, dict]]
     ) -> list[dict]:
         """``_msearch/template`` analog: each entry is (index pattern,
         template, params) — render then run through :meth:`search`,
-        results in request order (the multi-search contract)."""
+        results in request order (the multi-search contract). Templates
+        may be inline or stored-by-id."""
         from ..operators.search import render_search_template
 
         out = []
         for pattern, template, params in requests:
             body = render_search_template(
-                template.get("source", template), params
+                self._template_source(template), params
             )
             out.append(self.search(pattern, body))
         return out

@@ -1143,3 +1143,49 @@ def test_rank_eval_err_and_fuzzy_completion(spark):
     }}})
     assert [o["text"] for o in res["suggest"]["s"][0]["options"]] \
         == ["apple", "apply"]
+
+
+def test_stored_search_templates(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("templ")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+
+    p.put_script("by_class", {"script": {"lang": "mustache", "source": {
+        "query": {"term": {"fare_class": "{{cls}}"}},
+        "size": "{{k}}",
+    }}})
+    # render without running; typed single-placeholder params survive
+    rendered = p.render_template({"id": "by_class"},
+                                 {"cls": "nonstop", "k": 3})
+    assert rendered == {"query": {"term": {"fare_class": "nonstop"}},
+                        "size": 3}
+    # stored-by-id execution ≡ inline execution ≡ direct search
+    direct = p.search("fare", rendered)["hits"].count()
+    stored = p.search_template("fare", {
+        "id": "by_class", "params": {"cls": "nonstop", "k": 3}})
+    assert stored["hits"].count() == direct == 3
+    # JSON-string template sources parse at PUT time
+    p.put_script("js", {"script": {"lang": "mustache",
+                                   "source": '{"query": {"match_all": {}}}'}})
+    assert p.search_template("fare", {"id": "js", "params": {}})[
+        "hits"].count() == p.index_view("fare").count()
+    # msearch_template accepts stored ids
+    out = p.msearch_template([
+        ("fare", {"id": "by_class"}, {"cls": "nonstop", "k": 1}),
+        ("fare", {"source": {"query": {"match_all": {}}}}, {}),
+    ])
+    assert out[0]["hits"].count() == 1
+    # cross-dialect misuse fails loudly both ways
+    p.put_script("expr", {"script": {"source": "fare_class = 'x'"}})
+    with pytest.raises(ValueError, match="not a search template"):
+        p.search_template("fare", {"id": "expr"})
+    with pytest.raises(ValueError, match="not an expression"):
+        p.search("fare", {"query": {"bool": {"filter": [
+            {"script": {"script": {"id": "by_class"}}}]}}})
+    with pytest.raises(ValueError, match="search body"):
+        p.put_script("bad", {"script": {"lang": "mustache", "source": 7}})
