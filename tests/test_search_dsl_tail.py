@@ -1939,3 +1939,36 @@ def test_explain_true_per_hit(docs):
     })
     r = res["hits"].collect()[0]
     assert r["_explanation"]["matched"] is True
+
+
+def test_highlight_fragments(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        apply_highlight,
+    )
+
+    long_text = ("alpha " + "x" * 40 + " beta spark gamma " + "y" * 40
+                 + " spark delta " + "z" * 40)
+    df = spark.createDataFrame([(1, long_text)], "id long, text string")
+    q = {"match": {"text": "spark"}}
+    # whole-field default unchanged: one tagged string
+    out = apply_highlight(df, q, {"fields": {"text": {}}})
+    row = out.collect()[0]
+    assert row["_highlight_text"].count("<em>spark</em>") == 2
+    # fragment mode: array of snippets around each match, bounded size
+    out = apply_highlight(df, q, {"fields": {"text": {
+        "number_of_fragments": 2, "fragment_size": 30}}})
+    frags = out.collect()[0]["_highlight_text"]
+    assert isinstance(frags, list) and len(frags) == 2
+    assert all("<em>spark</em>" in f for f in frags)
+    assert all(len(f) <= 30 + len("<em></em>") + 1 for f in frags)
+    # number_of_fragments caps the list; top-level knobs apply
+    out = apply_highlight(df, q, {
+        "number_of_fragments": 1, "fields": {"text": {}}})
+    frags = out.collect()[0]["_highlight_text"]
+    assert len(frags) == 1
+    # custom tags survive fragment extraction
+    out = apply_highlight(df, q, {
+        "pre_tags": ["**"], "post_tags": ["**"],
+        "fields": {"text": {"number_of_fragments": 2}}})
+    frags = out.collect()[0]["_highlight_text"]
+    assert all("**spark**" in f for f in frags)
