@@ -391,7 +391,11 @@ class FlightsEtlPipeline:
         path = os.path.join(self._index_path(route), "_settings.json")
         try:
             with open(path) as f:
-                return int(json.load(f)["n_buckets"])
+                settings = json.load(f)
+            # the file may carry only blocks (add_block on a never-
+            # resized index) — fall through to the default then
+            if "n_buckets" in settings:
+                return int(settings["n_buckets"])
         except (FileNotFoundError, NotADirectoryError):
             pass
         if not os.path.isdir(self._index_path(route)):
@@ -407,14 +411,81 @@ class FlightsEtlPipeline:
                 return sim["n_buckets"]
         return self.cfg.n_buckets
 
-    def _write_route_settings(self, route: str, n_buckets: int) -> None:
+    def _read_route_settings(self, route: str) -> dict:
         import json
 
         path = os.path.join(self._index_path(route), "_settings.json")
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (FileNotFoundError, NotADirectoryError):
+            return {}
+
+    def _write_route_settings(self, route: str, n_buckets: int) -> None:
+        import json
+
+        settings = self._read_route_settings(route)
+        settings["n_buckets"] = int(n_buckets)
+        path = os.path.join(self._index_path(route), "_settings.json")
         with open(path, "w") as f:
-            json.dump({"n_buckets": int(n_buckets)}, f)
+            json.dump(settings, f)
+
+    # -- index blocks ---------------------------------------------------------
+
+    def add_block(self, route: str, block: str) -> dict:
+        """``PUT /<index>/_block/<block>`` analog. ``write`` rejects
+        document writes (bulk / doc CRUD / update_by_query /
+        delete_by_query / reindex-into), ``read_only`` additionally
+        freezes metadata ops (split/shrink). Blocks persist in the
+        per-route ``_settings.json`` beside the bucket count. The CDC
+        stream itself is NOT gated — it is the system of record
+        replaying upstream truth, and wedging the checkpointed stream
+        on a client-facing block would turn a soft guard into data
+        loss; block the client verbs, drain the source instead."""
+        import json
+
+        if block not in ("write", "read_only"):
+            raise ValueError(f"unsupported block {block!r}")
+        if not os.path.isdir(self._index_path(route)):
+            raise ValueError(f"no such index {route!r}")
+        settings = self._read_route_settings(route)
+        blocks = set(settings.get("blocks") or [])
+        blocks.add(block)
+        settings["blocks"] = sorted(blocks)
+        path = os.path.join(self._index_path(route), "_settings.json")
+        with open(path, "w") as f:
+            json.dump(settings, f)
+        return {"acknowledged": True, "blocks": settings["blocks"]}
+
+    def remove_block(self, route: str, block: str) -> dict:
+        import json
+
+        settings = self._read_route_settings(route)
+        blocks = set(settings.get("blocks") or [])
+        blocks.discard(block)
+        settings["blocks"] = sorted(blocks)
+        path = os.path.join(self._index_path(route), "_settings.json")
+        with open(path, "w") as f:
+            json.dump(settings, f)
+        return {"acknowledged": True, "blocks": settings["blocks"]}
+
+    def _check_write_block(self, route: str, op: str) -> None:
+        blocks = set(self._read_route_settings(route).get("blocks") or [])
+        if blocks & {"write", "read_only"}:
+            raise PermissionError(
+                f"{op}: index {route!r} is write-blocked "
+                f"({sorted(blocks)}) — the public index_blocked error"
+            )
+
+    def _check_metadata_block(self, route: str, op: str) -> None:
+        blocks = set(self._read_route_settings(route).get("blocks") or [])
+        if "read_only" in blocks:
+            raise PermissionError(
+                f"{op}: index {route!r} is read_only"
+            )
 
     def _resize_index(self, route: str, new_n: int) -> dict:
+        self._check_metadata_block(route, "resize")
         current = self.read_index(route)
         if current is None:
             raise ValueError(f"resize: index {route!r} is not materialized")
@@ -777,6 +848,7 @@ class FlightsEtlPipeline:
         merge cost ∝ touched buckets like a streamed micro-batch."""
         from ..operators.search import compile_query
 
+        self._check_write_block(route, "delete_by_query")
         idx = self.index_view(route)
         if idx is None:
             return 0
@@ -806,6 +878,7 @@ class FlightsEtlPipeline:
         after a public update_by_query."""
         from ..operators.search import compile_query
 
+        self._check_write_block(route, "update_by_query")
         idx = self.index_view(route)
         if idx is None:
             return 0
@@ -858,6 +931,7 @@ class FlightsEtlPipeline:
         count."""
         from ..operators.search import compile_query
 
+        self._check_write_block(dest, "reindex")
         if dest in self.get_aliases():
             raise ValueError(
                 f"reindex: {dest!r} is an alias name — it would shadow "
@@ -2407,6 +2481,7 @@ class FlightsEtlPipeline:
         (not the stale pre-bulk image), exactly like the public API.
         Unknown or internal fields are rejected up front. Returns
         per-action-type counts."""
+        self._check_write_block(route, "bulk")
         idx = self.index_view(route)
         if idx is None:
             raise ValueError(

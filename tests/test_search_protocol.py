@@ -1189,3 +1189,51 @@ def test_stored_search_templates(spark, tmp_path_factory):
             {"script": {"script": {"id": "by_class"}}}]}}})
     with pytest.raises(ValueError, match="search body"):
         p.put_script("bad", {"script": {"lang": "mustache", "source": 7}})
+
+
+def test_index_blocks(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("blocks")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+
+    assert p.add_block("fare", "write")["blocks"] == ["write"]
+    for fn in (
+        lambda: p.bulk("fare", [{"delete": {"_id": "x"}}]),
+        lambda: p.index_doc("fare", "x", {"pk": "X"}),
+        lambda: p.delete_by_query("fare", {"term": {"pk": "DEN"}}),
+        lambda: p.update_by_query("fare", {"term": {"pk": "DEN"}},
+                                  {"fare_class": "'x'"}),
+        lambda: p.reindex("flight", "fare"),
+    ):
+        with pytest.raises(PermissionError, match="write-blocked"):
+            fn()
+    # reads and metadata ops still work under `write`
+    assert p.search("fare", {})["hits"].count() == 22
+    doubled = p._route_n_buckets("fare") * 2
+    p.split_index("fare", 2)
+    assert p._route_n_buckets("fare") == doubled
+    assert p.remove_block("fare", "write")["blocks"] == []
+    assert p.delete_by_query("fare", {"term": {"pk": "DEN"}}) >= 1
+
+    # read_only blocks writes AND resize
+    p.add_block("fare", "read_only")
+    with pytest.raises(PermissionError):
+        p.bulk("fare", [{"delete": {"_id": "x"}}])
+    with pytest.raises(PermissionError, match="read_only"):
+        p.split_index("fare", 2)
+    assert p.search("fare", {})["hits"].count() > 0
+    p.remove_block("fare", "read_only")
+
+    with pytest.raises(ValueError, match="unsupported block"):
+        p.add_block("fare", "metadata")
+    with pytest.raises(ValueError, match="no such index"):
+        p.add_block("ghost", "write")
+    # block writes merge with (not clobber) the bucket-count setting
+    p.add_block("fare", "write")
+    p.remove_block("fare", "write")
+    assert p._route_n_buckets("fare") == doubled
