@@ -415,3 +415,35 @@ def ppl_ad_anomalies(spark, sf_dir):
         "| sort -score, event_id | head 100",
         "events",
     )
+
+
+@register(
+    "ppl_trendline_wma",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, value,
+             lag(value, 2) OVER (ORDER BY event_id) AS l2,
+             lag(value, 1) OVER (ORDER BY event_id) AS l1
+      FROM events)
+    SELECT event_id, ROUND((l2 * 1.0 + l1 * 2.0 + value * 3.0) / 6.0, 9) AS w
+    FROM s ORDER BY event_id LIMIT 100
+    """,
+    doc="PPL `trendline wma(3, value)`: linearly-weighted moving average "
+    "(newest weight 3 ... oldest 1, triangular-number normalized) over "
+    "the event_id-ordered stream, null until the window fills. The "
+    "oracle states the same weights through lag() — identical left-"
+    "fold association, so values match to the 9-decimal round both "
+    "engines apply.",
+    tags=("ppl",),
+)
+def ppl_trendline_wma(spark, sf_dir):
+    return _run(
+        spark, sf_dir,
+        "search source=events "
+        "| sort +event_id "
+        "| trendline wma(3, value) as wraw "
+        "| eval w = round(wraw, 9) "
+        "| head 100 "
+        "| fields event_id, w",
+        "events",
+    )
