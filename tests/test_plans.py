@@ -464,3 +464,89 @@ def test_has_child_semi_join_pushdown(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "has_child_search")
     assert "LeftSemi" in plan
     assert "GreaterThanOrEqual(l_quantity,50" in plan
+
+
+def test_post_filter_pushes_both_predicates(spark, sf_dir):
+    # hits job: query AND post_filter reach the scan; no shuffle at all
+    plan = plan_of(spark, sf_dir, "post_filter_search")
+    pushed = plan.split("PushedFilters")[1].splitlines()[0]
+    assert "c_acctbal" in pushed and "c_mktsegment" in pushed
+    assert "Exchange" not in plan
+
+
+def test_quality_classifier_scoring_is_map_only(spark, sf_dir):
+    # sigmoid(margin) over the feature triple: one projection, zero
+    # shuffle — the corpus-quality filter costs a column scan at 100 TB
+    plan = plan_of(spark, sf_dir, "quality_classifier_scores")
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "source" not in read_schema  # unused columns pruned
+
+
+def test_categorize_text_single_shuffle_partial_agg(spark, sf_dir):
+    # the pattern-key groupBy must shuffle |patterns| keys once, with a
+    # map-side partial aggregate — never documents
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = F.array_join(
+        F.filter(F.split(F.col("text"), r"[^A-Za-z]+"), lambda t: t != ""),
+        " ",
+    )
+    agg = d.groupBy(key.alias("key")).agg(F.count("*").alias("n"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        agg.explain(mode="formatted")
+    plan = buf.getvalue()
+    # tree occurrence only ("Exchange (n)"); the node-detail section
+    # prints each operator a second time
+    assert plan.count("Exchange (") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_grid_cells_aggregate_with_one_exchange(spark, sf_dir):
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        geotile_cell,
+        hexgrid_cell,
+    )
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    lat = ((F.col("c_custkey") * 7919) % 18000) / 100.0 - 90.0
+    lon = ((F.col("c_custkey") * 104729) % 36000) / 100.0 - 180.0
+    pts = c.select(F.struct(lat.alias("lat"), lon.alias("lon"))
+                   .alias("location"))
+    for cell in (geotile_cell("location", 5), hexgrid_cell("location", 5)):
+        agg = pts.groupBy(cell.alias("key")).agg(F.count("*").alias("n"))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            agg.explain(mode="formatted")
+        plan = buf.getvalue()
+        assert plan.count("Exchange (") == 1  # |cells| keys, one shuffle
+        assert plan.count("HashAggregate") >= 2
+
+
+def test_geo_line_is_take_ordered(spark, sf_dir):
+    # the geo_line collect is orderBy+limit = TakeOrderedAndProject:
+    # per-task bounded heaps, never a global sort
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select("ts", "value").orderBy(
+        F.col("ts").asc(), F.col("value").asc()).limit(51)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pts.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global sort operator
