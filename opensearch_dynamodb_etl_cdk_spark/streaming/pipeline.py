@@ -1130,16 +1130,39 @@ class FlightsEtlPipeline:
         * ``keep_generations``: N — delete the OLDEST generations
           beyond the newest N (the write index is always in the newest
           N, so it is never deleted)
+        * ``force_merge``: ``{"max_num_segments": k}`` — compact every
+          NON-write generation to ≤ k files per bucket (the public
+          warm-phase force_merge; the write index is skipped — merging
+          the generation still receiving writes would churn)
 
         Returns what the tick did. Deleting a generation is the
         retention boundary: snapshots (:meth:`snapshot`) are the
         recovery path, exactly as with tombstone purges."""
         import re as _re
 
-        out: dict = {"rolled_over": False, "deleted": []}
+        out: dict = {"rolled_over": False, "deleted": [], "merged": []}
         if policy.get("rollover") is not None:
             r = self.rollover(alias, policy["rollover"] or None)
             out["rolled_over"] = r["rolled_over"]
+        fm = policy.get("force_merge")
+        if fm is not None:
+            target = self.get_aliases().get(alias)
+            m = _re.match(r"^(.*)-(\d+)$", target or "")
+            if m:
+                prefix = m.group(1)
+                for idx in sorted(
+                    n for n in self._all_index_names()
+                    if _re.fullmatch(_re.escape(prefix) + r"-\d+", n)
+                ):
+                    if idx == target:
+                        continue  # never the write index
+                    self.forcemerge(
+                        idx,
+                        max_num_segments=int(
+                            (fm or {}).get("max_num_segments", 1)
+                        ),
+                    )
+                    out["merged"].append(idx)
         keep = policy.get("keep_generations")
         if keep is not None:
             keep = int(keep)

@@ -873,7 +873,8 @@ def test_ism_policy_tick(spark, tmp_path_factory):
 
     # retention trims the oldest beyond keep_generations=2
     out = p.apply_ism_policy("logs_write", {"keep_generations": 2})
-    assert out == {"rolled_over": False, "deleted": ["logs-000001"]}
+    assert out == {"rolled_over": False, "deleted": ["logs-000001"],
+                   "merged": []}
     assert p.index_view("logs-000001") is None
     assert p.index_view("logs-000002") is not None
     # idempotent: a second tick deletes nothing more
@@ -891,6 +892,15 @@ def test_ism_policy_tick(spark, tmp_path_factory):
     assert p.delete_index("never-existed") is False
     with pytest.raises(ValueError, match="keep_generations"):
         p.apply_ism_policy("logs_write", {"keep_generations": 0})
+
+    # warm-phase force_merge compacts every non-write generation; the
+    # write index is skipped and doc-visible state is unchanged
+    before = p.index_view("logs-000003").count()
+    out = p.apply_ism_policy("logs_write", {
+        "force_merge": {"max_num_segments": 1}})
+    assert out["merged"] == ["logs-000003"]  # write index is -000004
+    assert p.get_aliases()["logs_write"] == "logs-000004"
+    assert p.index_view("logs-000003").count() == before
 
 
 def test_rollup_tick_resumes_and_matches_direct_agg(spark,
