@@ -1227,25 +1227,44 @@ class FlightsEtlPipeline:
 
     # -- aliases + snapshots (operational surface) -------------------------
 
-    def put_alias(self, alias: str, pattern: str) -> None:
+    def put_alias(self, alias: str, pattern: str,
+                  filter: dict | None = None) -> None:
         """``POST /_aliases`` add-action analog: name an index pattern.
         Aliases resolve inside :meth:`multi_index_view`, so a search
         against an alias is a search against its pattern's union —
         filter pushdown per route unchanged. Persisted as a JSON file
         next to the index tables (atomic tmp+rename write); alias names
         colliding with a real index are rejected, as the public API
-        does."""
+        does.
+
+        ``filter`` (a DSL query body) makes a FILTERED alias — the
+        public row-scoped view (tenant/status slices without copying
+        data): every search through the alias sees only matching docs,
+        and the compiled predicate still pushes into each route's scan,
+        so the filtered alias costs exactly what writing the filter
+        into every query would. The filter is validated by compiling it
+        at PUT time — a bad body fails here, not at first search."""
         if alias in self.cfg.routes or os.path.isdir(self._index_path(alias)):
             raise ValueError(
                 f"alias {alias!r} collides with an existing index name"
             )
-        aliases = self.get_aliases()
-        aliases[alias] = pattern
+        if filter is not None:
+            from ..operators.search import compile_query
+
+            compile_query(dict(filter))  # PUT-time validation
+        aliases = self._read_aliases_raw()
+        aliases[alias] = (
+            {"pattern": pattern, "filter": filter}
+            if filter is not None else pattern
+        )
         self._write_aliases(aliases)
 
     def delete_alias(self, alias: str) -> None:
+        # raw registry, not get_aliases(): a rewrite from the flattened
+        # view would silently strip every other alias's filter
         self._write_aliases(
-            {k: v for k, v in self.get_aliases().items() if k != alias}
+            {k: v for k, v in self._read_aliases_raw().items()
+             if k != alias}
         )
 
     # -- ingest pipelines ---------------------------------------------------
@@ -1339,7 +1358,9 @@ class FlightsEtlPipeline:
             json.dump(aliases, f)
         os.replace(tmp, path)  # atomic: readers never see a partial file
 
-    def get_aliases(self) -> dict[str, str]:
+    def _read_aliases_raw(self) -> dict:
+        """Alias registry as stored: value = pattern string, or
+        ``{"pattern", "filter"}`` for filtered aliases."""
         import json
 
         path = os.path.join(self.cfg.index_root, "_aliases.json")
@@ -1348,6 +1369,14 @@ class FlightsEtlPipeline:
                 return json.load(f)
         except FileNotFoundError:
             return {}
+
+    def get_aliases(self) -> dict[str, str]:
+        """alias → index pattern (filtered aliases report their
+        pattern; the filter rides only the view resolution)."""
+        return {
+            k: (v["pattern"] if isinstance(v, dict) else v)
+            for k, v in self._read_aliases_raw().items()
+        }
 
     # -- stored scripts -----------------------------------------------------
 
@@ -1707,16 +1736,30 @@ class FlightsEtlPipeline:
         search body still push into each route's parquet scan."""
         import fnmatch
 
-        aliases = self.get_aliases()
+        raw_aliases = self._read_aliases_raw()
         parts: list[str] = []
+        filtered_frames: list[DataFrame] = []
         for raw in pattern.split(","):
             raw = raw.strip()
             if not raw:
                 continue
-            if raw in aliases:  # alias → its pattern's parts
-                parts.extend(
-                    q.strip() for q in aliases[raw].split(",") if q.strip()
-                )
+            spec = raw_aliases.get(raw)
+            if isinstance(spec, dict) and spec.get("filter") is not None:
+                # filtered alias: resolve its own pattern, then apply
+                # the stored DSL filter — the predicate compiles into
+                # each route's scan like any query clause, so the
+                # row-scoped view costs nothing extra
+                from ..operators.search import compile_query
+
+                sub = self.multi_index_view(spec["pattern"])
+                if sub is not None:
+                    filtered_frames.append(
+                        sub.filter(compile_query(spec["filter"]))
+                    )
+                continue
+            if spec is not None:  # plain alias → its pattern's parts
+                pat = spec["pattern"] if isinstance(spec, dict) else spec
+                parts.extend(q.strip() for q in pat.split(",") if q.strip())
             else:
                 parts.append(raw)
         names = self._all_index_names()  # routes + reindex-created tables
@@ -1740,6 +1783,10 @@ class FlightsEtlPipeline:
             df = df.withColumn("_index", F.lit(r))
             out = df if out is None else out.unionByName(
                 df, allowMissingColumns=True
+            )
+        for ff in filtered_frames:  # filtered-alias parts (carry _index)
+            out = ff if out is None else out.unionByName(
+                ff, allowMissingColumns=True
             )
         return out
 

@@ -1247,3 +1247,40 @@ def test_index_blocks(spark, tmp_path_factory):
     p.add_block("fare", "write")
     p.remove_block("fare", "write")
     assert p._route_n_buckets("fare") == doubled
+
+
+def test_filtered_aliases(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("falias")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+
+    p.put_alias("den_fares", "fare",
+                filter={"term": {"pk": "DEN"}})
+    want = p.index_view("fare").filter(F.col("pk") == "DEN").count()
+    assert want >= 1
+    # search through the alias sees only the row-scoped view; the
+    # alias filter ANDs with the request's own query
+    assert p.search("den_fares", {})["hits"].count() == want
+    got = p.search("den_fares", {
+        "query": {"exists": {"field": "fare_class"}}})["hits"].count()
+    assert got <= want
+    # mixed pattern: plain index + filtered alias (fare rows counted
+    # twice: once unfiltered, once scoped — the public union semantics)
+    both = p.search("flight,den_fares", {})["hits"].count()
+    assert both == p.index_view("flight").count() + want
+    # registry behavior: plain aliases unaffected; filters survive
+    # unrelated writes; delete removes; PUT-time validation rejects
+    p.put_alias("all_fares", "fare")
+    assert p.get_aliases()["den_fares"] == "fare"
+    p.delete_alias("all_fares")
+    assert p.search("den_fares", {})["hits"].count() == want
+    with pytest.raises(Exception):
+        p.put_alias("bad", "fare", filter={"nope": {}})
+    p.delete_alias("den_fares")
+    with pytest.raises(ValueError, match="no such index"):
+        p.search("den_fares", {})
