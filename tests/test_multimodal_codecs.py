@@ -301,3 +301,50 @@ def test_registered_decoder_flows_through_arrow_plumbing(spark):
         5, 6, 30)
     assert rows[1]["media_kind"] == "image"
     assert rows[1]["sample_rate"] is None  # audio columns null for images
+
+
+def test_resize_bmp_real_pixels(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        resize_bmp,
+        resize_images,
+    )
+
+    # uniform image: resize preserves the mean exactly at any size
+    src = encode_bmp(7, 5, 200)  # width 7 → stride padding exercised
+    for w, h in ((3, 3), (14, 10), (1, 1)):
+        out = resize_bmp(src, w, h)
+        d = decode_bmp(out)
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["mean_value"] == 200.0
+    # identity resize reproduces the pixel statistics
+    same = resize_bmp(src, 7, 5)
+    assert decode_bmp(same)["mean_value"] == 200.0
+    # non-uniform: 2x1 image [10 | 250], upscale 4x1 → nearest
+    # neighbor duplicates each half; mean unchanged
+    import struct as _s
+
+    px = bytes([10, 10, 10, 250, 250, 250]) + b"\x00\x00"  # 2*3 + pad 2
+    hdr = _s.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+    info = _s.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(px), 0, 0, 0, 0)
+    two = hdr + info + px
+    up = resize_bmp(two, 4, 1)
+    d = decode_bmp(up)
+    assert d["width"] == 4 and d["mean_value"] == 130.0
+    with pytest.raises(NotImplementedError):
+        resize_bmp(two[:14] + _s.pack("<IiiHHI", 40, 2, 1, 1, 8, 0)
+                   + two[34:], 1, 1)
+    with pytest.raises(ValueError):
+        resize_bmp(two, 0, 1)
+
+    # distributed plumbing: one Arrow pass, resized payloads decode
+    df = spark.createDataFrame(
+        [(1, "s", encode_bmp(6, 4, 50)), (2, "s", encode_bmp(9, 3, 99))],
+        "doc_id long, source string, payload binary",
+    )
+    out = resize_images(df, 4, 4).collect()
+    assert {(r["width"], r["height"]) for r in out} == {(4, 4)}
+    means = {r["doc_id"]: decode_bmp(bytes(r["payload"]))["mean_value"]
+             for r in out}
+    assert means == {1: 50.0, 2: 99.0}
