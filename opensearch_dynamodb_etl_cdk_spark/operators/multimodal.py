@@ -622,3 +622,70 @@ def resize_images(
             )
 
     return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+RESAMPLE_SCHEMA = (
+    "doc_id long, source string, sample_rate int, n_frames long, "
+    "payload binary"
+)
+
+
+def resample_wav(payload: bytes, out_rate: int) -> bytes:
+    """Nearest-neighbor rate conversion of a 16-bit PCM WAV to
+    ``out_rate`` Hz — real samples in, real samples out, dependency-
+    free (numpy frame-index gather; channels preserved, frame count
+    scales by out_rate/in_rate). The training-data normalization step
+    before an audio encoder that expects one fixed rate. Non-PCM or
+    non-16-bit inputs raise the documented container constraint."""
+    import numpy as np
+
+    if out_rate <= 0:
+        raise ValueError("out_rate must be positive")
+    meta = decode_wav(payload)  # validates format, walks chunks
+    in_rate, channels = meta["sample_rate"], meta["channels"]
+    # re-walk for the raw data chunk (decode_wav returns stats only)
+    pos, end = 12, len(payload)
+    data = b""
+    while pos + 8 <= end:
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos = pos + 8 + size + (size % 2)
+    frames = np.frombuffer(
+        data, np.int16, count=(len(data) // (2 * channels)) * channels
+    ).reshape(-1, channels)
+    n_in = frames.shape[0]
+    n_out = max(0, (n_in * out_rate) // in_rate)
+    fi = (np.arange(n_out, dtype=np.int64) * in_rate) // out_rate
+    out = frames[fi] if n_out else frames[:0]
+    raw = out.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, out_rate,
+                      out_rate * channels * 2, channels * 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(raw)) + raw)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def resample_audio(
+    df: DataFrame, sample_rate: int, payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched audio resample over a binary payload column —
+    the audio twin of :func:`resize_images`, same plumbing
+    discipline."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            outs = [resample_wav(p, sample_rate) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "sample_rate": sample_rate,
+                    "n_frames": [decode_wav(o)["n_units"] for o in outs],
+                    "payload": outs,
+                }
+            )
+
+    return df.mapInPandas(run, RESAMPLE_SCHEMA)

@@ -348,3 +348,32 @@ def test_resize_bmp_real_pixels(spark):
     means = {r["doc_id"]: decode_bmp(bytes(r["payload"]))["mean_value"]
              for r in out}
     assert means == {1: 50.0, 2: 99.0}
+
+
+def test_resample_wav_real_samples(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        resample_audio,
+        resample_wav,
+    )
+
+    src = encode_wav(8000, 2, 800, 1234)  # 100 ms stereo
+    for rate in (4000, 16000, 8000):
+        out = resample_wav(src, rate)
+        d = decode_wav(out)
+        assert d["sample_rate"] == rate and d["channels"] == 2
+        assert d["n_units"] == 800 * rate // 8000
+        assert d["mean_value"] == 1234.0       # constant signal survives
+        assert abs(d["duration_ms"] - 100.0) < 1e-9  # duration preserved
+    with pytest.raises(ValueError):
+        resample_wav(src, 0)
+
+    df = spark.createDataFrame(
+        [(1, "s", encode_wav(8000, 1, 80, -7)),
+         (2, "s", encode_wav(16000, 1, 320, 9))],
+        "doc_id long, source string, payload binary",
+    )
+    out = {r["doc_id"]: r for r in resample_audio(df, 4000).collect()}
+    assert out[1]["n_frames"] == 40 and out[2]["n_frames"] == 80
+    assert decode_wav(bytes(out[1]["payload"]))["mean_value"] == -7.0
