@@ -534,7 +534,8 @@ def extract_media_features(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFra
 
 
 RESIZE_SCHEMA = (
-    "doc_id long, source string, width int, height int, payload binary"
+    "doc_id long, source string, media_type string, width int, "
+    "height int, payload binary"
 )
 
 
@@ -612,6 +613,10 @@ def resize_images(
                 {
                     "doc_id": pdf["doc_id"],
                     "source": pdf["source"],
+                    "media_type": (
+                        pdf["media_type"] if "media_type" in pdf.columns
+                        else "image/bmp"
+                    ),
                     "width": width,
                     "height": height,
                     "payload": [

@@ -2578,3 +2578,39 @@ def knn_l2_search(spark, sf_dir):
         "tie_break": "vec_id",
     }}}}
     return execute_search(e, body)["hits"].select("vec_id", "label", "_score")
+
+
+@register(
+    "multimodal_resize_stats",
+    oracle="""
+    SELECT source, COUNT(*) AS n_items,
+           CAST(COUNT(*) * 16 AS BIGINT) AS sum_pixels,
+           CAST(SUM(CAST(doc_id % 251 AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(1) AS avg_pixel,
+           CAST(COUNT(*) * 102 AS BIGINT) AS sum_payload_bytes
+    FROM documents GROUP BY source
+    """,
+    doc="REAL image resize end-to-end: synthesize genuine 24-bit BMPs "
+    "(geometry/pixel closed-form in doc_id), nearest-neighbor resample "
+    "every payload to 4x4 (operators/multimodal.py::resize_images — "
+    "numpy index gather over the decoded pixel grid), decode the "
+    "RESIZED bytes back and aggregate per source. The oracle states "
+    "the invariants a correct resize must satisfy: 16 pixels each, a "
+    "102-byte file (54-byte headers + 4x4x3 rows, zero padding), and "
+    "the uniform source pixel value surviving resampling exactly. "
+    "Payload bytes never leave the executors.",
+    tags=("multimodal",),
+)
+def multimodal_resize_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    media = M.synthesize_media(d, "image", keep=("source",))
+    resized = M.resize_images(media, 4, 4)
+    feats = M.extract_media_features(resized, keep=("source",))
+    exact = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast(
+        "double") / F.count(F.lit(1))
+    return feats.groupBy("source").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_units").alias("sum_pixels"),
+        exact("mean_value").alias("avg_pixel"),
+        F.sum("n_bytes").alias("sum_payload_bytes"),
+    )
