@@ -983,3 +983,82 @@ def ivfpq_rerank_topk(
         .orderBy(F.col("_score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def binary_signature(
+    vec_col, dim: int, word_bits: int = 32
+) -> list[Column]:
+    """Sign-bit quantization: bit ``i`` of word ``w`` is set iff
+    component ``w·word_bits + i`` is positive — a ``dim``-float vector
+    collapses to ``ceil(dim/word_bits)`` longs (32 bits per word keeps
+    every partial sum far from the BIGINT sign bit, so an identical-
+    arithmetic SQL twin is safe; 64-bit words would need the
+    engine-specific ``1<<63`` wrap). The 1-bit code underlying the
+    public kNN binary-vector space: 64-256× smaller than float32,
+    Hamming distance in two popcounts."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    words = []
+    for w in range((dim + word_bits - 1) // word_bits):
+        acc = F.lit(0).cast("long")
+        for i in range(min(word_bits, dim - w * word_bits)):
+            acc = acc + F.when(
+                F.element_at(col, w * word_bits + i + 1) > 0,
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        words.append(acc)
+    return words
+
+
+def _binary_words_py(vec: list[float], word_bits: int = 32) -> list[int]:
+    """Driver-side twin of :func:`binary_signature` for the query."""
+    words = []
+    for w in range((len(vec) + word_bits - 1) // word_bits):
+        acc = 0
+        for i in range(min(word_bits, len(vec) - w * word_bits)):
+            if vec[w * word_bits + i] > 0:
+                acc |= 1 << i
+        words.append(acc)
+    return words
+
+
+def binary_hamming_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    candidates: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantized ANN: Hamming distance between sign-bit codes
+    shortlists ``candidates`` (default 4k) nearest codes, then exact
+    cosine re-ranks the shortlist — the public binary-space kNN shape.
+
+    Scale shape: the signature is a per-row codegen fold (never
+    materialized unless the caller persists it), the shortlist is ONE
+    TakeOrdered over two xor+popcount longs — at 100 TB the scan reads
+    float vectors but shuffles only ``candidates`` rows, and a
+    persisted signature table turns the scan itself into 2 longs/row
+    (64 dims: 8 bytes vs 256)."""
+    dim = len(query_vec)
+    cand_n = int(candidates) if candidates is not None else max(4 * k, k)
+    sig = binary_signature(vec_col, dim)
+    qw = _binary_words_py([float(x) for x in query_vec])
+    dist = None
+    for s, q in zip(sig, qw):
+        term = F.bit_count(s.bitwiseXOR(F.lit(q).cast("long")))
+        dist = term if dist is None else dist + term
+    shortlist = (
+        df.select(F.col(id_col), F.col(vec_col), dist.alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(cand_n)
+    )
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        shortlist.select(
+            F.col(id_col),
+            F.col("hamming"),
+            cosine(F.col(vec_col), qarr).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

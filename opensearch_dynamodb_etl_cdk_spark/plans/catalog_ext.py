@@ -2614,3 +2614,51 @@ def multimodal_resize_stats(spark, sf_dir):
         exact("mean_value").alias("avg_pixel"),
         F.sum("n_bytes").alias("sum_payload_bytes"),
     )
+
+
+def _binary_word_sql(vec: str, w: int, bits: int = 32) -> str:
+    """Identical-arithmetic DuckDB twin of one signature word of
+    ``operators.similarity.binary_signature`` (sum of distinct powers
+    of two — exact integers, association-free)."""
+    terms = " + ".join(
+        f"(CASE WHEN {vec}[{w * bits + i + 1}] > 0 "
+        f"THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(bits)
+    )
+    return f"({terms})"
+
+
+@register(
+    "ann_binary_hamming_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sig AS (
+      SELECT e.vec_id, e.embedding,
+             bit_count(xor({_binary_word_sql('e.embedding', 0)},
+                           {_binary_word_sql('q.qv', 0)}))
+             + bit_count(xor({_binary_word_sql('e.embedding', 1)},
+                             {_binary_word_sql('q.qv', 1)})) AS hamming
+      FROM embeddings e, q),
+    cand AS (
+      SELECT vec_id, embedding, hamming
+      FROM sig ORDER BY hamming ASC, vec_id ASC LIMIT 40)
+    SELECT c.vec_id, c.hamming, {_cos('c.embedding', 'q.qv')} AS score
+    FROM cand c, q
+    ORDER BY score DESC, c.vec_id ASC LIMIT 10
+    """,
+    doc="Binary-quantized ANN (operators/similarity.py::"
+    "binary_hamming_topk): sign-bit codes — 64 floats → two 32-bit "
+    "words in longs — shortlist 40 candidates by Hamming distance "
+    "(xor + popcount, pure codegen), exact cosine re-ranks the "
+    "shortlist. The public kNN binary-vector space shape: at 100 TB "
+    "the shortlist TakeOrdered shuffles 40 rows, and a persisted "
+    "signature table shrinks the scan to 8 bytes/vector (32x). The "
+    "oracle mirrors the packing word-for-word (distinct powers of "
+    "two — exact integers) and the cosine fold term-for-term.",
+    tags=("similarity", "topk"),
+)
+def ann_binary_hamming_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return S.binary_hamming_topk(e, qvec, k=10, candidates=40)

@@ -811,3 +811,41 @@ def test_bpe_encode_applies_merges(spark):
     # zero merges → pure character tokens
     out0 = bpe_encode(df, [], out_col="chars").collect()[0]["chars"]
     assert all(len(t) == 1 for t in out0)
+
+
+def test_binary_hamming_recall_and_packing(spark, sf_dir):
+    """Sign-bit binary ANN: the Hamming shortlist + exact re-rank
+    recovers most of the true cosine top-10 at a 40-candidate pool;
+    the signature packs deterministically and the query's own code has
+    Hamming distance 0 to itself."""
+    from opensearch_dynamodb_etl_cdk_spark.operators.similarity import (
+        _binary_words_py,
+        binary_hamming_topk,
+        binary_signature,
+        brute_force_topk,
+    )
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    q = [float(x) for x in
+         e.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    truth = {r["vec_id"] for r in brute_force_topk(e, q, k=10).collect()}
+    res = binary_hamming_topk(e, q, k=10, candidates=40).collect()
+    got = {r["vec_id"] for r in res}
+    assert len(truth & got) >= 6, (truth, got)  # 1-bit codes: coarse
+    # the query row itself is vec_id 0: hamming 0, cosine 1.0
+    self_row = [r for r in res if r["vec_id"] == 0]
+    assert self_row and self_row[0]["hamming"] == 0
+    assert abs(self_row[0]["score"] - 1.0) < 1e-12
+    # packing: Spark words == the driver-side twin, per row
+    rows = (
+        e.orderBy("vec_id").limit(5)
+        .select("vec_id", "embedding",
+                *[c.alias(f"w{i}") for i, c in
+                  enumerate(binary_signature("embedding", 64))])
+        .collect()
+    )
+    for r in rows:
+        assert [r["w0"], r["w1"]] == _binary_words_py(
+            [float(x) for x in r["embedding"]]
+        )
