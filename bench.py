@@ -111,6 +111,14 @@ HEADLINE = [
     # projection + dup-count join + rollup — the release summary table)
     "ingest_pipeline_transform",
     "corpus_datacard",
+    # round-6 late additions: the pattern-key log-categorization groupBy
+    # (|patterns| shuffle keys), the sign-bit binary ANN (xor+popcount
+    # shortlist + exact re-rank), the map-only logistic quality scorer,
+    # and the PPL robust-z anomaly pipeline (two percentile aggregates
+    # + broadcast join)
+    "ann_binary_hamming_topk",
+    "quality_classifier_scores",
+    "ppl_ad_anomalies",
 ]
 
 # Iterative/trainer operators do their distributed work INSIDE fn()
@@ -124,6 +132,7 @@ EAGER_HEADLINE = [
     "pca_embedding_summary",  # Gram-matrix aggregate + driver eigensolve
     "bpe_train_merges",       # 20 merge rounds over the bounded word table
     "logreg_train_weights",   # 5 gradient scans (one aggregate each)
+    "categorize_text_agg",    # interpreter collects buckets inside fn()
 ]
 
 # The driver's fixture parquet ships ONE row group per table (sf0.1
