@@ -101,6 +101,13 @@ def train_logistic(
         y.isNotNull() & x.isNotNull() & (F.size(x) == dim)
         & ~F.exists(x, lambda v: v.isNull())
     ).select(x.alias("__x"), y.alias("__y"))
+    # persist across the gradient scans: every iteration re-reads the
+    # SAME (features, label) frame, and feature projections are often
+    # expensive (tokenizer regexes); materializing once turns `iters`
+    # upstream recomputations into `iters` cached-column scans —
+    # MEMORY_AND_DISK, so a corpus larger than cluster memory spills
+    # instead of thrashing the upstream pipeline
+    clean = clean.persist()
 
     bias = 0.0
     weights = [0.0] * dim
@@ -126,10 +133,15 @@ def train_logistic(
         aggs.append(F.sum(loss_term.cast(_DEC)).alias("l"))
         if n is None:
             aggs.append(F.count(F.lit(1)).alias("n"))
-        row = clean.agg(*aggs).collect()[0]
+        try:
+            row = clean.agg(*aggs).collect()[0]
+        except Exception:
+            clean.unpersist()
+            raise
         if n is None:
             n = int(row["n"])
             if n == 0:
+                clean.unpersist()
                 raise ValueError("train_logistic: no trainable rows")
         loss = float(row["l"]) / n
         bias -= lr * float(row["g_b"]) / n
@@ -137,4 +149,5 @@ def train_logistic(
             w - lr * (float(row[f"g_{j}"]) / n + l2 * w)
             for j, w in enumerate(weights)
         ]
+    clean.unpersist()
     return {"bias": bias, "weights": weights, "n": n, "loss": loss}
