@@ -568,6 +568,8 @@ def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
         raise NotImplementedError(f"{bpp}-bit BMP unsupported (only 24-bit)")
     top_down = height < 0
     h = -height if top_down else height
+    if width <= 0 or h <= 0:
+        raise ValueError(f"malformed BMP geometry {width}x{height}")
     stride = width * 3 + (4 - (width * 3) % 4) % 4
     if len(payload) < data_offset + stride * h:
         raise ValueError("truncated BMP: pixel array shorter than geometry")
@@ -648,6 +650,13 @@ def resample_wav(payload: bytes, out_rate: int) -> bytes:
         raise ValueError("out_rate must be positive")
     meta = decode_wav(payload)  # validates format, walks chunks
     in_rate, channels = meta["sample_rate"], meta["channels"]
+    if in_rate <= 0 or channels <= 0:
+        # decode_wav tolerates a degenerate fmt chunk (stats of an
+        # empty signal); a rate conversion cannot — fail as the
+        # documented constraint, not a ZeroDivisionError mid-batch
+        raise ValueError(
+            f"malformed WAV: sample_rate={in_rate}, channels={channels}"
+        )
     # re-walk for the raw data chunk (decode_wav returns stats only)
     pos, end = 12, len(payload)
     data = b""

@@ -619,11 +619,18 @@ def ppl_query(
                     lambda acc, x: acc + x,
                 )
                 ma = weighted / F.lit(float(n * (n + 1) // 2))
+            if kind_ma == "sma":
+                gate = F.count(F.lit(1)).over(w) >= n
+            else:
+                # collect_list DROPS nulls: gating on row count would
+                # let a null-bearing window through with shifted
+                # positional weights and a stale divisor — require n
+                # collected values, so such windows yield NULL (exactly
+                # what a lag-based formulation propagates)
+                gate = F.size(vals) >= n
             df = df.withColumn(
                 out,
-                F.when(
-                    F.count(F.lit(1)).over(w) >= n, ma
-                ),  # public trendline is null until the window fills
+                F.when(gate, ma),  # null until the window fills
             )
 
         elif cmd == "join":
@@ -807,15 +814,15 @@ def ppl_query(
                 df.join(F.broadcast(gmed), on=keys) if keys
                 else df.crossJoin(F.broadcast(gmed))
             )
-            gmad = (
+            stats = (
                 with_med.groupBy(*keys) if keys else with_med.groupBy()
             ).agg(
                 F.expr("percentile(abs(cast({} as double) - __med), 0.5)"
-                       .format(vfld)).alias("__mad")
-            )
-            stats = (
-                gmed.join(gmad, on=keys) if keys
-                else gmed.crossJoin(gmad)
+                       .format(vfld)).alias("__mad"),
+                # carry the per-group median through this aggregate —
+                # joining gmed back separately would evaluate the
+                # full-corpus median percentile a second time
+                F.first("__med").alias("__med"),
             )
             joined = (
                 df.join(F.broadcast(stats), on=keys) if keys

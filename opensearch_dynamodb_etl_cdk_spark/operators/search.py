@@ -3912,10 +3912,6 @@ def execute_search(
         # the public faceted-navigation contract (facet counts ignore
         # the facet the user just clicked). A plain pushable predicate.
         hits = hits.filter(compile_query(body["post_filter"]))
-    # total-hits accounting sees the post_filter but NOT collapse /
-    # slice / paging (the public contract: collapse totals count the
-    # pre-collapse matching docs)
-    total_frame = hits
     if body.get("version") and "_seq" in hits.columns:
         # version flag: surface the engine's LWW sequence as the hit's
         # `_version` (the public API returns the doc version when
@@ -3926,6 +3922,11 @@ def execute_search(
         # meaningful for scored queries — knn / function_score /
         # track_scores BM25; filter-context hits carry no _score)
         hits = hits.filter(F.col("_score") >= float(body["min_score"]))
+    # total-hits accounting sees post_filter AND min_score (both are
+    # collection-phase filters in the public contract) but NOT
+    # collapse / slice / paging (collapse totals count the pre-collapse
+    # matching docs)
+    total_frame = hits
     inner_hits_df = None
     if body.get("collapse"):
         # Field collapse: keep each group's best hit under the request
@@ -5267,7 +5268,9 @@ def _run_agg(
         key = geotile_cell(field, z)
         metric_cols = [_metric_agg(nm, s) for nm, s in sub.items()]
         rows = (
-            df.groupBy(key.alias("key"))
+            df.filter(F.col(f"{field}.lat").isNotNull()
+                      & F.col(f"{field}.lon").isNotNull())
+            .groupBy(key.alias("key"))
             .agg(F.count("*").alias("doc_count"), *metric_cols)
             .orderBy(F.col("doc_count").desc(), F.col("key").asc())
             .limit(size)
@@ -5290,7 +5293,9 @@ def _run_agg(
         key = geohash_cell(field, p)
         metric_cols = [_metric_agg(nm, s) for nm, s in sub.items()]
         rows = (
-            df.groupBy(key.alias("key"))
+            df.filter(F.col(f"{field}.lat").isNotNull()
+                      & F.col(f"{field}.lon").isNotNull())
+            .groupBy(key.alias("key"))
             .agg(F.count("*").alias("doc_count"), *metric_cols)
             .orderBy(F.col("doc_count").desc(), F.col("key").asc())
             .limit(size)
@@ -5311,8 +5316,13 @@ def _run_agg(
         size = int(body.get("size", 10000))
         key = hexgrid_cell(field, p)
         metric_cols = [_metric_agg(nm, s) for nm, s in sub.items()]
+        # null lat/lon → NO bucket (the public rule): F.least/greatest
+        # SKIP nulls, so an unfiltered null point would clamp onto an
+        # edge cell (or emit a malformed short key via concat_ws)
         rows = (
-            df.groupBy(key.alias("key"))
+            df.filter(F.col(f"{field}.lat").isNotNull()
+                      & F.col(f"{field}.lon").isNotNull())
+            .groupBy(key.alias("key"))
             .agg(F.count("*").alias("doc_count"), *metric_cols)
             .orderBy(F.col("doc_count").desc(), F.col("key").asc())
             .limit(size)

@@ -884,7 +884,12 @@ class FlightsEtlPipeline:
             return 0
         if isinstance(set_fields, dict) and set(set_fields) <= {
             "id", "source", "params", "lang"
-        } and ("id" in set_fields or "source" in set_fields):
+        } and ("id" in set_fields or "source" in set_fields) \
+                and not set(set_fields) <= set(idx.columns):
+            # envelope sniff is column-aware: a bare map whose keys ALL
+            # name real data columns (an index CAN have columns called
+            # id/source/lang) is a column map, never an envelope —
+            # otherwise such columns would be un-updatable
             set_fields = self.resolve_script(set_fields)
             if not isinstance(set_fields, dict):
                 raise ValueError(
@@ -1024,7 +1029,12 @@ class FlightsEtlPipeline:
         # file so the parquet footer carries the schema for readers
         empty = self.spark.createDataFrame([], self.read_index(target).schema)
         empty.repartition(1).write.parquet(self._index_path(new_index))
-        self.put_alias(alias, new_index)
+        # preserve a filtered alias's row scope across the flip — a
+        # plain put_alias would replace the registry entry with a bare
+        # pattern and silently widen every post-rollover search
+        prev = self._read_aliases_raw().get(alias)
+        flt = prev.get("filter") if isinstance(prev, dict) else None
+        self.put_alias(alias, new_index, filter=flt)
         return {"rolled_over": True, "old_index": target,
                 "new_index": new_index, "conditions": met}
 
@@ -2030,8 +2040,12 @@ class FlightsEtlPipeline:
             if view is not None:
                 view.createOrReplaceTempView(route)
                 registered = True
-        for alias, pattern in self.get_aliases().items():
-            view = self.multi_index_view(pattern)
+        for alias in self._read_aliases_raw():
+            # resolve by ALIAS name, not its flattened pattern — a
+            # filtered alias's row scope must hold on the SQL surface
+            # too (resolving the bare pattern would leak rows outside
+            # the tenant/status slice)
+            view = self.multi_index_view(alias)
             if view is not None:
                 view.createOrReplaceTempView(alias)
         if not registered:
@@ -2477,9 +2491,12 @@ class FlightsEtlPipeline:
         per call — bounded by the bulk's action count."""
         if isinstance(script, dict) and set(script) <= {
             "id", "source", "params", "lang"
-        } and ("id" in script or "source" in script):
+        } and ("id" in script or "source" in script) \
+                and not set(script) <= set(data_cols):
             # public script envelope (stored-script reference or inline
-            # source + params) rather than the bare column map
+            # source + params) rather than the bare column map; the
+            # sniff is column-aware — keys that ALL name real data
+            # columns are a column map (see update_by_query)
             script = self.resolve_script(script)
             if not isinstance(script, dict):
                 raise ValueError(

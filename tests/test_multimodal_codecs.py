@@ -377,3 +377,25 @@ def test_resample_wav_real_samples(spark):
     out = {r["doc_id"]: r for r in resample_audio(df, 4000).collect()}
     assert out[1]["n_frames"] == 40 and out[2]["n_frames"] == 80
     assert decode_wav(bytes(out[1]["payload"]))["mean_value"] == -7.0
+
+
+def test_degenerate_media_raise_value_errors():
+    import struct as _s
+
+    from opensearch_dynamodb_etl_cdk_spark.operators.multimodal import (
+        resample_wav,
+        resize_bmp,
+    )
+
+    # WAV with channels=0: documented constraint, not ZeroDivisionError
+    fmt = _s.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    body = (b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", 0))
+    wav0 = b"RIFF" + _s.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="malformed WAV"):
+        resample_wav(wav0, 4000)
+    # BMP declaring width=0: ValueError, not numpy IndexError
+    hdr = _s.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+    info = _s.pack("<IiiHHIIiiII", 40, 0, 1, 1, 24, 0, 0, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="malformed BMP"):
+        resize_bmp(hdr + info, 2, 2)

@@ -526,3 +526,17 @@ def test_trendline_wma(run):
     assert got[6] == pytest.approx((1 * 5 + 2 * 40 + 3 * 15) / 6.0)
     with pytest.raises(PPLError, match="trendline"):
         run("source=sales | sort +id | trendline ema(3, amount)")
+
+
+def test_trendline_wma_null_window(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, 40.0), (5, 50.0)],
+        "id long, v double",
+    )
+    out = ppl_query("source=t | sort +id | trendline wma(3, v) as w",
+                    lambda n: df)
+    got = {r["id"]: r["w"] for r in out.collect()}
+    # windows containing the NULL yield NULL (no silent misweighting);
+    # the first fully-populated window is ids 3..5
+    assert got[3] is None and got[4] is None
+    assert got[5] == pytest.approx((30 + 2 * 40 + 3 * 50) / 6.0)

@@ -1284,3 +1284,69 @@ def test_filtered_aliases(spark, tmp_path_factory):
     p.delete_alias("den_fares")
     with pytest.raises(ValueError, match="no such index"):
         p.search("den_fares", {})
+
+
+def test_review_r6b_regressions(spark, tmp_path_factory):
+    """Round-6 session-2 review findings, each pinned: filtered-alias
+    scope on the SQL surface, rollover preserving alias filters, and
+    column-aware script-envelope sniffing."""
+    tmp = tmp_path_factory.mktemp("r6b")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+
+    # (1) sql() must honor a filtered alias's row scope
+    p.put_alias("den_view", "fare", filter={"term": {"pk": "DEN"}})
+    want = p.index_view("fare").filter(F.col("pk") == "DEN").count()
+    got = p.sql("SELECT COUNT(*) AS n FROM den_view").collect()[0]["n"]
+    assert got == want
+
+    # (2) rollover preserves the alias filter across the flip
+    p.reindex("fare", "gen-000001")
+    p.put_alias("gen_write", "gen-000001",
+                filter={"term": {"pk": "DEN"}})
+    scoped_before = p.search("gen_write", {})["hits"].count()
+    assert p.rollover("gen_write", None)["rolled_over"]
+    # new generation is empty; the filter must still apply (not widen)
+    assert p.search("gen_write", {})["hits"].count() == 0
+    raw = p._read_aliases_raw()["gen_write"]
+    assert isinstance(raw, dict) and raw["filter"] == {
+        "term": {"pk": "DEN"}}
+    assert scoped_before == want
+
+    # (3) column-aware envelope sniff: an index with a real column
+    # named `source` stays updatable through the bare column map
+    src = p.index_view("fare").limit(3).withColumn(
+        "source", F.lit("orig"))
+    src.write.parquet(str(tmp / "i" / "srccol"))
+    n = p.update_by_query("srccol", {"match_all": {}},
+                          {"source": "'promo'"})
+    assert n == 3
+    vals = {r["source"] for r in
+            p.index_view("srccol").select("source").collect()}
+    assert vals == {"promo"}
+
+
+def test_total_hits_respects_min_score(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        execute_search,
+    )
+
+    df = spark.createDataFrame(
+        [("1", 1.0), ("2", 5.0), ("3", 9.0)], "_id string, feat double")
+    res = execute_search(df, {
+        "query": {"function_score": {
+            "query": {"match_all": {}},
+            "functions": [{"field_value_factor": {"field": "feat"}}],
+        }},
+        "min_score": 4.0,
+        "track_total_hits": True,
+        "size": 1,
+    })
+    assert res["hits"].count() == 1
+    # total excludes min_score-dropped docs (collection-phase filter)
+    assert res["total"] == {"value": 2, "relation": "eq"}
