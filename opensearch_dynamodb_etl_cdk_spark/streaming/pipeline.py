@@ -2029,9 +2029,10 @@ class FlightsEtlPipeline:
 
         q = _rewrite_sql_fulltext(query.strip().rstrip(";"))
         head = _re.split(r"\s", q, 1)[0].lower()
-        if head not in ("select", "with"):
+        if head not in ("select", "with", "show", "describe", "desc"):
             raise ValueError(
-                f"sql: only SELECT statements are supported, got {head!r}"
+                f"sql: only SELECT/SHOW/DESCRIBE statements are "
+                f"supported, got {head!r}"
             )
         validate_script(q)
         registered = False
@@ -2076,6 +2077,86 @@ class FlightsEtlPipeline:
         stages dedup via the block cache), which is the engine-side
         analog of the coordinating node fanning out the batch."""
         return [self.search(pattern, body) for pattern, body in requests]
+
+    # -- asynchronous search --------------------------------------------------
+
+    def _async_dir(self, aid: str) -> str:
+        return os.path.join(self.cfg.index_root, "_async", aid)
+
+    def submit_async_search(self, pattern: str,
+                            body: dict | None = None) -> str:
+        """``POST /_plugins/_asynchronous_search`` analog: run the
+        search on a background thread, persisting completed hits as a
+        parquet result set plus a status document — the long-query
+        pattern (submit, poll, fetch) for dashboards that cannot hold a
+        connection open. The worker thread shares the SparkSession
+        (Spark's scheduler interleaves concurrent job groups); the
+        status file is written atomically, so a poller never reads a
+        half-state. Results persist until :meth:`delete_async_search`
+        (the public keep_on_completion=true behavior)."""
+        import json
+        import threading
+        import uuid
+
+        aid = uuid.uuid4().hex
+        adir = self._async_dir(aid)
+        os.makedirs(adir, exist_ok=True)
+
+        def _write_status(doc: dict) -> None:
+            tmp = os.path.join(adir, "status.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(doc, f, default=str)
+            os.replace(tmp, os.path.join(adir, "status.json"))
+
+        _write_status({"id": aid, "state": "RUNNING",
+                       "pattern": pattern})
+
+        def run() -> None:
+            try:
+                res = self.search(pattern, dict(body or {}))
+                hits = res["hits"]
+                n = 0
+                if hits is not None:
+                    hits.write.mode("overwrite").parquet(
+                        os.path.join(adir, "hits"))
+                    n = self.spark.read.parquet(
+                        os.path.join(adir, "hits")).count()
+                _write_status({
+                    "id": aid, "state": "SUCCEEDED", "pattern": pattern,
+                    "n_hits": n,
+                    "aggregations": res.get("aggregations") or {},
+                })
+            except Exception as exc:  # surfaced to the poller, not lost
+                _write_status({"id": aid, "state": "FAILED",
+                               "pattern": pattern, "error": str(exc)})
+
+        threading.Thread(target=run, daemon=True).start()
+        return aid
+
+    def get_async_search(self, aid: str) -> dict:
+        """Poll an async search: ``state`` RUNNING/SUCCEEDED/FAILED;
+        on success the persisted hits attach as a lazy frame."""
+        import json
+
+        path = os.path.join(self._async_dir(aid), "status.json")
+        try:
+            with open(path) as f:
+                st = json.load(f)
+        except FileNotFoundError:
+            raise ValueError(f"no such async search {aid!r}")
+        if st["state"] == "SUCCEEDED" and st.get("n_hits", 0) > 0:
+            st["hits"] = self.spark.read.parquet(
+                os.path.join(self._async_dir(aid), "hits"))
+        return st
+
+    def delete_async_search(self, aid: str) -> bool:
+        import shutil
+
+        adir = self._async_dir(aid)
+        if not os.path.isdir(adir):
+            return False
+        shutil.rmtree(adir)
+        return True
 
     def create_scroll(
         self, pattern: str, body: dict | None = None, size: int = 100

@@ -1350,3 +1350,67 @@ def test_total_hits_respects_min_score(spark):
     assert res["hits"].count() == 1
     # total excludes min_score-dropped docs (collection-phase filter)
     assert res["total"] == {"value": 2, "relation": "eq"}
+
+
+def test_async_search_lifecycle(spark, tmp_path_factory):
+    import time
+
+    tmp = tmp_path_factory.mktemp("async")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+
+    body = {"query": {"term": {"pk": "DEN"}},
+            "aggs": {"n": {"value_count": {"field": "_id"}}}}
+    aid = p.submit_async_search("fare", body)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        st = p.get_async_search(aid)
+        if st["state"] != "RUNNING":
+            break
+        time.sleep(0.5)
+    assert st["state"] == "SUCCEEDED", st
+    sync = p.search("fare", body)
+    want = sync["hits"].count()
+    assert st["n_hits"] == want
+    assert st["hits"].count() == want
+    assert st["aggregations"]["n"]["value"] == want
+    # results persist until deleted (keep_on_completion)
+    again = p.get_async_search(aid)
+    assert again["state"] == "SUCCEEDED" and again["hits"].count() == want
+    assert p.delete_async_search(aid)
+    assert not p.delete_async_search(aid)
+    with pytest.raises(ValueError, match="no such async search"):
+        p.get_async_search(aid)
+
+    # a bad body surfaces as FAILED, not a lost thread
+    bad = p.submit_async_search("fare", {"query": {"nope": {}}})
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        st = p.get_async_search(bad)
+        if st["state"] != "RUNNING":
+            break
+        time.sleep(0.5)
+    assert st["state"] == "FAILED" and "nope" in st["error"]
+
+
+def test_sql_show_and_describe(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("sqlmeta")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+
+    tables = {r["tableName"] for r in p.sql("SHOW TABLES").collect()}
+    assert {"fare", "flight"} <= tables
+    cols = {r["col_name"] for r in p.sql("DESCRIBE fare").collect()}
+    assert {"pk", "sk", "fare_class"} <= cols
+    with pytest.raises(ValueError, match="sql"):
+        p.sql("DROP TABLE fare")
