@@ -1700,15 +1700,32 @@ class FlightsEtlPipeline:
             os.remove(snap_aliases)
         return done
 
-    def restore(self, snapshot_dir: str, pattern: str = "*") -> list[str]:
+    def restore(self, snapshot_dir: str, pattern: str = "*",
+                rename_pattern: str | None = None,
+                rename_replacement: str | None = None) -> list[str]:
         """Restore snapshotted index tables over the live ones (the
         public restore contract: the index returns to the snapshot
         state; writes after the snapshot are gone). Alias state rides
         along when the snapshot carries it (``include_aliases`` public
-        default), replacing the live registry wholesale."""
+        default), replacing the live registry wholesale.
+
+        ``rename_pattern``/``rename_replacement`` (a regex and its
+        substitution, the public knobs) restore each matching index
+        UNDER A NEW NAME — the clone-from-snapshot workflow that
+        recovers data beside the live index instead of clobbering it.
+        Renamed restores skip the alias-registry replacement (the
+        snapshot's aliases point at the old names; silently retargeting
+        them is exactly the surprise the public API avoids by erroring
+        on alias conflicts)."""
         import fnmatch
+        import re as _re
         import shutil
 
+        renaming = rename_pattern is not None
+        if renaming and rename_replacement is None:
+            raise ValueError(
+                "rename_pattern requires rename_replacement"
+            )
         done = []
         for route in sorted(os.listdir(snapshot_dir)):
             if not fnmatch.fnmatchcase(route, pattern):
@@ -1716,11 +1733,21 @@ class FlightsEtlPipeline:
             src = os.path.join(snapshot_dir, route)
             if not os.path.isdir(src):
                 continue
-            dst = self._index_path(route)
+            dest_name = (
+                _re.sub(rename_pattern, rename_replacement, route)
+                if renaming else route
+            )
+            if dest_name in self.get_aliases():
+                raise ValueError(
+                    f"restore target {dest_name!r} collides with an alias"
+                )
+            dst = self._index_path(dest_name)
             if os.path.isdir(dst):
                 shutil.rmtree(dst)
             shutil.copytree(src, dst)
-            done.append(route)
+            done.append(dest_name)
+        if renaming:
+            return done
         snap_aliases = os.path.join(snapshot_dir, "_aliases.json")
         if os.path.isfile(snap_aliases):
             os.makedirs(self.cfg.index_root, exist_ok=True)

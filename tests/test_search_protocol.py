@@ -1414,3 +1414,33 @@ def test_sql_show_and_describe(spark, tmp_path_factory):
     assert {"pk", "sk", "fare_class"} <= cols
     with pytest.raises(ValueError, match="sql"):
         p.sql("DROP TABLE fare")
+
+
+def test_restore_with_rename(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("snaprename")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+    snap = str(tmp / "snap")
+    p.snapshot(snap, "fare")
+    before = p.index_view("fare").count()
+
+    # mutate the live index, then clone the snapshot BESIDE it
+    assert p.delete_by_query("fare", {"term": {"pk": "DEN"}}) >= 1
+    restored = p.restore(snap, "fare", rename_pattern="^fare$",
+                         rename_replacement="fare_restored")
+    assert restored == ["fare_restored"]
+    assert p.index_view("fare_restored").count() == before
+    # the live index keeps its post-snapshot state (not clobbered)
+    assert p.index_view("fare").count() < before
+    with pytest.raises(ValueError, match="rename_replacement"):
+        p.restore(snap, "fare", rename_pattern="^fare$")
+    # renaming onto an alias name refuses
+    p.put_alias("fare_alias", "fare")
+    with pytest.raises(ValueError, match="collides with an alias"):
+        p.restore(snap, "fare", rename_pattern="^fare$",
+                  rename_replacement="fare_alias")
