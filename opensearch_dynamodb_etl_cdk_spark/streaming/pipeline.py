@@ -469,6 +469,42 @@ class FlightsEtlPipeline:
             json.dump(settings, f)
         return {"acknowledged": True, "blocks": settings["blocks"]}
 
+    def close_index(self, route: str) -> dict:
+        """``POST /<index>/_close`` analog: the index refuses reads AND
+        writes but keeps its data (blocks-based marker — no data move,
+        instant either way); :meth:`open_index` reverses. The closed
+        state rides the same settings file as the other blocks."""
+        out = self.add_block(route, "write")
+        import json
+
+        settings = self._read_route_settings(route)
+        settings["closed"] = True
+        path = os.path.join(self._index_path(route), "_settings.json")
+        with open(path, "w") as f:
+            json.dump(settings, f)
+        return {"acknowledged": True, "blocks": out["blocks"]}
+
+    def open_index(self, route: str) -> dict:
+        import json
+
+        settings = self._read_route_settings(route)
+        settings.pop("closed", None)
+        blocks = set(settings.get("blocks") or [])
+        blocks.discard("write")
+        settings["blocks"] = sorted(blocks)
+        os.makedirs(self._index_path(route), exist_ok=True)
+        path = os.path.join(self._index_path(route), "_settings.json")
+        with open(path, "w") as f:
+            json.dump(settings, f)
+        return {"acknowledged": True}
+
+    def _check_closed(self, route: str, op: str) -> None:
+        if self._read_route_settings(route).get("closed"):
+            raise PermissionError(
+                f"{op}: index {route!r} is closed "
+                "(the public index_closed_exception)"
+            )
+
     def _check_write_block(self, route: str, op: str) -> None:
         blocks = set(self._read_route_settings(route).get("blocks") or [])
         if blocks & {"write", "read_only"}:
@@ -1803,11 +1839,16 @@ class FlightsEtlPipeline:
         routes: list[str] = []
         for p in parts:
             if "*" in p or "?" in p:
+                # the public expand_wildcards=open default: wildcards
+                # silently skip closed indexes
                 routes.extend(
                     r for r in names
                     if fnmatch.fnmatchcase(r, p) and r not in routes
+                    and not self._read_route_settings(r).get("closed")
                 )
             elif p in names:
+                # a literal name addressing a closed index errors
+                self._check_closed(p, "search")
                 if p not in routes:
                     routes.append(p)
             else:
@@ -2104,6 +2145,117 @@ class FlightsEtlPipeline:
         stages dedup via the block cache), which is the engine-side
         analog of the coordinating node fanning out the batch."""
         return [self.search(pattern, body) for pattern, body in requests]
+
+    # -- alerting monitors ----------------------------------------------------
+
+    def _monitors_path(self) -> str:
+        return os.path.join(self.cfg.index_root, "_monitors.json")
+
+    def _read_monitors(self) -> dict:
+        import json
+
+        try:
+            with open(self._monitors_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def put_monitor(self, name: str, body: dict) -> dict:
+        """Alerting-plugin analog (``_plugins/_alerting/monitors``): a
+        registered query-level monitor = an index pattern, a search
+        body, and a trigger condition over the response —
+        ``{"count": {"gt": N}}`` (hit count) or ``{"agg_path": "...",
+        "gt"/"gte"/"lt"/"lte": X}`` (an aggregation value, dotted
+        bucket paths as in pipeline aggs). :meth:`monitor_tick`
+        evaluates every monitor; fired triggers append alert documents
+        to the ``.alerts`` table. The search body is validated by
+        compiling its query at PUT time."""
+        import json
+
+        search = body.get("search")
+        trigger = body.get("trigger")
+        if not isinstance(search, dict) or "index" not in search:
+            raise ValueError(
+                "monitor needs search: {index, body} and a trigger"
+            )
+        if not isinstance(trigger, dict):
+            raise ValueError("monitor needs a trigger condition dict")
+        from ..operators.search import compile_query
+
+        compile_query(dict((search.get("body") or {}).get("query")
+                           or {"match_all": {}}))
+        reg = self._read_monitors()
+        reg[name] = {"search": search, "trigger": trigger,
+                     "enabled": bool(body.get("enabled", True))}
+        os.makedirs(self.cfg.index_root, exist_ok=True)
+        tmp = self._monitors_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(reg, f)
+        os.replace(tmp, self._monitors_path())
+        return {"acknowledged": True}
+
+    def delete_monitor(self, name: str) -> bool:
+        import json
+
+        reg = self._read_monitors()
+        existed = reg.pop(name, None) is not None
+        if existed:
+            tmp = self._monitors_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(reg, f)
+            os.replace(tmp, self._monitors_path())
+        return existed
+
+    @staticmethod
+    def _trigger_fires(trigger: dict, res: dict) -> tuple[bool, float]:
+        ops = {"gt": lambda v, x: v > x, "gte": lambda v, x: v >= x,
+               "lt": lambda v, x: v < x, "lte": lambda v, x: v <= x}
+        if "count" in trigger:
+            cond = trigger["count"]
+            value = float(res["hits"].count() if res["hits"] is not None
+                          else 0)
+        else:
+            path = trigger["agg_path"]
+            cond = {k: v for k, v in trigger.items() if k in ops}
+            node = res["aggregations"]
+            for part in path.split("."):
+                node = node[part]
+            value = float(node["value"] if isinstance(node, dict)
+                          else node)
+        (op, bound), = ((k, v) for k, v in cond.items() if k in ops)
+        return ops[op](value, float(bound)), value
+
+    def monitor_tick(self, now: str | None = None) -> list[dict]:
+        """One evaluation pass over every enabled monitor (run it from
+        any scheduler, like the ISM tick): each monitor's search runs
+        through the normal interpreter (counts are bounded count jobs,
+        agg triggers read the already-collected aggregation), and fired
+        triggers append one alert document to the ``.alerts`` table —
+        queryable like any index. Returns the fired alerts."""
+        from pyspark.sql import Row
+
+        fired = []
+        for name, m in sorted(self._read_monitors().items()):
+            if not m.get("enabled", True):
+                continue
+            res = self.search(m["search"]["index"],
+                              dict(m["search"].get("body") or {}))
+            hit, value = self._trigger_fires(m["trigger"], res)
+            if hit:
+                fired.append({"monitor": name, "value": value,
+                              "ts": now or "1970-01-01T00:00:00Z"})
+        if fired:
+            alerts = self.spark.createDataFrame(
+                [Row(**f) for f in fired])
+            alerts.write.mode("append").parquet(
+                os.path.join(self.cfg.index_root, ".alerts"))
+        return fired
+
+    def get_alerts(self) -> DataFrame | None:
+        path = os.path.join(self.cfg.index_root, ".alerts")
+        if not os.path.isdir(path):
+            return None
+        return self.spark.read.parquet(path)
 
     # -- asynchronous search --------------------------------------------------
 

@@ -1444,3 +1444,74 @@ def test_restore_with_rename(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="collides with an alias"):
         p.restore(snap, "fare", rename_pattern="^fare$",
                   rename_replacement="fare_alias")
+
+
+def test_monitors_and_alerts(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("monitors")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+
+    den = p.index_view("fare").filter(F.col("pk") == "DEN").count()
+    p.put_monitor("den_watch", {
+        "search": {"index": "fare",
+                   "body": {"query": {"term": {"pk": "DEN"}}}},
+        "trigger": {"count": {"gt": den - 1}},
+    })
+    p.put_monitor("agg_watch", {
+        "search": {"index": "fare", "body": {
+            "size": 0,
+            "aggs": {"n": {"value_count": {"field": "_id"}}}}},
+        "trigger": {"agg_path": "n", "gte": 10_000},  # never fires
+    })
+    p.put_monitor("off", {
+        "search": {"index": "fare", "body": {}},
+        "trigger": {"count": {"gt": 0}}, "enabled": False,
+    })
+    fired = p.monitor_tick(now="2026-08-15T00:00:00Z")
+    assert [f["monitor"] for f in fired] == ["den_watch"]
+    assert fired[0]["value"] == den
+    alerts = p.get_alerts()
+    assert alerts.count() == 1
+    # the trigger clears after the docs go away; no new alert appends
+    p.delete_by_query("fare", {"term": {"pk": "DEN"}})
+    assert p.monitor_tick(now="2026-08-15T01:00:00Z") == []
+    assert p.get_alerts().count() == 1
+    assert p.delete_monitor("den_watch")
+    assert not p.delete_monitor("den_watch")
+    with pytest.raises(ValueError, match="monitor needs search"):
+        p.put_monitor("bad", {"trigger": {"count": {"gt": 0}}})
+    with pytest.raises(Exception):
+        p.put_monitor("badq", {
+            "search": {"index": "fare",
+                       "body": {"query": {"nope": {}}}},
+            "trigger": {"count": {"gt": 0}}})
+
+
+def test_open_close_index(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("openclose")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+
+    p.close_index("fare")
+    # literal addressing errors; wildcards skip the closed index
+    with pytest.raises(PermissionError, match="closed"):
+        p.search("fare", {})
+    res = p.search("f*", {})
+    assert {r["_index"] for r in
+            res["hits"].select("_index").distinct().collect()} == {"flight"}
+    with pytest.raises(PermissionError):  # writes refuse too
+        p.bulk("fare", [{"delete": {"_id": "x"}}])
+    # open restores everything, data intact
+    p.open_index("fare")
+    assert p.search("fare", {})["hits"].count() == 22
+    assert p.delete_by_query("fare", {"term": {"pk": "DEN"}}) >= 1
