@@ -105,3 +105,37 @@ def test_scoring_surface(spark):
     ).collect()[0]
     assert row["z"] == pytest.approx(0.5 + 2.0 - 2.0)
     assert row["p"] == pytest.approx(1.0 / (1.0 + math.exp(-0.5)))
+
+
+def test_binary_words_properties():
+    """Pure-Python properties of the sign-bit packing (no Spark): the
+    driver-side twin used to build query signatures."""
+    from hypothesis import given, strategies as st
+
+    from opensearch_dynamodb_etl_cdk_spark.operators.similarity import (
+        _binary_words_py,
+    )
+
+    @given(st.lists(
+        st.floats(allow_nan=False, allow_infinity=False,
+                  min_value=-1e6, max_value=1e6),
+        min_size=1, max_size=96,
+    ), st.data())
+    def check(vec, data):
+        words = _binary_words_py(vec)
+        assert len(words) == (len(vec) + 31) // 32
+        # bit i of word w ⇔ component (32w + i) positive
+        for idx, v in enumerate(vec):
+            bit = (words[idx // 32] >> (idx % 32)) & 1
+            assert bit == (1 if v > 0 else 0)
+        # flipping one component's sign toggles exactly that bit
+        i = data.draw(st.integers(0, len(vec) - 1))
+        flipped = list(vec)
+        flipped[i] = -flipped[i] if flipped[i] != 0 else 1.0
+        fwords = _binary_words_py(flipped)
+        diff = [a ^ b for a, b in zip(words, fwords)]
+        assert sum(bin(d).count("1") for d in diff) == (
+            0 if vec[i] == 0 and flipped[i] <= 0 else 1
+        )
+
+    check()
