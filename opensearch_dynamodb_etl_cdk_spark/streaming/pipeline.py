@@ -1724,16 +1724,21 @@ class FlightsEtlPipeline:
                 shutil.rmtree(dst)
             shutil.copytree(src, dst)
             done.append(route)
-        # OpenSearch snapshots include alias state by default; carry the
-        # alias registry alongside the tables (and drop a stale copy if
-        # there are no live aliases — snapshots replace wholesale).
-        live_aliases = os.path.join(self.cfg.index_root, "_aliases.json")
-        snap_aliases = os.path.join(snapshot_dir, "_aliases.json")
-        if self.get_aliases():
-            os.makedirs(snapshot_dir, exist_ok=True)
-            shutil.copy2(live_aliases, snap_aliases)
-        elif os.path.isfile(snap_aliases):
-            os.remove(snap_aliases)
+        # OpenSearch snapshots include cluster state (aliases, stored
+        # scripts, templates, pipelines, monitors) by default; carry
+        # every sibling JSON registry alongside the tables, dropping a
+        # stale copy when the live side is empty — snapshots replace
+        # wholesale.
+        os.makedirs(snapshot_dir, exist_ok=True)
+        for reg in ("_aliases.json", "_stored_scripts.json",
+                    "_index_templates.json", "_ingest_pipelines.json",
+                    "_search_pipelines.json", "_monitors.json"):
+            live = os.path.join(self.cfg.index_root, reg)
+            snap = os.path.join(snapshot_dir, reg)
+            if os.path.isfile(live):
+                shutil.copy2(live, snap)
+            elif os.path.isfile(snap):
+                os.remove(snap)
         return done
 
     def restore(self, snapshot_dir: str, pattern: str = "*",
@@ -1784,12 +1789,13 @@ class FlightsEtlPipeline:
             done.append(dest_name)
         if renaming:
             return done
-        snap_aliases = os.path.join(snapshot_dir, "_aliases.json")
-        if os.path.isfile(snap_aliases):
-            os.makedirs(self.cfg.index_root, exist_ok=True)
-            shutil.copy2(
-                snap_aliases, os.path.join(self.cfg.index_root, "_aliases.json")
-            )
+        for reg in ("_aliases.json", "_stored_scripts.json",
+                    "_index_templates.json", "_ingest_pipelines.json",
+                    "_search_pipelines.json", "_monitors.json"):
+            snap = os.path.join(snapshot_dir, reg)
+            if os.path.isfile(snap):
+                os.makedirs(self.cfg.index_root, exist_ok=True)
+                shutil.copy2(snap, os.path.join(self.cfg.index_root, reg))
         return done
 
     def multi_index_view(self, pattern: str = "*") -> DataFrame | None:

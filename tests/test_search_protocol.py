@@ -1515,3 +1515,33 @@ def test_open_close_index(spark, tmp_path_factory):
     p.open_index("fare")
     assert p.search("fare", {})["hits"].count() == 22
     assert p.delete_by_query("fare", {"term": {"pk": "DEN"}}) >= 1
+
+
+def test_snapshot_carries_all_registries(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("snapregs")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+
+    p.put_script("s1", {"script": {"source": "pk = 'DEN'"}})
+    p.put_index_template("t1", {"index_patterns": ["x*"],
+                                "template": {"settings": {
+                                    "number_of_buckets": 3}}})
+    p.put_monitor("m1", {
+        "search": {"index": "fare", "body": {}},
+        "trigger": {"count": {"gt": 0}}})
+    snap = str(tmp / "snap")
+    p.snapshot(snap)
+
+    # wipe the live registries, then restore brings them all back
+    p.delete_script("s1")
+    p.delete_index_template("t1")
+    p.delete_monitor("m1")
+    p.restore(snap)
+    assert p.get_script("s1")["source"] == "pk = 'DEN'"
+    assert p.get_index_template("t1")["index_patterns"] == ["x*"]
+    assert "m1" in p._read_monitors()
