@@ -756,3 +756,103 @@ def logreg_train_weights(spark, sf_dir):
             ("w_stopword", round(m["weights"][2], 9)),
             ("loss", round(m["loss"], 9))]
     return spark.createDataFrame(rows, "name string, value double")
+
+
+def _canon_url_sql(u: str) -> str:
+    """Identical-arithmetic DuckDB twin of functions/web.py::
+    canonical_url (same regexes — RE2 ∩ Java dialect — same op
+    order)."""
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    hostport = (f"lower(regexp_extract({u}, "
+                f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))")
+    host0 = f"regexp_replace({hostport}, '^www\\.', '')"
+    host = (f"(CASE WHEN {scheme} = 'http' "
+            f"THEN regexp_replace({host0}, ':80$', '') "
+            f"WHEN {scheme} = 'https' "
+            f"THEN regexp_replace({host0}, ':443$', '') "
+            f"ELSE {host0} END)")
+    path0 = (f"regexp_extract({u}, "
+             f"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)")
+    path1 = f"(CASE WHEN {path0} = '' THEN '/' ELSE {path0} END)"
+    path = (f"(CASE WHEN length({path1}) > 1 "
+            f"THEN regexp_replace({path1}, '/$', '') ELSE {path1} END)")
+    rawq = f"regexp_extract({u}, '\\?([^#]*)', 1)"
+    params = (f"list_sort(list_filter(string_split({rawq}, '&'), "
+              f"p -> p <> '' AND NOT regexp_matches(p, "
+              f"'^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=')))")
+    query = f"array_to_string({params}, '&')"
+    canon = (f"concat({scheme}, '://', {host}, {path}, "
+             f"CASE WHEN {query} <> '' THEN concat('?', {query}) "
+             f"ELSE '' END)")
+    return f"(CASE WHEN {scheme} <> '' THEN {canon} ELSE {u} END)"
+
+
+_URL_SYNTH_SQL = """
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN concat('http://www.example', CAST(doc_id % 50 AS VARCHAR),
+                         '.com:80/page/', CAST(doc_id % 10 AS VARCHAR),
+                         '/?utm_source=x&b=2&a=1#top')
+      WHEN 1 THEN concat('http://example', CAST(doc_id % 50 AS VARCHAR),
+                         '.com/page/', CAST(doc_id % 10 AS VARCHAR),
+                         '?a=1&b=2')
+      WHEN 2 THEN concat('https://example', CAST(doc_id % 50 AS VARCHAR),
+                         '.com:443/page/', CAST(doc_id % 10 AS VARCHAR), '/')
+      ELSE concat('HTTPS://EXAMPLE', CAST(doc_id % 50 AS VARCHAR),
+                  '.COM/page/', CAST(doc_id % 10 AS VARCHAR))
+    END AS url
+  FROM documents
+"""
+
+
+@register(
+    "url_dedup_groups",
+    oracle=f"""
+    WITH urls AS ({_URL_SYNTH_SQL}),
+    canon AS (SELECT {_canon_url_sql('url')} AS cu FROM urls)
+    SELECT cu, COUNT(*) AS n
+    FROM canon GROUP BY cu HAVING COUNT(*) > 1
+    ORDER BY n DESC, cu LIMIT 50
+    """,
+    doc="Canonical-URL dedup (functions/web.py::canonical_url) — the "
+    "FIRST dedup key of a web-crawl corpus, needing no document bytes: "
+    "scheme/host lowercased, www. and default ports stripped, fragment "
+    "and tracking params (utm_*/fbclid/gclid/msclkid/ref) dropped, "
+    "remaining query params sorted, trailing slash normalized — all "
+    "regexp/array codegen, no UDF; then ONE groupBy on the canonical "
+    "key (16-byte-ish strings, never documents). Synthetic URL "
+    "variants are closed-form in doc_id so the identical-regex DuckDB "
+    "twin verifies every rule (case, ports, param order, tracking "
+    "strip, trailing slash).",
+    tags=("pipeline", "dedup", "web"),
+)
+def url_dedup_groups(spark, sf_dir):
+    from ..functions.web import canonical_url
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    v = F.col("doc_id") % 4
+    host = F.concat(F.lit("example"),
+                    (F.col("doc_id") % 50).cast("string"), F.lit(".com"))
+    page = (F.col("doc_id") % 10).cast("string")
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("http://www."), host, F.lit(":80/page/"), page,
+            F.lit("/?utm_source=x&b=2&a=1#top")))
+        .when(v == 1, F.concat(
+            F.lit("http://"), host, F.lit("/page/"), page,
+            F.lit("?a=1&b=2")))
+        .when(v == 2, F.concat(
+            F.lit("https://"), host, F.lit(":443/page/"), page,
+            F.lit("/")))
+        .otherwise(F.concat(
+            F.lit("HTTPS://EXAMPLE"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".COM/page/"), page))
+    )
+    canon = d.select(canonical_url(url).alias("cu"))
+    return (
+        canon.groupBy("cu").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .orderBy(F.col("n").desc(), F.col("cu").asc())
+        .limit(50)
+    )

@@ -493,3 +493,29 @@ def test_three_way_split_disjoint_exhaustive(spark, sf_dir):
     assert a == b
     with pytest.raises(ValueError):
         three_way_split(d, val_pct=60, test_pct=40)
+
+
+def test_canonical_url_rules(spark):
+    from opensearch_dynamodb_etl_cdk_spark.functions.web import (
+        canonical_url,
+    )
+
+    cases = [
+        # (raw, canonical)
+        ("http://WWW.Example.COM:80/a/?utm_source=x&b=2&a=1#frag",
+         "http://example.com/a?a=1&b=2"),
+        ("https://example.com:443/a/", "https://example.com/a"),
+        ("https://example.com:8443/a", "https://example.com:8443/a"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com/?fbclid=abc&gclid=1&ref=z",
+         "http://example.com/"),
+        ("http://example.com/a?z=1&y=2&utm_campaign=c",
+         "http://example.com/a?y=2&z=1"),
+        ("HTTP://example.com/KeepCase/Path",
+         "http://example.com/KeepCase/Path"),   # path case preserved
+        ("not a url at all", "not a url at all"),  # passthrough
+        ("ftp://Example.com:80/x", "ftp://example.com:80/x"),  # non-http
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "u string")
+    got = [r[0] for r in df.select(canonical_url("u")).collect()]
+    assert got == [c for _, c in cases]
