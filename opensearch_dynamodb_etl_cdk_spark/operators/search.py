@@ -3777,6 +3777,57 @@ def execute_search(
         # feature (radial, space types, filters) applies unchanged
         query = {"knn": _neural_to_knn(query["neural"])}
     top_kind = next(iter(query)) if len(query) == 1 else None
+    if top_kind == "percolate":
+        # the public percolate QUERY: df is a percolator index whose
+        # docs store query bodies (JSON strings in `field`); the
+        # request carries the document(s). Evaluation inverts into the
+        # same shape as operators.percolate: every stored predicate as
+        # one projection over a TINY inline-document frame (the collect
+        # is the stored-query registry — the public percolator also
+        # materializes every candidate query per shard; suits O(10^3)
+        # registries, documented there), then hits = the matching
+        # stored-query docs of the index, scored filter-context.
+        import json as _json
+
+        pq = query["percolate"]
+        qfield = pq.get("field", "query")
+        docs = pq.get("documents") or [pq["document"]]
+        stored = df.select("_id", qfield).collect()
+        spark_s = df.sparkSession
+        doc_frame = spark_s.createDataFrame(
+            [tuple(d.get(k) for k in sorted(docs[0]))
+             for d in docs],
+            ", ".join(f"{k} " + (
+                "double" if isinstance(docs[0][k], float)
+                else "bigint" if isinstance(docs[0][k], int)
+                else "string")
+                for k in sorted(docs[0])),
+        )
+        flag_cols, qids = [], []
+        for r in stored:
+            spec = r[qfield]
+            body_q = (_json.loads(spec) if isinstance(spec, str)
+                      else spec)
+            try:
+                p = compile_query(body_q)
+                # analysis check per predicate: a stored query naming
+                # fields the document lacks simply never matches it
+                # (the public behavior); Spark analyzes eagerly on
+                # select, so the probe is driver-side only, no job
+                doc_frame.select(p.alias("f"))
+            except Exception:
+                continue
+            qids.append(r["_id"])
+            flag_cols.append(
+                F.coalesce(p, F.lit(False)).alias(f"q{len(qids) - 1}")
+            )
+        flags = doc_frame.select(*flag_cols).collect() if flag_cols else []
+        matched = {
+            qid for i, qid in enumerate(qids)
+            if any(row[f"q{i}"] for row in flags)
+        }
+        query = {"ids": {"values": sorted(matched)}}
+        top_kind = "ids"
     is_knn = top_kind == "knn"
     is_fscore = top_kind == "function_score"
     scored = is_knn or is_fscore or top_kind in (

@@ -1972,3 +1972,35 @@ def test_highlight_fragments(spark):
         "fields": {"text": {"number_of_fragments": 2}}})
     frags = out.collect()[0]["_highlight_text"]
     assert all("**spark**" in f for f in frags)
+
+
+def test_percolate_query_form(spark):
+    """The public percolate QUERY: the frame is a percolator index of
+    stored query bodies; the request carries the document(s)."""
+    import json
+
+    reg = spark.createDataFrame(
+        [("q_spark", json.dumps({"match": {"text": "spark"}})),
+         ("q_big", json.dumps({"range": {"n": {"gte": 100}}})),
+         ("q_both", json.dumps({"bool": {"must": [
+             {"match": {"text": "spark"}},
+             {"range": {"n": {"gte": 100}}}]}})),
+         ("q_other_field", json.dumps({"term": {"missing_col": "x"}}))],
+        "_id string, query string",
+    )
+    res = execute_search(reg, {"query": {"percolate": {
+        "document": {"text": "big spark job", "n": 500},
+    }}})
+    assert {r["_id"] for r in res["hits"].collect()} == {
+        "q_spark", "q_big", "q_both"}
+    # a doc matching neither: only field-compatible non-matches
+    res = execute_search(reg, {"query": {"percolate": {
+        "document": {"text": "plain words", "n": 1},
+    }}})
+    assert res["hits"].count() == 0
+    # multi-document form: a query matches if ANY document matches
+    res = execute_search(reg, {"query": {"percolate": {
+        "documents": [{"text": "nothing", "n": 1},
+                      {"text": "spark", "n": 1}],
+    }}})
+    assert {r["_id"] for r in res["hits"].collect()} == {"q_spark"}
