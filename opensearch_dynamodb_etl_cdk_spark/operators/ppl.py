@@ -348,7 +348,18 @@ def ppl_query(
     parquet table loaders. Multi-source names (``source=a,b``) resolve
     each and union by name (the public multi-index search semantics).
     """
-    stages = _split_top(query.strip(), "|")
+    q0 = query.strip()
+    if re.match(r"^explain\s", q0, re.IGNORECASE):
+        # public `explain <pipeline>`: the execution plan instead of
+        # rows — here that is the Catalyst physical plan (pushdown /
+        # pruning / codegen visible), the artifact a user tunes against
+        # on this engine. One row, no job.
+        inner = ppl_query(q0[len("explain"):].strip(), resolve)
+        plan = inner._jdf.queryExecution().executedPlan().toString()
+        return inner.sparkSession.createDataFrame(
+            [(plan,)], "plan string"
+        )
+    stages = _split_top(q0, "|")
     if not stages:
         raise PPLError("empty PPL query")
 

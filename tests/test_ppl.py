@@ -540,3 +540,13 @@ def test_trendline_wma_null_window(spark):
     # the first fully-populated window is ids 3..5
     assert got[3] is None and got[4] is None
     assert got[5] == pytest.approx((30 + 2 * 40 + 3 * 50) / 6.0)
+
+
+def test_explain_prefix(run):
+    out = run("explain source=sales | where amount > 5 "
+              "| fields id, amount | sort -amount | head 2")
+    assert out.columns == ["plan"]
+    plan = out.collect()[0]["plan"]
+    assert "TakeOrderedAndProject" in plan  # sort+head fused to top-k
+    with pytest.raises(PPLError):
+        run("explain not_a_pipeline")
