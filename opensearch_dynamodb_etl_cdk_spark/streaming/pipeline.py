@@ -2103,11 +2103,20 @@ class FlightsEtlPipeline:
 
         q = _rewrite_sql_fulltext(query.strip().rstrip(";"))
         head = _re.split(r"\s", q, 1)[0].lower()
-        if head not in ("select", "with", "show", "describe", "desc"):
+        if head not in ("select", "with", "show", "describe", "desc",
+                        "explain"):
             raise ValueError(
-                f"sql: only SELECT/SHOW/DESCRIBE statements are "
+                f"sql: only SELECT/SHOW/DESCRIBE/EXPLAIN statements are "
                 f"supported, got {head!r}"
             )
+        if head == "explain":
+            body = _re.split(r"\s", q, 1)[1].lstrip()
+            inner_head = _re.split(r"\s", body, 1)[0].lower()
+            if inner_head not in ("select", "with", "formatted",
+                                  "extended", "codegen", "cost"):
+                raise ValueError(
+                    "sql: EXPLAIN accepts read-only SELECT statements"
+                )
         validate_script(q)
         registered = False
         for route in self.cfg.routes:

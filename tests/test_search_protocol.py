@@ -1545,3 +1545,19 @@ def test_snapshot_carries_all_registries(spark, tmp_path_factory):
     assert p.get_script("s1")["source"] == "pk = 'DEN'"
     assert p.get_index_template("t1")["index_patterns"] == ["x*"]
     assert "m1" in p._read_monitors()
+
+
+def test_sql_explain_head(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("sqlexplain")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+    rows = p.sql(
+        "EXPLAIN SELECT pk FROM fare WHERE pk = 'DEN'").collect()
+    assert rows and "Physical Plan" in rows[0][0]
+    with pytest.raises(ValueError, match="EXPLAIN accepts"):
+        p.sql("EXPLAIN DROP TABLE fare")
