@@ -3857,6 +3857,30 @@ def execute_search(
         filtered = _execute_function_score(df, query["function_score"])
         if not body.get("sort"):
             filtered = filtered.orderBy(*_score_order(filtered))
+    elif top_kind == "script_score":
+        # the standalone script_score QUERY: the script's value REPLACES
+        # the score (unlike the function_score function of the same
+        # name, which composes with the base score). Filter face = the
+        # wrapped query; the script evaluates as one guarded-expression
+        # projection. Negative scores are rejected like the public API.
+        ss = query["script_score"]
+        inner = ss.get("query", {"match_all": {}})
+        script = ss["script"]
+        src = (script.get("source", script)
+               if isinstance(script, dict) else script)
+        sc = safe_expr(str(src)).cast("double")
+        filtered = df.filter(compile_query(inner)).withColumn(
+            "_score",
+            F.when(sc < 0, F.raise_error(F.lit(
+                "script_score produced a negative score"
+            ))).otherwise(sc),
+        )
+        if ss.get("min_score") is not None:
+            filtered = filtered.filter(
+                F.col("_score") >= float(ss["min_score"]))
+        scored = True
+        if not body.get("sort"):
+            filtered = filtered.orderBy(*_score_order(filtered))
     elif top_kind in ("distance_feature", "rank_feature"):
         # scoring queries: the filter face matches docs with the field;
         # the decay/saturation score rides along as `_score` — one

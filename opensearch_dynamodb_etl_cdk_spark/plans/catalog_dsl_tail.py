@@ -1637,3 +1637,36 @@ def geohex_grid_agg(spark, sf_dir):
     rows = [(b["key"], b["doc_count"])
             for b in res["aggregations"]["grid"]["buckets"]]
     return spark.createDataFrame(rows, "key string, doc_count bigint")
+
+
+@register(
+    "script_score_search",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(c_acctbal / 1000.0 + length(c_name) * 0.1, 9) AS score
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    ORDER BY score DESC, c_custkey ASC LIMIT 15
+    """,
+    doc="Standalone `script_score` query (operators/search.py "
+    "execute_search branch): the guarded-expression script REPLACES "
+    "the score over the wrapped query's matches — one codegen "
+    "projection + TakeOrdered, no shuffle. Distinct from the "
+    "function_score function of the same name (which composes with "
+    "the base score). Score rounded to 9 decimals both sides.",
+    tags=("dsl", "scoring"),
+)
+def script_score_search(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    res = execute_search(c, {
+        "query": {"script_score": {
+            "query": {"term": {"c_mktsegment": "BUILDING"}},
+            "script": {"source":
+                       "round(c_acctbal / 1000.0 + length(c_name) * 0.1, 9)"},
+        }},
+        "size": 15,
+    })
+    return res["hits"].select(
+        "c_custkey", F.col("_score").alias("score"))

@@ -2004,3 +2004,36 @@ def test_percolate_query_form(spark):
                       {"text": "spark", "n": 1}],
     }}})
     assert {r["_id"] for r in res["hits"].collect()} == {"q_spark"}
+
+
+def test_script_score_query(docs):
+    res = execute_search(docs, {
+        "query": {"script_score": {
+            "query": {"range": {"feat": {"gte": 1.0}}},
+            "script": {"source": "feat * 2 + id"},
+        }},
+        "size": 3,
+    })
+    rows = res["hits"].select("id", "_score").collect()
+    got = {r["id"]: r["_score"] for r in rows}
+    assert got == {1: 21.0, 4: 18.0, 2: 8.0}  # replaced, desc-ordered
+    assert [r["id"] for r in rows] == [1, 4, 2]
+    # min_score inside the query body floors
+    res = execute_search(docs, {
+        "query": {"script_score": {
+            "query": {"match_all": {}},
+            "script": {"source": "feat"},
+            "min_score": 5.0,
+        }},
+    })
+    assert {r["id"] for r in res["hits"].collect()} == {1, 4}
+    # negative scores are rejected (the public contract)
+    import pyspark
+
+    with pytest.raises(Exception, match="negative score"):
+        execute_search(docs, {
+            "query": {"script_score": {
+                "query": {"match_all": {}},
+                "script": {"source": "-feat"},
+            }},
+        })["hits"].collect()
