@@ -550,3 +550,11 @@ def test_geo_line_is_take_ordered(spark, sf_dir):
     plan = buf.getvalue()
     assert "TakeOrderedAndProject" in plan
     assert "Sort [" not in plan  # no global sort operator
+
+
+def test_binary_hamming_is_take_ordered_no_shuffle(spark, sf_dir):
+    # both phases are TakeOrdered (shortlist by hamming, re-rank by
+    # cosine over ≤ candidates rows); no Exchange anywhere
+    plan = plan_of(spark, sf_dir, "ann_binary_hamming_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange (" not in plan
