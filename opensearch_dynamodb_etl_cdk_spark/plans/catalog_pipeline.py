@@ -856,3 +856,93 @@ def url_dedup_groups(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("cu").asc())
         .limit(50)
     )
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, text, {TOK} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+             array_to_string(toks, ' ') AS norm,
+             least(CAST(len(toks) AS DOUBLE) / 20.0, 1.0) AS x1,
+             CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                  AS DOUBLE) / CAST(length(text) AS DOUBLE) AS x2,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(len(list_filter(toks, t -> list_contains(
+                 ['the','and','of','to','in','is','a','that','it','for'],
+                 t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+             ELSE 0.0 END AS x3
+      FROM tk),
+    first AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id)
+                AS rn
+      FROM base),
+    q AS (
+      SELECT doc_id, lang, n_tokens,
+             ROUND(1.0 / (1.0 + EXP(-(-1.0 + 2.5 * x1 + -3.0 * x2
+                                      + 1.0 * x3))), 9) AS p
+      FROM first WHERE rn = 1),
+    f AS (SELECT * FROM q WHERE p >= 0.45),
+    kept AS (
+      SELECT *, SUM(n_tokens) OVER (
+        ORDER BY p DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum
+      FROM f)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM kept WHERE cum <= 15000 GROUP BY lang
+    """,
+    doc="END-TO-END corpus curation — the pipeline a release actually "
+    "runs, composed from the engine's own stages in ONE lazy plan: "
+    "(1) normalized-exact dedup keeps the first doc per analyzed key "
+    "(per-key window, |docs| shuffle of 16-byte-ish norm keys); "
+    "(2) the logistic quality classifier (fixed weights, map-only "
+    "codegen sigmoid) floors at p >= 0.45; (3) budget-bounded "
+    "selection takes the best docs quality-first until 15k tokens "
+    "via the two-phase distributed cumsum (no global window — "
+    "operators/sampling.py::select_until_token_budget); (4) per-lang "
+    "release counts. Every stage is the SAME operator its standalone "
+    "catalog row verifies; this row verifies the COMPOSITION.",
+    tags=("pipeline", "dedup", "classifier", "sampling"),
+)
+def corpus_curation_pipeline(spark, sf_dir):
+    from ..functions import text as _T
+    from ..operators.classifier import logistic_score
+    from ..operators.sampling import select_until_token_budget
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = _T.tokens(F.col("text"))
+    n = _T.token_count_from(toks)
+    base = d.select(
+        "doc_id", "lang",
+        n.cast("long").alias("n_tokens"),
+        _T.normalize_text(F.col("text")).alias("norm"),
+        F.array(
+            F.least(n.cast("double") / F.lit(20.0), F.lit(1.0)),
+            _T.punct_ratio(F.col("text")),
+            _T.stopword_ratio_from(toks),
+        ).alias("features"),
+    )
+    first = (
+        base.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("norm").orderBy(F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    scored = first.select(
+        "doc_id", "lang", "n_tokens",
+        F.round(
+            logistic_score("features", -1.0, [2.5, -3.0, 1.0]), 9
+        ).alias("p"),
+    ).filter(F.col("p") >= 0.45)
+    kept = select_until_token_budget(
+        scored, budget=15_000, token_col="n_tokens",
+        order_by=[F.col("p").desc(), F.col("doc_id").asc()],
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
