@@ -50,7 +50,10 @@ def canonical_url(col: str | Column) -> Column:
     path = F.when(
         (F.length(path) > 1), F.regexp_replace(path, r"/$", "")
     ).otherwise(path)
-    rawq = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # the query must start BEFORE any fragment: scan only non-#
+    # characters up to the '?', else '#f?b=1' leaks fragment content
+    # into the dedup key
+    rawq = F.regexp_extract(u, r"^[^#?]*\?([^#]*)", 1)
     params = F.array_sort(
         F.filter(
             F.split(rawq, "&"),

@@ -3794,21 +3794,38 @@ def execute_search(
         docs = pq.get("documents") or [pq["document"]]
         stored = df.select("_id", qfield).collect()
         spark_s = df.sparkSession
+        # schema = the UNION of keys across all documents (a field
+        # present only in a later document must still be queryable);
+        # per-key type from the first non-null value, bool checked
+        # before int (bool is an int subclass)
+        keys = sorted({k for d in docs for k in d})
+
+        def _sql_type(k: str) -> str:
+            for d in docs:
+                v = d.get(k)
+                if v is None:
+                    continue
+                if isinstance(v, bool):
+                    return "boolean"
+                if isinstance(v, float):
+                    return "double"
+                if isinstance(v, int):
+                    return "bigint"
+                return "string"
+            return "string"
+
         doc_frame = spark_s.createDataFrame(
-            [tuple(d.get(k) for k in sorted(docs[0]))
-             for d in docs],
-            ", ".join(f"{k} " + (
-                "double" if isinstance(docs[0][k], float)
-                else "bigint" if isinstance(docs[0][k], int)
-                else "string")
-                for k in sorted(docs[0])),
+            [tuple(d.get(k) for k in keys) for d in docs],
+            ", ".join(f"{k} {_sql_type(k)}" for k in keys),
         )
         flag_cols, qids = [], []
         for r in stored:
             spec = r[qfield]
-            body_q = (_json.loads(spec) if isinstance(spec, str)
-                      else spec)
             try:
+                # JSON parse inside the guard: one malformed stored
+                # body is a non-match, not a failed request
+                body_q = (_json.loads(spec) if isinstance(spec, str)
+                          else spec)
                 p = compile_query(body_q)
                 # analysis check per predicate: a stored query naming
                 # fields the document lacks simply never matches it

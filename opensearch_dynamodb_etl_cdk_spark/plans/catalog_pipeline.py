@@ -776,7 +776,7 @@ def _canon_url_sql(u: str) -> str:
     path1 = f"(CASE WHEN {path0} = '' THEN '/' ELSE {path0} END)"
     path = (f"(CASE WHEN length({path1}) > 1 "
             f"THEN regexp_replace({path1}, '/$', '') ELSE {path1} END)")
-    rawq = f"regexp_extract({u}, '\\?([^#]*)', 1)"
+    rawq = f"regexp_extract({u}, '^[^#?]*\\?([^#]*)', 1)"
     params = (f"list_sort(list_filter(string_split({rawq}, '&'), "
               f"p -> p <> '' AND NOT regexp_matches(p, "
               f"'^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=')))")

@@ -471,27 +471,27 @@ class FlightsEtlPipeline:
 
     def close_index(self, route: str) -> dict:
         """``POST /<index>/_close`` analog: the index refuses reads AND
-        writes but keeps its data (blocks-based marker — no data move,
-        instant either way); :meth:`open_index` reverses. The closed
-        state rides the same settings file as the other blocks."""
-        out = self.add_block(route, "write")
+        writes but keeps its data (a settings-file marker — no data
+        move, instant either way); :meth:`open_index` reverses. The
+        closed state is its OWN flag, not an added write block, so
+        opening never clears a write block the user set independently
+        (the public _open does not touch index.blocks.write)."""
         import json
 
+        if not os.path.isdir(self._index_path(route)):
+            raise ValueError(f"no such index {route!r}")
         settings = self._read_route_settings(route)
         settings["closed"] = True
         path = os.path.join(self._index_path(route), "_settings.json")
         with open(path, "w") as f:
             json.dump(settings, f)
-        return {"acknowledged": True, "blocks": out["blocks"]}
+        return {"acknowledged": True}
 
     def open_index(self, route: str) -> dict:
         import json
 
         settings = self._read_route_settings(route)
         settings.pop("closed", None)
-        blocks = set(settings.get("blocks") or [])
-        blocks.discard("write")
-        settings["blocks"] = sorted(blocks)
         os.makedirs(self._index_path(route), exist_ok=True)
         path = os.path.join(self._index_path(route), "_settings.json")
         with open(path, "w") as f:
@@ -506,7 +506,13 @@ class FlightsEtlPipeline:
             )
 
     def _check_write_block(self, route: str, op: str) -> None:
-        blocks = set(self._read_route_settings(route).get("blocks") or [])
+        settings = self._read_route_settings(route)
+        if settings.get("closed"):
+            raise PermissionError(
+                f"{op}: index {route!r} is closed "
+                "(the public index_closed_exception)"
+            )
+        blocks = set(settings.get("blocks") or [])
         if blocks & {"write", "read_only"}:
             raise PermissionError(
                 f"{op}: index {route!r} is write-blocked "
@@ -674,6 +680,7 @@ class FlightsEtlPipeline:
         layout means only matching buckets' row groups survive
         min/max pruning). Missing ids are simply absent, as the public
         response marks them found=false."""
+        self._check_closed(route, "mget")
         idx = self.index_view(route)
         if idx is None:
             return None
@@ -1767,7 +1774,7 @@ class FlightsEtlPipeline:
             raise ValueError(
                 "rename_pattern requires rename_replacement"
             )
-        done = []
+        plan = []
         for route in sorted(os.listdir(snapshot_dir)):
             if not fnmatch.fnmatchcase(route, pattern):
                 continue
@@ -1778,10 +1785,21 @@ class FlightsEtlPipeline:
                 _re.sub(rename_pattern, rename_replacement, route)
                 if renaming else route
             )
-            if dest_name in self.get_aliases():
-                raise ValueError(
-                    f"restore target {dest_name!r} collides with an alias"
-                )
+            plan.append((src, dest_name))
+        if renaming:
+            # collision check BEFORE any copy (a mid-loop raise would
+            # leave a partial restore) and ONLY when renaming — a plain
+            # restore replaces the alias registry wholesale right after,
+            # so checking against the about-to-be-overwritten registry
+            # would wrongly reject it
+            for _src, dest_name in plan:
+                if dest_name in self.get_aliases():
+                    raise ValueError(
+                        f"restore target {dest_name!r} collides with "
+                        "an alias"
+                    )
+        done = []
+        for src, dest_name in plan:
             dst = self._index_path(dest_name)
             if os.path.isdir(dst):
                 shutil.rmtree(dst)
@@ -2110,16 +2128,27 @@ class FlightsEtlPipeline:
                 f"supported, got {head!r}"
             )
         if head == "explain":
-            body = _re.split(r"\s", q, 1)[1].lstrip()
-            inner_head = _re.split(r"\s", body, 1)[0].lower()
-            if inner_head not in ("select", "with", "formatted",
-                                  "extended", "codegen", "cost"):
+            # skip the mode modifiers, then require a read-only head —
+            # "EXPLAIN FORMATTED DROP ..." must not slip past the gate
+            toks = q.split()
+            i = 1
+            while i < len(toks) and toks[i].lower() in (
+                "formatted", "extended", "codegen", "cost",
+            ):
+                i += 1
+            if i >= len(toks) or toks[i].lower() not in ("select", "with"):
                 raise ValueError(
                     "sql: EXPLAIN accepts read-only SELECT statements"
                 )
         validate_script(q)
         registered = False
         for route in self.cfg.routes:
+            if self._read_route_settings(route).get("closed"):
+                # a closed index is unreadable on EVERY surface; drop a
+                # stale registration so earlier sessions' views don't
+                # leak through
+                self.spark.catalog.dropTempView(route)
+                continue
             view = self.index_view(route)
             if view is not None:
                 view.createOrReplaceTempView(route)
@@ -2250,12 +2279,26 @@ class FlightsEtlPipeline:
         from pyspark.sql import Row
 
         fired = []
+        errors = []
         for name, m in sorted(self._read_monitors().items()):
             if not m.get("enabled", True):
                 continue
-            res = self.search(m["search"]["index"],
-                              dict(m["search"].get("body") or {}))
-            hit, value = self._trigger_fires(m["trigger"], res)
+            try:
+                mbody = dict(m["search"].get("body") or {})
+                if "count" in m["trigger"]:
+                    # the public count condition reads TOTAL hits —
+                    # a size-capped (or size:0 count-only) body must
+                    # not cap the observed count
+                    mbody.pop("size", None)
+                    mbody.pop("from", None)
+                res = self.search(m["search"]["index"], mbody)
+                hit, value = self._trigger_fires(m["trigger"], res)
+            except Exception as exc:
+                # per-monitor isolation: one bad config (deleted index,
+                # wrong agg path) must not abort the tick or drop
+                # alerts other monitors already fired this pass
+                errors.append({"monitor": name, "error": str(exc)})
+                continue
             if hit:
                 fired.append({"monitor": name, "value": value,
                               "ts": now or "1970-01-01T00:00:00Z"})
@@ -2264,7 +2307,7 @@ class FlightsEtlPipeline:
                 [Row(**f) for f in fired])
             alerts.write.mode("append").parquet(
                 os.path.join(self.cfg.index_root, ".alerts"))
-        return fired
+        return fired + errors
 
     def get_alerts(self) -> DataFrame | None:
         path = os.path.join(self.cfg.index_root, ".alerts")
@@ -2338,9 +2381,11 @@ class FlightsEtlPipeline:
                 st = json.load(f)
         except FileNotFoundError:
             raise ValueError(f"no such async search {aid!r}")
-        if st["state"] == "SUCCEEDED" and st.get("n_hits", 0) > 0:
-            st["hits"] = self.spark.read.parquet(
-                os.path.join(self._async_dir(aid), "hits"))
+        hits_dir = os.path.join(self._async_dir(aid), "hits")
+        if st["state"] == "SUCCEEDED" and os.path.isdir(hits_dir):
+            # empty result sets attach too (schema-bearing empty frame
+            # — the public API returns empty hits, not a missing field)
+            st["hits"] = self.spark.read.parquet(hits_dir)
         return st
 
     def delete_async_search(self, aid: str) -> bool:

@@ -519,3 +519,18 @@ def test_canonical_url_rules(spark):
     df = spark.createDataFrame([(r,) for r, _ in cases], "u string")
     got = [r[0] for r in df.select(canonical_url("u")).collect()]
     assert got == [c for _, c in cases]
+
+
+def test_canonical_url_fragment_question_mark(spark):
+    from opensearch_dynamodb_etl_cdk_spark.functions.web import (
+        canonical_url,
+    )
+
+    df = spark.createDataFrame(
+        [("http://x.com/a#f?b=1",), ("http://x.com/a",),
+         ("http://x.com/a?b=1#frag",)], "u string")
+    got = [r[0] for r in df.select(canonical_url("u")).collect()]
+    # a '?' inside the fragment is NOT a query: both fragment forms
+    # canonicalize to the bare page, distinct from the real ?b=1 page
+    assert got == ["http://x.com/a", "http://x.com/a",
+                   "http://x.com/a?b=1"]

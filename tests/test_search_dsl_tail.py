@@ -2037,3 +2037,25 @@ def test_script_score_query(docs):
                 "script": {"source": "-feat"},
             }},
         })["hits"].collect()
+
+
+def test_percolate_union_schema_and_bad_bodies(spark):
+    import json
+
+    reg = spark.createDataFrame(
+        [("q_n", json.dumps({"range": {"n": {"gte": 100}}})),
+         ("q_bad", "{not json"),
+         ("q_text", json.dumps({"match": {"text": "spark"}}))],
+        "_id string, query string",
+    )
+    # the queried field appears only in the SECOND document: the frame
+    # schema is the union of keys, so q_n still matches
+    res = execute_search(reg, {"query": {"percolate": {
+        "documents": [{"text": "spark"}, {"text": "x", "n": 500}],
+    }}})
+    assert {r["_id"] for r in res["hits"].collect()} == {"q_n", "q_text"}
+    # a malformed stored body is a non-match, never a failed request
+    res = execute_search(reg, {"query": {"percolate": {
+        "document": {"text": "nothing", "n": 1},
+    }}})
+    assert res["hits"].count() == 0

@@ -1561,3 +1561,81 @@ def test_sql_explain_head(spark, tmp_path_factory):
     assert rows and "Physical Plan" in rows[0][0]
     with pytest.raises(ValueError, match="EXPLAIN accepts"):
         p.sql("EXPLAIN DROP TABLE fare")
+
+
+def test_review_r6c_regressions(spark, tmp_path_factory):
+    """Second review batch: closed-index read surfaces, open/close vs
+    independent blocks, monitor size-cap and isolation, async empty
+    hits, plain-restore alias non-collision, EXPLAIN gate."""
+    import time
+
+    tmp = tmp_path_factory.mktemp("r6c")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+
+    # closed index refuses EVERY read surface, not just search
+    p.close_index("fare")
+    with pytest.raises(PermissionError, match="closed"):
+        p.mget("fare", ["x"])
+    with pytest.raises(PermissionError, match="closed"):
+        p.get_doc("fare", "x")
+    assert "fare" not in {
+        r["tableName"] for r in p.sql("SHOW TABLES").collect()}
+    # an independently-set write block SURVIVES close+open
+    p.open_index("fare")
+    p.add_block("fare", "write")
+    p.close_index("fare")
+    p.open_index("fare")
+    with pytest.raises(PermissionError, match="write-blocked"):
+        p.bulk("fare", [{"delete": {"_id": "x"}}])
+    p.remove_block("fare", "write")
+
+    # monitor count trigger ignores the body's size cap; a bad monitor
+    # isolates instead of aborting the tick
+    p.put_monitor("capped", {
+        "search": {"index": "fare",
+                   "body": {"size": 0, "query": {"term": {"pk": "DEN"}}}},
+        "trigger": {"count": {"gt": 0}}})
+    p.put_monitor("broken", {
+        "search": {"index": "fare", "body": {
+            "size": 0, "aggs": {"n": {"value_count": {"field": "_id"}}}}},
+        "trigger": {"agg_path": "missing_agg", "gt": 0}})
+    out = p.monitor_tick(now="2026-08-15T02:00:00Z")
+    by_name = {o["monitor"]: o for o in out}
+    assert "capped" in by_name and by_name["capped"]["value"] > 0
+    assert "error" in by_name["broken"]
+    assert p.get_alerts().count() == 1  # only the real firing persisted
+
+    # async search with zero hits still attaches an (empty) frame
+    aid = p.submit_async_search("fare", {"query": {"term": {
+        "pk": "NO_SUCH_AIRPORT"}}})
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        st = p.get_async_search(aid)
+        if st["state"] != "RUNNING":
+            break
+        time.sleep(0.5)
+    assert st["state"] == "SUCCEEDED" and st["hits"].count() == 0
+
+    # plain restore succeeds even when a live alias shadows a
+    # snapshotted index name (the registry is replaced wholesale)
+    snap = str(tmp / "snap")
+    p.snapshot(snap, "fare")
+    p.delete_alias("shadow") if "shadow" in p.get_aliases() else None
+    p.put_alias("shadow", "flight")
+    import os as _os
+    _os.rename(_os.path.join(snap, "fare"),
+               _os.path.join(snap, "shadow"))
+    restored = p.restore(snap, "shadow")
+    assert restored == ["shadow"] or "shadow" in restored
+
+    # EXPLAIN modifier keywords cannot smuggle a write statement
+    with pytest.raises(ValueError, match="EXPLAIN accepts"):
+        p.sql("EXPLAIN FORMATTED DROP TABLE flight")
+    with pytest.raises(ValueError, match="EXPLAIN accepts"):
+        p.sql("EXPLAIN")
