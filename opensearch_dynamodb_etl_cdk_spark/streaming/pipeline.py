@@ -1736,15 +1736,27 @@ class FlightsEtlPipeline:
         # every sibling JSON registry alongside the tables, dropping a
         # stale copy when the live side is empty — snapshots replace
         # wholesale.
+        import json as _json
+
         os.makedirs(snapshot_dir, exist_ok=True)
         for reg in ("_aliases.json", "_stored_scripts.json",
                     "_index_templates.json", "_ingest_pipelines.json",
                     "_search_pipelines.json", "_monitors.json"):
             live = os.path.join(self.cfg.index_root, reg)
             snap = os.path.join(snapshot_dir, reg)
+            populated = False
             if os.path.isfile(live):
+                try:
+                    with open(live) as f:
+                        populated = bool(_json.load(f))
+                except ValueError:
+                    populated = False
+            if populated:
                 shutil.copy2(live, snap)
             elif os.path.isfile(snap):
+                # an emptied registry (delete_alias leaves `{}`) is the
+                # same as no registry: drop the stale snapshot copy so
+                # re-snapshots replace wholesale
                 os.remove(snap)
         return done
 
