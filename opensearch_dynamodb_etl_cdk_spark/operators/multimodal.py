@@ -604,8 +604,11 @@ def resize_images(
     normalization step before a vision encoder). Same plumbing
     discipline as the decoders — mapInPandas over whole Arrow batches,
     per-payload work inside the worker, only the resized bytes cross
-    the boundary; magic-byte dispatch raises the documented constraint
-    for formats without a registered codec."""
+    the boundary. The resampler itself is the in-container BMP codec
+    (:func:`resize_bmp`); a non-BMP payload raises its loud
+    ``not a BMP payload`` error — resizing a compressed format needs a
+    registered DECODER plus a caller-side re-encode, the same container
+    constraint the decode tier documents."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
