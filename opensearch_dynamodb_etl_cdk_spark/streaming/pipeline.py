@@ -844,12 +844,15 @@ class FlightsEtlPipeline:
                 os.path.getsize(os.path.join(dp, f))
                 for dp, _, fs in os.walk(path) for f in fs
             )
+            settings = self._read_route_settings(route)
             out.append({
-                "index": route, "status": "open",
+                "index": route,
+                "status": "close" if settings.get("closed") else "open",
                 "docs": int(row["rows"]) - int(row["tombs"] or 0),
                 "tombstones": int(row["tombs"] or 0),
                 "buckets": int(row["buckets"]),
                 "bytes": nbytes,
+                "blocks": sorted(settings.get("blocks") or []),
             })
         return out
 

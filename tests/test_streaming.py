@@ -575,6 +575,15 @@ def test_cat_indices_operational_snapshot(spark, pipeline):
     assert cat["fare"]["status"] == "open"
     assert cat["fare"]["bytes"] > 0
     assert 1 <= cat["fare"]["buckets"] <= pipeline.cfg.n_buckets
+    assert cat["fare"]["blocks"] == []
+    # blocks and closed state surface operationally
+    pipeline.add_block("fare", "write")
+    pipeline.close_index("flight")
+    cat = {r["index"]: r for r in pipeline.cat_indices()}
+    assert cat["fare"]["blocks"] == ["write"]
+    assert cat["flight"]["status"] == "close"
+    pipeline.remove_block("fare", "write")
+    pipeline.open_index("flight")
 
 
 def test_get_mapping_renders_opensearch_field_types(spark, pipeline):
