@@ -679,12 +679,29 @@ def ppl_query(
                 if c in df.columns and c not in {r for _, r in pairs}
             ]
             right = right.drop(*overlapping)
+            # a right key rk != lk that ALSO names a left column would
+            # survive the overlap drop and leave two columns named rk
+            # after the join — alias it to a temp name for the join
+            # condition, then drop the temp (left wins, the same
+            # lookup rule the overlap drop applies)
+            joined_pairs = []
+            temp_keys = []
+            for i, (lk, rk) in enumerate(pairs):
+                if rk != lk and rk in df.columns:
+                    tmp = f"__ppl_rk{i}"
+                    right = right.withColumnRenamed(rk, tmp)
+                    joined_pairs.append((lk, tmp))
+                    temp_keys.append(tmp)
+                else:
+                    joined_pairs.append((lk, rk))
             left = df
             cond = None
-            for lk, rk in pairs:
+            for lk, rk in joined_pairs:
                 p = left[lk] == right[rk]
                 cond = p if cond is None else cond & p
             df = left.join(right, cond, jtype)
+            if temp_keys and jtype not in ("left_semi", "left_anti"):
+                df = df.drop(*temp_keys)
             if jtype not in ("left_semi", "left_anti"):
                 # name-colliding key columns fold to ONE: coalesce so a
                 # right/full join's right-only rows keep their key (the
@@ -818,13 +835,29 @@ def ppl_query(
             threshold = float(thr) if thr else 3.0
             x = F.col(vfld).cast("double")
             keys = [cat] if cat else []
+
+            def _nsjoin(base, small):
+                # null-safe broadcast equi-join: groupBy keeps the null
+                # category as its own group, so null-category rows must
+                # match that group's stats instead of silently dropping
+                # out of a null-unsafe inner join
+                if not keys:
+                    return base.crossJoin(F.broadcast(small))
+                s = small
+                for k in keys:
+                    s = s.withColumnRenamed(k, f"__ppl_ad_{k}")
+                cond = None
+                for k in keys:
+                    p = base[k].eqNullSafe(s[f"__ppl_ad_{k}"])
+                    cond = p if cond is None else cond & p
+                return base.join(F.broadcast(s), cond).drop(
+                    *[f"__ppl_ad_{k}" for k in keys]
+                )
+
             gmed = (df.groupBy(*keys) if keys else df.groupBy()).agg(
                 F.expr(f"percentile({vfld}, 0.5)").alias("__med")
             )
-            with_med = (
-                df.join(F.broadcast(gmed), on=keys) if keys
-                else df.crossJoin(F.broadcast(gmed))
-            )
+            with_med = _nsjoin(df, gmed)
             stats = (
                 with_med.groupBy(*keys) if keys else with_med.groupBy()
             ).agg(
@@ -835,10 +868,7 @@ def ppl_query(
                 # full-corpus median percentile a second time
                 F.first("__med").alias("__med"),
             )
-            joined = (
-                df.join(F.broadcast(stats), on=keys) if keys
-                else df.crossJoin(F.broadcast(stats))
-            )
+            joined = _nsjoin(df, stats)
             scaled = F.col("__mad") * F.lit(1.4826)
             score = F.when(
                 scaled > 0, F.abs(x - F.col("__med")) / scaled

@@ -490,9 +490,13 @@ class FlightsEtlPipeline:
     def open_index(self, route: str) -> dict:
         import json
 
+        if not os.path.isdir(self._index_path(route)):
+            # mirror close_index: opening a nonexistent index is a 404,
+            # not an implicit create — an unchecked makedirs would leave
+            # a phantom empty index visible to wildcard resolution
+            raise ValueError(f"no such index {route!r}")
         settings = self._read_route_settings(route)
         settings.pop("closed", None)
-        os.makedirs(self._index_path(route), exist_ok=True)
         path = os.path.join(self._index_path(route), "_settings.json")
         with open(path, "w") as f:
             json.dump(settings, f)
@@ -1812,6 +1816,14 @@ class FlightsEtlPipeline:
                     raise ValueError(
                         f"restore target {dest_name!r} collides with "
                         "an alias"
+                    )
+                if os.path.isdir(self._index_path(dest_name)):
+                    # public _snapshot restore errors when the target
+                    # index already exists — a renamed restore recovers
+                    # BESIDE the live index, never over it
+                    raise ValueError(
+                        f"restore target {dest_name!r} collides with "
+                        "an existing index"
                     )
         done = []
         for src, dest_name in plan:

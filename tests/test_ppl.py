@@ -420,6 +420,22 @@ def test_join_command(run, tables):
         run("source=sales | join dims on grp")
 
 
+def test_join_right_key_colliding_with_left_column(run):
+    # rk != lk where rk ALSO names a left column: the right copy must
+    # drop (same left-wins rule as other overlaps) so later stages can
+    # reference the name without an ambiguous-column error
+    out = run("source=sales | join type=left dims on color = grp "
+              "| sort id | fields id, grp, label")
+    got = [(r["grp"], r["label"]) for r in out.collect()]
+    # grp is the LEFT column, intact; no dims row keys on a color value
+    assert [g for g, _ in got] == ["a", "a", "b", "b", "c", "a"]
+    assert all(lbl is None for _, lbl in got)
+    # a later where on the colliding name still resolves
+    out = run("source=sales | join type=left dims on color = grp "
+              "| where grp = 'b' | fields id")
+    assert sorted(r["id"] for r in out.collect()) == [3, 4]
+
+
 def test_appendcol_command(run):
     out = run("source=sales | appendcol [ stats avg(amount) as "
               "mean_amount ] | sort id | fields id, amount, mean_amount")
@@ -513,6 +529,18 @@ def test_ad_command(run, tables):
         run("source=sales | ad field=nope")
     with pytest.raises(PPLError, match="unknown category"):
         run("source=sales | ad field=amount by nope")
+
+
+def test_ad_by_null_category_rows_survive(run):
+    # color is null for id 5: the stats re-join must be null-safe so
+    # the row scores against its own (null-category) group instead of
+    # silently dropping out of the output
+    out = run("source=sales | ad field=amount by color")
+    got = {r["id"]: r["anomaly_score"] for r in out.collect()}
+    assert len(got) == 6 and 5 in got
+    # the null group is the single value 40 → median 40, MAD 0,
+    # degenerate rule: the median row scores 0
+    assert got[5] == 0.0
 
 
 def test_trendline_wma(run):

@@ -1444,6 +1444,17 @@ def test_restore_with_rename(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="collides with an alias"):
         p.restore(snap, "fare", rename_pattern="^fare$",
                   rename_replacement="fare_alias")
+    # renaming onto an EXISTING live index refuses too (the public API
+    # errors when a restore target index exists — a renamed restore
+    # recovers BESIDE the live index, never over it)
+    flight_before = p.index_view("flight").count()
+    with pytest.raises(ValueError, match="existing index"):
+        p.restore(snap, "fare", rename_pattern="^fare$",
+                  rename_replacement="flight")
+    assert p.index_view("flight").count() == flight_before  # untouched
+    with pytest.raises(ValueError, match="existing index"):
+        p.restore(snap, "fare", rename_pattern="^fare$",
+                  rename_replacement="fare_restored")
 
 
 def test_monitors_and_alerts(spark, tmp_path_factory):

@@ -584,6 +584,11 @@ def test_cat_indices_operational_snapshot(spark, pipeline):
     assert cat["flight"]["status"] == "close"
     pipeline.remove_block("fare", "write")
     pipeline.open_index("flight")
+    # opening a nonexistent index is a 404, not an implicit create —
+    # and must not leave a phantom dir behind for wildcards to find
+    with pytest.raises(ValueError, match="no such index"):
+        pipeline.open_index("phantom")
+    assert "phantom" not in {r["index"] for r in pipeline.cat_indices()}
 
 
 def test_get_mapping_renders_opensearch_field_types(spark, pipeline):
