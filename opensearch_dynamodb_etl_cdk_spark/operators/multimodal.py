@@ -9,12 +9,18 @@ dependencies:
 
 * uncompressed 24-bit BMP (``decode_bmp`` / ``encode_bmp``)
 * PCM WAV, 16-bit (``decode_wav`` / ``encode_wav``)
+* 8-bit PNG, color types 0/2/4/6 (``decode_png`` / ``encode_png``) —
+  the first REAL compressed format: stdlib ``zlib`` inflate plus the
+  five public filter reconstructions (None/Sub/Up/Average/Paeth),
+  per-chunk CRC verification, no third-party imaging library
 
-``decode_image`` / ``decode_audio`` dispatch on magic bytes: BMP and
-WAV payloads decode for real; compressed formats (PNG/JPEG/MP3/OGG)
-raise ``NotImplementedError`` because their codecs need libraries the
-container does not ship. ``fake_decoder`` remains as a cheap
-deterministic double for plumbing-only tests.
+``decode_image`` / ``decode_audio`` dispatch on magic bytes: BMP, PNG
+and WAV payloads decode for real; the remaining compressed formats
+(JPEG/MP3/OGG) raise ``NotImplementedError`` because their codecs
+(DCT / MPEG audio / Vorbis) need libraries the container does not
+ship — they stay pluggable through ``register_decoder``.
+``fake_decoder`` remains as a cheap deterministic double for
+plumbing-only tests.
 
 Scale design: payloads never leave executors (no collect), features are
 extracted per Arrow batch (one Python↔JVM transfer per ~10k rows, not
@@ -237,14 +243,232 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+# --------------------------------------------------------------- PNG codec
+#
+# Dependency-free 8-bit PNG from the public spec (RFC 2083 / W3C
+# PNG 1.2): stdlib zlib handles the DEFLATE stream, this module
+# implements the chunk walk (with per-chunk CRC32 verification) and
+# the five scanline filter reconstructions. Interlaced (Adam7),
+# palette (color type 3) and 16-bit files raise the documented
+# NotImplementedError boundary; structural damage raises ValueError.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# color type → samples per pixel (greyscale, truecolor, grey+alpha, RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor, verbatim from the spec: the neighbor (left,
+    up, upper-left) whose value is closest to a+b-c, ties breaking
+    left → up → upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(
+    width: int,
+    height: int,
+    base_value: int = 0,
+    color_type: int = 2,
+    samples: bytes | None = None,
+) -> bytes:
+    """Build a real 8-bit PNG. Each row is filtered with type
+    ``row % 5`` so a round-trip exercises ALL five spec filters
+    (None/Sub/Up/Average/Paeth) — a constant-pixel image would let
+    several reconstruction bugs cancel out, so the default content is
+    the gradient ``sample(r, c, ch) = base_value + 7r + 13c + ch``
+    (validated not to wrap a byte), whose mean is closed-form in the
+    geometry: ``base + 7(h-1)/2 + 13(w-1)/2 + (channels-1)/2``.
+    ``samples`` overrides the gradient with raw sample bytes
+    (row-major, channel-interleaved)."""
+    import zlib
+
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None:
+        raise ValueError("color_type must be one of 0/2/4/6")
+    if width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive")
+    stride = width * channels
+    if samples is None:
+        top = base_value + 7 * (height - 1) + 13 * (width - 1) + channels - 1
+        if not (0 <= base_value and top <= 255):
+            raise ValueError(
+                f"gradient peak {top} exceeds a byte; lower base_value"
+            )
+        samples = bytes(
+            base_value + 7 * r + 13 * c + ch
+            for r in range(height)
+            for c in range(width)
+            for ch in range(channels)
+        )
+    elif len(samples) != stride * height:
+        raise ValueError("samples length != width*height*channels")
+    bpp = channels
+    filtered = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        line = samples[r * stride : (r + 1) * stride]
+        ftype = r % 5
+        filt = bytearray(stride)
+        for i in range(stride):
+            left = line[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:
+                pred = _paeth(left, up, ul)
+            filt[i] = (line[i] - pred) & 0xFF
+        filtered += bytes([ftype]) + filt
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(bytes(filtered), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Decode an 8-bit PNG for real: chunk walk with CRC32
+    verification, zlib inflate, and per-row filter reconstruction
+    (None/Sub/Up/Average/Paeth). Statistics cover all sample bytes
+    after reconstruction — any filter-arithmetic bug shifts
+    ``mean_value`` and breaks the oracle. Ancillary chunks (tEXt,
+    gAMA, ...) are skipped per the spec; multiple IDAT chunks
+    concatenate into one DEFLATE stream."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, end = 8, len(payload)
+    ihdr: bytes | None = None
+    idat: list[bytes] = []
+    seen_iend = False
+    while pos + 12 <= end:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body_start = pos + 8
+        if body_start + length + 4 > end:
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        body = payload[body_start : body_start + length]
+        (crc,) = struct.unpack_from(">I", payload, body_start + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos = body_start + length + 4
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT chunk")
+    if not seen_iend:
+        raise ValueError("truncated PNG: no IEND chunk")
+    if len(ihdr) != 13:
+        raise ValueError(f"bad IHDR length {len(ihdr)}")
+    width, height, bit_depth, color_type, comp, filt_method, interlace = (
+        struct.unpack(">IIBBBBB", ihdr)
+    )
+    if width <= 0 or height <= 0:
+        raise ValueError(f"malformed PNG geometry {width}x{height}")
+    if comp != 0 or filt_method != 0:
+        raise ValueError(
+            f"bad PNG compression/filter method {comp}/{filt_method}"
+        )
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG unsupported")
+    if color_type == 3:
+        raise NotImplementedError("palette (indexed) PNG unsupported")
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color_type}")
+    if bit_depth != 8:
+        raise NotImplementedError(
+            f"{bit_depth}-bit PNG unsupported (only 8-bit)"
+        )
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG DEFLATE stream: {exc}") from exc
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG pixel data is {len(raw)} bytes, geometry needs "
+            f"{(stride + 1) * height}"
+        )
+    bpp = channels
+    prev = bytearray(stride)
+    total = 0
+    for r in range(height):
+        off = r * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        total += sum(line)
+        prev = line
+    n_pixels = width * height
+    n_samples = n_pixels * channels
+    return {
+        "media_kind": "image",
+        "width": width,
+        "height": height,
+        "bit_depth": 8,
+        "n_units": n_pixels,
+        "mean_value": (total / n_samples) if n_samples else 0.0,
+        "n_bytes": len(payload),
+    }
+
+
 # ---------------------------------------------------------- codec registry
 #
 # The production seam for compressed formats: each known container
 # format carries a magic-byte sniffer; a format decodes only if a
-# decoder is REGISTERED for it. BMP and WAV register their built-in
-# spec parsers at import; PNG/JPEG/MP3/OGG are recognized (so the
-# error is precise) but undecodable until a real codec is plugged in
-# with ``register_decoder`` — the default stays the loud raise.
+# decoder is REGISTERED for it. BMP, WAV and PNG register their
+# built-in spec parsers at import; JPEG/MP3/OGG are recognized (so
+# the error is precise) but undecodable until a real codec is plugged
+# in with ``register_decoder`` — the default stays the loud raise.
 #
 # Distribution caveat, by design: Python workers re-import this module,
 # so a runtime registration made in the driver is NOT visible on
@@ -268,7 +492,7 @@ KNOWN_MEDIA_FORMATS: tuple[MediaFormat, ...] = (
     MediaFormat("bmp", "image", lambda p: p[:2] == b"BM",
                 "BMP decode failed"),
     MediaFormat("png", "image", lambda p: p[:8] == b"\x89PNG\r\n\x1a\n",
-                "PNG decode requires zlib-inflate imaging codec"),
+                "PNG decode failed"),
     MediaFormat("jpeg", "image", lambda p: p[:3] == b"\xff\xd8\xff",
                 "JPEG decode requires a DCT imaging codec"),
     MediaFormat("wav", "audio",
@@ -285,6 +509,7 @@ KNOWN_MEDIA_FORMATS: tuple[MediaFormat, ...] = (
 _BUILTIN_DECODERS: dict[str, Callable[[bytes], dict]] = {
     "bmp": decode_bmp,
     "wav": decode_wav,
+    "png": decode_png,
 }
 _DECODERS: dict[str, Callable[[bytes], dict]] = dict(_BUILTIN_DECODERS)
 
@@ -454,6 +679,16 @@ def bmp_params(doc_id: int) -> tuple[int, int, int]:
     return 1 + doc_id % 13, 1 + doc_id % 7, doc_id % 251
 
 
+def png_params(doc_id: int) -> tuple[int, int, int]:
+    """Ground-truth (width, height, base_value) for a synthesized
+    gradient PNG (truecolor). base ≤ 52 keeps the gradient peak
+    ``52 + 7·6 + 13·12 + 2 = 252`` inside a byte for every geometry,
+    so the closed-form mean ``base + 7(h-1)/2 + 13(w-1)/2 + 1`` holds
+    without wraparound — which is what lets a SQL oracle verify the
+    inflate+unfilter path end-to-end."""
+    return 1 + doc_id % 13, 1 + doc_id % 7, doc_id % 53
+
+
 def wav_params(doc_id: int) -> tuple[int, int, int, int]:
     """Ground-truth (sample_rate, channels, n_frames, sample_value)."""
     return (
@@ -467,12 +702,14 @@ def wav_params(doc_id: int) -> tuple[int, int, int, int]:
 def synthesize_media(
     df: DataFrame, kind: str, id_col: str = "doc_id", keep: tuple[str, ...] = ()
 ) -> DataFrame:
-    """Materialize real BMP ("image") or WAV ("audio") payload bytes
-    per row, Arrow-batched. Payload bytes are built and stay on the
-    executors; ``keep`` columns pass through for downstream grouping."""
-    if kind not in ("image", "audio"):
-        raise ValueError("kind must be 'image' or 'audio'")
-    media_type = "image/bmp" if kind == "image" else "audio/wav"
+    """Materialize real BMP ("image"), PNG ("png") or WAV ("audio")
+    payload bytes per row, Arrow-batched. Payload bytes are built and
+    stay on the executors; ``keep`` columns pass through for
+    downstream grouping."""
+    if kind not in ("image", "audio", "png"):
+        raise ValueError("kind must be 'image', 'png' or 'audio'")
+    media_type = {"image": "image/bmp", "png": "image/png",
+                  "audio": "audio/wav"}[kind]
     cols = [id_col, *keep]
     keep_schema = ", ".join(f"{c} string" for c in keep)
     out_schema = "doc_id long, payload binary, media_type string" + (
@@ -486,6 +723,8 @@ def synthesize_media(
             ids = pdf[id_col].astype("int64")
             if kind == "image":
                 payloads = [encode_bmp(*bmp_params(int(d))) for d in ids]
+            elif kind == "png":
+                payloads = [encode_png(*png_params(int(d))) for d in ids]
             else:
                 payloads = [encode_wav(*wav_params(int(d))) for d in ids]
             out = {"doc_id": ids, "payload": payloads, "media_type": media_type}

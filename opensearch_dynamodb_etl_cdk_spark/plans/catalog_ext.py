@@ -2410,6 +2410,47 @@ def multimodal_bmp_decode_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_png_decode_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_items,
+           CAST(SUM((1 + doc_id % 13) * (1 + doc_id % 7)) AS BIGINT) AS sum_pixels,
+           CAST(SUM(CAST(1 + doc_id % 13 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_width,
+           CAST(SUM(CAST(1 + doc_id % 7 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_height,
+           CAST(SUM(CAST(doc_id % 53 + 7 * (doc_id % 7) / 2.0
+                         + 13 * (doc_id % 13) / 2.0 + 1
+                    AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_pixel
+    FROM documents GROUP BY lang
+    """,
+    doc="REAL compressed-image decode end-to-end: synthesize genuine "
+    "8-bit truecolor PNG bytes per document (operators/multimodal.py::"
+    "encode_png — stdlib-zlib DEFLATE, row filter type cycling through "
+    "all five spec filters None/Sub/Up/Average/Paeth, gradient pixels "
+    "closed-form in doc_id), parse them back through the codec "
+    "registry's built-in decoder (::decode_png — chunk walk with CRC32 "
+    "verification, inflate, filter reconstruction), aggregate per "
+    "lang. The oracle recomputes geometry AND the reconstructed-pixel "
+    "mean (base + 7(h-1)/2 + 13(w-1)/2 + 1) from the doc_id formulas, "
+    "so any unfilter-arithmetic or inflate-framing bug breaks the "
+    "hash. Payload bytes never leave the executors.",
+    tags=("multimodal",),
+)
+def multimodal_png_decode_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    media = M.synthesize_media(d, "png", keep=("lang",))
+    feats = M.extract_media_features(media, keep=("lang",))
+    exact = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast("double") / F.count(
+        F.lit(1)
+    )
+    return feats.groupBy("lang").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_units").alias("sum_pixels"),
+        exact("width").alias("avg_width"),
+        exact("height").alias("avg_height"),
+        exact("mean_value").alias("avg_pixel"),
+    )
+
+
+@register(
     "multimodal_wav_decode_stats",
     oracle="""
     SELECT source, COUNT(*) AS n_items,

@@ -150,7 +150,8 @@ def test_wav_skips_unknown_chunks():
         (b"BM" + b"\x00" * 10, ValueError),  # truncated header
         (b"XX" + b"\x00" * 60, ValueError),  # bad magic
         (b"RIFF\x04\x00\x00\x00WAVE", ValueError),  # no fmt/data
-        (b"\x89PNG\r\n\x1a\n" + b"\x00" * 20, NotImplementedError),
+        # PNG decodes for real now: garbage chunks fail CRC → ValueError
+        (b"\x89PNG\r\n\x1a\n" + b"\x00" * 20, ValueError),
         (b"\xff\xd8\xff\xe0" + b"\x00" * 20, NotImplementedError),
         (b"OggS" + b"\x00" * 20, NotImplementedError),
         (b"ID3\x03" + b"\x00" * 20, NotImplementedError),
@@ -221,18 +222,136 @@ def test_synthesize_extract_audio_roundtrip(spark, sf_dir):
         assert r["duration_ms"] == pytest.approx(nf * 1000.0 / sr)
 
 
+# ----------------------------------------------------------- PNG codec
+
+
+def _patch_ihdr(png: bytes, offset: int, value: int) -> bytes:
+    """Overwrite one IHDR body byte and re-fix the chunk CRC (so the
+    decode failure under test is the FIELD, not the checksum)."""
+    import zlib
+
+    body = bytearray(png[16:29])  # signature 8 + len 4 + type 4
+    body[offset] = value
+    crc = zlib.crc32(b"IHDR" + bytes(body)) & 0xFFFFFFFF
+    return png[:16] + bytes(body) + struct.pack(">I", crc) + png[33:]
+
+
+def test_png_gradient_roundtrip_all_filters():
+    # h >= 5 exercises every filter type (row % 5); gradient content
+    # means a wrong Sub/Up/Average/Paeth reconstruction shifts the mean
+    for (w, h, b) in [(1, 1, 0), (13, 7, 52), (4, 6, 10), (1, 7, 5),
+                      (13, 1, 52), (5, 5, 0)]:
+        f = M.decode_png(M.encode_png(w, h, b))
+        assert (f["width"], f["height"], f["n_units"]) == (w, h, w * h)
+        assert f["bit_depth"] == 8 and f["media_kind"] == "image"
+        assert f["mean_value"] == pytest.approx(
+            b + 7 * (h - 1) / 2 + 13 * (w - 1) / 2 + 1, abs=1e-12
+        )
+
+
+def test_png_arbitrary_samples_all_color_types():
+    import random
+
+    rng = random.Random(7)
+    for ct, ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+        w, h = 9, 11
+        s = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        f = M.decode_png(M.encode_png(w, h, color_type=ct, samples=s))
+        assert f["mean_value"] == sum(s) / len(s)
+        assert f["n_units"] == w * h
+
+
+def test_png_multiple_idat_and_ancillary_chunks():
+    # split the IDAT stream across two chunks and insert a tEXt chunk:
+    # both are spec-legal and must decode identically
+    import zlib
+
+    png = M.encode_png(6, 4, 30)
+    base = M.decode_png(png)
+    # locate IDAT
+    (ilen,) = struct.unpack_from(">I", png, 33)
+    idat_body = png[41:41 + ilen]
+    rest = png[41 + ilen + 4:]  # IEND
+    half = len(idat_body) // 2
+
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
+
+    rebuilt = (png[:33] + chunk(b"tEXt", b"Comment\x00hi")
+               + chunk(b"IDAT", idat_body[:half])
+               + chunk(b"IDAT", idat_body[half:]) + rest)
+    f = M.decode_png(rebuilt)
+    assert f["mean_value"] == base["mean_value"]
+    assert f["n_units"] == base["n_units"]
+
+
+def test_png_malformed_and_unsupported():
+    png = M.encode_png(4, 4, 20)
+    # CRC corruption is detected (flip one pixel-data byte, keep CRC)
+    bad = bytearray(png)
+    bad[45] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        M.decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="not a PNG"):
+        M.decode_png(b"BM" + png[2:])
+    with pytest.raises(ValueError, match="IEND"):
+        M.decode_png(png[:-12])  # IEND chopped off
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_png(png[:50])  # mid-IDAT chunk
+    with pytest.raises(ValueError, match="missing"):
+        M.decode_png(png[:40])  # cut right after the IDAT length field
+    # unsupported-but-recognized boundaries raise NotImplementedError
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        M.decode_png(_patch_ihdr(png, 12, 1))
+    with pytest.raises(NotImplementedError, match="palette"):
+        M.decode_png(_patch_ihdr(png, 9, 3))
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        M.decode_png(_patch_ihdr(png, 8, 16))
+    # geometry/stream mismatch: claim a wider image than the data has
+    with pytest.raises(ValueError, match="pixel data"):
+        M.decode_png(_patch_ihdr(png, 3, 5))
+    with pytest.raises(ValueError):
+        M.encode_png(4, 4, 250)  # gradient would wrap a byte
+    with pytest.raises(ValueError):
+        M.encode_png(2, 2, 0, samples=b"\x00" * 5)  # wrong length
+
+
+def test_png_synthesize_extract_roundtrip(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"].limit(50)
+    feats = M.extract_media_features(
+        M.synthesize_media(d, "png", keep=("lang",)), keep=("lang",)
+    )
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert rows
+    for doc_id, r in rows.items():
+        w, h, b = M.png_params(doc_id)
+        assert (r["width"], r["height"], r["n_units"]) == (w, h, w * h)
+        assert r["mean_value"] == pytest.approx(
+            b + 7 * (h - 1) / 2 + 13 * (w - 1) / 2 + 1
+        )
+        assert r["media_kind"] == "image" and r["lang"] is not None
+
+
 # ------------------------------------------------------- codec registry
 
 
 def test_registry_default_raises_for_compressed():
     jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
-    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
     mp3 = b"ID3" + b"\x00" * 16
     ogg = b"OggS" + b"\x00" * 16
-    for payload, fn in ((jpeg, M.decode_image), (png, M.decode_image),
+    for payload, fn in ((jpeg, M.decode_image),
                         (mp3, M.decode_audio), (ogg, M.decode_audio)):
         with pytest.raises(NotImplementedError):
             fn(payload)
+    # PNG is a BUILT-IN now (stdlib-zlib decoder): it dispatches without
+    # any registration, and unregister reverts to the built-in, not to
+    # the loud raise
+    assert M.decode_image(M.encode_png(3, 2, 10))["n_units"] == 6
+    M.unregister_decoder("png")
+    assert M.decode_image(M.encode_png(3, 2, 10))["n_units"] == 6
     with pytest.raises(ValueError):
         M.decode_image(b"GIF89a" + b"\x00" * 16)  # unknown magic
     with pytest.raises(ValueError):
