@@ -156,10 +156,21 @@ def _rewrite_sql_fulltext(q: str) -> str:
 
 
 class FlightsEtlPipeline:
-    def __init__(self, spark: SparkSession, config: PipelineConfig):
+    def __init__(self, spark: SparkSession, config: PipelineConfig,
+                 sink="index"):
+        from ..sources.connectors import SinkConnector, get_sink_connector
+
         self.spark = spark
         self.cfg = config
         self.router = Router([type_route(r) for r in config.routes])
+        # pluggable per-route writer (sources/connectors.py): a name
+        # resolves through the registry; an object is used directly.
+        # Default "index" = the built-in parquet MERGE sink.
+        self.sink = (
+            get_sink_connector(sink) if isinstance(sink, str) else sink
+        )
+        if not callable(getattr(self.sink, "write_route", None)):
+            raise TypeError("sink must define write_route()")
 
     # -- shared transform (one code path for bootstrap and tail, ST2) -------
 
@@ -281,6 +292,16 @@ class FlightsEtlPipeline:
         batch = self.transform_export(items)
         self._apply_batch(batch, epoch_id=-1)
 
+    def bootstrap_from(self, source: str, options: dict | None = None) -> None:
+        """Bootstrap through a REGISTERED source connector instead of a
+        caller-supplied frame — the export-snapshot half of the
+        connector seam (sources/connectors.py). The connector returns
+        the item_json frame; transform/route/merge are identical."""
+        from ..sources.connectors import get_source_connector
+
+        conn = get_source_connector(source)
+        self.bootstrap(conn.read_export(self.spark, options or {}))
+
     def _apply_batch(self, batch: DataFrame, epoch_id: int = -1) -> None:
         # REMOVE events carry no image (NEW_IMAGE stream view → keys only),
         # so route predicates over document fields are NULL for them.
@@ -294,7 +315,7 @@ class FlightsEtlPipeline:
             for route in self.cfg.routes:
                 slice_ = parts[route].unionByName(deletes)
                 try:
-                    self._merge_route(slice_, route)
+                    self.sink.write_route(self, route, slice_, epoch_id)
                     dlq_counts[route] = 0
                 except Exception as exc:  # DLQ side-output (W3) — never lose docs
                     dlq_counts[route] = slice_.count()
@@ -357,14 +378,41 @@ class FlightsEtlPipeline:
 
     # -- streaming entry point ---------------------------------------------------
 
-    def start_stream(self, cdc_path: str, trigger_once: bool = True):
-        """Tail CDC events from a file source (test stand-in for the
-        DynamoDB-Streams poller; prod swaps in Kinesis/Kafka with the
-        same schema — start_position LATEST ≙ startingOffsets latest)."""
-        stream = (
-            self.spark.readStream.schema(CDC_SCHEMA)
-            .json(cdc_path)
-        )
+    def start_stream(self, cdc_path: str | None = None,
+                     trigger_once: bool = True,
+                     source: str | None = None,
+                     options: dict | None = None):
+        """Tail CDC events. Two entry shapes, ONE downstream path:
+
+        * ``start_stream(cdc_path)`` — the built-in file source (test
+          stand-in for the DynamoDB-Streams poller).
+        * ``start_stream(source="kinesis", options={...})`` — any
+          REGISTERED source connector (sources/connectors.py); its
+          ``read_stream`` must return a streaming frame with the CDC
+          schema. Prod swaps in Kinesis/Kafka this way with
+          start_position LATEST ≙ startingOffsets latest.
+
+        Either way the stream runs the same transform → route → sink
+        merge with the same checkpointing.
+        """
+        from ..sources.connectors import get_source_connector
+
+        if source is not None:
+            stream = get_source_connector(source).read_stream(
+                self.spark, options or {}
+            )
+            if stream is None or not stream.isStreaming:
+                raise TypeError(
+                    f"source {source!r} read_stream must return a "
+                    "streaming DataFrame"
+                )
+        else:
+            if cdc_path is None:
+                raise ValueError("start_stream needs cdc_path or source=")
+            stream = (
+                self.spark.readStream.schema(CDC_SCHEMA)
+                .json(cdc_path)
+            )
         transformed = self.transform_cdc(stream)
 
         def process(batch_df: DataFrame, epoch_id: int) -> None:
