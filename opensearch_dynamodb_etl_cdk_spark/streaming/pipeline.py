@@ -1762,19 +1762,67 @@ class FlightsEtlPipeline:
                     names.add(entry)
         return sorted(names)
 
+    @staticmethod
+    def _sync_tree(src: str, dst: str) -> tuple[int, int]:
+        """One-way incremental mirror of ``src`` into ``dst``: files
+        whose (size, mtime_ns) already match are SKIPPED — ``copy2``
+        preserves both, so a bucket file untouched since the last
+        snapshot never re-copies; stale destination files (rewritten
+        part-file names, dropped buckets) are removed so the mirror
+        stays byte-identical to the source. Returns (copied, skipped).
+        """
+        import shutil
+
+        src_files: dict[str, str] = {}
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            for fn in files:
+                key = os.path.normpath(os.path.join(rel, fn))
+                src_files[key] = os.path.join(root, fn)
+        if os.path.isdir(dst):
+            for root, _dirs, files in os.walk(dst, topdown=False):
+                rel = os.path.relpath(root, dst)
+                for fn in files:
+                    key = os.path.normpath(os.path.join(rel, fn))
+                    if key not in src_files:
+                        os.remove(os.path.join(root, fn))
+                if root != dst and not os.listdir(root):
+                    os.rmdir(root)
+        copied = skipped = 0
+        for key, spath in src_files.items():
+            dpath = os.path.join(dst, key)
+            if os.path.isfile(dpath):
+                ss, ds = os.stat(spath), os.stat(dpath)
+                if (ss.st_size == ds.st_size
+                        and ss.st_mtime_ns == ds.st_mtime_ns):
+                    skipped += 1
+                    continue
+            os.makedirs(os.path.dirname(dpath), exist_ok=True)
+            shutil.copy2(spath, dpath)
+            copied += 1
+        return copied, skipped
+
     def snapshot(self, snapshot_dir: str, pattern: str = "*") -> list[str]:
-        """``_snapshot`` analog: copy the matching index tables (parquet
-        files + bucket layout, byte-for-byte) into ``snapshot_dir`` —
-        EVERY live table, including ones :meth:`reindex` created outside
-        the configured routes. Each destination is replaced wholesale,
-        so re-snapshotting never merges stale part-files from a previous
-        snapshot. Returns the snapshotted names. File-level copy — no
-        Spark job, no re-encode; at real scale this is the storage
-        layer's cheap object copy."""
+        """``_snapshot`` analog: mirror the matching index tables
+        (parquet files + bucket layout, byte-for-byte) into
+        ``snapshot_dir`` — EVERY live table, including ones
+        :meth:`reindex` created outside the configured routes.
+
+        INCREMENTAL at the file level, like the public ``_snapshot``
+        API is incremental at the segment level: bucket files unchanged
+        since the previous snapshot into the same directory are skipped
+        (size + mtime match — ``copy2`` preserves both), only rewritten
+        buckets re-copy, and stale part-files from the previous
+        snapshot are removed so the result is indistinguishable from a
+        full copy. Per-index copied/skipped counts land in
+        ``self.last_snapshot_stats``. Returns the snapshotted names.
+        File-level sync — no Spark job, no re-encode; at real scale
+        this is the storage layer's conditional object copy."""
         import fnmatch
         import shutil
 
         done = []
+        self.last_snapshot_stats: dict[str, dict[str, int]] = {}
         for route in self._all_index_names():
             if not fnmatch.fnmatchcase(route, pattern):
                 continue
@@ -1782,9 +1830,10 @@ class FlightsEtlPipeline:
             if not os.path.isdir(src):
                 continue
             dst = os.path.join(snapshot_dir, route)
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
-            shutil.copytree(src, dst)
+            copied, skipped = self._sync_tree(src, dst)
+            self.last_snapshot_stats[route] = {
+                "copied": copied, "skipped": skipped,
+            }
             done.append(route)
         # OpenSearch snapshots include cluster state (aliases, stored
         # scripts, templates, pipelines, monitors) by default; carry

@@ -691,6 +691,62 @@ def test_aliases_and_snapshot_restore(spark, pipeline, tmp_path):
     assert pipeline.index_view("fare").count() == n_before
 
 
+def _tree_digest(root):
+    import hashlib
+
+    h = hashlib.sha256()
+    entries = []
+    for r, _dirs, files in os.walk(root):
+        for fn in files:
+            p = os.path.join(r, fn)
+            entries.append((os.path.relpath(p, root), p))
+    for rel, p in sorted(entries):
+        h.update(rel.encode())
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
+def test_incremental_snapshot_reuses_unchanged_buckets(spark, pipeline, tmp_path):
+    """Second snapshot into the same dir re-copies ONLY the bucket
+    files a merge rewrote (the public _snapshot API's segment-level
+    incrementality), yet stays byte-identical to a full copy."""
+    items = spark.createDataFrame([(s,) for s in gen_corpus()], "item_json string")
+    pipeline.bootstrap(items)
+    snap = str(tmp_path / "snap")
+
+    pipeline.snapshot(snap)
+    s1 = pipeline.last_snapshot_stats
+    assert s1["fare"]["copied"] > 0 and s1["fare"]["skipped"] == 0
+
+    # nothing changed → nothing copies, everything skips
+    pipeline.snapshot(snap)
+    s2 = pipeline.last_snapshot_stats
+    for route in ("fare", "flight"):
+        assert s2[route]["copied"] == 0
+        assert s2[route]["skipped"] == s1[route]["copied"]
+
+    # a small merge rewrites only the buckets holding DEN keys; the
+    # next snapshot copies those and skips the rest — and the other
+    # index copies nothing at all
+    assert pipeline.delete_by_query("fare", {"term": {"pk": "DEN"}}) >= 1
+    n_after = pipeline.index_view("fare").count()
+    pipeline.snapshot(snap)
+    s3 = pipeline.last_snapshot_stats
+    assert 0 < s3["fare"]["copied"] < s1["fare"]["copied"]
+    assert s3["fare"]["skipped"] > 0
+    assert s3["flight"]["copied"] == 0
+
+    # the incremental mirror is byte-identical to the live table...
+    assert _tree_digest(os.path.join(pipeline.cfg.index_root, "fare")) == \
+        _tree_digest(os.path.join(snap, "fare"))
+    # ...and restore returns exactly the snapshot state
+    assert pipeline.delete_by_query("fare", {"match_all": {}}) == n_after
+    pipeline.restore(snap, "fare")
+    assert pipeline.index_view("fare").count() == n_after
+    assert pipeline.index_view("fare").filter(F.col("pk") == "DEN").count() == 0
+
+
 def test_snapshot_carries_alias_state(spark, pipeline, tmp_path):
     """OpenSearch snapshots include aliases by default; a restore must
     bring back alias state too, not just index tables."""
