@@ -811,23 +811,26 @@ def ppl_query(
             # dialect is the robust z-score: score = |x − median| /
             # (1.4826 · MAD), anomalous when score > threshold
             # (default 3.0) — the classic consistency-scaled MAD rule.
-            # Shape: per-group median and MAD are TWO exact-percentile
-            # aggregates over |rows| (swap to approx_percentile at
-            # 100 TB — same plan, sketch instead of exact sort) whose
+            # Shape: per-group median and MAD are TWO percentile
+            # aggregates over |rows| — exact by default, or bounded-
+            # memory sketches with `mode=approx` (the 100 TB selector;
+            # same plan, sketch instead of full-value buffer) — whose
             # small per-group results broadcast-join back; the frame
             # stays lazy, nothing collects at compile time.
             am = re.match(
                 r"^field\s*=\s*([\w.]+)"
                 r"(?:\s+by\s+([\w.]+))?"
-                r"(?:\s+threshold\s*=\s*(\d+(?:\.\d+)?))?$",
+                r"(?:\s+threshold\s*=\s*(\d+(?:\.\d+)?))?"
+                r"(?:\s+mode\s*=\s*(exact|approx))?$",
                 rest, re.IGNORECASE,
             )
             if not am:
                 raise PPLError(
                     "ad expects: ad field=<numeric> [by <category>] "
-                    "[threshold=T]"
+                    "[threshold=T] [mode=exact|approx]"
                 )
             vfld, cat, thr = am.group(1), am.group(2), am.group(3)
+            mode = (am.group(4) or "exact").lower()
             if vfld not in df.columns:
                 raise PPLError(f"ad: unknown field {vfld!r}")
             if cat is not None and cat not in df.columns:
@@ -854,15 +857,31 @@ def ppl_query(
                     *[f"__ppl_ad_{k}" for k in keys]
                 )
 
+            # mode=exact (default): exact per-group percentile —
+            # oracle-comparable, but buffers each group's values.
+            # mode=approx: bounded-memory quantile sketch, the 100 TB
+            # path — same plan shape (one hash aggregate per pass),
+            # no full-value-per-group buffer. Accuracy 10000 retains
+            # every value for groups under 10k, so the sketch answers
+            # the exact NEAREST-RANK percentile — coinciding with
+            # mode=exact wherever interpolation is a no-op (odd-sized
+            # groups; property-tested).
+            if mode == "approx":
+                med_expr = f"approx_percentile({vfld}, 0.5, 10000)"
+                mad_expr = (f"approx_percentile(abs(cast({vfld} as double)"
+                            " - __med), 0.5, 10000)")
+            else:
+                med_expr = f"percentile({vfld}, 0.5)"
+                mad_expr = (f"percentile(abs(cast({vfld} as double)"
+                            " - __med), 0.5)")
             gmed = (df.groupBy(*keys) if keys else df.groupBy()).agg(
-                F.expr(f"percentile({vfld}, 0.5)").alias("__med")
+                F.expr(med_expr).alias("__med")
             )
             with_med = _nsjoin(df, gmed)
             stats = (
                 with_med.groupBy(*keys) if keys else with_med.groupBy()
             ).agg(
-                F.expr("percentile(abs(cast({} as double) - __med), 0.5)"
-                       .format(vfld)).alias("__mad"),
+                F.expr(mad_expr).alias("__mad"),
                 # carry the per-group median through this aggregate —
                 # joining gmed back separately would evaluate the
                 # full-corpus median percentile a second time

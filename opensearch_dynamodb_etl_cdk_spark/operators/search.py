@@ -1898,9 +1898,16 @@ def _metric_agg(name: str, spec: dict) -> Column:
         # Column-based, never string-interpolated SQL: DSL bodies are
         # user input, and field names are identifiers, not expressions.
         percents = body.get("percents", [50.0])
-        return F.percentile(
-            col, F.array(*[F.lit(float(p) / 100.0) for p in percents])
-        ).alias(name)
+        fracs = F.array(*[F.lit(float(p) / 100.0) for p in percents])
+        if body.get("approx", False):
+            # the 100 TB path (public agg is TDigest-approximate
+            # anyway): bounded-memory quantile sketch per group — one
+            # hash aggregate, NO full-value-per-group buffer/sort.
+            # `accuracy` mirrors tdigest.compression's role.
+            return F.percentile_approx(
+                col, fracs, F.lit(int(body.get("accuracy", 10000)))
+            ).alias(name)
+        return F.percentile(col, fracs).alias(name)
     raise ValueError(f"unsupported metric aggregation: {kind}")
 
 
@@ -4685,6 +4692,18 @@ def _auto_dh_interval(lo, hi, target: int) -> str:
     return "year"
 
 
+def _p50_fn(body: dict):
+    """Median aggregate selector for the percentile-family aggs: exact
+    by default (oracle parity), a bounded-memory quantile sketch when
+    ``body['approx']`` is set — the 100 TB path, one hash aggregate
+    with no full-value-per-group buffer. ``accuracy`` mirrors the
+    public TDigest ``compression`` knob's role."""
+    if body.get("approx", False):
+        acc = F.lit(int(body.get("accuracy", 10000)))
+        return lambda c: F.percentile_approx(c, F.lit(0.5), acc)
+    return lambda c: F.percentile(c, F.lit(0.5))
+
+
 def _run_agg(
     df: DataFrame, name: str, spec: dict, background: DataFrame | None = None,
     fg_pred: Column | None = None
@@ -5856,34 +5875,39 @@ def _run_agg(
         }
 
     if kind == "median_absolute_deviation":
-        # exact variant (the public agg is TDigest-approximate): median
-        # of |x − median(x)| — two percentile passes, each a built-in
-        # exact percentile aggregate.
+        # default: exact variant (median of |x − median(x)|, two exact
+        # percentile passes). `"approx": true` selects the 100 TB path
+        # — bounded-memory quantile sketches, no full-value buffer —
+        # matching the public agg, which is TDigest-approximate to
+        # begin with. `accuracy` mirrors the public `compression` knob.
         field = body["field"]
-        med = df.agg(
-            F.percentile(F.col(field), F.lit(0.5)).alias("m")
-        ).collect()[0]["m"]
+        p50 = _p50_fn(body)
+        med = df.agg(p50(F.col(field)).alias("m")).collect()[0]["m"]
         if med is None:
             return {"value": None}
         r = df.agg(
-            F.percentile(
-                F.abs(F.col(field) - F.lit(float(med))), F.lit(0.5)
-            ).alias("mad")
+            p50(F.abs(F.col(field) - F.lit(float(med)))).alias("mad")
         ).collect()[0]
         return {"value": r["mad"]}
 
     if kind == "boxplot":
-        # exact five-number summary in ONE aggregate pass (public agg is
-        # TDigest-approximate; exact percentiles are deterministic and
-        # cross-engine comparable).
+        # five-number summary in ONE aggregate pass. Default exact
+        # (deterministic, cross-engine comparable); `"approx": true`
+        # swaps the quartiles to bounded-memory sketches for scale —
+        # the public agg is TDigest-approximate to begin with.
         field = body["field"]
         col = F.col(field)
+        if body.get("approx", False):
+            acc = F.lit(int(body.get("accuracy", 10000)))
+            q = lambda frac: F.percentile_approx(col, F.lit(frac), acc)
+        else:
+            q = lambda frac: F.percentile(col, F.lit(frac))
         r = df.agg(
             F.min(col).alias("min"),
             F.max(col).alias("max"),
-            F.percentile(col, F.lit(0.25)).alias("q1"),
-            F.percentile(col, F.lit(0.5)).alias("q2"),
-            F.percentile(col, F.lit(0.75)).alias("q3"),
+            q(0.25).alias("q1"),
+            q(0.5).alias("q2"),
+            q(0.75).alias("q3"),
         ).collect()[0]
         return {
             "min": r["min"], "max": r["max"],

@@ -418,6 +418,37 @@ def ppl_ad_anomalies(spark, sf_dir):
 
 
 @register(
+    "ppl_ad_anomalies_approx",
+    oracle=None,  # approximate by construction: the sketch answers
+    # nearest-rank (uninterpolated) percentiles, so even-sized groups
+    # differ from the exact twin by design. Defining invariant —
+    # accuracy 10000 retains every value at test scale, making the
+    # answer the exact nearest-rank percentile, which COINCIDES with
+    # mode=exact on odd-sized groups — is property-tested in
+    # tests/test_ppl.py::test_ad_mode_approx_matches_exact_at_small_scale
+    doc="PPL `ad` in mode=approx — the 100 TB selector the exact twin "
+    "(ppl_ad_anomalies) documents: per-group median and MAD come from "
+    "bounded-memory approx_percentile sketches instead of exact "
+    "full-value-per-group percentile buffers; identical plan shape "
+    "(two hash aggregates broadcast-joined back), no per-group sort. "
+    "Plan-audited: the compiled plan contains approx_percentile and "
+    "no exact percentile aggregate.",
+    tags=("ppl", "ml", "approx"),
+)
+def ppl_ad_anomalies_approx(spark, sf_dir):
+    return _run(
+        spark, sf_dir,
+        "search source=events "
+        "| ad field=value by event_type mode=approx "
+        "| eval score = round(anomaly_score, 9) "
+        "| where score > 3.0 "
+        "| fields event_id, event_type, score "
+        "| sort -score, event_id | head 100",
+        "events",
+    )
+
+
+@register(
     "ppl_trendline_wma",
     oracle="""
     WITH s AS (

@@ -531,6 +531,36 @@ def test_ad_command(run, tables):
         run("source=sales | ad field=amount by nope")
 
 
+def test_ad_mode_approx_matches_exact_at_small_scale(run):
+    # the sketch answers nearest-rank percentiles; at accuracy 10000 it
+    # retains every value at test scale, so on ODD-sized groups (where
+    # interpolation is a no-op) mode=approx coincides with mode=exact
+    # bit for bit — the defining invariant the rows-only catalog row
+    # ppl_ad_anomalies_approx relies on. grp b has 2 rows; exclude it.
+    exact = run("source=sales | where grp != 'b' "
+                "| ad field=amount by grp | sort id")
+    approx = run("source=sales | where grp != 'b' "
+                 "| ad field=amount by grp mode=approx | sort id")
+    assert [tuple(r) for r in exact.collect()] == \
+        [tuple(r) for r in approx.collect()]
+    with pytest.raises(PPLError, match="ad expects"):
+        run("source=sales | ad field=amount mode=guess")
+
+
+def test_ad_mode_approx_plan_has_no_exact_percentile(run):
+    # the scale selector's whole point: a bounded-memory sketch, never
+    # a full-value-per-group percentile buffer
+    plan = run("source=sales | ad field=amount by grp mode=approx") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "approx_percentile" in plan
+    import re as _re
+
+    assert not _re.search(r"(?<!approx_)percentile\(", plan)
+    exact_plan = run("source=sales | ad field=amount by grp") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"(?<!approx_)percentile\(", exact_plan)
+
+
 def test_ad_by_null_category_rows_survive(run):
     # color is null for id 5: the stats re-join must be null-safe so
     # the row scores against its own (null-category) group instead of

@@ -281,6 +281,47 @@ def test_boxplot_exact_quartiles(docs):
     assert abs(r["q1"] - (0.5 + 0.75 * 2.5)) < 1e-12
 
 
+def test_percentile_family_approx_mode(spark):
+    """`"approx": true` selects the bounded-memory sketch path for
+    percentiles / median_absolute_deviation / boxplot. The sketch is
+    nearest-rank, so pin values where interpolation is a no-op (odd
+    count, quartiles on elements): 1..5."""
+    df = spark.createDataFrame([(float(i),) for i in range(1, 6)],
+                               "v double")
+    r = _agg(df, "bp", {"boxplot": {"field": "v", "approx": True}})
+    assert (r["q1"], r["q2"], r["q3"]) == (2.0, 3.0, 4.0)
+    assert r["min"] == 1.0 and r["max"] == 5.0
+    # MAD of 1..5: median 3, |x-3| = 2,1,0,1,2 → median 1 (odd again)
+    r = _agg(df, "mad", {"median_absolute_deviation": {
+        "field": "v", "approx": True}})
+    assert r["value"] == 1.0
+    r = _agg(df, "p", {"percentiles": {
+        "field": "v", "percents": [25, 50, 75], "approx": True}})
+    assert list(r["value"]) == [2.0, 3.0, 4.0]
+
+
+def test_percentiles_approx_plan_is_sketch_only(spark):
+    """Plan audit for the scale selector: the grouped approx
+    percentiles agg compiles to approx_percentile with NO exact
+    (full-value-per-group) percentile aggregate anywhere."""
+    import re as _re
+
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        _metric_agg,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0)], "k string, v double"
+    )
+    col = _metric_agg("p", {"percentiles": {"field": "v",
+                                            "percents": [50],
+                                            "approx": True}})
+    out = df.groupBy("k").agg(col)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"approx_percentile|percentile_approx", plan)
+    assert not _re.search(r"(?<!approx_)percentile\(", plan)
+
+
 def test_matrix_stats_moments(spark):
     xs, ys = [1.0, 2.0, 3.0, 4.0], [2.0, 4.0, 6.5, 7.5]
     df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
