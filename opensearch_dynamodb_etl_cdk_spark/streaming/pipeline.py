@@ -155,6 +155,26 @@ def _rewrite_sql_fulltext(q: str) -> str:
     return _SQL_FT_RE.sub(repl, q)
 
 
+def _agg_field_refs(spec) -> set[str]:
+    """Every field name an aggregation subtree references: values under
+    ``field`` keys and string entries of ``fields`` lists, recursively
+    (covers metric bodies, multi_terms' terms list, matrix_stats,
+    sub-aggs). Used by the field-masking agg rejection."""
+    out: set[str] = set()
+    if isinstance(spec, dict):
+        for k, v in spec.items():
+            if k == "field" and isinstance(v, str):
+                out.add(v)
+            elif k == "fields" and isinstance(v, (list, tuple)):
+                out.update(x for x in v if isinstance(x, str))
+            else:
+                out |= _agg_field_refs(v)
+    elif isinstance(spec, (list, tuple)):
+        for v in spec:
+            out |= _agg_field_refs(v)
+    return out
+
+
 class FlightsEtlPipeline:
     def __init__(self, spark: SparkSession, config: PipelineConfig,
                  sink="index"):
@@ -733,7 +753,7 @@ class FlightsEtlPipeline:
         min/max pruning). Missing ids are simply absent, as the public
         response marks them found=false."""
         self._check_closed(route, "mget")
-        idx = self.index_view(route)
+        idx = self._apply_field_masking(self.index_view(route), route)
         if idx is None:
             return None
         return idx.filter(F.col("_id").isin(list(ids)))
@@ -763,6 +783,15 @@ class FlightsEtlPipeline:
         materialization)."""
         from ..operators.search import _analyze, _analyze_text
 
+        masked = set(
+            self._read_field_masking().get(route, {}).get("fields", [])
+        )
+        bad = sorted(set(fields) & masked)
+        if bad:
+            # analyzed terms + corpus statistics of a masked field ARE
+            # its values — the same leak the agg rejection closes
+            raise ValueError(f"termvectors on masked fields {bad} "
+                             "is rejected")
         fetched = self.mget(route, [str(doc_id)])
         rows = [] if fetched is None else fetched.collect()
         if not rows:
@@ -1040,7 +1069,11 @@ class FlightsEtlPipeline:
                 f"reindex: {dest!r} is an alias name — it would shadow "
                 "the new index (the public API rejects this collision)"
             )
-        src = self.index_view(source)
+        # masking applies to the source READ (the public behavior:
+        # _reindex runs with the reader's DLS/FLS/masking scope) —
+        # copying originals out of a masked index would be the obvious
+        # bypass channel
+        src = self._apply_field_masking(self.index_view(source), source)
         if src is None:
             raise ValueError(f"no such index: {source!r}")
         self._validate_set_fields(src.columns, set_fields or {}, "reindex")
@@ -1845,7 +1878,8 @@ class FlightsEtlPipeline:
         os.makedirs(snapshot_dir, exist_ok=True)
         for reg in ("_aliases.json", "_stored_scripts.json",
                     "_index_templates.json", "_ingest_pipelines.json",
-                    "_search_pipelines.json", "_monitors.json"):
+                    "_search_pipelines.json", "_monitors.json",
+                    "_field_masking.json"):
             live = os.path.join(self.cfg.index_root, reg)
             snap = os.path.join(snapshot_dir, reg)
             populated = False
@@ -1933,12 +1967,144 @@ class FlightsEtlPipeline:
             return done
         for reg in ("_aliases.json", "_stored_scripts.json",
                     "_index_templates.json", "_ingest_pipelines.json",
-                    "_search_pipelines.json", "_monitors.json"):
+                    "_search_pipelines.json", "_monitors.json",
+                    "_field_masking.json"):
             snap = os.path.join(snapshot_dir, reg)
             if os.path.isfile(snap):
                 os.makedirs(self.cfg.index_root, exist_ok=True)
                 shutil.copy2(snap, os.path.join(self.cfg.index_root, reg))
         return done
+
+    # -- field masking (reference security analog: the stack's
+    #    data-access policies, lib/opensearch-dynamodb-etl-cdk-stack.ts
+    #    :247-328 scope who reads what; the engine already has
+    #    row-level scoping via filtered aliases — this is the FIELD
+    #    level: per-index policies that hash or redact named columns
+    #    in every response surface) --------------------------------------
+
+    def _field_masking_path(self) -> str:
+        return os.path.join(self.cfg.index_root, "_field_masking.json")
+
+    def _read_field_masking(self) -> dict:
+        import json
+
+        try:
+            with open(self._field_masking_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def put_field_masking(self, route: str, fields: list[str],
+                          mode: str = "hash", salt: str = "") -> dict:
+        """Attach a field-masking policy to an index: responses through
+        search / mget / sql / ppl surface the named fields as a salted
+        SHA-256 hex digest (``mode='hash'``, the public security
+        plugin's default shape) or a fixed ``<masked>`` token
+        (``mode='redact'``). Masking applies at VIEW assembly — before
+        query evaluation — so a filter probing original values cannot
+        match (no binary-search leak channel), and aggregations naming
+        a masked field are rejected loudly. Stored data is untouched:
+        deleting the policy restores the original values. Composes
+        with ``_source`` filtering and filtered aliases (row scope ∘
+        field scope)."""
+        import json
+
+        if mode not in ("hash", "redact"):
+            raise ValueError("field masking mode must be 'hash' or 'redact'")
+        if (not fields or not isinstance(fields, (list, tuple))
+                or not all(isinstance(f, str) and f for f in fields)):
+            raise ValueError("field masking needs a non-empty field list")
+        internal = {"_id", "_seq", "_bucket", "_deleted", "_index"}
+        bad = sorted(set(fields) & internal)
+        if bad:
+            raise ValueError(
+                f"cannot mask addressing/internal columns {bad}"
+            )
+        reg = self._read_field_masking()
+        reg[route] = {"fields": sorted(set(fields)), "mode": mode,
+                      "salt": salt}
+        os.makedirs(self.cfg.index_root, exist_ok=True)
+        tmp = self._field_masking_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(reg, f)
+        os.replace(tmp, self._field_masking_path())
+        return {"acknowledged": True}
+
+    def get_field_masking(self, route: str | None = None) -> dict:
+        reg = self._read_field_masking()
+        return reg if route is None else reg.get(route, {})
+
+    def delete_field_masking(self, route: str) -> dict:
+        import json
+
+        reg = self._read_field_masking()
+        reg.pop(route, None)
+        if os.path.isfile(self._field_masking_path()):
+            tmp = self._field_masking_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(reg, f)
+            os.replace(tmp, self._field_masking_path())
+        return {"acknowledged": True}
+
+    def _apply_field_masking(
+        self, df: DataFrame | None, route: str
+    ) -> DataFrame | None:
+        """Rewrite masked columns in a response frame. One codegen
+        projection — sha2 over the stringified value (salted) or a
+        constant token; nulls stay null (absence is not a value to
+        hide). Applied per route at view assembly, so every downstream
+        surface (filters, sorts, _source, unions) sees only masked
+        values."""
+        if df is None:
+            return df
+        spec = self._read_field_masking().get(route)
+        if not spec:
+            return df
+        mode = spec.get("mode", "hash")
+        salt = spec.get("salt", "")
+        for fname in spec.get("fields", []):
+            if fname not in df.columns:
+                continue
+            if mode == "redact":
+                masked = F.lit("<masked>")
+            else:
+                masked = F.sha2(
+                    F.concat(F.lit(salt), F.col(fname).cast("string")), 256
+                )
+            df = df.withColumn(
+                fname,
+                F.when(F.col(fname).isNull(),
+                       F.lit(None).cast("string")).otherwise(masked),
+            )
+        return df
+
+    def _masked_fields_for_pattern(self, pattern: str) -> set[str]:
+        """Union of masked field names across the indexes a search
+        pattern can resolve to (one alias level expanded) — the agg/
+        termvector rejection set."""
+        import fnmatch
+
+        reg = self._read_field_masking()
+        if not reg:
+            return set()
+        raw_aliases = self._read_aliases_raw()
+        parts: list[str] = []
+        for raw in pattern.split(","):
+            raw = raw.strip()
+            if not raw:
+                continue
+            spec = raw_aliases.get(raw)
+            if isinstance(spec, dict):
+                parts.extend(spec.get("pattern", "").split(","))
+            elif spec is not None:
+                parts.extend(spec.split(","))
+            else:
+                parts.append(raw)
+        out: set[str] = set()
+        for route, spec in reg.items():
+            if any(fnmatch.fnmatchcase(route, p.strip()) for p in parts):
+                out.update(spec.get("fields", []))
+        return out
 
     def multi_index_view(self, pattern: str = "*") -> DataFrame | None:
         """OpenSearch multi-index search target (``GET /fare,flight/
@@ -2003,7 +2169,7 @@ class FlightsEtlPipeline:
                 raise ValueError(f"no such index: {p!r}")
         out: DataFrame | None = None
         for r in routes:
-            df = self.index_view(r)
+            df = self._apply_field_masking(self.index_view(r), r)
             if df is None:
                 continue
             df = df.withColumn("_index", F.lit(r))
@@ -2034,6 +2200,17 @@ class FlightsEtlPipeline:
         view = self.multi_index_view(pattern)
         if view is None:
             return {"hits": None, "aggregations": {}}
+        masked = self._masked_fields_for_pattern(pattern)
+        if masked:
+            aggs = (body or {}).get("aggs") or (body or {}).get(
+                "aggregations") or {}
+            bad = sorted(_agg_field_refs(aggs) & masked)
+            if bad:
+                # bucketing/aggregating a masked field enumerates its
+                # values — reject instead of returning hash buckets
+                raise ValueError(
+                    f"aggregations on masked fields {bad} are rejected"
+                )
         body = self._resolve_terms_lookup(body or {})
         body = self._resolve_stored_scripts(body)
         if search_pipeline is not None:
@@ -2273,9 +2450,15 @@ class FlightsEtlPipeline:
                 # leak through
                 self.spark.catalog.dropTempView(route)
                 continue
-            view = self.index_view(route)
+            view = self._apply_field_masking(self.index_view(route), route)
             if view is not None:
                 view.createOrReplaceTempView(route)
+                # index_view() registered the `<route>_index`
+                # convenience view UNMASKED — overwrite it, or a
+                # SELECT against that name would bypass the policy
+                view.createOrReplaceTempView(
+                    re.sub(r"[^A-Za-z0-9_]", "_", f"{route}_index")
+                )
                 registered = True
         for alias in self._read_aliases_raw():
             # resolve by ALIAS name, not its flattened pattern — a

@@ -1457,6 +1457,81 @@ def test_restore_with_rename(spark, tmp_path_factory):
                   rename_replacement="fare_restored")
 
 
+def test_field_masking_policies(spark, tmp_path_factory):
+    """Per-index field masking (the reference's data-access-policy
+    analog at the field level): masked values unreadable through
+    search/mget/sql — including the convenience SQL view — filters on
+    original values blind, aggs/termvectors rejected, stored data
+    untouched."""
+    import hashlib
+
+    tmp = tmp_path_factory.mktemp("fieldmask")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+    originals = {r["fare_class"]
+                 for r in p.index_view("fare").select("fare_class").collect()}
+
+    p.put_field_masking("fare", ["fare_class"], mode="hash", salt="s1")
+    # search: every surfaced value is the salted SHA-256 of the original
+    hits = p.search("fare", {"query": {"match_all": {}}})["hits"]
+    got = {r["fare_class"] for r in hits.select("fare_class").collect()}
+    expected = {hashlib.sha256(("s1" + v).encode()).hexdigest()
+                for v in originals if v is not None}
+    assert got - {None} == expected
+    assert not (got & originals)
+    # filtering on an original value cannot match (masked BEFORE query
+    # evaluation — no probe channel); filtering on the hash does
+    some = next(iter(v for v in originals if v is not None))
+    assert p.count("fare", {"term": {"fare_class": some}}) == 0
+    h = hashlib.sha256(("s1" + some).encode()).hexdigest()
+    assert p.count("fare", {"term": {"fare_class": h}}) >= 1
+    # mget/get_doc masked too
+    any_id = hits.select("_id").first()["_id"]
+    assert p.get_doc("fare", any_id)["fare_class"] not in originals
+    # sql: both the index view and the convenience view are masked
+    assert {r["fare_class"] for r in
+            p.sql("SELECT fare_class FROM fare").collect()} - {None} \
+        == expected
+    assert {r["fare_class"] for r in
+            p.sql("SELECT fare_class FROM fare_index").collect()} - {None} \
+        == expected
+    # aggregations and termvectors naming the masked field are rejected
+    with pytest.raises(ValueError, match="masked"):
+        p.search("fare", {"aggs": {"by": {"terms": {"field": "fare_class"}}}})
+    with pytest.raises(ValueError, match="masked"):
+        p.search("f*", {"aggs": {"s": {"terms": {"field": "pk"}, "aggs": {
+            "x": {"cardinality": {"field": "fare_class"}}}}}})
+    with pytest.raises(ValueError, match="masked"):
+        p.termvectors("fare", any_id, ["fare_class"])
+    # unmasked fields keep aggregating
+    assert p.search("fare", {"aggs": {
+        "by": {"terms": {"field": "pk"}}}})["aggregations"]["by"]
+    # reindex reads the MASKED view (no copy-out bypass)
+    p.reindex("fare", "fare_copy")
+    copied = {r["fare_class"] for r in
+              p.index_view("fare_copy").select("fare_class").collect()}
+    assert not (copied & originals)
+    # redact mode + policy validation
+    p.put_field_masking("fare", ["fare_class"], mode="redact")
+    hits = p.search("fare", {"query": {"match_all": {}}})["hits"]
+    assert {r["fare_class"] for r in hits.collect()} - {None} == {"<masked>"}
+    with pytest.raises(ValueError, match="mode"):
+        p.put_field_masking("fare", ["pk"], mode="rot13")
+    with pytest.raises(ValueError, match="internal"):
+        p.put_field_masking("fare", ["_id"])
+    with pytest.raises(ValueError, match="field list"):
+        p.put_field_masking("fare", [])
+    # deleting the policy restores originals — storage was never touched
+    p.delete_field_masking("fare")
+    hits = p.search("fare", {"query": {"match_all": {}}})["hits"]
+    assert {r["fare_class"] for r in hits.collect()} == originals
+
+
 def test_monitors_and_alerts(spark, tmp_path_factory):
     tmp = tmp_path_factory.mktemp("monitors")
     cfg = PipelineConfig(index_root=str(tmp / "i"),
