@@ -2700,6 +2700,8 @@ def execute_suggest(
                     f"suggester {name!r}: only 'term'/'phrase'/'completion' "
                     "are supported"
                 )
+            # bounded: term_suggest limits to `size` options per input
+            # token inside the frame it returns
             rows = term_suggest(
                 df,
                 field=term_spec["field"],
@@ -2835,6 +2837,8 @@ def phrase_suggest(
     pair_freq: dict[tuple[str, str], int] = {}
     if pair_pred is not None:
         pair_freq = {
+            # bounded: pair_pred whitelists only the query's adjacent
+            # candidate pairs — ≤ max_candidates² per input bigram
             (r.w1, r.w2): r.freq for r in bg.filter(pair_pred).collect()
         }
     # true corpus token count for the unigram backoff normalizer — a
@@ -3799,6 +3803,9 @@ def execute_search(
         pq = query["percolate"]
         qfield = pq.get("field", "query")
         docs = pq.get("documents") or [pq["document"]]
+        # bounded: the stored-query REGISTRY, not the corpus — the
+        # public percolator also materializes every candidate query
+        # per shard; suits the documented O(10^3) registries
         stored = df.select("_id", qfield).collect()
         spark_s = df.sparkSession
         # schema = the UNION of keys across all documents (a field
@@ -3845,6 +3852,8 @@ def execute_search(
             flag_cols.append(
                 F.coalesce(p, F.lit(False)).alias(f"q{len(qids) - 1}")
             )
+        # bounded: doc_frame is the request's INLINE documents (driver
+        # data in, one row per percolated doc), never an index scan
         flags = doc_frame.select(*flag_cols).collect() if flag_cols else []
         matched = {
             qid for i, qid in enumerate(qids)
@@ -4999,6 +5008,8 @@ def _run_agg(
     if kind == "composite":
         key_names = [next(iter(src)) for src in body["sources"]]
         size = int(body.get("size", 10))
+        # bounded: composite_frame pages — at most `size` buckets per
+        # call (after-key pagination), limited inside the frame
         rows = composite_frame(
             df, body, [_metric_agg(n, s) for n, s in sub.items()]
         ).collect()
@@ -5637,6 +5648,8 @@ def _run_agg(
         for h in ("jlh", "chi_square", "mutual_information", "gnd"):
             if h in body:
                 heuristic = h
+        # bounded: significant_terms_frame limits to the agg's `size`
+        # top-scored terms inside the frame it returns
         rows = significant_terms_frame(
             # single-scan conditional-agg plan when the foreground is
             # known to be `background.filter(fg_pred)` (top-level call)
