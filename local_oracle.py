@@ -80,6 +80,10 @@ def main() -> int:
                 rec["status"] = (
                     "rows_only" if len(spark_cols) > 0 else "error"
                 )
+                # name the pytest node pinning this entry's defining
+                # invariant, so the rows-only → property-test mapping
+                # is mechanically checkable from the report alone
+                rec["property_test"] = q.property_test
             else:
                 res = con.execute(q.oracle)
                 duck_cols = [d[0] for d in res.description]

@@ -42,14 +42,27 @@ class CatalogQuery:
     oracle: str | None  # None → non-SQL-expressible, driver does rows-only check
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # rows-only entries (oracle=None) MUST name the pytest node id of
+    # the deterministic property test that pins their defining
+    # invariant — local_oracle.py surfaces it per row so the mapping
+    # is mechanically checkable, and refuses registration without it.
+    property_test: str | None = None
 
 
 CATALOG: dict[str, CatalogQuery] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+def register(name: str, oracle: str | None, doc: str = "",
+             tags: tuple[str, ...] = (), property_test: str | None = None):
+    if oracle is None and not property_test:
+        raise ValueError(
+            f"catalog entry {name!r} has no oracle: pass property_test="
+            "'tests/<file>::<test>' naming its defining invariant test"
+        )
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        CATALOG[name] = CatalogQuery(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
+        CATALOG[name] = CatalogQuery(name=name, fn=fn, oracle=oracle,
+                                     doc=doc, tags=tags,
+                                     property_test=property_test)
         return fn
 
     return deco
@@ -944,6 +957,7 @@ def cardinality_agg(spark, sf_dir):
 
 @register(
     "approx_cardinality_agg",
+    property_test="tests/test_plans.py::test_approx_cardinality_error_bound_and_determinism",
     oracle=None,  # HLL sketches differ across engines by design — rows-only
     doc="Cardinality aggregation, approximate: HyperLogLog++ — the 100 TB path "
     "(fixed-size sketch, no distinct shuffle). Bounded rel. error 2%.",

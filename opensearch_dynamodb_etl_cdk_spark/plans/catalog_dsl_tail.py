@@ -795,6 +795,7 @@ def _pq_artifacts(spark, sf_dir):
 
 @register(
     "ann_pq_topk",
+    property_test="tests/test_dedup_similarity.py::test_pq_adc_equals_reconstruction_cosine",
     oracle=None,  # approximate by design — rows-only; ADC-vs-reconstruction
     # exactness and rerank recall are pytest properties
     doc="Product-quantization ANN top-10 (Jégou et al. 2011; m=16 "
@@ -818,6 +819,7 @@ def ann_pq_topk(spark, sf_dir):
 
 @register(
     "ann_pq_rerank_topk",
+    property_test="tests/test_dedup_similarity.py::test_pq_rerank_recall_on_embeddings",
     oracle=None,  # approximate by design — rows-only; recall ≥ 0.8 pytest
     doc="Two-stage PQ search: ADC shortlists 50 candidates from the "
     "compressed codes, exact cosine re-ranks only those (broadcast "
@@ -841,6 +843,7 @@ _IVFPQ_CACHE: dict = {}
 
 @register(
     "ann_ivfpq_rerank_topk",
+    property_test="tests/test_dedup_similarity.py::test_ivfpq_rerank_recall_on_clusters",
     oracle=None,  # approximate by design — rows-only; exactness at full
     # probe/pool and clustered recall are pytest properties
     doc="IVF-PQ ANN (FAISS IVFPQ layout): coarse IVF cells + "

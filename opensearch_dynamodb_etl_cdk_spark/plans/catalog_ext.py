@@ -169,6 +169,7 @@ def near_dup_survivor_count(spark, sf_dir):
 
 @register(
     "simhash_near_dup_pairs",
+    property_test="tests/test_dedup_similarity.py::test_simhash_finds_exact_and_near_dups",
     oracle=None,  # xxhash64 has no DuckDB twin — rows-only check
     doc="SimHash near-dup pairs: 64-bit signature, pigeonhole blocking on "
     "16-bit chunks (hamming ≤ 3 ⇒ some chunk equal), exact hamming verify. "
@@ -392,6 +393,7 @@ def histogram_agg(spark, sf_dir):
 
 @register(
     "approx_percentile_agg",
+    property_test="tests/test_plans.py::test_approx_percentile_rank_bound_and_determinism",
     oracle=None,  # t-digest/GK sketches differ across engines by design
     doc="percentiles aggregation, approximate: the fixed-size-sketch path "
     "for 100 TB (exact percentile needs a per-group sort; the sketch "
@@ -480,6 +482,7 @@ def ann_multiquery_topk(spark, sf_dir):
 
 @register(
     "ann_lsh_topk",
+    property_test="tests/test_dedup_similarity.py::test_lsh_ann_agrees_with_brute_force_on_clusters",
     oracle=None,  # approximate by design — rows-only; recall property-tested
     doc="LSH-bucketed ANN top-10 (8-bit random-hyperplane signatures × 8 "
     "tables, seeded/deterministic; exact re-rank of candidates only) — the "
@@ -541,6 +544,7 @@ def _ivf_index(spark, sf_dir, e, centroids):
 
 @register(
     "ann_lsh_indexed_topk",
+    property_test="tests/test_dedup_similarity.py::test_lsh_indexed_matches_oneshot_and_bounds_candidates",
     oracle=None,  # approximate by design — equals ann_lsh_topk, property-tested
     doc="ANN top-10 against a PERSISTED LSH signature table (id, table, "
     "bucket — parquet partitioned by table, sorted by bucket): bucket-key "
@@ -561,6 +565,7 @@ def ann_lsh_indexed_topk(spark, sf_dir):
 
 @register(
     "ann_ivf_indexed_topk",
+    property_test="tests/test_dedup_similarity.py::test_ivf_indexed_matches_oneshot",
     oracle=None,  # approximate by design — equals ann_ivf_topk, property-tested
     doc="IVF ANN top-10 against a PERSISTED cell-assignment table "
     "(id, cluster — parquet partitioned by cluster): probing 4 of 16 "
@@ -1218,6 +1223,7 @@ def knn_search_dsl(spark, sf_dir):
 
 @register(
     "phrase_suggester",
+    property_test="tests/test_search_dsl.py::test_phrase_suggest_corrects_both_terms",
     oracle=None,  # candidate-lattice walk is driver-side post-processing
     # of two Spark frames (vocabulary + bigram LM) — not SQL-expressible;
     # deterministic behavior is pinned by tests/test_search_dsl.py
@@ -2039,6 +2045,7 @@ def function_score_decay_gauss_exp(spark, sf_dir):
 
 @register(
     "ann_ivf_topk",
+    property_test="tests/test_dedup_similarity.py::test_ivf_ann_recall_on_clusters",
     oracle=None,  # approximate by design — recall property-tested
     doc="IVF approximate top-10: deterministic centroid sample, max-cosine "
     "cell assignment (materialize-once narrow column at scale), probe the "
@@ -2492,6 +2499,7 @@ def multimodal_wav_decode_stats(spark, sf_dir):
 
 @register(
     "embedding_near_dup_pairs",
+    property_test="tests/test_dedup_similarity.py::test_embedding_near_dup_pairs_finds_planted",
     oracle=None,  # LSH bucketing not SQL-expressible; planted-dup recall
     # and exact-cosine verification are property-tested in pytest
     doc="Embedding-cosine near-duplicate pairs via LSH bucket candidate "

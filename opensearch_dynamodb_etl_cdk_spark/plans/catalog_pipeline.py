@@ -263,6 +263,7 @@ def bpe_word_counts(spark, sf_dir):
 
 @register(
     "bpe_train_merges",
+    property_test="tests/test_bpe.py::test_train_matches_reference_exactly",
     oracle=None,  # iterative argmax+rewrite has no SQL twin — rows-only;
     # tests/test_bpe.py proves EXACT equality with a pure-Python
     # reference implementation (same tiebreak, same greedy-left rewrite)
@@ -319,6 +320,7 @@ def temperature_mixture_counts(spark, sf_dir):
 
 @register(
     "pca_embedding_summary",
+    property_test="tests/test_pca.py::test_fit_matches_numpy_reference",
     oracle=None,  # eigendecomposition has no DuckDB twin — rows-only;
     # tests/test_pca.py proves agreement with single-node numpy PCA
     # (eigenvalues rtol 1e-7), orthonormality, exact projection and
@@ -382,6 +384,7 @@ def document_chunks(spark, sf_dir):
 
 @register(
     "kmeans_cluster_sizes",
+    property_test="tests/test_dedup_similarity.py::test_ivf_centroids_deterministic_across_partitionings",
     oracle=None,  # Lloyd iterations have no SQL twin — rows-only;
     # determinism and recall are pinned by tests/test_similarity
     # (bit-identical centroids across partitionings and re-runs)
@@ -534,6 +537,7 @@ def sentence_dedup_docs(spark, sf_dir):
 
 @register(
     "bpe_encoded_token_stats",
+    property_test="tests/test_bpe.py::test_encode_lossless_and_consistent",
     oracle=None,
     doc="Distributed BPE ENCODE with trained merges (operators/bpe.py::"
     "bpe_encode — Arrow-batched, per-batch word cache, merge table "
@@ -728,6 +732,7 @@ def quality_classifier_scores(spark, sf_dir):
 
 @register(
     "logreg_train_weights",
+    property_test="tests/test_classifier.py::test_partition_invariance_bit_exact",
     oracle=None,  # iterative gradient descent has no SQL twin —
     # rows-only; tests/test_classifier.py pins bit-exact partition
     # invariance (decimal-summed gradients), NumPy-reference agreement

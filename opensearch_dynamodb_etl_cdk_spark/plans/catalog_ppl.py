@@ -419,6 +419,7 @@ def ppl_ad_anomalies(spark, sf_dir):
 
 @register(
     "ppl_ad_anomalies_approx",
+    property_test="tests/test_ppl.py::test_ad_mode_approx_matches_exact_at_small_scale",
     oracle=None,  # approximate by construction: the sketch answers
     # nearest-rank (uninterpolated) percentiles, so even-sized groups
     # differ from the exact twin by design. Defining invariant —

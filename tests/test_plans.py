@@ -558,3 +558,70 @@ def test_binary_hamming_is_take_ordered_no_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ann_binary_hamming_topk")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange (" not in plan
+
+
+def test_approx_cardinality_error_bound_and_determinism(spark, sf_dir):
+    """Defining invariant of the rows-only approx_cardinality_agg
+    entry: the HLL++ estimate is deterministic for a given dataset and
+    lands within the configured 2% relative-error band (generous 3x
+    slack: the rsd is a standard deviation, not a hard bound)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    both = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+    )
+    rows = {r["l_returnflag"]: r for r in both.collect()}
+    assert rows
+    for r in rows.values():
+        assert abs(r["approx"] - r["exact"]) <= max(1, 0.06 * r["exact"])
+    again = {
+        r["l_returnflag"]: r["approx"]
+        for r in li.groupBy("l_returnflag").agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx")
+        ).collect()
+    }
+    assert again == {k: r["approx"] for k, r in rows.items()}
+
+
+def test_approx_percentile_rank_bound_and_determinism(spark, sf_dir):
+    """Defining invariant of the rows-only approx_percentile_agg entry:
+    with accuracy 10000 and per-group sizes below it, the sketch
+    answer IS the exact nearest-rank percentile — an element of the
+    group, no farther than one rank from the interpolated exact value
+    — and re-running is bit-identical."""
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sizes = {r["event_type"]: r["n"] for r in
+             e.groupBy("event_type").count().withColumnRenamed(
+                 "count", "n").collect()}
+    assert all(n < 10000 for n in sizes.values())
+
+    def run():
+        return {
+            r["event_type"]: (r["p50"], r["p95"])
+            for r in e.groupBy("event_type").agg(
+                F.percentile_approx("value", 0.5, 10000).alias("p50"),
+                F.percentile_approx("value", 0.95, 10000).alias("p95"),
+            ).collect()
+        }
+
+    got = run()
+    assert got == run()  # deterministic
+    # membership + rank check per group, driver-side over modest groups
+    for et, (p50, p95) in got.items():
+        grp = sorted(
+            r["value"] for r in
+            e.filter(F.col("event_type") == et).select("value").collect()
+        )
+        assert p50 in grp and p95 in grp  # nearest-rank: real elements
+        import bisect
+
+        n = len(grp)
+        for p, v in ((0.5, p50), (0.95, p95)):
+            lo = bisect.bisect_left(grp, v)
+            hi = bisect.bisect_right(grp, v) - 1
+            target = p * (n - 1)
+            assert lo - 1 <= target <= hi + 1  # within one rank
