@@ -570,10 +570,11 @@ def decode_image(
     payload: bytes,
     decoders: dict[str, Callable[[bytes], dict]] | None = None,
 ) -> dict:
-    """Image decode dispatch through the codec registry: BMP decodes
-    for real (``decode_bmp``); PNG/JPEG raise until a codec is
-    ``register_decoder``-ed. ``decoders`` overrides the module registry
-    (used by Arrow closures that snapshot it at plan-build time)."""
+    """Image decode dispatch through the codec registry: BMP and PNG
+    decode for real (``decode_bmp`` / ``decode_png``, both built-in);
+    JPEG raises until a codec is ``register_decoder``-ed. ``decoders``
+    overrides the module registry (used by Arrow closures that
+    snapshot it at plan-build time)."""
     return _decode_kind(payload, "image", decoders)
 
 
@@ -737,9 +738,9 @@ def synthesize_media(
 
 def extract_media_features(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Real decode over the payload column: dispatches per-row on
-    ``media_type`` (BMP/WAV parse for real; compressed formats raise).
-    One Arrow batch per ~10k rows; only small feature rows leave the
-    UDF."""
+    ``media_type`` (BMP/PNG/WAV parse for real; other compressed
+    formats raise until registered). One Arrow batch per ~10k rows;
+    only small feature rows leave the UDF."""
     keep_schema = ", ".join(f"{c} string" for c in keep)
     schema = MEDIA_FEATURE_SCHEMA + (", " + keep_schema if keep else "")
     feature_keys = (

@@ -682,16 +682,22 @@ def ppl_query(
             # a right key rk != lk that ALSO names a left column would
             # survive the overlap drop and leave two columns named rk
             # after the join — alias it to a temp name for the join
-            # condition, then drop the temp (left wins, the same
-            # lookup rule the overlap drop applies)
+            # condition (ONE temp per distinct rk: the same right key
+            # may back several pairs), resolving the temp after the
+            # join like any other overlap. Skip keys that also appear
+            # as an lk==rk pair — the coalesce fold below already
+            # resolves those.
+            same_keys = {r for l, r in pairs if l == r}
+            renamed: dict[str, str] = {}
             joined_pairs = []
-            temp_keys = []
             for i, (lk, rk) in enumerate(pairs):
-                if rk != lk and rk in df.columns:
-                    tmp = f"__ppl_rk{i}"
-                    right = right.withColumnRenamed(rk, tmp)
+                if rk != lk and rk in df.columns and rk not in same_keys:
+                    tmp = renamed.get(rk)
+                    if tmp is None:
+                        tmp = f"__ppl_rk{i}"
+                        right = right.withColumnRenamed(rk, tmp)
+                        renamed[rk] = tmp
                     joined_pairs.append((lk, tmp))
-                    temp_keys.append(tmp)
                 else:
                     joined_pairs.append((lk, rk))
             left = df
@@ -700,8 +706,27 @@ def ppl_query(
                 p = left[lk] == right[rk]
                 cond = p if cond is None else cond & p
             df = left.join(right, cond, jtype)
-            if temp_keys and jtype not in ("left_semi", "left_anti"):
-                df = df.drop(*temp_keys)
+            if renamed and jtype not in ("left_semi", "left_anti"):
+                if jtype in ("right", "full"):
+                    # right-only rows carry their key ONLY in the temp
+                    # copy (the left side is null there) — coalesce it
+                    # into lk instead of dropping, exactly as the
+                    # lk==rk branch below does (first pair per temp:
+                    # the coalesce consumes the column)
+                    seen: set[str] = set()
+                    for lk, tmp in joined_pairs:
+                        if tmp in renamed.values() and tmp not in seen:
+                            seen.add(tmp)
+                            df = (
+                                df.withColumn(
+                                    "__ppl_jk",
+                                    F.coalesce(left[lk], right[tmp]),
+                                )
+                                .drop(left[lk]).drop(right[tmp])
+                                .withColumnRenamed("__ppl_jk", lk)
+                            )
+                else:
+                    df = df.drop(*renamed.values())
             if jtype not in ("left_semi", "left_anti"):
                 # name-colliding key columns fold to ONE: coalesce so a
                 # right/full join's right-only rows keep their key (the

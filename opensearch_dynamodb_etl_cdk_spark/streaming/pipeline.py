@@ -700,9 +700,12 @@ class FlightsEtlPipeline:
         if "_deleted" in df.columns:
             df = df.filter(~F.col("_deleted")).drop("_deleted")
         # SQL-friendly convenience view; index names may carry chars
-        # (rollover generations like logs-000002) invalid in view names
+        # (rollover generations like logs-000002) invalid in view names.
+        # The view registers MASKED (it is a public SQL surface — for
+        # ANY index, not just configured routes); the returned frame
+        # stays raw for internal merge/maintenance callers.
         view_name = re.sub(r"[^A-Za-z0-9_]", "_", f"{route}_index")
-        df.createOrReplaceTempView(view_name)
+        self._apply_field_masking(df, route).createOrReplaceTempView(view_name)
         return df
 
     def count(self, pattern: str, query: dict | None = None) -> int:
@@ -976,6 +979,7 @@ class FlightsEtlPipeline:
         from ..operators.search import compile_query
 
         self._check_write_block(route, "delete_by_query")
+        self._check_masked_write(route, "delete_by_query")
         idx = self.index_view(route)
         if idx is None:
             return 0
@@ -1006,6 +1010,7 @@ class FlightsEtlPipeline:
         from ..operators.search import compile_query
 
         self._check_write_block(route, "update_by_query")
+        self._check_masked_write(route, "update_by_query")
         idx = self.index_view(route)
         if idx is None:
             return 0
@@ -2020,6 +2025,21 @@ class FlightsEtlPipeline:
             raise ValueError(
                 f"cannot mask addressing/internal columns {bad}"
             )
+        # fail-closed: a policy naming no real column would protect
+        # nothing while the operator believes it does — validate
+        # against the live index's schema
+        idx = self.read_index(route)
+        if idx is None:
+            raise ValueError(
+                f"field masking: no such index {route!r} (create it "
+                "first — a policy must bind to real columns)"
+            )
+        unknown = sorted(set(fields) - set(idx.columns))
+        if unknown:
+            raise ValueError(
+                f"field masking: unknown fields {unknown} on index "
+                f"{route!r}"
+            )
         reg = self._read_field_masking()
         reg[route] = {"fields": sorted(set(fields)), "mode": mode,
                       "salt": salt}
@@ -2045,6 +2065,21 @@ class FlightsEtlPipeline:
                 json.dump(reg, f)
             os.replace(tmp, self._field_masking_path())
         return {"acknowledged": True}
+
+    def _check_masked_write(self, route: str, op: str) -> None:
+        """Write operations that READ document values (query-matched
+        writes, scripted updates) are rejected on a masked index — the
+        public security plugin's DLS/FLS limitation. A query-matched
+        write would confirm original values through its count (the
+        probe channel search/count close), and a script could copy a
+        masked column into an unmasked one (full exfiltration).
+        Plain by-id writes don't read values and stay allowed."""
+        if self._read_field_masking().get(route):
+            raise ValueError(
+                f"{op} on index {route!r} with a field-masking policy "
+                "is rejected: the operation would read unmasked values "
+                "(delete the policy first, or write by id)"
+            )
 
     def _apply_field_masking(
         self, df: DataFrame | None, route: str
@@ -2450,15 +2485,12 @@ class FlightsEtlPipeline:
                 # leak through
                 self.spark.catalog.dropTempView(route)
                 continue
+            # the `<route>_index` convenience view registers masked
+            # inside index_view() itself (for every index, configured
+            # or not); this masks the plain `route` name too
             view = self._apply_field_masking(self.index_view(route), route)
             if view is not None:
                 view.createOrReplaceTempView(route)
-                # index_view() registered the `<route>_index`
-                # convenience view UNMASKED — overwrite it, or a
-                # SELECT against that name would bypass the policy
-                view.createOrReplaceTempView(
-                    re.sub(r"[^A-Za-z0-9_]", "_", f"{route}_index")
-                )
                 registered = True
         for alias in self._read_aliases_raw():
             # resolve by ALIAS name, not its flattened pattern — a
@@ -3196,6 +3228,11 @@ class FlightsEtlPipeline:
         Unknown or internal fields are rejected up front. Returns
         per-action-type counts."""
         self._check_write_block(route, "bulk")
+        if any("script" in spec for a in actions for spec in a.values()
+               if isinstance(spec, dict)):
+            # scripts evaluate over the current UNMASKED image — a
+            # masked column could be copied into an unmasked one
+            self._check_masked_write(route, "bulk (scripted update)")
         idx = self.index_view(route)
         if idx is None:
             raise ValueError(

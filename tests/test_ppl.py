@@ -436,6 +436,37 @@ def test_join_right_key_colliding_with_left_column(run):
     assert sorted(r["id"] for r in out.collect()) == [3, 4]
 
 
+def test_join_full_right_only_rows_keep_colliding_key(run):
+    # rk != lk collision under a FULL join: right-only rows carry
+    # their key only in the right copy — it must coalesce into the
+    # surviving column, not drop (else those rows lose their key)
+    out = run("source=sales | join type=full dims on color = grp "
+              "| fields color, grp, label")
+    rows = [(r["color"], r["grp"], r["label"]) for r in out.collect()]
+    # no sales.color equals a dims.grp, so dims a/b are right-only:
+    # their key must survive in the unified key column (lk = color);
+    # the right's colliding DATA copy of grp drops (left wins)
+    assert ("a", None, "alpha") in rows and ("b", None, "beta") in rows
+    assert all(c is not None for c, _g, lbl in rows if lbl is not None)
+
+
+def test_join_same_right_key_in_two_pairs(spark):
+    # one right key backing TWO pairs, colliding with a left column:
+    # must reuse a single temp alias (a second rename would no-op and
+    # the condition would reference an unresolvable column)
+    left = spark.createDataFrame(
+        [(1, "x", "x", "z"), (2, "x", "y", "w")],
+        "id long, a string, b string, k string",
+    )
+    right = spark.createDataFrame([("x", 9)], "k string, n long")
+    out = ppl_query(
+        "source=L | join type=inner R on a = k, b = k | sort id",
+        {"L": left, "R": right}.__getitem__,
+    )
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [(1, "x", "x", "z", 9)]  # left k ('z') wins, one row
+
+
 def test_appendcol_command(run):
     out = run("source=sales | appendcol [ stats avg(amount) as "
               "mean_amount ] | sort id | fields id, amount, mean_amount")

@@ -1516,6 +1516,27 @@ def test_field_masking_policies(spark, tmp_path_factory):
     copied = {r["fare_class"] for r in
               p.index_view("fare_copy").select("fare_class").collect()}
     assert not (copied & originals)
+    # write-by-query and scripted bulk are rejected on a masked index
+    # (they read unmasked values: a match count probes originals, a
+    # script can copy a masked column out) — the public DLS/FLS
+    # limitation; plain by-id writes stay allowed
+    with pytest.raises(ValueError, match="field-masking policy"):
+        p.delete_by_query("fare", {"term": {"fare_class": some}})
+    with pytest.raises(ValueError, match="field-masking policy"):
+        p.update_by_query("fare", {"term": {"pk": "DEN"}},
+                          {"pk": "fare_class"})
+    with pytest.raises(ValueError, match="field-masking policy"):
+        p.bulk("fare", [{"update": {"_id": any_id,
+                                    "script": {"pk": "fare_class"}}}])
+    p.bulk("fare", [{"delete": {"_id": any_id}}])  # by-id write: fine
+    assert p.get_doc("fare", any_id) is None
+    # a policy on an index created OUTSIDE the configured routes masks
+    # its SQL convenience view too (registered masked in index_view)
+    p.put_field_masking("fare_copy", ["origin"], mode="redact")
+    p.search("fare_copy", {"size": 1})  # re-registers the view
+    got_o = {r["origin"] for r in
+             p.sql("SELECT origin FROM fare_copy_index").collect()}
+    assert got_o - {None} == {"<masked>"}
     # redact mode + policy validation
     p.put_field_masking("fare", ["fare_class"], mode="redact")
     hits = p.search("fare", {"query": {"match_all": {}}})["hits"]
@@ -1526,6 +1547,12 @@ def test_field_masking_policies(spark, tmp_path_factory):
         p.put_field_masking("fare", ["_id"])
     with pytest.raises(ValueError, match="field list"):
         p.put_field_masking("fare", [])
+    # fail-closed policy validation: typo'd fields and missing indexes
+    # are errors, never silently-unprotecting policies
+    with pytest.raises(ValueError, match="unknown fields"):
+        p.put_field_masking("fare", ["fare_clas"])
+    with pytest.raises(ValueError, match="no such index"):
+        p.put_field_masking("nonexistent", ["pk"])
     # deleting the policy restores originals — storage was never touched
     p.delete_field_masking("fare")
     hits = p.search("fare", {"query": {"match_all": {}}})["hits"]
