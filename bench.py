@@ -119,6 +119,10 @@ HEADLINE = [
     "ann_binary_hamming_topk",
     "quality_classifier_scores",
     "ppl_ad_anomalies",
+    # round-7 addition: the first REAL compressed-codec decode path —
+    # per-row PNG synthesis + zlib-inflate + filter reconstruction
+    # inside one Arrow-batched mapInPandas, aggregated per lang
+    "multimodal_png_decode_stats",
 ]
 
 # Iterative/trainer operators do their distributed work INSIDE fn()
