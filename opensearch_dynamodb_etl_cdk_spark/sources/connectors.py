@@ -116,6 +116,58 @@ class IndexMergeSink(SinkConnector):
         pipeline._merge_route(df, route)
 
 
+class BulkNdjsonSink(SinkConnector):
+    """HTTP-bulk-shaped sink, with a file transport: renders each
+    route's micro-batch slice as PUBLIC ``_bulk`` request bodies —
+    action-metadata line followed by the source document for upserts,
+    a bare delete action line for deletes:
+
+        {"index": {"_index": "fare", "_id": "DEN|..."}}
+        {"pk": "DEN", "sk": "...", ...}
+        {"delete": {"_index": "fare", "_id": "LAX|..."}}
+
+    Rendering happens EXECUTOR-side (``to_json`` over codegen structs;
+    the driver never sees a document) into one NDJSON directory per
+    (route, epoch). Re-delivery of a failed micro-batch overwrites its
+    own epoch directory, so the rendered stream stays exactly-once
+    like the parquet sink's MERGE. An HTTP transport would POST each
+    partition's lines from ``foreachPartition`` — the render plan is
+    identical, which is the point of the seam.
+    """
+
+    name = "bulk-ndjson"
+
+    # merge bookkeeping columns that must not leak into _source
+    _INTERNAL = ("_action", "_bucket", "_seq", "_deleted")
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def write_route(self, pipeline, route, df, epoch_id):
+        import os
+
+        from pyspark.sql import functions as F
+
+        meta = F.struct(F.lit(route).alias("_index"), F.col("_id"))
+        src_cols = [c for c in df.columns
+                    if c not in self._INTERNAL and c != "_id"]
+        ups = df.filter(F.col("_action") != "delete").select(
+            F.concat(
+                F.to_json(F.struct(meta.alias("index"))),
+                F.lit("\n"),
+                F.to_json(F.struct(*[F.col(c) for c in src_cols])),
+            ).alias("value")
+        )
+        dels = df.filter(F.col("_action") == "delete").select(
+            F.to_json(F.struct(meta.alias("delete"))).alias("value")
+        )
+        (
+            ups.unionByName(dels)
+            .write.mode("overwrite")
+            .text(os.path.join(self.out_dir, route, f"epoch={epoch_id}"))
+        )
+
+
 _SOURCES: dict[str, SourceConnector] = {}
 _SINKS: dict[str, SinkConnector] = {}
 _BUILTIN_SOURCES = {"file": FileSource()}

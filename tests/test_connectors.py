@@ -209,3 +209,53 @@ def test_file_source_builtin_roundtrip(spark, tmp_path):
     spark.range(3).write.parquet(bad)
     with pytest.raises(ValueError, match="item_json"):
         p.bootstrap_from("file", {"export_path": bad})
+
+
+def test_bulk_ndjson_sink_renders_public_bulk_bodies(spark, tmp_path):
+    """The HTTP-bulk-shaped sink renders real _bulk request bodies:
+    action-metadata + source pairs for upserts, bare delete actions,
+    one exactly-once directory per (route, epoch)."""
+    out = str(tmp_path / "bulk")
+    p = FlightsEtlPipeline(spark, _cfg(tmp_path), sink=C.BulkNdjsonSink(out))
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+
+    def lines(route, epoch=-1):
+        import glob
+
+        got = []
+        for f in sorted(glob.glob(os.path.join(out, route,
+                                               f"epoch={epoch}",
+                                               "part-*"))):
+            with open(f) as fh:
+                got.extend(ln for ln in fh.read().splitlines() if ln)
+        return got
+
+    fare = [json.loads(ln) for ln in lines("fare")]
+    actions = [x for x in fare if set(x) <= {"index", "delete"}]
+    sources = [x for x in fare if not (set(x) <= {"index", "delete"})]
+    assert len(actions) == 22 and len(sources) == 22  # golden count
+    assert all(a["index"]["_index"] == "fare" for a in actions)
+    # pairs are adjacent: every action line is followed by its source
+    raw = lines("fare")
+    idx = [i for i, ln in enumerate(raw) if '"index"' in ln and
+           json.loads(ln).get("index", {}).get("_index") == "fare"]
+    for i in idx:
+        src = json.loads(raw[i + 1])
+        assert "index" not in src and "_id" not in src  # a source doc
+        assert not set(src) & {"_action", "_bucket", "_seq"}  # no leaks
+    # deletes render as bare action lines (REMOVE events carry no
+    # image), landing in their OWN epoch directory (exactly-once:
+    # a re-delivered micro-batch overwrites epoch=7, never appends)
+    ev = [{"seq": 99, "event_name": "REMOVE", "event_ts": None,
+           "pk": "DEN", "sk": "XXX", "new_image_json": None}]
+    cdc = spark.createDataFrame(ev, "seq long, event_name string, "
+                                "event_ts string, pk string, sk string, "
+                                "new_image_json string")
+    p._apply_batch(p.transform_cdc(cdc), epoch_id=7)
+    dels = [json.loads(ln) for ln in lines("fare", epoch=7)]
+    assert any(d.get("delete", {}).get("_id") == "DEN|XXX" for d in dels)
+    p._apply_batch(p.transform_cdc(cdc), epoch_id=7)  # re-delivery
+    assert [json.loads(ln) for ln in lines("fare", epoch=7)] == dels
