@@ -13,9 +13,12 @@ dependencies:
   the first REAL compressed format: stdlib ``zlib`` inflate plus the
   five public filter reconstructions (None/Sub/Up/Average/Paeth),
   per-chunk CRC verification, no third-party imaging library
+* GIF87a/89a (``decode_gif`` / ``encode_gif``) — the second: a full
+  variable-width LZW codec (clear/end codes, dictionary growth,
+  KwKwK case) with palette mapping and sub-block framing
 
-``decode_image`` / ``decode_audio`` dispatch on magic bytes: BMP, PNG
-and WAV payloads decode for real; the remaining compressed formats
+``decode_image`` / ``decode_audio`` dispatch on magic bytes: BMP, PNG,
+GIF and WAV payloads decode for real; the remaining compressed formats
 (JPEG/MP3/OGG) raise ``NotImplementedError`` because their codecs
 (DCT / MPEG audio / Vorbis) need libraries the container does not
 ship — they stay pluggable through ``register_decoder``.
@@ -461,11 +464,249 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
+# --------------------------------------------------------------- GIF codec
+#
+# Dependency-free GIF87a/89a from the public spec: variable-width LZW
+# (the real compression algorithm, clear/end codes, dictionary growth
+# synchronized with the decoder's one-code lag), palette mapping,
+# sub-block framing. Interlaced images raise the documented
+# NotImplementedError boundary; structural damage raises ValueError.
+
+
+def _gif_lzw_encode(min_code_size: int, pixels: bytes) -> bytes:
+    """Real LZW (not the uncompressed-GIF trick): greedy longest-match
+    dictionary build. Growth rule: the encoder widens after ADDING the
+    entry whose code equals 2^code_size — one code earlier than the
+    decoder widens, which is exactly the decoder's one-entry lag."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    bits = bytearray()
+    acc = 0
+    nacc = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += code_size
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear)
+    w = b""
+    for px in pixels:
+        wk = w + bytes([px])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            next_code += 1
+        else:  # table full: reset, exactly as the spec allows
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        w = bytes([px])
+    if w:
+        emit(table[w])
+    emit(end)
+    if nacc:
+        out.append(acc & 0xFF)
+    del bits
+    return bytes(out)
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytearray:
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while True:
+        if bitpos + code_size > total_bits:
+            raise ValueError("truncated GIF LZW stream (no end code)")
+        code = 0
+        for i in range(code_size):
+            code |= ((data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += code_size
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError(f"bad GIF LZW code {code} after clear")
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"bad GIF LZW code {code}")
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        if len(out) > max_pixels:
+            raise ValueError("GIF LZW stream decodes past the image size")
+        prev = entry
+
+
+def encode_gif(width: int, height: int, base_value: int = 0,
+               pixels: bytes | None = None) -> bytes:
+    """Build a real GIF89a: 256-entry grayscale global color table
+    (entry i = (i,i,i)), one image, REAL LZW-compressed data in
+    ≤255-byte sub-blocks. Default pixel indexes are the gradient
+    ``base + 7r + 13c`` (validated not to wrap), whose decoded RGB
+    mean is closed-form: ``base + 7(h-1)/2 + 13(w-1)/2``."""
+    if width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive")
+    if pixels is None:
+        top = base_value + 7 * (height - 1) + 13 * (width - 1)
+        if not (0 <= base_value and top <= 255):
+            raise ValueError(
+                f"gradient peak {top} exceeds a byte; lower base_value"
+            )
+        pixels = bytes(
+            base_value + 7 * r + 13 * c
+            for r in range(height) for c in range(width)
+        )
+    elif len(pixels) != width * height:
+        raise ValueError("pixels length != width*height")
+    header = b"GIF89a"
+    # screen descriptor: GCT present, 8 bits/pixel, 256-entry table
+    screen = struct.pack("<HHBBB", width, height, 0b1111_0111, 0, 0)
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    lzw = _gif_lzw_encode(8, pixels)
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks.append(0)  # block terminator
+    return header + screen + gct + img_desc + bytes(blocks) + b"\x3b"
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Decode a GIF for real: screen/image descriptors, extension-block
+    skipping, sub-block reassembly, variable-width LZW, palette
+    mapping. Statistics cover the palette-mapped RGB bytes of the
+    FIRST image frame — any LZW or palette bug shifts ``mean_value``
+    and breaks the oracle. Interlaced frames raise the documented
+    boundary."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("truncated GIF global color table")
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        intro = payload[pos]
+        pos += 1
+        if intro == 0x3B:  # trailer before any image
+            raise ValueError("GIF has no image frame")
+        if intro == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension")
+                size = payload[pos]
+                pos += 1
+                if size == 0:
+                    break
+                pos += size
+            continue
+        if intro != 0x2C:
+            raise ValueError(f"bad GIF block introducer 0x{intro:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if w <= 0 or h <= 0:
+            raise ValueError(f"malformed GIF geometry {w}x{h}")
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF unsupported")
+        pal = gct
+        if ipacked & 0x80:  # local color table overrides
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(payload):
+                raise ValueError("truncated GIF local color table")
+            pal = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        if pos >= len(payload):
+            raise ValueError("truncated GIF image data")
+        min_code_size = payload[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise ValueError(f"bad GIF LZW minimum code size {min_code_size}")
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF data sub-blocks")
+            size = payload[pos]
+            pos += 1
+            if size == 0:
+                break
+            if pos + size > len(payload):
+                raise ValueError("truncated GIF data sub-block")
+            data += payload[pos : pos + size]
+            pos += size
+        idx = _gif_lzw_decode(min_code_size, bytes(data), w * h)
+        if len(idx) < w * h:
+            raise ValueError(
+                f"GIF pixel data is {len(idx)} indexes, geometry needs {w * h}"
+            )
+        n_colors = len(pal) // 3
+        total = 0
+        for i in idx[: w * h]:
+            if i >= n_colors:
+                raise ValueError(f"GIF pixel index {i} outside the palette")
+            off = 3 * i
+            total += pal[off] + pal[off + 1] + pal[off + 2]
+        n_pixels = w * h
+        return {
+            "media_kind": "image",
+            "width": w,
+            "height": h,
+            "bit_depth": max(1, (n_colors - 1).bit_length()),
+            "n_units": n_pixels,
+            "mean_value": total / (3 * n_pixels),
+            "n_bytes": len(payload),
+        }
+    raise ValueError("truncated GIF: no trailer, no image")
+
+
 # ---------------------------------------------------------- codec registry
 #
 # The production seam for compressed formats: each known container
 # format carries a magic-byte sniffer; a format decodes only if a
-# decoder is REGISTERED for it. BMP, WAV and PNG register their
+# decoder is REGISTERED for it. BMP, WAV, PNG and GIF register their
 # built-in spec parsers at import; JPEG/MP3/OGG are recognized (so
 # the error is precise) but undecodable until a real codec is plugged
 # in with ``register_decoder`` — the default stays the loud raise.
@@ -493,6 +734,8 @@ KNOWN_MEDIA_FORMATS: tuple[MediaFormat, ...] = (
                 "BMP decode failed"),
     MediaFormat("png", "image", lambda p: p[:8] == b"\x89PNG\r\n\x1a\n",
                 "PNG decode failed"),
+    MediaFormat("gif", "image", lambda p: p[:6] in (b"GIF87a", b"GIF89a"),
+                "GIF decode failed"),
     MediaFormat("jpeg", "image", lambda p: p[:3] == b"\xff\xd8\xff",
                 "JPEG decode requires a DCT imaging codec"),
     MediaFormat("wav", "audio",
@@ -510,6 +753,7 @@ _BUILTIN_DECODERS: dict[str, Callable[[bytes], dict]] = {
     "bmp": decode_bmp,
     "wav": decode_wav,
     "png": decode_png,
+    "gif": decode_gif,
 }
 _DECODERS: dict[str, Callable[[bytes], dict]] = dict(_BUILTIN_DECODERS)
 
@@ -570,9 +814,9 @@ def decode_image(
     payload: bytes,
     decoders: dict[str, Callable[[bytes], dict]] | None = None,
 ) -> dict:
-    """Image decode dispatch through the codec registry: BMP and PNG
-    decode for real (``decode_bmp`` / ``decode_png``, both built-in);
-    JPEG raises until a codec is ``register_decoder``-ed. ``decoders``
+    """Image decode dispatch through the codec registry: BMP, PNG and
+    GIF decode for real (built-in spec parsers); JPEG raises until a
+    codec is ``register_decoder``-ed. ``decoders``
     overrides the module registry (used by Arrow closures that
     snapshot it at plan-build time)."""
     return _decode_kind(payload, "image", decoders)
@@ -707,10 +951,10 @@ def synthesize_media(
     payload bytes per row, Arrow-batched. Payload bytes are built and
     stay on the executors; ``keep`` columns pass through for
     downstream grouping."""
-    if kind not in ("image", "audio", "png"):
-        raise ValueError("kind must be 'image', 'png' or 'audio'")
+    if kind not in ("image", "audio", "png", "gif"):
+        raise ValueError("kind must be 'image', 'png', 'gif' or 'audio'")
     media_type = {"image": "image/bmp", "png": "image/png",
-                  "audio": "audio/wav"}[kind]
+                  "gif": "image/gif", "audio": "audio/wav"}[kind]
     cols = [id_col, *keep]
     keep_schema = ", ".join(f"{c} string" for c in keep)
     out_schema = "doc_id long, payload binary, media_type string" + (
@@ -726,6 +970,8 @@ def synthesize_media(
                 payloads = [encode_bmp(*bmp_params(int(d))) for d in ids]
             elif kind == "png":
                 payloads = [encode_png(*png_params(int(d))) for d in ids]
+            elif kind == "gif":
+                payloads = [encode_gif(*png_params(int(d))) for d in ids]
             else:
                 payloads = [encode_wav(*wav_params(int(d))) for d in ids]
             out = {"doc_id": ids, "payload": payloads, "media_type": media_type}
@@ -738,7 +984,7 @@ def synthesize_media(
 
 def extract_media_features(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Real decode over the payload column: dispatches per-row on
-    ``media_type`` (BMP/PNG/WAV parse for real; other compressed
+    ``media_type`` (BMP/PNG/GIF/WAV parse for real; other compressed
     formats raise until registered). One Arrow batch per ~10k rows;
     only small feature rows leave the UDF."""
     keep_schema = ", ".join(f"{c} string" for c in keep)

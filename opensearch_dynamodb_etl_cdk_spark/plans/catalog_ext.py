@@ -2458,6 +2458,47 @@ def multimodal_png_decode_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_gif_decode_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_items,
+           CAST(SUM((1 + doc_id % 13) * (1 + doc_id % 7)) AS BIGINT) AS sum_pixels,
+           CAST(SUM(CAST(1 + doc_id % 13 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_width,
+           CAST(SUM(CAST(1 + doc_id % 7 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_height,
+           CAST(SUM(CAST(doc_id % 53 + 7 * (doc_id % 7) / 2.0
+                         + 13 * (doc_id % 13) / 2.0
+                    AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_pixel
+    FROM documents GROUP BY lang
+    """,
+    doc="REAL LZW decode end-to-end: synthesize genuine GIF89a bytes "
+    "per document (operators/multimodal.py::encode_gif — real "
+    "variable-width LZW compression, 256-entry grayscale palette, "
+    "sub-block framing, gradient pixel indexes closed-form in doc_id), "
+    "parse them back through the built-in decoder (::decode_gif — "
+    "extension skipping, sub-block reassembly, LZW with dictionary "
+    "growth and the KwKwK case, palette mapping), aggregate per lang. "
+    "The oracle recomputes geometry AND the palette-mapped mean "
+    "(base + 7(h-1)/2 + 13(w-1)/2) from the doc_id formulas, so any "
+    "LZW or palette bug breaks the hash. Payloads never leave the "
+    "executors.",
+    tags=("multimodal",),
+)
+def multimodal_gif_decode_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    media = M.synthesize_media(d, "gif", keep=("lang",))
+    feats = M.extract_media_features(media, keep=("lang",))
+    exact = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast("double") / F.count(
+        F.lit(1)
+    )
+    return feats.groupBy("lang").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_units").alias("sum_pixels"),
+        exact("width").alias("avg_width"),
+        exact("height").alias("avg_height"),
+        exact("mean_value").alias("avg_pixel"),
+    )
+
+
+@register(
     "multimodal_wav_decode_stats",
     oracle="""
     SELECT source, COUNT(*) AS n_items,

@@ -353,9 +353,17 @@ def test_registry_default_raises_for_compressed():
     M.unregister_decoder("png")
     assert M.decode_image(M.encode_png(3, 2, 10))["n_units"] == 6
     with pytest.raises(ValueError):
-        M.decode_image(b"GIF89a" + b"\x00" * 16)  # unknown magic
+        # GIF is a built-in now: garbage after the magic is structural
+        # damage (truncated screen/table), not an unknown format
+        M.decode_image(b"GIF89a" + b"\x00" * 16)
     with pytest.raises(ValueError):
-        M.register_decoder("gif", lambda p: {})  # unknown format
+        M.decode_image(b"WEBP" + b"\x00" * 16)  # unknown magic
+    with pytest.raises(ValueError):
+        M.register_decoder("webp", lambda p: {})  # unknown format
+    # gif registers/unregisters like any built-in
+    assert M.decode_image(M.encode_gif(3, 2, 10))["n_units"] == 6
+    M.unregister_decoder("gif")
+    assert M.decode_image(M.encode_gif(3, 2, 10))["n_units"] == 6
     with pytest.raises(TypeError):
         M.register_decoder("jpeg", "not-callable")
 
@@ -518,3 +526,91 @@ def test_degenerate_media_raise_value_errors():
     info = _s.pack("<IiiHHIIiiII", 40, 0, 1, 1, 24, 0, 0, 0, 0, 0, 0)
     with pytest.raises(ValueError, match="malformed BMP"):
         resize_bmp(hdr + info, 2, 2)
+
+
+# ----------------------------------------------------------- GIF codec
+
+
+def test_gif_gradient_roundtrip():
+    for (w, h, b) in [(1, 1, 0), (13, 7, 52), (4, 6, 10), (13, 1, 52)]:
+        f = M.decode_gif(M.encode_gif(w, h, b))
+        assert (f["width"], f["height"], f["n_units"]) == (w, h, w * h)
+        assert f["media_kind"] == "image" and f["bit_depth"] == 8
+        assert f["mean_value"] == pytest.approx(
+            b + 7 * (h - 1) / 2 + 13 * (w - 1) / 2, abs=1e-12
+        )
+
+
+def test_gif_lzw_stress_paths():
+    import random
+
+    rng = random.Random(11)
+    # random pixels force dictionary growth through several code widths
+    # and multi-sub-block framing (>255 LZW bytes)
+    for (w, h) in [(57, 43), (255, 3), (120, 90)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        f = M.decode_gif(M.encode_gif(w, h, pixels=px))
+        assert f["mean_value"] == pytest.approx(sum(px) / len(px))
+        assert f["n_units"] == w * h
+    # repetitive content exercises long matches; constant content the
+    # KwKwK (code == next_code) case
+    px = (b"\x01\x02\x03" * 5000)[: 100 * 100]
+    f = M.decode_gif(M.encode_gif(100, 100, pixels=px))
+    assert f["mean_value"] == pytest.approx(sum(px) / len(px))
+    f = M.decode_gif(M.encode_gif(64, 64, pixels=b"\x07" * (64 * 64)))
+    assert f["mean_value"] == 7.0
+
+
+def test_gif_extension_blocks_skipped():
+    # insert a Graphic Control Extension (the 89a standard block)
+    # between the screen descriptor+GCT and the image descriptor
+    gif = M.encode_gif(6, 4, 30)
+    base = M.decode_gif(gif)
+    head_end = 13 + 3 * 256  # header + screen descriptor + GCT
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    rebuilt = gif[:head_end] + gce + gif[head_end:]
+    f = M.decode_gif(rebuilt)
+    assert f["mean_value"] == base["mean_value"]
+    assert f["n_units"] == base["n_units"]
+
+
+def test_gif_malformed_and_unsupported():
+    gif = M.encode_gif(4, 4, 20)
+    with pytest.raises(ValueError, match="not a GIF"):
+        M.decode_gif(b"JIF89a" + gif[6:])
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_gif(gif[:20])
+    with pytest.raises(ValueError, match="no image"):
+        M.decode_gif(gif[:13 + 3 * 256] + b"\x3b")  # trailer, no frame
+    # flip the interlace bit in the image descriptor
+    desc_at = 13 + 3 * 256
+    bad = bytearray(gif)
+    bad[desc_at + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        M.decode_gif(bytes(bad))
+    # corrupt the LZW stream's first data sub-block
+    bad = bytearray(gif)
+    bad[desc_at + 12] ^= 0xFF
+    with pytest.raises(ValueError):
+        M.decode_gif(bytes(bad))
+    with pytest.raises(ValueError, match="exceeds a byte"):
+        M.encode_gif(13, 7, 250)
+    with pytest.raises(ValueError, match="pixels length"):
+        M.encode_gif(2, 2, pixels=b"\x00" * 5)
+
+
+def test_gif_synthesize_extract_roundtrip(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"].limit(50)
+    feats = M.extract_media_features(
+        M.synthesize_media(d, "gif", keep=("lang",)), keep=("lang",)
+    )
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert rows
+    for doc_id, r in rows.items():
+        w, h, b = M.png_params(doc_id)  # gif shares the gradient params
+        assert (r["width"], r["height"], r["n_units"]) == (w, h, w * h)
+        assert r["mean_value"] == pytest.approx(
+            b + 7 * (h - 1) / 2 + 13 * (w - 1) / 2
+        )
