@@ -578,6 +578,7 @@ class FlightsEtlPipeline:
             )
 
     def _check_write_block(self, route: str, op: str) -> None:
+        self._check_role("write", route)
         settings = self._read_route_settings(route)
         if settings.get("closed"):
             raise PermissionError(
@@ -693,7 +694,10 @@ class FlightsEtlPipeline:
 
     def index_view(self, route: str) -> DataFrame | None:
         """Live documents only: tombstone rows (``_deleted``) are an
-        implementation detail of the merge, never part of query results."""
+        implementation detail of the merge, never part of query results.
+        Role-scoped: under ``as_role(...)`` reading an index outside
+        the role's grants raises (the public security_exception)."""
+        self._check_role("read", route)
         df = self.read_index(route)
         if df is None:
             return None
@@ -1884,7 +1888,7 @@ class FlightsEtlPipeline:
         for reg in ("_aliases.json", "_stored_scripts.json",
                     "_index_templates.json", "_ingest_pipelines.json",
                     "_search_pipelines.json", "_monitors.json",
-                    "_field_masking.json"):
+                    "_field_masking.json", "_roles.json"):
             live = os.path.join(self.cfg.index_root, reg)
             snap = os.path.join(snapshot_dir, reg)
             populated = False
@@ -1973,12 +1977,126 @@ class FlightsEtlPipeline:
         for reg in ("_aliases.json", "_stored_scripts.json",
                     "_index_templates.json", "_ingest_pipelines.json",
                     "_search_pipelines.json", "_monitors.json",
-                    "_field_masking.json"):
+                    "_field_masking.json", "_roles.json"):
             snap = os.path.join(snapshot_dir, reg)
             if os.path.isfile(snap):
                 os.makedirs(self.cfg.index_root, exist_ok=True)
                 shutil.copy2(snap, os.path.join(self.cfg.index_root, reg))
         return done
+
+    # -- roles (index-level permission model; reference security analog:
+    #    the stack's data-access policies scope principals to index
+    #    patterns, lib/opensearch-dynamodb-etl-cdk-stack.ts:283-328;
+    #    public twin: the security plugin's roles). A role grants
+    #    actions ('read'/'write') on index patterns; `as_role(...)`
+    #    scopes a block of calls. Enforcement is CENTRAL: every data
+    #    read funnels through index_view and every mutating surface
+    #    through _check_write_block, so one check each covers
+    #    search/count/mget/sql/ppl/msearch/reindex-source (reads) and
+    #    bulk/delete_by_query/update_by_query/reindex-dest (writes).
+    #    Admin/maintenance ops (snapshots, aliases, role CRUD) stay
+    #    unscoped — this models DATA access, like the reference's
+    #    policies. No active role = the admin caller (everything
+    #    allowed), so existing behavior is unchanged. ---------------------
+
+    _active_role: str | None = None
+
+    def _roles_path(self) -> str:
+        return os.path.join(self.cfg.index_root, "_roles.json")
+
+    def _read_roles(self) -> dict:
+        import json
+
+        try:
+            with open(self._roles_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def put_role(self, name: str, index_patterns: list[str],
+                 actions: tuple[str, ...] = ("read",)) -> dict:
+        """Create/replace a role granting ``actions`` ('read'/'write')
+        on ``index_patterns`` (fnmatch wildcards, the public
+        index-pattern rules)."""
+        import json
+
+        if not name or not isinstance(name, str):
+            raise ValueError("role name must be a non-empty string")
+        if (not index_patterns
+                or not all(isinstance(p, str) and p for p in index_patterns)):
+            raise ValueError("role needs a non-empty index_patterns list")
+        bad = sorted(set(actions) - {"read", "write"})
+        if bad:
+            raise ValueError(f"unknown role actions {bad}")
+        reg = self._read_roles()
+        reg[name] = {"index_patterns": list(index_patterns),
+                     "actions": sorted(set(actions))}
+        os.makedirs(self.cfg.index_root, exist_ok=True)
+        tmp = self._roles_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(reg, f)
+        os.replace(tmp, self._roles_path())
+        return {"acknowledged": True}
+
+    def get_roles(self) -> dict:
+        return self._read_roles()
+
+    def delete_role(self, name: str) -> dict:
+        import json
+
+        reg = self._read_roles()
+        reg.pop(name, None)
+        if os.path.isfile(self._roles_path()):
+            tmp = self._roles_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(reg, f)
+            os.replace(tmp, self._roles_path())
+        return {"acknowledged": True}
+
+    def as_role(self, name: str):
+        """Context manager scoping the enclosed calls to a role:
+
+            with p.as_role("analyst"):
+                p.search("fare", body)          # allowed patterns only
+        """
+        import contextlib
+
+        if name not in self._read_roles():
+            raise ValueError(f"unknown role {name!r}")
+        pipeline = self
+
+        @contextlib.contextmanager
+        def _scope():
+            prev = pipeline._active_role
+            pipeline._active_role = name
+            try:
+                yield pipeline
+            finally:
+                pipeline._active_role = prev
+
+        return _scope()
+
+    def _check_role(self, action: str, index: str) -> None:
+        import fnmatch
+
+        if self._active_role is None:
+            return
+        spec = self._read_roles().get(self._active_role)
+        if (spec and action in spec.get("actions", ())
+                and any(fnmatch.fnmatchcase(index, p)
+                        for p in spec.get("index_patterns", ()))):
+            return
+        raise PermissionError(
+            f"role {self._active_role!r} has no {action!r} permission "
+            f"on index {index!r}"
+        )
+
+    def _role_allows(self, action: str, index: str) -> bool:
+        try:
+            self._check_role(action, index)
+            return True
+        except PermissionError:
+            return False
 
     # -- field masking (reference security analog: the stack's
     #    data-access policies, lib/opensearch-dynamodb-etl-cdk-stack.ts
@@ -2189,11 +2307,15 @@ class FlightsEtlPipeline:
         for p in parts:
             if "*" in p or "?" in p:
                 # the public expand_wildcards=open default: wildcards
-                # silently skip closed indexes
+                # silently skip closed indexes — and, under a role,
+                # indexes the role cannot read (the security plugin's
+                # wildcard resolution); a LITERAL disallowed name still
+                # raises below, in index_view
                 routes.extend(
                     r for r in names
                     if fnmatch.fnmatchcase(r, p) and r not in routes
                     and not self._read_route_settings(r).get("closed")
+                    and self._role_allows("read", r)
                 )
             elif p in names:
                 # a literal name addressing a closed index errors
@@ -2487,7 +2609,16 @@ class FlightsEtlPipeline:
                 continue
             # the `<route>_index` convenience view registers masked
             # inside index_view() itself (for every index, configured
-            # or not); this masks the plain `route` name too
+            # or not); this masks the plain `route` name too. Under a
+            # role, unreadable routes simply don't register (the
+            # security plugin lists only permitted tables) — and any
+            # STALE registration from an unscoped session is dropped.
+            if not self._role_allows("read", route):
+                self.spark.catalog.dropTempView(route)
+                self.spark.catalog.dropTempView(
+                    re.sub(r"[^A-Za-z0-9_]", "_", f"{route}_index")
+                )
+                continue
             view = self._apply_field_masking(self.index_view(route), route)
             if view is not None:
                 view.createOrReplaceTempView(route)
@@ -2497,7 +2628,13 @@ class FlightsEtlPipeline:
             # filtered alias's row scope must hold on the SQL surface
             # too (resolving the bare pattern would leak rows outside
             # the tenant/status slice)
-            view = self.multi_index_view(alias)
+            try:
+                view = self.multi_index_view(alias)
+            except PermissionError:
+                # an alias whose pattern names an index the active role
+                # cannot read is unavailable under that role
+                self.spark.catalog.dropTempView(alias)
+                continue
             if view is not None:
                 view.createOrReplaceTempView(alias)
         if not registered:

@@ -1752,3 +1752,73 @@ def test_review_r6c_regressions(spark, tmp_path_factory):
         p.sql("EXPLAIN FORMATTED DROP TABLE flight")
     with pytest.raises(ValueError, match="EXPLAIN accepts"):
         p.sql("EXPLAIN")
+
+
+def test_role_based_index_permissions(spark, tmp_path_factory):
+    """Index-level permission model (the reference's data-access-policy
+    analog): roles grant read/write on index patterns; as_role scopes
+    calls centrally through index_view (reads) and _check_write_block
+    (writes). No active role = the admin caller, unchanged behavior."""
+    tmp = tmp_path_factory.mktemp("roles")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+
+    p.put_role("fare_analyst", ["fare"], actions=("read",))
+    p.put_role("fare_writer", ["fare*"], actions=("read", "write"))
+
+    # read scoping: allowed index works, literal disallowed raises,
+    # wildcards silently skip disallowed (the security plugin rule)
+    with p.as_role("fare_analyst"):
+        assert p.search("fare", {"size": 1})["hits"] is not None
+        assert p.count("fare", {"match_all": {}}) == 22
+        with pytest.raises(PermissionError, match="no 'read'"):
+            p.search("flight", {"size": 1})
+        with pytest.raises(PermissionError):
+            p.mget("flight", ["x"])
+        assert p.count("f*", {"match_all": {}}) == 22  # flight skipped
+        # write denied for a read-only role
+        with pytest.raises(PermissionError, match="no 'write'"):
+            p.bulk("fare", [{"delete": {"_id": "nope"}}])
+        with pytest.raises(PermissionError, match="no 'write'"):
+            p.delete_by_query("fare", {"match_all": {}})
+        # sql: only permitted tables register; flight is unavailable
+        assert p.sql("SELECT COUNT(*) AS n FROM fare").collect()[0]["n"] == 22
+        with pytest.raises(Exception, match="flight"):
+            p.sql("SELECT COUNT(*) AS n FROM flight").collect()
+    # scope exits cleanly: admin again
+    assert p.count("flight", {"match_all": {}}) == 13
+
+    # write role: bulk works on the granted pattern, not outside it
+    with p.as_role("fare_writer"):
+        p.bulk("fare", [{"index": {"_id": "Z|Z", "doc": {"pk": "Z"}}}])
+        assert p.count("fare", {"term": {"pk": "Z"}}) == 1
+        with pytest.raises(PermissionError):
+            p.bulk("flight", [{"delete": {"_id": "x"}}])
+        # reindex: source read + dest write both inside the grant
+        p.reindex("fare", "fare_backup")
+        with pytest.raises(PermissionError):
+            p.reindex("fare", "elsewhere")  # dest outside the pattern
+
+    # validation + CRUD + unknown role
+    with pytest.raises(ValueError, match="unknown role"):
+        p.as_role("nobody")
+    with pytest.raises(ValueError, match="actions"):
+        p.put_role("bad", ["x"], actions=("admin",))
+    with pytest.raises(ValueError, match="index_patterns"):
+        p.put_role("bad", [])
+    assert set(p.get_roles()) == {"fare_analyst", "fare_writer"}
+    p.delete_role("fare_analyst")
+    assert set(p.get_roles()) == {"fare_writer"}
+
+    # roles registry rides snapshots like the other cluster state
+    snap = str(tmp / "snap")
+    p.snapshot(snap)
+    p.delete_role("fare_writer")
+    assert p.get_roles() == {}
+    p.restore(snap)
+    assert set(p.get_roles()) == {"fare_writer"}
