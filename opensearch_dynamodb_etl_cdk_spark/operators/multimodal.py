@@ -16,12 +16,16 @@ dependencies:
 * GIF87a/89a (``decode_gif`` / ``encode_gif``) — the second: a full
   variable-width LZW codec (clear/end codes, dictionary growth,
   KwKwK case) with palette mapping and sub-block framing
+* baseline grayscale JPEG (``decode_jpeg`` / ``encode_jpeg``) — the
+  third: 8×8 FDCT/IDCT, quantization, zigzag, differential-DC +
+  run-length-AC Huffman entropy coding with byte stuffing; tables
+  read from DHT, so Annex-K-coded files decode too
 
-``decode_image`` / ``decode_audio`` dispatch on magic bytes: BMP, PNG,
-GIF and WAV payloads decode for real; the remaining compressed formats
-(JPEG/MP3/OGG) raise ``NotImplementedError`` because their codecs
-(DCT / MPEG audio / Vorbis) need libraries the container does not
-ship — they stay pluggable through ``register_decoder``.
+``decode_image`` / ``decode_audio`` dispatch on magic bytes: every
+image format plus WAV decodes for real; the remaining audio formats
+(MP3/OGG) raise ``NotImplementedError`` because their codecs
+(MPEG audio / Vorbis) need libraries the container does not ship —
+they stay pluggable through ``register_decoder``.
 ``fake_decoder`` remains as a cheap deterministic double for
 plumbing-only tests.
 
@@ -702,12 +706,420 @@ def decode_gif(payload: bytes) -> dict:
     raise ValueError("truncated GIF: no trailer, no image")
 
 
+# -------------------------------------------------------------- JPEG codec
+#
+# Dependency-free BASELINE GRAYSCALE JPEG from the public spec
+# (ITU T.81): 8×8 FDCT/IDCT (numpy float64), quantization, zigzag,
+# differential-DC + run-length-AC Huffman entropy coding with byte
+# stuffing. The encoder emits canonical Huffman tables in DHT and the
+# decoder builds its tables FROM the DHT segments, so any valid
+# baseline table decodes — including Annex K's optimized lengths.
+# Progressive (SOF2), multi-component (color), restart-marker and
+# 12-bit files raise the documented NotImplementedError boundary;
+# structural damage raises ValueError.
+
+
+def _jpeg_zigzag() -> list[int]:
+    """The standard zigzag scan order, generated (anti-typo): walk the
+    anti-diagonals, alternating direction."""
+    order = []
+    for s in range(15):
+        ij = [(i, s - i) for i in range(8) if 0 <= s - i < 8]
+        if s % 2 == 0:
+            ij = ij[::-1]
+        order.extend(i * 8 + j for i, j in ij)
+    return order
+
+
+_ZIGZAG = _jpeg_zigzag()
+
+# Canonical Huffman tables the encoder emits (self-described in DHT):
+# DC: the 12 size categories at 4 bits each; AC: all 162 run/size
+# symbols at 8 bits each. Valid (incomplete) canonical codes — Annex
+# K's frequency-optimized lengths are a drop-in, the decoder doesn't
+# care because it reads DHT.
+_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
+_DC_SYMBOLS = list(range(12))
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_AC_COUNTS = [0] * 7 + [len(_AC_SYMBOLS)] + [0] * 8
+
+
+def _huff_codes(counts: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, bit length), canonical JPEG assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix():
+    import math
+
+    import numpy as np
+
+    t = np.zeros((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            t[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return t
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            byte = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _size_cat(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def encode_jpeg(width: int, height: int, pixel_value: int = 128,
+                pixels: bytes | None = None,
+                quant: list[int] | None = None) -> bytes:
+    """Build a real baseline grayscale JPEG (SOI/DQT/SOF0/DHT/SOS/EOI):
+    FDCT per 8×8 block (edge-replicated padding), quantization,
+    zigzag, differential-DC + run-length-AC Huffman entropy coding.
+    The default quantization table is all-ones — DISTORTION-FREE for
+    constant-tile content (an all-constant block is a lone integer DC
+    coefficient), which is what lets a SQL oracle verify the full
+    entropy-decode + IDCT path exactly; arbitrary content is lossy
+    like any JPEG."""
+    import numpy as np
+
+    if width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive")
+    if pixels is None:
+        if not 0 <= pixel_value <= 255:
+            raise ValueError("pixel_value must be a byte")
+        img = np.full((height, width), pixel_value, dtype=np.float64)
+    else:
+        if len(pixels) != width * height:
+            raise ValueError("pixels length != width*height")
+        img = np.frombuffer(pixels, np.uint8).astype(np.float64).reshape(
+            height, width
+        )
+    q = list(quant) if quant is not None else [1] * 64
+    if len(q) != 64 or not all(1 <= int(v) <= 255 for v in q):
+        raise ValueError("quant must be 64 values in 1..255")
+    qt = np.array(q, dtype=np.float64).reshape(8, 8)
+    # pad to 8-multiples by edge replication (the spec's recommendation)
+    ph = (8 - height % 8) % 8
+    pw = (8 - width % 8) % 8
+    if ph or pw:
+        img = np.pad(img, ((0, ph), (0, pw)), mode="edge")
+    t = _dct_matrix()
+    dc_codes = _huff_codes(_DC_COUNTS, _DC_SYMBOLS)
+    ac_codes = _huff_codes(_AC_COUNTS, _AC_SYMBOLS)
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(0, img.shape[0], 8):
+        for bx in range(0, img.shape[1], 8):
+            block = img[by : by + 8, bx : bx + 8] - 128.0
+            coeffs = t @ block @ t.T
+            zz = np.rint(coeffs / qt).astype(np.int64).ravel()[_ZIGZAG]
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            s = _size_cat(diff)
+            code, length = dc_codes[s]
+            w.write(code, length)
+            if s:
+                w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = 0
+            for i in range(63, 0, -1):
+                if zz[i]:
+                    last_nz = i
+                    break
+            for i in range(1, last_nz + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    w.write(code, length)
+                    run -= 16
+                s = _size_cat(v)
+                if s > 10:
+                    raise ValueError("AC coefficient out of baseline range")
+                code, length = ac_codes[(run << 4) | s]
+                w.write(code, length)
+                w.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_codes[0x00]  # EOB
+                w.write(code, length)
+    body = w.flush()
+
+    def seg(marker: int, payload_: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload_) + 2) + payload_
+
+    # DQT: table 0, 8-bit precision; values emitted in ZIGZAG order per
+    # the spec (q is natural row-major order)
+    q_flat = np.array(q, dtype=np.int64).ravel()
+    dqt = seg(0xFFDB, bytes([0x00])
+              + bytes(int(q_flat[_ZIGZAG[i]]) for i in range(64)))
+    sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1)
+               + bytes([1, 0x11, 0]))
+    dht = seg(0xFFC4, bytes([0x00]) + bytes(_DC_COUNTS)
+              + bytes(_DC_SYMBOLS)) \
+        + seg(0xFFC4, bytes([0x10]) + bytes(_AC_COUNTS) + bytes(_AC_SYMBOLS))
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof0 + dht + sos + body + b"\xff\xd9")
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xff{nxt:02x} inside entropy data"
+                )
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_decode_pixels(payload: bytes):
+    """Parse + entropy-decode a baseline grayscale JPEG. Returns
+    (width, height, pixels ndarray uint8). Internal: decode_jpeg wraps
+    it for stats; tests use it for per-pixel assertions."""
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG: no SOS marker")
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD8:
+            continue
+        if marker in (0xC2, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                      0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline (SOF0) JPEG is supported"
+            )
+        if marker == 0xDD:
+            raise NotImplementedError("JPEG restart intervals unsupported")
+        (length,) = struct.unpack_from(">H", payload, pos)
+        if length < 2 or pos + length > len(payload):
+            raise ValueError("truncated JPEG segment")
+        body = payload[pos + 2 : pos + length]
+        pos += length
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("12-bit JPEG quant tables")
+                if off + 65 > len(body):
+                    raise ValueError("truncated DQT")
+                zz = np.frombuffer(body[off + 1 : off + 65], np.uint8)
+                nat = np.zeros(64, dtype=np.float64)
+                nat[_ZIGZAG] = zz
+                qtables[tq] = nat.reshape(8, 8)
+                off += 65
+        elif marker == 0xC0:  # SOF0
+            prec, h, w_, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG unsupported")
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "only grayscale (1-component) JPEG is supported"
+                )
+            _cid, sampling, tq = body[6], body[7], body[8]
+            if sampling != 0x11:
+                raise NotImplementedError("subsampled JPEG unsupported")
+            sof = (w_, h, tq)
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                counts = list(body[off + 1 : off + 17])
+                n = sum(counts)
+                symbols = list(body[off + 17 : off + 17 + n])
+                if len(symbols) < n:
+                    raise ValueError("truncated DHT")
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                k = 0
+                for ln in range(1, 17):
+                    for _ in range(counts[ln - 1]):
+                        table[(ln, code)] = symbols[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                off += 17 + n
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ncomp = body[0]
+            if ncomp != 1:
+                raise NotImplementedError("multi-component scan")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            entropy = payload[pos:]
+            end = entropy.rfind(b"\xff\xd9")
+            if end == -1:
+                raise ValueError("truncated JPEG: no EOI")
+            entropy = entropy[:end]
+            break
+        elif marker == 0xD9:
+            raise ValueError("JPEG has no scan data")
+        # APPn/COM/etc: skipped
+    w_, h, tq = sof
+    if tq not in qtables:
+        raise ValueError(f"JPEG references missing quant table {tq}")
+    if (0, td) not in huff or (1, ta) not in huff:
+        raise ValueError("JPEG references missing Huffman table")
+    qt = qtables[tq]
+    dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+
+    def read_symbol(r: _BitReader, table) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | r.bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def extend(v: int, s: int) -> int:
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    t = _dct_matrix()
+    bw = (w_ + 7) // 8
+    bh = (h + 7) // 8
+    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    r = _BitReader(entropy)
+    prev_dc = 0
+    for byi in range(bh):
+        for bxi in range(bw):
+            zz = np.zeros(64, dtype=np.float64)
+            s = read_symbol(r, dc_tab)
+            diff = extend(r.bits(s), s) if s else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                sym = read_symbol(r, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                i += run
+                if i > 63 or size == 0:
+                    raise ValueError("corrupt JPEG AC run")
+                zz[i] = extend(r.bits(size), size)
+                i += 1
+            nat = np.zeros(64, dtype=np.float64)
+            nat[_ZIGZAG] = zz
+            coeffs = nat.reshape(8, 8) * qt
+            block = t.T @ coeffs @ t + 128.0
+            out[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = block
+    img = np.clip(np.rint(out[:h, :w_]), 0, 255).astype(np.uint8)
+    return w_, h, img
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Decode a baseline grayscale JPEG for real: marker walk, DHT/DQT
+    table build, Huffman entropy decode with byte unstuffing,
+    dequantize, inverse zigzag, IDCT, crop. Statistics cover the
+    reconstructed pixels — any entropy/IDCT bug shifts ``mean_value``
+    and breaks the oracle (the constant-tile synthesis path is
+    distortion-free by construction, see :func:`encode_jpeg`)."""
+    w, h, img = _jpeg_decode_pixels(payload)
+    n = w * h
+    return {
+        "media_kind": "image",
+        "width": w,
+        "height": h,
+        "bit_depth": 8,
+        "n_units": n,
+        "mean_value": (float(img.sum()) / n) if n else 0.0,
+        "n_bytes": len(payload),
+    }
+
+
 # ---------------------------------------------------------- codec registry
 #
 # The production seam for compressed formats: each known container
 # format carries a magic-byte sniffer; a format decodes only if a
-# decoder is REGISTERED for it. BMP, WAV, PNG and GIF register their
-# built-in spec parsers at import; JPEG/MP3/OGG are recognized (so
+# decoder is REGISTERED for it. BMP, WAV, PNG, GIF and baseline
+# grayscale JPEG register their built-in spec parsers at import;
+# MP3/OGG are recognized (so
 # the error is precise) but undecodable until a real codec is plugged
 # in with ``register_decoder`` — the default stays the loud raise.
 #
@@ -737,7 +1149,7 @@ KNOWN_MEDIA_FORMATS: tuple[MediaFormat, ...] = (
     MediaFormat("gif", "image", lambda p: p[:6] in (b"GIF87a", b"GIF89a"),
                 "GIF decode failed"),
     MediaFormat("jpeg", "image", lambda p: p[:3] == b"\xff\xd8\xff",
-                "JPEG decode requires a DCT imaging codec"),
+                "JPEG decode failed"),
     MediaFormat("wav", "audio",
                 lambda p: p[:4] == b"RIFF" and p[8:12] == b"WAVE",
                 "WAV decode failed"),
@@ -754,6 +1166,7 @@ _BUILTIN_DECODERS: dict[str, Callable[[bytes], dict]] = {
     "wav": decode_wav,
     "png": decode_png,
     "gif": decode_gif,
+    "jpeg": decode_jpeg,
 }
 _DECODERS: dict[str, Callable[[bytes], dict]] = dict(_BUILTIN_DECODERS)
 
@@ -814,9 +1227,9 @@ def decode_image(
     payload: bytes,
     decoders: dict[str, Callable[[bytes], dict]] | None = None,
 ) -> dict:
-    """Image decode dispatch through the codec registry: BMP, PNG and
-    GIF decode for real (built-in spec parsers); JPEG raises until a
-    codec is ``register_decoder``-ed. ``decoders``
+    """Image decode dispatch through the codec registry: BMP, PNG,
+    GIF and baseline grayscale JPEG decode for real (built-in spec
+    parsers); ``register_decoder`` overrides any of them. ``decoders``
     overrides the module registry (used by Arrow closures that
     snapshot it at plan-build time)."""
     return _decode_kind(payload, "image", decoders)
@@ -951,10 +1364,12 @@ def synthesize_media(
     payload bytes per row, Arrow-batched. Payload bytes are built and
     stay on the executors; ``keep`` columns pass through for
     downstream grouping."""
-    if kind not in ("image", "audio", "png", "gif"):
-        raise ValueError("kind must be 'image', 'png', 'gif' or 'audio'")
+    if kind not in ("image", "audio", "png", "gif", "jpeg"):
+        raise ValueError(
+            "kind must be 'image', 'png', 'gif', 'jpeg' or 'audio'")
     media_type = {"image": "image/bmp", "png": "image/png",
-                  "gif": "image/gif", "audio": "audio/wav"}[kind]
+                  "gif": "image/gif", "jpeg": "image/jpeg",
+                  "audio": "audio/wav"}[kind]
     cols = [id_col, *keep]
     keep_schema = ", ".join(f"{c} string" for c in keep)
     out_schema = "doc_id long, payload binary, media_type string" + (
@@ -972,6 +1387,9 @@ def synthesize_media(
                 payloads = [encode_png(*png_params(int(d))) for d in ids]
             elif kind == "gif":
                 payloads = [encode_gif(*png_params(int(d))) for d in ids]
+            elif kind == "jpeg":
+                # constant tiles: distortion-free through the DCT path
+                payloads = [encode_jpeg(*bmp_params(int(d))) for d in ids]
             else:
                 payloads = [encode_wav(*wav_params(int(d))) for d in ids]
             out = {"doc_id": ids, "payload": payloads, "media_type": media_type}
@@ -984,7 +1402,7 @@ def synthesize_media(
 
 def extract_media_features(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Real decode over the payload column: dispatches per-row on
-    ``media_type`` (BMP/PNG/GIF/WAV parse for real; other compressed
+    ``media_type`` (BMP/PNG/GIF/JPEG/WAV parse for real; other compressed
     formats raise until registered). One Arrow batch per ~10k rows;
     only small feature rows leave the UDF."""
     keep_schema = ", ".join(f"{c} string" for c in keep)

@@ -2499,6 +2499,45 @@ def multimodal_gif_decode_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_jpeg_decode_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_items,
+           CAST(SUM((1 + doc_id % 13) * (1 + doc_id % 7)) AS BIGINT) AS sum_pixels,
+           CAST(SUM(CAST(1 + doc_id % 13 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_width,
+           CAST(SUM(CAST(1 + doc_id % 7 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_height,
+           CAST(SUM(CAST(doc_id % 251 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_pixel
+    FROM documents GROUP BY lang
+    """,
+    doc="REAL DCT-codec decode end-to-end: synthesize genuine baseline "
+    "grayscale JPEG bytes per document (operators/multimodal.py::"
+    "encode_jpeg — FDCT, quantization, zigzag, differential-DC + "
+    "run-length-AC Huffman entropy coding with byte stuffing; "
+    "constant-tile content with the all-ones quant table is "
+    "DISTORTION-FREE: a constant block is a lone integer DC "
+    "coefficient), parse them back through the built-in decoder "
+    "(::decode_jpeg — marker walk, DHT/DQT table build, Huffman "
+    "decode, dequantize, IDCT, crop), aggregate per lang. The oracle "
+    "recomputes geometry AND the reconstructed mean from the doc_id "
+    "formulas, so any entropy- or IDCT-level bug breaks the hash.",
+    tags=("multimodal",),
+)
+def multimodal_jpeg_decode_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    media = M.synthesize_media(d, "jpeg", keep=("lang",))
+    feats = M.extract_media_features(media, keep=("lang",))
+    exact = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast("double") / F.count(
+        F.lit(1)
+    )
+    return feats.groupBy("lang").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_units").alias("sum_pixels"),
+        exact("width").alias("avg_width"),
+        exact("height").alias("avg_height"),
+        exact("mean_value").alias("avg_pixel"),
+    )
+
+
+@register(
     "multimodal_wav_decode_stats",
     oracle="""
     SELECT source, COUNT(*) AS n_items,

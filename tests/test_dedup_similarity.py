@@ -364,15 +364,14 @@ def test_multimodal_features_and_frames(spark):
 
 
 def test_decode_dispatch(spark):
-    # BMP/WAV/PNG/GIF decode for real now (test_multimodal_codecs.py);
-    # formats needing codec libraries the container lacks still raise.
-    with pytest.raises(NotImplementedError):
-        M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG
+    # every image format decodes for real now (test_multimodal_codecs
+    # .py); audio formats needing codec libraries still raise.
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"OggS" + b"\x00" * 16)
     assert M.decode_image(M.encode_bmp(2, 2, 9))["n_units"] == 4
     assert M.decode_image(M.encode_png(2, 2, 9))["n_units"] == 4
     assert M.decode_image(M.encode_gif(2, 2, 9))["n_units"] == 4
+    assert M.decode_image(M.encode_jpeg(2, 2, 9))["n_units"] == 4
     assert M.decode_audio(M.encode_wav(8000, 1, 8, 1))["n_units"] == 8
 
 

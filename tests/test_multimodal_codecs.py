@@ -152,7 +152,9 @@ def test_wav_skips_unknown_chunks():
         (b"RIFF\x04\x00\x00\x00WAVE", ValueError),  # no fmt/data
         # PNG decodes for real now: garbage chunks fail CRC → ValueError
         (b"\x89PNG\r\n\x1a\n" + b"\x00" * 20, ValueError),
-        (b"\xff\xd8\xff\xe0" + b"\x00" * 20, NotImplementedError),
+        # JPEG decodes for real now: a zero-length APP0 segment is
+        # structural damage
+        (b"\xff\xd8\xff\xe0" + b"\x00" * 20, ValueError),
         (b"OggS" + b"\x00" * 20, NotImplementedError),
         (b"ID3\x03" + b"\x00" * 20, NotImplementedError),
     ],
@@ -339,11 +341,9 @@ def test_png_synthesize_extract_roundtrip(spark, sf_dir):
 
 
 def test_registry_default_raises_for_compressed():
-    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
     mp3 = b"ID3" + b"\x00" * 16
     ogg = b"OggS" + b"\x00" * 16
-    for payload, fn in ((jpeg, M.decode_image),
-                        (mp3, M.decode_audio), (ogg, M.decode_audio)):
+    for payload, fn in ((mp3, M.decode_audio), (ogg, M.decode_audio)):
         with pytest.raises(NotImplementedError):
             fn(payload)
     # PNG is a BUILT-IN now (stdlib-zlib decoder): it dispatches without
@@ -385,8 +385,11 @@ def test_registry_dispatch_and_revert():
         assert M.decode_image(bmp)["mean_value"] == pytest.approx(9)
     finally:
         M.unregister_decoder("jpeg")
-    with pytest.raises(NotImplementedError):
+    # unregistering reverts to the BUILT-IN baseline decoder, which
+    # rejects this fake payload structurally (not the stub's answer)
+    with pytest.raises(ValueError, match="JPEG"):
         M.decode_image(jpeg)
+    assert M.decode_image(M.encode_jpeg(2, 2, 5))["mean_value"] == 5.0
     # unregistering a built-in reverts to the spec parser, not nothing
     M.unregister_decoder("bmp")
     assert M.decode_image(M.encode_bmp(2, 2, 5))["width"] == 2
@@ -413,8 +416,9 @@ def test_registered_decoder_flows_through_arrow_plumbing(spark):
             "media_type": ["image/jpeg", "image/jpeg"],
         })
     )
-    # without a registered decoder the job must fail loudly
-    with pytest.raises(Exception, match="DCT imaging codec"):
+    # without the stub, the BUILT-IN decoder rejects the fake payload
+    # loudly inside the workers (structural damage, not silent nulls)
+    with pytest.raises(Exception, match="truncated JPEG"):
         M.extract_media_features(base).collect()
     M.register_decoder("jpeg", stub_jpeg)
     try:
@@ -614,3 +618,96 @@ def test_gif_synthesize_extract_roundtrip(spark, sf_dir):
         assert r["mean_value"] == pytest.approx(
             b + 7 * (h - 1) / 2 + 13 * (w - 1) / 2
         )
+
+
+# ---------------------------------------------------------- JPEG codec
+
+
+def test_jpeg_constant_roundtrip_distortion_free():
+    # constant tiles + the all-ones quant table: a constant block is a
+    # lone integer DC coefficient, so the DCT path reconstructs EXACTLY
+    for (w, h, v) in [(8, 8, 0), (8, 8, 255), (13, 7, 52), (1, 1, 9),
+                      (16, 24, 128), (100, 50, 77)]:
+        f = M.decode_jpeg(M.encode_jpeg(w, h, v))
+        assert (f["width"], f["height"], f["n_units"]) == (w, h, w * h)
+        assert f["media_kind"] == "image" and f["bit_depth"] == 8
+        assert f["mean_value"] == float(v)
+
+
+def test_jpeg_arbitrary_content_error_bound():
+    import random
+
+    import numpy as np
+
+    rng = random.Random(3)
+    for (w, h) in [(24, 16), (13, 7), (64, 64)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        ww, hh, img = M._jpeg_decode_pixels(M.encode_jpeg(w, h, pixels=px))
+        assert (ww, hh) == (w, h)
+        ref = np.frombuffer(px, np.uint8).reshape(h, w).astype(np.int64)
+        # quant=1: only float/rounding loss — at most 1 LSB per pixel
+        assert np.abs(img.astype(np.int64) - ref).max() <= 1
+    # a real lossy table on smooth content stays tightly bounded
+    px = bytes(((x + y) // 2) % 256 for y in range(32) for x in range(32))
+    _, _, img = M._jpeg_decode_pixels(
+        M.encode_jpeg(32, 32, pixels=px, quant=[16] * 64)
+    )
+    ref = np.frombuffer(px, np.uint8).reshape(32, 32).astype(np.int64)
+    assert np.abs(img.astype(np.int64) - ref).max() <= 16
+
+
+def test_jpeg_entropy_coding_paths():
+    import random
+
+    import numpy as np
+
+    rng = random.Random(9)
+    # sparse high-contrast content exercises ZRL (16-zero runs) and EOB;
+    # per-block DC deltas exercise the differential-DC sign extension
+    px = bytearray(64 * 64)
+    for _ in range(40):
+        px[rng.randrange(len(px))] = 255
+    _, _, img = M._jpeg_decode_pixels(
+        M.encode_jpeg(64, 64, pixels=bytes(px))
+    )
+    ref = np.frombuffer(bytes(px), np.uint8).reshape(64, 64).astype(np.int64)
+    assert np.abs(img.astype(np.int64) - ref).max() <= 1
+
+
+def test_jpeg_malformed_and_unsupported():
+    jpg = M.encode_jpeg(8, 8, 40)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        M.decode_jpeg(b"XX" + jpg[2:])
+    with pytest.raises(ValueError):
+        M.decode_jpeg(jpg[:40])  # truncated mid-segment / no EOI
+    # flip SOF0 (0xC0) to SOF2 (0xC2): progressive raises the boundary
+    i = jpg.find(b"\xff\xc0")
+    prog = jpg[:i] + b"\xff\xc2" + jpg[i + 2:]
+    with pytest.raises(NotImplementedError, match="baseline"):
+        M.decode_jpeg(prog)
+    # multi-component (color) SOF is rejected loudly
+    sof_body = struct.pack(">BHHB", 8, 8, 8, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    sof = struct.pack(">HH", 0xFFC0, len(sof_body) + 2) + sof_body
+    multi = jpg[:i] + sof + jpg[i + 2 + struct.unpack_from(">H", jpg, i + 2)[0]:]
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        M.decode_jpeg(multi)
+    with pytest.raises(ValueError):
+        M.encode_jpeg(4, 4, pixels=b"\x00" * 3)
+    with pytest.raises(ValueError, match="quant"):
+        M.encode_jpeg(4, 4, 0, quant=[0] * 64)
+
+
+def test_jpeg_synthesize_extract_roundtrip(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"].limit(50)
+    feats = M.extract_media_features(
+        M.synthesize_media(d, "jpeg", keep=("lang",)), keep=("lang",)
+    )
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert rows
+    for doc_id, r in rows.items():
+        w, h, v = M.bmp_params(doc_id)  # jpeg shares the constant params
+        assert (r["width"], r["height"], r["n_units"]) == (w, h, w * h)
+        assert r["mean_value"] == float(v)
