@@ -359,14 +359,10 @@ def encode_png(
     )
 
 
-def decode_png(payload: bytes) -> dict:
-    """Decode an 8-bit PNG for real: chunk walk with CRC32
-    verification, zlib inflate, and per-row filter reconstruction
-    (None/Sub/Up/Average/Paeth). Statistics cover all sample bytes
-    after reconstruction — any filter-arithmetic bug shifts
-    ``mean_value`` and breaks the oracle. Ancillary chunks (tEXt,
-    gAMA, ...) are skipped per the spec; multiple IDAT chunks
-    concatenate into one DEFLATE stream."""
+def _png_parse(payload: bytes) -> tuple[int, int, int, bytearray]:
+    """Full PNG parse + filter reconstruction. Returns (width, height,
+    channels, reconstructed samples row-major channel-interleaved) —
+    shared by the stats decoder and the pixel path."""
     import zlib
 
     if len(payload) < 8 or payload[:8] != _PNG_SIG:
@@ -431,7 +427,7 @@ def decode_png(payload: bytes) -> dict:
         )
     bpp = channels
     prev = bytearray(stride)
-    total = 0
+    recon = bytearray()
     for r in range(height):
         off = r * (stride + 1)
         ftype = raw[off]
@@ -453,8 +449,20 @@ def decode_png(payload: bytes) -> dict:
                 line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
         elif ftype != 0:
             raise ValueError(f"unknown PNG filter type {ftype}")
-        total += sum(line)
+        recon += line
         prev = line
+    return width, height, channels, recon
+
+
+def decode_png(payload: bytes) -> dict:
+    """Decode an 8-bit PNG for real: chunk walk with CRC32
+    verification, zlib inflate, and per-row filter reconstruction
+    (None/Sub/Up/Average/Paeth). Statistics cover all sample bytes
+    after reconstruction — any filter-arithmetic bug shifts
+    ``mean_value`` and breaks the oracle. Ancillary chunks (tEXt,
+    gAMA, ...) are skipped per the spec; multiple IDAT chunks
+    concatenate into one DEFLATE stream."""
+    width, height, channels, recon = _png_parse(payload)
     n_pixels = width * height
     n_samples = n_pixels * channels
     return {
@@ -463,7 +471,7 @@ def decode_png(payload: bytes) -> dict:
         "height": height,
         "bit_depth": 8,
         "n_units": n_pixels,
-        "mean_value": (total / n_samples) if n_samples else 0.0,
+        "mean_value": (sum(recon) / n_samples) if n_samples else 0.0,
         "n_bytes": len(payload),
     }
 
@@ -610,13 +618,10 @@ def encode_gif(width: int, height: int, base_value: int = 0,
     return header + screen + gct + img_desc + bytes(blocks) + b"\x3b"
 
 
-def decode_gif(payload: bytes) -> dict:
-    """Decode a GIF for real: screen/image descriptors, extension-block
-    skipping, sub-block reassembly, variable-width LZW, palette
-    mapping. Statistics cover the palette-mapped RGB bytes of the
-    FIRST image frame — any LZW or palette bug shifts ``mean_value``
-    and breaks the oracle. Interlaced frames raise the documented
-    boundary."""
+def _gif_parse(payload: bytes) -> tuple[int, int, bytes, bytearray]:
+    """Full GIF parse of the first image frame. Returns (width, height,
+    palette bytes, pixel indexes) — shared by the stats decoder and
+    the pixel path."""
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
@@ -687,23 +692,36 @@ def decode_gif(payload: bytes) -> dict:
                 f"GIF pixel data is {len(idx)} indexes, geometry needs {w * h}"
             )
         n_colors = len(pal) // 3
-        total = 0
         for i in idx[: w * h]:
             if i >= n_colors:
                 raise ValueError(f"GIF pixel index {i} outside the palette")
-            off = 3 * i
-            total += pal[off] + pal[off + 1] + pal[off + 2]
-        n_pixels = w * h
-        return {
-            "media_kind": "image",
-            "width": w,
-            "height": h,
-            "bit_depth": max(1, (n_colors - 1).bit_length()),
-            "n_units": n_pixels,
-            "mean_value": total / (3 * n_pixels),
-            "n_bytes": len(payload),
-        }
+        return w, h, bytes(pal), idx[: w * h]
     raise ValueError("truncated GIF: no trailer, no image")
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Decode a GIF for real: screen/image descriptors, extension-block
+    skipping, sub-block reassembly, variable-width LZW, palette
+    mapping. Statistics cover the palette-mapped RGB bytes of the
+    FIRST image frame — any LZW or palette bug shifts ``mean_value``
+    and breaks the oracle. Interlaced frames raise the documented
+    boundary."""
+    w, h, pal, idx = _gif_parse(payload)
+    n_colors = len(pal) // 3
+    total = 0
+    for i in idx:
+        off = 3 * i
+        total += pal[off] + pal[off + 1] + pal[off + 2]
+    n_pixels = w * h
+    return {
+        "media_kind": "image",
+        "width": w,
+        "height": h,
+        "bit_depth": max(1, (n_colors - 1).bit_length()),
+        "n_units": n_pixels,
+        "mean_value": total / (3 * n_pixels),
+        "n_bytes": len(payload),
+    }
 
 
 # -------------------------------------------------------------- JPEG codec
@@ -1437,23 +1455,72 @@ def extract_media_features(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFra
     return df.mapInPandas(run, schema)
 
 
+def decode_image_pixels(payload: bytes):
+    """(width, height, top-down H×W×3 uint8 RGB array) for any BUILT-IN
+    image format — BMP, PNG (gray/gray+alpha expand, alpha drops), GIF
+    (palette-mapped), baseline grayscale JPEG (replicated). Pixel
+    access is a built-in capability: ``register_decoder`` plugs in
+    FEATURE decoders, which return stats, not pixels — a registered
+    format still raises here."""
+    import numpy as np
+
+    f = detect_media_format(payload, "image")
+    if f is None:
+        raise ValueError("unrecognized image payload")
+    if f.name == "bmp":
+        w, h, bgr = _bmp_pixels(payload)
+        return w, h, np.ascontiguousarray(bgr[:, :, ::-1])
+    if f.name == "png":
+        w, h, ch, recon = _png_parse(payload)
+        a = np.frombuffer(bytes(recon), np.uint8).reshape(h, w, ch)
+        if ch == 1:
+            rgb = np.repeat(a, 3, axis=2)
+        elif ch == 2:  # gray + alpha: the gray plane
+            rgb = np.repeat(a[:, :, :1], 3, axis=2)
+        elif ch == 3:
+            rgb = a
+        else:  # RGBA: drop alpha
+            rgb = a[:, :, :3]
+        return w, h, np.ascontiguousarray(rgb)
+    if f.name == "gif":
+        w, h, pal, idx = _gif_parse(payload)
+        p = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+        rgb = p[np.frombuffer(bytes(idx), np.uint8)].reshape(h, w, 3)
+        return w, h, np.ascontiguousarray(rgb)
+    if f.name == "jpeg":
+        w, h, img = _jpeg_decode_pixels(payload)
+        return w, h, np.repeat(img[:, :, None], 3, axis=2)
+    raise NotImplementedError(f.hint)
+
+
+def _bmp_from_rgb(arr) -> bytes:
+    """24-bit bottom-up BMP from a top-down H×W×3 uint8 RGB array —
+    the canonical output container of the resize tier."""
+    h, w = arr.shape[:2]
+    bgr = arr[:, :, ::-1]
+    pad = (4 - (w * 3) % 4) % 4
+    body = bytearray()
+    for r in range(h - 1, -1, -1):
+        body += bgr[r].tobytes() + b"\x00" * pad
+    file_header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0
+    )
+    return file_header + info_header + bytes(body)
+
+
 RESIZE_SCHEMA = (
     "doc_id long, source string, media_type string, width int, "
     "height int, payload binary"
 )
 
 
-def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
-    """Nearest-neighbor resample of an uncompressed 24-bit BMP to
-    ``out_w × out_h`` — a REAL resize over real pixels, dependency-free
-    (numpy index gather, no imaging library). Handles bottom-up and
-    top-down inputs (output is canonical bottom-up), strips/re-derives
-    row padding. Compressed or non-24-bit inputs raise the same
-    documented container constraint as :func:`decode_bmp`."""
+def _bmp_pixels(payload: bytes):
+    """Parse an uncompressed 24-bit BMP into (width, height, top-down
+    H×W×3 uint8 array in the container's BGR order) — shared by the
+    BMP resize fast path and :func:`decode_image_pixels`."""
     import numpy as np
 
-    if out_w <= 0 or out_h <= 0:
-        raise ValueError("resize dimensions must be positive")
     if len(payload) < 54:
         raise ValueError("truncated BMP: shorter than headers")
     magic, _fs, _r1, _r2, data_offset = struct.unpack_from("<2sIHHI", payload, 0)
@@ -1482,37 +1549,62 @@ def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
     ).reshape(h, stride)[:, : width * 3].reshape(h, width, 3)
     if not top_down:
         rows = rows[::-1]  # normalize to top-down logical order
-    # nearest-neighbor index gather: source index = floor(i * src/dst)
+    return width, h, rows
+
+
+def _nn_gather(rows, out_w: int, out_h: int):
+    """Nearest-neighbor index gather: source index = floor(i·src/dst)."""
+    import numpy as np
+
+    h, w = rows.shape[:2]
     ri = (np.arange(out_h, dtype=np.int64) * h) // out_h
-    ci = (np.arange(out_w, dtype=np.int64) * width) // out_w
-    out = rows[ri][:, ci]  # (out_h, out_w, 3), top-down
-    out_stride_pad = (4 - (out_w * 3) % 4) % 4
-    body = bytearray()
-    for r in range(out_h - 1, -1, -1):  # re-encode bottom-up
-        body += out[r].tobytes() + b"\x00" * out_stride_pad
-    header_size = 54
-    file_header = struct.pack(
-        "<2sIHHI", b"BM", header_size + len(body), 0, 0, header_size
-    )
-    info_header = struct.pack(
-        "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, len(body), 0, 0, 0, 0
-    )
-    return bytes(file_header) + info_header + bytes(body)
+    ci = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return rows[ri][:, ci]
+
+
+def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample of an uncompressed 24-bit BMP to
+    ``out_w × out_h`` — a REAL resize over real pixels, dependency-free
+    (numpy index gather, no imaging library). Handles bottom-up and
+    top-down inputs (output is canonical bottom-up), strips/re-derives
+    row padding. Compressed or non-24-bit inputs raise the same
+    documented container constraint as :func:`decode_bmp`."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("resize dimensions must be positive")
+    width, h, rows = _bmp_pixels(payload)
+    out = _nn_gather(rows, out_w, out_h)  # (out_h, out_w, 3) BGR
+    # rows are in the container's BGR order: flip so the shared
+    # RGB writer flips them back — a byte-identical round trip
+    return _bmp_from_rgb(out[:, :, ::-1])
+
+
+def resize_image(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample of ANY built-in-decodable image
+    (BMP/PNG/GIF/JPEG) to a canonical ``out_w × out_h`` 24-bit BMP —
+    the mixed-format-corpus normalization step before a vision
+    encoder: whatever arrived, one fixed container and geometry comes
+    out."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("resize dimensions must be positive")
+    f = detect_media_format(payload, "image")
+    if f is not None and f.name == "bmp":
+        return resize_bmp(payload, out_w, out_h)  # no channel shuffle
+    _w, _h, rgb = decode_image_pixels(payload)
+    return _bmp_from_rgb(_nn_gather(rgb, out_w, out_h))
 
 
 def resize_images(
     df: DataFrame, width: int, height: int, payload_col: str = "payload"
 ) -> DataFrame:
-    """Arrow-batched image resize over a binary payload column: each
-    payload re-emerges as a ``width × height`` BMP (the training-data
-    normalization step before a vision encoder). Same plumbing
-    discipline as the decoders — mapInPandas over whole Arrow batches,
-    per-payload work inside the worker, only the resized bytes cross
-    the boundary. The resampler itself is the in-container BMP codec
-    (:func:`resize_bmp`); a non-BMP payload raises its loud
-    ``not a BMP payload`` error — resizing a compressed format needs a
-    registered DECODER plus a caller-side re-encode, the same container
-    constraint the decode tier documents."""
+    """Arrow-batched image resize over a MIXED-FORMAT binary payload
+    column: every built-in-decodable payload (BMP/PNG/GIF/JPEG) re-
+    emerges as a canonical ``width × height`` 24-bit BMP — the
+    training-data normalization step before a vision encoder, with the
+    container normalized along with the geometry (``media_type`` in
+    the output is always ``image/bmp``). Same plumbing discipline as
+    the decoders — mapInPandas over whole Arrow batches, per-payload
+    work inside the worker, only the resized bytes cross the boundary.
+    Unrecognized payloads raise loudly (never silent nulls)."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -1522,14 +1614,11 @@ def resize_images(
                 {
                     "doc_id": pdf["doc_id"],
                     "source": pdf["source"],
-                    "media_type": (
-                        pdf["media_type"] if "media_type" in pdf.columns
-                        else "image/bmp"
-                    ),
+                    "media_type": "image/bmp",  # canonical output
                     "width": width,
                     "height": height,
                     "payload": [
-                        resize_bmp(p, width, height)
+                        resize_image(p, width, height)
                         for p in pdf[payload_col]
                     ],
                 }

@@ -711,3 +711,74 @@ def test_jpeg_synthesize_extract_roundtrip(spark, sf_dir):
         w, h, v = M.bmp_params(doc_id)  # jpeg shares the constant params
         assert (r["width"], r["height"], r["n_units"]) == (w, h, w * h)
         assert r["mean_value"] == float(v)
+
+
+# --------------------------------------- cross-format pixel access + resize
+
+
+def test_decode_image_pixels_channel_orders():
+    import numpy as np
+
+    # pure red through every container proves channel mapping (BMP
+    # stores BGR; a swapped reader would report blue)
+    red_rgb = bytes([255, 0, 0] * 4)
+    png = M.encode_png(2, 2, color_type=2, samples=red_rgb)
+    _, _, a = M.decode_image_pixels(png)
+    assert a[0, 0].tolist() == [255, 0, 0]
+    bmp = M.resize_image(png, 2, 2)  # canonical BMP output
+    _, _, b = M.decode_image_pixels(bmp)
+    assert np.array_equal(a, b)  # red survives the BGR container
+    # RGBA drops alpha; gray and gray+alpha replicate the gray plane
+    _, _, c = M.decode_image_pixels(
+        M.encode_png(2, 2, color_type=6, samples=bytes([1, 2, 3, 9] * 4)))
+    assert c[0, 0].tolist() == [1, 2, 3]
+    _, _, g = M.decode_image_pixels(
+        M.encode_png(2, 2, color_type=0, samples=bytes([7] * 4)))
+    assert g[1, 1].tolist() == [7, 7, 7]
+    # GIF maps through the palette; JPEG replicates the gray channel
+    _, _, q = M.decode_image_pixels(M.encode_gif(3, 2, 30))
+    assert q[0, 0].tolist() == [30, 30, 30]
+    _, _, j = M.decode_image_pixels(M.encode_jpeg(8, 8, 77))
+    assert j[3, 3].tolist() == [77, 77, 77]
+    with pytest.raises(ValueError, match="unrecognized"):
+        M.decode_image_pixels(b"WEBP" + b"\x00" * 16)
+
+
+def test_resize_image_cross_format_to_canonical_bmp():
+    # whatever container arrives, a width×height 24-bit BMP leaves —
+    # and content survives: constant tiles keep their exact mean
+    for payload, v in [(M.encode_png(13, 7, 0), None),
+                       (M.encode_gif(6, 4, pixels=b"\x1e" * 24), 30.0),
+                       (M.encode_jpeg(16, 16, 77), 77.0),
+                       (M.encode_bmp(7, 5, 200), 200.0)]:
+        out = M.resize_image(payload, 4, 4)
+        d = M.decode_bmp(out)
+        assert (d["width"], d["height"]) == (4, 4)
+        if v is not None:
+            assert d["mean_value"] == v
+    # the BMP fast path and the generic path agree byte-for-byte
+    src = M.encode_bmp(9, 3, 50)
+    assert M.resize_image(src, 5, 5) == M.resize_bmp(src, 5, 5)
+
+
+def test_resize_images_mixed_format_batch(spark):
+    from opensearch_dynamodb_etl_cdk_spark.operators.multimodal import (
+        decode_bmp,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "s", M.encode_bmp(6, 4, 50)),
+         (2, "s", M.encode_png(13, 7, 0)),
+         (3, "s", M.encode_gif(6, 4, pixels=b"\x1e" * 24)),
+         (4, "s", M.encode_jpeg(16, 16, 77))],
+        "doc_id long, source string, payload binary",
+    )
+    out = {r["doc_id"]: r for r in resize_images(df, 4, 4).collect()}
+    assert len(out) == 4
+    for r in out.values():
+        assert r["media_type"] == "image/bmp"  # container normalized
+        d = decode_bmp(bytes(r["payload"]))
+        assert (d["width"], d["height"]) == (4, 4)
+    assert decode_bmp(bytes(out[3]["payload"]))["mean_value"] == 30.0
+    assert decode_bmp(bytes(out[4]["payload"]))["mean_value"] == 77.0
