@@ -495,7 +495,6 @@ def _gif_lzw_encode(min_code_size: int, pixels: bytes) -> bytes:
     table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
     next_code = end + 1
     code_size = min_code_size + 1
-    bits = bytearray()
     acc = 0
     nacc = 0
     out = bytearray()
@@ -533,7 +532,6 @@ def _gif_lzw_encode(min_code_size: int, pixels: bytes) -> bytes:
     emit(end)
     if nacc:
         out.append(acc & 0xFF)
-    del bits
     return bytes(out)
 
 
@@ -945,7 +943,10 @@ class _BitReader:
                 raise ValueError(
                     f"unexpected marker 0xff{nxt:02x} inside entropy data"
                 )
-        self.acc = (self.acc << 8) | b
+        # mask to the live bits: without this the accumulator retains
+        # every consumed bit and grows into an arbitrarily large int,
+        # making entropy decode O(n²) in the scan length
+        self.acc = ((self.acc << 8) | b) & ((1 << (self.nbits + 8)) - 1)
         self.nbits += 8
 
     def bit(self) -> int:
@@ -1008,6 +1009,8 @@ def _jpeg_decode_pixels(payload: bytes):
                 qtables[tq] = nat.reshape(8, 8)
                 off += 65
         elif marker == 0xC0:  # SOF0
+            if len(body) < 9:
+                raise ValueError("truncated SOF0")
             prec, h, w_, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
@@ -1022,6 +1025,8 @@ def _jpeg_decode_pixels(payload: bytes):
         elif marker == 0xC4:  # DHT (possibly several tables)
             off = 0
             while off < len(body):
+                if off + 17 > len(body):
+                    raise ValueError("truncated DHT")
                 tc, th = body[off] >> 4, body[off] & 0x0F
                 counts = list(body[off + 1 : off + 17])
                 n = sum(counts)
@@ -1042,6 +1047,8 @@ def _jpeg_decode_pixels(payload: bytes):
         elif marker == 0xDA:  # SOS
             if sof is None:
                 raise ValueError("JPEG SOS before SOF0")
+            if len(body) < 4:
+                raise ValueError("truncated SOS")
             ncomp = body[0]
             if ncomp != 1:
                 raise NotImplementedError("multi-component scan")
@@ -1378,10 +1385,11 @@ def wav_params(doc_id: int) -> tuple[int, int, int, int]:
 def synthesize_media(
     df: DataFrame, kind: str, id_col: str = "doc_id", keep: tuple[str, ...] = ()
 ) -> DataFrame:
-    """Materialize real BMP ("image"), PNG ("png") or WAV ("audio")
-    payload bytes per row, Arrow-batched. Payload bytes are built and
-    stay on the executors; ``keep`` columns pass through for
-    downstream grouping."""
+    """Materialize real payload bytes per row, Arrow-batched: BMP
+    ("image"), PNG ("png"), GIF ("gif"), baseline grayscale JPEG
+    ("jpeg") or WAV ("audio"). Payload bytes are built and stay on the
+    executors; ``keep`` columns pass through for downstream
+    grouping."""
     if kind not in ("image", "audio", "png", "gif", "jpeg"):
         raise ValueError(
             "kind must be 'image', 'png', 'gif', 'jpeg' or 'audio'")

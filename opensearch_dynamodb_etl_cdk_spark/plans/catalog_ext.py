@@ -2416,6 +2416,26 @@ def multimodal_bmp_decode_stats(spark, sf_dir):
     )
 
 
+def _media_decode_stats(spark, sf_dir, kind):
+    """Shared body of the synthesized-decode catalog rows (png/gif/
+    jpeg): synthesize → registry decode → per-lang geometry/mean
+    aggregate with the exact-decimal mean discipline."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    feats = M.extract_media_features(
+        M.synthesize_media(d, kind, keep=("lang",)), keep=("lang",)
+    )
+    exact = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast("double") / F.count(
+        F.lit(1)
+    )
+    return feats.groupBy("lang").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_units").alias("sum_pixels"),
+        exact("width").alias("avg_width"),
+        exact("height").alias("avg_height"),
+        exact("mean_value").alias("avg_pixel"),
+    )
+
+
 @register(
     "multimodal_png_decode_stats",
     oracle="""
@@ -2442,19 +2462,7 @@ def multimodal_bmp_decode_stats(spark, sf_dir):
     tags=("multimodal",),
 )
 def multimodal_png_decode_stats(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")["documents"]
-    media = M.synthesize_media(d, "png", keep=("lang",))
-    feats = M.extract_media_features(media, keep=("lang",))
-    exact = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast("double") / F.count(
-        F.lit(1)
-    )
-    return feats.groupBy("lang").agg(
-        F.count("*").alias("n_items"),
-        F.sum("n_units").alias("sum_pixels"),
-        exact("width").alias("avg_width"),
-        exact("height").alias("avg_height"),
-        exact("mean_value").alias("avg_pixel"),
-    )
+    return _media_decode_stats(spark, sf_dir, "png")
 
 
 @register(
@@ -2483,19 +2491,7 @@ def multimodal_png_decode_stats(spark, sf_dir):
     tags=("multimodal",),
 )
 def multimodal_gif_decode_stats(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")["documents"]
-    media = M.synthesize_media(d, "gif", keep=("lang",))
-    feats = M.extract_media_features(media, keep=("lang",))
-    exact = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast("double") / F.count(
-        F.lit(1)
-    )
-    return feats.groupBy("lang").agg(
-        F.count("*").alias("n_items"),
-        F.sum("n_units").alias("sum_pixels"),
-        exact("width").alias("avg_width"),
-        exact("height").alias("avg_height"),
-        exact("mean_value").alias("avg_pixel"),
-    )
+    return _media_decode_stats(spark, sf_dir, "gif")
 
 
 @register(
@@ -2522,19 +2518,7 @@ def multimodal_gif_decode_stats(spark, sf_dir):
     tags=("multimodal",),
 )
 def multimodal_jpeg_decode_stats(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")["documents"]
-    media = M.synthesize_media(d, "jpeg", keep=("lang",))
-    feats = M.extract_media_features(media, keep=("lang",))
-    exact = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast("double") / F.count(
-        F.lit(1)
-    )
-    return feats.groupBy("lang").agg(
-        F.count("*").alias("n_items"),
-        F.sum("n_units").alias("sum_pixels"),
-        exact("width").alias("avg_width"),
-        exact("height").alias("avg_height"),
-        exact("mean_value").alias("avg_pixel"),
-    )
+    return _media_decode_stats(spark, sf_dir, "jpeg")
 
 
 @register(

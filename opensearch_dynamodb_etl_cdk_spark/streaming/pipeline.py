@@ -692,12 +692,17 @@ class FlightsEtlPipeline:
 
     # -- query surface over the materialized indexes -------------------------
 
-    def index_view(self, route: str) -> DataFrame | None:
+    def index_view(self, route: str, _system: bool = False) -> DataFrame | None:
         """Live documents only: tombstone rows (``_deleted``) are an
         implementation detail of the merge, never part of query results.
         Role-scoped: under ``as_role(...)`` reading an index outside
-        the role's grants raises (the public security_exception)."""
-        self._check_role("read", route)
+        the role's grants raises (the public security_exception).
+        ``_system`` marks the pipeline's own internal reads (e.g. the
+        current-image fetch inside a by-id bulk write) — those run with
+        the engine's authority, like the public plugin's system reads,
+        so a write-only role can ingest without a read grant."""
+        if not _system:
+            self._check_role("read", route)
         df = self.read_index(route)
         if df is None:
             return None
@@ -2053,26 +2058,36 @@ class FlightsEtlPipeline:
             os.replace(tmp, self._roles_path())
         return {"acknowledged": True}
 
+    _active_role_spec: dict | None = None
+
     def as_role(self, name: str):
         """Context manager scoping the enclosed calls to a role:
 
             with p.as_role("analyst"):
                 p.search("fare", body)          # allowed patterns only
+
+        The role's grants are SNAPSHOTTED at scope entry (one registry
+        read per scope, not one per permission check — the query hot
+        path never touches disk for authorization), matching the
+        public model where a session's privileges are resolved at
+        authentication time.
         """
         import contextlib
 
-        if name not in self._read_roles():
+        spec = self._read_roles().get(name)
+        if spec is None:
             raise ValueError(f"unknown role {name!r}")
         pipeline = self
 
         @contextlib.contextmanager
         def _scope():
-            prev = pipeline._active_role
+            prev = (pipeline._active_role, pipeline._active_role_spec)
             pipeline._active_role = name
+            pipeline._active_role_spec = spec
             try:
                 yield pipeline
             finally:
-                pipeline._active_role = prev
+                pipeline._active_role, pipeline._active_role_spec = prev
 
         return _scope()
 
@@ -2081,8 +2096,8 @@ class FlightsEtlPipeline:
 
         if self._active_role is None:
             return
-        spec = self._read_roles().get(self._active_role)
-        if (spec and action in spec.get("actions", ())
+        spec = self._active_role_spec or {}
+        if (action in spec.get("actions", ())
                 and any(fnmatch.fnmatchcase(index, p)
                         for p in spec.get("index_patterns", ()))):
             return
@@ -3370,7 +3385,12 @@ class FlightsEtlPipeline:
             # scripts evaluate over the current UNMASKED image — a
             # masked column could be copied into an unmasked one
             self._check_masked_write(route, "bulk (scripted update)")
-        idx = self.index_view(route)
+        # SYSTEM read: the current-image fetch for by-id merges runs
+        # with the engine's authority — a write-only role can ingest
+        # (the public plugin's write permission), and the image must be
+        # the RAW stored document: fetching through the masked mget
+        # would merge hashed values back into storage on update
+        idx = self.index_view(route, _system=True)
         if idx is None:
             raise ValueError(
                 f"bulk: index {route!r} is not materialized (bootstrap first)"
@@ -3388,11 +3408,12 @@ class FlightsEtlPipeline:
         ]
         current: dict[str, dict] = {}
         if fetch_ids:
-            fetched = self.mget(route, fetch_ids)
-            if fetched is not None:
-                current = {
-                    r["_id"]: r.asDict() for r in fetched.collect()
-                }
+            # same system/raw discipline as idx above (never the
+            # public mget, which is role-checked and masked)
+            fetched = idx.filter(F.col("_id").isin(fetch_ids))
+            current = {
+                r["_id"]: r.asDict() for r in fetched.collect()
+            }
         for i, action in enumerate(actions):
             (op, body), = action.items()
             seq = base_seq + 2 * i  # stays in the odd admin half

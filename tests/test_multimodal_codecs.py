@@ -782,3 +782,19 @@ def test_resize_images_mixed_format_batch(spark):
         assert (d["width"], d["height"]) == (4, 4)
     assert decode_bmp(bytes(out[3]["payload"]))["mean_value"] == 30.0
     assert decode_bmp(bytes(out[4]["payload"]))["mean_value"] == 77.0
+
+
+def test_jpeg_truncated_tables_and_large_image():
+    # truncated DHT/SOS raise the documented ValueError, not IndexError
+    bad = (b"\xff\xd8" + struct.pack(">HH", 0xFFC4, 5) + b"\x00" * 3
+           + b"\xff\xd9")
+    with pytest.raises(ValueError, match="truncated DHT"):
+        M.decode_jpeg(bad)
+    # a realistic-size image decodes promptly (the bit reader masks its
+    # accumulator — an unmasked one makes this O(n²) and take minutes)
+    import random
+
+    rng = random.Random(5)
+    px = bytes(rng.randrange(256) for _ in range(256 * 256))
+    f = M.decode_jpeg(M.encode_jpeg(256, 256, pixels=px))
+    assert f["n_units"] == 256 * 256

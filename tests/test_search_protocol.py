@@ -1528,6 +1528,12 @@ def test_field_masking_policies(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="field-masking policy"):
         p.bulk("fare", [{"update": {"_id": any_id,
                                     "script": {"pk": "fare_class"}}}])
+    # plain by-id bulk UPDATE merges against the RAW stored image —
+    # preserved fields must stay original, never the masked hash
+    upd_id = hits.filter(F.col("_id") != any_id).select("_id").first()["_id"]
+    p.bulk("fare", [{"update": {"_id": upd_id, "doc": {"sk": "patched"}}}])
+    stored = p.index_view("fare").filter(F.col("_id") == upd_id).first()
+    assert stored["fare_class"] in originals  # storage uncorrupted
     p.bulk("fare", [{"delete": {"_id": any_id}}])  # by-id write: fine
     assert p.get_doc("fare", any_id) is None
     # a policy on an index created OUTSIDE the configured routes masks
@@ -1793,6 +1799,21 @@ def test_role_based_index_permissions(spark, tmp_path_factory):
     # scope exits cleanly: admin again
     assert p.count("flight", {"match_all": {}}) == 13
 
+    # WRITE-ONLY role: by-id bulk ingest works without a read grant
+    # (the internal current-image fetch is a system read, the public
+    # plugin's write-permission behavior) — but reading still denies
+    p.put_role("ingest_only", ["fare"], actions=("write",))
+    with p.as_role("ingest_only"):
+        p.bulk("fare", [{"index": {"_id": "W|1", "doc": {"pk": "W"}}},
+                        {"update": {"_id": "W|1", "doc": {"sk": "s1"}}},
+                        {"delete": {"_id": "W|1"}}])
+        with pytest.raises(PermissionError, match="no 'read'"):
+            p.search("fare", {"size": 1})
+        # query-matched writes need read AND write (public behavior)
+        with pytest.raises(PermissionError, match="no 'read'"):
+            p.delete_by_query("fare", {"match_all": {}})
+    assert p.count("fare", {"term": {"pk": "W"}}) == 0  # deleted again
+
     # write role: bulk works on the granted pattern, not outside it
     with p.as_role("fare_writer"):
         p.bulk("fare", [{"index": {"_id": "Z|Z", "doc": {"pk": "Z"}}}])
@@ -1811,8 +1832,10 @@ def test_role_based_index_permissions(spark, tmp_path_factory):
         p.put_role("bad", ["x"], actions=("admin",))
     with pytest.raises(ValueError, match="index_patterns"):
         p.put_role("bad", [])
-    assert set(p.get_roles()) == {"fare_analyst", "fare_writer"}
+    assert set(p.get_roles()) == {"fare_analyst", "fare_writer",
+                                  "ingest_only"}
     p.delete_role("fare_analyst")
+    p.delete_role("ingest_only")
     assert set(p.get_roles()) == {"fare_writer"}
 
     # roles registry rides snapshots like the other cluster state
