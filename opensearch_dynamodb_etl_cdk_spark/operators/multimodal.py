@@ -670,7 +670,10 @@ def _gif_parse(payload: bytes) -> tuple[int, int, bytes, bytearray]:
             raise ValueError("truncated GIF image data")
         min_code_size = payload[pos]
         pos += 1
-        if not 2 <= min_code_size <= 11:
+        # 8 is GIF's real ceiling (a 256-entry palette) — larger values
+        # are spec-invalid; fail at the header like the other
+        # structural checks instead of later via palette bounds
+        if not 2 <= min_code_size <= 8:
             raise ValueError(f"bad GIF LZW minimum code size {min_code_size}")
         data = bytearray()
         while True:

@@ -710,21 +710,21 @@ def ppl_query(
                 if jtype in ("right", "full"):
                     # right-only rows carry their key ONLY in the temp
                     # copy (the left side is null there) — coalesce it
-                    # into lk instead of dropping, exactly as the
-                    # lk==rk branch below does (first pair per temp:
-                    # the coalesce consumes the column)
-                    seen: set[str] = set()
+                    # into EVERY left key column the temp backs (one
+                    # right key may back several pairs, e.g.
+                    # `on a = k, b = k`), then drop the temps once.
+                    temps = set(renamed.values())
                     for lk, tmp in joined_pairs:
-                        if tmp in renamed.values() and tmp not in seen:
-                            seen.add(tmp)
+                        if tmp in temps:
                             df = (
                                 df.withColumn(
                                     "__ppl_jk",
                                     F.coalesce(left[lk], right[tmp]),
                                 )
-                                .drop(left[lk]).drop(right[tmp])
+                                .drop(left[lk])
                                 .withColumnRenamed("__ppl_jk", lk)
                             )
+                    df = df.drop(*sorted(temps))
                 else:
                     df = df.drop(*renamed.values())
             if jtype not in ("left_semi", "left_anti"):

@@ -68,6 +68,14 @@ CDC_SCHEMA = T.StructType(
 
 N_BUCKETS = 16  # hash buckets for index-table partitioning
 
+# Active role scopes, keyed by pipeline identity. A ContextVar (not an
+# instance attribute) so concurrent threads / interleaved generators
+# sharing one pipeline restore independently — see Pipeline.as_role.
+import contextvars as _contextvars
+
+_ACTIVE_ROLES: _contextvars.ContextVar[dict] = _contextvars.ContextVar(
+    "spark_graft_active_roles", default={})
+
 
 @dataclass
 class PipelineConfig:
@@ -2004,8 +2012,6 @@ class FlightsEtlPipeline:
     #    policies. No active role = the admin caller (everything
     #    allowed), so existing behavior is unchanged. ---------------------
 
-    _active_role: str | None = None
-
     def _roles_path(self) -> str:
         return os.path.join(self.cfg.index_root, "_roles.json")
 
@@ -2058,8 +2064,6 @@ class FlightsEtlPipeline:
             os.replace(tmp, self._roles_path())
         return {"acknowledged": True}
 
-    _active_role_spec: dict | None = None
-
     def as_role(self, name: str):
         """Context manager scoping the enclosed calls to a role:
 
@@ -2071,6 +2075,17 @@ class FlightsEtlPipeline:
         path never touches disk for authorization), matching the
         public model where a session's privileges are resolved at
         authentication time.
+
+        The active role lives in a :class:`contextvars.ContextVar`
+        keyed by pipeline identity, NOT an instance attribute, so
+        concurrent callers with their own execution context (threads,
+        asyncio tasks) sharing one pipeline each see only their own
+        scope — one caller's scope exiting cannot escalate or demote
+        another. (Sync generators run in their caller's context by
+        PEP 567, so interleaving two `as_role` scopes inside two
+        generators driven from ONE thread is still the caller's
+        responsibility — wrap each in ``contextvars.copy_context()``
+        if needed.)
         """
         import contextlib
 
@@ -2081,15 +2096,25 @@ class FlightsEtlPipeline:
 
         @contextlib.contextmanager
         def _scope():
-            prev = (pipeline._active_role, pipeline._active_role_spec)
-            pipeline._active_role = name
-            pipeline._active_role_spec = spec
+            cur = _ACTIVE_ROLES.get()
+            token = _ACTIVE_ROLES.set(
+                {**cur, id(pipeline): (name, spec)})
             try:
                 yield pipeline
             finally:
-                pipeline._active_role, pipeline._active_role_spec = prev
+                _ACTIVE_ROLES.reset(token)
 
         return _scope()
+
+    @property
+    def _active_role(self) -> str | None:
+        entry = _ACTIVE_ROLES.get().get(id(self))
+        return entry[0] if entry else None
+
+    @property
+    def _active_role_spec(self) -> dict | None:
+        entry = _ACTIVE_ROLES.get().get(id(self))
+        return entry[1] if entry else None
 
     def _check_role(self, action: str, index: str) -> None:
         import fnmatch
@@ -2372,17 +2397,6 @@ class FlightsEtlPipeline:
         view = self.multi_index_view(pattern)
         if view is None:
             return {"hits": None, "aggregations": {}}
-        masked = self._masked_fields_for_pattern(pattern)
-        if masked:
-            aggs = (body or {}).get("aggs") or (body or {}).get(
-                "aggregations") or {}
-            bad = sorted(_agg_field_refs(aggs) & masked)
-            if bad:
-                # bucketing/aggregating a masked field enumerates its
-                # values — reject instead of returning hash buckets
-                raise ValueError(
-                    f"aggregations on masked fields {bad} are rejected"
-                )
         body = self._resolve_terms_lookup(body or {})
         body = self._resolve_stored_scripts(body)
         if search_pipeline is not None:
@@ -2391,6 +2405,21 @@ class FlightsEtlPipeline:
                 search_pipeline if isinstance(search_pipeline, dict)
                 else self.get_search_pipeline(search_pipeline)
             )
+        # The masked-field agg rejection runs on the FINAL body — after
+        # terms-lookup/stored-script resolution and search-pipeline
+        # attachment — so an agg spec introduced by those steps cannot
+        # bypass it. (The only supported request processor,
+        # filter_query, cannot add aggs.)
+        masked = self._masked_fields_for_pattern(pattern)
+        if masked:
+            aggs = body.get("aggs") or body.get("aggregations") or {}
+            bad = sorted(_agg_field_refs(aggs) & masked)
+            if bad:
+                # bucketing/aggregating a masked field enumerates its
+                # values — reject instead of returning hash buckets
+                raise ValueError(
+                    f"aggregations on masked fields {bad} are rejected"
+                )
         return execute_search(view, body)
 
     # -- search pipelines ---------------------------------------------------

@@ -592,6 +592,12 @@ def test_gif_malformed_and_unsupported():
     bad[desc_at + 9] |= 0x40
     with pytest.raises(NotImplementedError, match="interlaced"):
         M.decode_gif(bytes(bad))
+    # spec-invalid LZW minimum code size: 9–11 exceed GIF's 256-entry
+    # palette ceiling — must fail at the header, not per-pixel later
+    bad = bytearray(gif)
+    bad[desc_at + 10] = 9
+    with pytest.raises(ValueError, match="minimum code size"):
+        M.decode_gif(bytes(bad))
     # corrupt the LZW stream's first data sub-block
     bad = bytearray(gif)
     bad[desc_at + 12] ^= 0xFF

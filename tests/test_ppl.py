@@ -467,6 +467,25 @@ def test_join_same_right_key_in_two_pairs(spark):
     assert rows == [(1, "x", "x", "z", 9)]  # left k ('z') wins, one row
 
 
+def test_join_full_multi_pair_right_key_fills_all_left_keys(spark):
+    # one right key backing TWO pairs under a FULL join: a right-only
+    # row must receive the coalesced key in EVERY left key column the
+    # shared temp backs, not only the first pair's
+    left = spark.createDataFrame(
+        [(1, "x", "y", "z")], "id long, a string, b string, k string")
+    right = spark.createDataFrame([("x", 9)], "k string, n long")
+    out = ppl_query(
+        "source=L | join type=full R on a = k, b = k",
+        {"L": left, "R": right}.__getitem__,
+    )
+    rows = {(r["id"], r["a"], r["b"], r["k"], r["n"])
+            for r in out.collect()}
+    assert (1, "x", "y", "z", None) in rows  # left-only row intact
+    # right-only row: BOTH a and b carry the right key (b previously
+    # stayed NULL — the key silently vanished from the second pair)
+    assert (None, "x", "x", None, 9) in rows
+
+
 def test_appendcol_command(run):
     out = run("source=sales | appendcol [ stats avg(amount) as "
               "mean_amount ] | sort id | fields id, amount, mean_amount")

@@ -1845,3 +1845,95 @@ def test_role_based_index_permissions(spark, tmp_path_factory):
     assert p.get_roles() == {}
     p.restore(snap)
     assert set(p.get_roles()) == {"fare_writer"}
+
+
+def test_role_scope_is_context_isolated_across_threads(
+    spark, tmp_path_factory
+):
+    """as_role scopes live in a ContextVar keyed by pipeline identity:
+    a concurrent thread sharing the pipeline neither inherits, sees,
+    nor clobbers another caller's role — one scope exiting cannot
+    escalate or demote the other (previously plain instance attributes:
+    the last scope to exit restored ITS snapshot for everyone)."""
+    import threading
+
+    tmp = tmp_path_factory.mktemp("rolectx")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+    p.put_role("fare_only", ["fare"], actions=("read",))
+    p.put_role("flight_only", ["flight"], actions=("read",))
+
+    seen = {}
+    entered = threading.Event()
+    release = threading.Event()
+
+    def other():
+        # a fresh thread starts with NO inherited role (admin caller)
+        seen["before"] = p._active_role
+        with p.as_role("flight_only"):
+            seen["inside"] = p._active_role
+            entered.set()
+            release.wait(10)
+        seen["after"] = p._active_role
+
+    with p.as_role("fare_only"):
+        t = threading.Thread(target=other)
+        t.start()
+        assert entered.wait(10)
+        # the other thread's active scope is invisible here: our role
+        # stays fare_only and flight stays denied (no escalation via
+        # the other caller's broader scope)
+        assert p._active_role == "fare_only"
+        with pytest.raises(PermissionError, match="no 'read'"):
+            p.search("flight", {"size": 1})
+        release.set()
+        t.join(10)
+        # the other scope EXITING didn't demote/clear ours either
+        assert p._active_role == "fare_only"
+        assert p.search("fare", {"size": 1})["hits"] is not None
+    assert p._active_role is None  # our exit restores the admin caller
+    assert seen == {"before": None, "inside": "flight_only",
+                    "after": None}
+
+
+def test_masked_agg_rejection_runs_on_resolved_body(
+    spark, tmp_path_factory, monkeypatch
+):
+    """The masked-field aggregation rejection inspects the FINAL body —
+    after terms-lookup / stored-script resolution and search-pipeline
+    attachment — so an agg spec introduced by a resolution step cannot
+    bypass it and return hash buckets of a masked field."""
+    tmp = tmp_path_factory.mktemp("maskorder")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+    p.put_field_masking("fare", ["fare_class"], mode="hash", salt="s")
+
+    # simulate a resolution step (stored template / script expansion)
+    # that introduces an agg on the masked field AFTER the raw body
+    # was built — the rejection must still fire
+    orig = FlightsEtlPipeline._resolve_stored_scripts
+
+    def inject(self, body):
+        body = dict(orig(self, body))
+        body["aggs"] = {"by": {"terms": {"field": "fare_class"}}}
+        return body
+
+    monkeypatch.setattr(
+        FlightsEtlPipeline, "_resolve_stored_scripts", inject)
+    with pytest.raises(ValueError, match="masked"):
+        p.search("fare", {"query": {"match_all": {}}})
+    monkeypatch.undo()
+    # and the plain-body rejection still fires too (no regression)
+    with pytest.raises(ValueError, match="masked"):
+        p.search("fare", {"aggs": {
+            "by": {"terms": {"field": "fare_class"}}}})
