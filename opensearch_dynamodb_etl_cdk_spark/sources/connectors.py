@@ -116,29 +116,53 @@ class IndexMergeSink(SinkConnector):
         pipeline._merge_route(df, route)
 
 
-class BulkNdjsonSink(SinkConnector):
-    """HTTP-bulk-shaped sink, with a file transport: renders each
-    route's micro-batch slice as PUBLIC ``_bulk`` request bodies —
-    action-metadata line followed by the source document for upserts,
-    a bare delete action line for deletes:
+# merge bookkeeping columns that must not leak into _source
+_INTERNAL_COLS = ("_action", "_bucket", "_seq", "_deleted")
+
+
+def render_bulk_lines(route: str, df: DataFrame) -> DataFrame:
+    """Render one route's micro-batch slice as PUBLIC ``_bulk`` request
+    bodies — a one-column (``value``) frame where each row is one
+    ACTION: action-metadata line plus the source document (joined by a
+    newline) for upserts, a bare delete action line for deletes:
 
         {"index": {"_index": "fare", "_id": "DEN|..."}}
         {"pk": "DEN", "sk": "...", ...}
         {"delete": {"_index": "fare", "_id": "LAX|..."}}
 
-    Rendering happens EXECUTOR-side (``to_json`` over codegen structs;
-    the driver never sees a document) into one NDJSON directory per
+    Rendering is EXECUTOR-side (``to_json`` over codegen structs; the
+    driver never sees a document) — both bulk sinks share this plan,
+    which is the point of the seam: transports differ, the render
+    doesn't."""
+    from pyspark.sql import functions as F
+
+    meta = F.struct(F.lit(route).alias("_index"), F.col("_id"))
+    src_cols = [c for c in df.columns
+                if c not in _INTERNAL_COLS and c != "_id"]
+    ups = df.filter(F.col("_action") != "delete").select(
+        F.concat(
+            F.to_json(F.struct(meta.alias("index"))),
+            F.lit("\n"),
+            F.to_json(F.struct(*[F.col(c) for c in src_cols])),
+        ).alias("value")
+    )
+    dels = df.filter(F.col("_action") == "delete").select(
+        F.to_json(F.struct(meta.alias("delete"))).alias("value")
+    )
+    return ups.unionByName(dels)
+
+
+class BulkNdjsonSink(SinkConnector):
+    """HTTP-bulk-shaped sink, with a file transport: renders
+    :func:`render_bulk_lines` bodies into one NDJSON directory per
     (route, epoch). Re-delivery of a failed micro-batch overwrites its
     own epoch directory, so the rendered stream stays exactly-once
-    like the parquet sink's MERGE. An HTTP transport would POST each
-    partition's lines from ``foreachPartition`` — the render plan is
-    identical, which is the point of the seam.
-    """
+    like the parquet sink's MERGE. :class:`BulkHttpSink` POSTs the
+    same render — swap transports without touching the plan."""
 
     name = "bulk-ndjson"
 
-    # merge bookkeeping columns that must not leak into _source
-    _INTERNAL = ("_action", "_bucket", "_seq", "_deleted")
+    _INTERNAL = _INTERNAL_COLS
 
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
@@ -146,26 +170,118 @@ class BulkNdjsonSink(SinkConnector):
     def write_route(self, pipeline, route, df, epoch_id):
         import os
 
-        from pyspark.sql import functions as F
-
-        meta = F.struct(F.lit(route).alias("_index"), F.col("_id"))
-        src_cols = [c for c in df.columns
-                    if c not in self._INTERNAL and c != "_id"]
-        ups = df.filter(F.col("_action") != "delete").select(
-            F.concat(
-                F.to_json(F.struct(meta.alias("index"))),
-                F.lit("\n"),
-                F.to_json(F.struct(*[F.col(c) for c in src_cols])),
-            ).alias("value")
-        )
-        dels = df.filter(F.col("_action") == "delete").select(
-            F.to_json(F.struct(meta.alias("delete"))).alias("value")
-        )
         (
-            ups.unionByName(dels)
+            render_bulk_lines(route, df)
             .write.mode("overwrite")
             .text(os.path.join(self.out_dir, route, f"epoch={epoch_id}"))
         )
+
+
+class BulkHttpSink(SinkConnector):
+    """HTTP transport for the bulk sink — the reference's actual write
+    path (custom_resource.py:343-357 bulk-writes a live endpoint):
+    each partition of the rendered ``_bulk`` frame POSTs its lines to
+    ``{endpoint}/_bulk`` from ``foreachPartition``, so document bytes
+    flow executor → endpoint directly; the driver never sees a body.
+
+    Failure contract (W3): a non-2xx response, a connection error, or
+    a 2xx body with the public per-item ``"errors": true`` flag raises
+    — the job fails and the pipeline's existing DLQ path catches the
+    whole route slice, exactly as for the built-in sinks. Re-delivery
+    of a failed micro-batch re-POSTs the same epoch; actions are
+    ``index``/``delete`` BY ``_id`` (PUT semantics), so replays are
+    idempotent at the receiver — the same at-least-once-delivery /
+    exactly-once-effect story as the parquet MERGE. ``X-Route`` /
+    ``X-Epoch`` headers let a receiver dedup whole batches if it
+    prefers.
+
+    Scale: one HTTP connection per partition, reused across that
+    partition's chunked requests (``max_actions_per_request`` bounds
+    request size — the public bulk-sizing guidance); no driver
+    round-trips, no collect.
+    """
+
+    name = "bulk-http"
+
+    def __init__(self, endpoint: str, *,
+                 max_actions_per_request: int = 500,
+                 timeout: float = 30.0,
+                 headers: dict | None = None):
+        import urllib.parse
+
+        u = urllib.parse.urlsplit(endpoint)
+        if u.scheme not in ("http", "https") or not u.hostname:
+            raise ValueError(
+                f"bulk-http endpoint must be http(s)://host[:port][/path],"
+                f" got {endpoint!r}"
+            )
+        if max_actions_per_request < 1:
+            raise ValueError("max_actions_per_request must be >= 1")
+        self.endpoint = endpoint
+        self.max_actions_per_request = int(max_actions_per_request)
+        self.timeout = float(timeout)
+        self.headers = dict(headers or {})
+
+    def write_route(self, pipeline, route, df, epoch_id):
+        endpoint = self.endpoint
+        chunk = self.max_actions_per_request
+        timeout = self.timeout
+        headers = {
+            "Content-Type": "application/x-ndjson",
+            **self.headers,
+            "X-Route": route,
+            "X-Epoch": str(epoch_id),
+        }
+
+        # plain function + scalars only: this closure ships to executors
+        def post_partition(rows):
+            import http.client
+            import json as _json
+            import urllib.parse as _up
+
+            u = _up.urlsplit(endpoint)
+            cls = (http.client.HTTPSConnection if u.scheme == "https"
+                   else http.client.HTTPConnection)
+            conn = cls(u.hostname, u.port, timeout=timeout)
+            path = (u.path.rstrip("/") or "") + "/_bulk"
+            buf: list[str] = []
+
+            def flush():
+                if not buf:
+                    return
+                body = ("\n".join(buf) + "\n").encode("utf-8")
+                conn.request("POST", path, body, headers)
+                resp = conn.getresponse()
+                data = resp.read()
+                if not 200 <= resp.status < 300:
+                    raise RuntimeError(
+                        f"bulk POST to {path} failed: HTTP {resp.status} "
+                        f"{data[:200]!r}"
+                    )
+                # the public bulk contract: 200 with per-item failures
+                # sets a top-level errors flag — treat as a failure so
+                # the slice reaches the DLQ instead of half-landing
+                try:
+                    parsed = _json.loads(data) if data else {}
+                except ValueError:
+                    parsed = {}
+                if isinstance(parsed, dict) and parsed.get("errors"):
+                    raise RuntimeError(
+                        f"bulk POST to {path} reported item errors: "
+                        f"{data[:200]!r}"
+                    )
+                buf.clear()
+
+            try:
+                for row in rows:
+                    buf.append(row.value)  # one ACTION (1–2 lines)
+                    if len(buf) >= chunk:
+                        flush()
+                flush()
+            finally:
+                conn.close()
+
+        render_bulk_lines(route, df).foreachPartition(post_partition)
 
 
 _SOURCES: dict[str, SourceConnector] = {}

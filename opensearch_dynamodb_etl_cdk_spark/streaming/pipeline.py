@@ -77,6 +77,18 @@ _ACTIVE_ROLES: _contextvars.ContextVar[dict] = _contextvars.ContextVar(
     "spark_graft_active_roles", default={})
 
 
+def _describe_error(exc: Exception, limit: int = 4000) -> str:
+    """DLQ error string for a failed sink write. ``repr()`` alone loses
+    the cause for JVM-wrapped task failures (Py4JJavaError's repr is
+    just its class + an object id), so fold in ``str()`` — which for
+    those carries the full trace including the executor-side Python
+    exception message — bounded so a DLQ row never stores an unbounded
+    stack."""
+    s = str(exc)
+    msg = repr(exc) if s in ("", repr(exc)) else f"{type(exc).__name__}: {s}"
+    return msg[:limit]
+
+
 @dataclass
 class PipelineConfig:
     """Mirrors the reference's 60-line YAML pipeline definition
@@ -347,7 +359,7 @@ class FlightsEtlPipeline:
                     dlq_counts[route] = 0
                 except Exception as exc:  # DLQ side-output (W3) — never lose docs
                     dlq_counts[route] = slice_.count()
-                    self._write_dlq(slice_, route, repr(exc))
+                    self._write_dlq(slice_, route, _describe_error(exc))
             self._write_metrics(batch, epoch_id, dlq_counts)
         finally:
             batch.unpersist()

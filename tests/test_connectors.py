@@ -259,3 +259,194 @@ def test_bulk_ndjson_sink_renders_public_bulk_bodies(spark, tmp_path):
     assert any(d.get("delete", {}).get("_id") == "DEN|XXX" for d in dels)
     p._apply_batch(p.transform_cdc(cdc), epoch_id=7)  # re-delivery
     assert [json.loads(ln) for ln in lines("fare", epoch=7)] == dels
+
+
+# -- HTTP transport for the bulk sink ------------------------------------
+
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer  # noqa: E402
+import threading  # noqa: E402
+
+
+class _BulkHandler(BaseHTTPRequestHandler):
+    """Records every _bulk POST; response mode set on the server:
+    'ok' → 200 {"errors": false}; '500' → HTTP 500;
+    'item-errors' → 200 with the public per-item errors flag."""
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(n).decode("utf-8")
+        with self.server.lock:
+            self.server.requests.append({
+                "path": self.path,
+                "route": self.headers.get("X-Route"),
+                "epoch": self.headers.get("X-Epoch"),
+                "content_type": self.headers.get("Content-Type"),
+                "body": body,
+            })
+        mode = self.server.mode
+        if mode == "500":
+            payload = b'{"error": "rejected"}'
+            self.send_response(500)
+        elif mode == "item-errors":
+            payload = (b'{"took": 1, "errors": true, "items": '
+                       b'[{"index": {"status": 429}}]}')
+            self.send_response(200)
+        else:
+            payload = b'{"took": 1, "errors": false, "items": []}'
+            self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def log_message(self, *_a):  # quiet test output
+        pass
+
+
+@pytest.fixture()
+def bulk_server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _BulkHandler)
+    srv.requests, srv.lock, srv.mode = [], threading.Lock(), "ok"
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield srv
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(10)
+
+
+def _actions(requests, route=None):
+    """Parse recorded NDJSON bodies back into (action, meta, source)."""
+    out = []
+    for req in requests:
+        if route is not None and req["route"] != route:
+            continue
+        lines = [json.loads(ln) for ln in req["body"].splitlines() if ln]
+        i = 0
+        while i < len(lines):
+            (kind, meta), = lines[i].items()
+            if kind == "index":
+                out.append((kind, meta, lines[i + 1]))
+                i += 2
+            else:
+                assert kind == "delete"
+                out.append((kind, meta, None))
+                i += 1
+    return out
+
+
+def test_bulk_http_sink_delivers_bootstrap_and_tail(
+    spark, tmp_path, bulk_server
+):
+    """The reference's write path end-to-end: bootstrap + CDC tail
+    POST real public _bulk bodies INTO a live (local) HTTP server —
+    golden counts, adjacent action/source pairs, bounded request
+    sizes, idempotent-by-_id actions."""
+    port = bulk_server.server_address[1]
+    sink = C.BulkHttpSink(f"http://127.0.0.1:{port}",
+                          max_actions_per_request=10)
+    p = FlightsEtlPipeline(spark, _cfg(tmp_path), sink=sink)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+
+    reqs = list(bulk_server.requests)
+    assert reqs and all(r["path"] == "/_bulk" for r in reqs)
+    assert all(r["content_type"] == "application/x-ndjson" for r in reqs)
+    assert {r["epoch"] for r in reqs} == {"-1"}  # bootstrap epoch
+    fare = _actions(reqs, "fare")
+    flight = _actions(reqs, "flight")
+    assert len(fare) == 22 and len(flight) == 13  # golden counts
+    assert all(k == "index" and m["_index"] == "fare" and m["_id"]
+               for k, m, _s in fare)
+    # source docs carry data, never merge bookkeeping or the _id
+    for _k, _m, src in fare:
+        assert src and not set(src) & {"_action", "_bucket", "_seq", "_id"}
+    # chunking: every request bounded by max_actions_per_request
+    for r in reqs:
+        # count metadata lines precisely: lines whose single key is an
+        # action verb AND whose value carries _index
+        n_actions = sum(
+            1 for ln in r["body"].splitlines() if ln
+            for obj in [json.loads(ln)]
+            if len(obj) == 1 and next(iter(obj)) in ("index", "delete")
+            and "_index" in next(iter(obj.values()))
+        )
+        assert 1 <= n_actions <= 10
+
+    # -- tail: CDC events (upserts + REMOVEs) through the SAME sink
+    bulk_server.requests.clear()
+    cdc_dir = tmp_path / "cdc"
+    cdc_dir.mkdir()
+    events = [e for e in gen_cdc_events() if e["seq"] > 40]
+    with open(cdc_dir / "events.json", "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+    q = p.start_stream(cdc_path=str(cdc_dir))
+    q.awaitTermination(120)
+
+    reqs = list(bulk_server.requests)
+    assert reqs and all(int(r["epoch"]) >= 0 for r in reqs)
+    assert {r["route"] for r in reqs} == {"fare", "flight"}
+    probe = json.loads(probe_item())
+    probe_id = f'{probe["PK"]["S"]}|{probe["SK"]["S"]}'
+    fare = _actions(reqs, "fare")
+    assert any(k == "index" and m["_id"] == probe_id for k, m, _s in fare)
+    # REMOVE events render as bare delete actions on every route
+    n_removes = sum(1 for e in events if e["event_name"] == "REMOVE")
+    assert n_removes > 0
+    assert sum(1 for k, _m, _s in fare if k == "delete") == n_removes
+    assert sum(1 for k, _m, _s in _actions(reqs, "flight")
+               if k == "delete") == n_removes
+
+
+def test_bulk_http_sink_failures_land_in_dlq(spark, tmp_path, bulk_server):
+    """Non-2xx responses, per-item errors flags, and connection
+    failures all raise inside the sink — the pipeline's W3 contract
+    routes the whole slice to the DLQ, losing nothing."""
+    port = bulk_server.server_address[1]
+    items_rows = [(s,) for s in gen_corpus()]
+
+    bulk_server.mode = "500"
+    p = FlightsEtlPipeline(
+        spark, _cfg(tmp_path / "a"),
+        sink=C.BulkHttpSink(f"http://127.0.0.1:{port}"))
+    p.bootstrap(spark.createDataFrame(items_rows, "item_json string"))
+    dlq = spark.read.parquet(
+        os.path.join(p.cfg.index_root, "dlq", "fare"))
+    assert dlq.count() == 22
+    assert dlq.filter(F.col("_error").contains("HTTP 500")).count() == 22
+    m = {r["route"]: r["rows_dlq"] for r in p.read_metrics().collect()}
+    assert m["fare"] == 22 and m["flight"] == 13
+
+    # 200 + {"errors": true}: half-landed bulks must also fail loudly
+    bulk_server.mode = "item-errors"
+    p2 = FlightsEtlPipeline(
+        spark, _cfg(tmp_path / "b"),
+        sink=C.BulkHttpSink(f"http://127.0.0.1:{port}"))
+    p2.bootstrap(spark.createDataFrame(items_rows, "item_json string"))
+    dlq2 = spark.read.parquet(
+        os.path.join(p2.cfg.index_root, "dlq", "fare"))
+    assert dlq2.filter(
+        F.col("_error").contains("item errors")).count() == 22
+
+    # connection refused (nothing listens on the ephemeral port 1)
+    p3 = FlightsEtlPipeline(
+        spark, _cfg(tmp_path / "c"),
+        sink=C.BulkHttpSink("http://127.0.0.1:1", timeout=2))
+    p3.bootstrap(spark.createDataFrame(items_rows, "item_json string"))
+    dlq3 = spark.read.parquet(
+        os.path.join(p3.cfg.index_root, "dlq", "fare"))
+    assert dlq3.count() == 22
+
+
+def test_bulk_http_sink_validation():
+    with pytest.raises(ValueError, match="endpoint"):
+        C.BulkHttpSink("ftp://x")
+    with pytest.raises(ValueError, match="endpoint"):
+        C.BulkHttpSink("not a url")
+    with pytest.raises(ValueError, match="max_actions_per_request"):
+        C.BulkHttpSink("http://h:1", max_actions_per_request=0)
