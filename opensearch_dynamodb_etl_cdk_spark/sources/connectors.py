@@ -102,6 +102,51 @@ class FileSource(SourceConnector):
         return spark.readStream.schema(CDC_SCHEMA).json(path)
 
 
+class ShardedStreamSource(SourceConnector):
+    """Offset-resumable stream source (the reference's real read path:
+    a per-shard-iterator tail, custom_resource.py:331-332). Backed by
+    the PySpark Python Data Source in ``sources/stream_source.py``:
+    offsets are ``{shard: line_position}`` maps that Spark persists in
+    the streaming checkpoint, so restarts resume MID-FILE (appended
+    shard records are new events) — the property the file-stream
+    built-in cannot give.
+
+    options: ``shards_root`` (dir of ``*.jsonl`` shard files),
+    ``start_position`` (``TRIM_HORIZON`` default, or ``LATEST`` — the
+    reference's mode), and ``export_path`` for the bootstrap half
+    (same contract as the ``file`` source)."""
+
+    name = "sharded-stream"
+
+    def read_export(self, spark: SparkSession, options: dict) -> DataFrame:
+        path = options.get("export_path")
+        if not path:
+            raise ValueError(
+                "sharded-stream source: options['export_path'] required"
+            )
+        df = spark.read.format(options.get("format", "parquet")).load(path)
+        if "item_json" not in df.columns:
+            raise ValueError(
+                "sharded-stream source: export frame must carry an "
+                "item_json column"
+            )
+        return df
+
+    def read_stream(self, spark: SparkSession, options: dict) -> DataFrame:
+        from .stream_source import register_sharded_stream
+
+        if not options.get("shards_root"):
+            raise ValueError(
+                "sharded-stream source: options['shards_root'] required"
+            )
+        register_sharded_stream(spark)
+        reader = spark.readStream.format("sharded-stream")
+        for k in ("shards_root", "start_position"):
+            if k in options:
+                reader = reader.option(k, str(options[k]))
+        return reader.load()
+
+
 class IndexMergeSink(SinkConnector):
     """The built-in sink: MERGE into the route's hash-bucketed parquet
     index table (exactly-once by (key, seq); see pipeline module
@@ -286,7 +331,8 @@ class BulkHttpSink(SinkConnector):
 
 _SOURCES: dict[str, SourceConnector] = {}
 _SINKS: dict[str, SinkConnector] = {}
-_BUILTIN_SOURCES = {"file": FileSource()}
+_BUILTIN_SOURCES = {"file": FileSource(),
+                    "sharded-stream": ShardedStreamSource()}
 _BUILTIN_SINKS = {"index": IndexMergeSink()}
 _SOURCES.update(_BUILTIN_SOURCES)
 _SINKS.update(_BUILTIN_SINKS)

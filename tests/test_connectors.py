@@ -450,3 +450,149 @@ def test_bulk_http_sink_validation():
         C.BulkHttpSink("not a url")
     with pytest.raises(ValueError, match="max_actions_per_request"):
         C.BulkHttpSink("http://h:1", max_actions_per_request=0)
+
+
+# -- offset-resumable sharded stream source --------------------------------
+
+
+def _write_shard(path, events, append=False):
+    with open(path, "a" if append else "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def _consumed_per_epoch(p):
+    """Distinct (epoch, rows_in) from the metrics table: how many CDC
+    records each micro-batch consumed (rows_in repeats per route row)."""
+    return {
+        r["epoch"]: r["rows_in"]
+        for r in p.read_metrics().filter(F.col("epoch") >= 0)
+        .select("epoch", "rows_in").distinct().collect()
+    }
+
+
+def test_sharded_stream_source_offset_resume(spark, tmp_path):
+    """The reference's read path through the seam: a per-shard
+    offset-addressed tail. Offsets ({shard: line}) flow through the
+    streaming checkpoint — a restart resumes MID-FILE: appended
+    records apply exactly once, consumed history never re-applies,
+    new shards start at horizon. File streams cannot do any of this;
+    this is the Kinesis-shaped capability the connector adds."""
+    p = FlightsEtlPipeline(spark, _cfg(tmp_path))
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+
+    shards = tmp_path / "shards"
+    shards.mkdir()
+    events = [e for e in gen_cdc_events() if e["seq"] > 40]
+    half = len(events) // 2
+    _write_shard(shards / "shard_0.jsonl", events[:half])
+    _write_shard(shards / "shard_1.jsonl", events[half:])
+    opts = {"shards_root": str(shards)}
+
+    q = p.start_stream(source="sharded-stream", options=opts)
+    q.awaitTermination(120)
+    count1 = p.index_view("fare").count()
+    probe = json.loads(probe_item())
+    probe_id = f'{probe["PK"]["S"]}|{probe["SK"]["S"]}'
+    assert p.index_view("fare").filter(
+        F.col("_id") == probe_id).count() == 1
+    assert sum(_consumed_per_epoch(p).values()) == len(events)
+
+    # the checkpointed offsets ARE per-shard line positions
+    off_dir = os.path.join(p.cfg.checkpoint_root, "offsets")
+    latest = sorted((f for f in os.listdir(off_dir) if f.isdigit()),
+                    key=int)[-1]
+    with open(os.path.join(off_dir, latest)) as f:
+        off_log = f.read()
+    assert "shard_0.jsonl" in off_log and "shard_1.jsonl" in off_log
+
+    # restart with no new data: nothing re-applies, nothing consumed
+    q = p.start_stream(source="sharded-stream", options=opts)
+    q.awaitTermination(120)
+    assert p.index_view("fare").count() == count1
+    assert sum(_consumed_per_epoch(p).values()) == len(events)
+
+    # APPEND to an existing shard (a REMOVE for the probe) and add a
+    # brand-new shard (one fresh upsert): restart consumes exactly the
+    # two new records — mid-file resume, horizon-start for new shards
+    _write_shard(shards / "shard_0.jsonl", [{
+        "seq": 1000, "event_name": "REMOVE",
+        "event_ts": "2021-12-13T00:00:00",
+        "pk": probe["PK"]["S"], "sk": probe["SK"]["S"],
+        "new_image_json": None,
+    }], append=True)
+    fresh = dict(json.loads(probe_item()))
+    _write_shard(shards / "shard_2.jsonl", [{
+        "seq": 1001, "event_name": "INSERT",
+        "event_ts": "2021-12-13T01:00:00",
+        "pk": "ZRH", "sk": "ZRH#2021-12-13",
+        "new_image_json": json.dumps(
+            {k: v for k, v in json.loads(probe_item()).items()}
+        ).replace(probe["PK"]["S"], "ZRH"),
+    }])
+    del fresh
+    q = p.start_stream(source="sharded-stream", options=opts)
+    q.awaitTermination(120)
+    fare = p.index_view("fare")
+    assert fare.filter(F.col("_id") == probe_id).count() == 0  # removed
+    assert sum(_consumed_per_epoch(p).values()) == len(events) + 2
+
+
+def test_sharded_stream_source_latest_start_position(spark, tmp_path):
+    """start_position=LATEST (the reference's shard-iterator mode):
+    records already in the shards when the query first starts are
+    skipped; records appended afterwards apply."""
+    p = FlightsEtlPipeline(spark, _cfg(tmp_path))
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+    base = p.index_view("fare").count()
+
+    shards = tmp_path / "shards"
+    shards.mkdir()
+    events = [e for e in gen_cdc_events() if e["seq"] > 40]
+    _write_shard(shards / "shard_0.jsonl", events)
+    opts = {"shards_root": str(shards), "start_position": "LATEST"}
+
+    q = p.start_stream(source="sharded-stream", options=opts)
+    q.awaitTermination(120)
+    # pre-existing records skipped: the probe never applied
+    probe = json.loads(probe_item())
+    probe_id = f'{probe["PK"]["S"]}|{probe["SK"]["S"]}'
+    assert p.index_view("fare").filter(
+        F.col("_id") == probe_id).count() == 0
+    assert p.index_view("fare").count() == base
+
+    # appended after the horizon: applies on restart
+    _write_shard(shards / "shard_0.jsonl", events[:1], append=True)
+    appended = 1
+    q = p.start_stream(source="sharded-stream", options=opts)
+    q.awaitTermination(120)
+    got = sum(_consumed_per_epoch(p).values())
+    assert got == appended  # exactly the post-horizon record
+
+
+def test_sharded_stream_source_validation(spark, tmp_path):
+    p = FlightsEtlPipeline(spark, _cfg(tmp_path))
+    with pytest.raises(ValueError, match="shards_root"):
+        p.start_stream(source="sharded-stream", options={})
+    from opensearch_dynamodb_etl_cdk_spark.sources.stream_source import (
+        ShardedStreamReader,
+    )
+    with pytest.raises(ValueError, match="start_position"):
+        ShardedStreamReader({"shards_root": str(tmp_path),
+                             "start_position": "EARLIEST"})
+    with pytest.raises(ValueError, match="no such shards_root"):
+        ShardedStreamReader(
+            {"shards_root": str(tmp_path / "nope")}).latestOffset()
+    # the bootstrap half shares the file-source contract
+    export = str(tmp_path / "export")
+    spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    ).write.parquet(export)
+    p.bootstrap_from("sharded-stream", {"export_path": export})
+    assert p.index_view("fare").count() == 22
