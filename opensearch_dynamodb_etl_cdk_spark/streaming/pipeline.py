@@ -721,13 +721,23 @@ class FlightsEtlPipeline:
         current-image fetch inside a by-id bulk write) — those run with
         the engine's authority, like the public plugin's system reads,
         so a write-only role can ingest without a read grant."""
+        dls = None
         if not _system:
             self._check_role("read", route)
+            dls = self._active_dls_query(route)
         df = self.read_index(route)
         if df is None:
             return None
         if "_deleted" in df.columns:
             df = df.filter(~F.col("_deleted")).drop("_deleted")
+        if dls is not None:
+            # document-level security: the role's query filter scopes
+            # EVERY read surface here (search/count/mget/sql/ppl all
+            # assemble from this view) and compiles into the scan as a
+            # pushed predicate, like a filtered alias
+            from ..operators.search import compile_query
+
+            df = df.filter(compile_query(dls))
         # SQL-friendly convenience view; index names may carry chars
         # (rollover generations like logs-000002) invalid in view names.
         # The view registers MASKED (it is a public SQL surface — for
@@ -1009,6 +1019,7 @@ class FlightsEtlPipeline:
 
         self._check_write_block(route, "delete_by_query")
         self._check_masked_write(route, "delete_by_query")
+        self._check_dls_write(route, "delete_by_query")
         idx = self.index_view(route)
         if idx is None:
             return 0
@@ -1040,6 +1051,7 @@ class FlightsEtlPipeline:
 
         self._check_write_block(route, "update_by_query")
         self._check_masked_write(route, "update_by_query")
+        self._check_dls_write(route, "update_by_query")
         idx = self.index_view(route)
         if idx is None:
             return 0
@@ -2037,10 +2049,22 @@ class FlightsEtlPipeline:
             return {}
 
     def put_role(self, name: str, index_patterns: list[str],
-                 actions: tuple[str, ...] = ("read",)) -> dict:
+                 actions: tuple[str, ...] = ("read",),
+                 dls: dict | None = None) -> dict:
         """Create/replace a role granting ``actions`` ('read'/'write')
         on ``index_patterns`` (fnmatch wildcards, the public
-        index-pattern rules)."""
+        index-pattern rules).
+
+        ``dls`` is an optional document-level-security query (a DSL
+        query dict, the public role ``dls`` property — the reference's
+        data-access policies scope WHO reads WHAT,
+        lib/opensearch-dynamodb-etl-cdk-stack.ts:247-328; this is the
+        row level): while the role is active, every read of a granted
+        index sees only matching documents. Enforced centrally at
+        :meth:`index_view` — the same chokepoint as field masking — so
+        search/count/mget/sql/ppl/aggregations all respect it, and the
+        predicate compiles into each route's parquet scan (a DLS'd
+        read costs a pushed filter, not a second pass)."""
         import json
 
         if not name or not isinstance(name, str):
@@ -2051,9 +2075,21 @@ class FlightsEtlPipeline:
         bad = sorted(set(actions) - {"read", "write"})
         if bad:
             raise ValueError(f"unknown role actions {bad}")
+        if dls is not None:
+            if not isinstance(dls, dict) or not dls:
+                raise ValueError(
+                    "role dls must be a non-empty DSL query dict"
+                )
+            # fail-closed at role creation, not first read: an
+            # uncompilable filter must never silently grant full reads
+            from ..operators.search import compile_query
+
+            compile_query(dls.get("query", dls))
         reg = self._read_roles()
         reg[name] = {"index_patterns": list(index_patterns),
                      "actions": sorted(set(actions))}
+        if dls is not None:
+            reg[name]["dls"] = dls.get("query", dls)
         os.makedirs(self.cfg.index_root, exist_ok=True)
         tmp = self._roles_path() + ".tmp"
         with open(tmp, "w") as f:
@@ -2149,6 +2185,32 @@ class FlightsEtlPipeline:
             return True
         except PermissionError:
             return False
+
+    def _active_dls_query(self, index: str) -> dict | None:
+        """The active role's document-level-security query for this
+        index, or None (no role / role has no dls / index outside the
+        role's patterns — the grant check itself runs elsewhere)."""
+        import fnmatch
+
+        spec = self._active_role_spec
+        if not spec or "dls" not in spec:
+            return None
+        if any(fnmatch.fnmatchcase(index, p)
+               for p in spec.get("index_patterns", ())):
+            return spec["dls"]
+        return None
+
+    def _check_dls_write(self, route: str, op: str) -> None:
+        """Query-matched and scripted writes are rejected under a DLS
+        role (the public security plugin limitation): the match count
+        probes documents outside the role's slice, and an update could
+        move data across the DLS boundary. Plain by-id writes stay
+        allowed, exactly as for field masking."""
+        if self._active_dls_query(route) is not None:
+            raise PermissionError(
+                f"{op} on index {route!r} under a DLS-filtered role is "
+                "rejected (write by id, or use an unfiltered role)"
+            )
 
     # -- field masking (reference security analog: the stack's
     #    data-access policies, lib/opensearch-dynamodb-etl-cdk-stack.ts
@@ -3426,6 +3488,7 @@ class FlightsEtlPipeline:
             # scripts evaluate over the current UNMASKED image — a
             # masked column could be copied into an unmasked one
             self._check_masked_write(route, "bulk (scripted update)")
+            self._check_dls_write(route, "bulk (scripted update)")
         # SYSTEM read: the current-image fetch for by-id merges runs
         # with the engine's authority — a write-only role can ingest
         # (the public plugin's write permission), and the image must be

@@ -1937,3 +1937,86 @@ def test_masked_agg_rejection_runs_on_resolved_body(
     with pytest.raises(ValueError, match="masked"):
         p.search("fare", {"aggs": {
             "by": {"terms": {"field": "fare_class"}}}})
+
+
+def test_role_bound_document_level_security(spark, tmp_path_factory):
+    """Role-bound DLS (the public role `dls` property; reference
+    analog: the stack's data-access policies scoping who reads what):
+    a role carries a per-index DSL query filter, composed centrally in
+    index_view — the same search returns different hits under
+    different roles; counts, aggs, mget, and sql respect the slice;
+    query-matched writes are rejected (the public limitation); by-id
+    writes still work."""
+    tmp = tmp_path_factory.mktemp("dls")
+    cfg = PipelineConfig(index_root=str(tmp / "i"),
+                         checkpoint_root=str(tmp / "c"))
+    p = FlightsEtlPipeline(spark, cfg)
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string"
+    )
+    p.bootstrap(items)
+    total = p.count("fare", {"match_all": {}})
+    den_total = p.count("fare", {"term": {"pk": "DEN"}})
+    assert total == 22 and 0 < den_total < total
+
+    p.put_role("den_desk", ["fare"], actions=("read", "write"),
+               dls={"term": {"pk": "DEN"}})
+    p.put_role("all_desk", ["fare"], actions=("read",))
+
+    body = {"query": {"match_all": {}},
+            "aggs": {"by_pk": {"terms": {"field": "pk"}}}}
+    out_id = p.index_view("fare").filter(
+        F.col("pk") == "JFK").select("_id").first()["_id"]
+    with p.as_role("den_desk"):
+        res = p.search("fare", body)
+        hits = res["hits"].collect()
+        assert len(hits) == den_total  # only the slice is visible
+        assert {r["pk"] for r in hits} == {"DEN"}
+        # aggregations bucket ONLY the visible slice
+        buckets = res["aggregations"]["by_pk"]["buckets"]
+        assert {b["key"] for b in buckets} == {"DEN"}
+        assert sum(b["doc_count"] for b in buckets) == den_total
+        # counts respect the filter — probing outside returns 0, not
+        # a count of invisible documents
+        assert p.count("fare", {"match_all": {}}) == den_total
+        assert p.count("fare", {"term": {"pk": "JFK"}}) == 0
+        # mget: an out-of-slice id is simply not found
+        assert p.mget("fare", [out_id]).count() == 0
+        # sql sees the slice too (views re-register per call)
+        got = p.sql("SELECT DISTINCT pk FROM fare").collect()
+        assert {r["pk"] for r in got} == {"DEN"}
+        # query-matched writes rejected under DLS (public limitation)
+        with pytest.raises(PermissionError, match="DLS"):
+            p.delete_by_query("fare", {"term": {"pk": "DEN"}})
+        with pytest.raises(PermissionError, match="DLS"):
+            p.update_by_query("fare", {"term": {"pk": "DEN"}},
+                              {"dest": "'X'"})
+        with pytest.raises(PermissionError, match="DLS"):
+            p.bulk("fare", [{"update": {"_id": "DEN|x",
+                                        "script": {"dest": "origin"}}}])
+        # by-id writes stay allowed (don't read across the boundary)
+        p.bulk("fare", [{"index": {"_id": "DEN|dls-probe",
+                                   "doc": {"pk": "DEN",
+                                           "sk": "dls-probe"}}}])
+        assert p.count("fare", {"term": {"sk": "dls-probe"}}) == 1
+        p.bulk("fare", [{"delete": {"_id": "DEN|dls-probe"}}])
+
+    # the SAME search under the unfiltered role: everything
+    with p.as_role("all_desk"):
+        assert p.search("fare", body)["hits"].count() == total
+        assert p.count("fare", {"term": {"pk": "JFK"}}) > 0
+    # and the admin caller (no role) is untouched
+    assert p.count("fare", {"match_all": {}}) == total
+
+    # the DLS predicate PUSHES into the scan (a filter, not a re-pass)
+    with p.as_role("den_desk"):
+        plan = p.index_view("fare")._jdf.queryExecution().executedPlan()
+        assert "pk" in plan.toString()
+
+    # fail-closed validation: a non-dict or uncompilable dls rejects
+    # at role creation, never at first read
+    with pytest.raises(ValueError, match="dls"):
+        p.put_role("bad", ["fare"], dls=[])
+    with pytest.raises(Exception):
+        p.put_role("bad", ["fare"], dls={"frobnicate": {"x": 1}})
+    assert "bad" not in p.get_roles()
