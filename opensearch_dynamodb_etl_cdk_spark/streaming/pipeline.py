@@ -274,6 +274,7 @@ class FlightsEtlPipeline:
             "_bucket", F.pmod(F.xxhash64("_id"), F.lit(nb))
         ).persist()
         try:
+            # bounded: one row per distinct hash bucket (<= n_buckets)
             touched = [r._bucket for r in batch.select("_bucket").distinct().collect()]
             if not touched:
                 return
@@ -296,6 +297,7 @@ class FlightsEtlPipeline:
                 .parquet(self._index_path(route))
             )
             surviving = {
+                # bounded: one row per hash bucket (<= n_buckets)
                 r._bucket for r in merged.select("_bucket").distinct().collect()
             }
             self._remove_buckets(route, set(touched) - surviving)
@@ -625,6 +627,7 @@ class FlightsEtlPipeline:
         if current is None:
             raise ValueError(f"resize: index {route!r} is not materialized")
         before = {
+            # bounded: one row per hash bucket (<= n_buckets)
             r._bucket for r in current.select("_bucket").distinct().collect()
         }
         snapshot = current.withColumn(
@@ -637,6 +640,7 @@ class FlightsEtlPipeline:
             .parquet(self._index_path(route))
         )
         after = {
+            # bounded: one row per hash bucket (<= n_buckets)
             r._bucket for r in snapshot.select("_bucket").distinct().collect()
         }
         self._remove_buckets(route, before - after)
@@ -692,10 +696,12 @@ class FlightsEtlPipeline:
         current = self.read_index(route)
         if current is None:
             return
+        # bounded: one row per hash bucket (<= n_buckets)
         before = {r._bucket for r in current.select("_bucket").distinct().collect()}
         if purge_tombstones and "_deleted" in current.columns:
             current = current.filter(~F.col("_deleted"))
         snapshot = current.localCheckpoint(eager=True)  # break lineage vs overwrite
+        # bounded: one row per hash bucket (<= n_buckets)
         after = {r._bucket for r in snapshot.select("_bucket").distinct().collect()}
         (
             snapshot.repartition(
@@ -835,6 +841,7 @@ class FlightsEtlPipeline:
             raise ValueError(f"termvectors on masked fields {bad} "
                              "is rejected")
         fetched = self.mget(route, [str(doc_id)])
+        # bounded: mget of ONE doc_id — at most one row
         rows = [] if fetched is None else fetched.collect()
         if not rows:
             raise ValueError(f"termvectors: no document {doc_id!r}")
@@ -1529,6 +1536,8 @@ class FlightsEtlPipeline:
             [{**d, "__sim_order": i} for i, d in enumerate(docs)]
         )
         out = apply_processors(df, self._ingest_processors(pipeline))
+        # bounded: |docs| caller-supplied ad-hoc documents (_simulate
+        # is a debugging surface, not a data path)
         rows = sorted(out.collect(), key=lambda r: r["__sim_order"])
         return [
             {k: v for k, v in r.asDict().items() if k != "__sim_order"}
@@ -2610,6 +2619,7 @@ class FlightsEtlPipeline:
                     (field,) = lookup_fields
                     lk = spec[field]
                     got = self.mget(lk["index"], [str(lk["id"])])
+                    # bounded: mget of ONE lookup id — at most one row
                     rows = got.collect() if got is not None else []
                     if not rows:
                         raise ValueError(
@@ -3030,9 +3040,8 @@ class FlightsEtlPipeline:
             return None
         page = execute_search(view, body)["hits"]
         # advance the cursor: the LAST row's sort-key tuple. The page
-        # must materialize to know it — inherent to scrolling — but the
-        # collect is bounded by the page size, and the page itself is
-        # what the caller consumes anyway.
+        # must materialize to know it — inherent to scrolling.
+        # bounded: the page's size clause caps the frame (scroll page)
         rows = page.collect()
         fields = [f for f, _ in _sort_fields(body["sort"])]
         st["after"] = [rows[-1][f] for f in fields] if rows else None
@@ -3445,6 +3454,7 @@ class FlightsEtlPipeline:
         )
         for col_name, expr in script.items():
             row = row.withColumn(col_name, safe_expr(expr))
+        # bounded: the frame was built from exactly one tuple above
         return row.collect()[0].asDict()
 
     def bulk(self, route: str, actions: list[dict]) -> dict:
@@ -3515,6 +3525,8 @@ class FlightsEtlPipeline:
             # same system/raw discipline as idx above (never the
             # public mget, which is role-checked and masked)
             fetched = idx.filter(F.col("_id").isin(fetch_ids))
+            # bounded: <= len(fetch_ids) rows — the bulk request's own
+            # update/create id list
             current = {
                 r["_id"]: r.asDict() for r in fetched.collect()
             }

@@ -26,10 +26,12 @@ PKG = os.path.join(os.path.dirname(__file__), "..",
                    "opensearch_dynamodb_etl_cdk_spark")
 
 # modules whose .collect() sites the guard walks (the response-assembly
-# and operator hot paths)
+# and operator hot paths, plus the protocol tier — every site there is
+# bounded or carries a stated '# bounded:' audit)
 GUARDED = [
     os.path.join(PKG, "operators", "search.py"),
     os.path.join(PKG, "operators", "ppl.py"),
+    os.path.join(PKG, "streaming", "pipeline.py"),
 ]
 
 
