@@ -255,9 +255,10 @@ def decode_wav(payload: bytes) -> dict:
 # Dependency-free 8-bit PNG from the public spec (RFC 2083 / W3C
 # PNG 1.2): stdlib zlib handles the DEFLATE stream, this module
 # implements the chunk walk (with per-chunk CRC32 verification) and
-# the five scanline filter reconstructions. Interlaced (Adam7),
-# palette (color type 3) and 16-bit files raise the documented
-# NotImplementedError boundary; structural damage raises ValueError.
+# the five scanline filter reconstructions; indexed (color type 3)
+# files map reconstructed indexes through the PLTE. Interlaced
+# (Adam7) and 16-bit files raise the documented NotImplementedError
+# boundary; structural damage raises ValueError.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -293,6 +294,7 @@ def encode_png(
     base_value: int = 0,
     color_type: int = 2,
     samples: bytes | None = None,
+    palette: bytes | None = None,
 ) -> bytes:
     """Build a real 8-bit PNG. Each row is filtered with type
     ``row % 5`` so a round-trip exercises ALL five spec filters
@@ -302,12 +304,24 @@ def encode_png(
     (validated not to wrap a byte), whose mean is closed-form in the
     geometry: ``base + 7(h-1)/2 + 13(w-1)/2 + (channels-1)/2``.
     ``samples`` overrides the gradient with raw sample bytes
-    (row-major, channel-interleaved)."""
+    (row-major, channel-interleaved).
+
+    ``color_type=3`` builds an indexed (palette) PNG: samples are
+    8-bit palette indexes and ``palette`` supplies the PLTE RGB
+    triples (default: the 256-entry identity grayscale)."""
     import zlib
 
-    channels = _PNG_CHANNELS.get(color_type)
+    channels = 1 if color_type == 3 else _PNG_CHANNELS.get(color_type)
     if channels is None:
-        raise ValueError("color_type must be one of 0/2/4/6")
+        raise ValueError("color_type must be one of 0/2/3/4/6")
+    if palette is not None and color_type != 3:
+        raise ValueError("palette only applies to color_type=3")
+    if color_type == 3:
+        if palette is None:
+            palette = bytes(v for i in range(256) for v in (i, i, i))
+        if (not 3 <= len(palette) <= 768 or len(palette) % 3
+                or not isinstance(palette, (bytes, bytearray))):
+            raise ValueError("palette must be 1..256 RGB byte triples")
     if width <= 0 or height <= 0:
         raise ValueError("width/height must be positive")
     stride = width * channels
@@ -325,6 +339,11 @@ def encode_png(
         )
     elif len(samples) != stride * height:
         raise ValueError("samples length != width*height*channels")
+    if color_type == 3 and max(samples) >= len(palette) // 3:
+        raise ValueError(
+            f"palette index {max(samples)} out of range for a "
+            f"{len(palette) // 3}-entry palette"
+        )
     bpp = channels
     filtered = bytearray()
     prev = bytes(stride)
@@ -351,9 +370,11 @@ def encode_png(
         prev = line
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     idat = zlib.compress(bytes(filtered), 6)
+    plte = _png_chunk(b"PLTE", bytes(palette)) if color_type == 3 else b""
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + plte
         + _png_chunk(b"IDAT", idat)
         + _png_chunk(b"IEND", b"")
     )
@@ -369,6 +390,7 @@ def _png_parse(payload: bytes) -> tuple[int, int, int, bytearray]:
         raise ValueError("not a PNG payload")
     pos, end = 8, len(payload)
     ihdr: bytes | None = None
+    plte: bytes | None = None
     idat: list[bytes] = []
     seen_iend = False
     while pos + 12 <= end:
@@ -383,6 +405,8 @@ def _png_parse(payload: bytes) -> tuple[int, int, int, bytearray]:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IDAT":
             idat.append(body)
         elif ctype == b"IEND":
@@ -406,15 +430,18 @@ def _png_parse(payload: bytes) -> tuple[int, int, int, bytearray]:
         )
     if interlace != 0:
         raise NotImplementedError("interlaced (Adam7) PNG unsupported")
-    if color_type == 3:
-        raise NotImplementedError("palette (indexed) PNG unsupported")
-    channels = _PNG_CHANNELS.get(color_type)
+    channels = 1 if color_type == 3 else _PNG_CHANNELS.get(color_type)
     if channels is None:
         raise ValueError(f"bad PNG color type {color_type}")
     if bit_depth != 8:
         raise NotImplementedError(
             f"{bit_depth}-bit PNG unsupported (only 8-bit)"
         )
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG is missing its PLTE chunk")
+        if not 3 <= len(plte) <= 768 or len(plte) % 3:
+            raise ValueError(f"bad PLTE length {len(plte)}")
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as exc:
@@ -451,6 +478,20 @@ def _png_parse(payload: bytes) -> tuple[int, int, int, bytearray]:
             raise ValueError(f"unknown PNG filter type {ftype}")
         recon += line
         prev = line
+    if color_type == 3:
+        # indexed: map each reconstructed index through the PLTE —
+        # callers see expanded RGB, so a palette-lookup bug shifts
+        # the oracle's mean exactly like a filter bug would
+        n_entries = len(plte) // 3
+        rgb = bytearray(len(recon) * 3)
+        for i, idx in enumerate(recon):
+            if idx >= n_entries:
+                raise ValueError(
+                    f"PNG palette index {idx} out of range for a "
+                    f"{n_entries}-entry PLTE"
+                )
+            rgb[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
+        return width, height, 3, rgb
     return width, height, channels, recon
 
 
@@ -733,9 +774,11 @@ def decode_gif(payload: bytes) -> dict:
 # stuffing. The encoder emits canonical Huffman tables in DHT and the
 # decoder builds its tables FROM the DHT segments, so any valid
 # baseline table decodes — including Annex K's optimized lengths.
-# Progressive (SOF2), multi-component (color), restart-marker and
-# 12-bit files raise the documented NotImplementedError boundary;
-# structural damage raises ValueError.
+# Color (3-component YCbCr 4:4:4) scans decode with per-component
+# quant/Huffman tables and DC predictors plus the JFIF color
+# conversion. Progressive (SOF2), subsampled (4:2:0/4:2:2),
+# restart-marker and 12-bit files raise the documented
+# NotImplementedError boundary; structural damage raises ValueError.
 
 
 def _jpeg_zigzag() -> list[int]:
@@ -827,31 +870,126 @@ def _size_cat(v: int) -> int:
     return abs(v).bit_length()
 
 
+def _rgb_to_ycbcr(r, g, b):
+    """JFIF (BT.601 full-range) forward conversion, rounded with
+    ``floor(x + 0.5)`` — half-up, NOT banker's — so a SQL oracle can
+    replicate the integer chain with FLOOR(x + 0.5) exactly."""
+    import numpy as np
+
+    y = np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    cb = np.floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)
+    cr = np.floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)
+    clip = lambda a: np.clip(a, 0.0, 255.0)
+    return clip(y), clip(cb), clip(cr)
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    """JFIF inverse conversion, same half-up rounding discipline."""
+    import numpy as np
+
+    r = np.floor(y + 1.402 * (cr - 128.0) + 0.5)
+    g = np.floor(y - 0.344136 * (cb - 128.0)
+                 - 0.714136 * (cr - 128.0) + 0.5)
+    b = np.floor(y + 1.772 * (cb - 128.0) + 0.5)
+    clip = lambda a: np.clip(a, 0.0, 255.0)
+    return clip(r), clip(g), clip(b)
+
+
+def _encode_jpeg_block(w, block, qt, dc_codes, ac_codes, t, prev_dc,
+                       np) -> int:
+    """FDCT + quantize + zigzag + entropy-code ONE 8×8 block; returns
+    the new DC predictor for this component."""
+    coeffs = t @ (block - 128.0) @ t.T
+    zz = np.rint(coeffs / qt).astype(np.int64).ravel()[_ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    new_dc = int(zz[0])
+    s = _size_cat(diff)
+    code, length = dc_codes[s]
+    w.write(code, length)
+    if s:
+        w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_codes[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        s = _size_cat(v)
+        if s > 10:
+            raise ValueError("AC coefficient out of baseline range")
+        code, length = ac_codes[(run << 4) | s]
+        w.write(code, length)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        w.write(code, length)
+    return new_dc
+
+
 def encode_jpeg(width: int, height: int, pixel_value: int = 128,
                 pixels: bytes | None = None,
-                quant: list[int] | None = None) -> bytes:
-    """Build a real baseline grayscale JPEG (SOI/DQT/SOF0/DHT/SOS/EOI):
-    FDCT per 8×8 block (edge-replicated padding), quantization,
-    zigzag, differential-DC + run-length-AC Huffman entropy coding.
+                quant: list[int] | None = None,
+                rgb: tuple[int, int, int] | None = None,
+                rgb_pixels: bytes | None = None) -> bytes:
+    """Build a real baseline JPEG (SOI/DQT/SOF0/DHT/SOS/EOI): FDCT per
+    8×8 block (edge-replicated padding), quantization, zigzag,
+    differential-DC + run-length-AC Huffman entropy coding.
+
+    Grayscale by default (``pixel_value`` constant tile or ``pixels``
+    raw bytes). ``rgb=(r,g,b)`` (constant color tile) or ``rgb_pixels``
+    (w*h*3 interleaved bytes) produce a COLOR baseline JPEG: YCbCr
+    4:4:4, three interleaved component scans per MCU, luma on
+    quant/Huffman table ids 0 and chroma on ids 1 (so per-component
+    table selection is load-bearing, like real encoders emit).
+
     The default quantization table is all-ones — DISTORTION-FREE for
     constant-tile content (an all-constant block is a lone integer DC
     coefficient), which is what lets a SQL oracle verify the full
     entropy-decode + IDCT path exactly; arbitrary content is lossy
-    like any JPEG."""
+    like any JPEG. The RGB↔YCbCr conversions round half-up
+    (floor(x+0.5)) so the color chain stays SQL-replicable."""
     import numpy as np
 
     if width <= 0 or height <= 0:
         raise ValueError("width/height must be positive")
-    if pixels is None:
-        if not 0 <= pixel_value <= 255:
-            raise ValueError("pixel_value must be a byte")
-        img = np.full((height, width), pixel_value, dtype=np.float64)
+    color = rgb is not None or rgb_pixels is not None
+    if color and pixels is not None:
+        raise ValueError("pass gray pixels OR color rgb/rgb_pixels")
+    if color:
+        if rgb_pixels is not None:
+            if len(rgb_pixels) != width * height * 3:
+                raise ValueError("rgb_pixels length != width*height*3")
+            arr = np.frombuffer(rgb_pixels, np.uint8).astype(
+                np.float64).reshape(height, width, 3)
+            r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        else:
+            if not all(0 <= int(v) <= 255 for v in rgb):
+                raise ValueError("rgb components must be bytes")
+            r = np.full((height, width), float(rgb[0]))
+            g = np.full((height, width), float(rgb[1]))
+            b = np.full((height, width), float(rgb[2]))
+        planes = list(_rgb_to_ycbcr(r, g, b))
     else:
-        if len(pixels) != width * height:
-            raise ValueError("pixels length != width*height")
-        img = np.frombuffer(pixels, np.uint8).astype(np.float64).reshape(
-            height, width
-        )
+        if pixels is None:
+            if not 0 <= pixel_value <= 255:
+                raise ValueError("pixel_value must be a byte")
+            planes = [np.full((height, width), pixel_value,
+                              dtype=np.float64)]
+        else:
+            if len(pixels) != width * height:
+                raise ValueError("pixels length != width*height")
+            planes = [np.frombuffer(pixels, np.uint8).astype(
+                np.float64).reshape(height, width)]
     q = list(quant) if quant is not None else [1] * 64
     if len(q) != 64 or not all(1 <= int(v) <= 255 for v in q):
         raise ValueError("quant must be 64 values in 1..255")
@@ -860,65 +998,51 @@ def encode_jpeg(width: int, height: int, pixel_value: int = 128,
     ph = (8 - height % 8) % 8
     pw = (8 - width % 8) % 8
     if ph or pw:
-        img = np.pad(img, ((0, ph), (0, pw)), mode="edge")
+        planes = [np.pad(p, ((0, ph), (0, pw)), mode="edge")
+                  for p in planes]
     t = _dct_matrix()
     dc_codes = _huff_codes(_DC_COUNTS, _DC_SYMBOLS)
     ac_codes = _huff_codes(_AC_COUNTS, _AC_SYMBOLS)
     w = _BitWriter()
-    prev_dc = 0
-    for by in range(0, img.shape[0], 8):
-        for bx in range(0, img.shape[1], 8):
-            block = img[by : by + 8, bx : bx + 8] - 128.0
-            coeffs = t @ block @ t.T
-            zz = np.rint(coeffs / qt).astype(np.int64).ravel()[_ZIGZAG]
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            s = _size_cat(diff)
-            code, length = dc_codes[s]
-            w.write(code, length)
-            if s:
-                w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            run = 0
-            last_nz = 0
-            for i in range(63, 0, -1):
-                if zz[i]:
-                    last_nz = i
-                    break
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    w.write(code, length)
-                    run -= 16
-                s = _size_cat(v)
-                if s > 10:
-                    raise ValueError("AC coefficient out of baseline range")
-                code, length = ac_codes[(run << 4) | s]
-                w.write(code, length)
-                w.write(v if v >= 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_codes[0x00]  # EOB
-                w.write(code, length)
+    prev_dc = [0] * len(planes)
+    # MCU order: at each block position the components interleave
+    # (Y, Cb, Cr for color; just Y for grayscale) — the 4:4:4 scan
+    for by in range(0, planes[0].shape[0], 8):
+        for bx in range(0, planes[0].shape[1], 8):
+            for ci, plane in enumerate(planes):
+                prev_dc[ci] = _encode_jpeg_block(
+                    w, plane[by : by + 8, bx : bx + 8], qt,
+                    dc_codes, ac_codes, t, prev_dc[ci], np,
+                )
     body = w.flush()
 
     def seg(marker: int, payload_: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload_) + 2) + payload_
 
-    # DQT: table 0, 8-bit precision; values emitted in ZIGZAG order per
-    # the spec (q is natural row-major order)
+    # DQT: 8-bit precision; values emitted in ZIGZAG order per the
+    # spec (q is natural row-major order). Color adds table 1 for
+    # chroma (same values — the all-ones default keeps it lossless)
     q_flat = np.array(q, dtype=np.int64).ravel()
-    dqt = seg(0xFFDB, bytes([0x00])
-              + bytes(int(q_flat[_ZIGZAG[i]]) for i in range(64)))
-    sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1)
-               + bytes([1, 0x11, 0]))
+    q_zz = bytes(int(q_flat[_ZIGZAG[i]]) for i in range(64))
+    dqt = seg(0xFFDB, bytes([0x00]) + q_zz)
     dht = seg(0xFFC4, bytes([0x00]) + bytes(_DC_COUNTS)
               + bytes(_DC_SYMBOLS)) \
         + seg(0xFFC4, bytes([0x10]) + bytes(_AC_COUNTS) + bytes(_AC_SYMBOLS))
-    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    if color:
+        dqt += seg(0xFFDB, bytes([0x01]) + q_zz)
+        dht += seg(0xFFC4, bytes([0x01]) + bytes(_DC_COUNTS)
+                   + bytes(_DC_SYMBOLS)) \
+            + seg(0xFFC4, bytes([0x11]) + bytes(_AC_COUNTS)
+                  + bytes(_AC_SYMBOLS))
+        comps = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+        sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3)
+                   + comps)
+        sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11,
+                                 0, 63, 0]))
+    else:
+        sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1)
+                   + bytes([1, 0x11, 0]))
+        sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return (b"\xff\xd8" + dqt + sof0 + dht + sos + body + b"\xff\xd9")
 
 
@@ -1012,19 +1136,27 @@ def _jpeg_decode_pixels(payload: bytes):
                 qtables[tq] = nat.reshape(8, 8)
                 off += 65
         elif marker == 0xC0:  # SOF0
-            if len(body) < 9:
+            if len(body) < 6:
                 raise ValueError("truncated SOF0")
             prec, h, w_, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "only grayscale (1-component) JPEG is supported"
+                    f"{ncomp}-component JPEG unsupported (grayscale or "
+                    "YCbCr 4:4:4)"
                 )
-            _cid, sampling, tq = body[6], body[7], body[8]
-            if sampling != 0x11:
-                raise NotImplementedError("subsampled JPEG unsupported")
-            sof = (w_, h, tq)
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF0 component specs")
+            comps = []
+            for ci in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            sof = (w_, h, comps)
         elif marker == 0xC4:  # DHT (possibly several tables)
             off = 0
             while off < len(body):
@@ -1050,12 +1182,18 @@ def _jpeg_decode_pixels(payload: bytes):
         elif marker == 0xDA:  # SOS
             if sof is None:
                 raise ValueError("JPEG SOS before SOF0")
-            if len(body) < 4:
+            if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
                 raise ValueError("truncated SOS")
-            ncomp = body[0]
-            if ncomp != 1:
-                raise NotImplementedError("multi-component scan")
-            td, ta = body[2] >> 4, body[2] & 0x0F
+            n_scan = body[0]
+            if n_scan != len(sof[2]):
+                raise NotImplementedError(
+                    "scan component count != frame (progressive-style "
+                    "partial scans unsupported)"
+                )
+            scan_tabs = {}
+            for ci in range(n_scan):
+                cid, tt = body[1 + 2 * ci], body[2 + 2 * ci]
+                scan_tabs[cid] = (tt >> 4, tt & 0x0F)
             entropy = payload[pos:]
             end = entropy.rfind(b"\xff\xd9")
             if end == -1:
@@ -1065,13 +1203,17 @@ def _jpeg_decode_pixels(payload: bytes):
         elif marker == 0xD9:
             raise ValueError("JPEG has no scan data")
         # APPn/COM/etc: skipped
-    w_, h, tq = sof
-    if tq not in qtables:
-        raise ValueError(f"JPEG references missing quant table {tq}")
-    if (0, td) not in huff or (1, ta) not in huff:
-        raise ValueError("JPEG references missing Huffman table")
-    qt = qtables[tq]
-    dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+    w_, h, comps = sof
+    per_comp = []  # (quant table, dc table, ac table) in frame order
+    for cid, tq in comps:
+        if tq not in qtables:
+            raise ValueError(f"JPEG references missing quant table {tq}")
+        if cid not in scan_tabs:
+            raise ValueError(f"JPEG scan is missing component {cid}")
+        td, ta = scan_tabs[cid]
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("JPEG references missing Huffman table")
+        per_comp.append((qtables[tq], huff[(0, td)], huff[(1, ta)]))
 
     def read_symbol(r: _BitReader, table) -> int:
         code = 0
@@ -1088,36 +1230,50 @@ def _jpeg_decode_pixels(payload: bytes):
     t = _dct_matrix()
     bw = (w_ + 7) // 8
     bh = (h + 7) // 8
-    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64)
+              for _ in per_comp]
     r = _BitReader(entropy)
-    prev_dc = 0
+    prev_dc = [0] * len(per_comp)
     for byi in range(bh):
         for bxi in range(bw):
-            zz = np.zeros(64, dtype=np.float64)
-            s = read_symbol(r, dc_tab)
-            diff = extend(r.bits(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = read_symbol(r, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                i += run
-                if i > 63 or size == 0:
-                    raise ValueError("corrupt JPEG AC run")
-                zz[i] = extend(r.bits(size), size)
-                i += 1
-            nat = np.zeros(64, dtype=np.float64)
-            nat[_ZIGZAG] = zz
-            coeffs = nat.reshape(8, 8) * qt
-            block = t.T @ coeffs @ t + 128.0
-            out[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = block
-    img = np.clip(np.rint(out[:h, :w_]), 0, 255).astype(np.uint8)
+            # MCU: one block per component, interleaved in frame order
+            # (4:4:4), each with its own tables and DC predictor
+            for ci, (qt, dc_tab, ac_tab) in enumerate(per_comp):
+                zz = np.zeros(64, dtype=np.float64)
+                s = read_symbol(r, dc_tab)
+                diff = extend(r.bits(s), s) if s else 0
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                i = 1
+                while i < 64:
+                    sym = read_symbol(r, ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    i += run
+                    if i > 63 or size == 0:
+                        raise ValueError("corrupt JPEG AC run")
+                    zz[i] = extend(r.bits(size), size)
+                    i += 1
+                nat = np.zeros(64, dtype=np.float64)
+                nat[_ZIGZAG] = zz
+                coeffs = nat.reshape(8, 8) * qt
+                block = t.T @ coeffs @ t + 128.0
+                planes[ci][byi * 8 : byi * 8 + 8,
+                           bxi * 8 : bxi * 8 + 8] = block
+    if len(planes) == 1:
+        img = np.clip(np.rint(planes[0][:h, :w_]), 0, 255).astype(np.uint8)
+        return w_, h, img
+    # color: round each reconstructed YCbCr plane to its stored
+    # integers first (exact on the lossless constant-tile path), then
+    # the JFIF inverse conversion with the same half-up rounding the
+    # encoder used — the whole color chain stays SQL-replicable
+    y, cb, cr = (np.clip(np.rint(p[:h, :w_]), 0, 255) for p in planes)
+    rr, gg, bb = _ycbcr_to_rgb(y, cb, cr)
+    img = np.stack([rr, gg, bb], axis=2).astype(np.uint8)
     return w_, h, img
 
 
@@ -1136,7 +1292,8 @@ def decode_jpeg(payload: bytes) -> dict:
         "height": h,
         "bit_depth": 8,
         "n_units": n,
-        "mean_value": (float(img.sum()) / n) if n else 0.0,
+        # grayscale: mean pixel; color: mean over all RGB samples
+        "mean_value": (float(img.sum()) / img.size) if n else 0.0,
         "n_bytes": len(payload),
     }
 
@@ -1375,6 +1532,25 @@ def png_params(doc_id: int) -> tuple[int, int, int]:
     return 1 + doc_id % 13, 1 + doc_id % 7, doc_id % 53
 
 
+# non-identity oracle palette for synthesized indexed PNGs:
+# index i → (255-i, i, i), so the palette-mapped per-pixel mean is
+# (255 + i) / 3 — a lookup-skipping bug shifts it to i and breaks
+# the oracle
+_ORACLE_PALETTE = bytes(v for i in range(256) for v in (255 - i, i, i))
+
+
+def jpeg_color_params(doc_id: int) -> tuple[int, int, tuple[int, int, int]]:
+    """Ground-truth (width, height, (r, g, b)) for a synthesized
+    constant-color JPEG: mod-251 keeps every channel ≤ 250, so the
+    forward YCbCr conversion never clips and the decode-side RGB is
+    the pure floor(x+0.5) chain a SQL oracle can replicate."""
+    return (
+        1 + doc_id % 13,
+        1 + doc_id % 7,
+        (doc_id % 251, (doc_id * 3) % 251, (doc_id * 7) % 251),
+    )
+
+
 def wav_params(doc_id: int) -> tuple[int, int, int, int]:
     """Ground-truth (sample_rate, channels, n_frames, sample_value)."""
     return (
@@ -1393,11 +1569,13 @@ def synthesize_media(
     ("jpeg") or WAV ("audio"). Payload bytes are built and stay on the
     executors; ``keep`` columns pass through for downstream
     grouping."""
-    if kind not in ("image", "audio", "png", "gif", "jpeg"):
-        raise ValueError(
-            "kind must be 'image', 'png', 'gif', 'jpeg' or 'audio'")
+    kinds = ("image", "audio", "png", "png-palette", "gif", "jpeg",
+             "jpeg-color")
+    if kind not in kinds:
+        raise ValueError(f"kind must be one of {kinds}")
     media_type = {"image": "image/bmp", "png": "image/png",
-                  "gif": "image/gif", "jpeg": "image/jpeg",
+                  "png-palette": "image/png", "gif": "image/gif",
+                  "jpeg": "image/jpeg", "jpeg-color": "image/jpeg",
                   "audio": "audio/wav"}[kind]
     cols = [id_col, *keep]
     keep_schema = ", ".join(f"{c} string" for c in keep)
@@ -1414,11 +1592,27 @@ def synthesize_media(
                 payloads = [encode_bmp(*bmp_params(int(d))) for d in ids]
             elif kind == "png":
                 payloads = [encode_png(*png_params(int(d))) for d in ids]
+            elif kind == "png-palette":
+                # indexed: gradient indexes through the non-identity
+                # oracle palette — the PLTE lookup is load-bearing
+                payloads = [
+                    encode_png(*png_params(int(d)), color_type=3,
+                               palette=_ORACLE_PALETTE)
+                    for d in ids
+                ]
             elif kind == "gif":
                 payloads = [encode_gif(*png_params(int(d))) for d in ids]
             elif kind == "jpeg":
                 # constant tiles: distortion-free through the DCT path
                 payloads = [encode_jpeg(*bmp_params(int(d))) for d in ids]
+            elif kind == "jpeg-color":
+                # constant COLOR tiles: the YCbCr 4:4:4 scan is
+                # distortion-free too, and the color conversions round
+                # half-up so the chain stays SQL-replicable
+                payloads = []
+                for d in ids:
+                    cw, chh, crgb = jpeg_color_params(int(d))
+                    payloads.append(encode_jpeg(cw, chh, rgb=crgb))
             else:
                 payloads = [encode_wav(*wav_params(int(d))) for d in ids]
             out = {"doc_id": ids, "payload": payloads, "media_type": media_type}
@@ -1500,6 +1694,8 @@ def decode_image_pixels(payload: bytes):
         return w, h, np.ascontiguousarray(rgb)
     if f.name == "jpeg":
         w, h, img = _jpeg_decode_pixels(payload)
+        if img.ndim == 3:  # color (YCbCr 4:4:4): already RGB
+            return w, h, np.ascontiguousarray(img)
         return w, h, np.repeat(img[:, :, None], 3, axis=2)
     raise NotImplementedError(f.hint)
 

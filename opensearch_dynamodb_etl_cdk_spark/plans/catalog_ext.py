@@ -2522,6 +2522,113 @@ def multimodal_jpeg_decode_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_palette_png_decode_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_items,
+           CAST(SUM((1 + doc_id % 13) * (1 + doc_id % 7)) AS BIGINT) AS sum_pixels,
+           CAST(SUM(CAST(1 + doc_id % 13 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_width,
+           CAST(SUM(CAST(1 + doc_id % 7 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_height,
+           CAST(SUM(CAST((255 + doc_id % 53 + 7 * (doc_id % 7) / 2.0
+                          + 13 * (doc_id % 13) / 2.0) / 3.0
+                    AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_pixel
+    FROM documents GROUP BY lang
+    """,
+    doc="REAL indexed-PNG decode end-to-end: synthesize genuine 8-bit "
+    "PALETTE (color type 3) PNG bytes per document (operators/"
+    "multimodal.py::encode_png color_type=3 — gradient palette "
+    "indexes through all five row filters, PLTE chunk with the "
+    "non-identity mapping i→(255-i, i, i)), parse them back through "
+    "the built-in decoder (::decode_png — CRC-verified chunk walk, "
+    "inflate, unfilter, PLTE lookup per reconstructed index), "
+    "aggregate per lang. Because the palette is non-identity, the "
+    "mapped mean is (255 + E[index])/3 ≠ E[index]: a decoder that "
+    "skips (or mis-indexes) the PLTE lookup breaks the hash, not "
+    "just a filter bug.",
+    tags=("multimodal",),
+)
+def multimodal_palette_png_decode_stats(spark, sf_dir):
+    return _media_decode_stats(spark, sf_dir, "png-palette")
+
+
+@register(
+    "multimodal_color_jpeg_decode_stats",
+    oracle="""
+    WITH rgb AS (
+      SELECT lang,
+             CAST(doc_id % 251 AS DOUBLE) AS r,
+             CAST((doc_id * 3) % 251 AS DOUBLE) AS g,
+             CAST((doc_id * 7) % 251 AS DOUBLE) AS b,
+             1 + doc_id % 13 AS w, 1 + doc_id % 7 AS h
+      FROM documents),
+    ycc AS (
+      SELECT lang, w, h,
+             FLOOR(0.299::DOUBLE * r + 0.587::DOUBLE * g
+                   + 0.114::DOUBLE * b + 0.5::DOUBLE) AS y,
+             FLOOR(128.0::DOUBLE - 0.168736::DOUBLE * r
+                   - 0.331264::DOUBLE * g + 0.5::DOUBLE * b
+                   + 0.5::DOUBLE) AS cb,
+             FLOOR(128.0::DOUBLE + 0.5::DOUBLE * r
+                   - 0.418688::DOUBLE * g - 0.081312::DOUBLE * b
+                   + 0.5::DOUBLE) AS cr
+      FROM rgb),
+    back AS (
+      SELECT lang, w, h,
+             GREATEST(0.0::DOUBLE, LEAST(255.0::DOUBLE,
+               FLOOR(y + 1.402::DOUBLE * (cr - 128.0::DOUBLE)
+                     + 0.5::DOUBLE))) AS r2,
+             GREATEST(0.0::DOUBLE, LEAST(255.0::DOUBLE,
+               FLOOR(y - 0.344136::DOUBLE * (cb - 128.0::DOUBLE)
+                     - 0.714136::DOUBLE * (cr - 128.0::DOUBLE)
+                     + 0.5::DOUBLE))) AS g2,
+             GREATEST(0.0::DOUBLE, LEAST(255.0::DOUBLE,
+               FLOOR(y + 1.772::DOUBLE * (cb - 128.0::DOUBLE)
+                     + 0.5::DOUBLE))) AS b2
+      FROM ycc)
+    SELECT lang, COUNT(*) AS n_items,
+           CAST(SUM(w * h) AS BIGINT) AS sum_pixels,
+           CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_width,
+           CAST(SUM(CAST(h AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_height,
+           CAST(SUM(CAST(r2 + g2 + b2 AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(1) AS avg_rgb_sum
+    FROM back GROUP BY lang
+    """,
+    doc="REAL color-JPEG decode end-to-end: synthesize genuine "
+    "baseline YCbCr 4:4:4 JPEG bytes per document (operators/"
+    "multimodal.py::encode_jpeg rgb=... — JFIF forward color "
+    "conversion rounded half-up, three interleaved component scans "
+    "per MCU, luma on table ids 0 and chroma on ids 1), parse them "
+    "back through the built-in decoder (::_jpeg_decode_pixels — "
+    "per-component quant/Huffman tables and DC predictors, IDCT, "
+    "inverse color conversion), aggregate per lang. Constant tiles + "
+    "all-ones quant keep the DCT path distortion-free, and both color "
+    "conversions round with floor(x+0.5), so the oracle replicates "
+    "the ENTIRE integer chain (RGB→YCbCr→RGB) in SQL — any "
+    "table-selection, predictor, or conversion bug breaks the hash. "
+    "mod-251 channels keep the forward conversion clip-free.",
+    tags=("multimodal",),
+)
+def multimodal_color_jpeg_decode_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    feats = M.extract_media_features(
+        M.synthesize_media(d, "jpeg-color", keep=("lang",)),
+        keep=("lang",),
+    )
+    exact = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast(
+        "double") / F.count(F.lit(1))
+    # mean_value is (r+g+b)/3 per constant tile — multiply back to the
+    # exact integer sum so the decimal-cast discipline stays lossless
+    feats = feats.withColumn(
+        "rgb_sum", F.round(F.col("mean_value") * 3, 0))
+    return feats.groupBy("lang").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_units").alias("sum_pixels"),
+        exact("width").alias("avg_width"),
+        exact("height").alias("avg_height"),
+        exact("rgb_sum").alias("avg_rgb_sum"),
+    )
+
+
+@register(
     "multimodal_wav_decode_stats",
     oracle="""
     SELECT source, COUNT(*) AS n_items,

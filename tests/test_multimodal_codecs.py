@@ -306,7 +306,9 @@ def test_png_malformed_and_unsupported():
     # unsupported-but-recognized boundaries raise NotImplementedError
     with pytest.raises(NotImplementedError, match="interlaced"):
         M.decode_png(_patch_ihdr(png, 12, 1))
-    with pytest.raises(NotImplementedError, match="palette"):
+    # a truecolor file re-typed as palette has no PLTE: structural
+    # damage, not a boundary (palette PNGs decode for real now)
+    with pytest.raises(ValueError, match="missing its PLTE"):
         M.decode_png(_patch_ihdr(png, 9, 3))
     with pytest.raises(NotImplementedError, match="16-bit"):
         M.decode_png(_patch_ihdr(png, 8, 16))
@@ -691,13 +693,28 @@ def test_jpeg_malformed_and_unsupported():
     prog = jpg[:i] + b"\xff\xc2" + jpg[i + 2:]
     with pytest.raises(NotImplementedError, match="baseline"):
         M.decode_jpeg(prog)
-    # multi-component (color) SOF is rejected loudly
+    # a 3-component frame whose SCAN covers only one component (a
+    # progressive-style partial scan) is rejected loudly
     sof_body = struct.pack(">BHHB", 8, 8, 8, 3) + bytes(
         [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
     sof = struct.pack(">HH", 0xFFC0, len(sof_body) + 2) + sof_body
     multi = jpg[:i] + sof + jpg[i + 2 + struct.unpack_from(">H", jpg, i + 2)[0]:]
-    with pytest.raises(NotImplementedError, match="grayscale"):
+    with pytest.raises(NotImplementedError, match="scan component"):
         M.decode_jpeg(multi)
+    # 4-component (CMYK-style) frames stay outside the boundary
+    sof_body4 = struct.pack(">BHHB", 8, 8, 8, 4) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0])
+    sof4 = struct.pack(">HH", 0xFFC0, len(sof_body4) + 2) + sof_body4
+    four = jpg[:i] + sof4 + jpg[i + 2 + struct.unpack_from(">H", jpg, i + 2)[0]:]
+    with pytest.raises(NotImplementedError, match="4-component"):
+        M.decode_jpeg(four)
+    # subsampled (4:2:0-style) color is the documented boundary
+    cj = M.encode_jpeg(8, 8, rgb=(10, 20, 30))
+    ci = cj.find(b"\xff\xc0")
+    sub = bytearray(cj)
+    sub[ci + 11] = 0x22  # Y sampling 2x2
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        M.decode_jpeg(bytes(sub))
     with pytest.raises(ValueError):
         M.encode_jpeg(4, 4, pixels=b"\x00" * 3)
     with pytest.raises(ValueError, match="quant"):
@@ -804,3 +821,160 @@ def test_jpeg_truncated_tables_and_large_image():
     px = bytes(rng.randrange(256) for _ in range(256 * 256))
     f = M.decode_jpeg(M.encode_jpeg(256, 256, pixels=px))
     assert f["n_units"] == 256 * 256
+
+
+# -- palette (indexed) PNG --------------------------------------------------
+
+
+def test_palette_png_roundtrip_identity_and_custom():
+    # identity grayscale palette: decoded RGB mean equals the gradient
+    # mean (each index expands to three equal samples)
+    png = M.encode_png(13, 7, 10, color_type=3)
+    d = M.decode_png(png)
+    exp = 10 + 7 * (7 - 1) / 2 + 13 * (13 - 1) / 2
+    assert (d["width"], d["height"], d["n_units"]) == (13, 7, 91)
+    assert d["mean_value"] == exp
+    # non-identity palette i -> (255-i, i, i): the PLTE lookup is
+    # load-bearing — mean becomes (255 + E[i]) / 3
+    png = M.encode_png(13, 7, 10, color_type=3,
+                       palette=M._ORACLE_PALETTE)
+    assert M.decode_png(png)["mean_value"] == (255 + exp) / 3
+    # pixel access expands through the palette
+    w, h, arr = M.decode_image_pixels(png)
+    assert arr.shape == (7, 13, 3)
+    assert tuple(arr[0, 0]) == (245, 10, 10)  # index 10
+    assert tuple(arr[6, 12]) == (255 - 208, 208, 208)  # 10+42+156
+    # every row filter type participates (h=7 covers 0..4 twice)
+    # and arbitrary index content round-trips exactly
+    idx = bytes((3 * i + 1) % 251 for i in range(13 * 7))
+    png = M.encode_png(13, 7, color_type=3, samples=idx,
+                       palette=M._ORACLE_PALETTE)
+    _, _, arr = M.decode_image_pixels(png)
+    import numpy as np
+    flat = arr.reshape(-1, 3)
+    expect = np.array([(255 - v, v, v) for v in idx], dtype=np.uint8)
+    assert (flat == expect).all()
+
+
+def test_palette_png_validation():
+    # short palette: in-range indexes fine, out-of-range encode rejects
+    pal = bytes([1, 2, 3] * 4)
+    png = M.encode_png(2, 2, 0, color_type=3,
+                       samples=bytes([0, 1, 2, 3]), palette=pal)
+    assert M.decode_png(png)["mean_value"] == 2.0
+    with pytest.raises(ValueError, match="out of range"):
+        M.encode_png(2, 2, 0, color_type=3,
+                     samples=bytes([0, 1, 2, 9]), palette=pal)
+    with pytest.raises(ValueError, match="palette must be"):
+        M.encode_png(2, 2, 0, color_type=3, palette=b"\x01\x02")
+    with pytest.raises(ValueError, match="palette only applies"):
+        M.encode_png(2, 2, 0, color_type=2, palette=pal)
+    # decode-side: an index past the PLTE is structural damage. Craft
+    # it by shrinking the PLTE of a valid file (keep chunk CRC valid).
+    full = M.encode_png(2, 2, 0, color_type=3,
+                        samples=bytes([0, 1, 2, 3]),
+                        palette=bytes([7, 7, 7] * 4))
+    plte_at = full.find(b"PLTE") - 4
+    head, rest = full[:plte_at], full[plte_at:]
+    (ln,) = struct.unpack_from(">I", rest, 0)
+    shrunk = M._png_chunk(b"PLTE", rest[8 : 8 + 6])  # keep 2 entries
+    with pytest.raises(ValueError, match="out of range"):
+        M.decode_png(head + shrunk + rest[12 + ln :])
+    # gradient peak must fit the palette too
+    with pytest.raises(ValueError, match="out of range"):
+        M.encode_png(13, 7, 10, color_type=3,
+                     palette=bytes([0, 0, 0] * 16))
+
+
+def test_palette_png_synthesize_and_resize(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"].limit(30)
+    feats = M.extract_media_features(
+        M.synthesize_media(d, "png-palette", keep=("lang",)),
+        keep=("lang",),
+    )
+    for r in feats.collect():
+        w, h, b = M.png_params(r["doc_id"])
+        exp = (255 + b + 7 * (h - 1) / 2 + 13 * (w - 1) / 2) / 3
+        assert r["mean_value"] == pytest.approx(exp, abs=0)
+    # the resize tier decodes palette PNGs through the shared pixel path
+    media = M.synthesize_media(d, "png-palette", keep=("source",))
+    resized = M.resize_images(media, 4, 4)
+    out = M.extract_media_features(resized)
+    assert out.count() == 30
+    assert {r["n_units"] for r in out.collect()} == {16}
+
+
+# -- color (YCbCr 4:4:4) JPEG ----------------------------------------------
+
+
+def _expected_color_roundtrip(rgb):
+    """The documented floor(x+0.5) chain: RGB -> YCbCr -> RGB."""
+    import numpy as np
+
+    r, g, b = map(float, rgb)
+    y = np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    cb = min(255.0, max(0.0, np.floor(
+        128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)))
+    cr = min(255.0, max(0.0, np.floor(
+        128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)))
+    r2 = min(255.0, max(0.0, np.floor(y + 1.402 * (cr - 128) + 0.5)))
+    g2 = min(255.0, max(0.0, np.floor(
+        y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)))
+    b2 = min(255.0, max(0.0, np.floor(y + 1.772 * (cb - 128) + 0.5)))
+    return int(r2), int(g2), int(b2)
+
+
+def test_color_jpeg_constant_tile_exact():
+    for rgb in [(10, 200, 77), (255, 0, 0), (0, 255, 0), (0, 0, 255),
+                (128, 128, 128), (250, 249, 1)]:
+        j = M.encode_jpeg(13, 7, rgb=rgb)
+        w, h, img = M._jpeg_decode_pixels(j)
+        assert (w, h) == (13, 7) and img.shape == (7, 13, 3)
+        exp = _expected_color_roundtrip(rgb)
+        assert set(map(tuple, img.reshape(-1, 3))) == {exp}, (rgb, exp)
+        stats = M.decode_jpeg(j)
+        assert stats["n_units"] == 91
+        assert stats["mean_value"] == sum(exp) / 3
+        # pixel access + resize-canonical path see RGB directly
+        _, _, arr = M.decode_image_pixels(j)
+        assert set(map(tuple, arr.reshape(-1, 3))) == {exp}
+    # non-multiple-of-8 geometry pads and crops per component
+    j = M.encode_jpeg(5, 3, rgb=(9, 120, 200))
+    w, h, img = M._jpeg_decode_pixels(j)
+    assert (w, h, img.shape) == (5, 3, (3, 5, 3))
+
+
+def test_color_jpeg_arbitrary_content_error_bound():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=16 * 16 * 3, dtype=np.uint8)
+    j = M.encode_jpeg(16, 16, rgb_pixels=px.tobytes())
+    _, _, img = M._jpeg_decode_pixels(j)
+    # all-ones quant: only color-conversion rounding error remains
+    err = np.abs(img.astype(float)
+                 - px.reshape(16, 16, 3).astype(float)).mean()
+    assert err < 3.0
+    with pytest.raises(ValueError, match="rgb_pixels length"):
+        M.encode_jpeg(4, 4, rgb_pixels=b"\x00" * 5)
+    with pytest.raises(ValueError, match="gray pixels OR color"):
+        M.encode_jpeg(2, 2, pixels=b"\x00" * 4, rgb=(1, 2, 3))
+    with pytest.raises(ValueError, match="rgb components"):
+        M.encode_jpeg(2, 2, rgb=(300, 0, 0))
+
+
+def test_color_jpeg_synthesize_extract_roundtrip(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.session import load_tables
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"].limit(40)
+    feats = M.extract_media_features(
+        M.synthesize_media(d, "jpeg-color", keep=("lang",)),
+        keep=("lang",),
+    )
+    for r in feats.collect():
+        w, h, rgb = M.jpeg_color_params(r["doc_id"])
+        exp = _expected_color_roundtrip(rgb)
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["mean_value"] == sum(exp) / 3
