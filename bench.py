@@ -123,6 +123,10 @@ HEADLINE = [
     # per-row PNG synthesis + zlib-inflate + filter reconstruction
     # inside one Arrow-batched mapInPandas, aggregated per lang
     "multimodal_png_decode_stats",
+    # round-8 addition: the deepest codec path — color YCbCr 4:4:4
+    # JPEG synthesis + three-component Huffman/IDCT decode + both JFIF
+    # color conversions, per row in one Arrow-batched mapInPandas
+    "multimodal_color_jpeg_decode_stats",
 ]
 
 # Iterative/trainer operators do their distributed work INSIDE fn()

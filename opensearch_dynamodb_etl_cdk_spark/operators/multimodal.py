@@ -622,13 +622,25 @@ def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytearr
         prev = entry
 
 
+def _gif_interlace_rows(height: int) -> list[int]:
+    """The GIF87a/89a four-pass interlace row order: every 8th row
+    from 0, every 8th from 4, every 4th from 2, every 2nd from 1."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
 def encode_gif(width: int, height: int, base_value: int = 0,
-               pixels: bytes | None = None) -> bytes:
+               pixels: bytes | None = None,
+               interlaced: bool = False) -> bytes:
     """Build a real GIF89a: 256-entry grayscale global color table
     (entry i = (i,i,i)), one image, REAL LZW-compressed data in
     ≤255-byte sub-blocks. Default pixel indexes are the gradient
     ``base + 7r + 13c`` (validated not to wrap), whose decoded RGB
-    mean is closed-form: ``base + 7(h-1)/2 + 13(w-1)/2``."""
+    mean is closed-form: ``base + 7(h-1)/2 + 13(w-1)/2``.
+    ``interlaced=True`` stores rows in the spec's four-pass order and
+    sets the image-descriptor interlace flag."""
     if width <= 0 or height <= 0:
         raise ValueError("width/height must be positive")
     if pixels is None:
@@ -643,11 +655,17 @@ def encode_gif(width: int, height: int, base_value: int = 0,
         )
     elif len(pixels) != width * height:
         raise ValueError("pixels length != width*height")
+    if interlaced:
+        pixels = b"".join(
+            pixels[r * width : (r + 1) * width]
+            for r in _gif_interlace_rows(height)
+        )
     header = b"GIF89a"
     # screen descriptor: GCT present, 8 bits/pixel, 256-entry table
     screen = struct.pack("<HHBBB", width, height, 0b1111_0111, 0, 0)
     gct = bytes(v for i in range(256) for v in (i, i, i))
-    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    img_desc = b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, width, height, 0x40 if interlaced else 0)
     lzw = _gif_lzw_encode(8, pixels)
     blocks = bytearray([8])  # LZW minimum code size
     for i in range(0, len(lzw), 255):
@@ -696,8 +714,7 @@ def _gif_parse(payload: bytes) -> tuple[int, int, bytes, bytearray]:
         pos += 9
         if w <= 0 or h <= 0:
             raise ValueError(f"malformed GIF geometry {w}x{h}")
-        if ipacked & 0x40:
-            raise NotImplementedError("interlaced GIF unsupported")
+        interlaced = bool(ipacked & 0x40)
         pal = gct
         if ipacked & 0x80:  # local color table overrides
             n = 2 << (ipacked & 0x07)
@@ -737,7 +754,15 @@ def _gif_parse(payload: bytes) -> tuple[int, int, bytes, bytearray]:
         for i in idx[: w * h]:
             if i >= n_colors:
                 raise ValueError(f"GIF pixel index {i} outside the palette")
-        return w, h, bytes(pal), idx[: w * h]
+        idx = idx[: w * h]
+        if interlaced:
+            # de-interlace: the decoded row sequence is the four-pass
+            # order — scatter each row back to its true position
+            out = bytearray(w * h)
+            for seq, row in enumerate(_gif_interlace_rows(h)):
+                out[row * w : (row + 1) * w] = idx[seq * w : (seq + 1) * w]
+            idx = out
+        return w, h, bytes(pal), idx
     raise ValueError("truncated GIF: no trailer, no image")
 
 

@@ -588,12 +588,13 @@ def test_gif_malformed_and_unsupported():
         M.decode_gif(gif[:20])
     with pytest.raises(ValueError, match="no image"):
         M.decode_gif(gif[:13 + 3 * 256] + b"\x3b")  # trailer, no frame
-    # flip the interlace bit in the image descriptor
+    # flipping the interlace bit on sequential data still decodes (the
+    # flag is honored — rows scatter), mean unchanged (permutation)
     desc_at = 13 + 3 * 256
-    bad = bytearray(gif)
-    bad[desc_at + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        M.decode_gif(bytes(bad))
+    scrambled = bytearray(gif)
+    scrambled[desc_at + 9] |= 0x40
+    assert (M.decode_gif(bytes(scrambled))["mean_value"]
+            == M.decode_gif(gif)["mean_value"])
     # spec-invalid LZW minimum code size: 9–11 exceed GIF's 256-entry
     # palette ceiling — must fail at the header, not per-pixel later
     bad = bytearray(gif)
@@ -978,3 +979,28 @@ def test_color_jpeg_synthesize_extract_roundtrip(spark, sf_dir):
         exp = _expected_color_roundtrip(rgb)
         assert (r["width"], r["height"]) == (w, h)
         assert r["mean_value"] == sum(exp) / 3
+
+
+def test_gif_interlaced_roundtrip_pixel_exact():
+    """Four-pass interlace: rows store in 8/8/4/2 pass order, the
+    decoder scatters them back — every pixel must land at its true
+    position (the mean alone is permutation-blind, so compare the
+    full index grid against the sequential encode)."""
+    import numpy as np
+
+    for w, h in [(13, 7), (5, 1), (1, 9), (8, 8), (3, 17)]:
+        seq = M.encode_gif(w, h, 10)
+        lace = M.encode_gif(w, h, 10, interlaced=True)
+        assert lace != seq  # genuinely different byte streams
+        _, _, arr_seq = M.decode_image_pixels(seq)
+        _, _, arr_lace = M.decode_image_pixels(lace)
+        assert (arr_seq == arr_lace).all(), (w, h)
+        # and stats agree with the closed form
+        d = M.decode_gif(lace)
+        assert d["mean_value"] == 10 + 7 * (h - 1) / 2 + 13 * (w - 1) / 2
+    # arbitrary content too
+    rng = np.random.default_rng(3)
+    px = bytes(rng.integers(0, 256, size=13 * 7, dtype=np.uint8))
+    lace = M.encode_gif(13, 7, pixels=px, interlaced=True)
+    _, _, arr = M.decode_image_pixels(lace)
+    assert arr[:, :, 0].tobytes() == px
