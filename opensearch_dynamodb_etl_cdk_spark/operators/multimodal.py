@@ -256,9 +256,10 @@ def decode_wav(payload: bytes) -> dict:
 # PNG 1.2): stdlib zlib handles the DEFLATE stream, this module
 # implements the chunk walk (with per-chunk CRC32 verification) and
 # the five scanline filter reconstructions; indexed (color type 3)
-# files map reconstructed indexes through the PLTE. Interlaced
-# (Adam7) and 16-bit files raise the documented NotImplementedError
-# boundary; structural damage raises ValueError.
+# files map reconstructed indexes through the PLTE; Adam7-interlaced
+# files reconstruct each of the seven independently-filtered passes
+# and scatter them back. 16-bit files raise the documented
+# NotImplementedError boundary; structural damage raises ValueError.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -288,6 +289,40 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+def _png_filter_rows(
+    samples: bytes, width_px: int, height: int, channels: int
+) -> bytearray:
+    """Filter one (sub-)image's rows with type ``row % 5`` (fresh
+    predictor chain), so every spec filter stays load-bearing in each
+    Adam7 pass exactly as in the sequential layout."""
+    stride = width_px * channels
+    bpp = channels
+    out = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        line = samples[r * stride : (r + 1) * stride]
+        ftype = r % 5
+        filt = bytearray(stride)
+        for i in range(stride):
+            left = line[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:
+                pred = _paeth(left, up, ul)
+            filt[i] = (line[i] - pred) & 0xFF
+        out += bytes([ftype]) + filt
+        prev = line
+    return out
+
+
 def encode_png(
     width: int,
     height: int,
@@ -295,6 +330,7 @@ def encode_png(
     color_type: int = 2,
     samples: bytes | None = None,
     palette: bytes | None = None,
+    interlaced: bool = False,
 ) -> bytes:
     """Build a real 8-bit PNG. Each row is filtered with type
     ``row % 5`` so a round-trip exercises ALL five spec filters
@@ -344,31 +380,26 @@ def encode_png(
             f"palette index {max(samples)} out of range for a "
             f"{len(palette) // 3}-entry palette"
         )
-    bpp = channels
-    filtered = bytearray()
-    prev = bytes(stride)
-    for r in range(height):
-        line = samples[r * stride : (r + 1) * stride]
-        ftype = r % 5
-        filt = bytearray(stride)
-        for i in range(stride):
-            left = line[i - bpp] if i >= bpp else 0
-            up = prev[i]
-            ul = prev[i - bpp] if i >= bpp else 0
-            if ftype == 0:
-                pred = 0
-            elif ftype == 1:
-                pred = left
-            elif ftype == 2:
-                pred = up
-            elif ftype == 3:
-                pred = (left + up) // 2
-            else:
-                pred = _paeth(left, up, ul)
-            filt[i] = (line[i] - pred) & 0xFF
-        filtered += bytes([ftype]) + filt
-        prev = line
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    if interlaced:
+        # Adam7: extract each pass's sub-image and filter it with a
+        # fresh predictor chain (the spec's per-pass independence)
+        filtered = bytearray()
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = bytearray()
+            for r in range(ph):
+                for c in range(pw):
+                    src = ((y0 + r * dy) * width
+                           + (x0 + c * dx)) * channels
+                    sub += samples[src : src + channels]
+            filtered += _png_filter_rows(bytes(sub), pw, ph, channels)
+    else:
+        filtered = _png_filter_rows(samples, width, height, channels)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0,
+                       1 if interlaced else 0)
     idat = zlib.compress(bytes(filtered), 6)
     plte = _png_chunk(b"PLTE", bytes(palette)) if color_type == 3 else b""
     return (
@@ -378,6 +409,56 @@ def encode_png(
         + _png_chunk(b"IDAT", idat)
         + _png_chunk(b"IEND", b"")
     )
+
+
+# Adam7 pass grid: (x-start, y-start, x-step, y-step), spec order
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(
+    raw: bytes, offset: int, width_px: int, height: int, channels: int
+) -> tuple[bytearray, int]:
+    """Reconstruct one (sub-)image's scanlines from ``raw`` starting at
+    ``offset`` (filter-type byte + filtered samples per row, predictor
+    chain starting fresh). Returns (samples, offset past the image) —
+    shared by the sequential path and each Adam7 pass."""
+    stride = width_px * channels
+    need = (stride + 1) * height
+    if offset + need > len(raw):
+        raise ValueError(
+            f"PNG pixel data is {len(raw)} bytes, geometry needs "
+            f"{offset + need}"
+        )
+    bpp = channels
+    prev = bytearray(stride)
+    recon = bytearray()
+    for r in range(height):
+        off = offset + r * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        recon += line
+        prev = line
+    return recon, offset + need
 
 
 def _png_parse(payload: bytes) -> tuple[int, int, int, bytearray]:
@@ -428,8 +509,8 @@ def _png_parse(payload: bytes) -> tuple[int, int, int, bytearray]:
         raise ValueError(
             f"bad PNG compression/filter method {comp}/{filt_method}"
         )
-    if interlace != 0:
-        raise NotImplementedError("interlaced (Adam7) PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     channels = 1 if color_type == 3 else _PNG_CHANNELS.get(color_type)
     if channels is None:
         raise ValueError(f"bad PNG color type {color_type}")
@@ -446,38 +527,35 @@ def _png_parse(payload: bytes) -> tuple[int, int, int, bytearray]:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG DEFLATE stream: {exc}") from exc
-    stride = width * channels
-    if len(raw) != (stride + 1) * height:
-        raise ValueError(
-            f"PNG pixel data is {len(raw)} bytes, geometry needs "
-            f"{(stride + 1) * height}"
-        )
-    bpp = channels
-    prev = bytearray(stride)
-    recon = bytearray()
-    for r in range(height):
-        off = r * (stride + 1)
-        ftype = raw[off]
-        line = bytearray(raw[off + 1 : off + 1 + stride])
-        if ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                c = prev[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        recon += line
-        prev = line
+    if interlace == 0:
+        stride = width * channels
+        if len(raw) != (stride + 1) * height:
+            raise ValueError(
+                f"PNG pixel data is {len(raw)} bytes, geometry needs "
+                f"{(stride + 1) * height}"
+            )
+        recon = _png_unfilter(raw, 0, width, height, channels)[0]
+    else:
+        # Adam7: seven independently-filtered sub-images (the filter
+        # predictor chain resets per pass), scattered back to the grid
+        recon = bytearray(width * height * channels)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes no scanlines
+            sub, off = _png_unfilter(raw, off, pw, ph, channels)
+            for r in range(ph):
+                for c in range(pw):
+                    src = (r * pw + c) * channels
+                    dst = ((y0 + r * dy) * width + (x0 + c * dx)) * channels
+                    recon[dst : dst + channels] = sub[src : src + channels]
+        if off != len(raw):
+            raise ValueError(
+                f"PNG pixel data is {len(raw)} bytes, Adam7 geometry "
+                f"needs {off}"
+            )
     if color_type == 3:
         # indexed: map each reconstructed index through the PLTE —
         # callers see expanded RGB, so a palette-lookup bug shifts
@@ -522,8 +600,8 @@ def decode_png(payload: bytes) -> dict:
 # Dependency-free GIF87a/89a from the public spec: variable-width LZW
 # (the real compression algorithm, clear/end codes, dictionary growth
 # synchronized with the decoder's one-code lag), palette mapping,
-# sub-block framing. Interlaced images raise the documented
-# NotImplementedError boundary; structural damage raises ValueError.
+# sub-block framing, and four-pass interlace (rows scatter back per
+# the descriptor flag). Structural damage raises ValueError.
 
 
 def _gif_lzw_encode(min_code_size: int, pixels: bytes) -> bytes:
@@ -769,10 +847,10 @@ def _gif_parse(payload: bytes) -> tuple[int, int, bytes, bytearray]:
 def decode_gif(payload: bytes) -> dict:
     """Decode a GIF for real: screen/image descriptors, extension-block
     skipping, sub-block reassembly, variable-width LZW, palette
-    mapping. Statistics cover the palette-mapped RGB bytes of the
-    FIRST image frame — any LZW or palette bug shifts ``mean_value``
-    and breaks the oracle. Interlaced frames raise the documented
-    boundary."""
+    mapping, four-pass de-interlace when the descriptor flags it.
+    Statistics cover the palette-mapped RGB bytes of the FIRST image
+    frame — any LZW or palette bug shifts ``mean_value`` and breaks
+    the oracle."""
     w, h, pal, idx = _gif_parse(payload)
     n_colors = len(pal) // 3
     total = 0
@@ -1594,12 +1672,13 @@ def synthesize_media(
     ("jpeg") or WAV ("audio"). Payload bytes are built and stay on the
     executors; ``keep`` columns pass through for downstream
     grouping."""
-    kinds = ("image", "audio", "png", "png-palette", "gif", "jpeg",
-             "jpeg-color")
+    kinds = ("image", "audio", "png", "png-palette", "png-interlaced",
+             "gif", "jpeg", "jpeg-color")
     if kind not in kinds:
         raise ValueError(f"kind must be one of {kinds}")
     media_type = {"image": "image/bmp", "png": "image/png",
-                  "png-palette": "image/png", "gif": "image/gif",
+                  "png-palette": "image/png",
+                  "png-interlaced": "image/png", "gif": "image/gif",
                   "jpeg": "image/jpeg", "jpeg-color": "image/jpeg",
                   "audio": "audio/wav"}[kind]
     cols = [id_col, *keep]
@@ -1617,6 +1696,14 @@ def synthesize_media(
                 payloads = [encode_bmp(*bmp_params(int(d))) for d in ids]
             elif kind == "png":
                 payloads = [encode_png(*png_params(int(d))) for d in ids]
+            elif kind == "png-interlaced":
+                # Adam7: same gradient, seven-pass storage order —
+                # downstream position-sensitive consumers (resize)
+                # verify the scatter, not just the mean
+                payloads = [
+                    encode_png(*png_params(int(d)), interlaced=True)
+                    for d in ids
+                ]
             elif kind == "png-palette":
                 # indexed: gradient indexes through the non-identity
                 # oracle palette — the PLTE lookup is load-bearing

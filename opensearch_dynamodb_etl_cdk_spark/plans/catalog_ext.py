@@ -2551,6 +2551,51 @@ def multimodal_palette_png_decode_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_interlaced_png_resize_stats",
+    oracle="""
+    WITH g AS (
+      SELECT source, doc_id % 53 AS base,
+             1 + doc_id % 13 AS w, 1 + doc_id % 7 AS h
+      FROM documents)
+    SELECT source, COUNT(*) AS n_items,
+           CAST(COUNT(*) * 16 AS BIGINT) AS sum_pixels,
+           CAST(SUM(CAST(
+             base + 1
+             + 7 * (FLOOR(0.0*h/4) + FLOOR(1.0*h/4)
+                    + FLOOR(2.0*h/4) + FLOOR(3.0*h/4)) / 4.0
+             + 13 * (FLOOR(0.0*w/4) + FLOOR(1.0*w/4)
+                     + FLOOR(2.0*w/4) + FLOOR(3.0*w/4)) / 4.0
+           AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_pixel
+    FROM g GROUP BY source
+    """,
+    doc="Adam7 de-interlace verified POSITION-SENSITIVELY: the mean "
+    "alone is permutation-blind (a scrambled scatter has the same "
+    "pixel multiset), so this row synthesizes genuine interlaced PNGs "
+    "(operators/multimodal.py::encode_png interlaced=True — seven "
+    "independently-filtered passes), nearest-neighbor-resizes every "
+    "payload to 4x4 (source index floor(i*src/4) — WHICH pixels "
+    "survive depends on their position), decodes the resized bytes "
+    "and aggregates. The oracle recomputes the sampled gradient "
+    "positions in closed form: a scatter bug moves wrong values into "
+    "the sampled cells and breaks the hash. Payloads never leave the "
+    "executors.",
+    tags=("multimodal",),
+)
+def multimodal_interlaced_png_resize_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    media = M.synthesize_media(d, "png-interlaced", keep=("source",))
+    resized = M.resize_images(media, 4, 4)
+    feats = M.extract_media_features(resized, keep=("source",))
+    exact = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast(
+        "double") / F.count(F.lit(1))
+    return feats.groupBy("source").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_units").alias("sum_pixels"),
+        exact("mean_value").alias("avg_pixel"),
+    )
+
+
+@register(
     "multimodal_color_jpeg_decode_stats",
     oracle="""
     WITH rgb AS (

@@ -303,9 +303,12 @@ def test_png_malformed_and_unsupported():
         M.decode_png(png[:50])  # mid-IDAT chunk
     with pytest.raises(ValueError, match="missing"):
         M.decode_png(png[:40])  # cut right after the IDAT length field
-    # unsupported-but-recognized boundaries raise NotImplementedError
-    with pytest.raises(NotImplementedError, match="interlaced"):
+    # a sequential stream re-typed as Adam7 is structural damage (the
+    # pass layout doesn't line up) — interlaced PNGs decode for real
+    with pytest.raises(ValueError):
         M.decode_png(_patch_ihdr(png, 12, 1))
+    with pytest.raises(ValueError, match="interlace"):
+        M.decode_png(_patch_ihdr(png, 12, 2))
     # a truecolor file re-typed as palette has no PLTE: structural
     # damage, not a boundary (palette PNGs decode for real now)
     with pytest.raises(ValueError, match="missing its PLTE"):
@@ -1004,3 +1007,36 @@ def test_gif_interlaced_roundtrip_pixel_exact():
     lace = M.encode_gif(13, 7, pixels=px, interlaced=True)
     _, _, arr = M.decode_image_pixels(lace)
     assert arr[:, :, 0].tobytes() == px
+
+
+def test_png_adam7_interlaced_roundtrip_pixel_exact():
+    """Adam7: seven independently-filtered passes scattered back to
+    the grid — every pixel at its true position, for every color type
+    including palette, across edge geometries (passes that are empty
+    at small sizes must contribute no scanlines)."""
+    import numpy as np
+
+    for ct in (0, 2, 4, 6, 3):
+        kw = {"palette": M._ORACLE_PALETTE} if ct == 3 else {}
+        for w, h in [(13, 7), (1, 1), (8, 8), (5, 1), (1, 9), (2, 3)]:
+            seq = M.encode_png(w, h, 10, color_type=ct, **kw)
+            lace = M.encode_png(w, h, 10, color_type=ct,
+                                interlaced=True, **kw)
+            _, _, a = M.decode_image_pixels(seq)
+            _, _, b = M.decode_image_pixels(lace)
+            assert (a == b).all(), (ct, w, h)
+            d = M.decode_png(lace)
+            assert d["mean_value"] == M.decode_png(seq)["mean_value"]
+    # arbitrary truecolor samples survive the scatter bit-for-bit
+    rng = np.random.default_rng(5)
+    sm = bytes(rng.integers(0, 256, size=13 * 7 * 3, dtype=np.uint8))
+    lace = M.encode_png(13, 7, color_type=2, samples=sm,
+                        interlaced=True)
+    _, _, arr = M.decode_image_pixels(lace)
+    assert arr.tobytes() == sm
+    # a sequential-length stream under the interlace flag cannot
+    # satisfy the Adam7 layout — loud structural error, never a
+    # silently-scrambled image
+    seq = M.encode_png(13, 7, 10)
+    with pytest.raises(ValueError):
+        M.decode_png(_patch_ihdr(seq, 12, 1))
