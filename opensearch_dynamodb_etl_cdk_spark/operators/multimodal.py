@@ -37,6 +37,7 @@ ever carries the small feature rows, not the payload bytes.
 
 from __future__ import annotations
 
+import re
 import struct
 from collections.abc import Callable, Iterator
 
@@ -1043,17 +1044,25 @@ def encode_jpeg(width: int, height: int, pixel_value: int = 128,
                 pixels: bytes | None = None,
                 quant: list[int] | None = None,
                 rgb: tuple[int, int, int] | None = None,
-                rgb_pixels: bytes | None = None) -> bytes:
+                rgb_pixels: bytes | None = None,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
     """Build a real baseline JPEG (SOI/DQT/SOF0/DHT/SOS/EOI): FDCT per
     8×8 block (edge-replicated padding), quantization, zigzag,
     differential-DC + run-length-AC Huffman entropy coding.
 
     Grayscale by default (``pixel_value`` constant tile or ``pixels``
     raw bytes). ``rgb=(r,g,b)`` (constant color tile) or ``rgb_pixels``
-    (w*h*3 interleaved bytes) produce a COLOR baseline JPEG: YCbCr
-    4:4:4, three interleaved component scans per MCU, luma on
-    quant/Huffman table ids 0 and chroma on ids 1 (so per-component
-    table selection is load-bearing, like real encoders emit).
+    (w*h*3 interleaved bytes) produce a COLOR baseline JPEG: YCbCr,
+    interleaved component scans per MCU, luma on quant/Huffman table
+    ids 0 and chroma on ids 1 (so per-component table selection is
+    load-bearing, like real encoders emit). ``subsampling`` picks the
+    chroma layout — ``"444"`` (default), ``"422"`` (2x1 luma) or
+    ``"420"`` (2x2 luma, the dominant real-world form); chroma
+    downsamples by block mean rounded half-up, so constant tiles stay
+    distortion-free. ``restart_interval`` emits a DRI segment and a
+    spec-sequenced RSTn marker every N MCUs with DC predictors reset —
+    the resync structure real camera files carry.
 
     The default quantization table is all-ones — DISTORTION-FREE for
     constant-tile content (an all-constant block is a lone integer DC
@@ -1096,28 +1105,61 @@ def encode_jpeg(width: int, height: int, pixel_value: int = 128,
     q = list(quant) if quant is not None else [1] * 64
     if len(q) != 64 or not all(1 <= int(v) <= 255 for v in q):
         raise ValueError("quant must be 64 values in 1..255")
+    if restart_interval < 0 or restart_interval > 0xFFFF:
+        raise ValueError("restart_interval must be in 0..65535")
     qt = np.array(q, dtype=np.float64).reshape(8, 8)
-    # pad to 8-multiples by edge replication (the spec's recommendation)
-    ph = (8 - height % 8) % 8
-    pw = (8 - width % 8) % 8
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("subsampling must be '444', '422' or '420'")
+    if not color and subsampling != "444":
+        raise ValueError("subsampling applies to color JPEGs only")
+    hy, vy = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
+    factors = [(hy, vy)] + [(1, 1)] * (len(planes) - 1)
+    mcu_w, mcu_h = 8 * hy, 8 * vy
+    # pad the FULL-RES planes to MCU multiples by edge replication
+    # (the spec's recommendation), then block-mean-downsample chroma —
+    # floor(x+0.5), so a constant tile stays distortion-free
+    ph = (mcu_h - height % mcu_h) % mcu_h
+    pw = (mcu_w - width % mcu_w) % mcu_w
     if ph or pw:
         planes = [np.pad(p, ((0, ph), (0, pw)), mode="edge")
                   for p in planes]
+    if color and (hy, vy) != (1, 1):
+        for ci in (1, 2):
+            p = planes[ci]
+            h0, w0 = p.shape
+            p = p.reshape(h0 // vy, vy, w0 // hy, hy).mean(axis=(1, 3))
+            planes[ci] = np.floor(p + 0.5)
     t = _dct_matrix()
     dc_codes = _huff_codes(_DC_COUNTS, _DC_SYMBOLS)
     ac_codes = _huff_codes(_AC_COUNTS, _AC_SYMBOLS)
     w = _BitWriter()
+    body = bytearray()
     prev_dc = [0] * len(planes)
-    # MCU order: at each block position the components interleave
-    # (Y, Cb, Cr for color; just Y for grayscale) — the 4:4:4 scan
-    for by in range(0, planes[0].shape[0], 8):
-        for bx in range(0, planes[0].shape[1], 8):
-            for ci, plane in enumerate(planes):
-                prev_dc[ci] = _encode_jpeg_block(
-                    w, plane[by : by + 8, bx : bx + 8], qt,
-                    dc_codes, ac_codes, t, prev_dc[ci], np,
-                )
-    body = w.flush()
+    mcus_y = planes[0].shape[0] // mcu_h
+    mcus_x = planes[0].shape[1] // mcu_w
+    n_rst = 0
+    # MCU order: at each MCU the components interleave in frame order,
+    # h×v luma blocks then one block per chroma component
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            body += w.flush()
+            body += bytes([0xFF, 0xD0 + (n_rst % 8)])
+            n_rst += 1
+            w = _BitWriter()
+            prev_dc = [0] * len(planes)
+        myi, mxi = divmod(mcu, mcus_x)
+        for ci, plane in enumerate(planes):
+            fh, fv = factors[ci]
+            for by in range(fv):
+                for bx in range(fh):
+                    py = (myi * fv + by) * 8
+                    px = (mxi * fh + bx) * 8
+                    prev_dc[ci] = _encode_jpeg_block(
+                        w, plane[py : py + 8, px : px + 8], qt,
+                        dc_codes, ac_codes, t, prev_dc[ci], np,
+                    )
+    body += w.flush()
+    body = bytes(body)
 
     def seg(marker: int, payload_: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload_) + 2) + payload_
@@ -1137,7 +1179,7 @@ def encode_jpeg(width: int, height: int, pixel_value: int = 128,
                    + bytes(_DC_SYMBOLS)) \
             + seg(0xFFC4, bytes([0x11]) + bytes(_AC_COUNTS)
                   + bytes(_AC_SYMBOLS))
-        comps = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+        comps = bytes([1, (hy << 4) | vy, 0, 2, 0x11, 1, 3, 0x11, 1])
         sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3)
                    + comps)
         sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11,
@@ -1146,7 +1188,10 @@ def encode_jpeg(width: int, height: int, pixel_value: int = 128,
         sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1)
                    + bytes([1, 0x11, 0]))
         sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return (b"\xff\xd8" + dqt + sof0 + dht + sos + body + b"\xff\xd9")
+    dri = (seg(0xFFDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    return (b"\xff\xd8" + dqt + sof0 + dht + dri + sos + body
+            + b"\xff\xd9")
 
 
 class _BitReader:
@@ -1202,6 +1247,7 @@ def _jpeg_decode_pixels(payload: bytes):
         raise ValueError("not a JPEG payload")
     pos = 2
     qtables: dict[int, "np.ndarray"] = {}
+    restart_interval = 0
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
     while True:
@@ -1218,8 +1264,14 @@ def _jpeg_decode_pixels(payload: bytes):
             raise NotImplementedError(
                 "only baseline (SOF0) JPEG is supported"
             )
-        if marker == 0xDD:
-            raise NotImplementedError("JPEG restart intervals unsupported")
+        if marker == 0xDD:  # DRI: MCUs between restart markers
+            (length,) = struct.unpack_from(">H", payload, pos)
+            if length != 4 or pos + 4 > len(payload):
+                raise ValueError("bad DRI segment")
+            (restart_interval,) = struct.unpack_from(
+                ">H", payload, pos + 2)
+            pos += length
+            continue
         (length,) = struct.unpack_from(">H", payload, pos)
         if length < 2 or pos + length > len(payload):
             raise ValueError("truncated JPEG segment")
@@ -1247,18 +1299,24 @@ def _jpeg_decode_pixels(payload: bytes):
             if ncomp not in (1, 3):
                 raise NotImplementedError(
                     f"{ncomp}-component JPEG unsupported (grayscale or "
-                    "YCbCr 4:4:4)"
+                    "YCbCr)"
                 )
             if len(body) < 6 + 3 * ncomp:
                 raise ValueError("truncated SOF0 component specs")
             comps = []
             for ci in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "subsampled JPEG unsupported (4:4:4 only)"
+                        f"JPEG sampling factor {hi}x{vi} unsupported "
+                        "(1 or 2 per axis: 4:4:4 / 4:2:2 / 4:2:0)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hi, vi, tq))
+            if ncomp == 1 and comps[0][1:3] != (1, 1):
+                # single-component scans are never interleaved; the
+                # factors are meaningless — normalize rather than raise
+                comps[0] = (comps[0][0], 1, 1, comps[0][3])
             sof = (w_, h, comps)
         elif marker == 0xC4:  # DHT (possibly several tables)
             off = 0
@@ -1307,8 +1365,8 @@ def _jpeg_decode_pixels(payload: bytes):
             raise ValueError("JPEG has no scan data")
         # APPn/COM/etc: skipped
     w_, h, comps = sof
-    per_comp = []  # (quant table, dc table, ac table) in frame order
-    for cid, tq in comps:
+    per_comp = []  # (quant, dc tab, ac tab, h_i, v_i) in frame order
+    for cid, hi, vi, tq in comps:
         if tq not in qtables:
             raise ValueError(f"JPEG references missing quant table {tq}")
         if cid not in scan_tabs:
@@ -1316,7 +1374,10 @@ def _jpeg_decode_pixels(payload: bytes):
         td, ta = scan_tabs[cid]
         if (0, td) not in huff or (1, ta) not in huff:
             raise ValueError("JPEG references missing Huffman table")
-        per_comp.append((qtables[tq], huff[(0, td)], huff[(1, ta)]))
+        per_comp.append((qtables[tq], huff[(0, td)], huff[(1, ta)],
+                         hi, vi))
+    hmax = max(c[3] for c in per_comp)
+    vmax = max(c[4] for c in per_comp)
 
     def read_symbol(r: _BitReader, table) -> int:
         code = 0
@@ -1331,51 +1392,91 @@ def _jpeg_decode_pixels(payload: bytes):
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
     t = _dct_matrix()
-    bw = (w_ + 7) // 8
-    bh = (h + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64)
-              for _ in per_comp]
-    r = _BitReader(entropy)
+    mcus_x = (w_ + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcus_y * 8 * vi, mcus_x * 8 * hi),
+                       dtype=np.float64)
+              for (_q, _d, _a, hi, vi) in per_comp]
+    # restart intervals: the entropy stream splits on byte-aligned RST
+    # markers (0xFFD0-D7; 0xFF00 is stuffed data) into segments of
+    # `restart_interval` MCUs, each decoded with fresh DC predictors
+    segments = [entropy]
+    if restart_interval:
+        parts = re.split(b"\xff([\xd0-\xd7])", entropy)
+        segments, markers = parts[0::2], parts[1::2]
+        for k, m in enumerate(markers):
+            if m[0] != 0xD0 + (k % 8):  # the spec's modulo-8 sequence
+                raise ValueError(
+                    f"JPEG restart marker out of order at boundary "
+                    f"{k}: got 0xff{m[0]:02x}"
+                )
+        expect = (mcus_x * mcus_y + restart_interval - 1) \
+            // restart_interval
+        if len(segments) != expect:
+            raise ValueError(
+                f"JPEG restart markers split the scan into "
+                f"{len(segments)} segments; interval "
+                f"{restart_interval} over {mcus_x * mcus_y} MCUs "
+                f"needs {expect}"
+            )
+    r = _BitReader(segments[0])
     prev_dc = [0] * len(per_comp)
-    for byi in range(bh):
-        for bxi in range(bw):
-            # MCU: one block per component, interleaved in frame order
-            # (4:4:4), each with its own tables and DC predictor
-            for ci, (qt, dc_tab, ac_tab) in enumerate(per_comp):
-                zz = np.zeros(64, dtype=np.float64)
-                s = read_symbol(r, dc_tab)
-                diff = extend(r.bits(s), s) if s else 0
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                i = 1
-                while i < 64:
-                    sym = read_symbol(r, ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        i += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    i += run
-                    if i > 63 or size == 0:
-                        raise ValueError("corrupt JPEG AC run")
-                    zz[i] = extend(r.bits(size), size)
-                    i += 1
-                nat = np.zeros(64, dtype=np.float64)
-                nat[_ZIGZAG] = zz
-                coeffs = nat.reshape(8, 8) * qt
-                block = t.T @ coeffs @ t + 128.0
-                planes[ci][byi * 8 : byi * 8 + 8,
-                           bxi * 8 : bxi * 8 + 8] = block
-    if len(planes) == 1:
-        img = np.clip(np.rint(planes[0][:h, :w_]), 0, 255).astype(np.uint8)
-        return w_, h, img
-    # color: round each reconstructed YCbCr plane to its stored
-    # integers first (exact on the lossless constant-tile path), then
-    # the JFIF inverse conversion with the same half-up rounding the
-    # encoder used — the whole color chain stays SQL-replicable
-    y, cb, cr = (np.clip(np.rint(p[:h, :w_]), 0, 255) for p in planes)
-    rr, gg, bb = _ycbcr_to_rgb(y, cb, cr)
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            r = _BitReader(segments[mcu // restart_interval])
+            prev_dc = [0] * len(per_comp)
+        myi, mxi = divmod(mcu, mcus_x)
+        # MCU: h_i×v_i blocks per component, interleaved in frame
+        # order, each with its own tables and DC predictor
+        for ci, (qt, dc_tab, ac_tab, hi, vi) in enumerate(per_comp):
+            for by in range(vi):
+                for bx in range(hi):
+                    zz = np.zeros(64, dtype=np.float64)
+                    s = read_symbol(r, dc_tab)
+                    diff = extend(r.bits(s), s) if s else 0
+                    prev_dc[ci] += diff
+                    zz[0] = prev_dc[ci]
+                    i = 1
+                    while i < 64:
+                        sym = read_symbol(r, ac_tab)
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            i += 16
+                            continue
+                        run, size = sym >> 4, sym & 0x0F
+                        i += run
+                        if i > 63 or size == 0:
+                            raise ValueError("corrupt JPEG AC run")
+                        zz[i] = extend(r.bits(size), size)
+                        i += 1
+                    nat = np.zeros(64, dtype=np.float64)
+                    nat[_ZIGZAG] = zz
+                    coeffs = nat.reshape(8, 8) * qt
+                    block = t.T @ coeffs @ t + 128.0
+                    py = (myi * vi + by) * 8
+                    px = (mxi * hi + bx) * 8
+                    planes[ci][py : py + 8, px : px + 8] = block
+    # crop each plane to ITS resolution, then replicate-upsample the
+    # subsampled ones back to full geometry (the standard fast JFIF
+    # chroma upsampling; exact for the constant-tile oracle path)
+    full = []
+    for plane, (_q, _d, _a, hi, vi) in zip(planes, per_comp):
+        cw = (w_ * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        p = np.clip(np.rint(plane[:ch, :cw]), 0, 255)
+        if hi != hmax:
+            p = np.repeat(p, hmax // hi, axis=1)
+        if vi != vmax:
+            p = np.repeat(p, vmax // vi, axis=0)
+        full.append(p[:h, :w_])
+    if len(full) == 1:
+        return w_, h, full[0].astype(np.uint8)
+    # color: planes are already rounded to their stored integers
+    # (exact on the lossless constant-tile path); the JFIF inverse
+    # conversion uses the same half-up rounding the encoder used, so
+    # the whole color chain stays SQL-replicable
+    rr, gg, bb = _ycbcr_to_rgb(*full)
     img = np.stack([rr, gg, bb], axis=2).astype(np.uint8)
     return w_, h, img
 
@@ -1673,13 +1774,14 @@ def synthesize_media(
     executors; ``keep`` columns pass through for downstream
     grouping."""
     kinds = ("image", "audio", "png", "png-palette", "png-interlaced",
-             "gif", "jpeg", "jpeg-color")
+             "gif", "jpeg", "jpeg-color", "jpeg-420")
     if kind not in kinds:
         raise ValueError(f"kind must be one of {kinds}")
     media_type = {"image": "image/bmp", "png": "image/png",
                   "png-palette": "image/png",
                   "png-interlaced": "image/png", "gif": "image/gif",
                   "jpeg": "image/jpeg", "jpeg-color": "image/jpeg",
+                  "jpeg-420": "image/jpeg",
                   "audio": "audio/wav"}[kind]
     cols = [id_col, *keep]
     keep_schema = ", ".join(f"{c} string" for c in keep)
@@ -1725,6 +1827,16 @@ def synthesize_media(
                 for d in ids:
                     cw, chh, crgb = jpeg_color_params(int(d))
                     payloads.append(encode_jpeg(cw, chh, rgb=crgb))
+            elif kind == "jpeg-420":
+                # the dominant real-world layout: 4:2:0 chroma +
+                # restart markers. Constant tiles subsample
+                # losslessly, so the SAME color oracle must hold
+                payloads = []
+                for d in ids:
+                    cw, chh, crgb = jpeg_color_params(int(d))
+                    payloads.append(encode_jpeg(
+                        cw, chh, rgb=crgb, subsampling="420",
+                        restart_interval=1 + int(d) % 3))
             else:
                 payloads = [encode_wav(*wav_params(int(d))) for d in ids]
             out = {"doc_id": ids, "payload": payloads, "media_type": media_type}

@@ -2595,9 +2595,7 @@ def multimodal_interlaced_png_resize_stats(spark, sf_dir):
     )
 
 
-@register(
-    "multimodal_color_jpeg_decode_stats",
-    oracle="""
+_COLOR_JPEG_ORACLE = """
     WITH rgb AS (
       SELECT lang,
              CAST(doc_id % 251 AS DOUBLE) AS r,
@@ -2636,7 +2634,12 @@ def multimodal_interlaced_png_resize_stats(spark, sf_dir):
            CAST(SUM(CAST(r2 + g2 + b2 AS DECIMAL(28,6))) AS DOUBLE)
                / COUNT(1) AS avg_rgb_sum
     FROM back GROUP BY lang
-    """,
+    """
+
+
+@register(
+    "multimodal_color_jpeg_decode_stats",
+    oracle=_COLOR_JPEG_ORACLE,
     doc="REAL color-JPEG decode end-to-end: synthesize genuine "
     "baseline YCbCr 4:4:4 JPEG bytes per document (operators/"
     "multimodal.py::encode_jpeg rgb=... — JFIF forward color "
@@ -2653,9 +2656,13 @@ def multimodal_interlaced_png_resize_stats(spark, sf_dir):
     tags=("multimodal",),
 )
 def multimodal_color_jpeg_decode_stats(spark, sf_dir):
+    return _color_jpeg_decode_stats(spark, sf_dir, "jpeg-color")
+
+
+def _color_jpeg_decode_stats(spark, sf_dir, kind):
     d = _t(spark, sf_dir, "documents")["documents"]
     feats = M.extract_media_features(
-        M.synthesize_media(d, "jpeg-color", keep=("lang",)),
+        M.synthesize_media(d, kind, keep=("lang",)),
         keep=("lang",),
     )
     exact = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast(
@@ -2671,6 +2678,25 @@ def multimodal_color_jpeg_decode_stats(spark, sf_dir):
         exact("height").alias("avg_height"),
         exact("rgb_sum").alias("avg_rgb_sum"),
     )
+
+
+@register(
+    "multimodal_jpeg420_decode_stats",
+    oracle=_COLOR_JPEG_ORACLE,
+    doc="The dominant real-world JPEG layout decoded end-to-end: "
+    "4:2:0 chroma subsampling (MCUs of four luma blocks + one block "
+    "per chroma, 16x16-pixel tiles, replicate-upsample) PLUS restart "
+    "intervals (DRI segment, spec-sequenced byte-aligned RSTn markers "
+    "splitting the entropy stream, DC predictors reset per segment — "
+    "interval varies per document, 1..3 MCUs). Constant color tiles "
+    "subsample LOSSLESSLY (a block mean of a constant is the "
+    "constant), so the ORACLE IS IDENTICAL to the 4:4:4 row: any "
+    "interleave, upsample, restart-resync, or predictor-reset bug "
+    "shifts the reconstructed values and breaks the shared hash.",
+    tags=("multimodal",),
+)
+def multimodal_jpeg420_decode_stats(spark, sf_dir):
+    return _color_jpeg_decode_stats(spark, sf_dir, "jpeg-420")
 
 
 @register(

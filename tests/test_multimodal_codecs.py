@@ -712,12 +712,14 @@ def test_jpeg_malformed_and_unsupported():
     four = jpg[:i] + sof4 + jpg[i + 2 + struct.unpack_from(">H", jpg, i + 2)[0]:]
     with pytest.raises(NotImplementedError, match="4-component"):
         M.decode_jpeg(four)
-    # subsampled (4:2:0-style) color is the documented boundary
+    # subsampled color decodes FOR REAL now; re-typing a 4:4:4 scan's
+    # Y sampling to 2x2 leaves an entropy stream that cannot satisfy
+    # the 4:2:0 MCU layout — structural damage, loud ValueError
     cj = M.encode_jpeg(8, 8, rgb=(10, 20, 30))
     ci = cj.find(b"\xff\xc0")
     sub = bytearray(cj)
     sub[ci + 11] = 0x22  # Y sampling 2x2
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    with pytest.raises(ValueError):
         M.decode_jpeg(bytes(sub))
     with pytest.raises(ValueError):
         M.encode_jpeg(4, 4, pixels=b"\x00" * 3)
@@ -1040,3 +1042,79 @@ def test_png_adam7_interlaced_roundtrip_pixel_exact():
     seq = M.encode_png(13, 7, 10)
     with pytest.raises(ValueError):
         M.decode_png(_patch_ihdr(seq, 12, 1))
+
+
+def test_color_jpeg_subsampled_constant_exact():
+    """4:2:0 / 4:2:2: chroma block-mean downsampling of a CONSTANT
+    tile is the same constant, so the full chain (MCU interleave with
+    2x2/2x1 luma blocks, chroma replicate-upsample, both color
+    conversions) must reproduce the 4:4:4 result byte-for-byte."""
+    for sub in ("420", "422"):
+        for rgb in [(10, 200, 77), (255, 0, 0), (123, 45, 67)]:
+            for w, h in [(13, 7), (16, 16), (5, 3), (1, 1), (17, 9)]:
+                j = M.encode_jpeg(w, h, rgb=rgb, subsampling=sub)
+                W, H, img = M._jpeg_decode_pixels(j)
+                assert (W, H) == (w, h) and img.shape == (h, w, 3)
+                exp = _expected_color_roundtrip(rgb)
+                assert set(map(tuple, img.reshape(-1, 3))) == {exp}, \
+                    (sub, rgb, w, h)
+    # smooth gradients survive 4:2:0 with small error (the spec's
+    # use case); the sampling byte advertises the layout
+    import numpy as np
+
+    grad = np.zeros((32, 32, 3), np.uint8)
+    for r in range(32):
+        for c in range(32):
+            grad[r, c] = (r * 4, c * 4, 128)
+    j = M.encode_jpeg(32, 32, rgb_pixels=grad.tobytes(),
+                      subsampling="420")
+    i = j.find(b"\xff\xc0")
+    assert j[i + 11] == 0x22  # Y sampling 2x2 in SOF0
+    _, _, img = M._jpeg_decode_pixels(j)
+    assert np.abs(img.astype(float) - grad).mean() < 2.5
+    with pytest.raises(ValueError, match="subsampling"):
+        M.encode_jpeg(4, 4, rgb=(1, 2, 3), subsampling="411")
+    with pytest.raises(ValueError, match="color"):
+        M.encode_jpeg(4, 4, 10, subsampling="420")
+    # 3x1 luma sampling stays outside the boundary
+    bad = bytearray(M.encode_jpeg(8, 8, rgb=(1, 2, 3)))
+    bad[bad.index(b"\xff\xc0") + 11] = 0x31
+    with pytest.raises(NotImplementedError, match="sampling factor"):
+        M.decode_jpeg(bytes(bad))
+
+
+def test_jpeg_restart_intervals():
+    """DRI + RSTn: predictors reset at spec-sequenced byte-aligned
+    markers; content decodes identically with and without restarts,
+    and marker-order corruption fails loudly."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    px = bytes(rng.integers(0, 256, size=24 * 24, dtype=np.uint8))
+    plain = M.encode_jpeg(24, 24, pixels=px)
+    rst = M.encode_jpeg(24, 24, pixels=px, restart_interval=1)
+    assert b"\xff\xdd" in rst and b"\xff\xd0" in rst
+    _, _, a = M._jpeg_decode_pixels(plain)
+    _, _, b = M._jpeg_decode_pixels(rst)
+    assert (a == b).all()
+    # color + subsampling + restarts compose; constant stays exact
+    j = M.encode_jpeg(37, 19, rgb=(10, 200, 77), subsampling="420",
+                      restart_interval=2)
+    _, _, img = M._jpeg_decode_pixels(j)
+    exp = _expected_color_roundtrip((10, 200, 77))
+    assert set(map(tuple, img.reshape(-1, 3))) == {exp}
+    # marker sequence is validated (D0,D1,... mod 8)
+    bad = bytearray(rst)
+    i = bad.index(b"\xff\xd0")
+    bad[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="out of order"):
+        M._jpeg_decode_pixels(bytes(bad))
+    # a lying DRI (interval that doesn't match the marker count) fails
+    j2 = bytearray(M.encode_jpeg(24, 24, pixels=px,
+                                 restart_interval=2))
+    di = j2.index(b"\xff\xdd")
+    j2[di + 4 : di + 6] = (1).to_bytes(2, "big")  # claim interval 1
+    with pytest.raises(ValueError, match="segments"):
+        M._jpeg_decode_pixels(bytes(j2))
+    with pytest.raises(ValueError, match="restart_interval"):
+        M.encode_jpeg(4, 4, 10, restart_interval=-1)
