@@ -20,10 +20,14 @@ that shape with the PySpark 4 Python Data Source API
   (only records arriving after the query starts) — the reference's
   ``start_position: LATEST``.
 
-Scale: the driver touches only shard POSITIONS (``latestOffset`` scans
-line counts); record bytes are read executor-side in ``read`` — one
-input partition per (shard, range), so a many-shard stream fans out
-across the cluster exactly like Kinesis→Spark mappings do.
+Scale: the driver touches only shard POSITIONS — ``latestOffset``
+counts newlines INCREMENTALLY (per-shard (size, lines) cache; each
+trigger reads only bytes appended since the last), so per-trigger
+driver I/O tracks new data, not stream history. Offsets carry both
+the line and the byte position, so executor-side ``read`` seeks
+straight to its slice instead of re-scanning consumed history — one
+input partition per (shard, range), fanning out across the cluster
+exactly like Kinesis→Spark mappings do.
 """
 
 from __future__ import annotations
@@ -59,21 +63,24 @@ def _shard_files(root: str) -> dict[str, str]:
     }
 
 
-def _count_lines(path: str) -> int:
-    n = 0
-    with open(path, "rb") as f:
-        for chunk in iter(lambda: f.read(1 << 20), b""):
-            n += chunk.count(b"\n")
-    return n
+def _pos(entry) -> tuple[int, int]:
+    """(line, byte) from an offset entry; plain ints (line counts, the
+    pre-round-8 format) resolve with byte unknown (-1 → line skip)."""
+    if isinstance(entry, dict):
+        return int(entry.get("line", 0)), int(entry.get("byte", 0))
+    n = int(entry or 0)
+    return n, (0 if n == 0 else -1)
 
 
 class _ShardSlice(InputPartition):
-    """One task's slice: (shard path, start line, end line)."""
+    """One task's slice: (shard path, line range, start byte). A
+    negative start byte means unknown — read() skips lines from 0."""
 
-    def __init__(self, path: str, start: int, end: int):
+    def __init__(self, path: str, start: int, end: int, byte: int):
         self.path = path
         self.start = start
         self.end = end
+        self.byte = byte
 
 
 class ShardedStreamReader(DataSourceStreamReader):
@@ -91,6 +98,10 @@ class ShardedStreamReader(DataSourceStreamReader):
                 f"LATEST, got {pos!r}"
             )
         self.start_position = pos
+        # incremental scan cache: path → (size, lines, bytes counted).
+        # latestOffset reads only APPENDED bytes per trigger, so
+        # per-trigger driver I/O tracks new data, not stream history
+        self._scan_cache: dict[str, tuple[int, int, int]] = {}
 
     # -- offsets: {shard_name: consumed_line_count} ----------------------
 
@@ -101,32 +112,67 @@ class ShardedStreamReader(DataSourceStreamReader):
         # checkpointed offset instead (the Data Source contract).
         if self.start_position == "LATEST":
             return self.latestOffset()
-        return {name: 0 for name in _shard_files(self.root)}
+        return {name: {"line": 0, "byte": 0}
+                for name in _shard_files(self.root)}
+
+    def _scan(self, path: str) -> tuple[int, int]:
+        """(line_count, byte_size) for a shard, counting only the
+        bytes appended since the previous call. A shrunken file
+        (rewrite/truncate) rescans from zero."""
+        size = os.path.getsize(path)
+        cached = self._scan_cache.get(path)
+        if cached and cached[0] == size:
+            return cached[1], cached[2]
+        lines, start = (cached[1], cached[2]) \
+            if cached and size > cached[0] else (0, 0)
+        with open(path, "rb") as f:
+            f.seek(start)
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                lines += chunk.count(b"\n")
+        self._scan_cache[path] = (size, lines, size)
+        return lines, size
 
     def latestOffset(self) -> dict:
-        return {
-            name: _count_lines(path)
-            for name, path in _shard_files(self.root).items()
-        }
+        out = {}
+        for name, path in _shard_files(self.root).items():
+            lines, size = self._scan(path)
+            out[name] = {"line": lines, "byte": size}
+        return out
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         shards = _shard_files(self.root)
         out = []
-        for name, hi in end.items():
-            lo = start.get(name, 0)  # a NEW shard starts at horizon 0
+        for name, hi_entry in end.items():
+            hi, _hb = _pos(hi_entry)
+            # a NEW shard starts at horizon 0
+            lo, lb = _pos(start.get(name, 0))
             if hi > lo and name in shards:
-                out.append(_ShardSlice(shards[name], lo, hi))
+                out.append(_ShardSlice(shards[name], lo, hi, lb))
         return out
 
     def read(self, partition: _ShardSlice) -> Iterator[tuple]:
-        with open(partition.path, encoding="utf-8") as f:
-            for i, line in enumerate(f):
-                if i >= partition.end:
-                    break
-                if i < partition.start or not line.strip():
-                    continue
-                rec = json.loads(line)
-                yield tuple(rec.get(k) for k in _FIELDS)
+        with open(partition.path, "rb") as fb:
+            if partition.byte >= 0:
+                # offset-addressed entry: jump straight to the start
+                # byte — no re-read of consumed history
+                fb.seek(partition.byte)
+                n = partition.end - partition.start
+                for _ in range(n):
+                    line = fb.readline()
+                    if not line:
+                        break
+                    if not line.strip():
+                        continue
+                    rec = json.loads(line.decode("utf-8"))
+                    yield tuple(rec.get(k) for k in _FIELDS)
+            else:  # legacy line-count offset: skip from the top
+                for i, line in enumerate(fb):
+                    if i >= partition.end:
+                        break
+                    if i < partition.start or not line.strip():
+                        continue
+                    rec = json.loads(line.decode("utf-8"))
+                    yield tuple(rec.get(k) for k in _FIELDS)
 
     def commit(self, end: dict) -> None:
         # file-backed shards need no broker-side ack; a real Kinesis

@@ -211,6 +211,12 @@ class FlightsEtlPipeline:
         )
         if not callable(getattr(self.sink, "write_route", None)):
             raise TypeError("sink must define write_route()")
+        # role-scope identity: a unique token object, NOT id(self) —
+        # a context snapshot can outlive this pipeline, and a later
+        # object reusing the freed address would otherwise inherit a
+        # stale role scope (the dict entry keeps the token alive, so
+        # token identity can never be recycled while a scope holds it)
+        self._role_token = object()
 
     # -- shared transform (one code path for bootstrap and tail, ST2) -------
 
@@ -1117,6 +1123,14 @@ class FlightsEtlPipeline:
         from ..operators.search import compile_query
 
         self._check_write_block(dest, "reindex")
+        # reindex is a query-matched (optionally scripted) write: when
+        # the DEST is DLS-scoped for the active role, merged documents
+        # could cross the role's slice boundary (set_fields rewriting
+        # the filtered column is the obvious channel) — same rejection
+        # as update_by_query. The SOURCE read needs no check: it flows
+        # through index_view, which already applies the DLS filter, so
+        # a copy carries only the visible slice.
+        self._check_dls_write(dest, "reindex")
         if dest in self.get_aliases():
             raise ValueError(
                 f"reindex: {dest!r} is an alias name — it would shadow "
@@ -2155,7 +2169,7 @@ class FlightsEtlPipeline:
         def _scope():
             cur = _ACTIVE_ROLES.get()
             token = _ACTIVE_ROLES.set(
-                {**cur, id(pipeline): (name, spec)})
+                {**cur, pipeline._role_token: (name, spec)})
             try:
                 yield pipeline
             finally:
@@ -2165,12 +2179,12 @@ class FlightsEtlPipeline:
 
     @property
     def _active_role(self) -> str | None:
-        entry = _ACTIVE_ROLES.get().get(id(self))
+        entry = _ACTIVE_ROLES.get().get(self._role_token)
         return entry[0] if entry else None
 
     @property
     def _active_role_spec(self) -> dict | None:
-        entry = _ACTIVE_ROLES.get().get(id(self))
+        entry = _ACTIVE_ROLES.get().get(self._role_token)
         return entry[1] if entry else None
 
     def _check_role(self, action: str, index: str) -> None:

@@ -71,8 +71,12 @@ KEY_COLS = {
 }
 SINGLE_COPY = ("region", "nation")
 
-_ROT = "aeiousnrt"  # high-frequency letters: rotating them rewrites
-# most shingles, so replica texts are new documents, not near-dups
+_ROT = "aeiousnrtldc"  # high-frequency letters: rotating them rewrites
+# most shingles, so replica texts are new documents, not near-dups.
+# 12 characters > N_REPLICAS, so every replica 1..9 gets a DISTINCT
+# non-identity rotation (9 % 9 == 0 previously made replica 9 an
+# exact byte copy of replica 0 — the duplicate clique the design
+# exists to prevent)
 
 
 def _replica(df, table: str, i: int):
@@ -86,9 +90,12 @@ def _replica(df, table: str, i: int):
 
 
 def build_scale10(spark) -> str:
+    # the tag encodes the rotation alphabet so a rule change
+    # invalidates stale layouts
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "spark-warehouse", "scale10",
-                        os.path.basename(os.path.normpath(SF_DIR)))
+                        os.path.basename(os.path.normpath(SF_DIR))
+                        + f"-r{len(_ROT)}")
     marker = os.path.join(root, "_DONE")
     if os.path.exists(marker):
         return root

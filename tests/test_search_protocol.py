@@ -1994,6 +1994,11 @@ def test_role_bound_document_level_security(spark, tmp_path_factory):
         with pytest.raises(PermissionError, match="DLS"):
             p.bulk("fare", [{"update": {"_id": "DEN|x",
                                         "script": {"dest": "origin"}}}])
+        # reindex INTO a DLS-scoped index is the same query-matched
+        # scripted write channel — a set_fields rewrite of the
+        # filtered column would move documents across the slice
+        with pytest.raises(PermissionError, match="DLS"):
+            p.reindex("fare", "fare", set_fields={"pk": "'JFK'"})
         # by-id writes stay allowed (don't read across the boundary)
         p.bulk("fare", [{"index": {"_id": "DEN|dls-probe",
                                    "doc": {"pk": "DEN",
