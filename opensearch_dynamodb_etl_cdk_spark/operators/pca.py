@@ -54,6 +54,8 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8) -> dict:
                 "ss": [(x.T @ x).ravel().tolist()],
             })
 
+    # bounded: one moment row per Arrow batch (~|partitions|), each
+    # carrying only (n, d-vector sum, d*d Gram) — model-sized
     rows = df.select(vec_col).mapInPandas(
         batch_moments, schema=moment_schema
     ).collect()

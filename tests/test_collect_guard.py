@@ -31,6 +31,13 @@ PKG = os.path.join(os.path.dirname(__file__), "..",
 GUARDED = [
     os.path.join(PKG, "operators", "search.py"),
     os.path.join(PKG, "operators", "ppl.py"),
+    os.path.join(PKG, "operators", "bpe.py"),
+    os.path.join(PKG, "operators", "classifier.py"),
+    os.path.join(PKG, "operators", "pca.py"),
+    os.path.join(PKG, "operators", "ranking.py"),
+    os.path.join(PKG, "operators", "sampling.py"),
+    os.path.join(PKG, "operators", "similarity.py"),
+    os.path.join(PKG, "plans", "catalog_dsl_tail.py"),
     os.path.join(PKG, "streaming", "pipeline.py"),
 ]
 
