@@ -259,8 +259,10 @@ def decode_wav(payload: bytes) -> dict:
 # the five scanline filter reconstructions; indexed (color type 3)
 # files map reconstructed indexes through the PLTE; Adam7-interlaced
 # files reconstruct each of the seven independently-filtered passes
-# and scatter them back. 16-bit files raise the documented
-# NotImplementedError boundary; structural damage raises ValueError.
+# and scatter them back; 16-bit (non-palette) files filter on bytes
+# at the doubled stride and read samples big-endian. 1/2/4-bit files
+# raise the documented NotImplementedError boundary; structural
+# damage raises ValueError.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -291,13 +293,13 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def _png_filter_rows(
-    samples: bytes, width_px: int, height: int, channels: int
+    samples: bytes, width_px: int, height: int, bpp: int
 ) -> bytearray:
     """Filter one (sub-)image's rows with type ``row % 5`` (fresh
     predictor chain), so every spec filter stays load-bearing in each
-    Adam7 pass exactly as in the sequential layout."""
-    stride = width_px * channels
-    bpp = channels
+    Adam7 pass exactly as in the sequential layout. ``bpp`` is BYTES
+    per pixel (the spec's filters work on bytes at any bit depth)."""
+    stride = width_px * bpp
     out = bytearray()
     prev = bytes(stride)
     for r in range(height):
@@ -332,8 +334,10 @@ def encode_png(
     samples: bytes | None = None,
     palette: bytes | None = None,
     interlaced: bool = False,
+    bit_depth: int = 8,
 ) -> bytes:
-    """Build a real 8-bit PNG. Each row is filtered with type
+    """Build a real 8-bit (or 16-bit non-palette) PNG. Each row is
+    filtered with type
     ``row % 5`` so a round-trip exercises ALL five spec filters
     (None/Sub/Up/Average/Paeth) — a constant-pixel image would let
     several reconstruction bugs cancel out, so the default content is
@@ -345,12 +349,22 @@ def encode_png(
 
     ``color_type=3`` builds an indexed (palette) PNG: samples are
     8-bit palette indexes and ``palette`` supplies the PLTE RGB
-    triples (default: the 256-entry identity grayscale)."""
+    triples (default: the 256-entry identity grayscale).
+
+    ``bit_depth=16``: samples are big-endian 16-bit (``samples`` is
+    then ``w*h*channels*2`` raw bytes); the default gradient scales
+    by 257 (``v*257`` has identical high/low bytes, so the spec's
+    16→8 reduction — the high byte — recovers the 8-bit gradient
+    exactly and the 16-bit mean is 257× the 8-bit closed form)."""
     import zlib
 
     channels = 1 if color_type == 3 else _PNG_CHANNELS.get(color_type)
     if channels is None:
         raise ValueError("color_type must be one of 0/2/3/4/6")
+    if bit_depth not in (8, 16) or (color_type == 3 and bit_depth != 8):
+        raise ValueError(
+            "bit_depth must be 8, or 16 for non-palette color types"
+        )
     if palette is not None and color_type != 3:
         raise ValueError("palette only applies to color_type=3")
     if color_type == 3:
@@ -361,21 +375,31 @@ def encode_png(
             raise ValueError("palette must be 1..256 RGB byte triples")
     if width <= 0 or height <= 0:
         raise ValueError("width/height must be positive")
-    stride = width * channels
+    bpp = channels * (bit_depth // 8)
+    stride = width * bpp
     if samples is None:
         top = base_value + 7 * (height - 1) + 13 * (width - 1) + channels - 1
         if not (0 <= base_value and top <= 255):
             raise ValueError(
                 f"gradient peak {top} exceeds a byte; lower base_value"
             )
-        samples = bytes(
-            base_value + 7 * r + 13 * c + ch
-            for r in range(height)
-            for c in range(width)
-            for ch in range(channels)
-        )
+        if bit_depth == 16:
+            samples = bytes(
+                v for r in range(height) for c in range(width)
+                for ch in range(channels)
+                for v in ((base_value + 7 * r + 13 * c + ch),) * 2
+            )  # v*257 big-endian = (v, v)
+        else:
+            samples = bytes(
+                base_value + 7 * r + 13 * c + ch
+                for r in range(height)
+                for c in range(width)
+                for ch in range(channels)
+            )
     elif len(samples) != stride * height:
-        raise ValueError("samples length != width*height*channels")
+        raise ValueError(
+            "samples length != width*height*channels*(bit_depth//8)"
+        )
     if color_type == 3 and max(samples) >= len(palette) // 3:
         raise ValueError(
             f"palette index {max(samples)} out of range for a "
@@ -394,13 +418,13 @@ def encode_png(
             for r in range(ph):
                 for c in range(pw):
                     src = ((y0 + r * dy) * width
-                           + (x0 + c * dx)) * channels
-                    sub += samples[src : src + channels]
-            filtered += _png_filter_rows(bytes(sub), pw, ph, channels)
+                           + (x0 + c * dx)) * bpp
+                    sub += samples[src : src + bpp]
+            filtered += _png_filter_rows(bytes(sub), pw, ph, bpp)
     else:
-        filtered = _png_filter_rows(samples, width, height, channels)
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0,
-                       1 if interlaced else 0)
+        filtered = _png_filter_rows(samples, width, height, bpp)
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type,
+                       0, 0, 1 if interlaced else 0)
     idat = zlib.compress(bytes(filtered), 6)
     plte = _png_chunk(b"PLTE", bytes(palette)) if color_type == 3 else b""
     return (
@@ -420,20 +444,21 @@ _ADAM7_PASSES = (
 
 
 def _png_unfilter(
-    raw: bytes, offset: int, width_px: int, height: int, channels: int
+    raw: bytes, offset: int, width_px: int, height: int, bpp: int
 ) -> tuple[bytearray, int]:
     """Reconstruct one (sub-)image's scanlines from ``raw`` starting at
     ``offset`` (filter-type byte + filtered samples per row, predictor
-    chain starting fresh). Returns (samples, offset past the image) —
-    shared by the sequential path and each Adam7 pass."""
-    stride = width_px * channels
+    chain starting fresh). ``bpp`` is BYTES per pixel (channels × the
+    sample width — the spec's filters operate on bytes regardless of
+    bit depth). Returns (samples, offset past the image) — shared by
+    the sequential path and each Adam7 pass."""
+    stride = width_px * bpp
     need = (stride + 1) * height
     if offset + need > len(raw):
         raise ValueError(
             f"PNG pixel data is {len(raw)} bytes, geometry needs "
             f"{offset + need}"
         )
-    bpp = channels
     prev = bytearray(stride)
     recon = bytearray()
     for r in range(height):
@@ -515,9 +540,10 @@ def _png_parse(payload: bytes) -> tuple[int, int, int, bytearray]:
     channels = 1 if color_type == 3 else _PNG_CHANNELS.get(color_type)
     if channels is None:
         raise ValueError(f"bad PNG color type {color_type}")
-    if bit_depth != 8:
+    if bit_depth not in (8, 16) or (color_type == 3 and bit_depth != 8):
         raise NotImplementedError(
-            f"{bit_depth}-bit PNG unsupported (only 8-bit)"
+            f"{bit_depth}-bit PNG unsupported (8-bit, or 16-bit "
+            "non-palette)"
         )
     if color_type == 3:
         if plte is None:
@@ -528,30 +554,31 @@ def _png_parse(payload: bytes) -> tuple[int, int, int, bytearray]:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG DEFLATE stream: {exc}") from exc
+    bpp = channels * (bit_depth // 8)
     if interlace == 0:
-        stride = width * channels
+        stride = width * bpp
         if len(raw) != (stride + 1) * height:
             raise ValueError(
                 f"PNG pixel data is {len(raw)} bytes, geometry needs "
                 f"{(stride + 1) * height}"
             )
-        recon = _png_unfilter(raw, 0, width, height, channels)[0]
+        recon = _png_unfilter(raw, 0, width, height, bpp)[0]
     else:
         # Adam7: seven independently-filtered sub-images (the filter
         # predictor chain resets per pass), scattered back to the grid
-        recon = bytearray(width * height * channels)
+        recon = bytearray(width * height * bpp)
         off = 0
         for x0, y0, dx, dy in _ADAM7_PASSES:
             pw = (width - x0 + dx - 1) // dx
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # empty pass contributes no scanlines
-            sub, off = _png_unfilter(raw, off, pw, ph, channels)
+            sub, off = _png_unfilter(raw, off, pw, ph, bpp)
             for r in range(ph):
                 for c in range(pw):
-                    src = (r * pw + c) * channels
-                    dst = ((y0 + r * dy) * width + (x0 + c * dx)) * channels
-                    recon[dst : dst + channels] = sub[src : src + channels]
+                    src = (r * pw + c) * bpp
+                    dst = ((y0 + r * dy) * width + (x0 + c * dx)) * bpp
+                    recon[dst : dst + bpp] = sub[src : src + bpp]
         if off != len(raw):
             raise ValueError(
                 f"PNG pixel data is {len(raw)} bytes, Adam7 geometry "
@@ -570,28 +597,33 @@ def _png_parse(payload: bytes) -> tuple[int, int, int, bytearray]:
                     f"{n_entries}-entry PLTE"
                 )
             rgb[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
-        return width, height, 3, rgb
-    return width, height, channels, recon
+        return width, height, 3, rgb, 8
+    return width, height, channels, recon, bit_depth
 
 
 def decode_png(payload: bytes) -> dict:
-    """Decode an 8-bit PNG for real: chunk walk with CRC32
+    """Decode an 8- or 16-bit PNG for real: chunk walk with CRC32
     verification, zlib inflate, and per-row filter reconstruction
-    (None/Sub/Up/Average/Paeth). Statistics cover all sample bytes
-    after reconstruction — any filter-arithmetic bug shifts
-    ``mean_value`` and breaks the oracle. Ancillary chunks (tEXt,
-    gAMA, ...) are skipped per the spec; multiple IDAT chunks
-    concatenate into one DEFLATE stream."""
-    width, height, channels, recon = _png_parse(payload)
+    (None/Sub/Up/Average/Paeth). Statistics cover all reconstructed
+    SAMPLE VALUES (16-bit samples read big-endian per the spec) — any
+    filter-arithmetic bug shifts ``mean_value`` and breaks the oracle.
+    Ancillary chunks (tEXt, gAMA, ...) are skipped per the spec;
+    multiple IDAT chunks concatenate into one DEFLATE stream."""
+    width, height, channels, recon, depth = _png_parse(payload)
     n_pixels = width * height
     n_samples = n_pixels * channels
+    if depth == 16:
+        total = sum((recon[i] << 8) | recon[i + 1]
+                    for i in range(0, len(recon), 2))
+    else:
+        total = sum(recon)
     return {
         "media_kind": "image",
         "width": width,
         "height": height,
-        "bit_depth": 8,
+        "bit_depth": depth,
         "n_units": n_pixels,
-        "mean_value": (sum(recon) / n_samples) if n_samples else 0.0,
+        "mean_value": (total / n_samples) if n_samples else 0.0,
         "n_bytes": len(payload),
     }
 
@@ -1774,12 +1806,13 @@ def synthesize_media(
     executors; ``keep`` columns pass through for downstream
     grouping."""
     kinds = ("image", "audio", "png", "png-palette", "png-interlaced",
-             "gif", "jpeg", "jpeg-color", "jpeg-420")
+             "png-16", "gif", "jpeg", "jpeg-color", "jpeg-420")
     if kind not in kinds:
         raise ValueError(f"kind must be one of {kinds}")
     media_type = {"image": "image/bmp", "png": "image/png",
                   "png-palette": "image/png",
-                  "png-interlaced": "image/png", "gif": "image/gif",
+                  "png-interlaced": "image/png", "png-16": "image/png",
+                  "gif": "image/gif",
                   "jpeg": "image/jpeg", "jpeg-color": "image/jpeg",
                   "jpeg-420": "image/jpeg",
                   "audio": "audio/wav"}[kind]
@@ -1798,6 +1831,13 @@ def synthesize_media(
                 payloads = [encode_bmp(*bmp_params(int(d))) for d in ids]
             elif kind == "png":
                 payloads = [encode_png(*png_params(int(d))) for d in ids]
+            elif kind == "png-16":
+                # 16-bit truecolor: the v*257 gradient keeps the
+                # 16-bit mean at 257x the 8-bit closed form
+                payloads = [
+                    encode_png(*png_params(int(d)), bit_depth=16)
+                    for d in ids
+                ]
             elif kind == "png-interlaced":
                 # Adam7: same gradient, seven-pass storage order —
                 # downstream position-sensitive consumers (resize)
@@ -1900,8 +1940,14 @@ def decode_image_pixels(payload: bytes):
         w, h, bgr = _bmp_pixels(payload)
         return w, h, np.ascontiguousarray(bgr[:, :, ::-1])
     if f.name == "png":
-        w, h, ch, recon = _png_parse(payload)
-        a = np.frombuffer(bytes(recon), np.uint8).reshape(h, w, ch)
+        w, h, ch, recon, depth = _png_parse(payload)
+        if depth == 16:
+            # 16-bit → 8-bit: the high byte (the spec's sample
+            # scaling 65535→255 rounds to exactly this for v*257)
+            a = np.frombuffer(bytes(recon), ">u2").reshape(h, w, ch)
+            a = (a >> 8).astype(np.uint8)
+        else:
+            a = np.frombuffer(bytes(recon), np.uint8).reshape(h, w, ch)
         if ch == 1:
             rgb = np.repeat(a, 3, axis=2)
         elif ch == 2:  # gray + alpha: the gray plane

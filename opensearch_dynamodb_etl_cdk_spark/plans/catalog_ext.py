@@ -2551,6 +2551,45 @@ def multimodal_palette_png_decode_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_png16_decode_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_items,
+           CAST(SUM((1 + doc_id % 13) * (1 + doc_id % 7)) AS BIGINT) AS sum_pixels,
+           CAST(SUM(CAST(1 + doc_id % 13 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_width,
+           CAST(SUM(CAST(1 + doc_id % 7 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_height,
+           CAST(SUM(CAST(257 * (doc_id % 53 + 7 * (doc_id % 7) / 2.0
+                                + 13 * (doc_id % 13) / 2.0 + 1)
+                    AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_sample
+    FROM documents GROUP BY lang
+    """,
+    doc="REAL 16-bit PNG decode end-to-end: synthesize genuine 16-bit "
+    "truecolor PNGs (operators/multimodal.py::encode_png bit_depth=16 "
+    "— big-endian v*257 gradient samples, so the 16-bit mean is "
+    "exactly 257x the 8-bit closed form; the spec's filters operate "
+    "on BYTES with a 6-byte pixel, so the filter arithmetic is "
+    "exercised at the doubled stride), decode through the registry "
+    "(::decode_png reads samples big-endian), aggregate per lang. A "
+    "stride/bpp bug at 16-bit shifts the sample mean and breaks the "
+    "hash.",
+    tags=("multimodal",),
+)
+def multimodal_png16_decode_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    feats = M.extract_media_features(
+        M.synthesize_media(d, "png-16", keep=("lang",)), keep=("lang",)
+    )
+    exact = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast(
+        "double") / F.count(F.lit(1))
+    return feats.groupBy("lang").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_units").alias("sum_pixels"),
+        exact("width").alias("avg_width"),
+        exact("height").alias("avg_height"),
+        exact("mean_value").alias("avg_sample"),
+    )
+
+
+@register(
     "multimodal_interlaced_png_resize_stats",
     oracle="""
     WITH g AS (

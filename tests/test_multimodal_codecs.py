@@ -313,8 +313,12 @@ def test_png_malformed_and_unsupported():
     # damage, not a boundary (palette PNGs decode for real now)
     with pytest.raises(ValueError, match="missing its PLTE"):
         M.decode_png(_patch_ihdr(png, 9, 3))
-    with pytest.raises(NotImplementedError, match="16-bit"):
+    # 16-bit decodes for real now: an 8-bit stream re-typed as 16-bit
+    # has half the bytes the doubled stride needs — structural damage
+    with pytest.raises(ValueError, match="pixel data"):
         M.decode_png(_patch_ihdr(png, 8, 16))
+    with pytest.raises(NotImplementedError, match="4-bit"):
+        M.decode_png(_patch_ihdr(png, 8, 4))
     # geometry/stream mismatch: claim a wider image than the data has
     with pytest.raises(ValueError, match="pixel data"):
         M.decode_png(_patch_ihdr(png, 3, 5))
@@ -1118,3 +1122,35 @@ def test_jpeg_restart_intervals():
         M._jpeg_decode_pixels(bytes(j2))
     with pytest.raises(ValueError, match="restart_interval"):
         M.encode_jpeg(4, 4, 10, restart_interval=-1)
+
+
+def test_png_16bit_roundtrip():
+    """16-bit PNG: filters run on bytes at the doubled stride; samples
+    read back big-endian; the v*257 gradient reduces to the exact
+    8-bit image through the high-byte rule (sequential AND Adam7)."""
+    import numpy as np
+
+    for ct in (0, 2, 4, 6):
+        for lace in (False, True):
+            png = M.encode_png(13, 7, 10, color_type=ct,
+                               bit_depth=16, interlaced=lace)
+            d = M.decode_png(png)
+            ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+            exp8 = 10 + 7 * 3 + 13 * 6 + (ch - 1) / 2
+            assert d["bit_depth"] == 16
+            assert d["mean_value"] == 257 * exp8, (ct, lace)
+            _, _, arr = M.decode_image_pixels(png)
+            _, _, ref = M.decode_image_pixels(
+                M.encode_png(13, 7, 10, color_type=ct))
+            assert (arr == ref).all(), (ct, lace)
+    # arbitrary 16-bit gray samples: stats read the full sample values
+    rng = np.random.default_rng(1)
+    vals = rng.integers(0, 65536, size=9 * 5, dtype=np.uint16)
+    png = M.encode_png(9, 5, color_type=0, bit_depth=16,
+                       samples=vals.astype(">u2").tobytes())
+    assert M.decode_png(png)["mean_value"] == \
+        vals.astype(np.float64).mean()
+    with pytest.raises(ValueError, match="bit_depth"):
+        M.encode_png(2, 2, 0, color_type=3, bit_depth=16)
+    with pytest.raises(ValueError, match="samples length"):
+        M.encode_png(2, 2, color_type=0, bit_depth=16, samples=b"\x00" * 4)
