@@ -66,7 +66,20 @@ def normalize(plan: str) -> str:
     Statistics/size annotations, and trailing whitespace."""
     s = plan
     s = re.sub(r"#\d+L?", "#N", s)
+    # higher-order-function lambda variables are named from a
+    # SESSION-GLOBAL counter (x_1, y_2, id_3, …): the suffix encodes
+    # how many lambdas the session created before this query, not
+    # anything about the plan — the single largest source of false
+    # "plan drift" (x/y/z = the pyspark lambda arg names, id/acc =
+    # aggregate()'s internal identity/accumulator lambdas)
+    s = re.sub(r"\b(x|y|z|id|acc)_\d+#", r"\1_N#", s)
     s = re.sub(r"plan_id=\d+", "plan_id=N", s)
+    # RDD ids (localCheckpoint scan nodes) count up session-globally,
+    # and the RDD creation-site string flips between
+    # NativeMethodAccessorImpl.java:0 and <unknown>:0 once the JIT
+    # inlines the reflection frame — both are run history, not plan
+    s = re.sub(r"RDD\[\d+\]", "RDD[N]", s)
+    s = re.sub(r" at \S+:\d+", " at <site>", s)
     s = re.sub(r"\[id=#?N?\d*\]", "[id=N]", s)
     s = re.sub(r"(file:)?/[^\s,\]\)]*", "<path>", s)
     s = re.sub(r"Statistics\([^)]*\)", "Statistics(<s>)", s)
@@ -98,6 +111,19 @@ def census(plan: str) -> dict[str, object]:
 def snapshot_blocks(spark, sf_dir: str = SNAPSHOT_SF_DIR) -> list[str]:
     from .catalog import CATALOG
 
+    # Digests must reflect ONE canonical cache state regardless of what
+    # the session ran before: (a) clear CacheManager so no earlier
+    # caller's .persist()-ed frame gets spliced into a matching subtree
+    # as InMemoryRelation, and (b) reset the catalog's own train-once
+    # memos (_PQ_CACHE / _IVFPQ_CACHE persist on FIRST build only, so a
+    # memo hit yields a plan without the InMemoryRelation the fresh
+    # build has). With both reset, the loop below reproduces exactly
+    # the fresh-session sequence `main()` committed.
+    from . import catalog_dsl_tail as _tail
+
+    spark.catalog.clearCache()
+    _tail._PQ_CACHE.clear()
+    _tail._IVFPQ_CACHE.clear()
     blocks = []
     for name in headline_queries():
         df = CATALOG[name].fn(spark, sf_dir)
