@@ -370,8 +370,11 @@ def encode_png(
     if color_type == 3:
         if palette is None:
             palette = bytes(v for i in range(256) for v in (i, i, i))
-        if (not 3 <= len(palette) <= 768 or len(palette) % 3
-                or not isinstance(palette, (bytes, bytearray))):
+        # type check FIRST: len() on an unsized argument (int,
+        # generator) must surface as the intended ValueError, and a
+        # list of ints must not slip past via len/%3 succeeding
+        if (not isinstance(palette, (bytes, bytearray))
+                or not 3 <= len(palette) <= 768 or len(palette) % 3):
             raise ValueError("palette must be 1..256 RGB byte triples")
     if width <= 0 or height <= 0:
         raise ValueError("width/height must be positive")

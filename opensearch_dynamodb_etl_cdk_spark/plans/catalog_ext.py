@@ -515,31 +515,70 @@ def _idx_path(kind: str, sf_dir: str) -> str:
     return os.path.join(_ANN_IDX_ROOT, f"{kind}_{tag}")
 
 
+def _publish_index(base: str, write) -> None:
+    """Atomic publication: build into a UNIQUE version directory under
+    ``base``, then flip a one-line ``_CURRENT`` pointer file with
+    ``os.replace`` (atomic on POSIX). Concurrent sessions sharing the
+    on-disk warehouse therefore never observe a half-written index and
+    never clobber a version another session is mid-scan on — each
+    writer lands its own version dir and the pointer flip is the only
+    shared mutation. Superseded versions are pruned best-effort,
+    keeping the two newest so an in-flight reader of the previous
+    version finishes its scan."""
+    import shutil
+    import uuid
+
+    os.makedirs(base, exist_ok=True)
+    ver = f"v{uuid.uuid4().hex[:12]}"
+    write(os.path.join(base, ver))
+    tmp = os.path.join(base, f"_CURRENT.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        f.write(ver)
+    os.replace(tmp, os.path.join(base, "_CURRENT"))
+    vers = sorted(
+        (d for d in os.listdir(base) if d.startswith("v") and d != ver),
+        key=lambda d: os.path.getmtime(os.path.join(base, d)),
+    )
+    for d in vers[:-1]:
+        shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+
+def _resolve_index(base: str) -> str:
+    with open(os.path.join(base, "_CURRENT")) as f:
+        return os.path.join(base, f.read().strip())
+
+
 def _lsh_index(spark, sf_dir, e):
     path = _idx_path("lsh", sf_dir)
     if path not in _ANN_IDX_BUILT:
-        (
-            S.build_lsh_index(e)
-            .sortWithinPartitions("bucket")
-            .write.mode("overwrite")
-            .partitionBy("table")
-            .parquet(path)
+        _publish_index(
+            path,
+            lambda d: (
+                S.build_lsh_index(e)
+                .sortWithinPartitions("bucket")
+                .write.mode("overwrite")
+                .partitionBy("table")
+                .parquet(d)
+            ),
         )
         _ANN_IDX_BUILT.add(path)
-    return spark.read.parquet(path)
+    return spark.read.parquet(_resolve_index(path))
 
 
 def _ivf_index(spark, sf_dir, e, centroids):
     path = _idx_path("ivf", sf_dir)
     if path not in _ANN_IDX_BUILT:
-        (
-            S.build_ivf_index(e, centroids)
-            .write.mode("overwrite")
-            .partitionBy("_cluster")
-            .parquet(path)
+        _publish_index(
+            path,
+            lambda d: (
+                S.build_ivf_index(e, centroids)
+                .write.mode("overwrite")
+                .partitionBy("_cluster")
+                .parquet(d)
+            ),
         )
         _ANN_IDX_BUILT.add(path)
-    return spark.read.parquet(path)
+    return spark.read.parquet(_resolve_index(path))
 
 
 @register(

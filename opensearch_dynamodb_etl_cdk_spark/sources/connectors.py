@@ -178,9 +178,21 @@ def render_bulk_lines(route: str, df: DataFrame) -> DataFrame:
     Rendering is EXECUTOR-side (``to_json`` over codegen structs; the
     driver never sees a document) — both bulk sinks share this plan,
     which is the point of the seam: transports differ, the render
-    doesn't."""
+    doesn't.
+
+    The slice is first reduced to ONE terminal action per ``_id``
+    (``latest_by_key`` on ``_seq``, the same LWW rule the parquet MERGE
+    applies). Without it, a micro-batch carrying REMOVE then a later
+    re-INSERT for the same key would render index-then-delete and an
+    in-order bulk receiver would delete a document the MERGE sink
+    keeps; likewise two same-key upserts could land older-image-last.
+    """
     from pyspark.sql import functions as F
 
+    from ..operators.upsert import latest_by_key
+
+    if "_seq" in df.columns:
+        df = latest_by_key(df, key="_id", seq="_seq")
     meta = F.struct(F.lit(route).alias("_index"), F.col("_id"))
     src_cols = [c for c in df.columns
                 if c not in _INTERNAL_COLS and c != "_id"]

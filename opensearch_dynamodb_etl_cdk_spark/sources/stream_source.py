@@ -116,8 +116,13 @@ class ShardedStreamReader(DataSourceStreamReader):
                 for name in _shard_files(self.root)}
 
     def _scan(self, path: str) -> tuple[int, int]:
-        """(line_count, byte_size) for a shard, counting only the
-        bytes appended since the previous call. A shrunken file
+        """(line_count, counted_byte) for a shard — ``counted_byte``
+        is the position just after the LAST counted newline, NOT the
+        raw file size: a torn append leaves a partial trailing line
+        the line count (based on ``\\n``) excludes, and recording the
+        raw size would make the next batch seek mid-record and
+        json-parse the tail of a split line. Counts only the bytes
+        appended since the previous call; a shrunken file
         (rewrite/truncate) rescans from zero."""
         size = os.path.getsize(path)
         cached = self._scan_cache.get(path)
@@ -125,12 +130,17 @@ class ShardedStreamReader(DataSourceStreamReader):
             return cached[1], cached[2]
         lines, start = (cached[1], cached[2]) \
             if cached and size > cached[0] else (0, 0)
+        counted, pos = start, start
         with open(path, "rb") as f:
             f.seek(start)
             for chunk in iter(lambda: f.read(1 << 20), b""):
-                lines += chunk.count(b"\n")
-        self._scan_cache[path] = (size, lines, size)
-        return lines, size
+                n = chunk.count(b"\n")
+                lines += n
+                if n:
+                    counted = pos + chunk.rindex(b"\n") + 1
+                pos += len(chunk)
+        self._scan_cache[path] = (size, lines, counted)
+        return lines, counted
 
     def latestOffset(self) -> dict:
         out = {}

@@ -596,3 +596,79 @@ def test_sharded_stream_source_validation(spark, tmp_path):
     ).write.parquet(export)
     p.bootstrap_from("sharded-stream", {"export_path": export})
     assert p.index_view("fare").count() == 22
+
+
+def test_bulk_render_emits_one_terminal_action_per_id(spark):
+    """A micro-batch carrying REMOVE then a later re-INSERT for the
+    same _id must render EXACTLY the terminal action (index, newest
+    image) — an in-order bulk receiver replaying index-then-delete
+    would drop a document the parquet MERGE keeps. Same-key double
+    upserts likewise collapse to the newest image (LWW by _seq, the
+    MERGE's rule)."""
+    df = spark.createDataFrame(
+        [
+            # delete at seq 5, re-insert at seq 6 → terminal = index v2
+            ("A|1", 5, "delete", None),
+            ("A|1", 6, "upsert", "v2"),
+            # two upserts → newest image only
+            ("B|2", 1, "upsert", "old"),
+            ("B|2", 9, "upsert", "new"),
+            # insert then delete → terminal = delete
+            ("C|3", 2, "upsert", "x"),
+            ("C|3", 7, "delete", None),
+        ],
+        "_id string, _seq long, _action string, payload string",
+    )
+    lines = [r.value for r in
+             C.render_bulk_lines("fare", df).collect()]
+    actions = {}
+    for ln in lines:
+        head = json.loads(ln.splitlines()[0])
+        kind = next(iter(head))
+        _id = head[kind]["_id"]
+        assert _id not in actions, f"duplicate action for {_id}"
+        actions[_id] = (kind, ln)
+    assert set(actions) == {"A|1", "B|2", "C|3"}
+    assert actions["A|1"][0] == "index"
+    assert json.loads(actions["A|1"][1].splitlines()[1])["payload"] == "v2"
+    assert actions["B|2"][0] == "index"
+    assert json.loads(actions["B|2"][1].splitlines()[1])["payload"] == "new"
+    assert actions["C|3"][0] == "delete"
+
+
+def test_sharded_stream_scan_excludes_torn_trailing_line(tmp_path):
+    """A live writer can be observed mid-append: the offset's byte
+    field must point at the last counted NEWLINE, not the raw file
+    size — otherwise the next batch seeks into the torn record and
+    json-parses half a line."""
+    from opensearch_dynamodb_etl_cdk_spark.sources.stream_source import (
+        ShardedStreamReader,
+    )
+
+    shards = tmp_path / "shards"
+    shards.mkdir()
+    path = shards / "shard_0.jsonl"
+    full = (json.dumps({"seq": 1, "event_name": "INSERT", "event_ts": None,
+                        "pk": "A", "sk": "1", "new_image_json": None})
+            + "\n"
+            + json.dumps({"seq": 2, "event_name": "INSERT",
+                          "event_ts": None, "pk": "B", "sk": "2",
+                          "new_image_json": None}) + "\n")
+    torn = '{"seq": 3, "event_name": "INS'  # writer mid-append
+    path.write_bytes(full.encode() + torn.encode())
+
+    r = ShardedStreamReader({"shards_root": str(shards)})
+    off1 = r.latestOffset()["shard_0.jsonl"]
+    assert off1["line"] == 2
+    assert off1["byte"] == len(full)  # NOT the raw size
+
+    # the writer finishes the record; the next scan picks up ONLY the
+    # completed line, and reading from the stored byte offset parses it
+    rest = 'ERT", "event_ts": null, "pk": "C", "sk": "3", "new_image_json": null}\n'
+    with open(path, "ab") as f:
+        f.write(rest.encode())
+    off2 = r.latestOffset()["shard_0.jsonl"]
+    assert off2["line"] == 3
+    parts = r.partitions({"shard_0.jsonl": off1}, {"shard_0.jsonl": off2})
+    rows = [t for part in parts for t in r.read(part)]
+    assert len(rows) == 1 and rows[0][3] == "C"  # pk of the torn record

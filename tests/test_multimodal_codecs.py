@@ -879,6 +879,13 @@ def test_palette_png_validation():
         M.encode_png(2, 2, 0, color_type=3, palette=b"\x01\x02")
     with pytest.raises(ValueError, match="palette only applies"):
         M.encode_png(2, 2, 0, color_type=2, palette=pal)
+    # unsized / wrongly-typed palettes must surface as the intended
+    # ValueError, not a TypeError from len() — and a LIST of ints must
+    # not slip past via len/%3 succeeding
+    for bad in (123, (v for v in b"\x01\x02\x03"), [1, 2, 3]):
+        with pytest.raises(ValueError, match="palette must be"):
+            M.encode_png(2, 2, 0, color_type=3,
+                         samples=bytes([0, 0, 0, 0]), palette=bad)
     # decode-side: an index past the PLTE is structural damage. Craft
     # it by shrinking the PLTE of a valid file (keep chunk CRC valid).
     full = M.encode_png(2, 2, 0, color_type=3,
