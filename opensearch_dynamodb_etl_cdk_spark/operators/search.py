@@ -1193,90 +1193,109 @@ def _offset_micros(body: dict) -> int:
     return sign * _fixed_interval_micros(str(off).lstrip("+-"))
 
 
-def _zero_fill_date_buckets(
-    buckets: list[dict], body: dict, metric_names: list[str]
-) -> list[dict]:
-    """``min_doc_count: 0`` / ``extended_bounds``: emit EMPTY buckets
-    for every interval step between the (possibly widened) bounds —
-    the zero-filled series every time chart expects. Response-shaping
-    over the ALREADY-collected buckets: O(#buckets) driver work, the
-    distributed aggregate is untouched (empty buckets, by definition,
-    have no rows to aggregate). Empty metric sub-aggs report null, as
-    the public response does."""
+def _bucket_floor_col(c: Column, body: dict) -> Column:
+    """The SAME offset-aware grid floor the main date_histogram key
+    expression applies, as a Column transform — used to push the
+    ``extended_bounds`` literals onto the bucket grid executor-side so
+    the zero-fill grid synthesis never touches the driver."""
+    off = _offset_micros(body)
+    if off:
+        c = F.timestamp_micros(F.unix_micros(c) - off)
+    if "fixed_interval" in body:
+        micros = _fixed_interval_micros(body["fixed_interval"])
+        c = F.timestamp_micros(F.unix_micros(c) - F.unix_micros(c) % micros)
+    else:
+        interval = body.get("calendar_interval", body.get("interval", "day"))
+        c = F.date_trunc(interval, c)
+    if off:
+        c = F.timestamp_micros(F.unix_micros(c) + off)
+    return c
+
+
+def _grid_step_interval(body: dict) -> str:
+    """SQL interval literal for one bucket step (``sequence()``'s step
+    argument): exact micros for fixed_interval, calendar units for
+    calendar_interval (week = 7 days — date_trunc('week') boundaries
+    are Mondays, 7-day steps stay on them)."""
+    if "fixed_interval" in body:
+        return (f"INTERVAL {_fixed_interval_micros(body['fixed_interval'])}"
+                " MICROSECOND")
+    interval = body.get("calendar_interval", body.get("interval", "day"))
+    if interval not in _CAL_STEP:
+        raise ValueError(f"unsupported interval {interval}")
+    return "INTERVAL 7 DAY" if interval == "week" \
+        else f"INTERVAL 1 {interval.upper()}"
+
+
+def _validate_extended_bounds(body: dict) -> None:
+    """Request validation for the zero-fill grid — the ONLY driver-side
+    arithmetic on the path (the public search.max_buckets analog, kept
+    as an up-front bound check now that the grid itself is synthesized
+    distributedly)."""
     import datetime as _dt
 
     eb = body.get("extended_bounds") or {}
+    if "min" not in eb or "max" not in eb:
+        return
 
     def to_dt(v):
         if isinstance(v, _dt.datetime):
             return v
         return _dt.datetime.fromisoformat(str(v))
 
-    present = {b["key"]: b for b in buckets}
-    lo_candidates = [b["key"] for b in buckets[:1]]
-    hi_candidates = [b["key"] for b in buckets[-1:]]
-    if "min" in eb:
-        lo_candidates.append(to_dt(eb["min"]))
-    if "max" in eb:
-        hi_candidates.append(to_dt(eb["max"]))
-    if not lo_candidates or not hi_candidates:
-        return buckets
-    lo, hi = min(lo_candidates), max(hi_candidates)
-
+    lo, hi = to_dt(eb["min"]), to_dt(eb["max"])
+    if lo > hi:
+        raise ValueError("extended_bounds.min must be <= extended_bounds.max")
     if "fixed_interval" in body:
-        micros = _fixed_interval_micros(body["fixed_interval"])
-        epoch = _dt.datetime(1970, 1, 1)
-
-        def floor_key(dt):
-            # naive datetimes are UTC wall-clock here (session TZ is
-            # UTC); epoch arithmetic avoids .timestamp()'s local-zone
-            # interpretation
-            us = int((dt - epoch).total_seconds() * 1_000_000)
-            return epoch + _dt.timedelta(microseconds=us - us % micros)
-
-        def step(dt):
-            return dt + _dt.timedelta(microseconds=micros)
+        step_s = _fixed_interval_micros(body["fixed_interval"]) / 1e6
     else:
         interval = body.get("calendar_interval", body.get("interval", "day"))
-        n, unit = _CAL_STEP[interval]
+        step_s = {"minute": 60, "hour": 3600, "day": 86400,
+                  "week": 604800, "month": 2_592_000,
+                  "year": 31_536_000}[interval]
+    if (hi - lo).total_seconds() / step_s > 100_000:
+        raise ValueError(
+            "zero-fill would emit >100k buckets — narrow the "
+            "interval or bounds (the public soft limit is 65k)"
+        )
 
-        def floor_key(dt):
-            return _dm_floor(dt, unit)
 
-        def step(dt):
-            return _dm_shift(dt, n, unit) if unit != "w" \
-                else _dm_shift(dt, 7, "d")
-
-    off_us = _offset_micros(body)
-    if off_us:
-        # the collected bucket keys live on the OFFSET grid (boundary =
-        # interval floor + offset); floor/step in the un-shifted space
-        # and re-add the offset so generated keys match `present`
-        _raw_floor, _raw_step = floor_key, step
-        _off = _dt.timedelta(microseconds=off_us)
-
-        def floor_key(dt):
-            return _raw_floor(dt - _off) + _off
-
-        def step(dt):
-            return _raw_step(dt - _off) + _off
-
-    out, cur = [], floor_key(lo)
-    hi = floor_key(hi)
-    empty_metrics = {n: {"value": None} for n in metric_names}
-    guard = 0
-    while cur <= hi:
-        out.append(present.get(
-            cur, {"key": cur, "doc_count": 0, **empty_metrics}
-        ))
-        cur = step(cur)
-        guard += 1
-        if guard > 100_000:
-            raise ValueError(
-                "zero-fill would emit >100k buckets — narrow the "
-                "interval or bounds (the public soft limit is 65k)"
-            )
-    return out
+def _zero_fill_date_grid(agg_df, body: dict):
+    """Distributed ``min_doc_count: 0`` / ``extended_bounds`` zero-fill:
+    a one-row bounds aggregate (observed min/max bucket key, widened by
+    the grid-floored extended_bounds literals) feeds
+    ``sequence()``/``explode`` to synthesize every bucket boundary
+    executor-side, then a left join back to the aggregate fills the
+    gaps (doc_count 0, metrics null). No driver-side bucket
+    materialization happens before the final response collect, so
+    bounds spanning years at fine intervals stay cluster-shaped.
+    ``least``/``min`` skip nulls: an absent bound or an empty aggregate
+    falls back to the other candidate; all-null bounds make
+    ``sequence`` null and ``explode`` then yields no rows — the public
+    empty-response shape."""
+    eb = body.get("extended_bounds") or {}
+    lo_cols, hi_cols = [F.min("key")], [F.max("key")]
+    if "min" in eb:
+        lo_cols.append(
+            _bucket_floor_col(F.lit(eb["min"]).cast("timestamp"), body))
+    if "max" in eb:
+        hi_cols.append(
+            _bucket_floor_col(F.lit(eb["max"]).cast("timestamp"), body))
+    lo = F.least(*lo_cols) if len(lo_cols) > 1 else lo_cols[0]
+    hi = F.greatest(*hi_cols) if len(hi_cols) > 1 else hi_cols[0]
+    grid = (
+        agg_df.agg(lo.alias("lo"), hi.alias("hi"))
+        .select(F.explode(F.sequence(
+            F.col("lo"), F.col("hi"),
+            F.expr(_grid_step_interval(body)))).alias("key"))
+    )
+    metric_cols = [c for c in agg_df.columns
+                   if c not in ("key", "doc_count")]
+    return grid.join(F.broadcast(agg_df), "key", "left").select(
+        "key",
+        F.coalesce("doc_count", F.lit(0)).alias("doc_count"),
+        *metric_cols,
+    )
 
 
 def _fixed_interval_micros(spec: str) -> int:
@@ -5106,12 +5125,28 @@ def _run_agg(
                 (F.sum(F.col(rfield).cast("decimal(28,6)")).cast("double")
                  if rfield else F.count(F.lit(1)).cast("double")).alias(rn)
             )
-        rows = (
-            df.groupBy(bucket.alias("key"))
-            .agg(F.count("*").alias("doc_count"), *metric_cols)
-            .orderBy("key")
-            .collect()
-        )
+        agg_df = df.groupBy(bucket.alias("key")).agg(
+            F.count("*").alias("doc_count"), *metric_cols)
+        zero_fill = (body.get("min_doc_count", 1) == 0
+                     or bool(body.get("extended_bounds")))
+        if zero_fill:
+            _validate_extended_bounds(body)
+            # the aggregate feeds both the bounds row and the join
+            # probe; persist so the raw scan runs once (bucket-counted
+            # rows, bounded), released before the response returns
+            agg_df = agg_df.persist()
+        try:
+            frame = _zero_fill_date_grid(agg_df, body) \
+                if zero_fill else agg_df
+            rows = frame.orderBy("key").collect()
+        finally:
+            if zero_fill:
+                agg_df.unpersist()
+        if zero_fill and len(rows) > 100_000:
+            raise ValueError(
+                "zero-fill would emit >100k buckets — narrow the "
+                "interval or bounds (the public soft limit is 65k)"
+            )
         buckets = [
             {
                 "key": r["key"],
@@ -5121,11 +5156,6 @@ def _run_agg(
             }
             for r in rows
         ]
-        if body.get("min_doc_count", 1) == 0 or body.get("extended_bounds"):
-            buckets = _zero_fill_date_buckets(
-                buckets, body,
-                metric_names=list(metric_sub),
-            )
         # cumulative_cardinality: EXACT distinct-so-far per bucket via the
         # first-seen rewrite — cum_card(bucket) = Σ_{b ≤ bucket} |values
         # first seen in b|. One keyed aggregate (min bucket per value) +
@@ -5202,13 +5232,66 @@ def _run_agg(
         bucket = (F.floor(F.col(field) / interval) * interval).alias("key")
         metric_sub, pipe_sub = _split_pipeline_aggs(sub)
         metric_cols = [_metric_agg(n, s) for n, s in metric_sub.items()]
-        rows = (
+        agg_df = (
             df.filter(F.col(field).isNotNull())
             .groupBy(bucket)
             .agg(F.count("*").alias("doc_count"), *metric_cols)
-            .orderBy("key")
-            .collect()
         )
+        zero_fill = (body.get("min_doc_count", 1) == 0
+                     or bool(body.get("extended_bounds")))
+        if zero_fill:
+            # numeric twin of the date_histogram distributed zero-fill:
+            # grid on the INTEGER stride index (floor(x/interval)
+            # computed in the JVM and base+i*interval accumulated
+            # elsewhere can differ in the last ulp for non-integer
+            # intervals), synthesized with sequence()/explode and left
+            # joined back — no driver-side bucket materialization
+            import math as _math
+
+            eb = body.get("extended_bounds") or {}
+            eb_lo = (_math.floor(float(eb["min"]) / interval)
+                     if "min" in eb else None)
+            eb_hi = (_math.floor(float(eb["max"]) / interval)
+                     if "max" in eb else None)
+            if eb_lo is not None and eb_hi is not None:
+                if eb_hi < eb_lo:
+                    raise ValueError(
+                        "extended_bounds.min must be <= extended_bounds.max"
+                    )
+                if eb_hi - eb_lo > 100_000:
+                    raise ValueError(
+                        "zero-fill would emit >100k buckets — narrow "
+                        "the interval or bounds"
+                    )
+            keyed = agg_df.withColumn(
+                "__ix",
+                F.round(F.col("key") / F.lit(interval)).cast("long"))
+            lo_cols = [F.min("__ix")] + (
+                [F.lit(eb_lo)] if eb_lo is not None else [])
+            hi_cols = [F.max("__ix")] + (
+                [F.lit(eb_hi)] if eb_hi is not None else [])
+            lo = F.least(*lo_cols) if len(lo_cols) > 1 else lo_cols[0]
+            hi = F.greatest(*hi_cols) if len(hi_cols) > 1 else hi_cols[0]
+            keyed = keyed.persist()
+            try:
+                grid = keyed.agg(lo.alias("lo"), hi.alias("hi")).select(
+                    F.explode(F.sequence("lo", "hi")).alias("__ix"))
+                frame = grid.join(F.broadcast(keyed), "__ix", "left").select(
+                    F.coalesce(F.col("key"),
+                               F.col("__ix") * F.lit(interval)).alias("key"),
+                    F.coalesce("doc_count", F.lit(0)).alias("doc_count"),
+                    *metric_sub,
+                )
+                rows = frame.orderBy("key").collect()
+            finally:
+                keyed.unpersist()
+            if len(rows) > 100_000:
+                raise ValueError(
+                    "zero-fill would emit >100k buckets — narrow "
+                    "the interval or bounds"
+                )
+        else:
+            rows = agg_df.orderBy("key").collect()
         buckets = [
             {
                 "key": r["key"],
@@ -5217,42 +5300,6 @@ def _run_agg(
             }
             for r in rows
         ]
-        if body.get("min_doc_count", 1) == 0 or body.get("extended_bounds"):
-            # numeric twin of the date_histogram zero-fill: stride the
-            # (possibly widened) key range, absent buckets empty
-            eb = body.get("extended_bounds") or {}
-            los = [b["key"] for b in buckets[:1]]
-            his = [b["key"] for b in buckets[-1:]]
-            if "min" in eb:
-                import math as _math
-
-                los.append(_math.floor(float(eb["min"]) / interval)
-                           * interval)
-            if "max" in eb:
-                import math as _math
-
-                his.append(_math.floor(float(eb["max"]) / interval)
-                           * interval)
-            if los and his:
-                # match buckets by INTEGER stride index, not float key
-                # equality: floor(x/interval)*interval computed in the
-                # JVM and base+i*interval accumulated here can differ in
-                # the last ulp for non-integer intervals
-                present = {int(round(b["key"] / interval)): b
-                           for b in buckets}
-                empty = {n: {"value": None} for n in metric_sub}
-                base = int(round(min(los) / interval))
-                top = int(round(max(his) / interval))
-                if top - base > 100_000:
-                    raise ValueError(
-                        "zero-fill would emit >100k buckets — narrow "
-                        "the interval or bounds"
-                    )
-                buckets = [
-                    present.get(ix, {"key": ix * interval,
-                                     "doc_count": 0, **empty})
-                    for ix in range(base, top + 1)
-                ]
         buckets = _apply_pipeline_aggs(buckets, pipe_sub)
         return {"buckets": buckets}
 

@@ -222,6 +222,53 @@ def distance_feature_ranked(spark, sf_dir):
 
 
 @register(
+    "date_histogram_zero_fill_agg",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS key,
+             COUNT(*) AS doc_count,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1),
+    bounds AS (
+      SELECT LEAST(TIMESTAMP '2022-07-01', MIN(key)) AS lo,
+             GREATEST(TIMESTAMP '2025-06-30', MAX(key)) AS hi FROM agg),
+    grid AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS key
+      FROM bounds)
+    SELECT g.key, COALESCE(a.doc_count, 0) AS doc_count, a.sum_value
+    FROM grid g LEFT JOIN agg a USING (key) ORDER BY g.key
+    """,
+    doc="DSL date_histogram with `min_doc_count: 0` + `extended_bounds` "
+    "spanning three years at day interval (~1460 buckets, the events "
+    "data covers ~30): the zero-fill grid is synthesized DISTRIBUTEDLY "
+    "— a one-row bounds aggregate feeds sequence()/explode, left-joined "
+    "back to the day aggregate (operators/search.py::"
+    "_zero_fill_date_grid). No driver-side bucket loop; the 100k guard "
+    "is request validation only.",
+    tags=("agg", "dsl", "time"),
+)
+def date_histogram_zero_fill_agg(spark, sf_dir):
+    from ..operators.search import execute_search
+
+    e = _t(spark, sf_dir, "events")["events"]
+    res = execute_search(e, {"aggs": {"by_day": {
+        "date_histogram": {
+            "field": "ts", "calendar_interval": "day",
+            "min_doc_count": 0,
+            "extended_bounds": {"min": "2022-07-01T00:00:00",
+                                "max": "2025-06-30T00:00:00"},
+        },
+        "aggs": {"sum_value": {"sum": {"field": "value"}}},
+    }}})
+    buckets = res["aggregations"]["by_day"]["buckets"]
+    return spark.createDataFrame(
+        [(b["key"], b["doc_count"], b["sum_value"]["value"])
+         for b in buckets],
+        "key timestamp, doc_count bigint, sum_value double",
+    )
+
+
+@register(
     "auto_date_histogram_agg",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS key, COUNT(*) AS doc_count

@@ -332,6 +332,61 @@ class FlightsEtlPipeline:
             .parquet(os.path.join(self.cfg.index_root, "dlq", route))
         )
 
+    def replay_dlq(self, route: str, epoch_id: int = -2) -> int:
+        """Recover dead-lettered writes — the reason the reference keeps
+        a DLQ at all (custom_resource.py:358-363,378-383 parks failed
+        bulk payloads so an operator can re-drive them once the sink
+        heals): re-read the route's DLQ slices and push them through
+        the SAME ``sink.write_route`` as live traffic. Safe to run any
+        time:
+
+        - idempotent effect: actions are keyed by ``_id`` and merged
+          LWW by ``_seq``, so replayed rows already superseded by newer
+          stream data cannot regress the index, and a double replay
+          re-delivers the same terminal actions (at-least-once
+          delivery, exactly-once effect — the parquet MERGE and the
+          bulk sinks share the rule);
+        - all-or-nothing clearing: the DLQ directory is removed only
+          AFTER ``write_route`` returns; a replay that fails leaves
+          every slice parked for the next attempt (and raises);
+        - a metrics row (epoch ``epoch_id``, default -2) records the
+          replay volume next to the live epochs.
+
+        Returns the number of replayed rows (0 = empty DLQ, a no-op).
+        """
+        path = os.path.join(self.cfg.index_root, "dlq", route)
+        try:
+            dead = self.spark.read.parquet(path)
+        except Exception:
+            return 0  # nothing parked
+        # break lineage off the files about to be deleted, so clearing
+        # the DLQ never races a lazy re-read of its own input
+        dead = dead.drop("_error", "_route").localCheckpoint(eager=True)
+        n = dead.count()
+        if n:
+            self.sink.write_route(self, route, dead, epoch_id)
+            n_delete = dead.filter(F.col("_action") == "delete").count()
+        # clear replayed objects (Hadoop FS API — portable across
+        # local/HDFS/object stores, same mechanism as _remove_buckets)
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(conf).delete(p, True)
+        if n:
+            mdf = self.spark.createDataFrame(
+                [(epoch_id, route, n, n, n, n_delete, 0)],
+                "epoch long, route string, rows_in long, rows_routed long, "
+                "rows_merged long, rows_deleted long, rows_dlq long",
+            )
+            (
+                mdf.coalesce(1)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(os.path.join(self.cfg.index_root, "_metrics"))
+            )
+        return n
+
     # -- batch entry points ----------------------------------------------------
 
     def bootstrap(self, items: DataFrame) -> None:

@@ -52,6 +52,60 @@ def test_dlq_captures_failed_route_with_error(spark, tmp_path, monkeypatch):
     assert pipe.read_index("fare") is None
 
 
+def test_replay_dlq_recovers_failed_route_then_noops(spark, tmp_path, monkeypatch):
+    """The DLQ's closing half (the reference parks failed payloads so
+    they can be RECOVERED, custom_resource.py:358-363): sink outage →
+    slices parked → endpoint heals → replay_dlq re-drives them through
+    the same sink → index matches the never-failed run exactly; the
+    DLQ is cleared, a metrics row records the replay, and a second
+    replay is a no-op."""
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string")
+
+    # golden: the same bootstrap with a healthy sink throughout
+    gold_cfg = PipelineConfig(index_root=str(tmp_path / "gold"),
+                              checkpoint_root=str(tmp_path / "gchk"))
+    gold = FlightsEtlPipeline(spark, gold_cfg)
+    gold.bootstrap(items)
+    golden_rows = sorted(
+        map(tuple, gold.read_index("fare").drop("_bucket").collect()),
+        key=repr)
+
+    cfg = PipelineConfig(index_root=str(tmp_path / "indexes"),
+                         checkpoint_root=str(tmp_path / "chk"))
+    pipe = FlightsEtlPipeline(spark, cfg)
+    original = pipe._merge_route
+    down = {"fare": True}
+
+    def flaky_merge(route_df, route):
+        if down.get(route):
+            raise RuntimeError("simulated sink outage")
+        return original(route_df, route)
+
+    monkeypatch.setattr(pipe, "_merge_route", flaky_merge)
+    pipe.bootstrap(items)
+    assert pipe.read_index("fare") is None  # outage: nothing landed
+
+    down["fare"] = False  # endpoint heals
+    n = pipe.replay_dlq("fare")
+    assert n == 22
+    got = sorted(
+        map(tuple, pipe.read_index("fare").drop("_bucket").collect()),
+        key=repr)
+    assert got == golden_rows
+    # DLQ cleared; replay recorded in metrics under its own epoch
+    assert not os.path.exists(os.path.join(cfg.index_root, "dlq", "fare"))
+    m = pipe.read_metrics().filter(
+        (F.col("epoch") == -2) & (F.col("route") == "fare")).collect()
+    assert len(m) == 1 and m[0].rows_merged == 22 and m[0].rows_dlq == 0
+    # second replay: empty DLQ → no-op, index unchanged
+    assert pipe.replay_dlq("fare") == 0
+    again = sorted(
+        map(tuple, pipe.read_index("fare").drop("_bucket").collect()),
+        key=repr)
+    assert again == golden_rows
+
+
 EMPTY_DOCS = "doc_id long, text string, lang string"
 
 
