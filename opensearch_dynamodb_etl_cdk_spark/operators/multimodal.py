@@ -946,6 +946,12 @@ _AC_SYMBOLS = [0x00, 0xF0] + [
 ]
 _AC_COUNTS = [0] * 7 + [len(_AC_SYMBOLS)] + [0] * 8
 
+# progressive scans additionally use the EOBn symbols (0x10..0xE0 —
+# EOB runs covering 2..2^15-1 blocks); still a valid incomplete
+# canonical code with every symbol at 8 bits (176 < 256)
+_AC_SYMBOLS_PROG = _AC_SYMBOLS + [r << 4 for r in range(1, 15)]
+_AC_COUNTS_PROG = [0] * 7 + [len(_AC_SYMBOLS_PROG)] + [0] * 8
+
 
 def _huff_codes(counts: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
     """symbol → (code, bit length), canonical JPEG assignment."""
@@ -1075,13 +1081,248 @@ def _encode_jpeg_block(w, block, qt, dc_codes, ac_codes, t, prev_dc,
     return new_dc
 
 
+def _encode_jpeg_progressive(planes, factors, width, height, qt, q_zz,
+                             color, np) -> bytes:
+    """Emit a PROGRESSIVE (SOF2) JPEG over the already-quantized
+    coefficient plan: spectral selection (DC scan, AC 1-5, AC 6-63)
+    with successive approximation (coefficients first at reduced
+    precision Al, then refinement scans carrying the dropped bits) —
+    the libjpeg-style simple progression. The entropy algorithms are
+    T.81 G.1.2: differential DC on point-transformed values, AC
+    first-scans with EOB-run folding, AC refinement with buffered
+    correction bits. Coefficients are IDENTICAL to the baseline
+    encoding of the same pixels — progressive only re-orders their
+    transmission — which is what the round-trip equivalence test
+    pins."""
+    t = _dct_matrix()
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = planes[0].shape[1] // (8 * hmax)
+    mcus_y = planes[0].shape[0] // (8 * vmax)
+    n = len(planes)
+    coefs = []
+    for ci, plane in enumerate(planes):
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        arr = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coeffs = t @ (block - 128.0) @ t.T
+                arr[by, bx] = np.rint(coeffs / qt).astype(
+                    np.int64).ravel()[_ZIGZAG]
+        coefs.append(arr)
+    dc_codes = _huff_codes(_DC_COUNTS, _DC_SYMBOLS)
+    ac_codes = _huff_codes(_AC_COUNTS_PROG, _AC_SYMBOLS_PROG)
+
+    def ceil_blocks(ci):
+        hi, vi = factors[ci]
+        cw = (width * hi + hmax - 1) // hmax
+        ch = (height * vi + vmax - 1) // vmax
+        return (ch + 7) // 8, (cw + 7) // 8
+
+    def dc_blocks(comp_idx):
+        """Block iteration order for a DC scan: MCU-interleaved when
+        the scan has several components, the component's own ceil
+        raster otherwise."""
+        if len(comp_idx) > 1:
+            for mcu in range(mcus_x * mcus_y):
+                myi, mxi = divmod(mcu, mcus_x)
+                for c in comp_idx:
+                    fh, fv = factors[c]
+                    for by in range(fv):
+                        for bx in range(fh):
+                            yield c, coefs[c][myi * fv + by,
+                                              mxi * fh + bx]
+        else:
+            c = comp_idx[0]
+            cbh, cbw = ceil_blocks(c)
+            for by in range(cbh):
+                for bx in range(cbw):
+                    yield c, coefs[c][by, bx]
+
+    def emit_mag(w, v, s):
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+
+    def dc_first(comp_idx, al):
+        w = _BitWriter()
+        prev = {c: 0 for c in comp_idx}
+        for c, zz in dc_blocks(comp_idx):
+            v = int(zz[0]) >> al  # arithmetic shift: the DC point transform
+            diff = v - prev[c]
+            prev[c] = v
+            s = _size_cat(diff)
+            code, ln = dc_codes[s]
+            w.write(code, ln)
+            if s:
+                emit_mag(w, diff, s)
+        return w.flush()
+
+    def dc_refine(comp_idx, al):
+        w = _BitWriter()
+        for _c, zz in dc_blocks(comp_idx):
+            w.write((int(zz[0]) >> al) & 1, 1)
+        return w.flush()
+
+    def ac_first(c, ss, se, al):
+        w = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                code, ln = ac_codes[nb << 4]
+                w.write(code, ln)
+                if nb:
+                    w.write(eobrun & ((1 << nb) - 1), nb)
+                eobrun = 0
+
+        cbh, cbw = ceil_blocks(c)
+        for by in range(cbh):
+            for bx in range(cbw):
+                zz = coefs[c][by, bx]
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    t2 = abs(v) >> al
+                    if t2 == 0:
+                        r += 1
+                        continue
+                    flush_eob()
+                    while r > 15:
+                        code, ln = ac_codes[0xF0]
+                        w.write(code, ln)
+                        r -= 16
+                    s = t2.bit_length()
+                    if s > 10:
+                        raise ValueError(
+                            "AC coefficient out of baseline range")
+                    code, ln = ac_codes[(r << 4) | s]
+                    w.write(code, ln)
+                    emit_mag(w, t2 if v > 0 else -t2, s)
+                    r = 0
+                if r:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return w.flush()
+
+    def ac_refine(c, ss, se, al):
+        w = _BitWriter()
+        eobrun = 0
+        pend: list[int] = []  # correction bits deferred with the EOB run
+
+        def flush_eob():
+            nonlocal eobrun, pend
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                code, ln = ac_codes[nb << 4]
+                w.write(code, ln)
+                if nb:
+                    w.write(eobrun & ((1 << nb) - 1), nb)
+                for b in pend:
+                    w.write(b, 1)
+                eobrun, pend = 0, []
+
+        cbh, cbw = ceil_blocks(c)
+        for by in range(cbh):
+            for bx in range(cbw):
+                zz = coefs[c][by, bx]
+                absv = [abs(int(zz[k])) >> al for k in range(64)]
+                eob_idx = 0  # index of the last NEWLY-significant coef
+                for k in range(ss, se + 1):
+                    if absv[k] == 1:
+                        eob_idx = k
+                r = 0
+                br: list[int] = []
+                for k in range(ss, se + 1):
+                    t2 = absv[k]
+                    if t2 == 0:
+                        r += 1
+                        continue
+                    # ZRLs only when they cannot fold into the EOB run
+                    while r > 15 and k <= eob_idx:
+                        flush_eob()
+                        code, ln = ac_codes[0xF0]
+                        w.write(code, ln)
+                        r -= 16
+                        for b in br:
+                            w.write(b, 1)
+                        br = []
+                    if t2 > 1:  # already significant: correction bit
+                        br.append(t2 & 1)
+                        continue
+                    flush_eob()  # newly significant at this precision
+                    code, ln = ac_codes[(r << 4) | 1]
+                    w.write(code, ln)
+                    w.write(1 if int(zz[k]) > 0 else 0, 1)
+                    for b in br:
+                        w.write(b, 1)
+                    br = []
+                    r = 0
+                if r or br:
+                    eobrun += 1
+                    pend.extend(br)
+                    if eobrun == 0x7FFF or len(pend) > 900:
+                        flush_eob()
+        flush_eob()
+        return w.flush()
+
+    def seg(marker: int, payload_: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload_) + 2) + payload_
+
+    dqt = seg(0xFFDB, bytes([0x00]) + q_zz)
+    dht = seg(0xFFC4, bytes([0x00]) + bytes(_DC_COUNTS)
+              + bytes(_DC_SYMBOLS)) \
+        + seg(0xFFC4, bytes([0x10]) + bytes(_AC_COUNTS_PROG)
+              + bytes(_AC_SYMBOLS_PROG))
+    if color:
+        dqt += seg(0xFFDB, bytes([0x01]) + q_zz)
+        dht += seg(0xFFC4, bytes([0x01]) + bytes(_DC_COUNTS)
+                   + bytes(_DC_SYMBOLS)) \
+            + seg(0xFFC4, bytes([0x11]) + bytes(_AC_COUNTS_PROG)
+                  + bytes(_AC_SYMBOLS_PROG))
+        hy, vy = factors[0]
+        comps = bytes([1, (hy << 4) | vy, 0, 2, 0x11, 1, 3, 0x11, 1])
+        sof = seg(0xFFC2, struct.pack(">BHHB", 8, height, width, 3)
+                  + comps)
+    else:
+        sof = seg(0xFFC2, struct.pack(">BHHB", 8, height, width, 1)
+                  + bytes([1, 0x11, 0]))
+
+    def sos(comp_idx, ss, se, ah, al):
+        spec = b"".join(
+            bytes([c + 1, ((0 if c == 0 else 1) << 4)
+                   | (0 if c == 0 else 1)])
+            for c in comp_idx
+        )
+        return seg(0xFFDA, bytes([len(comp_idx)]) + spec
+                   + bytes([ss, se, (ah << 4) | al]))
+
+    all_idx = list(range(n))
+    out = bytearray(b"\xff\xd8" + dqt + sof + dht)
+    out += sos(all_idx, 0, 0, 0, 1) + dc_first(all_idx, 1)
+    for c in all_idx:
+        out += sos([c], 1, 5, 0, 2) + ac_first(c, 1, 5, 2)
+    for c in all_idx:
+        out += sos([c], 6, 63, 0, 2) + ac_first(c, 6, 63, 2)
+    for c in all_idx:
+        out += sos([c], 1, 63, 2, 1) + ac_refine(c, 1, 63, 1)
+    for c in all_idx:
+        out += sos([c], 1, 63, 1, 0) + ac_refine(c, 1, 63, 0)
+    out += sos(all_idx, 0, 0, 1, 0) + dc_refine(all_idx, 0)
+    return bytes(out + b"\xff\xd9")
+
+
 def encode_jpeg(width: int, height: int, pixel_value: int = 128,
                 pixels: bytes | None = None,
                 quant: list[int] | None = None,
                 rgb: tuple[int, int, int] | None = None,
                 rgb_pixels: bytes | None = None,
                 subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
     """Build a real baseline JPEG (SOI/DQT/SOF0/DHT/SOS/EOI): FDCT per
     8×8 block (edge-replicated padding), quantization, zigzag,
     differential-DC + run-length-AC Huffman entropy coding.
@@ -1098,6 +1339,14 @@ def encode_jpeg(width: int, height: int, pixel_value: int = 128,
     distortion-free. ``restart_interval`` emits a DRI segment and a
     spec-sequenced RSTn marker every N MCUs with DC predictors reset —
     the resync structure real camera files carry.
+
+    ``progressive=True`` emits an SOF2 file instead: the same
+    quantized coefficients re-ordered into a spectral-selection +
+    successive-approximation scan script (DC at Al=1 then refined;
+    AC bands 1-5 and 6-63 at Al=2, refined twice; EOB-run folding) —
+    see :func:`_encode_jpeg_progressive`. Decoding a progressive
+    encode is bit-identical to decoding the baseline encode of the
+    same pixels, which the round-trip equivalence test pins.
 
     The default quantization table is all-ones — DISTORTION-FREE for
     constant-tile content (an all-constant block is a lone integer DC
@@ -1142,6 +1391,10 @@ def encode_jpeg(width: int, height: int, pixel_value: int = 128,
         raise ValueError("quant must be 64 values in 1..255")
     if restart_interval < 0 or restart_interval > 0xFFFF:
         raise ValueError("restart_interval must be in 0..65535")
+    if progressive and restart_interval:
+        raise NotImplementedError(
+            "restart markers in progressive JPEG unsupported"
+        )
     qt = np.array(q, dtype=np.float64).reshape(8, 8)
     if subsampling not in ("444", "422", "420"):
         raise ValueError("subsampling must be '444', '422' or '420'")
@@ -1164,6 +1417,11 @@ def encode_jpeg(width: int, height: int, pixel_value: int = 128,
             h0, w0 = p.shape
             p = p.reshape(h0 // vy, vy, w0 // hy, hy).mean(axis=(1, 3))
             planes[ci] = np.floor(p + 0.5)
+    if progressive:
+        q_flat_p = np.array(q, dtype=np.int64).ravel()
+        q_zz_p = bytes(int(q_flat_p[_ZIGZAG[i]]) for i in range(64))
+        return _encode_jpeg_progressive(
+            planes, factors, width, height, qt, q_zz_p, color, np)
     t = _dct_matrix()
     dc_codes = _huff_codes(_DC_COUNTS, _DC_SYMBOLS)
     ac_codes = _huff_codes(_AC_COUNTS, _AC_SYMBOLS)
@@ -1272,10 +1530,274 @@ class _BitReader:
         return v
 
 
+def _jpeg_read_symbol(r: _BitReader, table) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_entropy_end(payload: bytes, pos: int) -> int:
+    """Index of the first real marker after ``pos``: 0xFF00 is stuffed
+    data, 0xFFD0-D7 are restart markers (part of the scan), repeated
+    0xFF bytes are fill."""
+    i = pos
+    while True:
+        j = payload.find(b"\xff", i)
+        if j == -1 or j + 1 >= len(payload):
+            raise ValueError("truncated JPEG: unterminated entropy stream")
+        nxt = payload[j + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i = j + 2
+        elif nxt == 0xFF:
+            i = j + 1
+        else:
+            return j
+
+
+def _jpeg_decode_scan(entropy, frame, scan, coef, huff,
+                      restart_interval, progressive, np):
+    """Entropy-decode ONE scan into the per-component quantized
+    coefficient arrays (zigzag order). Sequential scans carry full
+    blocks; progressive scans carry a (band, bit-precision) slice —
+    DC first/refine (T.81 G.1.2.1) and AC first/refine with EOB runs
+    (G.1.2.2/G.1.2.3, the libjpeg-documented successive-approximation
+    algorithm)."""
+    w_, h, comps = frame
+    scan_comps, ss, se, ah, al = scan
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w_ + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    interleaved = len(scan_comps) > 1
+
+    if progressive:
+        if restart_interval:
+            raise NotImplementedError(
+                "restart markers in progressive JPEG unsupported"
+            )
+        if ss == 0 and se != 0:
+            raise ValueError(
+                "progressive DC scan must have Se=0 (a full-band scan "
+                "is a sequential shape)"
+            )
+        if ss > 0 and interleaved:
+            raise ValueError(
+                "progressive AC scans must be single-component"
+            )
+        if not 0 <= ss <= se <= 63:
+            raise ValueError("bad JPEG spectral selection band")
+        if ah and ah != al + 1:
+            raise ValueError(
+                "bad JPEG successive approximation (Ah must be Al+1)"
+            )
+        if al > 13:
+            raise ValueError("bad JPEG successive approximation shift")
+    else:
+        ss, se, ah, al = 0, 63, 0, 0
+
+    # resolve tables per scan component; DC refinement reads raw bits
+    # (no Huffman), AC scans need only the AC table, DC-only scans
+    # only the DC table
+    tabs = []
+    for ci, td, ta in scan_comps:
+        need_dc = ss == 0 and ah == 0
+        need_ac = se > 0
+        dc_tab = huff.get((0, td)) if need_dc else None
+        ac_tab = huff.get((1, ta)) if need_ac else None
+        if (need_dc and dc_tab is None) or (need_ac and ac_tab is None):
+            raise ValueError("JPEG references missing Huffman table")
+        tabs.append((ci, dc_tab, ac_tab))
+
+    # unit geometry: interleaved scans walk MCUs over the padded grid;
+    # single-component scans walk the component's OWN ceil(dim/8)
+    # block raster (T.81 A.2.2 — padded blocks beyond it are not coded)
+    if interleaved:
+        total_units = mcus_x * mcus_y
+    else:
+        ci = scan_comps[0][0]
+        _cid, hi, vi, _tq = comps[ci]
+        cbw = ((w_ * hi + hmax - 1) // hmax + 7) // 8
+        cbh = ((h * vi + vmax - 1) // vmax + 7) // 8
+        total_units = cbw * cbh
+
+    segments = [entropy]
+    if restart_interval:
+        parts = re.split(b"\xff([\xd0-\xd7])", entropy)
+        segments, markers = parts[0::2], parts[1::2]
+        for k, m in enumerate(markers):
+            if m[0] != 0xD0 + (k % 8):  # the spec's modulo-8 sequence
+                raise ValueError(
+                    f"JPEG restart marker out of order at boundary "
+                    f"{k}: got 0xff{m[0]:02x}"
+                )
+        expect = (total_units + restart_interval - 1) // restart_interval
+        if len(segments) != expect:
+            raise ValueError(
+                f"JPEG restart markers split the scan into "
+                f"{len(segments)} segments; interval "
+                f"{restart_interval} over {total_units} MCUs "
+                f"needs {expect}"
+            )
+
+    r = _BitReader(segments[0])
+    prev_dc = {ci: 0 for ci, _d, _a in tabs}
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+
+    def seq_block(zz, dc_tab, ac_tab, ci):
+        s = _jpeg_read_symbol(r, dc_tab)
+        diff = _jpeg_extend(r.bits(s), s) if s else 0
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci]
+        i = 1
+        while i < 64:
+            sym = _jpeg_read_symbol(r, ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                i += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            i += run
+            if i > 63 or size == 0:
+                raise ValueError("corrupt JPEG AC run")
+            zz[i] = _jpeg_extend(r.bits(size), size)
+            i += 1
+
+    def dc_first(zz, dc_tab, ci):
+        s = _jpeg_read_symbol(r, dc_tab)
+        diff = _jpeg_extend(r.bits(s), s) if s else 0
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci] << al
+
+    def dc_refine(zz):
+        if r.bit():
+            zz[0] = int(zz[0]) | p1
+
+    def ac_first(zz, ac_tab):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            sym = _jpeg_read_symbol(r, ac_tab)
+            rr, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if rr != 15:
+                    eobrun = (1 << rr) - 1
+                    if rr:
+                        eobrun += r.bits(rr)
+                    break
+                k += 16  # ZRL
+                continue
+            k += rr
+            if k > se:
+                raise ValueError("corrupt JPEG AC run")
+            zz[k] = _jpeg_extend(r.bits(s), s) << al
+            k += 1
+
+    def _correct(zz, k):
+        cur = int(zz[k])
+        if r.bit() and not (cur & p1):
+            zz[k] = cur + (p1 if cur >= 0 else m1)
+
+    def ac_refine(zz, ac_tab):
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = _jpeg_read_symbol(r, ac_tab)
+                rr, s = sym >> 4, sym & 0x0F
+                val = 0
+                if s == 0:
+                    if rr != 15:
+                        eobrun = 1 << rr
+                        if rr:
+                            eobrun += r.bits(rr)
+                        break
+                    # rr == 15: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "corrupt JPEG refinement scan (size != 1)"
+                        )
+                    val = p1 if r.bit() else m1
+                # advance: corrections for already-nonzero positions,
+                # count down rr over zero-history positions
+                while k <= se:
+                    if int(zz[k]) != 0:
+                        _correct(zz, k)
+                    else:
+                        if rr == 0:
+                            break
+                        rr -= 1
+                    k += 1
+                if s:
+                    if k > se:
+                        raise ValueError(
+                            "corrupt JPEG AC refinement run"
+                        )
+                    zz[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if int(zz[k]) != 0:
+                    _correct(zz, k)
+                k += 1
+            eobrun -= 1
+
+    def decode_unit_blocks(unit):
+        if interleaved:
+            myi, mxi = divmod(unit, mcus_x)
+            for (ci, dc_tab, ac_tab) in tabs:
+                _cid, hi, vi, _tq = comps[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        yield (ci, dc_tab, ac_tab,
+                               coef[ci][myi * vi + by, mxi * hi + bx])
+        else:
+            ci, dc_tab, ac_tab = tabs[0]
+            _cid, hi, vi, _tq = comps[ci]
+            cbw = ((w_ * hi + hmax - 1) // hmax + 7) // 8
+            by, bx = divmod(unit, cbw)
+            yield ci, dc_tab, ac_tab, coef[ci][by, bx]
+
+    for unit in range(total_units):
+        if restart_interval and unit and unit % restart_interval == 0:
+            r = _BitReader(segments[unit // restart_interval])
+            prev_dc = {ci: 0 for ci, _d, _a in tabs}
+            eobrun = 0
+        for ci, dc_tab, ac_tab, zz in decode_unit_blocks(unit):
+            if not progressive:
+                seq_block(zz, dc_tab, ac_tab, ci)
+            elif ss == 0:
+                if ah == 0:
+                    dc_first(zz, dc_tab, ci)
+                else:
+                    dc_refine(zz)
+            else:
+                if ah == 0:
+                    ac_first(zz, ac_tab)
+                else:
+                    ac_refine(zz, ac_tab)
+
+
 def _jpeg_decode_pixels(payload: bytes):
-    """Parse + entropy-decode a baseline grayscale JPEG. Returns
-    (width, height, pixels ndarray uint8). Internal: decode_jpeg wraps
-    it for stats; tests use it for per-pixel assertions."""
+    """Parse + entropy-decode a JPEG — baseline (SOF0, including
+    non-interleaved per-component scans) and progressive (SOF2:
+    spectral selection + successive approximation, DC and AC
+    refinement passes, EOB runs). Returns (width, height, pixels
+    ndarray uint8). Internal: decode_jpeg wraps it for stats; tests
+    use it for per-pixel assertions."""
     import numpy as np
 
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
@@ -1285,19 +1807,26 @@ def _jpeg_decode_pixels(payload: bytes):
     restart_interval = 0
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
+    progressive = False
+    coef = None
+    covered: set[int] = set()
+    scans_seen = 0
     while True:
-        if pos + 4 > len(payload):
-            raise ValueError("truncated JPEG: no SOS marker")
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG: no EOI marker")
         if payload[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD8:
             continue
-        if marker in (0xC2, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        if marker == 0xD9:
+            break
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                       0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline (SOF0) JPEG is supported"
+                "only baseline (SOF0) and progressive (SOF2) JPEG are "
+                "supported"
             )
         if marker == 0xDD:  # DRI: MCUs between restart markers
             (length,) = struct.unpack_from(">H", payload, pos)
@@ -1307,6 +1836,8 @@ def _jpeg_decode_pixels(payload: bytes):
                 ">H", payload, pos + 2)
             pos += length
             continue
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment")
         (length,) = struct.unpack_from(">H", payload, pos)
         if length < 2 or pos + length > len(payload):
             raise ValueError("truncated JPEG segment")
@@ -1325,7 +1856,10 @@ def _jpeg_decode_pixels(payload: bytes):
                 nat[_ZIGZAG] = zz
                 qtables[tq] = nat.reshape(8, 8)
                 off += 65
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 / SOF2
+            if sof is not None:
+                raise ValueError("JPEG has more than one frame header")
+            progressive = marker == 0xC2
             if len(body) < 6:
                 raise ValueError("truncated SOF0")
             prec, h, w_, ncomp = struct.unpack_from(">BHHB", body, 0)
@@ -1353,6 +1887,13 @@ def _jpeg_decode_pixels(payload: bytes):
                 # factors are meaningless — normalize rather than raise
                 comps[0] = (comps[0][0], 1, 1, comps[0][3])
             sof = (w_, h, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = (w_ + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            coef = [np.zeros((mcus_y * vi, mcus_x * hi, 64),
+                             dtype=np.int64)
+                    for (_cid, hi, vi, _tq) in comps]
         elif marker == 0xC4:  # DHT (possibly several tables)
             off = 0
             while off < len(body):
@@ -1375,123 +1916,62 @@ def _jpeg_decode_pixels(payload: bytes):
                     code <<= 1
                 huff[(tc, th)] = table
                 off += 17 + n
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode the scan, keep parsing
             if sof is None:
                 raise ValueError("JPEG SOS before SOF0")
             if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
                 raise ValueError("truncated SOS")
             n_scan = body[0]
-            if n_scan != len(sof[2]):
-                raise NotImplementedError(
-                    "scan component count != frame (progressive-style "
-                    "partial scans unsupported)"
-                )
-            scan_tabs = {}
-            for ci in range(n_scan):
-                cid, tt = body[1 + 2 * ci], body[2 + 2 * ci]
-                scan_tabs[cid] = (tt >> 4, tt & 0x0F)
-            entropy = payload[pos:]
-            end = entropy.rfind(b"\xff\xd9")
-            if end == -1:
-                raise ValueError("truncated JPEG: no EOI")
-            entropy = entropy[:end]
-            break
-        elif marker == 0xD9:
-            raise ValueError("JPEG has no scan data")
+            id_to_idx = {cid: i for i, (cid, _h, _v, _t)
+                         in enumerate(sof[2])}
+            scan_comps = []
+            for si in range(n_scan):
+                cid, tt = body[1 + 2 * si], body[2 + 2 * si]
+                if cid not in id_to_idx:
+                    raise ValueError(
+                        f"JPEG scan names unknown component {cid}")
+                scan_comps.append((id_to_idx[cid], tt >> 4, tt & 0x0F))
+                covered.add(id_to_idx[cid])
+            ss, se = body[1 + 2 * n_scan], body[2 + 2 * n_scan]
+            ahal = body[3 + 2 * n_scan]
+            end = _jpeg_entropy_end(payload, pos)
+            entropy = payload[pos:end]
+            pos = end
+            _jpeg_decode_scan(
+                entropy, sof, (scan_comps, ss, se, ahal >> 4,
+                               ahal & 0x0F),
+                coef, huff, restart_interval, progressive, np,
+            )
+            scans_seen += 1
         # APPn/COM/etc: skipped
+    if sof is None or scans_seen == 0:
+        raise ValueError("JPEG has no scan data")
     w_, h, comps = sof
-    per_comp = []  # (quant, dc tab, ac tab, h_i, v_i) in frame order
-    for cid, hi, vi, tq in comps:
+    for ci, (cid, _hi, _vi, tq) in enumerate(comps):
         if tq not in qtables:
             raise ValueError(f"JPEG references missing quant table {tq}")
-        if cid not in scan_tabs:
+        if ci not in covered:
             raise ValueError(f"JPEG scan is missing component {cid}")
-        td, ta = scan_tabs[cid]
-        if (0, td) not in huff or (1, ta) not in huff:
-            raise ValueError("JPEG references missing Huffman table")
-        per_comp.append((qtables[tq], huff[(0, td)], huff[(1, ta)],
-                         hi, vi))
+    per_comp = [(qtables[tq], None, None, hi, vi)
+                for (cid, hi, vi, tq) in comps]
     hmax = max(c[3] for c in per_comp)
     vmax = max(c[4] for c in per_comp)
-
-    def read_symbol(r: _BitReader, table) -> int:
-        code = 0
-        for ln in range(1, 17):
-            code = (code << 1) | r.bit()
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG Huffman code")
-
-    def extend(v: int, s: int) -> int:
-        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-
     t = _dct_matrix()
     mcus_x = (w_ + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
     planes = [np.zeros((mcus_y * 8 * vi, mcus_x * 8 * hi),
                        dtype=np.float64)
               for (_q, _d, _a, hi, vi) in per_comp]
-    # restart intervals: the entropy stream splits on byte-aligned RST
-    # markers (0xFFD0-D7; 0xFF00 is stuffed data) into segments of
-    # `restart_interval` MCUs, each decoded with fresh DC predictors
-    segments = [entropy]
-    if restart_interval:
-        parts = re.split(b"\xff([\xd0-\xd7])", entropy)
-        segments, markers = parts[0::2], parts[1::2]
-        for k, m in enumerate(markers):
-            if m[0] != 0xD0 + (k % 8):  # the spec's modulo-8 sequence
-                raise ValueError(
-                    f"JPEG restart marker out of order at boundary "
-                    f"{k}: got 0xff{m[0]:02x}"
-                )
-        expect = (mcus_x * mcus_y + restart_interval - 1) \
-            // restart_interval
-        if len(segments) != expect:
-            raise ValueError(
-                f"JPEG restart markers split the scan into "
-                f"{len(segments)} segments; interval "
-                f"{restart_interval} over {mcus_x * mcus_y} MCUs "
-                f"needs {expect}"
-            )
-    r = _BitReader(segments[0])
-    prev_dc = [0] * len(per_comp)
-    for mcu in range(mcus_x * mcus_y):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            r = _BitReader(segments[mcu // restart_interval])
-            prev_dc = [0] * len(per_comp)
-        myi, mxi = divmod(mcu, mcus_x)
-        # MCU: h_i×v_i blocks per component, interleaved in frame
-        # order, each with its own tables and DC predictor
-        for ci, (qt, dc_tab, ac_tab, hi, vi) in enumerate(per_comp):
-            for by in range(vi):
-                for bx in range(hi):
-                    zz = np.zeros(64, dtype=np.float64)
-                    s = read_symbol(r, dc_tab)
-                    diff = extend(r.bits(s), s) if s else 0
-                    prev_dc[ci] += diff
-                    zz[0] = prev_dc[ci]
-                    i = 1
-                    while i < 64:
-                        sym = read_symbol(r, ac_tab)
-                        if sym == 0x00:  # EOB
-                            break
-                        if sym == 0xF0:  # ZRL
-                            i += 16
-                            continue
-                        run, size = sym >> 4, sym & 0x0F
-                        i += run
-                        if i > 63 or size == 0:
-                            raise ValueError("corrupt JPEG AC run")
-                        zz[i] = extend(r.bits(size), size)
-                        i += 1
-                    nat = np.zeros(64, dtype=np.float64)
-                    nat[_ZIGZAG] = zz
-                    coeffs = nat.reshape(8, 8) * qt
-                    block = t.T @ coeffs @ t + 128.0
-                    py = (myi * vi + by) * 8
-                    px = (mxi * hi + bx) * 8
-                    planes[ci][py : py + 8, px : px + 8] = block
+    for ci, (qt, _d, _a, hi, vi) in enumerate(per_comp):
+        bh, bw = coef[ci].shape[:2]
+        for by in range(bh):
+            for bx in range(bw):
+                nat = np.zeros(64, dtype=np.float64)
+                nat[_ZIGZAG] = coef[ci][by, bx]
+                coeffs = nat.reshape(8, 8) * qt
+                block = t.T @ coeffs @ t + 128.0
+                planes[ci][by * 8 : by * 8 + 8,
+                           bx * 8 : bx * 8 + 8] = block
     # crop each plane to ITS resolution, then replicate-upsample the
     # subsampled ones back to full geometry (the standard fast JFIF
     # chroma upsampling; exact for the constant-tile oracle path)
@@ -1809,7 +2289,8 @@ def synthesize_media(
     executors; ``keep`` columns pass through for downstream
     grouping."""
     kinds = ("image", "audio", "png", "png-palette", "png-interlaced",
-             "png-16", "gif", "jpeg", "jpeg-color", "jpeg-420")
+             "png-16", "gif", "jpeg", "jpeg-color", "jpeg-420",
+             "jpeg-progressive")
     if kind not in kinds:
         raise ValueError(f"kind must be one of {kinds}")
     media_type = {"image": "image/bmp", "png": "image/png",
@@ -1818,6 +2299,7 @@ def synthesize_media(
                   "gif": "image/gif",
                   "jpeg": "image/jpeg", "jpeg-color": "image/jpeg",
                   "jpeg-420": "image/jpeg",
+                  "jpeg-progressive": "image/jpeg",
                   "audio": "audio/wav"}[kind]
     cols = [id_col, *keep]
     keep_schema = ", ".join(f"{c} string" for c in keep)
@@ -1880,6 +2362,17 @@ def synthesize_media(
                     payloads.append(encode_jpeg(
                         cw, chh, rgb=crgb, subsampling="420",
                         restart_interval=1 + int(d) % 3))
+            elif kind == "jpeg-progressive":
+                # SOF2 color files (spectral selection + successive
+                # approximation, 4:2:0 for odd ids): progressive
+                # re-orders the SAME quantized coefficients, so the
+                # constant-tile color oracle is again identical
+                payloads = []
+                for d in ids:
+                    cw, chh, crgb = jpeg_color_params(int(d))
+                    payloads.append(encode_jpeg(
+                        cw, chh, rgb=crgb, progressive=True,
+                        subsampling="420" if int(d) % 2 else "444"))
             else:
                 payloads = [encode_wav(*wav_params(int(d))) for d in ids]
             out = {"doc_id": ids, "payload": payloads, "media_type": media_type}
