@@ -2100,3 +2100,83 @@ def test_percolate_union_schema_and_bad_bodies(spark):
         "document": {"text": "nothing", "n": 1},
     }}})
     assert res["hits"].count() == 0
+
+
+def test_zero_fill_span_guard_fires_before_grid(spark):
+    """r9 verdict item 1: data-driven zero-fill bounds (absent or
+    one-sided extended_bounds) must be validated against the 100k
+    bucket cap BEFORE the grid is synthesized — one doc in 1970 and
+    one in 2026 at fixed_interval 1s is ~1.8B buckets and must raise
+    from the one-row bounds aggregate, never materialize."""
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        execute_search,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "1970-01-02 00:00:00"), (2, "2026-01-01 00:00:00")],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # absent extended_bounds: bounds come entirely from the data
+    with pytest.raises(ValueError, match="100k buckets"):
+        execute_search(df, {"size": 0, "aggs": {"h": {
+            "date_histogram": {"field": "ts", "fixed_interval": "1s",
+                               "min_doc_count": 0}}}})
+    # one-sided extended_bounds: the static both-present check cannot
+    # fire; the resolved-span check must
+    with pytest.raises(ValueError, match="100k buckets"):
+        execute_search(df, {"size": 0, "aggs": {"h": {
+            "date_histogram": {"field": "ts", "fixed_interval": "1s",
+                               "min_doc_count": 0,
+                               "extended_bounds": {
+                                   "min": "1969-01-01T00:00:00"}}}}})
+    # calendar intervals take the conservative-minimum step path
+    with pytest.raises(ValueError, match="100k buckets"):
+        execute_search(df, {"size": 0, "aggs": {"h": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "minute",
+                               "min_doc_count": 0}}}})
+    # numeric twin: stride span from the data alone
+    wide = spark.createDataFrame(
+        [(0.0,), (1.0e9,)], "feat double")
+    with pytest.raises(ValueError, match="100k buckets"):
+        execute_search(wide, {"size": 0, "aggs": {"h": {
+            "histogram": {"field": "feat", "interval": 1.0,
+                          "min_doc_count": 0}}}})
+    # ...and with a one-sided bound
+    with pytest.raises(ValueError, match="100k buckets"):
+        execute_search(wide, {"size": 0, "aggs": {"h": {
+            "histogram": {"field": "feat", "interval": 1.0,
+                          "min_doc_count": 0,
+                          "extended_bounds": {"min": -1.0e9}}}}})
+
+
+def test_zero_fill_plan_is_distributed(spark):
+    """Plan audit (r9 verdict item 8, style of
+    test_percentiles_approx_plan_is_sketch_only): the zero-fill frame's
+    executed plan synthesizes the grid with a Generate(explode) over
+    sequence() and joins the aggregate back broadcast — no driver-side
+    bucket loop can silently replace the distributed shape."""
+    import re as _re
+
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        _zero_fill_date_grid,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-04 00:00:00")],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    agg_df = df.groupBy(
+        F.date_trunc("day", "ts").alias("key")
+    ).agg(F.count("*").alias("doc_count"))
+    frame = _zero_fill_date_grid(
+        agg_df, {"field": "ts", "calendar_interval": "day",
+                 "min_doc_count": 0})
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    # the sequence() over the validated literal bounds may be
+    # constant-folded into a literal array (≤100k keys by the cap);
+    # what must survive is the executor-side explode + broadcast join
+    assert _re.search(r"Generate explode", plan)
+    assert _re.search(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan)
+    # 4 rows: Jan 1 .. Jan 4, gaps zero-filled
+    assert frame.count() == 4
