@@ -522,12 +522,17 @@ def _publish_index(base: str, write) -> None:
     on-disk warehouse therefore never observe a half-written index and
     never clobber a version another session is mid-scan on — each
     writer lands its own version dir and the pointer flip is the only
-    shared mutation. Superseded versions are pruned best-effort,
-    keeping the two newest so an in-flight reader of the previous
-    version finishes its scan."""
+    shared mutation. Superseded versions are pruned best-effort, but
+    never the newest previous version and never anything younger than
+    a grace period — back-to-back rebuilds must not delete a version a
+    long-running reader resolved via ``_CURRENT`` moments earlier and
+    is still scanning (the unbounded best-effort window was an r9
+    ADVICE finding)."""
     import shutil
+    import time
     import uuid
 
+    grace_secs = 900.0
     os.makedirs(base, exist_ok=True)
     ver = f"v{uuid.uuid4().hex[:12]}"
     write(os.path.join(base, ver))
@@ -539,8 +544,10 @@ def _publish_index(base: str, write) -> None:
         (d for d in os.listdir(base) if d.startswith("v") and d != ver),
         key=lambda d: os.path.getmtime(os.path.join(base, d)),
     )
+    now = time.time()
     for d in vers[:-1]:
-        shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+        if now - os.path.getmtime(os.path.join(base, d)) > grace_secs:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
 
 def _resolve_index(base: str) -> str:

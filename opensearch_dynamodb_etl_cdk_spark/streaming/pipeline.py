@@ -346,19 +346,45 @@ class FlightsEtlPipeline:
           re-delivers the same terminal actions (at-least-once
           delivery, exactly-once effect — the parquet MERGE and the
           bulk sinks share the rule);
-        - all-or-nothing clearing: the DLQ directory is removed only
-          AFTER ``write_route`` returns; a replay that fails leaves
-          every slice parked for the next attempt (and raises);
-        - a metrics row (epoch ``epoch_id``, default -2) records the
-          replay volume next to the live epochs.
+        - snapshot-exact clearing: the slice FILES present when the
+          replay starts are enumerated up front, read explicitly, and
+          deleted individually only AFTER ``write_route`` returns —
+          slices parked by a still-failing concurrent stream while the
+          replay runs are neither replayed nor deleted, and a replay
+          that fails leaves every slice parked for the next attempt
+          (and raises);
+        - a metrics row (epoch ``epoch_id``, default -2) is APPENDED so
+          consecutive replays of different routes (or repeated replays
+          of one route after separate outages) each keep their audit
+          row — dynamic partition overwrite on the shared replay epoch
+          would erase the earlier one.
 
         Returns the number of replayed rows (0 = empty DLQ, a no-op).
+        Only a genuinely absent DLQ directory is treated as "nothing
+        parked"; read failures (corrupt slices, permissions) propagate
+        — silently skipping recovery must not look like a clean no-op.
         """
         path = os.path.join(self.cfg.index_root, "dlq", route)
-        try:
-            dead = self.spark.read.parquet(path)
-        except Exception:
-            return 0  # nothing parked
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path
+        p = hpath(path)
+        fs = p.getFileSystem(conf)
+        if not fs.exists(p):
+            return 0  # nothing ever parked for this route
+        # snapshot the slice listing FIRST (Hadoop FS API — portable
+        # across local/HDFS/object stores, same mechanism as
+        # _remove_buckets); everything appended after this point stays
+        # parked for the next replay
+        it = fs.listFiles(p, True)
+        files = []
+        while it.hasNext():
+            name_path = it.next().getPath()
+            if not name_path.getName().startswith(("_", ".")):
+                files.append(name_path.toString())
+        if not files:
+            return 0
+        dead = self.spark.read.parquet(*files)
         # break lineage off the files about to be deleted, so clearing
         # the DLQ never races a lazy re-read of its own input
         dead = dead.drop("_error", "_route").localCheckpoint(eager=True)
@@ -366,12 +392,19 @@ class FlightsEtlPipeline:
         if n:
             self.sink.write_route(self, route, dead, epoch_id)
             n_delete = dead.filter(F.col("_action") == "delete").count()
-        # clear replayed objects (Hadoop FS API — portable across
-        # local/HDFS/object stores, same mechanism as _remove_buckets)
-        jvm = self.spark._jvm
-        conf = self.spark._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        p.getFileSystem(conf).delete(p, True)
+        # clear EXACTLY the replayed slice files
+        for f in files:
+            fs.delete(hpath(f), False)
+        # best-effort tidy: drop writer markers and the dir itself only
+        # if nothing new was parked meanwhile (non-recursive delete
+        # refuses a non-empty dir, so a concurrent append survives)
+        try:
+            for st in fs.listStatus(p):
+                if st.getPath().getName().startswith(("_", ".")):
+                    fs.delete(st.getPath(), False)
+            fs.delete(p, False)
+        except Exception:
+            pass
         if n:
             mdf = self.spark.createDataFrame(
                 [(epoch_id, route, n, n, n, n_delete, 0)],
@@ -380,8 +413,7 @@ class FlightsEtlPipeline:
             )
             (
                 mdf.coalesce(1)
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
+                .write.mode("append")
                 .partitionBy("epoch")
                 .parquet(os.path.join(self.cfg.index_root, "_metrics"))
             )

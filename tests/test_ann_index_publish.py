@@ -41,18 +41,28 @@ def test_publish_is_versioned_and_pointer_flips(spark, tmp_path):
     assert set(_versions(base)) >= {os.path.basename(v1),
                                     os.path.basename(v2)}
 
-    # a third publish prunes the oldest, keeps the two newest
+    # a third publish keeps EVERY version still inside the pruning
+    # grace period — back-to-back rebuilds must not delete a version a
+    # long-running reader resolved moments earlier (r9 ADVICE)
     CE._publish_index(base, lambda d: spark.range(2).write.parquet(d))
     v3 = CE._resolve_index(base)
     vers = _versions(base)
-    assert len(vers) == 2
-    assert os.path.basename(v3) in vers
-    assert os.path.basename(v2) in vers
+    assert {os.path.basename(v) for v in (v1, v2, v3)} <= set(vers)
+
+    # ...but an AGED superseded version (past the grace period and not
+    # the newest previous) is pruned by the next publish
+    import time
+
+    aged = time.time() - 3600
+    os.utime(os.path.join(base, os.path.basename(v1)), (aged, aged))
+    CE._publish_index(base, lambda d: spark.range(4).write.parquet(d))
+    vers = _versions(base)
     assert os.path.basename(v1) not in vers
+    assert os.path.basename(v3) in vers  # newest previous always kept
 
     # no half-written state is ever pointed at: _CURRENT contents name
     # an existing, complete parquet dir
-    assert spark.read.parquet(CE._resolve_index(base)).count() == 2
+    assert spark.read.parquet(CE._resolve_index(base)).count() == 4
 
 
 def test_lsh_index_interleaved_rebuild_consistent(spark, sf_dir):

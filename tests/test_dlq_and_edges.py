@@ -106,6 +106,78 @@ def test_replay_dlq_recovers_failed_route_then_noops(spark, tmp_path, monkeypatc
     assert again == golden_rows
 
 
+def test_replay_dlq_metrics_survive_second_route(spark, tmp_path, monkeypatch):
+    """r9 verdict item 5a: replaying route A then route B must leave
+    BOTH audit rows under the replay epoch — the old dynamic partition
+    overwrite on epoch=-2 erased A's row when B replayed."""
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string")
+    cfg = PipelineConfig(index_root=str(tmp_path / "indexes"),
+                         checkpoint_root=str(tmp_path / "chk"))
+    pipe = FlightsEtlPipeline(spark, cfg)
+    original = pipe._merge_route
+    down = {"fare": True, "flight": True}
+
+    def flaky_merge(route_df, route):
+        if down.get(route):
+            raise RuntimeError("simulated sink outage")
+        return original(route_df, route)
+
+    monkeypatch.setattr(pipe, "_merge_route", flaky_merge)
+    pipe.bootstrap(items)
+    down["fare"] = down["flight"] = False
+    assert pipe.replay_dlq("fare") == 22
+    assert pipe.replay_dlq("flight") == 13
+    m = {r.route: r.rows_merged
+         for r in pipe.read_metrics().filter(F.col("epoch") == -2).collect()}
+    assert m == {"fare": 22, "flight": 13}
+
+
+def test_replay_dlq_leaves_concurrently_parked_rows(
+        spark, tmp_path, monkeypatch):
+    """r9 verdict item 5b: a slice parked WHILE a replay is running
+    (sink still failing for a concurrent micro-batch) must survive the
+    replay's clearing pass — only the snapshot the replay actually
+    re-drove may be deleted."""
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string")
+    cfg = PipelineConfig(index_root=str(tmp_path / "indexes"),
+                         checkpoint_root=str(tmp_path / "chk"))
+    pipe = FlightsEtlPipeline(spark, cfg)
+    original = pipe._merge_route
+    down = {"fare": True}
+
+    def flaky_merge(route_df, route):
+        if down.get(route):
+            raise RuntimeError("simulated sink outage")
+        return original(route_df, route)
+
+    monkeypatch.setattr(pipe, "_merge_route", flaky_merge)
+    pipe.bootstrap(items)
+    down["fare"] = False
+
+    parked_late = spark.read.parquet(
+        os.path.join(cfg.index_root, "dlq", "fare")).drop(
+        "_error", "_route").limit(3).localCheckpoint(eager=True)
+    orig_write = pipe.sink.write_route
+
+    def write_and_park_late(pipeline, route, df, epoch_id):
+        out = orig_write(pipeline, route, df, epoch_id)
+        # a concurrent micro-batch parks a fresh slice mid-replay
+        pipeline._write_dlq(parked_late, route, "late outage")
+        return out
+
+    monkeypatch.setattr(pipe.sink, "write_route", write_and_park_late)
+    assert pipe.replay_dlq("fare") == 22
+    monkeypatch.setattr(pipe.sink, "write_route", orig_write)
+    # the late slice is still parked — not lost, not replayed
+    left = spark.read.parquet(os.path.join(cfg.index_root, "dlq", "fare"))
+    assert left.count() == 3
+    # and the next replay drains it
+    assert pipe.replay_dlq("fare") == 3
+    assert not os.path.exists(os.path.join(cfg.index_root, "dlq", "fare"))
+
+
 EMPTY_DOCS = "doc_id long, text string, lang string"
 
 
