@@ -2845,6 +2845,51 @@ def multimodal_wav_decode_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_flac_decode_stats",
+    oracle="""
+    SELECT source, COUNT(*) AS n_items,
+           CAST(SUM(64 + doc_id % 128) AS BIGINT) AS sum_frames,
+           CAST(SUM(CAST(16000 + (doc_id % 4) * 4000 AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(1) AS avg_sample_rate,
+           CAST(SUM(CAST((doc_id % 200 - 100)
+               + (1 + doc_id % 3) * (63 + doc_id % 128) / 2.0
+               AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_amplitude,
+           MIN((64 + doc_id % 128) * 1000.0 / (16000 + (doc_id % 4) * 4000))
+               AS min_duration_ms,
+           MAX((64 + doc_id % 128) * 1000.0 / (16000 + (doc_id % 4) * 4000))
+               AS max_duration_ms
+    FROM documents GROUP BY source
+    """,
+    doc="REAL compressed-audio decode end-to-end: synthesize genuine "
+    "FLAC streams per document (operators/multimodal.py::"
+    "encode_flac_ramp — Rice-coded fixed/LPC subframes, mono/stereo "
+    "with all three decorrelation modes cycling by id, partitioned "
+    "residuals, CRC-8/16 + MD5 protected), decode them back with the "
+    "spec FLAC decoder (::decode_flac / ::_flac_pcm), aggregate per "
+    "source. The per-channel ramp's mean has the closed form "
+    "base + slope*(n-1)/2, so any prediction/Rice/stereo-reconstruction "
+    "bug shifts avg_amplitude and breaks the hash (the WAV-row oracle "
+    "trick applied to a genuinely compressed codec).",
+    tags=("multimodal",),
+)
+def multimodal_flac_decode_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    media = M.synthesize_media(d, "flac", keep=("source",))
+    feats = M.extract_media_features(media, keep=("source",))
+    exact = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast("double") / F.count(
+        F.lit(1)
+    )
+    return feats.groupBy("source").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_units").alias("sum_frames"),
+        exact("sample_rate").alias("avg_sample_rate"),
+        exact("mean_value").alias("avg_amplitude"),
+        F.min("duration_ms").alias("min_duration_ms"),
+        F.max("duration_ms").alias("max_duration_ms"),
+    )
+
+
+@register(
     "embedding_near_dup_pairs",
     property_test="tests/test_dedup_similarity.py::test_embedding_near_dup_pairs_finds_planted",
     oracle=None,  # LSH bucketing not SQL-expressible; planted-dup recall

@@ -1279,3 +1279,129 @@ def test_png_16bit_roundtrip():
         M.encode_png(2, 2, 0, color_type=3, bit_depth=16)
     with pytest.raises(ValueError, match="samples length"):
         M.encode_png(2, 2, color_type=0, bit_depth=16, samples=b"\x00" * 4)
+
+
+# ----------------------------------------------------------- FLAC codec
+
+
+def _flac_ramp(n=200, base=100, slope=3, channels=1):
+    return [[base + slope * i] * channels for i in range(n)]
+
+
+def test_flac_round_trip_all_subframe_paths():
+    """Every decoder path driven by the encoder: constant, fixed
+    (best-order), LPC, partitioned Rice, raw-bits escape, multi-frame
+    with a short last frame, mono and stereo."""
+    cases = [
+        dict(),                                  # fixed, single partition
+        dict(use_lpc=True),                      # LPC subframe layout
+        dict(partition_order=2, block_size=64),  # partitioned residuals
+        dict(force_escape=True),                 # raw-bits escape
+        dict(block_size=128),                    # multi-frame, short last
+    ]
+    frames = _flac_ramp(300, -50, 2, channels=2)
+    for kw in cases:
+        payload = M.encode_flac(44100, frames, **kw)
+        rate, ch, bps, out = M._flac_pcm(payload)
+        assert (rate, ch, bps) == (44100, 2, 16), kw
+        assert out == frames, kw
+    # constant subframe
+    rate, ch, bps, out = M._flac_pcm(M.encode_flac(8000, [[-3]] * 100))
+    assert out == [[-3]] * 100
+    # empty stream round-trips to zero frames
+    assert M._flac_pcm(M.encode_flac(8000, []))[3] == []
+
+
+def test_flac_stereo_decorrelation_modes():
+    import random
+
+    random.seed(42)
+    frames = [[random.randint(-32768, 32767), random.randint(-32768, 32767)]
+              for _ in range(257)]
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        payload = M.encode_flac(22050, frames, stereo_mode=mode)
+        assert M._flac_pcm(payload)[3] == frames, mode
+    with pytest.raises(ValueError, match="2 channels"):
+        M.encode_flac(8000, [[1]] * 20, stereo_mode="mid_side")
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+    st.sampled_from([1, 2]),
+    st.booleans(),
+)
+def test_flac_round_trip_random_pcm(vals, channels, lpc):
+    """Property: ANY 16-bit PCM round-trips bit-exactly — random
+    residuals exercise nonzero Rice parameters, quotient unary runs
+    and the zigzag fold on both signs."""
+    frames = [[v] * channels for v in vals]
+    payload = M.encode_flac(16000, frames, use_lpc=lpc)
+    assert M._flac_pcm(payload)[3] == frames
+
+
+def test_flac_feature_decode_and_dispatch():
+    payload = M.encode_flac_ramp(12)
+    rate, n, base, slope = M.flac_params(12)
+    f = M.decode_audio(payload)
+    assert f["media_kind"] == "audio"
+    assert f["sample_rate"] == rate and f["n_units"] == n
+    assert f["mean_value"] == base + slope * (n - 1) / 2
+    assert f["bit_depth"] == 16
+    assert M.detect_media_format(payload).name == "flac"
+    # decode_media via MIME type
+    assert M.decode_media(payload, "audio/flac")["n_units"] == n
+
+
+def test_flac_malformed_rejections():
+    good = M.encode_flac(8000, _flac_ramp(100))
+    # truncation is structural damage
+    with pytest.raises(ValueError):
+        M._flac_pcm(good[:-3])
+    with pytest.raises(ValueError, match="truncated FLAC metadata"):
+        M._flac_pcm(b"fLaC\x00\x00")
+    # frame CRC-16: flip a residual bit in the last frame body
+    corrupt = bytearray(good)
+    corrupt[-4] ^= 0x10
+    with pytest.raises(ValueError, match="CRC"):
+        M._flac_pcm(bytes(corrupt))
+    # header CRC-8: flip a frame-header bit (byte after STREAMINFO)
+    hdr_corrupt = bytearray(good)
+    hdr_corrupt[4 + 4 + 34 + 2] ^= 0x04  # inside the first frame header
+    with pytest.raises(ValueError):
+        M._flac_pcm(bytes(hdr_corrupt))
+    # STREAMINFO MD5 mismatch: tamper the stored digest AND fix nothing
+    md5_corrupt = bytearray(good)
+    md5_corrupt[4 + 4 + 18] ^= 0xFF  # first MD5 byte of STREAMINFO
+    with pytest.raises(ValueError, match="MD5|CRC"):
+        M._flac_pcm(bytes(md5_corrupt))
+    # encoder input validation
+    with pytest.raises(ValueError, match="block_size"):
+        M.encode_flac(8000, _flac_ramp(20), block_size=8)
+    with pytest.raises(ValueError, match="sample exceeds"):
+        M.encode_flac(8000, [[70000]])
+    with pytest.raises(ValueError, match="ragged"):
+        M.encode_flac(8000, [[1, 2], [3]])
+
+
+def test_flac_resample_acceptance():
+    """resample_wav accepts FLAC input and emits canonical PCM WAV —
+    the audio tier's cross-container normalization."""
+    payload = M.encode_flac(8000, [[500]] * 800)  # 100 ms constant
+    out = M.resample_wav(payload, 4000)
+    d = M.decode_wav(out)
+    assert d["sample_rate"] == 4000 and d["n_units"] == 400
+    assert d["mean_value"] == 500.0
+    assert abs(d["duration_ms"] - 100.0) < 1e-9
+
+
+def test_flac_resample_audio_frame(spark):
+    df = spark.createDataFrame(
+        [(1, "s", M.encode_flac(8000, [[-7]] * 80)),
+         (2, "s", M.encode_wav(16000, 1, 320, 9))],
+        "doc_id long, source string, payload binary",
+    )
+    out = {r["doc_id"]: r for r in M.resample_audio(df, 4000).collect()}
+    # FLAC and WAV inputs normalize through the same Arrow-batched op
+    assert out[1]["n_frames"] == 40 and out[2]["n_frames"] == 80
+    assert M.decode_wav(bytes(out[1]["payload"]))["mean_value"] == -7.0
