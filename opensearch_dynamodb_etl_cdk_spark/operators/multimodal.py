@@ -1651,7 +1651,7 @@ def _encode_jpeg_block(w, block, qt, dc_codes, ac_codes, t, prev_dc,
 
 
 def _encode_jpeg_progressive(planes, factors, width, height, qt, q_zz,
-                             color, np) -> bytes:
+                             color, np, restart_interval: int = 0) -> bytes:
     """Emit a PROGRESSIVE (SOF2) JPEG over the already-quantized
     coefficient plan: spectral selection (DC scan, AC 1-5, AC 6-63)
     with successive approximation (coefficients first at reduced
@@ -1662,7 +1662,15 @@ def _encode_jpeg_progressive(planes, factors, width, height, qt, q_zz,
     correction bits. Coefficients are IDENTICAL to the baseline
     encoding of the same pixels — progressive only re-orders their
     transmission — which is what the round-trip equivalence test
-    pins."""
+    pins.
+
+    ``restart_interval`` threads T.81 restart markers through EVERY
+    scan of the progression: each scan's entropy stream is split by a
+    spec-sequenced RSTn every N units (MCUs for the interleaved DC
+    scans, component blocks for the per-component AC scans), with the
+    per-scan state — DC predictors, EOB runs and their buffered
+    correction bits — flushed and reset at each boundary, exactly the
+    reset the decoder performs on resync."""
     t = _dct_matrix()
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
@@ -1689,154 +1697,192 @@ def _encode_jpeg_progressive(planes, factors, width, height, qt, q_zz,
         ch = (height * vi + vmax - 1) // vmax
         return (ch + 7) // 8, (cw + 7) // 8
 
-    def dc_blocks(comp_idx):
-        """Block iteration order for a DC scan: MCU-interleaved when
-        the scan has several components, the component's own ceil
-        raster otherwise."""
+    def dc_units(comp_idx):
+        """Unit iteration for a DC scan — each yielded unit is the
+        restart-boundary granule: one MCU's blocks when the scan is
+        interleaved, a single block of the component's own ceil raster
+        otherwise (T.81 A.2.2)."""
         if len(comp_idx) > 1:
             for mcu in range(mcus_x * mcus_y):
                 myi, mxi = divmod(mcu, mcus_x)
+                unit = []
                 for c in comp_idx:
                     fh, fv = factors[c]
                     for by in range(fv):
                         for bx in range(fh):
-                            yield c, coefs[c][myi * fv + by,
-                                              mxi * fh + bx]
+                            unit.append((c, coefs[c][myi * fv + by,
+                                                     mxi * fh + bx]))
+                yield unit
         else:
             c = comp_idx[0]
             cbh, cbw = ceil_blocks(c)
             for by in range(cbh):
                 for bx in range(cbw):
-                    yield c, coefs[c][by, bx]
+                    yield [(c, coefs[c][by, bx])]
 
     def emit_mag(w, v, s):
         w.write(v if v >= 0 else v + (1 << s) - 1, s)
 
+    class _ScanWriter:
+        """Per-scan segmentation: flush + spec-sequenced RSTn every
+        ``restart_interval`` units, fresh bit writer per segment; the
+        caller resets its own predictors/EOB state in ``on_restart``."""
+
+        def __init__(self, on_restart=None):
+            self.body = bytearray()
+            self.w = _BitWriter()
+            self.n_rst = 0
+            self.on_restart = on_restart
+
+        def boundary(self, unit_index: int) -> None:
+            if restart_interval and unit_index \
+                    and unit_index % restart_interval == 0:
+                self.body += self.w.flush()
+                self.body += bytes([0xFF, 0xD0 + (self.n_rst % 8)])
+                self.n_rst += 1
+                self.w = _BitWriter()
+                if self.on_restart:
+                    self.on_restart()
+
+        def done(self) -> bytes:
+            return bytes(self.body + self.w.flush())
+
     def dc_first(comp_idx, al):
-        w = _BitWriter()
         prev = {c: 0 for c in comp_idx}
-        for c, zz in dc_blocks(comp_idx):
-            v = int(zz[0]) >> al  # arithmetic shift: the DC point transform
-            diff = v - prev[c]
-            prev[c] = v
-            s = _size_cat(diff)
-            code, ln = dc_codes[s]
-            w.write(code, ln)
-            if s:
-                emit_mag(w, diff, s)
-        return w.flush()
+        sw = _ScanWriter(lambda: prev.update({c: 0 for c in comp_idx}))
+        for ui, unit in enumerate(dc_units(comp_idx)):
+            sw.boundary(ui)
+            w = sw.w
+            for c, zz in unit:
+                v = int(zz[0]) >> al  # arithmetic shift: the DC point
+                diff = v - prev[c]    # transform
+                prev[c] = v
+                s = _size_cat(diff)
+                code, ln = dc_codes[s]
+                w.write(code, ln)
+                if s:
+                    emit_mag(w, diff, s)
+        return sw.done()
 
     def dc_refine(comp_idx, al):
-        w = _BitWriter()
-        for _c, zz in dc_blocks(comp_idx):
-            w.write((int(zz[0]) >> al) & 1, 1)
-        return w.flush()
+        sw = _ScanWriter()
+        for ui, unit in enumerate(dc_units(comp_idx)):
+            sw.boundary(ui)
+            for _c, zz in unit:
+                sw.w.write((int(zz[0]) >> al) & 1, 1)
+        return sw.done()
 
     def ac_first(c, ss, se, al):
-        w = _BitWriter()
         eobrun = 0
+        sw = _ScanWriter()
 
-        def flush_eob():
+        def _flush():
             nonlocal eobrun
             if eobrun:
                 nb = eobrun.bit_length() - 1
                 code, ln = ac_codes[nb << 4]
-                w.write(code, ln)
+                sw.w.write(code, ln)
                 if nb:
-                    w.write(eobrun & ((1 << nb) - 1), nb)
+                    sw.w.write(eobrun & ((1 << nb) - 1), nb)
                 eobrun = 0
 
         cbh, cbw = ceil_blocks(c)
-        for by in range(cbh):
-            for bx in range(cbw):
-                zz = coefs[c][by, bx]
+        for ui in range(cbh * cbw):
+            if restart_interval and ui and ui % restart_interval == 0:
+                _flush()  # an EOB run may not span a restart boundary
+                sw.boundary(ui)
+            by, bx = divmod(ui, cbw)
+            zz = coefs[c][by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t2 = abs(v) >> al
+                if t2 == 0:
+                    r += 1
+                    continue
+                _flush()
+                while r > 15:
+                    code, ln = ac_codes[0xF0]
+                    sw.w.write(code, ln)
+                    r -= 16
+                s = t2.bit_length()
+                if s > 10:
+                    raise ValueError(
+                        "AC coefficient out of baseline range")
+                code, ln = ac_codes[(r << 4) | s]
+                sw.w.write(code, ln)
+                emit_mag(sw.w, t2 if v > 0 else -t2, s)
                 r = 0
-                for k in range(ss, se + 1):
-                    v = int(zz[k])
-                    t2 = abs(v) >> al
-                    if t2 == 0:
-                        r += 1
-                        continue
-                    flush_eob()
-                    while r > 15:
-                        code, ln = ac_codes[0xF0]
-                        w.write(code, ln)
-                        r -= 16
-                    s = t2.bit_length()
-                    if s > 10:
-                        raise ValueError(
-                            "AC coefficient out of baseline range")
-                    code, ln = ac_codes[(r << 4) | s]
-                    w.write(code, ln)
-                    emit_mag(w, t2 if v > 0 else -t2, s)
-                    r = 0
-                if r:
-                    eobrun += 1
-                    if eobrun == 0x7FFF:
-                        flush_eob()
-        flush_eob()
-        return w.flush()
+            if r:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    _flush()
+        _flush()
+        return sw.done()
 
     def ac_refine(c, ss, se, al):
-        w = _BitWriter()
         eobrun = 0
         pend: list[int] = []  # correction bits deferred with the EOB run
+        sw = _ScanWriter()
 
         def flush_eob():
             nonlocal eobrun, pend
             if eobrun:
                 nb = eobrun.bit_length() - 1
                 code, ln = ac_codes[nb << 4]
-                w.write(code, ln)
+                sw.w.write(code, ln)
                 if nb:
-                    w.write(eobrun & ((1 << nb) - 1), nb)
+                    sw.w.write(eobrun & ((1 << nb) - 1), nb)
                 for b in pend:
-                    w.write(b, 1)
+                    sw.w.write(b, 1)
                 eobrun, pend = 0, []
 
         cbh, cbw = ceil_blocks(c)
-        for by in range(cbh):
-            for bx in range(cbw):
-                zz = coefs[c][by, bx]
-                absv = [abs(int(zz[k])) >> al for k in range(64)]
-                eob_idx = 0  # index of the last NEWLY-significant coef
-                for k in range(ss, se + 1):
-                    if absv[k] == 1:
-                        eob_idx = k
-                r = 0
-                br: list[int] = []
-                for k in range(ss, se + 1):
-                    t2 = absv[k]
-                    if t2 == 0:
-                        r += 1
-                        continue
-                    # ZRLs only when they cannot fold into the EOB run
-                    while r > 15 and k <= eob_idx:
-                        flush_eob()
-                        code, ln = ac_codes[0xF0]
-                        w.write(code, ln)
-                        r -= 16
-                        for b in br:
-                            w.write(b, 1)
-                        br = []
-                    if t2 > 1:  # already significant: correction bit
-                        br.append(t2 & 1)
-                        continue
-                    flush_eob()  # newly significant at this precision
-                    code, ln = ac_codes[(r << 4) | 1]
-                    w.write(code, ln)
-                    w.write(1 if int(zz[k]) > 0 else 0, 1)
+        for ui in range(cbh * cbw):
+            if restart_interval and ui and ui % restart_interval == 0:
+                flush_eob()  # EOB runs and their buffered correction
+                sw.boundary(ui)  # bits may not span a restart boundary
+            by, bx = divmod(ui, cbw)
+            zz = coefs[c][by, bx]
+            absv = [abs(int(zz[k])) >> al for k in range(64)]
+            eob_idx = 0  # index of the last NEWLY-significant coef
+            for k in range(ss, se + 1):
+                if absv[k] == 1:
+                    eob_idx = k
+            r = 0
+            br: list[int] = []
+            for k in range(ss, se + 1):
+                t2 = absv[k]
+                if t2 == 0:
+                    r += 1
+                    continue
+                # ZRLs only when they cannot fold into the EOB run
+                while r > 15 and k <= eob_idx:
+                    flush_eob()
+                    code, ln = ac_codes[0xF0]
+                    sw.w.write(code, ln)
+                    r -= 16
                     for b in br:
-                        w.write(b, 1)
+                        sw.w.write(b, 1)
                     br = []
-                    r = 0
-                if r or br:
-                    eobrun += 1
-                    pend.extend(br)
-                    if eobrun == 0x7FFF or len(pend) > 900:
-                        flush_eob()
+                if t2 > 1:  # already significant: correction bit
+                    br.append(t2 & 1)
+                    continue
+                flush_eob()  # newly significant at this precision
+                code, ln = ac_codes[(r << 4) | 1]
+                sw.w.write(code, ln)
+                sw.w.write(1 if int(zz[k]) > 0 else 0, 1)
+                for b in br:
+                    sw.w.write(b, 1)
+                br = []
+                r = 0
+            if r or br:
+                eobrun += 1
+                pend.extend(br)
+                if eobrun == 0x7FFF or len(pend) > 900:
+                    flush_eob()
         flush_eob()
-        return w.flush()
+        return sw.done()
 
     def seg(marker: int, payload_: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload_) + 2) + payload_
@@ -1870,7 +1916,9 @@ def _encode_jpeg_progressive(planes, factors, width, height, qt, q_zz,
                    + bytes([ss, se, (ah << 4) | al]))
 
     all_idx = list(range(n))
-    out = bytearray(b"\xff\xd8" + dqt + sof + dht)
+    dri = (seg(0xFFDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    out = bytearray(b"\xff\xd8" + dqt + sof + dht + dri)
     out += sos(all_idx, 0, 0, 0, 1) + dc_first(all_idx, 1)
     for c in all_idx:
         out += sos([c], 1, 5, 0, 2) + ac_first(c, 1, 5, 2)
@@ -1960,10 +2008,6 @@ def encode_jpeg(width: int, height: int, pixel_value: int = 128,
         raise ValueError("quant must be 64 values in 1..255")
     if restart_interval < 0 or restart_interval > 0xFFFF:
         raise ValueError("restart_interval must be in 0..65535")
-    if progressive and restart_interval:
-        raise NotImplementedError(
-            "restart markers in progressive JPEG unsupported"
-        )
     qt = np.array(q, dtype=np.float64).reshape(8, 8)
     if subsampling not in ("444", "422", "420"):
         raise ValueError("subsampling must be '444', '422' or '420'")
@@ -1990,7 +2034,8 @@ def encode_jpeg(width: int, height: int, pixel_value: int = 128,
         q_flat_p = np.array(q, dtype=np.int64).ravel()
         q_zz_p = bytes(int(q_flat_p[_ZIGZAG[i]]) for i in range(64))
         return _encode_jpeg_progressive(
-            planes, factors, width, height, qt, q_zz_p, color, np)
+            planes, factors, width, height, qt, q_zz_p, color, np,
+            restart_interval=restart_interval)
     t = _dct_matrix()
     dc_codes = _huff_codes(_DC_COUNTS, _DC_SYMBOLS)
     ac_codes = _huff_codes(_AC_COUNTS, _AC_SYMBOLS)
@@ -2148,10 +2193,6 @@ def _jpeg_decode_scan(entropy, frame, scan, coef, huff,
     interleaved = len(scan_comps) > 1
 
     if progressive:
-        if restart_interval:
-            raise NotImplementedError(
-                "restart markers in progressive JPEG unsupported"
-            )
         if ss == 0 and se != 0:
             raise ValueError(
                 "progressive DC scan must have Se=0 (a full-band scan "
@@ -2965,15 +3006,18 @@ def synthesize_media(
                         restart_interval=1 + int(d) % 3))
             elif kind == "jpeg-progressive":
                 # SOF2 color files (spectral selection + successive
-                # approximation, 4:2:0 for odd ids): progressive
-                # re-orders the SAME quantized coefficients, so the
-                # constant-tile color oracle is again identical
+                # approximation, 4:2:0 for odd ids, restart markers
+                # threaded through every scan for ids % 3 != 0):
+                # progressive re-orders the SAME quantized
+                # coefficients, so the constant-tile color oracle is
+                # again identical
                 payloads = []
                 for d in ids:
                     cw, chh, crgb = jpeg_color_params(int(d))
                     payloads.append(encode_jpeg(
                         cw, chh, rgb=crgb, progressive=True,
-                        subsampling="420" if int(d) % 2 else "444"))
+                        subsampling="420" if int(d) % 2 else "444",
+                        restart_interval=int(d) % 3))
             elif kind == "flac":
                 # real Rice-coded FLAC; mono/stereo + all three
                 # decorrelation modes + fixed/LPC subframes cycle by id

@@ -2791,13 +2791,16 @@ def multimodal_jpeg420_decode_stats(spark, sf_dir):
     "color files whose coefficients arrive across a spectral-"
     "selection + successive-approximation scan script (interleaved "
     "DC scan at Al=1 plus refinement, per-component AC band scans at "
-    "Al=2 refined twice, EOB-run folding; 4:2:0 chroma for odd ids) "
+    "Al=2 refined twice, EOB-run folding; 4:2:0 chroma for odd ids; "
+    "RESTART MARKERS threaded through every scan for ids % 3 != 0, "
+    "with per-scan DC-predictor and EOB-run resets at each boundary) "
     "— operators/multimodal.py::_encode_jpeg_progressive / "
     "_jpeg_decode_scan. Progressive re-orders the SAME quantized "
     "coefficients baseline carries, and constant color tiles keep "
     "the DCT path distortion-free, so the ORACLE IS IDENTICAL to the "
-    "baseline color row: any band/approximation/EOB-run/refinement "
-    "bug shifts reconstructed values and breaks the shared hash.",
+    "baseline color row: any band/approximation/EOB-run/refinement/"
+    "restart-resync bug shifts reconstructed values and breaks the "
+    "shared hash.",
     tags=("multimodal",),
 )
 def multimodal_progressive_jpeg_decode_stats(spark, sf_dir):

@@ -712,15 +712,10 @@ def test_jpeg_malformed_and_unsupported():
     multi = jpg[:i] + sof + jpg[i + 2 + struct.unpack_from(">H", jpg, i + 2)[0]:]
     with pytest.raises(ValueError, match="missing component"):
         M.decode_jpeg(multi)
-    # progressive + restart markers stay outside the boundary, loudly,
-    # on both sides of the codec
-    with pytest.raises(NotImplementedError, match="restart markers in progressive"):
-        M.encode_jpeg(8, 8, 40, progressive=True, restart_interval=2)
-    pj = M.encode_jpeg(8, 8, 40, progressive=True)
-    dri = struct.pack(">HHH", 0xFFDD, 4, 2)
-    j = pj.find(b"\xff\xda")
-    with pytest.raises(NotImplementedError, match="restart markers in progressive"):
-        M.decode_jpeg(pj[:j] + dri + pj[j:])
+    # progressive + restart markers decode for real now (r9 verdict
+    # item 7) — the former boundary raise is gone on both sides
+    prj = M.encode_jpeg(24, 16, 40, progressive=True, restart_interval=2)
+    assert M.decode_jpeg(prj)["mean_value"] == 40.0
     # 4-component (CMYK-style) frames stay outside the boundary
     sof_body4 = struct.pack(">BHHB", 8, 8, 8, 4) + bytes(
         [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0])
@@ -1405,3 +1400,44 @@ def test_flac_resample_audio_frame(spark):
     # FLAC and WAV inputs normalize through the same Arrow-batched op
     assert out[1]["n_frames"] == 40 and out[2]["n_frames"] == 80
     assert M.decode_wav(bytes(out[1]["payload"]))["mean_value"] == -7.0
+
+
+def test_progressive_jpeg_with_restart_markers():
+    """Restart markers threaded through EVERY scan of a progressive
+    file (r9 verdict item 7): pixels must be bit-identical to the
+    marker-free progressive encode AND the baseline encode, across
+    gray/color, chroma layouts, intervals and random content — any
+    missed DC-predictor or EOB-run reset at a boundary shifts pixels."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(23)
+    # gray random content, several intervals
+    px = bytes(rng.randrange(256) for _ in range(48 * 32))
+    ref = M._jpeg_decode_pixels(M.encode_jpeg(48, 32, pixels=px))[2]
+    for ri in (1, 2, 5):
+        prog = M.encode_jpeg(48, 32, pixels=px, progressive=True,
+                             restart_interval=ri)
+        assert b"\xff\xdd" in prog
+        assert any(bytes([0xFF, 0xD0 + k]) in prog for k in range(8))
+        got = M._jpeg_decode_pixels(prog)[2]
+        assert np.array_equal(got, ref), ri
+    # color, all chroma layouts
+    for sub in ("444", "422", "420"):
+        cpx = bytes(rng.randrange(256) for _ in range(33 * 17 * 3))
+        ref = M._jpeg_decode_pixels(
+            M.encode_jpeg(33, 17, rgb_pixels=cpx, subsampling=sub,
+                          progressive=True))[2]
+        got = M._jpeg_decode_pixels(
+            M.encode_jpeg(33, 17, rgb_pixels=cpx, subsampling=sub,
+                          progressive=True, restart_interval=2))[2]
+        assert np.array_equal(got, ref), sub
+    # an out-of-sequence restart marker is structural damage
+    prog = M.encode_jpeg(48, 32, pixels=px, progressive=True,
+                         restart_interval=1)
+    i = prog.find(b"\xff\xd0")
+    assert i > 0
+    bad = prog[:i] + b"\xff\xd5" + prog[i + 2:]
+    with pytest.raises(ValueError, match="restart marker out of order"):
+        M._jpeg_decode_pixels(bad)
