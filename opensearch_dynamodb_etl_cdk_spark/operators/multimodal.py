@@ -486,14 +486,31 @@ def _write_subframe(w: _FlacBitWriter, samples: list[int], bps: int,
         w.write(0, 1)
         w.write(samples[0] & ((1 << bps) - 1), bps)
         return
+    # wasted-bits auto-detection (RFC 9639 §9.2.2): when every sample
+    # shares k low zero bits, code the subframe at bps-k and record k
+    # as flag-bit 1 + unary(k-1); the decoder shifts back
+    wasted = min((s & -s).bit_length() - 1 for s in samples if s) \
+        if any(samples) else 0
+    wasted = min(wasted, bps - 1)
+    if wasted > 0:
+        samples = [s >> wasted for s in samples]
+        bps -= wasted
+
+    def header(type_bits: int) -> None:
+        w.write(0, 1)
+        w.write(type_bits, 6)
+        if wasted > 0:
+            w.write(1, 1)
+            w.write_unary(wasted - 1)
+        else:
+            w.write(0, 1)
+
     if use_lpc:
         # order-2 quantized-LPC with coefficients [2, -1], shift 0 —
         # numerically the order-2 fixed predictor, but carried through
         # the LPC subframe layout (precision/shift/coef fields)
         order, coefs, precision, shift = 2, (2, -1), 4, 0
-        w.write(0, 1)
-        w.write(0b100000 | (order - 1), 6)
-        w.write(0, 1)
+        header(0b100000 | (order - 1))
         for shead in samples[:order]:
             w.write(shead & ((1 << bps) - 1), bps)
         w.write(precision - 1, 4)
@@ -510,9 +527,7 @@ def _write_subframe(w: _FlacBitWriter, samples: list[int], bps: int,
             key=lambda o: sum(abs(v) for v in _fixed_residual(samples, o)),
         )
         order = best
-        w.write(0, 1)
-        w.write(0b001000 | order, 6)  # FIXED
-        w.write(0, 1)
+        header(0b001000 | order)  # FIXED
         for shead in samples[:order]:
             w.write(shead & ((1 << bps) - 1), bps)
         residual = _fixed_residual(samples, order)

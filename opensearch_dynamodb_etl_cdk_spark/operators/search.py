@@ -5565,14 +5565,22 @@ def _run_agg(
         # for an all-filtered message).
         field = body["field"]
         size = int(body.get("size", 10))
-        toks = F.filter(
-            F.split(F.col(field), r"[^A-Za-z]+"), lambda t: t != ""
-        )
         if body.get("max_tokens") is not None:
             # bounded key length for adversarial inputs: the key is the
-            # first N tokens (the public max_matched_tokens analog)
-            toks = F.slice(toks, 1, int(body["max_tokens"]))
-        key = F.array_join(toks, " ")
+            # first N tokens (the public max_matched_tokens analog) —
+            # the only case that needs the tokenized array form
+            toks = F.slice(
+                F.filter(F.split(F.col(field), r"[^A-Za-z]+"),
+                         lambda t: t != ""),
+                1, int(body["max_tokens"]))
+            key = F.array_join(toks, " ")
+        else:
+            # single-regexp key: collapse every non-letter run to one
+            # space and trim — identical to split/filter/join (the
+            # greedy separator only yields empty tokens at the ends)
+            # without materializing a per-doc token array
+            key = F.trim(F.regexp_replace(F.col(field), r"[^A-Za-z]+",
+                                          " "))
         metric_cols = [_metric_agg(nm, s) for nm, s in sub.items()]
         rows = (
             df.filter(F.col(field).isNotNull() & (key != F.lit("")))

@@ -89,13 +89,55 @@ def _replica(df, table: str, i: int):
     return out
 
 
-def build_scale10(spark) -> str:
+# ---- Zipf-skew replica mode (round-9 charter): 100 TB corpora are
+# skewed, not uniform. The skewed layout keeps the SAME volume as the
+# uniform 10x layout but collapses hot keys the way production data
+# does: ~40% of all replicated events/orders land on ONE user/customer
+# (the hot-pk case: a window partition or groupBy key that floods a
+# single reducer), and ~1% of replicated documents become one
+# boilerplate near-dup clique (the hot-MinHash-bucket case: every
+# banded bucket for those docs collides, quadratic verify inside).
+
+HOT_KEY = 424_242
+_HOT_TEXT = (
+    "standard quarterly compliance boilerplate header repeated "
+    "verbatim across departments regions and filings with shared "
+    "preamble clauses identical disclosure wording and common "
+    "signature blocks differing only in the trailing case number "
+)
+
+
+def _skew_replica(df, table: str, i: int):
+    out = _replica(df, table, i)
+    if i == 0:
+        return out  # replica 0 stays the pristine original
+    if table == "events":
+        hot = F.pmod(F.xxhash64("event_id"), F.lit(10)) < 4
+        out = out.withColumn(
+            "user_id",
+            F.when(hot, F.lit(HOT_KEY)).otherwise(F.col("user_id")))
+    elif table == "orders":
+        hot = F.pmod(F.xxhash64("o_orderkey"), F.lit(10)) < 4
+        out = out.withColumn(
+            "o_custkey",
+            F.when(hot, F.lit(HOT_KEY)).otherwise(F.col("o_custkey")))
+    elif table == "documents":
+        hot = F.pmod(F.xxhash64("doc_id"), F.lit(100)) < 1
+        out = out.withColumn(
+            "text",
+            F.when(hot, F.concat(F.lit(_HOT_TEXT),
+                                 (F.col("doc_id") % 7).cast("string")))
+            .otherwise(F.col("text")))
+    return out
+
+
+def _build(spark, tag: str, replica_fn) -> str:
     # the tag encodes the rotation alphabet so a rule change
     # invalidates stale layouts
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "spark-warehouse", "scale10",
                         os.path.basename(os.path.normpath(SF_DIR))
-                        + f"-r{len(_ROT)}")
+                        + f"-r{len(_ROT)}{tag}")
     marker = os.path.join(root, "_DONE")
     if os.path.exists(marker):
         return root
@@ -103,7 +145,7 @@ def build_scale10(spark) -> str:
     for t in bench.TABLES:
         df = frames[t]
         if t not in SINGLE_COPY:
-            parts = [_replica(df, t, i) for i in range(N_REPLICAS)]
+            parts = [replica_fn(df, t, i) for i in range(N_REPLICAS)]
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
@@ -119,12 +161,141 @@ def build_scale10(spark) -> str:
     return root
 
 
+def build_scale10(spark) -> str:
+    return _build(spark, "", _replica)
+
+
+def build_scale10_skew(spark) -> str:
+    return _build(spark, "-zipf", _skew_replica)
+
+
+# ---- skew rehearsal measurement: the three skew-sensitive headline
+# shapes, each with a named Spark-first mitigation measured alongside.
+# The window rows (row_number over the hot key) concentrate the hot
+# key's entire row set in ONE task; the max_by-aggregate twin computes
+# the identical result through partial aggregation (map-side combine),
+# so no reducer ever sees the hot key's full set — the same fix
+# operators/upsert.py::latest_by_key already applies on the CDC path.
+# The MinHash mitigation is the existing max_bucket cap
+# (operators/dedup.py): a boilerplate clique's buckets are dropped
+# above the cap, bounding the quadratic verify.
+
+SKEW_QUERIES = ("keyed_upsert_latest", "top_hits_per_bucket",
+                "minhash_near_dup_pairs")
+
+
+def _upsert_latest_agg(spark, sf_dir):
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        e.groupBy("user_id")
+        .agg(F.max_by(F.struct("event_id", "event_type", "value"),
+                      F.struct("ts", "event_id")).alias("r"))
+        .select("user_id", "r.*")
+    )
+
+
+def _top_hits_agg(spark, sf_dir):
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.max_by(F.struct("o_orderkey", "o_orderdate"),
+                      F.struct("o_orderdate", "o_orderkey")).alias("r"))
+        .select("o_custkey", "r.*")
+    )
+
+
+def _minhash_capped(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.operators import dedup as D
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return D.minhash_lsh_pairs(d, num_hashes=64, bands=32, threshold=0.7,
+                               max_bucket=100)
+
+
+SKEW_FIXES = {
+    "keyed_upsert_latest": (
+        "max_by aggregate (latest_by_key shape)", _upsert_latest_agg),
+    "top_hits_per_bucket": (
+        "max_by aggregate (latest_by_key shape)", _top_hits_agg),
+    "minhash_near_dup_pairs": (
+        "max_bucket=100 clique cap (drops hot buckets)", _minhash_capped),
+}
+
+
+def _time_fn(spark, fn, sf_dir) -> float:
+    def once():
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    return min(once() for _ in range(2))
+
+
+def run_skew_section(spark, big_dir: str, skew_dir: str) -> list[str]:
+    # fix-equivalence gate (untimed): the aggregate twin must be a
+    # drop-in for the window row on the skewed layout
+    win = CATALOG["keyed_upsert_latest"].fn(spark, skew_dir)
+    agg = _upsert_latest_agg(spark, skew_dir)
+    assert win.exceptAll(agg).count() == 0 and \
+        agg.exceptAll(win).count() == 0, \
+        "max_by twin diverged from the window row"
+    rows = []
+    for name in SKEW_QUERIES:
+        uni = min(bench.run_once(spark, name, big_dir) for _ in range(2))
+        bench._unpersist_all_rdds(spark)
+        sk = min(bench.run_once(spark, name, skew_dir) for _ in range(2))
+        bench._unpersist_all_rdds(spark)
+        label, fix_fn = SKEW_FIXES[name]
+        fx = _time_fn(spark, fix_fn, skew_dir)
+        bench._unpersist_all_rdds(spark)
+        rows.append((name, uni, sk, sk / uni if uni else float("inf"),
+                     fx, label))
+        print(json.dumps({"query": name, "uniform10x": round(uni, 3),
+                          "zipf10x": round(sk, 3),
+                          "ratio": round(sk / uni, 2),
+                          "mitigated": round(fx, 3)}))
+    lines = [
+        "",
+        "## Zipf-skew rehearsal (same 10× volume, hot keys)",
+        "",
+        "Skewed twin of the 10× layout: ~40% of replicated events/"
+        "orders collapse onto ONE hot user/customer key (hot-pk), and "
+        "~1% of replicated documents become one boilerplate near-dup "
+        "clique (~450 docs, under the 1000 default max_bucket, so "
+        "every one of its banded buckets collides and the quadratic "
+        "verify runs in full — the worst admissible bucket). Same "
+        "volume, same timing discipline; `ratio` is skewed/uniform "
+        "wall time and `mitigated` is the named Spark-first fix run "
+        "ON the skewed layout.",
+        "",
+        "| query | uniform 10× (s) | zipf 10× (s) | ratio "
+        "| mitigated (s) | mitigation |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, uni, sk, ratio, fx, label in rows:
+        lines.append(f"| {name} | {uni:.3f} | {sk:.3f} | {ratio:.2f}× "
+                     f"| {fx:.3f} | {label} |")
+    worst = max(rows, key=lambda r: r[3])
+    lines += [
+        "",
+        f"Worst skew ratio: {worst[0]} at {worst[3]:.2f}×. The window "
+        "rows pay the hot key's single-task sort; the max_by aggregate "
+        "twin (identical output, asserted above the timings) absorbs "
+        "the hot key through map-side partial aggregation, and the "
+        "MinHash clique is bounded by the bucket cap — the documented "
+        "recall trade for boilerplate floods.",
+    ]
+    return lines
+
+
 def main() -> None:
     spark = get_spark("scale10")
     spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
     bench._warm_python_workers(spark)
     base_dir = bench._rechunked(spark, SF_DIR)
     big_dir = build_scale10(spark)
+    skew_dir = build_scale10_skew(spark)
 
     rows = []
     for name in QUERIES:
@@ -175,6 +346,7 @@ def main() -> None:
            " the same property that lets the plans go wide on a"
            " 1000-executor cluster."),
     ]
+    lines += run_skew_section(spark, big_dir, skew_dir)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "SCALE10.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

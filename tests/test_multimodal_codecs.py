@@ -1441,3 +1441,32 @@ def test_progressive_jpeg_with_restart_markers():
     bad = prog[:i] + b"\xff\xd5" + prog[i + 2:]
     with pytest.raises(ValueError, match="restart marker out of order"):
         M._jpeg_decode_pixels(bad)
+
+
+def test_flac_wasted_bits_and_other_depths():
+    """Wasted-bits auto-detection (encoder) + shift-back (decoder):
+    samples sharing k low zero bits are coded at bps-k with the count
+    in the subframe header. Plus 8- and 24-bit depth round-trips —
+    the decoder is depth-generic."""
+    import random
+
+    rng = random.Random(5)
+    vals = [i * 8 for i in range(-40, 160)]  # 3 shared low zero bits
+    assert [f[0] for f in M._flac_pcm(M.encode_flac(8000, vals))[3]] == vals
+    # on RANDOM content the shared-zero-bits form must be meaningfully
+    # smaller: residuals code at bps-8 instead of bps
+    base = [rng.randint(-100, 100) for _ in range(300)]
+    packed = M.encode_flac(8000, [v * 256 for v in base])
+    plain = M.encode_flac(8000, [v * 256 + 1 for v in base])
+    assert [f[0] for f in M._flac_pcm(packed)[3]] == [v * 256 for v in base]
+    assert len(packed) < 0.8 * len(plain)
+    mults = [rng.randint(-8000, 8000) * 4 for _ in range(300)]
+    for lpc in (False, True):
+        got = M._flac_pcm(M.encode_flac(8000, mults, use_lpc=lpc))[3]
+        assert [f[0] for f in got] == mults, lpc
+    for bps in (8, 24):
+        lim = 1 << (bps - 1)
+        vals = [rng.randint(-lim, lim - 1) for _ in range(200)]
+        rate, ch, got_bps, frames = M._flac_pcm(
+            M.encode_flac(8000, vals, bits_per_sample=bps))
+        assert got_bps == bps and [f[0] for f in frames] == vals, bps
