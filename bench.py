@@ -127,6 +127,11 @@ HEADLINE = [
     # JPEG synthesis + three-component Huffman/IDCT decode + both JFIF
     # color conversions, per row in one Arrow-batched mapInPandas
     "multimodal_color_jpeg_decode_stats",
+    # round-10 addition: the first compressed AUDIO path — per-row FLAC
+    # synthesis (Rice-coded fixed/LPC subframes, stereo decorrelation)
+    # + full spec decode with CRC/MD5 verification, per row in one
+    # Arrow-batched mapInPandas, aggregated per source
+    "multimodal_flac_decode_stats",
 ]
 
 # Iterative/trainer operators do their distributed work INSIDE fn()
