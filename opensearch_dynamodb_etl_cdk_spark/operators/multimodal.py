@@ -308,25 +308,31 @@ class _FlacBitWriter:
 
 class _FlacBitReader:
     """MSB-first reader over a byte window; EOF raises ValueError so a
-    truncated stream is structural damage, never a silent zero-fill."""
+    truncated stream is structural damage, never a silent zero-fill.
+    Byte-accumulator design: a read refills whole bytes into ``acc``
+    and slices bits arithmetically — one Python operation per byte,
+    not per bit (the per-sample hot path of the decoder)."""
 
-    __slots__ = ("data", "pos", "bit")
+    __slots__ = ("data", "pos", "bit", "acc", "nbits")
 
     def __init__(self, data: bytes, pos: int = 0):
         self.data = data
-        self.pos = pos
-        self.bit = 0
+        self.pos = pos   # byte index of the NEXT unconsumed byte
+        self.bit = 0     # kept in sync for align()/position accounting
+        self.acc = 0
+        self.nbits = 0
 
     def read(self, nbits: int) -> int:
-        v = 0
-        for _ in range(nbits):
+        while self.nbits < nbits:
             if self.pos >= len(self.data):
                 raise ValueError("truncated FLAC bitstream")
-            v = (v << 1) | ((self.data[self.pos] >> (7 - self.bit)) & 1)
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.pos += 1
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= nbits
+        v = (self.acc >> self.nbits) & ((1 << nbits) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        self.bit = (8 - self.nbits % 8) % 8
         return v
 
     def read_signed(self, nbits: int) -> int:
@@ -335,14 +341,39 @@ class _FlacBitReader:
 
     def read_unary(self) -> int:
         q = 0
-        while self.read(1) == 0:
-            q += 1
-        return q
+        # scan whole buffered chunks: count leading zeros in acc, refill
+        # by bytes when exhausted (unary runs are short in Rice data,
+        # but a pathological run still costs one op per byte, not bit)
+        while True:
+            if self.nbits == 0:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated FLAC bitstream")
+                self.acc = self.data[self.pos]
+                self.pos += 1
+                self.nbits = 8
+            if self.acc == 0:
+                q += self.nbits
+                self.nbits = 0
+                continue
+            lead = self.nbits - self.acc.bit_length()
+            q += lead
+            self.nbits -= lead + 1  # consume the zeros and the 1 bit
+            self.acc &= (1 << self.nbits) - 1
+            self.bit = (8 - self.nbits % 8) % 8
+            return q
 
     def align(self) -> None:
-        if self.bit:
-            self.bit = 0
-            self.pos += 1
+        # drop the partial byte in the accumulator
+        drop = self.nbits % 8
+        self.nbits -= drop
+        self.acc &= (1 << self.nbits) - 1
+        self.bit = 0
+
+    @property
+    def byte_pos(self) -> int:
+        """Index of the next unconsumed byte, counting buffered whole
+        bytes still in the accumulator (valid when byte-aligned)."""
+        return self.pos - self.nbits // 8
 
 
 def _crc8(data: bytes) -> int:
@@ -535,6 +566,22 @@ def _write_subframe(w: _FlacBitWriter, samples: list[int], bps: int,
                     force_escape)
 
 
+def _flac_md5_update(md5, frames, nbytes: int) -> None:
+    """MD5 over the interleaved little-endian PCM bytes (RFC 9639
+    STREAMINFO digest) — one vectorized pass, not a per-sample loop."""
+    import numpy as np
+
+    if not frames:
+        return
+    flat = np.asarray(frames, dtype=np.int64).ravel()
+    if nbytes in (1, 2, 4):
+        md5.update(flat.astype(f"<i{nbytes}").tobytes())
+    else:  # 3-byte samples: low three bytes of the 4-byte LE form
+        u = (flat & 0xFFFFFFFF).astype("<u4")
+        md5.update(np.ascontiguousarray(
+            u.view(np.uint8).reshape(-1, 4)[:, :3]).tobytes())
+
+
 def encode_flac(sample_rate: int, samples, bits_per_sample: int = 16,
                 block_size: int = 256, stereo_mode: str = "independent",
                 use_lpc: bool = False, partition_order: int = 0,
@@ -565,11 +612,7 @@ def encode_flac(sample_rate: int, samples, bits_per_sample: int = 16,
     n_total = len(frames)
 
     md5 = hashlib.md5()
-    nbytes = (bits_per_sample + 7) // 8
-    for f in frames:
-        for s in f:
-            md5.update((s & ((1 << (8 * nbytes)) - 1)).to_bytes(
-                nbytes, "little"))
+    _flac_md5_update(md5, frames, (bits_per_sample + 7) // 8)
 
     out = bytearray(b"fLaC")
     si = _FlacBitWriter()
@@ -710,11 +753,11 @@ def _flac_pcm(payload: bytes):
         elif rate_code == 15:
             raise ValueError("invalid sample-rate code 15")
         r.align()
-        header_bytes = payload[frame_start:r.pos]
-        crc8 = payload[r.pos] if r.pos < len(payload) else None
+        header_bytes = payload[frame_start:r.byte_pos]
+        crc8 = payload[r.byte_pos] if r.byte_pos < len(payload) else None
         if crc8 is None or _crc8(header_bytes) != crc8:
             raise ValueError("FLAC frame header CRC-8 mismatch")
-        r.pos += 1
+        r.read(8)  # consume the CRC byte
 
         frame_bps = bps if bps_code == 0 else \
             {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}.get(bps_code)
@@ -777,11 +820,12 @@ def _flac_pcm(payload: bytes):
                 vals = [v << wasted for v in vals]
             subs.append(vals)
         r.align()
-        crc_expect = int.from_bytes(payload[r.pos:r.pos + 2], "big")
-        if len(payload) < r.pos + 2 or \
-                _crc16(payload[frame_start:r.pos]) != crc_expect:
+        bp = r.byte_pos
+        crc_expect = int.from_bytes(payload[bp:bp + 2], "big")
+        if len(payload) < bp + 2 or \
+                _crc16(payload[frame_start:bp]) != crc_expect:
             raise ValueError("FLAC frame CRC-16 mismatch")
-        pos = r.pos + 2
+        pos = bp + 2
 
         if mode == "independent":
             chans = subs
@@ -803,11 +847,7 @@ def _flac_pcm(payload: bytes):
     if len(frames) != n_total:
         raise ValueError("FLAC decoded sample count mismatch")
     md5 = hashlib.md5()
-    nbytes = (bps + 7) // 8
-    for f in frames:
-        for s in f:
-            md5.update((s & ((1 << (8 * nbytes)) - 1)).to_bytes(
-                nbytes, "little"))
+    _flac_md5_update(md5, frames, (bps + 7) // 8)
     if md5.digest() != md5_expect and md5_expect != b"\x00" * 16:
         raise ValueError("FLAC PCM MD5 mismatch (decoded audio differs)")
     return sample_rate, channels, bps, frames
@@ -821,7 +861,9 @@ def decode_flac(payload: bytes) -> dict:
     sample_rate, channels, bps, frames = _flac_pcm(payload)
     n_frames = len(frames)
     n_samples = n_frames * channels
-    total = sum(s for f in frames for s in f)
+    import numpy as _np
+
+    total = int(_np.asarray(frames, dtype=_np.int64).sum()) if frames else 0
     return {
         "media_kind": "audio",
         "sample_rate": sample_rate,
