@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..operators import dedup as D
+from ..operators import hnsw as H
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..functions import text as T
@@ -626,6 +627,63 @@ def ann_ivf_indexed_topk(spark, sf_dir):
     cents = S.ivf_centroids(e, 16)
     idx = _ivf_index(spark, sf_dir, e, cents)
     return S.query_ivf_topk(e, idx, cents, qvec, k=10, n_probe=4)
+
+
+@register(
+    "ann_hnsw_topk",
+    property_test="tests/test_hnsw.py::test_hnsw_recall_on_clusters",
+    oracle=None,  # approximate by design — recall ≥0.9 property-tested
+    doc="HNSW ANN top-10, sharded the way OpenSearch's k-NN plugin "
+    "(default method hnsw) runs it: vectors hash into 4 shards, one "
+    "applyInPandas group per shard builds a deterministic HNSW graph "
+    "(Malkov & Yashunin, arXiv:1603.09320 — levels drawn from "
+    "splitmix64(id), insertion vec_id-sorted), the query scatter-"
+    "gathers every shard's beam search and a global top-k merges — the "
+    "coordinator step. Corpus never shuffles at query time.",
+    tags=("similarity", "topk", "hnsw"),
+)
+def ann_hnsw_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return H.hnsw_ann_topk(e, qvec, k=10, n_shards=4, ef_search=64)
+
+
+def _hnsw_index(spark, sf_dir, e):
+    path = _idx_path("hnsw", sf_dir)
+    if path not in _ANN_IDX_BUILT:
+        _publish_index(
+            path,
+            lambda d: (
+                H.build_hnsw_index(e, n_shards=4)
+                .write.mode("overwrite")
+                .partitionBy("_shard")
+                .parquet(d)
+            ),
+        )
+        _ANN_IDX_BUILT.add(path)
+    return spark.read.parquet(_resolve_index(path))
+
+
+@register(
+    "ann_hnsw_indexed_topk",
+    property_test="tests/test_hnsw.py::test_hnsw_indexed_matches_oneshot",
+    oracle=None,  # approximate by design — equals ann_hnsw_topk, property-tested
+    doc="HNSW ANN top-10 against a PERSISTED graph (one row per node: "
+    "shard, level, per-layer adjacency, normalized vector — parquet "
+    "partitioned by shard, published atomically like the LSH/IVF "
+    "indexes): each shard reconstructs its graph from its partition and "
+    "beam-searches; k rows per shard reach the merge. Build-once/"
+    "query-many; CDC deltas rebuild only touched shards "
+    "(refresh_hnsw_index, bit-identical to a full rebuild).",
+    tags=("similarity", "topk", "hnsw", "index"),
+)
+def ann_hnsw_indexed_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    idx = _hnsw_index(spark, sf_dir, e)
+    return H.query_hnsw_topk(idx, qvec, k=10, ef_search=64)
 
 
 # --- int8 quantization (E3: compressed-vector retrieval tier) ------------

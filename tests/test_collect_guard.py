@@ -37,6 +37,7 @@ GUARDED = [
     os.path.join(PKG, "operators", "ranking.py"),
     os.path.join(PKG, "operators", "sampling.py"),
     os.path.join(PKG, "operators", "similarity.py"),
+    os.path.join(PKG, "operators", "hnsw.py"),
     os.path.join(PKG, "plans", "catalog_dsl_tail.py"),
     os.path.join(PKG, "streaming", "pipeline.py"),
 ]
