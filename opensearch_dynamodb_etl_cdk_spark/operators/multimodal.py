@@ -2684,6 +2684,256 @@ def decode_jpeg(payload: bytes) -> dict:
     }
 
 
+# ------------------------------------------------------------- AVI (video)
+#
+# RIFF/AVI container with an MJPEG video stream — the smallest REAL
+# video format expressible over the codecs already here: every frame
+# is a complete baseline JPEG, so the whole image pipeline (entropy
+# decode, IDCT, color conversion) runs per frame and the container
+# layer adds the genuinely video-shaped parts — stream headers,
+# frame-rate arithmetic, the movi chunk walk, and the idx1 index.
+# Public spec: Microsoft AVI RIFF reference (avih MainAVIHeader,
+# strh/strf stream headers, '00dc' compressed-video chunks).
+
+
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """Yield (fourcc, payload, fourcc_offset) for the chunks in
+    data[pos:end]; chunks pad to even length per RIFF."""
+    while pos + 8 <= end:
+        fourcc = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body_end = pos + 8 + size
+        if body_end > end:
+            raise ValueError("AVI: chunk overruns its parent")
+        yield fourcc, data[pos + 8:body_end], pos
+        pos = body_end + (size & 1)
+
+
+def encode_avi_mjpeg(fps: int, frames: list[bytes],
+                     width: int, height: int) -> bytes:
+    """Build a real AVI: RIFF('AVI ') → LIST hdrl (avih + LIST strl
+    (strh 'vids'/'MJPG' + strf BITMAPINFOHEADER)) → LIST movi with one
+    '00dc' chunk per JPEG frame → idx1 keyframe index (offsets
+    relative to the movi list data, the common convention)."""
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    n = len(frames)
+    max_bytes = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<14I",
+        int(round(1_000_000 / fps)), max_bytes * fps, 0,
+        0x10,  # AVIF_HASINDEX
+        n, 0, 1, max_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHH8I", 0, 0, 0, 0, 1, fps, 0, n, max_bytes,
+                      10_000, 0)
+        + struct.pack("<4h", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3,
+        0, 0, 0, 0,
+    )
+    hdrl = chunk(b"LIST", b"strl" + chunk(b"strh", strh)
+                 + chunk(b"strf", strf))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + hdrl)
+    movi_body = b"movi"
+    idx = b""
+    for f in frames:
+        idx += b"00dc" + struct.pack("<III", 0x10, len(movi_body), len(f))
+        movi_body += chunk(b"00dc", f)
+    riff = (b"AVI " + hdrl + chunk(b"LIST", movi_body)
+            + chunk(b"idx1", idx))
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _avi_parse(payload: bytes) -> tuple[float, int, int, list[bytes]]:
+    """Parse an AVI container down to (fps, width, height, [frame
+    bytes]). Strict where the spec is load-bearing: MJPG is the only
+    handler with a registered frame codec (anything else raises
+    NotImplementedError — the loud-boundary discipline every other
+    codec here follows), and the avih/strh/idx1 frame counts must
+    agree with the movi chunk walk."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if 8 + riff_size > len(payload):
+        raise ValueError("AVI: truncated RIFF payload")
+    end = 8 + riff_size
+    n_hdr = width = height = None
+    handler = compression = None
+    scale = rate = n_stream = None
+    frames: list[bytes] = []
+    idx_entries: list[tuple[int, int]] | None = None
+    movi_start = None
+    for fourcc, body, off in _riff_chunks(payload, 12, end):
+        if fourcc == b"LIST" and body[:4] == b"hdrl":
+            for f2, b2, _ in _riff_chunks(payload, off + 12, off + 8 + len(body)):
+                if f2 == b"avih":
+                    vals = struct.unpack_from("<14I", b2)
+                    n_hdr, width, height = vals[4], vals[8], vals[9]
+                elif f2 == b"LIST" and b2[:4] == b"strl":
+                    for f3, b3, _ in _riff_chunks(b2, 4, len(b2)):
+                        if f3 == b"strh" and b3[:4] == b"vids":
+                            handler = b3[4:8]
+                            _, _, _, _, scale, rate, _, n_stream = (
+                                struct.unpack_from("<IHH5I", b3, 8))
+                        elif f3 == b"strf" and handler is not None \
+                                and compression is None:
+                            compression = b3[16:20]
+        elif fourcc == b"LIST" and body[:4] == b"movi":
+            movi_start = off + 8
+            for f2, b2, _ in _riff_chunks(payload, off + 12, off + 8 + len(body)):
+                if f2[2:4] in (b"dc", b"db"):
+                    frames.append(b2)
+        elif fourcc == b"idx1":
+            idx_entries = [
+                struct.unpack_from("<II", body, i + 8)
+                for i in range(0, len(body) - len(body) % 16, 16)
+            ]
+    if handler is None or width is None:
+        raise ValueError("AVI: no video stream header")
+    if handler != b"MJPG" or compression != b"MJPG":
+        raise NotImplementedError(
+            f"AVI: only MJPG video streams decode (handler "
+            f"{handler!r}, biCompression {compression!r})")
+    if n_hdr != len(frames) or (n_stream is not None
+                                and n_stream != len(frames)):
+        raise ValueError(
+            f"AVI: header claims {n_hdr}/{n_stream} frames, movi has "
+            f"{len(frames)}")
+    if idx_entries is not None:
+        if len(idx_entries) != len(frames):
+            raise ValueError("AVI: idx1 entry count != frame count")
+        for (ofs, ln), f in zip(idx_entries, frames):
+            at = movi_start + ofs
+            if payload[at:at + 4] != b"00dc" or ln != len(f):
+                raise ValueError("AVI: idx1 entry does not point at "
+                                 "its frame chunk")
+    fps = (rate / scale) if scale else 0.0
+    return fps, width, height, frames
+
+
+def decode_avi_frames(payload: bytes) -> list[dict]:
+    """Per-frame decode: one dict per movi frame with the frame's own
+    reconstructed-pixel statistics — the real form of the frame-
+    sampling shape (:func:`sample_frames` is the codec-free twin)."""
+    fps, width, height, frames = _avi_parse(payload)
+    out = []
+    for i, f in enumerate(frames):
+        w, h, img = _jpeg_decode_pixels(f)
+        if (w, h) != (width, height):
+            raise ValueError(
+                f"AVI: frame {i} is {w}x{h}, stream header says "
+                f"{width}x{height}")
+        out.append({
+            "frame_index": i,
+            "width": w,
+            "height": h,
+            "mean_value": (float(img.sum()) / img.size) if img.size else 0.0,
+            "n_bytes": len(f),
+        })
+    return out
+
+
+def decode_avi(payload: bytes) -> dict:
+    """Decode an MJPEG AVI for real: container walk + per-frame JPEG
+    decode, statistics over ALL reconstructed frames. ``sample_rate``
+    carries the frame rate (units per second, like audio), ``n_units``
+    the frame count — the schema's units are medium-generic by
+    design."""
+    fps, width, height, frames = _avi_parse(payload)
+    per = decode_avi_frames(payload)
+    total = sum(p["mean_value"] for p in per)
+    return {
+        "media_kind": "video",
+        "width": width,
+        "height": height,
+        "bit_depth": 8,
+        "sample_rate": int(round(fps)),
+        "channels": 3,
+        "n_units": len(frames),
+        "duration_ms": (len(frames) * 1000.0 / fps) if fps else 0.0,
+        "mean_value": (total / len(per)) if per else 0.0,
+        "n_bytes": len(payload),
+    }
+
+
+def avi_params(doc_id: int) -> tuple[int, int, int, int]:
+    """Ground-truth (fps, n_frames, width, height) for a synthesized
+    MJPEG AVI; dimensions are MCU multiples so constant tiles need no
+    edge padding."""
+    return (
+        10 + doc_id % 15,
+        2 + doc_id % 4,
+        8 * (1 + doc_id % 3),
+        8 * (1 + doc_id % 2),
+    )
+
+
+def avi_frame_rgb(doc_id: int, i: int) -> tuple[int, int, int]:
+    """Ground-truth constant color of frame ``i``: mod-251 keeps the
+    forward YCbCr conversion clip-free (the jpeg_color_params rule),
+    and the per-frame drift makes frame ORDER load-bearing — a movi
+    walk that drops or reorders chunks breaks the oracle."""
+    return (
+        (doc_id * 7 + i * 31) % 251,
+        (doc_id * 11 + i * 17) % 251,
+        (doc_id * 13 + i * 23) % 251,
+    )
+
+
+def encode_avi_sample(doc_id: int) -> bytes:
+    """Synthesized MJPEG AVI for ``doc_id``: each frame a constant-
+    color baseline 4:4:4 JPEG (distortion-free through the DCT), so
+    the video's mean has the same SQL-replicable closed form as the
+    color-JPEG rows — per frame."""
+    fps, n, w, h = avi_params(doc_id)
+    frames = [
+        encode_jpeg(w, h, rgb=avi_frame_rgb(doc_id, i)) for i in range(n)
+    ]
+    return encode_avi_mjpeg(fps, frames, w, h)
+
+
+def video_frame_stats(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """Frame-extraction fan-out with a REAL codec: one output row per
+    decoded AVI frame (1 input row → n_frames rows), Arrow-batched;
+    only small per-frame stat rows leave the UDF — the payload bytes
+    never hit the shuffle."""
+    keep_schema = ", ".join(f"{c} string" for c in keep)
+    schema = (
+        "doc_id long, frame_index long, width long, height long, "
+        "frame_mean double, frame_bytes long"
+        + (", " + keep_schema if keep else "")
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for j, p in enumerate(pdf["payload"]):
+                for f in decode_avi_frames(bytes(p)):
+                    rows.append((
+                        pdf["doc_id"].iloc[j], f["frame_index"],
+                        f["width"], f["height"], f["mean_value"],
+                        f["n_bytes"],
+                        *[pdf[c].iloc[j] for c in keep],
+                    ))
+            cols = ["doc_id", "frame_index", "width", "height",
+                    "frame_mean", "frame_bytes", *keep]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema)
+
+
 # ---------------------------------------------------------- codec registry
 #
 # The production seam for compressed formats: each known container
@@ -2732,6 +2982,9 @@ KNOWN_MEDIA_FORMATS: tuple[MediaFormat, ...] = (
                 "MP3 decode requires an MPEG audio codec"),
     MediaFormat("ogg", "audio", lambda p: p[:4] == b"OggS",
                 "OGG decode requires a Vorbis/Opus codec"),
+    MediaFormat("avi", "video",
+                lambda p: p[:4] == b"RIFF" and p[8:12] == b"AVI ",
+                "AVI decode failed"),
 )
 
 _BUILTIN_DECODERS: dict[str, Callable[[bytes], dict]] = {
@@ -2741,6 +2994,7 @@ _BUILTIN_DECODERS: dict[str, Callable[[bytes], dict]] = {
     "png": decode_png,
     "gif": decode_gif,
     "jpeg": decode_jpeg,
+    "avi": decode_avi,
 }
 _DECODERS: dict[str, Callable[[bytes], dict]] = dict(_BUILTIN_DECODERS)
 
@@ -2819,6 +3073,15 @@ def decode_audio(
     return _decode_kind(payload, "audio", decoders)
 
 
+def decode_video(
+    payload: bytes,
+    decoders: dict[str, Callable[[bytes], dict]] | None = None,
+) -> dict:
+    """Video decode dispatch through the codec registry: MJPEG AVI
+    decodes for real (container walk + per-frame JPEG decode)."""
+    return _decode_kind(payload, "video", decoders)
+
+
 def decode_media(
     payload: bytes, media_type: str,
     decoders: dict[str, Callable[[bytes], dict]] | None = None,
@@ -2828,6 +3091,8 @@ def decode_media(
         return decode_image(payload, decoders)
     if media_type.startswith("audio/"):
         return decode_audio(payload, decoders)
+    if media_type.startswith("video/"):
+        return decode_video(payload, decoders)
     raise ValueError(f"no decoder for media_type {media_type!r}")
 
 
@@ -2989,7 +3254,7 @@ def synthesize_media(
     grouping."""
     kinds = ("image", "audio", "flac", "png", "png-palette",
              "png-interlaced", "png-16", "gif", "jpeg", "jpeg-color",
-             "jpeg-420", "jpeg-progressive")
+             "jpeg-420", "jpeg-progressive", "video")
     if kind not in kinds:
         raise ValueError(f"kind must be one of {kinds}")
     media_type = {"image": "image/bmp", "png": "image/png",
@@ -2999,7 +3264,8 @@ def synthesize_media(
                   "jpeg": "image/jpeg", "jpeg-color": "image/jpeg",
                   "jpeg-420": "image/jpeg",
                   "jpeg-progressive": "image/jpeg",
-                  "audio": "audio/wav", "flac": "audio/flac"}[kind]
+                  "audio": "audio/wav", "flac": "audio/flac",
+                  "video": "video/x-msvideo"}[kind]
     cols = [id_col, *keep]
     keep_schema = ", ".join(f"{c} string" for c in keep)
     out_schema = "doc_id long, payload binary, media_type string" + (
@@ -3079,6 +3345,11 @@ def synthesize_media(
                 # real Rice-coded FLAC; mono/stereo + all three
                 # decorrelation modes + fixed/LPC subframes cycle by id
                 payloads = [encode_flac_ramp(int(d)) for d in ids]
+            elif kind == "video":
+                # MJPEG AVI: per-frame constant-color JPEGs whose
+                # colors drift per frame index — chunk order is
+                # load-bearing in the oracle
+                payloads = [encode_avi_sample(int(d)) for d in ids]
             else:
                 payloads = [encode_wav(*wav_params(int(d))) for d in ids]
             out = {"doc_id": ids, "payload": payloads, "media_type": media_type}

@@ -2301,7 +2301,9 @@ def _execute_knn(df: DataFrame, knn_body: dict[str, Any],
     TakeOrderedAndProject — the corpus never shuffles; only
     k·partitions candidate rows reach the driver-side heap. At 100 TB
     this is the exact-scoring tier; the LSH/IVF indexed tiers in
-    operators/similarity.py serve the approximate path.
+    operators/similarity.py and the sharded HNSW graphs in
+    operators/hnsw.py (OpenSearch k-NN's default method) serve the
+    approximate path.
 
     Zero-norm embeddings have no cosine direction: they score NULL and
     are excluded from the hits (OpenSearch rejects them at index time

@@ -2950,6 +2950,134 @@ def multimodal_flac_decode_stats(spark, sf_dir):
     )
 
 
+_AVI_YCC_CHAIN = """
+    ycc AS (
+      SELECT * ,
+             FLOOR(0.299::DOUBLE * r + 0.587::DOUBLE * g
+                   + 0.114::DOUBLE * b + 0.5::DOUBLE) AS y,
+             FLOOR(128.0::DOUBLE - 0.168736::DOUBLE * r
+                   - 0.331264::DOUBLE * g + 0.5::DOUBLE * b
+                   + 0.5::DOUBLE) AS cb,
+             FLOOR(128.0::DOUBLE + 0.5::DOUBLE * r
+                   - 0.418688::DOUBLE * g - 0.081312::DOUBLE * b
+                   + 0.5::DOUBLE) AS cr
+      FROM rgb),
+    back AS (
+      SELECT *,
+             GREATEST(0.0::DOUBLE, LEAST(255.0::DOUBLE,
+               FLOOR(y + 1.402::DOUBLE * (cr - 128.0::DOUBLE)
+                     + 0.5::DOUBLE)))
+             + GREATEST(0.0::DOUBLE, LEAST(255.0::DOUBLE,
+               FLOOR(y - 0.344136::DOUBLE * (cb - 128.0::DOUBLE)
+                     - 0.714136::DOUBLE * (cr - 128.0::DOUBLE)
+                     + 0.5::DOUBLE)))
+             + GREATEST(0.0::DOUBLE, LEAST(255.0::DOUBLE,
+               FLOOR(y + 1.772::DOUBLE * (cb - 128.0::DOUBLE)
+                     + 0.5::DOUBLE))) AS rgb_sum
+      FROM ycc)
+"""
+
+
+@register(
+    "multimodal_avi_decode_stats",
+    oracle="""
+    WITH f AS (
+      SELECT source, doc_id,
+             unnest(range(0, 2 + doc_id % 4)) AS i
+      FROM documents),
+    rgb AS (
+      SELECT source, doc_id,
+             CAST((doc_id * 7 + i * 31) % 251 AS DOUBLE) AS r,
+             CAST((doc_id * 11 + i * 17) % 251 AS DOUBLE) AS g,
+             CAST((doc_id * 13 + i * 23) % 251 AS DOUBLE) AS b
+      FROM f),
+    """ + _AVI_YCC_CHAIN + """,
+    perdoc AS (
+      SELECT source, doc_id, SUM(rgb_sum) AS rgb_sum, COUNT(*) AS nf
+      FROM back GROUP BY source, doc_id)
+    SELECT source, COUNT(*) AS n_items,
+           CAST(SUM(nf) AS BIGINT) AS sum_frames,
+           CAST(SUM(CAST(10 + doc_id % 15 AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(1) AS avg_fps,
+           CAST(SUM(CAST(rgb_sum AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(1) AS avg_rgb_sum,
+           MIN(nf * 1000.0 / (10 + doc_id % 15)) AS min_duration_ms,
+           MAX(nf * 1000.0 / (10 + doc_id % 15)) AS max_duration_ms
+    FROM perdoc GROUP BY source
+    """,
+    doc="REAL video decode end-to-end: synthesize genuine MJPEG AVI "
+    "containers per document (operators/multimodal.py::"
+    "encode_avi_sample — RIFF hdrl/strl headers, movi '00dc' chunks, "
+    "idx1 index; every frame a complete constant-color baseline "
+    "JPEG whose color drifts per frame index), decode them back "
+    "(::decode_avi — container walk, header/idx1 cross-validation, "
+    "per-frame JPEG decode), aggregate per source. Constant tiles "
+    "keep the DCT path distortion-free, so the oracle replicates the "
+    "RGB→YCbCr→RGB integer chain per (doc, frame) over an unnested "
+    "frame series — a movi walk that drops, reorders, or double-"
+    "counts chunks breaks the hash.",
+    tags=("multimodal",),
+)
+def multimodal_avi_decode_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    media = M.synthesize_media(d, "video", keep=("source",))
+    feats = M.extract_media_features(media, keep=("source",))
+    exact = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast("double") / F.count(
+        F.lit(1)
+    )
+    # mean_value is (Σ_frames rgb_sum/3)/n — multiply back to the exact
+    # integer total so the decimal-cast discipline stays lossless
+    feats = feats.withColumn(
+        "rgb_sum_total", F.round(F.col("mean_value") * 3 * F.col("n_units"), 0)
+    )
+    return feats.groupBy("source").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_units").alias("sum_frames"),
+        exact("sample_rate").alias("avg_fps"),
+        exact("rgb_sum_total").alias("avg_rgb_sum"),
+        F.min("duration_ms").alias("min_duration_ms"),
+        F.max("duration_ms").alias("max_duration_ms"),
+    )
+
+
+@register(
+    "multimodal_video_frame_stats",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, unnest(range(0, 2 + doc_id % 4)) AS i
+      FROM documents WHERE doc_id < 200),
+    rgb AS (
+      SELECT doc_id, i,
+             CAST((doc_id * 7 + i * 31) % 251 AS DOUBLE) AS r,
+             CAST((doc_id * 11 + i * 17) % 251 AS DOUBLE) AS g,
+             CAST((doc_id * 13 + i * 23) % 251 AS DOUBLE) AS b
+      FROM f),
+    """ + _AVI_YCC_CHAIN + """
+    SELECT doc_id, i AS frame_index,
+           8 * (1 + doc_id % 3) AS width,
+           8 * (1 + doc_id % 2) AS height,
+           rgb_sum
+    FROM back
+    """,
+    doc="Frame-extraction fan-out with a REAL codec (the video analog "
+    "of the frame-sampling shape): decode each AVI's movi chunks to "
+    "one row PER FRAME (1 input row → n_frames rows, fan-out inside "
+    "the Arrow batch — payload bytes never shuffle), reconstructed "
+    "per-frame pixel stats exact against the per-(doc, frame) YCbCr "
+    "round-trip. The doc_id < 200 probe filter is pushed below the "
+    "synthesis/decode UDFs onto the parquet scan.",
+    tags=("multimodal",),
+)
+def multimodal_video_frame_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"].filter(F.col("doc_id") < 200)
+    media = M.synthesize_media(d, "video")
+    frames = M.video_frame_stats(media)
+    return frames.select(
+        "doc_id", "frame_index", "width", "height",
+        F.round(F.col("frame_mean") * 3, 0).alias("rgb_sum"),
+    )
+
+
 @register(
     "embedding_near_dup_pairs",
     property_test="tests/test_dedup_similarity.py::test_embedding_near_dup_pairs_finds_planted",

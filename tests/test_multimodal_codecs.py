@@ -1470,3 +1470,120 @@ def test_flac_wasted_bits_and_other_depths():
         rate, ch, got_bps, frames = M._flac_pcm(
             M.encode_flac(8000, vals, bits_per_sample=bps))
         assert got_bps == bps and [f[0] for f in frames] == vals, bps
+
+
+# ------------------------------------------------------------- AVI / MJPEG
+
+
+def _ycc_round_trip(r, g, b):
+    """The SQL oracle's integer chain: forward JFIF conversion rounded
+    half-up, inverse clipped — what a constant tile decodes back to."""
+    import math
+
+    fl = math.floor
+    y = fl(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    cb = fl(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)
+    cr = fl(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)
+    r2 = max(0, min(255, fl(y + 1.402 * (cr - 128) + 0.5)))
+    g2 = max(0, min(255, fl(y - 0.344136 * (cb - 128)
+                            - 0.714136 * (cr - 128) + 0.5)))
+    b2 = max(0, min(255, fl(y + 1.772 * (cb - 128) + 0.5)))
+    return (r2 + g2 + b2) / 3.0
+
+
+def test_avi_mjpeg_round_trip():
+    frames = [M.encode_jpeg(16, 8, rgb=(10, 20, 30)),
+              M.encode_jpeg(16, 8, rgb=(200, 100, 50))]
+    p = M.encode_avi_mjpeg(12, frames, 16, 8)
+    assert M.detect_media_format(p).name == "avi"
+    d = M.decode_avi(p)
+    assert (d["media_kind"], d["width"], d["height"]) == ("video", 16, 8)
+    assert (d["n_units"], d["sample_rate"], d["channels"]) == (2, 12, 3)
+    assert d["duration_ms"] == pytest.approx(2000.0 / 12)
+    per = M.decode_avi_frames(p)
+    assert [f["frame_index"] for f in per] == [0, 1]
+    assert per[0]["mean_value"] == pytest.approx(_ycc_round_trip(10, 20, 30))
+    assert per[1]["mean_value"] == pytest.approx(_ycc_round_trip(200, 100, 50))
+    assert d["mean_value"] == pytest.approx(
+        (per[0]["mean_value"] + per[1]["mean_value"]) / 2)
+    # decode_media dispatch by MIME kind
+    assert M.decode_media(p, "video/x-msvideo")["n_units"] == 2
+
+
+def test_avi_sample_matches_closed_form():
+    for doc in (0, 7, 123, 9999):
+        fps, n, w, h = M.avi_params(doc)
+        d = M.decode_avi(M.encode_avi_sample(doc))
+        assert (d["n_units"], d["sample_rate"]) == (n, fps)
+        assert (d["width"], d["height"]) == (w, h)
+        exp = sum(_ycc_round_trip(*M.avi_frame_rgb(doc, i))
+                  for i in range(n)) / n
+        assert d["mean_value"] == pytest.approx(exp, abs=1e-9)
+
+
+def test_avi_odd_length_frame_chunks_pad_to_even():
+    """RIFF requires even chunk alignment; a frame with odd byte length
+    must not shift the following chunk or the idx1 offsets."""
+    f0 = M.encode_jpeg(8, 8, rgb=(1, 2, 3))
+    # force an odd frame length by inserting a COM segment of odd size
+    odd = f0[:-2] + b"\xff\xfe\x00\x03a" + f0[-2:]
+    if len(odd) % 2 == 0:
+        odd = f0[:-2] + b"\xff\xfe\x00\x04ab" + f0[-2:]
+    assert len(odd) % 2 == 1
+    frames = [odd, M.encode_jpeg(8, 8, rgb=(4, 5, 6))]
+    p = M.encode_avi_mjpeg(10, frames, 8, 8)
+    per = M.decode_avi_frames(p)
+    assert len(per) == 2
+    assert per[1]["mean_value"] == pytest.approx(_ycc_round_trip(4, 5, 6))
+
+
+def test_avi_malformed_rejections():
+    frames = [M.encode_jpeg(8, 8, rgb=(9, 9, 9))]
+    p = M.encode_avi_mjpeg(10, frames, 8, 8)
+    # truncation
+    with pytest.raises(ValueError):
+        M.decode_avi(p[:-10])
+    # non-MJPG handler: precise loud boundary, not a crash
+    bad = bytearray(p)
+    i = bad.find(b"MJPG")
+    bad[i:i + 4] = b"H264"
+    with pytest.raises(NotImplementedError):
+        M.decode_avi(bytes(bad))
+    # header/movi frame-count mismatch (avih claims 2, movi has 1)
+    bad = bytearray(p)
+    j = bad.find(b"avih")
+    struct.pack_into("<I", bad, j + 8 + 16, 2)
+    with pytest.raises(ValueError):
+        M.decode_avi(bytes(bad))
+    # idx1 offset pointing at garbage
+    bad = bytearray(p)
+    k = bad.find(b"idx1")
+    struct.pack_into("<I", bad, k + 8 + 8, 9999)
+    with pytest.raises(ValueError):
+        M.decode_avi(bytes(bad))
+    # frame dimensions disagree with the stream header
+    frames2 = [M.encode_jpeg(16, 16, rgb=(9, 9, 9))]
+    p2 = M.encode_avi_mjpeg(10, frames2, 8, 8)
+    with pytest.raises(ValueError):
+        M.decode_avi(p2)
+    # not an AVI at all
+    with pytest.raises(ValueError):
+        M.decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_avi_video_frame_stats_fan_out(spark):
+    """1 payload row → n_frames output rows through the Arrow UDF; each
+    frame's stats exact against the per-(doc, frame) closed form."""
+    df = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    media = M.synthesize_media(df, "video")
+    rows = M.video_frame_stats(media).collect()
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.frame_index)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d in range(6):
+        fps, n, w, h = M.avi_params(d)
+        assert [r.frame_index for r in by_doc[d]] == list(range(n))
+        for i, r in enumerate(by_doc[d]):
+            assert (r.width, r.height) == (w, h)
+            assert r.frame_mean == pytest.approx(
+                _ycc_round_trip(*M.avi_frame_rgb(d, i)), abs=1e-9)
