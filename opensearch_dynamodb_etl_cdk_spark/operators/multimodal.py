@@ -25,11 +25,12 @@ dependencies:
   stereo decorrelation, CRC-8/16 + STREAMINFO-MD5 verification
   (RFC 9639), pure integer arithmetic with zero dependencies
 
-``decode_image`` / ``decode_audio`` dispatch on magic bytes: every
-image format plus WAV and FLAC decodes for real; the remaining audio
-formats (MP3/OGG) raise ``NotImplementedError`` because their codecs
-(MPEG audio / Vorbis) need libraries the container does not ship —
-they stay pluggable through ``register_decoder``.
+``decode_image`` / ``decode_audio`` / ``decode_video`` dispatch on
+magic bytes: every image format, WAV, FLAC, Ogg-FLAC and MJPEG AVI
+decode for real; MP3 and the Vorbis/Opus Ogg mappings raise
+``NotImplementedError`` because their codecs (MPEG audio / Vorbis /
+Opus) need libraries the container does not ship — they stay
+pluggable through ``register_decoder``.
 ``fake_decoder`` remains as a cheap deterministic double for
 plumbing-only tests.
 
@@ -269,9 +270,10 @@ def decode_wav(payload: bytes) -> dict:
 # PCM. The encoder emits real fixed-blocksize streams (constant
 # detection, best fixed order by residual magnitude, optional LPC and
 # stereo decorrelation, selectable Rice partition order) so round-trip
-# tests drive every decoder path. MP3/OGG still raise — their codecs
-# need libraries the container does not ship; FLAC is pure integer
-# prediction + Rice coding, fully in-spec here.
+# tests drive every decoder path. MP3 and Ogg-Vorbis/Opus still raise
+# — their codecs need libraries the container does not ship; FLAC is
+# pure integer prediction + Rice coding, fully in-spec here (and the
+# Ogg transport + FLAC mapping reuse it for .oga payloads).
 
 
 class _FlacBitWriter:
@@ -2684,6 +2686,201 @@ def decode_jpeg(payload: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------- Ogg
+#
+# The Ogg transport layer (RFC 3533): 'OggS' pages carrying a lacing
+# table of ≤255-byte segments; a segment shorter than 255 bytes ends a
+# packet, so a packet an exact multiple of 255 needs a trailing zero
+# lacing value, and packets longer than one page continue onto the
+# next page with the continuation flag set. Pages are CRC-32 protected
+# (poly 0x04C11DB7, unreflected, init/xorout 0, CRC field zeroed).
+#
+# On top of the page layer, the FLAC-in-Ogg mapping (Xiph "FLAC to Ogg
+# mapping"): the first packet is 0x7F 'FLAC' <major minor> <nheaders BE16>
+# followed by the native 'fLaC' signature + STREAMINFO; later header
+# packets are native metadata blocks and audio packets are native
+# frames — so concatenating every packet's native payload reconstructs
+# a byte-exact native FLAC stream for the decoder already here.
+# Vorbis/Opus mappings stay precise loud boundaries.
+
+_OGG_CRC_TABLE = None
+
+
+def _ogg_crc32(data: bytes) -> int:
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        tbl = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
+            tbl.append(r & 0xFFFFFFFF)
+        _OGG_CRC_TABLE = tbl
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[(crc >> 24) ^ b]
+    return crc
+
+
+def encode_ogg(packets: list[bytes], serial: int = 1,
+               max_page_data: int = 4096) -> bytes:
+    """Write packets into an Ogg stream: greedy page fill, correct
+    lacing (incl. the 255-multiple trailing-zero case), continuation
+    flags for packets spanning pages, BOS on the first page, EOS on
+    the last, page CRCs."""
+    # flatten packets into (segment, ends_packet, packet_idx) triples
+    segs: list[tuple[bytes, bool, int]] = []
+    for pidx, p in enumerate(packets):
+        n = len(p)
+        off = 0
+        while True:
+            take = min(255, n - off)
+            last = off + take == n and take < 255
+            segs.append((p[off:off + take], last, pidx))
+            off += take
+            if off == n:
+                if take == 255:
+                    segs.append((b"", True, pidx))  # exact-multiple terminator
+                break
+    pages: list[tuple[list[tuple[bytes, bool]], bool]] = []
+    cur: list[tuple[bytes, bool]] = []
+    cur_bytes = 0
+    continued = False
+    for seg, last, pidx in segs:
+        # the BOS page carries the first packet ALONE (the Xiph
+        # mapping's requirement), hence the forced break at pidx 1
+        if cur and (len(cur) == 255 or cur_bytes + len(seg) > max_page_data
+                    or (pidx == 1 and not pages)):
+            pages.append((cur, continued))
+            continued = not cur[-1][1]  # last segment didn't end a packet
+            cur, cur_bytes = [], 0
+        cur.append((seg, last))
+        cur_bytes += len(seg)
+    pages.append((cur, continued))
+    out = bytearray()
+    for i, (page, cont) in enumerate(pages):
+        htype = (0x01 if cont else 0) | (0x02 if i == 0 else 0) \
+            | (0x04 if i == len(pages) - 1 else 0)
+        body = b"".join(s for s, _ in page)
+        lacing = bytes(len(s) for s, _ in page)
+        hdr = (b"OggS\x00" + bytes([htype])
+               + struct.pack("<qIII", 0, serial, i, 0)
+               + bytes([len(page)]) + lacing)
+        crc = _ogg_crc32(hdr + body)
+        hdr = hdr[:22] + struct.pack("<I", crc) + hdr[26:]
+        out += hdr + body
+    return bytes(out)
+
+
+def _ogg_packets(payload: bytes) -> list[bytes]:
+    """Parse an Ogg stream back to its packets, verifying capture
+    patterns, version, CRCs, sequence numbers, and continuation-flag
+    consistency. Multiplexed (multi-serial) streams are a precise
+    boundary."""
+    pos, expect_seq, serial = 0, 0, None
+    packets: list[bytes] = []
+    partial = bytearray()
+    mid_packet = False
+    saw_eos = False
+    while pos < len(payload):
+        if pos + 27 > len(payload):
+            raise ValueError("OGG: truncated page header")
+        if payload[pos:pos + 4] != b"OggS":
+            raise ValueError("OGG: bad capture pattern")
+        if payload[pos + 4] != 0:
+            raise ValueError("OGG: unsupported stream structure version")
+        htype = payload[pos + 5]
+        (sn,) = struct.unpack_from("<I", payload, pos + 14)
+        (seq,) = struct.unpack_from("<I", payload, pos + 18)
+        (crc,) = struct.unpack_from("<I", payload, pos + 22)
+        nsegs = payload[pos + 26]
+        lacing = payload[pos + 27:pos + 27 + nsegs]
+        if len(lacing) < nsegs:
+            raise ValueError("OGG: truncated page header")
+        body_len = sum(lacing)
+        end = pos + 27 + nsegs + body_len
+        if end > len(payload):
+            raise ValueError("OGG: truncated page body")
+        page = bytearray(payload[pos:end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc32(bytes(page)) != crc:
+            raise ValueError("OGG: page CRC mismatch")
+        if serial is None:
+            serial = sn
+            if not htype & 0x02:
+                raise ValueError("OGG: first page is not BOS")
+        elif sn != serial:
+            raise NotImplementedError(
+                "OGG: multiplexed streams are not supported")
+        if seq != expect_seq:
+            raise ValueError("OGG: page sequence gap")
+        expect_seq += 1
+        if bool(htype & 0x01) != mid_packet:
+            raise ValueError("OGG: continuation flag inconsistent")
+        dpos = pos + 27 + nsegs
+        for lace in lacing:
+            partial += payload[dpos:dpos + lace]
+            dpos += lace
+            if lace < 255:
+                packets.append(bytes(partial))
+                partial.clear()
+                mid_packet = False
+            else:
+                mid_packet = True
+        saw_eos = bool(htype & 0x04)
+        pos = end
+    if mid_packet or not saw_eos:
+        raise ValueError("OGG: stream ends mid-packet or without EOS")
+    return packets
+
+
+def encode_ogg_flac(flac_payload: bytes, max_page_data: int = 1000,
+                    audio_packet_bytes: int = 600) -> bytes:
+    """Wrap a native FLAC stream into Ogg per the Xiph mapping: first
+    packet = 0x7F 'FLAC' 1.0 + nheaders + the native signature and
+    STREAMINFO; remaining metadata blocks one packet each; audio bytes
+    chunked into packets (reassembly concatenates, so chunk boundaries
+    are free — small pages force real continuation/lacing cases)."""
+    if flac_payload[:4] != b"fLaC":
+        raise ValueError("not a native FLAC stream")
+    # walk the metadata chain to find header/audio split
+    pos, last = 4, False
+    blocks: list[bytes] = []
+    while not last:
+        flags = flac_payload[pos]
+        last = bool(flags & 0x80)
+        (ln,) = struct.unpack(">I", b"\x00" + flac_payload[pos + 1:pos + 4])
+        blocks.append(flac_payload[pos:pos + 4 + ln])
+        pos += 4 + ln
+    audio = flac_payload[pos:]
+    first = (b"\x7fFLAC\x01\x00" + struct.pack(">H", len(blocks) - 1)
+             + b"fLaC" + blocks[0])
+    packets = [first] + blocks[1:]
+    packets += [audio[i:i + audio_packet_bytes]
+                for i in range(0, len(audio), audio_packet_bytes)] or [b""]
+    return encode_ogg(packets, max_page_data=max_page_data)
+
+
+def decode_ogg(payload: bytes) -> dict:
+    """Decode an Ogg container: the FLAC mapping decodes for real
+    (page reassembly → byte-exact native stream → the spec FLAC
+    decoder); Vorbis and Opus mappings raise the precise boundary."""
+    packets = _ogg_packets(payload)
+    if not packets:
+        raise ValueError("OGG: no packets")
+    head = packets[0]
+    if head[:5] == b"\x7fFLAC":
+        native = head[9:] + b"".join(packets[1:])
+        out = decode_flac(native)
+        out["n_bytes"] = len(payload)  # container bytes, not native
+        return out
+    if head[1:7] == b"vorbis":
+        raise NotImplementedError("OGG: Vorbis decode requires a Vorbis codec")
+    if head[:8] == b"OpusHead":
+        raise NotImplementedError("OGG: Opus decode requires an Opus codec")
+    raise ValueError("OGG: unrecognized codec mapping")
+
+
 # ------------------------------------------------------------- AVI (video)
 #
 # RIFF/AVI container with an MJPEG video stream — the smallest REAL
@@ -2938,11 +3135,12 @@ def video_frame_stats(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
 #
 # The production seam for compressed formats: each known container
 # format carries a magic-byte sniffer; a format decodes only if a
-# decoder is REGISTERED for it. BMP, WAV, PNG, GIF and baseline
-# grayscale JPEG register their built-in spec parsers at import;
-# MP3/OGG are recognized (so
-# the error is precise) but undecodable until a real codec is plugged
-# in with ``register_decoder`` — the default stays the loud raise.
+# decoder is REGISTERED for it. BMP, WAV, FLAC, PNG, GIF, JPEG, MJPEG
+# AVI and Ogg (FLAC mapping) register their built-in spec parsers at
+# import; MP3 is recognized (so the error is precise) but undecodable
+# until a real codec is plugged in with ``register_decoder`` — the
+# default stays the loud raise, as do the Vorbis/Opus Ogg mappings
+# inside ``decode_ogg``.
 #
 # Distribution caveat, by design: Python workers re-import this module,
 # so a runtime registration made in the driver is NOT visible on
@@ -2981,7 +3179,7 @@ KNOWN_MEDIA_FORMATS: tuple[MediaFormat, ...] = (
                                                        b"\xff\xf3"),
                 "MP3 decode requires an MPEG audio codec"),
     MediaFormat("ogg", "audio", lambda p: p[:4] == b"OggS",
-                "OGG decode requires a Vorbis/Opus codec"),
+                "OGG decode failed"),
     MediaFormat("avi", "video",
                 lambda p: p[:4] == b"RIFF" and p[8:12] == b"AVI ",
                 "AVI decode failed"),
@@ -2995,6 +3193,7 @@ _BUILTIN_DECODERS: dict[str, Callable[[bytes], dict]] = {
     "gif": decode_gif,
     "jpeg": decode_jpeg,
     "avi": decode_avi,
+    "ogg": decode_ogg,
 }
 _DECODERS: dict[str, Callable[[bytes], dict]] = dict(_BUILTIN_DECODERS)
 
@@ -3252,7 +3451,7 @@ def synthesize_media(
     ("jpeg") or WAV ("audio"). Payload bytes are built and stay on the
     executors; ``keep`` columns pass through for downstream
     grouping."""
-    kinds = ("image", "audio", "flac", "png", "png-palette",
+    kinds = ("image", "audio", "flac", "ogg-flac", "png", "png-palette",
              "png-interlaced", "png-16", "gif", "jpeg", "jpeg-color",
              "jpeg-420", "jpeg-progressive", "video")
     if kind not in kinds:
@@ -3265,6 +3464,7 @@ def synthesize_media(
                   "jpeg-420": "image/jpeg",
                   "jpeg-progressive": "image/jpeg",
                   "audio": "audio/wav", "flac": "audio/flac",
+                  "ogg-flac": "audio/ogg",
                   "video": "video/x-msvideo"}[kind]
     cols = [id_col, *keep]
     keep_schema = ", ".join(f"{c} string" for c in keep)
@@ -3345,6 +3545,18 @@ def synthesize_media(
                 # real Rice-coded FLAC; mono/stereo + all three
                 # decorrelation modes + fixed/LPC subframes cycle by id
                 payloads = [encode_flac_ramp(int(d)) for d in ids]
+            elif kind == "ogg-flac":
+                # the FLAC ramps wrapped in Ogg transport; page and
+                # packet sizes cycle by id so lacing terminators and
+                # cross-page continuation both occur in-corpus
+                payloads = [
+                    encode_ogg_flac(
+                        encode_flac_ramp(int(d)),
+                        max_page_data=200 + (int(d) % 4) * 300,
+                        audio_packet_bytes=255 if int(d) % 3 == 0 else 600,
+                    )
+                    for d in ids
+                ]
             elif kind == "video":
                 # MJPEG AVI: per-frame constant-color JPEGs whose
                 # colors drift per frame index — chunk order is

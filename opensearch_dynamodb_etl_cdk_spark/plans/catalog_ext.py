@@ -2905,9 +2905,7 @@ def multimodal_wav_decode_stats(spark, sf_dir):
     )
 
 
-@register(
-    "multimodal_flac_decode_stats",
-    oracle="""
+_FLAC_RAMP_ORACLE = """
     SELECT source, COUNT(*) AS n_items,
            CAST(SUM(64 + doc_id % 128) AS BIGINT) AS sum_frames,
            CAST(SUM(CAST(16000 + (doc_id % 4) * 4000 AS DECIMAL(28,6))) AS DOUBLE)
@@ -2920,7 +2918,12 @@ def multimodal_wav_decode_stats(spark, sf_dir):
            MAX((64 + doc_id % 128) * 1000.0 / (16000 + (doc_id % 4) * 4000))
                AS max_duration_ms
     FROM documents GROUP BY source
-    """,
+    """
+
+
+@register(
+    "multimodal_flac_decode_stats",
+    oracle=_FLAC_RAMP_ORACLE,
     doc="REAL compressed-audio decode end-to-end: synthesize genuine "
     "FLAC streams per document (operators/multimodal.py::"
     "encode_flac_ramp — Rice-coded fixed/LPC subframes, mono/stereo "
@@ -2936,6 +2939,40 @@ def multimodal_wav_decode_stats(spark, sf_dir):
 def multimodal_flac_decode_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")["documents"]
     media = M.synthesize_media(d, "flac", keep=("source",))
+    feats = M.extract_media_features(media, keep=("source",))
+    exact = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast("double") / F.count(
+        F.lit(1)
+    )
+    return feats.groupBy("source").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_units").alias("sum_frames"),
+        exact("sample_rate").alias("avg_sample_rate"),
+        exact("mean_value").alias("avg_amplitude"),
+        F.min("duration_ms").alias("min_duration_ms"),
+        F.max("duration_ms").alias("max_duration_ms"),
+    )
+
+
+@register(
+    "multimodal_ogg_flac_decode_stats",
+    oracle=_FLAC_RAMP_ORACLE,
+    doc="Ogg TRANSPORT decoded end-to-end (RFC 3533 + the Xiph "
+    "FLAC-to-Ogg mapping): the same per-document FLAC ramps wrapped "
+    "into real Ogg pages (operators/multimodal.py::encode_ogg_flac — "
+    "lacing tables incl. the 255-multiple zero terminator, packets "
+    "spanning pages with continuation flags, BOS/EOS, page CRC-32s; "
+    "page and packet sizes cycle per doc so every transport shape "
+    "occurs in-corpus), reassembled back to a byte-exact native "
+    "stream (::_ogg_packets) and decoded by the spec FLAC decoder. "
+    "The ORACLE IS IDENTICAL to the native-FLAC row by construction — "
+    "any lacing/continuation/reassembly bug corrupts the stream and "
+    "breaks the shared hash. Vorbis/Opus mappings remain precise "
+    "loud boundaries.",
+    tags=("multimodal",),
+)
+def multimodal_ogg_flac_decode_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    media = M.synthesize_media(d, "ogg-flac", keep=("source",))
     feats = M.extract_media_features(media, keep=("source",))
     exact = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast("double") / F.count(
         F.lit(1)

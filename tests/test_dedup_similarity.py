@@ -365,9 +365,12 @@ def test_multimodal_features_and_frames(spark):
 
 def test_decode_dispatch(spark):
     # every image format decodes for real now (test_multimodal_codecs
-    # .py); audio formats needing codec libraries still raise.
+    # .py); audio formats needing codec libraries still raise — for Ogg
+    # the boundary moved inside the container (Vorbis mapping).
     with pytest.raises(NotImplementedError):
-        M.decode_audio(b"OggS" + b"\x00" * 16)
+        M.decode_audio(M.encode_ogg([b"\x01vorbis" + b"\x00" * 20, b"x"]))
+    assert M.decode_audio(
+        M.encode_ogg_flac(M.encode_flac_ramp(5)))["media_kind"] == "audio"
     assert M.decode_image(M.encode_bmp(2, 2, 9))["n_units"] == 4
     assert M.decode_image(M.encode_png(2, 2, 9))["n_units"] == 4
     assert M.decode_image(M.encode_gif(2, 2, 9))["n_units"] == 4

@@ -155,7 +155,9 @@ def test_wav_skips_unknown_chunks():
         # JPEG decodes for real now: a zero-length APP0 segment is
         # structural damage
         (b"\xff\xd8\xff\xe0" + b"\x00" * 20, ValueError),
-        (b"OggS" + b"\x00" * 20, NotImplementedError),
+        # Ogg decodes for real now (FLAC mapping): a zeroed page header
+        # is structural damage, not a missing codec
+        (b"OggS" + b"\x00" * 20, ValueError),
         (b"ID3\x03" + b"\x00" * 20, NotImplementedError),
     ],
 )
@@ -351,10 +353,15 @@ def test_png_synthesize_extract_roundtrip(spark, sf_dir):
 
 def test_registry_default_raises_for_compressed():
     mp3 = b"ID3" + b"\x00" * 16
-    ogg = b"OggS" + b"\x00" * 16
-    for payload, fn in ((mp3, M.decode_audio), (ogg, M.decode_audio)):
-        with pytest.raises(NotImplementedError):
-            fn(payload)
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(mp3)
+    # Ogg is a BUILT-IN now (page layer + FLAC mapping): the raise moved
+    # inside — a well-formed Ogg stream carrying a Vorbis mapping is the
+    # codec boundary, a zeroed header is structural damage
+    with pytest.raises(ValueError):
+        M.decode_audio(b"OggS" + b"\x00" * 16)
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(M.encode_ogg([b"\x01vorbis" + b"\x00" * 20, b"x"]))
     # PNG is a BUILT-IN now (stdlib-zlib decoder): it dispatches without
     # any registration, and unregister reverts to the built-in, not to
     # the loud raise
@@ -1587,3 +1594,77 @@ def test_avi_video_frame_stats_fan_out(spark):
             assert (r.width, r.height) == (w, h)
             assert r.frame_mean == pytest.approx(
                 _ycc_round_trip(*M.avi_frame_rgb(d, i)), abs=1e-9)
+
+
+# ------------------------------------------------------------ Ogg / FLAC
+
+
+def test_ogg_flac_round_trip_equals_native():
+    """Page reassembly must reproduce the native stream's decode
+    exactly (only n_bytes differs — it reports container bytes)."""
+    for doc in (0, 7, 123, 9999):
+        native = M.encode_flac_ramp(doc)
+        ogg = M.encode_ogg_flac(native)
+        assert M.detect_media_format(ogg).name == "ogg"
+        dn, do = M.decode_flac(native), M.decode_ogg(ogg)
+        assert do["n_bytes"] == len(ogg)
+        dn.pop("n_bytes"), do.pop("n_bytes")
+        assert dn == do
+
+
+def test_ogg_lacing_edges_and_continuation():
+    """255-multiple packets need the zero lacing terminator; tiny pages
+    force packets to span pages with the continuation flag. PCM must
+    survive both."""
+    native = M.encode_flac(8000, [[i % 100 - 50] for i in range(500)])
+    ogg = M.encode_ogg_flac(native, max_page_data=120,
+                            audio_packet_bytes=255)
+    assert ogg.count(b"OggS") >= 3  # genuinely multi-page
+    packets = M._ogg_packets(ogg)
+    rebuilt = packets[0][9:] + b"".join(packets[1:])
+    assert M._flac_pcm(rebuilt)[3] == M._flac_pcm(native)[3]
+    # the BOS page carries the first packet alone (Xiph mapping)
+    first_nsegs = ogg[26]
+    first_lacing = ogg[27:27 + first_nsegs]
+    assert sum(first_lacing) == len(packets[0])
+
+
+def test_ogg_codec_boundaries():
+    with pytest.raises(NotImplementedError):
+        M.decode_ogg(M.encode_ogg([b"\x01vorbis" + b"\x00" * 20, b"x"]))
+    with pytest.raises(NotImplementedError):
+        M.decode_ogg(M.encode_ogg([b"OpusHead" + b"\x00" * 10, b"x"]))
+    with pytest.raises(ValueError):  # unknown mapping
+        M.decode_ogg(M.encode_ogg([b"whatisthis", b"x"]))
+
+
+def test_ogg_malformed_rejections():
+    good = M.encode_ogg_flac(M.encode_flac_ramp(3))
+    # flipped body byte → CRC mismatch
+    bad = bytearray(good)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        M.decode_ogg(bytes(bad))
+    # truncated final page
+    with pytest.raises(ValueError):
+        M.decode_ogg(good[:-7])
+    # short header
+    with pytest.raises(ValueError):
+        M.decode_ogg(b"OggS" + b"\x00" * 10)
+    # dropped page → sequence gap: splice out the second page of a
+    # stream small pages force to span ≥3 pages (CRCs stay valid, so
+    # only the sequence check can catch this)
+    multi = M.encode_ogg_flac(
+        M.encode_flac(8000, [[i % 100 - 50] for i in range(500)]),
+        max_page_data=120)
+    second = multi.index(b"OggS", 4)
+    third = multi.index(b"OggS", second + 4)
+    spliced = multi[:second] + multi[third:]
+    with pytest.raises(ValueError):
+        M.decode_ogg(spliced)
+    # multiplexed streams are a precise boundary: a page of another
+    # serial appears mid-stream
+    a = M.encode_ogg([b"\x7fFLACx"], serial=1)
+    b = M.encode_ogg([b"ignored"], serial=2)
+    with pytest.raises(NotImplementedError):
+        M.decode_ogg(a + b)
