@@ -3018,13 +3018,20 @@ def _avi_parse(payload: bytes) -> tuple[float, int, int, list[bytes]]:
     return fps, width, height, frames
 
 
-def decode_avi_frames(payload: bytes) -> list[dict]:
+def decode_avi_frames(payload: bytes, stride: int = 1) -> list[dict]:
     """Per-frame decode: one dict per movi frame with the frame's own
     reconstructed-pixel statistics — the real form of the frame-
-    sampling shape (:func:`sample_frames` is the codec-free twin)."""
+    sampling shape (:func:`sample_frames` is the codec-free twin).
+    ``stride`` keeps every stride-th frame (by true frame index) and
+    SKIPS the JPEG decode of the rest — the dominant cost — which is
+    the point of sampled extraction over a large video corpus."""
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
     fps, width, height, frames = _avi_parse(payload)
     out = []
     for i, f in enumerate(frames):
+        if i % stride:
+            continue
         w, h, img = _jpeg_decode_pixels(f)
         if (w, h) != (width, height):
             raise ValueError(
@@ -3099,11 +3106,13 @@ def encode_avi_sample(doc_id: int) -> bytes:
     return encode_avi_mjpeg(fps, frames, w, h)
 
 
-def video_frame_stats(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+def video_frame_stats(df: DataFrame, keep: tuple[str, ...] = (),
+                      stride: int = 1) -> DataFrame:
     """Frame-extraction fan-out with a REAL codec: one output row per
     decoded AVI frame (1 input row → n_frames rows), Arrow-batched;
     only small per-frame stat rows leave the UDF — the payload bytes
-    never hit the shuffle."""
+    never hit the shuffle. ``stride`` samples every stride-th frame,
+    skipping the skipped frames' JPEG decode entirely."""
     keep_schema = ", ".join(f"{c} string" for c in keep)
     schema = (
         "doc_id long, frame_index long, width long, height long, "
@@ -3117,7 +3126,7 @@ def video_frame_stats(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
         for pdf in batches:
             rows = []
             for j, p in enumerate(pdf["payload"]):
-                for f in decode_avi_frames(bytes(p)):
+                for f in decode_avi_frames(bytes(p), stride):
                     rows.append((
                         pdf["doc_id"].iloc[j], f["frame_index"],
                         f["width"], f["height"], f["mean_value"],
@@ -3809,6 +3818,14 @@ def resample_wav(payload: bytes, out_rate: int) -> bytes:
 
     if out_rate <= 0:
         raise ValueError("out_rate must be positive")
+    if bytes(payload[:4]) == b"OggS":
+        # Ogg transport: reassemble the native stream, then fall
+        # through to the FLAC branch (the only mapped codec here)
+        packets = _ogg_packets(bytes(payload))
+        if not packets or packets[0][:5] != b"\x7fFLAC":
+            raise NotImplementedError(
+                "resample: only the FLAC Ogg mapping is supported")
+        payload = packets[0][9:] + b"".join(packets[1:])
     if bytes(payload[:4]) == b"fLaC":
         in_rate, channels, bps, pcm = _flac_pcm(bytes(payload))
         if bps != 16:

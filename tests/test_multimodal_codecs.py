@@ -1668,3 +1668,30 @@ def test_ogg_malformed_rejections():
     b = M.encode_ogg([b"ignored"], serial=2)
     with pytest.raises(NotImplementedError):
         M.decode_ogg(a + b)
+
+
+def test_resample_accepts_ogg_flac():
+    """Ogg-FLAC normalizes through the same resample tier as WAV/FLAC:
+    identical PCM in → identical canonical WAV out."""
+    native = M.encode_flac(8000, [[i % 50] for i in range(200)])
+    via_native = M.resample_wav(native, 16000)
+    via_ogg = M.resample_wav(M.encode_ogg_flac(native), 16000)
+    assert via_ogg == via_native
+    with pytest.raises(NotImplementedError):
+        M.resample_wav(M.encode_ogg([b"\x01vorbis" + b"\x00" * 20, b"x"]),
+                       16000)
+
+
+def test_avi_frame_stride_sampling():
+    """stride keeps every stride-th frame by TRUE index and skips the
+    others' JPEG decode."""
+    frames = [M.encode_jpeg(8, 8, rgb=M.avi_frame_rgb(1, i))
+              for i in range(5)]
+    p = M.encode_avi_mjpeg(10, frames, 8, 8)
+    got = M.decode_avi_frames(p, stride=2)
+    assert [f["frame_index"] for f in got] == [0, 2, 4]
+    for f in got:
+        assert f["mean_value"] == pytest.approx(
+            _ycc_round_trip(*M.avi_frame_rgb(1, f["frame_index"])))
+    with pytest.raises(ValueError):
+        M.decode_avi_frames(p, stride=0)
