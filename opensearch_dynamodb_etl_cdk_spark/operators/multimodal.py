@@ -2686,6 +2686,271 @@ def decode_jpeg(payload: bytes) -> dict:
     }
 
 
+# --------------------------------------------------------------- TIFF
+#
+# Baseline TIFF 6.0 (public Adobe spec): a byte-order header (II
+# little / MM big endian), a linked IFD of 12-byte tag entries, image
+# data in strips addressed by StripOffsets/StripByteCounts, optional
+# PackBits (RLE) compression per strip. Grayscale (photometric 1) and
+# RGB (photometric 2), 8 bits per sample.
+
+_TIFF_TAGS = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    262: "photometric", 273: "offsets", 277: "spp", 278: "rows_per_strip",
+    279: "counts",
+}
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits: runs of ≥3 equal bytes → (257-n, byte); literals
+    otherwise, both capped at 128 per packet."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        start = i
+        i += run
+        while i < n and i - start < 128:
+            nxt = 1
+            while i + nxt < n and nxt < 3 and data[i + nxt] == data[i]:
+                nxt += 1
+            if nxt >= 3:
+                break
+            i += 1
+        out += bytes([i - start - 1]) + data[start:i]
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expect:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal of n+1 bytes
+            if i + n + 1 > len(data):
+                raise ValueError("TIFF: PackBits literal overruns strip")
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n == 128:  # spec no-op
+            continue
+        else:  # run of 257-n copies
+            if i >= len(data):
+                raise ValueError("TIFF: PackBits run missing its byte")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    if len(out) != expect:
+        raise ValueError(
+            f"TIFF: strip decoded to {len(out)} bytes, expected {expect}")
+    return bytes(out)
+
+
+def encode_tiff(width: int, height: int, pixel_value: int | None = None,
+                base: int = 0, rgb: bool = False,
+                compression: str = "none", rows_per_strip: int = 2,
+                big_endian: bool = False) -> bytes:
+    """Build a real baseline TIFF. Content is the clip-free gradient
+    v(x, y) = base + x + 2y (mean base + (w-1)/2 + (h-1)); ``rgb``
+    stores channels (v, v+1, v+2) (mean +1); ``pixel_value`` overrides
+    with a constant (the PackBits run-packet exerciser). Strips of
+    ``rows_per_strip`` rows each, optionally PackBits-compressed,
+    either byte order."""
+    e = ">" if big_endian else "<"
+    spp = 3 if rgb else 1
+    rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            v = pixel_value if pixel_value is not None else base + x + 2 * y
+            px = (v, v + 1, v + 2) if rgb else (v,)
+            if any(not 0 <= c <= 255 for c in px):
+                raise ValueError("pixel exceeds a byte")
+            row += bytes(px)
+        rows.append(bytes(row))
+    strips = [
+        b"".join(rows[y:y + rows_per_strip])
+        for y in range(0, height, rows_per_strip)
+    ] or [b""]
+    comp_code = {"none": 1, "packbits": 32773}[compression]
+    if compression == "packbits":
+        strips = [_packbits_encode(s) for s in strips]
+    # layout: header(8) | strip data | BitsPerSample array (rgb only) |
+    # strip offset/count arrays (if >2 entries... keep simple: always
+    # out-of-line when count > 1) | IFD
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    extra = bytearray()
+
+    def arr_offset(values, typ):
+        nonlocal pos
+        off = pos
+        fmt = "H" if typ == 3 else "I"
+        extra.extend(struct.pack(f"{e}{len(values)}{fmt}", *values))
+        pos += len(values) * (2 if typ == 3 else 4)
+        return off
+
+    entries = []  # (tag, type, count, packed value field)
+
+    def inline(tag, typ, value):
+        if typ == 3:
+            entries.append((tag, 3, 1, struct.pack(f"{e}HH", value, 0)))
+        else:
+            entries.append((tag, 4, 1, struct.pack(f"{e}I", value)))
+
+    inline(256, 4, width)
+    inline(257, 4, height)
+    if spp == 3:
+        bits_off = arr_offset([8, 8, 8], 3)
+        entries.append((258, 3, 3, struct.pack(f"{e}I", bits_off)))
+    else:
+        inline(258, 3, 8)
+    inline(259, 3, comp_code)
+    inline(262, 3, 2 if rgb else 1)
+    if len(strips) == 1:
+        entries.append((273, 4, 1, struct.pack(f"{e}I", strip_offsets[0])))
+        entries.append((279, 4, 1, struct.pack(f"{e}I", len(strips[0]))))
+    else:
+        so = arr_offset(strip_offsets, 4)
+        sc = arr_offset([len(s) for s in strips], 4)
+        entries.append((273, 4, len(strips), struct.pack(f"{e}I", so)))
+        entries.append((279, 4, len(strips), struct.pack(f"{e}I", sc)))
+    inline(277, 3, spp)
+    inline(278, 4, rows_per_strip)
+    entries.sort()  # the spec requires ascending tag order
+    ifd_off = pos
+    ifd = struct.pack(f"{e}H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack(f"{e}HHI", tag, typ, cnt) + val
+    ifd += struct.pack(f"{e}I", 0)  # no next IFD
+    head = (b"MM" if big_endian else b"II") + struct.pack(f"{e}H", 42) \
+        + struct.pack(f"{e}I", ifd_off)
+    return head + b"".join(strips) + bytes(extra) + ifd
+
+
+def _tiff_parse(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """(width, height, samples_per_pixel, photometric, assembled
+    sample bytes) — the shared container walk under stats and pixel
+    access."""
+    if payload[:2] == b"II":
+        e = "<"
+    elif payload[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    if struct.unpack_from(f"{e}H", payload, 2)[0] != 42:
+        raise ValueError("TIFF: bad magic")
+    (ifd_off,) = struct.unpack_from(f"{e}I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("TIFF: IFD offset out of range")
+    (n_entries,) = struct.unpack_from(f"{e}H", payload, ifd_off)
+    tags: dict[str, tuple[int, int, int]] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        if off + 12 > len(payload):
+            raise ValueError("TIFF: truncated IFD")
+        tag, typ, cnt = struct.unpack_from(f"{e}HHI", payload, off)
+        name = _TIFF_TAGS.get(tag)
+        if name:
+            (raw,) = struct.unpack_from(f"{e}I", payload, off + 8)
+            if typ == 3 and cnt == 1:  # SHORT packs into the low half
+                raw = struct.unpack_from(f"{e}H", payload, off + 8)[0]
+            tags[name] = (typ, cnt, raw)
+
+    def values(name, default=None):
+        if name not in tags:
+            if default is None:
+                raise ValueError(f"TIFF: missing required tag {name}")
+            return [default]
+        typ, cnt, raw = tags[name]
+        if cnt == 1:
+            return [raw]
+        fmt, size = ("H", 2) if typ == 3 else ("I", 4)
+        end = raw + cnt * size
+        if end > len(payload):
+            raise ValueError(f"TIFF: {name} array out of range")
+        return list(struct.unpack_from(f"{e}{cnt}{fmt}", payload, raw))
+
+    width, height = values("width")[0], values("height")[0]
+    comp = values("compression", 1)[0]
+    photo = values("photometric")[0]
+    spp = values("spp", 1)[0]
+    bits = values("bits", 8)
+    if set(bits) != {8}:
+        raise NotImplementedError("TIFF: only 8 bits per sample decodes")
+    if comp not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF: compression {comp} needs a codec (only none/PackBits)")
+    if (photo, spp) not in ((0, 1), (1, 1), (2, 3)):
+        raise NotImplementedError(
+            f"TIFF: photometric {photo} with {spp} samples unsupported")
+    offsets, counts = values("offsets"), values("counts")
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF: StripOffsets/StripByteCounts disagree")
+    rps = values("rows_per_strip", height or 1)[0]
+    data = bytearray()
+    for j, (o, c) in enumerate(zip(offsets, counts)):
+        if o + c > len(payload):
+            raise ValueError("TIFF: strip out of range")
+        strip = payload[o:o + c]
+        if comp == 32773:
+            strip_rows = min(rps, height - j * rps)
+            strip = _packbits_decode(strip, strip_rows * width * spp)
+        data += strip
+    if len(data) != width * height * spp:
+        raise ValueError(
+            f"TIFF: {len(data)} sample bytes for {width}x{height}x{spp}")
+    return width, height, spp, photo, bytes(data)
+
+
+def decode_tiff(payload: bytes) -> dict:
+    """Decode a baseline TIFF for real: byte-order dispatch, IFD walk,
+    strip assembly, PackBits expansion, gray/RGB sample layout.
+    Statistics cover the assembled samples — any strip-order, RLE, or
+    endianness bug shifts ``mean_value`` and breaks the oracle."""
+    width, height, spp, photo, data = _tiff_parse(payload)
+    vals = list(data)
+    if photo == 0:  # white-is-zero inverts
+        vals = [255 - v for v in vals]
+    return {
+        "media_kind": "image",
+        "width": width,
+        "height": height,
+        "bit_depth": 8,
+        "n_units": width * height,
+        "mean_value": (sum(vals) / len(vals)) if vals else 0.0,
+        "n_bytes": len(payload),
+    }
+
+
+def tiff_params(doc_id: int) -> tuple[int, int, int]:
+    """Ground-truth (width, height, base) for a synthesized gradient
+    TIFF: v = base + x + 2y peaks at 52 + 12 + 12 = 76 (+2 for RGB),
+    clip-free; the closed-form mean is base + (w-1)/2 + (h-1)
+    (+1 for RGB docs)."""
+    return 1 + doc_id % 13, 1 + doc_id % 7, doc_id % 53
+
+
+def encode_tiff_sample(doc_id: int) -> bytes:
+    """Synthesized TIFF for ``doc_id``, cycling the container variants:
+    RGB for odd ids (gray otherwise), PackBits unless id % 3 == 0,
+    big-endian every 5th id, 2-row strips throughout."""
+    w, h, base = tiff_params(doc_id)
+    return encode_tiff(
+        w, h, base=base, rgb=bool(doc_id % 2),
+        compression="none" if doc_id % 3 == 0 else "packbits",
+        big_endian=doc_id % 5 == 0,
+    )
+
+
 # ---------------------------------------------------------------- Ogg
 #
 # The Ogg transport layer (RFC 3533): 'OggS' pages carrying a lacing
@@ -3178,6 +3443,9 @@ KNOWN_MEDIA_FORMATS: tuple[MediaFormat, ...] = (
                 "GIF decode failed"),
     MediaFormat("jpeg", "image", lambda p: p[:3] == b"\xff\xd8\xff",
                 "JPEG decode failed"),
+    MediaFormat("tiff", "image",
+                lambda p: p[:4] in (b"II*\x00", b"MM\x00*"),
+                "TIFF decode failed"),
     MediaFormat("wav", "audio",
                 lambda p: p[:4] == b"RIFF" and p[8:12] == b"WAVE",
                 "WAV decode failed"),
@@ -3201,6 +3469,7 @@ _BUILTIN_DECODERS: dict[str, Callable[[bytes], dict]] = {
     "png": decode_png,
     "gif": decode_gif,
     "jpeg": decode_jpeg,
+    "tiff": decode_tiff,
     "avi": decode_avi,
     "ogg": decode_ogg,
 }
@@ -3462,7 +3731,7 @@ def synthesize_media(
     grouping."""
     kinds = ("image", "audio", "flac", "ogg-flac", "png", "png-palette",
              "png-interlaced", "png-16", "gif", "jpeg", "jpeg-color",
-             "jpeg-420", "jpeg-progressive", "video")
+             "jpeg-420", "jpeg-progressive", "tiff", "video")
     if kind not in kinds:
         raise ValueError(f"kind must be one of {kinds}")
     media_type = {"image": "image/bmp", "png": "image/png",
@@ -3472,6 +3741,7 @@ def synthesize_media(
                   "jpeg": "image/jpeg", "jpeg-color": "image/jpeg",
                   "jpeg-420": "image/jpeg",
                   "jpeg-progressive": "image/jpeg",
+                  "tiff": "image/tiff",
                   "audio": "audio/wav", "flac": "audio/flac",
                   "ogg-flac": "audio/ogg",
                   "video": "video/x-msvideo"}[kind]
@@ -3554,6 +3824,9 @@ def synthesize_media(
                 # real Rice-coded FLAC; mono/stereo + all three
                 # decorrelation modes + fixed/LPC subframes cycle by id
                 payloads = [encode_flac_ramp(int(d)) for d in ids]
+            elif kind == "tiff":
+                # gray/RGB, PackBits/none, II/MM cycle per id
+                payloads = [encode_tiff_sample(int(d)) for d in ids]
             elif kind == "ogg-flac":
                 # the FLAC ramps wrapped in Ogg transport; page and
                 # packet sizes cycle by id so lacing terminators and
@@ -3621,7 +3894,8 @@ def extract_media_features(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFra
 def decode_image_pixels(payload: bytes):
     """(width, height, top-down H×W×3 uint8 RGB array) for any BUILT-IN
     image format — BMP, PNG (gray/gray+alpha expand, alpha drops), GIF
-    (palette-mapped), baseline grayscale JPEG (replicated). Pixel
+    (palette-mapped), baseline grayscale JPEG (replicated), TIFF
+    (gray replicate / white-is-zero invert / RGB passthrough). Pixel
     access is a built-in capability: ``register_decoder`` plugs in
     FEATURE decoders, which return stats, not pixels — a registered
     format still raises here."""
@@ -3661,6 +3935,13 @@ def decode_image_pixels(payload: bytes):
         if img.ndim == 3:  # color (YCbCr 4:4:4): already RGB
             return w, h, np.ascontiguousarray(img)
         return w, h, np.repeat(img[:, :, None], 3, axis=2)
+    if f.name == "tiff":
+        w, h, spp, photo, data = _tiff_parse(payload)
+        a = np.frombuffer(data, np.uint8).reshape(h, w, spp)
+        if photo == 0:  # white-is-zero inverts
+            a = 255 - a
+        rgb = a if spp == 3 else np.repeat(a, 3, axis=2)
+        return w, h, np.ascontiguousarray(rgb)
     raise NotImplementedError(f.hint)
 
 

@@ -2541,6 +2541,36 @@ def _media_decode_stats(spark, sf_dir, kind):
 
 
 @register(
+    "multimodal_tiff_decode_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_items,
+           CAST(SUM((1 + doc_id % 13) * (1 + doc_id % 7)) AS BIGINT) AS sum_pixels,
+           CAST(SUM(CAST(1 + doc_id % 13 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_width,
+           CAST(SUM(CAST(1 + doc_id % 7 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_height,
+           CAST(SUM(CAST(doc_id % 53 + (doc_id % 13) / 2.0
+                         + doc_id % 7 + doc_id % 2
+                    AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_pixel
+    FROM documents GROUP BY lang
+    """,
+    doc="REAL baseline-TIFF decode end-to-end: synthesize genuine TIFF "
+    "6.0 files per document (operators/multimodal.py::"
+    "encode_tiff_sample — IFD tag directory, 2-row strips addressed by "
+    "StripOffsets/StripByteCounts, the container variants cycling per "
+    "id: grayscale AND RGB photometrics, PackBits RLE AND uncompressed "
+    "strips, little- AND big-endian byte orders), parse them back "
+    "through the registry decoder (::decode_tiff — byte-order "
+    "dispatch, IFD walk, strip assembly, PackBits expansion), "
+    "aggregate per lang. The oracle recomputes geometry and the "
+    "gradient mean base + (w-1)/2 + (h-1) (+1 for RGB ids) from the "
+    "doc_id formulas — any strip-order, RLE, endianness, or sample-"
+    "layout bug breaks the hash.",
+    tags=("multimodal",),
+)
+def multimodal_tiff_decode_stats(spark, sf_dir):
+    return _media_decode_stats(spark, sf_dir, "tiff")
+
+
+@register(
     "multimodal_png_decode_stats",
     oracle="""
     SELECT lang, COUNT(*) AS n_items,

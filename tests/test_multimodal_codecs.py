@@ -1695,3 +1695,94 @@ def test_avi_frame_stride_sampling():
             _ycc_round_trip(*M.avi_frame_rgb(1, f["frame_index"])))
     with pytest.raises(ValueError):
         M.decode_avi_frames(p, stride=0)
+
+
+# --------------------------------------------------------------- TIFF
+
+
+def test_tiff_gradient_cycle_matches_closed_form():
+    """Every container variant (gray/RGB × none/PackBits × II/MM ×
+    multi-strip) reconstructs the v = base + x + 2y gradient whose
+    mean is base + (w-1)/2 + (h-1) (+1 for RGB)."""
+    for doc in range(40):
+        w, h, base = M.tiff_params(doc)
+        payload = M.encode_tiff_sample(doc)
+        assert M.detect_media_format(payload).name == "tiff"
+        d = M.decode_tiff(payload)
+        exp = base + (w - 1) / 2 + (h - 1) + (1 if doc % 2 else 0)
+        assert (d["width"], d["height"], d["n_units"]) == (w, h, w * h)
+        assert d["mean_value"] == pytest.approx(exp, abs=1e-9)
+        # registry dispatch
+        assert M.decode_image(payload)["n_units"] == w * h
+
+
+def test_tiff_packbits_runs_and_limits():
+    """Constant rows exercise run packets including the 128-cap; the
+    raw codec round-trips and the compressed file is much smaller."""
+    enc = M._packbits_encode(bytes([7]) * 400)
+    assert len(enc) == 8  # 3 full runs of 128 + one of 16
+    assert M._packbits_decode(enc, 400) == bytes([7]) * 400
+    # mixed literal/run content round-trips
+    mixed = b"abc" + b"z" * 5 + b"de" + b"q" * 300 + b"xy"
+    assert M._packbits_decode(M._packbits_encode(mixed), len(mixed)) == mixed
+    # the spec -128 no-op byte is skipped
+    assert M._packbits_decode(b"\x80\x00a", 1) == b"a"
+    p = M.encode_tiff(200, 3, pixel_value=7, compression="packbits")
+    raw = M.encode_tiff(200, 3, pixel_value=7, compression="none")
+    assert M.decode_tiff(p)["mean_value"] == 7.0
+    assert len(p) < len(raw) / 3
+
+
+def test_tiff_byte_orders_agree():
+    a = M.decode_tiff(M.encode_tiff(9, 5, base=10, rgb=True,
+                                    big_endian=True))
+    b = M.decode_tiff(M.encode_tiff(9, 5, base=10, rgb=True,
+                                    big_endian=False))
+    a.pop("n_bytes"), b.pop("n_bytes")
+    assert a == b
+
+
+def test_tiff_malformed_and_boundaries():
+    with pytest.raises(ValueError):
+        M.decode_tiff(b"II*\x00" + b"\x00" * 4)  # IFD inside header
+    with pytest.raises(ValueError):
+        M.decode_tiff(b"XX*\x00" + b"\x00" * 10)  # not TIFF
+    # strip out of range
+    good = bytearray(M.encode_tiff(4, 4, base=1, rows_per_strip=8))
+    (ifd,) = struct.unpack_from("<I", good, 4)
+    (n,) = struct.unpack_from("<H", good, ifd)
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from("<HHI", good, off)
+        if tag == 273:  # StripOffsets (single strip: inline LONG)
+            struct.pack_into("<I", good, off + 8, 10_000)
+    with pytest.raises(ValueError):
+        M.decode_tiff(bytes(good))
+    # unsupported compression is a precise boundary
+    lzw = bytearray(M.encode_tiff(4, 4, base=1))
+    (ifd,) = struct.unpack_from("<I", lzw, 4)
+    (n,) = struct.unpack_from("<H", lzw, ifd)
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        if struct.unpack_from("<HHI", lzw, off)[0] == 259:
+            struct.pack_into("<H", lzw, off + 8, 5)  # LZW
+    with pytest.raises(NotImplementedError):
+        M.decode_tiff(bytes(lzw))
+
+
+def test_tiff_pixel_access_and_resize():
+    """TIFF joins the cross-format resize tier: constant-color TIFFs
+    (both photometrics) resize to the canonical BMP with the color
+    surviving exactly."""
+    import numpy as np
+
+    w, h, rgb = M.decode_image_pixels(
+        M.encode_tiff(6, 4, pixel_value=9, rgb=True))
+    assert (w, h) == (6, 4)
+    assert rgb.shape == (4, 6, 3)
+    assert list(rgb[0, 0]) == [9, 10, 11]
+    w, h, gray = M.decode_image_pixels(M.encode_tiff(3, 3, pixel_value=40))
+    assert gray.tolist() == [[[40] * 3] * 3] * 3
+    out = M.resize_image(M.encode_tiff(8, 8, pixel_value=77), 4, 4)
+    d = M.decode_bmp(out)
+    assert d["n_units"] == 16 and d["mean_value"] == 77.0
