@@ -48,6 +48,7 @@ from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from . import pdf as _pdf
 from ..session import min_partitions
 from pyspark.sql.types import (
     BinaryType,
@@ -3460,6 +3461,8 @@ KNOWN_MEDIA_FORMATS: tuple[MediaFormat, ...] = (
     MediaFormat("avi", "video",
                 lambda p: p[:4] == b"RIFF" and p[8:12] == b"AVI ",
                 "AVI decode failed"),
+    MediaFormat("pdf", "document", lambda p: p[:5] == b"%PDF-",
+                "PDF extraction failed"),
 )
 
 _BUILTIN_DECODERS: dict[str, Callable[[bytes], dict]] = {
@@ -3472,6 +3475,7 @@ _BUILTIN_DECODERS: dict[str, Callable[[bytes], dict]] = {
     "tiff": decode_tiff,
     "avi": decode_avi,
     "ogg": decode_ogg,
+    "pdf": _pdf.decode_pdf,
 }
 _DECODERS: dict[str, Callable[[bytes], dict]] = dict(_BUILTIN_DECODERS)
 
@@ -3570,6 +3574,8 @@ def decode_media(
         return decode_audio(payload, decoders)
     if media_type.startswith("video/"):
         return decode_video(payload, decoders)
+    if media_type == "application/pdf":
+        return _decode_kind(payload, "document", decoders)
     raise ValueError(f"no decoder for media_type {media_type!r}")
 
 

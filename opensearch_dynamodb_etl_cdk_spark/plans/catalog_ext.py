@@ -35,6 +35,7 @@ from pyspark.sql import Window as W
 from ..operators import dedup as D
 from ..operators import hnsw as H
 from ..operators import multimodal as M
+from ..operators import pdf as PDF
 from ..operators import similarity as S
 from ..functions import text as T
 from ..functions import vectors as V
@@ -2538,6 +2539,37 @@ def _media_decode_stats(spark, sf_dir, kind):
         exact("height").alias("avg_height"),
         exact("mean_value").alias("avg_pixel"),
     )
+
+
+@register(
+    "multimodal_pdf_text_extract",
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS page,
+           substr(text, CAST(i * 100 + 1 AS BIGINT), 100) AS text
+    FROM (SELECT doc_id, text,
+                 unnest(range(0, CAST(ceil(length(text) / 100.0) AS BIGINT))) AS i
+          FROM documents WHERE doc_id < 300)
+    """,
+    doc="REAL document extraction end-to-end: chunk each corpus text "
+    "into 100-character pages, write a genuine PDF per document "
+    "(operators/pdf.py::encode_pdf — catalog/pages-tree/page objects, "
+    "per-page content streams with Tj text operators and full literal-"
+    "string escaping, FlateDecode for odd ids and raw streams for "
+    "even, a spec-correct xref table), then parse it back "
+    "(::extract_pdf_pages — startxref → xref walk with offset cross-"
+    "validation, reference-following Catalog→Pages→Kids→Contents, "
+    "zlib inflate, Tj/TJ/' tokenization) and emit one row per page. "
+    "The oracle is DIRECT STRING EQUALITY against substr() of the "
+    "source text — any escaping, inflate, page-order, or tokenizer "
+    "bug corrupts the extracted text and breaks the hash. The "
+    "doc_id < 300 probe filter pushes onto the parquet scan; payload "
+    "bytes never leave the executors.",
+    tags=("multimodal",),
+)
+def multimodal_pdf_text_extract(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") < 300)
+    return PDF.extract_document_text(PDF.synthesize_pdfs(d))
 
 
 @register(

@@ -1,0 +1,102 @@
+"""PDF text extraction: round-trips through both stream layouts,
+escape handling, structure validation, precise boundaries, and the
+Spark page fan-out."""
+
+from __future__ import annotations
+
+import pytest
+
+from opensearch_dynamodb_etl_cdk_spark.operators import multimodal as M
+from opensearch_dynamodb_etl_cdk_spark.operators import pdf as P
+
+
+PAGES = ["hello world\nsecond line", "page two (with) \\ parens",
+         "tab\there \x07 bell", "brief"]
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_pdf_round_trip(compress):
+    payload = P.encode_pdf(PAGES, compress=compress)
+    assert payload[:5] == b"%PDF-"
+    assert P.extract_pdf_pages(payload) == PAGES
+
+
+def test_pdf_escape_torture():
+    """Every literal-string escape class survives: nested parens,
+    backslash forms, octal, and line continuations."""
+    text = "a(b(c)d)e \\ ( ) \n mix \r\t"
+    assert P.extract_pdf_pages(P.encode_pdf([text])) == [text]
+    # hand-built content with octal + continuation escapes
+    toks = list(P._literal_strings_and_ops(rb"(\101\102\
+C) Tj"))
+    assert toks == [("str", b"ABC"), ("op", b"Tj")]
+    # TJ array: strings concatenate, kerning numbers drop
+    toks = list(P._literal_strings_and_ops(b"[(ab) -120 (cd)] TJ"))
+    assert [t for t in toks if t[0] == "str"] == [
+        ("str", b"ab"), ("str", b"cd")]
+
+
+def test_pdf_structure_validation():
+    good = P.encode_pdf(["x"])
+    # missing trailer
+    with pytest.raises(ValueError):
+        P.extract_pdf_pages(b"%PDF-1.4 garbage")
+    # not a PDF
+    with pytest.raises(ValueError):
+        P.extract_pdf_pages(b"plain text")
+    # dangling /Root
+    with pytest.raises(ValueError):
+        P.extract_pdf_pages(good.replace(b"/Root 1 0 R", b"/Root 9 0 R"))
+    # shifted offsets: every xref entry now points mid-token
+    with pytest.raises(ValueError):
+        P.extract_pdf_pages(good.replace(b"%PDF-1.4\n", b"%PDF-1.40\n"))
+    # encryption is a precise boundary
+    enc = good.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 7 0 R")
+    with pytest.raises(NotImplementedError):
+        P.extract_pdf_pages(enc)
+    # unsupported filter is a precise boundary (equal-length swap so
+    # the xref offsets stay valid and the FILTER check is what fires)
+    lzw = P.encode_pdf(["x"], compress=True).replace(
+        b"/Filter /FlateDecode", b"/Filter /LZWDecode  ")
+    with pytest.raises(NotImplementedError):
+        P.extract_pdf_pages(lzw)
+
+
+def test_pdf_length_is_authoritative_for_streams():
+    """Compressed data ending in EOL bytes must not be clipped by the
+    pre-endstream newline strip — /Length wins (a real-world zlib
+    payload regression)."""
+    import zlib
+
+    for filler in ("Q" * 83, "R" * 120):  # content whose deflate ends \n-ish
+        p = P.encode_pdf([filler], compress=True)
+        assert P.extract_pdf_pages(p) == [filler]
+    # across many texts, some deflate streams end in 0x0a/0x0d; the
+    # batch asserts none are corrupted
+    texts = [f"doc {i} " + "word " * (i % 37) for i in range(120)]
+    for t in texts:
+        assert P.extract_pdf_pages(P.encode_pdf([t]))[0] == t
+
+
+def test_pdf_registry_dispatch():
+    payload = P.encode_pdf(PAGES)
+    assert M.detect_media_format(payload).name == "pdf"
+    d = M.decode_media(payload, "application/pdf")
+    assert d["media_kind"] == "document" and d["n_units"] == len(PAGES)
+    total = sum(len(p) for p in PAGES)
+    assert d["mean_value"] == pytest.approx(total / len(PAGES))
+
+
+def test_pdf_spark_page_fan_out(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc {i} " + "x" * (95 + i)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    rows = P.extract_document_text(P.synthesize_pdfs(df)).collect()
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.page)):
+        by_doc.setdefault(r.doc_id, []).append(r.text)
+    for i in range(6):
+        t = f"doc {i} " + "x" * (95 + i)
+        expect = [t[j:j + 100] for j in range(0, len(t), 100)]
+        assert by_doc[i] == expect
