@@ -91,3 +91,35 @@ def test_number_fidelity(x):
         assert out == int(x)
     else:
         assert isinstance(out, float) and (out == x or (math.isnan(out) and math.isnan(x)))
+
+
+@given(
+    packets=st.lists(st.binary(min_size=0, max_size=700), min_size=1,
+                     max_size=6),
+    page_cap=st.integers(60, 900),
+)
+@settings(max_examples=40, deadline=None)
+def test_ogg_packets_round_trip_any_sizes(packets, page_cap):
+    """RFC 3533 transport: arbitrary packet sizes (incl. empty and
+    255-multiples) survive paging at any page capacity."""
+    from opensearch_dynamodb_etl_cdk_spark.operators import multimodal as M
+
+    payload = M.encode_ogg(packets, max_page_data=page_cap)
+    assert M._ogg_packets(payload) == packets
+
+
+@given(
+    pages=st.lists(
+        st.text(st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+                min_size=0, max_size=200),
+        min_size=1, max_size=4),
+    compress=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_pdf_pages_round_trip_any_ascii(pages, compress):
+    """Any printable-ASCII page set (parens, backslashes, spaces)
+    survives encode → xref-validated parse → Tj tokenization."""
+    from opensearch_dynamodb_etl_cdk_spark.operators import pdf as P
+
+    payload = P.encode_pdf(pages, compress=compress)
+    assert P.extract_pdf_pages(payload) == pages
