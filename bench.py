@@ -132,6 +132,15 @@ HEADLINE = [
     # + full spec decode with CRC/MD5 verification, per row in one
     # Arrow-batched mapInPandas, aggregated per source
     "multimodal_flac_decode_stats",
+    # round-10 late additions: the sharded-HNSW ANN query against the
+    # persisted graph (build billed to run 1 like the other indexes;
+    # steady state = per-shard graph reconstruction + beam search +
+    # coordinator merge), the MJPEG AVI container walk with per-frame
+    # JPEG decode, and the PDF page-extraction fan-out (xref-validated
+    # parse + inflate + Tj tokenization, real corpus text)
+    "ann_hnsw_indexed_topk",
+    "multimodal_avi_decode_stats",
+    "multimodal_pdf_text_extract",
 ]
 
 # Iterative/trainer operators do their distributed work INSIDE fn()
