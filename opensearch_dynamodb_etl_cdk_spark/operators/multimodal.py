@@ -726,7 +726,10 @@ def _flac_pcm(payload: bytes):
     md5_expect = streaminfo[18:34]
 
     frames: list[list[int]] = []
-    while len(frames) < n_total:
+    # n_total == 0 is spec-legal "unknown" (live-capture encoders):
+    # decode until the payload is exhausted instead of silently
+    # returning zero frames for a file full of audio
+    while (len(frames) < n_total) if n_total else (pos < len(payload)):
         r = _FlacBitReader(payload, pos)
         frame_start = pos
         if r.read(14) != 0b11111111111110:
@@ -847,7 +850,7 @@ def _flac_pcm(payload: bytes):
             ]
         frames.extend(list(f) for f in zip(*chans))
 
-    if len(frames) != n_total:
+    if n_total and len(frames) != n_total:
         raise ValueError("FLAC decoded sample count mismatch")
     md5 = hashlib.md5()
     _flac_md5_update(md5, frames, (bps + 7) // 8)
@@ -2816,12 +2819,18 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
         inline(258, 3, 8)
     inline(259, 3, comp_code)
     inline(262, 3, 2 if rgb else 1)
+    counts = [len(s) for s in strips]
     if len(strips) == 1:
         entries.append((273, 4, 1, struct.pack(f"{e}I", strip_offsets[0])))
-        entries.append((279, 4, 1, struct.pack(f"{e}I", len(strips[0]))))
+        entries.append((279, 4, 1, struct.pack(f"{e}I", counts[0])))
+    elif len(strips) == 2 and max(*strip_offsets, *counts) < 0x10000:
+        # two SHORTs fit the 4-byte value field INLINE (spec rule) —
+        # the layout a 2-strip real-world file commonly uses
+        entries.append((273, 3, 2, struct.pack(f"{e}HH", *strip_offsets)))
+        entries.append((279, 3, 2, struct.pack(f"{e}HH", *counts)))
     else:
         so = arr_offset(strip_offsets, 4)
-        sc = arr_offset([len(s) for s in strips], 4)
+        sc = arr_offset(counts, 4)
         entries.append((273, 4, len(strips), struct.pack(f"{e}I", so)))
         entries.append((279, 4, len(strips), struct.pack(f"{e}I", sc)))
     inline(277, 3, spp)
@@ -2861,24 +2870,25 @@ def _tiff_parse(payload: bytes) -> tuple[int, int, int, int, bytes]:
         tag, typ, cnt = struct.unpack_from(f"{e}HHI", payload, off)
         name = _TIFF_TAGS.get(tag)
         if name:
-            (raw,) = struct.unpack_from(f"{e}I", payload, off + 8)
-            if typ == 3 and cnt == 1:  # SHORT packs into the low half
-                raw = struct.unpack_from(f"{e}H", payload, off + 8)[0]
-            tags[name] = (typ, cnt, raw)
+            tags[name] = (typ, cnt, payload[off + 8:off + 12])
 
     def values(name, default=None):
         if name not in tags:
             if default is None:
                 raise ValueError(f"TIFF: missing required tag {name}")
             return [default]
-        typ, cnt, raw = tags[name]
-        if cnt == 1:
-            return [raw]
+        typ, cnt, field = tags[name]
         fmt, size = ("H", 2) if typ == 3 else ("I", 4)
-        end = raw + cnt * size
+        # the spec packs values INLINE whenever they fit the 4-byte
+        # value field: one LONG, or one OR TWO SHORTs (e.g. the strip
+        # arrays of a 2-strip file) — only larger arrays are offsets
+        if cnt * size <= 4:
+            return list(struct.unpack_from(f"{e}{cnt}{fmt}", field))
+        (at,) = struct.unpack_from(f"{e}I", field)
+        end = at + cnt * size
         if end > len(payload):
             raise ValueError(f"TIFF: {name} array out of range")
-        return list(struct.unpack_from(f"{e}{cnt}{fmt}", payload, raw))
+        return list(struct.unpack_from(f"{e}{cnt}{fmt}", payload, at))
 
     width, height = values("width")[0], values("height")[0]
     comp = values("compression", 1)[0]
@@ -3127,24 +3137,30 @@ def encode_ogg_flac(flac_payload: bytes, max_page_data: int = 1000,
     return encode_ogg(packets, max_page_data=max_page_data)
 
 
-def decode_ogg(payload: bytes) -> dict:
-    """Decode an Ogg container: the FLAC mapping decodes for real
-    (page reassembly → byte-exact native stream → the spec FLAC
-    decoder); Vorbis and Opus mappings raise the precise boundary."""
+def _ogg_flac_native(payload: bytes) -> bytes:
+    """Reassemble an Ogg stream to the byte-exact native stream of its
+    FLAC mapping (the single place the 9-byte mapping-header skip and
+    packet concatenation live); Vorbis/Opus/unknown mappings raise."""
     packets = _ogg_packets(payload)
     if not packets:
         raise ValueError("OGG: no packets")
     head = packets[0]
     if head[:5] == b"\x7fFLAC":
-        native = head[9:] + b"".join(packets[1:])
-        out = decode_flac(native)
-        out["n_bytes"] = len(payload)  # container bytes, not native
-        return out
+        return head[9:] + b"".join(packets[1:])
     if head[1:7] == b"vorbis":
         raise NotImplementedError("OGG: Vorbis decode requires a Vorbis codec")
     if head[:8] == b"OpusHead":
         raise NotImplementedError("OGG: Opus decode requires an Opus codec")
     raise ValueError("OGG: unrecognized codec mapping")
+
+
+def decode_ogg(payload: bytes) -> dict:
+    """Decode an Ogg container: the FLAC mapping decodes for real
+    (page reassembly → byte-exact native stream → the spec FLAC
+    decoder); Vorbis and Opus mappings raise the precise boundary."""
+    out = decode_flac(_ogg_flac_native(payload))
+    out["n_bytes"] = len(payload)  # container bytes, not native
+    return out
 
 
 # ------------------------------------------------------------- AVI (video)
@@ -3291,9 +3307,13 @@ def decode_avi_frames(payload: bytes, stride: int = 1) -> list[dict]:
     ``stride`` keeps every stride-th frame (by true frame index) and
     SKIPS the JPEG decode of the rest — the dominant cost — which is
     the point of sampled extraction over a large video corpus."""
+    _fps, width, height, frames = _avi_parse(payload)
+    return _avi_frame_stats(width, height, frames, stride)
+
+
+def _avi_frame_stats(width, height, frames, stride) -> list[dict]:
     if stride < 1:
         raise ValueError("stride must be >= 1")
-    fps, width, height, frames = _avi_parse(payload)
     out = []
     for i, f in enumerate(frames):
         if i % stride:
@@ -3320,7 +3340,7 @@ def decode_avi(payload: bytes) -> dict:
     the frame count — the schema's units are medium-generic by
     design."""
     fps, width, height, frames = _avi_parse(payload)
-    per = decode_avi_frames(payload)
+    per = _avi_frame_stats(width, height, frames, 1)  # parse once
     total = sum(p["mean_value"] for p in per)
     return {
         "media_kind": "video",
@@ -4106,13 +4126,10 @@ def resample_wav(payload: bytes, out_rate: int) -> bytes:
     if out_rate <= 0:
         raise ValueError("out_rate must be positive")
     if bytes(payload[:4]) == b"OggS":
-        # Ogg transport: reassemble the native stream, then fall
-        # through to the FLAC branch (the only mapped codec here)
-        packets = _ogg_packets(bytes(payload))
-        if not packets or packets[0][:5] != b"\x7fFLAC":
-            raise NotImplementedError(
-                "resample: only the FLAC Ogg mapping is supported")
-        payload = packets[0][9:] + b"".join(packets[1:])
+        # Ogg transport: reassemble the native stream (the shared
+        # mapping helper raises for Vorbis/Opus), then fall through to
+        # the FLAC branch
+        payload = _ogg_flac_native(bytes(payload))
     if bytes(payload[:4]) == b"fLaC":
         in_rate, channels, bps, pcm = _flac_pcm(bytes(payload))
         if bps != 16:

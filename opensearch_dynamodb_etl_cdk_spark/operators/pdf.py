@@ -41,8 +41,16 @@ _NAME_RE = re.compile(rb"/(\w+)\s*/(\w+)")
 
 
 def _escape_string(s: str) -> bytes:
+    try:
+        raw = s.encode("latin-1")
+    except UnicodeEncodeError:
+        # loud boundary, like every other codec here: silently writing
+        # '?' would corrupt the round-trip (and the equality oracle)
+        raise ValueError(
+            "PDF: text contains non-Latin-1 characters (UTF-16 text "
+            "strings are not implemented)") from None
     out = bytearray()
-    for ch in s.encode("latin-1", "replace"):
+    for ch in raw:
         if ch in (0x28, 0x29, 0x5C):  # ( ) \
             out += b"\\" + bytes([ch])
         elif ch == 0x0A:
@@ -105,8 +113,11 @@ def encode_pdf(pages: list[str], compress: bool = True) -> bytes:
     return bytes(out)
 
 
-def _parse_xref(payload: bytes) -> dict[int, int]:
-    """startxref → xref table → {object id: byte offset}, validated."""
+def _parse_xref(payload: bytes) -> tuple[dict[int, int], bytes]:
+    """startxref → xref table → ({object id: byte offset}, trailer
+    dict source), validated. The trailer is located AFTER the xref
+    table it follows — a first-match scan could be hijacked by the
+    bytes of a content stream that happens to contain 'trailer <<'."""
     tail = payload[-256:]
     m = re.search(rb"startxref\s+(\d+)\s+%%EOF", tail)
     if not m:
@@ -136,43 +147,54 @@ def _parse_xref(payload: bytes) -> dict[int, int]:
             pos += 20
     if not offsets:
         raise ValueError("PDF: empty xref table")
-    return offsets
+    tm = re.compile(rb"trailer\s*<<(.*?)>>", re.DOTALL).search(payload, pos)
+    if not tm:
+        raise ValueError("PDF: no trailer dictionary after the xref table")
+    return offsets, tm.group(1)
 
 
 def _objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     """{id: (object source, raw stream bytes or None)}, with each used
     xref offset cross-checked against the object it claims to locate."""
-    offsets = _parse_xref(payload)
+    offsets, _ = _parse_xref(payload)
     objs: dict[int, tuple[bytes, bytes | None]] = {}
     for oid, off in offsets.items():
         m = _OBJ_RE.match(payload, off)
         if not m or int(m.group(1)) != oid:
             raise ValueError(
                 f"PDF: xref offset for object {oid} does not point at it")
-        end = payload.find(b"endobj", m.end())
-        if end < 0:
-            raise ValueError(f"PDF: object {oid} has no endobj")
-        body = payload[m.end():end]
+        # the dict region ends at whichever of `stream` / `endobj`
+        # comes FIRST — stream DATA may contain either keyword (zlib
+        # output is arbitrary bytes, and corpus text can literally say
+        # "endobj"), so keywords inside it must never terminate the
+        # object: with a stream present, /Length is authoritative for
+        # where the data ends
+        sm = re.compile(rb"stream\r?\n").search(payload, m.end())
+        eo = payload.find(b"endobj", m.end())
         stream = None
-        sm = re.search(rb"stream\r?\n", body)
-        if sm is not None:
-            se = body.rfind(b"endstream")
-            if se < 0:
-                raise ValueError(f"PDF: object {oid} stream unterminated")
-            stream = body[sm.end():se]
-            body = body[:sm.start()]
-            # /Length is authoritative: compressed data may itself end
-            # in EOL bytes, so stripping the pre-endstream EOL blindly
-            # would corrupt it
+        if sm is not None and (eo < 0 or sm.start() < eo):
+            body = payload[m.end():sm.start()]
             lm = re.search(rb"/Length\s+(\d+)", body)
-            if lm:
-                ln = int(lm.group(1))
-                if ln > len(stream):
-                    raise ValueError(
-                        f"PDF: object {oid} /Length exceeds stream data")
-                stream = stream[:ln]
-            else:
-                stream = stream.rstrip(b"\r\n")
+            if not lm:
+                raise NotImplementedError(
+                    f"PDF: object {oid} stream has an indirect /Length "
+                    "(not supported)")
+            ln = int(lm.group(1))
+            data_at = sm.end()
+            if data_at + ln > len(payload):
+                raise ValueError(
+                    f"PDF: object {oid} /Length exceeds the file")
+            stream = payload[data_at:data_at + ln]
+            rest = payload[data_at + ln:data_at + ln + 64]
+            em = re.match(rb"\s*endstream\s+endobj", rest)
+            if not em:
+                raise ValueError(
+                    f"PDF: object {oid} stream unterminated "
+                    "(/Length does not land on endstream)")
+        else:
+            if eo < 0:
+                raise ValueError(f"PDF: object {oid} has no endobj")
+            body = payload[m.end():eo]
         objs[oid] = (body, stream)
     return objs
 
@@ -281,10 +303,8 @@ def extract_pdf_pages(payload: bytes) -> list[str]:
     if b"/Encrypt" in payload[-512:]:
         raise NotImplementedError("PDF: encrypted files are not supported")
     objs = _objects(payload)
-    tm = re.search(rb"trailer\s*<<(.*?)>>", payload, re.DOTALL)
-    if not tm:
-        raise ValueError("PDF: no trailer dictionary")
-    root = _ref(tm.group(1), "Root")
+    _, trailer = _parse_xref(payload)
+    root = _ref(trailer, "Root")
     if root is None or root not in objs:
         raise ValueError("PDF: trailer /Root missing or dangling")
     pages_id = _ref(objs[root][0], "Pages")

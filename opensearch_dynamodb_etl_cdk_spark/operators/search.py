@@ -1274,7 +1274,9 @@ def _validate_grid_span(lo, hi, body: dict) -> None:
     else:
         interval = body.get("calendar_interval", body.get("interval", "day"))
         step_s = _MIN_CAL_STEP_SECS[interval]
-    if (hi - lo).total_seconds() / step_s > 100_000:
+    # the inclusive grid emits span/step + 1 buckets, hence >= — a span
+    # of exactly 100_000 steps is already 100_001 buckets
+    if (hi - lo).total_seconds() / step_s >= 100_000:
         raise ValueError(
             "zero-fill would emit >100k buckets — narrow the "
             "interval or bounds (the public soft limit is 65k)"
@@ -5312,8 +5314,10 @@ def _run_agg(
                 # (round-9 verdict item 1: the old post-collect check
                 # let data-driven spans explode the grid driver-side)
                 b = keyed.agg(lo.alias("lo"), hi.alias("hi")).collect()[0]
+                # inclusive stride grid: hi - lo strides = that + 1
+                # buckets, hence >=
                 if (b["lo"] is not None and b["hi"] is not None
-                        and b["hi"] - b["lo"] > 100_000):
+                        and b["hi"] - b["lo"] >= 100_000):
                     raise ValueError(
                         "zero-fill would emit >100k buckets — narrow "
                         "the interval or bounds"

@@ -2999,8 +2999,15 @@ _FLAC_RAMP_ORACLE = """
     tags=("multimodal",),
 )
 def multimodal_flac_decode_stats(spark, sf_dir):
+    return _audio_ramp_decode_stats(spark, sf_dir, "flac")
+
+
+def _audio_ramp_decode_stats(spark, sf_dir, kind):
+    """Shared body of the FLAC-ramp rows (native flac / ogg-flac):
+    they MUST aggregate identically — both are checked against the
+    same _FLAC_RAMP_ORACLE by construction."""
     d = _t(spark, sf_dir, "documents")["documents"]
-    media = M.synthesize_media(d, "flac", keep=("source",))
+    media = M.synthesize_media(d, kind, keep=("source",))
     feats = M.extract_media_features(media, keep=("source",))
     exact = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast("double") / F.count(
         F.lit(1)
@@ -3033,20 +3040,7 @@ def multimodal_flac_decode_stats(spark, sf_dir):
     tags=("multimodal",),
 )
 def multimodal_ogg_flac_decode_stats(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")["documents"]
-    media = M.synthesize_media(d, "ogg-flac", keep=("source",))
-    feats = M.extract_media_features(media, keep=("source",))
-    exact = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast("double") / F.count(
-        F.lit(1)
-    )
-    return feats.groupBy("source").agg(
-        F.count("*").alias("n_items"),
-        F.sum("n_units").alias("sum_frames"),
-        exact("sample_rate").alias("avg_sample_rate"),
-        exact("mean_value").alias("avg_amplitude"),
-        F.min("duration_ms").alias("min_duration_ms"),
-        F.max("duration_ms").alias("max_duration_ms"),
-    )
+    return _audio_ramp_decode_stats(spark, sf_dir, "ogg-flac")
 
 
 _AVI_YCC_CHAIN = """

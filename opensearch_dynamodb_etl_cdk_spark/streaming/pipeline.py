@@ -378,10 +378,22 @@ class FlightsEtlPipeline:
         # parked for the next replay
         it = fs.listFiles(p, True)
         files = []
+        base_uri = p.toUri().getPath()
         while it.hasNext():
             name_path = it.next().getPath()
-            if not name_path.getName().startswith(("_", ".")):
-                files.append(name_path.toString())
+            # exclude hidden SEGMENTS anywhere under the DLQ dir, not
+            # just hidden basenames: a concurrent writer's in-flight
+            # attempt files live under _temporary/.../part-*.parquet —
+            # visible basename, uncommitted data. Reading them would
+            # replay torn/duplicate rows and deleting them would break
+            # the writer's task commit (parquet readers skip hidden
+            # path segments for the same reason).
+            rel = name_path.toUri().getPath()
+            if rel.startswith(base_uri):
+                rel = rel[len(base_uri):]
+            if any(seg and seg[0] in "_." for seg in rel.split("/")):
+                continue
+            files.append(name_path.toString())
         if not files:
             return 0
         dead = self.spark.read.parquet(*files)

@@ -178,6 +178,53 @@ def test_replay_dlq_leaves_concurrently_parked_rows(
     assert not os.path.exists(os.path.join(cfg.index_root, "dlq", "fare"))
 
 
+
+
+def test_replay_dlq_skips_inflight_committer_temp_files(
+        spark, tmp_path, monkeypatch):
+    """A concurrent writer's UNCOMMITTED attempt files live under
+    dlq/<route>/_temporary/.../part-*.parquet — visible basename,
+    hidden path segment. The replay snapshot must exclude hidden
+    SEGMENTS anywhere in the path (reading them replays torn/duplicate
+    rows; deleting them breaks the writer's task commit)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    items = spark.createDataFrame(
+        [(s,) for s in gen_corpus()], "item_json string")
+    cfg = PipelineConfig(index_root=str(tmp_path / "indexes"),
+                         checkpoint_root=str(tmp_path / "chk"))
+    pipe = FlightsEtlPipeline(spark, cfg)
+    original = pipe._merge_route
+    down = {"fare": True}
+
+    def flaky_merge(route_df, route):
+        if down.get(route):
+            raise RuntimeError("simulated sink outage")
+        return original(route_df, route)
+
+    monkeypatch.setattr(pipe, "_merge_route", flaky_merge)
+    pipe.bootstrap(items)
+    down["fare"] = False
+
+    # simulate an in-flight FileOutputCommitter attempt: a real parquet
+    # file (same schema as a parked slice) under _temporary/
+    dlq_dir = os.path.join(cfg.index_root, "dlq", "fare")
+    committed = spark.read.parquet(dlq_dir)
+    tmp_dir = os.path.join(dlq_dir, "_temporary", "0",
+                           "attempt_20260816_0001")
+    os.makedirs(tmp_dir)
+    inflight = os.path.join(tmp_dir, "part-00000.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(committed.limit(2).toPandas()), inflight)
+
+    assert pipe.replay_dlq("fare") == 22  # only the committed slices
+    # the in-flight attempt file survived untouched
+    assert os.path.exists(inflight)
+    # and the DLQ dir itself was left in place (non-empty tidy refuses)
+    assert os.path.exists(dlq_dir)
+
+
 EMPTY_DOCS = "doc_id long, text string, lang string"
 
 

@@ -1786,3 +1786,38 @@ def test_tiff_pixel_access_and_resize():
     out = M.resize_image(M.encode_tiff(8, 8, pixel_value=77), 4, 4)
     d = M.decode_bmp(out)
     assert d["n_units"] == 16 and d["mean_value"] == 77.0
+
+
+def test_flac_unknown_total_samples_decodes_to_exhaustion():
+    """STREAMINFO total-samples = 0 is spec-legal 'unknown' (live
+    captures): the decoder must decode every frame in the payload, not
+    silently return zero frames."""
+    vals = [[i % 40 - 20] for i in range(300)]
+    payload = bytearray(M.encode_flac(8000, vals))
+    # zero the 36-bit total-samples field (bits 108..143 of STREAMINFO
+    # body at offset 8) and the MD5 (unset = all zeros per spec)
+    payload[8 + 13] &= 0xF0
+    for k in range(14, 18):
+        payload[8 + k] = 0
+    for k in range(18, 34):
+        payload[8 + k] = 0
+    rate, ch, bps, frames = M._flac_pcm(bytes(payload))
+    assert frames == vals
+
+
+def test_tiff_two_strip_arrays_pack_inline_shorts():
+    """A 2-strip file's StripOffsets/ByteCounts fit the 4-byte IFD
+    value field as two SHORTs (spec inline rule) — the encoder emits
+    that layout and the decoder reads it (not as an offset)."""
+    p = M.encode_tiff(5, 4, base=3, rows_per_strip=2)  # exactly 2 strips
+    (ifd,) = struct.unpack_from("<I", p, 4)
+    (n,) = struct.unpack_from("<H", p, ifd)
+    layouts = {}
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from("<HHI", p, off)
+        layouts[tag] = (typ, cnt)
+    assert layouts[273] == (3, 2) and layouts[279] == (3, 2)
+    d = M.decode_tiff(p)
+    assert d["n_units"] == 20
+    assert d["mean_value"] == pytest.approx(3 + 2.0 + 3.0)

@@ -100,3 +100,22 @@ def test_pdf_spark_page_fan_out(spark):
         t = f"doc {i} " + "x" * (95 + i)
         expect = [t[j:j + 100] for j in range(0, len(t), 100)]
         assert by_doc[i] == expect
+
+
+def test_pdf_keywords_inside_stream_data():
+    """Structural keywords appearing INSIDE content (corpus text can
+    literally say 'endobj'; zlib output is arbitrary bytes) must not
+    terminate objects or hijack the trailer — /Length and the
+    after-xref trailer position are authoritative."""
+    for text in ("see 1 0 endobj marker",
+                 "has a trailer << weird >> thing",
+                 "endstream endobj trailer << /Root 9 0 R >>",
+                 "xref\n0 1\nstartxref"):
+        for compress in (True, False):
+            assert P.extract_pdf_pages(
+                P.encode_pdf([text], compress=compress)) == [text]
+
+
+def test_pdf_non_latin1_is_a_loud_boundary():
+    with pytest.raises(ValueError):
+        P.encode_pdf(["euro €"])

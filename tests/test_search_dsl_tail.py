@@ -2180,3 +2180,20 @@ def test_zero_fill_plan_is_distributed(spark):
     assert _re.search(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan)
     # 4 rows: Jan 1 .. Jan 4, gaps zero-filled
     assert frame.count() == 4
+
+
+def test_zero_fill_cap_is_inclusive_of_the_boundary():
+    """The inclusive grid emits span/step + 1 buckets: a span of
+    exactly 100_000 steps is 100_001 buckets and must raise; one step
+    under the line passes."""
+    import datetime as dt
+
+    from opensearch_dynamodb_etl_cdk_spark.operators.search import (
+        _validate_grid_span,
+    )
+
+    body = {"field": "ts", "fixed_interval": "1s", "min_doc_count": 0}
+    lo = dt.datetime(2020, 1, 1)
+    with pytest.raises(ValueError):
+        _validate_grid_span(lo, lo + dt.timedelta(seconds=100_000), body)
+    _validate_grid_span(lo, lo + dt.timedelta(seconds=99_999), body)
