@@ -1,0 +1,264 @@
+"""WARC web-archive ingestion + HTML text extraction — the
+Common-Crawl-shaped front door of a training-data pipeline (SURVEY
+§2.10 extension family; charter: text analysis over real corpus
+containers).
+
+Real parsing of the public WARC format (ISO 28500 / the warc-specs
+repo): version line, CRLF header block, ``Content-Length``-delimited
+content (NEVER a delimiter scan — bodies are arbitrary bytes and may
+contain ``WARC/1.0``), the two-CRLF record separator, and the
+per-record-gzip layout Common Crawl actually ships (each record its
+own gzip member; members parsed with a ``zlib`` streaming object so
+concatenated members and plain files both read). HTTP response
+records split status/headers/body at the header boundary, honoring
+``Content-Length`` when present.
+
+``html_to_text`` is the extraction step every web-corpus pipeline
+runs: drops ``<script>``/``<style>`` blocks and comments, strips
+tags, decodes the standard + numeric character references, and
+collapses whitespace. It is deliberately regex-grade (the public
+trafilatura/jusText tier is a model-quality concern, not an engine
+concern) but exact on well-formed markup — which is what lets the
+catalog row oracle be DIRECT string equality against the source text.
+
+Scale shape: WARC files are the classic "many medium blobs" input —
+one Arrow batch of payloads in, small (uri, text) rows out, payload
+bytes never shuffle; downstream langid/quality/dedup operators
+compose on the extracted column.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+_ENTITIES = {
+    "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
+    "nbsp": " ",
+}
+
+
+def _gunzip_members(payload: bytes) -> bytes:
+    """Decompress a concatenation of gzip members (the per-record-gzip
+    WARC layout) to one plain byte string."""
+    out = bytearray()
+    data = payload
+    while data:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out += d.decompress(data)
+        except zlib.error as exc:
+            raise ValueError(f"WARC: gzip member damaged: {exc}") from None
+        out += d.flush()
+        if not d.eof:
+            raise ValueError("WARC: truncated gzip member")
+        data = d.unused_data
+    return bytes(out)
+
+
+def encode_warc(records: list[dict], gzip_per_record: bool = False) -> bytes:
+    """Write a real WARC file: one record per dict (``type``, ``uri``,
+    ``content`` bytes, optional ``content_type``), spec CRLF framing,
+    optionally one gzip member per record (the Common Crawl layout)."""
+    out = bytearray()
+    for i, r in enumerate(records):
+        content = r["content"]
+        hdr = [
+            "WARC/1.0",
+            f"WARC-Type: {r['type']}",
+            f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-{i:012d}>",
+            "WARC-Date: 2026-01-01T00:00:00Z",
+        ]
+        if r.get("uri"):
+            hdr.append(f"WARC-Target-URI: {r['uri']}")
+        if r.get("content_type"):
+            hdr.append(f"Content-Type: {r['content_type']}")
+        hdr.append(f"Content-Length: {len(content)}")
+        rec = ("\r\n".join(hdr) + "\r\n\r\n").encode("ascii") \
+            + content + b"\r\n\r\n"
+        out += zlib.compress(rec, wbits=31) if gzip_per_record else rec
+    return bytes(out)
+
+
+def parse_warc(payload: bytes) -> list[dict]:
+    """Parse a WARC file (plain or per-record-gzip) into records:
+    ``{"type", "uri", "headers", "content"}``. Content length comes
+    from ``Content-Length`` ONLY — record bodies are arbitrary bytes
+    and may contain ``WARC/1.0`` themselves, so a delimiter scan would
+    mis-split; framing violations raise."""
+    if payload[:2] == b"\x1f\x8b":
+        payload = _gunzip_members(payload)
+    records = []
+    pos = 0
+    while pos < len(payload):
+        if payload[pos:pos + 5] != b"WARC/":
+            raise ValueError(
+                f"WARC: expected a version line at offset {pos}")
+        he = payload.find(b"\r\n\r\n", pos)
+        if he < 0:
+            raise ValueError("WARC: unterminated record header block")
+        head_lines = payload[pos:he].decode("latin-1").split("\r\n")
+        version = head_lines[0]
+        if version not in ("WARC/1.0", "WARC/1.1"):
+            raise NotImplementedError(
+                f"WARC: unsupported version {version!r}")
+        headers: dict[str, str] = {}
+        for line in head_lines[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        if "content-length" not in headers:
+            raise ValueError("WARC: record missing Content-Length")
+        ln = int(headers["content-length"])
+        body_at = he + 4
+        if body_at + ln > len(payload):
+            raise ValueError("WARC: Content-Length exceeds the file")
+        content = payload[body_at:body_at + ln]
+        sep = payload[body_at + ln:body_at + ln + 4]
+        if sep != b"\r\n\r\n":
+            raise ValueError("WARC: missing record separator")
+        records.append({
+            "type": headers.get("warc-type", ""),
+            "uri": headers.get("warc-target-uri", ""),
+            "headers": headers,
+            "content": content,
+        })
+        pos = body_at + ln + 4
+    return records
+
+
+def http_response_body(content: bytes) -> bytes:
+    """Split an HTTP response record's content at the header boundary;
+    honor Content-Length when present (trailing bytes after it are a
+    framing violation worth raising on)."""
+    if not content.startswith(b"HTTP/"):
+        raise ValueError("WARC: response record content is not HTTP")
+    he = content.find(b"\r\n\r\n")
+    if he < 0:
+        raise ValueError("WARC: HTTP headers unterminated")
+    body = content[he + 4:]
+    m = re.search(rb"(?im)^content-length:\s*(\d+)\r$",
+                  content[:he + 2])
+    if m:
+        ln = int(m.group(1))
+        if ln > len(body):
+            raise ValueError("WARC: HTTP Content-Length exceeds body")
+        body = body[:ln]
+    return body
+
+
+_SCRIPT_RE = re.compile(
+    r"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_TAG_RE = re.compile(r"<[^>]+>")
+_ENT_RE = re.compile(r"&(#x?[0-9a-fA-F]+|\w+);")
+
+
+def _entity(m: re.Match) -> str:
+    name = m.group(1)
+    if name.startswith("#x") or name.startswith("#X"):
+        return chr(int(name[2:], 16))
+    if name.startswith("#"):
+        return chr(int(name[1:]))
+    return _ENTITIES.get(name.lower(), m.group(0))
+
+
+def html_to_text(html: str) -> str:
+    """Regex-grade HTML → text: script/style/comment removal, tag
+    strip, entity decode (named set + decimal/hex numeric), whitespace
+    collapse. Exact on well-formed markup — the property the equality
+    oracle leans on."""
+    s = _COMMENT_RE.sub(" ", html)
+    s = _SCRIPT_RE.sub(" ", s)
+    s = _TAG_RE.sub(" ", s)
+    s = _ENT_RE.sub(_entity, s)
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def warc_page_texts(payload: bytes) -> list[dict]:
+    """The ingestion composition: WARC records → HTTP responses →
+    HTML → text. Non-response records (warcinfo, request, metadata)
+    are skipped — the Common Crawl reading pattern."""
+    out = []
+    for r in parse_warc(payload):
+        if r["type"] != "response":
+            continue
+        body = http_response_body(r["content"])
+        out.append({
+            "uri": r["uri"],
+            "text": html_to_text(body.decode("utf-8", "replace")),
+        })
+    return out
+
+
+def extract_warc_text(df: DataFrame,
+                      keep: tuple[str, ...] = ()) -> DataFrame:
+    """Arrow-batched fan-out: one output row per HTTP response record
+    (doc_id, uri, text); payload bytes never leave the UDF."""
+    keep_schema = ", ".join(f"{c} string" for c in keep)
+    schema = "doc_id long, uri string, text string" + (
+        ", " + keep_schema if keep else "")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for j, p in enumerate(pdf["payload"]):
+                for rec in warc_page_texts(bytes(p)):
+                    rows.append((pdf["doc_id"].iloc[j], rec["uri"],
+                                 rec["text"],
+                                 *[pdf[c].iloc[j] for c in keep]))
+            yield pd.DataFrame(rows, columns=["doc_id", "uri", "text",
+                                              *keep])
+
+    return df.mapInPandas(run, schema)
+
+
+def synthesize_warcs(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Materialize a real WARC file per row: a warcinfo record, an
+    HTTP request record (both of which extraction must SKIP), and an
+    HTTP response whose HTML wraps the corpus text with entity-encoded
+    punctuation — so extraction exercises record filtering, HTTP
+    splitting, tag stripping, and entity decoding. Per-record gzip for
+    odd ids (the Common Crawl layout), plain for even."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for d, t in zip(ids, pdf[text_col]):
+                uri = f"http://example.com/doc/{d}"
+                html = (
+                    "<html><head><title></title>"
+                    "<script>var x = '<p>not text</p>';</script>"
+                    "<style>p { color: red }</style></head>"
+                    "<!-- comment -->"
+                    f"<body><p>&quot;{t}&quot; &amp; more</p></body></html>"
+                ).encode()
+                http = (b"HTTP/1.1 200 OK\r\n"
+                        b"Content-Type: text/html\r\n"
+                        + f"Content-Length: {len(html)}\r\n\r\n".encode()
+                        + html)
+                recs = [
+                    {"type": "warcinfo", "uri": "",
+                     "content": b"software: synthesizer\r\n",
+                     "content_type": "application/warc-fields"},
+                    {"type": "request", "uri": uri,
+                     "content": b"GET / HTTP/1.1\r\nHost: example.com\r\n\r\n",
+                     "content_type": "application/http; msgtype=request"},
+                    {"type": "response", "uri": uri, "content": http,
+                     "content_type": "application/http; msgtype=response"},
+                ]
+                payloads.append(
+                    encode_warc(recs, gzip_per_record=bool(d % 2)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads,
+                                "media_type": "application/warc"})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, "doc_id long, payload binary, media_type string")

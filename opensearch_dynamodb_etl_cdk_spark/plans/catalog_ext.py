@@ -36,6 +36,7 @@ from ..operators import dedup as D
 from ..operators import hnsw as H
 from ..operators import multimodal as M
 from ..operators import pdf as PDF
+from ..operators import warc as WARC
 from ..operators import similarity as S
 from ..functions import text as T
 from ..functions import vectors as V
@@ -2539,6 +2540,34 @@ def _media_decode_stats(spark, sf_dir, kind):
         exact("height").alias("avg_height"),
         exact("mean_value").alias("avg_pixel"),
     )
+
+
+@register(
+    "warc_text_extract",
+    oracle="""
+    SELECT doc_id,
+           'http://example.com/doc/' || doc_id AS uri,
+           '"' || text || '" & more' AS text
+    FROM documents WHERE doc_id < 300
+    """,
+    doc="REAL web-corpus ingestion end-to-end (the Common Crawl "
+    "reading pattern): write a genuine WARC file per document "
+    "(operators/warc.py::synthesize_warcs — warcinfo + request + HTTP "
+    "response records, spec CRLF framing, per-record gzip members for "
+    "odd ids), then parse it back (::parse_warc — Content-Length-"
+    "delimited record bodies, NEVER a delimiter scan; ::http_response_"
+    "body; ::html_to_text — script/style/comment removal, tag strip, "
+    "entity decode, whitespace collapse) and emit one row per response "
+    "record. The HTML wraps the corpus text in entity-encoded quotes, "
+    "so the oracle is DIRECT string equality on '\"' || text || "
+    "'\" & more' — any framing, gzip-member, record-filtering, or "
+    "entity bug corrupts the text and breaks the hash.",
+    tags=("multimodal", "text"),
+)
+def warc_text_extract(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") < 300)
+    return WARC.extract_warc_text(WARC.synthesize_warcs(d))
 
 
 @register(

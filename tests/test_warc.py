@@ -1,0 +1,93 @@
+"""WARC ingestion: framing round-trips (plain + per-record gzip),
+Content-Length-authoritative record bodies, HTTP splitting, HTML text
+extraction, precise boundaries, and the Spark fan-out."""
+
+from __future__ import annotations
+
+import pytest
+
+from opensearch_dynamodb_etl_cdk_spark.operators import warc as W
+
+
+def _response(uri, html: bytes, with_http_cl=True):
+    cl = f"Content-Length: {len(html)}\r\n".encode() if with_http_cl else b""
+    return {
+        "type": "response", "uri": uri,
+        "content": b"HTTP/1.1 200 OK\r\n" + cl + b"\r\n" + html,
+        "content_type": "application/http; msgtype=response",
+    }
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_warc_round_trip_and_record_filtering(gz):
+    recs = [
+        {"type": "warcinfo", "uri": "", "content": b"software: x\r\n"},
+        {"type": "request", "uri": "http://e/1",
+         "content": b"GET / HTTP/1.1\r\n\r\n"},
+        _response("http://e/1", b"<p>&quot;hi&quot; &amp; bye &#65;</p>"),
+        _response("http://e/2", b"<body>two</body>"),
+    ]
+    payload = W.encode_warc(recs, gzip_per_record=gz)
+    parsed = W.parse_warc(payload)
+    assert [r["type"] for r in parsed] == [
+        "warcinfo", "request", "response", "response"]
+    pages = W.warc_page_texts(payload)
+    assert pages == [
+        {"uri": "http://e/1", "text": '"hi" & bye A'},
+        {"uri": "http://e/2", "text": "two"},
+    ]
+
+
+def test_warc_body_containing_version_line_does_not_split():
+    """Record bodies are arbitrary bytes — Content-Length is the only
+    legal framing; a body containing 'WARC/1.0' must survive."""
+    evil = b"HTTP/1.1 200 OK\r\n\r\n<p>WARC/1.0\r\n\r\nfake</p>"
+    p = W.encode_warc([{"type": "response", "uri": "u", "content": evil}])
+    assert W.warc_page_texts(p) == [{"uri": "u", "text": "WARC/1.0 fake"}]
+
+
+def test_warc_http_content_length_is_honored():
+    html = b"<p>real</p>"
+    http = (b"HTTP/1.1 200 OK\r\nContent-Length: %d\r\n\r\n" % len(html)
+            + html + b"TRAILING-GARBAGE")
+    p = W.encode_warc([{"type": "response", "uri": "u", "content": http}])
+    assert W.warc_page_texts(p) == [{"uri": "u", "text": "real"}]
+
+
+def test_html_to_text_drops_script_style_comments_entities():
+    html = ("<html><head><script>var s = '<p>no</p>';</script>"
+            "<style>p{}</style></head><!-- c --><body>"
+            "A&nbsp;&lt;b&gt; &#x43; d</body></html>")
+    assert W.html_to_text(html) == "A <b> C d"
+    # unknown entities pass through verbatim rather than corrupting
+    assert W.html_to_text("&bogus; x") == "&bogus; x"
+
+
+def test_warc_malformed_rejections():
+    good = W.encode_warc(
+        [_response("u", b"<p>x</p>")], gzip_per_record=False)
+    with pytest.raises(ValueError):  # truncated: separator gone
+        W.parse_warc(good[:-6])
+    with pytest.raises(ValueError):  # not WARC
+        W.parse_warc(b"NOTWARC")
+    with pytest.raises(ValueError):  # damaged gzip member
+        W.parse_warc(b"\x1f\x8b" + b"\x00" * 12)
+    with pytest.raises(NotImplementedError):  # future version
+        W.parse_warc(good.replace(b"WARC/1.0", b"WARC/9.9", 1))
+    with pytest.raises(ValueError):  # response content must be HTTP
+        W.warc_page_texts(W.encode_warc(
+            [{"type": "response", "uri": "u", "content": b"not http"}]))
+
+
+def test_warc_spark_fan_out_mixed_layouts(spark):
+    """Odd ids gzip per record, even ids plain — one (uri, text) row
+    per response either way."""
+    df = spark.createDataFrame(
+        [(i, f"doc {i} body words") for i in range(6)],
+        "doc_id long, text string",
+    )
+    rows = W.extract_warc_text(W.synthesize_warcs(df)).collect()
+    assert len(rows) == 6
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        assert r.uri == f"http://example.com/doc/{r.doc_id}"
+        assert r.text == f'"doc {r.doc_id} body words" & more'
