@@ -1,0 +1,256 @@
+"""Archive ingestion — tar (POSIX ustar), gzip, and zip readers for
+corpora shipped as archive files (SURVEY §2.10 extension family).
+
+Real parsing from the public specs, dependency-free beyond stdlib
+zlib:
+
+- **tar**: 512-byte ustar headers (name, octal size, checksum with
+  the spaces-substitution rule, typeflag), data blocks rounded to 512,
+  the two-zero-block terminator. Regular files extract; directories
+  skip; exotic typeflags (links, PAX extended headers) raise the
+  precise boundary.
+- **gzip**: the member framing via streaming zlib (wbits=31), shared
+  with the WARC reader's layout — ``name.tar.gz`` composes
+  gunzip → tar.
+- **zip**: located from the End-Of-Central-Directory record, central
+  directory entries resolved to local headers, STORED and DEFLATE
+  members (raw zlib, wbits=-15), per-member CRC-32 verified.
+  Encryption, zip64, and other compression methods raise.
+
+Spark shape: ``extract_archive_members`` is the fan-out (1 archive
+row → N member rows) — members' bytes stay in the UDF unless asked
+for, and the extracted payloads feed ``decode_media`` /
+``extract_document_text`` downstream. This is the standard shape for
+"the corpus arrives as tarballs" ingestion at 100 TB: archives are
+the split unit, members never shuffle raw.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+from .warc import _gunzip_members
+
+
+# ------------------------------------------------------------------- tar
+
+
+def _tar_checksum(block: bytes) -> int:
+    """ustar header checksum: byte sum with the chksum field (148..156)
+    read as spaces."""
+    return sum(block[:148]) + 8 * 0x20 + sum(block[156:512])
+
+
+def encode_tar(members: list[tuple[str, bytes]]) -> bytes:
+    """Write a POSIX ustar archive: one header+data block run per
+    (name, payload) member, two zero blocks at the end."""
+    out = bytearray()
+    for name, data in members:
+        nb = name.encode()
+        if len(nb) > 100:
+            raise ValueError("tar: member name exceeds 100 bytes")
+        hdr = bytearray(512)
+        hdr[0:len(nb)] = nb
+        hdr[100:108] = b"0000644\x00"
+        hdr[108:116] = b"0000000\x00"
+        hdr[116:124] = b"0000000\x00"
+        hdr[124:136] = f"{len(data):011o}\x00".encode()
+        hdr[136:148] = b"00000000000\x00"
+        hdr[156] = 0x30  # typeflag '0': regular file
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        hdr[148:156] = f"{_tar_checksum(bytes(hdr)):06o}\x00 ".encode()
+        out += hdr + data
+        pad = (-len(data)) % 512
+        out += b"\x00" * pad
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
+def parse_tar(payload: bytes) -> list[tuple[str, bytes]]:
+    """Read a ustar archive to (name, bytes) members, verifying header
+    checksums and the block structure."""
+    members = []
+    pos = 0
+    while pos + 512 <= len(payload):
+        block = payload[pos:pos + 512]
+        if block == b"\x00" * 512:  # terminator (second block optional
+            return members          # in the wild; stop at the first)
+        stored = block[148:156].rstrip(b" \x00")
+        try:
+            want = int(stored, 8)
+        except ValueError:
+            raise ValueError(f"tar: bad checksum field at offset {pos}")
+        if _tar_checksum(block) != want:
+            raise ValueError(f"tar: header checksum mismatch at {pos}")
+        name = block[0:100].split(b"\x00", 1)[0].decode("latin-1")
+        size = int(block[124:136].rstrip(b" \x00") or b"0", 8)
+        typeflag = block[156:157]
+        data_at = pos + 512
+        if data_at + size > len(payload):
+            raise ValueError(f"tar: member {name!r} data truncated")
+        if typeflag in (b"0", b"\x00"):
+            members.append((name, payload[data_at:data_at + size]))
+        elif typeflag == b"5":
+            pass  # directory entry
+        else:
+            raise NotImplementedError(
+                f"tar: typeflag {typeflag!r} (links/PAX) not supported")
+        pos = data_at + size + ((-size) % 512)
+    raise ValueError("tar: archive ends without a terminator block")
+
+
+# ------------------------------------------------------------------- zip
+
+
+def encode_zip(members: list[tuple[str, bytes]],
+               compress: bool = True) -> bytes:
+    """Write a zip archive: local headers + data, central directory,
+    EOCD. DEFLATE (raw zlib) when ``compress`` and it helps, else
+    STORED."""
+    out = bytearray()
+    central = bytearray()
+    for name, data in members:
+        nb = name.encode()
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        packed = zlib.compress(data, 9)[2:-4] if compress else data
+        method = 8 if compress and len(packed) < len(data) else 0
+        blob = packed if method == 8 else data
+        local_at = len(out)
+        out += (b"PK\x03\x04"
+                + struct.pack("<HHHHHIII", 20, 0, method, 0, 0, crc,
+                              len(blob), len(data))
+                + struct.pack("<HH", len(nb), 0) + nb + blob)
+        central += (b"PK\x01\x02"
+                    + struct.pack("<HHHHHHIII", 20, 20, 0, method, 0, 0,
+                                  crc, len(blob), len(data))
+                    + struct.pack("<HHHHHII", len(nb), 0, 0, 0, 0, 0,
+                                  local_at)
+                    + nb)
+    cd_at = len(out)
+    out += central
+    out += (b"PK\x05\x06" + struct.pack("<HHHHIIH", 0, 0, len(members),
+                                        len(members), len(central),
+                                        cd_at, 0))
+    return bytes(out)
+
+
+def parse_zip(payload: bytes) -> list[tuple[str, bytes]]:
+    """Read a zip archive via the central directory, decompressing
+    STORED/DEFLATE members and verifying each CRC-32."""
+    eocd_at = payload.rfind(b"PK\x05\x06")
+    if eocd_at < 0:
+        raise ValueError("zip: no end-of-central-directory record")
+    n_total, _cd_size, cd_at = struct.unpack_from(
+        "<HII", payload, eocd_at + 10)
+    members = []
+    pos = cd_at
+    for _ in range(n_total):
+        if payload[pos:pos + 4] != b"PK\x01\x02":
+            raise ValueError("zip: central directory entry missing")
+        (method,) = struct.unpack_from("<H", payload, pos + 10)
+        crc, csize, usize = struct.unpack_from("<III", payload, pos + 16)
+        nlen, elen, clen = struct.unpack_from("<HHH", payload, pos + 28)
+        (local_at,) = struct.unpack_from("<I", payload, pos + 42)
+        name = payload[pos + 46:pos + 46 + nlen].decode("latin-1")
+        if payload[local_at:local_at + 4] != b"PK\x03\x04":
+            raise ValueError(f"zip: member {name!r} local header missing")
+        lnlen, lelen = struct.unpack_from("<HH", payload, local_at + 26)
+        data_at = local_at + 30 + lnlen + lelen
+        blob = payload[data_at:data_at + csize]
+        if len(blob) != csize:
+            raise ValueError(f"zip: member {name!r} data truncated")
+        if method == 0:
+            data = blob
+        elif method == 8:
+            try:
+                data = zlib.decompress(blob, wbits=-15)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"zip: member {name!r} deflate damaged: {exc}"
+                ) from None
+        else:
+            raise NotImplementedError(
+                f"zip: compression method {method} not supported")
+        if len(data) != usize or (zlib.crc32(data) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"zip: member {name!r} CRC/size mismatch")
+        members.append((name, data))
+        pos += 46 + nlen + elen + clen
+    return members
+
+
+# -------------------------------------------------------------- dispatch
+
+
+def extract_members(payload: bytes) -> list[tuple[str, bytes]]:
+    """Container dispatch: zip / gzip(+tar) / tar by magic bytes."""
+    if payload[:4] == b"PK\x03\x04" or payload[:4] == b"PK\x05\x06":
+        return parse_zip(payload)
+    if payload[:2] == b"\x1f\x8b":
+        payload = _gunzip_members(payload)
+    if len(payload) >= 263 and payload[257:263] in (b"ustar\x00", b"ustar "):
+        return parse_tar(payload)
+    raise ValueError("unrecognized archive payload (zip/tar/tar.gz)")
+
+
+def extract_archive_members(df: DataFrame,
+                            with_bytes: bool = False,
+                            keep: tuple[str, ...] = ()) -> DataFrame:
+    """Fan-out: one row per archive member (doc_id, member, n_bytes
+    [, payload]); member bytes only leave the UDF when asked for."""
+    keep_schema = ", ".join(f"{c} string" for c in keep)
+    schema = "doc_id long, member string, n_bytes long" + (
+        ", payload binary" if with_bytes else "") + (
+        ", " + keep_schema if keep else "")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ["doc_id", "member", "n_bytes"] + (
+            ["payload"] if with_bytes else []) + list(keep)
+        for pdf in batches:
+            rows = []
+            for j, p in enumerate(pdf["payload"]):
+                for name, data in extract_members(bytes(p)):
+                    row = [pdf["doc_id"].iloc[j], name, len(data)]
+                    if with_bytes:
+                        row.append(data)
+                    rows.append((*row, *[pdf[c].iloc[j] for c in keep]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema)
+
+
+def synthesize_archives(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """One real archive per row holding the corpus text as a member
+    (plus a manifest member extraction must also surface): zip for
+    odd ids, tar.gz for even — both container families occur
+    in-corpus."""
+    import gzip as _unused  # noqa: F401  (documents stdlib-only intent)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for d, t in zip(ids, pdf[text_col]):
+                members = [
+                    ("manifest.txt", f"doc={d}".encode()),
+                    (f"doc_{d}.txt", (t or "").encode()),
+                ]
+                if d % 2:
+                    payloads.append(encode_zip(members))
+                else:
+                    tar = encode_tar(members)
+                    payloads.append(zlib.compress(tar, wbits=31))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads,
+                                "media_type": "application/archive"})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, "doc_id long, payload binary, media_type string")

@@ -35,6 +35,7 @@ from pyspark.sql import Window as W
 from ..operators import dedup as D
 from ..operators import hnsw as H
 from ..operators import multimodal as M
+from ..operators import archive as ARC
 from ..operators import pdf as PDF
 from ..operators import warc as WARC
 from ..operators import similarity as S
@@ -2539,6 +2540,38 @@ def _media_decode_stats(spark, sf_dir, kind):
         exact("width").alias("avg_width"),
         exact("height").alias("avg_height"),
         exact("mean_value").alias("avg_pixel"),
+    )
+
+
+@register(
+    "archive_text_extract",
+    oracle="""
+    SELECT doc_id, 'manifest.txt' AS member, 'doc=' || doc_id AS text
+    FROM documents WHERE doc_id < 300
+    UNION ALL
+    SELECT doc_id, 'doc_' || doc_id || '.txt' AS member, text
+    FROM documents WHERE doc_id < 300
+    """,
+    doc="Corpus-as-archives ingestion end-to-end: one real archive per "
+    "document holding a manifest member and the text member — zip "
+    "(central directory, DEFLATE members, per-member CRC-32) for odd "
+    "ids, gzip-wrapped POSIX ustar (checksummed 512-byte headers, "
+    "block padding, terminator) for even — parsed back by the "
+    "dependency-free readers (operators/archive.py, cross-validated "
+    "against stdlib tarfile/zipfile both directions in tests) and "
+    "fanned out one row per member. The oracle is DIRECT string "
+    "equality per (doc, member) — any framing, checksum, deflate, or "
+    "member-boundary bug corrupts a row and breaks the hash.",
+    tags=("multimodal", "text"),
+)
+def archive_text_extract(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") < 300)
+    members = ARC.extract_archive_members(
+        ARC.synthesize_archives(d), with_bytes=True)
+    return members.select(
+        "doc_id", "member",
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
     )
 
 
