@@ -1512,6 +1512,223 @@ def _gif_parse(payload: bytes) -> tuple[int, int, bytes, bytearray]:
     raise ValueError("truncated GIF: no trailer, no image")
 
 
+def encode_gif_animation(canvas_w: int, canvas_h: int,
+                         frames: list[dict], loop: int = 0) -> bytes:
+    """Build a real animated GIF89a: grayscale GCT, the NETSCAPE2.0
+    looping application extension, and per frame a Graphic Control
+    Extension (delay, disposal, optional transparency) + an image
+    descriptor patch at (left, top) with real LZW data. Frame dicts:
+    ``left top width height pixels delay_cs disposal transparent``."""
+    if canvas_w <= 0 or canvas_h <= 0 or not frames:
+        raise ValueError("canvas and frames must be non-empty")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", canvas_w, canvas_h, 0b1111_0111, 0, 0)
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    out += (b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+            + struct.pack("<H", loop) + b"\x00")
+    for f in frames:
+        l, t = int(f.get("left", 0)), int(f.get("top", 0))
+        w, h = int(f["width"]), int(f["height"])
+        if l + w > canvas_w or t + h > canvas_h:
+            raise ValueError("frame patch exceeds the canvas")
+        px = f["pixels"]
+        if len(px) != w * h:
+            raise ValueError("frame pixels length != width*height")
+        transparent = f.get("transparent")
+        packed = (int(f.get("disposal", 1)) & 0x7) << 2
+        if transparent is not None:
+            packed |= 0x01
+        out += (b"\x21\xf9\x04" + bytes([packed])
+                + struct.pack("<H", int(f.get("delay_cs", 0)))
+                + bytes([transparent or 0]) + b"\x00")
+        out += b"\x2c" + struct.pack("<HHHHB", l, t, w, h, 0)
+        lzw = _gif_lzw_encode(8, bytes(px))
+        out.append(8)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> list[dict]:
+    """Decode an animated GIF with REAL composition: each frame's
+    patch draws onto the logical canvas (transparency skips pixels),
+    per-frame stats cover the COMPOSED canvas, and the disposal modes
+    run between frames (1/0 leave, 2 restore-to-background, 3
+    restore-previous). One dict per frame: frame_index, delay_cs,
+    mean_value (palette-mapped canvas mean), width/height (canvas)."""
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    if gct is None:
+        raise ValueError("animated GIF without a global color table")
+    pal_sums = np.array(
+        [gct[3 * i] + gct[3 * i + 1] + gct[3 * i + 2]
+         for i in range(len(gct) // 3)], dtype=np.int64)
+    canvas = np.full((sh, sw), bg, dtype=np.uint8)
+    out: list[dict] = []
+    delay_cs, disposal, transparent = 0, 1, None
+    while pos < len(payload):
+        intro = payload[pos]
+        pos += 1
+        if intro == 0x3B:
+            if not out:
+                raise ValueError("GIF has no image frame")
+            return out
+        if intro == 0x21:
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:  # Graphic Control Extension
+                size = payload[pos]
+                if size != 4:
+                    raise ValueError("GIF: bad GCE block size")
+                gpacked = payload[pos + 1]
+                (delay_cs,) = struct.unpack_from("<H", payload, pos + 2)
+                disposal = (gpacked >> 2) & 0x7
+                transparent = payload[pos + 4] if gpacked & 0x01 else None
+                pos += 5
+                if payload[pos] != 0:
+                    raise ValueError("GIF: unterminated GCE")
+                pos += 1
+            else:  # other extensions: skip sub-blocks
+                while True:
+                    size = payload[pos]
+                    pos += 1
+                    if size == 0:
+                        break
+                    pos += size
+            continue
+        if intro != 0x2C:
+            raise ValueError(f"bad GIF block introducer 0x{intro:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if left + w > sw or top + h > sh:
+            raise ValueError("GIF frame patch exceeds the logical screen")
+        if ipacked & 0x80:
+            raise NotImplementedError(
+                "GIF animation frames with local color tables are not "
+                "supported")
+        min_code_size = payload[pos]
+        pos += 1
+        data = bytearray()
+        while True:
+            size = payload[pos]
+            pos += 1
+            if size == 0:
+                break
+            data += payload[pos:pos + size]
+            pos += size
+        idx = np.frombuffer(
+            bytes(_gif_lzw_decode(min_code_size, bytes(data), w * h)),
+            dtype=np.uint8).reshape(h, w)
+        region = canvas[top:top + h, left:left + w]
+        before = region.copy()
+        if transparent is None:
+            region[:, :] = idx
+        else:
+            mask = idx != transparent
+            region[mask] = idx[mask]
+        out.append({
+            "frame_index": len(out),
+            "delay_cs": delay_cs,
+            "width": sw,
+            "height": sh,
+            "mean_value": float(pal_sums[canvas].sum())
+            / (3.0 * canvas.size),
+        })
+        if disposal == 2:
+            region[:, :] = bg
+        elif disposal == 3:
+            region[:, :] = before
+        delay_cs, disposal, transparent = 0, 1, None
+    raise ValueError("GIF stream ends without a trailer")
+
+
+def decode_gif_animation(payload: bytes) -> dict:
+    """Aggregate animation stats: n_units = frame count, duration from
+    the GCE delays (centiseconds), mean over composed frame means."""
+    frames = decode_gif_frames(payload)
+    return {
+        "media_kind": "image",
+        "width": frames[0]["width"],
+        "height": frames[0]["height"],
+        "bit_depth": 8,
+        "n_units": len(frames),
+        "duration_ms": 10.0 * sum(f["delay_cs"] for f in frames),
+        "mean_value": sum(f["mean_value"] for f in frames) / len(frames),
+        "n_bytes": len(payload),
+    }
+
+
+def gif_anim_params(doc_id: int) -> tuple[int, int, int, int]:
+    """Ground-truth (canvas_w, canvas_h, n_frames, base_color)."""
+    return (
+        6 + 2 * (doc_id % 4),
+        4 + 2 * (doc_id % 3),
+        2 + doc_id % 3,
+        doc_id % 200,
+    )
+
+
+def encode_gif_animation_sample(doc_id: int) -> bytes:
+    """Synthesized animation: frame 0 fills the canvas with the base
+    color; each later frame draws a 2×2 patch at a DISTINCT position
+    (disposal 1, no transparency), so the composed per-frame mean has
+    the closed form (3·(c0·(wh − 4j) + Σ 4·c_k)) / (3·wh) a SQL twin
+    can replicate division-for-division."""
+    w, h, n, c0 = gif_anim_params(doc_id)
+    frames = [{
+        "left": 0, "top": 0, "width": w, "height": h,
+        "pixels": bytes([c0]) * (w * h), "delay_cs": 3, "disposal": 1,
+    }]
+    for j in range(1, n):
+        cj = (doc_id * 5 + j * 37) % 251
+        frames.append({
+            "left": 2 * (j - 1), "top": 0, "width": 2, "height": 2,
+            "pixels": bytes([cj]) * 4, "delay_cs": 3 + j, "disposal": 1,
+        })
+    return encode_gif_animation(w, h, frames)
+
+
+def gif_frame_stats(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """Animated-GIF frame fan-out (the AVI row's GIF twin): one output
+    row per COMPOSED frame, Arrow-batched; payload bytes never leave
+    the UDF."""
+    keep_schema = ", ".join(f"{c} string" for c in keep)
+    schema = (
+        "doc_id long, frame_index long, delay_cs long, frame_mean double"
+        + (", " + keep_schema if keep else "")
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for j, p in enumerate(pdf["payload"]):
+                for f in decode_gif_frames(bytes(p)):
+                    rows.append((
+                        pdf["doc_id"].iloc[j], f["frame_index"],
+                        f["delay_cs"], f["mean_value"],
+                        *[pdf[c].iloc[j] for c in keep],
+                    ))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_index", "delay_cs",
+                               "frame_mean", *keep])
+
+    return df.mapInPandas(run, schema)
+
+
 def decode_gif(payload: bytes) -> dict:
     """Decode a GIF for real: screen/image descriptors, extension-block
     skipping, sub-block reassembly, variable-width LZW, palette
@@ -3756,14 +3973,15 @@ def synthesize_media(
     executors; ``keep`` columns pass through for downstream
     grouping."""
     kinds = ("image", "audio", "flac", "ogg-flac", "png", "png-palette",
-             "png-interlaced", "png-16", "gif", "jpeg", "jpeg-color",
-             "jpeg-420", "jpeg-progressive", "tiff", "video")
+             "png-interlaced", "png-16", "gif", "gif-anim", "jpeg",
+             "jpeg-color", "jpeg-420", "jpeg-progressive", "tiff",
+             "video")
     if kind not in kinds:
         raise ValueError(f"kind must be one of {kinds}")
     media_type = {"image": "image/bmp", "png": "image/png",
                   "png-palette": "image/png",
                   "png-interlaced": "image/png", "png-16": "image/png",
-                  "gif": "image/gif",
+                  "gif": "image/gif", "gif-anim": "image/gif",
                   "jpeg": "image/jpeg", "jpeg-color": "image/jpeg",
                   "jpeg-420": "image/jpeg",
                   "jpeg-progressive": "image/jpeg",
@@ -3811,6 +4029,11 @@ def synthesize_media(
                 ]
             elif kind == "gif":
                 payloads = [encode_gif(*png_params(int(d))) for d in ids]
+            elif kind == "gif-anim":
+                # animated: full-canvas base frame + non-overlapping
+                # 2x2 patches, composed per-frame means closed-form
+                payloads = [encode_gif_animation_sample(int(d))
+                            for d in ids]
             elif kind == "jpeg":
                 # constant tiles: distortion-free through the DCT path
                 payloads = [encode_jpeg(*bmp_params(int(d))) for d in ids]

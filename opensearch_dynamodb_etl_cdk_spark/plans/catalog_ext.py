@@ -2544,6 +2544,49 @@ def _media_decode_stats(spark, sf_dir, kind):
 
 
 @register(
+    "multimodal_gif_animation_stats",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS j
+      FROM documents WHERE doc_id < 300),
+    g AS (
+      SELECT doc_id, j,
+             (6 + 2 * (doc_id % 4)) * (4 + 2 * (doc_id % 3)) AS wh,
+             doc_id % 200 AS c0,
+             CASE WHEN j = 0 THEN 0
+                  ELSE 4 * ((doc_id * 5 + j * 37) % 251) END AS addon
+      FROM f),
+    m AS (
+      SELECT doc_id, j, wh, c0,
+             SUM(addon) OVER (PARTITION BY doc_id ORDER BY j) AS cum
+      FROM g)
+    SELECT doc_id, CAST(j AS BIGINT) AS frame_index,
+           CAST(3 + j AS BIGINT) AS delay_cs,
+           CAST(3 * (c0 * (wh - 4 * j) + cum) AS DOUBLE)
+               / CAST(3 * wh AS DOUBLE) AS frame_mean
+    FROM m
+    """,
+    doc="ANIMATED GIF decoded with real composition: per document a "
+    "GIF89a animation (NETSCAPE loop extension, per-frame Graphic "
+    "Control Extensions, full-canvas base frame + non-overlapping "
+    "2x2 LZW patches at drifting positions), each frame COMPOSED onto "
+    "the logical canvas and its palette-mapped mean emitted as one "
+    "row (operators/multimodal.py::decode_gif_frames / "
+    "::gif_frame_stats). The oracle replicates the composed mean "
+    "division-for-division ((3*(c0*(wh-4j) + sum 4*c_k)) / (3*wh), a "
+    "cumulative window per doc) — any GCE, patch-placement, LZW, or "
+    "composition bug breaks the hash. Disposal modes 2/3 and "
+    "transparency are pinned in tests/test_multimodal_codecs.py.",
+    tags=("multimodal",),
+)
+def multimodal_gif_animation_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") < 300)
+    media = M.synthesize_media(d, "gif-anim")
+    return M.gif_frame_stats(media)
+
+
+@register(
     "archive_text_extract",
     oracle="""
     SELECT doc_id, 'manifest.txt' AS member, 'doc=' || doc_id AS text

@@ -1821,3 +1821,61 @@ def test_tiff_two_strip_arrays_pack_inline_shorts():
     d = M.decode_tiff(p)
     assert d["n_units"] == 20
     assert d["mean_value"] == pytest.approx(3 + 2.0 + 3.0)
+
+
+# ------------------------------------------------------- animated GIF
+
+
+def test_gif_animation_composes_patches_disposal_and_transparency():
+    frames = [
+        {"left": 0, "top": 0, "width": 4, "height": 2,
+         "pixels": bytes([10]) * 8, "delay_cs": 1, "disposal": 1},
+        # drawn, then disposal 3 restores the pre-draw region
+        {"left": 0, "top": 0, "width": 2, "height": 1,
+         "pixels": bytes([50, 60]), "delay_cs": 2, "disposal": 3},
+        # transparent index 0 keeps the underlying pixel
+        {"left": 2, "top": 0, "width": 2, "height": 1,
+         "pixels": bytes([0, 70]), "delay_cs": 3, "disposal": 2,
+         "transparent": 0},
+    ]
+    p = M.encode_gif_animation(4, 2, frames, loop=3)
+    got = M.decode_gif_frames(p)
+    assert [f["mean_value"] for f in got] == [
+        10.0, (50 + 60 + 10 * 6) / 8, (70 + 10 * 7) / 8]
+    assert [f["delay_cs"] for f in got] == [1, 2, 3]
+    agg = M.decode_gif_animation(p)
+    assert agg["n_units"] == 3 and agg["duration_ms"] == 60.0
+    # the static first-frame decoder still reads animated payloads
+    assert M.decode_gif(p)["n_units"] == 8
+
+
+def test_gif_animation_sample_matches_closed_form():
+    for d in (0, 1, 5, 123, 999):
+        w, h, n, c0 = M.gif_anim_params(d)
+        frames = M.decode_gif_frames(M.encode_gif_animation_sample(d))
+        assert len(frames) == n
+        cum = 0
+        for j, f in enumerate(frames):
+            if j:
+                cum += 4 * ((d * 5 + j * 37) % 251)
+            exp = (3.0 * (c0 * (w * h - 4 * j) + cum)) / (3.0 * (w * h))
+            assert f["mean_value"] == exp
+
+
+def test_gif_animation_malformed():
+    p = M.encode_gif_animation(
+        4, 2, [{"left": 0, "top": 0, "width": 4, "height": 2,
+                "pixels": bytes(8)}])
+    with pytest.raises(ValueError):  # trailer gone
+        M.decode_gif_frames(p[:-1])
+    with pytest.raises(ValueError):  # patch exceeding the canvas
+        M.encode_gif_animation(4, 2, [{"left": 3, "top": 0, "width": 2,
+                                       "height": 1, "pixels": bytes(2)}])
+    # patch-out-of-canvas at DECODE time: the image descriptor sits
+    # right after the 8-byte GCE (a raw find(0x2c) could hit GCT bytes)
+    bad = bytearray(p)
+    i = bad.find(b"\x21\xf9") + 8
+    assert bad[i] == 0x2C
+    struct.pack_into("<H", bad, i + 1, 9)  # left = 9 > canvas
+    with pytest.raises(ValueError):
+        M.decode_gif_frames(bytes(bad))
