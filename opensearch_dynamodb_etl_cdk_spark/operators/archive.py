@@ -225,6 +225,35 @@ def extract_archive_members(df: DataFrame,
     return df.mapInPandas(run, schema)
 
 
+def wrap_payloads_in_archives(df: DataFrame,
+                              member_fmt: str = "doc_{id}.bin",
+                              payload_col: str = "payload",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Wrap an existing binary payload column into one archive per row
+    (zip for odd ids, tar.gz for even) — the composition step for
+    'the corpus arrives as archives OF documents' pipelines: chain
+    with extract_archive_members + a document decoder downstream."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for d, p in zip(ids, pdf[payload_col]):
+                members = [(member_fmt.format(id=d), bytes(p))]
+                if d % 2:
+                    payloads.append(encode_zip(members))
+                else:
+                    payloads.append(
+                        zlib.compress(encode_tar(members), wbits=31))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads,
+                                "media_type": "application/archive"})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, "doc_id long, payload binary, media_type string")
+
+
 def synthesize_archives(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
     """One real archive per row holding the corpus text as a member

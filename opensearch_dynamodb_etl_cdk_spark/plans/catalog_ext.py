@@ -2619,6 +2619,39 @@ def archive_text_extract(spark, sf_dir):
 
 
 @register(
+    "archived_pdf_corpus_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(ceil(length(text) / 100.0) AS BIGINT) AS n_pages,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id < 300
+    """,
+    doc="The full ingestion chain as ONE lazy plan — 'the corpus "
+    "arrives as archives of documents': corpus text → real PDFs "
+    "(100-char pages, FlateDecode for odd ids) → wrapped into real "
+    "archives (zip odd / tar.gz even) → archive member fan-out → "
+    "PDF page extraction → per-document page/char rollup. Every layer "
+    "is the spec parser (zip CRCs, tar checksums, xref-validated PDF "
+    "objects, zlib inflate), and the oracle pins the end-to-end "
+    "invariant: page count = ceil(len/100) and EXACT total characters "
+    "— a byte lost in any layer breaks the hash. Payload bytes never "
+    "leave the executors at any stage.",
+    tags=("multimodal", "text"),
+)
+def archived_pdf_corpus_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") < 300)
+    pdfs = PDF.synthesize_pdfs(d)
+    archives = ARC.wrap_payloads_in_archives(pdfs, "doc_{id}.pdf")
+    members = ARC.extract_archive_members(archives, with_bytes=True)
+    pages = PDF.extract_document_text(members.select("doc_id", "payload"))
+    return pages.groupBy("doc_id").agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+
+
+@register(
     "warc_text_extract",
     oracle="""
     SELECT doc_id,

@@ -95,3 +95,25 @@ def test_archive_spark_member_fan_out(spark):
     for i in range(6):
         assert by_doc[i]["manifest.txt"] == f"doc={i}".encode()
         assert by_doc[i][f"doc_{i}.txt"] == f"doc {i} body".encode()
+
+
+def test_archived_pdf_chain_round_trips(spark):
+    """corpus text → PDF → archive → member fan-out → page extraction:
+    the text survives every layer byte-exact."""
+    from opensearch_dynamodb_etl_cdk_spark.operators import pdf as P
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} " + "w" * (150 + i)) for i in range(4)],
+        "doc_id long, text string",
+    )
+    pdfs = P.synthesize_pdfs(df)
+    archives = A.wrap_payloads_in_archives(pdfs, "doc_{id}.pdf")
+    members = A.extract_archive_members(archives, with_bytes=True)
+    pages = P.extract_document_text(
+        members.select("doc_id", "payload")).collect()
+    by_doc = {}
+    for r in sorted(pages, key=lambda r: (r.doc_id, r.page)):
+        by_doc.setdefault(r.doc_id, []).append(r.text)
+    for i in range(4):
+        t = f"doc {i} " + "w" * (150 + i)
+        assert "".join(by_doc[i]) == t
