@@ -3179,6 +3179,183 @@ def encode_tiff_sample(doc_id: int) -> bytes:
     )
 
 
+# ---------------------------------------------------------------- MP3
+#
+# MPEG-1 Layer III STREAM METADATA from the public header layout:
+# frame sync + version/layer bits, the bitrate/sample-rate index
+# tables, padding, and the fixed 1152 samples/frame — enough to walk
+# every frame and derive count/bitrate/duration, plus ID3v2 (syncsafe
+# envelope, v2.3 text frames) and trailing ID3v1 tags. PCM DECODE
+# stays the loud NotImplementedError: the Layer III Huffman tables and
+# hybrid filterbank are a codec this container does not ship, and a
+# half-remembered table would be silently wrong — the one failure mode
+# this module never accepts. Header-level duration/title extraction is
+# exactly what corpus-metadata pipelines run without decoding.
+
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                 224, 256, 320)  # MPEG-1 Layer III, kbit/s (idx 0 = free)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def _id3v2_size(payload: bytes) -> int:
+    """Bytes occupied by a leading ID3v2 tag (0 if absent): 10-byte
+    header + syncsafe 28-bit size."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return 0
+    if any(b & 0x80 for b in payload[6:10]):
+        raise ValueError("MP3: ID3v2 size bytes are not syncsafe")
+    size = (payload[6] << 21) | (payload[7] << 14) \
+        | (payload[8] << 7) | payload[9]
+    return 10 + size
+
+
+def _id3v2_text_frames(payload: bytes) -> dict[str, str]:
+    """ID3v2.3 text frames (TIT2/TPE1/TALB...) → {frame id: text}."""
+    total = _id3v2_size(payload)
+    out: dict[str, str] = {}
+    pos = 10
+    while pos + 10 <= total:
+        fid = payload[pos:pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        (size,) = struct.unpack_from(">I", payload, pos + 4)
+        body = payload[pos + 10:pos + 10 + size]
+        if fid.startswith(b"T") and body[:1] == b"\x00":  # latin-1 text
+            out[fid.decode("ascii")] = body[1:].split(b"\x00")[0].decode(
+                "latin-1")
+        pos += 10 + size
+    return out
+
+
+def mp3_stream_info(payload: bytes) -> dict:
+    """Walk every MPEG-1 Layer III frame header: returns n_frames,
+    sample_rate, bitrate_kbps (CBR value or the average for VBR),
+    duration_ms (1152 samples/frame), and any ID3v2.3 title. Broken
+    sync mid-stream, free-format bitrate, and non-MPEG1-Layer-III
+    frames raise precisely."""
+    tags = _id3v2_text_frames(payload) if payload[:3] == b"ID3" else {}
+    pos = _id3v2_size(payload)
+    end = len(payload)
+    if payload[end - 128:end - 125] == b"TAG":  # ID3v1 trailer
+        end -= 128
+    n_frames = 0
+    rate = None
+    bit_sum = 0
+    while pos < end:
+        if pos + 4 > end:
+            raise ValueError(f"MP3: truncated frame header at {pos}")
+        b0, b1, b2, _b3 = payload[pos:pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"MP3: lost frame sync at offset {pos}")
+        version = (b1 >> 3) & 0x3
+        layer = (b1 >> 1) & 0x3
+        if version != 3 or layer != 1:
+            raise NotImplementedError(
+                "MP3: only MPEG-1 Layer III streams are recognized")
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        padding = (b2 >> 1) & 0x1
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError(
+                f"MP3: reserved/free bitrate or sample-rate index at {pos}")
+        kbps = _MP3_BITRATES[br_idx]
+        sr = _MP3_RATES[sr_idx]
+        if rate is None:
+            rate = sr
+        elif sr != rate:
+            raise ValueError("MP3: sample rate changes mid-stream")
+        size = (144 * kbps * 1000) // sr + padding
+        if pos + size > end:
+            raise ValueError(f"MP3: frame at {pos} overruns the stream")
+        n_frames += 1
+        bit_sum += kbps
+        pos += size
+    if not n_frames:
+        raise ValueError("MP3: no audio frames")
+    return {
+        "media_kind": "audio",
+        "sample_rate": rate,
+        "n_units": n_frames,
+        "bitrate_kbps": bit_sum / n_frames,
+        "duration_ms": n_frames * 1152 * 1000.0 / rate,
+        "title": tags.get("TIT2"),
+        "n_bytes": len(payload),
+    }
+
+
+def mp3_info_stats(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """Arrow-batched MP3 metadata scan over the payload column: one
+    row per stream (title, frame count, rate, bitrate, duration) —
+    the no-decode audio-inventory pass a corpus pipeline runs."""
+    keep_schema = ", ".join(f"{c} string" for c in keep)
+    schema = (
+        "doc_id long, title string, n_frames long, sample_rate long, "
+        "bitrate_kbps double, duration_ms double"
+        + (", " + keep_schema if keep else "")
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for j, p in enumerate(pdf["payload"]):
+                i = mp3_stream_info(bytes(p))
+                rows.append((
+                    pdf["doc_id"].iloc[j], i["title"], i["n_units"],
+                    i["sample_rate"], i["bitrate_kbps"], i["duration_ms"],
+                    *[pdf[c].iloc[j] for c in keep],
+                ))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "title", "n_frames",
+                               "sample_rate", "bitrate_kbps",
+                               "duration_ms", *keep])
+
+    return df.mapInPandas(run, schema)
+
+
+def mp3_params(doc_id: int) -> tuple[int, int, int]:
+    """Ground-truth (sample_rate, bitrate_kbps, n_frames)."""
+    return (
+        _MP3_RATES[doc_id % 3],
+        _MP3_BITRATES[1 + doc_id % 14],
+        20 + doc_id % 30,
+    )
+
+
+def encode_mp3_stub(doc_id: int) -> bytes:
+    """MP3-SHAPED stream for the metadata scanner: a real ID3v2.3 tag
+    (TIT2 title), n valid MPEG-1 Layer III frame headers with padding
+    bits cycling and zeroed audio payloads, and an ID3v1 trailer. The
+    payload is NOT decodable audio — it exists to drive the header
+    walk, which never inspects payload bytes (exactly like real
+    metadata scanners)."""
+    rate, kbps, n = mp3_params(doc_id)
+    title = f"doc {doc_id}".encode("latin-1")
+    tit2 = b"TIT2" + struct.pack(">I", 1 + len(title)) + b"\x00\x00" \
+        + b"\x00" + title
+    tag_size = len(tit2)
+    id3 = (b"ID3\x03\x00\x00"
+           + bytes([(tag_size >> 21) & 0x7F, (tag_size >> 14) & 0x7F,
+                    (tag_size >> 7) & 0x7F, tag_size & 0x7F])
+           + tit2)
+    sr_idx = _MP3_RATES.index(rate)
+    br_idx = _MP3_BITRATES.index(kbps)
+    frames = bytearray()
+    for i in range(n):
+        padding = i % 2
+        hdr = bytes([
+            0xFF,
+            0xE0 | (3 << 3) | (1 << 1) | 1,  # MPEG-1, Layer III, no CRC
+            (br_idx << 4) | (sr_idx << 2) | (padding << 1),
+            0b11000000,  # mono
+        ])
+        size = (144 * kbps * 1000) // rate + padding
+        frames += hdr + b"\x00" * (size - 4)
+    id3v1 = b"TAG" + b"\x00" * 125
+    return bytes(id3) + bytes(frames) + id3v1
+
+
 # ---------------------------------------------------------------- Ogg
 #
 # The Ogg transport layer (RFC 3533): 'OggS' pages carrying a lacing
@@ -3975,7 +4152,7 @@ def synthesize_media(
     kinds = ("image", "audio", "flac", "ogg-flac", "png", "png-palette",
              "png-interlaced", "png-16", "gif", "gif-anim", "jpeg",
              "jpeg-color", "jpeg-420", "jpeg-progressive", "tiff",
-             "video")
+             "video", "mp3")
     if kind not in kinds:
         raise ValueError(f"kind must be one of {kinds}")
     media_type = {"image": "image/bmp", "png": "image/png",
@@ -3987,7 +4164,7 @@ def synthesize_media(
                   "jpeg-progressive": "image/jpeg",
                   "tiff": "image/tiff",
                   "audio": "audio/wav", "flac": "audio/flac",
-                  "ogg-flac": "audio/ogg",
+                  "ogg-flac": "audio/ogg", "mp3": "audio/mpeg",
                   "video": "video/x-msvideo"}[kind]
     cols = [id_col, *keep]
     keep_schema = ", ".join(f"{c} string" for c in keep)
@@ -4093,6 +4270,10 @@ def synthesize_media(
                 # colors drift per frame index — chunk order is
                 # load-bearing in the oracle
                 payloads = [encode_avi_sample(int(d)) for d in ids]
+            elif kind == "mp3":
+                # header-walkable MPEG-1 Layer III streams with ID3v2
+                # titles (metadata scan only — PCM stays the boundary)
+                payloads = [encode_mp3_stub(int(d)) for d in ids]
             else:
                 payloads = [encode_wav(*wav_params(int(d))) for d in ids]
             out = {"doc_id": ids, "payload": payloads, "media_type": media_type}

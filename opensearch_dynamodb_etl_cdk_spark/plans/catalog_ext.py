@@ -2544,6 +2544,46 @@ def _media_decode_stats(spark, sf_dir, kind):
 
 
 @register(
+    "multimodal_mp3_stream_info",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             'doc ' || doc_id AS title,
+             CAST(20 + doc_id % 30 AS BIGINT) AS n_frames,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  ELSE 32000 END AS BIGINT) AS sample_rate,
+             CAST(CASE doc_id % 14
+                  WHEN 0 THEN 32 WHEN 1 THEN 40 WHEN 2 THEN 48
+                  WHEN 3 THEN 56 WHEN 4 THEN 64 WHEN 5 THEN 80
+                  WHEN 6 THEN 96 WHEN 7 THEN 112 WHEN 8 THEN 128
+                  WHEN 9 THEN 160 WHEN 10 THEN 192 WHEN 11 THEN 224
+                  WHEN 12 THEN 256 ELSE 320 END AS DOUBLE) AS bitrate_kbps
+      FROM documents WHERE doc_id < 300)
+    SELECT doc_id, title, n_frames, sample_rate, bitrate_kbps,
+           n_frames * 1152 * 1000.0 / sample_rate AS duration_ms
+    FROM p
+    """,
+    doc="MP3 stream METADATA without decoding (the audio-inventory "
+    "pass real corpus pipelines run): per document an MPEG-1 Layer "
+    "III stream with a real ID3v2.3 tag, CBR frame headers with "
+    "cycling padding bits, and an ID3v1 trailer; the scanner "
+    "(operators/multimodal.py::mp3_stream_info) walks EVERY frame via "
+    "the public header layout (sync, version/layer, bitrate and "
+    "sample-rate index tables, padding, 1152 samples/frame), skips "
+    "both tag envelopes, and extracts the TIT2 title. The oracle "
+    "recomputes title/frames/rate/bitrate/duration from the doc_id "
+    "formulas (direct equality incl. strings). PCM decode remains the "
+    "loud NotImplementedError — the Huffman/filterbank codec is not "
+    "shipped, and mp3 payloads through decode_audio still raise.",
+    tags=("multimodal",),
+)
+def multimodal_mp3_stream_info(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") < 300)
+    return M.mp3_info_stats(M.synthesize_media(d, "mp3"))
+
+
+@register(
     "multimodal_gif_animation_stats",
     oracle="""
     WITH f AS (

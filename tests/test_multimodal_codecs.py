@@ -1879,3 +1879,40 @@ def test_gif_animation_malformed():
     struct.pack_into("<H", bad, i + 1, 9)  # left = 9 > canvas
     with pytest.raises(ValueError):
         M.decode_gif_frames(bytes(bad))
+
+
+# ----------------------------------------------------------------- MP3
+
+
+def test_mp3_stream_info_matches_params():
+    for d in (0, 1, 2, 13, 123, 999):
+        rate, kbps, n = M.mp3_params(d)
+        info = M.mp3_stream_info(M.encode_mp3_stub(d))
+        assert (info["sample_rate"], info["n_units"]) == (rate, n)
+        assert info["bitrate_kbps"] == float(kbps)
+        assert info["duration_ms"] == n * 1152 * 1000.0 / rate
+        assert info["title"] == f"doc {d}"
+
+
+def test_mp3_boundaries_and_malformed():
+    p = M.encode_mp3_stub(5)
+    # PCM decode stays the loud boundary — the scanner is metadata-only
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(p)
+    # mid-stream truncation: the last frame overruns
+    with pytest.raises(ValueError):
+        M.mp3_stream_info(p[:-200])
+    # garbage after the ID3 envelope: lost sync
+    with pytest.raises(ValueError):
+        M.mp3_stream_info(b"ID3\x03\x00\x00\x00\x00\x00\x00junkjunk")
+    # MPEG-2 / other layers are a precise boundary
+    bad = bytearray(p)
+    at = M._id3v2_size(p)
+    bad[at + 1] = 0xE0 | (2 << 3) | (1 << 1) | 1  # MPEG-2 version bits
+    with pytest.raises(NotImplementedError):
+        M.mp3_stream_info(bytes(bad))
+    # non-syncsafe ID3 size byte
+    ns = bytearray(p)
+    ns[6] = 0x80
+    with pytest.raises(ValueError):
+        M.mp3_stream_info(bytes(ns))
