@@ -1541,7 +1541,15 @@ def encode_gif_animation(canvas_w: int, canvas_h: int,
         out += (b"\x21\xf9\x04" + bytes([packed])
                 + struct.pack("<H", int(f.get("delay_cs", 0)))
                 + bytes([transparent or 0]) + b"\x00")
-        out += b"\x2c" + struct.pack("<HHHHB", l, t, w, h, 0)
+        lct = f.get("palette")
+        if lct is not None:
+            if len(lct) != 768:
+                raise ValueError("local color table must be 256 entries")
+            out += b"\x2c" + struct.pack("<HHHHB", l, t, w, h,
+                                         0x80 | 0x07)
+            out += bytes(lct)
+        else:
+            out += b"\x2c" + struct.pack("<HHHHB", l, t, w, h, 0)
         lzw = _gif_lzw_encode(8, bytes(px))
         out.append(8)
         for i in range(0, len(lzw), 255):
@@ -1572,10 +1580,11 @@ def decode_gif_frames(payload: bytes) -> list[dict]:
         pos += 3 * n
     if gct is None:
         raise ValueError("animated GIF without a global color table")
-    pal_sums = np.array(
-        [gct[3 * i] + gct[3 * i + 1] + gct[3 * i + 2]
-         for i in range(len(gct) // 3)], dtype=np.int64)
-    canvas = np.full((sh, sw), bg, dtype=np.uint8)
+    gpal = np.frombuffer(gct, dtype=np.uint8).reshape(-1, 3)
+    # compose in RGB space so frames with LOCAL color tables mix with
+    # global-table frames on one canvas
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:, :] = gpal[bg]
     out: list[dict] = []
     delay_cs, disposal, transparent = 0, 1, None
     while pos < len(payload):
@@ -1614,10 +1623,14 @@ def decode_gif_frames(payload: bytes) -> list[dict]:
         pos += 9
         if left + w > sw or top + h > sh:
             raise ValueError("GIF frame patch exceeds the logical screen")
-        if ipacked & 0x80:
-            raise NotImplementedError(
-                "GIF animation frames with local color tables are not "
-                "supported")
+        pal = gpal
+        if ipacked & 0x80:  # local color table overrides for this frame
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(payload):
+                raise ValueError("truncated GIF local color table")
+            pal = np.frombuffer(
+                payload[pos:pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+            pos += 3 * n
         min_code_size = payload[pos]
         pos += 1
         data = bytearray()
@@ -1633,21 +1646,22 @@ def decode_gif_frames(payload: bytes) -> list[dict]:
             dtype=np.uint8).reshape(h, w)
         region = canvas[top:top + h, left:left + w]
         before = region.copy()
+        rgb = pal[idx]
         if transparent is None:
-            region[:, :] = idx
+            region[:, :] = rgb
         else:
             mask = idx != transparent
-            region[mask] = idx[mask]
+            region[mask] = rgb[mask]
         out.append({
             "frame_index": len(out),
             "delay_cs": delay_cs,
             "width": sw,
             "height": sh,
-            "mean_value": float(pal_sums[canvas].sum())
-            / (3.0 * canvas.size),
+            "mean_value": float(
+                canvas.astype(np.int64).sum()) / (3.0 * sw * sh),
         })
         if disposal == 2:
-            region[:, :] = bg
+            region[:, :] = gpal[bg]
         elif disposal == 3:
             region[:, :] = before
         delay_cs, disposal, transparent = 0, 1, None

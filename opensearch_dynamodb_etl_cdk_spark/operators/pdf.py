@@ -44,11 +44,9 @@ def _escape_string(s: str) -> bytes:
     try:
         raw = s.encode("latin-1")
     except UnicodeEncodeError:
-        # loud boundary, like every other codec here: silently writing
-        # '?' would corrupt the round-trip (and the equality oracle)
-        raise ValueError(
-            "PDF: text contains non-Latin-1 characters (UTF-16 text "
-            "strings are not implemented)") from None
+        # the spec's other text encoding: UTF-16BE with BOM — what real
+        # writers emit for non-Latin-1 text. Never a lossy 'replace'.
+        raw = b"\xfe\xff" + s.encode("utf-16-be")
     out = bytearray()
     for ch in raw:
         if ch in (0x28, 0x29, 0x5C):  # ( ) \
@@ -232,6 +230,14 @@ def _content_bytes(objs, oid: int) -> bytes:
     return stream
 
 
+def _pdf_str(b: bytes) -> str:
+    """Decode one literal string: BOM-marked UTF-16BE or Latin-1 (the
+    spec's two text-string encodings)."""
+    if b[:2] == b"\xfe\xff":
+        return b[2:].decode("utf-16-be")
+    return b.decode("latin-1")
+
+
 def _literal_strings_and_ops(content: bytes):
     """Tokenize a content stream into literal strings and operator
     tokens (enough for Tj/'/TJ extraction): yields ('str', bytes) and
@@ -332,14 +338,21 @@ def extract_pdf_pages(payload: bytes) -> list[str]:
         content = b"\n".join(_content_bytes(objs, c) for c in cids)
         parts: list[str] = []
         pending: list[bytes] = []
+
+        def flush() -> str:
+            # decode PER STRING ELEMENT — TJ arrays may mix Latin-1 and
+            # BOM-marked UTF-16BE strings, and the encodings are a
+            # per-string property, not a per-operator one
+            return "".join(_pdf_str(x) for x in pending)
+
         for kind, val in _literal_strings_and_ops(content):
             if kind == "str":
                 pending.append(val)
             elif val in (b"Tj", b"TJ"):
-                parts.append(b"".join(pending).decode("latin-1"))
+                parts.append(flush())
                 pending = []
             elif val == b"'":
-                parts.append("\n" + b"".join(pending).decode("latin-1"))
+                parts.append("\n" + flush())
                 pending = []
             elif val == b"T*":
                 parts.append("\n")

@@ -55,6 +55,11 @@ QUERIES = [
     "near_dup_components",
     "repeated_ngram_report",
     "lm_quality_scores",
+    # round-10: the heaviest Python-decode row (per-frame JPEG decode
+    # over every document's AVI) — measures the Arrow/mapInPandas
+    # codec tier's volume scaling, the shape every new ingestion
+    # operator (PDF/WARC/archive/GIF-anim) shares
+    "multimodal_avi_decode_stats",
 ]
 
 # per-table integer key columns to offset per replica; tables absent

@@ -1916,3 +1916,20 @@ def test_mp3_boundaries_and_malformed():
     ns[6] = 0x80
     with pytest.raises(ValueError):
         M.mp3_stream_info(bytes(ns))
+
+
+def test_gif_animation_local_color_tables_compose():
+    """A frame with its own 256-entry LOCAL color table mixes with
+    global-table frames on one RGB canvas."""
+    lct = bytes(v for i in range(256) for v in (255 - i, 0, i))
+    frames = [
+        {"left": 0, "top": 0, "width": 4, "height": 1,
+         "pixels": bytes([10] * 4), "delay_cs": 1},      # global: (10,10,10)
+        {"left": 0, "top": 0, "width": 2, "height": 1,
+         "pixels": bytes([0, 255]), "palette": lct},      # (255,0,0),(0,0,255)
+    ]
+    p = M.encode_gif_animation(4, 1, frames)
+    got = M.decode_gif_frames(p)
+    assert got[0]["mean_value"] == 10.0
+    # composed: (255,0,0) (0,0,255) (10,10,10) (10,10,10)
+    assert got[1]["mean_value"] == (255 + 255 + 30 + 30) / 12

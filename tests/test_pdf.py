@@ -116,6 +116,13 @@ def test_pdf_keywords_inside_stream_data():
                 P.encode_pdf([text], compress=compress)) == [text]
 
 
-def test_pdf_non_latin1_is_a_loud_boundary():
-    with pytest.raises(ValueError):
-        P.encode_pdf(["euro €"])
+def test_pdf_non_latin1_round_trips_via_utf16():
+    """Non-Latin-1 text writes as BOM-marked UTF-16BE strings (the
+    spec's other text encoding) and round-trips exactly — including a
+    page that mixes both encodings across lines and CJK/emoji-free
+    astral-adjacent chars."""
+    pages = ["euro € and dash —", "汉字 text", "plain ascii",
+             "mixed € line\nlatin line"]
+    for compress in (True, False):
+        assert P.extract_pdf_pages(
+            P.encode_pdf(pages, compress=compress)) == pages
