@@ -123,3 +123,28 @@ def test_pdf_pages_round_trip_any_ascii(pages, compress):
 
     payload = P.encode_pdf(pages, compress=compress)
     assert P.extract_pdf_pages(payload) == pages
+
+
+@given(
+    members=st.lists(
+        st.tuples(
+            st.text(st.sampled_from("abcdefgh_.-"), min_size=1,
+                    max_size=24),
+            st.binary(min_size=0, max_size=600),
+        ),
+        min_size=1, max_size=5),
+    use_zip=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_archive_members_round_trip_any_bytes(members, use_zip):
+    """tar and zip round-trip arbitrary member bytes (incl. empty,
+    512-multiples, high bytes) and names."""
+    import zlib
+
+    from opensearch_dynamodb_etl_cdk_spark.operators import archive as A
+
+    if use_zip:
+        payload = A.encode_zip(members)
+    else:
+        payload = zlib.compress(A.encode_tar(members), wbits=31)
+    assert A.extract_members(payload) == members
