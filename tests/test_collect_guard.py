@@ -38,6 +38,10 @@ GUARDED = [
     os.path.join(PKG, "operators", "sampling.py"),
     os.path.join(PKG, "operators", "similarity.py"),
     os.path.join(PKG, "operators", "hnsw.py"),
+    os.path.join(PKG, "operators", "multimodal.py"),
+    os.path.join(PKG, "operators", "pdf.py"),
+    os.path.join(PKG, "operators", "warc.py"),
+    os.path.join(PKG, "operators", "archive.py"),
     os.path.join(PKG, "plans", "catalog_dsl_tail.py"),
     os.path.join(PKG, "streaming", "pipeline.py"),
 ]
