@@ -39,6 +39,16 @@ from .warc import _gunzip_members
 # ------------------------------------------------------------------- tar
 
 
+def _member_name(raw: bytes) -> str:
+    """Member names are UTF-8 in modern archives (the encoders here
+    write UTF-8 and set the zip EFS flag); pre-Unicode archives fall
+    back to Latin-1 rather than failing the whole file."""
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
 def _tar_checksum(block: bytes) -> int:
     """ustar header checksum: byte sum with the chksum field (148..156)
     read as spaces."""
@@ -87,7 +97,12 @@ def parse_tar(payload: bytes) -> list[tuple[str, bytes]]:
             raise ValueError(f"tar: bad checksum field at offset {pos}")
         if _tar_checksum(block) != want:
             raise ValueError(f"tar: header checksum mismatch at {pos}")
-        name = block[0:100].split(b"\x00", 1)[0].decode("latin-1")
+        name = _member_name(block[0:100].split(b"\x00", 1)[0])
+        # the ustar prefix field carries the directory part of long
+        # paths — dropping it would collide distinct members
+        prefix = block[345:500].split(b"\x00", 1)[0]
+        if prefix:
+            name = _member_name(prefix) + "/" + name
         size = int(block[124:136].rstrip(b" \x00") or b"0", 8)
         typeflag = block[156:157]
         data_at = pos + 512
@@ -115,19 +130,22 @@ def encode_zip(members: list[tuple[str, bytes]],
     out = bytearray()
     central = bytearray()
     for name, data in members:
-        nb = name.encode()
+        nb = name.encode("utf-8")
+        # general-purpose bit 11 (EFS): the name is UTF-8 — without it
+        # external tools assume cp437 and misread non-ASCII names
+        flags = 0x800 if not name.isascii() else 0
         crc = zlib.crc32(data) & 0xFFFFFFFF
         packed = zlib.compress(data, 9)[2:-4] if compress else data
         method = 8 if compress and len(packed) < len(data) else 0
         blob = packed if method == 8 else data
         local_at = len(out)
         out += (b"PK\x03\x04"
-                + struct.pack("<HHHHHIII", 20, 0, method, 0, 0, crc,
+                + struct.pack("<HHHHHIII", 20, flags, method, 0, 0, crc,
                               len(blob), len(data))
                 + struct.pack("<HH", len(nb), 0) + nb + blob)
         central += (b"PK\x01\x02"
-                    + struct.pack("<HHHHHHIII", 20, 20, 0, method, 0, 0,
-                                  crc, len(blob), len(data))
+                    + struct.pack("<HHHHHHIII", 20, 20, flags, method,
+                                  0, 0, crc, len(blob), len(data))
                     + struct.pack("<HHHHHII", len(nb), 0, 0, 0, 0, 0,
                                   local_at)
                     + nb)
@@ -156,7 +174,7 @@ def parse_zip(payload: bytes) -> list[tuple[str, bytes]]:
         crc, csize, usize = struct.unpack_from("<III", payload, pos + 16)
         nlen, elen, clen = struct.unpack_from("<HHH", payload, pos + 28)
         (local_at,) = struct.unpack_from("<I", payload, pos + 42)
-        name = payload[pos + 46:pos + 46 + nlen].decode("latin-1")
+        name = _member_name(payload[pos + 46:pos + 46 + nlen])
         if payload[local_at:local_at + 4] != b"PK\x03\x04":
             raise ValueError(f"zip: member {name!r} local header missing")
         lnlen, lelen = struct.unpack_from("<HH", payload, local_at + 26)

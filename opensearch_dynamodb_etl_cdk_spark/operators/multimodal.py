@@ -1644,8 +1644,12 @@ def decode_gif_frames(payload: bytes) -> list[dict]:
         idx = np.frombuffer(
             bytes(_gif_lzw_decode(min_code_size, bytes(data), w * h)),
             dtype=np.uint8).reshape(h, w)
+        if ipacked & 0x40:  # interlaced frame: scatter the four passes
+            deint = np.empty_like(idx)
+            deint[_gif_interlace_rows(h)] = idx
+            idx = deint
         region = canvas[top:top + h, left:left + w]
-        before = region.copy()
+        before = region.copy() if disposal == 3 else None
         rgb = pal[idx]
         if transparent is None:
             region[:, :] = rgb
@@ -1658,7 +1662,7 @@ def decode_gif_frames(payload: bytes) -> list[dict]:
             "width": sw,
             "height": sh,
             "mean_value": float(
-                canvas.astype(np.int64).sum()) / (3.0 * sw * sh),
+                canvas.sum(dtype=np.int64)) / (3.0 * sw * sh),
         })
         if disposal == 2:
             region[:, :] = gpal[bg]
@@ -3224,7 +3228,15 @@ def _id3v2_size(payload: bytes) -> int:
 
 
 def _id3v2_text_frames(payload: bytes) -> dict[str, str]:
-    """ID3v2.3 text frames (TIT2/TPE1/TALB...) → {frame id: text}."""
+    """ID3v2.3 text frames (TIT2/TPE1/TALB...) → {frame id: text}.
+    Other tag versions raise: v2.2 uses 6-byte frame headers and v2.4
+    syncsafe frame sizes — walking them with v2.3 rules would yield
+    silently wrong titles, the one failure mode this module never
+    accepts."""
+    if payload[3:4] != b"\x03":
+        raise NotImplementedError(
+            f"MP3: ID3v2.{payload[3]} tag parsing is not supported "
+            "(only v2.3)")
     total = _id3v2_size(payload)
     out: dict[str, str] = {}
     pos = 10
@@ -3250,7 +3262,10 @@ def mp3_stream_info(payload: bytes) -> dict:
     tags = _id3v2_text_frames(payload) if payload[:3] == b"ID3" else {}
     pos = _id3v2_size(payload)
     end = len(payload)
-    if payload[end - 128:end - 125] == b"TAG":  # ID3v1 trailer
+    # ID3v1 trailer: only when 128 bytes actually fit after the ID3v2
+    # envelope — a short stream must not be probed with a negative
+    # slice from the wrong offset
+    if end - pos >= 128 and payload[end - 128:end - 125] == b"TAG":
         end -= 128
     n_frames = 0
     rate = None

@@ -43,6 +43,11 @@ _NAME_RE = re.compile(rb"/(\w+)\s*/(\w+)")
 def _escape_string(s: str) -> bytes:
     try:
         raw = s.encode("latin-1")
+        # Latin-1 text that happens to START with þÿ would masquerade
+        # as a UTF-16BE BOM at decode time — route it through the
+        # UTF-16 path, where it round-trips unambiguously
+        if raw[:2] == b"\xfe\xff":
+            raise UnicodeEncodeError("latin-1", s, 0, 1, "BOM collision")
     except UnicodeEncodeError:
         # the spec's other text encoding: UTF-16BE with BOM — what real
         # writers emit for non-Latin-1 text. Never a lossy 'replace'.

@@ -153,16 +153,26 @@ _SCRIPT_RE = re.compile(
     r"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL)
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _TAG_RE = re.compile(r"<[^>]+>")
-_ENT_RE = re.compile(r"&(#x?[0-9a-fA-F]+|\w+);")
+_ENT_RE = re.compile(r"&(#[0-9]+|#[xX][0-9a-fA-F]+|\w+);")
 
 
 def _entity(m: re.Match) -> str:
+    """Decode one character reference; malformed or out-of-range refs
+    (overflow codepoints, surrogates — all present in real web HTML)
+    pass through verbatim rather than killing the task."""
     name = m.group(1)
-    if name.startswith("#x") or name.startswith("#X"):
-        return chr(int(name[2:], 16))
-    if name.startswith("#"):
-        return chr(int(name[1:]))
-    return _ENTITIES.get(name.lower(), m.group(0))
+    try:
+        if name[:2] in ("#x", "#X"):
+            cp = int(name[2:], 16)
+        elif name.startswith("#"):
+            cp = int(name[1:])
+        else:
+            return _ENTITIES.get(name.lower(), m.group(0))
+        if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+            return m.group(0)
+        return chr(cp)
+    except (ValueError, OverflowError):
+        return m.group(0)
 
 
 def html_to_text(html: str) -> str:

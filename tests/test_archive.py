@@ -117,3 +117,30 @@ def test_archived_pdf_chain_round_trips(spark):
     for i in range(4):
         t = f"doc {i} " + "w" * (150 + i)
         assert "".join(by_doc[i]) == t
+
+
+def test_archive_non_ascii_member_names_round_trip():
+    members = [("café.txt", b"x"), ("日本語/データ.bin", b"yz")]
+    assert A.parse_zip(A.encode_zip(members)) == members
+    assert A.parse_tar(A.encode_tar(members)) == members
+    # the zip EFS flag is set so external tools read UTF-8 names too
+    import io
+    import zipfile
+
+    zf = zipfile.ZipFile(io.BytesIO(A.encode_zip(members)))
+    assert zf.namelist() == [n for n, _ in members]
+
+
+def test_tar_ustar_prefix_field_is_honored():
+    """stdlib tarfile splits >100-char paths into prefix+name; our
+    reader must reassemble them."""
+    import io
+    import tarfile
+
+    long_path = "dir_" + "x" * 95 + "/file.txt"
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as w:
+        ti = tarfile.TarInfo(long_path)
+        ti.size = 2
+        w.addfile(ti, io.BytesIO(b"ab"))
+    assert A.parse_tar(buf.getvalue()) == [(long_path, b"ab")]

@@ -126,3 +126,10 @@ def test_pdf_non_latin1_round_trips_via_utf16():
     for compress in (True, False):
         assert P.extract_pdf_pages(
             P.encode_pdf(pages, compress=compress)) == pages
+
+
+def test_pdf_latin1_text_resembling_a_bom_round_trips():
+    """Latin-1 text starting with þÿ must not masquerade as a UTF-16
+    BOM at decode time (it routes through the real UTF-16 path)."""
+    for t in ("þÿab", "þÿa", "þplain"):
+        assert P.extract_pdf_pages(P.encode_pdf([t])) == [t]

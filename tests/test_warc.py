@@ -91,3 +91,12 @@ def test_warc_spark_fan_out_mixed_layouts(spark):
     for r in sorted(rows, key=lambda r: r.doc_id):
         assert r.uri == f"http://example.com/doc/{r.doc_id}"
         assert r.text == f'"doc {r.doc_id} body words" & more'
+
+
+def test_html_to_text_survives_malformed_entities():
+    """Real web HTML contains malformed/out-of-range character refs —
+    they pass through verbatim instead of killing the task."""
+    assert W.html_to_text("&#ff; x") == "&#ff; x"
+    assert W.html_to_text("&#9999999999; x") == "&#9999999999; x"
+    assert W.html_to_text("&#1114112; ok &#120;") == "&#1114112; ok x"
+    assert W.html_to_text("&#xD800; s") == "&#xD800; s"
