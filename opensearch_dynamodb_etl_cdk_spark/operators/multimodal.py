@@ -156,6 +156,19 @@ def decode_bmp(payload: bytes) -> dict:
     )
     if dib_size < 40:
         raise ValueError(f"unsupported DIB header size {dib_size}")
+    if compression == 1:  # BI_RLE8 decodes through the pixel path
+        w, h, bgr = _bmp_rle8_pixels(payload, dib_size, width, height,
+                                     data_offset, bpp)
+        n = w * h
+        return {
+            "media_kind": "image",
+            "width": w,
+            "height": h,
+            "bit_depth": 8,
+            "n_units": n,
+            "mean_value": (float(bgr.sum()) / (3 * n)) if n else 0.0,
+            "n_bytes": len(payload),
+        }
     if compression != 0:
         raise NotImplementedError(f"compressed BMP (method {compression}) unsupported")
     if bpp != 24:
@@ -4442,6 +4455,9 @@ def _bmp_pixels(payload: bytes):
     )
     if dib_size < 40:
         raise ValueError(f"unsupported DIB header size {dib_size}")
+    if compression == 1:  # BI_RLE8: 8-bit palette + run-length data
+        return _bmp_rle8_pixels(payload, dib_size, width, height,
+                                data_offset, bpp)
     if compression != 0:
         raise NotImplementedError(
             f"compressed BMP (method {compression}) unsupported"
@@ -4461,6 +4477,115 @@ def _bmp_pixels(payload: bytes):
     if not top_down:
         rows = rows[::-1]  # normalize to top-down logical order
     return width, h, rows
+
+
+def _bmp_rle8_pixels(payload: bytes, dib_size: int, width: int,
+                     height: int, data_offset: int, bpp: int = 8):
+    """Decode a BI_RLE8 BMP (public BITMAPINFOHEADER spec): 256-entry
+    BGRA palette, bottom-up rows, encoded runs (count, index), and the
+    escape codes — 0 end-of-line, 1 end-of-bitmap, 2 delta (dx, dy),
+    n≥3 absolute literal indexes padded to even length. Returns the
+    same (width, height, top-down BGR array) contract as the
+    uncompressed path, so stats, pixel access, and resize all work."""
+    import numpy as np
+
+    if bpp != 8:
+        raise ValueError(f"BI_RLE8 requires 8-bit pixels, got {bpp}")
+    if height < 0:
+        raise ValueError("BI_RLE8 BMPs are bottom-up by spec")
+    h = height
+    pal_at = 14 + dib_size
+    if pal_at + 256 * 4 > data_offset:
+        raise ValueError("RLE8 BMP: palette truncated")
+    pal = np.frombuffer(payload, np.uint8, count=256 * 4,
+                        offset=pal_at).reshape(256, 4)[:, :3]  # BGR
+    idx = np.zeros((h, width), dtype=np.uint8)
+    x = y = 0  # bottom-up coordinates: y 0 = bottom row
+    pos = data_offset
+    ended = False
+    while pos + 2 <= len(payload):
+        n, v = payload[pos], payload[pos + 1]
+        pos += 2
+        if n:  # encoded run
+            if y >= h or x + n > width:
+                raise ValueError("RLE8 BMP: run overflows its row")
+            idx[y, x:x + n] = v
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            ended = True
+            break
+        elif v == 2:  # delta: skipped cells keep index 0
+            if pos + 2 > len(payload):
+                raise ValueError("RLE8 BMP: truncated delta escape")
+            x += payload[pos]
+            y += payload[pos + 1]
+            pos += 2
+            if x > width or y > h:
+                raise ValueError("RLE8 BMP: delta escape leaves the image")
+        else:  # absolute mode: v literal indexes, padded to even
+            if y >= h or x + v > width:
+                raise ValueError("RLE8 BMP: absolute run overflows its row")
+            end = pos + v
+            if end > len(payload):
+                raise ValueError("RLE8 BMP: truncated absolute run")
+            idx[y, x:x + v] = np.frombuffer(payload, np.uint8, count=v,
+                                            offset=pos)
+            x += v
+            pos = end + (v & 1)
+    if not ended:
+        raise ValueError("RLE8 BMP: missing end-of-bitmap escape")
+    bgr = pal[idx][::-1]  # bottom-up → top-down
+    return width, h, np.ascontiguousarray(bgr)
+
+
+def encode_bmp_rle8(width: int, height: int, base_value: int = 0) -> bytes:
+    """Build a real BI_RLE8 BMP: grayscale BGRA palette; even logical
+    rows are one encoded run of ``base_value`` and odd rows are
+    absolute-mode literals of the gradient ``base + x`` — both packet
+    families plus the EOL/EOD escapes appear in every file. Mean has
+    the closed form sum/(w·h) with
+    sum = ceil(h/2)·w·base + floor(h/2)·(w·base + w(w-1)/2)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive")
+    if not 0 <= base_value <= 255 - max(0, width - 1):
+        raise ValueError("gradient exceeds a byte; lower base_value")
+    data = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        if y % 2 == 0:  # logical even row: encoded runs
+            x = 0
+            while x < width:
+                n = min(255, width - x)
+                data += bytes([n, base_value])
+                x += n
+        else:  # logical odd row: absolute-mode gradient
+            x = 0
+            while x < width:
+                n = min(255, width - x)
+                if n < 3:  # absolute packets need n >= 3: tiny tails
+                    for i in range(n):
+                        data += bytes([1, base_value + x + i])
+                else:
+                    data += bytes([0, n]) + bytes(
+                        base_value + x + i for i in range(n))
+                    if n & 1:
+                        data += b"\x00"
+                x += n
+        data += b"\x00\x00"  # end of line
+    data += b"\x00\x01"  # end of bitmap
+    pal = bytes(v for i in range(256) for v in (i, i, i, 0))
+    data_offset = 14 + 40 + len(pal)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 1,
+                       len(data), 0, 0, 256, 0)
+    head = struct.pack("<2sIHHI", b"BM", data_offset + len(data), 0, 0,
+                       data_offset)
+    return head + info + pal + bytes(data)
+
+
+def rle_bmp_params(doc_id: int) -> tuple[int, int, int]:
+    """Ground-truth (width, height, base) for a synthesized RLE8 BMP."""
+    return 3 + doc_id % 13, 1 + doc_id % 7, doc_id % 200
 
 
 def _nn_gather(rows, out_w: int, out_h: int):

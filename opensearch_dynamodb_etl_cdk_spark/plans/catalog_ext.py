@@ -2544,6 +2544,57 @@ def _media_decode_stats(spark, sf_dir, kind):
 
 
 @register(
+    "multimodal_rle_bmp_decode_stats",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             3 + doc_id % 13 AS w,
+             1 + doc_id % 7 AS h,
+             doc_id % 200 AS base
+      FROM documents WHERE doc_id < 300),
+    s AS (
+      SELECT doc_id, w, h,
+             ((h + 1) // 2) * w * base
+             + (h // 2) * (w * base + (w - 1) * w // 2) AS total
+      FROM p)
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(3 * total AS DOUBLE) / CAST(3 * w * h AS DOUBLE) AS mean_value
+    FROM s
+    """,
+    doc="COMPRESSED BMP decoded for real (BI_RLE8, the public "
+    "BITMAPINFOHEADER run-length spec): per document an 8-bit palette "
+    "BMP whose even rows are encoded runs and odd rows absolute-mode "
+    "gradient literals (plus the EOL/EOD escapes in every file, delta "
+    "escapes pinned in tests), decoded through the shared pixel path "
+    "(operators/multimodal.py::_bmp_rle8_pixels — so pixel access and "
+    "resize work too), one row per doc with the palette-mapped mean "
+    "replicated division-for-division. Any run/absolute/padding/"
+    "bottom-up-order bug breaks the hash.",
+    tags=("multimodal",),
+)
+def multimodal_rle_bmp_decode_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") < 300)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            rows = []
+            for i in ids:
+                w, h, base = M.rle_bmp_params(int(i))
+                dec = M.decode_bmp(M.encode_bmp_rle8(w, h, base))
+                rows.append((int(i), dec["width"], dec["height"],
+                             dec["mean_value"]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mean_value"])
+
+    return d.select("doc_id").mapInPandas(
+        run, "doc_id long, width long, height long, mean_value double")
+
+
+@register(
     "multimodal_mp3_stream_info",
     oracle="""
     WITH p AS (

@@ -178,8 +178,14 @@ def test_bmp_truncated_pixels_rejected():
 
 
 def test_bmp_compressed_rejected():
+    # BI_RLE8 decodes for real now — but only on 8-bit files; a 24-bit
+    # header claiming RLE8 is structural damage
     raw = bytearray(M.encode_bmp(2, 2, 1))
-    struct.pack_into("<I", raw, 30, 1)  # BI_RLE8
+    struct.pack_into("<I", raw, 30, 1)  # BI_RLE8 on a 24-bit file
+    with pytest.raises(ValueError, match="RLE8 requires 8-bit"):
+        M.decode_bmp(bytes(raw))
+    # other compression methods stay the loud boundary
+    struct.pack_into("<I", raw, 30, 2)  # BI_RLE4
     with pytest.raises(NotImplementedError, match="compressed"):
         M.decode_bmp(bytes(raw))
 
@@ -1979,3 +1985,42 @@ def test_mp3_short_stream_and_tag_guard():
     v24[3] = 4
     with pytest.raises(NotImplementedError):
         M.mp3_stream_info(bytes(v24))
+
+
+# ------------------------------------------------------------ RLE8 BMP
+
+
+def test_rle8_bmp_decodes_runs_absolute_and_escapes():
+    for d in (0, 1, 5, 77, 200):
+        w, h, base = M.rle_bmp_params(d)
+        dec = M.decode_bmp(M.encode_bmp_rle8(w, h, base))
+        n_c, n_g = (h + 1) // 2, h // 2
+        s = n_c * w * base + n_g * (w * base + (w - 1) * w // 2)
+        assert dec["mean_value"] == (3 * s) / (3.0 * w * h)
+        assert (dec["width"], dec["height"]) == (w, h)
+    # pixel path + resize compose
+    w2, h2, rgb = M.decode_image_pixels(M.encode_bmp_rle8(5, 4, 10))
+    assert rgb[:, :, 0].tolist() == [
+        [10, 10, 10, 10, 10], [10, 11, 12, 13, 14]] * 2
+    out = M.resize_image(M.encode_bmp_rle8(8, 8, 7), 4, 4)
+    assert M.decode_bmp(out)["n_units"] == 16
+
+
+def test_rle8_bmp_delta_escape_and_malformed():
+    pal = bytes(v for i in range(256) for v in (i, i, i, 0))
+    # 4x2 bottom-up: run [9,9] at (0,0), delta +1+1, single run [5] at
+    # (3,1), EOL, EOD — skipped cells stay palette index 0
+    data = bytes([2, 9, 0, 2, 1, 1, 1, 5, 0, 0, 0, 1])
+    info = struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 8, 1,
+                       len(data), 0, 0, 256, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + 1024 + len(data),
+                       0, 0, 14 + 40 + 1024)
+    p = head + info + pal + data
+    w, h, a = M._bmp_pixels(p)
+    assert a[:, :, 0].tolist() == [[0, 0, 0, 5], [9, 9, 0, 0]]
+    with pytest.raises(ValueError):  # missing EOD
+        M._bmp_pixels(p[:-2])
+    with pytest.raises(ValueError):  # run overflowing its row
+        M._bmp_pixels(p.replace(bytes([2, 9]), bytes([9, 9])))
+    with pytest.raises(ValueError):  # delta escaping the image
+        M._bmp_pixels(p.replace(bytes([0, 2, 1, 1]), bytes([0, 2, 9, 9])))
