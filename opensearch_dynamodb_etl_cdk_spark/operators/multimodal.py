@@ -138,13 +138,16 @@ def encode_bmp(width: int, height: int, pixel_value: int) -> bytes:
 
 
 def decode_bmp(payload: bytes) -> dict:
-    """Decode an uncompressed 24-bit BMP: header fields plus pixel
-    statistics computed over the data bytes only (row padding is
-    skipped — a parser that naively averaged the whole pixel array
-    would be caught by the oracle on any width where ``3*w % 4 != 0``).
+    """Decode a BMP: uncompressed 24-bit files (header fields plus
+    pixel statistics over the data bytes only — row padding is
+    skipped, so a parser that naively averaged the whole pixel array
+    would be caught by the oracle on any width where ``3*w % 4 != 0``)
+    AND BI_RLE8 8-bit palette files (run-length decode through the
+    shared pixel path, palette-mapped stats).
 
     Supports bottom-up (positive height) and top-down (negative height)
-    orientations; rejects compressed or non-24-bit files explicitly.
+    orientations; other compression methods and bit depths raise
+    explicitly.
     """
     if len(payload) < 54:
         raise ValueError("truncated BMP: shorter than headers")
@@ -4191,13 +4194,15 @@ def synthesize_media(
     ("jpeg") or WAV ("audio"). Payload bytes are built and stay on the
     executors; ``keep`` columns pass through for downstream
     grouping."""
-    kinds = ("image", "audio", "flac", "ogg-flac", "png", "png-palette",
+    kinds = ("image", "rle-bmp", "audio", "flac", "ogg-flac", "png",
+             "png-palette",
              "png-interlaced", "png-16", "gif", "gif-anim", "jpeg",
              "jpeg-color", "jpeg-420", "jpeg-progressive", "tiff",
              "video", "mp3")
     if kind not in kinds:
         raise ValueError(f"kind must be one of {kinds}")
-    media_type = {"image": "image/bmp", "png": "image/png",
+    media_type = {"image": "image/bmp", "rle-bmp": "image/bmp",
+                  "png": "image/png",
                   "png-palette": "image/png",
                   "png-interlaced": "image/png", "png-16": "image/png",
                   "gif": "image/gif", "gif-anim": "image/gif",
@@ -4221,6 +4226,10 @@ def synthesize_media(
             ids = pdf[id_col].astype("int64")
             if kind == "image":
                 payloads = [encode_bmp(*bmp_params(int(d))) for d in ids]
+            elif kind == "rle-bmp":
+                # BI_RLE8: encoded runs + absolute-mode gradient rows
+                payloads = [encode_bmp_rle8(*rle_bmp_params(int(d)))
+                            for d in ids]
             elif kind == "png":
                 payloads = [encode_png(*png_params(int(d))) for d in ids]
             elif kind == "png-16":
@@ -4493,12 +4502,19 @@ def _bmp_rle8_pixels(payload: bytes, dib_size: int, width: int,
         raise ValueError(f"BI_RLE8 requires 8-bit pixels, got {bpp}")
     if height < 0:
         raise ValueError("BI_RLE8 BMPs are bottom-up by spec")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"malformed BMP geometry {width}x{height}")
     h = height
+    # biClrUsed (header offset 46): a spec-valid file may store fewer
+    # than 256 palette entries
+    (clr_used,) = struct.unpack_from("<I", payload, 46)
+    n_pal = clr_used or 256
     pal_at = 14 + dib_size
-    if pal_at + 256 * 4 > data_offset:
+    if pal_at + n_pal * 4 > data_offset or n_pal > 256:
         raise ValueError("RLE8 BMP: palette truncated")
-    pal = np.frombuffer(payload, np.uint8, count=256 * 4,
-                        offset=pal_at).reshape(256, 4)[:, :3]  # BGR
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[:n_pal] = np.frombuffer(payload, np.uint8, count=n_pal * 4,
+                                offset=pal_at).reshape(n_pal, 4)[:, :3]
     idx = np.zeros((h, width), dtype=np.uint8)
     x = y = 0  # bottom-up coordinates: y 0 = bottom row
     pos = data_offset
@@ -4536,6 +4552,8 @@ def _bmp_rle8_pixels(payload: bytes, dib_size: int, width: int,
             pos = end + (v & 1)
     if not ended:
         raise ValueError("RLE8 BMP: missing end-of-bitmap escape")
+    if n_pal < 256 and int(idx.max(initial=0)) >= n_pal:
+        raise ValueError("RLE8 BMP: pixel index beyond the palette")
     bgr = pal[idx][::-1]  # bottom-up → top-down
     return width, h, np.ascontiguousarray(bgr)
 
@@ -4599,12 +4617,13 @@ def _nn_gather(rows, out_w: int, out_h: int):
 
 
 def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
-    """Nearest-neighbor resample of an uncompressed 24-bit BMP to
-    ``out_w × out_h`` — a REAL resize over real pixels, dependency-free
-    (numpy index gather, no imaging library). Handles bottom-up and
-    top-down inputs (output is canonical bottom-up), strips/re-derives
-    row padding. Compressed or non-24-bit inputs raise the same
-    documented container constraint as :func:`decode_bmp`."""
+    """Nearest-neighbor resample of a BMP (uncompressed 24-bit or
+    BI_RLE8 palette) to ``out_w × out_h`` — a REAL resize over real
+    pixels, dependency-free (numpy index gather, no imaging library).
+    Handles bottom-up and top-down inputs (output is canonical
+    bottom-up 24-bit), strips/re-derives row padding. Other
+    compression methods and bit depths raise the same documented
+    container constraint as :func:`decode_bmp`."""
     if out_w <= 0 or out_h <= 0:
         raise ValueError("resize dimensions must be positive")
     width, h, rows = _bmp_pixels(payload)

@@ -2575,23 +2575,8 @@ def _media_decode_stats(spark, sf_dir, kind):
 def multimodal_rle_bmp_decode_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")["documents"].filter(
         F.col("doc_id") < 300)
-
-    def run(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            ids = pdf["doc_id"].astype("int64")
-            rows = []
-            for i in ids:
-                w, h, base = M.rle_bmp_params(int(i))
-                dec = M.decode_bmp(M.encode_bmp_rle8(w, h, base))
-                rows.append((int(i), dec["width"], dec["height"],
-                             dec["mean_value"]))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "width", "height", "mean_value"])
-
-    return d.select("doc_id").mapInPandas(
-        run, "doc_id long, width long, height long, mean_value double")
+    feats = M.extract_media_features(M.synthesize_media(d, "rle-bmp"))
+    return feats.select("doc_id", "width", "height", "mean_value")
 
 
 @register(

@@ -2024,3 +2024,28 @@ def test_rle8_bmp_delta_escape_and_malformed():
         M._bmp_pixels(p.replace(bytes([2, 9]), bytes([9, 9])))
     with pytest.raises(ValueError):  # delta escaping the image
         M._bmp_pixels(p.replace(bytes([0, 2, 1, 1]), bytes([0, 2, 9, 9])))
+
+
+def test_rle8_bmp_partial_palette_and_geometry_guards():
+    """biClrUsed < 256 is spec-valid (fewer stored entries, smaller
+    data_offset); indexes beyond the stored palette and degenerate
+    geometry raise classified errors."""
+    # rebuild a sample with a 16-entry palette
+    data = bytes([2, 9, 0, 0, 0, 1])  # run [9,9] on the only row, EOL, EOD
+    pal16 = bytes(v for i in range(16) for v in (i, i, i, 0))
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 8, 1,
+                       len(data), 0, 0, 16, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + 64 + len(data),
+                       0, 0, 14 + 40 + 64)
+    p = head + info + pal16 + data
+    d = M.decode_bmp(p)
+    assert d["mean_value"] == 9.0 and d["n_units"] == 2
+    # an index beyond the 16 stored entries is a classified error
+    bad = p.replace(bytes([2, 9]), bytes([2, 99]))
+    with pytest.raises(ValueError, match="beyond the palette"):
+        M.decode_bmp(bad)
+    # degenerate geometry is caught before numpy sees it
+    zero = bytearray(p)
+    struct.pack_into("<i", zero, 18, 0)  # width = 0
+    with pytest.raises(ValueError, match="geometry"):
+        M.decode_bmp(bytes(zero))
