@@ -356,13 +356,23 @@ def extract_pdf_pages(payload: bytes) -> list[str]:
             elif val in (b"Tj", b"TJ"):
                 parts.append(flush())
                 pending = []
-            elif val == b"'":
+            elif val in (b"'", b'"'):
+                # '"' (show-with-word/char-spacing) shows its string
+                # exactly like "'" after setting spacing params, which
+                # text extraction ignores
                 parts.append("\n" + flush())
                 pending = []
             elif val == b"T*":
                 parts.append("\n")
                 pending = []
             else:
+                if pending:
+                    # loud-boundary discipline: no text-showing operator
+                    # we know should ever leave a pending string to be
+                    # silently discarded by an unrelated operator
+                    raise NotImplementedError(
+                        f"PDF: pending string discarded by operator "
+                        f"{val!r} — unhandled text-showing form")
                 pending = []
         out.append("".join(parts))
     return out

@@ -129,16 +129,65 @@ def parse_warc(payload: bytes) -> list[dict]:
     return records
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer coding (RFC 9112 §7.1):
+    ``chunk-size [;ext] CRLF chunk-data CRLF`` repeated, a ``0`` last
+    chunk, optional trailer fields, and a final CRLF. Malformed framing
+    raises — un-deframed chunked bodies leak hex size lines into
+    extracted corpus text, which is exactly the silent corruption the
+    loud boundary prevents."""
+    out = bytearray()
+    pos = 0
+    while True:
+        le = body.find(b"\r\n", pos)
+        if le < 0:
+            raise ValueError("WARC: chunked body missing size-line CRLF")
+        size_line = body[pos:le].split(b";", 1)[0].strip()
+        if not re.fullmatch(rb"[0-9a-fA-F]+", size_line):
+            raise ValueError(
+                f"WARC: bad chunk size line {body[pos:le]!r}")
+        n = int(size_line, 16)
+        pos = le + 2
+        if n == 0:
+            break
+        if pos + n + 2 > len(body):
+            raise ValueError("WARC: chunk data exceeds body")
+        out += body[pos:pos + n]
+        if body[pos + n:pos + n + 2] != b"\r\n":
+            raise ValueError("WARC: chunk data missing trailing CRLF")
+        pos = pos + n + 2
+    # trailer section: zero or more header lines, then a bare CRLF
+    while True:
+        le = body.find(b"\r\n", pos)
+        if le < 0:
+            raise ValueError("WARC: chunked trailer unterminated")
+        if le == pos:  # the final bare CRLF
+            break
+        pos = le + 2
+    return bytes(out)
+
+
 def http_response_body(content: bytes) -> bytes:
-    """Split an HTTP response record's content at the header boundary;
-    honor Content-Length when present (trailing bytes after it are a
-    framing violation worth raising on)."""
+    """Split an HTTP response record's content at the header boundary.
+    ``Transfer-Encoding: chunked`` bodies are de-framed per RFC 9112
+    §7.1 (chunked responses are routine in real Common Crawl captures,
+    and Transfer-Encoding overrides Content-Length per RFC 9112 §6.3);
+    otherwise Content-Length is authoritative when present."""
     if not content.startswith(b"HTTP/"):
         raise ValueError("WARC: response record content is not HTTP")
     he = content.find(b"\r\n\r\n")
     if he < 0:
         raise ValueError("WARC: HTTP headers unterminated")
     body = content[he + 4:]
+    te = re.search(rb"(?im)^transfer-encoding:\s*([^\r]*)\r$",
+                   content[:he + 2])
+    if te:
+        codings = [c.strip().lower() for c in te.group(1).split(b",")]
+        if codings != [b"chunked"]:
+            raise NotImplementedError(
+                f"WARC: transfer coding {te.group(1)!r} not supported "
+                "(only a lone 'chunked')")
+        return _dechunk(body)
     m = re.search(rb"(?im)^content-length:\s*(\d+)\r$",
                   content[:he + 2])
     if m:
@@ -233,8 +282,16 @@ def synthesize_warcs(df: DataFrame, text_col: str = "text",
     HTTP request record (both of which extraction must SKIP), and an
     HTTP response whose HTML wraps the corpus text with entity-encoded
     punctuation — so extraction exercises record filtering, HTTP
-    splitting, tag stripping, and entity decoding. Per-record gzip for
-    odd ids (the Common Crawl layout), plain for even."""
+    splitting, tag stripping, and entity decoding. The corpus text is
+    HTML-escaped (& < >) on the way in and entity-decoded back out by
+    ``html_to_text``, so the DIRECT string-equality oracle holds for
+    any markup-significant characters the fixture may grow. Whitespace
+    runs / non-space whitespace in the text would NOT survive the
+    collapse pass — that precondition is asserted loudly rather than
+    silently violated. Per-record gzip for odd ids (the Common Crawl
+    layout), plain for even; ids divisible by 3 ship the body with
+    ``Transfer-Encoding: chunked`` (multi-chunk, extension + trailer
+    present) instead of Content-Length."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -243,18 +300,40 @@ def synthesize_warcs(df: DataFrame, text_col: str = "text",
             ids = pdf[id_col].astype("int64")
             payloads = []
             for d, t in zip(ids, pdf[text_col]):
+                t = t or ""
+                if re.search(r"\s\s|^\s|\s$|[^\S ]", t):
+                    raise ValueError(
+                        "synthesize_warcs: text with whitespace runs / "
+                        "edges / non-space whitespace cannot round-trip "
+                        "the html_to_text collapse pass; direct-equality "
+                        f"oracle would break (doc_id={d})")
+                esc = (t.replace("&", "&amp;").replace("<", "&lt;")
+                        .replace(">", "&gt;"))
                 uri = f"http://example.com/doc/{d}"
                 html = (
                     "<html><head><title></title>"
                     "<script>var x = '<p>not text</p>';</script>"
                     "<style>p { color: red }</style></head>"
                     "<!-- comment -->"
-                    f"<body><p>&quot;{t}&quot; &amp; more</p></body></html>"
+                    f"<body><p>&quot;{esc}&quot; &amp; more</p></body></html>"
                 ).encode()
-                http = (b"HTTP/1.1 200 OK\r\n"
-                        b"Content-Type: text/html\r\n"
-                        + f"Content-Length: {len(html)}\r\n\r\n".encode()
-                        + html)
+                if d % 3 == 0:
+                    # chunked layout: split the markup into two chunks,
+                    # exercise a chunk extension and a trailer field
+                    cut = max(1, len(html) // 2)
+                    body = b"".join([
+                        f"{cut:x};ext=1\r\n".encode(), html[:cut], b"\r\n",
+                        f"{len(html) - cut:X}\r\n".encode(), html[cut:],
+                        b"\r\n0\r\nX-Trailer: done\r\n\r\n",
+                    ])
+                    http = (b"HTTP/1.1 200 OK\r\n"
+                            b"Content-Type: text/html\r\n"
+                            b"Transfer-Encoding: chunked\r\n\r\n" + body)
+                else:
+                    http = (b"HTTP/1.1 200 OK\r\n"
+                            b"Content-Type: text/html\r\n"
+                            + f"Content-Length: {len(html)}\r\n\r\n".encode()
+                            + html)
                 recs = [
                     {"type": "warcinfo", "uri": "",
                      "content": b"software: synthesizer\r\n",

@@ -2698,7 +2698,7 @@ def archive_text_extract(spark, sf_dir):
     "archived_pdf_corpus_stats",
     oracle="""
     SELECT doc_id,
-           CAST(ceil(length(text) / 100.0) AS BIGINT) AS n_pages,
+           CAST(greatest(1, ceil(length(text) / 100.0)) AS BIGINT) AS n_pages,
            CAST(length(text) AS BIGINT) AS n_chars
     FROM documents WHERE doc_id < 300
     """,
@@ -2761,7 +2761,7 @@ def warc_text_extract(spark, sf_dir):
     SELECT doc_id, CAST(i AS INT) AS page,
            substr(text, CAST(i * 100 + 1 AS BIGINT), 100) AS text
     FROM (SELECT doc_id, text,
-                 unnest(range(0, CAST(ceil(length(text) / 100.0) AS BIGINT))) AS i
+                 unnest(range(0, CAST(greatest(1, ceil(length(text) / 100.0)) AS BIGINT))) AS i
           FROM documents WHERE doc_id < 300)
     """,
     doc="REAL document extraction end-to-end: chunk each corpus text "

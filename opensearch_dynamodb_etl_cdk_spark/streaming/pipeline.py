@@ -378,7 +378,14 @@ class FlightsEtlPipeline:
         # parked for the next replay
         it = fs.listFiles(p, True)
         files = []
-        base_uri = p.toUri().getPath()
+        # qualify the base the same way listFiles qualifies its results:
+        # a RELATIVE index_root would otherwise yield a relative
+        # base_uri that never prefix-matches the fully-qualified listed
+        # paths, making every hidden ANCESTOR of the cwd (e.g. a
+        # /root/.cache segment) look like a hidden DLQ segment and
+        # silently skipping the whole slice — dead letters parked
+        # forever while replay reports a clean 0.
+        base_uri = fs.makeQualified(p).toUri().getPath()
         while it.hasNext():
             name_path = it.next().getPath()
             # exclude hidden SEGMENTS anywhere under the DLQ dir, not
@@ -389,8 +396,13 @@ class FlightsEtlPipeline:
             # the writer's task commit (parquet readers skip hidden
             # path segments for the same reason).
             rel = name_path.toUri().getPath()
-            if rel.startswith(base_uri):
-                rel = rel[len(base_uri):]
+            if not rel.startswith(base_uri):
+                raise RuntimeError(
+                    f"replay_dlq: listed file {rel!r} is not under the "
+                    f"qualified DLQ base {base_uri!r}; refusing to "
+                    "hidden-filter against an ambiguous absolute path"
+                )
+            rel = rel[len(base_uri):]
             if any(seg and seg[0] in "_." for seg in rel.split("/")):
                 continue
             files.append(name_path.toString())

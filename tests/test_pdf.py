@@ -133,3 +133,25 @@ def test_pdf_latin1_text_resembling_a_bom_round_trips():
     BOM at decode time (it routes through the real UTF-16 path)."""
     for t in ("þÿab", "þÿa", "þplain"):
         assert P.extract_pdf_pages(P.encode_pdf([t])) == [t]
+
+
+def test_pdf_quote_operator_shows_its_string():
+    """The '"' operator (aw ac string ") shows text exactly like "'"
+    — spec text-showing form used by real writers; silently dropping
+    its string was quiet text loss."""
+    raw = P.encode_pdf(["base"], compress=False)
+    patched = raw.replace(b"(base) Tj", b'(base)  "')
+    # patch keeps lengths identical (both 9 bytes), so xref offsets and
+    # /Length stay valid
+    assert len(patched) == len(raw)
+    assert P.extract_pdf_pages(patched) == ["\nbase"]
+
+
+def test_pdf_pending_string_discarded_raises():
+    """Loud boundary: a literal string consumed by an operator we do
+    not recognize as text-showing must raise, not vanish."""
+    raw = P.encode_pdf(["base"], compress=False)
+    patched = raw.replace(b"(base) Tj", b"(base) XX")
+    assert len(patched) == len(raw)
+    with pytest.raises(NotImplementedError, match="pending string"):
+        P.extract_pdf_pages(patched)

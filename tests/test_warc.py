@@ -100,3 +100,92 @@ def test_html_to_text_survives_malformed_entities():
     assert W.html_to_text("&#9999999999; x") == "&#9999999999; x"
     assert W.html_to_text("&#1114112; ok &#120;") == "&#1114112; ok x"
     assert W.html_to_text("&#xD800; s") == "&#xD800; s"
+
+
+def test_chunked_transfer_encoding_dechunks():
+    """RFC 9112 §7.1: hex sizes (either case), chunk extensions,
+    trailer fields — the body reassembles exactly and no size line
+    leaks into the text."""
+    html = b"<p>chunked body here</p>"
+    body = (b"a;ext=v\r\n" + html[:10] + b"\r\n"
+            + b"E\r\n" + html[10:] + b"\r\n"
+            + b"0\r\nX-Trailer: t\r\n\r\n")
+    http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            + body)
+    p = W.encode_warc([{"type": "response", "uri": "u", "content": http}])
+    assert W.warc_page_texts(p) == [{"uri": "u", "text": "chunked body here"}]
+
+
+def test_chunked_overrides_content_length():
+    """Transfer-Encoding wins over Content-Length (RFC 9112 §6.3) —
+    a CL that matches the RAW chunked framing must not be honored."""
+    body = b"4\r\nreal\r\n0\r\n\r\n"
+    http = (b"HTTP/1.1 200 OK\r\n"
+            + f"Content-Length: {len(body)}\r\n".encode()
+            + b"Transfer-Encoding: chunked\r\n\r\n" + body)
+    p = W.encode_warc([{"type": "response", "uri": "u", "content": http}])
+    assert W.warc_page_texts(p) == [{"uri": "u", "text": "real"}]
+
+
+def test_chunked_malformed_framing_raises():
+    def resp(body):
+        http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+                + body)
+        return W.encode_warc(
+            [{"type": "response", "uri": "u", "content": http}])
+
+    with pytest.raises(ValueError):  # non-hex size line
+        W.warc_page_texts(resp(b"zz\r\nhi\r\n0\r\n\r\n"))
+    with pytest.raises(ValueError):  # chunk data exceeds body
+        W.warc_page_texts(resp(b"ff\r\nshort\r\n0\r\n\r\n"))
+    with pytest.raises(ValueError):  # missing data CRLF
+        W.warc_page_texts(resp(b"2\r\nhiX0\r\n\r\n"))
+    with pytest.raises(ValueError):  # no terminal chunk
+        W.warc_page_texts(resp(b"2\r\nhi\r\n"))
+    with pytest.raises(ValueError):  # trailer unterminated
+        W.warc_page_texts(resp(b"2\r\nhi\r\n0\r\nX-T: v\r\n"))
+    with pytest.raises(NotImplementedError):  # gzip coding unsupported
+        W.warc_page_texts(resp(b"")[:0] + W.encode_warc([{
+            "type": "response", "uri": "u",
+            "content": b"HTTP/1.1 200 OK\r\n"
+                       b"Transfer-Encoding: gzip, chunked\r\n\r\nx"}]))
+
+
+def test_synthesize_escapes_markup_significant_text(spark):
+    """Corpus text containing & < > survives the HTML round-trip via
+    escaping + entity decode — the direct-equality oracle's guarantee."""
+    df = spark.createDataFrame(
+        [(0, "a < b & c > d"), (3, "x &amp; literal")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.text
+            for r in W.extract_warc_text(W.synthesize_warcs(df)).collect()}
+    assert rows[0] == '"a < b & c > d" & more'
+    assert rows[3] == '"x &amp; literal" & more'
+
+
+def test_synthesize_rejects_whitespace_runs(spark):
+    """The whitespace-collapse pass cannot round-trip runs/edges/tabs —
+    synthesis asserts the precondition loudly instead of letting the
+    equality oracle silently break."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    for bad in ("two  spaces", " lead", "trail ", "tab\there"):
+        df = spark.createDataFrame([(1, bad)], "doc_id long, text string")
+        with pytest.raises(PythonException, match="whitespace"):
+            W.extract_warc_text(W.synthesize_warcs(df)).collect()
+
+
+def test_synthesize_chunked_slice_round_trips(spark):
+    """doc_id % 3 == 0 ships Transfer-Encoding: chunked; the slice must
+    extract identically to the Content-Length rows."""
+    df = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(9)], "doc_id long, text string")
+    payload_rows = W.synthesize_warcs(df).collect()
+    chunked = {r.doc_id for r in payload_rows
+               if b"Transfer-Encoding: chunked" in
+               (W.parse_warc(bytes(r.payload))[2]["content"])}
+    assert chunked == {0, 3, 6}
+    rows = {r.doc_id: r.text
+            for r in W.extract_warc_text(W.synthesize_warcs(df)).collect()}
+    assert rows == {i: f'"body {i}" & more' for i in range(9)}
