@@ -2,23 +2,29 @@
 data pipeline (SURVEY §2.10 extension family; charter: multimodal
 columns with typed metadata).
 
-Real parsing of the classic PDF 1.4 structure from the public spec
-(ISO 32000 / Adobe PDF Reference): the cross-reference table located
-via ``startxref``, indirect objects, the Catalog → Pages → Kids →
-Page → Contents graph walked by reference (no content grepping),
-FlateDecode content streams inflated with stdlib zlib, and the text
-operators ``Tj`` / ``'`` / ``TJ`` tokenized with full literal-string
-escape handling (nested parens, ``\\(``/``\\)``/``\\\\``, control
-escapes, octal ``\\ddd``, line continuations). A companion encoder
-writes spec-correct single-generation PDFs — including the xref
-offsets the extractor cross-checks — so round-trip tests and the SQL
-oracle can pin every layer.
+Real parsing of the PDF structure from the public spec (ISO 32000 /
+Adobe PDF Reference), covering BOTH reference layouts found in real
+corpora: the classic 1.4 cross-reference table AND the 1.5+
+cross-reference STREAM (/W binary rows over /Index subsections, PNG
+predictors per /DecodeParms) with /Type /ObjStm object streams — the
+DEFAULT layout of post-2005 writers — plus incremental-update /Prev
+chains and §7.5.8.4 hybrid files (/XRefStm). Objects are located via
+``startxref``, the Catalog → Pages → Kids → Page → Contents graph is
+walked by reference (no content grepping), FlateDecode streams
+inflate with stdlib zlib, and the text operators ``Tj`` / ``'`` /
+``"`` / ``TJ`` are tokenized with full literal-string escape handling
+(nested parens, ``\\(``/``\\)``/``\\\\``, control escapes, octal
+``\\ddd``, line continuations). A companion encoder writes
+spec-correct PDFs in all four layouts — including the xref offsets
+and ObjStm pair tables the extractor cross-checks — so round-trip
+tests and the SQL oracle can pin every layer.
 
-Boundaries are loud and precise: encryption, object streams
-(/ObjStm), and non-Flate filters raise ``NotImplementedError``; a
-structurally broken file (bad xref offsets, missing trailer root,
-dangling references) raises ``ValueError`` — corpus ingestion must
-route those to the DLQ, not silently emit empty text.
+Boundaries are loud and precise: encryption, non-Flate filters,
+indirect /Length, and TIFF predictors raise ``NotImplementedError``;
+a structurally broken file (bad xref offsets, missing trailer root,
+dangling references, an ObjStm pair table disagreeing with the xref)
+raises ``ValueError`` — corpus ingestion must route those to the DLQ,
+not silently emit empty text.
 
 Scale shape: extraction is per-document pure Python over an opaque
 binary column — Arrow-batched ``mapInPandas`` fan-out (one row per
@@ -65,11 +71,40 @@ def _escape_string(s: str) -> bytes:
     return bytes(out)
 
 
-def encode_pdf(pages: list[str], compress: bool = True) -> bytes:
+def _predict_png_up(data: bytes, columns: int) -> bytes:
+    """Apply the PNG Up filter (type 2) row-wise — the predictor form
+    real writers emit for xref-stream data."""
+    out = bytearray()
+    prev = bytes(columns)
+    for r in range(0, len(data), columns):
+        row = data[r:r + columns]
+        out.append(2)
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(columns))
+        prev = row
+    return bytes(out)
+
+
+def encode_pdf(pages: list[str], compress: bool = True,
+               layout: str = "classic") -> bytes:
     """Write a real PDF: catalog, pages tree, one content stream per
     page (each text line a ``Td``-positioned ``Tj``), shared Helvetica
-    font, correct xref table and trailer. ``compress`` wraps content
-    streams in FlateDecode — the dominant real-world layout."""
+    font. ``compress`` wraps content streams in FlateDecode — the
+    dominant real-world layout. ``layout`` picks the cross-reference
+    form, all four of which occur in real corpora:
+
+    - ``classic``: PDF 1.4 xref table + trailer dictionary;
+    - ``xref-stream``: PDF 1.5 cross-reference STREAM (binary /W-width
+      rows over /Index subsections), all objects still direct;
+    - ``objstm``: dictionary objects packed into a /Type /ObjStm
+      object stream addressed by type-2 xref rows, with the xref
+      stream data PNG-predicted (/Predictor 12) — the DEFAULT layout
+      of post-2005 writers;
+    - ``hybrid``: a classic table whose trailer carries /XRefStm
+      (ISO 32000 §7.5.8.4 compatibility layout — packed members sit
+      free in the table and resolve through the stream).
+    """
+    if layout not in ("classic", "xref-stream", "objstm", "hybrid"):
+        raise ValueError(f"encode_pdf: unknown layout {layout!r}")
     objects: dict[int, bytes] = {}
     n_pages = len(pages)
     font_id = 3 + 2 * n_pages
@@ -101,39 +136,251 @@ def encode_pdf(pages: list[str], compress: bool = True) -> bytes:
         )
     objects[font_id] = (b"<< /Type /Font /Subtype /Type1 "
                         b"/BaseFont /Helvetica >>")
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = {}
-    for oid in sorted(objects):
+
+    if layout == "classic":
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = {}
+        for oid in sorted(objects):
+            offsets[oid] = len(out)
+            out += f"{oid} 0 obj\n".encode() + objects[oid] + b"\nendobj\n"
+        xref_at = len(out)
+        out += f"xref\n0 {len(objects) + 1}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for oid in sorted(objects):
+            out += f"{offsets[oid]:010d} 00000 n \n".encode()
+        out += (f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+                f"startxref\n{xref_at}\n%%EOF\n").encode()
+        return bytes(out)
+
+    # 1.5+ layouts: pack dict-only objects into an ObjStm (streams may
+    # not live inside one), or keep everything direct for xref-stream
+    pack = layout in ("objstm", "hybrid")
+    content_ids = {4 + 2 * i for i in range(n_pages)}
+    packed = sorted(oid for oid in objects if oid not in content_ids) \
+        if pack else []
+    direct = sorted(oid for oid in objects if oid not in packed)
+    objstm_id = font_id + 1 if pack else None
+    xref_id = font_id + (2 if pack else 1)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    member_index: dict[int, int] = {}
+    if pack:
+        bodies = [objects[oid] for oid in packed]
+        offs, acc = [], 0
+        for b in bodies:
+            offs.append(acc)
+            acc += len(b) + 1  # "\n" joiner
+        header = " ".join(f"{oid} {off}"
+                          for oid, off in zip(packed, offs)).encode() + b"\n"
+        data = header + b"\n".join(bodies)
+        member_index = {oid: i for i, oid in enumerate(packed)}
+        filt = b""
+        if compress:
+            data = zlib.compress(data)
+            filt = b"/Filter /FlateDecode "
+        objects[objstm_id] = (
+            f"<< /Type /ObjStm /N {len(packed)} ".encode()
+            + f"/First {len(header)} ".encode() + filt
+            + f"/Length {len(data)} >>".encode()
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+        direct = direct + [objstm_id]
+    for oid in direct:
         offsets[oid] = len(out)
         out += f"{oid} 0 obj\n".encode() + objects[oid] + b"\nendobj\n"
+
+    # the cross-reference stream: W = [1, 4, 2] binary rows for every
+    # id 0..xref_id (contiguous, so a single implicit-/Index section
+    # in the xref-stream layout; an explicit one when packed)
     xref_at = len(out)
-    out += f"xref\n0 {len(objects) + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for oid in sorted(objects):
-        out += f"{offsets[oid]:010d} 00000 n \n".encode()
-    out += (f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
-            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    size = xref_id + 1
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            t, f2, f3 = 0, 0, 65535
+        elif num in member_index:
+            t, f2, f3 = 2, objstm_id, member_index[num]
+        elif num == xref_id:
+            t, f2, f3 = 1, xref_at, 0
+        else:
+            t, f2, f3 = 1, offsets[num], 0
+        rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    parms = b""
+    if pack:  # exercise the predictor path post-2005 writers use
+        rows = _predict_png_up(bytes(rows), 7)
+        parms = b"/DecodeParms << /Predictor 12 /Columns 7 >> "
+    rows = zlib.compress(bytes(rows))
+    xref_dict = (
+        b"<< /Type /XRef " + f"/Size {size} ".encode()
+        + (f"/Index [0 {size}] ".encode() if pack else b"")
+        + b"/W [1 4 2] /Filter /FlateDecode " + parms
+        + f"/Root 1 0 R /Length {len(rows)} >>".encode()
+    )
+    out += (f"{xref_id} 0 obj\n".encode() + xref_dict
+            + b"\nstream\n" + rows + b"\nendstream\nendobj\n")
+
+    if layout == "hybrid":
+        # classic table for pre-1.5 readers: packed members free,
+        # trailer /XRefStm pointing at the authoritative stream
+        table_at = len(out)
+        out += f"xref\n0 {size}\n".encode()
+        for num in range(size):
+            if num == 0:
+                out += b"0000000000 65535 f \n"
+            elif num in member_index:
+                out += b"0000000000 00000 f \n"
+            elif num == xref_id:
+                out += f"{xref_at:010d} 00000 n \n".encode()
+            else:
+                out += f"{offsets[num]:010d} 00000 n \n".encode()
+        out += (f"trailer\n<< /Size {size} /Root 1 0 R "
+                f"/XRefStm {xref_at} >>\n"
+                f"startxref\n{table_at}\n%%EOF\n").encode()
+    else:
+        out += f"startxref\n{xref_at}\n%%EOF\n".encode()
     return bytes(out)
 
 
-def _parse_xref(payload: bytes) -> tuple[dict[int, int], bytes]:
-    """startxref → xref table → ({object id: byte offset}, trailer
-    dict source), validated. The trailer is located AFTER the xref
-    table it follows — a first-match scan could be hijacked by the
-    bytes of a content stream that happens to contain 'trailer <<'."""
-    tail = payload[-256:]
-    m = re.search(rb"startxref\s+(\d+)\s+%%EOF", tail)
-    if not m:
-        raise ValueError("PDF: no startxref/%%EOF trailer")
-    at = int(m.group(1))
-    if payload[at:at + 4] != b"xref":
-        if payload[at:at + 1].isdigit():
+def _int_key(dict_src: bytes, key: str) -> int | None:
+    m = re.search(rb"/" + key.encode() + rb"\s+(\d+)", dict_src)
+    return int(m.group(1)) if m else None
+
+
+def _unpredict_png(data: bytes, columns: int) -> bytes:
+    """Undo the PNG row predictor (RFC 2083 filter types 0–4) over
+    single-byte samples — /Predictor ≥ 10 in /DecodeParms, the layout
+    real writers almost always apply to xref-stream data. Each row is
+    one filter-type byte + ``columns`` data bytes."""
+    row_len = columns + 1
+    if columns <= 0 or len(data) % row_len:
+        raise ValueError("PDF: predicted data is not whole rows")
+    out = bytearray()
+    prev = bytes(columns)
+    for r in range(0, len(data), row_len):
+        ft = data[r]
+        row = bytearray(data[r + 1:r + row_len])
+        for i in range(columns):
+            a = row[i - 1] if i else 0   # left, already reconstructed
+            b = prev[i]                  # up
+            c = prev[i - 1] if i else 0  # up-left
+            if ft == 0:
+                pass
+            elif ft == 1:
+                row[i] = (row[i] + a) & 0xFF
+            elif ft == 2:
+                row[i] = (row[i] + b) & 0xFF
+            elif ft == 3:
+                row[i] = (row[i] + (a + b) // 2) & 0xFF
+            elif ft == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+            else:
+                raise ValueError(f"PDF: bad PNG filter type {ft}")
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+def _decode_stream(src: bytes, stream: bytes) -> bytes:
+    """Apply the stream's /Filter (FlateDecode only — others are a
+    loud boundary) and /DecodeParms predictor, the decode path shared
+    by content streams, object streams, and xref streams."""
+    fm = re.search(rb"/Filter\s*(/\w+|\[[^\]]*\])", src)
+    if fm:
+        filters = re.findall(rb"/(\w+)", fm.group(1))
+        if filters == [b"FlateDecode"]:
+            try:
+                stream = zlib.decompress(stream)
+            except zlib.error as exc:
+                raise ValueError(f"PDF: FlateDecode failed: {exc}") from None
+        else:
+            names = b",".join(filters).decode()
             raise NotImplementedError(
-                "PDF: cross-reference streams (1.5+ /ObjStm layout) "
-                "are not supported")
-        raise ValueError("PDF: startxref does not point at an xref table")
+                f"PDF: stream filter(s) {names} need codecs "
+                "(only FlateDecode decodes)")
+    pm = re.search(rb"/DecodeParms\s*<<(.*?)>>", src, re.DOTALL)
+    if pm:
+        pred = _int_key(pm.group(1), "Predictor") or 1
+        if pred == 1:
+            pass
+        elif pred >= 10:
+            cols = _int_key(pm.group(1), "Columns") or 1
+            bpc = _int_key(pm.group(1), "BitsPerComponent") or 8
+            colors = _int_key(pm.group(1), "Colors") or 1
+            if bpc != 8 or colors != 1:
+                raise NotImplementedError(
+                    "PDF: predictor over multi-byte samples "
+                    f"(Colors={colors}, BitsPerComponent={bpc})")
+            stream = _unpredict_png(stream, cols)
+        else:
+            raise NotImplementedError(
+                f"PDF: TIFF predictor {pred} is not supported")
+    return stream
+
+
+def _object_at(payload: bytes, off: int) -> tuple[int, bytes, bytes | None]:
+    """Parse one indirect object at a byte offset → (id, dict/body
+    source, raw stream bytes or None). The dict region ends at
+    whichever of ``stream`` / ``endobj`` comes FIRST — stream DATA may
+    contain either keyword (zlib output is arbitrary bytes, and corpus
+    text can literally say "endobj"), so keywords inside it must never
+    terminate the object: with a stream present, /Length is
+    authoritative for where the data ends."""
+    m = _OBJ_RE.match(payload, off)
+    if not m:
+        raise ValueError(f"PDF: offset {off} does not point at an object")
+    oid = int(m.group(1))
+    sm = re.compile(rb"stream\r?\n").search(payload, m.end())
+    eo = payload.find(b"endobj", m.end())
+    stream = None
+    if sm is not None and (eo < 0 or sm.start() < eo):
+        body = payload[m.end():sm.start()]
+        lm = re.search(rb"/Length\s+(\d+)", body)
+        if not lm:
+            raise ValueError(f"PDF: object {oid} stream has no /Length")
+        if re.match(rb"\s+\d+\s+R\b", body[lm.end():]):
+            # a follow-check, NOT a lookahead inside the pattern — the
+            # regex engine would backtrack (\d+) one digit shorter and
+            # read "/Length 77 0 R" as direct length 7
+            raise NotImplementedError(
+                f"PDF: object {oid} stream has an indirect /Length "
+                "(not supported)")
+        ln = int(lm.group(1))
+        data_at = sm.end()
+        if data_at + ln > len(payload):
+            raise ValueError(f"PDF: object {oid} /Length exceeds the file")
+        stream = payload[data_at:data_at + ln]
+        rest = payload[data_at + ln:data_at + ln + 64]
+        em = re.match(rb"\s*endstream\s+endobj", rest)
+        if not em:
+            raise ValueError(
+                f"PDF: object {oid} stream unterminated "
+                "(/Length does not land on endstream)")
+    else:
+        if eo < 0:
+            raise ValueError(f"PDF: object {oid} has no endobj")
+        body = payload[m.end():eo]
+    return oid, body, stream
+
+
+# one xref entry: ("d", byte offset) direct / ("s", (objstm id, idx))
+# member of an object stream / ("f", None) free
+_XrefEntry = tuple[str, object]
+
+
+def _parse_xref_table(payload: bytes, at: int) \
+        -> tuple[dict[int, _XrefEntry], bytes, int | None, int | None]:
+    """One classic xref section → (entries, trailer dict source,
+    /Prev offset, /XRefStm offset). The trailer is located AFTER the
+    xref table it follows — a first-match scan could be hijacked by
+    the bytes of a content stream that happens to contain
+    'trailer <<'."""
     pos = at + 4
-    offsets: dict[int, int] = {}
+    entries: dict[int, _XrefEntry] = {}
     while True:
         m = re.match(rb"\s*(\d+)\s+(\d+)\s*\n", payload[pos:pos + 64])
         if not m:
@@ -146,59 +393,186 @@ def _parse_xref(payload: bytes) -> tuple[dict[int, int], bytes]:
                 raise ValueError("PDF: truncated xref entry")
             off, _gen, kind = entry[:10], entry[11:16], entry[17:18]
             if kind == b"n":
-                offsets[start + i] = int(off)
+                entries[start + i] = ("d", int(off))
+            elif kind == b"f":
+                entries[start + i] = ("f", None)
+            else:
+                raise ValueError(f"PDF: bad xref entry kind {kind!r}")
             pos += 20
-    if not offsets:
-        raise ValueError("PDF: empty xref table")
     tm = re.compile(rb"trailer\s*<<(.*?)>>", re.DOTALL).search(payload, pos)
     if not tm:
         raise ValueError("PDF: no trailer dictionary after the xref table")
-    return offsets, tm.group(1)
+    trailer = tm.group(1)
+    return (entries, trailer, _int_key(trailer, "Prev"),
+            _int_key(trailer, "XRefStm"))
+
+
+def _parse_xref_stream(payload: bytes, at: int) \
+        -> tuple[dict[int, _XrefEntry], bytes, int | None]:
+    """One cross-reference STREAM (PDF 1.5+, ISO 32000 §7.5.8) →
+    (entries, its dict source — which doubles as the trailer —
+    /Prev offset). Rows are /W-width binary fields over /Index
+    subsections: type 0 free, type 1 byte offset, type 2 member of an
+    object stream."""
+    oid, src, raw = _object_at(payload, at)
+    if raw is None or b"/W" not in src:
+        raise ValueError(
+            f"PDF: startxref points at object {oid}, which is not an "
+            "xref stream (/W missing)")
+    wm = re.search(rb"/W\s*\[([^\]]*)\]", src)
+    widths = [int(x) for x in re.findall(rb"\d+", wm.group(1))]
+    if len(widths) != 3 or sum(widths) == 0 or max(widths) > 8:
+        raise ValueError(f"PDF: bad xref stream /W {widths}")
+    size = _int_key(src, "Size")
+    if size is None:
+        raise ValueError("PDF: xref stream missing /Size")
+    im = re.search(rb"/Index\s*\[([^\]]*)\]", src)
+    if im:
+        idx = [int(x) for x in re.findall(rb"\d+", im.group(1))]
+        if len(idx) % 2:
+            raise ValueError("PDF: xref stream /Index has odd length")
+        sections = list(zip(idx[::2], idx[1::2]))
+    else:
+        sections = [(0, size)]
+    data = _decode_stream(src, raw)
+    row_len = sum(widths)
+    need = sum(c for _, c in sections) * row_len
+    if len(data) < need:
+        raise ValueError("PDF: xref stream data shorter than /Index claims")
+    entries: dict[int, _XrefEntry] = {}
+    pos = 0
+
+    def field(w: int) -> int:
+        nonlocal pos
+        v = int.from_bytes(data[pos:pos + w], "big") if w else 0
+        pos += w
+        return v
+
+    for start, count in sections:
+        for i in range(count):
+            t = field(widths[0]) if widths[0] else 1  # w1=0 → type 1
+            f2 = field(widths[1])
+            f3 = field(widths[2])
+            num = start + i
+            if t == 0:
+                entries[num] = ("f", None)
+            elif t == 1:
+                entries[num] = ("d", f2)
+            elif t == 2:
+                entries[num] = ("s", (f2, f3))
+            else:
+                raise ValueError(f"PDF: bad xref stream entry type {t}")
+    return entries, src, _int_key(src, "Prev")
+
+
+def _parse_xref(payload: bytes) -> tuple[dict[int, _XrefEntry], bytes]:
+    """startxref → the whole cross-reference chain → ({object id:
+    entry}, trailer dict source). Handles all four real layouts:
+    classic tables, xref STREAMS (1.5+), incremental-update /Prev
+    chains (newest revision wins), and hybrid-reference files whose
+    classic trailer carries /XRefStm (the stream supplements objects
+    the table leaves free/absent, per ISO 32000 §7.5.8.4)."""
+    tail = payload[-256:]
+    # the LAST startxref wins: an incremental update appends a whole
+    # new revision, and with a small base file the superseded
+    # startxref can still sit inside the tail window
+    ms = list(re.finditer(rb"startxref\s+(\d+)\s+%%EOF", tail))
+    if not ms:
+        raise ValueError("PDF: no startxref/%%EOF trailer")
+    at: int | None = int(ms[-1].group(1))
+    merged: dict[int, _XrefEntry] = {}
+    trailer_src: bytes | None = None
+    seen: set[int] = set()
+    while at is not None:
+        if at in seen:
+            raise ValueError("PDF: cyclic /Prev chain in xref")
+        seen.add(at)
+        if payload[at:at + 4] == b"xref":
+            rev, tsrc, prev, xrefstm = _parse_xref_table(payload, at)
+            if xrefstm is not None:
+                stm_rev, _, _ = _parse_xref_stream(payload, xrefstm)
+                for num, e in stm_rev.items():
+                    if num not in rev or rev[num][0] == "f":
+                        rev[num] = e
+        elif _OBJ_RE.match(payload, at):
+            rev, tsrc, prev = _parse_xref_stream(payload, at)
+        else:
+            raise ValueError(
+                "PDF: startxref/Prev does not point at an xref table "
+                "or xref stream")
+        if trailer_src is None:
+            trailer_src = tsrc
+        for num, e in rev.items():
+            merged.setdefault(num, e)  # newest revision wins
+        at = prev
+    offsets = {num: e for num, e in merged.items() if e[0] != "f"}
+    if not offsets:
+        raise ValueError("PDF: empty xref table")
+    return offsets, trailer_src
+
+
+def _objstm_members(src: bytes, raw: bytes) -> tuple[list[tuple[int, int]],
+                                                     bytes, int]:
+    """Slice an object STREAM (/Type /ObjStm, ISO 32000 §7.5.7) →
+    (the N (objnum, relative offset) pairs, decoded stream data,
+    /First). Member object sources live at First+offset, delimited by
+    the next member's offset."""
+    if b"/ObjStm" not in src:
+        raise ValueError("PDF: xref type-2 entry points at a non-ObjStm")
+    n = _int_key(src, "N")
+    first = _int_key(src, "First")
+    if n is None or first is None:
+        raise ValueError("PDF: ObjStm missing /N or /First")
+    data = _decode_stream(src, raw)
+    ints = [int(x) for x in re.findall(rb"\d+", data[:first])]
+    if len(ints) < 2 * n:
+        raise ValueError("PDF: ObjStm pair table shorter than /N claims")
+    pairs = list(zip(ints[0:2 * n:2], ints[1:2 * n:2]))
+    return pairs, data, first
 
 
 def _objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     """{id: (object source, raw stream bytes or None)}, with each used
-    xref offset cross-checked against the object it claims to locate."""
-    offsets, _ = _parse_xref(payload)
+    xref offset cross-checked against the object it claims to locate
+    — including type-2 entries, whose ObjStm pair table must agree
+    with the xref about which member sits at which index."""
+    entries, _ = _parse_xref(payload)
     objs: dict[int, tuple[bytes, bytes | None]] = {}
-    for oid, off in offsets.items():
-        m = _OBJ_RE.match(payload, off)
-        if not m or int(m.group(1)) != oid:
+    in_stream: dict[int, tuple[int, int]] = {}
+    for oid, (kind, loc) in entries.items():
+        if kind == "d":
+            got, body, stream = _object_at(payload, loc)
+            if got != oid:
+                raise ValueError(
+                    f"PDF: xref offset for object {oid} does not point "
+                    "at it")
+            objs[oid] = (body, stream)
+        else:  # ("s", (objstm id, index))
+            in_stream[oid] = loc
+    sliced: dict[int, tuple[list[tuple[int, int]], bytes, int]] = {}
+    for oid, (stm_id, idx) in in_stream.items():
+        if stm_id not in objs:
             raise ValueError(
-                f"PDF: xref offset for object {oid} does not point at it")
-        # the dict region ends at whichever of `stream` / `endobj`
-        # comes FIRST — stream DATA may contain either keyword (zlib
-        # output is arbitrary bytes, and corpus text can literally say
-        # "endobj"), so keywords inside it must never terminate the
-        # object: with a stream present, /Length is authoritative for
-        # where the data ends
-        sm = re.compile(rb"stream\r?\n").search(payload, m.end())
-        eo = payload.find(b"endobj", m.end())
-        stream = None
-        if sm is not None and (eo < 0 or sm.start() < eo):
-            body = payload[m.end():sm.start()]
-            lm = re.search(rb"/Length\s+(\d+)", body)
-            if not lm:
-                raise NotImplementedError(
-                    f"PDF: object {oid} stream has an indirect /Length "
-                    "(not supported)")
-            ln = int(lm.group(1))
-            data_at = sm.end()
-            if data_at + ln > len(payload):
-                raise ValueError(
-                    f"PDF: object {oid} /Length exceeds the file")
-            stream = payload[data_at:data_at + ln]
-            rest = payload[data_at + ln:data_at + ln + 64]
-            em = re.match(rb"\s*endstream\s+endobj", rest)
-            if not em:
-                raise ValueError(
-                    f"PDF: object {oid} stream unterminated "
-                    "(/Length does not land on endstream)")
-        else:
-            if eo < 0:
-                raise ValueError(f"PDF: object {oid} has no endobj")
-            body = payload[m.end():eo]
-        objs[oid] = (body, stream)
+                f"PDF: object {oid} claims ObjStm {stm_id}, which the "
+                "xref does not locate")
+        if stm_id not in sliced:
+            src, raw = objs[stm_id]
+            if raw is None:
+                raise ValueError(f"PDF: ObjStm {stm_id} has no stream")
+            sliced[stm_id] = _objstm_members(src, raw)
+        pairs, data, first = sliced[stm_id]
+        if idx >= len(pairs):
+            raise ValueError(
+                f"PDF: object {oid} index {idx} exceeds ObjStm "
+                f"{stm_id}'s /N")
+        num, off = pairs[idx]
+        if num != oid:
+            raise ValueError(
+                f"PDF: ObjStm {stm_id} pair table lists object {num} "
+                f"at index {idx}, xref claims {oid}")
+        end = pairs[idx + 1][1] if idx + 1 < len(pairs) else \
+            len(data) - first
+        objs[oid] = (data[first + off:first + end], None)
     return objs
 
 
@@ -219,20 +593,7 @@ def _content_bytes(objs, oid: int) -> bytes:
     src, stream = objs[oid]
     if stream is None:
         raise ValueError(f"PDF: /Contents object {oid} has no stream")
-    fm = re.search(rb"/Filter\s*(/\w+|\[[^\]]*\])", src)
-    if fm:
-        filters = re.findall(rb"/(\w+)", fm.group(1))
-        if filters == [b"FlateDecode"]:
-            try:
-                stream = zlib.decompress(stream)
-            except zlib.error as exc:
-                raise ValueError(f"PDF: FlateDecode failed: {exc}") from None
-        else:
-            names = b",".join(filters).decode()
-            raise NotImplementedError(
-                f"PDF: stream filter(s) {names} need codecs "
-                "(only FlateDecode decodes)")
-    return stream
+    return _decode_stream(src, stream)
 
 
 def _pdf_str(b: bytes) -> str:
@@ -395,10 +756,14 @@ def synthesize_pdfs(df: DataFrame, text_col: str = "text",
                     page_chars: int = 100,
                     id_col: str = "doc_id") -> DataFrame:
     """Materialize real PDF bytes per row from a text column (chunked
-    into ``page_chars``-character pages; FlateDecode for odd ids, raw
-    streams for even — both layouts occur in-corpus), Arrow-batched.
-    The ingestion-side twin of ``synthesize_media``: payload bytes are
-    built and stay on the executors."""
+    into ``page_chars``-character pages), Arrow-batched. Container
+    variants cycle per id the way real corpora mix them: FlateDecode
+    for odd ids / raw streams for even, and the cross-reference layout
+    walks classic table → xref stream → ObjStm-packed (PNG-predicted
+    xref) → hybrid /XRefStm by ``id % 4``. The ingestion-side twin of
+    ``synthesize_media``: payload bytes are built and stay on the
+    executors."""
+    layouts = ("classic", "xref-stream", "objstm", "hybrid")
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -410,7 +775,8 @@ def synthesize_pdfs(df: DataFrame, text_col: str = "text",
                 t = t or ""
                 pages = ([t[i:i + page_chars]
                           for i in range(0, len(t), page_chars)] or [""])
-                payloads.append(encode_pdf(pages, compress=bool(d % 2)))
+                payloads.append(encode_pdf(pages, compress=bool(d % 2),
+                                           layout=layouts[d % 4]))
             yield pd.DataFrame(
                 {"doc_id": ids, "payload": payloads,
                  "media_type": "application/pdf"})

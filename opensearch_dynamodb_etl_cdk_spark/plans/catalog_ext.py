@@ -2769,10 +2769,14 @@ def warc_text_extract(spark, sf_dir):
     "(operators/pdf.py::encode_pdf — catalog/pages-tree/page objects, "
     "per-page content streams with Tj text operators and full literal-"
     "string escaping, FlateDecode for odd ids and raw streams for "
-    "even, a spec-correct xref table), then parse it back "
-    "(::extract_pdf_pages — startxref → xref walk with offset cross-"
-    "validation, reference-following Catalog→Pages→Kids→Contents, "
-    "zlib inflate, Tj/TJ/' tokenization) and emit one row per page. "
+    "even, and the cross-reference layout cycling id%4 through ALL "
+    "FOUR real forms: classic 1.4 table, 1.5 xref STREAM (/W binary "
+    "rows), ObjStm-packed with a PNG-predicted xref stream — the "
+    "default post-2005 layout — and hybrid /XRefStm), then parse it "
+    "back (::extract_pdf_pages — startxref → xref-chain walk with "
+    "offset and ObjStm-pair-table cross-validation, reference-"
+    "following Catalog→Pages→Kids→Contents, zlib inflate + predictor "
+    "undo, Tj/TJ/'/\" tokenization) and emit one row per page. "
     "The oracle is DIRECT STRING EQUALITY against substr() of the "
     "source text — any escaping, inflate, page-order, or tokenizer "
     "bug corrupts the extracted text and breaks the hash. The "

@@ -155,3 +155,124 @@ def test_pdf_pending_string_discarded_raises():
     assert len(patched) == len(raw)
     with pytest.raises(NotImplementedError, match="pending string"):
         P.extract_pdf_pages(patched)
+
+
+LAYOUTS = ("classic", "xref-stream", "objstm", "hybrid")
+
+
+@pytest.mark.parametrize("layout", LAYOUTS)
+@pytest.mark.parametrize("compress", [True, False])
+def test_pdf_round_trip_all_xref_layouts(layout, compress):
+    """The 1.5+ layouts — xref STREAM, ObjStm-packed (PNG-predicted
+    xref), hybrid /XRefStm — round-trip the same torture pages the
+    classic table does."""
+    payload = P.encode_pdf(PAGES, compress=compress, layout=layout)
+    assert P.extract_pdf_pages(payload) == PAGES
+
+
+@pytest.mark.parametrize("layout", LAYOUTS[1:])
+def test_pdf_non_latin1_round_trips_in_new_layouts(layout):
+    pages = ["euro € and dash —", "汉字 text", "plain\nlines"]
+    assert P.extract_pdf_pages(
+        P.encode_pdf(pages, layout=layout)) == pages
+
+
+def test_pdf_objstm_layout_really_packs_and_predicts():
+    """White-box: the objstm layout must actually contain a /Type
+    /ObjStm with type-2 xref rows and a PNG-predicted xref stream —
+    not silently fall back to direct objects."""
+    p = P.encode_pdf(["x"], compress=True, layout="objstm")
+    assert b"/ObjStm" in p
+    assert b"/Predictor 12" in p
+    assert b"trailer" not in p  # no classic trailer in this layout
+    entries, trailer = P._parse_xref(p)
+    kinds = {k for k, _ in entries.values()}
+    assert kinds == {"d", "s"}  # both direct and in-stream objects
+    assert b"/Root" in trailer
+    # the catalog (object 1) must resolve through the ObjStm
+    assert entries[1][0] == "s"
+
+
+def test_pdf_hybrid_members_resolve_through_xrefstm():
+    """Hybrid files mark packed members free in the classic table;
+    they must resolve through /XRefStm, and startxref must point at
+    the TABLE (the pre-1.5-reader entry point)."""
+    p = P.encode_pdf(["hybrid page"], layout="hybrid")
+    assert b"/XRefStm" in p and b"trailer" in p
+    import re as _re
+    at = int(_re.findall(rb"startxref\s+(\d+)", p)[-1])
+    assert p[at:at + 4] == b"xref"  # classic table entry point
+    entries, _ = P._parse_xref(p)
+    assert entries[1][0] == "s"  # catalog resolved via the stream
+    assert P.extract_pdf_pages(p) == ["hybrid page"]
+
+
+def test_pdf_incremental_update_newest_revision_wins():
+    """A /Prev chain: the appended revision's replacement content
+    object shadows the original; the superseded startxref sitting
+    inside the tail window must not hijack parsing."""
+    base = P.encode_pdf(["old text"], compress=False, layout="classic")
+    import re as _re
+    old_xref_at = int(_re.findall(rb"startxref\s+(\d+)", base)[-1])
+    stream = b"BT /F1 12 Tf 72 720 Td 14 TL\n(new text) Tj\nET"
+    obj = (f"4 0 obj\n<< /Length {len(stream)} >>\nstream\n".encode()
+           + stream + b"\nendstream\nendobj\n")
+    obj_at = len(base)
+    xref_at = obj_at + len(obj)
+    update = (obj + b"xref\n0 1\n0000000000 65535 f \n"
+              + f"4 1\n{obj_at:010d} 00000 n \n".encode()
+              + f"trailer\n<< /Size 6 /Root 1 0 R /Prev {old_xref_at} "
+                f">>\nstartxref\n{xref_at}\n%%EOF\n".encode())
+    assert P.extract_pdf_pages(base + update) == ["new text"]
+
+
+def test_pdf_cyclic_prev_chain_raises():
+    p = P.encode_pdf(["x"], layout="classic")
+    import re as _re
+    xref_at = int(_re.findall(rb"startxref\s+(\d+)", p)[-1])
+    cyc = p.replace(b"trailer\n<< /Size",
+                    f"trailer\n<< /Prev {xref_at} /Size".encode())
+    with pytest.raises(ValueError, match="cyclic"):
+        P.extract_pdf_pages(cyc)
+
+
+def test_pdf_objstm_pair_table_must_agree_with_xref():
+    """An ObjStm whose pair table lists a different object number at
+    the xref-claimed index is a structural lie → ValueError."""
+    p = P.encode_pdf(["x"], compress=False, layout="objstm")
+    # the UNCOMPRESSED ObjStm header starts "1 0 2 ..." — renumber
+    # member 1 to 9 (same byte length) so the pair table disagrees
+    assert b"/ObjStm" in p and b"/Filter" not in p.split(b"/ObjStm")[1][:80]
+    patched = p.replace(b"stream\n1 0 2 ", b"stream\n9 0 2 ")
+    assert patched != p
+    with pytest.raises(ValueError, match="pair table"):
+        P.extract_pdf_pages(patched)
+
+
+def test_pdf_predictor_and_xref_stream_validation():
+    from opensearch_dynamodb_etl_cdk_spark.operators.pdf import (
+        _unpredict_png, _predict_png_up)
+
+    data = bytes(range(49))  # 7 rows x 7 cols
+    assert _unpredict_png(_predict_png_up(data, 7), 7) == data
+    with pytest.raises(ValueError, match="whole rows"):
+        _unpredict_png(b"\x00" * 9, 7)
+    with pytest.raises(ValueError, match="filter type"):
+        _unpredict_png(b"\x09" + b"\x00" * 7, 7)
+    # TIFF predictor is a loud boundary
+    p = P.encode_pdf(["x"], layout="objstm")
+    bad = p.replace(b"/Predictor 12", b"/Predictor 02")
+    with pytest.raises(NotImplementedError, match="TIFF predictor"):
+        P.extract_pdf_pages(bad)
+
+
+def test_pdf_indirect_length_is_a_loud_boundary():
+    p = P.encode_pdf(["x" * 40], compress=False, layout="classic")
+    # make /Length indirect with an equal-length swap
+    import re as _re
+    m = _re.search(rb"/Length (\d\d)", p)
+    patched = p[:m.start()] + b"/Length %s 0 R" % m.group(1) \
+        + p[m.end() + 4:]
+    assert len(patched) == len(p)
+    with pytest.raises(NotImplementedError, match="indirect /Length"):
+        P.extract_pdf_pages(patched)
