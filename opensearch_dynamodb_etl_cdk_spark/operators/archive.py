@@ -6,9 +6,12 @@ zlib:
 
 - **tar**: 512-byte ustar headers (name, octal size, checksum with
   the spaces-substitution rule, typeflag), data blocks rounded to 512,
-  the two-zero-block terminator. Regular files extract; directories
-  skip; exotic typeflags (links, PAX extended headers) raise the
-  precise boundary.
+  the two-zero-block terminator, PLUS the two long-path mechanisms
+  real tarballs routinely use: POSIX.1-2001 PAX extended headers
+  (``x`` per-file / ``g`` global, length-delimited ``key=value``
+  records, ``path``/``size`` overrides) and GNU ``L`` @LongLink
+  blocks. Regular files extract; directories skip; link/device
+  typeflags raise the precise boundary.
 - **gzip**: the member framing via streaming zlib (wbits=31), shared
   with the WARC reader's layout — ``name.tar.gz`` composes
   gunzip → tar.
@@ -55,37 +58,106 @@ def _tar_checksum(block: bytes) -> int:
     return sum(block[:148]) + 8 * 0x20 + sum(block[156:512])
 
 
-def encode_tar(members: list[tuple[str, bytes]]) -> bytes:
+def _tar_header(name_field: bytes, size: int, typeflag: int) -> bytes:
+    """One 512-byte ustar header block with the checksum sealed."""
+    hdr = bytearray(512)
+    hdr[0:len(name_field)] = name_field
+    hdr[100:108] = b"0000644\x00"
+    hdr[108:116] = b"0000000\x00"
+    hdr[116:124] = b"0000000\x00"
+    hdr[124:136] = f"{size:011o}\x00".encode()
+    hdr[136:148] = b"00000000000\x00"
+    hdr[156] = typeflag
+    hdr[257:263] = b"ustar\x00"
+    hdr[263:265] = b"00"
+    hdr[148:156] = f"{_tar_checksum(bytes(hdr)):06o}\x00 ".encode()
+    return bytes(hdr)
+
+
+def _pax_record(key: str, value: str) -> bytes:
+    """One POSIX.1-2001 extended-header record: '%d key=value\\n' where
+    %d counts the WHOLE record including its own digits — a classic
+    fixed point, since adding digits can change the digit count."""
+    body = f" {key}={value}\n".encode("utf-8")
+    n = len(body) + 1
+    while len(str(n)) + len(body) != n:
+        n = len(str(n)) + len(body)
+    return str(n).encode() + body
+
+
+def encode_tar(members: list[tuple[str, bytes]],
+               long_names: str = "pax") -> bytes:
     """Write a POSIX ustar archive: one header+data block run per
-    (name, payload) member, two zero blocks at the end."""
+    (name, payload) member, two zero blocks at the end. Member paths
+    over 100 bytes are carried the way real writers do — a PAX
+    ``x`` extended header with a ``path`` record (``long_names="pax"``,
+    the POSIX.1-2001 default) or a GNU ``L`` @LongLink block
+    (``long_names="gnu"``)."""
+    if long_names not in ("pax", "gnu"):
+        raise ValueError(f"tar: unknown long_names mode {long_names!r}")
     out = bytearray()
+
+    def emit(hdr: bytes, data: bytes) -> None:
+        out.extend(hdr)
+        out.extend(data)
+        out.extend(b"\x00" * ((-len(data)) % 512))
+
     for name, data in members:
-        nb = name.encode()
+        nb = name.encode("utf-8")
         if len(nb) > 100:
-            raise ValueError("tar: member name exceeds 100 bytes")
-        hdr = bytearray(512)
-        hdr[0:len(nb)] = nb
-        hdr[100:108] = b"0000644\x00"
-        hdr[108:116] = b"0000000\x00"
-        hdr[116:124] = b"0000000\x00"
-        hdr[124:136] = f"{len(data):011o}\x00".encode()
-        hdr[136:148] = b"00000000000\x00"
-        hdr[156] = 0x30  # typeflag '0': regular file
-        hdr[257:263] = b"ustar\x00"
-        hdr[263:265] = b"00"
-        hdr[148:156] = f"{_tar_checksum(bytes(hdr)):06o}\x00 ".encode()
-        out += hdr + data
-        pad = (-len(data)) % 512
-        out += b"\x00" * pad
+            if long_names == "pax":
+                rec = _pax_record("path", name)
+                # the x-header's own name field is advisory; the
+                # conventional PaxHeaders spelling, truncated to fit
+                ph = ("PaxHeaders.0/" + name)[-100:].encode(
+                    "utf-8", "ignore")[:100]
+                emit(_tar_header(ph, len(rec), 0x78), rec)  # 'x'
+                nb = nb[:100]  # truncated fallback in the real header
+            else:
+                link = nb + b"\x00"
+                emit(_tar_header(b"././@LongLink", len(link), 0x4C),
+                     link)  # 'L'
+                nb = nb[:100]
+        emit(_tar_header(nb, len(data), 0x30), data)  # '0': regular
     out += b"\x00" * 1024
     return bytes(out)
 
 
+def _parse_pax_records(data: bytes) -> dict[str, str]:
+    """Parse a PAX extended-header payload: length-delimited
+    '%d key=value\\n' records (values are UTF-8 and may contain
+    newlines — the length prefix, not the newline, is the frame)."""
+    out: dict[str, str] = {}
+    pos = 0
+    while pos < len(data):
+        sp = data.find(b" ", pos)
+        if sp < 0 or not data[pos:sp].isdigit():
+            raise ValueError("tar: malformed PAX record length")
+        n = int(data[pos:sp])
+        rec = data[pos:pos + n]
+        if n < sp - pos + 3 or rec[-1:] != b"\n":
+            raise ValueError("tar: PAX record does not end in newline")
+        key, eq, value = rec[sp - pos + 1:-1].partition(b"=")
+        if not eq:
+            raise ValueError("tar: PAX record missing '='")
+        out[key.decode("utf-8")] = value.decode("utf-8")
+        pos += n
+    return out
+
+
 def parse_tar(payload: bytes) -> list[tuple[str, bytes]]:
-    """Read a ustar archive to (name, bytes) members, verifying header
-    checksums and the block structure."""
+    """Read a tar archive to (name, bytes) members, verifying header
+    checksums and the block structure. Beyond plain ustar, the two
+    long-path mechanisms real tarballs use are honored: PAX extended
+    headers (typeflag ``x`` per-file and ``g`` global — ``path`` and
+    ``size`` records override the following header's fields) and GNU
+    ``L`` @LongLink name blocks. Link typeflags stay a loud boundary
+    (extracting a symlink's TARGET as member bytes would be wrong)."""
     members = []
     pos = 0
+    global_pax: dict[str, str] = {}
+    pending_pax: dict[str, str] | None = None
+    pending_gnu_name: str | None = None
     while pos + 512 <= len(payload):
         block = payload[pos:pos + 512]
         if block == b"\x00" * 512:  # terminator (second block optional
@@ -108,13 +180,36 @@ def parse_tar(payload: bytes) -> list[tuple[str, bytes]]:
         data_at = pos + 512
         if data_at + size > len(payload):
             raise ValueError(f"tar: member {name!r} data truncated")
+        data = payload[data_at:data_at + size]
         if typeflag in (b"0", b"\x00"):
-            members.append((name, payload[data_at:data_at + size]))
+            pax = {**global_pax, **(pending_pax or {})}
+            if "path" in pax:
+                name = pax["path"]
+            elif pending_gnu_name is not None:
+                name = pending_gnu_name
+            if "size" in pax:
+                real = int(pax["size"])
+                if data_at + real > len(payload):
+                    raise ValueError(
+                        f"tar: member {name!r} PAX size exceeds archive")
+                data = payload[data_at:data_at + real]
+                size = real
+            members.append((name, data))
+            pending_pax, pending_gnu_name = None, None
         elif typeflag == b"5":
-            pass  # directory entry
+            pending_pax, pending_gnu_name = None, None  # directory
+        elif typeflag == b"x":  # PAX: applies to the NEXT file only
+            pending_pax = _parse_pax_records(data)
+        elif typeflag == b"g":  # PAX global: applies until overridden
+            global_pax.update(_parse_pax_records(data))
+        elif typeflag == b"L":  # GNU @LongLink: next member's name
+            pending_gnu_name = _member_name(data.rstrip(b"\x00"))
+        elif typeflag == b"K":  # GNU long LINK target: consume; the
+            pass                # link header itself still raises below
         else:
             raise NotImplementedError(
-                f"tar: typeflag {typeflag!r} (links/PAX) not supported")
+                f"tar: typeflag {typeflag!r} (links/devices) "
+                "not supported")
         pos = data_at + size + ((-size) % 512)
     raise ValueError("tar: archive ends without a terminator block")
 

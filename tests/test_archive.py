@@ -71,7 +71,7 @@ def test_archive_malformed_rejections():
         A.parse_zip(bytes(crc))
     with pytest.raises(ValueError):
         A.extract_members(b"not an archive at all")
-    # PAX/link typeflags are precise boundaries
+    # link typeflags are precise boundaries
     link = bytearray(A.encode_tar([("a.txt", b"x")]))
     link[156] = 0x32  # typeflag '2': symlink
     link[148:156] = f"{A._tar_checksum(bytes(link[:512])):06o}\x00 ".encode()
@@ -144,3 +144,101 @@ def test_tar_ustar_prefix_field_is_honored():
         ti.size = 2
         w.addfile(ti, io.BytesIO(b"ab"))
     assert A.parse_tar(buf.getvalue()) == [(long_path, b"ab")]
+
+
+LONG = "deep/" * 30 + "member_" + "y" * 80 + ".txt"  # far past 100 bytes
+
+
+@pytest.mark.parametrize("mode", ["pax", "gnu"])
+def test_tar_long_paths_round_trip_both_mechanisms(mode):
+    """>100-byte member paths survive our encoder→parser through both
+    real-world mechanisms: PAX x-header path records and GNU
+    @LongLink blocks."""
+    members = [("short.txt", b"s"), (LONG, b"long data"),
+               ("post.txt", b"p")]
+    assert A.parse_tar(A.encode_tar(members, long_names=mode)) == members
+
+
+@pytest.mark.parametrize("fmt_name", ["PAX_FORMAT", "GNU_FORMAT"])
+def test_tar_stdlib_written_long_paths_parse(fmt_name):
+    """Cross-validation: stdlib tarfile's PAX and GNU long-name output
+    parses exactly (the same both-directions discipline as ustar)."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    fmt = getattr(tarfile, fmt_name)
+    with tarfile.open(fileobj=buf, mode="w", format=fmt) as w:
+        for name, data in [("a.txt", b"aa"), (LONG, b"bb")]:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            w.addfile(ti, io.BytesIO(data))
+    assert A.parse_tar(buf.getvalue()) == [("a.txt", b"aa"), (LONG, b"bb")]
+
+
+def test_tar_our_pax_output_reads_with_stdlib():
+    import io
+    import tarfile
+
+    members = [(LONG, b"payload"), ("plain.txt", b"x")]
+    for mode in ("pax", "gnu"):
+        t = tarfile.open(fileobj=io.BytesIO(
+            A.encode_tar(members, long_names=mode)))
+        got = [(m.name, t.extractfile(m).read())
+               for m in t.getmembers()]
+        assert got == members, mode
+
+
+def test_tar_pax_records_parse_and_override():
+    """PAX mechanics: length-delimited records (values may contain
+    newlines and non-ASCII), per-file x beats global g, size
+    override wins over the header field."""
+    recs = A._parse_pax_records(
+        A._pax_record("path", "a/b\nc.txt") + A._pax_record("size", "3")
+        + A._pax_record("comment", "naïve ünïcode"))
+    assert recs == {"path": "a/b\nc.txt", "size": "3",
+                    "comment": "naïve ünïcode"}
+    # hand-build: global 'g' sets a path, per-file 'x' overrides it
+    g = A._pax_record("path", "from-global.txt")
+    x = A._pax_record("path", "from-x.txt")
+    blocks = (
+        A._tar_header(b"pax_global_header", len(g), 0x67) + g
+        + b"\x00" * ((-len(g)) % 512)
+        + A._tar_header(b"PaxHeaders.0/f", len(x), 0x78) + x
+        + b"\x00" * ((-len(x)) % 512)
+        + A._tar_header(b"fallback1", 2, 0x30) + b"hi"
+        + b"\x00" * 510
+        + A._tar_header(b"fallback2", 2, 0x30) + b"yo"
+        + b"\x00" * 510
+        + b"\x00" * 1024
+    )
+    assert A.parse_tar(blocks) == [
+        ("from-x.txt", b"hi"),       # x wins for its one file
+        ("from-global.txt", b"yo"),  # g persists afterwards
+    ]
+
+
+def test_tar_pax_size_override_reads_real_data():
+    """A PAX size record overrides the ustar header's octal field —
+    the member bytes and the block advance must both use it."""
+    rec = A._pax_record("size", "4")
+    hdr = bytearray(A._tar_header(b"f.bin", 0, 0x30))  # header says 0
+    blocks = (
+        A._tar_header(b"PaxHeaders.0/f.bin", len(rec), 0x78) + rec
+        + b"\x00" * ((-len(rec)) % 512)
+        + bytes(hdr) + b"data" + b"\x00" * 508
+        + A._tar_header(b"after.txt", 2, 0x30) + b"ok" + b"\x00" * 510
+        + b"\x00" * 1024
+    )
+    # NOTE: header size 0 means the un-overridden advance would land on
+    # the data block and fail the checksum — passing proves the size
+    # override drives both the slice and the cursor... but our encoder
+    # pads by the REAL size here, so emulate a writer that allocated
+    # blocks for the data (header field zeroed, blocks present)
+    assert A.parse_tar(blocks) == [("f.bin", b"data"), ("after.txt", b"ok")]
+
+
+def test_tar_malformed_pax_records_raise():
+    for bad in (b"notdigits path=x\n", b"7 path=x", b"9 pathx-a\n"):
+        with pytest.raises(ValueError):
+            A._parse_pax_records(bad)
