@@ -2952,8 +2952,135 @@ def decode_jpeg(payload: bytes) -> dict:
 _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 273: "offsets", 277: "spp", 278: "rows_per_strip",
-    279: "counts",
+    279: "counts", 317: "predictor",
 }
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first bit packing (GIF packs LSB-first),
+    fixed 8-bit symbols with clear=256/EOI=257, and the spec's EARLY
+    code-width change (width bumps when the next free code reaches
+    2^w - 1, one code sooner than vanilla LZW — the famous off-by-one
+    every conforming writer shares); table clears at 4094."""
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((bitbuf >> nbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    width, next_code = 9, 258
+    put(256, width)  # clear
+    w = b""
+    for ch in data:
+        wk = w + bytes([ch])
+        if wk in table:
+            w = wk
+            continue
+        put(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        w = bytes([ch])
+        if next_code >= 4094:
+            put(table[w], width)
+            put(256, width)  # clear and restart
+            table = {bytes([i]): i for i in range(256)}
+            width, next_code = 9, 258
+            w = b""
+    if w:
+        put(table[w], width)
+    put(257, width)  # EOI
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
+    """Inverse of ``_tiff_lzw_encode`` with the same MSB bit order and
+    early width change; truncation, codes past the table, and length
+    disagreements all raise."""
+    out = bytearray()
+    total = len(data) * 8
+    bitpos, width = 0, 9
+
+    def get() -> int:
+        nonlocal bitpos
+        end = bitpos + width
+        if end > total:
+            raise ValueError("TIFF: LZW stream truncated (no EOI)")
+        v = int.from_bytes(data[bitpos // 8:(end + 7) // 8], "big")
+        v = (v >> (((end + 7) // 8) * 8 - end)) & ((1 << width) - 1)
+        bitpos = end
+        return v
+
+    table: list[bytes] | None = None
+    prev = b""
+    while True:
+        code = get()
+        if code == 257:  # EOI
+            break
+        if code == 256:  # clear
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            code = get()
+            if code == 257:
+                break
+            if code > 255:
+                raise ValueError(f"TIFF: bad LZW code {code} after clear")
+            prev = table[code]
+            out += prev
+            continue
+        if table is None:
+            raise ValueError("TIFF: LZW stream must open with a clear code")
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"TIFF: bad LZW code {code}")
+        out += entry
+        table.append(prev + entry[:1])
+        # the decoder's table lags the writer's by one entry, so it
+        # must widen at 2^w - 2 (510/1022/2046) for the writer's
+        # early change at 2^w - 1 to line up — the resolution every
+        # real reader (libtiff) uses for the spec's famous off-by-one
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        prev = entry
+        if len(out) > expect:
+            raise ValueError("TIFF: LZW decodes past the strip size")
+    if len(out) != expect:
+        raise ValueError(
+            f"TIFF: strip decoded to {len(out)} bytes, expected {expect}")
+    return bytes(out)
+
+
+def _tiff_diff_rows(data: bytes, width: int, spp: int) -> bytes:
+    """Apply horizontal differencing (predictor 2): per row, each
+    sample stores its delta from the same component one pixel left."""
+    out = bytearray(data)
+    row_len = width * spp
+    for r in range(0, len(data), row_len):
+        for x in range(row_len - 1, spp - 1, -1):
+            out[r + x] = (data[r + x] - data[r + x - spp]) & 0xFF
+    return bytes(out)
+
+
+def _tiff_undiff_rows(data: bytes, width: int, spp: int) -> bytes:
+    """Undo predictor 2: cumulative sum along each row per component."""
+    out = bytearray(data)
+    row_len = width * spp
+    for r in range(0, len(data), row_len):
+        for x in range(spp, row_len):
+            out[r + x] = (out[r + x] + out[r + x - spp]) & 0xFF
+    return bytes(out)
 
 
 def _packbits_encode(data: bytes) -> bytes:
@@ -3009,15 +3136,21 @@ def _packbits_decode(data: bytes, expect: int) -> bytes:
 def encode_tiff(width: int, height: int, pixel_value: int | None = None,
                 base: int = 0, rgb: bool = False,
                 compression: str = "none", rows_per_strip: int = 2,
-                big_endian: bool = False) -> bytes:
+                big_endian: bool = False, predictor: int = 1) -> bytes:
     """Build a real baseline TIFF. Content is the clip-free gradient
     v(x, y) = base + x + 2y (mean base + (w-1)/2 + (h-1)); ``rgb``
     stores channels (v, v+1, v+2) (mean +1); ``pixel_value`` overrides
     with a constant (the PackBits run-packet exerciser). Strips of
-    ``rows_per_strip`` rows each, optionally PackBits-compressed,
+    ``rows_per_strip`` rows each, compressed with PackBits or the
+    spec's LZW (the most common real-world TIFF compression,
+    optionally with horizontal differencing — ``predictor=2``),
     either byte order."""
     e = ">" if big_endian else "<"
     spp = 3 if rgb else 1
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF: predictor {predictor} is not encodable")
+    if predictor == 2 and compression != "lzw":
+        raise ValueError("TIFF: predictor 2 pairs with LZW here")
     rows = []
     for y in range(height):
         row = bytearray()
@@ -3032,9 +3165,13 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
         b"".join(rows[y:y + rows_per_strip])
         for y in range(0, height, rows_per_strip)
     ] or [b""]
-    comp_code = {"none": 1, "packbits": 32773}[compression]
+    comp_code = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    if predictor == 2:
+        strips = [_tiff_diff_rows(s, width, spp) for s in strips]
     if compression == "packbits":
         strips = [_packbits_encode(s) for s in strips]
+    elif compression == "lzw":
+        strips = [_tiff_lzw_encode(s) for s in strips]
     # layout: header(8) | strip data | BitsPerSample array (rgb only) |
     # strip offset/count arrays (if >2 entries... keep simple: always
     # out-of-line when count > 1) | IFD
@@ -3086,6 +3223,8 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
         entries.append((279, 4, len(strips), struct.pack(f"{e}I", sc)))
     inline(277, 3, spp)
     inline(278, 4, rows_per_strip)
+    if predictor == 2:
+        inline(317, 3, 2)
     entries.sort()  # the spec requires ascending tag order
     ifd_off = pos
     ifd = struct.pack(f"{e}H", len(entries))
@@ -3148,9 +3287,15 @@ def _tiff_parse(payload: bytes) -> tuple[int, int, int, int, bytes]:
     bits = values("bits", 8)
     if set(bits) != {8}:
         raise NotImplementedError("TIFF: only 8 bits per sample decodes")
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
-            f"TIFF: compression {comp} needs a codec (only none/PackBits)")
+            f"TIFF: compression {comp} needs a codec "
+            "(only none/LZW/PackBits)")
+    pred = values("predictor", 1)[0]
+    if pred not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF: predictor {pred} (floating-point differencing) "
+            "is not supported")
     if (photo, spp) not in ((0, 1), (1, 1), (2, 3)):
         raise NotImplementedError(
             f"TIFF: photometric {photo} with {spp} samples unsupported")
@@ -3163,13 +3308,17 @@ def _tiff_parse(payload: bytes) -> tuple[int, int, int, int, bytes]:
         if o + c > len(payload):
             raise ValueError("TIFF: strip out of range")
         strip = payload[o:o + c]
+        strip_rows = min(rps, height - j * rps)
         if comp == 32773:
-            strip_rows = min(rps, height - j * rps)
             strip = _packbits_decode(strip, strip_rows * width * spp)
+        elif comp == 5:
+            strip = _tiff_lzw_decode(strip, strip_rows * width * spp)
         data += strip
     if len(data) != width * height * spp:
         raise ValueError(
             f"TIFF: {len(data)} sample bytes for {width}x{height}x{spp}")
+    if pred == 2:
+        data = bytearray(_tiff_undiff_rows(bytes(data), width, spp))
     return width, height, spp, photo, bytes(data)
 
 
@@ -3203,12 +3352,16 @@ def tiff_params(doc_id: int) -> tuple[int, int, int]:
 
 def encode_tiff_sample(doc_id: int) -> bytes:
     """Synthesized TIFF for ``doc_id``, cycling the container variants:
-    RGB for odd ids (gray otherwise), PackBits unless id % 3 == 0,
-    big-endian every 5th id, 2-row strips throughout."""
+    RGB for odd ids (gray otherwise), compression walking
+    none → PackBits → LZW by id % 3 (the LZW slice adds horizontal
+    differencing for odd ids — the predictor real writers pair with
+    it), big-endian every 5th id, 2-row strips throughout."""
     w, h, base = tiff_params(doc_id)
+    comp = ("none", "packbits", "lzw")[doc_id % 3]
     return encode_tiff(
         w, h, base=base, rgb=bool(doc_id % 2),
-        compression="none" if doc_id % 3 == 0 else "packbits",
+        compression=comp,
+        predictor=2 if comp == "lzw" and doc_id % 2 else 1,
         big_endian=doc_id % 5 == 0,
     )
 

@@ -2806,10 +2806,12 @@ def multimodal_pdf_text_extract(spark, sf_dir):
     "6.0 files per document (operators/multimodal.py::"
     "encode_tiff_sample — IFD tag directory, 2-row strips addressed by "
     "StripOffsets/StripByteCounts, the container variants cycling per "
-    "id: grayscale AND RGB photometrics, PackBits RLE AND uncompressed "
-    "strips, little- AND big-endian byte orders), parse them back "
-    "through the registry decoder (::decode_tiff — byte-order "
-    "dispatch, IFD walk, strip assembly, PackBits expansion), "
+    "id: grayscale AND RGB photometrics, uncompressed AND PackBits AND "
+    "LZW strips (the spec §13 MSB-first early-change codec, odd LZW "
+    "ids adding the horizontal-differencing predictor), little- AND "
+    "big-endian byte orders), parse them back through the registry "
+    "decoder (::decode_tiff — byte-order dispatch, IFD walk, strip "
+    "assembly, PackBits/LZW expansion, predictor undo), "
     "aggregate per lang. The oracle recomputes geometry and the "
     "gradient mean base + (w-1)/2 + (h-1) (+1 for RGB ids) from the "
     "doc_id formulas — any strip-order, RLE, endianness, or sample-"

@@ -1764,16 +1764,28 @@ def test_tiff_malformed_and_boundaries():
             struct.pack_into("<I", good, off + 8, 10_000)
     with pytest.raises(ValueError):
         M.decode_tiff(bytes(good))
-    # unsupported compression is a precise boundary
-    lzw = bytearray(M.encode_tiff(4, 4, base=1))
-    (ifd,) = struct.unpack_from("<I", lzw, 4)
-    (n,) = struct.unpack_from("<H", lzw, ifd)
+    # unsupported compression is a precise boundary (LZW decodes now —
+    # 7 = JPEG-in-TIFF stays out)
+    jpg = bytearray(M.encode_tiff(4, 4, base=1))
+    (ifd,) = struct.unpack_from("<I", jpg, 4)
+    (n,) = struct.unpack_from("<H", jpg, ifd)
     for k in range(n):
         off = ifd + 2 + 12 * k
-        if struct.unpack_from("<HHI", lzw, off)[0] == 259:
-            struct.pack_into("<H", lzw, off + 8, 5)  # LZW
+        if struct.unpack_from("<HHI", jpg, off)[0] == 259:
+            struct.pack_into("<H", jpg, off + 8, 7)  # JPEG-in-TIFF
     with pytest.raises(NotImplementedError):
-        M.decode_tiff(bytes(lzw))
+        M.decode_tiff(bytes(jpg))
+    # floating-point predictor (3) is a precise boundary
+    fp = bytearray(M.encode_tiff(4, 4, base=1, compression="lzw",
+                                 predictor=2))
+    (ifd,) = struct.unpack_from("<I", fp, 4)
+    (n,) = struct.unpack_from("<H", fp, ifd)
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        if struct.unpack_from("<HHI", fp, off)[0] == 317:
+            struct.pack_into("<H", fp, off + 8, 3)
+    with pytest.raises(NotImplementedError):
+        M.decode_tiff(bytes(fp))
 
 
 def test_tiff_pixel_access_and_resize():
@@ -2049,3 +2061,83 @@ def test_rle8_bmp_partial_palette_and_geometry_guards():
     struct.pack_into("<i", zero, 18, 0)  # width = 0
     with pytest.raises(ValueError, match="geometry"):
         M.decode_bmp(bytes(zero))
+
+
+def test_tiff_lzw_spec_example_and_bit_order():
+    """TIFF 6.0 §13's worked example pins the code sequence AND the
+    MSB-first packing: 7,7,7,8,8,7,7,6,6 → codes
+    256,7,258,8,8,258,6,6,257 at 9 bits."""
+    codes = [256, 7, 258, 8, 8, 258, 6, 6, 257]
+    bits = "".join(format(c, "09b") for c in codes)
+    bits += "0" * ((-len(bits)) % 8)
+    want = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    assert M._tiff_lzw_encode(bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])) == want
+    assert M._tiff_lzw_decode(want, 9) == bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+
+
+def test_tiff_lzw_width_transitions_and_table_clear():
+    """Low-entropy megastrips push the table through the EARLY width
+    changes at 510/1022/2046 and a 4094 clear-and-restart; both sides
+    must stay code-aligned throughout."""
+    import random
+
+    rng = random.Random(11)
+    for n in (3000, 20000, 120000):
+        data = bytes(rng.randrange(4) for _ in range(n))
+        assert M._tiff_lzw_decode(M._tiff_lzw_encode(data), n) == data
+    # the KwKwK case: aaa...a forces code == len(table) immediately
+    data = b"a" * 500
+    assert M._tiff_lzw_decode(M._tiff_lzw_encode(data), 500) == data
+
+
+def test_tiff_lzw_malformed_rejections():
+    good = M._tiff_lzw_encode(b"hello world")
+    with pytest.raises(ValueError):  # truncated mid-code
+        M._tiff_lzw_decode(good[:2], 11)
+    with pytest.raises(ValueError):  # wrong expected size
+        M._tiff_lzw_decode(good, 10)
+    with pytest.raises(ValueError):  # must open with clear
+        M._tiff_lzw_decode(b"\x00\x80\x80", 1)
+
+
+def test_tiff_lzw_and_predictor_round_trip_through_container():
+    """LZW strips (with and without horizontal differencing, both
+    photometrics, both byte orders) reassemble to the exact gradient."""
+    for rgb in (False, True):
+        for pred in (1, 2):
+            for be in (False, True):
+                p = M.encode_tiff(9, 5, base=20, rgb=rgb,
+                                  compression="lzw", predictor=pred,
+                                  big_endian=be)
+                d = M.decode_tiff(p)
+                want = 20 + 4.0 + 4.0 + (1 if rgb else 0)
+                assert d["mean_value"] == pytest.approx(want), (rgb, pred, be)
+    # predictor tag actually present and load-bearing: stripping the
+    # undiff would break the mean (differenced data decodes different)
+    p2 = M.encode_tiff(9, 5, base=20, compression="lzw", predictor=2)
+    assert M.decode_tiff(p2)["mean_value"] == pytest.approx(28.0)
+
+
+def test_tiff_sample_cycle_includes_lzw():
+    """The synthesizer's id % 3 == 2 slice ships compression 5 (LZW),
+    odd ids in it with predictor 2 — and every variant still matches
+    the closed-form mean."""
+    import struct as _s
+
+    seen = set()
+    for doc_id in range(30):
+        p = M.encode_tiff_sample(doc_id)
+        e = ">" if p[:2] == b"MM" else "<"
+        (ifd,) = _s.unpack_from(f"{e}I", p, 4)
+        (n,) = _s.unpack_from(f"{e}H", p, ifd)
+        tags = {}
+        for k in range(n):
+            off = ifd + 2 + 12 * k
+            tag, typ, cnt = _s.unpack_from(f"{e}HHI", p, off)
+            tags[tag] = _s.unpack_from(f"{e}H", p, off + 8)[0]
+        seen.add((tags[259], tags.get(317, 1)))
+        w, h, base = M.tiff_params(doc_id)
+        want = base + (w - 1) / 2 + (h - 1) + (1 if doc_id % 2 else 0)
+        assert M.decode_tiff(p)["mean_value"] == pytest.approx(want)
+    assert (5, 2) in seen and (5, 1) in seen  # LZW with/without predictor
+    assert (1, 1) in seen and (32773, 1) in seen
