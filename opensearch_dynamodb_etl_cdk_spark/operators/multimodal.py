@@ -2253,7 +2253,9 @@ def encode_jpeg(width: int, height: int, pixel_value: int = 128,
                 rgb_pixels: bytes | None = None,
                 subsampling: str = "444",
                 restart_interval: int = 0,
-                progressive: bool = False) -> bytes:
+                progressive: bool = False,
+                cmyk: tuple[int, int, int, int] | None = None,
+                adobe_transform: int = 0) -> bytes:
     """Build a real baseline JPEG (SOI/DQT/SOF0/DHT/SOS/EOI): FDCT per
     8×8 block (edge-replicated padding), quantization, zigzag,
     differential-DC + run-length-AC Huffman entropy coding.
@@ -2292,7 +2294,26 @@ def encode_jpeg(width: int, height: int, pixel_value: int = 128,
     color = rgb is not None or rgb_pixels is not None
     if color and pixels is not None:
         raise ValueError("pass gray pixels OR color rgb/rgb_pixels")
-    if color:
+    if cmyk is not None:
+        # Adobe 4-component file: an APP14 marker names the transform
+        # (0 = CMYK stored as-is, 2 = YCCK), and per Adobe convention
+        # every channel is stored INVERTED (255 - value)
+        if color or pixels is not None:
+            raise ValueError("cmyk excludes rgb/pixels")
+        if adobe_transform not in (0, 2):
+            raise ValueError("adobe_transform must be 0 (CMYK) or 2 (YCCK)")
+        if subsampling != "444" or progressive:
+            raise NotImplementedError(
+                "CMYK JPEG encodes 4:4:4 baseline only")
+        if not all(0 <= int(v) <= 255 for v in cmyk):
+            raise ValueError("cmyk components must be bytes")
+        inv = [np.full((height, width), 255.0 - float(v)) for v in cmyk]
+        if adobe_transform == 2:
+            yp, cbp, crp = _rgb_to_ycbcr(inv[0], inv[1], inv[2])
+            planes = [yp, cbp, crp, inv[3]]
+        else:
+            planes = inv
+    elif color:
         if rgb_pixels is not None:
             if len(rgb_pixels) != width * height * 3:
                 raise ValueError("rgb_pixels length != width*height*3")
@@ -2394,12 +2415,24 @@ def encode_jpeg(width: int, height: int, pixel_value: int = 128,
     dht = seg(0xFFC4, bytes([0x00]) + bytes(_DC_COUNTS)
               + bytes(_DC_SYMBOLS)) \
         + seg(0xFFC4, bytes([0x10]) + bytes(_AC_COUNTS) + bytes(_AC_SYMBOLS))
-    if color:
+    app14 = b""
+    if color or cmyk is not None:
         dqt += seg(0xFFDB, bytes([0x01]) + q_zz)
         dht += seg(0xFFC4, bytes([0x01]) + bytes(_DC_COUNTS)
                    + bytes(_DC_SYMBOLS)) \
             + seg(0xFFC4, bytes([0x11]) + bytes(_AC_COUNTS)
                   + bytes(_AC_SYMBOLS))
+    if cmyk is not None:
+        # the Adobe APP14 marker real print-origin files carry:
+        # "Adobe", version 100, two flag words, the transform byte
+        app14 = seg(0xFFEE, b"Adobe"
+                    + struct.pack(">HHHB", 100, 0, 0, adobe_transform))
+        comps = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1, 4, 0x11, 0])
+        sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 4)
+                   + comps)
+        sos = seg(0xFFDA, bytes([4, 1, 0x00, 2, 0x11, 3, 0x11,
+                                 4, 0x00, 0, 63, 0]))
+    elif color:
         comps = bytes([1, (hy << 4) | vy, 0, 2, 0x11, 1, 3, 0x11, 1])
         sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3)
                    + comps)
@@ -2411,7 +2444,7 @@ def encode_jpeg(width: int, height: int, pixel_value: int = 128,
         sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
     dri = (seg(0xFFDD, struct.pack(">H", restart_interval))
            if restart_interval else b"")
-    return (b"\xff\xd8" + dqt + sof0 + dht + dri + sos + body
+    return (b"\xff\xd8" + app14 + dqt + sof0 + dht + dri + sos + body
             + b"\xff\xd9")
 
 
@@ -2735,6 +2768,7 @@ def _jpeg_decode_pixels(payload: bytes):
     coef = None
     covered: set[int] = set()
     scans_seen = 0
+    adobe_transform = None
     while True:
         if pos + 2 > len(payload):
             raise ValueError("truncated JPEG: no EOI marker")
@@ -2789,10 +2823,10 @@ def _jpeg_decode_pixels(payload: bytes):
             prec, h, w_, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise NotImplementedError(
-                    f"{ncomp}-component JPEG unsupported (grayscale or "
-                    "YCbCr)"
+                    f"{ncomp}-component JPEG unsupported (grayscale, "
+                    "YCbCr, or Adobe CMYK/YCCK)"
                 )
             if len(body) < 6 + 3 * ncomp:
                 raise ValueError("truncated SOF0 component specs")
@@ -2867,7 +2901,13 @@ def _jpeg_decode_pixels(payload: bytes):
                 coef, huff, restart_interval, progressive, np,
             )
             scans_seen += 1
-        # APPn/COM/etc: skipped
+        elif marker == 0xEE and body[:5] == b"Adobe":
+            # APP14: byte 11 is the color-transform flag (0 = stored
+            # channels as-is, 1 = YCbCr, 2 = YCCK) — the ONLY signal
+            # that a 4-component file's channels are inverted CMYK
+            if len(body) >= 12:
+                adobe_transform = body[11]
+        # other APPn/COM/etc: skipped
     if sof is None or scans_seen == 0:
         raise ValueError("JPEG has no scan data")
     w_, h, comps = sof
@@ -2911,6 +2951,30 @@ def _jpeg_decode_pixels(payload: bytes):
         full.append(p[:h, :w_])
     if len(full) == 1:
         return w_, h, full[0].astype(np.uint8)
+    if len(full) == 4:
+        # Adobe CMYK/YCCK: channels are stored INVERTED (255 - value)
+        # per Adobe convention; the APP14 transform flag is the only
+        # signal of that, so a 4-component file without one is a loud
+        # boundary rather than a guessed inversion
+        if adobe_transform is None:
+            raise NotImplementedError(
+                "4-component JPEG without an Adobe APP14 marker "
+                "(CMYK channel inversion would be a guess)")
+        if adobe_transform == 2:  # YCCK: first three planes are YCbCr
+            c_, m_, y_ = _ycbcr_to_rgb(full[0], full[1], full[2])
+        elif adobe_transform == 0:  # CMYK stored directly (inverted)
+            c_, m_, y_ = full[0], full[1], full[2]
+        else:
+            raise NotImplementedError(
+                f"APP14 transform {adobe_transform} with 4 components")
+        k_ = full[3]
+        # inverted-channel algebra: stored = 255-C, so the standard
+        # CMYK→RGB (255-C)(255-K)/255 is stored_c*stored_k/255 —
+        # floor(x+0.5) keeps the chain SQL-replicable
+        rr = np.floor(c_ * k_ / 255.0 + 0.5)
+        gg = np.floor(m_ * k_ / 255.0 + 0.5)
+        bb = np.floor(y_ * k_ / 255.0 + 0.5)
+        return w_, h, np.stack([rr, gg, bb], axis=2).astype(np.uint8)
     # color: planes are already rounded to their stored integers
     # (exact on the lossless constant-tile path); the JFIF inverse
     # conversion uses the same half-up rounding the encoder used, so
@@ -4300,6 +4364,21 @@ def jpeg_color_params(doc_id: int) -> tuple[int, int, tuple[int, int, int]]:
     )
 
 
+def jpeg_cmyk_params(doc_id: int) -> tuple[int, int,
+                                           tuple[int, int, int, int]]:
+    """Ground-truth (width, height, (c, m, y, k)) for a synthesized
+    constant-tile CMYK JPEG: CMY in 5..250 keeps the INVERTED channels
+    ≤ 250, so the YCCK forward conversion never clips and the whole
+    decode chain is the pure floor(x+0.5) algebra a SQL oracle can
+    replicate."""
+    return (
+        1 + doc_id % 13,
+        1 + doc_id % 7,
+        (5 + doc_id % 246, 5 + (doc_id * 3) % 246,
+         5 + (doc_id * 7) % 246, doc_id % 251),
+    )
+
+
 def wav_params(doc_id: int) -> tuple[int, int, int, int]:
     """Ground-truth (sample_rate, channels, n_frames, sample_value)."""
     return (
@@ -4350,8 +4429,8 @@ def synthesize_media(
     kinds = ("image", "rle-bmp", "audio", "flac", "ogg-flac", "png",
              "png-palette",
              "png-interlaced", "png-16", "gif", "gif-anim", "jpeg",
-             "jpeg-color", "jpeg-420", "jpeg-progressive", "tiff",
-             "video", "mp3")
+             "jpeg-color", "jpeg-420", "jpeg-progressive", "jpeg-cmyk",
+             "tiff", "video", "mp3")
     if kind not in kinds:
         raise ValueError(f"kind must be one of {kinds}")
     media_type = {"image": "image/bmp", "rle-bmp": "image/bmp",
@@ -4362,6 +4441,7 @@ def synthesize_media(
                   "jpeg": "image/jpeg", "jpeg-color": "image/jpeg",
                   "jpeg-420": "image/jpeg",
                   "jpeg-progressive": "image/jpeg",
+                  "jpeg-cmyk": "image/jpeg",
                   "tiff": "image/tiff",
                   "audio": "audio/wav", "flac": "audio/flac",
                   "ogg-flac": "audio/ogg", "mp3": "audio/mpeg",
@@ -4450,6 +4530,16 @@ def synthesize_media(
                         cw, chh, rgb=crgb, progressive=True,
                         subsampling="420" if int(d) % 2 else "444",
                         restart_interval=int(d) % 3))
+            elif kind == "jpeg-cmyk":
+                # Adobe 4-component print-origin files: plain inverted
+                # CMYK (transform 0) for even ids, YCCK (transform 2)
+                # for odd — constant tiles keep both chains exact
+                payloads = []
+                for d in ids:
+                    cw, chh, ccmyk = jpeg_cmyk_params(int(d))
+                    payloads.append(encode_jpeg(
+                        cw, chh, cmyk=ccmyk,
+                        adobe_transform=2 if int(d) % 2 else 0))
             elif kind == "flac":
                 # real Rice-coded FLAC; mono/stereo + all three
                 # decorrelation modes + fixed/LPC subframes cycle by id

@@ -3105,6 +3105,82 @@ def _color_jpeg_decode_stats(spark, sf_dir, kind):
     )
 
 
+_CMYK_JPEG_ORACLE = """
+    WITH base AS (
+      SELECT lang, doc_id % 2 AS odd,
+             CAST(255 - (5 + doc_id % 246) AS DOUBLE) AS ic,
+             CAST(255 - (5 + (doc_id * 3) % 246) AS DOUBLE) AS im,
+             CAST(255 - (5 + (doc_id * 7) % 246) AS DOUBLE) AS iy,
+             CAST(255 - (doc_id % 251) AS DOUBLE) AS ik,
+             1 + doc_id % 13 AS w, 1 + doc_id % 7 AS h
+      FROM documents),
+    ycc AS (
+      SELECT *,
+             FLOOR(0.299::DOUBLE * ic + 0.587::DOUBLE * im
+                   + 0.114::DOUBLE * iy + 0.5::DOUBLE) AS y,
+             FLOOR(128.0::DOUBLE - 0.168736::DOUBLE * ic
+                   - 0.331264::DOUBLE * im + 0.5::DOUBLE * iy
+                   + 0.5::DOUBLE) AS cb,
+             FLOOR(128.0::DOUBLE + 0.5::DOUBLE * ic
+                   - 0.418688::DOUBLE * im - 0.081312::DOUBLE * iy
+                   + 0.5::DOUBLE) AS cr
+      FROM base),
+    stored AS (
+      SELECT lang, w, h, ik,
+             CASE WHEN odd = 1 THEN GREATEST(0.0::DOUBLE,
+               LEAST(255.0::DOUBLE, FLOOR(y + 1.402::DOUBLE
+                     * (cr - 128.0::DOUBLE) + 0.5::DOUBLE)))
+             ELSE ic END AS s0,
+             CASE WHEN odd = 1 THEN GREATEST(0.0::DOUBLE,
+               LEAST(255.0::DOUBLE, FLOOR(y - 0.344136::DOUBLE
+                     * (cb - 128.0::DOUBLE) - 0.714136::DOUBLE
+                     * (cr - 128.0::DOUBLE) + 0.5::DOUBLE)))
+             ELSE im END AS s1,
+             CASE WHEN odd = 1 THEN GREATEST(0.0::DOUBLE,
+               LEAST(255.0::DOUBLE, FLOOR(y + 1.772::DOUBLE
+                     * (cb - 128.0::DOUBLE) + 0.5::DOUBLE)))
+             ELSE iy END AS s2
+      FROM ycc),
+    px AS (
+      SELECT lang, w, h,
+             FLOOR(s0 * ik / 255.0::DOUBLE + 0.5::DOUBLE)
+             + FLOOR(s1 * ik / 255.0::DOUBLE + 0.5::DOUBLE)
+             + FLOOR(s2 * ik / 255.0::DOUBLE + 0.5::DOUBLE) AS rgbsum
+      FROM stored)
+    SELECT lang, COUNT(*) AS n_items,
+           CAST(SUM(w * h) AS BIGINT) AS sum_pixels,
+           CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_width,
+           CAST(SUM(CAST(h AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_height,
+           CAST(SUM(CAST(rgbsum AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(1) AS avg_rgb_sum
+    FROM px GROUP BY lang
+    """
+
+
+@register(
+    "multimodal_jpeg_cmyk_decode_stats",
+    oracle=_CMYK_JPEG_ORACLE,
+    doc="Adobe 4-component (print-origin) JPEG decoded end-to-end: "
+    "synthesize genuine CMYK files per document (operators/"
+    "multimodal.py::encode_jpeg cmyk=... — four interleaved component "
+    "scans, channels stored INVERTED per Adobe convention, an APP14 "
+    "marker carrying the transform flag: plain CMYK (0) for even ids, "
+    "YCCK (2) for odd — the forward YCbCr transform applied to the "
+    "inverted CMY channels), decode through the shared machinery "
+    "(::_jpeg_decode_pixels — per-component tables and predictors, "
+    "APP14 dispatch, YCCK inverse, inverted-channel CMYK→RGB "
+    "stored_c*stored_k/255 with floor(x+0.5)), aggregate per lang. "
+    "Constant tiles + all-ones quant keep the DCT path "
+    "distortion-free, so the oracle replicates the ENTIRE integer "
+    "chain in SQL; a missing APP14 is a loud boundary (inversion "
+    "would otherwise be a guess). CMY in 5..250 keeps the YCCK "
+    "forward conversion clip-free.",
+    tags=("multimodal",),
+)
+def multimodal_jpeg_cmyk_decode_stats(spark, sf_dir):
+    return _color_jpeg_decode_stats(spark, sf_dir, "jpeg-cmyk")
+
+
 @register(
     "multimodal_jpeg420_decode_stats",
     oracle=_COLOR_JPEG_ORACLE,

@@ -729,12 +729,13 @@ def test_jpeg_malformed_and_unsupported():
     # item 7) — the former boundary raise is gone on both sides
     prj = M.encode_jpeg(24, 16, 40, progressive=True, restart_interval=2)
     assert M.decode_jpeg(prj)["mean_value"] == 40.0
-    # 4-component (CMYK-style) frames stay outside the boundary
+    # 4-component frames DECODE now (Adobe CMYK); a 4-comp SOF whose
+    # scans never cover the extra components is structural damage
     sof_body4 = struct.pack(">BHHB", 8, 8, 8, 4) + bytes(
         [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0])
     sof4 = struct.pack(">HH", 0xFFC0, len(sof_body4) + 2) + sof_body4
     four = jpg[:i] + sof4 + jpg[i + 2 + struct.unpack_from(">H", jpg, i + 2)[0]:]
-    with pytest.raises(NotImplementedError, match="4-component"):
+    with pytest.raises(ValueError, match="missing component"):
         M.decode_jpeg(four)
     # subsampled color decodes FOR REAL now; re-typing a 4:4:4 scan's
     # Y sampling to 2x2 leaves an entropy stream that cannot satisfy
@@ -2141,3 +2142,67 @@ def test_tiff_sample_cycle_includes_lzw():
         assert M.decode_tiff(p)["mean_value"] == pytest.approx(want)
     assert (5, 2) in seen and (5, 1) in seen  # LZW with/without predictor
     assert (1, 1) in seen and (32773, 1) in seen
+
+
+def test_jpeg_cmyk_round_trips_both_transforms():
+    """Adobe 4-component files: plain inverted CMYK (APP14 transform
+    0) and YCCK (transform 2) both reconstruct the exact closed-form
+    RGB — constant tiles + all-ones quant keep the chain lossless."""
+    import math
+
+    import numpy as np
+
+    fl = lambda x: math.floor(x + 0.5)
+    for d in range(24):
+        w, h, (c, m, y, k) = M.jpeg_cmyk_params(d)
+        t = 2 if d % 2 else 0
+        p = M.encode_jpeg(w, h, cmyk=(c, m, y, k), adobe_transform=t)
+        assert b"Adobe" in p
+        gw, gh, img = M._jpeg_decode_pixels(p)
+        assert (gw, gh) == (w, h) and img.shape == (h, w, 3)
+        ic, im_, iy, ik = 255 - c, 255 - m, 255 - y, 255 - k
+        if t == 2:
+            yy = fl(0.299 * ic + 0.587 * im_ + 0.114 * iy)
+            cb = fl(128 - 0.168736 * ic - 0.331264 * im_ + 0.5 * iy)
+            cr = fl(128 + 0.5 * ic - 0.418688 * im_ - 0.081312 * iy)
+            s = [min(255, max(0, fl(yy + 1.402 * (cr - 128)))),
+                 min(255, max(0, fl(yy - 0.344136 * (cb - 128)
+                                    - 0.714136 * (cr - 128)))),
+                 min(255, max(0, fl(yy + 1.772 * (cb - 128))))]
+        else:
+            s = [ic, im_, iy]
+        want = [fl(sv * ik / 255) for sv in s]
+        assert (img == np.array(want)).all(), (d, img[0, 0], want)
+
+
+def test_jpeg_cmyk_boundaries():
+    """Missing APP14 (inversion would be a guess), unknown transform
+    values, and unsupported encode combos are loud."""
+    p = M.encode_jpeg(4, 4, cmyk=(10, 20, 30, 40))
+    i = p.find(b"\xff\xee")
+    ln = int.from_bytes(p[i + 2:i + 4], "big")
+    with pytest.raises(NotImplementedError, match="APP14"):
+        M._jpeg_decode_pixels(p[:i] + p[i + 2 + ln:])
+    # transform 1 (YCbCr) is meaningless for 4 components
+    bad = bytearray(p)
+    bad[i + 2 + ln - 1] = 1
+    with pytest.raises(NotImplementedError, match="transform 1"):
+        M._jpeg_decode_pixels(bytes(bad))
+    with pytest.raises(NotImplementedError):
+        M.encode_jpeg(4, 4, cmyk=(1, 2, 3, 4), subsampling="420")
+    with pytest.raises(NotImplementedError):
+        M.encode_jpeg(4, 4, cmyk=(1, 2, 3, 4), progressive=True)
+    with pytest.raises(ValueError):
+        M.encode_jpeg(4, 4, cmyk=(1, 2, 3, 4), adobe_transform=1)
+    with pytest.raises(ValueError):
+        M.encode_jpeg(4, 4, cmyk=(1, 2, 3, 400))
+
+
+def test_jpeg_cmyk_registry_and_stats():
+    """decode_media dispatches CMYK JPEGs and the stats mean is the
+    RGB mean the catalog oracle aggregates."""
+    p = M.encode_jpeg(3, 2, cmyk=(5, 10, 15, 0))  # k=0 → ik=255
+    d = M.decode_media(p, "image/jpeg")
+    # transform 0: stored = inverted; ik=255 → rgb = stored exactly
+    assert d["mean_value"] == pytest.approx((250 + 245 + 240) / 3)
+    assert d["n_units"] == 6 and d["width"] == 3
