@@ -141,6 +141,21 @@ HEADLINE = [
     "ann_hnsw_indexed_topk",
     "multimodal_avi_decode_stats",
     "multimodal_pdf_text_extract",
+    # round-11 additions: the ingestion tier that was catalog-green but
+    # bench-invisible — WARC web-archive extraction (record walk + HTTP
+    # split incl. chunked bodies + html_to_text), archive member
+    # fan-out (zip/tar.gz), the deepest composed plan (text → PDF →
+    # archive → member fan-out → page extraction → rollup, ONE lazy
+    # plan), MP3 stream metadata (frame walk + ID3), animated-GIF
+    # composition, TIFF decode (now incl. LZW + predictor strips), and
+    # the Adobe CMYK/YCCK JPEG path
+    "warc_text_extract",
+    "archive_text_extract",
+    "archived_pdf_corpus_stats",
+    "multimodal_mp3_stream_info",
+    "multimodal_gif_animation_stats",
+    "multimodal_tiff_decode_stats",
+    "multimodal_jpeg_cmyk_decode_stats",
 ]
 
 # Iterative/trainer operators do their distributed work INSIDE fn()
