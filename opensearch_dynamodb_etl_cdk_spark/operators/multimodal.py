@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import re
 import struct
+import zlib
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
@@ -3213,8 +3214,8 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
     spp = 3 if rgb else 1
     if predictor not in (1, 2):
         raise ValueError(f"TIFF: predictor {predictor} is not encodable")
-    if predictor == 2 and compression != "lzw":
-        raise ValueError("TIFF: predictor 2 pairs with LZW here")
+    if predictor == 2 and compression not in ("lzw", "deflate"):
+        raise ValueError("TIFF: predictor 2 pairs with LZW/Deflate here")
     rows = []
     for y in range(height):
         row = bytearray()
@@ -3229,13 +3230,16 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
         b"".join(rows[y:y + rows_per_strip])
         for y in range(0, height, rows_per_strip)
     ] or [b""]
-    comp_code = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    comp_code = {"none": 1, "lzw": 5, "deflate": 8,
+                 "packbits": 32773}[compression]
     if predictor == 2:
         strips = [_tiff_diff_rows(s, width, spp) for s in strips]
     if compression == "packbits":
         strips = [_packbits_encode(s) for s in strips]
     elif compression == "lzw":
         strips = [_tiff_lzw_encode(s) for s in strips]
+    elif compression == "deflate":
+        strips = [zlib.compress(s) for s in strips]
     # layout: header(8) | strip data | BitsPerSample array (rgb only) |
     # strip offset/count arrays (if >2 entries... keep simple: always
     # out-of-line when count > 1) | IFD
@@ -3351,10 +3355,10 @@ def _tiff_parse(payload: bytes) -> tuple[int, int, int, int, bytes]:
     bits = values("bits", 8)
     if set(bits) != {8}:
         raise NotImplementedError("TIFF: only 8 bits per sample decodes")
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF: compression {comp} needs a codec "
-            "(only none/LZW/PackBits)")
+            "(only none/LZW/Deflate/PackBits)")
     pred = values("predictor", 1)[0]
     if pred not in (1, 2):
         raise NotImplementedError(
@@ -3377,6 +3381,16 @@ def _tiff_parse(payload: bytes) -> tuple[int, int, int, int, bytes]:
             strip = _packbits_decode(strip, strip_rows * width * spp)
         elif comp == 5:
             strip = _tiff_lzw_decode(strip, strip_rows * width * spp)
+        elif comp in (8, 32946):  # Adobe Deflate + the legacy code
+            try:
+                strip = zlib.decompress(strip)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"TIFF: Deflate strip damaged: {exc}") from None
+            if len(strip) != strip_rows * width * spp:
+                raise ValueError(
+                    f"TIFF: Deflate strip decoded to {len(strip)} "
+                    f"bytes, expected {strip_rows * width * spp}")
         data += strip
     if len(data) != width * height * spp:
         raise ValueError(
@@ -3417,15 +3431,16 @@ def tiff_params(doc_id: int) -> tuple[int, int, int]:
 def encode_tiff_sample(doc_id: int) -> bytes:
     """Synthesized TIFF for ``doc_id``, cycling the container variants:
     RGB for odd ids (gray otherwise), compression walking
-    none → PackBits → LZW by id % 3 (the LZW slice adds horizontal
-    differencing for odd ids — the predictor real writers pair with
-    it), big-endian every 5th id, 2-row strips throughout."""
+    none → PackBits → LZW → Deflate by id % 4 (the compressed slices
+    alternate the horizontal-differencing predictor real writers pair
+    with them), big-endian every 5th id, 2-row strips throughout."""
     w, h, base = tiff_params(doc_id)
-    comp = ("none", "packbits", "lzw")[doc_id % 3]
+    comp = ("none", "packbits", "lzw", "deflate")[doc_id % 4]
     return encode_tiff(
         w, h, base=base, rgb=bool(doc_id % 2),
         compression=comp,
-        predictor=2 if comp == "lzw" and doc_id % 2 else 1,
+        predictor=2 if comp in ("lzw", "deflate")
+        and (doc_id // 4) % 2 else 1,
         big_endian=doc_id % 5 == 0,
     )
 

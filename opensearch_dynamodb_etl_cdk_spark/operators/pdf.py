@@ -85,7 +85,8 @@ def _predict_png_up(data: bytes, columns: int) -> bytes:
 
 
 def encode_pdf(pages: list[str], compress: bool = True,
-               layout: str = "classic") -> bytes:
+               layout: str = "classic",
+               indirect_length: bool = False) -> bytes:
     """Write a real PDF: catalog, pages tree, one content stream per
     page (each text line a ``Td``-positioned ``Tj``), shared Helvetica
     font. ``compress`` wraps content streams in FlateDecode — the
@@ -102,6 +103,10 @@ def encode_pdf(pages: list[str], compress: bool = True,
     - ``hybrid``: a classic table whose trailer carries /XRefStm
       (ISO 32000 §7.5.8.4 compatibility layout — packed members sit
       free in the table and resolve through the stream).
+
+    ``indirect_length`` writes each content stream's /Length as a
+    reference to a companion integer object — the form real writers
+    emit when a stream is written before its length is known.
     """
     if layout not in ("classic", "xref-stream", "objstm", "hybrid"):
         raise ValueError(f"encode_pdf: unknown layout {layout!r}")
@@ -136,6 +141,18 @@ def encode_pdf(pages: list[str], compress: bool = True,
         )
     objects[font_id] = (b"<< /Type /Font /Subtype /Type1 "
                         b"/BaseFont /Helvetica >>")
+    if indirect_length:
+        # the companion-integer form real writers emit when the stream
+        # is written before its length is known: /Length N 0 R plus a
+        # plain integer object per content stream
+        for i in range(n_pages):
+            cid = 4 + 2 * i
+            lid = font_id + 1 + i
+            m = re.search(rb"/Length (\d+) >>", objects[cid])
+            objects[cid] = (objects[cid][:m.start()]
+                            + b"/Length %d 0 R >>" % lid
+                            + objects[cid][m.end():])
+            objects[lid] = m.group(1)
 
     if layout == "classic":
         out = bytearray(b"%PDF-1.4\n")
@@ -156,11 +173,16 @@ def encode_pdf(pages: list[str], compress: bool = True,
     # not live inside one), or keep everything direct for xref-stream
     pack = layout in ("objstm", "hybrid")
     content_ids = {4 + 2 * i for i in range(n_pages)}
-    packed = sorted(oid for oid in objects if oid not in content_ids) \
+    # length companion integers (ids > font_id) stay DIRECT even when
+    # packing: a /Length resolving through an ObjStm would be circular
+    # for the reader (and real writers never emit that)
+    packed = sorted(oid for oid in objects
+                    if oid not in content_ids and oid <= font_id) \
         if pack else []
     direct = sorted(oid for oid in objects if oid not in packed)
-    objstm_id = font_id + 1 if pack else None
-    xref_id = font_id + (2 if pack else 1)
+    next_id = max(objects) + 1
+    objstm_id = next_id if pack else None
+    xref_id = next_id + (1 if pack else 0)
 
     out = bytearray(b"%PDF-1.5\n")
     offsets: dict[int, int] = {}
@@ -322,14 +344,19 @@ def _decode_stream(src: bytes, stream: bytes) -> bytes:
     return stream
 
 
-def _object_at(payload: bytes, off: int) -> tuple[int, bytes, bytes | None]:
+def _object_at(payload: bytes, off: int,
+               resolve_len=None) -> tuple[int, bytes, bytes | None]:
     """Parse one indirect object at a byte offset → (id, dict/body
     source, raw stream bytes or None). The dict region ends at
     whichever of ``stream`` / ``endobj`` comes FIRST — stream DATA may
     contain either keyword (zlib output is arbitrary bytes, and corpus
     text can literally say "endobj"), so keywords inside it must never
     terminate the object: with a stream present, /Length is
-    authoritative for where the data ends."""
+    authoritative for where the data ends. An indirect ``/Length N 0
+    R`` resolves through ``resolve_len(N)`` when given (content
+    streams written before their length is known); without a resolver
+    — the xref stream itself, whose /Length MUST be direct per spec —
+    it is a loud boundary."""
     m = _OBJ_RE.match(payload, off)
     if not m:
         raise ValueError(f"PDF: offset {off} does not point at an object")
@@ -346,10 +373,13 @@ def _object_at(payload: bytes, off: int) -> tuple[int, bytes, bytes | None]:
             # a follow-check, NOT a lookahead inside the pattern — the
             # regex engine would backtrack (\d+) one digit shorter and
             # read "/Length 77 0 R" as direct length 7
-            raise NotImplementedError(
-                f"PDF: object {oid} stream has an indirect /Length "
-                "(not supported)")
-        ln = int(lm.group(1))
+            if resolve_len is None:
+                raise NotImplementedError(
+                    f"PDF: object {oid} stream has an indirect /Length "
+                    "(not supported here)")
+            ln = resolve_len(int(lm.group(1)))
+        else:
+            ln = int(lm.group(1))
         data_at = sm.end()
         if data_at + ln > len(payload):
             raise ValueError(f"PDF: object {oid} /Length exceeds the file")
@@ -537,11 +567,32 @@ def _objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     — including type-2 entries, whose ObjStm pair table must agree
     with the xref about which member sits at which index."""
     entries, _ = _parse_xref(payload)
+
+    def resolve_len(length_oid: int) -> int:
+        e = entries.get(length_oid)
+        if e is None:
+            raise ValueError(
+                f"PDF: indirect /Length object {length_oid} is not in "
+                "the xref")
+        if e[0] != "d":
+            raise NotImplementedError(
+                f"PDF: /Length object {length_oid} lives inside an "
+                "object stream (circular resolution)")
+        got, lbody, lstream = _object_at(payload, e[1])
+        if got != length_oid or lstream is not None:
+            raise ValueError(
+                f"PDF: /Length object {length_oid} is malformed")
+        lm = re.fullmatch(rb"\s*(\d+)\s*", lbody)
+        if not lm:
+            raise ValueError(
+                f"PDF: /Length object {length_oid} is not an integer")
+        return int(lm.group(1))
+
     objs: dict[int, tuple[bytes, bytes | None]] = {}
     in_stream: dict[int, tuple[int, int]] = {}
     for oid, (kind, loc) in entries.items():
         if kind == "d":
-            got, body, stream = _object_at(payload, loc)
+            got, body, stream = _object_at(payload, loc, resolve_len)
             if got != oid:
                 raise ValueError(
                     f"PDF: xref offset for object {oid} does not point "
@@ -758,9 +809,11 @@ def synthesize_pdfs(df: DataFrame, text_col: str = "text",
     """Materialize real PDF bytes per row from a text column (chunked
     into ``page_chars``-character pages), Arrow-batched. Container
     variants cycle per id the way real corpora mix them: FlateDecode
-    for odd ids / raw streams for even, and the cross-reference layout
+    for odd ids / raw streams for even, the cross-reference layout
     walks classic table → xref stream → ObjStm-packed (PNG-predicted
-    xref) → hybrid /XRefStm by ``id % 4``. The ingestion-side twin of
+    xref) → hybrid /XRefStm by ``id % 4``, and every fifth-ish id
+    (``id % 5 == 2``) writes content-stream lengths as indirect
+    companion-integer objects. The ingestion-side twin of
     ``synthesize_media``: payload bytes are built and stay on the
     executors."""
     layouts = ("classic", "xref-stream", "objstm", "hybrid")
@@ -776,7 +829,8 @@ def synthesize_pdfs(df: DataFrame, text_col: str = "text",
                 pages = ([t[i:i + page_chars]
                           for i in range(0, len(t), page_chars)] or [""])
                 payloads.append(encode_pdf(pages, compress=bool(d % 2),
-                                           layout=layouts[d % 4]))
+                                           layout=layouts[d % 4],
+                                           indirect_length=d % 5 == 2))
             yield pd.DataFrame(
                 {"doc_id": ids, "payload": payloads,
                  "media_type": "application/pdf"})

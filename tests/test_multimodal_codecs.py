@@ -2120,9 +2120,9 @@ def test_tiff_lzw_and_predictor_round_trip_through_container():
 
 
 def test_tiff_sample_cycle_includes_lzw():
-    """The synthesizer's id % 3 == 2 slice ships compression 5 (LZW),
-    odd ids in it with predictor 2 — and every variant still matches
-    the closed-form mean."""
+    """The synthesizer cycles compression none → PackBits → LZW →
+    Deflate, the compressed slices alternating predictor 2 — and
+    every variant still matches the closed-form mean."""
     import struct as _s
 
     seen = set()
@@ -2141,6 +2141,7 @@ def test_tiff_sample_cycle_includes_lzw():
         want = base + (w - 1) / 2 + (h - 1) + (1 if doc_id % 2 else 0)
         assert M.decode_tiff(p)["mean_value"] == pytest.approx(want)
     assert (5, 2) in seen and (5, 1) in seen  # LZW with/without predictor
+    assert (8, 2) in seen and (8, 1) in seen  # Deflate likewise
     assert (1, 1) in seen and (32773, 1) in seen
 
 
@@ -2206,3 +2207,44 @@ def test_jpeg_cmyk_registry_and_stats():
     # transform 0: stored = inverted; ik=255 → rgb = stored exactly
     assert d["mean_value"] == pytest.approx((250 + 245 + 240) / 3)
     assert d["n_units"] == 6 and d["width"] == 3
+
+
+def test_tiff_deflate_round_trips_and_validates():
+    """Adobe Deflate (8) strips — with and without the predictor, both
+    byte orders — plus the legacy 32946 code and damaged-stream
+    rejection."""
+    import struct as _s
+
+    for pred in (1, 2):
+        for be in (False, True):
+            p = M.encode_tiff(9, 5, base=20, compression="deflate",
+                              predictor=pred, big_endian=be)
+            assert M.decode_tiff(p)["mean_value"] == pytest.approx(28.0)
+    p = bytearray(M.encode_tiff(4, 4, base=1, compression="deflate"))
+    e = "<"
+    (ifd,) = _s.unpack_from(f"{e}I", p, 4)
+    (n,) = _s.unpack_from(f"{e}H", p, ifd)
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        if _s.unpack_from(f"{e}HHI", p, off)[0] == 259:
+            _s.pack_into(f"{e}H", p, off + 8, 32946)  # legacy code
+    assert M.decode_tiff(bytes(p))["mean_value"] == pytest.approx(1 + 1.5 + 3)
+    bad = bytearray(M.encode_tiff(4, 4, base=1, compression="deflate"))
+    bad[9] ^= 0xFF  # first strip byte (data starts at offset 8)
+    with pytest.raises(ValueError):
+        M.decode_tiff(bytes(bad))
+
+
+def test_pdf_indirect_length_round_trips():
+    """Content streams whose /Length is a companion integer object —
+    the form real writers emit when streaming — resolve through the
+    xref in every layout."""
+    from opensearch_dynamodb_etl_cdk_spark.operators import pdf as P
+
+    pages = ["first page text", "second (with) parens"]
+    for layout in ("classic", "xref-stream", "objstm", "hybrid"):
+        for compress in (False, True):
+            p = P.encode_pdf(pages, compress=compress, layout=layout,
+                             indirect_length=True)
+            assert b" 0 R >>\nstream" in p  # actually indirect
+            assert P.extract_pdf_pages(p) == pages, (layout, compress)

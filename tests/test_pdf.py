@@ -266,13 +266,24 @@ def test_pdf_predictor_and_xref_stream_validation():
         P.extract_pdf_pages(bad)
 
 
-def test_pdf_indirect_length_is_a_loud_boundary():
-    p = P.encode_pdf(["x" * 40], compress=False, layout="classic")
-    # make /Length indirect with an equal-length swap
+def test_pdf_indirect_length_validation():
+    """Indirect /Length RESOLVES now (companion integer object); what
+    stays loud: a ref dangling outside the xref, and a length object
+    that is not a plain integer."""
     import re as _re
+
+    p = P.encode_pdf(["x" * 40], compress=False, layout="classic")
+    # equal-length swap pointing the ref at an object the xref lacks
     m = _re.search(rb"/Length (\d\d)", p)
     patched = p[:m.start()] + b"/Length %s 0 R" % m.group(1) \
         + p[m.end() + 4:]
     assert len(patched) == len(p)
-    with pytest.raises(NotImplementedError, match="indirect /Length"):
+    with pytest.raises(ValueError, match="not in the xref"):
         P.extract_pdf_pages(patched)
+    # a real indirect-length file whose length object is NOT an integer
+    good = P.encode_pdf(["x" * 40], compress=False, layout="classic",
+                        indirect_length=True)
+    lm = _re.search(rb"(\d+) 0 obj\n(\d+)\nendobj", good)
+    bad = good[:lm.start(2)] + b"x" * len(lm.group(2)) + good[lm.end(2):]
+    with pytest.raises(ValueError, match="not an integer"):
+        P.extract_pdf_pages(bad)
