@@ -46,7 +46,9 @@ _REF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
 _NAME_RE = re.compile(rb"/(\w+)\s*/(\w+)")
 
 
-def _escape_string(s: str) -> bytes:
+def _string_bytes(s: str) -> bytes:
+    """Pick the spec text encoding for one string: Latin-1, or
+    BOM-marked UTF-16BE for text Latin-1 cannot carry."""
     try:
         raw = s.encode("latin-1")
         # Latin-1 text that happens to START with þÿ would masquerade
@@ -58,6 +60,11 @@ def _escape_string(s: str) -> bytes:
         # the spec's other text encoding: UTF-16BE with BOM — what real
         # writers emit for non-Latin-1 text. Never a lossy 'replace'.
         raw = b"\xfe\xff" + s.encode("utf-16-be")
+    return raw
+
+
+def _escape_string(s: str) -> bytes:
+    raw = _string_bytes(s)
     out = bytearray()
     for ch in raw:
         if ch in (0x28, 0x29, 0x5C):  # ( ) \
@@ -86,7 +93,8 @@ def _predict_png_up(data: bytes, columns: int) -> bytes:
 
 def encode_pdf(pages: list[str], compress: bool = True,
                layout: str = "classic",
-               indirect_length: bool = False) -> bytes:
+               indirect_length: bool = False,
+               hex_strings: bool = False) -> bytes:
     """Write a real PDF: catalog, pages tree, one content stream per
     page (each text line a ``Td``-positioned ``Tj``), shared Helvetica
     font. ``compress`` wraps content streams in FlateDecode — the
@@ -107,6 +115,8 @@ def encode_pdf(pages: list[str], compress: bool = True,
     ``indirect_length`` writes each content stream's /Length as a
     reference to a companion integer object — the form real writers
     emit when a stream is written before its length is known.
+    ``hex_strings`` shows text with HEX strings (``<...> Tj``) instead
+    of literal strings — the form subsetted-font writers emit.
     """
     if layout not in ("classic", "xref-stream", "objstm", "hybrid"):
         raise ValueError(f"encode_pdf: unknown layout {layout!r}")
@@ -128,7 +138,11 @@ def encode_pdf(pages: list[str], compress: bool = True,
         for j, line in enumerate(text.split("\n")):
             if j:
                 ops += b"T*\n"  # next line
-            ops += b"(" + _escape_string(line) + b") Tj\n"
+            if hex_strings:
+                ops += b"<" + _string_bytes(line).hex().encode() \
+                    + b"> Tj\n"
+            else:
+                ops += b"(" + _escape_string(line) + b") Tj\n"
         ops += b"ET"
         stream = bytes(ops)
         filt = b""
@@ -707,6 +721,25 @@ def _literal_strings_and_ops(content: bytes):
                 if depth:
                     raise ValueError("PDF: unterminated literal string")
             yield ("str", bytes(out))
+        elif c == b"<":
+            if content[i + 1:i + 2] == b"<":  # dictionary open (BDC
+                i += 2                        # property lists etc.)
+                continue
+            # HEX string — the form subsetted-font text is usually
+            # shown with; whitespace is ignored, an odd final digit
+            # pads with 0 (ISO 32000 §7.3.4.3)
+            end = content.find(b">", i + 1)
+            if end < 0:
+                raise ValueError("PDF: unterminated hex string")
+            digits = re.sub(rb"\s+", b"", content[i + 1:end])
+            if not re.fullmatch(rb"[0-9a-fA-F]*", digits):
+                raise ValueError("PDF: non-hex byte in hex string")
+            if len(digits) % 2:
+                digits += b"0"
+            yield ("str", bytes.fromhex(digits.decode("ascii")))
+            i = end + 1
+        elif c == b">":
+            i += 2 if content[i + 1:i + 2] == b">" else 1  # dict close
         elif c == b"[" or c == b"]":
             i += 1
         elif re.match(rb"[A-Za-z'\"*]", c):
@@ -777,6 +810,11 @@ def extract_pdf_pages(payload: bytes) -> list[str]:
             elif val == b"T*":
                 parts.append("\n")
                 pending = []
+            elif val == b"BI":
+                # inline image: the bytes after ID are raw sample data
+                # that would corrupt tokenization — loud, not garbled
+                raise NotImplementedError(
+                    "PDF: inline images (BI..ID..EI) are not supported")
             else:
                 if pending:
                     # loud-boundary discipline: no text-showing operator
@@ -811,11 +849,11 @@ def synthesize_pdfs(df: DataFrame, text_col: str = "text",
     variants cycle per id the way real corpora mix them: FlateDecode
     for odd ids / raw streams for even, the cross-reference layout
     walks classic table → xref stream → ObjStm-packed (PNG-predicted
-    xref) → hybrid /XRefStm by ``id % 4``, and every fifth-ish id
-    (``id % 5 == 2``) writes content-stream lengths as indirect
-    companion-integer objects. The ingestion-side twin of
-    ``synthesize_media``: payload bytes are built and stay on the
-    executors."""
+    xref) → hybrid /XRefStm by ``id % 4``; ``id % 5 == 2`` writes
+    content-stream lengths as indirect companion-integer objects, and
+    ``id % 7 == 3`` shows text with hex strings (the subsetted-font
+    form). The ingestion-side twin of ``synthesize_media``: payload
+    bytes are built and stay on the executors."""
     layouts = ("classic", "xref-stream", "objstm", "hybrid")
 
     def run(batches: Iterator) -> Iterator:
@@ -830,7 +868,8 @@ def synthesize_pdfs(df: DataFrame, text_col: str = "text",
                           for i in range(0, len(t), page_chars)] or [""])
                 payloads.append(encode_pdf(pages, compress=bool(d % 2),
                                            layout=layouts[d % 4],
-                                           indirect_length=d % 5 == 2))
+                                           indirect_length=d % 5 == 2,
+                                           hex_strings=d % 7 == 3))
             yield pd.DataFrame(
                 {"doc_id": ids, "payload": payloads,
                  "media_type": "application/pdf"})

@@ -287,3 +287,34 @@ def test_pdf_indirect_length_validation():
     bad = good[:lm.start(2)] + b"x" * len(lm.group(2)) + good[lm.end(2):]
     with pytest.raises(ValueError, match="not an integer"):
         P.extract_pdf_pages(bad)
+
+
+def test_pdf_hex_strings_round_trip():
+    """HEX strings (<...> Tj) — the subsetted-font text form — decode
+    exactly: both text encodings, whitespace inside digits, odd-digit
+    zero padding, and dict tokens (<< >>) must not be mistaken for
+    them."""
+    pages = ["hex shown text", "euro € line\nsecond", "þÿ tricky"]
+    for layout in ("classic", "objstm"):
+        p = P.encode_pdf(pages, layout=layout, hex_strings=True,
+                         compress=False)
+        assert b"> Tj" in p
+        assert P.extract_pdf_pages(p) == pages
+        assert P.extract_pdf_pages(
+            P.encode_pdf(pages, layout=layout, hex_strings=True)) == pages
+    # hand-built: whitespace splits, odd digit pads with 0
+    toks = list(P._literal_strings_and_ops(b"<4 86\n99> Tj << /MC 1 >>"))
+    assert toks[0] == ("str", b"Hi\x90")
+    assert ("op", b"Tj") in toks
+    with pytest.raises(ValueError, match="unterminated hex"):
+        list(P._literal_strings_and_ops(b"<486"))
+    with pytest.raises(ValueError, match="non-hex"):
+        list(P._literal_strings_and_ops(b"<4z6> Tj"))
+
+
+def test_pdf_inline_image_is_a_loud_boundary():
+    raw = P.encode_pdf(["base"], compress=False)
+    patched = raw.replace(b"(base) Tj", b"BI ID  EI")   # same length
+    assert len(patched) == len(raw)
+    with pytest.raises(NotImplementedError, match="inline image"):
+        P.extract_pdf_pages(patched)
