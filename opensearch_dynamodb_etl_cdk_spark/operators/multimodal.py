@@ -3451,7 +3451,8 @@ def encode_tiff_sample(doc_id: int) -> bytes:
 # frame sync + version/layer bits, the bitrate/sample-rate index
 # tables, padding, and the fixed 1152 samples/frame — enough to walk
 # every frame and derive count/bitrate/duration, plus ID3v2 (syncsafe
-# envelope, v2.3 text frames) and trailing ID3v1 tags. PCM DECODE
+# envelope, v2.3 AND v2.4 text frames — syncsafe frame sizes and all
+# four text encodings in the latter) and trailing ID3v1 tags. PCM DECODE
 # stays the loud NotImplementedError: the Layer III Huffman tables and
 # hybrid filterbank are a codec this container does not ship, and a
 # half-remembered table would be silently wrong — the one failure mode
@@ -3472,19 +3473,42 @@ def _id3v2_size(payload: bytes) -> int:
         raise ValueError("MP3: ID3v2 size bytes are not syncsafe")
     size = (payload[6] << 21) | (payload[7] << 14) \
         | (payload[8] << 7) | payload[9]
-    return 10 + size
+    total = 10 + size
+    if payload[5] & 0x10:
+        total += 10  # v2.4 footer (not counted in the size field)
+    return total
+
+
+def _id3_text(body: bytes) -> str:
+    """Decode one text-frame body per its encoding byte: 0 Latin-1,
+    1 UTF-16 with BOM, 2 UTF-16BE (v2.4), 3 UTF-8 (v2.4). An unknown
+    encoding raises — a guessed decode would be a silently wrong
+    title, the one failure mode this module never accepts."""
+    enc, data = body[0], body[1:]
+    if enc == 0:
+        return data.split(b"\x00")[0].decode("latin-1")
+    if enc == 1:
+        return data.decode("utf-16").split("\x00")[0]
+    if enc == 2:
+        return data.decode("utf-16-be").split("\x00")[0]
+    if enc == 3:
+        return data.split(b"\x00")[0].decode("utf-8")
+    raise ValueError(f"MP3: unknown ID3 text encoding {enc}")
 
 
 def _id3v2_text_frames(payload: bytes) -> dict[str, str]:
-    """ID3v2.3 text frames (TIT2/TPE1/TALB...) → {frame id: text}.
-    Other tag versions raise: v2.2 uses 6-byte frame headers and v2.4
-    syncsafe frame sizes — walking them with v2.3 rules would yield
-    silently wrong titles, the one failure mode this module never
-    accepts."""
-    if payload[3:4] != b"\x03":
+    """ID3v2.3 AND v2.4 text frames (TIT2/TPE1/TALB...) → {frame id:
+    text}; v2.4 frame sizes are SYNCSAFE where v2.3's are plain
+    big-endian — walking one with the other's rule yields silently
+    wrong titles, so the version dispatches explicitly. v2.2 (6-byte
+    frame headers) and extended headers raise."""
+    ver = payload[3]
+    if ver not in (3, 4):
         raise NotImplementedError(
-            f"MP3: ID3v2.{payload[3]} tag parsing is not supported "
-            "(only v2.3)")
+            f"MP3: ID3v2.{ver} tag parsing is not supported "
+            "(only v2.3/v2.4)")
+    if payload[5] & 0x40:
+        raise NotImplementedError("MP3: ID3v2 extended headers")
     total = _id3v2_size(payload)
     out: dict[str, str] = {}
     pos = 10
@@ -3492,11 +3516,17 @@ def _id3v2_text_frames(payload: bytes) -> dict[str, str]:
         fid = payload[pos:pos + 4]
         if fid == b"\x00\x00\x00\x00":
             break  # padding
-        (size,) = struct.unpack_from(">I", payload, pos + 4)
+        raw = payload[pos + 4:pos + 8]
+        if ver == 4:
+            if any(b & 0x80 for b in raw):
+                raise ValueError("MP3: ID3v2.4 frame size not syncsafe")
+            size = (raw[0] << 21) | (raw[1] << 14) | (raw[2] << 7) \
+                | raw[3]
+        else:
+            (size,) = struct.unpack(">I", raw)
         body = payload[pos + 10:pos + 10 + size]
-        if fid.startswith(b"T") and body[:1] == b"\x00":  # latin-1 text
-            out[fid.decode("ascii")] = body[1:].split(b"\x00")[0].decode(
-                "latin-1")
+        if fid.startswith(b"T") and body:
+            out[fid.decode("ascii")] = _id3_text(body)
         pos += 10 + size
     return out
 
@@ -3504,7 +3534,7 @@ def _id3v2_text_frames(payload: bytes) -> dict[str, str]:
 def mp3_stream_info(payload: bytes) -> dict:
     """Walk every MPEG-1 Layer III frame header: returns n_frames,
     sample_rate, bitrate_kbps (CBR value or the average for VBR),
-    duration_ms (1152 samples/frame), and any ID3v2.3 title. Broken
+    duration_ms (1152 samples/frame), and any ID3v2.3/v2.4 title. Broken
     sync mid-stream, free-format bitrate, and non-MPEG1-Layer-III
     frames raise precisely."""
     tags = _id3v2_text_frames(payload) if payload[:3] == b"ID3" else {}
@@ -3601,20 +3631,32 @@ def mp3_params(doc_id: int) -> tuple[int, int, int]:
 
 
 def encode_mp3_stub(doc_id: int) -> bytes:
-    """MP3-SHAPED stream for the metadata scanner: a real ID3v2.3 tag
-    (TIT2 title), n valid MPEG-1 Layer III frame headers with padding
-    bits cycling and zeroed audio payloads, and an ID3v1 trailer. The
-    payload is NOT decodable audio — it exists to drive the header
-    walk, which never inspects payload bytes (exactly like real
-    metadata scanners)."""
+    """MP3-SHAPED stream for the metadata scanner: a real ID3v2 tag
+    (TIT2 title; v2.3 for even ids, v2.4 with SYNCSAFE frame sizes for
+    odd, text encodings cycling Latin-1/UTF-16/UTF-16BE/UTF-8 as each
+    version allows), n valid MPEG-1 Layer III frame headers with
+    padding bits cycling and zeroed audio payloads, and an ID3v1
+    trailer. The payload is NOT decodable audio — it exists to drive
+    the header walk, which never inspects payload bytes (exactly like
+    real metadata scanners)."""
     rate, kbps, n = mp3_params(doc_id)
-    title = f"doc {doc_id}".encode("latin-1")
-    tit2 = b"TIT2" + struct.pack(">I", 1 + len(title)) + b"\x00\x00" \
-        + b"\x00" + title
-    tag_size = len(tit2)
-    id3 = (b"ID3\x03\x00\x00"
-           + bytes([(tag_size >> 21) & 0x7F, (tag_size >> 14) & 0x7F,
-                    (tag_size >> 7) & 0x7F, tag_size & 0x7F])
+    ver = 3 if doc_id % 2 == 0 else 4
+    enc = (doc_id // 2) % (2 if ver == 3 else 4)
+    t = f"doc {doc_id}"
+    body = bytes([enc]) + (
+        t.encode("latin-1") if enc == 0 else
+        t.encode("utf-16") if enc == 1 else
+        t.encode("utf-16-be") if enc == 2 else
+        t.encode("utf-8"))
+
+    def syncsafe(v: int) -> bytes:
+        return bytes([(v >> 21) & 0x7F, (v >> 14) & 0x7F,
+                      (v >> 7) & 0x7F, v & 0x7F])
+
+    size_field = syncsafe(len(body)) if ver == 4 \
+        else struct.pack(">I", len(body))
+    tit2 = b"TIT2" + size_field + b"\x00\x00" + body
+    id3 = (b"ID3" + bytes([ver]) + b"\x00\x00" + syncsafe(len(tit2))
            + tit2)
     sr_idx = _MP3_RATES.index(rate)
     br_idx = _MP3_BITRATES.index(kbps)

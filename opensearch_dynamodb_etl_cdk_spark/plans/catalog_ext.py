@@ -2601,7 +2601,8 @@ def multimodal_rle_bmp_decode_stats(spark, sf_dir):
     """,
     doc="MP3 stream METADATA without decoding (the audio-inventory "
     "pass real corpus pipelines run): per document an MPEG-1 Layer "
-    "III stream with a real ID3v2.3 tag, CBR frame headers with "
+    "III stream with a real ID3v2 tag (v2.3 even ids / v2.4 odd, "
+    "text encodings cycling per version), CBR frame headers with "
     "cycling padding bits, and an ID3v1 trailer; the scanner "
     "(operators/multimodal.py::mp3_stream_info) walks EVERY frame via "
     "the public header layout (sync, version/layer, bitrate and "

@@ -1993,11 +1993,47 @@ def test_mp3_short_stream_and_tag_guard():
     frame = hdr + b"\x00" * (size - 4)
     info = M.mp3_stream_info(frame)
     assert info["n_units"] == 1 and info["sample_rate"] == rate
-    # unsupported tag versions are precise boundaries, not garbage
-    v24 = bytearray(M.encode_mp3_stub(1))
-    v24[3] = 4
+    # v2.4 PARSES now; v2.2 (6-byte frame headers) stays the boundary
+    v22 = bytearray(M.encode_mp3_stub(0))
+    v22[3] = 2
     with pytest.raises(NotImplementedError):
-        M.mp3_stream_info(bytes(v24))
+        M.mp3_stream_info(bytes(v22))
+
+
+def test_mp3_id3v24_and_text_encodings():
+    """v2.3 even ids / v2.4 odd ids, text encodings cycling per
+    version — every title round-trips; v2.4 frame sizes must be
+    syncsafe and unknown encodings raise."""
+    vers = set()
+    for d in range(16):
+        p = M.encode_mp3_stub(d)
+        vers.add(p[3])
+        assert M.mp3_stream_info(p)["title"] == f"doc {d}"
+    assert vers == {3, 4}
+    # non-ascii titles through each encoding byte
+    for enc, blob in ((1, "tïtle €".encode("utf-16")),
+                      (2, "tïtle €".encode("utf-16-be")),
+                      (3, "tïtle €".encode("utf-8"))):
+        body = bytes([enc]) + blob
+        sz = bytes([0, 0, len(body) >> 7, len(body) & 0x7F])
+        tit2 = b"TIT2" + sz + b"\x00\x00" + body
+        tag = b"ID3\x04\x00\x00" + bytes([0, 0, len(tit2) >> 7,
+                                          len(tit2) & 0x7F]) + tit2
+        assert M._id3v2_text_frames(tag)["TIT2"] == "tïtle €"
+    # a v2.4 frame whose size byte is NOT syncsafe is malformed
+    bad = bytearray(M.encode_mp3_stub(1))
+    at = bad.index(b"TIT2") + 4
+    bad[at] = 0x80
+    with pytest.raises(ValueError, match="syncsafe"):
+        M._id3v2_text_frames(bytes(bad))
+    # unknown text encoding byte
+    with pytest.raises(ValueError, match="encoding"):
+        M._id3_text(b"\x09junk")
+    # extended headers are a loud boundary
+    ext = bytearray(M.encode_mp3_stub(0))
+    ext[5] |= 0x40
+    with pytest.raises(NotImplementedError, match="extended"):
+        M._id3v2_text_frames(bytes(ext))
 
 
 # ------------------------------------------------------------ RLE8 BMP
