@@ -218,10 +218,13 @@ def parse_tar(payload: bytes) -> list[tuple[str, bytes]]:
 
 
 def encode_zip(members: list[tuple[str, bytes]],
-               compress: bool = True) -> bytes:
+               compress: bool = True, zip64: bool = False) -> bytes:
     """Write a zip archive: local headers + data, central directory,
     EOCD. DEFLATE (raw zlib) when ``compress`` and it helps, else
-    STORED."""
+    STORED. ``zip64`` writes the ZIP64 shape real >4 GiB / >65k-member
+    archives use — 0xFFFFFFFF sentinel sizes/offsets resolved through
+    0x0001 extra fields, an EOCD64 record and its locator — without
+    needing actual 4 GiB payloads."""
     out = bytearray()
     central = bytearray()
     for name, data in members:
@@ -234,32 +237,94 @@ def encode_zip(members: list[tuple[str, bytes]],
         method = 8 if compress and len(packed) < len(data) else 0
         blob = packed if method == 8 else data
         local_at = len(out)
-        out += (b"PK\x03\x04"
-                + struct.pack("<HHHHHIII", 20, flags, method, 0, 0, crc,
-                              len(blob), len(data))
-                + struct.pack("<HH", len(nb), 0) + nb + blob)
-        central += (b"PK\x01\x02"
-                    + struct.pack("<HHHHHHIII", 20, 20, flags, method,
-                                  0, 0, crc, len(blob), len(data))
-                    + struct.pack("<HHHHHII", len(nb), 0, 0, 0, 0, 0,
-                                  local_at)
-                    + nb)
+        if zip64:
+            # sentinel sizes in the fixed fields, real values in the
+            # 0x0001 extra (local: usize+csize; central: +offset)
+            lextra = (struct.pack("<HH", 0x0001, 16)
+                      + struct.pack("<QQ", len(data), len(blob)))
+            out += (b"PK\x03\x04"
+                    + struct.pack("<HHHHHIII", 45, flags, method, 0, 0,
+                                  crc, 0xFFFFFFFF, 0xFFFFFFFF)
+                    + struct.pack("<HH", len(nb), len(lextra))
+                    + nb + lextra + blob)
+            cextra = (struct.pack("<HH", 0x0001, 24)
+                      + struct.pack("<QQQ", len(data), len(blob),
+                                    local_at))
+            central += (b"PK\x01\x02"
+                        + struct.pack("<HHHHHHIII", 45, 45, flags,
+                                      method, 0, 0, crc, 0xFFFFFFFF,
+                                      0xFFFFFFFF)
+                        + struct.pack("<HHHHHII", len(nb), len(cextra),
+                                      0, 0, 0, 0, 0xFFFFFFFF)
+                        + nb + cextra)
+        else:
+            out += (b"PK\x03\x04"
+                    + struct.pack("<HHHHHIII", 20, flags, method, 0, 0,
+                                  crc, len(blob), len(data))
+                    + struct.pack("<HH", len(nb), 0) + nb + blob)
+            central += (b"PK\x01\x02"
+                        + struct.pack("<HHHHHHIII", 20, 20, flags,
+                                      method, 0, 0, crc, len(blob),
+                                      len(data))
+                        + struct.pack("<HHHHHII", len(nb), 0, 0, 0, 0,
+                                      0, local_at)
+                        + nb)
     cd_at = len(out)
     out += central
-    out += (b"PK\x05\x06" + struct.pack("<HHHHIIH", 0, 0, len(members),
-                                        len(members), len(central),
-                                        cd_at, 0))
+    if zip64:
+        eocd64_at = len(out)
+        out += (b"PK\x06\x06"
+                + struct.pack("<QHHIIQQQQ", 44, 45, 45, 0, 0,
+                              len(members), len(members), len(central),
+                              cd_at))
+        out += b"PK\x06\x07" + struct.pack("<IQI", 0, eocd64_at, 1)
+        out += (b"PK\x05\x06"
+                + struct.pack("<HHHHIIH", 0, 0, 0xFFFF, 0xFFFF,
+                              0xFFFFFFFF, 0xFFFFFFFF, 0))
+    else:
+        out += (b"PK\x05\x06"
+                + struct.pack("<HHHHIIH", 0, 0, len(members),
+                              len(members), len(central), cd_at, 0))
     return bytes(out)
+
+
+def _zip64_extra(extra: bytes, needed: int) -> list[int]:
+    """Pull ``needed`` 64-bit values from the 0x0001 ZIP64 extra field
+    — present only for the fixed fields that hit their 0xFFFFFFFF
+    sentinel, in spec order (usize, csize, offset, disk)."""
+    pos = 0
+    while pos + 4 <= len(extra):
+        fid, flen = struct.unpack_from("<HH", extra, pos)
+        if fid == 0x0001:
+            data = extra[pos + 4:pos + 4 + flen]
+            if len(data) < 8 * needed:
+                raise ValueError("zip: ZIP64 extra field too short")
+            return list(struct.unpack_from(f"<{needed}Q", data))
+        pos += 4 + flen
+    raise ValueError("zip: sentinel sizes without a ZIP64 extra field")
 
 
 def parse_zip(payload: bytes) -> list[tuple[str, bytes]]:
     """Read a zip archive via the central directory, decompressing
-    STORED/DEFLATE members and verifying each CRC-32."""
+    STORED/DEFLATE members and verifying each CRC-32. ZIP64 archives
+    (0xFFFF / 0xFFFFFFFF sentinels → EOCD64 via its locator, per-entry
+    0x0001 extras) resolve — the layout every real >4 GiB or
+    >65k-member archive uses."""
     eocd_at = payload.rfind(b"PK\x05\x06")
     if eocd_at < 0:
         raise ValueError("zip: no end-of-central-directory record")
     n_total, _cd_size, cd_at = struct.unpack_from(
         "<HII", payload, eocd_at + 10)
+    if n_total == 0xFFFF or cd_at == 0xFFFFFFFF:
+        loc_at = payload.rfind(b"PK\x06\x07", 0, eocd_at)
+        if loc_at < 0:
+            raise ValueError("zip: ZIP64 EOCD locator missing")
+        (eocd64_at,) = struct.unpack_from("<Q", payload, loc_at + 8)
+        if payload[eocd64_at:eocd64_at + 4] != b"PK\x06\x06":
+            raise ValueError("zip: ZIP64 EOCD record missing")
+        (n64,) = struct.unpack_from("<Q", payload, eocd64_at + 32)
+        (cd64,) = struct.unpack_from("<Q", payload, eocd64_at + 48)
+        n_total, cd_at = n64, cd64
     members = []
     pos = cd_at
     for _ in range(n_total):
@@ -270,6 +335,15 @@ def parse_zip(payload: bytes) -> list[tuple[str, bytes]]:
         nlen, elen, clen = struct.unpack_from("<HHH", payload, pos + 28)
         (local_at,) = struct.unpack_from("<I", payload, pos + 42)
         name = _member_name(payload[pos + 46:pos + 46 + nlen])
+        wanted = [v == 0xFFFFFFFF for v in (usize, csize, local_at)]
+        if any(wanted):
+            vals = _zip64_extra(
+                payload[pos + 46 + nlen:pos + 46 + nlen + elen],
+                sum(wanted))
+            it = iter(vals)
+            usize = next(it) if wanted[0] else usize
+            csize = next(it) if wanted[1] else csize
+            local_at = next(it) if wanted[2] else local_at
         if payload[local_at:local_at + 4] != b"PK\x03\x04":
             raise ValueError(f"zip: member {name!r} local header missing")
         lnlen, lelen = struct.unpack_from("<HH", payload, local_at + 26)

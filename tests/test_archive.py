@@ -7,6 +7,7 @@ from __future__ import annotations
 import io
 import tarfile
 import zipfile
+import struct
 import zlib
 
 import pytest
@@ -242,3 +243,37 @@ def test_tar_malformed_pax_records_raise():
     for bad in (b"notdigits path=x\n", b"7 path=x", b"9 pathx-a\n"):
         with pytest.raises(ValueError):
             A._parse_pax_records(bad)
+
+
+def test_zip64_round_trips_and_cross_validates():
+    """ZIP64 (sentinel sizes → 0x0001 extras, EOCD64 + locator) —
+    the layout every real >4 GiB archive uses — cross-validated with
+    stdlib zipfile both directions without needing 4 GiB payloads."""
+    members = [("a.txt", b"hello " * 50), ("dir/b.bin", bytes(range(256))),
+               ("empty", b"")]
+    for compress in (True, False):
+        z = A.encode_zip(members, compress=compress, zip64=True)
+        assert b"PK\x06\x06" in z and b"PK\x06\x07" in z
+        assert A.parse_zip(z) == members
+        zf = zipfile.ZipFile(io.BytesIO(z))
+        assert [(n, zf.read(n)) for n in zf.namelist()] == members
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as w:
+        for n, d in members:
+            with w.open(zipfile.ZipInfo(n), "w", force_zip64=True) as f:
+                f.write(d)
+    assert A.parse_zip(buf.getvalue()) == members
+
+
+def test_zip64_malformed_rejections():
+    members = [("a.txt", b"x")]
+    z = A.encode_zip(members, zip64=True)
+    with pytest.raises(ValueError, match="locator"):  # locator gone
+        A.parse_zip(z.replace(b"PK\x06\x07", b"PK\x00\x00"))
+    with pytest.raises(ValueError, match="EOCD record"):
+        A.parse_zip(z.replace(b"PK\x06\x06", b"PK\x00\x00"))
+    # sentinel sizes whose ZIP64 extra was stripped (id overwritten)
+    bad = z.replace(struct.pack("<HH", 0x0001, 24),
+                    struct.pack("<HH", 0x0099, 24))
+    with pytest.raises(ValueError, match="ZIP64 extra"):
+        A.parse_zip(bad)
