@@ -35,10 +35,26 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 
-_ENTITIES = {
-    "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
-    "nbsp": " ",
-}
+def _entity_table() -> dict[str, str]:
+    """The FULL HTML5 named-entity set (stdlib `html.entities.html5`,
+    ~2k names — real web pages use &mdash;/&rsquo;/&hellip; far beyond
+    the XML five), keyed lowercase-insensitively the way the decoder
+    looks names up, with the spec-exact case kept where names differ
+    only by case (e.g. &Aacute; vs &aacute;). &nbsp; maps to a plain
+    space: the downstream whitespace collapse treats U+00A0 as text,
+    which would corrupt token boundaries."""
+    from html.entities import html5
+
+    table: dict[str, str] = {}
+    for name, value in html5.items():
+        if not name.endswith(";"):
+            continue  # bare legacy forms; _ENT_RE requires the ';'
+        table[name[:-1]] = value
+    table["nbsp"] = " "
+    return table
+
+
+_ENTITIES = _entity_table()
 
 
 def _gunzip_members(payload: bytes) -> bytes:
@@ -216,6 +232,11 @@ def _entity(m: re.Match) -> str:
         elif name.startswith("#"):
             cp = int(name[1:])
         else:
+            # exact case first (&Aacute; and &aacute; are DIFFERENT
+            # glyphs in HTML5), lowercase as the legacy-sloppiness
+            # fallback (&AMP; etc.), verbatim passthrough otherwise
+            if name in _ENTITIES:
+                return _ENTITIES[name]
             return _ENTITIES.get(name.lower(), m.group(0))
         if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
             return m.group(0)

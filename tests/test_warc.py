@@ -189,3 +189,16 @@ def test_synthesize_chunked_slice_round_trips(spark):
     rows = {r.doc_id: r.text
             for r in W.extract_warc_text(W.synthesize_warcs(df)).collect()}
     assert rows == {i: f'"body {i}" & more' for i in range(9)}
+
+
+def test_html_entities_full_html5_set():
+    """Real pages use the full HTML5 named set, not the XML five —
+    &mdash;/&hellip;/&rsquo; decode, case stays significant
+    (&Aacute; != &aacute;), sloppy-case legacy forms fall back, and
+    unknown names pass through verbatim."""
+    assert W.html_to_text("a &mdash; b&hellip; &rsquo;") == "a — b… ’"
+    assert W.html_to_text("&Aacute; &aacute;") == "Á á"
+    assert W.html_to_text("&AMP; &QUOT;x") == '& "x'
+    assert W.html_to_text("&notanentity; kept") == "&notanentity; kept"
+    # entities decoding to exotic whitespace collapse like whitespace
+    assert W.html_to_text("a&ensp;&emsp;b &nbsp;c") == "a b c"
