@@ -51,10 +51,11 @@ def _string_bytes(s: str) -> bytes:
     BOM-marked UTF-16BE for text Latin-1 cannot carry."""
     try:
         raw = s.encode("latin-1")
-        # Latin-1 text that happens to START with þÿ would masquerade
-        # as a UTF-16BE BOM at decode time — route it through the
-        # UTF-16 path, where it round-trips unambiguously
-        if raw[:2] == b"\xfe\xff":
+        # Latin-1 text that happens to START with þÿ (UTF-16BE BOM) or
+        # ï»¿ (the PDF 2.0 UTF-8 BOM) would masquerade as BOM-marked
+        # text at decode time — route it through the UTF-16 path,
+        # where it round-trips unambiguously
+        if raw[:2] == b"\xfe\xff" or raw[:3] == b"\xef\xbb\xbf":
             raise UnicodeEncodeError("latin-1", s, 0, 1, "BOM collision")
     except UnicodeEncodeError:
         # the spec's other text encoding: UTF-16BE with BOM — what real
@@ -662,10 +663,13 @@ def _content_bytes(objs, oid: int) -> bytes:
 
 
 def _pdf_str(b: bytes) -> str:
-    """Decode one literal string: BOM-marked UTF-16BE or Latin-1 (the
-    spec's two text-string encodings)."""
+    """Decode one string: BOM-marked UTF-16BE, BOM-marked UTF-8
+    (PDF 2.0 §7.9.2.2), or Latin-1 — the spec's text-string
+    encodings."""
     if b[:2] == b"\xfe\xff":
         return b[2:].decode("utf-16-be")
+    if b[:3] == b"\xef\xbb\xbf":
+        return b[3:].decode("utf-8")
     return b.decode("latin-1")
 
 

@@ -318,3 +318,17 @@ def test_pdf_inline_image_is_a_loud_boundary():
     assert len(patched) == len(raw)
     with pytest.raises(NotImplementedError, match="inline image"):
         P.extract_pdf_pages(patched)
+
+
+def test_pdf_utf8_bom_strings_decode_and_latin1_collision_guard():
+    """PDF 2.0 allows BOM-marked UTF-8 text strings; hand-built ones
+    decode, and Latin-1 corpus text that happens to START with ï»¿
+    routes through UTF-16 rather than masquerading as a UTF-8 BOM."""
+    assert P._pdf_str(b"\xef\xbb\xbf" + "utf8 € text".encode()) \
+        == "utf8 € text"
+    for t in ("ï»¿tricky", "ï»¿", "ïplain"):
+        assert P.extract_pdf_pages(P.encode_pdf([t])) == [t]
+    # hex-string form of a UTF-8 BOM string decodes too
+    raw = (b"\xef\xbb\xbf" + "héllo".encode()).hex().encode()
+    toks = list(P._literal_strings_and_ops(b"<" + raw + b"> Tj"))
+    assert P._pdf_str(toks[0][1]) == "héllo"
