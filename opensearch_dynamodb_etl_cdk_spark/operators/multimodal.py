@@ -3017,7 +3017,8 @@ def decode_jpeg(payload: bytes) -> dict:
 _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 273: "offsets", 277: "spp", 278: "rows_per_strip",
-    279: "counts", 317: "predictor",
+    279: "counts", 317: "predictor", 322: "tile_width",
+    323: "tile_length", 324: "tile_offsets", 325: "tile_counts",
 }
 
 
@@ -3201,15 +3202,19 @@ def _packbits_decode(data: bytes, expect: int) -> bytes:
 def encode_tiff(width: int, height: int, pixel_value: int | None = None,
                 base: int = 0, rgb: bool = False,
                 compression: str = "none", rows_per_strip: int = 2,
-                big_endian: bool = False, predictor: int = 1) -> bytes:
+                big_endian: bool = False, predictor: int = 1,
+                tiled: bool = False,
+                tile: tuple[int, int] = (16, 16)) -> bytes:
     """Build a real baseline TIFF. Content is the clip-free gradient
     v(x, y) = base + x + 2y (mean base + (w-1)/2 + (h-1)); ``rgb``
     stores channels (v, v+1, v+2) (mean +1); ``pixel_value`` overrides
     with a constant (the PackBits run-packet exerciser). Strips of
-    ``rows_per_strip`` rows each, compressed with PackBits or the
-    spec's LZW (the most common real-world TIFF compression,
-    optionally with horizontal differencing — ``predictor=2``),
-    either byte order."""
+    ``rows_per_strip`` rows each — or the TILED organization (§15,
+    the large-file/GeoTIFF layout: full-size edge-padded tiles,
+    dimensions multiples of 16) when ``tiled`` — compressed with
+    PackBits, the spec's LZW (the most common real-world TIFF
+    compression, optionally with horizontal differencing —
+    ``predictor=2``), or Adobe Deflate; either byte order."""
     e = ">" if big_endian else "<"
     spp = 3 if rgb else 1
     if predictor not in (1, 2):
@@ -3226,14 +3231,31 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
                 raise ValueError("pixel exceeds a byte")
             row += bytes(px)
         rows.append(bytes(row))
-    strips = [
-        b"".join(rows[y:y + rows_per_strip])
-        for y in range(0, height, rows_per_strip)
-    ] or [b""]
+    if tiled:
+        tw, th = tile
+        if tw % 16 or th % 16 or tw <= 0 or th <= 0:
+            raise ValueError("TIFF: tile dims must be multiples of 16")
+        strips = []
+        seg_px = tw
+        for ty in range(0, height, th):
+            for tx in range(0, width, tw):
+                t = bytearray()
+                for r in range(th):
+                    y = ty + r
+                    line = rows[y][tx * spp:(tx + tw) * spp] \
+                        if y < height else b""
+                    t += line + b"\x00" * (tw * spp - len(line))
+                strips.append(bytes(t))
+    else:
+        seg_px = width
+        strips = [
+            b"".join(rows[y:y + rows_per_strip])
+            for y in range(0, height, rows_per_strip)
+        ] or [b""]
     comp_code = {"none": 1, "lzw": 5, "deflate": 8,
                  "packbits": 32773}[compression]
     if predictor == 2:
-        strips = [_tiff_diff_rows(s, width, spp) for s in strips]
+        strips = [_tiff_diff_rows(s, seg_px, spp) for s in strips]
     if compression == "packbits":
         strips = [_packbits_encode(s) for s in strips]
     elif compression == "lzw":
@@ -3276,7 +3298,21 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
     inline(259, 3, comp_code)
     inline(262, 3, 2 if rgb else 1)
     counts = [len(s) for s in strips]
-    if len(strips) == 1:
+    if tiled:
+        inline(322, 3, tile[0])
+        inline(323, 3, tile[1])
+        if len(strips) == 1:
+            entries.append((324, 4, 1,
+                            struct.pack(f"{e}I", strip_offsets[0])))
+            entries.append((325, 4, 1, struct.pack(f"{e}I", counts[0])))
+        else:
+            so = arr_offset(strip_offsets, 4)
+            sc = arr_offset(counts, 4)
+            entries.append((324, 4, len(strips),
+                            struct.pack(f"{e}I", so)))
+            entries.append((325, 4, len(strips),
+                            struct.pack(f"{e}I", sc)))
+    elif len(strips) == 1:
         entries.append((273, 4, 1, struct.pack(f"{e}I", strip_offsets[0])))
         entries.append((279, 4, 1, struct.pack(f"{e}I", counts[0])))
     elif len(strips) == 2 and max(*strip_offsets, *counts) < 0x10000:
@@ -3290,7 +3326,8 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
         entries.append((273, 4, len(strips), struct.pack(f"{e}I", so)))
         entries.append((279, 4, len(strips), struct.pack(f"{e}I", sc)))
     inline(277, 3, spp)
-    inline(278, 4, rows_per_strip)
+    if not tiled:
+        inline(278, 4, rows_per_strip)
     if predictor == 2:
         inline(317, 3, 2)
     entries.sort()  # the spec requires ascending tag order
@@ -3367,6 +3404,61 @@ def _tiff_parse(payload: bytes) -> tuple[int, int, int, int, bytes]:
     if (photo, spp) not in ((0, 1), (1, 1), (2, 3)):
         raise NotImplementedError(
             f"TIFF: photometric {photo} with {spp} samples unsupported")
+
+    def segment(raw: bytes, n_rows: int, row_px: int) -> bytes:
+        """Decompress one strip/tile to n_rows × row_px pixels and undo
+        the predictor — per SEGMENT, with the segment's own row width:
+        a tile's rows are tile-width, not image-width."""
+        expect = n_rows * row_px * spp
+        if comp == 32773:
+            raw = _packbits_decode(raw, expect)
+        elif comp == 5:
+            raw = _tiff_lzw_decode(raw, expect)
+        elif comp in (8, 32946):  # Adobe Deflate + the legacy code
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"TIFF: Deflate segment damaged: {exc}") from None
+        if len(raw) != expect:
+            raise ValueError(
+                f"TIFF: segment decoded to {len(raw)} bytes, "
+                f"expected {expect}")
+        if pred == 2:
+            raw = _tiff_undiff_rows(raw, row_px, spp)
+        return raw
+
+    if "tile_offsets" in tags:
+        # tiled organization (TIFF 6.0 §15) — the layout large
+        # real-world files (GeoTIFF etc.) use; every tile is FULL
+        # tile-size with edge padding the assembly crops
+        tw = values("tile_width")[0]
+        th = values("tile_length")[0]
+        if tw % 16 or th % 16 or not tw or not th:
+            raise ValueError(
+                f"TIFF: tile size {tw}x{th} is not a multiple of 16")
+        offsets, counts = values("tile_offsets"), values("tile_counts")
+        if len(offsets) != len(counts):
+            raise ValueError("TIFF: TileOffsets/TileByteCounts disagree")
+        across = (width + tw - 1) // tw
+        down = (height + th - 1) // th
+        if len(offsets) != across * down:
+            raise ValueError(
+                f"TIFF: {len(offsets)} tiles for a {across}x{down} grid")
+        img = bytearray(width * height * spp)
+        for idx, (o, c) in enumerate(zip(offsets, counts)):
+            if o + c > len(payload):
+                raise ValueError("TIFF: tile out of range")
+            tile = segment(payload[o:o + c], th, tw)
+            ty, tx = divmod(idx, across)
+            n_rows = min(th, height - ty * th)
+            n_cols = min(tw, width - tx * tw) * spp
+            for r in range(n_rows):
+                dst = ((ty * th + r) * width + tx * tw) * spp
+                src = r * tw * spp
+                img[dst:dst + n_cols] = tile[src:src + n_cols]
+        return width, height, spp, photo, bytes(img)
+
     offsets, counts = values("offsets"), values("counts")
     if len(offsets) != len(counts):
         raise ValueError("TIFF: StripOffsets/StripByteCounts disagree")
@@ -3375,28 +3467,11 @@ def _tiff_parse(payload: bytes) -> tuple[int, int, int, int, bytes]:
     for j, (o, c) in enumerate(zip(offsets, counts)):
         if o + c > len(payload):
             raise ValueError("TIFF: strip out of range")
-        strip = payload[o:o + c]
-        strip_rows = min(rps, height - j * rps)
-        if comp == 32773:
-            strip = _packbits_decode(strip, strip_rows * width * spp)
-        elif comp == 5:
-            strip = _tiff_lzw_decode(strip, strip_rows * width * spp)
-        elif comp in (8, 32946):  # Adobe Deflate + the legacy code
-            try:
-                strip = zlib.decompress(strip)
-            except zlib.error as exc:
-                raise ValueError(
-                    f"TIFF: Deflate strip damaged: {exc}") from None
-            if len(strip) != strip_rows * width * spp:
-                raise ValueError(
-                    f"TIFF: Deflate strip decoded to {len(strip)} "
-                    f"bytes, expected {strip_rows * width * spp}")
-        data += strip
+        data += segment(payload[o:o + c], min(rps, height - j * rps),
+                        width)
     if len(data) != width * height * spp:
         raise ValueError(
             f"TIFF: {len(data)} sample bytes for {width}x{height}x{spp}")
-    if pred == 2:
-        data = bytearray(_tiff_undiff_rows(bytes(data), width, spp))
     return width, height, spp, photo, bytes(data)
 
 
@@ -3433,7 +3508,9 @@ def encode_tiff_sample(doc_id: int) -> bytes:
     RGB for odd ids (gray otherwise), compression walking
     none → PackBits → LZW → Deflate by id % 4 (the compressed slices
     alternate the horizontal-differencing predictor real writers pair
-    with them), big-endian every 5th id, 2-row strips throughout."""
+    with them), big-endian every 5th id, 2-row strips — except the
+    id % 7 == 5 slice, which uses the TILED organization (16x16
+    edge-padded tiles, the GeoTIFF/large-file layout)."""
     w, h, base = tiff_params(doc_id)
     comp = ("none", "packbits", "lzw", "deflate")[doc_id % 4]
     return encode_tiff(
@@ -3442,6 +3519,7 @@ def encode_tiff_sample(doc_id: int) -> bytes:
         predictor=2 if comp in ("lzw", "deflate")
         and (doc_id // 4) % 2 else 1,
         big_endian=doc_id % 5 == 0,
+        tiled=doc_id % 7 == 5,
     )
 
 

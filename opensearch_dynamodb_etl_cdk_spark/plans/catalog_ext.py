@@ -2810,7 +2810,9 @@ def multimodal_pdf_text_extract(spark, sf_dir):
     "id: grayscale AND RGB photometrics, uncompressed AND PackBits AND "
     "LZW strips (the spec §13 MSB-first early-change codec, odd LZW "
     "ids adding the horizontal-differencing predictor), little- AND "
-    "big-endian byte orders), parse them back through the registry "
+    "big-endian byte orders, and a TILED-organization slice — 16x16 "
+    "edge-padded tiles, the GeoTIFF/large-file layout), parse them "
+    "back through the registry "
     "decoder (::decode_tiff — byte-order dispatch, IFD walk, strip "
     "assembly, PackBits/LZW expansion, predictor undo), "
     "aggregate per lang. The oracle recomputes geometry and the "

@@ -2284,3 +2284,60 @@ def test_pdf_indirect_length_round_trips():
                              indirect_length=True)
             assert b" 0 R >>\nstream" in p  # actually indirect
             assert P.extract_pdf_pages(p) == pages, (layout, compress)
+
+
+def test_tiff_tiled_organization_round_trips():
+    """Tiled TIFFs (§15 — the GeoTIFF/large-file layout): full-size
+    edge-padded tiles, per-TILE predictor rows (tile width, not image
+    width), multi-tile grids, images smaller than one tile."""
+    for w, h in ((16, 16), (17, 20), (33, 40), (5, 3)):
+        for comp in ("none", "packbits", "lzw", "deflate"):
+            pred = 2 if comp in ("lzw", "deflate") else 1
+            p = M.encode_tiff(w, h, base=10, rgb=w % 2 == 1,
+                              compression=comp, predictor=pred,
+                              tiled=True, big_endian=h % 2 == 0)
+            d = M.decode_tiff(p)
+            want = 10 + (w - 1) / 2 + (h - 1) + (1 if w % 2 else 0)
+            assert (d["width"], d["height"]) == (w, h)
+            assert d["mean_value"] == pytest.approx(want), (w, h, comp)
+
+
+def test_tiff_tiled_validation():
+    import struct as _s
+
+    # non-multiple-of-16 tile dims
+    with pytest.raises(ValueError, match="multiples of 16"):
+        M.encode_tiff(8, 8, base=1, tiled=True, tile=(8, 8))
+    p = bytearray(M.encode_tiff(33, 20, base=1, tiled=True))
+    (ifd,) = _s.unpack_from("<I", p, 4)
+    (n,) = _s.unpack_from("<H", p, ifd)
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        tag = _s.unpack_from("<HHI", p, off)[0]
+        if tag == 322:  # TileWidth → 24: not a multiple of 16
+            _s.pack_into("<H", p, off + 8, 24)
+    with pytest.raises(ValueError, match="multiple of 16"):
+        M.decode_tiff(bytes(p))
+    # tile count disagreeing with the grid
+    q = bytearray(M.encode_tiff(33, 20, base=1, tiled=True))
+    (ifd,) = _s.unpack_from("<I", q, 4)
+    (n,) = _s.unpack_from("<H", q, ifd)
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        if _s.unpack_from("<HHI", q, off)[0] == 257:
+            _s.pack_into("<I", q, off + 8, 40)  # height → more tiles due
+    with pytest.raises(ValueError, match="grid"):
+        M.decode_tiff(bytes(q))
+
+
+def test_tiff_sample_cycle_includes_tiled():
+    seen_tiled = False
+    for d in range(30):
+        p = M.encode_tiff_sample(d)
+        if d % 7 == 5:
+            assert b"\x42\x01" in p or b"\x01\x42" in p  # tag 322
+            seen_tiled = True
+        w, h, base = M.tiff_params(d)
+        want = base + (w - 1) / 2 + (h - 1) + (1 if d % 2 else 0)
+        assert M.decode_tiff(p)["mean_value"] == pytest.approx(want)
+    assert seen_tiled
