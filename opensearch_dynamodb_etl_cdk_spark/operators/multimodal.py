@@ -3954,6 +3954,139 @@ def decode_ogg(payload: bytes) -> dict:
     return out
 
 
+def vorbis_stream_info(payload: bytes) -> dict:
+    """Ogg-Vorbis STREAM METADATA without decode (Vorbis I spec §4.2,
+    the identification header, and §5, the comment header): version,
+    channels, sample rate, nominal bitrate, vendor, and the user
+    comments (TITLE etc., keys case-insensitive per spec). This is the
+    audio-inventory pass corpus pipelines run over .ogg files — PCM
+    decode stays the loud ``register_decoder`` boundary, exactly like
+    MP3."""
+    packets = _ogg_packets(payload)
+    if not packets or packets[0][:7] != b"\x01vorbis":
+        raise ValueError("OGG: not a Vorbis stream")
+    ident = packets[0]
+    if len(ident) < 30:
+        raise ValueError("OGG: Vorbis identification header truncated")
+    (version,) = struct.unpack_from("<I", ident, 7)
+    if version != 0:
+        raise NotImplementedError(
+            f"OGG: Vorbis version {version} is not specified")
+    channels = ident[11]
+    (rate,) = struct.unpack_from("<I", ident, 12)
+    _br_max, br_nom, _br_min = struct.unpack_from("<iii", ident, 16)
+    if not ident[29] & 0x01:
+        raise ValueError("OGG: Vorbis framing bit unset")
+    if channels == 0 or rate == 0:
+        raise ValueError("OGG: Vorbis channels/rate must be nonzero")
+    if len(packets) < 2 or packets[1][:7] != b"\x03vorbis":
+        raise ValueError("OGG: Vorbis comment header missing")
+    c = packets[1]
+    pos = 7
+
+    def take_u32() -> int:
+        nonlocal pos
+        if pos + 4 > len(c):
+            raise ValueError("OGG: Vorbis comment header truncated")
+        (v,) = struct.unpack_from("<I", c, pos)
+        pos += 4
+        return v
+
+    vlen = take_u32()
+    if pos + vlen > len(c):
+        raise ValueError("OGG: Vorbis vendor string truncated")
+    vendor = c[pos:pos + vlen].decode("utf-8")
+    pos += vlen
+    comments: dict[str, str] = {}
+    for _ in range(take_u32()):
+        ln = take_u32()
+        if pos + ln > len(c):
+            raise ValueError("OGG: Vorbis comment truncated")
+        key, eq, value = c[pos:pos + ln].decode("utf-8").partition("=")
+        if not eq:
+            raise ValueError("OGG: Vorbis comment missing '='")
+        comments[key.upper()] = value
+        pos += ln
+    return {
+        "media_kind": "audio",
+        "channels": channels,
+        "sample_rate": rate,
+        "bitrate_nominal": br_nom,
+        "vendor": vendor,
+        "title": comments.get("TITLE", ""),
+        "comments": comments,
+        "n_bytes": len(payload),
+    }
+
+
+def encode_ogg_vorbis_stub(doc_id: int) -> bytes:
+    """Vorbis-SHAPED Ogg stream for the metadata scanner: a real
+    identification header, a real comment header (vendor + TITLE +
+    a non-ASCII ARTIST), a setup-header placeholder, and opaque
+    audio-ish packets — the scanner never inspects setup/audio bytes,
+    exactly like the MP3 stub's zeroed frame payloads."""
+    rate, channels, br_nom = vorbis_params(doc_id)
+    ident = (b"\x01vorbis" + struct.pack("<IBI", 0, channels, rate)
+             + struct.pack("<iii", -1, br_nom, -1)
+             + bytes([0xB8])  # blocksizes 256/2048
+             + b"\x01")  # framing bit
+    comments = [f"TITLE=doc {doc_id}", "ARTIST=sïnth €ncoder"]
+    cbody = bytearray(b"\x03vorbis")
+    vendor = b"spark-graft synthesizer"
+    cbody += struct.pack("<I", len(vendor)) + vendor
+    cbody += struct.pack("<I", len(comments))
+    for kv in comments:
+        b = kv.encode("utf-8")
+        cbody += struct.pack("<I", len(b)) + b
+    cbody += b"\x01"  # framing bit
+    setup = b"\x05vorbis" + b"\x00" * (40 + doc_id % 17)
+    audio = [bytes([doc_id % 251]) * (60 + (doc_id * 7) % 200)
+             for _ in range(2 + doc_id % 3)]
+    return encode_ogg([ident, bytes(cbody), setup, *audio],
+                      max_page_data=200 + (doc_id % 3) * 150)
+
+
+def vorbis_params(doc_id: int) -> tuple[int, int, int]:
+    """Ground-truth (sample_rate, channels, nominal bitrate)."""
+    return (
+        (44100, 48000, 32000, 22050)[doc_id % 4],
+        1 + doc_id % 2,
+        64000 + (doc_id % 8) * 16000,
+    )
+
+
+def vorbis_info_stats(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """Arrow-batched Ogg-Vorbis metadata scan over the payload column:
+    one row per stream (title, channels, rate, nominal bitrate,
+    vendor) — the no-decode inventory pass, the .ogg twin of
+    ``mp3_info_stats``."""
+    keep_schema = ", ".join(f"{c} string" for c in keep)
+    schema = (
+        "doc_id long, title string, channels int, sample_rate long, "
+        "bitrate_nominal long, vendor string"
+        + (", " + keep_schema if keep else "")
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for j, p in enumerate(pdf["payload"]):
+                i = vorbis_stream_info(bytes(p))
+                rows.append((
+                    pdf["doc_id"].iloc[j], i["title"], i["channels"],
+                    i["sample_rate"], i["bitrate_nominal"], i["vendor"],
+                    *[pdf[c].iloc[j] for c in keep],
+                ))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "title", "channels",
+                               "sample_rate", "bitrate_nominal",
+                               "vendor", *keep])
+
+    return df.mapInPandas(run, schema)
+
+
 # ------------------------------------------------------------- AVI (video)
 #
 # RIFF/AVI container with an MJPEG video stream — the smallest REAL
@@ -4565,7 +4698,7 @@ def synthesize_media(
              "png-palette",
              "png-interlaced", "png-16", "gif", "gif-anim", "jpeg",
              "jpeg-color", "jpeg-420", "jpeg-progressive", "jpeg-cmyk",
-             "tiff", "video", "mp3")
+             "tiff", "video", "mp3", "vorbis")
     if kind not in kinds:
         raise ValueError(f"kind must be one of {kinds}")
     media_type = {"image": "image/bmp", "rle-bmp": "image/bmp",
@@ -4580,6 +4713,7 @@ def synthesize_media(
                   "tiff": "image/tiff",
                   "audio": "audio/wav", "flac": "audio/flac",
                   "ogg-flac": "audio/ogg", "mp3": "audio/mpeg",
+                  "vorbis": "audio/ogg",
                   "video": "video/x-msvideo"}[kind]
     cols = [id_col, *keep]
     keep_schema = ", ".join(f"{c} string" for c in keep)
@@ -4703,6 +4837,10 @@ def synthesize_media(
                 # header-walkable MPEG-1 Layer III streams with ID3v2
                 # titles (metadata scan only — PCM stays the boundary)
                 payloads = [encode_mp3_stub(int(d)) for d in ids]
+            elif kind == "vorbis":
+                # Ogg-Vorbis streams with real identification/comment
+                # headers (metadata scan only — PCM stays the boundary)
+                payloads = [encode_ogg_vorbis_stub(int(d)) for d in ids]
             else:
                 payloads = [encode_wav(*wav_params(int(d))) for d in ids]
             out = {"doc_id": ids, "payload": payloads, "media_type": media_type}

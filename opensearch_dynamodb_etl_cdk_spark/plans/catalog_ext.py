@@ -2621,6 +2621,37 @@ def multimodal_mp3_stream_info(spark, sf_dir):
 
 
 @register(
+    "multimodal_vorbis_stream_info",
+    oracle="""
+    SELECT doc_id,
+           'doc ' || doc_id AS title,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                WHEN 2 THEN 32000 ELSE 22050 END AS BIGINT) AS sample_rate,
+           CAST(64000 + (doc_id % 8) * 16000 AS BIGINT) AS bitrate_nominal,
+           'spark-graft synthesizer' AS vendor
+    FROM documents WHERE doc_id < 300
+    """,
+    doc="Ogg-Vorbis stream METADATA without decoding (the .ogg twin "
+    "of the MP3 inventory row): per document a real Ogg transport "
+    "stream (RFC 3533 pages, lacing, CRC-32) carrying a spec Vorbis "
+    "identification header (version/channels/rate/nominal bitrate, "
+    "framing bit) and comment header (length-prefixed vendor + "
+    "TITLE/ARTIST user comments incl. non-ASCII UTF-8), scanned by "
+    "operators/multimodal.py::vorbis_stream_info through the shared "
+    "Ogg packet reassembly. The oracle recomputes title/channels/"
+    "rate/bitrate/vendor from the doc_id formulas (direct equality "
+    "incl. strings). PCM decode remains the loud NotImplementedError "
+    "— the Vorbis codebook/MDCT codec is not shipped.",
+    tags=("multimodal",),
+)
+def multimodal_vorbis_stream_info(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") < 300)
+    return M.vorbis_info_stats(M.synthesize_media(d, "vorbis"))
+
+
+@register(
     "multimodal_gif_animation_stats",
     oracle="""
     WITH f AS (

@@ -2341,3 +2341,50 @@ def test_tiff_sample_cycle_includes_tiled():
         want = base + (w - 1) / 2 + (h - 1) + (1 if d % 2 else 0)
         assert M.decode_tiff(p)["mean_value"] == pytest.approx(want)
     assert seen_tiled
+
+
+def test_vorbis_stream_info_matches_params():
+    """Real Ogg transport + Vorbis identification/comment headers:
+    rate/channels/bitrate/title/vendor all surface, UTF-8 comments
+    decode, keys are case-insensitive; PCM decode stays loud."""
+    for d in range(12):
+        p = M.encode_ogg_vorbis_stub(d)
+        info = M.vorbis_stream_info(p)
+        rate, ch, br = M.vorbis_params(d)
+        assert (info["sample_rate"], info["channels"],
+                info["bitrate_nominal"]) == (rate, ch, br)
+        assert info["title"] == f"doc {d}"
+        assert info["comments"]["ARTIST"] == "sïnth €ncoder"
+        with pytest.raises(NotImplementedError):
+            M.decode_ogg(p)
+
+
+def test_vorbis_stream_info_boundaries():
+    p = bytearray(M.encode_ogg_vorbis_stub(0))
+    # nonzero version is unspecified territory
+    import struct as _s
+
+    at = bytes(p).find(b"\x01vorbis") + 7
+    bad = bytearray(p)
+    bad[at] = 9
+    # page CRC now disagrees — rebuild via packets to keep it honest
+    pk = M._ogg_packets(bytes(p))
+    pk0 = bytearray(pk[0])
+    _s.pack_into("<I", pk0, 7, 9)
+    with pytest.raises(NotImplementedError, match="version"):
+        M.vorbis_stream_info(M.encode_ogg([bytes(pk0)] + pk[1:]))
+    # framing bit unset
+    pk0 = bytearray(pk[0])
+    pk0[29] = 0
+    with pytest.raises(ValueError, match="framing"):
+        M.vorbis_stream_info(M.encode_ogg([bytes(pk0)] + pk[1:]))
+    # comment header missing
+    with pytest.raises(ValueError, match="comment header"):
+        M.vorbis_stream_info(M.encode_ogg([pk[0]]))
+    # truncated comment lengths
+    pk1 = pk[1][:11]
+    with pytest.raises(ValueError, match="truncated"):
+        M.vorbis_stream_info(M.encode_ogg([pk[0], pk1]))
+    # not vorbis at all
+    with pytest.raises(ValueError, match="not a Vorbis"):
+        M.vorbis_stream_info(M.encode_ogg([b"\x7fFLACxxxx"]))
