@@ -156,6 +156,7 @@ HEADLINE = [
     "multimodal_gif_animation_stats",
     "multimodal_tiff_decode_stats",
     "multimodal_jpeg_cmyk_decode_stats",
+    "multimodal_vorbis_stream_info",
 ]
 
 # Iterative/trainer operators do their distributed work INSIDE fn()
