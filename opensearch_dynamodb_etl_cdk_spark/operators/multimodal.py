@@ -4019,6 +4019,97 @@ def vorbis_stream_info(payload: bytes) -> dict:
     }
 
 
+def opus_stream_info(payload: bytes) -> dict:
+    """Ogg-Opus STREAM METADATA without decode (RFC 7845 §5): the
+    OpusHead identification header (version, channels, pre-skip,
+    input sample rate, output gain) and the OpusTags comment header
+    (same length-prefixed vendor/user-comment layout as Vorbis).
+    PCM decode stays the loud boundary — the SILK/CELT codec is not
+    shipped."""
+    packets = _ogg_packets(payload)
+    if not packets or packets[0][:8] != b"OpusHead":
+        raise ValueError("OGG: not an Opus stream")
+    head = packets[0]
+    if len(head) < 19:
+        raise ValueError("OGG: OpusHead truncated")
+    version = head[8]
+    if version >> 4 != 0:  # RFC 7845: only the major nibble gates
+        raise NotImplementedError(
+            f"OGG: OpusHead version {version} is not specified")
+    channels = head[9]
+    (pre_skip,) = struct.unpack_from("<H", head, 10)
+    (rate,) = struct.unpack_from("<I", head, 12)
+    (gain_q8,) = struct.unpack_from("<h", head, 16)
+    if channels == 0:
+        raise ValueError("OGG: OpusHead channels must be nonzero")
+    if head[18] != 0:
+        raise NotImplementedError(
+            "OGG: Opus channel mapping families beyond 0 (surround) "
+            "are not supported")
+    if len(packets) < 2 or packets[1][:8] != b"OpusTags":
+        raise ValueError("OGG: OpusTags comment header missing")
+    c = packets[1]
+    pos = 8
+
+    def take_u32() -> int:
+        nonlocal pos
+        if pos + 4 > len(c):
+            raise ValueError("OGG: OpusTags truncated")
+        (v,) = struct.unpack_from("<I", c, pos)
+        pos += 4
+        return v
+
+    vlen = take_u32()
+    if pos + vlen > len(c):
+        raise ValueError("OGG: OpusTags vendor truncated")
+    vendor = c[pos:pos + vlen].decode("utf-8")
+    pos += vlen
+    comments: dict[str, str] = {}
+    for _ in range(take_u32()):
+        ln = take_u32()
+        if pos + ln > len(c):
+            raise ValueError("OGG: OpusTags comment truncated")
+        key, eq, value = c[pos:pos + ln].decode("utf-8").partition("=")
+        if not eq:
+            raise ValueError("OGG: OpusTags comment missing '='")
+        comments[key.upper()] = value
+        pos += ln
+    return {
+        "media_kind": "audio",
+        "channels": channels,
+        "sample_rate": rate,
+        "pre_skip": pre_skip,
+        "output_gain_db": gain_q8 / 256.0,
+        "vendor": vendor,
+        "title": comments.get("TITLE", ""),
+        "comments": comments,
+        "n_bytes": len(payload),
+    }
+
+
+def encode_ogg_opus_stub(doc_id: int) -> bytes:
+    """Opus-SHAPED Ogg stream for the metadata scanner: a real
+    OpusHead, a real OpusTags (vendor + TITLE), and opaque audio
+    packets — the RFC 7845 twin of the Vorbis stub."""
+    rate, channels, _ = vorbis_params(doc_id)
+    pre_skip = 312 + doc_id % 100
+    gain_q8 = (doc_id % 13 - 6) * 64
+    head = (b"OpusHead" + bytes([1, channels])
+            + struct.pack("<HIh", pre_skip, rate, gain_q8) + b"\x00")
+    vendor = b"spark-graft synthesizer"
+    tags = bytearray(b"OpusTags")
+    tags += struct.pack("<I", len(vendor)) + vendor
+    comments = [f"TITLE=doc {doc_id}"]
+    tags += struct.pack("<I", len(comments))
+    for kv in comments:
+        b = kv.encode("utf-8")
+        tags += struct.pack("<I", len(b)) + b
+    audio = [bytes([doc_id % 251]) * (80 + (doc_id * 5) % 160)
+             for _ in range(2 + doc_id % 2)]
+    return encode_ogg([head, bytes(tags), *audio],
+                      max_page_data=180 + (doc_id % 4) * 120)
+
+
 def encode_ogg_vorbis_stub(doc_id: int) -> bytes:
     """Vorbis-SHAPED Ogg stream for the metadata scanner: a real
     identification header, a real comment header (vendor + TITLE +
@@ -4053,6 +4144,37 @@ def vorbis_params(doc_id: int) -> tuple[int, int, int]:
         1 + doc_id % 2,
         64000 + (doc_id % 8) * 16000,
     )
+
+
+def opus_info_stats(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """Arrow-batched Ogg-Opus metadata scan: one row per stream
+    (title, channels, input rate, pre-skip, output gain, vendor)."""
+    keep_schema = ", ".join(f"{c} string" for c in keep)
+    schema = (
+        "doc_id long, title string, channels int, sample_rate long, "
+        "pre_skip int, output_gain_db double, vendor string"
+        + (", " + keep_schema if keep else "")
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for j, p in enumerate(pdf["payload"]):
+                i = opus_stream_info(bytes(p))
+                rows.append((
+                    pdf["doc_id"].iloc[j], i["title"], i["channels"],
+                    i["sample_rate"], i["pre_skip"],
+                    i["output_gain_db"], i["vendor"],
+                    *[pdf[c].iloc[j] for c in keep],
+                ))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "title", "channels",
+                               "sample_rate", "pre_skip",
+                               "output_gain_db", "vendor", *keep])
+
+    return df.mapInPandas(run, schema)
 
 
 def vorbis_info_stats(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
@@ -4698,7 +4820,7 @@ def synthesize_media(
              "png-palette",
              "png-interlaced", "png-16", "gif", "gif-anim", "jpeg",
              "jpeg-color", "jpeg-420", "jpeg-progressive", "jpeg-cmyk",
-             "tiff", "video", "mp3", "vorbis")
+             "tiff", "video", "mp3", "vorbis", "opus")
     if kind not in kinds:
         raise ValueError(f"kind must be one of {kinds}")
     media_type = {"image": "image/bmp", "rle-bmp": "image/bmp",
@@ -4713,7 +4835,7 @@ def synthesize_media(
                   "tiff": "image/tiff",
                   "audio": "audio/wav", "flac": "audio/flac",
                   "ogg-flac": "audio/ogg", "mp3": "audio/mpeg",
-                  "vorbis": "audio/ogg",
+                  "vorbis": "audio/ogg", "opus": "audio/ogg",
                   "video": "video/x-msvideo"}[kind]
     cols = [id_col, *keep]
     keep_schema = ", ".join(f"{c} string" for c in keep)
@@ -4841,6 +4963,9 @@ def synthesize_media(
                 # Ogg-Vorbis streams with real identification/comment
                 # headers (metadata scan only — PCM stays the boundary)
                 payloads = [encode_ogg_vorbis_stub(int(d)) for d in ids]
+            elif kind == "opus":
+                # Ogg-Opus: RFC 7845 OpusHead/OpusTags (metadata only)
+                payloads = [encode_ogg_opus_stub(int(d)) for d in ids]
             else:
                 payloads = [encode_wav(*wav_params(int(d))) for d in ids]
             out = {"doc_id": ids, "payload": payloads, "media_type": media_type}

@@ -2652,6 +2652,37 @@ def multimodal_vorbis_stream_info(spark, sf_dir):
 
 
 @register(
+    "multimodal_opus_stream_info",
+    oracle="""
+    SELECT doc_id,
+           'doc ' || doc_id AS title,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                WHEN 2 THEN 32000 ELSE 22050 END AS BIGINT) AS sample_rate,
+           CAST(312 + doc_id % 100 AS INT) AS pre_skip,
+           CAST((doc_id % 13 - 6) * 64 AS DOUBLE) / 256.0 AS output_gain_db,
+           'spark-graft synthesizer' AS vendor
+    FROM documents WHERE doc_id < 300
+    """,
+    doc="Ogg-Opus stream METADATA without decoding (RFC 7845 — the "
+    "third Ogg mapping, completing FLAC/Vorbis/Opus coverage): per "
+    "document a real Ogg transport stream carrying OpusHead (version "
+    "nibble gate, channels, pre-skip, input rate, Q7.8 output gain, "
+    "mapping family 0) and OpusTags (Vorbis-layout vendor + TITLE), "
+    "scanned by operators/multimodal.py::opus_stream_info through the "
+    "shared packet reassembly. The oracle recomputes every field from "
+    "the doc_id formulas (direct equality incl. strings and the "
+    "gain_q8/256 double). PCM decode remains the loud "
+    "NotImplementedError — the SILK/CELT codec is not shipped.",
+    tags=("multimodal",),
+)
+def multimodal_opus_stream_info(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") < 300)
+    return M.opus_info_stats(M.synthesize_media(d, "opus"))
+
+
+@register(
     "multimodal_gif_animation_stats",
     oracle="""
     WITH f AS (

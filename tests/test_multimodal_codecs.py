@@ -2388,3 +2388,33 @@ def test_vorbis_stream_info_boundaries():
     # not vorbis at all
     with pytest.raises(ValueError, match="not a Vorbis"):
         M.vorbis_stream_info(M.encode_ogg([b"\x7fFLACxxxx"]))
+
+
+def test_opus_stream_info_matches_params():
+    """RFC 7845 OpusHead/OpusTags: channels/rate/pre-skip/Q7.8 gain/
+    title all surface; decode stays loud; boundaries precise."""
+    for d in range(10):
+        p = M.encode_ogg_opus_stub(d)
+        i = M.opus_stream_info(p)
+        rate, ch, _ = M.vorbis_params(d)
+        assert (i["channels"], i["sample_rate"]) == (ch, rate)
+        assert i["pre_skip"] == 312 + d % 100
+        assert i["output_gain_db"] == (d % 13 - 6) * 64 / 256.0
+        assert i["title"] == f"doc {d}"
+        with pytest.raises(NotImplementedError):
+            M.decode_ogg(p)
+    pk = M._ogg_packets(M.encode_ogg_opus_stub(0))
+    # major version nibble gates
+    h = bytearray(pk[0]); h[8] = 0x10
+    with pytest.raises(NotImplementedError, match="version"):
+        M.opus_stream_info(M.encode_ogg([bytes(h)] + pk[1:]))
+    # surround mapping families are a boundary
+    h = bytearray(pk[0]); h[18] = 1
+    with pytest.raises(NotImplementedError, match="mapping"):
+        M.opus_stream_info(M.encode_ogg([bytes(h)] + pk[1:]))
+    with pytest.raises(ValueError, match="comment header"):
+        M.opus_stream_info(M.encode_ogg([pk[0]]))
+    with pytest.raises(ValueError, match="truncated"):
+        M.opus_stream_info(M.encode_ogg([pk[0], pk[1][:10]]))
+    with pytest.raises(ValueError, match="not an Opus"):
+        M.opus_stream_info(M.encode_ogg([b"\x01vorbisxxxx"]))
