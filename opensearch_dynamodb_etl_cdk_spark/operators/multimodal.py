@@ -3204,7 +3204,8 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
                 compression: str = "none", rows_per_strip: int = 2,
                 big_endian: bool = False, predictor: int = 1,
                 tiled: bool = False,
-                tile: tuple[int, int] = (16, 16)) -> bytes:
+                tile: tuple[int, int] = (16, 16),
+                _origin: int = 8, _return_page: bool = False):
     """Build a real baseline TIFF. Content is the clip-free gradient
     v(x, y) = base + x + 2y (mean base + (w-1)/2 + (h-1)); ``rgb``
     stores channels (v, v+1, v+2) (mean +1); ``pixel_value`` overrides
@@ -3264,8 +3265,9 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
         strips = [zlib.compress(s) for s in strips]
     # layout: header(8) | strip data | BitsPerSample array (rgb only) |
     # strip offset/count arrays (if >2 entries... keep simple: always
-    # out-of-line when count > 1) | IFD
-    pos = 8
+    # out-of-line when count > 1) | IFD. ``_origin`` shifts every
+    # absolute offset so encode_tiff_multipage can chain page blobs.
+    pos = _origin
     strip_offsets = []
     for s in strips:
         strip_offsets.append(pos)
@@ -3335,16 +3337,76 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
     ifd = struct.pack(f"{e}H", len(entries))
     for tag, typ, cnt, val in entries:
         ifd += struct.pack(f"{e}HHI", tag, typ, cnt) + val
-    ifd += struct.pack(f"{e}I", 0)  # no next IFD
+    ifd += struct.pack(f"{e}I", 0)  # no next IFD (patched when chained)
+    if _return_page:
+        return b"".join(strips) + bytes(extra) + ifd, ifd_off
     head = (b"MM" if big_endian else b"II") + struct.pack(f"{e}H", 42) \
         + struct.pack(f"{e}I", ifd_off)
     return head + b"".join(strips) + bytes(extra) + ifd
 
 
-def _tiff_parse(payload: bytes) -> tuple[int, int, int, int, bytes]:
+def encode_tiff_multipage(pages: list[dict],
+                          big_endian: bool = False) -> bytes:
+    """Write a MULTI-PAGE TIFF (the fax/scan corpus shape): one IFD
+    per page chained through the trailing next-IFD pointers, each page
+    an independent ``encode_tiff`` parameter dict (width/height/base/
+    rgb/compression/predictor/tiled...)."""
+    if not pages:
+        raise ValueError("TIFF: at least one page required")
+    e = ">" if big_endian else "<"
+    origin = 8
+    blobs: list[bytearray] = []
+    ifds: list[int] = []
+    for kw in pages:
+        blob, ifd = encode_tiff(big_endian=big_endian, _origin=origin,
+                                _return_page=True, **kw)
+        blobs.append(bytearray(blob))
+        ifds.append(ifd)
+        origin += len(blob)
+    for i in range(len(blobs) - 1):  # chain the next-IFD pointers
+        struct.pack_into(f"{e}I", blobs[i], len(blobs[i]) - 4,
+                         ifds[i + 1])
+    head = (b"MM" if big_endian else b"II") + struct.pack(f"{e}H", 42) \
+        + struct.pack(f"{e}I", ifds[0])
+    return head + b"".join(bytes(b) for b in blobs)
+
+
+def _tiff_ifd_chain(payload: bytes) -> list[int]:
+    """The IFD offset chain (multi-page TIFFs — fax/scan corpora —
+    link pages through each IFD's trailing next-IFD pointer), cycle-
+    guarded."""
+    if payload[:2] == b"II":
+        e = "<"
+    elif payload[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (off,) = struct.unpack_from(f"{e}I", payload, 4)
+    chain: list[int] = []
+    seen: set[int] = set()
+    while off:
+        if off in seen:
+            raise ValueError("TIFF: cyclic IFD chain")
+        seen.add(off)
+        if off + 2 > len(payload):
+            raise ValueError("TIFF: IFD offset out of range")
+        chain.append(off)
+        (n,) = struct.unpack_from(f"{e}H", payload, off)
+        ptr_at = off + 2 + 12 * n
+        if ptr_at + 4 > len(payload):
+            raise ValueError("TIFF: truncated IFD")
+        (off,) = struct.unpack_from(f"{e}I", payload, ptr_at)
+    if not chain:
+        raise ValueError("TIFF: no IFDs")
+    return chain
+
+
+def _tiff_parse(payload: bytes,
+                ifd_off: int | None = None
+                ) -> tuple[int, int, int, int, bytes]:
     """(width, height, samples_per_pixel, photometric, assembled
-    sample bytes) — the shared container walk under stats and pixel
-    access."""
+    sample bytes) for one IFD (page) — the shared container walk
+    under stats and pixel access. Default: the first page."""
     if payload[:2] == b"II":
         e = "<"
     elif payload[:2] == b"MM":
@@ -3353,7 +3415,8 @@ def _tiff_parse(payload: bytes) -> tuple[int, int, int, int, bytes]:
         raise ValueError("not a TIFF payload")
     if struct.unpack_from(f"{e}H", payload, 2)[0] != 42:
         raise ValueError("TIFF: bad magic")
-    (ifd_off,) = struct.unpack_from(f"{e}I", payload, 4)
+    if ifd_off is None:
+        (ifd_off,) = struct.unpack_from(f"{e}I", payload, 4)
     if ifd_off + 2 > len(payload):
         raise ValueError("TIFF: IFD offset out of range")
     (n_entries,) = struct.unpack_from(f"{e}H", payload, ifd_off)
@@ -3493,6 +3556,69 @@ def decode_tiff(payload: bytes) -> dict:
         "mean_value": (sum(vals) / len(vals)) if vals else 0.0,
         "n_bytes": len(payload),
     }
+
+
+def decode_tiff_pages(payload: bytes) -> list[dict]:
+    """Per-page stats for a (possibly multi-page) TIFF: walk the IFD
+    chain and decode every page's samples — the fax/scan fan-out
+    (1 file → N page rows)."""
+    out = []
+    for off in _tiff_ifd_chain(payload):
+        w, h, spp, photo, data = _tiff_parse(payload, off)
+        vals = list(data)
+        if photo == 0:
+            vals = [255 - v for v in vals]
+        out.append({
+            "width": w, "height": h, "n_units": w * h,
+            "mean_value": (sum(vals) / len(vals)) if vals else 0.0,
+        })
+    return out
+
+
+def tiff_page_stats(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """Arrow-batched multi-page fan-out: one row per TIFF page
+    (doc_id, page, width, height, mean_value); payload bytes never
+    leave the UDF."""
+    keep_schema = ", ".join(f"{c} string" for c in keep)
+    schema = ("doc_id long, page int, width int, height int, "
+              "mean_value double" + (", " + keep_schema if keep else ""))
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for j, p in enumerate(pdf["payload"]):
+                for k, d in enumerate(decode_tiff_pages(bytes(p))):
+                    rows.append((pdf["doc_id"].iloc[j], k, d["width"],
+                                 d["height"], d["mean_value"],
+                                 *[pdf[c].iloc[j] for c in keep]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "page", "width", "height",
+                               "mean_value", *keep])
+
+    return df.mapInPandas(run, schema)
+
+
+def encode_tiff_multipage_sample(doc_id: int) -> bytes:
+    """Multi-page TIFF for ``doc_id``: 1 + id % 4 pages, page k taking
+    the single-page sample parameters of pseudo-id (doc_id + 31k) so
+    every page cycles geometry, gray/RGB, the compression family, the
+    predictor, and the tiled slice independently — closed-form per
+    page for the oracle."""
+    pages = []
+    for k in range(1 + doc_id % 4):
+        pid = doc_id + 31 * k
+        w, h, base = tiff_params(pid)
+        comp = ("none", "packbits", "lzw", "deflate")[pid % 4]
+        pages.append(dict(
+            width=w, height=h, base=base, rgb=bool(pid % 2),
+            compression=comp,
+            predictor=2 if comp in ("lzw", "deflate")
+            and (pid // 4) % 2 else 1,
+            tiled=pid % 7 == 5,
+        ))
+    return encode_tiff_multipage(pages, big_endian=doc_id % 5 == 0)
 
 
 def tiff_params(doc_id: int) -> tuple[int, int, int]:
@@ -4820,7 +4946,7 @@ def synthesize_media(
              "png-palette",
              "png-interlaced", "png-16", "gif", "gif-anim", "jpeg",
              "jpeg-color", "jpeg-420", "jpeg-progressive", "jpeg-cmyk",
-             "tiff", "video", "mp3", "vorbis", "opus")
+             "tiff", "tiff-multipage", "video", "mp3", "vorbis", "opus")
     if kind not in kinds:
         raise ValueError(f"kind must be one of {kinds}")
     media_type = {"image": "image/bmp", "rle-bmp": "image/bmp",
@@ -4832,7 +4958,7 @@ def synthesize_media(
                   "jpeg-420": "image/jpeg",
                   "jpeg-progressive": "image/jpeg",
                   "jpeg-cmyk": "image/jpeg",
-                  "tiff": "image/tiff",
+                  "tiff": "image/tiff", "tiff-multipage": "image/tiff",
                   "audio": "audio/wav", "flac": "audio/flac",
                   "ogg-flac": "audio/ogg", "mp3": "audio/mpeg",
                   "vorbis": "audio/ogg", "opus": "audio/ogg",
@@ -4938,6 +5064,11 @@ def synthesize_media(
             elif kind == "tiff":
                 # gray/RGB, PackBits/none, II/MM cycle per id
                 payloads = [encode_tiff_sample(int(d)) for d in ids]
+            elif kind == "tiff-multipage":
+                # 1..4 IFD-chained pages, each cycling the container
+                # variants independently (the fax/scan corpus shape)
+                payloads = [encode_tiff_multipage_sample(int(d))
+                            for d in ids]
             elif kind == "ogg-flac":
                 # the FLAC ramps wrapped in Ogg transport; page and
                 # packet sizes cycle by id so lacing terminators and

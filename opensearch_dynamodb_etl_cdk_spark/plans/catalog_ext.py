@@ -2683,6 +2683,39 @@ def multimodal_opus_stream_info(spark, sf_dir):
 
 
 @register(
+    "multimodal_tiff_multipage_stats",
+    oracle="""
+    SELECT doc_id, CAST(k AS INT) AS page,
+           CAST(1 + (doc_id + 31 * k) % 13 AS INT) AS width,
+           CAST(1 + (doc_id + 31 * k) % 7 AS INT) AS height,
+           (doc_id + 31 * k) % 53
+             + ((doc_id + 31 * k) % 13) / 2.0
+             + (doc_id + 31 * k) % 7
+             + (doc_id + 31 * k) % 2 AS mean_value
+    FROM (SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS k
+          FROM documents WHERE doc_id < 300)
+    """,
+    doc="MULTI-PAGE TIFF fan-out (the fax/scan corpus shape): per "
+    "document a real IFD-chained file of 1 + id % 4 pages, page k "
+    "taking pseudo-id (id + 31k)'s single-page container variants — "
+    "geometry, gray/RGB, none/PackBits/LZW/Deflate, predictor, and "
+    "the tiled slice all cycle independently per page — decoded by "
+    "walking the cycle-guarded next-IFD chain "
+    "(operators/multimodal.py::decode_tiff_pages / ::tiff_page_stats, "
+    "1 payload row → N page rows inside the Arrow batch). The oracle "
+    "recomputes every page's geometry and gradient mean "
+    "((base + (w-1)/2 + h-1 + rgb) with w-1 = pid%13 even-odd split "
+    "folded into /2.0) from the id formulas — a chain-walk, "
+    "relocation, or per-page codec bug breaks the hash.",
+    tags=("multimodal",),
+)
+def multimodal_tiff_multipage_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") < 300)
+    return M.tiff_page_stats(M.synthesize_media(d, "tiff-multipage"))
+
+
+@register(
     "multimodal_gif_animation_stats",
     oracle="""
     WITH f AS (

@@ -2418,3 +2418,43 @@ def test_opus_stream_info_matches_params():
         M.opus_stream_info(M.encode_ogg([pk[0], pk[1][:10]]))
     with pytest.raises(ValueError, match="not an Opus"):
         M.opus_stream_info(M.encode_ogg([b"\x01vorbisxxxx"]))
+
+
+def test_tiff_multipage_chain_round_trips():
+    """IFD-chained multi-page files: every page decodes with its own
+    container variants; single-page files read identically through
+    both APIs; cyclic chains raise."""
+    import struct as _s
+
+    for d in (0, 3, 7, 12, 21):
+        pages = M.decode_tiff_pages(M.encode_tiff_multipage_sample(d))
+        assert len(pages) == 1 + d % 4
+        for k, pg in enumerate(pages):
+            pid = d + 31 * k
+            w, h, base = M.tiff_params(pid)
+            want = base + (w - 1) / 2 + (h - 1) + (1 if pid % 2 else 0)
+            assert (pg["width"], pg["height"]) == (w, h)
+            assert pg["mean_value"] == pytest.approx(want)
+    single = M.encode_tiff_sample(9)
+    assert len(M.decode_tiff_pages(single)) == 1
+    assert M.decode_tiff_pages(single)[0]["mean_value"] == \
+        pytest.approx(M.decode_tiff(single)["mean_value"])
+    # a next-IFD pointer looping back is a structural lie
+    p = bytearray(M.encode_tiff_multipage_sample(3))  # 4 pages, LE
+    (first_ifd,) = _s.unpack_from("<I", p, 4)
+    # point the FIRST page's next pointer back at itself
+    (n,) = _s.unpack_from("<H", p, first_ifd)
+    _s.pack_into("<I", p, first_ifd + 2 + 12 * n, first_ifd)
+    with pytest.raises(ValueError, match="cyclic"):
+        M.decode_tiff_pages(bytes(p))
+
+
+def test_tiff_multipage_spark_fan_out(spark):
+    df = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    rows = M.tiff_page_stats(
+        M.synthesize_media(df, "tiff-multipage")).collect()
+    assert len(rows) == sum(1 + i % 4 for i in range(8))
+    for r in rows:
+        pid = r.doc_id + 31 * r.page
+        w, h, base = M.tiff_params(pid)
+        assert (r.width, r.height) == (w, h)
