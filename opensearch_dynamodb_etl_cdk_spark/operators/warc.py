@@ -40,17 +40,18 @@ def _entity_table() -> dict[str, str]:
     ~2k names — real web pages use &mdash;/&rsquo;/&hellip; far beyond
     the XML five), keyed lowercase-insensitively the way the decoder
     looks names up, with the spec-exact case kept where names differ
-    only by case (e.g. &Aacute; vs &aacute;). &nbsp; maps to a plain
-    space: the downstream whitespace collapse treats U+00A0 as text,
-    which would corrupt token boundaries."""
+    only by case (e.g. &Aacute; vs &aacute;). EVERY entity whose value
+    is pure Unicode whitespace (&nbsp;, &NonBreakingSpace;, &ensp;,
+    &thinsp;, ...) maps to a plain space — uniformly, not just the
+    nbsp spelling — so token boundaries are normalized at decode time
+    rather than leaning on the later collapse pass."""
     from html.entities import html5
 
     table: dict[str, str] = {}
     for name, value in html5.items():
         if not name.endswith(";"):
             continue  # bare legacy forms; _ENT_RE requires the ';'
-        table[name[:-1]] = value
-    table["nbsp"] = " "
+        table[name[:-1]] = " " if value and value.strip() == "" else value
     return table
 
 
@@ -180,7 +181,47 @@ def _dechunk(body: bytes) -> bytes:
         if le == pos:  # the final bare CRLF
             break
         pos = le + 2
+    # Same strictness as the Content-Length path: the WARC record's
+    # Content-Length frames the whole HTTP message, so bytes after the
+    # trailer's final CRLF are a framing violation, not padding.
+    if le + 2 != len(body):
+        raise ValueError(
+            f"WARC: {len(body) - le - 2} trailing bytes after the "
+            "chunked trailer")
     return bytes(out)
+
+
+def _decode_content_encoding(body: bytes, encodings: bytes) -> bytes:
+    """Apply HTTP ``Content-Encoding`` content codings (RFC 9110 §8.4)
+    in reverse declaration order. ``gzip``/``x-gzip`` decode via stdlib
+    zlib (wbits=47 auto-detects gzip and zlib wrappers — real servers
+    mislabel raw-zlib as gzip often enough that tolerating both is the
+    de-facto spec); ``identity`` is a passthrough. ``br`` (no stdlib
+    decoder) and bare ``deflate`` (ambiguous wrapped-vs-raw semantics)
+    stay loud boundaries rather than guessing."""
+    for coding in reversed(
+            [c.strip().lower() for c in encodings.split(b",")]):
+        if coding in (b"identity", b""):
+            continue
+        if coding in (b"gzip", b"x-gzip"):
+            d = zlib.decompressobj(wbits=47)
+            try:
+                out = d.decompress(body) + d.flush()
+            except zlib.error as exc:
+                raise ValueError(
+                    f"WARC: damaged gzip content coding: {exc}") from None
+            if not d.eof:
+                raise ValueError("WARC: truncated gzip content coding")
+            if d.unused_data:
+                raise ValueError(
+                    f"WARC: {len(d.unused_data)} trailing bytes after "
+                    "the gzip content coding")
+            body = out
+            continue
+        raise NotImplementedError(
+            f"WARC: content coding {coding!r} not supported "
+            "(gzip/x-gzip/identity only)")
+    return body
 
 
 def http_response_body(content: bytes) -> bytes:
@@ -188,29 +229,35 @@ def http_response_body(content: bytes) -> bytes:
     ``Transfer-Encoding: chunked`` bodies are de-framed per RFC 9112
     §7.1 (chunked responses are routine in real Common Crawl captures,
     and Transfer-Encoding overrides Content-Length per RFC 9112 §6.3);
-    otherwise Content-Length is authoritative when present."""
+    otherwise Content-Length is authoritative when present. After
+    de-framing, ``Content-Encoding`` content codings are decoded —
+    real Common Crawl responses are overwhelmingly gzip-encoded, so
+    skipping this step would hand gzip bytes to the text extractor."""
     if not content.startswith(b"HTTP/"):
         raise ValueError("WARC: response record content is not HTTP")
     he = content.find(b"\r\n\r\n")
     if he < 0:
         raise ValueError("WARC: HTTP headers unterminated")
+    head = content[:he + 2]
     body = content[he + 4:]
-    te = re.search(rb"(?im)^transfer-encoding:\s*([^\r]*)\r$",
-                   content[:he + 2])
+    te = re.search(rb"(?im)^transfer-encoding:\s*([^\r]*)\r$", head)
     if te:
         codings = [c.strip().lower() for c in te.group(1).split(b",")]
         if codings != [b"chunked"]:
             raise NotImplementedError(
                 f"WARC: transfer coding {te.group(1)!r} not supported "
                 "(only a lone 'chunked')")
-        return _dechunk(body)
-    m = re.search(rb"(?im)^content-length:\s*(\d+)\r$",
-                  content[:he + 2])
-    if m:
-        ln = int(m.group(1))
-        if ln > len(body):
-            raise ValueError("WARC: HTTP Content-Length exceeds body")
-        body = body[:ln]
+        body = _dechunk(body)
+    else:
+        m = re.search(rb"(?im)^content-length:\s*(\d+)\r$", head)
+        if m:
+            ln = int(m.group(1))
+            if ln > len(body):
+                raise ValueError("WARC: HTTP Content-Length exceeds body")
+            body = body[:ln]
+    ce = re.search(rb"(?im)^content-encoding:\s*([^\r]*)\r$", head)
+    if ce:
+        body = _decode_content_encoding(body, ce.group(1))
     return body
 
 
@@ -312,7 +359,10 @@ def synthesize_warcs(df: DataFrame, text_col: str = "text",
     silently violated. Per-record gzip for odd ids (the Common Crawl
     layout), plain for even; ids divisible by 3 ship the body with
     ``Transfer-Encoding: chunked`` (multi-chunk, extension + trailer
-    present) instead of Content-Length."""
+    present) instead of Content-Length; ids divisible by 5 ship the
+    HTML gzip-compressed under ``Content-Encoding: gzip`` (the
+    dominant real Common Crawl layout), so ids divisible by 15
+    exercise the full chain: de-chunk, then gunzip."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -338,6 +388,10 @@ def synthesize_warcs(df: DataFrame, text_col: str = "text",
                     "<!-- comment -->"
                     f"<body><p>&quot;{esc}&quot; &amp; more</p></body></html>"
                 ).encode()
+                ce_hdr = b""
+                if d % 5 == 0:
+                    html = zlib.compress(html, wbits=31)
+                    ce_hdr = b"Content-Encoding: gzip\r\n"
                 if d % 3 == 0:
                     # chunked layout: split the markup into two chunks,
                     # exercise a chunk extension and a trailer field
@@ -348,11 +402,11 @@ def synthesize_warcs(df: DataFrame, text_col: str = "text",
                         b"\r\n0\r\nX-Trailer: done\r\n\r\n",
                     ])
                     http = (b"HTTP/1.1 200 OK\r\n"
-                            b"Content-Type: text/html\r\n"
-                            b"Transfer-Encoding: chunked\r\n\r\n" + body)
+                            b"Content-Type: text/html\r\n" + ce_hdr
+                            + b"Transfer-Encoding: chunked\r\n\r\n" + body)
                 else:
                     http = (b"HTTP/1.1 200 OK\r\n"
-                            b"Content-Type: text/html\r\n"
+                            b"Content-Type: text/html\r\n" + ce_hdr
                             + f"Content-Length: {len(html)}\r\n\r\n".encode()
                             + html)
                 recs = [

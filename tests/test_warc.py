@@ -202,3 +202,104 @@ def test_html_entities_full_html5_set():
     assert W.html_to_text("&notanentity; kept") == "&notanentity; kept"
     # entities decoding to exotic whitespace collapse like whitespace
     assert W.html_to_text("a&ensp;&emsp;b &nbsp;c") == "a b c"
+
+
+def test_content_encoding_gzip_body_decodes():
+    """RFC 9110 §8.4: gzip-encoded bodies (the dominant Common Crawl
+    layout) decode after framing; x-gzip aliases; identity passes."""
+    import zlib
+
+    html = b"<p>compressed page text</p>"
+    gz = zlib.compress(html, wbits=31)
+    for name in (b"gzip", b"x-gzip", b"GZIP", b"identity, gzip"):
+        http = (b"HTTP/1.1 200 OK\r\n"
+                + f"Content-Length: {len(gz)}\r\n".encode()
+                + b"Content-Encoding: " + name + b"\r\n\r\n" + gz)
+        p = W.encode_warc(
+            [{"type": "response", "uri": "u", "content": http}])
+        assert W.warc_page_texts(p) == [
+            {"uri": "u", "text": "compressed page text"}]
+    http = (b"HTTP/1.1 200 OK\r\n"
+            + f"Content-Length: {len(html)}\r\n".encode()
+            + b"Content-Encoding: identity\r\n\r\n" + html)
+    p = W.encode_warc([{"type": "response", "uri": "u", "content": http}])
+    assert W.warc_page_texts(p) == [
+        {"uri": "u", "text": "compressed page text"}]
+
+
+def test_content_encoding_gzip_after_chunked():
+    """Transfer coding is removed FIRST, content coding second — a
+    chunked+gzip response (both halves of a gzip member in different
+    chunks) must de-chunk then gunzip."""
+    import zlib
+
+    gz = zlib.compress(b"<p>both codings</p>", wbits=31)
+    cut = len(gz) // 2
+    body = (f"{cut:x}\r\n".encode() + gz[:cut] + b"\r\n"
+            + f"{len(gz) - cut:x}\r\n".encode() + gz[cut:]
+            + b"\r\n0\r\n\r\n")
+    http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + body)
+    p = W.encode_warc([{"type": "response", "uri": "u", "content": http}])
+    assert W.warc_page_texts(p) == [{"uri": "u", "text": "both codings"}]
+
+
+def test_content_encoding_boundaries_raise():
+    """Malformed gzip raises; br/deflate are loud boundaries; trailing
+    bytes after the gzip stream are a framing violation."""
+    import zlib
+
+    def resp(body, coding=b"gzip"):
+        http = (b"HTTP/1.1 200 OK\r\n"
+                + f"Content-Length: {len(body)}\r\n".encode()
+                + b"Content-Encoding: " + coding + b"\r\n\r\n" + body)
+        return W.encode_warc(
+            [{"type": "response", "uri": "u", "content": http}])
+
+    with pytest.raises(ValueError, match="damaged gzip"):
+        W.warc_page_texts(resp(b"\x1f\x8bnot really gzip data"))
+    gz = zlib.compress(b"<p>x</p>", wbits=31)
+    with pytest.raises(ValueError, match="truncated gzip"):
+        W.warc_page_texts(resp(gz[:-4]))
+    with pytest.raises(ValueError, match="trailing bytes"):
+        W.warc_page_texts(resp(gz + b"EXTRA"))
+    with pytest.raises(NotImplementedError, match="content coding"):
+        W.warc_page_texts(resp(gz, coding=b"br"))
+    with pytest.raises(NotImplementedError, match="content coding"):
+        W.warc_page_texts(resp(gz, coding=b"deflate"))
+
+
+def test_chunked_trailing_bytes_raise():
+    """Bytes after the chunked trailer's final CRLF are a framing
+    violation — same strictness as the Content-Length path."""
+    http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"2\r\nhi\r\n0\r\n\r\nEXTRA")
+    p = W.encode_warc([{"type": "response", "uri": "u", "content": http}])
+    with pytest.raises(ValueError, match="trailing bytes"):
+        W.warc_page_texts(p)
+
+
+def test_synthesize_gzip_content_encoding_slice(spark):
+    """doc_id % 5 == 0 ships Content-Encoding: gzip (doc 0 and 15 also
+    chunked — the full chain); every row still extracts to the exact
+    corpus text."""
+    df = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(16)], "doc_id long, text string")
+    payload_rows = W.synthesize_warcs(df).collect()
+    enc = {r.doc_id for r in payload_rows
+           if b"Content-Encoding: gzip" in
+           (W.parse_warc(bytes(r.payload))[2]["content"])}
+    assert enc == {0, 5, 10, 15}
+    rows = {r.doc_id: r.text
+            for r in W.extract_warc_text(W.synthesize_warcs(df)).collect()}
+    assert rows == {i: f'"body {i}" & more' for i in range(16)}
+
+
+def test_whitespace_entities_uniformly_map_to_space():
+    """ALL pure-whitespace-valued entities (nbsp and its aliases,
+    ensp/thinsp/...) decode to a plain space at the table level, not
+    just via the collapse pass."""
+    for name in ("nbsp", "NonBreakingSpace", "ensp", "emsp", "thinsp",
+                 "Tab", "NewLine"):
+        assert W._ENTITIES.get(name, " ") == " ", name
+    assert W.html_to_text("a&NonBreakingSpace;b") == "a b"
