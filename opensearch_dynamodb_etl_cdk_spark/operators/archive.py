@@ -134,6 +134,9 @@ def _parse_pax_records(data: bytes) -> dict[str, str]:
         if sp < 0 or not data[pos:sp].isdigit():
             raise ValueError("tar: malformed PAX record length")
         n = int(data[pos:sp])
+        if pos + n > len(data):
+            raise ValueError(
+                "tar: PAX record length overruns the payload")
         rec = data[pos:pos + n]
         if n < sp - pos + 3 or rec[-1:] != b"\n":
             raise ValueError("tar: PAX record does not end in newline")

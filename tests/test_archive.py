@@ -277,3 +277,19 @@ def test_zip64_malformed_rejections():
                     struct.pack("<HH", 0x0099, 24))
     with pytest.raises(ValueError, match="ZIP64 extra"):
         A.parse_zip(bad)
+
+
+def test_tar_pax_record_length_overrun_raises():
+    """A PAX record whose declared length overruns the payload must
+    raise, not silently truncate — even if the truncated slice happens
+    to end in a newline."""
+    import pytest
+
+    good = A._pax_record("path", "x.txt")
+    with pytest.raises(ValueError, match="overruns"):
+        A._parse_pax_records(good[:-2])  # declared length > remaining
+    # truncated-but-newline-coincident: declare 99 bytes, supply fewer
+    # ending in '\n'
+    bad = b"99 path=a\n"
+    with pytest.raises(ValueError, match="overruns"):
+        A._parse_pax_records(bad)
