@@ -3068,10 +3068,13 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
+def _tiff_lzw_decode(data: bytes, expect: int | None) -> bytes:
     """Inverse of ``_tiff_lzw_encode`` with the same MSB bit order and
     early width change; truncation, codes past the table, and length
-    disagreements all raise."""
+    disagreements all raise. ``expect=None`` skips the length checks —
+    the PDF LZWDecode filter shares this exact coding (ISO 32000
+    §7.4.4 with the default /EarlyChange 1) but does not know the
+    decoded length in advance."""
     out = bytearray()
     total = len(data) * 8
     bitpos, width = 0, 9
@@ -3120,9 +3123,9 @@ def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
         if len(table) == (1 << width) - 2 and width < 12:
             width += 1
         prev = entry
-        if len(out) > expect:
+        if expect is not None and len(out) > expect:
             raise ValueError("TIFF: LZW decodes past the strip size")
-    if len(out) != expect:
+    if expect is not None and len(out) != expect:
         raise ValueError(
             f"TIFF: strip decoded to {len(out)} bytes, expected {expect}")
     return bytes(out)

@@ -19,8 +19,12 @@ spec-correct PDFs in all four layouts — including the xref offsets
 and ObjStm pair tables the extractor cross-checks — so round-trip
 tests and the SQL oracle can pin every layer.
 
-Boundaries are loud and precise: encryption, non-Flate filters,
-indirect /Length, and TIFF predictors raise ``NotImplementedError``;
+Stream filters cover the full dependency-free set — FlateDecode,
+LZWDecode (reusing the TIFF 6.0 §13 MSB-first early-change LZW core),
+ASCIIHexDecode, ASCII85Decode, RunLengthDecode, and declaration-order
+chains with per-filter /DecodeParms. Boundaries are loud and precise:
+encryption, image/JBIG2/crypt filters, /EarlyChange 0 LZW, and TIFF
+predictors raise ``NotImplementedError``;
 a structurally broken file (bad xref offsets, missing trailer root,
 dangling references, an ObjStm pair table disagreeing with the xref)
 raises ``ValueError`` — corpus ingestion must route those to the DLQ,
@@ -92,10 +96,36 @@ def _predict_png_up(data: bytes, columns: int) -> bytes:
     return bytes(out)
 
 
+_ENCODE_FILTERS: dict[str, tuple[bytes, object]] = {
+    # chain-spec name → (/Filter name, encoder); filled in below the
+    # codec definitions (the encoders are defined later in the file)
+}
+
+
+def _encode_filter_chain(data: bytes, chain: str) -> tuple[bytes, bytes]:
+    """Encode ``data`` through a '+'-separated filter chain named in
+    DECODE order (the /Filter array order), e.g. ``"A85+Flate"`` →
+    ASCII85-wrapped Flate bytes. Returns (stored bytes, the /Filter
+    clause to write)."""
+    names = chain.split("+")
+    for n in names:
+        if n not in _ENCODE_FILTERS:
+            raise ValueError(f"encode_pdf: unknown filter {n!r}")
+    for n in reversed(names):  # encode applies inner-most first
+        data = _ENCODE_FILTERS[n][1](data)
+    if len(names) == 1:
+        clause = b"/Filter /" + _ENCODE_FILTERS[names[0]][0] + b" "
+    else:
+        clause = (b"/Filter [" + b" ".join(
+            b"/" + _ENCODE_FILTERS[n][0] for n in names) + b"] ")
+    return data, clause
+
+
 def encode_pdf(pages: list[str], compress: bool = True,
                layout: str = "classic",
                indirect_length: bool = False,
-               hex_strings: bool = False) -> bytes:
+               hex_strings: bool = False,
+               content_filter: str | None = None) -> bytes:
     """Write a real PDF: catalog, pages tree, one content stream per
     page (each text line a ``Td``-positioned ``Tj``), shared Helvetica
     font. ``compress`` wraps content streams in FlateDecode — the
@@ -118,6 +148,11 @@ def encode_pdf(pages: list[str], compress: bool = True,
     emit when a stream is written before its length is known.
     ``hex_strings`` shows text with HEX strings (``<...> Tj``) instead
     of literal strings — the form subsetted-font writers emit.
+    ``content_filter`` overrides ``compress`` for CONTENT streams with
+    a '+'-chained filter spec in decode order (``"Flate"``, ``"LZW"``,
+    ``"AHx"``, ``"A85"``, ``"RL"``, ``"A85+Flate"``, ...) — the
+    non-Flate stream filters real corpora still carry; structural
+    streams (ObjStm, xref) stay on Flate per ``compress``.
     """
     if layout not in ("classic", "xref-stream", "objstm", "hybrid"):
         raise ValueError(f"encode_pdf: unknown layout {layout!r}")
@@ -147,7 +182,9 @@ def encode_pdf(pages: list[str], compress: bool = True,
         ops += b"ET"
         stream = bytes(ops)
         filt = b""
-        if compress:
+        if content_filter is not None:
+            stream, filt = _encode_filter_chain(stream, content_filter)
+        elif compress:
             stream = zlib.compress(stream)
             filt = b"/Filter /FlateDecode "
         objects[content_id] = (
@@ -322,32 +359,271 @@ def _unpredict_png(data: bytes, columns: int) -> bytes:
     return bytes(out)
 
 
+def _ascii_hex_decode(data: bytes) -> bytes:
+    """ISO 32000 §7.4.2 ASCIIHexDecode: hex pairs, whitespace ignored,
+    ``>`` is EOD (an odd final digit pads with 0), anything else
+    raises."""
+    out = bytearray()
+    hi = None
+    for b in data:
+        c = bytes([b])
+        if c.isspace():
+            continue
+        if c == b">":  # EOD
+            if hi is not None:
+                out.append(int(chr(hi) + "0", 16))
+            return bytes(out)
+        if c not in b"0123456789abcdefABCDEF":
+            raise ValueError(
+                f"PDF: ASCIIHexDecode: bad character {c!r}")
+        if hi is None:
+            hi = b
+        else:
+            out.append(int(chr(hi) + chr(b), 16))
+            hi = None
+    raise ValueError("PDF: ASCIIHexDecode stream missing the '>' EOD")
+
+
+def _ascii_hex_encode(data: bytes) -> bytes:
+    return data.hex().encode("ascii") + b">"
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ISO 32000 §7.4.3 ASCII85Decode: 5-char base-85 groups → 4
+    bytes, ``z`` shorthand for a zero group (illegal mid-group),
+    ``~>`` EOD, a partial final group of n chars yields n-1 bytes
+    (padded with 'u' for decoding), group overflow and stray
+    characters raise."""
+    out = bytearray()
+    group: list[int] = []
+    pos = 0
+    while pos < len(data):
+        b = data[pos]
+        c = bytes([b])
+        pos += 1
+        if c.isspace():
+            continue
+        if c == b"~":
+            if data[pos:pos + 1] != b">":
+                raise ValueError("PDF: ASCII85Decode: '~' without '>'")
+            if len(group) == 1:
+                raise ValueError(
+                    "PDF: ASCII85Decode: 1-character final group")
+            if group:
+                n = len(group)
+                group += [ord("u")] * (5 - n)
+                v = 0
+                for g in group:
+                    v = v * 85 + (g - 33)
+                if v > 0xFFFFFFFF:
+                    raise ValueError(
+                        "PDF: ASCII85Decode: group overflows 2^32")
+                out += v.to_bytes(4, "big")[:n - 1]
+            return bytes(out)
+        if c == b"z":
+            if group:
+                raise ValueError(
+                    "PDF: ASCII85Decode: 'z' inside a group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 33 <= b <= 117:  # '!'..'u'
+            raise ValueError(f"PDF: ASCII85Decode: bad character {c!r}")
+        group.append(b)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + (g - 33)
+            if v > 0xFFFFFFFF:
+                raise ValueError("PDF: ASCII85Decode: group overflows 2^32")
+            out += v.to_bytes(4, "big")
+            group = []
+    raise ValueError("PDF: ASCII85Decode stream missing the '~>' EOD")
+
+
+def _ascii85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i:i + 4]
+        n = len(chunk)
+        v = int.from_bytes(chunk + b"\x00" * (4 - n), "big")
+        if v == 0 and n == 4:
+            out += b"z"
+            continue
+        digits = bytearray(5)
+        for j in range(4, -1, -1):
+            digits[j] = 33 + v % 85
+            v //= 85
+        out += digits[:n + 1]
+    return bytes(out) + b"~>"
+
+
+def _run_length_decode(data: bytes) -> bytes:
+    """ISO 32000 §7.4.5 RunLengthDecode: length byte 0–127 copies the
+    next length+1 bytes literally, 129–255 repeats the next byte
+    257-length times, 128 is EOD; truncation raises."""
+    out = bytearray()
+    pos = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("PDF: RunLengthDecode missing the EOD byte")
+        ln = data[pos]
+        pos += 1
+        if ln == 128:  # EOD
+            return bytes(out)
+        if ln < 128:
+            if pos + ln + 1 > len(data):
+                raise ValueError("PDF: RunLengthDecode literal truncated")
+            out += data[pos:pos + ln + 1]
+            pos += ln + 1
+        else:
+            if pos >= len(data):
+                raise ValueError("PDF: RunLengthDecode run truncated")
+            out += bytes([data[pos]]) * (257 - ln)
+            pos += 1
+
+
+def _run_length_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        # measure the run at i
+        j = i
+        while j < len(data) and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 2:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            continue
+        # literal stretch: until a run of ≥3 starts or 128 bytes
+        j = i
+        while j < len(data) and j - i < 128:
+            if (j + 2 < len(data) and data[j] == data[j + 1] == data[j + 2]):
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out) + b"\x80"
+
+
+def _lzw_decode(data: bytes, parms: bytes) -> bytes:
+    """ISO 32000 §7.4.4 LZWDecode — byte-for-byte the TIFF 6.0 §13
+    coding (MSB-first packing, clear=256/EOD=257, EARLY code-width
+    change), so it reuses the TIFF core. /EarlyChange 0 (late change)
+    is allowed by spec but unseen in practice — loud boundary."""
+    from .multimodal import _tiff_lzw_decode
+
+    if _int_key(parms, "EarlyChange") == 0:
+        raise NotImplementedError(
+            "PDF: LZWDecode /EarlyChange 0 is not supported")
+    return _tiff_lzw_decode(data, None)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    from .multimodal import _tiff_lzw_encode
+
+    return _tiff_lzw_encode(data)
+
+
+_ENCODE_FILTERS.update({
+    "Flate": (b"FlateDecode", lambda d: zlib.compress(d)),
+    "LZW": (b"LZWDecode", _lzw_encode),
+    "AHx": (b"ASCIIHexDecode", _ascii_hex_encode),
+    "A85": (b"ASCII85Decode", _ascii85_encode),
+    "RL": (b"RunLengthDecode", _run_length_encode),
+})
+
+
+def _split_decode_parms(src: bytes, n_filters: int) -> list[bytes]:
+    """Extract /DecodeParms as a per-filter list: a single ``<<...>>``
+    applies to a lone filter; an array form holds one ``<<...>>`` or
+    ``null`` per chained filter (ISO 32000 §7.3.8.2). Missing entries
+    are empty."""
+    m = re.search(rb"/(?:DecodeParms|DP)\s*(<<|\[)", src)
+    if not m:
+        return [b""] * n_filters
+    if m.group(1) == b"<<":
+        e = src.find(b">>", m.end())
+        if e < 0:
+            raise ValueError("PDF: unterminated /DecodeParms dict")
+        one = src[m.end():e]
+        return [one] + [b""] * (n_filters - 1)
+    # array form: scan << .. >> and null tokens until the closing ]
+    parms: list[bytes] = []
+    pos = m.end()
+    while pos < len(src):
+        if src[pos:pos + 1] == b"]":
+            break
+        if src[pos:pos + 2] == b"<<":
+            e = src.find(b">>", pos + 2)
+            if e < 0:
+                raise ValueError("PDF: unterminated /DecodeParms dict")
+            parms.append(src[pos + 2:e])
+            pos = e + 2
+        elif src[pos:pos + 4] == b"null":
+            parms.append(b"")
+            pos += 4
+        elif src[pos:pos + 1].isspace():
+            pos += 1
+        else:
+            raise ValueError(
+                f"PDF: bad /DecodeParms array at {src[pos:pos+8]!r}")
+    parms += [b""] * (n_filters - len(parms))
+    return parms
+
+
+_DECODERS = {
+    b"FlateDecode": None,  # handled inline (zlib error mapping)
+    b"LZWDecode": None,    # handled inline (takes parms)
+    b"ASCIIHexDecode": _ascii_hex_decode,
+    b"ASCII85Decode": _ascii85_decode,
+    b"RunLengthDecode": _run_length_decode,
+    # abbreviated names are inline-image-only per spec, but real
+    # writers leak them into streams; accept them as aliases
+    b"Fl": None, b"LZW": None,
+    b"AHx": _ascii_hex_decode, b"A85": _ascii85_decode,
+    b"RL": _run_length_decode,
+}
+
+
 def _decode_stream(src: bytes, stream: bytes) -> bytes:
-    """Apply the stream's /Filter (FlateDecode only — others are a
-    loud boundary) and /DecodeParms predictor, the decode path shared
-    by content streams, object streams, and xref streams."""
+    """Apply the stream's /Filter chain in declaration order —
+    FlateDecode, LZWDecode, ASCIIHexDecode, ASCII85Decode,
+    RunLengthDecode, and chains thereof (e.g. ``[/ASCII85Decode
+    /FlateDecode]``) — with per-filter /DecodeParms (PNG predictors
+    for Flate/LZW). Image/JBIG2/crypt filters stay loud boundaries.
+    The decode path shared by content streams, object streams, and
+    xref streams."""
     fm = re.search(rb"/Filter\s*(/\w+|\[[^\]]*\])", src)
-    if fm:
-        filters = re.findall(rb"/(\w+)", fm.group(1))
-        if filters == [b"FlateDecode"]:
+    if not fm:
+        return stream
+    filters = re.findall(rb"/(\w+)", fm.group(1))
+    parms_list = _split_decode_parms(src, len(filters))
+    for filt, parms in zip(filters, parms_list):
+        if filt not in _DECODERS:
+            raise NotImplementedError(
+                f"PDF: stream filter {filt.decode()} needs a codec "
+                "(Flate/LZW/ASCIIHex/ASCII85/RunLength decode)")
+        if filt in (b"FlateDecode", b"Fl"):
             try:
                 stream = zlib.decompress(stream)
             except zlib.error as exc:
-                raise ValueError(f"PDF: FlateDecode failed: {exc}") from None
+                raise ValueError(
+                    f"PDF: FlateDecode failed: {exc}") from None
+        elif filt in (b"LZWDecode", b"LZW"):
+            stream = _lzw_decode(stream, parms)
         else:
-            names = b",".join(filters).decode()
-            raise NotImplementedError(
-                f"PDF: stream filter(s) {names} need codecs "
-                "(only FlateDecode decodes)")
-    pm = re.search(rb"/DecodeParms\s*<<(.*?)>>", src, re.DOTALL)
-    if pm:
-        pred = _int_key(pm.group(1), "Predictor") or 1
+            stream = _DECODERS[filt](stream)
+        pred = _int_key(parms, "Predictor") or 1
         if pred == 1:
-            pass
-        elif pred >= 10:
-            cols = _int_key(pm.group(1), "Columns") or 1
-            bpc = _int_key(pm.group(1), "BitsPerComponent") or 8
-            colors = _int_key(pm.group(1), "Colors") or 1
+            continue
+        if filt not in (b"FlateDecode", b"Fl", b"LZWDecode", b"LZW"):
+            raise ValueError(
+                f"PDF: /Predictor on non-compression filter "
+                f"{filt.decode()}")
+        if pred >= 10:
+            cols = _int_key(parms, "Columns") or 1
+            bpc = _int_key(parms, "BitsPerComponent") or 8
+            colors = _int_key(parms, "Colors") or 1
             if bpc != 8 or colors != 1:
                 raise NotImplementedError(
                     "PDF: predictor over multi-byte samples "
@@ -856,9 +1132,15 @@ def synthesize_pdfs(df: DataFrame, text_col: str = "text",
     xref) → hybrid /XRefStm by ``id % 4``; ``id % 5 == 2`` writes
     content-stream lengths as indirect companion-integer objects, and
     ``id % 7 == 3`` shows text with hex strings (the subsetted-font
-    form). The ingestion-side twin of ``synthesize_media``: payload
+    form). Content-stream filters cycle the full dependency-free set
+    by ``id % 11``: ids 1/3 LZWDecode, 5 ASCIIHexDecode, 7
+    ASCII85Decode, 9 RunLengthDecode, 2 the ``[/ASCII85Decode
+    /FlateDecode]`` chain — the rest keep the odd=Flate / even=raw
+    default. The ingestion-side twin of ``synthesize_media``: payload
     bytes are built and stay on the executors."""
     layouts = ("classic", "xref-stream", "objstm", "hybrid")
+    filter_cycle = {1: "LZW", 3: "LZW", 5: "AHx", 7: "A85", 9: "RL",
+                    2: "A85+Flate"}
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -873,7 +1155,9 @@ def synthesize_pdfs(df: DataFrame, text_col: str = "text",
                 payloads.append(encode_pdf(pages, compress=bool(d % 2),
                                            layout=layouts[d % 4],
                                            indirect_length=d % 5 == 2,
-                                           hex_strings=d % 7 == 3))
+                                           hex_strings=d % 7 == 3,
+                                           content_filter=filter_cycle.get(
+                                               int(d) % 11)))
             yield pd.DataFrame(
                 {"doc_id": ids, "payload": payloads,
                  "media_type": "application/pdf"})

@@ -56,10 +56,10 @@ def test_pdf_structure_validation():
         P.extract_pdf_pages(enc)
     # unsupported filter is a precise boundary (equal-length swap so
     # the xref offsets stay valid and the FILTER check is what fires)
-    lzw = P.encode_pdf(["x"], compress=True).replace(
-        b"/Filter /FlateDecode", b"/Filter /LZWDecode  ")
+    dct = P.encode_pdf(["x"], compress=True).replace(
+        b"/Filter /FlateDecode", b"/Filter /DCTDecode  ")
     with pytest.raises(NotImplementedError):
-        P.extract_pdf_pages(lzw)
+        P.extract_pdf_pages(dct)
 
 
 def test_pdf_length_is_authoritative_for_streams():
@@ -332,3 +332,101 @@ def test_pdf_utf8_bom_strings_decode_and_latin1_collision_guard():
     raw = (b"\xef\xbb\xbf" + "héllo".encode()).hex().encode()
     toks = list(P._literal_strings_and_ops(b"<" + raw + b"> Tj"))
     assert P._pdf_str(toks[0][1]) == "héllo"
+
+
+@pytest.mark.parametrize("chain", ["LZW", "AHx", "A85", "RL",
+                                   "A85+Flate", "AHx+RL", "RL+LZW"])
+def test_pdf_stream_filters_round_trip(chain):
+    """ISO 32000 §7.4 non-Flate filters and declaration-order chains
+    round-trip exactly, in every xref layout."""
+    pages = ["filter torture ( ) \\ text", "seconde pagé naïve"]
+    for layout in ("classic", "objstm"):
+        p = P.encode_pdf(pages, layout=layout, content_filter=chain)
+        assert P.extract_pdf_pages(p) == pages
+
+
+def test_pdf_filter_codec_unit_vectors():
+    """Spec-pinned vectors for each codec: hex padding, the z
+    shorthand, partial 85-groups, literal/run mixes."""
+    assert P._ascii_hex_decode(b"48 65 6c6C 6f>") == b"Hello"
+    assert P._ascii_hex_decode(b"7>") == b"p"  # odd digit pads 0
+    assert P._ascii_hex_decode(P._ascii_hex_encode(b"\x00\xff ab")) \
+        == b"\x00\xff ab"
+    # ASCII85: 'z' is four zero bytes; partial groups; wikipedia vector
+    assert P._ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    assert P._ascii85_decode(b"87cUR~>") == b"Hell"
+    assert P._ascii85_encode(b"easy") == b"ARTY*~>"
+    # stdlib cross-check on assorted lengths
+    import base64
+    for data in (b"", b"x", b"four", b"\x00\x00\x00\x00tail", b"mixed 85"):
+        assert P._ascii85_decode(base64.a85encode(data) + b"~>") == data
+    for data in (b"", b"a", b"ab", b"abc", b"abcd", b"sure.", b"\x00" * 9,
+                 bytes(range(256))):
+        assert P._ascii85_decode(P._ascii85_encode(data)) == data
+        assert P._run_length_decode(P._run_length_encode(data)) == data
+    assert P._run_length_decode(b"\x02abc\xfeX\x80") == b"abcXXX"
+    # runs longer than 128 split correctly
+    long = b"Q" * 300 + b"literal" + b"Z" * 2
+    assert P._run_length_decode(P._run_length_encode(long)) == long
+    # LZW round-trips through the shared TIFF core
+    assert P._lzw_decode(P._lzw_encode(b"TOBEORNOTTOBEORTOBEORNOT"), b"") \
+        == b"TOBEORNOTTOBEORTOBEORNOT"
+
+
+def test_pdf_filter_codec_malformed_raise():
+    with pytest.raises(ValueError, match="EOD"):
+        P._ascii_hex_decode(b"4865")  # missing '>'
+    with pytest.raises(ValueError, match="bad character"):
+        P._ascii_hex_decode(b"4g>")
+    with pytest.raises(ValueError, match="EOD"):
+        P._ascii85_decode(b"87cUR")  # missing '~>'
+    with pytest.raises(ValueError, match="1-character final group"):
+        P._ascii85_decode(b"a~>")
+    with pytest.raises(ValueError, match="overflows"):
+        P._ascii85_decode(b"uuuuu~>")  # > 2^32-1
+    with pytest.raises(ValueError, match="'z' inside a group"):
+        P._ascii85_decode(b"az~>")
+    with pytest.raises(ValueError, match="bad character"):
+        P._ascii85_decode(b"ab\x7fcd~>")
+    with pytest.raises(ValueError, match="EOD"):
+        P._run_length_decode(b"\x02abc")  # no 0x80
+    with pytest.raises(ValueError, match="literal truncated"):
+        P._run_length_decode(b"\x05ab")
+    with pytest.raises(ValueError, match="run truncated"):
+        P._run_length_decode(b"\xfe")
+    with pytest.raises(NotImplementedError, match="EarlyChange"):
+        P._lzw_decode(b"\x80", b"/EarlyChange 0")
+
+
+def test_pdf_decode_parms_array_per_filter():
+    """An array /DecodeParms maps entries to chained filters in
+    order — null for no-parms, a dict for the predictor."""
+    assert P._split_decode_parms(
+        b"/Filter [/A /B] /DecodeParms [null << /Predictor 12 >>]", 2) \
+        == [b"", b" /Predictor 12 "]
+    assert P._split_decode_parms(b"/DecodeParms << /Columns 7 >>", 2) \
+        == [b" /Columns 7 ", b""]
+    assert P._split_decode_parms(b"no parms here", 3) == [b"", b"", b""]
+
+
+def test_pdf_synthesizer_cycles_stream_filters(spark):
+    """doc_id % 11 walks LZW/AHx/A85/RL and the A85+Flate chain; every
+    variant still extracts to the exact source text."""
+    df = spark.createDataFrame(
+        [(i, f"doc {i} filter cycle text") for i in range(22)],
+        "doc_id long, text string")
+    payload_rows = P.synthesize_pdfs(df).collect()
+    seen = set()
+    for r in payload_rows:
+        p = bytes(r.payload)
+        for f in (b"LZWDecode", b"ASCIIHexDecode", b"ASCII85Decode",
+                  b"RunLengthDecode"):
+            if b"/Filter /" + f in p:
+                seen.add(f.decode())
+        if b"/Filter [/ASCII85Decode /FlateDecode]" in p:
+            seen.add("chain")
+    assert seen == {"LZWDecode", "ASCIIHexDecode", "ASCII85Decode",
+                    "RunLengthDecode", "chain"}
+    texts = {r.doc_id: r.text
+             for r in P.extract_document_text(P.synthesize_pdfs(df)).collect()}
+    assert texts == {i: f"doc {i} filter cycle text" for i in range(22)}
