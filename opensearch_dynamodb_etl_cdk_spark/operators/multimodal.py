@@ -175,8 +175,21 @@ def decode_bmp(payload: bytes) -> dict:
         }
     if compression != 0:
         raise NotImplementedError(f"compressed BMP (method {compression}) unsupported")
+    if bpp in (1, 4, 8):  # uncompressed paletted: shared pixel path
+        w, h, bgr = _bmp_paletted_pixels(payload, dib_size, width,
+                                         height, data_offset, bpp)
+        n = w * h
+        return {
+            "media_kind": "image",
+            "width": w,
+            "height": h,
+            "bit_depth": bpp,
+            "n_units": n,
+            "mean_value": (float(bgr.sum()) / (3 * n)) if n else 0.0,
+            "n_bytes": len(payload),
+        }
     if bpp != 24:
-        raise NotImplementedError(f"{bpp}-bit BMP unsupported (only 24-bit)")
+        raise NotImplementedError(f"{bpp}-bit BMP unsupported (only 1/4/8/24-bit)")
     top_down = height < 0
     h = -height if top_down else height
     row_data = width * 3
@@ -4945,7 +4958,7 @@ def synthesize_media(
     ("jpeg") or WAV ("audio"). Payload bytes are built and stay on the
     executors; ``keep`` columns pass through for downstream
     grouping."""
-    kinds = ("image", "rle-bmp", "audio", "flac", "ogg-flac", "png",
+    kinds = ("image", "rle-bmp", "pal-bmp", "audio", "flac", "ogg-flac", "png",
              "png-palette",
              "png-interlaced", "png-16", "gif", "gif-anim", "jpeg",
              "jpeg-color", "jpeg-420", "jpeg-progressive", "jpeg-cmyk",
@@ -4953,6 +4966,7 @@ def synthesize_media(
     if kind not in kinds:
         raise ValueError(f"kind must be one of {kinds}")
     media_type = {"image": "image/bmp", "rle-bmp": "image/bmp",
+                  "pal-bmp": "image/bmp",
                   "png": "image/png",
                   "png-palette": "image/png",
                   "png-interlaced": "image/png", "png-16": "image/png",
@@ -4983,6 +4997,15 @@ def synthesize_media(
                 # BI_RLE8: encoded runs + absolute-mode gradient rows
                 payloads = [encode_bmp_rle8(*rle_bmp_params(int(d)))
                             for d in ids]
+            elif kind == "pal-bmp":
+                # uncompressed paletted 8/4/1-bit cycling by id, both
+                # orientations — the most common BMP variants in the
+                # wild, each with a closed-form mean
+                payloads = []
+                for d in ids:
+                    bpp, w, h, base, td = pal_bmp_params(int(d))
+                    payloads.append(encode_bmp_paletted(
+                        w, h, bpp, base, top_down=td))
             elif kind == "png":
                 payloads = [encode_png(*png_params(int(d))) for d in ids]
             elif kind == "png-16":
@@ -5246,8 +5269,11 @@ def _bmp_pixels(payload: bytes):
         raise NotImplementedError(
             f"compressed BMP (method {compression}) unsupported"
         )
+    if bpp in (1, 4, 8):  # uncompressed paletted variants
+        return _bmp_paletted_pixels(payload, dib_size, width, height,
+                                    data_offset, bpp)
     if bpp != 24:
-        raise NotImplementedError(f"{bpp}-bit BMP unsupported (only 24-bit)")
+        raise NotImplementedError(f"{bpp}-bit BMP unsupported (only 1/4/8/24-bit)")
     top_down = height < 0
     h = -height if top_down else height
     if width <= 0 or h <= 0:
@@ -5379,6 +5405,128 @@ def encode_bmp_rle8(width: int, height: int, base_value: int = 0) -> bytes:
 def rle_bmp_params(doc_id: int) -> tuple[int, int, int]:
     """Ground-truth (width, height, base) for a synthesized RLE8 BMP."""
     return 3 + doc_id % 13, 1 + doc_id % 7, doc_id % 200
+
+
+def _bmp_paletted_pixels(payload: bytes, dib_size: int, width: int,
+                         height: int, data_offset: int, bpp: int):
+    """Decode an UNCOMPRESSED paletted BMP (1/4/8 bits per pixel — the
+    most common BMP variants in the wild): BGRA palette of biClrUsed
+    (or 2^bpp) entries, MSB-first bit packing inside each byte for the
+    sub-byte depths, 4-byte row stride, bottom-up or top-down. Returns
+    the (width, height, top-down BGR array) contract shared with the
+    24-bit and RLE8 paths."""
+    import numpy as np
+
+    top_down = height < 0
+    h = -height if top_down else height
+    if width <= 0 or h <= 0:
+        raise ValueError(f"malformed BMP geometry {width}x{height}")
+    (clr_used,) = struct.unpack_from("<I", payload, 46)
+    n_pal = clr_used or (1 << bpp)
+    pal_at = 14 + dib_size
+    if n_pal > (1 << bpp) or pal_at + n_pal * 4 > data_offset:
+        raise ValueError("paletted BMP: palette truncated")
+    pal = np.zeros((1 << bpp, 3), dtype=np.uint8)
+    pal[:n_pal] = np.frombuffer(payload, np.uint8, count=n_pal * 4,
+                                offset=pal_at).reshape(n_pal, 4)[:, :3]
+    stride = ((width * bpp + 31) // 32) * 4
+    if len(payload) < data_offset + stride * h:
+        raise ValueError("truncated BMP: pixel array shorter than geometry")
+    rows = np.frombuffer(payload, np.uint8, count=stride * h,
+                         offset=data_offset).reshape(h, stride)
+    if bpp == 8:
+        idx = rows[:, :width]
+    elif bpp == 4:
+        nibbles = np.empty((h, stride * 2), dtype=np.uint8)
+        nibbles[:, 0::2] = rows >> 4
+        nibbles[:, 1::2] = rows & 0x0F
+        idx = nibbles[:, :width]
+    else:  # 1-bit: MSB-first within each byte
+        bits = np.unpackbits(rows, axis=1)
+        idx = bits[:, :width]
+    if n_pal < (1 << bpp) and int(idx.max(initial=0)) >= n_pal:
+        raise ValueError("paletted BMP: pixel index beyond the palette")
+    bgr = pal[idx]
+    if not top_down:
+        bgr = bgr[::-1]
+    return width, h, np.ascontiguousarray(bgr)
+
+
+def encode_bmp_paletted(width: int, height: int, bpp: int,
+                        base_value: int = 0,
+                        top_down: bool = False) -> bytes:
+    """Build a real uncompressed paletted BMP at 1, 4, or 8 bits per
+    pixel: grayscale BGRA palette (entry i = i·(255 // (2^bpp − 1))),
+    MSB-first sub-byte packing, 4-byte row stride, bottom-up storage
+    (or top-down via negative height). The pixel-INDEX pattern is
+    depth-specific so the mean stays closed-form in the parameters:
+
+    - 8-bit: the GIF gradient ``base + 7y + 13x`` (validated not to
+      wrap) → mean = base + 7(h−1)/2 + 13(w−1)/2;
+    - 4-bit: ``base + x + y`` (validated ≤ 15)
+      → mean = 17·(base + (w−1)/2 + (h−1)/2);
+    - 1-bit: the checkerboard ``(base + x + y) % 2``
+      → mean = 255·ones/(w·h)."""
+    import numpy as np
+
+    if width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive")
+    if bpp not in (1, 4, 8):
+        raise ValueError(f"paletted bpp must be 1/4/8, got {bpp}")
+    n_pal = 1 << bpp
+    scale = 255 // (n_pal - 1)
+    y_ix, x_ix = np.mgrid[0:height, 0:width]
+    if bpp == 8:
+        idx = base_value + 7 * y_ix + 13 * x_ix
+    elif bpp == 4:
+        idx = base_value + x_ix + y_ix
+    else:
+        idx = (base_value + x_ix + y_ix) % 2
+    if int(idx.max()) >= n_pal or base_value < 0:
+        raise ValueError(
+            f"index gradient exceeds the {n_pal}-entry palette; "
+            "lower base_value or shrink the image")
+    idx = idx.astype(np.uint8)
+    stride = ((width * bpp + 31) // 32) * 4
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    if bpp == 8:
+        rows[:, :width] = idx
+    elif bpp == 4:
+        padded = np.zeros((height, stride * 2), dtype=np.uint8)
+        padded[:, :width] = idx
+        rows[:] = (padded[:, 0::2] << 4) | padded[:, 1::2]
+    else:
+        padded = np.zeros((height, stride * 8), dtype=np.uint8)
+        padded[:, :width] = idx
+        rows[:] = np.packbits(padded, axis=1)
+    if not top_down:
+        rows = rows[::-1]  # bottom-up storage
+    pal = bytes(v for i in range(n_pal) for v in
+                (i * scale, i * scale, i * scale, 0))
+    data = rows.tobytes()
+    data_offset = 14 + 40 + len(pal)
+    info = struct.pack("<IiiHHIIiiII", 40, width,
+                       -height if top_down else height, 1, bpp, 0,
+                       len(data), 0, 0, n_pal, 0)
+    head = struct.pack("<2sIHHI", b"BM", data_offset + len(data), 0, 0,
+                       data_offset)
+    return head + info + pal + data
+
+
+def pal_bmp_params(doc_id: int) -> tuple[int, int, int, int, bool]:
+    """Ground-truth (bpp, width, height, base, top_down) for a
+    synthesized paletted BMP — depth cycles 8/4/1 by ``doc_id % 3``,
+    orientation flips by parity, and each depth's geometry keeps its
+    index pattern inside the palette."""
+    kind = doc_id % 3
+    if kind == 0:   # 8-bit: gradient peak ≤ 31 + 7·6 + 13·14 = 255
+        return 8, 3 + doc_id % 13, 1 + doc_id % 7, doc_id % 32, \
+            bool(doc_id % 2)
+    if kind == 1:   # 4-bit: peak ≤ 5 + 5 + 4 = 14 ≤ 15
+        return 4, 1 + doc_id % 6, 1 + doc_id % 5, doc_id % 6, \
+            bool(doc_id % 2)
+    return 1, 3 + doc_id % 13, 1 + doc_id % 7, doc_id % 2, \
+        bool(doc_id % 2)
 
 
 def _nn_gather(rows, out_w: int, out_h: int):

@@ -2580,6 +2580,51 @@ def multimodal_rle_bmp_decode_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_paletted_bmp_decode_stats",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, doc_id % 3 AS k,
+             CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 4 ELSE 1 END AS bpp,
+             CASE doc_id % 3 WHEN 1 THEN 1 + doc_id % 6
+                  ELSE 3 + doc_id % 13 END AS w,
+             CASE doc_id % 3 WHEN 1 THEN 1 + doc_id % 5
+                  ELSE 1 + doc_id % 7 END AS h,
+             CASE doc_id % 3 WHEN 0 THEN doc_id % 32
+                  WHEN 1 THEN doc_id % 6 ELSE doc_id % 2 END AS base
+      FROM documents WHERE doc_id < 300)
+    SELECT doc_id, CAST(bpp AS BIGINT) AS bit_depth,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CASE k
+             WHEN 0 THEN base + 7.0 * (h - 1) / 2 + 13.0 * (w - 1) / 2
+             WHEN 1 THEN 17.0 * (base + (w - 1) / 2.0 + (h - 1) / 2.0)
+             ELSE 255.0 * (CASE WHEN base % 2 = 0
+                  THEN w * h - (((w + 1) // 2) * ((h + 1) // 2)
+                                + (w // 2) * (h // 2))
+                  ELSE ((w + 1) // 2) * ((h + 1) // 2)
+                       + (w // 2) * (h // 2) END) / (w * h)
+           END AS mean_value
+    FROM g
+    """,
+    doc="UNCOMPRESSED PALETTED BMP decoded for real — the most common "
+    "BMP variants in the wild: depth cycles 8/4/1-bit by doc_id with "
+    "both orientations (top-down odd ids), MSB-first sub-byte packing, "
+    "grayscale palettes scaled 1/17/255, decoded through the shared "
+    "pixel path (operators/multimodal.py::_bmp_paletted_pixels — so "
+    "pixel access and resize work too). Per-depth index patterns keep "
+    "the mean closed-form (8-bit GIF gradient, 4-bit x+y ramp, 1-bit "
+    "checkerboard) so the oracle replicates palette mapping, packing, "
+    "stride, and orientation arithmetic exactly.",
+    tags=("multimodal",),
+)
+def multimodal_paletted_bmp_decode_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") < 300)
+    feats = M.extract_media_features(M.synthesize_media(d, "pal-bmp"))
+    return feats.select("doc_id", "bit_depth", "width", "height",
+                        "mean_value")
+
+
+@register(
     "multimodal_mp3_stream_info",
     oracle="""
     WITH p AS (

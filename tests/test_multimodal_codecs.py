@@ -2458,3 +2458,72 @@ def test_tiff_multipage_spark_fan_out(spark):
         pid = r.doc_id + 31 * r.page
         w, h, base = M.tiff_params(pid)
         assert (r.width, r.height) == (w, h)
+
+
+# ------------------------------------------------------- paletted BMP
+
+def test_paletted_bmp_round_trip_all_depths():
+    """1/4/8-bit uncompressed paletted BMPs (both orientations) decode
+    to the closed-form means and exact pixel order."""
+    import numpy as np
+
+    for d in range(60):
+        bpp, w, h, base, td = M.pal_bmp_params(d)
+        p = M.encode_bmp_paletted(w, h, bpp, base, top_down=td)
+        r = M.decode_bmp(p)
+        assert (r["width"], r["height"], r["bit_depth"]) == (w, h, bpp)
+        if bpp == 8:
+            exp = base + 7 * (h - 1) / 2 + 13 * (w - 1) / 2
+        elif bpp == 4:
+            exp = 17 * (base + (w - 1) / 2 + (h - 1) / 2)
+        else:
+            evens = ((w + 1) // 2) * ((h + 1) // 2) + (w // 2) * (h // 2)
+            ones = (w * h - evens) if base % 2 == 0 else evens
+            exp = 255.0 * ones / (w * h)
+        assert r["mean_value"] == pytest.approx(exp, abs=1e-9)
+        # the pixel path agrees on geometry AND top-down order: pixel
+        # (0,0) is the index pattern's origin regardless of storage
+        # orientation
+        W_, H_, bgr = M._bmp_pixels(p)
+        v0 = {8: base, 4: 17 * base, 1: 255 * (base % 2)}[bpp]
+        assert (W_, H_) == (w, h)
+        assert tuple(bgr[0, 0]) == (v0, v0, v0)
+        assert bgr.shape == (h, w, 3)
+
+
+def test_paletted_bmp_sub_byte_packing_is_msb_first():
+    """White-box: a 1-bit checkerboard row packs MSB-first (pixel 0 in
+    bit 7), and 4-bit pixels pack high-nibble-first."""
+    p1 = M.encode_bmp_paletted(3, 1, 1, 0)  # row indexes 0,1,0
+    off = p1[10] | (p1[11] << 8)
+    assert p1[off] == 0b01000000  # MSB-first: 0,1,0 then pad bits
+    p4 = M.encode_bmp_paletted(3, 1, 4, 1)  # indexes 1,2,3
+    off = p4[10] | (p4[11] << 8)
+    assert p4[off] == 0x12 and p4[off + 1] == 0x30
+
+
+def test_paletted_bmp_boundaries():
+    p = M.encode_bmp_paletted(4, 3, 8, 10)
+    # truncated pixel array
+    with pytest.raises(ValueError, match="truncated BMP"):
+        M.decode_bmp(p[:-5])
+    # palette index past biClrUsed
+    import struct as S
+    small = bytearray(M.encode_bmp_paletted(4, 3, 8, 10))
+    S.pack_into("<I", small, 46, 5)  # claim only 5 palette entries
+    with pytest.raises(ValueError, match="beyond the palette"):
+        M.decode_bmp(bytes(small))
+    # gradient exceeding the palette raises at encode time
+    with pytest.raises(ValueError, match="palette"):
+        M.encode_bmp_paletted(16, 2, 4, 3)
+    # 2-bit depth stays a loud boundary
+    weird = bytearray(p)
+    S.pack_into("<H", weird, 28, 2)
+    with pytest.raises(NotImplementedError, match="2-bit BMP"):
+        M.decode_bmp(bytes(weird))
+
+
+def test_paletted_bmp_resizes_through_shared_pixel_path():
+    out = M.resize_bmp(M.encode_bmp_paletted(8, 6, 4, 1), 4, 3)
+    r = M.decode_bmp(out)
+    assert (r["width"], r["height"], r["bit_depth"]) == (4, 3, 24)
