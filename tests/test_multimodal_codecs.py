@@ -485,8 +485,13 @@ def test_resize_bmp_real_pixels(spark):
     up = resize_bmp(two, 4, 1)
     d = decode_bmp(up)
     assert d["width"] == 4 and d["mean_value"] == 130.0
-    with pytest.raises(NotImplementedError):
+    # 8-bit is now a SUPPORTED paletted path — this mangled header
+    # (no palette before the pixel data) fails structurally instead
+    with pytest.raises(ValueError, match="palette truncated"):
         resize_bmp(two[:14] + _s.pack("<IiiHHI", 40, 2, 1, 1, 8, 0)
+                   + two[34:], 1, 1)
+    with pytest.raises(NotImplementedError):  # 2-bit stays a boundary
+        resize_bmp(two[:14] + _s.pack("<IiiHHI", 40, 2, 1, 1, 2, 0)
                    + two[34:], 1, 1)
     with pytest.raises(ValueError):
         resize_bmp(two, 0, 1)
