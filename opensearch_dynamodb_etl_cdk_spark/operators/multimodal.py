@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import re
 import struct
+import sys
 import zlib
 from collections.abc import Callable, Iterator
 
@@ -3144,25 +3145,60 @@ def _tiff_lzw_decode(data: bytes, expect: int | None) -> bytes:
     return bytes(out)
 
 
-def _tiff_diff_rows(data: bytes, width: int, spp: int) -> bytes:
+def _tiff_diff_rows(data: bytes, width: int, spp: int,
+                    bps: int = 1, e: str = "<") -> bytes:
     """Apply horizontal differencing (predictor 2): per row, each
-    sample stores its delta from the same component one pixel left."""
-    out = bytearray(data)
+    sample stores its delta from the same component one pixel left.
+    Differencing operates on whole SAMPLES — for 16-bit data that is
+    mod-65536 arithmetic on words in the file byte order, not on
+    bytes (TIFF 6.0 §14)."""
+    if bps == 1:
+        out = bytearray(data)
+        row_len = width * spp
+        for r in range(0, len(data), row_len):
+            for x in range(row_len - 1, spp - 1, -1):
+                out[r + x] = (data[r + x] - data[r + x - spp]) & 0xFF
+        return bytes(out)
+    from array import array
+
+    vals = array("H")
+    vals.frombytes(data)
+    if (e == "<") != (sys.byteorder == "little"):
+        vals.byteswap()
     row_len = width * spp
-    for r in range(0, len(data), row_len):
+    out = array("H", vals)
+    for r in range(0, len(vals), row_len):
         for x in range(row_len - 1, spp - 1, -1):
-            out[r + x] = (data[r + x] - data[r + x - spp]) & 0xFF
-    return bytes(out)
+            out[r + x] = (vals[r + x] - vals[r + x - spp]) & 0xFFFF
+    if (e == "<") != (sys.byteorder == "little"):
+        out.byteswap()
+    return out.tobytes()
 
 
-def _tiff_undiff_rows(data: bytes, width: int, spp: int) -> bytes:
-    """Undo predictor 2: cumulative sum along each row per component."""
-    out = bytearray(data)
+def _tiff_undiff_rows(data: bytes, width: int, spp: int,
+                      bps: int = 1, e: str = "<") -> bytes:
+    """Undo predictor 2: cumulative sum along each row per component
+    (sample-wide — mod-65536 words for 16-bit data)."""
+    if bps == 1:
+        out = bytearray(data)
+        row_len = width * spp
+        for r in range(0, len(data), row_len):
+            for x in range(spp, row_len):
+                out[r + x] = (out[r + x] + out[r + x - spp]) & 0xFF
+        return bytes(out)
+    from array import array
+
+    out = array("H")
+    out.frombytes(data)
+    if (e == "<") != (sys.byteorder == "little"):
+        out.byteswap()
     row_len = width * spp
-    for r in range(0, len(data), row_len):
+    for r in range(0, len(out), row_len):
         for x in range(spp, row_len):
-            out[r + x] = (out[r + x] + out[r + x - spp]) & 0xFF
-    return bytes(out)
+            out[r + x] = (out[r + x] + out[r + x - spp]) & 0xFFFF
+    if (e == "<") != (sys.byteorder == "little"):
+        out.byteswap()
+    return out.tobytes()
 
 
 def _packbits_encode(data: bytes) -> bytes:
@@ -3221,6 +3257,7 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
                 big_endian: bool = False, predictor: int = 1,
                 tiled: bool = False,
                 tile: tuple[int, int] = (16, 16),
+                bit_depth: int = 8,
                 _origin: int = 8, _return_page: bool = False):
     """Build a real baseline TIFF. Content is the clip-free gradient
     v(x, y) = base + x + 2y (mean base + (w-1)/2 + (h-1)); ``rgb``
@@ -3231,9 +3268,16 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
     dimensions multiples of 16) when ``tiled`` — compressed with
     PackBits, the spec's LZW (the most common real-world TIFF
     compression, optionally with horizontal differencing —
-    ``predictor=2``), or Adobe Deflate; either byte order."""
+    ``predictor=2``), or Adobe Deflate; either byte order.
+    ``bit_depth=16`` (the scientific/GeoTIFF depth) stores each sample
+    as the word v·257 in the file byte order, so the 16-bit mean is
+    exactly 257× the 8-bit closed form and the high byte recovers v
+    exactly for pixel access."""
     e = ">" if big_endian else "<"
     spp = 3 if rgb else 1
+    if bit_depth not in (8, 16):
+        raise ValueError(f"TIFF: bit_depth {bit_depth} is not encodable")
+    bps = bit_depth // 8
     if predictor not in (1, 2):
         raise ValueError(f"TIFF: predictor {predictor} is not encodable")
     if predictor == 2 and compression not in ("lzw", "deflate"):
@@ -3246,7 +3290,10 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
             px = (v, v + 1, v + 2) if rgb else (v,)
             if any(not 0 <= c <= 255 for c in px):
                 raise ValueError("pixel exceeds a byte")
-            row += bytes(px)
+            if bps == 1:
+                row += bytes(px)
+            else:
+                row += struct.pack(f"{e}{spp}H", *(c * 257 for c in px))
         rows.append(bytes(row))
     if tiled:
         tw, th = tile
@@ -3259,9 +3306,9 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
                 t = bytearray()
                 for r in range(th):
                     y = ty + r
-                    line = rows[y][tx * spp:(tx + tw) * spp] \
+                    line = rows[y][tx * spp * bps:(tx + tw) * spp * bps] \
                         if y < height else b""
-                    t += line + b"\x00" * (tw * spp - len(line))
+                    t += line + b"\x00" * (tw * spp * bps - len(line))
                 strips.append(bytes(t))
     else:
         seg_px = width
@@ -3272,7 +3319,7 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
     comp_code = {"none": 1, "lzw": 5, "deflate": 8,
                  "packbits": 32773}[compression]
     if predictor == 2:
-        strips = [_tiff_diff_rows(s, seg_px, spp) for s in strips]
+        strips = [_tiff_diff_rows(s, seg_px, spp, bps, e) for s in strips]
     if compression == "packbits":
         strips = [_packbits_encode(s) for s in strips]
     elif compression == "lzw":
@@ -3309,10 +3356,10 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
     inline(256, 4, width)
     inline(257, 4, height)
     if spp == 3:
-        bits_off = arr_offset([8, 8, 8], 3)
+        bits_off = arr_offset([bit_depth] * 3, 3)
         entries.append((258, 3, 3, struct.pack(f"{e}I", bits_off)))
     else:
-        inline(258, 3, 8)
+        inline(258, 3, bit_depth)
     inline(259, 3, comp_code)
     inline(262, 3, 2 if rgb else 1)
     counts = [len(s) for s in strips]
@@ -3418,11 +3465,13 @@ def _tiff_ifd_chain(payload: bytes) -> list[int]:
 
 
 def _tiff_parse(payload: bytes,
-                ifd_off: int | None = None
-                ) -> tuple[int, int, int, int, bytes]:
+                ifd_off: int | None = None):
     """(width, height, samples_per_pixel, photometric, assembled
-    sample bytes) for one IFD (page) — the shared container walk
-    under stats and pixel access. Default: the first page."""
+    samples, bit_depth) for one IFD (page) — the shared container
+    walk under stats and pixel access. Default: the first page.
+    ``samples`` is an ``array.array`` of native-order ints ('B' for
+    8-bit, 'H' for 16-bit — byte-order normalization happens here, so
+    callers never see the file's endianness)."""
     if payload[:2] == b"II":
         e = "<"
     elif payload[:2] == b"MM":
@@ -3469,8 +3518,15 @@ def _tiff_parse(payload: bytes,
     photo = values("photometric")[0]
     spp = values("spp", 1)[0]
     bits = values("bits", 8)
-    if set(bits) != {8}:
-        raise NotImplementedError("TIFF: only 8 bits per sample decodes")
+    if set(bits) == {8}:
+        bit_depth = 8
+    elif set(bits) == {16}:
+        bit_depth = 16
+    else:
+        raise NotImplementedError(
+            f"TIFF: {sorted(set(bits))} bits per sample unsupported "
+            "(only uniform 8 or 16)")
+    bps = bit_depth // 8
     if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF: compression {comp} needs a codec "
@@ -3488,7 +3544,7 @@ def _tiff_parse(payload: bytes,
         """Decompress one strip/tile to n_rows × row_px pixels and undo
         the predictor — per SEGMENT, with the segment's own row width:
         a tile's rows are tile-width, not image-width."""
-        expect = n_rows * row_px * spp
+        expect = n_rows * row_px * spp * bps
         if comp == 32773:
             raw = _packbits_decode(raw, expect)
         elif comp == 5:
@@ -3504,8 +3560,20 @@ def _tiff_parse(payload: bytes,
                 f"TIFF: segment decoded to {len(raw)} bytes, "
                 f"expected {expect}")
         if pred == 2:
-            raw = _tiff_undiff_rows(raw, row_px, spp)
+            raw = _tiff_undiff_rows(raw, row_px, spp, bps, e)
         return raw
+
+    def to_samples(data: bytes):
+        """File bytes → native-order sample array ('B'/'H')."""
+        from array import array
+
+        if bps == 1:
+            return array("B", data)
+        a = array("H")
+        a.frombytes(data)
+        if (e == "<") != (sys.byteorder == "little"):
+            a.byteswap()
+        return a
 
     if "tile_offsets" in tags:
         # tiled organization (TIFF 6.0 §15) — the layout large
@@ -3524,19 +3592,20 @@ def _tiff_parse(payload: bytes,
         if len(offsets) != across * down:
             raise ValueError(
                 f"TIFF: {len(offsets)} tiles for a {across}x{down} grid")
-        img = bytearray(width * height * spp)
+        img = bytearray(width * height * spp * bps)
         for idx, (o, c) in enumerate(zip(offsets, counts)):
             if o + c > len(payload):
                 raise ValueError("TIFF: tile out of range")
             tile = segment(payload[o:o + c], th, tw)
             ty, tx = divmod(idx, across)
             n_rows = min(th, height - ty * th)
-            n_cols = min(tw, width - tx * tw) * spp
+            n_cols = min(tw, width - tx * tw) * spp * bps
             for r in range(n_rows):
-                dst = ((ty * th + r) * width + tx * tw) * spp
-                src = r * tw * spp
+                dst = ((ty * th + r) * width + tx * tw) * spp * bps
+                src = r * tw * spp * bps
                 img[dst:dst + n_cols] = tile[src:src + n_cols]
-        return width, height, spp, photo, bytes(img)
+        return width, height, spp, photo, to_samples(bytes(img)), \
+            bit_depth
 
     offsets, counts = values("offsets"), values("counts")
     if len(offsets) != len(counts):
@@ -3548,10 +3617,10 @@ def _tiff_parse(payload: bytes,
             raise ValueError("TIFF: strip out of range")
         data += segment(payload[o:o + c], min(rps, height - j * rps),
                         width)
-    if len(data) != width * height * spp:
+    if len(data) != width * height * spp * bps:
         raise ValueError(
             f"TIFF: {len(data)} sample bytes for {width}x{height}x{spp}")
-    return width, height, spp, photo, bytes(data)
+    return width, height, spp, photo, to_samples(bytes(data)), bit_depth
 
 
 def decode_tiff(payload: bytes) -> dict:
@@ -3559,17 +3628,18 @@ def decode_tiff(payload: bytes) -> dict:
     strip assembly, PackBits expansion, gray/RGB sample layout.
     Statistics cover the assembled samples — any strip-order, RLE, or
     endianness bug shifts ``mean_value`` and breaks the oracle."""
-    width, height, spp, photo, data = _tiff_parse(payload)
-    vals = list(data)
+    width, height, spp, photo, data, bit_depth = _tiff_parse(payload)
+    maxv = (1 << bit_depth) - 1
+    total = sum(data)
     if photo == 0:  # white-is-zero inverts
-        vals = [255 - v for v in vals]
+        total = maxv * len(data) - total
     return {
         "media_kind": "image",
         "width": width,
         "height": height,
-        "bit_depth": 8,
+        "bit_depth": bit_depth,
         "n_units": width * height,
-        "mean_value": (sum(vals) / len(vals)) if vals else 0.0,
+        "mean_value": (total / len(data)) if len(data) else 0.0,
         "n_bytes": len(payload),
     }
 
@@ -3580,13 +3650,14 @@ def decode_tiff_pages(payload: bytes) -> list[dict]:
     (1 file → N page rows)."""
     out = []
     for off in _tiff_ifd_chain(payload):
-        w, h, spp, photo, data = _tiff_parse(payload, off)
-        vals = list(data)
+        w, h, spp, photo, data, bit_depth = _tiff_parse(payload, off)
+        maxv = (1 << bit_depth) - 1
+        total = sum(data)
         if photo == 0:
-            vals = [255 - v for v in vals]
+            total = maxv * len(data) - total
         out.append({
             "width": w, "height": h, "n_units": w * h,
-            "mean_value": (sum(vals) / len(vals)) if vals else 0.0,
+            "mean_value": (total / len(data)) if len(data) else 0.0,
         })
     return out
 
@@ -3662,6 +3733,25 @@ def encode_tiff_sample(doc_id: int) -> bytes:
         and (doc_id // 4) % 2 else 1,
         big_endian=doc_id % 5 == 0,
         tiled=doc_id % 7 == 5,
+    )
+
+
+def encode_tiff16_sample(doc_id: int) -> bytes:
+    """16-bit twin of ``encode_tiff_sample`` — the same container
+    variant cycle (gray/RGB, none/PackBits/LZW/Deflate, the SAMPLE-
+    WIDE predictor on the compressed slices, both byte orders, the
+    tiled slice) at BitsPerSample 16, samples stored as v·257 so the
+    mean is exactly 257× the 8-bit closed form."""
+    w, h, base = tiff_params(doc_id)
+    comp = ("none", "packbits", "lzw", "deflate")[doc_id % 4]
+    return encode_tiff(
+        w, h, base=base, rgb=bool(doc_id % 2),
+        compression=comp,
+        predictor=2 if comp in ("lzw", "deflate")
+        and (doc_id // 4) % 2 else 1,
+        big_endian=doc_id % 5 == 0,
+        tiled=doc_id % 7 == 5,
+        bit_depth=16,
     )
 
 
@@ -4962,7 +5052,8 @@ def synthesize_media(
              "png-palette",
              "png-interlaced", "png-16", "gif", "gif-anim", "jpeg",
              "jpeg-color", "jpeg-420", "jpeg-progressive", "jpeg-cmyk",
-             "tiff", "tiff-multipage", "video", "mp3", "vorbis", "opus")
+             "tiff", "tiff-16", "tiff-multipage", "video", "mp3",
+             "vorbis", "opus")
     if kind not in kinds:
         raise ValueError(f"kind must be one of {kinds}")
     media_type = {"image": "image/bmp", "rle-bmp": "image/bmp",
@@ -4975,7 +5066,8 @@ def synthesize_media(
                   "jpeg-420": "image/jpeg",
                   "jpeg-progressive": "image/jpeg",
                   "jpeg-cmyk": "image/jpeg",
-                  "tiff": "image/tiff", "tiff-multipage": "image/tiff",
+                  "tiff": "image/tiff", "tiff-16": "image/tiff",
+                  "tiff-multipage": "image/tiff",
                   "audio": "audio/wav", "flac": "audio/flac",
                   "ogg-flac": "audio/ogg", "mp3": "audio/mpeg",
                   "vorbis": "audio/ogg", "opus": "audio/ogg",
@@ -5090,6 +5182,10 @@ def synthesize_media(
             elif kind == "tiff":
                 # gray/RGB, PackBits/none, II/MM cycle per id
                 payloads = [encode_tiff_sample(int(d)) for d in ids]
+            elif kind == "tiff-16":
+                # 16 bits per sample (the scientific/GeoTIFF depth),
+                # same variant cycle, sample-wide predictor
+                payloads = [encode_tiff16_sample(int(d)) for d in ids]
             elif kind == "tiff-multipage":
                 # 1..4 IFD-chained pages, each cycling the container
                 # variants independently (the fax/scan corpus shape)
@@ -5215,8 +5311,12 @@ def decode_image_pixels(payload: bytes):
             return w, h, np.ascontiguousarray(img)
         return w, h, np.repeat(img[:, :, None], 3, axis=2)
     if f.name == "tiff":
-        w, h, spp, photo, data = _tiff_parse(payload)
-        a = np.frombuffer(data, np.uint8).reshape(h, w, spp)
+        w, h, spp, photo, data, bit_depth = _tiff_parse(payload)
+        a = np.asarray(data).reshape(h, w, spp)
+        if bit_depth == 16:  # high byte: exact for the v·257 lattice
+            a = (a >> 8).astype(np.uint8)
+        else:
+            a = a.astype(np.uint8)
         if photo == 0:  # white-is-zero inverts
             a = 255 - a
         rgb = a if spp == 3 else np.repeat(a, 3, axis=2)

@@ -2966,6 +2966,49 @@ def multimodal_tiff_decode_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_tiff16_decode_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_items,
+           CAST(SUM((1 + doc_id % 13) * (1 + doc_id % 7)) AS BIGINT) AS sum_pixels,
+           CAST(SUM(CAST(16 AS BIGINT)) / COUNT(1) AS BIGINT) AS bit_depth,
+           CAST(SUM(CAST(1 + doc_id % 13 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_width,
+           CAST(SUM(CAST(1 + doc_id % 7 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_height,
+           CAST(SUM(CAST(257 * (doc_id % 53 + (doc_id % 13) / 2.0
+                         + doc_id % 7 + doc_id % 2)
+                    AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_pixel
+    FROM documents GROUP BY lang
+    """,
+    doc="16-BIT TIFF decoded for real (the scientific/GeoTIFF sample "
+    "depth): the same container-variant cycle as the 8-bit row — "
+    "gray/RGB photometrics, none/PackBits/LZW/Deflate strips, BOTH "
+    "byte orders, the tiled slice — at BitsPerSample 16 with the "
+    "SAMPLE-WIDE horizontal-differencing predictor (mod-65536 words "
+    "in the file byte order, TIFF 6.0 §14) on the compressed slices "
+    "(operators/multimodal.py::encode_tiff16_sample / ::_tiff_parse). "
+    "Samples store v*257, so the oracle mean is exactly 257x the "
+    "8-bit closed form — any word-order, predictor-width, or "
+    "byte-vs-sample arithmetic bug breaks the hash.",
+    tags=("multimodal",),
+)
+def multimodal_tiff16_decode_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    feats = M.extract_media_features(
+        M.synthesize_media(d, "tiff-16", keep=("lang",)), keep=("lang",)
+    )
+    exact = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast(
+        "double") / F.count(F.lit(1))
+    return feats.groupBy("lang").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_units").alias("sum_pixels"),
+        (F.sum("bit_depth") / F.count(F.lit(1))).cast("long").alias(
+            "bit_depth"),
+        exact("width").alias("avg_width"),
+        exact("height").alias("avg_height"),
+        exact("mean_value").alias("avg_pixel"),
+    )
+
+
+@register(
     "multimodal_png_decode_stats",
     oracle="""
     SELECT lang, COUNT(*) AS n_items,

@@ -2532,3 +2532,71 @@ def test_paletted_bmp_resizes_through_shared_pixel_path():
     out = M.resize_bmp(M.encode_bmp_paletted(8, 6, 4, 1), 4, 3)
     r = M.decode_bmp(out)
     assert (r["width"], r["height"], r["bit_depth"]) == (4, 3, 24)
+
+
+# -------------------------------------------------------- 16-bit TIFF
+
+def test_tiff16_round_trip_full_variant_matrix():
+    """16 bits per sample across both byte orders, all four
+    compressions, the SAMPLE-WIDE predictor, tiled + strip layouts,
+    gray + RGB — mean is exactly 257x the 8-bit closed form."""
+    for be in (False, True):
+        for comp in ("none", "packbits", "lzw", "deflate"):
+            for rgb in (False, True):
+                for pred in (1, 2):
+                    if pred == 2 and comp not in ("lzw", "deflate"):
+                        continue
+                    for tiled in (False, True):
+                        w, h, base = 37, 9, 11
+                        p = M.encode_tiff(
+                            w, h, base=base, rgb=rgb, compression=comp,
+                            predictor=pred, big_endian=be, tiled=tiled,
+                            bit_depth=16)
+                        r = M.decode_tiff(p)
+                        exp = 257 * (base + (w - 1) / 2 + (h - 1)
+                                     + (1 if rgb else 0))
+                        assert r["bit_depth"] == 16
+                        assert (r["width"], r["height"]) == (w, h)
+                        assert r["mean_value"] == pytest.approx(exp)
+
+
+def test_tiff16_predictor_is_sample_wide_not_byte_wide():
+    """White-box: a 16-bit gradient row differenced per SAMPLE has
+    word deltas of +257 per x step; a byte-wide predictor would
+    corrupt high bytes. Round-trips in both byte orders."""
+    data_le = bytes()
+    import struct as S
+    vals = [100 * 257, 101 * 257, 102 * 257]
+    for e in ("<", ">"):
+        raw = b"".join(S.pack(f"{e}H", v) for v in vals)
+        diffed = M._tiff_diff_rows(raw, 3, 1, 2, e)
+        d1 = S.unpack_from(f"{e}H", diffed, 2)[0]
+        assert d1 == 257  # sample delta, not byte delta
+        assert M._tiff_undiff_rows(diffed, 3, 1, 2, e) == raw
+
+
+def test_tiff16_pixel_access_and_resize():
+    """The pixel path recovers the 8-bit lattice from the high byte
+    exactly, so resize works on 16-bit inputs."""
+    p = M.encode_tiff(6, 4, base=3, bit_depth=16, big_endian=True)
+    w, h, bgr = M.decode_image_pixels(p)
+    assert (w, h) == (6, 4)
+    assert tuple(bgr[0, 0]) == (3, 3, 3)
+    assert tuple(bgr[3, 5]) == (3 + 5 + 6,) * 3
+    d = M.decode_bmp(M.resize_image(p, 3, 2))
+    assert (d["width"], d["height"]) == (3, 2)
+
+
+def test_tiff16_boundaries():
+    """Non-uniform and unsupported depths stay loud."""
+    p = M.encode_tiff(4, 2, base=1, bit_depth=16)
+    with pytest.raises(ValueError):
+        M.encode_tiff(4, 2, base=1, bit_depth=12)
+    # flip BitsPerSample to 32 (gray inline SHORT field)
+    import struct as S
+    b = bytearray(p)
+    at = b.find(S.pack("<HHI", 258, 3, 1))
+    assert at > 0
+    S.pack_into("<H", b, at + 8, 32)
+    with pytest.raises(NotImplementedError, match="bits per sample"):
+        M.decode_tiff(bytes(b))
