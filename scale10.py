@@ -60,6 +60,12 @@ QUERIES = [
     # codec tier's volume scaling, the shape every new ingestion
     # operator (PDF/WARC/archive/GIF-anim) shares
     "multimodal_avi_decode_stats",
+    # round-12: the two heaviest round-11 codec rows (the AVI row's
+    # cost class — per-pixel Python decode inside Arrow batches).
+    # Both scan the FULL documents table, so replica volume scales
+    # them directly; no custom slice twins needed.
+    "multimodal_jpeg_cmyk_decode_stats",
+    "multimodal_tiff_decode_stats",
 ]
 
 # Ingestion-chain rows (round-11): the catalog rows probe a fixed
