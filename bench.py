@@ -157,6 +157,11 @@ HEADLINE = [
     "multimodal_tiff_decode_stats",
     "multimodal_jpeg_cmyk_decode_stats",
     "multimodal_vorbis_stream_info",
+    # round-12 additions: the two new decode depths — paletted BMP
+    # (1/4/8-bit sub-byte unpacking) and 16-bit TIFF (sample-wide
+    # predictor, word assembly in both byte orders)
+    "multimodal_paletted_bmp_decode_stats",
+    "multimodal_tiff16_decode_stats",
 ]
 
 # Iterative/trainer operators do their distributed work INSIDE fn()

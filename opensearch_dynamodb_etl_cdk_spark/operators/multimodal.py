@@ -3704,6 +3704,9 @@ def encode_tiff_multipage_sample(doc_id: int) -> bytes:
             predictor=2 if comp in ("lzw", "deflate")
             and (pid // 4) % 2 else 1,
             tiled=pid % 7 == 5,
+            # a 16-bit page slice: real scan corpora mix depths WITHIN
+            # one file; mean is 257x the page's 8-bit closed form
+            bit_depth=16 if pid % 5 == 3 else 8,
         ))
     return encode_tiff_multipage(pages, big_endian=doc_id % 5 == 0)
 

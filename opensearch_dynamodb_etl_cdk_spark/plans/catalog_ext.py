@@ -2733,19 +2733,22 @@ def multimodal_opus_stream_info(spark, sf_dir):
     SELECT doc_id, CAST(k AS INT) AS page,
            CAST(1 + (doc_id + 31 * k) % 13 AS INT) AS width,
            CAST(1 + (doc_id + 31 * k) % 7 AS INT) AS height,
-           (doc_id + 31 * k) % 53
+           (CASE WHEN (doc_id + 31 * k) % 5 = 3 THEN 257 ELSE 1 END)
+           * ((doc_id + 31 * k) % 53
              + ((doc_id + 31 * k) % 13) / 2.0
              + (doc_id + 31 * k) % 7
-             + (doc_id + 31 * k) % 2 AS mean_value
+             + (doc_id + 31 * k) % 2) AS mean_value
     FROM (SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS k
           FROM documents WHERE doc_id < 300)
     """,
     doc="MULTI-PAGE TIFF fan-out (the fax/scan corpus shape): per "
     "document a real IFD-chained file of 1 + id % 4 pages, page k "
     "taking pseudo-id (id + 31k)'s single-page container variants — "
-    "geometry, gray/RGB, none/PackBits/LZW/Deflate, predictor, and "
-    "the tiled slice all cycle independently per page — decoded by "
-    "walking the cycle-guarded next-IFD chain "
+    "geometry, gray/RGB, none/PackBits/LZW/Deflate, predictor, the "
+    "tiled slice, AND a 16-bit-depth slice (pid % 5 == 3 — real scan "
+    "corpora mix sample depths within one file; those pages' means "
+    "are 257x the 8-bit closed form) all cycle independently per "
+    "page — decoded by walking the cycle-guarded next-IFD chain "
     "(operators/multimodal.py::decode_tiff_pages / ::tiff_page_stats, "
     "1 payload row → N page rows inside the Arrow batch). The oracle "
     "recomputes every page's geometry and gradient mean "
