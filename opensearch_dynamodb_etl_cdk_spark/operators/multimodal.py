@@ -174,6 +174,19 @@ def decode_bmp(payload: bytes) -> dict:
             "mean_value": (float(bgr.sum()) / (3 * n)) if n else 0.0,
             "n_bytes": len(payload),
         }
+    if bpp == 32 and compression in (0, 3):  # BGRX / BI_BITFIELDS
+        w, h, bgr = _bmp32_pixels(payload, width, height, data_offset,
+                                  compression, dib_size)
+        n = w * h
+        return {
+            "media_kind": "image",
+            "width": w,
+            "height": h,
+            "bit_depth": 32,
+            "n_units": n,
+            "mean_value": (float(bgr.sum()) / (3 * n)) if n else 0.0,
+            "n_bytes": len(payload),
+        }
     if compression != 0:
         raise NotImplementedError(f"compressed BMP (method {compression}) unsupported")
     if bpp in (1, 4, 8):  # uncompressed paletted: shared pixel path
@@ -5051,7 +5064,8 @@ def synthesize_media(
     ("jpeg") or WAV ("audio"). Payload bytes are built and stay on the
     executors; ``keep`` columns pass through for downstream
     grouping."""
-    kinds = ("image", "rle-bmp", "pal-bmp", "audio", "flac", "ogg-flac", "png",
+    kinds = ("image", "rle-bmp", "pal-bmp", "bmp-32", "audio", "flac",
+             "ogg-flac", "png",
              "png-palette",
              "png-interlaced", "png-16", "gif", "gif-anim", "jpeg",
              "jpeg-color", "jpeg-420", "jpeg-progressive", "jpeg-cmyk",
@@ -5060,7 +5074,7 @@ def synthesize_media(
     if kind not in kinds:
         raise ValueError(f"kind must be one of {kinds}")
     media_type = {"image": "image/bmp", "rle-bmp": "image/bmp",
-                  "pal-bmp": "image/bmp",
+                  "pal-bmp": "image/bmp", "bmp-32": "image/bmp",
                   "png": "image/png",
                   "png-palette": "image/png",
                   "png-interlaced": "image/png", "png-16": "image/png",
@@ -5092,6 +5106,14 @@ def synthesize_media(
                 # BI_RLE8: encoded runs + absolute-mode gradient rows
                 payloads = [encode_bmp_rle8(*rle_bmp_params(int(d)))
                             for d in ids]
+            elif kind == "bmp-32":
+                # 32-bit BGRX (the screenshot/compositor layout):
+                # BI_BITFIELDS for odd ids, top-down every 3rd, the
+                # X byte poisoned 0xAA so stats must exclude it
+                payloads = [encode_bmp32(
+                    2 + int(d) % 9, 1 + int(d) % 6, int(d) % 251,
+                    top_down=int(d) % 3 == 0, bitfields=bool(int(d) % 2))
+                    for d in ids]
             elif kind == "pal-bmp":
                 # uncompressed paletted 8/4/1-bit cycling by id, both
                 # orientations — the most common BMP variants in the
@@ -5368,6 +5390,9 @@ def _bmp_pixels(payload: bytes):
     if compression == 1:  # BI_RLE8: 8-bit palette + run-length data
         return _bmp_rle8_pixels(payload, dib_size, width, height,
                                 data_offset, bpp)
+    if bpp == 32 and compression in (0, 3):  # BGRX / BI_BITFIELDS
+        return _bmp32_pixels(payload, width, height, data_offset,
+                             compression, dib_size)
     if compression != 0:
         raise NotImplementedError(
             f"compressed BMP (method {compression}) unsupported"
@@ -5614,6 +5639,63 @@ def encode_bmp_paletted(width: int, height: int, bpp: int,
     head = struct.pack("<2sIHHI", b"BM", data_offset + len(data), 0, 0,
                        data_offset)
     return head + info + pal + data
+
+
+def _bmp32_pixels(payload: bytes, width: int, height: int,
+                  data_offset: int, compression: int, dib_size: int):
+    """Decode a 32-bit BMP (BGRX under BI_RGB, or BI_BITFIELDS with
+    the canonical 8-8-8 masks — the screenshot/compositor layout):
+    4 bytes per pixel, rows naturally 4-aligned, the high byte
+    (alpha/unused) excluded from the BGR contract. Non-canonical
+    bitfield masks stay a loud boundary rather than silently
+    mis-channeling."""
+    import numpy as np
+
+    if compression == 3:
+        # BI_BITFIELDS masks sit at absolute offset 54 in BOTH layouts
+        # real files use: appended after a 40-byte BITMAPINFOHEADER,
+        # or embedded at DIB offset 40 in the V4/V5 headers
+        if len(payload) < 54 + 12:
+            raise ValueError("BMP: BI_BITFIELDS without mask fields")
+        r_m, g_m, b_m = struct.unpack_from("<III", payload, 54)
+        if (r_m, g_m, b_m) != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise NotImplementedError(
+                f"BMP: bitfield masks {r_m:#x}/{g_m:#x}/{b_m:#x} "
+                "unsupported (only canonical 8-8-8 BGRX)")
+    top_down = height < 0
+    h = -height if top_down else height
+    if width <= 0 or h <= 0:
+        raise ValueError(f"malformed BMP geometry {width}x{height}")
+    need = data_offset + width * h * 4
+    if len(payload) < need:
+        raise ValueError("truncated BMP: pixel array shorter than geometry")
+    rows = np.frombuffer(payload, np.uint8, count=width * h * 4,
+                         offset=data_offset).reshape(h, width, 4)
+    bgr = rows[:, :, :3]
+    if not top_down:
+        bgr = bgr[::-1]
+    return width, h, np.ascontiguousarray(bgr)
+
+
+def encode_bmp32(width: int, height: int, pixel_value: int,
+                 top_down: bool = False,
+                 bitfields: bool = False) -> bytes:
+    """Build a 32-bit BMP whose every BGR byte equals ``pixel_value``
+    (X byte = 0xAA, which decode must IGNORE): BI_RGB, or
+    BI_BITFIELDS with the canonical masks appended after the 40-byte
+    DIB header the way real writers emit them."""
+    if width <= 0 or height <= 0 or not 0 <= pixel_value <= 255:
+        raise ValueError("width/height must be positive, pixel_value a byte")
+    px = bytes([pixel_value] * 3 + [0xAA]) * (width * height)
+    masks = struct.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF) \
+        if bitfields else b""
+    data_offset = 14 + 40 + len(masks)
+    info = struct.pack("<IiiHHIIiiII", 40, width,
+                       -height if top_down else height, 1, 32,
+                       3 if bitfields else 0, len(px), 0, 0, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", data_offset + len(px), 0, 0,
+                       data_offset)
+    return head + info + masks + px
 
 
 def pal_bmp_params(doc_id: int) -> tuple[int, int, int, int, bool]:

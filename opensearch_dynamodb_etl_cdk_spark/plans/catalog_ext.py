@@ -2625,6 +2625,36 @@ def multimodal_paletted_bmp_decode_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_bmp32_decode_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 + doc_id % 9 AS BIGINT) AS width,
+           CAST(1 + doc_id % 6 AS BIGINT) AS height,
+           CAST(doc_id % 251 AS DOUBLE) AS mean_value,
+           CAST(54 + (CASE WHEN doc_id % 2 = 1 THEN 12 ELSE 0 END)
+                + (2 + doc_id % 9) * (1 + doc_id % 6) * 4
+                AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id < 300
+    """,
+    doc="32-BIT BMP decoded for real (BGRX — the screenshot/"
+    "compositor layout): BI_RGB for even ids, BI_BITFIELDS with the "
+    "canonical 8-8-8 masks for odd, top-down orientation every third "
+    "id, and the unused X byte POISONED to 0xAA so a decoder that "
+    "averaged all four channels (or mis-split BGRX) breaks the hash "
+    "(operators/multimodal.py::_bmp32_pixels). The oracle replicates "
+    "geometry, mean, and the exact file size incl. the appended mask "
+    "block.",
+    tags=("multimodal",),
+)
+def multimodal_bmp32_decode_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") < 300)
+    feats = M.extract_media_features(M.synthesize_media(d, "bmp-32"))
+    return feats.select("doc_id", "width", "height", "mean_value",
+                        "n_bytes")
+
+
+@register(
     "multimodal_mp3_stream_info",
     oracle="""
     WITH p AS (

@@ -2602,3 +2602,37 @@ def test_tiff16_boundaries():
     S.pack_into("<H", b, at + 8, 32)
     with pytest.raises(NotImplementedError, match="bits per sample"):
         M.decode_tiff(bytes(b))
+
+
+# ---------------------------------------------------------- 32-bit BMP
+
+def test_bmp32_round_trip_and_x_byte_exclusion():
+    """BGRX decodes in both orientations and both BI_RGB/BI_BITFIELDS;
+    the poisoned X byte (0xAA) must not leak into stats or pixels."""
+    for td in (False, True):
+        for bf in (False, True):
+            p = M.encode_bmp32(7, 5, 123, top_down=td, bitfields=bf)
+            r = M.decode_bmp(p)
+            assert (r["width"], r["height"], r["bit_depth"]) == (7, 5, 32)
+            assert r["mean_value"] == 123.0
+            w, h, bgr = M._bmp_pixels(p)
+            assert bgr.shape == (5, 7, 3)
+            assert tuple(bgr[0, 0]) == (123, 123, 123)
+    d = M.decode_bmp(M.resize_bmp(M.encode_bmp32(6, 4, 50), 3, 2))
+    assert (d["width"], d["height"], d["mean_value"]) == (3, 2, 50.0)
+
+
+def test_bmp32_boundaries():
+    import struct as S
+
+    p = M.encode_bmp32(4, 3, 10)
+    with pytest.raises(ValueError, match="truncated BMP"):
+        M.decode_bmp(p[:-5])
+    b = bytearray(M.encode_bmp32(2, 2, 9, bitfields=True))
+    S.pack_into("<I", b, 54, 0x0000F800)  # 5-6-5 masks: loud boundary
+    with pytest.raises(NotImplementedError, match="masks"):
+        M.decode_bmp(bytes(b))
+    # BI_BITFIELDS header with the mask block truncated away
+    b2 = bytearray(M.encode_bmp32(1, 1, 9, bitfields=True))[:56]
+    with pytest.raises(ValueError):
+        M.decode_bmp(bytes(b2))
