@@ -162,6 +162,7 @@ HEADLINE = [
     # predictor, word assembly in both byte orders)
     "multimodal_paletted_bmp_decode_stats",
     "multimodal_tiff16_decode_stats",
+    "multimodal_bmp32_decode_stats",
 ]
 
 # Iterative/trainer operators do their distributed work INSIDE fn()
