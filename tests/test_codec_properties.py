@@ -148,3 +148,36 @@ def test_archive_members_round_trip_any_bytes(members, use_zip):
     else:
         payload = zlib.compress(A.encode_tar(members), wbits=31)
     assert A.extract_members(payload) == members
+
+
+@given(data=st.binary(max_size=600))
+@settings(max_examples=60, deadline=None)
+def test_pdf_filter_codecs_round_trip_any_bytes(data):
+    """Property: every PDF stream-filter codec is the exact inverse of
+    its encoder on arbitrary bytes — including runs, zeros, and
+    non-ASCII — and the ASCII forms emit only their legal alphabets."""
+    from opensearch_dynamodb_etl_cdk_spark.operators import pdf as P
+
+    hx = P._ascii_hex_encode(data)
+    assert P._ascii_hex_decode(hx) == data
+    a85 = P._ascii85_encode(data)
+    assert P._ascii85_decode(a85) == data
+    assert all(33 <= b <= 117 or b in b"z~>" for b in a85)
+    rl = P._run_length_encode(data)
+    assert P._run_length_decode(rl) == data
+    assert P._lzw_decode(P._lzw_encode(data), b"") == data
+
+
+@given(pages=st.lists(
+    st.text(st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0, max_size=60), min_size=1, max_size=3),
+    chain=st.sampled_from(["LZW", "AHx", "A85", "RL", "A85+Flate",
+                           "RL+LZW"]))
+@settings(max_examples=40, deadline=None)
+def test_pdf_filter_chains_round_trip_any_text(pages, chain):
+    """Property: any printable text survives encode_pdf → extract
+    through every non-Flate filter and chain."""
+    from opensearch_dynamodb_etl_cdk_spark.operators import pdf as P
+
+    payload = P.encode_pdf(pages, content_filter=chain)
+    assert P.extract_pdf_pages(payload) == pages
