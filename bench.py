@@ -321,14 +321,18 @@ def main() -> None:
     # The driver's BENCH_r{N}.json artifact stores only the last 2000
     # stdout chars, which decapitates the (longer) JSON line and loses
     # the first ~6 headline rows. Persist the COMPLETE row set to a
-    # committed companion file so every row survives verbatim.
-    try:
-        full_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
-        with open(full_path, "w") as f:
-            json.dump(out, f, indent=1, sort_keys=True)
-    except OSError:
-        pass  # a read-only checkout must not kill the bench run
+    # committed companion file so every row survives verbatim — but
+    # only for the driver's sf0.1 run, so sf0.01 smoke runs don't
+    # clobber the committed artifact.
+    if sf == 0.1:
+        try:
+            full_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_FULL.json")
+            with open(full_path, "w") as f:
+                json.dump(out, f, indent=1, sort_keys=True)
+        except OSError:
+            pass  # a read-only checkout must not kill the bench run
     print(json.dumps(out))
     spark.stop()
 
