@@ -196,12 +196,35 @@ def _decode_content_encoding(body: bytes, encodings: bytes) -> bytes:
     in reverse declaration order. ``gzip``/``x-gzip`` decode via stdlib
     zlib (wbits=47 auto-detects gzip and zlib wrappers — real servers
     mislabel raw-zlib as gzip often enough that tolerating both is the
-    de-facto spec); ``identity`` is a passthrough. ``br`` (no stdlib
-    decoder) and bare ``deflate`` (ambiguous wrapped-vs-raw semantics)
-    stay loud boundaries rather than guessing."""
+    de-facto spec); ``identity`` is a passthrough. ``deflate`` is
+    RFC-defined as zlib-wrapped but shipped RAW by enough real servers
+    that every browser sniffs — so this decoder does what browsers do:
+    try the zlib wrapper first, fall back to raw deflate, raise only
+    when both fail. ``br`` (no stdlib decoder) stays a loud
+    boundary."""
     for coding in reversed(
             [c.strip().lower() for c in encodings.split(b",")]):
         if coding in (b"identity", b""):
+            continue
+        if coding == b"deflate":
+            for wbits in (15, -15):  # zlib-wrapped, then raw (browser sniff)
+                d = zlib.decompressobj(wbits=wbits)
+                try:
+                    out = d.decompress(body) + d.flush()
+                except zlib.error:
+                    continue
+                if not d.eof:
+                    continue  # truncated under this framing; try the other
+                if d.unused_data:
+                    raise ValueError(
+                        f"WARC: {len(d.unused_data)} trailing bytes "
+                        "after the deflate content coding")
+                body = out
+                break
+            else:
+                raise ValueError(
+                    "WARC: deflate content coding decodes under "
+                    "neither zlib-wrapped nor raw framing")
             continue
         if coding in (b"gzip", b"x-gzip"):
             d = zlib.decompressobj(wbits=47)

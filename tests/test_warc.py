@@ -265,8 +265,26 @@ def test_content_encoding_boundaries_raise():
         W.warc_page_texts(resp(gz + b"EXTRA"))
     with pytest.raises(NotImplementedError, match="content coding"):
         W.warc_page_texts(resp(gz, coding=b"br"))
-    with pytest.raises(NotImplementedError, match="content coding"):
-        W.warc_page_texts(resp(gz, coding=b"deflate"))
+    with pytest.raises(ValueError, match="neither zlib-wrapped nor raw"):
+        W.warc_page_texts(resp(b"\x00garbage deflate\xff", coding=b"deflate"))
+
+
+def test_content_encoding_deflate_sniffs_both_framings():
+    """RFC says deflate = zlib-wrapped, real servers ship raw — the
+    decoder sniffs like every browser: both framings must extract."""
+    import zlib
+
+    html = b"<p>deflated page</p>"
+    wrapped = zlib.compress(html)
+    co = zlib.compressobj(wbits=-15)
+    raw = co.compress(html) + co.flush()
+    for body in (wrapped, raw):
+        http = (b"HTTP/1.1 200 OK\r\n"
+                + f"Content-Length: {len(body)}\r\n".encode()
+                + b"Content-Encoding: deflate\r\n\r\n" + body)
+        p = W.encode_warc(
+            [{"type": "response", "uri": "u", "content": http}])
+        assert W.warc_page_texts(p) == [{"uri": "u", "text": "deflated page"}]
 
 
 def test_chunked_trailing_bytes_raise():
