@@ -3044,7 +3044,7 @@ def decode_jpeg(payload: bytes) -> dict:
 _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 273: "offsets", 277: "spp", 278: "rows_per_strip",
-    279: "counts", 317: "predictor", 322: "tile_width",
+    279: "counts", 317: "predictor", 320: "colormap", 322: "tile_width",
     323: "tile_length", 324: "tile_offsets", 325: "tile_counts",
 }
 
@@ -3271,6 +3271,7 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
                 tiled: bool = False,
                 tile: tuple[int, int] = (16, 16),
                 bit_depth: int = 8,
+                palette: bool = False,
                 _origin: int = 8, _return_page: bool = False):
     """Build a real baseline TIFF. Content is the clip-free gradient
     v(x, y) = base + x + 2y (mean base + (w-1)/2 + (h-1)); ``rgb``
@@ -3285,11 +3286,18 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
     ``bit_depth=16`` (the scientific/GeoTIFF depth) stores each sample
     as the word v·257 in the file byte order, so the 16-bit mean is
     exactly 257× the 8-bit closed form and the high byte recovers v
-    exactly for pixel access."""
+    exactly for pixel access. ``palette=True`` writes PHOTOMETRIC 3
+    (the scanned-document layout): the gradient values become 8-bit
+    INDEXES through a grayscale ColorMap whose entry i is the 16-bit
+    word i·257 per channel — decode expands through the map, so the
+    mean is again 257× the 8-bit closed form."""
     e = ">" if big_endian else "<"
     spp = 3 if rgb else 1
     if bit_depth not in (8, 16):
         raise ValueError(f"TIFF: bit_depth {bit_depth} is not encodable")
+    if palette and (rgb or bit_depth != 8):
+        raise ValueError(
+            "TIFF: palette requires grayscale gradient 8-bit indexes")
     bps = bit_depth // 8
     if predictor not in (1, 2):
         raise ValueError(f"TIFF: predictor {predictor} is not encodable")
@@ -3374,7 +3382,11 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
     else:
         inline(258, 3, bit_depth)
     inline(259, 3, comp_code)
-    inline(262, 3, 2 if rgb else 1)
+    inline(262, 3, 3 if palette else (2 if rgb else 1))
+    if palette:
+        cm_off = arr_offset(
+            [i * 257 for i in range(256)] * 3, 3)
+        entries.append((320, 3, 768, struct.pack(f"{e}I", cm_off)))
     counts = [len(s) for s in strips]
     if tiled:
         inline(322, 3, tile[0])
@@ -3549,9 +3561,13 @@ def _tiff_parse(payload: bytes,
         raise NotImplementedError(
             f"TIFF: predictor {pred} (floating-point differencing) "
             "is not supported")
-    if (photo, spp) not in ((0, 1), (1, 1), (2, 3)):
+    if (photo, spp) not in ((0, 1), (1, 1), (2, 3), (3, 1)):
         raise NotImplementedError(
             f"TIFF: photometric {photo} with {spp} samples unsupported")
+    if photo == 3 and bit_depth != 8:
+        raise NotImplementedError(
+            "TIFF: palette-color requires 8-bit indexes here "
+            f"(got {bit_depth})")
 
     def segment(raw: bytes, n_rows: int, row_px: int) -> bytes:
         """Decompress one strip/tile to n_rows × row_px pixels and undo
@@ -3588,6 +3604,30 @@ def _tiff_parse(payload: bytes,
             a.byteswap()
         return a
 
+    def finish(data: bytes):
+        """Assembled sample bytes → the caller tuple; palette-color
+        (photometric 3) expands indexes through the ColorMap's 16-bit
+        RGB entries (TIFF 6.0 §5 — red block, green block, blue
+        block), so downstream stats/pixel access see an RGB image at
+        bit depth 16 with no palette special-casing."""
+        samples = to_samples(data)
+        if photo != 3:
+            return width, height, spp, photo, samples, bit_depth
+        from array import array
+
+        cm = values("colormap")  # missing tag raises in values()
+        n = 1 << bit_depth
+        if len(cm) != 3 * n:
+            raise ValueError(
+                f"TIFF: ColorMap has {len(cm)} entries, expected {3 * n}")
+        r, g, b = cm[:n], cm[n:2 * n], cm[2 * n:]
+        mapped = array("H", bytes(6 * len(samples)))
+        for i, v in enumerate(samples):
+            mapped[3 * i] = r[v]
+            mapped[3 * i + 1] = g[v]
+            mapped[3 * i + 2] = b[v]
+        return width, height, 3, photo, mapped, 16
+
     if "tile_offsets" in tags:
         # tiled organization (TIFF 6.0 §15) — the layout large
         # real-world files (GeoTIFF etc.) use; every tile is FULL
@@ -3617,8 +3657,7 @@ def _tiff_parse(payload: bytes,
                 dst = ((ty * th + r) * width + tx * tw) * spp * bps
                 src = r * tw * spp * bps
                 img[dst:dst + n_cols] = tile[src:src + n_cols]
-        return width, height, spp, photo, to_samples(bytes(img)), \
-            bit_depth
+        return finish(bytes(img))
 
     offsets, counts = values("offsets"), values("counts")
     if len(offsets) != len(counts):
@@ -3633,7 +3672,7 @@ def _tiff_parse(payload: bytes,
     if len(data) != width * height * spp * bps:
         raise ValueError(
             f"TIFF: {len(data)} sample bytes for {width}x{height}x{spp}")
-    return width, height, spp, photo, to_samples(bytes(data)), bit_depth
+    return finish(bytes(data))
 
 
 def decode_tiff(payload: bytes) -> dict:
@@ -3749,6 +3788,23 @@ def encode_tiff_sample(doc_id: int) -> bytes:
         and (doc_id // 4) % 2 else 1,
         big_endian=doc_id % 5 == 0,
         tiled=doc_id % 7 == 5,
+    )
+
+
+def encode_tiff_palette_sample(doc_id: int) -> bytes:
+    """Palette-color twin of ``encode_tiff_sample``: photometric 3
+    with the grayscale i*257 ColorMap, gradient INDEXES, the same
+    compression/predictor/byte-order/tiled cycle (always grayscale —
+    palette forbids spp 3). Mean = 257x the gray closed form."""
+    w, h, base = tiff_params(doc_id)
+    comp = ("none", "packbits", "lzw", "deflate")[doc_id % 4]
+    return encode_tiff(
+        w, h, base=base, compression=comp,
+        predictor=2 if comp in ("lzw", "deflate")
+        and (doc_id // 4) % 2 else 1,
+        big_endian=doc_id % 5 == 0,
+        tiled=doc_id % 7 == 5,
+        palette=True,
     )
 
 
@@ -5069,8 +5125,8 @@ def synthesize_media(
              "png-palette",
              "png-interlaced", "png-16", "gif", "gif-anim", "jpeg",
              "jpeg-color", "jpeg-420", "jpeg-progressive", "jpeg-cmyk",
-             "tiff", "tiff-16", "tiff-multipage", "video", "mp3",
-             "vorbis", "opus")
+             "tiff", "tiff-16", "tiff-palette", "tiff-multipage",
+             "video", "mp3", "vorbis", "opus")
     if kind not in kinds:
         raise ValueError(f"kind must be one of {kinds}")
     media_type = {"image": "image/bmp", "rle-bmp": "image/bmp",
@@ -5084,6 +5140,7 @@ def synthesize_media(
                   "jpeg-progressive": "image/jpeg",
                   "jpeg-cmyk": "image/jpeg",
                   "tiff": "image/tiff", "tiff-16": "image/tiff",
+                  "tiff-palette": "image/tiff",
                   "tiff-multipage": "image/tiff",
                   "audio": "audio/wav", "flac": "audio/flac",
                   "ogg-flac": "audio/ogg", "mp3": "audio/mpeg",
@@ -5211,6 +5268,11 @@ def synthesize_media(
                 # 16 bits per sample (the scientific/GeoTIFF depth),
                 # same variant cycle, sample-wide predictor
                 payloads = [encode_tiff16_sample(int(d)) for d in ids]
+            elif kind == "tiff-palette":
+                # photometric 3 + ColorMap (the scanned-document
+                # layout), compression/byte-order/tiling cycle
+                payloads = [encode_tiff_palette_sample(int(d))
+                            for d in ids]
             elif kind == "tiff-multipage":
                 # 1..4 IFD-chained pages, each cycling the container
                 # variants independently (the fax/scan corpus shape)

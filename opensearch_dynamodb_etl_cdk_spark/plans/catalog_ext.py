@@ -3042,6 +3042,45 @@ def multimodal_tiff16_decode_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_palette_tiff_decode_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_items,
+           CAST(SUM((1 + doc_id % 13) * (1 + doc_id % 7)) AS BIGINT) AS sum_pixels,
+           CAST(SUM(CAST(1 + doc_id % 13 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_width,
+           CAST(SUM(CAST(1 + doc_id % 7 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_height,
+           CAST(SUM(CAST(257 * (doc_id % 53 + (doc_id % 13) / 2.0
+                         + doc_id % 7)
+                    AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_pixel
+    FROM documents GROUP BY lang
+    """,
+    doc="PALETTE-COLOR TIFF decoded for real (photometric 3 + "
+    "ColorMap — the scanned-document layout): gradient pixel INDEXES "
+    "expand through a 768-entry 16-bit ColorMap (red/green/blue "
+    "blocks, grayscale entry i = i*257) inside the shared parse "
+    "(operators/multimodal.py::_tiff_parse finish/::"
+    "encode_tiff_palette_sample), with the full none/PackBits/LZW/"
+    "Deflate + predictor + byte-order + tiled cycle on the index "
+    "planes. The oracle mean is 257x the gray gradient closed form — "
+    "a block-order, entry-width, or map-skip bug breaks the hash.",
+    tags=("multimodal",),
+)
+def multimodal_palette_tiff_decode_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    feats = M.extract_media_features(
+        M.synthesize_media(d, "tiff-palette", keep=("lang",)),
+        keep=("lang",))
+    exact = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast(
+        "double") / F.count(F.lit(1))
+    return feats.groupBy("lang").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_units").alias("sum_pixels"),
+        exact("width").alias("avg_width"),
+        exact("height").alias("avg_height"),
+        exact("mean_value").alias("avg_pixel"),
+    )
+
+
+@register(
     "multimodal_png_decode_stats",
     oracle="""
     SELECT lang, COUNT(*) AS n_items,

@@ -2636,3 +2636,50 @@ def test_bmp32_boundaries():
     b2 = bytearray(M.encode_bmp32(1, 1, 9, bitfields=True))[:56]
     with pytest.raises(ValueError):
         M.decode_bmp(bytes(b2))
+
+
+# -------------------------------------------------- palette-color TIFF
+
+def test_tiff_palette_round_trip_variant_matrix():
+    """Photometric 3 + ColorMap across compressions/byte orders/
+    tiling: indexes expand through the 16-bit map, mean = 257x gray."""
+    for be in (False, True):
+        for comp in ("none", "packbits", "lzw", "deflate"):
+            for tiled in (False, True):
+                w, h, base = 37, 9, 11
+                p = M.encode_tiff(w, h, base=base, compression=comp,
+                                  big_endian=be, tiled=tiled,
+                                  palette=True)
+                r = M.decode_tiff(p)
+                assert (r["width"], r["height"], r["bit_depth"]) == \
+                    (w, h, 16)
+                assert r["mean_value"] == pytest.approx(
+                    257 * (base + (w - 1) / 2 + (h - 1)))
+
+
+def test_tiff_palette_pixels_and_boundaries():
+    import struct as S
+
+    # pixel access recovers indexes from the map's high bytes
+    w, h, bgr = M.decode_image_pixels(
+        M.encode_tiff(5, 3, base=2, palette=True))
+    assert tuple(bgr[0, 0]) == (2, 2, 2)
+    assert tuple(bgr[2, 4]) == (2 + 4 + 4,) * 3
+    # short ColorMap raises
+    p = M.encode_tiff(4, 2, base=1, palette=True)
+    b = bytearray(p)
+    at = b.find(S.pack("<HHI", 320, 3, 768))
+    S.pack_into("<I", b, at + 4, 100)
+    with pytest.raises(ValueError, match="ColorMap"):
+        M.decode_tiff(bytes(b))
+    # photometric 3 WITHOUT a ColorMap tag raises (required tag)
+    b2 = bytearray(p)
+    at2 = b2.find(S.pack("<HHI", 320, 3, 768))
+    S.pack_into("<H", b2, at2, 60000)  # rename the tag away
+    with pytest.raises(ValueError, match="colormap"):
+        M.decode_tiff(bytes(b2))
+    # palette + rgb / + 16-bit are encoder errors
+    with pytest.raises(ValueError, match="palette"):
+        M.encode_tiff(4, 2, rgb=True, palette=True)
+    with pytest.raises(ValueError, match="palette"):
+        M.encode_tiff(4, 2, bit_depth=16, palette=True)
