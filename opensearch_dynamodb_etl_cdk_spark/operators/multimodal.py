@@ -161,15 +161,16 @@ def decode_bmp(payload: bytes) -> dict:
     )
     if dib_size < 40:
         raise ValueError(f"unsupported DIB header size {dib_size}")
-    if compression == 1:  # BI_RLE8 decodes through the pixel path
-        w, h, bgr = _bmp_rle8_pixels(payload, dib_size, width, height,
-                                     data_offset, bpp)
+    if compression in (1, 2):  # BI_RLE8/BI_RLE4 share the pixel path
+        rle = _bmp_rle8_pixels if compression == 1 else _bmp_rle4_pixels
+        w, h, bgr = rle(payload, dib_size, width, height,
+                        data_offset, bpp)
         n = w * h
         return {
             "media_kind": "image",
             "width": w,
             "height": h,
-            "bit_depth": 8,
+            "bit_depth": 8 if compression == 1 else 4,
             "n_units": n,
             "mean_value": (float(bgr.sum()) / (3 * n)) if n else 0.0,
             "n_bytes": len(payload),
@@ -5120,8 +5121,8 @@ def synthesize_media(
     ("jpeg") or WAV ("audio"). Payload bytes are built and stay on the
     executors; ``keep`` columns pass through for downstream
     grouping."""
-    kinds = ("image", "rle-bmp", "pal-bmp", "bmp-32", "audio", "flac",
-             "ogg-flac", "png",
+    kinds = ("image", "rle-bmp", "rle4-bmp", "pal-bmp", "bmp-32",
+             "audio", "flac", "ogg-flac", "png",
              "png-palette",
              "png-interlaced", "png-16", "gif", "gif-anim", "jpeg",
              "jpeg-color", "jpeg-420", "jpeg-progressive", "jpeg-cmyk",
@@ -5131,6 +5132,7 @@ def synthesize_media(
         raise ValueError(f"kind must be one of {kinds}")
     media_type = {"image": "image/bmp", "rle-bmp": "image/bmp",
                   "pal-bmp": "image/bmp", "bmp-32": "image/bmp",
+                  "rle4-bmp": "image/bmp",
                   "png": "image/png",
                   "png-palette": "image/png",
                   "png-interlaced": "image/png", "png-16": "image/png",
@@ -5162,6 +5164,11 @@ def synthesize_media(
             elif kind == "rle-bmp":
                 # BI_RLE8: encoded runs + absolute-mode gradient rows
                 payloads = [encode_bmp_rle8(*rle_bmp_params(int(d)))
+                            for d in ids]
+            elif kind == "rle4-bmp":
+                # BI_RLE4: nibble-alternating runs + absolute nibble
+                # gradients, word alignment — the 16-color RLE layout
+                payloads = [encode_bmp_rle4(*rle4_bmp_params(int(d)))
                             for d in ids]
             elif kind == "bmp-32":
                 # 32-bit BGRX (the screenshot/compositor layout):
@@ -5452,6 +5459,9 @@ def _bmp_pixels(payload: bytes):
     if compression == 1:  # BI_RLE8: 8-bit palette + run-length data
         return _bmp_rle8_pixels(payload, dib_size, width, height,
                                 data_offset, bpp)
+    if compression == 2:  # BI_RLE4: nibble-alternating runs
+        return _bmp_rle4_pixels(payload, dib_size, width, height,
+                                data_offset, bpp)
     if bpp == 32 and compression in (0, 3):  # BGRX / BI_BITFIELDS
         return _bmp32_pixels(payload, width, height, data_offset,
                              compression, dib_size)
@@ -5547,6 +5557,137 @@ def _bmp_rle8_pixels(payload: bytes, dib_size: int, width: int,
         raise ValueError("RLE8 BMP: pixel index beyond the palette")
     bgr = pal[idx][::-1]  # bottom-up → top-down
     return width, h, np.ascontiguousarray(bgr)
+
+
+def _bmp_rle4_pixels(payload: bytes, dib_size: int, width: int,
+                     height: int, data_offset: int, bpp: int = 4):
+    """Decode a BI_RLE4 BMP (the 16-color run-length layout): encoded
+    packets (count, value) paint count pixels ALTERNATING the value
+    byte's high and low nibbles; absolute packets hold n literal
+    nibbles packed high-first and padded to a WORD boundary; the
+    0/1/2 escapes match RLE8. Same (width, height, top-down BGR)
+    contract as every other BMP path."""
+    import numpy as np
+
+    if bpp != 4:
+        raise ValueError(f"BI_RLE4 requires 4-bit pixels, got {bpp}")
+    if height < 0:
+        raise ValueError("BI_RLE4 BMPs are bottom-up by spec")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"malformed BMP geometry {width}x{height}")
+    h = height
+    (clr_used,) = struct.unpack_from("<I", payload, 46)
+    n_pal = clr_used or 16
+    pal_at = 14 + dib_size
+    if pal_at + n_pal * 4 > data_offset or n_pal > 16:
+        raise ValueError("RLE4 BMP: palette truncated")
+    pal = np.zeros((16, 3), dtype=np.uint8)
+    pal[:n_pal] = np.frombuffer(payload, np.uint8, count=n_pal * 4,
+                                offset=pal_at).reshape(n_pal, 4)[:, :3]
+    idx = np.zeros((h, width), dtype=np.uint8)
+    x = y = 0  # bottom-up coordinates
+    pos = data_offset
+    ended = False
+    while pos + 2 <= len(payload):
+        n, v = payload[pos], payload[pos + 1]
+        pos += 2
+        if n:  # encoded run: alternate the two nibbles
+            if y >= h or x + n > width:
+                raise ValueError("RLE4 BMP: run overflows its row")
+            hi, lo = v >> 4, v & 0x0F
+            for i in range(n):
+                idx[y, x + i] = hi if i % 2 == 0 else lo
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            ended = True
+            break
+        elif v == 2:  # delta
+            if pos + 2 > len(payload):
+                raise ValueError("RLE4 BMP: truncated delta escape")
+            x += payload[pos]
+            y += payload[pos + 1]
+            pos += 2
+            if x > width or y > h:
+                raise ValueError("RLE4 BMP: delta escape leaves the image")
+        else:  # absolute mode: v literal nibbles, word-aligned
+            if y >= h or x + v > width:
+                raise ValueError("RLE4 BMP: absolute run overflows its row")
+            nbytes = (v + 1) // 2
+            end = pos + nbytes + (nbytes & 1)
+            if end > len(payload):
+                raise ValueError("RLE4 BMP: truncated absolute run")
+            for i in range(v):
+                b = payload[pos + i // 2]
+                idx[y, x + i] = (b >> 4) if i % 2 == 0 else (b & 0x0F)
+            x += v
+            pos = end
+    if not ended:
+        raise ValueError("RLE4 BMP: missing end-of-bitmap escape")
+    if n_pal < 16 and int(idx.max(initial=0)) >= n_pal:
+        raise ValueError("RLE4 BMP: pixel index beyond the palette")
+    bgr = pal[idx][::-1]  # bottom-up → top-down
+    return width, h, np.ascontiguousarray(bgr)
+
+
+def encode_bmp_rle4(width: int, height: int, a: int, b: int,
+                    base: int) -> bytes:
+    """Build a real BI_RLE4 BMP over the grayscale i*17 palette: even
+    logical rows are ONE encoded run alternating nibbles (a, b); odd
+    rows are absolute-mode literals of the gradient ``base + x``
+    (word-padded) — both packet families plus EOL/EOD in every file.
+    Closed-form mean: 17 * (ceil(h/2)*(ceil(w/2)*a + floor(w/2)*b)
+    + floor(h/2)*(w*base + w(w-1)/2)) / (w*h)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive")
+    if not (0 <= a <= 15 and 0 <= b <= 15 and
+            0 <= base and base + width - 1 <= 15):
+        raise ValueError("RLE4 nibble values exceed 4 bits")
+    data = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        if y % 2 == 0:  # encoded runs (≤255 pixels per packet)
+            x = 0
+            while x < width:
+                n = min(255, width - x)
+                # alternation restarts per packet; keep parity by
+                # swapping the pair when x is odd
+                pair = (a, b) if x % 2 == 0 else (b, a)
+                data += bytes([n, (pair[0] << 4) | pair[1]])
+                x += n
+        else:  # absolute-mode gradient
+            x = 0
+            while x < width:
+                n = min(255, width - x)
+                if n < 3:  # absolute packets need n >= 3
+                    for i in range(n):
+                        data += bytes([1, (base + x + i) << 4])
+                else:
+                    nibbles = [base + x + i for i in range(n)]
+                    if len(nibbles) % 2:
+                        nibbles.append(0)
+                    packed = bytes((nibbles[i] << 4) | nibbles[i + 1]
+                                   for i in range(0, len(nibbles), 2))
+                    data += bytes([0, n]) + packed
+                    if len(packed) % 2:
+                        data += b"\x00"  # word alignment
+                x += n
+        data += b"\x00\x00"  # end of line
+    data += b"\x00\x01"  # end of bitmap
+    pal = bytes(v for i in range(16) for v in (i * 17, i * 17, i * 17, 0))
+    data_offset = 14 + 40 + len(pal)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 4, 2,
+                       len(data), 0, 0, 16, 0)
+    head = struct.pack("<2sIHHI", b"BM", data_offset + len(data), 0, 0,
+                       data_offset)
+    return head + info + pal + bytes(data)
+
+
+def rle4_bmp_params(doc_id: int) -> tuple[int, int, int, int, int]:
+    """Ground-truth (width, height, a, b, base) for a synthesized RLE4
+    BMP — geometry keeps the gradient inside a nibble."""
+    w = 2 + doc_id % 10          # ≤ 11, so base ≤ 4 keeps base+w-1 ≤ 14
+    return w, 1 + doc_id % 5, doc_id % 8, (doc_id + 3) % 8, doc_id % 5
 
 
 def encode_bmp_rle8(width: int, height: int, base_value: int = 0) -> bytes:

@@ -2625,6 +2625,44 @@ def multimodal_paletted_bmp_decode_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_rle4_bmp_decode_stats",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             2 + doc_id % 10 AS w,
+             1 + doc_id % 5 AS h,
+             doc_id % 8 AS a,
+             (doc_id + 3) % 8 AS b,
+             doc_id % 5 AS base
+      FROM documents WHERE doc_id < 300),
+    s AS (
+      SELECT doc_id, w, h,
+             ((h + 1) // 2) * (((w + 1) // 2) * a + (w // 2) * b)
+             + (h // 2) * (w * base + w * (w - 1) // 2) AS total
+      FROM p)
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(17 * total AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_value
+    FROM s
+    """,
+    doc="BI_RLE4 BMP decoded for real (the 16-color run-length "
+    "layout, completing the BMP compression family): encoded packets "
+    "paint pixels ALTERNATING the value byte's nibbles, absolute "
+    "packets carry word-aligned literal nibbles, EOL/EOD escapes in "
+    "every file (operators/multimodal.py::_bmp_rle4_pixels, shared "
+    "pixel/resize path). Even rows are one alternating (a,b) run, odd "
+    "rows the nibble gradient base+x — the oracle replicates the "
+    "alternation parity, nibble packing, and palette scaling "
+    "division-for-division.",
+    tags=("multimodal",),
+)
+def multimodal_rle4_bmp_decode_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") < 300)
+    feats = M.extract_media_features(M.synthesize_media(d, "rle4-bmp"))
+    return feats.select("doc_id", "width", "height", "mean_value")
+
+
+@register(
     "multimodal_bmp32_decode_stats",
     oracle="""
     SELECT doc_id,

@@ -184,8 +184,12 @@ def test_bmp_compressed_rejected():
     struct.pack_into("<I", raw, 30, 1)  # BI_RLE8 on a 24-bit file
     with pytest.raises(ValueError, match="RLE8 requires 8-bit"):
         M.decode_bmp(bytes(raw))
-    # other compression methods stay the loud boundary
-    struct.pack_into("<I", raw, 30, 2)  # BI_RLE4
+    # BI_RLE4 decodes now too — a 24-bit header claiming it is damage
+    struct.pack_into("<I", raw, 30, 2)  # BI_RLE4 on a 24-bit file
+    with pytest.raises(ValueError, match="RLE4 requires 4-bit"):
+        M.decode_bmp(bytes(raw))
+    # genuinely unknown methods stay the loud boundary
+    struct.pack_into("<I", raw, 30, 4)  # BI_JPEG
     with pytest.raises(NotImplementedError, match="compressed"):
         M.decode_bmp(bytes(raw))
 
@@ -2683,3 +2687,40 @@ def test_tiff_palette_pixels_and_boundaries():
         M.encode_tiff(4, 2, rgb=True, palette=True)
     with pytest.raises(ValueError, match="palette"):
         M.encode_tiff(4, 2, bit_depth=16, palette=True)
+
+
+# ----------------------------------------------------------- RLE4 BMP
+
+def test_rle4_bmp_round_trip_and_closed_form():
+    """Nibble-alternating runs + absolute nibble gradients decode to
+    the closed-form mean; pixel order pins alternation parity."""
+    for d in range(40):
+        w, h, a, b, base = M.rle4_bmp_params(d)
+        p = M.encode_bmp_rle4(w, h, a, b, base)
+        r = M.decode_bmp(p)
+        assert (r["width"], r["height"], r["bit_depth"]) == (w, h, 4)
+        even_sum = (w + 1) // 2 * a + (w // 2) * b
+        odd_sum = w * base + w * (w - 1) // 2
+        exp = 17 * (((h + 1) // 2) * even_sum + (h // 2) * odd_sum) \
+            / (w * h)
+        assert r["mean_value"] == pytest.approx(exp)
+        W_, H_, bgr = M._bmp_pixels(p)
+        assert tuple(bgr[0, 0]) == (17 * a,) * 3   # packet starts hi
+        if w > 1:
+            assert tuple(bgr[0, 1]) == (17 * b,) * 3
+        if h > 1:
+            assert tuple(bgr[1, 0]) == (17 * base,) * 3
+
+
+def test_rle4_bmp_boundaries():
+    p = M.encode_bmp_rle4(6, 4, 1, 2, 0)
+    with pytest.raises(ValueError, match="end-of-bitmap"):
+        M.decode_bmp(p[:-2])
+    with pytest.raises(ValueError, match="truncated absolute run"):
+        # absolute packet declaring 5 nibbles (3 data bytes + pad)
+        # with only one byte remaining
+        bad = p[:54 + 64] + b"\x00\x05\x12"
+        M.decode_bmp(bad)
+    # resize works through the shared pixel path
+    d = M.decode_bmp(M.resize_bmp(p, 3, 2))
+    assert (d["width"], d["height"]) == (3, 2)
