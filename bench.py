@@ -164,6 +164,7 @@ HEADLINE = [
     "multimodal_tiff16_decode_stats",
     "multimodal_bmp32_decode_stats",
     "multimodal_palette_tiff_decode_stats",
+    "multimodal_rle4_bmp_decode_stats",
 ]
 
 # Iterative/trainer operators do their distributed work INSIDE fn()
