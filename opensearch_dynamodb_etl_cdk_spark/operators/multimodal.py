@@ -3614,19 +3614,17 @@ def _tiff_parse(payload: bytes,
         samples = to_samples(data)
         if photo != 3:
             return width, height, spp, photo, samples, bit_depth
-        from array import array
+        import numpy as np
 
         cm = values("colormap")  # missing tag raises in values()
         n = 1 << bit_depth
         if len(cm) != 3 * n:
             raise ValueError(
                 f"TIFF: ColorMap has {len(cm)} entries, expected {3 * n}")
-        r, g, b = cm[:n], cm[n:2 * n], cm[2 * n:]
-        mapped = array("H", bytes(6 * len(samples)))
-        for i, v in enumerate(samples):
-            mapped[3 * i] = r[v]
-            mapped[3 * i + 1] = g[v]
-            mapped[3 * i + 2] = b[v]
+        # vectorized palette gather: (n, 3) table fancy-indexed by the
+        # whole index plane at once — per-pixel work stays in numpy
+        table = np.asarray(cm, dtype=np.uint16).reshape(3, n).T
+        mapped = table[np.asarray(samples)].reshape(-1)
         return width, height, 3, photo, mapped, 16
 
     if "tile_offsets" in tags:
