@@ -3679,9 +3679,13 @@ def decode_tiff(payload: bytes) -> dict:
     strip assembly, PackBits expansion, gray/RGB sample layout.
     Statistics cover the assembled samples — any strip-order, RLE, or
     endianness bug shifts ``mean_value`` and breaks the oracle."""
+    import numpy as np
+
     width, height, spp, photo, data, bit_depth = _tiff_parse(payload)
     maxv = (1 << bit_depth) - 1
-    total = sum(data)
+    # explicit wide accumulator: builtin sum() over a uint16 ndarray wraps
+    # under NumPy >=2 weak promotion (NEP 50)
+    total = int(np.asarray(data).sum(dtype=np.int64)) if len(data) else 0
     if photo == 0:  # white-is-zero inverts
         total = maxv * len(data) - total
     return {
@@ -3699,11 +3703,13 @@ def decode_tiff_pages(payload: bytes) -> list[dict]:
     """Per-page stats for a (possibly multi-page) TIFF: walk the IFD
     chain and decode every page's samples — the fax/scan fan-out
     (1 file → N page rows)."""
+    import numpy as np
+
     out = []
     for off in _tiff_ifd_chain(payload):
         w, h, spp, photo, data, bit_depth = _tiff_parse(payload, off)
         maxv = (1 << bit_depth) - 1
-        total = sum(data)
+        total = int(np.asarray(data).sum(dtype=np.int64)) if len(data) else 0
         if photo == 0:
             total = maxv * len(data) - total
         out.append({

@@ -540,6 +540,12 @@ def _split_decode_parms(src: bytes, n_filters: int) -> list[bytes]:
     are empty."""
     m = re.search(rb"/(?:DecodeParms|DP)\s*(<<|\[)", src)
     if not m:
+        # an indirect /DecodeParms (e.g. ``/DecodeParms 5 0 R``) would
+        # silently skip a PNG predictor and pass corrupted bytes through —
+        # keep it a loud boundary like indirect /Length
+        if re.search(rb"/(?:DecodeParms|DP)\s+\d+\s+\d+\s+R", src):
+            raise NotImplementedError(
+                "PDF: indirect /DecodeParms references are not supported")
         return [b""] * n_filters
     if m.group(1) == b"<<":
         e = src.find(b">>", m.end())
