@@ -22,9 +22,19 @@ tests and the SQL oracle can pin every layer.
 Stream filters cover the full dependency-free set — FlateDecode,
 LZWDecode (reusing the TIFF 6.0 §13 MSB-first early-change LZW core),
 ASCIIHexDecode, ASCII85Decode, RunLengthDecode, and declaration-order
-chains with per-filter /DecodeParms. Boundaries are loud and precise:
-encryption, image/JBIG2/crypt filters, /EarlyChange 0 LZW, and TIFF
-predictors raise ``NotImplementedError``;
+chains with per-filter /DecodeParms.
+
+Encryption: the standard security handler with an EMPTY user password
+(permissions-only encryption, the dominant real-world case) decrypts
+for real — ISO 32000-1 §7.6.3.3 Algorithm 2 key derivation (MD5 +
+50-round strengthening for /R 3), /U verification (Algorithms 4/5),
+and per-object RC4 keys (Algorithm 1) over RC4-40 (/V 1 /R 2) and
+RC4-128 (/V 2 /R 3). Cross-reference streams stay plaintext per spec;
+ObjStm members inherit protection from their (decrypted) carrier
+stream. Boundaries are loud and precise: AES / crypt-filter
+encryption (/V 4+), non-Standard handlers, non-empty user passwords
+(wrong-password /U mismatch), image/JBIG2/crypt filters,
+/EarlyChange 0 LZW, and TIFF predictors raise ``NotImplementedError``;
 a structurally broken file (bad xref offsets, missing trailer root,
 dangling references, an ObjStm pair table disagreeing with the xref)
 raises ``ValueError`` — corpus ingestion must route those to the DLQ,
@@ -38,6 +48,7 @@ quality, dedup) compose on the extracted column.
 
 from __future__ import annotations
 
+import hashlib
 import re
 import struct
 import zlib
@@ -48,6 +59,200 @@ from pyspark.sql import DataFrame
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _REF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
 _NAME_RE = re.compile(rb"/(\w+)\s*/(\w+)")
+
+# ---------------------------------------------------------------------------
+# Standard security handler (ISO 32000-1 §7.6.3): RC4-40 / RC4-128 with an
+# empty user password — the permissions-only encryption most real encrypted
+# PDFs carry. AES (/V 4-5) stays a loud boundary.
+
+# the 32-byte password padding string, ISO 32000-1 Table 21 prologue
+_PDF_PAD = bytes.fromhex(
+    "28bf4e5e4e758a41"
+    "64004e56fffa0108"
+    "2e2e00b6d0683e80"
+    "2f0ca9fe6453697a")
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (public design; length-preserving, its own
+    inverse). Pure Python — encryption fixtures and real permissions-
+    encrypted corpus files carry small per-object streams."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 255
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) & 255
+        j = (j + s[i]) & 255
+        s[i], s[j] = s[j], s[i]
+        out[k] = c ^ s[(s[i] + s[j]) & 255]
+    return bytes(out)
+
+
+def _std_file_key(password: bytes, o_entry: bytes, p: int, id0: bytes,
+                  r: int, key_len: int) -> bytes:
+    """Algorithm 2: the file encryption key from a (padded) user
+    password, /O, /P (as a SIGNED 32-bit little-endian int), and the
+    first file identifier; /R 3 adds the 50-round MD5 strengthening."""
+    h = hashlib.md5((password + _PDF_PAD)[:32] + o_entry[:32]
+                    + struct.pack("<i", p) + id0)
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:key_len]).digest()
+    return key[:key_len]
+
+
+def _std_owner_entry(owner_pw: bytes, user_pw: bytes, r: int,
+                     key_len: int) -> bytes:
+    """Algorithm 3: the /O entry — the padded user password RC4'd
+    under a key derived from the owner password (19 extra XOR-keyed
+    passes for /R 3)."""
+    h = hashlib.md5(((owner_pw or user_pw) + _PDF_PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    rc4_key = h[:key_len]
+    out = _rc4(rc4_key, (user_pw + _PDF_PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            out = _rc4(bytes(b ^ i for b in rc4_key), out)
+    return out
+
+
+def _std_user_entry(file_key: bytes, id0: bytes, r: int) -> bytes:
+    """Algorithms 4 (/R 2) and 5 (/R 3): the /U entry the reader
+    verifies a candidate password against."""
+    if r == 2:
+        return _rc4(file_key, _PDF_PAD)
+    u = _rc4(file_key, hashlib.md5(_PDF_PAD + id0).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in file_key), u)
+    return u + b"\x00" * 16  # 16 bytes of arbitrary padding per spec
+
+
+def _object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
+    """Algorithm 1: the per-object RC4 key — MD5 over the file key
+    plus the low 3 bytes of the object number and low 2 bytes of the
+    generation, truncated to min(len+5, 16)."""
+    ext = file_key + struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2]
+    return hashlib.md5(ext).digest()[:min(len(file_key) + 5, 16)]
+
+
+def _pdf_string_value(src: bytes, key: str) -> bytes | None:
+    """Read a dictionary entry whose value is a PDF string — hex
+    (``<...>``) or literal (``(...)`` with §7.3.4.2 escapes) — as raw
+    bytes. /O and /U in encryption dictionaries are binary strings
+    that real writers emit in either form."""
+    m = re.search(rb"/" + key.encode() + rb"\s*(\(|<)", src)
+    if not m:
+        return None
+    if m.group(1) == b"<":
+        end = src.find(b">", m.end())
+        if end < 0:
+            raise ValueError(f"PDF: unterminated hex string for /{key}")
+        digits = re.sub(rb"\s+", b"", src[m.end():end])
+        if len(digits) % 2:
+            digits += b"0"
+        return bytes.fromhex(digits.decode("ascii"))
+    # literal string: walk escapes and nested parens
+    out = bytearray()
+    depth, i = 1, m.end()
+    while i < len(src) and depth:
+        c = src[i:i + 1]
+        if c == b"\\":
+            nxt = src[i + 1:i + 2]
+            simple = {b"n": 10, b"r": 13, b"t": 9, b"b": 8, b"f": 12,
+                      b"(": 40, b")": 41, b"\\": 92}
+            if nxt in simple:
+                out.append(simple[nxt])
+                i += 2
+            elif nxt in (b"\n", b"\r"):  # line continuation
+                i += 2
+                if nxt == b"\r" and src[i:i + 1] == b"\n":
+                    i += 1
+            else:
+                om = re.match(rb"[0-7]{1,3}", src[i + 1:i + 4])
+                if om:
+                    out.append(int(om.group(0), 8) & 255)
+                    i += 1 + om.end()
+                else:  # stray backslash drops, per spec
+                    i += 1
+        elif c == b"(":
+            depth += 1
+            out.append(40)
+            i += 1
+        elif c == b")":
+            depth -= 1
+            if depth:
+                out.append(41)
+            i += 1
+        else:
+            out.append(src[i])
+            i += 1
+    if depth:
+        raise ValueError(f"PDF: unterminated literal string for /{key}")
+    return bytes(out)
+
+
+def _escape_binary_string(b: bytes) -> bytes:
+    """Serialize arbitrary bytes as a PDF literal string."""
+    out = bytearray(b"(")
+    for c in b:
+        if c in (0x28, 0x29, 0x5C):
+            out += b"\\" + bytes([c])
+        elif c in (10, 13):
+            out += b"\\n" if c == 10 else b"\\r"
+        else:
+            out.append(c)
+    out += b")"
+    return bytes(out)
+
+
+def _file_crypto(trailer: bytes, encrypt_src: bytes) -> bytes:
+    """Validate a standard-security-handler encryption dictionary and
+    derive the file key with the EMPTY user password. Loud boundaries:
+    non-Standard handlers, /V 4+ (AES / crypt filters), and a /U
+    mismatch (a real, non-empty user password)."""
+    fm = re.search(rb"/Filter\s*/(\w+)", encrypt_src)
+    if fm and fm.group(1) != b"Standard":
+        raise NotImplementedError(
+            f"PDF: security handler /{fm.group(1).decode()} is not "
+            "supported (only /Standard)")
+    v = _int_key(encrypt_src, "V") or 0
+    r = _int_key(encrypt_src, "R") or 0
+    if v not in (1, 2) or r not in (2, 3):
+        raise NotImplementedError(
+            f"PDF: encryption /V {v} /R {r} is not supported (RC4 "
+            "/V 1-2 /R 2-3 only; AES and crypt filters are a loud "
+            "boundary)")
+    key_bits = _int_key(encrypt_src, "Length") or 40
+    if key_bits % 8 or not 40 <= key_bits <= 128:
+        raise ValueError(f"PDF: bad encryption key length {key_bits}")
+    o_entry = _pdf_string_value(encrypt_src, "O")
+    u_entry = _pdf_string_value(encrypt_src, "U")
+    pm = re.search(rb"/P\s+(-?\d+)", encrypt_src)
+    if o_entry is None or u_entry is None or pm is None:
+        raise ValueError("PDF: encryption dictionary missing /O, /U, or /P")
+    idm = re.search(rb"/ID\s*\[\s*<([0-9a-fA-F\s]*)>", trailer)
+    if not idm:
+        raise ValueError("PDF: encrypted file has no /ID in the trailer")
+    id0 = bytes.fromhex(re.sub(rb"\s+", b"", idm.group(1)).decode("ascii"))
+    p = int(pm.group(1))
+    # /P is a signed 32-bit quantity however the writer serialized it
+    p = struct.unpack("<i", struct.pack("<I", p & 0xFFFFFFFF))[0]
+    key = _std_file_key(b"", o_entry, p, id0, r, key_bits // 8)
+    expect = _std_user_entry(key, id0, r)
+    ok = (expect[:16] == u_entry[:16]) if r >= 3 else \
+        (expect == u_entry[:32])
+    if not ok:
+        raise NotImplementedError(
+            "PDF: encrypted with a non-empty user password (cannot "
+            "decrypt without it)")
+    return key
 
 
 def _string_bytes(s: str) -> bytes:
@@ -125,7 +330,9 @@ def encode_pdf(pages: list[str], compress: bool = True,
                layout: str = "classic",
                indirect_length: bool = False,
                hex_strings: bool = False,
-               content_filter: str | None = None) -> bytes:
+               content_filter: str | None = None,
+               encrypt: str | None = None,
+               owner_password: bytes = b"owner") -> bytes:
     """Write a real PDF: catalog, pages tree, one content stream per
     page (each text line a ``Td``-positioned ``Tj``), shared Helvetica
     font. ``compress`` wraps content streams in FlateDecode — the
@@ -153,9 +360,17 @@ def encode_pdf(pages: list[str], compress: bool = True,
     ``"AHx"``, ``"A85"``, ``"RL"``, ``"A85+Flate"``, ...) — the
     non-Flate stream filters real corpora still carry; structural
     streams (ObjStm, xref) stay on Flate per ``compress``.
+    ``encrypt`` ("rc4-40" → /V 1 /R 2, "rc4-128" → /V 2 /R 3 /Length
+    128) applies the standard security handler with an EMPTY user
+    password (permissions-only encryption): per-object RC4 over every
+    stream (content and ObjStm; the xref stream stays plaintext per
+    spec), a /Standard encryption dictionary, and a deterministic
+    trailer /ID — so encrypted fixtures stay oracle-reproducible.
     """
     if layout not in ("classic", "xref-stream", "objstm", "hybrid"):
         raise ValueError(f"encode_pdf: unknown layout {layout!r}")
+    if encrypt not in (None, "rc4-40", "rc4-128"):
+        raise ValueError(f"encode_pdf: unknown encrypt mode {encrypt!r}")
     objects: dict[int, bytes] = {}
     n_pages = len(pages)
     font_id = 3 + 2 * n_pages
@@ -206,6 +421,46 @@ def encode_pdf(pages: list[str], compress: bool = True,
                             + objects[cid][m.end():])
             objects[lid] = m.group(1)
 
+    enc_key: bytes | None = None
+    encrypt_id: int | None = None
+    file_id: bytes | None = None
+    if encrypt is not None:
+        v, r, nbytes = (1, 2, 5) if encrypt == "rc4-40" else (2, 3, 16)
+        perms = -44  # print + copy denied, the common permissions mask
+        # deterministic /ID: fixtures must be byte-reproducible for the
+        # oracle (real writers hash time+path; content hash is as valid)
+        file_id = hashlib.md5(
+            b"\x00".join(p.encode("utf-8", "replace") for p in pages)
+        ).digest()
+        o_entry = _std_owner_entry(owner_password, b"", r, nbytes)
+        enc_key = _std_file_key(b"", o_entry, perms, file_id, r, nbytes)
+        u_entry = _std_user_entry(enc_key, file_id, r)
+        encrypt_id = max(objects) + 1
+        objects[encrypt_id] = (
+            b"<< /Filter /Standard /V %d /R %d " % (v, r)
+            + (b"/Length %d " % (nbytes * 8) if v == 2 else b"")
+            + b"/P %d /O " % perms + _escape_binary_string(o_entry)
+            + b" /U " + _escape_binary_string(u_entry) + b" >>")
+        # RC4 every stream built so far (content streams) in place:
+        # length-preserving, so direct and companion /Length stay valid
+        for oid in sorted(objects):
+            b = objects[oid]
+            sm = re.search(rb"\nstream\n", b)
+            if sm is None:
+                continue
+            assert b.endswith(b"\nendstream")
+            data = b[sm.end():-len(b"\nendstream")]
+            objects[oid] = (b[:sm.end()]
+                            + _rc4(_object_key(enc_key, oid), data)
+                            + b"\nendstream")
+
+    def _trailer_crypto() -> bytes:
+        if enc_key is None:
+            return b""
+        h = file_id.hex().encode()
+        return (b"/Encrypt %d 0 R /ID [<" % encrypt_id + h + b"> <"
+                + h + b">] ")
+
     if layout == "classic":
         out = bytearray(b"%PDF-1.4\n")
         offsets = {}
@@ -217,8 +472,9 @@ def encode_pdf(pages: list[str], compress: bool = True,
         out += b"0000000000 65535 f \n"
         for oid in sorted(objects):
             out += f"{offsets[oid]:010d} 00000 n \n".encode()
-        out += (f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
-                f"startxref\n{xref_at}\n%%EOF\n").encode()
+        out += (f"trailer\n<< /Size {len(objects) + 1} ".encode()
+                + _trailer_crypto()
+                + f"/Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF\n".encode())
         return bytes(out)
 
     # 1.5+ layouts: pack dict-only objects into an ObjStm (streams may
@@ -253,6 +509,10 @@ def encode_pdf(pages: list[str], compress: bool = True,
         if compress:
             data = zlib.compress(data)
             filt = b"/Filter /FlateDecode "
+        if enc_key is not None:
+            # ObjStm streams ARE encrypted (their member dictionaries
+            # inherit protection); applied after filters, like content
+            data = _rc4(_object_key(enc_key, objstm_id), data)
         objects[objstm_id] = (
             f"<< /Type /ObjStm /N {len(packed)} ".encode()
             + f"/First {len(header)} ".encode() + filt
@@ -288,7 +548,7 @@ def encode_pdf(pages: list[str], compress: bool = True,
     xref_dict = (
         b"<< /Type /XRef " + f"/Size {size} ".encode()
         + (f"/Index [0 {size}] ".encode() if pack else b"")
-        + b"/W [1 4 2] /Filter /FlateDecode " + parms
+        + b"/W [1 4 2] /Filter /FlateDecode " + parms + _trailer_crypto()
         + f"/Root 1 0 R /Length {len(rows)} >>".encode()
     )
     out += (f"{xref_id} 0 obj\n".encode() + xref_dict
@@ -308,9 +568,9 @@ def encode_pdf(pages: list[str], compress: bool = True,
                 out += f"{xref_at:010d} 00000 n \n".encode()
             else:
                 out += f"{offsets[num]:010d} 00000 n \n".encode()
-        out += (f"trailer\n<< /Size {size} /Root 1 0 R "
-                f"/XRefStm {xref_at} >>\n"
-                f"startxref\n{table_at}\n%%EOF\n").encode()
+        out += (f"trailer\n<< /Size {size} ".encode() + _trailer_crypto()
+                + f"/Root 1 0 R /XRefStm {xref_at} >>\n"
+                  f"startxref\n{table_at}\n%%EOF\n".encode())
     else:
         out += f"startxref\n{xref_at}\n%%EOF\n".encode()
     return bytes(out)
@@ -862,8 +1122,12 @@ def _objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     """{id: (object source, raw stream bytes or None)}, with each used
     xref offset cross-checked against the object it claims to locate
     — including type-2 entries, whose ObjStm pair table must agree
-    with the xref about which member sits at which index."""
-    entries, _ = _parse_xref(payload)
+    with the xref about which member sits at which index. Encrypted
+    files (standard security handler, empty user password) are
+    decrypted here: every direct stream except cross-reference
+    streams gets its per-object RC4 applied, so ObjStm slicing and
+    all downstream filter decoding see plaintext."""
+    entries, trailer = _parse_xref(payload)
 
     def resolve_len(length_oid: int) -> int:
         e = entries.get(length_oid)
@@ -887,6 +1151,7 @@ def _objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
 
     objs: dict[int, tuple[bytes, bytes | None]] = {}
     in_stream: dict[int, tuple[int, int]] = {}
+    gens: dict[int, int] = {}
     for oid, (kind, loc) in entries.items():
         if kind == "d":
             got, body, stream = _object_at(payload, loc, resolve_len)
@@ -894,9 +1159,25 @@ def _objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
                 raise ValueError(
                     f"PDF: xref offset for object {oid} does not point "
                     "at it")
+            gens[oid] = int(_OBJ_RE.match(payload, loc).group(2))
             objs[oid] = (body, stream)
         else:  # ("s", (objstm id, index))
             in_stream[oid] = loc
+    enc_ref = _ref(trailer, "Encrypt")
+    if enc_ref is not None:
+        e = entries.get(enc_ref)
+        if e is None or e[0] != "d":
+            raise ValueError(
+                "PDF: trailer /Encrypt is dangling or packed inside an "
+                "object stream (forbidden)")
+        file_key = _file_crypto(trailer, objs[enc_ref][0])
+        for oid, (body, stream) in objs.items():
+            if stream is None or oid == enc_ref:
+                continue
+            if re.search(rb"/Type\s*/XRef\b", body):
+                continue  # xref streams are never encrypted (§7.5.8.2)
+            objs[oid] = (body, _rc4(
+                _object_key(file_key, oid, gens.get(oid, 0)), stream))
     sliced: dict[int, tuple[list[tuple[int, int]], bytes, int]] = {}
     for oid, (stm_id, idx) in in_stream.items():
         if stm_id not in objs:
@@ -1042,8 +1323,6 @@ def extract_pdf_pages(payload: bytes) -> list[str]:
     (kerning numbers drop); ``'`` and ``T*`` imply line breaks."""
     if payload[:5] != b"%PDF-":
         raise ValueError("not a PDF payload")
-    if b"/Encrypt" in payload[-512:]:
-        raise NotImplementedError("PDF: encrypted files are not supported")
     objs = _objects(payload)
     _, trailer = _parse_xref(payload)
     root = _ref(trailer, "Root")
@@ -1142,11 +1421,16 @@ def synthesize_pdfs(df: DataFrame, text_col: str = "text",
     by ``id % 11``: ids 1/3 LZWDecode, 5 ASCIIHexDecode, 7
     ASCII85Decode, 9 RunLengthDecode, 2 the ``[/ASCII85Decode
     /FlateDecode]`` chain — the rest keep the odd=Flate / even=raw
-    default. The ingestion-side twin of ``synthesize_media``: payload
-    bytes are built and stay on the executors."""
+    default. ``id % 13 == 4`` encrypts with the standard security
+    handler at RC4-40 and ``id % 13 == 8`` at RC4-128 (empty user
+    password — the permissions-only form), composing with whatever
+    layout/filter the other cycles picked. The ingestion-side twin of
+    ``synthesize_media``: payload bytes are built and stay on the
+    executors."""
     layouts = ("classic", "xref-stream", "objstm", "hybrid")
     filter_cycle = {1: "LZW", 3: "LZW", 5: "AHx", 7: "A85", 9: "RL",
                     2: "A85+Flate"}
+    encrypt_cycle = {4: "rc4-40", 8: "rc4-128"}
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -1163,7 +1447,9 @@ def synthesize_pdfs(df: DataFrame, text_col: str = "text",
                                            indirect_length=d % 5 == 2,
                                            hex_strings=d % 7 == 3,
                                            content_filter=filter_cycle.get(
-                                               int(d) % 11)))
+                                               int(d) % 11),
+                                           encrypt=encrypt_cycle.get(
+                                               int(d) % 13)))
             yield pd.DataFrame(
                 {"doc_id": ids, "payload": payloads,
                  "media_type": "application/pdf"})

@@ -2984,7 +2984,11 @@ def warc_text_extract(spark, sf_dir):
     "even, and the cross-reference layout cycling id%4 through ALL "
     "FOUR real forms: classic 1.4 table, 1.5 xref STREAM (/W binary "
     "rows), ObjStm-packed with a PNG-predicted xref stream — the "
-    "default post-2005 layout — and hybrid /XRefStm), then parse it "
+    "default post-2005 layout — and hybrid /XRefStm; id%13==4/8 "
+    "additionally encrypt with the standard security handler at "
+    "RC4-40/RC4-128 with an empty user password, the permissions-only "
+    "form — ISO 32000-1 §7.6.3 key derivation, /U verification, and "
+    "per-object RC4 run on the read side), then parse it "
     "back (::extract_pdf_pages — startxref → xref-chain walk with "
     "offset and ObjStm-pair-table cross-validation, reference-"
     "following Catalog→Pages→Kids→Contents, zlib inflate + predictor "

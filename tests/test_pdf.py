@@ -50,9 +50,9 @@ def test_pdf_structure_validation():
     # shifted offsets: every xref entry now points mid-token
     with pytest.raises(ValueError):
         P.extract_pdf_pages(good.replace(b"%PDF-1.4\n", b"%PDF-1.40\n"))
-    # encryption is a precise boundary
+    # a dangling /Encrypt reference is structural corruption
     enc = good.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 7 0 R")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         P.extract_pdf_pages(enc)
     # unsupported filter is a precise boundary (equal-length swap so
     # the xref offsets stay valid and the FILTER check is what fires)
@@ -430,3 +430,76 @@ def test_pdf_synthesizer_cycles_stream_filters(spark):
     texts = {r.doc_id: r.text
              for r in P.extract_document_text(P.synthesize_pdfs(df)).collect()}
     assert texts == {i: f"doc {i} filter cycle text" for i in range(22)}
+
+
+def test_pdf_rc4_known_answer_vectors():
+    """RC4 core pinned to the public known-answer vectors — the
+    round-trip tests alone could hide a mirrored bug on both sides."""
+    assert P._rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    assert P._rc4(b"Wiki", b"pedia").hex() == "1021bf0420"
+    assert P._rc4(b"Secret", b"Attack at dawn").hex() == \
+        "45a01f645fc35b383552544b9bf5"
+    # self-inverse
+    assert P._rc4(b"k", P._rc4(b"k", b"abc")) == b"abc"
+
+
+def test_pdf_encrypted_round_trip_all_layouts():
+    """Standard-security-handler encryption (empty user password)
+    decrypts for real: both RC4 widths x all four xref layouts x
+    filter chains extract the exact source text."""
+    pages = ["hello encrypted world", "page two\nline 2", "third"]
+    for mode in ("rc4-40", "rc4-128"):
+        for layout in ("classic", "xref-stream", "objstm", "hybrid"):
+            for cf in (None, "LZW", "A85+Flate"):
+                b = P.encode_pdf(pages, layout=layout, encrypt=mode,
+                                 content_filter=cf)
+                assert P.extract_pdf_pages(b) == pages, (mode, layout, cf)
+    # composes with indirect /Length companions and hex strings
+    b = P.encode_pdf(pages, layout="objstm", encrypt="rc4-128",
+                     indirect_length=True, hex_strings=True)
+    assert P.extract_pdf_pages(b) == pages
+    # ciphertext differs between widths; plaintext never leaks
+    e40 = P.encode_pdf(["secret marker text"], encrypt="rc4-40",
+                       compress=False)
+    e128 = P.encode_pdf(["secret marker text"], encrypt="rc4-128",
+                        compress=False)
+    assert b"secret marker text" not in e40
+    assert b"secret marker text" not in e128
+    assert e40 != e128
+
+
+def test_pdf_encryption_boundaries_are_loud():
+    """Wrong (non-empty) user password and AES stay precise
+    NotImplementedError boundaries; a dangling /Encrypt is
+    structural corruption."""
+    import re as _re
+
+    b = P.encode_pdf(["boundary text"], encrypt="rc4-40")
+    m = _re.search(rb"/U \(", b)
+    bad_u = b[:m.end()] + bytes([b[m.end()] ^ 0xFF]) + b[m.end() + 1:]
+    with pytest.raises(NotImplementedError, match="user password"):
+        P.extract_pdf_pages(bad_u)
+    aes = b.replace(b"/V 1 /R 2 ", b"/V 4 /R 4 ")
+    with pytest.raises(NotImplementedError, match="/V 4"):
+        P.extract_pdf_pages(aes)
+    alien = b.replace(b"/Filter /Standard", b"/Filter /AcmeSec ")
+    with pytest.raises(NotImplementedError, match="AcmeSec"):
+        P.extract_pdf_pages(alien)
+
+
+def test_pdf_synthesizer_cycles_encryption(spark):
+    """doc_id % 13 == 4/8 emit RC4-40/RC4-128 encrypted PDFs; the
+    extraction fan-out is encryption-transparent."""
+    df = spark.createDataFrame(
+        [(i, f"doc {i} encryption cycle") for i in range(26)],
+        "doc_id long, text string")
+    rows = {r.doc_id: bytes(r.payload)
+            for r in P.synthesize_pdfs(df).collect()}
+    enc_ids = {i for i in range(26) if i % 13 in (4, 8)}
+    for i, p in rows.items():
+        assert (b"/Encrypt" in p) == (i in enc_ids), i
+    v1 = {i for i in enc_ids if b"/V 1" in rows[i]}
+    assert v1 == {i for i in range(26) if i % 13 == 4}
+    texts = {r.doc_id: r.text
+             for r in P.extract_document_text(P.synthesize_pdfs(df)).collect()}
+    assert texts == {i: f"doc {i} encryption cycle" for i in range(26)}
