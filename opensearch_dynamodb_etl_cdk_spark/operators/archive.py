@@ -15,6 +15,10 @@ zlib:
 - **gzip**: the member framing via streaming zlib (wbits=31), shared
   with the WARC reader's layout — ``name.tar.gz`` composes
   gunzip → tar.
+- **bzip2 / xz**: ``.tar.bz2`` / ``.tar.xz`` streams via stdlib
+  ``bz2`` / ``lzma`` (concatenated-stream aware, like the gzip
+  member path) — the other two compressors public datasets routinely
+  ship tarballs under.
 - **zip**: located from the End-Of-Central-Directory record, central
   directory entries resolved to local headers, STORED and DEFLATE
   members (raw zlib, wbits=-15), per-member CRC-32 verified.
@@ -377,14 +381,25 @@ def parse_zip(payload: bytes) -> list[tuple[str, bytes]]:
 
 
 def extract_members(payload: bytes) -> list[tuple[str, bytes]]:
-    """Container dispatch: zip / gzip(+tar) / tar by magic bytes."""
+    """Container dispatch: zip / gzip|bzip2|xz(+tar) / tar by magic
+    bytes. All three compressors accept concatenated streams, the
+    layout multi-volume writers emit."""
     if payload[:4] == b"PK\x03\x04" or payload[:4] == b"PK\x05\x06":
         return parse_zip(payload)
     if payload[:2] == b"\x1f\x8b":
         payload = _gunzip_members(payload)
+    elif payload[:3] == b"BZh":
+        import bz2
+
+        payload = bz2.decompress(payload)
+    elif payload[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        payload = lzma.decompress(payload)
     if len(payload) >= 263 and payload[257:263] in (b"ustar\x00", b"ustar "):
         return parse_tar(payload)
-    raise ValueError("unrecognized archive payload (zip/tar/tar.gz)")
+    raise ValueError(
+        "unrecognized archive payload (zip/tar/tar.{gz,bz2,xz})")
 
 
 def extract_archive_members(df: DataFrame,
@@ -420,7 +435,8 @@ def wrap_payloads_in_archives(df: DataFrame,
                               payload_col: str = "payload",
                               id_col: str = "doc_id") -> DataFrame:
     """Wrap an existing binary payload column into one archive per row
-    (zip for odd ids, tar.gz for even) — the composition step for
+    (zip for odd ids; tarballs for even ids, the compressor walking
+    gzip → bzip2 → xz by ``id % 6``) — the composition step for
     'the corpus arrives as archives OF documents' pipelines: chain
     with extract_archive_members + a document decoder downstream."""
 
@@ -436,7 +452,7 @@ def wrap_payloads_in_archives(df: DataFrame,
                     payloads.append(encode_zip(members))
                 else:
                     payloads.append(
-                        zlib.compress(encode_tar(members), wbits=31))
+                        _compress_tar(encode_tar(members), int(d)))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads,
                                 "media_type": "application/archive"})
 
@@ -444,12 +460,27 @@ def wrap_payloads_in_archives(df: DataFrame,
         run, "doc_id long, payload binary, media_type string")
 
 
+def _compress_tar(tar: bytes, d: int) -> bytes:
+    """Compressor cycle for even-id tarballs: gzip (``d%6==0``),
+    bzip2 (``d%6==2``), xz (``d%6==4``) — the three stream formats
+    public datasets ship tarballs under, all stdlib."""
+    import bz2
+    import lzma
+
+    sel = d % 6
+    if sel == 2:
+        return bz2.compress(tar)
+    if sel == 4:
+        return lzma.compress(tar)
+    return zlib.compress(tar, wbits=31)
+
+
 def synthesize_archives(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
     """One real archive per row holding the corpus text as a member
     (plus a manifest member extraction must also surface): zip for
-    odd ids, tar.gz for even — both container families occur
-    in-corpus."""
+    odd ids; tar.gz / tar.bz2 / tar.xz for even ids by ``id % 6`` —
+    all the container families that occur in-corpus."""
     import gzip as _unused  # noqa: F401  (documents stdlib-only intent)
 
     def run(batches: Iterator) -> Iterator:
@@ -466,8 +497,8 @@ def synthesize_archives(df: DataFrame, text_col: str = "text",
                 if d % 2:
                     payloads.append(encode_zip(members))
                 else:
-                    tar = encode_tar(members)
-                    payloads.append(zlib.compress(tar, wbits=31))
+                    payloads.append(_compress_tar(encode_tar(members),
+                                                  int(d)))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads,
                                 "media_type": "application/archive"})
 

@@ -2886,8 +2886,9 @@ def multimodal_gif_animation_stats(spark, sf_dir):
     doc="Corpus-as-archives ingestion end-to-end: one real archive per "
     "document holding a manifest member and the text member — zip "
     "(central directory, DEFLATE members, per-member CRC-32) for odd "
-    "ids, gzip-wrapped POSIX ustar (checksummed 512-byte headers, "
-    "block padding, terminator) for even — parsed back by the "
+    "ids, compressed POSIX ustar (checksummed 512-byte headers, "
+    "block padding, terminator) for even with the stream compressor "
+    "walking gzip/bzip2/xz by id%6 — parsed back by the "
     "dependency-free readers (operators/archive.py, cross-validated "
     "against stdlib tarfile/zipfile both directions in tests) and "
     "fanned out one row per member. The oracle is DIRECT string "
@@ -2917,7 +2918,7 @@ def archive_text_extract(spark, sf_dir):
     doc="The full ingestion chain as ONE lazy plan — 'the corpus "
     "arrives as archives of documents': corpus text → real PDFs "
     "(100-char pages, FlateDecode for odd ids) → wrapped into real "
-    "archives (zip odd / tar.gz even) → archive member fan-out → "
+    "archives (zip odd / gzip|bzip2|xz tarballs even) → member fan-out → "
     "PDF page extraction → per-document page/char rollup. Every layer "
     "is the spec parser (zip CRCs, tar checksums, xref-validated PDF "
     "objects, zlib inflate), and the oracle pins the end-to-end "
