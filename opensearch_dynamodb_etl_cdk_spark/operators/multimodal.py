@@ -1038,9 +1038,11 @@ def encode_png(
     channels = 1 if color_type == 3 else _PNG_CHANNELS.get(color_type)
     if channels is None:
         raise ValueError("color_type must be one of 0/2/3/4/6")
-    if bit_depth not in (8, 16) or (color_type == 3 and bit_depth != 8):
+    allowed = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(
+        color_type, (8, 16))
+    if bit_depth not in allowed:
         raise ValueError(
-            "bit_depth must be 8, or 16 for non-palette color types"
+            f"bit_depth {bit_depth} invalid for color type {color_type}"
         )
     if palette is not None and color_type != 3:
         raise ValueError("palette only applies to color_type=3")
@@ -1055,9 +1057,17 @@ def encode_png(
             raise ValueError("palette must be 1..256 RGB byte triples")
     if width <= 0 or height <= 0:
         raise ValueError("width/height must be positive")
-    bpp = channels * (bit_depth // 8)
-    stride = width * bpp
-    if samples is None:
+    sub_byte = bit_depth < 8
+    bpp = 1 if sub_byte else channels * (bit_depth // 8)
+    stride = width * channels * (2 if bit_depth == 16 else 1)
+    if sub_byte:
+        if samples is None:
+            raise ValueError(
+                f"{bit_depth}-bit PNG needs explicit samples "
+                "(one byte per sample, values < 2^depth)")
+        if len(samples) != width * height:
+            raise ValueError("samples length != width*height")
+    elif samples is None:
         top = base_value + 7 * (height - 1) + 13 * (width - 1) + channels - 1
         if not (0 <= base_value and top <= 255):
             raise ValueError(
@@ -1085,9 +1095,11 @@ def encode_png(
             f"palette index {max(samples)} out of range for a "
             f"{len(palette) // 3}-entry palette"
         )
+    unit = 1 if sub_byte else bpp
     if interlaced:
         # Adam7: extract each pass's sub-image and filter it with a
-        # fresh predictor chain (the spec's per-pass independence)
+        # fresh predictor chain (the spec's per-pass independence);
+        # sub-byte passes pack to their own byte-padded scanlines
         filtered = bytearray()
         for x0, y0, dx, dy in _ADAM7_PASSES:
             pw = (width - x0 + dx - 1) // dx
@@ -1098,9 +1110,18 @@ def encode_png(
             for r in range(ph):
                 for c in range(pw):
                     src = ((y0 + r * dy) * width
-                           + (x0 + c * dx)) * bpp
-                    sub += samples[src : src + bpp]
-            filtered += _png_filter_rows(bytes(sub), pw, ph, bpp)
+                           + (x0 + c * dx)) * unit
+                    sub += samples[src : src + unit]
+            if sub_byte:
+                sub = _png_pack_bits(bytes(sub), pw, ph, bit_depth)
+                filtered += _png_filter_rows(
+                    bytes(sub), _png_row_stride(pw, 1, bit_depth), ph, 1)
+            else:
+                filtered += _png_filter_rows(bytes(sub), pw, ph, bpp)
+    elif sub_byte:
+        packed = _png_pack_bits(samples, width, height, bit_depth)
+        filtered = _png_filter_rows(
+            packed, _png_row_stride(width, 1, bit_depth), height, 1)
     else:
         filtered = _png_filter_rows(samples, width, height, bpp)
     ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type,
@@ -1123,16 +1144,59 @@ _ADAM7_PASSES = (
 )
 
 
+def _png_row_stride(width_px: int, channels: int, depth: int) -> int:
+    """Packed scanline bytes: sub-byte depths pack MSB-first with the
+    row padded to a whole byte (PNG spec §7.2)."""
+    return (width_px * channels * depth + 7) // 8
+
+
+def _png_unpack_bits(packed: bytes, width: int, height: int,
+                     depth: int) -> bytes:
+    """Expand MSB-first 1/2/4-bit scanlines to one byte per sample,
+    dropping each row's padding bits — vectorized (numpy shift/mask
+    gather, no per-pixel Python)."""
+    import numpy as np
+
+    stride = _png_row_stride(width, 1, depth)
+    arr = np.frombuffer(bytes(packed), np.uint8).reshape(height, stride)
+    per = 8 // depth
+    wide = np.zeros((height, stride * per), dtype=np.uint8)
+    mask = (1 << depth) - 1
+    for i in range(per):
+        wide[:, i::per] = (arr >> (8 - depth * (i + 1))) & mask
+    return wide[:, :width].tobytes()
+
+
+def _png_pack_bits(samples: bytes, width: int, height: int,
+                   depth: int) -> bytes:
+    """Inverse of ``_png_unpack_bits`` for the encoder: one byte per
+    sample → MSB-first packed rows, byte-padded."""
+    stride = _png_row_stride(width, 1, depth)
+    per = 8 // depth
+    out = bytearray(stride * height)
+    for r in range(height):
+        for c in range(width):
+            v = samples[r * width + c]
+            if v >> depth:
+                raise ValueError(
+                    f"sample {v} exceeds {depth}-bit range")
+            out[r * stride + c // per] |= v << (8 - depth * (c % per + 1))
+    return bytes(out)
+
+
 def _png_unfilter(
-    raw: bytes, offset: int, width_px: int, height: int, bpp: int
+    raw: bytes, offset: int, width_px: int, height: int, bpp: int,
+    stride: int | None = None
 ) -> tuple[bytearray, int]:
     """Reconstruct one (sub-)image's scanlines from ``raw`` starting at
     ``offset`` (filter-type byte + filtered samples per row, predictor
     chain starting fresh). ``bpp`` is BYTES per pixel (channels × the
     sample width — the spec's filters operate on bytes regardless of
-    bit depth). Returns (samples, offset past the image) — shared by
+    bit depth; sub-byte depths pass ``bpp=1`` with the packed
+    ``stride``). Returns (samples, offset past the image) — shared by
     the sequential path and each Adam7 pass."""
-    stride = width_px * bpp
+    if stride is None:
+        stride = width_px * bpp
     need = (stride + 1) * height
     if offset + need > len(raw):
         raise ValueError(
@@ -1220,10 +1284,12 @@ def _png_parse(payload: bytes) -> tuple[int, int, int, bytearray]:
     channels = 1 if color_type == 3 else _PNG_CHANNELS.get(color_type)
     if channels is None:
         raise ValueError(f"bad PNG color type {color_type}")
-    if bit_depth not in (8, 16) or (color_type == 3 and bit_depth != 8):
-        raise NotImplementedError(
-            f"{bit_depth}-bit PNG unsupported (8-bit, or 16-bit "
-            "non-palette)"
+    allowed = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(
+        color_type, (8, 16))
+    if bit_depth not in allowed:
+        raise ValueError(
+            f"invalid PNG bit depth {bit_depth} for color type "
+            f"{color_type} (spec allows {allowed})"
         )
     if color_type == 3:
         if plte is None:
@@ -1234,31 +1300,41 @@ def _png_parse(payload: bytes) -> tuple[int, int, int, bytearray]:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG DEFLATE stream: {exc}") from exc
-    bpp = channels * (bit_depth // 8)
+    sub_byte = bit_depth < 8
+    bpp = 1 if sub_byte else channels * (bit_depth // 8)
     if interlace == 0:
-        stride = width * bpp
+        stride = _png_row_stride(width, channels, bit_depth)
         if len(raw) != (stride + 1) * height:
             raise ValueError(
                 f"PNG pixel data is {len(raw)} bytes, geometry needs "
                 f"{(stride + 1) * height}"
             )
-        recon = _png_unfilter(raw, 0, width, height, bpp)[0]
+        recon = _png_unfilter(raw, 0, width, height, bpp, stride)[0]
+        if sub_byte:
+            recon = bytearray(
+                _png_unpack_bits(recon, width, height, bit_depth))
     else:
         # Adam7: seven independently-filtered sub-images (the filter
-        # predictor chain resets per pass), scattered back to the grid
-        recon = bytearray(width * height * bpp)
+        # predictor chain resets per pass), scattered back to the
+        # grid; sub-byte passes unpack BEFORE scattering — each
+        # pass's scanlines are independently byte-padded (§8.2)
+        unit = 1 if sub_byte else bpp
+        recon = bytearray(width * height * unit)
         off = 0
         for x0, y0, dx, dy in _ADAM7_PASSES:
             pw = (width - x0 + dx - 1) // dx
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # empty pass contributes no scanlines
-            sub, off = _png_unfilter(raw, off, pw, ph, bpp)
+            pstride = _png_row_stride(pw, channels, bit_depth)
+            sub, off = _png_unfilter(raw, off, pw, ph, bpp, pstride)
+            if sub_byte:
+                sub = _png_unpack_bits(sub, pw, ph, bit_depth)
             for r in range(ph):
                 for c in range(pw):
-                    src = (r * pw + c) * bpp
-                    dst = ((y0 + r * dy) * width + (x0 + c * dx)) * bpp
-                    recon[dst : dst + bpp] = sub[src : src + bpp]
+                    src = (r * pw + c) * unit
+                    dst = ((y0 + r * dy) * width + (x0 + c * dx)) * unit
+                    recon[dst : dst + unit] = sub[src : src + unit]
         if off != len(raw):
             raise ValueError(
                 f"PNG pixel data is {len(raw)} bytes, Adam7 geometry "
@@ -1268,16 +1344,18 @@ def _png_parse(payload: bytes) -> tuple[int, int, int, bytearray]:
         # indexed: map each reconstructed index through the PLTE —
         # callers see expanded RGB, so a palette-lookup bug shifts
         # the oracle's mean exactly like a filter bug would
+        # (vectorized gather, no per-pixel Python)
+        import numpy as np
+
         n_entries = len(plte) // 3
-        rgb = bytearray(len(recon) * 3)
-        for i, idx in enumerate(recon):
-            if idx >= n_entries:
-                raise ValueError(
-                    f"PNG palette index {idx} out of range for a "
-                    f"{n_entries}-entry PLTE"
-                )
-            rgb[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
-        return width, height, 3, rgb, 8
+        idx = np.frombuffer(bytes(recon), np.uint8)
+        if len(idx) and int(idx.max()) >= n_entries:
+            raise ValueError(
+                f"PNG palette index {int(idx.max())} out of range for "
+                f"a {n_entries}-entry PLTE"
+            )
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        return width, height, 3, bytearray(pal[idx].tobytes()), 8
     return width, height, channels, recon, bit_depth
 
 
@@ -5044,6 +5122,21 @@ def png_params(doc_id: int) -> tuple[int, int, int]:
     return 1 + doc_id % 13, 1 + doc_id % 7, doc_id % 53
 
 
+def lowbit_png_params(doc_id: int) -> tuple[int, int, int, int, int]:
+    """Ground-truth (bit_depth, color_type, width, height, base) for
+    a synthesized sub-byte PNG — depth cycles 4/2/1 by ``doc_id % 3``:
+    4-bit grayscale gradient (peak ≤ 5+5+4 = 14), 2-bit grayscale
+    modular gradient with width a multiple of 4 (every row covers each
+    residue equally → mean exactly 1.5), 1-bit indexed checkerboard
+    through a 2-entry palette."""
+    k = doc_id % 3
+    if k == 0:
+        return 4, 0, 1 + doc_id % 6, 1 + doc_id % 5, doc_id % 6
+    if k == 1:
+        return 2, 0, 4 * (1 + doc_id % 3), 1 + doc_id % 7, doc_id % 4
+    return 1, 3, 3 + doc_id % 13, 1 + doc_id % 7, doc_id % 2
+
+
 # non-identity oracle palette for synthesized indexed PNGs:
 # index i → (255-i, i, i), so the palette-mapped per-pixel mean is
 # (255 + i) / 3 — a lookup-skipping bug shifts it to i and breaks
@@ -5127,7 +5220,7 @@ def synthesize_media(
     grouping."""
     kinds = ("image", "rle-bmp", "rle4-bmp", "pal-bmp", "bmp-32",
              "audio", "flac", "ogg-flac", "png",
-             "png-palette",
+             "png-palette", "png-lowbit",
              "png-interlaced", "png-16", "gif", "gif-anim", "jpeg",
              "jpeg-color", "jpeg-420", "jpeg-progressive", "jpeg-cmyk",
              "tiff", "tiff-16", "tiff-palette", "tiff-multipage",
@@ -5138,7 +5231,7 @@ def synthesize_media(
                   "pal-bmp": "image/bmp", "bmp-32": "image/bmp",
                   "rle4-bmp": "image/bmp",
                   "png": "image/png",
-                  "png-palette": "image/png",
+                  "png-palette": "image/png", "png-lowbit": "image/png",
                   "png-interlaced": "image/png", "png-16": "image/png",
                   "gif": "image/gif", "gif-anim": "image/gif",
                   "jpeg": "image/jpeg", "jpeg-color": "image/jpeg",
@@ -5216,6 +5309,27 @@ def synthesize_media(
                                palette=_ORACLE_PALETTE)
                     for d in ids
                 ]
+            elif kind == "png-lowbit":
+                # 1/2/4-bit sub-byte depths (icons/screenshots/charts):
+                # 4-bit gray gradient, 2-bit modular gradient (width a
+                # multiple of 4 -> mean exactly 1.5), 1-bit PALETTED
+                # checkerboard through the non-identity oracle palette;
+                # every 5th id stores Adam7-interlaced
+                payloads = []
+                for d in ids:
+                    depth, ct, w, h, base = lowbit_png_params(int(d))
+                    mx = (1 << depth) - 1
+                    if depth == 4:
+                        smp = bytes(base + r + c for r in range(h)
+                                    for c in range(w))
+                    else:
+                        smp = bytes((base + r + c) % (mx + 1)
+                                    for r in range(h) for c in range(w))
+                    payloads.append(encode_png(
+                        w, h, color_type=ct, samples=smp,
+                        bit_depth=depth,
+                        palette=_ORACLE_PALETTE[:6] if ct == 3 else None,
+                        interlaced=int(d) % 5 == 0))
             elif kind == "gif":
                 payloads = [encode_gif(*png_params(int(d))) for d in ids]
             elif kind == "gif-anim":

@@ -3238,6 +3238,55 @@ def multimodal_palette_png_decode_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_lowbit_png_decode_stats",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, doc_id % 3 AS k,
+             CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 8 END AS bd,
+             CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 6
+                  WHEN 1 THEN 4 * (1 + doc_id % 3)
+                  ELSE 3 + doc_id % 13 END AS w,
+             CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 5
+                  ELSE 1 + doc_id % 7 END AS h,
+             CASE doc_id % 3 WHEN 0 THEN doc_id % 6
+                  WHEN 1 THEN doc_id % 4 ELSE doc_id % 2 END AS base
+      FROM documents WHERE doc_id < 300)
+    SELECT doc_id, CAST(bd AS BIGINT) AS bit_depth,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CASE k
+             WHEN 0 THEN base + (w - 1) / 2.0 + (h - 1) / 2.0
+             WHEN 1 THEN 1.5
+             ELSE (255.0 * w * h + (CASE WHEN base = 0
+                  THEN w * h - (((w + 1) // 2) * ((h + 1) // 2)
+                                + (w // 2) * (h // 2))
+                  ELSE ((w + 1) // 2) * ((h + 1) // 2)
+                       + (w // 2) * (h // 2) END)) / (3.0 * w * h)
+           END AS mean_value
+    FROM g
+    """,
+    doc="SUB-BYTE PNG decode end-to-end — the 1/2/4-bit depths common "
+    "in web-corpus icons/screenshots/charts: depth cycles 4/2/1 by "
+    "doc_id (4-bit grayscale gradient, 2-bit modular gradient whose "
+    "width is a multiple of 4 so the mean is exactly 1.5, 1-bit "
+    "INDEXED checkerboard through the non-identity 2-entry palette "
+    "i->(255-i,i,i)), every 5th id Adam7-interlaced with per-pass "
+    "byte-padded sub-byte scanlines (operators/multimodal.py::"
+    "_png_unpack_bits — MSB-first unpacking vectorized as a numpy "
+    "shift/mask gather, filters running over PACKED bytes with bpp=1 "
+    "per the spec). The oracle recomputes each geometry and "
+    "closed-form mean from the doc_id formulas — an unpacking, "
+    "row-padding, filter-stride, or palette bug breaks the hash.",
+    tags=("multimodal",),
+)
+def multimodal_lowbit_png_decode_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") < 300)
+    feats = M.extract_media_features(M.synthesize_media(d, "png-lowbit"))
+    return feats.select("doc_id", "bit_depth", "width", "height",
+                        "mean_value")
+
+
+@register(
     "multimodal_png16_decode_stats",
     oracle="""
     SELECT lang, COUNT(*) AS n_items,

@@ -329,7 +329,9 @@ def test_png_malformed_and_unsupported():
     # has half the bytes the doubled stride needs — structural damage
     with pytest.raises(ValueError, match="pixel data"):
         M.decode_png(_patch_ihdr(png, 8, 16))
-    with pytest.raises(NotImplementedError, match="4-bit"):
+    # sub-byte depths decode for real now; 4-bit TRUECOLOR is a
+    # spec-invalid combo (type 2 allows 8/16 only)
+    with pytest.raises(ValueError, match="invalid PNG bit depth"):
         M.decode_png(_patch_ihdr(png, 8, 4))
     # geometry/stream mismatch: claim a wider image than the data has
     with pytest.raises(ValueError, match="pixel data"):
@@ -2724,3 +2726,85 @@ def test_rle4_bmp_boundaries():
     # resize works through the shared pixel path
     d = M.decode_bmp(M.resize_bmp(p, 3, 2))
     assert (d["width"], d["height"]) == (3, 2)
+
+
+def test_png_sub_byte_depths_round_trip():
+    """1/2/4-bit PNGs round-trip exact samples across odd widths (row
+    padding load-bearing), both sequential and Adam7 storage, both
+    grayscale and indexed color types."""
+    pal16 = bytes(v for i in range(16) for v in (255 - i, i, i))
+    for depth in (1, 2, 4):
+        mx = (1 << depth) - 1
+        for (w, h) in [(1, 1), (3, 2), (7, 5), (8, 8), (13, 7), (9, 10)]:
+            samples = bytes((r + c) % (mx + 1)
+                            for r in range(h) for c in range(w))
+            for inter in (False, True):
+                p = M.encode_png(w, h, color_type=0, samples=samples,
+                                 bit_depth=depth, interlaced=inter)
+                W, H, ch, recon, d = M._png_parse(p)
+                assert (W, H, ch, d) == (w, h, 1, depth)
+                assert bytes(recon) == samples, (depth, w, h, inter)
+                # indexed: decode returns palette-mapped RGB
+                q = M.encode_png(w, h, color_type=3, samples=samples,
+                                 bit_depth=depth, palette=pal16,
+                                 interlaced=inter)
+                W, H, ch, rgb, d = M._png_parse(q)
+                assert (W, H, ch, d) == (w, h, 3, 8)
+                assert bytes(rgb) == b"".join(
+                    pal16[3 * s:3 * s + 3] for s in samples)
+
+
+def test_png_sub_byte_pack_unpack_inverse():
+    """_png_pack_bits / _png_unpack_bits are exact inverses at every
+    depth, including rows whose final byte is partially used."""
+    for depth in (1, 2, 4):
+        mx = (1 << depth) - 1
+        for (w, h) in [(1, 3), (5, 2), (9, 4), (16, 1)]:
+            samples = bytes((3 * r + c) % (mx + 1)
+                            for r in range(h) for c in range(w))
+            packed = M._png_pack_bits(samples, w, h, depth)
+            assert len(packed) == M._png_row_stride(w, 1, depth) * h
+            assert M._png_unpack_bits(packed, w, h, depth) == samples
+    with pytest.raises(ValueError, match="exceeds"):
+        M._png_pack_bits(bytes([4]), 1, 1, 2)
+
+
+def test_png_bit_depth_combos_validated_both_sides():
+    """Spec-invalid depth/color-type combos raise on encode AND on a
+    hand-crafted decode — truecolor/alpha types stay 8/16 only."""
+    with pytest.raises(ValueError, match="invalid for color type"):
+        M.encode_png(4, 4, color_type=2, samples=bytes(16), bit_depth=4)
+    with pytest.raises(ValueError, match="invalid for color type"):
+        M.encode_png(4, 4, color_type=3, samples=bytes(32), bit_depth=16)
+    import struct as _s
+    import zlib as _z
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    bad = (M._PNG_SIG + M._png_chunk(b"IHDR", ihdr)
+           + M._png_chunk(b"IDAT", _z.compress(b"\x00" * 10))
+           + M._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="invalid PNG bit depth"):
+        M._png_parse(bad)
+
+
+def test_png_lowbit_synthesis_matches_closed_form(spark):
+    """The png-lowbit synthesis kind decodes to the params' closed-form
+    means — the same invariant the SQL oracle pins at sf0.01."""
+    df = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    feats = {r.doc_id: r for r in M.extract_media_features(
+        M.synthesize_media(df, "png-lowbit")).collect()}
+    for i in range(30):
+        depth, ct, w, h, base = M.lowbit_png_params(i)
+        r = feats[i]
+        assert (r.width, r.height) == (w, h)
+        if depth == 4:
+            assert r.bit_depth == 4
+            assert r.mean_value == pytest.approx(
+                base + (w - 1) / 2 + (h - 1) / 2, abs=0)
+        elif depth == 2:
+            assert r.bit_depth == 2
+            assert r.mean_value == 1.5
+        else:  # 1-bit indexed reports palette-mapped 8-bit RGB
+            assert r.bit_depth == 8
+            n_even = ((w + 1) // 2) * ((h + 1) // 2) + (w // 2) * (h // 2)
+            n1 = (w * h - n_even) if base == 0 else n_even
+            assert r.mean_value == (255.0 * w * h + n1) / (3.0 * w * h)
