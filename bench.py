@@ -165,10 +165,12 @@ HEADLINE = [
     "multimodal_bmp32_decode_stats",
     "multimodal_palette_tiff_decode_stats",
     "multimodal_rle4_bmp_decode_stats",
-    # round-13 addition: sub-byte PNG decode (1/2/4-bit MSB-first
+    # round-13 additions: sub-byte PNG decode (1/2/4-bit MSB-first
     # unpacking vectorized as a numpy shift/mask gather, filters over
-    # packed bytes, Adam7 per-pass byte-padded scanlines)
+    # packed bytes, Adam7 per-pass byte-padded scanlines) and CCITT
+    # Group 4 fax TIFF (T.6 MMR with the ITU T.4 run tables)
     "multimodal_lowbit_png_decode_stats",
+    "multimodal_g4_tiff_decode_stats",
 ]
 
 # Iterative/trainer operators do their distributed work INSIDE fn()

@@ -42,6 +42,7 @@ ever carries the small feature rows, not the payload bytes.
 
 from __future__ import annotations
 
+import bisect
 import re
 import struct
 import sys
@@ -3122,10 +3123,372 @@ def decode_jpeg(payload: bytes) -> dict:
 
 _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
-    262: "photometric", 273: "offsets", 277: "spp", 278: "rows_per_strip",
+    262: "photometric", 266: "fill_order", 273: "offsets", 277: "spp",
+    278: "rows_per_strip",
     279: "counts", 317: "predictor", 320: "colormap", 322: "tile_width",
     323: "tile_length", 324: "tile_offsets", 325: "tile_counts",
 }
+
+
+# ------------------------------------------------- CCITT Group 4 (T.6)
+#
+# The scanned-document/fax standard: 2-D MMR coding from the public
+# ITU-T T.6 spec, with horizontal-mode run lengths drawn from the
+# T.4 modified-Huffman tables. Bilevel only (BitsPerSample 1), both
+# photometric interpretations and both FillOrders. The decoder emits
+# ONE BYTE PER PIXEL (0 = white, 1 = black in coding terms), so the
+# shared strip/tile assembly and stats paths work unchanged.
+#
+# Table data below is the public ITU-T Recommendation T.4 §2 code
+# tables (terminating codes 0-63, makeup codes 64-1728, and the
+# shared extended makeups 1792-2560), transcribed run: (length, code).
+
+_T4_WHITE = {
+    0: (8, 0b00110101), 1: (6, 0b000111), 2: (4, 0b0111), 3: (4, 0b1000),
+    4: (4, 0b1011), 5: (4, 0b1100), 6: (4, 0b1110), 7: (4, 0b1111),
+    8: (5, 0b10011), 9: (5, 0b10100), 10: (5, 0b00111), 11: (5, 0b01000),
+    12: (6, 0b001000), 13: (6, 0b000011), 14: (6, 0b110100),
+    15: (6, 0b110101), 16: (6, 0b101010), 17: (6, 0b101011),
+    18: (7, 0b0100111), 19: (7, 0b0001100), 20: (7, 0b0001000),
+    21: (7, 0b0010111), 22: (7, 0b0000011), 23: (7, 0b0000100),
+    24: (7, 0b0101000), 25: (7, 0b0101011), 26: (7, 0b0010011),
+    27: (7, 0b0100100), 28: (7, 0b0011000), 29: (8, 0b00000010),
+    30: (8, 0b00000011), 31: (8, 0b00011010), 32: (8, 0b00011011),
+    33: (8, 0b00010010), 34: (8, 0b00010011), 35: (8, 0b00010100),
+    36: (8, 0b00010101), 37: (8, 0b00010110), 38: (8, 0b00010111),
+    39: (8, 0b00101000), 40: (8, 0b00101001), 41: (8, 0b00101010),
+    42: (8, 0b00101011), 43: (8, 0b00101100), 44: (8, 0b00101101),
+    45: (8, 0b00000100), 46: (8, 0b00000101), 47: (8, 0b00001010),
+    48: (8, 0b00001011), 49: (8, 0b01010010), 50: (8, 0b01010011),
+    51: (8, 0b01010100), 52: (8, 0b01010101), 53: (8, 0b00100100),
+    54: (8, 0b00100101), 55: (8, 0b01011000), 56: (8, 0b01011001),
+    57: (8, 0b01011010), 58: (8, 0b01011011), 59: (8, 0b01001010),
+    60: (8, 0b01001011), 61: (8, 0b00110010), 62: (8, 0b00110011),
+    63: (8, 0b00110100),
+    64: (5, 0b11011), 128: (5, 0b10010), 192: (6, 0b010111),
+    256: (7, 0b0110111), 320: (8, 0b00110110), 384: (8, 0b00110111),
+    448: (8, 0b01100100), 512: (8, 0b01100101), 576: (8, 0b01101000),
+    640: (8, 0b01100111), 704: (9, 0b011001100), 768: (9, 0b011001101),
+    832: (9, 0b011010010), 896: (9, 0b011010011), 960: (9, 0b011010100),
+    1024: (9, 0b011010101), 1088: (9, 0b011010110),
+    1152: (9, 0b011010111), 1216: (9, 0b011011000),
+    1280: (9, 0b011011001), 1344: (9, 0b011011010),
+    1408: (9, 0b011011011), 1472: (9, 0b010011000),
+    1536: (9, 0b010011001), 1600: (9, 0b010011010),
+    1664: (6, 0b011000), 1728: (9, 0b010011011),
+}
+
+_T4_BLACK = {
+    0: (10, 0b0000110111), 1: (3, 0b010), 2: (2, 0b11), 3: (2, 0b10),
+    4: (3, 0b011), 5: (4, 0b0011), 6: (4, 0b0010), 7: (5, 0b00011),
+    8: (6, 0b000101), 9: (6, 0b000100), 10: (7, 0b0000100),
+    11: (7, 0b0000101), 12: (7, 0b0000111), 13: (8, 0b00000100),
+    14: (8, 0b00000111), 15: (9, 0b000011000), 16: (10, 0b0000010111),
+    17: (10, 0b0000011000), 18: (10, 0b0000001000),
+    19: (11, 0b00001100111), 20: (11, 0b00001101000),
+    21: (11, 0b00001101100), 22: (11, 0b00000110111),
+    23: (11, 0b00000101000), 24: (11, 0b00000010111),
+    25: (11, 0b00000011000), 26: (12, 0b000011001010),
+    27: (12, 0b000011001011), 28: (12, 0b000011001100),
+    29: (12, 0b000011001101), 30: (12, 0b000001101000),
+    31: (12, 0b000001101001), 32: (12, 0b000001101010),
+    33: (12, 0b000001101011), 34: (12, 0b000011010010),
+    35: (12, 0b000011010011), 36: (12, 0b000011010100),
+    37: (12, 0b000011010101), 38: (12, 0b000011010110),
+    39: (12, 0b000011010111), 40: (12, 0b000001101100),
+    41: (12, 0b000001101101), 42: (12, 0b000011011010),
+    43: (12, 0b000011011011), 44: (12, 0b000001010100),
+    45: (12, 0b000001010101), 46: (12, 0b000001010110),
+    47: (12, 0b000001010111), 48: (12, 0b000001100100),
+    49: (12, 0b000001100101), 50: (12, 0b000001010010),
+    51: (12, 0b000001010011), 52: (12, 0b000000100100),
+    53: (12, 0b000000110111), 54: (12, 0b000000111000),
+    55: (12, 0b000000100111), 56: (12, 0b000000101000),
+    57: (12, 0b000001011000), 58: (12, 0b000001011001),
+    59: (12, 0b000000101011), 60: (12, 0b000000101100),
+    61: (12, 0b000001011010), 62: (12, 0b000001100110),
+    63: (12, 0b000001100111),
+    64: (10, 0b0000001111), 128: (12, 0b000011001000),
+    192: (12, 0b000011001001), 256: (12, 0b000001011011),
+    320: (12, 0b000000110011), 384: (12, 0b000000110100),
+    448: (12, 0b000000110101), 512: (13, 0b0000001101100),
+    576: (13, 0b0000001101101), 640: (13, 0b0000001001010),
+    704: (13, 0b0000001001011), 768: (13, 0b0000001001100),
+    832: (13, 0b0000001001101), 896: (13, 0b0000001110010),
+    960: (13, 0b0000001110011), 1024: (13, 0b0000001110100),
+    1088: (13, 0b0000001110101), 1152: (13, 0b0000001110110),
+    1216: (13, 0b0000001110111), 1280: (13, 0b0000001010010),
+    1344: (13, 0b0000001010011), 1408: (13, 0b0000001010100),
+    1472: (13, 0b0000001010101), 1536: (13, 0b0000001011010),
+    1600: (13, 0b0000001011011), 1664: (13, 0b0000001100100),
+    1728: (13, 0b0000001100101),
+}
+
+# extended makeup codes 1792-2560 are shared by both colors (T.4 §2)
+_T4_EXT = {
+    1792: (11, 0b00000001000), 1856: (11, 0b00000001100),
+    1920: (11, 0b00000001101), 1984: (12, 0b000000010010),
+    2048: (12, 0b000000010011), 2112: (12, 0b000000010100),
+    2176: (12, 0b000000010101), 2240: (12, 0b000000010110),
+    2304: (12, 0b000000010111), 2368: (12, 0b000000011100),
+    2432: (12, 0b000000011101), 2496: (12, 0b000000011110),
+    2560: (12, 0b000000011111),
+}
+
+
+def _t4_decode_tables():
+    """(len, code) → run lookup per color, makeups included."""
+    white = {v: k for k, v in {**_T4_WHITE, **_T4_EXT}.items()}
+    black = {v: k for k, v in {**_T4_BLACK, **_T4_EXT}.items()}
+    return white, black
+
+
+_T4_DEC_WHITE, _T4_DEC_BLACK = _t4_decode_tables()
+_T4_MAX_LEN = 13
+
+# byte bit-reversal table for FillOrder 2 (TIFF tag 266: LSB-first)
+_BITREV = bytes(int(f"{i:08b}"[::-1], 2) for i in range(256))
+
+# 0↔1 swap for photometric-1 bilevel samples (identity elsewhere)
+_G4_INVERT = bytes(b ^ 1 if b < 2 else b for b in range(256))
+
+
+class _G4BitWriter:
+    """MSB-first bit accumulator for the G4 encoder."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, length: int, code: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append((self.acc << (8 - self.nbits)) & 0xFF)
+            self.acc = self.nbits = 0
+        return bytes(self.out)
+
+
+class _G4BitReader:
+    """MSB-first bit reader with prefix-code matching."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def take(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise ValueError("G4: bit stream exhausted mid-code")
+            v = (v << 1) | ((self.data[byte] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def peek(self, n: int) -> tuple[int, int]:
+        """Up to n bits without consuming; returns (got, value)."""
+        save = self.pos
+        got, v = 0, 0
+        try:
+            for _ in range(n):
+                v = (v << 1) | self.take(1)
+                got += 1
+        except ValueError:
+            pass
+        self.pos = save
+        return got, v
+
+    def exhausted(self) -> bool:
+        return self.pos >= len(self.data) * 8
+
+
+def _t4_read_run(br: _G4BitReader, black: bool) -> int:
+    """One complete run length: zero or more makeup codes then a
+    terminating code (< 64), per T.4 §2.2."""
+    table = _T4_DEC_BLACK if black else _T4_DEC_WHITE
+    total = 0
+    while True:
+        length, code = 0, 0
+        run = None
+        while length < _T4_MAX_LEN:
+            code = (code << 1) | br.take(1)
+            length += 1
+            run = table.get((length, code))
+            if run is not None:
+                break
+        if run is None:
+            raise ValueError(
+                f"G4: invalid {'black' if black else 'white'} run code")
+        total += run
+        if run < 64:
+            return total
+
+
+def _g4_changes(row: bytes) -> list[int]:
+    """Positions where the pixel color changes (colors alternate
+    starting white)."""
+    changes = []
+    prev = 0
+    for i, v in enumerate(row):
+        if v != prev:
+            changes.append(i)
+            prev = v
+    return changes
+
+
+def _g4_b1_b2(ref: list[int], a0: int, color: int,
+              width: int) -> tuple[int, int]:
+    """b1: first changing element on the reference line right of a0
+    whose NEW color is opposite to the coding color; b2: the next one
+    (T.6 §2.2.1). Change index parity gives the new color (even →
+    to-black)."""
+    i = bisect.bisect_right(ref, a0)
+    if (i & 1) != color:  # need new-color != color → index parity==color
+        i += 1
+    b1 = ref[i] if i < len(ref) else width
+    b2 = ref[i + 1] if i + 1 < len(ref) else width
+    return b1, b2
+
+
+def g4_encode(rows: list[bytes], width: int) -> bytes:
+    """T.6 2-D MMR encoder over unpacked rows (one byte per pixel,
+    0 = white / 1 = black), EOFB-terminated. Mode selection per spec:
+    pass when b2 < a1, vertical when |a1-b1| ≤ 3, horizontal
+    otherwise."""
+    bw = _G4BitWriter()
+    ref: list[int] = []
+    for row in rows:
+        if len(row) != width:
+            raise ValueError("G4: row width mismatch")
+        cur = _g4_changes(row)
+        a0, color = -1, 0
+        while a0 < width:
+            b1, b2 = _g4_b1_b2(ref, a0, color, width)
+            # a1: first change in CUR strictly right of a0 with new
+            # color != color
+            i = bisect.bisect_right(cur, a0)
+            if (i & 1) != color:
+                i += 1
+            a1 = cur[i] if i < len(cur) else width
+            if b2 < a1:
+                bw.put(4, 0b0001)  # pass
+                a0 = b2
+                continue
+            d = a1 - b1
+            if -3 <= d <= 3:
+                bw.put(*{0: (1, 0b1), 1: (3, 0b011), 2: (6, 0b000011),
+                         3: (7, 0b0000011), -1: (3, 0b010),
+                         -2: (6, 0b000010), -3: (7, 0b0000010)}[d])
+                a0, color = a1, 1 - color
+                continue
+            # horizontal: two runs from a0 (imaginary start counts 0)
+            a2 = cur[i + 1] if i + 1 < len(cur) else width
+            r1 = a1 - a0 - (1 if a0 < 0 else 0)
+            r2 = a2 - a1
+            bw.put(3, 0b001)
+            for run, is_black in ((r1, color), (r2, 1 - color)):
+                enc = _T4_BLACK if is_black else _T4_WHITE
+                while run >= 64:
+                    # largest makeup ≤ run (makeups step by 64)
+                    mk = min(2560, (run // 64) * 64)
+                    tab = enc if mk <= 1728 else _T4_EXT
+                    bw.put(*tab[mk])
+                    run -= mk
+                bw.put(*enc[run])
+            a0 = a2
+        ref = cur
+    bw.put(12, 0b000000000001)  # EOFB = two EOLs
+    bw.put(12, 0b000000000001)
+    return bw.flush()
+
+
+def g4_decode(data: bytes, width: int, height: int,
+              fill_order: int = 1) -> bytes:
+    """T.6 decoder → one byte per pixel (0 white / 1 black),
+    row-major. FillOrder 2 bit-reverses every byte first (TIFF tag
+    266). The 2-D extension escape (0000001...) is a loud boundary;
+    structural damage (invalid codes, changes out of order, stream
+    exhaustion) raises ValueError."""
+    if fill_order == 2:
+        data = bytes(_BITREV[b] for b in data)
+    elif fill_order != 1:
+        raise ValueError(f"G4: bad FillOrder {fill_order}")
+    br = _G4BitReader(data)
+    out = bytearray()
+    ref: list[int] = []
+    for _ in range(height):
+        cur: list[int] = []
+        a0, color = -1, 0
+
+        def vertical(a1: int) -> None:
+            nonlocal a0, color
+            # rightward-progress guard: a malformed stream whose
+            # vertical moves stall would otherwise loop forever
+            if a1 <= a0 or a1 < 0:
+                raise ValueError("G4: vertical move not rightward")
+            cur.append(a1)
+            a0, color = a1, 1 - color
+
+        while a0 < width:
+            b1, b2 = _g4_b1_b2(ref, a0, color, width)
+            if br.take(1):  # 1 → V0
+                vertical(b1)
+                continue
+            if br.take(1):  # 01x → VR1/VL1
+                vertical(b1 + (1 if br.take(1) else -1))
+                continue
+            if br.take(1):  # 001 horizontal
+                r1 = _t4_read_run(br, black=bool(color))
+                r2 = _t4_read_run(br, black=not bool(color))
+                start = max(a0, 0)
+                a1, a2 = start + r1, start + r1 + r2
+                cur.extend((a1, a2))
+                a0 = a2
+                continue
+            if br.take(1):  # 0001 pass
+                if b2 <= a0:
+                    raise ValueError("G4: pass mode not rightward")
+                a0 = b2
+                continue
+            if br.take(1):  # 00001 1x → VR2/VL2
+                vertical(b1 + (2 if br.take(1) else -2))
+                continue
+            if br.take(1):  # 000001 1x → VR3/VL3
+                vertical(b1 + (3 if br.take(1) else -3))
+                continue
+            # six zeros consumed: 0000001 escapes to the 2-D
+            # extensions; more zeros can only be EOL/EOFB, which is
+            # premature inside the image
+            if br.take(1):
+                raise NotImplementedError(
+                    "G4: 2-D extension codes are not supported")
+            raise ValueError("G4: premature EOL/EOFB or invalid code "
+                             "inside the image")
+        # materialize the row; validate monotone changes
+        cur = [c for c in cur if c < width]
+        if any(y <= x for x, y in zip(cur, cur[1:])):
+            raise ValueError("G4: changing elements out of order")
+        row = bytearray(width)
+        v = 0
+        prev = 0
+        for c in cur:
+            if v:
+                for i in range(prev, c):
+                    row[i] = 1
+            prev, v = c, 1 - v
+        if v:
+            for i in range(prev, width):
+                row[i] = 1
+        out += row
+        ref = cur
+    return bytes(out)
 
 
 def _tiff_lzw_encode(data: bytes) -> bytes:
@@ -3621,20 +3984,37 @@ def _tiff_parse(payload: bytes,
     comp = values("compression", 1)[0]
     photo = values("photometric")[0]
     spp = values("spp", 1)[0]
+    fill_order = values("fill_order", 1)[0]
     bits = values("bits", 8)
     if set(bits) == {8}:
         bit_depth = 8
     elif set(bits) == {16}:
         bit_depth = 16
+    elif set(bits) == {1}:
+        bit_depth = 1
     else:
         raise NotImplementedError(
             f"TIFF: {sorted(set(bits))} bits per sample unsupported "
-            "(only uniform 8 or 16)")
-    bps = bit_depth // 8
-    if comp not in (1, 5, 8, 32773, 32946):
+            "(only uniform 1, 8, or 16)")
+    bps = 2 if bit_depth == 16 else 1  # DECODED bytes per sample
+    if comp not in (1, 4, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF: compression {comp} needs a codec "
-            "(only none/LZW/Deflate/PackBits)")
+            "(only none/CCITT G4/LZW/Deflate/PackBits; G3 is a loud "
+            "boundary)")
+    if comp == 4:
+        if bit_depth != 1 or (photo, spp) not in ((0, 1), (1, 1)):
+            raise ValueError(
+                "TIFF: CCITT G4 requires bilevel data (BitsPerSample "
+                f"1, photometric 0/1; got {bit_depth}-bit photometric "
+                f"{photo})")
+    elif bit_depth == 1:
+        raise NotImplementedError(
+            "TIFF: 1-bit samples are only decoded under CCITT G4 "
+            f"compression (got compression {comp})")
+    elif fill_order == 2:
+        raise NotImplementedError(
+            "TIFF: FillOrder 2 is only supported for CCITT G4 data")
     pred = values("predictor", 1)[0]
     if pred not in (1, 2):
         raise NotImplementedError(
@@ -3653,7 +4033,15 @@ def _tiff_parse(payload: bytes,
         the predictor — per SEGMENT, with the segment's own row width:
         a tile's rows are tile-width, not image-width."""
         expect = n_rows * row_px * spp * bps
-        if comp == 32773:
+        if comp == 4:
+            # T.6 MMR: reference line resets per strip/tile (TIFF 6.0
+            # §11); decoder emits 0=white/1=black, which IS the sample
+            # value under photometric 0 (WhiteIsZero); photometric 1
+            # inverts (its white samples are 1)
+            raw = g4_decode(raw, row_px, n_rows, fill_order)
+            if photo == 1:
+                raw = raw.translate(_G4_INVERT)
+        elif comp == 32773:
             raw = _packbits_decode(raw, expect)
         elif comp == 5:
             raw = _tiff_lzw_decode(raw, expect)
@@ -3889,6 +4277,109 @@ def encode_tiff_palette_sample(doc_id: int) -> bytes:
         tiled=doc_id % 7 == 5,
         palette=True,
     )
+
+
+def encode_tiff_g4(width: int, height: int, ink_rows: list[bytes],
+                   photometric: int = 0, fill_order: int = 1,
+                   rows_per_strip: int = 2,
+                   big_endian: bool = False) -> bytes:
+    """Write a real CCITT Group 4 (Compression 4) bilevel TIFF.
+    ``ink_rows`` hold CODING colors (one byte per pixel, 0 = white
+    background / 1 = black ink); the photometric tag controls only how
+    readers map those to sample values, so the same image bytes pin
+    both interpretations. Strips are independently T.6-coded
+    (reference line resets, TIFF 6.0 §11); FillOrder 2 stores every
+    byte bit-reversed (tag 266)."""
+    if photometric not in (0, 1):
+        raise ValueError("G4 TIFF requires photometric 0/1")
+    if fill_order not in (1, 2):
+        raise ValueError("bad FillOrder")
+    e = ">" if big_endian else "<"
+    strips = []
+    for y in range(0, height, rows_per_strip):
+        data = g4_encode(ink_rows[y:y + rows_per_strip], width)
+        if fill_order == 2:
+            data = bytes(_BITREV[b] for b in data)
+        strips.append(data)
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    extra = bytearray()
+    entries = []
+
+    def inline(tag, typ, value):
+        if typ == 3:
+            entries.append((tag, 3, 1, struct.pack(f"{e}HH", value, 0)))
+        else:
+            entries.append((tag, 4, 1, struct.pack(f"{e}I", value)))
+
+    inline(256, 4, width)
+    inline(257, 4, height)
+    inline(258, 3, 1)
+    inline(259, 3, 4)
+    inline(262, 3, photometric)
+    if fill_order == 2:
+        inline(266, 3, 2)
+    if len(strips) == 1:
+        entries.append((273, 4, 1, struct.pack(f"{e}I", strip_offsets[0])))
+        entries.append((279, 4, 1, struct.pack(f"{e}I", len(strips[0]))))
+    else:
+        counts = [len(s) for s in strips]
+        so, sc = pos, pos + 4 * len(strips)
+        extra.extend(struct.pack(f"{e}{len(strips)}I", *strip_offsets))
+        extra.extend(struct.pack(f"{e}{len(strips)}I", *counts))
+        pos = sc + 4 * len(strips)
+        entries.append((273, 4, len(strips), struct.pack(f"{e}I", so)))
+        entries.append((279, 4, len(strips), struct.pack(f"{e}I", sc)))
+    inline(277, 3, 1)
+    inline(278, 4, rows_per_strip)
+    entries.sort()
+    ifd = struct.pack(f"{e}H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack(f"{e}HHI", tag, typ, cnt) + val
+    ifd += struct.pack(f"{e}I", 0)
+    head = (b"MM" if big_endian else b"II") + struct.pack(f"{e}H", 42) \
+        + struct.pack(f"{e}I", pos)
+    return head + b"".join(strips) + bytes(extra) + ifd
+
+
+def g4_tiff_params(doc_id: int) -> tuple[int, int, int, int, int,
+                                         int, int]:
+    """Ground-truth (pattern, width, height, k, base, photometric,
+    fill_order) for a synthesized G4 fax TIFF. Patterns by
+    ``doc_id % 3``: 0 checkerboard (vertical-mode torture), 1 vertical
+    stripes of width k (V0 steady state + horizontal starts), 2 WIDE
+    horizontal stripes (row runs ≥ 64 → makeup codes load-bearing).
+    Photometric alternates by ``(doc_id // 3) % 2`` and every 5th id
+    stores FillOrder 2 — all with the same closed-form ink count."""
+    p = doc_id % 3
+    photo = (doc_id // 3) % 2
+    fill = 2 if doc_id % 5 == 0 else 1
+    if p == 0:
+        return 0, 3 + doc_id % 13, 1 + doc_id % 7, 1, doc_id % 2, \
+            photo, fill
+    if p == 1:
+        return 1, 3 + doc_id % 13, 1 + doc_id % 7, 1 + doc_id % 3, 0, \
+            photo, fill
+    return 2, 64 + (doc_id % 17) * 7, 1 + doc_id % 5, 1 + doc_id % 2, \
+        doc_id % 2, photo, fill
+
+
+def encode_tiff_g4_sample(doc_id: int) -> bytes:
+    """One synthesized fax-style G4 TIFF per document id, per
+    ``g4_tiff_params``."""
+    p, w, h, k, base, photo, fill = g4_tiff_params(doc_id)
+    if p == 0:
+        rows = [bytes((r + c + base) % 2 for c in range(w))
+                for r in range(h)]
+    elif p == 1:
+        rows = [bytes((c // k) % 2 for c in range(w))] * h
+    else:
+        rows = [bytes([(r // k + base) % 2]) * w for r in range(h)]
+    return encode_tiff_g4(w, h, rows, photometric=photo,
+                          fill_order=fill)
 
 
 def encode_tiff16_sample(doc_id: int) -> bytes:
@@ -5224,6 +5715,7 @@ def synthesize_media(
              "png-interlaced", "png-16", "gif", "gif-anim", "jpeg",
              "jpeg-color", "jpeg-420", "jpeg-progressive", "jpeg-cmyk",
              "tiff", "tiff-16", "tiff-palette", "tiff-multipage",
+             "tiff-g4",
              "video", "mp3", "vorbis", "opus")
     if kind not in kinds:
         raise ValueError(f"kind must be one of {kinds}")
@@ -5239,7 +5731,7 @@ def synthesize_media(
                   "jpeg-progressive": "image/jpeg",
                   "jpeg-cmyk": "image/jpeg",
                   "tiff": "image/tiff", "tiff-16": "image/tiff",
-                  "tiff-palette": "image/tiff",
+                  "tiff-palette": "image/tiff", "tiff-g4": "image/tiff",
                   "tiff-multipage": "image/tiff",
                   "audio": "audio/wav", "flac": "audio/flac",
                   "ogg-flac": "audio/ogg", "mp3": "audio/mpeg",
@@ -5397,6 +5889,11 @@ def synthesize_media(
                 # photometric 3 + ColorMap (the scanned-document
                 # layout), compression/byte-order/tiling cycle
                 payloads = [encode_tiff_palette_sample(int(d))
+                            for d in ids]
+            elif kind == "tiff-g4":
+                # CCITT Group 4 fax: T.6 MMR bilevel strips, both
+                # photometrics, FillOrder 2 every 5th id
+                payloads = [encode_tiff_g4_sample(int(d))
                             for d in ids]
             elif kind == "tiff-multipage":
                 # 1..4 IFD-chained pages, each cycling the container

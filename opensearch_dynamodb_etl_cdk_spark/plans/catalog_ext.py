@@ -3124,6 +3124,67 @@ def multimodal_palette_tiff_decode_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_g4_tiff_decode_stats",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, doc_id % 3 AS p,
+             CASE doc_id % 3 WHEN 2 THEN 64 + (doc_id % 17) * 7
+                  ELSE 3 + doc_id % 13 END AS w,
+             CASE doc_id % 3 WHEN 2 THEN 1 + doc_id % 5
+                  ELSE 1 + doc_id % 7 END AS h,
+             CASE doc_id % 3 WHEN 0 THEN 1
+                  WHEN 1 THEN 1 + doc_id % 3 ELSE 1 + doc_id % 2 END AS k,
+             CASE doc_id % 3 WHEN 1 THEN 0 ELSE doc_id % 2 END AS base
+      FROM documents WHERE doc_id < 300),
+    ink AS (
+      SELECT doc_id, w, h,
+             CASE p
+               WHEN 0 THEN CASE WHEN base = 0
+                 THEN w * h - (((w + 1) // 2) * ((h + 1) // 2)
+                               + (w // 2) * (h // 2))
+                 ELSE ((w + 1) // 2) * ((h + 1) // 2)
+                      + (w // 2) * (h // 2) END
+               WHEN 1 THEN h * (k * (w // (2 * k))
+                               + greatest(0, w % (2 * k) - k))
+               ELSE w * (CASE WHEN base = 0
+                 THEN k * (h // (2 * k)) + greatest(0, h % (2 * k) - k)
+                 ELSE h - (k * (h // (2 * k))
+                           + greatest(0, h % (2 * k) - k)) END)
+             END AS n_ink
+      FROM g)
+    SELECT doc_id, CAST(1 AS BIGINT) AS bit_depth,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(w * h - n_ink AS DOUBLE) / (w * h) AS mean_value
+    FROM ink
+    """,
+    doc="CCITT GROUP 4 (T.6) fax TIFF decoded for real — the "
+    "scanned-document standard: 2-D MMR coding (pass/vertical/"
+    "horizontal modes against the reference line) with horizontal-"
+    "mode run lengths from the public ITU-T T.4 modified-Huffman "
+    "tables (terminating + makeup + shared extended makeups), "
+    "per-strip reference resets (TIFF 6.0 §11), BOTH photometric "
+    "interpretations (the decoder maps coded white to the "
+    "photometric's white sample) and BOTH FillOrders (tag 266, "
+    "LSB-first bytes bit-reversed on read). Patterns cycle "
+    "checkerboard (vertical-mode torture), vertical stripes (V0 "
+    "steady state), and WIDE horizontal stripes whose runs exceed 64 "
+    "pixels so makeup codes are load-bearing "
+    "(operators/multimodal.py::g4_decode/g4_encode). The oracle "
+    "recomputes each geometry and ink count closed-form from doc_id "
+    "— a mode-selection, run-table, fill-order, or photometric "
+    "mapping bug breaks the hash.",
+    tags=("multimodal",),
+)
+def multimodal_g4_tiff_decode_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") < 300)
+    feats = M.extract_media_features(M.synthesize_media(d, "tiff-g4"))
+    return feats.select("doc_id", "bit_depth", "width", "height",
+                        "mean_value")
+
+
+
+@register(
     "multimodal_png_decode_stats",
     oracle="""
     SELECT lang, COUNT(*) AS n_items,

@@ -2808,3 +2808,100 @@ def test_png_lowbit_synthesis_matches_closed_form(spark):
             n_even = ((w + 1) // 2) * ((h + 1) // 2) + (w // 2) * (h // 2)
             n1 = (w * h - n_even) if base == 0 else n_even
             assert r.mean_value == (255.0 * w * h + n1) / (3.0 * w * h)
+
+
+def test_g4_tables_are_prefix_free():
+    """The transcribed ITU-T T.4 run tables must be prefix-free per
+    color (merged with the shared extended makeups) — a transcription
+    typo that breaks the prefix property would corrupt decoding."""
+    for tab in (M._T4_DEC_WHITE, M._T4_DEC_BLACK):
+        strs = {f"{code:0{length}b}" for (length, code) in tab}
+        assert len(strs) == len(tab) == 104  # 64 term + 27 makeup + 13 ext
+        ss = sorted(strs)
+        for a, b in zip(ss, ss[1:]):
+            assert not b.startswith(a), (a, b)
+
+
+def test_g4_codec_round_trips():
+    """T.6 MMR round-trips across mode-diverse content: random noise,
+    checkerboards (vertical torture), constant rows, stripes, and
+    runs long enough to chain makeup codes."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(80):
+        w = rng.randint(1, 150)
+        h = rng.randint(1, 10)
+        kind = trial % 5
+        rows = []
+        for r in range(h):
+            if kind == 0:
+                row = bytes(rng.randint(0, 1) for _ in range(w))
+            elif kind == 1:
+                row = bytes(((r + c) % 2) for c in range(w))
+            elif kind == 2:
+                row = bytes(w)
+            elif kind == 3:
+                row = bytes([1]) * w
+            else:
+                k = rng.randint(1, 9)
+                row = bytes(((c // k) % 2) for c in range(w))
+            rows.append(row)
+        enc = M.g4_encode(rows, w)
+        assert M.g4_decode(enc, w, h) == b"".join(rows), (trial, w, h)
+    # extended makeup chains (runs > 2560)
+    row = bytes([0] * 3000 + [1] * 2700)
+    assert M.g4_decode(M.g4_encode([row], 5700), 5700, 1) == row
+    # FillOrder 2: bit-reversed bytes decode identically
+    rows = [bytes(((r + c) % 2) for c in range(37)) for r in range(5)]
+    enc = M.g4_encode(rows, 37)
+    rev = bytes(M._BITREV[b] for b in enc)
+    assert M.g4_decode(rev, 37, 5, fill_order=2) == b"".join(rows)
+
+
+def test_g4_boundaries_are_loud():
+    with pytest.raises(ValueError, match="exhausted"):
+        M.g4_decode(b"", 100, 3)
+    # an all-zero stream reads as a premature EOL inside the image
+    with pytest.raises(ValueError, match="EOL"):
+        M.g4_decode(b"\x00", 100, 3)
+    # 2-D extension escape (0000001 + ...) is a precise boundary
+    with pytest.raises(NotImplementedError, match="extension"):
+        M.g4_decode(bytes([0b00000011, 0b11000000]), 10, 1)
+    # premature EOL inside the image
+    with pytest.raises(ValueError, match="EOL"):
+        M.g4_decode(bytes([0b00000000, 0b00010000]), 10, 1)
+    # G3 stays a loud boundary at the container level
+    p = bytearray(M.encode_tiff_g4_sample(1))
+    i = p.find((259).to_bytes(2, "little"))
+    assert p[i + 8] == 4
+    p[i + 8] = 3  # Compression 3 = G3 2-D
+    with pytest.raises(NotImplementedError, match="G3"):
+        M.decode_tiff(bytes(p))
+
+
+def test_g4_tiff_both_photometrics_same_image():
+    """Photometric 0 and 1 files built from the same ink rows decode
+    to the same brightness mean — the tag changes sample mapping, not
+    the picture."""
+    rows = [bytes(((c // 3) % 2) for c in range(70))] * 6
+    m0 = M.decode_tiff(M.encode_tiff_g4(70, 6, rows, photometric=0))
+    m1 = M.decode_tiff(M.encode_tiff_g4(70, 6, rows, photometric=1))
+    assert m0["mean_value"] == m1["mean_value"]
+    assert m0["bit_depth"] == 1
+    # and the value is the closed-form ink fraction complement
+    row_ink = sum(rows[0])
+    assert m0["mean_value"] == (70 * 6 - 6 * row_ink) / (70 * 6)
+
+
+def test_g4_tiff_multistrip_reference_resets():
+    """rows_per_strip=2 forces per-strip T.6 restarts; a decoder that
+    carries the reference line across strips mis-decodes row 3+."""
+    import random
+
+    rng = random.Random(3)
+    rows = [bytes(rng.randint(0, 1) for _ in range(41)) for _ in range(9)]
+    p = M.encode_tiff_g4(41, 9, rows, rows_per_strip=2)
+    stats = M.decode_tiff(p)
+    n_ink = sum(sum(r) for r in rows)
+    assert stats["mean_value"] == (41 * 9 - n_ink) / (41 * 9)
