@@ -327,28 +327,53 @@ def html_to_text(html: str) -> str:
     return re.sub(r"\s+", " ", s).strip()
 
 
-def warc_page_texts(payload: bytes) -> list[dict]:
+def warc_page_texts(payload: bytes, on_error: str = "raise") -> list[dict]:
     """The ingestion composition: WARC records → HTTP responses →
     HTML → text. Non-response records (warcinfo, request, metadata)
-    are skipped — the Common Crawl reading pattern."""
+    are skipped — the Common Crawl reading pattern.
+
+    ``on_error="dlq"`` makes PER-RECORD failures (an unsupported
+    content coding like ``br``, a damaged HTTP frame) side-output as
+    ``{"uri", "text": None, "error": <message>}`` rows instead of
+    failing the whole file — one brotli response in a capture must
+    not poison the batch. WARC-level structural damage (broken record
+    framing) still raises: that is whole-file corruption, not a
+    per-record condition."""
+    if on_error not in ("raise", "dlq"):
+        raise ValueError(f"on_error must be raise/dlq, got {on_error!r}")
     out = []
     for r in parse_warc(payload):
         if r["type"] != "response":
             continue
-        body = http_response_body(r["content"])
-        out.append({
-            "uri": r["uri"],
-            "text": html_to_text(body.decode("utf-8", "replace")),
-        })
+        try:
+            body = http_response_body(r["content"])
+            out.append({
+                "uri": r["uri"],
+                "text": html_to_text(body.decode("utf-8", "replace")),
+                "error": None,
+            })
+        except (NotImplementedError, ValueError) as exc:
+            if on_error == "raise":
+                raise
+            out.append({"uri": r["uri"], "text": None,
+                        "error": str(exc)})
     return out
 
 
 def extract_warc_text(df: DataFrame,
-                      keep: tuple[str, ...] = ()) -> DataFrame:
+                      keep: tuple[str, ...] = (),
+                      on_error: str = "raise") -> DataFrame:
     """Arrow-batched fan-out: one output row per HTTP response record
-    (doc_id, uri, text); payload bytes never leave the UDF."""
+    (doc_id, uri, text); payload bytes never leave the UDF.
+    ``on_error="dlq"`` adds an ``error`` column and routes per-record
+    failures (unsupported content codings, damaged HTTP frames) to it
+    instead of failing the batch — the DLQ-style side-output a 100 TB
+    Common Crawl ingest needs, since some share of real captures is
+    brotli-encoded or damaged."""
+    dlq = on_error == "dlq"
     keep_schema = ", ".join(f"{c} string" for c in keep)
     schema = "doc_id long, uri string, text string" + (
+        ", error string" if dlq else "") + (
         ", " + keep_schema if keep else "")
 
     def run(batches: Iterator) -> Iterator:
@@ -357,18 +382,21 @@ def extract_warc_text(df: DataFrame,
         for pdf in batches:
             rows = []
             for j, p in enumerate(pdf["payload"]):
-                for rec in warc_page_texts(bytes(p)):
+                for rec in warc_page_texts(bytes(p), on_error=on_error):
                     rows.append((pdf["doc_id"].iloc[j], rec["uri"],
                                  rec["text"],
+                                 *((rec["error"],) if dlq else ()),
                                  *[pdf[c].iloc[j] for c in keep]))
-            yield pd.DataFrame(rows, columns=["doc_id", "uri", "text",
-                                              *keep])
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "uri", "text",
+                *(("error",) if dlq else ()), *keep])
 
     return df.mapInPandas(run, schema)
 
 
 def synthesize_warcs(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     with_br: bool = False) -> DataFrame:
     """Materialize a real WARC file per row: a warcinfo record, an
     HTTP request record (both of which extraction must SKIP), and an
     HTTP response whose HTML wraps the corpus text with entity-encoded
@@ -385,7 +413,10 @@ def synthesize_warcs(df: DataFrame, text_col: str = "text",
     present) instead of Content-Length; ids divisible by 5 ship the
     HTML gzip-compressed under ``Content-Encoding: gzip`` (the
     dominant real Common Crawl layout), so ids divisible by 15
-    exercise the full chain: de-chunk, then gunzip."""
+    exercise the full chain: de-chunk, then gunzip. ``with_br`` adds
+    a SECOND response per document carrying an (opaque) brotli-coded
+    body — the mixed-coding capture shape that pins the DLQ
+    side-output path."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -442,6 +473,21 @@ def synthesize_warcs(df: DataFrame, text_col: str = "text",
                     {"type": "response", "uri": uri, "content": http,
                      "content_type": "application/http; msgtype=response"},
                 ]
+                if with_br:
+                    # a second response whose body claims the brotli
+                    # content coding (opaque bytes — no stdlib decoder
+                    # exists): extraction must side-output it per
+                    # record, not fail the file
+                    blob = bytes((d * 31 + i) % 251 for i in range(24))
+                    recs.append({
+                        "type": "response", "uri": uri + "/br",
+                        "content": (b"HTTP/1.1 200 OK\r\n"
+                                    b"Content-Type: text/html\r\n"
+                                    b"Content-Encoding: br\r\n"
+                                    + b"Content-Length: %d\r\n\r\n"
+                                    % len(blob) + blob),
+                        "content_type":
+                            "application/http; msgtype=response"})
                 payloads.append(
                     encode_warc(recs, gzip_per_record=bool(d % 2)))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads,

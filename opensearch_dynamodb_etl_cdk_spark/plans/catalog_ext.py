@@ -2969,6 +2969,42 @@ def warc_text_extract(spark, sf_dir):
 
 
 @register(
+    "warc_text_extract_dlq",
+    oracle="""
+    SELECT doc_id,
+           'http://example.com/doc/' || doc_id AS uri,
+           '"' || text || '" & more' AS text,
+           CAST(NULL AS VARCHAR) AS error
+    FROM documents WHERE doc_id < 300
+    UNION ALL
+    SELECT doc_id,
+           'http://example.com/doc/' || doc_id || '/br' AS uri,
+           CAST(NULL AS VARCHAR) AS text,
+           'WARC: content coding b''br'' not supported '
+           || '(gzip/x-gzip/identity only)' AS error
+    FROM documents WHERE doc_id < 300
+    """,
+    doc="The DLQ-style per-record side-output a 100 TB Common Crawl "
+    "ingest needs: every synthesized WARC carries BOTH a good "
+    "response (the full gzip-member/chunked/Content-Encoding cycle of "
+    "warc_text_extract) and a brotli-coded response (no stdlib "
+    "decoder exists — operators/warc.py::_decode_content_encoding "
+    "keeps br a loud boundary). extract_warc_text(on_error='dlq') "
+    "extracts the good record EXACTLY (same string-equality oracle) "
+    "and routes the br record to an error column with the precise "
+    "boundary message instead of failing the file — one brotli "
+    "capture must not poison a batch. The oracle pins both row "
+    "shapes, including the error text.",
+    tags=("multimodal", "text"),
+)
+def warc_text_extract_dlq(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") < 300)
+    return WARC.extract_warc_text(
+        WARC.synthesize_warcs(d, with_br=True), on_error="dlq")
+
+
+@register(
     "multimodal_pdf_text_extract",
     oracle="""
     SELECT doc_id, CAST(i AS INT) AS page,

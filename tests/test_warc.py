@@ -33,8 +33,8 @@ def test_warc_round_trip_and_record_filtering(gz):
         "warcinfo", "request", "response", "response"]
     pages = W.warc_page_texts(payload)
     assert pages == [
-        {"uri": "http://e/1", "text": '"hi" & bye A'},
-        {"uri": "http://e/2", "text": "two"},
+        {"uri": "http://e/1", "text": '"hi" & bye A', "error": None},
+        {"uri": "http://e/2", "text": "two", "error": None},
     ]
 
 
@@ -43,7 +43,8 @@ def test_warc_body_containing_version_line_does_not_split():
     legal framing; a body containing 'WARC/1.0' must survive."""
     evil = b"HTTP/1.1 200 OK\r\n\r\n<p>WARC/1.0\r\n\r\nfake</p>"
     p = W.encode_warc([{"type": "response", "uri": "u", "content": evil}])
-    assert W.warc_page_texts(p) == [{"uri": "u", "text": "WARC/1.0 fake"}]
+    assert W.warc_page_texts(p) == [
+        {"uri": "u", "text": "WARC/1.0 fake", "error": None}]
 
 
 def test_warc_http_content_length_is_honored():
@@ -51,7 +52,8 @@ def test_warc_http_content_length_is_honored():
     http = (b"HTTP/1.1 200 OK\r\nContent-Length: %d\r\n\r\n" % len(html)
             + html + b"TRAILING-GARBAGE")
     p = W.encode_warc([{"type": "response", "uri": "u", "content": http}])
-    assert W.warc_page_texts(p) == [{"uri": "u", "text": "real"}]
+    assert W.warc_page_texts(p) == [
+        {"uri": "u", "text": "real", "error": None}]
 
 
 def test_html_to_text_drops_script_style_comments_entities():
@@ -113,7 +115,8 @@ def test_chunked_transfer_encoding_dechunks():
     http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
             + body)
     p = W.encode_warc([{"type": "response", "uri": "u", "content": http}])
-    assert W.warc_page_texts(p) == [{"uri": "u", "text": "chunked body here"}]
+    assert W.warc_page_texts(p) == [
+        {"uri": "u", "text": "chunked body here", "error": None}]
 
 
 def test_chunked_overrides_content_length():
@@ -124,7 +127,8 @@ def test_chunked_overrides_content_length():
             + f"Content-Length: {len(body)}\r\n".encode()
             + b"Transfer-Encoding: chunked\r\n\r\n" + body)
     p = W.encode_warc([{"type": "response", "uri": "u", "content": http}])
-    assert W.warc_page_texts(p) == [{"uri": "u", "text": "real"}]
+    assert W.warc_page_texts(p) == [
+        {"uri": "u", "text": "real", "error": None}]
 
 
 def test_chunked_malformed_framing_raises():
@@ -218,13 +222,13 @@ def test_content_encoding_gzip_body_decodes():
         p = W.encode_warc(
             [{"type": "response", "uri": "u", "content": http}])
         assert W.warc_page_texts(p) == [
-            {"uri": "u", "text": "compressed page text"}]
+            {"uri": "u", "text": "compressed page text", "error": None}]
     http = (b"HTTP/1.1 200 OK\r\n"
             + f"Content-Length: {len(html)}\r\n".encode()
             + b"Content-Encoding: identity\r\n\r\n" + html)
     p = W.encode_warc([{"type": "response", "uri": "u", "content": http}])
     assert W.warc_page_texts(p) == [
-        {"uri": "u", "text": "compressed page text"}]
+        {"uri": "u", "text": "compressed page text", "error": None}]
 
 
 def test_content_encoding_gzip_after_chunked():
@@ -241,7 +245,8 @@ def test_content_encoding_gzip_after_chunked():
     http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
             b"Transfer-Encoding: chunked\r\n\r\n" + body)
     p = W.encode_warc([{"type": "response", "uri": "u", "content": http}])
-    assert W.warc_page_texts(p) == [{"uri": "u", "text": "both codings"}]
+    assert W.warc_page_texts(p) == [
+        {"uri": "u", "text": "both codings", "error": None}]
 
 
 def test_content_encoding_boundaries_raise():
@@ -284,7 +289,8 @@ def test_content_encoding_deflate_sniffs_both_framings():
                 + b"Content-Encoding: deflate\r\n\r\n" + body)
         p = W.encode_warc(
             [{"type": "response", "uri": "u", "content": http}])
-        assert W.warc_page_texts(p) == [{"uri": "u", "text": "deflated page"}]
+        assert W.warc_page_texts(p) == [
+            {"uri": "u", "text": "deflated page", "error": None}]
 
 
 def test_chunked_trailing_bytes_raise():
@@ -321,3 +327,48 @@ def test_whitespace_entities_uniformly_map_to_space():
                  "Tab", "NewLine"):
         assert W._ENTITIES.get(name, " ") == " ", name
     assert W.html_to_text("a&NonBreakingSpace;b") == "a b"
+
+
+def test_warc_br_record_side_outputs_in_dlq_mode(spark):
+    """A mixed gzip+br capture: strict mode raises the precise
+    boundary; DLQ mode extracts the good record exactly and routes the
+    brotli record to the error column — one br response must not fail
+    the batch."""
+    df = spark.createDataFrame(
+        [(i, f"doc {i} mixed coding") for i in range(8)],
+        "doc_id long, text string")
+    arcs = W.synthesize_warcs(df, with_br=True)
+    with pytest.raises(Exception):  # strict fan-out fails the task
+        W.extract_warc_text(arcs).collect()
+    rows = W.extract_warc_text(arcs, on_error="dlq").collect()
+    good = {r.doc_id: r for r in rows if r.error is None}
+    bad = {r.doc_id: r for r in rows if r.error is not None}
+    assert set(good) == set(bad) == set(range(8))
+    for i in range(8):
+        assert good[i].text == f'"doc {i} mixed coding" & more'
+        assert bad[i].uri.endswith("/br") and bad[i].text is None
+        assert "content coding b'br' not supported" in bad[i].error
+
+
+def test_warc_dlq_also_routes_damaged_http_frames():
+    """DLQ mode catches per-record ValueError too (damaged HTTP), while
+    WARC-level framing damage still raises — whole-file corruption is
+    not a per-record condition."""
+    good_http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                 b"Content-Length: 5\r\n\r\n<p>x</p>"[:43])
+    # content-length 5 but body '<p>x</p>' is 8 bytes -> take the real
+    # simple route: a record whose content is not HTTP at all
+    recs = [
+        {"type": "response", "uri": "http://e/1", "content": b"not http",
+         "content_type": "application/http; msgtype=response"},
+        {"type": "response", "uri": "http://e/2",
+         "content": (b"HTTP/1.1 200 OK\r\nContent-Length: 3\r\n\r\nhey"),
+         "content_type": "application/http; msgtype=response"},
+    ]
+    payload = W.encode_warc(recs)
+    rows = W.warc_page_texts(payload, on_error="dlq")
+    assert rows[0]["error"] is not None and rows[0]["text"] is None
+    assert rows[1] == {"uri": "http://e/2", "text": "hey", "error": None}
+    # WARC-level damage still raises even in dlq mode
+    with pytest.raises(ValueError, match="separator|version|Content-Length"):
+        W.warc_page_texts(payload[:-2], on_error="dlq")
