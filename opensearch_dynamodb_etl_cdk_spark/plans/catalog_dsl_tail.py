@@ -827,13 +827,21 @@ _PQ_CACHE: dict = {}
 def _pq_artifacts(spark, sf_dir):
     """Train-once-per-(session, sf) codebooks + encoded codes — the PQ
     index is a narrow (id, m codes, recon_norm) frame, built off the
-    query path exactly like the LSH/IVF index tables."""
+    query path exactly like the LSH/IVF index tables. The catalog rows
+    run a SMALL parameterization (m=4, k=8, 1 Lloyd round) for the
+    same reason the ivfpq row does: at the 500-row sweep fixture the
+    build cost is Catalyst analysis of the m×k literal-codebook
+    expressions — constant per query and amortized at scale, but a
+    third of a minute of sweep wall time at the production m=16.
+    Recall/exactness at real parameters is the property tests' job
+    (test_pq_adc_equals_reconstruction_cosine,
+    test_pq_rerank_recall_on_embeddings)."""
     from ..operators import similarity as S
 
     key = sf_dir
     if key not in _PQ_CACHE:
         e = _t(spark, sf_dir, "embeddings")["embeddings"]
-        books = S.train_pq(e, m=16, k=16, iters=2)
+        books = S.train_pq(e, m=4, k=8, iters=1)
         codes = S.pq_encode(e, books).persist()
         codes.count()
         _PQ_CACHE[key] = (books, codes)
