@@ -52,7 +52,6 @@ QUERIES = [
     "join_large_agg",
     "token_topk",
     "minhash_near_dup_pairs",
-    "near_dup_components",
     "repeated_ngram_report",
     "lm_quality_scores",
     # round-10: the heaviest Python-decode row (per-frame JPEG decode
@@ -66,6 +65,12 @@ QUERIES = [
     # them directly; no custom slice twins needed.
     "multimodal_jpeg_cmyk_decode_stats",
     "multimodal_tiff_decode_stats",
+    # round-13: the two heaviest un-rehearsed codec rows — FLAC (Rice
+    # decode + CRC/MD5 verify per file) and palette-color TIFF
+    # (ColorMap gather through the compression/byte-order/tile cycle).
+    # Both scan the FULL documents table; replica volume scales them.
+    "multimodal_flac_decode_stats",
+    "multimodal_palette_tiff_decode_stats",
 ]
 
 # Ingestion-chain rows (round-11): the catalog rows probe a fixed
@@ -103,9 +108,25 @@ def _archived_pdf_scaled(spark, sf_dir):
     )
 
 
+def _components_scaled(spark, sf_dir):
+    # the catalog row clusters a doc_id<350 slice since r13 (sweep-cost
+    # containment) — this twin scales the slice per replica so the
+    # iterative contraction is rehearsed at 10x edge volume
+    from opensearch_dynamodb_etl_cdk_spark.operators import dedup as D
+    from opensearch_dynamodb_etl_cdk_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"].filter(
+        (F.col("doc_id") % OFF) < 350)
+    pairs = D.minhash_lsh_pairs(d, num_hashes=64, bands=32, threshold=0.7)
+    return connected_components(pairs.select("id_a", "id_b"))
+
+
 INGEST_QUERIES = [
     ("warc_text_extract", _warc_scaled),
     ("archived_pdf_corpus_stats", _archived_pdf_scaled),
+    ("near_dup_components", _components_scaled),
 ]
 
 # per-table integer key columns to offset per replica; tables absent
