@@ -171,6 +171,7 @@ HEADLINE = [
     # Group 4 fax TIFF (T.6 MMR with the ITU T.4 run tables)
     "multimodal_lowbit_png_decode_stats",
     "multimodal_g4_tiff_decode_stats",
+    "multimodal_g3_tiff_decode_stats",
 ]
 
 # Iterative/trainer operators do their distributed work INSIDE fn()

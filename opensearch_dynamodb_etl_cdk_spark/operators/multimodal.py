@@ -3124,7 +3124,7 @@ def decode_jpeg(payload: bytes) -> dict:
 _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 266: "fill_order", 273: "offsets", 277: "spp",
-    278: "rows_per_strip",
+    278: "rows_per_strip", 292: "t4_options",
     279: "counts", 317: "predictor", 320: "colormap", 322: "tile_width",
     323: "tile_length", 324: "tile_offsets", 325: "tile_counts",
 }
@@ -3357,52 +3357,65 @@ def _g4_b1_b2(ref: list[int], a0: int, color: int,
     return b1, b2
 
 
+_V_CODES = {0: (1, 0b1), 1: (3, 0b011), 2: (6, 0b000011),
+            3: (7, 0b0000011), -1: (3, 0b010),
+            -2: (6, 0b000010), -3: (7, 0b0000010)}
+
+
+def _t4_put_run(bw: _G4BitWriter, run: int, is_black: bool) -> None:
+    """Emit one modified-Huffman run: chained makeups then the
+    terminating code (< 64)."""
+    enc = _T4_BLACK if is_black else _T4_WHITE
+    while run >= 64:
+        # largest makeup ≤ run (makeups step by 64)
+        mk = min(2560, (run // 64) * 64)
+        tab = enc if mk <= 1728 else _T4_EXT
+        bw.put(*tab[mk])
+        run -= mk
+    bw.put(*enc[run])
+
+
+def _t6_encode_row(bw: _G4BitWriter, cur: list[int], ref: list[int],
+                   width: int) -> None:
+    """Code one row 2-D against the reference line — the shared T.6 /
+    T.4-2-D row coder. Mode selection per spec: pass when b2 < a1,
+    vertical when |a1-b1| ≤ 3, horizontal otherwise."""
+    a0, color = -1, 0
+    while a0 < width:
+        b1, b2 = _g4_b1_b2(ref, a0, color, width)
+        # a1: first change in CUR strictly right of a0 with new
+        # color != color
+        i = bisect.bisect_right(cur, a0)
+        if (i & 1) != color:
+            i += 1
+        a1 = cur[i] if i < len(cur) else width
+        if b2 < a1:
+            bw.put(4, 0b0001)  # pass
+            a0 = b2
+            continue
+        d = a1 - b1
+        if -3 <= d <= 3:
+            bw.put(*_V_CODES[d])
+            a0, color = a1, 1 - color
+            continue
+        # horizontal: two runs from a0 (imaginary start counts 0)
+        a2 = cur[i + 1] if i + 1 < len(cur) else width
+        bw.put(3, 0b001)
+        _t4_put_run(bw, a1 - a0 - (1 if a0 < 0 else 0), bool(color))
+        _t4_put_run(bw, a2 - a1, not bool(color))
+        a0 = a2
+
+
 def g4_encode(rows: list[bytes], width: int) -> bytes:
     """T.6 2-D MMR encoder over unpacked rows (one byte per pixel,
-    0 = white / 1 = black), EOFB-terminated. Mode selection per spec:
-    pass when b2 < a1, vertical when |a1-b1| ≤ 3, horizontal
-    otherwise."""
+    0 = white / 1 = black), EOFB-terminated."""
     bw = _G4BitWriter()
     ref: list[int] = []
     for row in rows:
         if len(row) != width:
             raise ValueError("G4: row width mismatch")
         cur = _g4_changes(row)
-        a0, color = -1, 0
-        while a0 < width:
-            b1, b2 = _g4_b1_b2(ref, a0, color, width)
-            # a1: first change in CUR strictly right of a0 with new
-            # color != color
-            i = bisect.bisect_right(cur, a0)
-            if (i & 1) != color:
-                i += 1
-            a1 = cur[i] if i < len(cur) else width
-            if b2 < a1:
-                bw.put(4, 0b0001)  # pass
-                a0 = b2
-                continue
-            d = a1 - b1
-            if -3 <= d <= 3:
-                bw.put(*{0: (1, 0b1), 1: (3, 0b011), 2: (6, 0b000011),
-                         3: (7, 0b0000011), -1: (3, 0b010),
-                         -2: (6, 0b000010), -3: (7, 0b0000010)}[d])
-                a0, color = a1, 1 - color
-                continue
-            # horizontal: two runs from a0 (imaginary start counts 0)
-            a2 = cur[i + 1] if i + 1 < len(cur) else width
-            r1 = a1 - a0 - (1 if a0 < 0 else 0)
-            r2 = a2 - a1
-            bw.put(3, 0b001)
-            for run, is_black in ((r1, color), (r2, 1 - color)):
-                enc = _T4_BLACK if is_black else _T4_WHITE
-                while run >= 64:
-                    # largest makeup ≤ run (makeups step by 64)
-                    mk = min(2560, (run // 64) * 64)
-                    tab = enc if mk <= 1728 else _T4_EXT
-                    bw.put(*tab[mk])
-                    run -= mk
-                bw.put(*enc[run])
-            a0 = a2
+        _t6_encode_row(bw, cur, ref, width)
         ref = cur
     bw.put(12, 0b000000000001)  # EOFB = two EOLs
     bw.put(12, 0b000000000001)
@@ -3424,70 +3437,237 @@ def g4_decode(data: bytes, width: int, height: int,
     out = bytearray()
     ref: list[int] = []
     for _ in range(height):
-        cur: list[int] = []
-        a0, color = -1, 0
-
-        def vertical(a1: int) -> None:
-            nonlocal a0, color
-            # rightward-progress guard: a malformed stream whose
-            # vertical moves stall would otherwise loop forever
-            if a1 <= a0 or a1 < 0:
-                raise ValueError("G4: vertical move not rightward")
-            cur.append(a1)
-            a0, color = a1, 1 - color
-
-        while a0 < width:
-            b1, b2 = _g4_b1_b2(ref, a0, color, width)
-            if br.take(1):  # 1 → V0
-                vertical(b1)
-                continue
-            if br.take(1):  # 01x → VR1/VL1
-                vertical(b1 + (1 if br.take(1) else -1))
-                continue
-            if br.take(1):  # 001 horizontal
-                r1 = _t4_read_run(br, black=bool(color))
-                r2 = _t4_read_run(br, black=not bool(color))
-                start = max(a0, 0)
-                a1, a2 = start + r1, start + r1 + r2
-                cur.extend((a1, a2))
-                a0 = a2
-                continue
-            if br.take(1):  # 0001 pass
-                if b2 <= a0:
-                    raise ValueError("G4: pass mode not rightward")
-                a0 = b2
-                continue
-            if br.take(1):  # 00001 1x → VR2/VL2
-                vertical(b1 + (2 if br.take(1) else -2))
-                continue
-            if br.take(1):  # 000001 1x → VR3/VL3
-                vertical(b1 + (3 if br.take(1) else -3))
-                continue
-            # six zeros consumed: 0000001 escapes to the 2-D
-            # extensions; more zeros can only be EOL/EOFB, which is
-            # premature inside the image
-            if br.take(1):
-                raise NotImplementedError(
-                    "G4: 2-D extension codes are not supported")
-            raise ValueError("G4: premature EOL/EOFB or invalid code "
-                             "inside the image")
-        # materialize the row; validate monotone changes
-        cur = [c for c in cur if c < width]
-        if any(y <= x for x, y in zip(cur, cur[1:])):
-            raise ValueError("G4: changing elements out of order")
-        row = bytearray(width)
-        v = 0
-        prev = 0
-        for c in cur:
-            if v:
-                for i in range(prev, c):
-                    row[i] = 1
-            prev, v = c, 1 - v
-        if v:
-            for i in range(prev, width):
-                row[i] = 1
-        out += row
+        cur = _t6_decode_row(br, ref, width)
+        out += _g4_row_bytes(cur, width)
         ref = cur
+    return bytes(out)
+
+
+def _t6_decode_row(br: _G4BitReader, ref: list[int],
+                   width: int) -> list[int]:
+    """Decode one 2-D-coded row against the reference line → the
+    row's changing-element positions (the shared T.6 / T.4-2-D row
+    decoder)."""
+    cur: list[int] = []
+    a0, color = -1, 0
+
+    def vertical(a1: int) -> None:
+        nonlocal a0, color
+        # rightward-progress guard: a malformed stream whose
+        # vertical moves stall would otherwise loop forever
+        if a1 <= a0 or a1 < 0:
+            raise ValueError("G4: vertical move not rightward")
+        cur.append(a1)
+        a0, color = a1, 1 - color
+
+    while a0 < width:
+        b1, b2 = _g4_b1_b2(ref, a0, color, width)
+        if br.take(1):  # 1 → V0
+            vertical(b1)
+            continue
+        if br.take(1):  # 01x → VR1/VL1
+            vertical(b1 + (1 if br.take(1) else -1))
+            continue
+        if br.take(1):  # 001 horizontal
+            r1 = _t4_read_run(br, black=bool(color))
+            r2 = _t4_read_run(br, black=not bool(color))
+            start = max(a0, 0)
+            a1, a2 = start + r1, start + r1 + r2
+            cur.extend((a1, a2))
+            a0 = a2
+            continue
+        if br.take(1):  # 0001 pass
+            if b2 <= a0:
+                raise ValueError("G4: pass mode not rightward")
+            a0 = b2
+            continue
+        if br.take(1):  # 00001 1x → VR2/VL2
+            vertical(b1 + (2 if br.take(1) else -2))
+            continue
+        if br.take(1):  # 000001 1x → VR3/VL3
+            vertical(b1 + (3 if br.take(1) else -3))
+            continue
+        # six zeros consumed: 0000001 escapes to the 2-D
+        # extensions; more zeros can only be EOL/EOFB, which is
+        # premature inside the image
+        if br.take(1):
+            raise NotImplementedError(
+                "G4: 2-D extension codes are not supported")
+        raise ValueError("G4: premature EOL/EOFB or invalid code "
+                         "inside the image")
+    return [c for c in cur if c < width]
+
+
+def _g4_row_bytes(cur: list[int], width: int) -> bytearray:
+    """Changing-element positions → one byte per pixel, validating
+    monotone order."""
+    if any(y <= x for x, y in zip(cur, cur[1:])):
+        raise ValueError("G4: changing elements out of order")
+    row = bytearray(width)
+    v = 0
+    prev = 0
+    for c in cur:
+        if v:
+            for i in range(prev, c):
+                row[i] = 1
+        prev, v = c, 1 - v
+    if v:
+        for i in range(prev, width):
+            row[i] = 1
+    return row
+
+
+# ---------------------------------------------- CCITT Group 3 (T.4) + MH
+#
+# The other two fax compressions TIFF carries: Compression 2
+# ("CCITT RLE" — pure modified-Huffman 1-D, every row byte-aligned, no
+# EOLs) and Compression 3 (T.4 Group 3: EOL-synchronized rows, 1-D MH
+# or — with T4Options bit 0 — 2-D rows flagged by a tag bit after each
+# EOL, coded with the same mode coder as T.6). Run tables shared with
+# the G4 section above.
+
+
+def _mh_encode_row(bw: _G4BitWriter, row: bytes) -> None:
+    """One row as alternating white/black modified-Huffman runs
+    (white first; a leading black pixel codes a zero-length white
+    run)."""
+    color = 0
+    pos = 0
+    width = len(row)
+    while pos < width:
+        run = 0
+        while pos + run < width and row[pos + run] == color:
+            run += 1
+        _t4_put_run(bw, run, bool(color))  # first run may be 0 (white)
+        pos += run
+        color = 1 - color
+
+
+def _mh_decode_row(br: _G4BitReader, width: int) -> bytearray:
+    """Decode one modified-Huffman 1-D row (alternating runs, white
+    first) to one byte per pixel."""
+    row = bytearray(width)
+    pos = 0
+    color = 0
+    while pos < width:
+        run = _t4_read_run(br, black=bool(color))
+        if pos + run > width:
+            raise ValueError(
+                f"G3: run overflows the row ({pos}+{run} > {width})")
+        if color:
+            for i in range(pos, pos + run):
+                row[i] = 1
+        pos += run
+        color = 1 - color
+    return row
+
+
+def ccitt_rle_encode(rows: list[bytes], width: int) -> bytes:
+    """TIFF Compression 2: per-row modified Huffman, each row starting
+    on a byte boundary (TIFF 6.0 §10)."""
+    bw = _G4BitWriter()
+    for row in rows:
+        if len(row) != width:
+            raise ValueError("G3: row width mismatch")
+        _mh_encode_row(bw, row)
+        if bw.nbits:  # byte-align the next row
+            bw.put(8 - bw.nbits, 0)
+    return bw.flush()
+
+
+def ccitt_rle_decode(data: bytes, width: int, height: int,
+                     fill_order: int = 1) -> bytes:
+    """TIFF Compression 2 decoder → one byte per pixel."""
+    if fill_order == 2:
+        data = bytes(_BITREV[b] for b in data)
+    br = _G4BitReader(data)
+    out = bytearray()
+    for _ in range(height):
+        out += _mh_decode_row(br, width)
+        br.pos = (br.pos + 7) & ~7  # rows start byte-aligned
+    return bytes(out)
+
+
+_EOL_LEN, _EOL_CODE = 12, 0b000000000001
+
+
+def _g3_read_eol(br: _G4BitReader) -> None:
+    """Consume fill bits + one EOL: ≥ 11 zeros then a 1 (T.4 §4.1.2 —
+    fill is zero bits, so the run just grows)."""
+    zeros = 0
+    while True:
+        if br.take(1):
+            break
+        zeros += 1
+        if zeros > 4096:
+            raise ValueError("G3: runaway fill (no EOL terminator)")
+    if zeros < 11:
+        raise ValueError(f"G3: EOL with only {zeros} leading zeros")
+
+
+def g3_encode(rows: list[bytes], width: int, two_d: bool = False,
+              byte_align: bool = False, k: int = 2) -> bytes:
+    """T.4 Group 3 encoder: an EOL before every row; with ``two_d``
+    each EOL carries a tag bit (1 → the next row is 1-D, 0 → 2-D) and
+    every ``k``-th row is coded 1-D (the spec's error-confinement
+    K-factor), the rest 2-D against the previous row. ``byte_align``
+    inserts fill so each EOL ends on a byte boundary (the T4Options
+    bit 2 layout). Ends with RTC (six EOLs)."""
+    bw = _G4BitWriter()
+    ref: list[int] = []
+
+    def eol(tag: int | None) -> None:
+        if byte_align:
+            total = _EOL_LEN + (1 if tag is not None else 0)
+            fill = (8 - (bw.nbits + total) % 8) % 8
+            if fill:
+                bw.put(fill, 0)
+        bw.put(_EOL_LEN, _EOL_CODE)
+        if tag is not None:
+            bw.put(1, tag)
+
+    for n, row in enumerate(rows):
+        if len(row) != width:
+            raise ValueError("G3: row width mismatch")
+        cur = _g4_changes(row)
+        if not two_d:
+            eol(None)
+            _mh_encode_row(bw, row)
+        elif n % k == 0:
+            eol(1)
+            _mh_encode_row(bw, row)
+        else:
+            eol(0)
+            _t6_encode_row(bw, cur, ref, width)
+        ref = cur
+    for _ in range(6):  # RTC
+        eol(1 if two_d else None)
+    return bw.flush()
+
+
+def g3_decode(data: bytes, width: int, height: int, two_d: bool = False,
+              fill_order: int = 1) -> bytes:
+    """T.4 Group 3 decoder → one byte per pixel. Every row is
+    EOL-synchronized; in 2-D mode the post-EOL tag bit picks the row
+    coding. Fill bits (zeros before an EOL, the byte-aligned layout)
+    are absorbed by the EOL scan; trailing RTC is ignored."""
+    if fill_order == 2:
+        data = bytes(_BITREV[b] for b in data)
+    elif fill_order != 1:
+        raise ValueError(f"G3: bad FillOrder {fill_order}")
+    br = _G4BitReader(data)
+    out = bytearray()
+    ref: list[int] = []
+    for _ in range(height):
+        _g3_read_eol(br)
+        one_d = True if not two_d else bool(br.take(1))
+        if one_d:
+            row = _mh_decode_row(br, width)
+            ref = _g4_changes(bytes(row))
+        else:
+            ref = _t6_decode_row(br, ref, width)
+            row = _g4_row_bytes(ref, width)
+        out += row
     return bytes(out)
 
 
@@ -3997,24 +4177,28 @@ def _tiff_parse(payload: bytes,
             f"TIFF: {sorted(set(bits))} bits per sample unsupported "
             "(only uniform 1, 8, or 16)")
     bps = 2 if bit_depth == 16 else 1  # DECODED bytes per sample
-    if comp not in (1, 4, 5, 8, 32773, 32946):
+    if comp not in (1, 2, 3, 4, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF: compression {comp} needs a codec "
-            "(only none/CCITT G4/LZW/Deflate/PackBits; G3 is a loud "
-            "boundary)")
-    if comp == 4:
+            f"TIFF: compression {comp} needs a codec (only none/"
+            "CCITT RLE/G3/G4/LZW/Deflate/PackBits)")
+    t4_opts = values("t4_options", 0)[0]
+    if comp in (2, 3, 4):
         if bit_depth != 1 or (photo, spp) not in ((0, 1), (1, 1)):
             raise ValueError(
-                "TIFF: CCITT G4 requires bilevel data (BitsPerSample "
-                f"1, photometric 0/1; got {bit_depth}-bit photometric "
-                f"{photo})")
+                "TIFF: CCITT compression requires bilevel data "
+                f"(BitsPerSample 1, photometric 0/1; got {bit_depth}-"
+                f"bit photometric {photo})")
+        if comp == 3 and t4_opts & 2:
+            raise NotImplementedError(
+                "TIFF: T.4 uncompressed mode (T4Options bit 1) is not "
+                "supported")
     elif bit_depth == 1:
         raise NotImplementedError(
-            "TIFF: 1-bit samples are only decoded under CCITT G4 "
+            "TIFF: 1-bit samples are only decoded under CCITT "
             f"compression (got compression {comp})")
     elif fill_order == 2:
         raise NotImplementedError(
-            "TIFF: FillOrder 2 is only supported for CCITT G4 data")
+            "TIFF: FillOrder 2 is only supported for CCITT data")
     pred = values("predictor", 1)[0]
     if pred not in (1, 2):
         raise NotImplementedError(
@@ -4033,12 +4217,19 @@ def _tiff_parse(payload: bytes,
         the predictor — per SEGMENT, with the segment's own row width:
         a tile's rows are tile-width, not image-width."""
         expect = n_rows * row_px * spp * bps
-        if comp == 4:
-            # T.6 MMR: reference line resets per strip/tile (TIFF 6.0
-            # §11); decoder emits 0=white/1=black, which IS the sample
-            # value under photometric 0 (WhiteIsZero); photometric 1
-            # inverts (its white samples are 1)
-            raw = g4_decode(raw, row_px, n_rows, fill_order)
+        if comp in (2, 3, 4):
+            # CCITT: reference/row sync resets per strip/tile (TIFF
+            # 6.0 §§10-11); decoders emit 0=white/1=black, which IS
+            # the sample value under photometric 0 (WhiteIsZero);
+            # photometric 1 inverts (its white samples are 1)
+            if comp == 4:
+                raw = g4_decode(raw, row_px, n_rows, fill_order)
+            elif comp == 3:
+                raw = g3_decode(raw, row_px, n_rows,
+                                two_d=bool(t4_opts & 1),
+                                fill_order=fill_order)
+            else:
+                raw = ccitt_rle_decode(raw, row_px, n_rows, fill_order)
             if photo == 1:
                 raw = raw.translate(_G4_INVERT)
         elif comp == 32773:
@@ -4282,22 +4473,37 @@ def encode_tiff_palette_sample(doc_id: int) -> bytes:
 def encode_tiff_g4(width: int, height: int, ink_rows: list[bytes],
                    photometric: int = 0, fill_order: int = 1,
                    rows_per_strip: int = 2,
-                   big_endian: bool = False) -> bytes:
-    """Write a real CCITT Group 4 (Compression 4) bilevel TIFF.
-    ``ink_rows`` hold CODING colors (one byte per pixel, 0 = white
-    background / 1 = black ink); the photometric tag controls only how
-    readers map those to sample values, so the same image bytes pin
-    both interpretations. Strips are independently T.6-coded
-    (reference line resets, TIFF 6.0 §11); FillOrder 2 stores every
+                   big_endian: bool = False,
+                   compression: str = "g4") -> bytes:
+    """Write a real CCITT bilevel fax TIFF — ``compression`` picks the
+    family: ``g4`` (Compression 4, T.6 MMR), ``g3-1d``/``g3-2d``
+    (Compression 3, T.4 with EOL sync; 2-D writes T4Options bit 0 and
+    tag bits), or ``rle`` (Compression 2, byte-aligned per-row
+    modified Huffman). ``ink_rows`` hold CODING colors (one byte per
+    pixel, 0 = white background / 1 = black ink); the photometric tag
+    controls only how readers map those to sample values, so the same
+    image bytes pin both interpretations. Strips are independently
+    coded (sync resets, TIFF 6.0 §§10-11); FillOrder 2 stores every
     byte bit-reversed (tag 266)."""
     if photometric not in (0, 1):
-        raise ValueError("G4 TIFF requires photometric 0/1")
+        raise ValueError("fax TIFF requires photometric 0/1")
     if fill_order not in (1, 2):
         raise ValueError("bad FillOrder")
+    if compression not in ("g4", "g3-1d", "g3-2d", "rle"):
+        raise ValueError(f"unknown fax compression {compression!r}")
+    comp_code = {"g4": 4, "g3-1d": 3, "g3-2d": 3, "rle": 2}[compression]
     e = ">" if big_endian else "<"
     strips = []
     for y in range(0, height, rows_per_strip):
-        data = g4_encode(ink_rows[y:y + rows_per_strip], width)
+        chunk = ink_rows[y:y + rows_per_strip]
+        if compression == "g4":
+            data = g4_encode(chunk, width)
+        elif compression == "rle":
+            data = ccitt_rle_encode(chunk, width)
+        else:
+            data = g3_encode(chunk, width,
+                             two_d=compression == "g3-2d",
+                             byte_align=bool(y % 4))
         if fill_order == 2:
             data = bytes(_BITREV[b] for b in data)
         strips.append(data)
@@ -4318,10 +4524,12 @@ def encode_tiff_g4(width: int, height: int, ink_rows: list[bytes],
     inline(256, 4, width)
     inline(257, 4, height)
     inline(258, 3, 1)
-    inline(259, 3, 4)
+    inline(259, 3, comp_code)
     inline(262, 3, photometric)
     if fill_order == 2:
         inline(266, 3, 2)
+    if compression == "g3-2d":
+        inline(292, 4, 1)  # T4Options bit 0: 2-D coding
     if len(strips) == 1:
         entries.append((273, 4, 1, struct.pack(f"{e}I", strip_offsets[0])))
         entries.append((279, 4, 1, struct.pack(f"{e}I", len(strips[0]))))
@@ -4367,19 +4575,38 @@ def g4_tiff_params(doc_id: int) -> tuple[int, int, int, int, int,
         doc_id % 2, photo, fill
 
 
+def _fax_ink_rows(p: int, w: int, h: int, k: int,
+                  base: int) -> list[bytes]:
+    """The three fax test patterns (checkerboard / vertical stripes /
+    wide horizontal stripes) as ink rows — shared by the G4 and G3
+    sample encoders so both pin the same closed-form ink count."""
+    if p == 0:
+        return [bytes((r + c + base) % 2 for c in range(w))
+                for r in range(h)]
+    if p == 1:
+        return [bytes((c // k) % 2 for c in range(w))] * h
+    return [bytes([(r // k + base) % 2]) * w for r in range(h)]
+
+
 def encode_tiff_g4_sample(doc_id: int) -> bytes:
     """One synthesized fax-style G4 TIFF per document id, per
     ``g4_tiff_params``."""
     p, w, h, k, base, photo, fill = g4_tiff_params(doc_id)
-    if p == 0:
-        rows = [bytes((r + c + base) % 2 for c in range(w))
-                for r in range(h)]
-    elif p == 1:
-        rows = [bytes((c // k) % 2 for c in range(w))] * h
-    else:
-        rows = [bytes([(r // k + base) % 2]) * w for r in range(h)]
+    rows = _fax_ink_rows(p, w, h, k, base)
     return encode_tiff_g4(w, h, rows, photometric=photo,
                           fill_order=fill)
+
+
+def encode_tiff_g3_sample(doc_id: int) -> bytes:
+    """Group 3 twin of ``encode_tiff_g4_sample``: the same geometry/
+    pattern/photometric/fill-order cycle, with the compression family
+    walking Compression 2 (byte-aligned MH rows) → G3 1-D (EOL sync) →
+    G3 2-D (tag bits + T4Options) by ``doc_id // 2``."""
+    p, w, h, k, base, photo, fill = g4_tiff_params(doc_id)
+    rows = _fax_ink_rows(p, w, h, k, base)
+    comp = ("rle", "g3-1d", "g3-2d")[(doc_id // 2) % 3]
+    return encode_tiff_g4(w, h, rows, photometric=photo,
+                          fill_order=fill, compression=comp)
 
 
 def encode_tiff16_sample(doc_id: int) -> bytes:
@@ -5715,7 +5942,7 @@ def synthesize_media(
              "png-interlaced", "png-16", "gif", "gif-anim", "jpeg",
              "jpeg-color", "jpeg-420", "jpeg-progressive", "jpeg-cmyk",
              "tiff", "tiff-16", "tiff-palette", "tiff-multipage",
-             "tiff-g4",
+             "tiff-g4", "tiff-g3",
              "video", "mp3", "vorbis", "opus")
     if kind not in kinds:
         raise ValueError(f"kind must be one of {kinds}")
@@ -5732,6 +5959,7 @@ def synthesize_media(
                   "jpeg-cmyk": "image/jpeg",
                   "tiff": "image/tiff", "tiff-16": "image/tiff",
                   "tiff-palette": "image/tiff", "tiff-g4": "image/tiff",
+                  "tiff-g3": "image/tiff",
                   "tiff-multipage": "image/tiff",
                   "audio": "audio/wav", "flac": "audio/flac",
                   "ogg-flac": "audio/ogg", "mp3": "audio/mpeg",
@@ -5894,6 +6122,11 @@ def synthesize_media(
                 # CCITT Group 4 fax: T.6 MMR bilevel strips, both
                 # photometrics, FillOrder 2 every 5th id
                 payloads = [encode_tiff_g4_sample(int(d))
+                            for d in ids]
+            elif kind == "tiff-g3":
+                # CCITT Group 3 / RLE fax: Compression 2 -> G3 1-D ->
+                # G3 2-D cycle over the same patterns
+                payloads = [encode_tiff_g3_sample(int(d))
                             for d in ids]
             elif kind == "tiff-multipage":
                 # 1..4 IFD-chained pages, each cycling the container

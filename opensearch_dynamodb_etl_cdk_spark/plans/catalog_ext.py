@@ -3219,6 +3219,61 @@ def multimodal_g4_tiff_decode_stats(spark, sf_dir):
                         "mean_value")
 
 
+@register(
+    "multimodal_g3_tiff_decode_stats",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, doc_id % 3 AS p,
+             CASE doc_id % 3 WHEN 2 THEN 64 + (doc_id % 17) * 7
+                  ELSE 3 + doc_id % 13 END AS w,
+             CASE doc_id % 3 WHEN 2 THEN 1 + doc_id % 5
+                  ELSE 1 + doc_id % 7 END AS h,
+             CASE doc_id % 3 WHEN 0 THEN 1
+                  WHEN 1 THEN 1 + doc_id % 3 ELSE 1 + doc_id % 2 END AS k,
+             CASE doc_id % 3 WHEN 1 THEN 0 ELSE doc_id % 2 END AS base
+      FROM documents WHERE doc_id < 300),
+    ink AS (
+      SELECT doc_id, w, h,
+             CASE p
+               WHEN 0 THEN CASE WHEN base = 0
+                 THEN w * h - (((w + 1) // 2) * ((h + 1) // 2)
+                               + (w // 2) * (h // 2))
+                 ELSE ((w + 1) // 2) * ((h + 1) // 2)
+                      + (w // 2) * (h // 2) END
+               WHEN 1 THEN h * (k * (w // (2 * k))
+                               + greatest(0, w % (2 * k) - k))
+               ELSE w * (CASE WHEN base = 0
+                 THEN k * (h // (2 * k)) + greatest(0, h % (2 * k) - k)
+                 ELSE h - (k * (h // (2 * k))
+                           + greatest(0, h % (2 * k) - k)) END)
+             END AS n_ink
+      FROM g)
+    SELECT doc_id, CAST(1 AS BIGINT) AS bit_depth,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(w * h - n_ink AS DOUBLE) / (w * h) AS mean_value
+    FROM ink
+    """,
+    doc="CCITT GROUP 3 + RLE fax TIFFs decoded for real — the other "
+    "two fax compressions: Compression 2 (per-row modified-Huffman "
+    "1-D, every row byte-aligned, no EOLs), Compression 3 G3 1-D "
+    "(EOL-synchronized MH rows with fill-bit absorption), and G3 2-D "
+    "(T4Options bit 0: a tag bit after each EOL picks 1-D or 2-D row "
+    "coding, 2-D rows via the same mode coder as T.6, K-factor 1-D "
+    "resync rows) — cycling by doc_id over the SAME patterns, "
+    "photometrics, and FillOrders as the G4 row, so the identical "
+    "closed-form oracle pins all three codecs "
+    "(operators/multimodal.py::ccitt_rle_decode/g3_decode). T.4 "
+    "uncompressed mode stays a loud boundary.",
+    tags=("multimodal",),
+)
+def multimodal_g3_tiff_decode_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") < 300)
+    feats = M.extract_media_features(M.synthesize_media(d, "tiff-g3"))
+    return feats.select("doc_id", "bit_depth", "width", "height",
+                        "mean_value")
+
+
 
 @register(
     "multimodal_png_decode_stats",

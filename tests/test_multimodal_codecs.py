@@ -2871,12 +2871,14 @@ def test_g4_boundaries_are_loud():
     # premature EOL inside the image
     with pytest.raises(ValueError, match="EOL"):
         M.g4_decode(bytes([0b00000000, 0b00010000]), 10, 1)
-    # G3 stays a loud boundary at the container level
+    # G3 decodes for real now: a G4 stream RE-TYPED as Compression 3
+    # is structural damage (T.6 MMR carries no EOL sync), not a
+    # boundary
     p = bytearray(M.encode_tiff_g4_sample(1))
     i = p.find((259).to_bytes(2, "little"))
     assert p[i + 8] == 4
-    p[i + 8] = 3  # Compression 3 = G3 2-D
-    with pytest.raises(NotImplementedError, match="G3"):
+    p[i + 8] = 3  # Compression 3 = G3 1-D
+    with pytest.raises(ValueError, match="EOL|exhausted|run code"):
         M.decode_tiff(bytes(p))
 
 
@@ -2905,3 +2907,69 @@ def test_g4_tiff_multistrip_reference_resets():
     stats = M.decode_tiff(p)
     n_ink = sum(sum(r) for r in rows)
     assert stats["mean_value"] == (41 * 9 - n_ink) / (41 * 9)
+
+
+def test_g3_and_rle_codecs_round_trip():
+    """Compression 2 (byte-aligned MH rows), G3 1-D (EOL sync), and
+    G3 2-D (tag bits, both byte alignments, K-factor resync) all
+    round-trip mode-diverse content including black-leading rows and
+    makeup-length runs."""
+    import random
+
+    rng = random.Random(13)
+    for trial in range(60):
+        w = rng.randint(1, 150)
+        h = rng.randint(1, 8)
+        kind = trial % 5
+        rows = []
+        for r in range(h):
+            if kind == 0:
+                row = bytes(rng.randint(0, 1) for _ in range(w))
+            elif kind == 1:
+                row = bytes(((r + c) % 2) for c in range(w))
+            elif kind == 2:
+                row = bytes(w)
+            elif kind == 3:
+                row = bytes([1]) * w
+            else:
+                k = rng.randint(1, 9)
+                row = bytes(((c // k) % 2) for c in range(w))
+            rows.append(row)
+        flat = b"".join(rows)
+        assert M.ccitt_rle_decode(
+            M.ccitt_rle_encode(rows, w), w, h) == flat, trial
+        assert M.g3_decode(M.g3_encode(rows, w), w, h) == flat, trial
+        for ba in (False, True):
+            enc = M.g3_encode(rows, w, two_d=True, byte_align=ba, k=3)
+            assert M.g3_decode(enc, w, h, two_d=True) == flat, (trial, ba)
+    row = bytes([1] * 70 + [0] * 200 + [1] * 2600)
+    assert M.ccitt_rle_decode(
+        M.ccitt_rle_encode([row], 2870), 2870, 1) == row
+
+
+def test_g3_boundaries_are_loud():
+    # a row run overflowing the width is structural damage
+    bw = M._G4BitWriter()
+    M._t4_put_run(bw, 64, False)
+    M._t4_put_run(bw, 0, False)
+    with pytest.raises(ValueError, match="overflows"):
+        M.ccitt_rle_decode(bw.flush(), 10, 1)
+    # missing EOL where G3 requires one
+    with pytest.raises(ValueError, match="EOL"):
+        M.g3_decode(b"\xff\xff", 8, 1)
+    # T.4 uncompressed mode (T4Options bit 1) at the container level
+    p = bytearray(M.encode_tiff_g3_sample(4))  # (4//2)%3==2 -> g3-2d
+    i = p.find((292).to_bytes(2, "little"))
+    assert i > 0 and p[i + 8] == 1
+    p[i + 8] = 3  # set bit 1 (uncompressed mode allowed)
+    with pytest.raises(NotImplementedError, match="uncompressed mode"):
+        M.decode_tiff(bytes(p))
+
+
+def test_g3_tiff_samples_match_g4_means():
+    """The G3 cycle decodes to the same closed-form means as the G4
+    twin — same patterns, three more codecs pinned by one oracle."""
+    for d in range(18):
+        m3 = M.decode_tiff(M.encode_tiff_g3_sample(d))["mean_value"]
+        m4 = M.decode_tiff(M.encode_tiff_g4_sample(d))["mean_value"]
+        assert m3 == m4, d
