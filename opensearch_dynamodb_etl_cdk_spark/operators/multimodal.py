@@ -4172,10 +4172,12 @@ def _tiff_parse(payload: bytes,
         bit_depth = 16
     elif set(bits) == {1}:
         bit_depth = 1
+    elif set(bits) == {4}:
+        bit_depth = 4
     else:
         raise NotImplementedError(
             f"TIFF: {sorted(set(bits))} bits per sample unsupported "
-            "(only uniform 1, 8, or 16)")
+            "(only uniform 1, 4, 8, or 16)")
     bps = 2 if bit_depth == 16 else 1  # DECODED bytes per sample
     if comp not in (1, 2, 3, 4, 5, 8, 32773, 32946):
         raise NotImplementedError(
@@ -4192,13 +4194,15 @@ def _tiff_parse(payload: bytes,
             raise NotImplementedError(
                 "TIFF: T.4 uncompressed mode (T4Options bit 1) is not "
                 "supported")
-    elif bit_depth == 1:
-        raise NotImplementedError(
-            "TIFF: 1-bit samples are only decoded under CCITT "
-            f"compression (got compression {comp})")
     elif fill_order == 2:
         raise NotImplementedError(
             "TIFF: FillOrder 2 is only supported for CCITT data")
+    if bit_depth < 8:
+        if spp != 1:
+            raise NotImplementedError(
+                f"TIFF: sub-byte samples with spp={spp} unsupported")
+        if comp in (2, 3, 4) and bit_depth != 1:
+            raise ValueError("TIFF: CCITT requires BitsPerSample 1")
     pred = values("predictor", 1)[0]
     if pred not in (1, 2):
         raise NotImplementedError(
@@ -4207,10 +4211,13 @@ def _tiff_parse(payload: bytes,
     if (photo, spp) not in ((0, 1), (1, 1), (2, 3), (3, 1)):
         raise NotImplementedError(
             f"TIFF: photometric {photo} with {spp} samples unsupported")
-    if photo == 3 and bit_depth != 8:
+    if photo == 3 and bit_depth not in (4, 8):
         raise NotImplementedError(
-            "TIFF: palette-color requires 8-bit indexes here "
+            "TIFF: palette-color requires 4- or 8-bit indexes here "
             f"(got {bit_depth})")
+    if pred == 2 and bit_depth < 8:
+        raise NotImplementedError(
+            "TIFF: predictor 2 over sub-byte samples is not supported")
 
     def segment(raw: bytes, n_rows: int, row_px: int) -> bytes:
         """Decompress one strip/tile to n_rows × row_px pixels and undo
@@ -4232,6 +4239,28 @@ def _tiff_parse(payload: bytes,
                 raw = ccitt_rle_decode(raw, row_px, n_rows, fill_order)
             if photo == 1:
                 raw = raw.translate(_G4_INVERT)
+        elif bit_depth < 8:
+            # sub-byte planes under the byte-stream codecs: rows pack
+            # MSB-first and pad to a whole byte (TIFF 6.0 §"Bit and
+            # byte order"), same layout PNG uses — decompress the
+            # packed plane, then unpack one byte per sample
+            stride = (row_px * spp * bit_depth + 7) // 8
+            packed = n_rows * stride
+            if comp == 32773:
+                raw = _packbits_decode(raw, packed)
+            elif comp == 5:
+                raw = _tiff_lzw_decode(raw, packed)
+            elif comp in (8, 32946):
+                try:
+                    raw = zlib.decompress(raw)
+                except zlib.error as exc:
+                    raise ValueError(
+                        f"TIFF: Deflate segment damaged: {exc}") from None
+            if len(raw) != packed:
+                raise ValueError(
+                    f"TIFF: sub-byte segment decoded to {len(raw)} "
+                    f"bytes, expected {packed} packed")
+            raw = _png_unpack_bits(raw, row_px * spp, n_rows, bit_depth)
         elif comp == 32773:
             raw = _packbits_decode(raw, expect)
         elif comp == 5:
@@ -4595,6 +4624,130 @@ def encode_tiff_g4_sample(doc_id: int) -> bytes:
     rows = _fax_ink_rows(p, w, h, k, base)
     return encode_tiff_g4(w, h, rows, photometric=photo,
                           fill_order=fill)
+
+
+def encode_tiff_subbyte(width: int, height: int, samples: bytes,
+                        bit_depth: int = 4, photometric: int = 1,
+                        compression: str = "none",
+                        rows_per_strip: int = 2,
+                        big_endian: bool = False,
+                        colormap: list[int] | None = None) -> bytes:
+    """Write a sub-byte (1- or 4-bit) TIFF under the byte-stream
+    codecs: samples (one byte per pixel, values < 2^depth) pack
+    MSB-first into byte-padded rows per TIFF 6.0, strip by strip,
+    then compress with none/PackBits/LZW/Deflate. ``photometric=3``
+    writes the 16-bit ColorMap (``colormap`` = 3·2^depth ints, red
+    block then green then blue)."""
+    if bit_depth not in (1, 4):
+        raise ValueError("sub-byte TIFF is 1- or 4-bit here")
+    if max(samples, default=0) >> bit_depth:
+        raise ValueError("sample exceeds bit depth")
+    if (photometric == 3) != (colormap is not None):
+        raise ValueError("colormap exactly when photometric 3")
+    e = ">" if big_endian else "<"
+    comp_code = {"none": 1, "packbits": 32773, "lzw": 5,
+                 "deflate": 8}[compression]
+    strips = []
+    for y in range(0, height, rows_per_strip):
+        n = min(rows_per_strip, height - y)
+        packed = _png_pack_bits(
+            samples[y * width:(y + n) * width], width, n, bit_depth)
+        if compression == "packbits":
+            packed = _packbits_encode(packed)
+        elif compression == "lzw":
+            packed = _tiff_lzw_encode(packed)
+        elif compression == "deflate":
+            packed = zlib.compress(packed)
+        strips.append(packed)
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    extra = bytearray()
+    entries = []
+
+    def inline(tag, typ, value):
+        if typ == 3:
+            entries.append((tag, 3, 1, struct.pack(f"{e}HH", value, 0)))
+        else:
+            entries.append((tag, 4, 1, struct.pack(f"{e}I", value)))
+
+    inline(256, 4, width)
+    inline(257, 4, height)
+    inline(258, 3, bit_depth)
+    inline(259, 3, comp_code)
+    inline(262, 3, photometric)
+    if colormap is not None:
+        if len(colormap) != 3 * (1 << bit_depth):
+            raise ValueError("bad colormap length")
+        cm_off = pos
+        extra.extend(struct.pack(f"{e}{len(colormap)}H", *colormap))
+        pos += 2 * len(colormap)
+        entries.append((320, 3, len(colormap),
+                        struct.pack(f"{e}I", cm_off)))
+    if len(strips) == 1:
+        entries.append((273, 4, 1, struct.pack(f"{e}I", strip_offsets[0])))
+        entries.append((279, 4, 1, struct.pack(f"{e}I", len(strips[0]))))
+    else:
+        counts = [len(s) for s in strips]
+        so, sc = pos, pos + 4 * len(strips)
+        extra.extend(struct.pack(f"{e}{len(strips)}I", *strip_offsets))
+        extra.extend(struct.pack(f"{e}{len(strips)}I", *counts))
+        pos = sc + 4 * len(strips)
+        entries.append((273, 4, len(strips), struct.pack(f"{e}I", so)))
+        entries.append((279, 4, len(strips), struct.pack(f"{e}I", sc)))
+    inline(277, 3, 1)
+    inline(278, 4, rows_per_strip)
+    entries.sort()
+    ifd = struct.pack(f"{e}H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack(f"{e}HHI", tag, typ, cnt) + val
+    ifd += struct.pack(f"{e}I", 0)
+    head = (b"MM" if big_endian else b"II") + struct.pack(f"{e}H", 42) \
+        + struct.pack(f"{e}I", pos)
+    return head + b"".join(strips) + bytes(extra) + ifd
+
+
+def subbyte_tiff_params(doc_id: int) -> tuple[int, int, int, int, int,
+                                              int, str]:
+    """Ground-truth (kind, bit_depth, width, height, base, photometric,
+    compression) for a synthesized sub-byte TIFF: kind 0 = 1-bit
+    checkerboard, 1 = 4-bit gray gradient, 2 = 4-bit palette gradient
+    through a non-identity 16-bit ColorMap. Compression cycles the
+    four byte-stream codecs; photometric alternates for gray kinds."""
+    k = doc_id % 3
+    comp = ("none", "packbits", "lzw", "deflate")[(doc_id // 3) % 4]
+    photo = (doc_id // 2) % 2
+    if k == 0:
+        return 0, 1, 3 + doc_id % 13, 1 + doc_id % 7, doc_id % 2, \
+            photo, comp
+    if k == 1:
+        return 1, 4, 1 + doc_id % 6, 1 + doc_id % 5, doc_id % 6, \
+            photo, comp
+    return 2, 4, 1 + doc_id % 6, 1 + doc_id % 5, doc_id % 6, 3, comp
+
+
+# 4-bit oracle ColorMap: index i → ((15-i)·4369, i·4369, i·4369) —
+# non-identity, so a gather that skips or mis-indexes the map shifts
+# the mean (4369 = 65535/15, full-scale 16-bit)
+_SUBBYTE_COLORMAP = ([(15 - i) * 4369 for i in range(16)]
+                     + [i * 4369 for i in range(16)] * 2)
+
+
+def encode_tiff_subbyte_sample(doc_id: int) -> bytes:
+    """One synthesized sub-byte TIFF per document id, per
+    ``subbyte_tiff_params``."""
+    k, depth, w, h, base, photo, comp = subbyte_tiff_params(doc_id)
+    if k == 0:
+        samples = bytes((r + c + base) % 2
+                        for r in range(h) for c in range(w))
+    else:
+        samples = bytes(base + r + c for r in range(h) for c in range(w))
+    return encode_tiff_subbyte(
+        w, h, samples, bit_depth=depth, photometric=photo,
+        compression=comp, big_endian=doc_id % 7 == 0,
+        colormap=_SUBBYTE_COLORMAP if photo == 3 else None)
 
 
 def encode_tiff_g3_sample(doc_id: int) -> bytes:
@@ -5942,7 +6095,7 @@ def synthesize_media(
              "png-interlaced", "png-16", "gif", "gif-anim", "jpeg",
              "jpeg-color", "jpeg-420", "jpeg-progressive", "jpeg-cmyk",
              "tiff", "tiff-16", "tiff-palette", "tiff-multipage",
-             "tiff-g4", "tiff-g3",
+             "tiff-g4", "tiff-g3", "tiff-subbyte",
              "video", "mp3", "vorbis", "opus")
     if kind not in kinds:
         raise ValueError(f"kind must be one of {kinds}")
@@ -5960,6 +6113,7 @@ def synthesize_media(
                   "tiff": "image/tiff", "tiff-16": "image/tiff",
                   "tiff-palette": "image/tiff", "tiff-g4": "image/tiff",
                   "tiff-g3": "image/tiff",
+                  "tiff-subbyte": "image/tiff",
                   "tiff-multipage": "image/tiff",
                   "audio": "audio/wav", "flac": "audio/flac",
                   "ogg-flac": "audio/ogg", "mp3": "audio/mpeg",
@@ -6127,6 +6281,12 @@ def synthesize_media(
                 # CCITT Group 3 / RLE fax: Compression 2 -> G3 1-D ->
                 # G3 2-D cycle over the same patterns
                 payloads = [encode_tiff_g3_sample(int(d))
+                            for d in ids]
+            elif kind == "tiff-subbyte":
+                # 1/4-bit planes under the byte-stream codecs
+                # (uncompressed/PackBits/LZW/Deflate), incl. 4-bit
+                # palette through a non-identity ColorMap
+                payloads = [encode_tiff_subbyte_sample(int(d))
                             for d in ids]
             elif kind == "tiff-multipage":
                 # 1..4 IFD-chained pages, each cycling the container

@@ -3274,6 +3274,64 @@ def multimodal_g3_tiff_decode_stats(spark, sf_dir):
                         "mean_value")
 
 
+@register(
+    "multimodal_subbyte_tiff_decode_stats",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, doc_id % 3 AS k,
+             CASE doc_id % 3 WHEN 0 THEN 3 + doc_id % 13
+                  ELSE 1 + doc_id % 6 END AS w,
+             CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 7
+                  ELSE 1 + doc_id % 5 END AS h,
+             CASE doc_id % 3 WHEN 0 THEN doc_id % 2
+                  ELSE doc_id % 6 END AS base,
+             (doc_id // 2) % 2 AS photo
+      FROM documents WHERE doc_id < 300),
+    e AS (
+      SELECT doc_id, k, w, h, base, photo,
+             ((w + 1) // 2) * ((h + 1) // 2) + (w // 2) * (h // 2)
+               AS n_even,
+             w * h * base + w * (h * (h - 1) // 2)
+               + h * (w * (w - 1) // 2) AS sum_i
+      FROM g)
+    SELECT doc_id,
+           CAST(CASE k WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 16 END
+                AS BIGINT) AS bit_depth,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CASE k
+             WHEN 0 THEN CAST(CASE
+                 WHEN (base = 0) = (photo = 0)
+                 THEN n_even ELSE w * h - n_even END AS DOUBLE) / (w * h)
+             WHEN 1 THEN CASE WHEN photo = 0
+                 THEN 15 - (base + (w - 1) / 2.0 + (h - 1) / 2.0)
+                 ELSE base + (w - 1) / 2.0 + (h - 1) / 2.0 END
+             ELSE CAST(4369 * (15 * w * h + sum_i) AS DOUBLE)
+                  / (3 * w * h)
+           END AS mean_value
+    FROM e
+    """,
+    doc="SUB-BYTE TIFF planes under the byte-stream codecs — the "
+    "1-bit (uncompressed scans) and 4-bit (old grayscale/palette "
+    "scans) layouts: MSB-first byte-padded rows decompressed with "
+    "none/PackBits/LZW/Deflate cycling by doc_id, then unpacked with "
+    "the shared vectorized bit gather; 4-bit PALETTE expands through "
+    "a non-identity 16-bit ColorMap (i -> ((15-i)*4369, i*4369, "
+    "i*4369)), both photometric senses for the gray kinds, both byte "
+    "orders (operators/multimodal.py::encode_tiff_subbyte / "
+    "_tiff_parse). The oracle recomputes geometry + closed-form mean "
+    "per doc_id — an unpack, padding, codec-length, photometric, or "
+    "ColorMap bug breaks the hash.",
+    tags=("multimodal",),
+)
+def multimodal_subbyte_tiff_decode_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") < 300)
+    feats = M.extract_media_features(
+        M.synthesize_media(d, "tiff-subbyte"))
+    return feats.select("doc_id", "bit_depth", "width", "height",
+                        "mean_value")
+
+
 
 @register(
     "multimodal_png_decode_stats",

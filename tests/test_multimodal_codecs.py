@@ -2973,3 +2973,39 @@ def test_g3_tiff_samples_match_g4_means():
         m3 = M.decode_tiff(M.encode_tiff_g3_sample(d))["mean_value"]
         m4 = M.decode_tiff(M.encode_tiff_g4_sample(d))["mean_value"]
         assert m3 == m4, d
+
+
+def test_tiff_subbyte_planes_round_trip():
+    """1/4-bit TIFF planes under every byte-stream codec round-trip
+    exact samples across odd widths (row padding load-bearing), both
+    byte orders, multi-strip."""
+    for depth in (1, 4):
+        mx = (1 << depth) - 1
+        for (w, h) in [(1, 1), (3, 2), (7, 5), (13, 7), (9, 3)]:
+            samples = bytes((r + c) % (mx + 1)
+                            for r in range(h) for c in range(w))
+            for comp in ("none", "packbits", "lzw", "deflate"):
+                for be in (False, True):
+                    p = M.encode_tiff_subbyte(
+                        w, h, samples, bit_depth=depth, photometric=1,
+                        compression=comp, big_endian=be)
+                    W, H, spp, ph, data, d = M._tiff_parse(p)
+                    assert (W, H, spp, d) == (w, h, 1, depth)
+                    assert bytes(data) == samples, (depth, w, h, comp)
+
+
+def test_tiff_subbyte_palette_and_boundaries():
+    # 4-bit palette maps through the 16-entry ColorMap at 16-bit
+    samples = bytes([0, 15, 7, 8])
+    p = M.encode_tiff_subbyte(2, 2, samples, bit_depth=4, photometric=3,
+                              colormap=M._SUBBYTE_COLORMAP)
+    W, H, spp, ph, data, d = M._tiff_parse(p)
+    assert (spp, d) == (3, 16)
+    assert list(data[:3]) == [15 * 4369, 0, 0]
+    # predictor over sub-byte stays loud
+    with pytest.raises(ValueError, match="exceeds bit depth"):
+        M.encode_tiff_subbyte(2, 2, bytes([16, 0, 0, 0]), bit_depth=4)
+    # colormap length validation
+    with pytest.raises(ValueError, match="colormap"):
+        M.encode_tiff_subbyte(2, 2, samples, bit_depth=4, photometric=3,
+                              colormap=[0, 1, 2])
