@@ -3124,7 +3124,7 @@ def decode_jpeg(payload: bytes) -> dict:
 _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 266: "fill_order", 273: "offsets", 277: "spp",
-    278: "rows_per_strip", 292: "t4_options",
+    278: "rows_per_strip", 284: "planar", 292: "t4_options",
     279: "counts", 317: "predictor", 320: "colormap", 322: "tile_width",
     323: "tile_length", 324: "tile_offsets", 325: "tile_counts",
 }
@@ -3894,6 +3894,7 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
                 tile: tuple[int, int] = (16, 16),
                 bit_depth: int = 8,
                 palette: bool = False,
+                planar: bool = False,
                 _origin: int = 8, _return_page: bool = False):
     """Build a real baseline TIFF. Content is the clip-free gradient
     v(x, y) = base + x + 2y (mean base + (w-1)/2 + (h-1)); ``rgb``
@@ -3925,6 +3926,9 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
         raise ValueError(f"TIFF: predictor {predictor} is not encodable")
     if predictor == 2 and compression not in ("lzw", "deflate"):
         raise ValueError("TIFF: predictor 2 pairs with LZW/Deflate here")
+    if planar and (spp == 1 or tiled):
+        raise ValueError(
+            "TIFF: planar layout needs spp 3 and strips (no tiles)")
     rows = []
     for y in range(height):
         row = bytearray()
@@ -3953,6 +3957,20 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
                         if y < height else b""
                     t += line + b"\x00" * (tw * spp * bps - len(line))
                 strips.append(bytes(t))
+    elif planar:
+        # tag 284 = 2: one run of strips PER SAMPLE — all red strips,
+        # then green, then blue; each strip carries one sample's plane
+        seg_px = width
+        strips = []
+        for p_i in range(spp):
+            for y in range(0, height, rows_per_strip):
+                t = bytearray()
+                for r in range(y, min(y + rows_per_strip, height)):
+                    row = rows[r]
+                    for x in range(width):
+                        at = (x * spp + p_i) * bps
+                        t += row[at:at + bps]
+                strips.append(bytes(t))
     else:
         seg_px = width
         strips = [
@@ -3961,8 +3979,10 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
         ] or [b""]
     comp_code = {"none": 1, "lzw": 5, "deflate": 8,
                  "packbits": 32773}[compression]
+    strip_spp = 1 if planar else spp
     if predictor == 2:
-        strips = [_tiff_diff_rows(s, seg_px, spp, bps, e) for s in strips]
+        strips = [_tiff_diff_rows(s, seg_px, strip_spp, bps, e)
+                  for s in strips]
     if compression == "packbits":
         strips = [_packbits_encode(s) for s in strips]
     elif compression == "lzw":
@@ -4040,6 +4060,8 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
     inline(277, 3, spp)
     if not tiled:
         inline(278, 4, rows_per_strip)
+    if planar:
+        inline(284, 3, 2)
     if predictor == 2:
         inline(317, 3, 2)
     entries.sort()  # the spec requires ascending tag order
@@ -4218,12 +4240,22 @@ def _tiff_parse(payload: bytes,
     if pred == 2 and bit_depth < 8:
         raise NotImplementedError(
             "TIFF: predictor 2 over sub-byte samples is not supported")
+    planar = values("planar", 1)[0]
+    if planar not in (1, 2):
+        raise ValueError(f"TIFF: bad PlanarConfiguration {planar}")
+    if planar == 2 and "tile_offsets" in tags:
+        raise NotImplementedError(
+            "TIFF: PlanarConfiguration 2 with tiles is not supported")
 
-    def segment(raw: bytes, n_rows: int, row_px: int) -> bytes:
+    def segment(raw: bytes, n_rows: int, row_px: int,
+                seg_spp: int | None = None) -> bytes:
         """Decompress one strip/tile to n_rows × row_px pixels and undo
         the predictor — per SEGMENT, with the segment's own row width:
-        a tile's rows are tile-width, not image-width."""
-        expect = n_rows * row_px * spp * bps
+        a tile's rows are tile-width, not image-width. ``seg_spp``
+        overrides samples-per-pixel for PLANAR strips (each plane's
+        strip carries ONE sample, TIFF 6.0 tag 284 = 2)."""
+        sspp = spp if seg_spp is None else seg_spp
+        expect = n_rows * row_px * sspp * bps
         if comp in (2, 3, 4):
             # CCITT: reference/row sync resets per strip/tile (TIFF
             # 6.0 §§10-11); decoders emit 0=white/1=black, which IS
@@ -4244,7 +4276,7 @@ def _tiff_parse(payload: bytes,
             # MSB-first and pad to a whole byte (TIFF 6.0 §"Bit and
             # byte order"), same layout PNG uses — decompress the
             # packed plane, then unpack one byte per sample
-            stride = (row_px * spp * bit_depth + 7) // 8
+            stride = (row_px * sspp * bit_depth + 7) // 8
             packed = n_rows * stride
             if comp == 32773:
                 raw = _packbits_decode(raw, packed)
@@ -4260,7 +4292,7 @@ def _tiff_parse(payload: bytes,
                 raise ValueError(
                     f"TIFF: sub-byte segment decoded to {len(raw)} "
                     f"bytes, expected {packed} packed")
-            raw = _png_unpack_bits(raw, row_px * spp, n_rows, bit_depth)
+            raw = _png_unpack_bits(raw, row_px * sspp, n_rows, bit_depth)
         elif comp == 32773:
             raw = _packbits_decode(raw, expect)
         elif comp == 5:
@@ -4276,7 +4308,7 @@ def _tiff_parse(payload: bytes,
                 f"TIFF: segment decoded to {len(raw)} bytes, "
                 f"expected {expect}")
         if pred == 2:
-            raw = _tiff_undiff_rows(raw, row_px, spp, bps, e)
+            raw = _tiff_undiff_rows(raw, row_px, sspp, bps, e)
         return raw
 
     def to_samples(data: bytes):
@@ -4348,12 +4380,37 @@ def _tiff_parse(payload: bytes,
     if len(offsets) != len(counts):
         raise ValueError("TIFF: StripOffsets/StripByteCounts disagree")
     rps = values("rows_per_strip", height or 1)[0]
-    data = bytearray()
-    for j, (o, c) in enumerate(zip(offsets, counts)):
-        if o + c > len(payload):
-            raise ValueError("TIFF: strip out of range")
-        data += segment(payload[o:o + c], min(rps, height - j * rps),
-                        width)
+    if planar == 2 and spp > 1:
+        # separate sample planes (tag 284 = 2): all of sample 0's
+        # strips, then sample 1's, ... — decode each plane with spp=1,
+        # then interleave back to chunky for the shared finish path
+        import numpy as np
+
+        per_plane = (height + rps - 1) // rps
+        if len(offsets) != spp * per_plane:
+            raise ValueError(
+                f"TIFF: {len(offsets)} strips for {spp} planes x "
+                f"{per_plane}")
+        planes = []
+        for p_i in range(spp):
+            plane = bytearray()
+            for j in range(per_plane):
+                o, c = offsets[p_i * per_plane + j],                     counts[p_i * per_plane + j]
+                if o + c > len(payload):
+                    raise ValueError("TIFF: strip out of range")
+                plane += segment(payload[o:o + c],
+                                 min(rps, height - j * rps), width, 1)
+            planes.append(bytes(plane))
+        arr = np.frombuffer(b"".join(planes), np.uint8).reshape(
+            spp, width * height, bps)
+        data = bytearray(arr.transpose(1, 0, 2).tobytes())
+    else:
+        data = bytearray()
+        for j, (o, c) in enumerate(zip(offsets, counts)):
+            if o + c > len(payload):
+                raise ValueError("TIFF: strip out of range")
+            data += segment(payload[o:o + c], min(rps, height - j * rps),
+                            width)
     if len(data) != width * height * spp * bps:
         raise ValueError(
             f"TIFF: {len(data)} sample bytes for {width}x{height}x{spp}")
@@ -4469,16 +4526,23 @@ def encode_tiff_sample(doc_id: int) -> bytes:
     alternate the horizontal-differencing predictor real writers pair
     with them), big-endian every 5th id, 2-row strips — except the
     id % 7 == 5 slice, which uses the TILED organization (16x16
-    edge-padded tiles, the GeoTIFF/large-file layout)."""
+    edge-padded tiles, the GeoTIFF/large-file layout). RGB ids with
+    id % 11 == 7 (and no tiling) store SEPARATE SAMPLE PLANES
+    (PlanarConfiguration 2 — the scanner layout): one strip run per
+    sample, reinterleaved on read; the closed-form mean is layout-
+    invariant, so the same oracle pins the planar path."""
     w, h, base = tiff_params(doc_id)
     comp = ("none", "packbits", "lzw", "deflate")[doc_id % 4]
+    rgb = bool(doc_id % 2)
+    tiled = doc_id % 7 == 5
     return encode_tiff(
-        w, h, base=base, rgb=bool(doc_id % 2),
+        w, h, base=base, rgb=rgb,
         compression=comp,
         predictor=2 if comp in ("lzw", "deflate")
         and (doc_id // 4) % 2 else 1,
         big_endian=doc_id % 5 == 0,
-        tiled=doc_id % 7 == 5,
+        tiled=tiled,
+        planar=rgb and not tiled and doc_id % 11 == 7,
     )
 
 

@@ -3009,3 +3009,30 @@ def test_tiff_subbyte_palette_and_boundaries():
     with pytest.raises(ValueError, match="colormap"):
         M.encode_tiff_subbyte(2, 2, samples, bit_depth=4, photometric=3,
                               colormap=[0, 1, 2])
+
+
+def test_tiff_planar_configuration_2():
+    """Separate sample planes (tag 284=2, the scanner layout) decode
+    pixel-identically to the chunky layout across every compression,
+    predictor, byte order, and depth; gray planar and tiled planar
+    stay loud."""
+    for comp in ("none", "packbits", "lzw", "deflate"):
+        for depth in (8, 16):
+            preds = (1, 2) if comp in ("lzw", "deflate") else (1,)
+            for pred in preds:
+                p = M.encode_tiff(9, 5, base=7, rgb=True,
+                                  compression=comp, bit_depth=depth,
+                                  predictor=pred, planar=True)
+                q = M.encode_tiff(9, 5, base=7, rgb=True,
+                                  compression=comp, bit_depth=depth,
+                                  predictor=pred)
+                assert M._tiff_parse(p)[4] == M._tiff_parse(q)[4], \
+                    (comp, depth, pred)
+    with pytest.raises(ValueError, match="planar"):
+        M.encode_tiff(6, 4, base=3, planar=True)
+    # the sample cycle emits real planar files for rgb id%11==7
+    payload = M.encode_tiff_sample(29)  # odd, 29%11==7, not tiled
+    assert (284).to_bytes(2, "little") in payload
+    stats = M.decode_tiff(payload)
+    w, h, base = M.tiff_params(29)
+    assert stats["mean_value"] == base + (w - 1) / 2 + (h - 1) + 1
