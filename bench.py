@@ -173,6 +173,7 @@ HEADLINE = [
     "multimodal_g4_tiff_decode_stats",
     "multimodal_g3_tiff_decode_stats",
     "multimodal_subbyte_tiff_decode_stats",
+    "multimodal_ycbcr_tiff_decode_stats",
 ]
 
 # Iterative/trainer operators do their distributed work INSIDE fn()

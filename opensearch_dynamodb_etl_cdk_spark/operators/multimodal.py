@@ -3125,6 +3125,7 @@ _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 266: "fill_order", 273: "offsets", 277: "spp",
     278: "rows_per_strip", 284: "planar", 292: "t4_options",
+    530: "ycbcr_subsampling", 532: "ref_black_white",
     279: "counts", 317: "predictor", 320: "colormap", 322: "tile_width",
     323: "tile_length", 324: "tile_offsets", 325: "tile_counts",
 }
@@ -3895,6 +3896,8 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
                 bit_depth: int = 8,
                 palette: bool = False,
                 planar: bool = False,
+                rgb_const: tuple[int, int, int] | None = None,
+                ycbcr: bool = False,
                 _origin: int = 8, _return_page: bool = False):
     """Build a real baseline TIFF. Content is the clip-free gradient
     v(x, y) = base + x + 2y (mean base + (w-1)/2 + (h-1)); ``rgb``
@@ -3929,12 +3932,15 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
     if planar and (spp == 1 or tiled):
         raise ValueError(
             "TIFF: planar layout needs spp 3 and strips (no tiles)")
+    if (rgb_const is not None or ycbcr) and (not rgb or bit_depth != 8):
+        raise ValueError("TIFF: rgb_const/ycbcr need rgb=True, 8-bit")
     rows = []
     for y in range(height):
         row = bytearray()
         for x in range(width):
             v = pixel_value if pixel_value is not None else base + x + 2 * y
-            px = (v, v + 1, v + 2) if rgb else (v,)
+            px = rgb_const if rgb_const is not None else (
+                (v, v + 1, v + 2) if rgb else (v,))
             if any(not 0 <= c <= 255 for c in px):
                 raise ValueError("pixel exceeds a byte")
             if bps == 1:
@@ -3942,6 +3948,19 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
             else:
                 row += struct.pack(f"{e}{spp}H", *(c * 257 for c in px))
         rows.append(bytes(row))
+    if ycbcr:
+        # forward full-range BT.601 per pixel (JFIF chain), stored as
+        # photometric 6 with an explicit 4:4:4 subsampling tag
+        import numpy as np
+
+        conv = []
+        for row in rows:
+            a = np.frombuffer(row, np.uint8).astype(np.float64)
+            a = a.reshape(-1, 3)
+            yy, cb, cr = _rgb_to_ycbcr(a[:, 0], a[:, 1], a[:, 2])
+            conv.append(np.stack([yy, cb, cr], axis=1)
+                        .astype(np.uint8).reshape(-1).tobytes())
+        rows = conv
     if tiled:
         tw, th = tile
         if tw % 16 or th % 16 or tw <= 0 or th <= 0:
@@ -4024,7 +4043,9 @@ def encode_tiff(width: int, height: int, pixel_value: int | None = None,
     else:
         inline(258, 3, bit_depth)
     inline(259, 3, comp_code)
-    inline(262, 3, 3 if palette else (2 if rgb else 1))
+    inline(262, 3, 3 if palette else (6 if ycbcr else (2 if rgb else 1)))
+    if ycbcr:
+        entries.append((530, 3, 2, struct.pack(f"{e}HH", 1, 1)))
     if palette:
         cm_off = arr_offset(
             [i * 257 for i in range(256)] * 3, 3)
@@ -4230,9 +4251,23 @@ def _tiff_parse(payload: bytes,
         raise NotImplementedError(
             f"TIFF: predictor {pred} (floating-point differencing) "
             "is not supported")
-    if (photo, spp) not in ((0, 1), (1, 1), (2, 3), (3, 1)):
+    if (photo, spp) not in ((0, 1), (1, 1), (2, 3), (3, 1), (6, 3)):
         raise NotImplementedError(
             f"TIFF: photometric {photo} with {spp} samples unsupported")
+    if photo == 6:
+        if bit_depth != 8:
+            raise NotImplementedError(
+                "TIFF: YCbCr requires 8-bit samples here")
+        sub = values("ycbcr_subsampling", 1)
+        if sub not in ([1], [1, 1]):
+            raise NotImplementedError(
+                f"TIFF: YCbCr subsampling {sub} is not supported "
+                "(4:4:4 only — chroma-subsampled cluster layouts are "
+                "a loud boundary)")
+        if "ref_black_white" in tags:
+            raise NotImplementedError(
+                "TIFF: explicit ReferenceBlackWhite is not supported "
+                "(full-range JFIF mapping only)")
     if photo == 3 and bit_depth not in (4, 8):
         raise NotImplementedError(
             "TIFF: palette-color requires 4- or 8-bit indexes here "
@@ -4330,6 +4365,18 @@ def _tiff_parse(payload: bytes,
         block), so downstream stats/pixel access see an RGB image at
         bit depth 16 with no palette special-casing."""
         samples = to_samples(data)
+        if photo == 6:
+            # full-range BT.601 inverse (the JFIF chain shared with
+            # the JPEG decoder — same floor(x+0.5) discipline, so the
+            # same SQL oracle replicates it)
+            import numpy as np
+            from array import array
+
+            a = np.asarray(samples, dtype=np.float64).reshape(-1, 3)
+            r, g, b = _ycbcr_to_rgb(a[:, 0], a[:, 1], a[:, 2])
+            rgb = np.stack([r, g, b], axis=1).astype(np.uint8)
+            return width, height, 3, photo, \
+                array("B", rgb.reshape(-1).tobytes()), 8
         if photo != 3:
             return width, height, spp, photo, samples, bit_depth
         import numpy as np
@@ -6159,7 +6206,7 @@ def synthesize_media(
              "png-interlaced", "png-16", "gif", "gif-anim", "jpeg",
              "jpeg-color", "jpeg-420", "jpeg-progressive", "jpeg-cmyk",
              "tiff", "tiff-16", "tiff-palette", "tiff-multipage",
-             "tiff-g4", "tiff-g3", "tiff-subbyte",
+             "tiff-g4", "tiff-g3", "tiff-subbyte", "tiff-ycbcr",
              "video", "mp3", "vorbis", "opus")
     if kind not in kinds:
         raise ValueError(f"kind must be one of {kinds}")
@@ -6178,6 +6225,7 @@ def synthesize_media(
                   "tiff-palette": "image/tiff", "tiff-g4": "image/tiff",
                   "tiff-g3": "image/tiff",
                   "tiff-subbyte": "image/tiff",
+                  "tiff-ycbcr": "image/tiff",
                   "tiff-multipage": "image/tiff",
                   "audio": "audio/wav", "flac": "audio/flac",
                   "ogg-flac": "audio/ogg", "mp3": "audio/mpeg",
@@ -6352,6 +6400,20 @@ def synthesize_media(
                 # palette through a non-identity ColorMap
                 payloads = [encode_tiff_subbyte_sample(int(d))
                             for d in ids]
+            elif kind == "tiff-ycbcr":
+                # photometric 6 at 4:4:4, constant clip-free colors so
+                # the JFIF double-conversion chain is SQL-replicable
+                payloads = []
+                for d in ids:
+                    w, h, c = jpeg_color_params(int(d))
+                    comp = ("none", "packbits", "lzw",
+                            "deflate")[int(d) % 4]
+                    tiled = int(d) % 7 == 5
+                    payloads.append(encode_tiff(
+                        w, h, rgb=True, rgb_const=c, ycbcr=True,
+                        compression=comp,
+                        big_endian=int(d) % 5 == 0, tiled=tiled,
+                        planar=not tiled and int(d) % 11 == 7))
             elif kind == "tiff-multipage":
                 # 1..4 IFD-chained pages, each cycling the container
                 # variants independently (the fax/scan corpus shape)

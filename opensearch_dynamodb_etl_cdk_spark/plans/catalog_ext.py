@@ -3644,6 +3644,27 @@ def multimodal_color_jpeg_decode_stats(spark, sf_dir):
     return _color_jpeg_decode_stats(spark, sf_dir, "jpeg-color")
 
 
+@register(
+    "multimodal_ycbcr_tiff_decode_stats",
+    oracle=_COLOR_JPEG_ORACLE,
+    doc="TIFF PHOTOMETRIC 6 (YCbCr) decoded for real at 4:4:4 — the "
+    "video-frame/scanner color layout: constant clip-free colors "
+    "forward-converted with the full-range BT.601 JFIF chain "
+    "(floor(x+0.5) half-up, shared with the JPEG codec), stored "
+    "through the full compression/byte-order/tiled/PLANAR container "
+    "cycle with an explicit 4:4:4 YCbCrSubSampling tag, inverse-"
+    "converted on read (operators/multimodal.py::_tiff_parse "
+    "photo==6). Chroma-subsampled cluster layouts and explicit "
+    "ReferenceBlackWhite stay loud boundaries. The oracle is the SAME "
+    "SQL double-conversion chain the color-JPEG row uses — identical "
+    "params, identical integer chain, so a conversion or layout bug "
+    "breaks the hash.",
+    tags=("multimodal",),
+)
+def multimodal_ycbcr_tiff_decode_stats(spark, sf_dir):
+    return _color_jpeg_decode_stats(spark, sf_dir, "tiff-ycbcr")
+
+
 def _color_jpeg_decode_stats(spark, sf_dir, kind):
     d = _t(spark, sf_dir, "documents")["documents"]
     feats = M.extract_media_features(

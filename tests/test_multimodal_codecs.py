@@ -3036,3 +3036,29 @@ def test_tiff_planar_configuration_2():
     stats = M.decode_tiff(payload)
     w, h, base = M.tiff_params(29)
     assert stats["mean_value"] == base + (w - 1) / 2 + (h - 1) + 1
+
+
+def test_tiff_ycbcr_photometric_6():
+    """Photometric 6 at 4:4:4: constant colors survive the JFIF
+    double conversion exactly (same chain as the JPEG codec), through
+    chunky, planar, and tiled layouts; subsampled clusters and
+    explicit ReferenceBlackWhite stay loud."""
+    for d in (0, 7, 13, 29):
+        w, h, (r, g, b) = M.jpeg_color_params(d)
+        y, cb, cr = M._rgb_to_ycbcr(float(r), float(g), float(b))
+        expect = [int(x) for x in M._ycbcr_to_rgb(y, cb, cr)]
+        for kw in ({}, {"planar": True}, {"tiled": True, "tile": (16, 16)},
+                   {"compression": "lzw", "predictor": 2}):
+            p = M.encode_tiff(w, h, rgb=True, rgb_const=(r, g, b),
+                              ycbcr=True, **kw)
+            W, H, spp, ph, data, depth = M._tiff_parse(p)
+            assert (W, H, spp, depth) == (w, h, 3, 8)
+            assert list(data[:3]) == expect, (d, kw)
+    p = bytearray(M.encode_tiff(4, 4, rgb=True, rgb_const=(1, 2, 3),
+                                ycbcr=True))
+    i = p.find((530).to_bytes(2, "little"))
+    p[i + 8] = 2
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        M._tiff_parse(bytes(p))
+    with pytest.raises(ValueError, match="rgb_const/ycbcr"):
+        M.encode_tiff(4, 4, ycbcr=True)
