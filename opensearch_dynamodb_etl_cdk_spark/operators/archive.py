@@ -20,9 +20,10 @@ zlib:
   member path) — the other two compressors public datasets routinely
   ship tarballs under.
 - **zip**: located from the End-Of-Central-Directory record, central
-  directory entries resolved to local headers, STORED and DEFLATE
-  members (raw zlib, wbits=-15), per-member CRC-32 verified.
-  Encryption, zip64, and other compression methods raise.
+  directory entries resolved to local headers, STORED / DEFLATE
+  (raw zlib, wbits=-15) / BZIP2 (method 12) members, per-member
+  CRC-32 verified, ZIP64 sentinels resolved. Encryption and other
+  compression methods raise.
 
 Spark shape: ``extract_archive_members`` is the fan-out (1 archive
 row → N member rows) — members' bytes stay in the UDF unless asked
@@ -225,13 +226,18 @@ def parse_tar(payload: bytes) -> list[tuple[str, bytes]]:
 
 
 def encode_zip(members: list[tuple[str, bytes]],
-               compress: bool = True, zip64: bool = False) -> bytes:
+               compress: bool = True, zip64: bool = False,
+               method: str = "deflate") -> bytes:
     """Write a zip archive: local headers + data, central directory,
-    EOCD. DEFLATE (raw zlib) when ``compress`` and it helps, else
-    STORED. ``zip64`` writes the ZIP64 shape real >4 GiB / >65k-member
-    archives use — 0xFFFFFFFF sentinel sizes/offsets resolved through
-    0x0001 extra fields, an EOCD64 record and its locator — without
-    needing actual 4 GiB payloads."""
+    EOCD. ``method="deflate"`` stores DEFLATE (raw zlib) when
+    ``compress`` and it helps, else STORED; ``method="bzip2"`` stores
+    APPNOTE method 12 (stdlib bz2 — the other compression modern zip
+    tools actually emit). ``zip64`` writes the ZIP64 shape real
+    >4 GiB / >65k-member archives use — 0xFFFFFFFF sentinel
+    sizes/offsets resolved through 0x0001 extra fields, an EOCD64
+    record and its locator — without needing actual 4 GiB payloads."""
+    if method not in ("deflate", "bzip2"):
+        raise ValueError(f"zip: unknown method {method!r}")
     out = bytearray()
     central = bytearray()
     for name, data in members:
@@ -240,9 +246,14 @@ def encode_zip(members: list[tuple[str, bytes]],
         # external tools assume cp437 and misread non-ASCII names
         flags = 0x800 if not name.isascii() else 0
         crc = zlib.crc32(data) & 0xFFFFFFFF
-        packed = zlib.compress(data, 9)[2:-4] if compress else data
-        method = 8 if compress and len(packed) < len(data) else 0
-        blob = packed if method == 8 else data
+        if method == "bzip2":
+            import bz2
+
+            blob, mcode = bz2.compress(data), 12
+        else:
+            packed = zlib.compress(data, 9)[2:-4] if compress else data
+            mcode = 8 if compress and len(packed) < len(data) else 0
+            blob = packed if mcode == 8 else data
         local_at = len(out)
         if zip64:
             # sentinel sizes in the fixed fields, real values in the
@@ -250,7 +261,7 @@ def encode_zip(members: list[tuple[str, bytes]],
             lextra = (struct.pack("<HH", 0x0001, 16)
                       + struct.pack("<QQ", len(data), len(blob)))
             out += (b"PK\x03\x04"
-                    + struct.pack("<HHHHHIII", 45, flags, method, 0, 0,
+                    + struct.pack("<HHHHHIII", 45, flags, mcode, 0, 0,
                                   crc, 0xFFFFFFFF, 0xFFFFFFFF)
                     + struct.pack("<HH", len(nb), len(lextra))
                     + nb + lextra + blob)
@@ -259,19 +270,19 @@ def encode_zip(members: list[tuple[str, bytes]],
                                     local_at))
             central += (b"PK\x01\x02"
                         + struct.pack("<HHHHHHIII", 45, 45, flags,
-                                      method, 0, 0, crc, 0xFFFFFFFF,
+                                      mcode, 0, 0, crc, 0xFFFFFFFF,
                                       0xFFFFFFFF)
                         + struct.pack("<HHHHHII", len(nb), len(cextra),
                                       0, 0, 0, 0, 0xFFFFFFFF)
                         + nb + cextra)
         else:
             out += (b"PK\x03\x04"
-                    + struct.pack("<HHHHHIII", 20, flags, method, 0, 0,
+                    + struct.pack("<HHHHHIII", 20, flags, mcode, 0, 0,
                                   crc, len(blob), len(data))
                     + struct.pack("<HH", len(nb), 0) + nb + blob)
             central += (b"PK\x01\x02"
                         + struct.pack("<HHHHHHIII", 20, 20, flags,
-                                      method, 0, 0, crc, len(blob),
+                                      mcode, 0, 0, crc, len(blob),
                                       len(data))
                         + struct.pack("<HHHHHII", len(nb), 0, 0, 0, 0,
                                       0, local_at)
@@ -367,6 +378,15 @@ def parse_zip(payload: bytes) -> list[tuple[str, bytes]]:
                 raise ValueError(
                     f"zip: member {name!r} deflate damaged: {exc}"
                 ) from None
+        elif method == 12:  # bzip2 (APPNOTE 4.6.x), stdlib
+            import bz2
+
+            try:
+                data = bz2.decompress(blob)
+            except OSError as exc:
+                raise ValueError(
+                    f"zip: member {name!r} bzip2 damaged: {exc}"
+                ) from None
         else:
             raise NotImplementedError(
                 f"zip: compression method {method} not supported")
@@ -449,7 +469,9 @@ def wrap_payloads_in_archives(df: DataFrame,
             for d, p in zip(ids, pdf[payload_col]):
                 members = [(member_fmt.format(id=d), bytes(p))]
                 if d % 2:
-                    payloads.append(encode_zip(members))
+                    payloads.append(encode_zip(
+                        members,
+                        method="bzip2" if d % 4 == 3 else "deflate"))
                 else:
                     payloads.append(
                         _compress_tar(encode_tar(members), int(d)))
@@ -495,7 +517,9 @@ def synthesize_archives(df: DataFrame, text_col: str = "text",
                     (f"doc_{d}.txt", (t or "").encode()),
                 ]
                 if d % 2:
-                    payloads.append(encode_zip(members))
+                    payloads.append(encode_zip(
+                        members,
+                        method="bzip2" if d % 4 == 3 else "deflate"))
                 else:
                     payloads.append(_compress_tar(encode_tar(members),
                                                   int(d)))

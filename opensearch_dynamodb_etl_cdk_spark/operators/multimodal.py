@@ -1906,9 +1906,11 @@ def decode_gif(payload: bytes) -> dict:
 # baseline table decodes — including Annex K's optimized lengths.
 # Color (3-component YCbCr 4:4:4) scans decode with per-component
 # quant/Huffman tables and DC predictors plus the JFIF color
-# conversion. Progressive (SOF2), subsampled (4:2:0/4:2:2),
-# restart-marker and 12-bit files raise the documented
-# NotImplementedError boundary; structural damage raises ValueError.
+# conversion; chroma-subsampled (4:2:0/4:2:2), restart-marker (DRI/
+# RSTn), progressive (SOF2), and Adobe CMYK/YCCK files decode too
+# (added over rounds 8-12 — see the catalog rows). 12-bit precision
+# and arithmetic coding raise the documented NotImplementedError
+# boundary; structural damage raises ValueError.
 
 
 def _jpeg_zigzag() -> list[int]:

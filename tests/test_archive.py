@@ -348,3 +348,25 @@ def test_synthesize_archives_cycles_all_compressors(spark):
              for r in rows if r.member.endswith(".txt")
              and not r.member.startswith("manifest")}
     assert texts == {i: f"doc {i} compressor cycle" for i in range(12)}
+
+
+def test_zip_bzip2_method_cross_validated():
+    """APPNOTE method 12 (bzip2): ours reads stdlib's ZIP_BZIP2
+    output, stdlib reads ours, and the synthesizer cycle emits it for
+    d%4==3 ids."""
+    import zipfile
+
+    members = [("a.txt", b"alpha bzip2 member"),
+               ("dir/b.bin", bytes(range(200)))]
+    z = A.encode_zip(members, method="bzip2")
+    assert A.parse_zip(z) == members
+    zf = zipfile.ZipFile(io.BytesIO(z))
+    assert [(n, zf.read(n)) for n in zf.namelist()] == members
+    assert zf.infolist()[0].compress_type == zipfile.ZIP_BZIP2
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_BZIP2) as w:
+        for n, d in members:
+            w.writestr(n, d)
+    assert A.parse_zip(buf.getvalue()) == members
+    with pytest.raises(ValueError, match="unknown method"):
+        A.encode_zip(members, method="lzma")
