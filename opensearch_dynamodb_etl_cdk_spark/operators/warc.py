@@ -394,6 +394,67 @@ def extract_warc_text(df: DataFrame,
     return df.mapInPandas(run, schema)
 
 
+def extract_wet_text(df: DataFrame,
+                     keep: tuple[str, ...] = ()) -> DataFrame:
+    """Common Crawl WET reader: WET files are WARC containers whose
+    ``conversion`` records carry ALREADY-EXTRACTED plain text (UTF-8
+    bodies, no HTTP framing) — the corpus form most text pipelines
+    actually ingest. One output row per conversion record
+    (doc_id, uri, text); warcinfo/request/response records skip."""
+    keep_schema = ", ".join(f"{c} string" for c in keep)
+    schema = "doc_id long, uri string, text string" + (
+        ", " + keep_schema if keep else "")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for j, p in enumerate(pdf["payload"]):
+                for r in parse_warc(bytes(p)):
+                    if r["type"] != "conversion":
+                        continue
+                    rows.append((pdf["doc_id"].iloc[j], r["uri"],
+                                 r["content"].decode("utf-8"),
+                                 *[pdf[c].iloc[j] for c in keep]))
+            yield pd.DataFrame(rows, columns=["doc_id", "uri", "text",
+                                              *keep])
+
+    return df.mapInPandas(run, schema)
+
+
+def synthesize_wets(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """One real WET file per row: a warcinfo record plus a
+    ``conversion`` record holding the corpus text as a UTF-8 plain-
+    text body (the Common Crawl *.warc.wet.gz layout; per-record gzip
+    for odd ids)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for d, t in zip(ids, pdf[text_col]):
+                uri = f"http://example.com/doc/{d}"
+                recs = [
+                    {"type": "warcinfo", "uri": "",
+                     "content": b"software: wet-synthesizer\r\n",
+                     "content_type": "application/warc-fields"},
+                    {"type": "conversion", "uri": uri,
+                     "content": (t or "").encode("utf-8"),
+                     "content_type": "text/plain"},
+                ]
+                payloads.append(
+                    encode_warc(recs, gzip_per_record=bool(d % 2)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads,
+                                "media_type": "application/warc"})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, "doc_id long, payload binary, media_type string")
+
+
 def synthesize_warcs(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      with_br: bool = False) -> DataFrame:

@@ -3005,6 +3005,32 @@ def warc_text_extract_dlq(spark, sf_dir):
 
 
 @register(
+    "wet_text_extract",
+    oracle="""
+    SELECT doc_id,
+           'http://example.com/doc/' || doc_id AS uri,
+           text
+    FROM documents WHERE doc_id < 300
+    """,
+    doc="Common Crawl WET ingestion: WET files are WARC containers "
+    "whose 'conversion' records carry already-extracted plain text — "
+    "the *.warc.wet.gz corpus form most text pipelines actually "
+    "ingest. One real WET file per document (warcinfo + conversion "
+    "records, per-record gzip members for odd ids), read back by the "
+    "same Content-Length-authoritative record walk as the WARC row "
+    "(operators/warc.py::extract_wet_text) with non-conversion "
+    "records skipped. The oracle is DIRECT string equality on the "
+    "corpus text — no HTML layer, so any record-framing, gzip-member, "
+    "or type-filtering bug corrupts the row.",
+    tags=("multimodal", "text"),
+)
+def wet_text_extract(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") < 300)
+    return WARC.extract_wet_text(WARC.synthesize_wets(d))
+
+
+@register(
     "multimodal_pdf_text_extract",
     oracle="""
     SELECT doc_id, CAST(i AS INT) AS page,

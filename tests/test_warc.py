@@ -372,3 +372,21 @@ def test_warc_dlq_also_routes_damaged_http_frames():
     # WARC-level damage still raises even in dlq mode
     with pytest.raises(ValueError, match="separator|version|Content-Length"):
         W.warc_page_texts(payload[:-2], on_error="dlq")
+
+
+def test_wet_conversion_records_extract(spark):
+    """WET files (conversion records with plain-text bodies) extract
+    the exact corpus text; non-conversion records skip; both gzip and
+    plain layouts."""
+    df = spark.createDataFrame(
+        [(i, f"wet doc {i} body — unicode €") for i in range(6)],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            W.extract_wet_text(W.synthesize_wets(df)).collect()}
+    assert set(rows) == set(range(6))
+    for i in range(6):
+        assert rows[i].text == f"wet doc {i} body — unicode €"
+        assert rows[i].uri == f"http://example.com/doc/{i}"
+    # a WET payload yields nothing through the response-record reader
+    payloads = W.synthesize_wets(df).collect()
+    assert W.warc_page_texts(bytes(payloads[0].payload)) == []
