@@ -174,6 +174,12 @@ HEADLINE = [
     "multimodal_g3_tiff_decode_stats",
     "multimodal_subbyte_tiff_decode_stats",
     "multimodal_ycbcr_tiff_decode_stats",
+    # round-13 late additions: Common Crawl WET ingestion (conversion-
+    # record walk, per-record gzip members) and the extended-WAV
+    # format family (8/24-bit PCM, float32, IMA ADPCM block decode,
+    # WAVE_FORMAT_EXTENSIBLE GUID resolution)
+    "wet_text_extract",
+    "multimodal_wav_ext_decode_stats",
 ]
 
 # Iterative/trainer operators do their distributed work INSIDE fn()

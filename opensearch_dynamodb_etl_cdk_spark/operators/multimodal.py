@@ -8,7 +8,11 @@ implements from the public file-format specs with zero third-party
 dependencies:
 
 * uncompressed 24-bit BMP (``decode_bmp`` / ``encode_bmp``)
-* PCM WAV, 16-bit (``decode_wav`` / ``encode_wav``)
+* RIFF/WAVE (``decode_wav`` / ``encode_wav`` / ``encode_wav_ext``):
+  integer PCM at 8/16/24/32 bits, IEEE float32/float64 (format 3),
+  IMA ADPCM (format 0x11, block-structured, ``fact``-chunk frame
+  counts) and WAVE_FORMAT_EXTENSIBLE (0xFFFE) with SubFormat GUID
+  resolution
 * 8-bit PNG, color types 0/2/4/6 (``decode_png`` / ``encode_png``) —
   the first REAL compressed format: stdlib ``zlib`` inflate plus the
   five public filter reconstructions (None/Sub/Up/Average/Paeth),
@@ -254,19 +258,173 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(payload: bytes) -> dict:
-    """Decode a PCM WAV by walking the RIFF chunk list (chunks are
-    word-aligned; unknown chunks like LIST/fact are skipped, per the
-    spec — fixed-offset parsers break on files with metadata chunks).
+# IMA/DVI ADPCM step and index tables — public constants from the IMA
+# Digital Audio Pack recommendation (also reproduced in RFC 3551 §4.5.1
+# and the multimedia-wiki DVI/IMA page); shared by encoder and decoder.
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+_IMA_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
 
-    Returns sample rate, channel count, frame count, duration and the
-    mean sample amplitude (16-bit signed little-endian).
+
+def _ima_decode_nibble(nibble: int, pred: int, index: int) -> tuple[int, int]:
+    """One IMA ADPCM step: (new predictor, new step index). The exact
+    shift-based ``vpdiff`` reconstruction (step>>3 plus step, step>>1,
+    step>>2 per magnitude bit) — both ends must use this identical
+    arithmetic or streams drift."""
+    step = _IMA_STEPS[index]
+    vpdiff = step >> 3
+    if nibble & 4:
+        vpdiff += step
+    if nibble & 2:
+        vpdiff += step >> 1
+    if nibble & 1:
+        vpdiff += step >> 2
+    pred = pred - vpdiff if nibble & 8 else pred + vpdiff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_ADJ[nibble & 7]))
+    return pred, index
+
+
+def _ima_encode_sample(sample: int, pred: int, index: int) -> tuple[int, int, int]:
+    """Encode one sample against the decoder-tracked state: returns
+    (nibble, new predictor, new index) where the new state is EXACTLY
+    what a decoder reconstructs — the encoder is its own decoder, the
+    property every spec-conforming IMA encoder needs to avoid drift."""
+    step = _IMA_STEPS[index]
+    diff = sample - pred
+    nibble = 0
+    if diff < 0:
+        nibble = 8
+        diff = -diff
+    if diff >= step:
+        nibble |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nibble |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nibble |= 1
+    pred, index = _ima_decode_nibble(nibble, pred, index)
+    return nibble, pred, index
+
+
+def encode_ima_adpcm_wav(
+    sample_rate: int, frames: list, data_bytes_per_channel: int = 32
+) -> bytes:
+    """Build an IMA ADPCM WAV (format 0x11) from int16 ``frames``
+    (list of per-frame channel tuples/lists). Block layout per the
+    public DVI/IMA-in-RIFF convention: a 4-byte per-channel header
+    (int16 predictor = the block's first sample, step index, reserved
+    byte), then 4-byte nibble groups interleaved per channel. A
+    ``fact`` chunk records the true frame count (mandatory for
+    compressed WAVE formats); the last block is zero-padded with
+    repeats of its final frame, which ``fact`` then truncates away."""
+    channels = len(frames[0]) if frames else 1
+    n_frames = len(frames)
+    spb = data_bytes_per_channel * 2 + 1  # samples per block per channel
+    block_align = channels * (4 + data_bytes_per_channel)
+    blocks = bytearray()
+    for b0 in range(0, n_frames, spb):
+        chunk = frames[b0 : b0 + spb]
+        while len(chunk) < spb:  # pad the final partial block
+            chunk = chunk + [chunk[-1]]
+        preds, idxs = [], []
+        for ch in range(channels):
+            p = int(chunk[0][ch])
+            preds.append(p)
+            idxs.append(0)
+            blocks += struct.pack("<hBB", p, 0, 0)
+        # per-channel nibble streams (sample 0 lives in the header)
+        nibs = [[] for _ in range(channels)]
+        for fr in chunk[1:]:
+            for ch in range(channels):
+                nib, preds[ch], idxs[ch] = _ima_encode_sample(
+                    int(fr[ch]), preds[ch], idxs[ch])
+                nibs[ch].append(nib)
+        # 4-byte groups (8 nibbles) alternating per channel
+        for g in range(0, data_bytes_per_channel, 4):
+            for ch in range(channels):
+                for byte_i in range(4):
+                    lo = nibs[ch][(g + byte_i) * 2]
+                    hi = nibs[ch][(g + byte_i) * 2 + 1]
+                    blocks.append(lo | (hi << 4))
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack("<HHIIHHHH", 0x11, channels, sample_rate, byte_rate,
+                      block_align, 4, 2, spb)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, n_frames)
+            + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_ima_adpcm(data: bytes, channels: int, block_align: int,
+                      spb: int, fact_frames: int) -> list:
+    """Walk IMA ADPCM blocks back to int16 samples (interleaved frame
+    order), truncated to the ``fact`` frame count."""
+    if block_align < 4 * channels or (block_align - 4 * channels) % (
+            4 * channels):
+        raise ValueError(f"IMA ADPCM block_align {block_align} invalid "
+                         f"for {channels} channel(s)")
+    dbpc = (block_align - 4 * channels) // channels
+    samples = []
+    for off in range(0, len(data) - block_align + 1, block_align):
+        preds, idxs = [], []
+        for ch in range(channels):
+            p, idx, _ = struct.unpack_from("<hBB", data, off + 4 * ch)
+            if idx > 88:
+                raise ValueError(f"IMA ADPCM step index {idx} out of range")
+            preds.append(p)
+            idxs.append(idx)
+        chans = [[p] for p in preds]
+        base = off + 4 * channels
+        for g in range(0, dbpc, 4):
+            for ch in range(channels):
+                gpos = base + g * channels + 4 * ch
+                for byte_i in range(4):
+                    b = data[gpos + byte_i]
+                    for nib in (b & 0xF, b >> 4):
+                        preds[ch], idxs[ch] = _ima_decode_nibble(
+                            nib, preds[ch], idxs[ch])
+                        chans[ch].append(preds[ch])
+        for i in range(min(spb, len(chans[0]))):
+            for ch in range(channels):
+                samples.append(chans[ch][i])
+    return samples[: fact_frames * channels]
+
+
+# KSDATAFORMAT_SUBTYPE GUID tail shared by PCM and IEEE-float SubFormats
+# (the first two bytes are the little-endian format code).
+_WAVE_EXT_GUID_TAIL = bytes.fromhex("000000000010800000aa00389b71")
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode a RIFF/WAVE file by walking the chunk list (chunks are
+    word-aligned; unknown chunks like LIST are skipped, per the spec —
+    fixed-offset parsers break on files with metadata chunks).
+
+    Formats: integer PCM (format 1) at 8 (unsigned), 16, 24 and 32
+    bits; IEEE float (format 3) at 32/64 bits; IMA ADPCM (format 0x11)
+    with ``fact``-authoritative frame counts; WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE) resolved through its SubFormat GUID. Returns sample rate,
+    channel count, frame count, duration and the mean amplitude
+    (8-bit means are re-centered by -128 so every format reports on
+    the signed scale).
     """
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, end = 12, len(payload)
     fmt_fields = None
+    fmt_extra = b""
     data = None
+    fact_frames = None
     while pos + 8 <= end:
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body_start = pos + 8
@@ -276,26 +434,82 @@ def decode_wav(payload: bytes) -> dict:
             if size < 16:
                 raise ValueError("fmt chunk too small")
             fmt_fields = struct.unpack_from("<HHIIHH", payload, body_start)
+            fmt_extra = payload[body_start + 16 : body_start + size]
         elif cid == b"data":
             data = payload[body_start : body_start + size]
+        elif cid == b"fact" and size >= 4:
+            (fact_frames,) = struct.unpack_from("<I", payload, body_start)
         pos = body_start + size + (size % 2)  # word alignment
     if fmt_fields is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
-    audio_format, channels, sample_rate, _byte_rate, _block_align, bits = fmt_fields
-    if audio_format != 1:
-        raise NotImplementedError(f"non-PCM WAV (format {audio_format}) unsupported")
-    if bits != 16:
-        raise NotImplementedError(f"{bits}-bit WAV unsupported (only 16-bit PCM)")
-    n_samples = len(data) // 2
+    audio_format, channels, sample_rate, _byte_rate, block_align, bits = fmt_fields
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # cbSize(2) + wValidBitsPerSample(2) + dwChannelMask(4) + GUID(16)
+        if len(fmt_extra) < 24:
+            raise ValueError("WAVE_FORMAT_EXTENSIBLE fmt chunk too small")
+        guid = fmt_extra[8:24]
+        if guid[2:] != _WAVE_EXT_GUID_TAIL:
+            raise NotImplementedError(
+                f"WAVE_FORMAT_EXTENSIBLE SubFormat GUID {guid.hex()} "
+                "unsupported (PCM/IEEE-float GUIDs only)")
+        audio_format = struct.unpack_from("<H", guid, 0)[0]
+    if audio_format == 0x11:  # IMA ADPCM
+        if channels <= 0:
+            raise ValueError("IMA ADPCM WAV with zero channels is malformed")
+        if bits != 4:
+            raise NotImplementedError(
+                f"IMA ADPCM with {bits} bits/sample unsupported (4 only)")
+        if len(fmt_extra) < 4:
+            raise ValueError("IMA ADPCM fmt chunk missing wSamplesPerBlock")
+        spb = struct.unpack_from("<H", fmt_extra, 2)[0]
+        if fact_frames is None:
+            raise ValueError("IMA ADPCM WAV missing the mandatory fact chunk")
+        samples = _decode_ima_adpcm(data, channels, block_align, spb,
+                                    fact_frames)
+        bit_depth = 16  # decoded scale
+        total = float(sum(samples))
+        n_samples = len(samples)
+    elif audio_format == 1:
+        if bits not in (8, 16, 24, 32):
+            raise NotImplementedError(
+                f"{bits}-bit integer PCM unsupported (8/16/24/32 only)")
+        import numpy as np
+        bw = bits // 8
+        n_samples = len(data) // bw
+        if bits == 8:  # unsigned storage; report on the signed scale
+            total = float(sum(data[: n_samples]) - 128 * n_samples)
+        elif bits == 24:
+            a = np.frombuffer(data[: n_samples * 3], dtype=np.uint8)
+            a = a.reshape(-1, 3).astype(np.int64)
+            v = a[:, 0] | (a[:, 1] << 8) | (a[:, 2] << 16)
+            v -= (v >> 23) << 24  # sign-extend
+            total = float(v.sum(dtype=np.int64))
+        else:
+            dt = np.dtype("<i2") if bits == 16 else np.dtype("<i4")
+            total = float(np.frombuffer(
+                data[: n_samples * bw], dtype=dt).sum(dtype=np.int64))
+        bit_depth = bits
+    elif audio_format == 3:  # IEEE float
+        if bits not in (32, 64):
+            raise NotImplementedError(
+                f"{bits}-bit IEEE-float PCM unsupported (32/64 only)")
+        import numpy as np
+        bw = bits // 8
+        n_samples = len(data) // bw
+        dt = np.dtype("<f4") if bits == 32 else np.dtype("<f8")
+        total = float(np.frombuffer(
+            data[: n_samples * bw], dtype=dt).sum(dtype=np.float64))
+        bit_depth = bits
+    else:
+        raise NotImplementedError(
+            f"WAV format {audio_format:#x} unsupported (PCM, IEEE float, "
+            "IMA ADPCM and EXTENSIBLE-wrapped forms only)")
     n_frames = n_samples // channels if channels else 0
-    total = 0
-    for (s,) in struct.iter_unpack("<h", data[: n_samples * 2]):
-        total += s
     return {
         "media_kind": "audio",
         "sample_rate": sample_rate,
         "channels": channels,
-        "bit_depth": 16,
+        "bit_depth": bit_depth,
         "n_units": n_frames,
         "duration_ms": (n_frames * 1000.0 / sample_rate) if sample_rate else 0.0,
         "mean_value": (total / n_samples) if n_samples else 0.0,
@@ -6165,6 +6379,85 @@ def wav_params(doc_id: int) -> tuple[int, int, int, int]:
     )
 
 
+def wav_ext_params(doc_id: int) -> tuple[int, int, int, int]:
+    """Ground-truth (fmt_cycle, sample_rate, channels, n_frames) for
+    the extended-WAV fixture family; ``fmt_cycle`` = doc_id % 5 picks
+    8-bit PCM / 24-bit PCM / float32 / IMA ADPCM / EXTENSIBLE-int16."""
+    return (
+        doc_id % 5,
+        8000 + (doc_id % 4) * 1000,
+        1 + doc_id % 2,
+        40 + doc_id % 60,
+    )
+
+
+def encode_wav_ext(doc_id: int) -> bytes:
+    """Per-document WAV synthesis cycling the real-corpus format axes
+    the plain ``encode_wav`` fixture does not reach. Every variant's
+    mean amplitude has a closed form the DuckDB oracle reproduces:
+
+    * ``%5==0`` — 8-bit unsigned PCM, ramp ``(doc_id%50)+i`` (never
+      wraps: max 49+197 < 256), signed-scale mean
+      ``doc_id%50 + (N-1)/2 - 128``;
+    * ``%5==1`` — 24-bit PCM, ramp ``base + 17*i`` with
+      ``base=(doc_id%1000-500)*1000``, mean ``base + 17*(N-1)/2``;
+    * ``%5==2`` — IEEE float32, integer ramp (exact in a float32),
+      mean ``doc_id%200-100 + (N-1)/2``;
+    * ``%5==3`` — IMA ADPCM with a per-channel CONSTANT signal: with
+      the block header storing the first sample and step index 0,
+      nibble 0 reconstructs ``step(0)>>3 == 0`` so a constant stream
+      round-trips EXACTLY — a lossy codec with a lossless oracle.
+      Channels carry ``c`` and ``c+100`` so interleave bugs shift the
+      mean;
+    * ``%5==4`` — WAVE_FORMAT_EXTENSIBLE-wrapped 16-bit PCM ramp,
+      mean ``doc_id%400-200 + (N-1)/2``.
+    """
+    fmt, rate, ch, nf = wav_ext_params(doc_id)
+    n = nf * ch
+    if fmt == 0:
+        base = doc_id % 50
+        data = bytes(base + i for i in range(n))
+        return _pcm_wav(rate, ch, 8, data)
+    if fmt == 1:
+        base = (doc_id % 1000 - 500) * 1000
+        data = b"".join(
+            struct.pack("<i", base + 17 * i)[:3] for i in range(n))
+        return _pcm_wav(rate, ch, 24, data)
+    if fmt == 2:
+        base = doc_id % 200 - 100
+        data = struct.pack(f"<{n}f", *(float(base + i) for i in range(n)))
+        return _pcm_wav(rate, ch, 32, data, audio_format=3)
+    if fmt == 3:
+        c = doc_id % 1000 - 500
+        frames = [tuple(c + 100 * k for k in range(ch))] * nf
+        return encode_ima_adpcm_wav(rate, frames)
+    base = doc_id % 400 - 200
+    data = struct.pack(f"<{n}h", *(base + i for i in range(n)))
+    return _pcm_wav(rate, ch, 16, data, extensible=True)
+
+
+def _pcm_wav(rate: int, channels: int, bits: int, data: bytes,
+             audio_format: int = 1, extensible: bool = False) -> bytes:
+    """Assemble a RIFF/WAVE container around pre-packed sample bytes,
+    optionally wrapped in WAVE_FORMAT_EXTENSIBLE (fmt 0xFFFE with the
+    22-byte extension and the PCM/float SubFormat GUID)."""
+    block_align = channels * (bits // 8)
+    byte_rate = rate * block_align
+    if extensible:
+        guid = struct.pack("<H", audio_format) + _WAVE_EXT_GUID_TAIL
+        fmt = struct.pack("<HHIIHHHHI", 0xFFFE, channels, rate, byte_rate,
+                          block_align, bits, 22, bits,
+                          (1 << channels) - 1) + guid
+    else:
+        fmt = struct.pack("<HHIIHH", audio_format, channels, rate,
+                          byte_rate, block_align, bits)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    if len(data) % 2:
+        body += b"\x00"  # RIFF chunks are word-aligned
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def flac_params(doc_id: int) -> tuple[int, int, int, int]:
     """Ground-truth (sample_rate, n_frames, base, slope): every channel
     carries the SAME linear ramp ``s[n] = base + slope*n``, so the PCM
@@ -6203,7 +6496,7 @@ def synthesize_media(
     executors; ``keep`` columns pass through for downstream
     grouping."""
     kinds = ("image", "rle-bmp", "rle4-bmp", "pal-bmp", "bmp-32",
-             "audio", "flac", "ogg-flac", "png",
+             "audio", "wav-ext", "flac", "ogg-flac", "png",
              "png-palette", "png-lowbit",
              "png-interlaced", "png-16", "gif", "gif-anim", "jpeg",
              "jpeg-color", "jpeg-420", "jpeg-progressive", "jpeg-cmyk",
@@ -6229,7 +6522,8 @@ def synthesize_media(
                   "tiff-subbyte": "image/tiff",
                   "tiff-ycbcr": "image/tiff",
                   "tiff-multipage": "image/tiff",
-                  "audio": "audio/wav", "flac": "audio/flac",
+                  "audio": "audio/wav", "wav-ext": "audio/wav",
+                  "flac": "audio/flac",
                   "ogg-flac": "audio/ogg", "mp3": "audio/mpeg",
                   "vorbis": "audio/ogg", "opus": "audio/ogg",
                   "video": "video/x-msvideo"}[kind]
@@ -6438,6 +6732,10 @@ def synthesize_media(
                 # colors drift per frame index — chunk order is
                 # load-bearing in the oracle
                 payloads = [encode_avi_sample(int(d)) for d in ids]
+            elif kind == "wav-ext":
+                # extended-WAV family: 8/24-bit PCM, float32, IMA
+                # ADPCM, EXTENSIBLE — same decode_wav dispatch path
+                payloads = [encode_wav_ext(int(d)) for d in ids]
             elif kind == "mp3":
                 # header-walkable MPEG-1 Layer III streams with ID3v2
                 # titles (metadata scan only — PCM stays the boundary)

@@ -3870,6 +3870,68 @@ def multimodal_wav_decode_stats(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_wav_ext_decode_stats",
+    oracle="""
+    WITH w AS (
+      SELECT source, doc_id,
+             doc_id % 5 AS fmt,
+             40 + doc_id % 60 AS nf,
+             1 + doc_id % 2 AS ch,
+             8000 + (doc_id % 4) * 1000 AS rate,
+             (40 + doc_id % 60) * (1 + doc_id % 2) AS n
+      FROM documents),
+    m AS (
+      SELECT source, nf, rate,
+             CASE fmt
+               WHEN 0 THEN doc_id % 50 + (n - 1) / 2.0 - 128
+               WHEN 1 THEN (doc_id % 1000 - 500) * 1000 + 17 * (n - 1) / 2.0
+               WHEN 2 THEN doc_id % 200 - 100 + (n - 1) / 2.0
+               WHEN 3 THEN doc_id % 1000 - 500 + (ch - 1) * 50
+               ELSE doc_id % 400 - 200 + (n - 1) / 2.0
+             END AS mean_v
+      FROM w)
+    SELECT source, COUNT(*) AS n_items,
+           CAST(SUM(nf) AS BIGINT) AS sum_frames,
+           CAST(SUM(CAST(rate AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1)
+               AS avg_sample_rate,
+           CAST(SUM(CAST(mean_v AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1)
+               AS avg_amplitude,
+           MIN(nf * 1000.0 / rate) AS min_duration_ms,
+           MAX(nf * 1000.0 / rate) AS max_duration_ms
+    FROM m GROUP BY source
+    """,
+    doc="Extended RIFF/WAVE decode across the real-corpus format axes "
+    "the 16-bit row does not reach: docs cycle 8-bit unsigned PCM, "
+    "24-bit PCM, IEEE float32, IMA ADPCM (format 0x11) and "
+    "WAVE_FORMAT_EXTENSIBLE-wrapped int16 "
+    "(operators/multimodal.py::encode_wav_ext / ::decode_wav). Each "
+    "variant's mean amplitude has a closed form — the ADPCM rows use a "
+    "per-channel CONSTANT signal, which the IMA coder reproduces "
+    "EXACTLY from step index 0 (step 7 >> 3 == 0), so even the lossy "
+    "format is pinned by a lossless oracle; its frame count flows "
+    "through the mandatory fact chunk, so block-padding bugs shift "
+    "sum_frames. Stereo ADPCM carries c/c+100 per channel, so "
+    "nibble-group interleave bugs shift the mean.",
+    tags=("multimodal",),
+)
+def multimodal_wav_ext_decode_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    media = M.synthesize_media(d, "wav-ext", keep=("source",))
+    feats = M.extract_media_features(media, keep=("source",))
+    exact = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast("double") / F.count(
+        F.lit(1)
+    )
+    return feats.groupBy("source").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_units").alias("sum_frames"),
+        exact("sample_rate").alias("avg_sample_rate"),
+        exact("mean_value").alias("avg_amplitude"),
+        F.min("duration_ms").alias("min_duration_ms"),
+        F.max("duration_ms").alias("max_duration_ms"),
+    )
+
+
 _FLAC_RAMP_ORACLE = """
     SELECT source, COUNT(*) AS n_items,
            CAST(SUM(64 + doc_id % 128) AS BIGINT) AS sum_frames,

@@ -194,10 +194,88 @@ def test_bmp_compressed_rejected():
         M.decode_bmp(bytes(raw))
 
 
-def test_wav_non_pcm_rejected():
+def test_wav_unsupported_formats_rejected():
     raw = bytearray(M.encode_wav(8000, 1, 4, 0))
-    struct.pack_into("<H", raw, 20, 3)  # IEEE float format tag
-    with pytest.raises(NotImplementedError, match="non-PCM"):
+    struct.pack_into("<H", raw, 20, 2)  # MS ADPCM — not implemented
+    with pytest.raises(NotImplementedError, match="format 0x2"):
+        M.decode_wav(bytes(raw))
+    struct.pack_into("<H", raw, 20, 3)  # IEEE float claims 16 bits
+    with pytest.raises(NotImplementedError, match="IEEE-float"):
+        M.decode_wav(bytes(raw))
+
+
+def test_wav_ext_all_variants_roundtrip():
+    # one pass over every (format × channels) cell of the fixture cycle
+    for d in range(20):
+        fmt, rate, ch, nf = M.wav_ext_params(d)
+        f = M.decode_wav(M.encode_wav_ext(d))
+        n = nf * ch
+        expected = {
+            0: d % 50 + (n - 1) / 2 - 128,
+            1: (d % 1000 - 500) * 1000 + 17 * (n - 1) / 2,
+            2: d % 200 - 100 + (n - 1) / 2,
+            3: (d % 1000 - 500) + (ch - 1) * 50,
+            4: d % 400 - 200 + (n - 1) / 2,
+        }[fmt]
+        assert (f["sample_rate"], f["channels"], f["n_units"]) == (rate, ch, nf)
+        assert f["mean_value"] == pytest.approx(expected, abs=1e-9)
+        assert f["bit_depth"] == {0: 8, 1: 24, 2: 32, 3: 16, 4: 16}[fmt]
+
+
+def test_ima_adpcm_matches_stdlib_audioop():
+    # Cross-validate the IMA nibble core against CPython's audioop
+    # (Intel/DVI ADPCM — the same public algorithm), nibble by nibble,
+    # over a signal that sweeps the step table up and down.
+    audioop = pytest.importorskip("audioop")
+    import random
+
+    rng = random.Random(7)
+    samples = [rng.randint(-20000, 20000) for _ in range(512)]
+    pred = idx = 0
+    nibs = []
+    for s in samples:
+        nib, pred, idx = M._ima_encode_sample(s, pred, idx)
+        nibs.append(nib)
+    packed = bytes(
+        (nibs[i] << 4) | nibs[i + 1] for i in range(0, len(nibs), 2))
+    lin, _state = audioop.adpcm2lin(packed, 2, (0, 0))
+    theirs = list(struct.unpack(f"<{len(nibs)}h", lin))
+    pred = idx = 0
+    ours = []
+    for nib in nibs:
+        pred, idx = M._ima_decode_nibble(nib, pred, idx)
+        ours.append(pred)
+    assert ours == theirs
+
+
+def test_ima_adpcm_multiblock_and_fact_truncation():
+    # 65 samples/block at the default 32 data bytes per channel: 150
+    # frames span 3 blocks with the last one padded; the fact chunk
+    # must truncate the padding away.
+    frames = [(i * 100 - 7000,) for i in range(150)]
+    raw = M.encode_ima_adpcm_wav(8000, frames)
+    f = M.decode_wav(raw)
+    assert f["n_units"] == 150 and f["channels"] == 1
+    # the ramp's step-100 increments are not exactly representable at
+    # low step sizes, but tracking error must stay small and bounded
+    assert f["mean_value"] == pytest.approx(
+        sum(v for (v,) in frames) / 150, abs=300)
+
+
+def test_ima_adpcm_missing_fact_rejected():
+    raw = M.encode_ima_adpcm_wav(8000, [(5,)] * 10)
+    i = raw.index(b"fact")
+    # overwrite the fact chunk id so the walker never sees it
+    broken = raw[:i] + b"JUNK" + raw[i + 4:]
+    with pytest.raises(ValueError, match="fact"):
+        M.decode_wav(broken)
+
+
+def test_wav_extensible_unknown_guid_rejected():
+    raw = bytearray(M.encode_wav_ext(4))  # %5==4 → EXTENSIBLE int16
+    i = bytes(raw).index(M._WAVE_EXT_GUID_TAIL)
+    raw[i + 4] ^= 0xFF  # corrupt a GUID byte past the format code
+    with pytest.raises(NotImplementedError, match="GUID"):
         M.decode_wav(bytes(raw))
 
 
