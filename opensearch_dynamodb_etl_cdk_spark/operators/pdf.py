@@ -26,13 +26,21 @@ chains with per-filter /DecodeParms.
 
 Encryption: the standard security handler with an EMPTY user password
 (permissions-only encryption, the dominant real-world case) decrypts
-for real — ISO 32000-1 §7.6.3.3 Algorithm 2 key derivation (MD5 +
-50-round strengthening for /R 3), /U verification (Algorithms 4/5),
-and per-object RC4 keys (Algorithm 1) over RC4-40 (/V 1 /R 2) and
-RC4-128 (/V 2 /R 3). Cross-reference streams stay plaintext per spec;
-ObjStm members inherit protection from their (decrypted) carrier
-stream. Boundaries are loud and precise: AES / crypt-filter
-encryption (/V 4+), non-Standard handlers, non-empty user passwords
+for real across every revision in circulation — ISO 32000-1 §7.6.3.3
+Algorithm 2 key derivation (MD5 + 50-round strengthening for /R 3),
+/U verification (Algorithms 4/5), per-object RC4 keys (Algorithm 1)
+over RC4-40 (/V 1 /R 2) and RC4-128 (/V 2 /R 3); /V 4 /R 4 crypt
+filters (/CFM /AESV2 — AES-128-CBC with the 'sAlT' object-key
+extension — and /V2 RC4, /StmF//CF resolution incl. /Identity); and
+/V 5 AES-256 (/AESV3: /R 6 via the ISO 32000-2 Algorithm 2.B hardened
+hash, /R 5 via plain SHA-256, file key unwrapped from /UE, /Perms
+cross-checked against the 'adb' marker). The AES block cipher is
+implemented from FIPS-197 (generated S-box, T-table rounds) and
+pinned by the Appendix C known-answer vectors. Cross-reference
+streams stay plaintext per spec; ObjStm members inherit protection
+from their (decrypted) carrier stream. Boundaries are loud and
+precise: unknown crypt-filter methods, non-Standard handlers,
+non-empty user passwords
 (wrong-password /U mismatch), image/JBIG2/crypt filters,
 /EarlyChange 0 LZW, and TIFF predictors raise ``NotImplementedError``;
 a structurally broken file (bad xref offsets, missing trailer root,
@@ -48,6 +56,7 @@ quality, dedup) compose on the extracted column.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 import struct
@@ -92,6 +101,286 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# AES (FIPS-197) — pure-Python block cipher for the AESV2/AESV3 crypt
+# filters. The S-box is GENERATED from the spec's GF(2^8) inverse +
+# affine construction (§5.1.1) rather than transcribed, and the
+# implementation is pinned by the FIPS-197 Appendix C known-answer
+# vectors in tests/test_pdf.py. Per-object PDF streams are small
+# (tens of blocks), so pure Python is the right dependency-free cost.
+
+def _aes_build_tables() -> tuple[bytes, bytes, list, list]:
+    log = [0] * 256
+    alog = [0] * 255
+    d = 1
+    for i in range(255):  # powers of the generator 0x03
+        alog[i] = d
+        log[d] = i
+        d ^= ((d << 1) ^ (0x11B if d & 0x80 else 0)) & 0x1FF
+    sbox = bytearray(256)
+    for x in range(256):
+        inv = alog[(255 - log[x]) % 255] if x else 0
+        b = inv
+        for sh in (1, 2, 3, 4):  # affine transform over GF(2)
+            b ^= ((inv << sh) | (inv >> (8 - sh))) & 0xFF
+        sbox[x] = b ^ 0x63
+    inv_sbox = bytearray(256)
+    for x in range(256):
+        inv_sbox[sbox[x]] = x
+    return bytes(sbox), bytes(inv_sbox), log, alog
+
+
+_AES_SBOX, _AES_INV_SBOX, _GF_LOG, _GF_ALOG = _aes_build_tables()
+
+
+def _aes_build_ttables() -> tuple:
+    """Encryption T-tables: SubBytes+MixColumns fused per input byte,
+    packed as big-endian column ints — the classic software-AES
+    speedup (Algorithm 2.B encrypts thousands of blocks per call;
+    per-byte gmul would dominate the PDF fan-out)."""
+    def mul(a, b):
+        if not a or not b:
+            return 0
+        return _GF_ALOG[(_GF_LOG[a] + _GF_LOG[b]) % 255]
+
+    t0, t1, t2, t3 = [], [], [], []
+    for x in range(256):
+        s = _AES_SBOX[x]
+        s2, s3 = mul(s, 2), mul(s, 3)
+        t0.append((s2 << 24) | (s << 16) | (s << 8) | s3)
+        t1.append((s3 << 24) | (s2 << 16) | (s << 8) | s)
+        t2.append((s << 24) | (s3 << 16) | (s2 << 8) | s)
+        t3.append((s << 24) | (s << 16) | (s3 << 8) | s2)
+    return tuple(t0), tuple(t1), tuple(t2), tuple(t3)
+
+
+_AES_T0, _AES_T1, _AES_T2, _AES_T3 = _aes_build_ttables()
+
+
+def _gmul(a: int, b: int) -> int:
+    if not a or not b:
+        return 0
+    return _GF_ALOG[(_GF_LOG[a] + _GF_LOG[b]) % 255]
+
+
+def _aes_expand_key(key: bytes) -> list:
+    """Key schedule (§5.2) for Nk=4 (AES-128) or Nk=8 (AES-256);
+    returns the round keys as a flat list of 4-byte words."""
+    nk = len(key) // 4
+    if nk not in (4, 8):
+        raise ValueError("AES key must be 16 or 32 bytes")
+    nr = nk + 6
+    words = [list(key[4 * i: 4 * i + 4]) for i in range(nk)]
+    rcon = 1
+    for i in range(nk, 4 * (nr + 1)):
+        t = list(words[i - 1])
+        if i % nk == 0:
+            t = t[1:] + t[:1]  # RotWord
+            t = [_AES_SBOX[b] for b in t]  # SubWord
+            t[0] ^= rcon
+            rcon = _gmul(rcon, 2)
+        elif nk == 8 and i % nk == 4:
+            t = [_AES_SBOX[b] for b in t]  # AES-256 extra SubWord
+        words.append([a ^ b for a, b in zip(words[i - nk], t)])
+    return words
+
+
+def _aes_encrypt_block(words: list, block: bytes) -> bytes:
+    nr = len(words) // 4 - 1
+    s = list(block)  # FIPS state is column-major == serialization order
+    def addkey(st, rnd):
+        k = sum(words[4 * rnd: 4 * rnd + 4], [])
+        return [a ^ b for a, b in zip(st, k)]
+    s = addkey(s, 0)
+    for rnd in range(1, nr + 1):
+        s = [_AES_SBOX[b] for b in s]  # SubBytes
+        # ShiftRows on column-major layout: byte index = 4*col + row
+        s = [s[(4 * (c + r) + r) % 16] for c in range(4) for r in range(4)]
+        if rnd < nr:  # MixColumns
+            out = []
+            for c in range(4):
+                a = s[4 * c: 4 * c + 4]
+                out += [
+                    _gmul(a[0], 2) ^ _gmul(a[1], 3) ^ a[2] ^ a[3],
+                    a[0] ^ _gmul(a[1], 2) ^ _gmul(a[2], 3) ^ a[3],
+                    a[0] ^ a[1] ^ _gmul(a[2], 2) ^ _gmul(a[3], 3),
+                    _gmul(a[0], 3) ^ a[1] ^ a[2] ^ _gmul(a[3], 2),
+                ]
+            s = out
+        s = addkey(s, rnd)
+    return bytes(s)
+
+
+def _aes_decrypt_block(words: list, block: bytes) -> bytes:
+    nr = len(words) // 4 - 1
+    def addkey(st, rnd):
+        k = sum(words[4 * rnd: 4 * rnd + 4], [])
+        return [a ^ b for a, b in zip(st, k)]
+    s = addkey(list(block), nr)
+    for rnd in range(nr - 1, -1, -1):
+        # InvShiftRows: byte at (row r, col c) came from col (c - r)
+        s = [s[(4 * (c - r) + r) % 16] for c in range(4) for r in range(4)]
+        s = [_AES_INV_SBOX[b] for b in s]  # InvSubBytes
+        s = addkey(s, rnd)
+        if rnd:  # InvMixColumns
+            out = []
+            for c in range(4):
+                a = s[4 * c: 4 * c + 4]
+                out += [
+                    _gmul(a[0], 14) ^ _gmul(a[1], 11)
+                    ^ _gmul(a[2], 13) ^ _gmul(a[3], 9),
+                    _gmul(a[0], 9) ^ _gmul(a[1], 14)
+                    ^ _gmul(a[2], 11) ^ _gmul(a[3], 13),
+                    _gmul(a[0], 13) ^ _gmul(a[1], 9)
+                    ^ _gmul(a[2], 14) ^ _gmul(a[3], 11),
+                    _gmul(a[0], 11) ^ _gmul(a[1], 13)
+                    ^ _gmul(a[2], 9) ^ _gmul(a[3], 14),
+                ]
+            s = out
+    return bytes(s)
+
+
+def _aes_encrypt_cols(kw: list, w0: int, w1: int, w2: int, w3: int
+                      ) -> tuple[int, int, int, int]:
+    """One block through the T-table rounds; state = 4 big-endian
+    column ints. ~10× the byte-list path — the hot loop for CBC
+    encryption and Algorithm 2.B."""
+    t0, t1, t2, t3 = _AES_T0, _AES_T1, _AES_T2, _AES_T3
+    nr = len(kw) // 4 - 1
+    w0 ^= kw[0]; w1 ^= kw[1]; w2 ^= kw[2]; w3 ^= kw[3]
+    for rnd in range(1, nr):
+        k = 4 * rnd
+        n0 = (t0[(w0 >> 24) & 255] ^ t1[(w1 >> 16) & 255]
+              ^ t2[(w2 >> 8) & 255] ^ t3[w3 & 255] ^ kw[k])
+        n1 = (t0[(w1 >> 24) & 255] ^ t1[(w2 >> 16) & 255]
+              ^ t2[(w3 >> 8) & 255] ^ t3[w0 & 255] ^ kw[k + 1])
+        n2 = (t0[(w2 >> 24) & 255] ^ t1[(w3 >> 16) & 255]
+              ^ t2[(w0 >> 8) & 255] ^ t3[w1 & 255] ^ kw[k + 2])
+        n3 = (t0[(w3 >> 24) & 255] ^ t1[(w0 >> 16) & 255]
+              ^ t2[(w1 >> 8) & 255] ^ t3[w2 & 255] ^ kw[k + 3])
+        w0, w1, w2, w3 = n0, n1, n2, n3
+    sb = _AES_SBOX
+    k = 4 * nr
+    n0 = ((sb[(w0 >> 24) & 255] << 24) | (sb[(w1 >> 16) & 255] << 16)
+          | (sb[(w2 >> 8) & 255] << 8) | sb[w3 & 255]) ^ kw[k]
+    n1 = ((sb[(w1 >> 24) & 255] << 24) | (sb[(w2 >> 16) & 255] << 16)
+          | (sb[(w3 >> 8) & 255] << 8) | sb[w0 & 255]) ^ kw[k + 1]
+    n2 = ((sb[(w2 >> 24) & 255] << 24) | (sb[(w3 >> 16) & 255] << 16)
+          | (sb[(w0 >> 8) & 255] << 8) | sb[w1 & 255]) ^ kw[k + 2]
+    n3 = ((sb[(w3 >> 24) & 255] << 24) | (sb[(w0 >> 16) & 255] << 16)
+          | (sb[(w1 >> 8) & 255] << 8) | sb[w2 & 255]) ^ kw[k + 3]
+    return n0, n1, n2, n3
+
+
+def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC encrypt WITHOUT padding (callers pad; Algorithm 2.B and the
+    /UE//OE wrapping use exact-multiple inputs)."""
+    if len(data) % 16:
+        raise ValueError("CBC input must be a multiple of 16 bytes")
+    kw = [int.from_bytes(bytes(w), "big") for w in _aes_expand_key(key)]
+    p0, p1, p2, p3 = (int.from_bytes(iv[i:i + 4], "big") for i in
+                      (0, 4, 8, 12))
+    out = bytearray()
+    unpack = struct.Struct(">IIII").unpack_from
+    pack = struct.Struct(">IIII").pack
+    for i in range(0, len(data), 16):
+        b0, b1, b2, b3 = unpack(data, i)
+        p0, p1, p2, p3 = _aes_encrypt_cols(
+            kw, b0 ^ p0, b1 ^ p1, b2 ^ p2, b3 ^ p3)
+        out += pack(p0, p1, p2, p3)
+    return bytes(out)
+
+
+def _aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    if len(data) % 16:
+        raise ValueError("CBC input must be a multiple of 16 bytes")
+    words = _aes_expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i:i + 16]
+        out += bytes(a ^ b for a, b in
+                     zip(_aes_decrypt_block(words, blk), prev))
+        prev = blk
+    return bytes(out)
+
+
+def _aes_stream_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """PDF stream form: IV prefix + CBC over PKCS#7-padded data
+    (ISO 32000-1 §7.6.2: 'AES ... in cipher block chaining mode with
+    a 16-byte block size ... block padding per RFC 2898')."""
+    pad = 16 - len(data) % 16
+    return iv + _aes_cbc_encrypt(key, iv, data + bytes([pad]) * pad)
+
+
+def _aes_stream_decrypt(key: bytes, data: bytes) -> bytes:
+    if len(data) < 32 or len(data) % 16:
+        raise ValueError(
+            f"PDF: AES stream length {len(data)} is not IV + CBC blocks")
+    plain = _aes_cbc_decrypt(key, data[:16], data[16:])
+    pad = plain[-1]
+    if not 1 <= pad <= 16 or plain[-pad:] != bytes([pad]) * pad:
+        raise ValueError("PDF: bad AES block padding (wrong key or "
+                         "corrupted stream)")
+    return plain[:-pad]
+
+
+def _hash_2b_raw(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the /R 6 hardened hash): iterated
+    SHA-256/384/512 selected by an AES-CBC round over the running
+    digest, until round >= 64 and the last byte says stop."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    rnd = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_encrypt(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3](e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+# The synthesizer's /R 6 fixture salts are FIXED, so their Algorithm 2.B
+# digests are constants. ~0.2-0.4 s per evaluation is the DESIGNED cost
+# of the KDF — acceptable once per real corpus file, but a fleet of
+# fixture workers would each re-pay it 4×. Pre-seeding the memo keeps
+# the fixture path free while arbitrary real-world salts compute
+# honestly; tests/test_pdf.py recomputes every entry through
+# _hash_2b_raw so the constants cannot drift from the algorithm.
+_FIXTURE_U_SALTS = (b"uvalsalt", b"ukeysalt")
+_FIXTURE_O_SALTS = (b"ovalsalt", b"okeysalt")
+_FIXTURE_OWNER_PW = b"owner-secret"
+_H2B_VS = bytes.fromhex(
+    "5371ac62d099f0683864051d83b6fcd1460ce3b6a94dabea4531fc0b20008dc1")
+_H2B_KS = bytes.fromhex(
+    "00660f046393c55099ef31a2d50e4766ac19057415821f6f8d90e1221609967a")
+_FIXTURE_U_ENTRY = _H2B_VS + _FIXTURE_U_SALTS[0] + _FIXTURE_U_SALTS[1]
+_H2B_MEMO: dict[tuple[bytes, bytes, bytes], bytes] = {
+    (b"", _FIXTURE_U_SALTS[0], b""): _H2B_VS,
+    (b"", _FIXTURE_U_SALTS[1], b""): _H2B_KS,
+    (_FIXTURE_OWNER_PW, _FIXTURE_O_SALTS[0], _FIXTURE_U_ENTRY):
+        bytes.fromhex("affeff010d8a1d4a02afaa612c924592"
+                      "a4607fc9d59284668e6079e8daf7bf2e"),
+    (_FIXTURE_OWNER_PW, _FIXTURE_O_SALTS[1], _FIXTURE_U_ENTRY):
+        bytes.fromhex("573458d2a76f7ad9775e47689d9eb996"
+                      "bf43d92c620981c5bea9599e77d4f34d"),
+}
+
+
+def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    key = (password, salt, udata)
+    got = _H2B_MEMO.get(key)
+    if got is None:
+        got = _hash_2b_raw(password, salt, udata)
+        if len(_H2B_MEMO) > 256:  # corpus files bring arbitrary salts;
+            # drop the newest-seen tail, never the fixture seeds
+            while len(_H2B_MEMO) > 128:
+                _H2B_MEMO.popitem()
+        _H2B_MEMO[key] = got
+    return got
+
+
 def _std_file_key(password: bytes, o_entry: bytes, p: int, id0: bytes,
                   r: int, key_len: int) -> bytes:
     """Algorithm 2: the file encryption key from a (padded) user
@@ -134,12 +423,48 @@ def _std_user_entry(file_key: bytes, id0: bytes, r: int) -> bytes:
     return u + b"\x00" * 16  # 16 bytes of arbitrary padding per spec
 
 
-def _object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
-    """Algorithm 1: the per-object RC4 key — MD5 over the file key
-    plus the low 3 bytes of the object number and low 2 bytes of the
-    generation, truncated to min(len+5, 16)."""
+def _object_key(file_key: bytes, num: int, gen: int = 0,
+                aes: bool = False) -> bytes:
+    """Algorithm 1: the per-object key — MD5 over the file key plus
+    the low 3 bytes of the object number and low 2 bytes of the
+    generation (AESV2 appends the spec's 'sAlT' marker), truncated to
+    min(len+5, 16)."""
     ext = file_key + struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2]
+    if aes:
+        ext += b"sAlT"  # ISO 32000-1 §7.6.2 step b
     return hashlib.md5(ext).digest()[:min(len(file_key) + 5, 16)]
+
+
+def _decrypt_object_stream(cipher: str, file_key: bytes, num: int,
+                           gen: int, data: bytes) -> bytes:
+    """Apply the file's crypt method to one object stream."""
+    if cipher == "rc4":
+        return _rc4(_object_key(file_key, num, gen), data)
+    if cipher == "aesv2":
+        return _aes_stream_decrypt(
+            _object_key(file_key, num, gen, aes=True), data)
+    return _aes_stream_decrypt(file_key, data)  # aesv3: file key direct
+
+
+def _crypt_filter_method(encrypt_src: bytes) -> bytes | None:
+    """Resolve /StmF through /CF (ISO 32000-1 §7.6.5): returns the
+    /StdCF method name, or None when streams pass through Identity."""
+    sm = re.search(rb"/StmF\s*/(\w+)", encrypt_src)
+    stmf = sm.group(1) if sm else b"Identity"  # spec default
+    if stmf == b"Identity":
+        return None
+    if stmf != b"StdCF":
+        raise NotImplementedError(
+            f"PDF: crypt filter /{stmf.decode()} is not supported "
+            "(only /StdCF or /Identity)")
+    cm = re.search(rb"/StdCF\s*<<(.*?)>>", encrypt_src, re.S)
+    if not cm:
+        raise ValueError("PDF: /StmF names /StdCF but /CF does not "
+                         "define it")
+    mm = re.search(rb"/CFM\s*/(\w+)", cm.group(1))
+    if not mm:
+        raise ValueError("PDF: /StdCF crypt filter has no /CFM")
+    return mm.group(1)
 
 
 def _pdf_string_value(src: bytes, key: str) -> bytes | None:
@@ -212,10 +537,12 @@ def _escape_binary_string(b: bytes) -> bytes:
     return bytes(out)
 
 
-def _file_crypto(trailer: bytes, encrypt_src: bytes) -> bytes:
+def _file_crypto(trailer: bytes, encrypt_src: bytes) -> tuple[bytes, str]:
     """Validate a standard-security-handler encryption dictionary and
-    derive the file key with the EMPTY user password. Loud boundaries:
-    non-Standard handlers, /V 4+ (AES / crypt filters), and a /U
+    derive (file key, cipher) with the EMPTY user password: RC4
+    (/V 1-2 /R 2-3, and /V 4 crypt filter /V2), AES-128 (/V 4 /R 4
+    /AESV2) and AES-256 (/V 5 /R 5-6 /AESV3). Loud boundaries:
+    non-Standard handlers, unknown crypt-filter methods, and a /U
     mismatch (a real, non-empty user password)."""
     fm = re.search(rb"/Filter\s*/(\w+)", encrypt_src)
     if fm and fm.group(1) != b"Standard":
@@ -224,26 +551,71 @@ def _file_crypto(trailer: bytes, encrypt_src: bytes) -> bytes:
             "supported (only /Standard)")
     v = _int_key(encrypt_src, "V") or 0
     r = _int_key(encrypt_src, "R") or 0
-    if v not in (1, 2) or r not in (2, 3):
-        raise NotImplementedError(
-            f"PDF: encryption /V {v} /R {r} is not supported (RC4 "
-            "/V 1-2 /R 2-3 only; AES and crypt filters are a loud "
-            "boundary)")
-    key_bits = _int_key(encrypt_src, "Length") or 40
-    if key_bits % 8 or not 40 <= key_bits <= 128:
-        raise ValueError(f"PDF: bad encryption key length {key_bits}")
     o_entry = _pdf_string_value(encrypt_src, "O")
     u_entry = _pdf_string_value(encrypt_src, "U")
     pm = re.search(rb"/P\s+(-?\d+)", encrypt_src)
     if o_entry is None or u_entry is None or pm is None:
         raise ValueError("PDF: encryption dictionary missing /O, /U, or /P")
+    p = int(pm.group(1))
+    # /P is a signed 32-bit quantity however the writer serialized it
+    p = struct.unpack("<i", struct.pack("<I", p & 0xFFFFFFFF))[0]
+
+    if v == 5 and r in (5, 6):  # AES-256, ISO 32000-2 (and Adobe R5)
+        cfm = _crypt_filter_method(encrypt_src)
+        if cfm != b"AESV3":
+            raise NotImplementedError(
+                f"PDF: /V 5 with crypt method {cfm!r} is not supported "
+                "(only /AESV3)")
+        ue = _pdf_string_value(encrypt_src, "UE")
+        if len(u_entry) < 48 or ue is None or len(ue) != 32:
+            raise ValueError("PDF: /V 5 encryption needs a 48-byte /U "
+                             "and a 32-byte /UE")
+        vsalt, ksalt = u_entry[32:40], u_entry[40:48]
+        if r == 6:
+            vh = _hash_2b(b"", vsalt)
+            ik = _hash_2b(b"", ksalt)
+        else:  # R 5: plain SHA-256 (the deprecated Acrobat 9 scheme)
+            vh = hashlib.sha256(vsalt).digest()
+            ik = hashlib.sha256(ksalt).digest()
+        if vh != u_entry[:32]:
+            raise NotImplementedError(
+                "PDF: encrypted with a non-empty user password (cannot "
+                "decrypt without it)")
+        file_key = _aes_cbc_decrypt(ik, b"\x00" * 16, ue)
+        perms = _pdf_string_value(encrypt_src, "Perms")
+        if perms and len(perms) >= 16:
+            blk = _aes_decrypt_block(_aes_expand_key(file_key), perms[:16])
+            if blk[9:12] != b"adb":
+                raise ValueError("PDF: /Perms does not decrypt to the "
+                                 "'adb' marker (corrupt key material)")
+        return file_key, "aesv3"
+
+    if v == 4 and r == 4:  # crypt filters: AESV2 or RC4-through-/V2
+        cfm = _crypt_filter_method(encrypt_src)
+        if cfm is None:
+            cipher = "identity"
+        elif cfm == b"AESV2":
+            cipher = "aesv2"
+        elif cfm == b"V2":
+            cipher = "rc4"
+        else:
+            raise NotImplementedError(
+                f"PDF: crypt method /{cfm.decode()} is not supported "
+                "(AESV2 / V2 / Identity)")
+    elif v in (1, 2) and r in (2, 3):
+        cipher = "rc4"
+    else:
+        raise NotImplementedError(
+            f"PDF: encryption /V {v} /R {r} is not supported "
+            "(/V 1-2 /R 2-3 RC4, /V 4 /R 4 crypt filters, /V 5 /R 5-6 "
+            "AES-256 only)")
+    key_bits = _int_key(encrypt_src, "Length") or (128 if v == 4 else 40)
+    if key_bits % 8 or not 40 <= key_bits <= 128:
+        raise ValueError(f"PDF: bad encryption key length {key_bits}")
     idm = re.search(rb"/ID\s*\[\s*<([0-9a-fA-F\s]*)>", trailer)
     if not idm:
         raise ValueError("PDF: encrypted file has no /ID in the trailer")
     id0 = bytes.fromhex(re.sub(rb"\s+", b"", idm.group(1)).decode("ascii"))
-    p = int(pm.group(1))
-    # /P is a signed 32-bit quantity however the writer serialized it
-    p = struct.unpack("<i", struct.pack("<I", p & 0xFFFFFFFF))[0]
     key = _std_file_key(b"", o_entry, p, id0, r, key_bits // 8)
     expect = _std_user_entry(key, id0, r)
     ok = (expect[:16] == u_entry[:16]) if r >= 3 else \
@@ -252,7 +624,7 @@ def _file_crypto(trailer: bytes, encrypt_src: bytes) -> bytes:
         raise NotImplementedError(
             "PDF: encrypted with a non-empty user password (cannot "
             "decrypt without it)")
-    return key
+    return key, cipher
 
 
 def _string_bytes(s: str) -> bytes:
@@ -361,15 +733,20 @@ def encode_pdf(pages: list[str], compress: bool = True,
     non-Flate stream filters real corpora still carry; structural
     streams (ObjStm, xref) stay on Flate per ``compress``.
     ``encrypt`` ("rc4-40" → /V 1 /R 2, "rc4-128" → /V 2 /R 3 /Length
-    128) applies the standard security handler with an EMPTY user
-    password (permissions-only encryption): per-object RC4 over every
-    stream (content and ObjStm; the xref stream stays plaintext per
-    spec), a /Standard encryption dictionary, and a deterministic
-    trailer /ID — so encrypted fixtures stay oracle-reproducible.
+    128, "aes-128" → /V 4 /R 4 with the /AESV2 crypt filter,
+    "aes-256" → /V 5 /R 6 with /AESV3 and the Algorithm 2.B hardened
+    hash) applies the standard security handler with an EMPTY user
+    password (permissions-only encryption) over every stream (content
+    and ObjStm; the xref stream stays plaintext per spec). RC4 is
+    length-preserving; AES streams grow by IV + PKCS#7 padding, and
+    their /Length entries (direct or companion-object) are rewritten
+    to the ciphertext size. IVs, the trailer /ID, and the /V 5 salts
+    are deterministic — so encrypted fixtures stay
+    oracle-reproducible.
     """
     if layout not in ("classic", "xref-stream", "objstm", "hybrid"):
         raise ValueError(f"encode_pdf: unknown layout {layout!r}")
-    if encrypt not in (None, "rc4-40", "rc4-128"):
+    if encrypt not in (None, "rc4-40", "rc4-128", "aes-128", "aes-256"):
         raise ValueError(f"encode_pdf: unknown encrypt mode {encrypt!r}")
     objects: dict[int, bytes] = {}
     n_pages = len(pages)
@@ -421,41 +798,97 @@ def encode_pdf(pages: list[str], compress: bool = True,
                             + objects[cid][m.end():])
             objects[lid] = m.group(1)
 
-    enc_key: bytes | None = None
+    enc_stream = None  # (oid, data) -> encrypted data, set when encrypting
     encrypt_id: int | None = None
     file_id: bytes | None = None
     if encrypt is not None:
-        v, r, nbytes = (1, 2, 5) if encrypt == "rc4-40" else (2, 3, 16)
         perms = -44  # print + copy denied, the common permissions mask
         # deterministic /ID: fixtures must be byte-reproducible for the
         # oracle (real writers hash time+path; content hash is as valid)
         file_id = hashlib.md5(
             b"\x00".join(p.encode("utf-8", "replace") for p in pages)
         ).digest()
-        o_entry = _std_owner_entry(owner_password, b"", r, nbytes)
-        enc_key = _std_file_key(b"", o_entry, perms, file_id, r, nbytes)
-        u_entry = _std_user_entry(enc_key, file_id, r)
         encrypt_id = max(objects) + 1
-        objects[encrypt_id] = (
-            b"<< /Filter /Standard /V %d /R %d " % (v, r)
-            + (b"/Length %d " % (nbytes * 8) if v == 2 else b"")
-            + b"/P %d /O " % perms + _escape_binary_string(o_entry)
-            + b" /U " + _escape_binary_string(u_entry) + b" >>")
-        # RC4 every stream built so far (content streams) in place:
-        # length-preserving, so direct and companion /Length stay valid
+
+        def _det_iv(oid: int) -> bytes:
+            # real writers use random IVs; fixtures need reproducible
+            # ones, and CBC only needs uniqueness per (key, stream)
+            return hashlib.md5(b"iv" + file_id
+                               + struct.pack("<I", oid)).digest()
+
+        if encrypt in ("rc4-40", "rc4-128", "aes-128"):
+            v, r, nbytes = {"rc4-40": (1, 2, 5), "rc4-128": (2, 3, 16),
+                            "aes-128": (4, 4, 16)}[encrypt]
+            o_entry = _std_owner_entry(owner_password, b"", r, nbytes)
+            enc_key = _std_file_key(b"", o_entry, perms, file_id, r,
+                                    nbytes)
+            u_entry = _std_user_entry(enc_key, file_id, r)
+            cf = (b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+                  b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+                  if v == 4 else b"")
+            objects[encrypt_id] = (
+                b"<< /Filter /Standard /V %d /R %d " % (v, r)
+                + (b"/Length %d " % (nbytes * 8) if v >= 2 else b"")
+                + cf
+                + b"/P %d /O " % perms + _escape_binary_string(o_entry)
+                + b" /U " + _escape_binary_string(u_entry) + b" >>")
+            if encrypt == "aes-128":
+                enc_stream = lambda oid, data: _aes_stream_encrypt(
+                    _object_key(enc_key, oid, aes=True), _det_iv(oid),
+                    data)
+            else:
+                enc_stream = lambda oid, data: _rc4(
+                    _object_key(enc_key, oid), data)
+        else:  # aes-256: /V 5 /R 6, ISO 32000-2 §7.6.4
+            # FIXED salts (not content-derived): their Algorithm 2.B
+            # digests are pre-seeded module constants, so fixture
+            # workers never pay the deliberately-expensive KDF
+            vs, ks = _FIXTURE_U_SALTS
+            ovs, oks = _FIXTURE_O_SALTS
+            opw = _FIXTURE_OWNER_PW
+            fkey = hashlib.sha256(b"filekey" + file_id).digest()
+            u_entry = _hash_2b(b"", vs) + vs + ks
+            ue = _aes_cbc_encrypt(_hash_2b(b"", ks), b"\x00" * 16, fkey)
+            o_entry = _hash_2b(opw, ovs, u_entry) + ovs + oks
+            oe = _aes_cbc_encrypt(_hash_2b(opw, oks, u_entry),
+                                  b"\x00" * 16, fkey)
+            perms_blob = _aes_encrypt_block(
+                _aes_expand_key(fkey),
+                struct.pack("<i", perms) + b"\xff\xff\xff\xffTadbdete")
+            objects[encrypt_id] = (
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+                b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+                b"/Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+                + b"/P %d /O " % perms + _escape_binary_string(o_entry)
+                + b" /U " + _escape_binary_string(u_entry)
+                + b" /OE " + _escape_binary_string(oe)
+                + b" /UE " + _escape_binary_string(ue)
+                + b" /Perms " + _escape_binary_string(perms_blob)
+                + b" >>")
+            enc_stream = lambda oid, data: _aes_stream_encrypt(
+                fkey, _det_iv(oid), data)
+        # encrypt every stream built so far (content streams) in
+        # place. RC4 is length-preserving; AES grows streams by
+        # IV + padding, so direct /Length values and indirect-length
+        # companion objects are rewritten to the ciphertext size.
         for oid in sorted(objects):
             b = objects[oid]
             sm = re.search(rb"\nstream\n", b)
             if sm is None:
                 continue
             assert b.endswith(b"\nendstream")
-            data = b[sm.end():-len(b"\nendstream")]
-            objects[oid] = (b[:sm.end()]
-                            + _rc4(_object_key(enc_key, oid), data)
-                            + b"\nendstream")
+            data = enc_stream(oid, b[sm.end():-len(b"\nendstream")])
+            head = b[:sm.end()]
+            lm = re.search(rb"/Length (\d+)( 0 R)?", head)
+            if lm.group(2):  # companion integer object
+                objects[int(lm.group(1))] = b"%d" % len(data)
+            else:
+                head = (head[:lm.start()] + b"/Length %d" % len(data)
+                        + head[lm.end():])
+            objects[oid] = head + data + b"\nendstream"
 
     def _trailer_crypto() -> bytes:
-        if enc_key is None:
+        if enc_stream is None:
             return b""
         h = file_id.hex().encode()
         return (b"/Encrypt %d 0 R /ID [<" % encrypt_id + h + b"> <"
@@ -509,10 +942,10 @@ def encode_pdf(pages: list[str], compress: bool = True,
         if compress:
             data = zlib.compress(data)
             filt = b"/Filter /FlateDecode "
-        if enc_key is not None:
+        if enc_stream is not None:
             # ObjStm streams ARE encrypted (their member dictionaries
             # inherit protection); applied after filters, like content
-            data = _rc4(_object_key(enc_key, objstm_id), data)
+            data = enc_stream(objstm_id, data)
         objects[objstm_id] = (
             f"<< /Type /ObjStm /N {len(packed)} ".encode()
             + f"/First {len(header)} ".encode() + filt
@@ -1170,14 +1603,14 @@ def _objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             raise ValueError(
                 "PDF: trailer /Encrypt is dangling or packed inside an "
                 "object stream (forbidden)")
-        file_key = _file_crypto(trailer, objs[enc_ref][0])
+        file_key, cipher = _file_crypto(trailer, objs[enc_ref][0])
         for oid, (body, stream) in objs.items():
-            if stream is None or oid == enc_ref:
+            if stream is None or oid == enc_ref or cipher == "identity":
                 continue
             if re.search(rb"/Type\s*/XRef\b", body):
                 continue  # xref streams are never encrypted (§7.5.8.2)
-            objs[oid] = (body, _rc4(
-                _object_key(file_key, oid, gens.get(oid, 0)), stream))
+            objs[oid] = (body, _decrypt_object_stream(
+                cipher, file_key, oid, gens.get(oid, 0), stream))
     sliced: dict[int, tuple[list[tuple[int, int]], bytes, int]] = {}
     for oid, (stm_id, idx) in in_stream.items():
         if stm_id not in objs:
@@ -1421,16 +1854,18 @@ def synthesize_pdfs(df: DataFrame, text_col: str = "text",
     by ``id % 11``: ids 1/3 LZWDecode, 5 ASCIIHexDecode, 7
     ASCII85Decode, 9 RunLengthDecode, 2 the ``[/ASCII85Decode
     /FlateDecode]`` chain — the rest keep the odd=Flate / even=raw
-    default. ``id % 13 == 4`` encrypts with the standard security
-    handler at RC4-40 and ``id % 13 == 8`` at RC4-128 (empty user
-    password — the permissions-only form), composing with whatever
-    layout/filter the other cycles picked. The ingestion-side twin of
+    default. ``id % 13`` cycles the standard security handler (empty
+    user password — the permissions-only form): 4 → RC4-40, 8 →
+    RC4-128, 2 → AES-128 (/V 4 /AESV2), 11 → AES-256 (/V 5 /R 6
+    /AESV3), composing with whatever layout/filter the other cycles
+    picked. The ingestion-side twin of
     ``synthesize_media``: payload bytes are built and stay on the
     executors."""
     layouts = ("classic", "xref-stream", "objstm", "hybrid")
     filter_cycle = {1: "LZW", 3: "LZW", 5: "AHx", 7: "A85", 9: "RL",
                     2: "A85+Flate"}
-    encrypt_cycle = {4: "rc4-40", 8: "rc4-128"}
+    encrypt_cycle = {4: "rc4-40", 8: "rc4-128",
+                     2: "aes-128", 11: "aes-256"}
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -468,10 +468,69 @@ def test_pdf_encrypted_round_trip_all_layouts():
     assert e40 != e128
 
 
+def test_aes_known_answer_vectors():
+    """FIPS-197 Appendix C.1/C.3 pin the generated-S-box cipher, both
+    directions, and the T-table CBC fast path agrees with the
+    byte-list reference path."""
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    k128, k256 = bytes(range(16)), bytes(range(32))
+    c1 = P._aes_encrypt_block(P._aes_expand_key(k128), pt)
+    assert c1.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    c3 = P._aes_encrypt_block(P._aes_expand_key(k256), pt)
+    assert c3.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert P._aes_decrypt_block(P._aes_expand_key(k128), c1) == pt
+    assert P._aes_decrypt_block(P._aes_expand_key(k256), c3) == pt
+    # CBC(zero IV) over one block == the raw block transform
+    assert P._aes_cbc_encrypt(k128, bytes(16), pt) == c1
+    data = bytes(range(256)) * 3
+    for key in (k128, k256):
+        iv = P._aes_encrypt_block(P._aes_expand_key(key), bytes(16))
+        enc = P._aes_cbc_encrypt(key, iv, data)
+        assert P._aes_cbc_decrypt(key, iv, enc) == data
+        enc2 = P._aes_stream_encrypt(key, iv, data[:100])
+        assert P._aes_stream_decrypt(key, enc2) == data[:100]
+
+
+def test_hash_2b_precomputed_seeds_match_algorithm():
+    """The pre-seeded fixture KDF digests must equal what Algorithm
+    2.B actually computes — recompute every memo seed through the raw
+    path so the constants cannot drift from the implementation."""
+    vs, ks = P._FIXTURE_U_SALTS
+    ovs, oks = P._FIXTURE_O_SALTS
+    opw = P._FIXTURE_OWNER_PW
+    u_entry = P._FIXTURE_U_ENTRY
+    assert P._hash_2b_raw(b"", vs) == P._H2B_MEMO[(b"", vs, b"")]
+    assert P._hash_2b_raw(b"", ks) == P._H2B_MEMO[(b"", ks, b"")]
+    assert P._hash_2b_raw(opw, ovs, u_entry) == \
+        P._H2B_MEMO[(opw, ovs, u_entry)]
+    assert P._hash_2b_raw(opw, oks, u_entry) == \
+        P._H2B_MEMO[(opw, oks, u_entry)]
+    assert u_entry[:32] == P._H2B_MEMO[(b"", vs, b"")]
+
+
+def test_pdf_aes_encrypted_round_trip_all_layouts():
+    """AESV2 (/V 4 /R 4) and AESV3 (/V 5 /R 6) decrypt for real across
+    the xref layouts, filters, and indirect /Length companions (AES
+    grows streams, so the companion rewrite is load-bearing)."""
+    pages = ["hello AES world", "page two\nline 2"]
+    for mode in ("aes-128", "aes-256"):
+        for layout in ("classic", "xref-stream", "objstm", "hybrid"):
+            for cf in (None, "A85+Flate"):
+                b = P.encode_pdf(pages, layout=layout, encrypt=mode,
+                                 content_filter=cf)
+                assert P.extract_pdf_pages(b) == pages, (mode, layout, cf)
+        b = P.encode_pdf(pages, layout="objstm", encrypt=mode,
+                         indirect_length=True, hex_strings=True)
+        assert P.extract_pdf_pages(b) == pages, mode
+        e = P.encode_pdf(["secret marker text"], encrypt=mode,
+                         compress=False)
+        assert b"secret marker text" not in e, mode
+
+
 def test_pdf_encryption_boundaries_are_loud():
-    """Wrong (non-empty) user password and AES stay precise
-    NotImplementedError boundaries; a dangling /Encrypt is
-    structural corruption."""
+    """Wrong (non-empty) user password — all revisions — and unknown
+    crypt methods / handlers stay precise NotImplementedError
+    boundaries; corrupted /V 5 key material is structural."""
     import re as _re
 
     b = P.encode_pdf(["boundary text"], encrypt="rc4-40")
@@ -479,27 +538,38 @@ def test_pdf_encryption_boundaries_are_loud():
     bad_u = b[:m.end()] + bytes([b[m.end()] ^ 0xFF]) + b[m.end() + 1:]
     with pytest.raises(NotImplementedError, match="user password"):
         P.extract_pdf_pages(bad_u)
-    aes = b.replace(b"/V 1 /R 2 ", b"/V 4 /R 4 ")
-    with pytest.raises(NotImplementedError, match="/V 4"):
-        P.extract_pdf_pages(aes)
     alien = b.replace(b"/Filter /Standard", b"/Filter /AcmeSec ")
     with pytest.raises(NotImplementedError, match="AcmeSec"):
         P.extract_pdf_pages(alien)
+    # unknown crypt-filter method on a /V 4 file
+    a = P.encode_pdf(["boundary text"], encrypt="aes-128")
+    with pytest.raises(NotImplementedError, match="AESV9"):
+        P.extract_pdf_pages(a.replace(b"/CFM /AESV2", b"/CFM /AESV9"))
+    # /V 5: a non-empty user password shows as a validation-hash miss
+    a6 = P.encode_pdf(["boundary text"], encrypt="aes-256")
+    um = _re.search(rb"/U \(", a6)
+    bad6 = (a6[:um.end()] + bytes([a6[um.end()] ^ 0xFF])
+            + a6[um.end() + 1:])
+    with pytest.raises(NotImplementedError, match="user password"):
+        P.extract_pdf_pages(bad6)
 
 
 def test_pdf_synthesizer_cycles_encryption(spark):
-    """doc_id % 13 == 4/8 emit RC4-40/RC4-128 encrypted PDFs; the
-    extraction fan-out is encryption-transparent."""
+    """doc_id % 13 == 4/8/2/11 emit RC4-40/RC4-128/AES-128/AES-256
+    encrypted PDFs; the extraction fan-out is
+    encryption-transparent."""
     df = spark.createDataFrame(
         [(i, f"doc {i} encryption cycle") for i in range(26)],
         "doc_id long, text string")
     rows = {r.doc_id: bytes(r.payload)
             for r in P.synthesize_pdfs(df).collect()}
-    enc_ids = {i for i in range(26) if i % 13 in (4, 8)}
+    enc_ids = {i for i in range(26) if i % 13 in (4, 8, 2, 11)}
     for i, p in rows.items():
         assert (b"/Encrypt" in p) == (i in enc_ids), i
     v1 = {i for i in enc_ids if b"/V 1" in rows[i]}
     assert v1 == {i for i in range(26) if i % 13 == 4}
+    assert all(b"/AESV2" in rows[i] for i in range(26) if i % 13 == 2)
+    assert all(b"/AESV3" in rows[i] for i in range(26) if i % 13 == 11)
     texts = {r.doc_id: r.text
              for r in P.extract_document_text(P.synthesize_pdfs(df)).collect()}
     assert texts == {i: f"doc {i} encryption cycle" for i in range(26)}
