@@ -71,6 +71,10 @@ QUERIES = [
     # Both scan the FULL documents table; replica volume scales them.
     "multimodal_flac_decode_stats",
     "multimodal_palette_tiff_decode_stats",
+    # round-13 late: the extended-WAV family (IMA ADPCM block decode +
+    # float/24-bit numpy paths; full-table scan, so replica volume
+    # scales it directly)
+    "multimodal_wav_ext_decode_stats",
 ]
 
 # Ingestion-chain rows (round-11): the catalog rows probe a fixed
@@ -123,10 +127,18 @@ def _components_scaled(spark, sf_dir):
     return connected_components(pairs.select("id_a", "id_b"))
 
 
+def _wet_scaled(spark, sf_dir):
+    from opensearch_dynamodb_etl_cdk_spark.operators import warc as W
+
+    d = _scaled_doc_slice(spark, sf_dir)
+    return W.extract_wet_text(W.synthesize_wets(d))
+
+
 INGEST_QUERIES = [
     ("warc_text_extract", _warc_scaled),
     ("archived_pdf_corpus_stats", _archived_pdf_scaled),
     ("near_dup_components", _components_scaled),
+    ("wet_text_extract", _wet_scaled),
 ]
 
 # per-table integer key columns to offset per replica; tables absent
