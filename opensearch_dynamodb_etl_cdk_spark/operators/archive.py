@@ -424,27 +424,51 @@ def extract_members(payload: bytes) -> list[tuple[str, bytes]]:
 
 def extract_archive_members(df: DataFrame,
                             with_bytes: bool = False,
-                            keep: tuple[str, ...] = ()) -> DataFrame:
+                            keep: tuple[str, ...] = (),
+                            on_error: str = "raise") -> DataFrame:
     """Fan-out: one row per archive member (doc_id, member, n_bytes
-    [, payload]); member bytes only leave the UDF when asked for."""
+    [, payload]); member bytes only leave the UDF when asked for.
+
+    ``on_error="dlq"`` adds an ``error`` column and routes failures
+    (a damaged container, an unsupported compression method, a member
+    CRC mismatch) to a ``member = NULL`` side-output row instead of
+    failing the batch; members already walked before the failure are
+    kept — partial extraction plus an error row, the DLQ shape the
+    WARC/PDF readers share."""
+    if on_error not in ("raise", "dlq"):
+        raise ValueError(f"on_error must be raise/dlq, got {on_error!r}")
+    dlq = on_error == "dlq"
     keep_schema = ", ".join(f"{c} string" for c in keep)
     schema = "doc_id long, member string, n_bytes long" + (
         ", payload binary" if with_bytes else "") + (
+        ", error string" if dlq else "") + (
         ", " + keep_schema if keep else "")
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         cols = ["doc_id", "member", "n_bytes"] + (
-            ["payload"] if with_bytes else []) + list(keep)
+            ["payload"] if with_bytes else []) + (
+            ["error"] if dlq else []) + list(keep)
         for pdf in batches:
             rows = []
             for j, p in enumerate(pdf["payload"]):
-                for name, data in extract_members(bytes(p)):
-                    row = [pdf["doc_id"].iloc[j], name, len(data)]
+                tail = [pdf[c].iloc[j] for c in keep]
+                try:
+                    for name, data in extract_members(bytes(p)):
+                        row = [pdf["doc_id"].iloc[j], name, len(data)]
+                        if with_bytes:
+                            row.append(data)
+                        if dlq:
+                            row.append(None)
+                        rows.append((*row, *tail))
+                except (ValueError, NotImplementedError) as exc:
+                    if not dlq:
+                        raise
+                    row = [pdf["doc_id"].iloc[j], None, 0]
                     if with_bytes:
-                        row.append(data)
-                    rows.append((*row, *[pdf[c].iloc[j] for c in keep]))
+                        row.append(None)
+                    rows.append((*row, str(exc), *tail))
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(run, schema)

@@ -1894,12 +1894,24 @@ def synthesize_pdfs(df: DataFrame, text_col: str = "text",
 
 
 def extract_document_text(df: DataFrame,
-                          keep: tuple[str, ...] = ()) -> DataFrame:
+                          keep: tuple[str, ...] = (),
+                          on_error: str = "raise") -> DataFrame:
     """Arrow-batched page fan-out: one output row per PDF page
     (doc_id, page, text) — payload bytes never leave the UDF; the
-    extracted text column feeds the text-analysis/dedup operators."""
+    extracted text column feeds the text-analysis/dedup operators.
+
+    ``on_error="dlq"`` adds an ``error`` column and routes
+    PER-DOCUMENT failures (structural corruption, an unsupported
+    filter or handler) to a single ``page = -1`` side-output row
+    instead of failing the batch — the same DLQ shape as the WARC
+    reader: a 100 TB archive crawl always contains some damaged PDFs,
+    and one of them must not poison an Arrow batch."""
+    if on_error not in ("raise", "dlq"):
+        raise ValueError(f"on_error must be raise/dlq, got {on_error!r}")
+    dlq = on_error == "dlq"
     keep_schema = ", ".join(f"{c} string" for c in keep)
     schema = "doc_id long, page int, text string" + (
+        ", error string" if dlq else "") + (
         ", " + keep_schema if keep else "")
 
     def run(batches: Iterator) -> Iterator:
@@ -1908,10 +1920,20 @@ def extract_document_text(df: DataFrame,
         for pdf in batches:
             rows = []
             for j, p in enumerate(pdf["payload"]):
-                for k, text in enumerate(extract_pdf_pages(bytes(p))):
+                tail = [pdf[c].iloc[j] for c in keep]
+                try:
+                    pages = extract_pdf_pages(bytes(p))
+                except (ValueError, NotImplementedError) as exc:
+                    if not dlq:
+                        raise
+                    rows.append((pdf["doc_id"].iloc[j], -1, None,
+                                 str(exc), *tail))
+                    continue
+                for k, text in enumerate(pages):
                     rows.append((pdf["doc_id"].iloc[j], k, text,
-                                 *[pdf[c].iloc[j] for c in keep]))
+                                 *((None,) if dlq else ()), *tail))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "page", "text", *keep])
+                rows, columns=["doc_id", "page", "text",
+                               *(("error",) if dlq else ()), *keep])
 
     return df.mapInPandas(run, schema)

@@ -3005,6 +3005,84 @@ def warc_text_extract_dlq(spark, sf_dir):
 
 
 @register(
+    "pdf_text_extract_dlq",
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS page,
+           substr(text, CAST(i * 100 + 1 AS BIGINT), 100) AS text,
+           CAST(NULL AS VARCHAR) AS error
+    FROM (SELECT doc_id, text,
+                 unnest(range(0, CAST(greatest(1, ceil(length(text) / 100.0)) AS BIGINT))) AS i
+          FROM documents WHERE doc_id < 300 AND doc_id % 31 <> 7)
+    UNION ALL
+    SELECT doc_id, -1 AS page, CAST(NULL AS VARCHAR) AS text,
+           'not a PDF payload' AS error
+    FROM documents WHERE doc_id < 300 AND doc_id % 31 = 7
+    """,
+    doc="PDF extraction with the DLQ side-output: the corpus PDFs of "
+    "multimodal_pdf_text_extract, but ids %31==7 have their magic "
+    "bytes stomped (a codegen binary splice — F.concat over "
+    "substring(payload), no UDF) before extraction runs with "
+    "on_error='dlq'. Damaged documents surface as ONE page=-1 row "
+    "carrying the precise reader error instead of poisoning the Arrow "
+    "batch — a 100 TB archive crawl always contains broken PDFs. The "
+    "oracle pins BOTH row shapes, including the error text, so "
+    "swallowed errors or dropped good pages both break the hash.",
+    tags=("multimodal", "text"),
+)
+def pdf_text_extract_dlq(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") < 300)
+    pdfs = PDF.synthesize_pdfs(d)
+    corrupted = pdfs.withColumn(
+        "payload",
+        F.when(F.col("doc_id") % 31 == 7,
+               F.concat(F.lit(b"XXXX"),
+                        F.expr("substring(payload, 5, 2147483647)")))
+        .otherwise(F.col("payload")))
+    return PDF.extract_document_text(corrupted, on_error="dlq")
+
+
+@register(
+    "archive_extract_dlq",
+    oracle="""
+    SELECT doc_id, member, CAST(n_bytes AS BIGINT) AS n_bytes, error
+    FROM (
+      SELECT doc_id, 'manifest.txt' AS member,
+             length('doc=' || doc_id) AS n_bytes,
+             CAST(NULL AS VARCHAR) AS error
+      FROM documents WHERE doc_id < 300 AND doc_id % 29 <> 3
+      UNION ALL
+      SELECT doc_id, 'doc_' || doc_id || '.txt' AS member,
+             octet_length(CAST(text AS BLOB)) AS n_bytes,
+             CAST(NULL AS VARCHAR) AS error
+      FROM documents WHERE doc_id < 300 AND doc_id % 29 <> 3
+      UNION ALL
+      SELECT doc_id, CAST(NULL AS VARCHAR) AS member, 0 AS n_bytes,
+             'unrecognized archive payload (zip/tar/tar.{gz,bz2,xz})'
+                 AS error
+      FROM documents WHERE doc_id < 300 AND doc_id % 29 = 3
+    )
+    """,
+    doc="Archive member fan-out with the DLQ side-output: the "
+    "archive_text_extract fixture, but ids %29==3 carry junk bytes "
+    "instead of a container. With on_error='dlq' the damaged archives "
+    "surface as ONE member=NULL row with the precise reader error; "
+    "good archives keep their full member rows (n_bytes counts UTF-8 "
+    "bytes, so the oracle measures the decoded member payloads too).",
+    tags=("multimodal", "text"),
+)
+def archive_extract_dlq(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") < 300)
+    archives = ARC.synthesize_archives(d).withColumn(
+        "payload",
+        F.when(F.col("doc_id") % 29 == 3,
+               F.lit(b"not an archive at all, just junk bytes"))
+        .otherwise(F.col("payload")))
+    return ARC.extract_archive_members(archives, on_error="dlq")
+
+
+@register(
     "wet_text_extract",
     oracle="""
     SELECT doc_id,

@@ -370,3 +370,27 @@ def test_zip_bzip2_method_cross_validated():
     assert A.parse_zip(buf.getvalue()) == members
     with pytest.raises(ValueError, match="unknown method"):
         A.encode_zip(members, method="lzma")
+
+
+def test_extract_members_dlq_side_output(spark):
+    """on_error='dlq': a junk payload yields one member=NULL error row
+    with the precise reader message; good archives keep full member
+    rows; the default path still raises."""
+    df = spark.createDataFrame(
+        [(1, A.encode_zip([("a.txt", b"alpha")])),
+         (2, b"junk bytes that are not any container"),
+         (3, A.encode_tar([("b.txt", b"beta")]))],
+        "doc_id long, payload binary")
+    rows = sorted(
+        A.extract_archive_members(df, with_bytes=True,
+                                  on_error="dlq").collect(),
+        key=lambda r: r.doc_id)
+    assert [(r.doc_id, r.member, r.n_bytes, r.error is None)
+            for r in rows] == [
+        (1, "a.txt", 5, True),
+        (2, None, 0, False),
+        (3, "b.txt", 4, True)]
+    assert "unrecognized archive payload" in rows[1].error
+    assert rows[1].payload is None and bytes(rows[0].payload) == b"alpha"
+    with pytest.raises(Exception):
+        A.extract_archive_members(df).collect()

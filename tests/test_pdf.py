@@ -573,3 +573,25 @@ def test_pdf_synthesizer_cycles_encryption(spark):
     texts = {r.doc_id: r.text
              for r in P.extract_document_text(P.synthesize_pdfs(df)).collect()}
     assert texts == {i: f"doc {i} encryption cycle" for i in range(26)}
+
+
+def test_extract_document_text_dlq_side_output(spark):
+    """on_error='dlq': a corrupted PDF yields one page=-1 error row
+    instead of failing the batch; good documents are unaffected and
+    the default path still raises."""
+    df = spark.createDataFrame(
+        [(1, "good doc one"), (2, "bad doc"), (3, "good doc three")],
+        "doc_id long, text string")
+    from pyspark.sql import functions as F
+    pdfs = P.synthesize_pdfs(df).withColumn(
+        "payload",
+        F.when(F.col("doc_id") == 2, F.lit(b"XXXX garbage"))
+        .otherwise(F.col("payload")))
+    rows = sorted(P.extract_document_text(pdfs, on_error="dlq").collect(),
+                  key=lambda r: (r.doc_id, r.page))
+    assert [(r.doc_id, r.page, r.text, r.error) for r in rows] == [
+        (1, 0, "good doc one", None),
+        (2, -1, None, "not a PDF payload"),
+        (3, 0, "good doc three", None)]
+    with pytest.raises(Exception):
+        P.extract_document_text(pdfs).collect()
