@@ -10,9 +10,10 @@ dependencies:
 * uncompressed 24-bit BMP (``decode_bmp`` / ``encode_bmp``)
 * RIFF/WAVE (``decode_wav`` / ``encode_wav`` / ``encode_wav_ext``):
   integer PCM at 8/16/24/32 bits, IEEE float32/float64 (format 3),
-  IMA ADPCM (format 0x11, block-structured, ``fact``-chunk frame
-  counts) and WAVE_FORMAT_EXTENSIBLE (0xFFFE) with SubFormat GUID
-  resolution
+  IMA ADPCM (format 0x11) and MS ADPCM (format 2, the file's own
+  coefficient table) — both block-structured with ``fact``-chunk
+  frame counts — and WAVE_FORMAT_EXTENSIBLE (0xFFFE) with SubFormat
+  GUID resolution
 * 8-bit PNG, color types 0/2/4/6 (``decode_png`` / ``encode_png``) —
   the first REAL compressed format: stdlib ``zlib`` inflate plus the
   five public filter reconstructions (None/Sub/Up/Average/Paeth),
@@ -400,6 +401,110 @@ def _decode_ima_adpcm(data: bytes, channels: int, block_align: int,
     return samples[: fact_frames * channels]
 
 
+# MS ADPCM (WAVE format 2) — public constants from the Microsoft
+# Multimedia Standards ADPCM reference (also in the libsndfile /
+# multimedia-wiki documentation of the format).
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+_MS_COEFS = ((256, 0), (512, -256), (0, 64), (192, 64),
+             (240, 0), (460, -208), (392, -232))
+
+
+def encode_ms_adpcm_wav(sample_rate: int, frames: list,
+                        data_bytes_per_channel: int = 16) -> bytes:
+    """Build an MS ADPCM WAV (format 2) from int16 ``frames``. Block
+    layout per the public spec: per-channel predictor index, initial
+    delta, and the first TWO samples raw in the 7-byte-per-channel
+    header, then 4-bit codes nibble-interleaved across channels. The
+    encoder tracks the decoder's exact state (prediction via the
+    chosen coefficient pair, delta adaptation table), so its output is
+    what a conforming decoder reconstructs. A ``fact`` chunk records
+    the true frame count; the padded final block truncates away."""
+    channels = len(frames[0]) if frames else 1
+    n_frames = len(frames)
+    spb = 2 + data_bytes_per_channel * 2
+    block_align = channels * (7 + data_bytes_per_channel)
+    blocks = bytearray()
+    for b0 in range(0, n_frames, spb):
+        chunk = frames[b0: b0 + spb]
+        while len(chunk) < spb:
+            chunk = chunk + [chunk[-1]]
+        preds = [0] * channels          # coefficient pair 0: (256, 0)
+        deltas = [16] * channels
+        s1 = [int(chunk[1][ch]) for ch in range(channels)]
+        s2 = [int(chunk[0][ch]) for ch in range(channels)]
+        for ch in range(channels):
+            blocks += struct.pack("<B", 0)
+        for arr in (deltas, s1, s2):
+            for ch in range(channels):
+                blocks += struct.pack("<h", arr[ch])
+        nibs = []
+        for fr in chunk[2:]:
+            for ch in range(channels):
+                c1, c2 = _MS_COEFS[preds[ch]]
+                predicted = (s1[ch] * c1 + s2[ch] * c2) >> 8
+                err = int(fr[ch]) - predicted
+                code = max(-8, min(7, round(err / deltas[ch])
+                                   if deltas[ch] else 0))
+                recon = predicted + code * deltas[ch]
+                recon = max(-32768, min(32767, recon))
+                nibs.append(code & 0xF)
+                s2[ch], s1[ch] = s1[ch], recon
+                deltas[ch] = max(
+                    16, (_MS_ADAPT[code & 0xF] * deltas[ch]) >> 8)
+        for i in range(0, len(nibs), 2):
+            blocks.append((nibs[i] << 4) | nibs[i + 1])
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    coefs = b"".join(struct.pack("<hh", a, b) for a, b in _MS_COEFS)
+    fmt = struct.pack("<HHIIHHHHH", 2, channels, sample_rate, byte_rate,
+                      block_align, 4, 4 + 28, spb, len(_MS_COEFS)) + coefs
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, n_frames)
+            + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_ms_adpcm(data: bytes, channels: int, block_align: int,
+                     spb: int, coefs: list, fact_frames: int) -> list:
+    """Walk MS ADPCM blocks back to int16 samples using the FILE's
+    coefficient table (writers may extend the standard seven)."""
+    if block_align < 7 * channels:
+        raise ValueError(f"MS ADPCM block_align {block_align} invalid "
+                         f"for {channels} channel(s)")
+    samples = []
+    for off in range(0, len(data) - block_align + 1, block_align):
+        preds = list(data[off: off + channels])
+        base = off + channels
+        deltas = list(struct.unpack_from(f"<{channels}h", data, base))
+        s1 = list(struct.unpack_from(f"<{channels}h", data,
+                                     base + 2 * channels))
+        s2 = list(struct.unpack_from(f"<{channels}h", data,
+                                     base + 4 * channels))
+        for ch in range(channels):
+            if preds[ch] >= len(coefs):
+                raise ValueError(
+                    f"MS ADPCM predictor index {preds[ch]} exceeds the "
+                    f"{len(coefs)}-entry coefficient table")
+        chans = [[s2[ch], s1[ch]] for ch in range(channels)]
+        nib_src = data[base + 6 * channels: off + block_align]
+        ch = 0
+        for b in nib_src:
+            for code4 in (b >> 4, b & 0xF):
+                code = code4 - 16 if code4 & 8 else code4
+                c1, c2 = coefs[preds[ch]]
+                predicted = (s1[ch] * c1 + s2[ch] * c2) >> 8
+                recon = max(-32768, min(32767, predicted
+                                        + code * deltas[ch]))
+                chans[ch].append(recon)
+                s2[ch], s1[ch] = s1[ch], recon
+                deltas[ch] = max(16, (_MS_ADAPT[code4] * deltas[ch]) >> 8)
+                ch = (ch + 1) % channels
+        for i in range(min(spb, len(chans[0]))):
+            for c in range(channels):
+                samples.append(chans[c][i])
+    return samples[: fact_frames * channels]
+
+
 # KSDATAFORMAT_SUBTYPE GUID tail shared by PCM and IEEE-float SubFormats
 # (the first two bytes are the little-endian format code).
 _WAVE_EXT_GUID_TAIL = bytes.fromhex("000000000010800000aa00389b71")
@@ -453,7 +558,27 @@ def decode_wav(payload: bytes) -> dict:
                 f"WAVE_FORMAT_EXTENSIBLE SubFormat GUID {guid.hex()} "
                 "unsupported (PCM/IEEE-float GUIDs only)")
         audio_format = struct.unpack_from("<H", guid, 0)[0]
-    if audio_format == 0x11:  # IMA ADPCM
+    if audio_format == 2:  # MS ADPCM
+        if channels <= 0:
+            raise ValueError("MS ADPCM WAV with zero channels is malformed")
+        if bits != 4:
+            raise NotImplementedError(
+                f"MS ADPCM with {bits} bits/sample unsupported (4 only)")
+        if len(fmt_extra) < 6:
+            raise ValueError("MS ADPCM fmt chunk missing samples/coefs")
+        spb, ncoef = struct.unpack_from("<HH", fmt_extra, 2)
+        if len(fmt_extra) < 6 + 4 * ncoef:
+            raise ValueError("MS ADPCM coefficient table truncated")
+        coefs = [struct.unpack_from("<hh", fmt_extra, 6 + 4 * i)
+                 for i in range(ncoef)]
+        if fact_frames is None:
+            raise ValueError("MS ADPCM WAV missing the mandatory fact chunk")
+        samples = _decode_ms_adpcm(data, channels, block_align, spb,
+                                   coefs, fact_frames)
+        bit_depth = 16  # decoded scale
+        total = float(sum(samples))
+        n_samples = len(samples)
+    elif audio_format == 0x11:  # IMA ADPCM
         if channels <= 0:
             raise ValueError("IMA ADPCM WAV with zero channels is malformed")
         if bits != 4:
@@ -6381,10 +6506,11 @@ def wav_params(doc_id: int) -> tuple[int, int, int, int]:
 
 def wav_ext_params(doc_id: int) -> tuple[int, int, int, int]:
     """Ground-truth (fmt_cycle, sample_rate, channels, n_frames) for
-    the extended-WAV fixture family; ``fmt_cycle`` = doc_id % 5 picks
-    8-bit PCM / 24-bit PCM / float32 / IMA ADPCM / EXTENSIBLE-int16."""
+    the extended-WAV fixture family; ``fmt_cycle`` = doc_id % 6 picks
+    8-bit PCM / 24-bit PCM / float32 / IMA ADPCM / EXTENSIBLE-int16 /
+    MS ADPCM."""
     return (
-        doc_id % 5,
+        doc_id % 6,
         8000 + (doc_id % 4) * 1000,
         1 + doc_id % 2,
         40 + doc_id % 60,
@@ -6396,24 +6522,33 @@ def encode_wav_ext(doc_id: int) -> bytes:
     the plain ``encode_wav`` fixture does not reach. Every variant's
     mean amplitude has a closed form the DuckDB oracle reproduces:
 
-    * ``%5==0`` — 8-bit unsigned PCM, ramp ``(doc_id%50)+i`` (never
+    * ``%6==0`` — 8-bit unsigned PCM, ramp ``(doc_id%50)+i`` (never
       wraps: max 49+197 < 256), signed-scale mean
       ``doc_id%50 + (N-1)/2 - 128``;
-    * ``%5==1`` — 24-bit PCM, ramp ``base + 17*i`` with
+    * ``%6==1`` — 24-bit PCM, ramp ``base + 17*i`` with
       ``base=(doc_id%1000-500)*1000``, mean ``base + 17*(N-1)/2``;
-    * ``%5==2`` — IEEE float32, integer ramp (exact in a float32),
+    * ``%6==2`` — IEEE float32, integer ramp (exact in a float32),
       mean ``doc_id%200-100 + (N-1)/2``;
-    * ``%5==3`` — IMA ADPCM with a per-channel CONSTANT signal: with
+    * ``%6==3`` — IMA ADPCM with a per-channel CONSTANT signal: with
       the block header storing the first sample and step index 0,
       nibble 0 reconstructs ``step(0)>>3 == 0`` so a constant stream
       round-trips EXACTLY — a lossy codec with a lossless oracle.
       Channels carry ``c`` and ``c+100`` so interleave bugs shift the
       mean;
-    * ``%5==4`` — WAVE_FORMAT_EXTENSIBLE-wrapped 16-bit PCM ramp,
-      mean ``doc_id%400-200 + (N-1)/2``.
+    * ``%6==4`` — WAVE_FORMAT_EXTENSIBLE-wrapped 16-bit PCM ramp,
+      mean ``doc_id%400-200 + (N-1)/2``;
+    * ``%6==5`` — MS ADPCM (format 2) with a per-channel CONSTANT
+      signal: coefficient pair 0 is (256, 0), so prediction from two
+      equal header samples is exact and every code is 0 — again a
+      lossy codec under a lossless oracle. Channels carry ``c`` and
+      ``c+77``, mean ``doc_id%800-400 + (ch-1)*38.5``.
     """
     fmt, rate, ch, nf = wav_ext_params(doc_id)
     n = nf * ch
+    if fmt == 5:
+        c = doc_id % 800 - 400
+        frames = [tuple(c + 77 * k for k in range(ch))] * nf
+        return encode_ms_adpcm_wav(rate, frames)
     if fmt == 0:
         base = doc_id % 50
         data = bytes(base + i for i in range(n))

@@ -3953,7 +3953,7 @@ def multimodal_wav_decode_stats(spark, sf_dir):
     oracle="""
     WITH w AS (
       SELECT source, doc_id,
-             doc_id % 5 AS fmt,
+             doc_id % 6 AS fmt,
              40 + doc_id % 60 AS nf,
              1 + doc_id % 2 AS ch,
              8000 + (doc_id % 4) * 1000 AS rate,
@@ -3966,6 +3966,7 @@ def multimodal_wav_decode_stats(spark, sf_dir):
                WHEN 1 THEN (doc_id % 1000 - 500) * 1000 + 17 * (n - 1) / 2.0
                WHEN 2 THEN doc_id % 200 - 100 + (n - 1) / 2.0
                WHEN 3 THEN doc_id % 1000 - 500 + (ch - 1) * 50
+               WHEN 5 THEN doc_id % 800 - 400 + (ch - 1) * 38.5
                ELSE doc_id % 400 - 200 + (n - 1) / 2.0
              END AS mean_v
       FROM w)
@@ -3981,16 +3982,18 @@ def multimodal_wav_decode_stats(spark, sf_dir):
     """,
     doc="Extended RIFF/WAVE decode across the real-corpus format axes "
     "the 16-bit row does not reach: docs cycle 8-bit unsigned PCM, "
-    "24-bit PCM, IEEE float32, IMA ADPCM (format 0x11) and "
-    "WAVE_FORMAT_EXTENSIBLE-wrapped int16 "
+    "24-bit PCM, IEEE float32, IMA ADPCM (format 0x11), "
+    "WAVE_FORMAT_EXTENSIBLE-wrapped int16, and MS ADPCM (format 2, "
+    "decoded through the FILE's coefficient table) "
     "(operators/multimodal.py::encode_wav_ext / ::decode_wav). Each "
-    "variant's mean amplitude has a closed form — the ADPCM rows use a "
-    "per-channel CONSTANT signal, which the IMA coder reproduces "
-    "EXACTLY from step index 0 (step 7 >> 3 == 0), so even the lossy "
-    "format is pinned by a lossless oracle; its frame count flows "
-    "through the mandatory fact chunk, so block-padding bugs shift "
-    "sum_frames. Stereo ADPCM carries c/c+100 per channel, so "
-    "nibble-group interleave bugs shift the mean.",
+    "variant's mean amplitude has a closed form — the ADPCM rows use "
+    "per-channel CONSTANT signals, which IMA reproduces EXACTLY from "
+    "step index 0 (step 7 >> 3 == 0) and MS reproduces EXACTLY via "
+    "coefficient pair (256, 0), so both lossy formats are pinned by "
+    "lossless oracles; frame counts flow through the mandatory fact "
+    "chunk, so block-padding bugs shift sum_frames. Stereo carries "
+    "c/c+100 (IMA) and c/c+77 (MS) per channel, so nibble interleave "
+    "bugs shift the mean.",
     tags=("multimodal",),
 )
 def multimodal_wav_ext_decode_stats(spark, sf_dir):

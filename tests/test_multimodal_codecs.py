@@ -196,8 +196,8 @@ def test_bmp_compressed_rejected():
 
 def test_wav_unsupported_formats_rejected():
     raw = bytearray(M.encode_wav(8000, 1, 4, 0))
-    struct.pack_into("<H", raw, 20, 2)  # MS ADPCM — not implemented
-    with pytest.raises(NotImplementedError, match="format 0x2"):
+    struct.pack_into("<H", raw, 20, 6)  # a-law — not implemented
+    with pytest.raises(NotImplementedError, match="format 0x6"):
         M.decode_wav(bytes(raw))
     struct.pack_into("<H", raw, 20, 3)  # IEEE float claims 16 bits
     with pytest.raises(NotImplementedError, match="IEEE-float"):
@@ -206,7 +206,7 @@ def test_wav_unsupported_formats_rejected():
 
 def test_wav_ext_all_variants_roundtrip():
     # one pass over every (format × channels) cell of the fixture cycle
-    for d in range(20):
+    for d in range(24):
         fmt, rate, ch, nf = M.wav_ext_params(d)
         f = M.decode_wav(M.encode_wav_ext(d))
         n = nf * ch
@@ -216,10 +216,31 @@ def test_wav_ext_all_variants_roundtrip():
             2: d % 200 - 100 + (n - 1) / 2,
             3: (d % 1000 - 500) + (ch - 1) * 50,
             4: d % 400 - 200 + (n - 1) / 2,
+            5: (d % 800 - 400) + (ch - 1) * 38.5,
         }[fmt]
         assert (f["sample_rate"], f["channels"], f["n_units"]) == (rate, ch, nf)
         assert f["mean_value"] == pytest.approx(expected, abs=1e-9)
-        assert f["bit_depth"] == {0: 8, 1: 24, 2: 32, 3: 16, 4: 16}[fmt]
+        assert f["bit_depth"] == {0: 8, 1: 24, 2: 32, 3: 16, 4: 16,
+                                  5: 16}[fmt]
+
+
+def test_ms_adpcm_ramp_tracks_and_fact_truncates():
+    # 34 samples/block at the default 16 data bytes per channel: 150
+    # frames span 5 blocks with padding; fact truncates, and the
+    # adaptive-delta tracking error on a ramp stays small
+    frames = [(i * 40 - 3000,) for i in range(150)]
+    f = M.decode_wav(M.encode_ms_adpcm_wav(8000, frames))
+    assert f["n_units"] == 150 and f["channels"] == 1
+    assert f["mean_value"] == pytest.approx(
+        sum(v for (v,) in frames) / 150, abs=50)
+
+
+def test_ms_adpcm_bad_predictor_index_rejected():
+    raw = bytearray(M.encode_ms_adpcm_wav(8000, [(5,)] * 10))
+    i = bytes(raw).index(b"data") + 8  # first block's predictor byte
+    raw[i] = 9  # beyond the 7-entry coefficient table
+    with pytest.raises(ValueError, match="predictor index"):
+        M.decode_wav(bytes(raw))
 
 
 def test_ima_adpcm_matches_stdlib_audioop():
