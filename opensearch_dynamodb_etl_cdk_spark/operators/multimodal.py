@@ -12,8 +12,9 @@ dependencies:
   integer PCM at 8/16/24/32 bits, IEEE float32/float64 (format 3),
   IMA ADPCM (format 0x11) and MS ADPCM (format 2, the file's own
   coefficient table) — both block-structured with ``fact``-chunk
-  frame counts — and WAVE_FORMAT_EXTENSIBLE (0xFFFE) with SubFormat
-  GUID resolution
+  frame counts — G.711 µ-law/A-law companded audio (formats 7/6,
+  spec-generated expansion tables) and WAVE_FORMAT_EXTENSIBLE
+  (0xFFFE) with SubFormat GUID resolution
 * 8-bit PNG, color types 0/2/4/6 (``decode_png`` / ``encode_png``) —
   the first REAL compressed format: stdlib ``zlib`` inflate plus the
   five public filter reconstructions (None/Sub/Up/Average/Paeth),
@@ -505,6 +506,44 @@ def _decode_ms_adpcm(data: bytes, channels: int, block_align: int,
     return samples[: fact_frames * channels]
 
 
+def _build_g711_tables() -> tuple[tuple, tuple]:
+    """G.711 companding expansion tables, generated from the ITU spec
+    formulas rather than transcribed (µ-law: complemented byte,
+    ((mant*8+132) << exp) - 132; A-law: 0x55-toggled byte, chord/step
+    expansion). Both are cross-validated byte-for-byte against CPython
+    audioop in tests."""
+    ulaw, alaw = [], []
+    for code in range(256):
+        u = ~code & 0xFF
+        mant, exp, sign = u & 0xF, (u >> 4) & 7, u & 0x80
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+        ulaw.append(-mag if sign else mag)
+        x = code ^ 0x55
+        mant, exp, sign = x & 0xF, (x >> 4) & 7, x & 0x80
+        mag = (mant << 4) + 8 if exp == 0 else \
+            ((mant << 4) + 0x108) << (exp - 1)
+        alaw.append(mag if sign else -mag)
+    return tuple(ulaw), tuple(alaw)
+
+
+_G711_ULAW, _G711_ALAW = _build_g711_tables()
+
+
+def encode_g711_wav(sample_rate: int, codes: bytes, law: str) -> bytes:
+    """Build a mono G.711 WAV (format 6 A-law / 7 µ-law) from raw
+    companded code bytes — the telephony/voicemail capture format; one
+    byte per sample, bits_per_sample 8."""
+    fmt_code = {"alaw": 6, "ulaw": 7}[law]
+    fmt = struct.pack("<HHIIHHH", fmt_code, 1, sample_rate, sample_rate,
+                      1, 8, 0)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, len(codes))
+            + b"data" + struct.pack("<I", len(codes)) + codes)
+    if len(codes) % 2:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 # KSDATAFORMAT_SUBTYPE GUID tail shared by PCM and IEEE-float SubFormats
 # (the first two bytes are the little-endian format code).
 _WAVE_EXT_GUID_TAIL = bytes.fromhex("000000000010800000aa00389b71")
@@ -517,8 +556,10 @@ def decode_wav(payload: bytes) -> dict:
 
     Formats: integer PCM (format 1) at 8 (unsigned), 16, 24 and 32
     bits; IEEE float (format 3) at 32/64 bits; IMA ADPCM (format 0x11)
-    with ``fact``-authoritative frame counts; WAVE_FORMAT_EXTENSIBLE
-    (0xFFFE) resolved through its SubFormat GUID. Returns sample rate,
+    and MS ADPCM (format 2) with ``fact``-authoritative frame counts;
+    G.711 A-law/µ-law (formats 6/7) through the spec-generated
+    expansion tables; WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolved through
+    its SubFormat GUID. Returns sample rate,
     channel count, frame count, duration and the mean amplitude
     (8-bit means are re-centered by -128 so every format reports on
     the signed scale).
@@ -594,6 +635,17 @@ def decode_wav(payload: bytes) -> dict:
         bit_depth = 16  # decoded scale
         total = float(sum(samples))
         n_samples = len(samples)
+    elif audio_format in (6, 7):  # G.711 A-law / mu-law
+        if bits != 8:
+            raise NotImplementedError(
+                f"G.711 with {bits} bits/sample unsupported (8 only)")
+        import numpy as np
+        tab = np.array(_G711_ALAW if audio_format == 6 else _G711_ULAW,
+                       dtype=np.int64)
+        vals = tab[np.frombuffer(data, dtype=np.uint8)]
+        n_samples = len(data)
+        total = float(vals.sum(dtype=np.int64))
+        bit_depth = 16  # decoded scale
     elif audio_format == 1:
         if bits not in (8, 16, 24, 32):
             raise NotImplementedError(
@@ -6506,11 +6558,11 @@ def wav_params(doc_id: int) -> tuple[int, int, int, int]:
 
 def wav_ext_params(doc_id: int) -> tuple[int, int, int, int]:
     """Ground-truth (fmt_cycle, sample_rate, channels, n_frames) for
-    the extended-WAV fixture family; ``fmt_cycle`` = doc_id % 6 picks
+    the extended-WAV fixture family; ``fmt_cycle`` = doc_id % 8 picks
     8-bit PCM / 24-bit PCM / float32 / IMA ADPCM / EXTENSIBLE-int16 /
-    MS ADPCM."""
+    MS ADPCM / G.711 mu-law / G.711 A-law."""
     return (
-        doc_id % 6,
+        doc_id % 8,
         8000 + (doc_id % 4) * 1000,
         1 + doc_id % 2,
         40 + doc_id % 60,
@@ -6541,10 +6593,19 @@ def encode_wav_ext(doc_id: int) -> bytes:
       signal: coefficient pair 0 is (256, 0), so prediction from two
       equal header samples is exact and every code is 0 — again a
       lossy codec under a lossless oracle. Channels carry ``c`` and
-      ``c+77``, mean ``doc_id%800-400 + (ch-1)*38.5``.
+      ``c+77``, mean ``doc_id%800-400 + (ch-1)*38.5``;
+    * ``%8==6`` / ``%8==7`` — G.711 mu-law / A-law (formats 7 / 6,
+      mono): every sample the SAME companded code byte
+      ``(doc_id // 8) % 256``, so the mean is that code's exact
+      expansion-table value — closed-form in SQL via the G.711 chord
+      arithmetic (mirrored formula, audioop-cross-validated tables).
     """
     fmt, rate, ch, nf = wav_ext_params(doc_id)
     n = nf * ch
+    if fmt in (6, 7):
+        code = (doc_id // 8) % 256
+        return encode_g711_wav(rate, bytes([code]) * nf,
+                               "ulaw" if fmt == 6 else "alaw")
     if fmt == 5:
         c = doc_id % 800 - 400
         frames = [tuple(c + 77 * k for k in range(ch))] * nf

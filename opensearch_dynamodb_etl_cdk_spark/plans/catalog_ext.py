@@ -3953,11 +3953,13 @@ def multimodal_wav_decode_stats(spark, sf_dir):
     oracle="""
     WITH w AS (
       SELECT source, doc_id,
-             doc_id % 6 AS fmt,
+             doc_id % 8 AS fmt,
              40 + doc_id % 60 AS nf,
              1 + doc_id % 2 AS ch,
              8000 + (doc_id % 4) * 1000 AS rate,
-             (40 + doc_id % 60) * (1 + doc_id % 2) AS n
+             (40 + doc_id % 60) * (1 + doc_id % 2) AS n,
+             255 - (doc_id // 8) % 256 AS g711u,
+             xor((doc_id // 8) % 256, 85) AS g711x
       FROM documents),
     m AS (
       SELECT source, nf, rate,
@@ -3967,6 +3969,14 @@ def multimodal_wav_decode_stats(spark, sf_dir):
                WHEN 2 THEN doc_id % 200 - 100 + (n - 1) / 2.0
                WHEN 3 THEN doc_id % 1000 - 500 + (ch - 1) * 50
                WHEN 5 THEN doc_id % 800 - 400 + (ch - 1) * 38.5
+               WHEN 6 THEN (CASE WHEN g711u >= 128 THEN -1 ELSE 1 END)
+                 * ((g711u % 16) * 8 + 132) * POWER(2, (g711u % 128) // 16)
+                 - (CASE WHEN g711u >= 128 THEN -132 ELSE 132 END)
+               WHEN 7 THEN (CASE WHEN g711x >= 128 THEN 1 ELSE -1 END)
+                 * (CASE WHEN (g711x % 128) // 16 = 0
+                         THEN (g711x % 16) * 16 + 8
+                         ELSE ((g711x % 16) * 16 + 264)
+                              * POWER(2, (g711x % 128) // 16 - 1) END)
                ELSE doc_id % 400 - 200 + (n - 1) / 2.0
              END AS mean_v
       FROM w)
@@ -3983,8 +3993,11 @@ def multimodal_wav_decode_stats(spark, sf_dir):
     doc="Extended RIFF/WAVE decode across the real-corpus format axes "
     "the 16-bit row does not reach: docs cycle 8-bit unsigned PCM, "
     "24-bit PCM, IEEE float32, IMA ADPCM (format 0x11), "
-    "WAVE_FORMAT_EXTENSIBLE-wrapped int16, and MS ADPCM (format 2, "
-    "decoded through the FILE's coefficient table) "
+    "WAVE_FORMAT_EXTENSIBLE-wrapped int16, MS ADPCM (format 2, "
+    "decoded through the FILE's coefficient table), and G.711 "
+    "mu-law/A-law (formats 7/6 — constant companded code bytes whose "
+    "expansion the oracle recomputes with the ITU chord arithmetic, "
+    "tables audioop-cross-validated) "
     "(operators/multimodal.py::encode_wav_ext / ::decode_wav). Each "
     "variant's mean amplitude has a closed form — the ADPCM rows use "
     "per-channel CONSTANT signals, which IMA reproduces EXACTLY from "

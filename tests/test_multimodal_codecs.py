@@ -196,8 +196,8 @@ def test_bmp_compressed_rejected():
 
 def test_wav_unsupported_formats_rejected():
     raw = bytearray(M.encode_wav(8000, 1, 4, 0))
-    struct.pack_into("<H", raw, 20, 6)  # a-law — not implemented
-    with pytest.raises(NotImplementedError, match="format 0x6"):
+    struct.pack_into("<H", raw, 20, 0x55)  # MP3-in-WAV — not implemented
+    with pytest.raises(NotImplementedError, match="format 0x55"):
         M.decode_wav(bytes(raw))
     struct.pack_into("<H", raw, 20, 3)  # IEEE float claims 16 bits
     with pytest.raises(NotImplementedError, match="IEEE-float"):
@@ -206,10 +206,11 @@ def test_wav_unsupported_formats_rejected():
 
 def test_wav_ext_all_variants_roundtrip():
     # one pass over every (format × channels) cell of the fixture cycle
-    for d in range(24):
+    for d in range(48):
         fmt, rate, ch, nf = M.wav_ext_params(d)
         f = M.decode_wav(M.encode_wav_ext(d))
         n = nf * ch
+        code = (d // 8) % 256
         expected = {
             0: d % 50 + (n - 1) / 2 - 128,
             1: (d % 1000 - 500) * 1000 + 17 * (n - 1) / 2,
@@ -217,11 +218,26 @@ def test_wav_ext_all_variants_roundtrip():
             3: (d % 1000 - 500) + (ch - 1) * 50,
             4: d % 400 - 200 + (n - 1) / 2,
             5: (d % 800 - 400) + (ch - 1) * 38.5,
+            6: M._G711_ULAW[code],
+            7: M._G711_ALAW[code],
         }[fmt]
-        assert (f["sample_rate"], f["channels"], f["n_units"]) == (rate, ch, nf)
+        exp_ch = 1 if fmt in (6, 7) else ch  # G.711 fixture is mono
+        assert (f["sample_rate"], f["channels"], f["n_units"]) == \
+            (rate, exp_ch, nf)
         assert f["mean_value"] == pytest.approx(expected, abs=1e-9)
         assert f["bit_depth"] == {0: 8, 1: 24, 2: 32, 3: 16, 4: 16,
-                                  5: 16}[fmt]
+                                  5: 16, 6: 16, 7: 16}[fmt]
+
+
+def test_g711_tables_match_stdlib_audioop():
+    """Every one of the 256 generated expansion values, both laws,
+    against CPython's G.711 implementation."""
+    audioop = pytest.importorskip("audioop")
+    for c in range(256):
+        (u,) = struct.unpack("<h", audioop.ulaw2lin(bytes([c]), 2))
+        (a,) = struct.unpack("<h", audioop.alaw2lin(bytes([c]), 2))
+        assert M._G711_ULAW[c] == u, c
+        assert M._G711_ALAW[c] == a, c
 
 
 def test_ms_adpcm_ramp_tracks_and_fact_truncates():
