@@ -315,24 +315,48 @@ def ivf_centroids(
     if not cents or refine_iters <= 0:
         return cents
     dim = len(cents[0])
-    mean_cols = [
-        (
-            F.sum(F.col(vec_col).getItem(i).cast("decimal(38,18)"))
-            / F.count(F.lit(1))
-        )
+    # per-dimension decimal means via posexplode: ONE decimal-sum
+    # aggregate over (cluster, dim) keys instead of `dim` separate agg
+    # columns — same cast → exact-decimal-sum → /count → double
+    # expression per element, so the means are bit-identical (asserted
+    # when this replaced the wide agg), but the analyzed/codegen'd plan
+    # is constant-size in `dim` (the wide form paid ~0.4 s/iteration of
+    # plan+codegen overhead at dim=64). The shuffle still carries only
+    # n_centroids × dim decimal partials after map-side partial agg.
+    mean_col = (
+        (F.sum(F.col("__x").cast("decimal(38,18)")) / F.count(F.lit(1)))
         .cast("double")
-        .alias(f"_d{i}")
-        for i in range(dim)
-    ]
+        .alias("__m")
+    )
     for _ in range(refine_iters):
-        stats = ivf_assign(df, cents, vec_col).groupBy("_cluster").agg(*mean_cols).collect()
+        stats = (
+            ivf_assign(df, cents, vec_col)
+            .select("_cluster", F.posexplode(F.col(vec_col)).alias("__j", "__x"))
+            .groupBy("_cluster", "__j")
+            .agg(mean_col)
+            .collect()
+        )
         new = [list(c) for c in cents]
         for r in stats:
-            new[r["_cluster"]] = [float(r[f"_d{i}"]) for i in range(dim)]
+            new[r["_cluster"]][r["__j"]] = float(r["__m"])
         if new == cents:  # converged early
             break
         cents = new
     return cents
+
+
+def _sql_double(x: float) -> str:
+    """Render a Python float as a Spark SQL DOUBLE literal that parses
+    back to the identical bits (repr round-trips; the parser uses
+    correctly-rounded Double.parseDouble)."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{x!r}D"
 
 
 def ivf_assign(
@@ -345,17 +369,54 @@ def ivf_assign(
     expression: array of (score, cid) structs → array_max picks the
     best (struct ordering compares score first, cid breaks ties).
     At scale this column is materialized once next to the vectors
-    (narrow int) and queries touch only probed clusters."""
-    cells = F.array(
-        *[
-            F.struct(
-                cosine(F.col(vec_col), F.array(*[F.lit(x) for x in c])).alias("s"),
-                F.lit(i).alias("c"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    (narrow int) and queries touch only probed clusters.
+
+    The expression is generated as ONE compact SQL string (a single
+    parse instead of thousands of py4j Column calls — the per-call
+    driver cost that dominated Lloyd refinement): the centroid table
+    and its norms are emitted once as ``array(...)`` literals that
+    constant-fold into codegen *reference* objects, and the
+    per-centroid cosine is a ``transform`` over centroid indices whose
+    lambdas reproduce :func:`functions.vectors.dot` / ``l2_norm``
+    exactly (same zip_with/aggregate shape, same left-to-right fold),
+    so scores are bit-identical to the original per-centroid-literal
+    expression while the analyzed plan stays ~constant-size in
+    ``n_centroids × dim`` (the old form serialized an 8×64-literal
+    tree into every task binary: measured 0.28 s build + 0.8-1.0 s/scan
+    vs 0.14 s + 0.17 s for this form on the same data). Centroid norms
+    are pre-folded driver-side with the identical IEEE op sequence
+    (x*x accumulated left-to-right, ``math.sqrt``)."""
+    if not centroids:
+        raise ValueError("ivf_assign: centroids must be non-empty")
+    v = f"`{vec_col}`"
+    n = len(centroids)
+    norms = []
+    for c in centroids:
+        acc = 0.0
+        for x in c:
+            acc += float(x) * float(x)
+        norms.append(math.sqrt(acc))
+    cents_sql = "array(" + ", ".join(
+        "array(" + ", ".join(_sql_double(x) for x in c) + ")"
+        for c in centroids
+    ) + ")"
+    nbs_sql = "array(" + ", ".join(_sql_double(x) for x in norms) + ")"
+    assign_sql = f"""
+    array_max(transform(sequence(0, {n - 1}),
+      i -> struct(
+        (aggregate(zip_with({v}, __ivf_c[i], (x, y) -> CAST(x AS DOUBLE) * y),
+                   0.0D, (acc, x) -> acc + x)
+         / (SQRT(aggregate(transform({v},
+                                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                           0.0D, (acc, x) -> acc + x)) * __ivf_nb[i])) AS s,
+        i AS c))).c
+    """
+    return (
+        df.withColumn("__ivf_c", F.expr(cents_sql))
+        .withColumn("__ivf_nb", F.expr(nbs_sql))
+        .withColumn(cluster_col, F.expr(assign_sql))
+        .drop("__ivf_c", "__ivf_nb")
     )
-    return df.withColumn(cluster_col, F.array_max(cells).getField("c"))
 
 
 def build_ivf_index(
