@@ -62,6 +62,12 @@ _PY_PRE_RE = re.compile(
 )
 
 
+def _sql_str(s: str) -> str:
+    """Escape a Python string as a Spark SQL string literal (default
+    parser mode: backslash is the escape character)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _merge_fold(syms: Column, a: str, b: str) -> Column:
     """Leftmost-greedy merge of adjacent (a, b) → 'ab' in one fold.
 
@@ -84,6 +90,34 @@ def _merge_fold(syms: Column, a: str, b: str) -> Column:
     )
 
 
+_PAIRS_SQL = (
+    "zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)), "
+    "slice(syms, 2, greatest(size(syms) - 1, 0)), "
+    "(x, y) -> struct(x AS a, y AS b))"
+)
+
+
+def _merge_step_sql(a: str, b: str) -> str:
+    """The per-iteration rewrite column as ONE SQL string: the guarded
+    leftmost-greedy fold, parsed in a single call instead of ~50 py4j
+    Column constructions per merge round (measured ~0.3 s/round of
+    driver time at 20 rounds). Semantically identical to
+    ``F.when(exists(pairs, =(a,b)), _merge_fold(syms,a,b))
+    .otherwise(syms)`` — same expressions after parsing."""
+    la, lb, lab = _sql_str(a), _sql_str(b), _sql_str(a + b)
+    has_pair = (
+        f"exists({_PAIRS_SQL}, p -> (p.a = {la}) AND (p.b = {lb}))"
+    )
+    fold = (
+        "aggregate(syms, CAST(array() AS array<string>), "
+        "(acc, x) -> CASE WHEN (size(acc) > 0) "
+        f"AND (element_at(acc, -1) = {la}) AND (x = {lb}) "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array({lab})) "
+        "ELSE concat(acc, array(x)) END)"
+    )
+    return f"CASE WHEN {has_pair} THEN {fold} ELSE syms END"
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
@@ -104,12 +138,9 @@ def train_bpe(
     words = words.localCheckpoint(eager=True)
 
     merges: list[dict] = []
+    prev: DataFrame | None = None
+    pair_struct = F.expr(_PAIRS_SQL)
     for rank in range(num_merges):
-        pair_struct = F.expr(
-            "zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)), "
-            "slice(syms, 2, greatest(size(syms) - 1, 0)), "
-            "(x, y) -> struct(x AS a, y AS b))"
-        )
         top = (
             words.select(F.col("count"), F.explode(pair_struct).alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
@@ -118,6 +149,11 @@ def train_bpe(
             .limit(1)
             .collect()
         )
+        # this collect also materialized `words`' lazy checkpoint, so
+        # the previous round's blocks are now safe to free
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not top or top[0]["n"] < min_pair_count:
             break
         a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
@@ -125,26 +161,20 @@ def train_bpe(
             {"rank": rank, "left": a, "right": b, "merged": a + b,
              "pair_count": n}
         )
-        has_pair = F.exists(
-            F.expr(
-                "zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)), "
-                "slice(syms, 2, greatest(size(syms) - 1, 0)), "
-                "(x, y) -> struct(x AS a, y AS b))"
-            ),
-            lambda p: (p["a"] == F.lit(a)) & (p["b"] == F.lit(b)),
-        )
+        # truncate lineage every round: plan depth stays O(1). The
+        # checkpoint is LAZY — it materializes as part of the next
+        # round's pair-count job instead of running its own eager job,
+        # halving the jobs per merge round (2 → 1); `words` is kept
+        # alive in `prev` until that job has run, since a locally
+        # checkpointed parent cannot be recomputed once unpersisted.
         nxt = words.withColumn(
-            "syms",
-            F.when(has_pair, _merge_fold(F.col("syms"), a, b))
-            .otherwise(F.col("syms")),
-        )
-        # truncate lineage every round: plan depth stays O(1) and each
-        # iteration's pair count reads materialized blocks, not a
-        # re-derivation from the corpus
-        nxt = nxt.localCheckpoint(eager=True)
-        words.unpersist()
+            "syms", F.expr(_merge_step_sql(a, b))
+        ).localCheckpoint(eager=False)
+        prev = words
         words = nxt
     words.unpersist()
+    if prev is not None:
+        prev.unpersist()
     return merges
 
 
