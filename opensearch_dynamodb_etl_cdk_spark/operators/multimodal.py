@@ -2337,9 +2337,26 @@ _AC_SYMBOLS_PROG = _AC_SYMBOLS + [r << 4 for r in range(1, 15)]
 _AC_COUNTS_PROG = [0] * 7 + [len(_AC_SYMBOLS_PROG)] + [0] * 8
 
 
+_HUFF_CODES_CACHE: dict[tuple, dict[int, tuple[int, int]]] = {}
+# decode-side segment caches: real corpora (and the MJPEG fan-outs)
+# repeat the same DQT/DHT bytes across thousands of files/frames, so
+# the parsed tables are keyed by their raw segment bytes. Capped so
+# adversarial inputs cannot grow them unboundedly; entries are
+# read-only for every consumer.
+_JPEG_DQT_CACHE: dict[bytes, object] = {}
+_JPEG_DHT_CACHE: dict[bytes, dict[tuple[int, int], int]] = {}
+
+
 def _huff_codes(counts: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
-    """symbol → (code, bit length), canonical JPEG assignment."""
-    out: dict[int, tuple[int, int]] = {}
+    """symbol → (code, bit length), canonical JPEG assignment.
+    Memoized per (counts, symbols): encoders call this once per file
+    with the same module-constant tables, so the build amortises to
+    once per worker process (callers only read the dict)."""
+    key = (tuple(counts), tuple(symbols))
+    out = _HUFF_CODES_CACHE.get(key)
+    if out is not None:
+        return out
+    out = {}
     code = 0
     k = 0
     for length in range(1, 17):
@@ -2348,10 +2365,20 @@ def _huff_codes(counts: list[int], symbols: list[int]) -> dict[int, tuple[int, i
             code += 1
             k += 1
         code <<= 1
+    if len(_HUFF_CODES_CACHE) < 64:
+        _HUFF_CODES_CACHE[key] = out
     return out
 
 
+_DCT_MATRIX = None
+
+
 def _dct_matrix():
+    """8×8 DCT-II basis matrix; computed once per process (read-only:
+    every consumer only multiplies with it)."""
+    global _DCT_MATRIX
+    if _DCT_MATRIX is not None:
+        return _DCT_MATRIX
     import math
 
     import numpy as np
@@ -2361,6 +2388,8 @@ def _dct_matrix():
         cu = math.sqrt(0.5) if u == 0 else 1.0
         for x in range(8):
             t[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    t.flags.writeable = False
+    _DCT_MATRIX = t
     return t
 
 
@@ -2424,12 +2453,22 @@ def _ycbcr_to_rgb(y, cb, cr):
     return clip(r), clip(g), clip(b)
 
 
-def _encode_jpeg_block(w, block, qt, dc_codes, ac_codes, t, prev_dc,
-                       np) -> int:
-    """FDCT + quantize + zigzag + entropy-code ONE 8×8 block; returns
-    the new DC predictor for this component."""
-    coeffs = t @ (block - 128.0) @ t.T
-    zz = np.rint(coeffs / qt).astype(np.int64).ravel()[_ZIGZAG]
+def _jpeg_block_coefs(plane, qt, t, np):
+    """FDCT + quantize + zigzag every 8×8 block of a padded plane at
+    once; returns (bh, bw, 64) int64 in zigzag order. Bit-identical to
+    the former per-block ``t @ (block - 128.0) @ t.T`` / ``qt`` chain
+    (numpy batched matmul computes the same per-slice products)."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    coeffs = t @ (blocks - 128.0) @ t.T
+    return np.rint(coeffs / qt).astype(np.int64).reshape(
+        bh, bw, 64)[:, :, _ZIGZAG]
+
+
+def _encode_jpeg_block(w, zz, dc_codes, ac_codes, prev_dc) -> int:
+    """Entropy-code ONE already-quantized zigzag block (a (64,) row of
+    :func:`_jpeg_block_coefs` output); returns the new DC predictor
+    for this component."""
     diff = int(zz[0]) - prev_dc
     new_dc = int(zz[0])
     s = _size_cat(diff)
@@ -2438,11 +2477,8 @@ def _encode_jpeg_block(w, block, qt, dc_codes, ac_codes, t, prev_dc,
     if s:
         w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
     run = 0
-    last_nz = 0
-    for i in range(63, 0, -1):
-        if zz[i]:
-            last_nz = i
-            break
+    nz = zz[1:].nonzero()[0]
+    last_nz = int(nz[-1]) + 1 if nz.size else 0
     for i in range(1, last_nz + 1):
         v = int(zz[i])
         if v == 0:
@@ -2492,17 +2528,9 @@ def _encode_jpeg_progressive(planes, factors, width, height, qt, q_zz,
     mcus_x = planes[0].shape[1] // (8 * hmax)
     mcus_y = planes[0].shape[0] // (8 * vmax)
     n = len(planes)
-    coefs = []
-    for ci, plane in enumerate(planes):
-        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
-        arr = np.zeros((bh, bw, 64), dtype=np.int64)
-        for by in range(bh):
-            for bx in range(bw):
-                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coeffs = t @ (block - 128.0) @ t.T
-                arr[by, bx] = np.rint(coeffs / qt).astype(
-                    np.int64).ravel()[_ZIGZAG]
-        coefs.append(arr)
+    # all FDCTs batched (same per-slice products as the former
+    # per-block loop); everything below is entropy-only
+    coefs = [_jpeg_block_coefs(plane, qt, t, np) for plane in planes]
     dc_codes = _huff_codes(_DC_COUNTS, _DC_SYMBOLS)
     ac_codes = _huff_codes(_AC_COUNTS_PROG, _AC_SYMBOLS_PROG)
 
@@ -2875,6 +2903,8 @@ def encode_jpeg(width: int, height: int, pixel_value: int = 128,
     t = _dct_matrix()
     dc_codes = _huff_codes(_DC_COUNTS, _DC_SYMBOLS)
     ac_codes = _huff_codes(_AC_COUNTS, _AC_SYMBOLS)
+    # all FDCTs batched up front; the MCU loop below is entropy-only
+    zz_planes = [_jpeg_block_coefs(p, qt, t, np) for p in planes]
     w = _BitWriter()
     body = bytearray()
     prev_dc = [0] * len(planes)
@@ -2891,15 +2921,13 @@ def encode_jpeg(width: int, height: int, pixel_value: int = 128,
             w = _BitWriter()
             prev_dc = [0] * len(planes)
         myi, mxi = divmod(mcu, mcus_x)
-        for ci, plane in enumerate(planes):
+        for ci, zzp in enumerate(zz_planes):
             fh, fv = factors[ci]
             for by in range(fv):
                 for bx in range(fh):
-                    py = (myi * fv + by) * 8
-                    px = (mxi * fh + bx) * 8
                     prev_dc[ci] = _encode_jpeg_block(
-                        w, plane[py : py + 8, px : px + 8], qt,
-                        dc_codes, ac_codes, t, prev_dc[ci], np,
+                        w, zzp[myi * fv + by, mxi * fh + bx],
+                        dc_codes, ac_codes, prev_dc[ci],
                     )
     body += w.flush()
     body = bytes(body)
@@ -2986,17 +3014,24 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        # bulk form of n× bit(): same fills in the same order (so the
+        # same truncation errors), one shift+mask instead of a loop
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
 
 def _jpeg_read_symbol(r: _BitReader, table) -> int:
+    # hot path: inline bit() to avoid 1-16 method calls per symbol
     code = 0
+    get = table.get
     for ln in range(1, 17):
-        code = (code << 1) | r.bit()
-        sym = table.get((ln, code))
+        if r.nbits == 0:
+            r._fill()
+        r.nbits -= 1
+        code = (code << 1) | ((r.acc >> r.nbits) & 1)
+        sym = get((ln, code))
         if sym is not None:
             return sym
     raise ValueError("invalid JPEG Huffman code")
@@ -3310,10 +3345,17 @@ def _jpeg_decode_pixels(payload: bytes):
                     raise NotImplementedError("12-bit JPEG quant tables")
                 if off + 65 > len(body):
                     raise ValueError("truncated DQT")
-                zz = np.frombuffer(body[off + 1 : off + 65], np.uint8)
-                nat = np.zeros(64, dtype=np.float64)
-                nat[_ZIGZAG] = zz
-                qtables[tq] = nat.reshape(8, 8)
+                raw = bytes(body[off + 1 : off + 65])
+                cached = _JPEG_DQT_CACHE.get(raw)
+                if cached is None:
+                    zz = np.frombuffer(raw, np.uint8)
+                    nat = np.zeros(64, dtype=np.float64)
+                    nat[_ZIGZAG] = zz
+                    cached = nat.reshape(8, 8)
+                    cached.flags.writeable = False  # consumers multiply only
+                    if len(_JPEG_DQT_CACHE) < 64:
+                        _JPEG_DQT_CACHE[raw] = cached
+                qtables[tq] = cached
                 off += 65
         elif marker in (0xC0, 0xC2):  # SOF0 / SOF2
             if sof is not None:
@@ -3361,18 +3403,23 @@ def _jpeg_decode_pixels(payload: bytes):
                 tc, th = body[off] >> 4, body[off] & 0x0F
                 counts = list(body[off + 1 : off + 17])
                 n = sum(counts)
-                symbols = list(body[off + 17 : off + 17 + n])
-                if len(symbols) < n:
+                if len(body) < off + 17 + n:
                     raise ValueError("truncated DHT")
-                table: dict[tuple[int, int], int] = {}
-                code = 0
-                k = 0
-                for ln in range(1, 17):
-                    for _ in range(counts[ln - 1]):
-                        table[(ln, code)] = symbols[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
+                raw = bytes(body[off + 1 : off + 17 + n])
+                table = _JPEG_DHT_CACHE.get(raw)
+                if table is None:
+                    symbols = list(body[off + 17 : off + 17 + n])
+                    table = {}
+                    code = 0
+                    k = 0
+                    for ln in range(1, 17):
+                        for _ in range(counts[ln - 1]):
+                            table[(ln, code)] = symbols[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    if len(_JPEG_DHT_CACHE) < 64:
+                        _JPEG_DHT_CACHE[raw] = table
                 huff[(tc, th)] = table
                 off += 17 + n
         elif marker == 0xDA:  # SOS — decode the scan, keep parsing
@@ -3424,19 +3471,18 @@ def _jpeg_decode_pixels(payload: bytes):
     t = _dct_matrix()
     mcus_x = (w_ + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = [np.zeros((mcus_y * 8 * vi, mcus_x * 8 * hi),
-                       dtype=np.float64)
-              for (_q, _d, _a, hi, vi) in per_comp]
+    planes: list = [None] * len(per_comp)
     for ci, (qt, _d, _a, hi, vi) in enumerate(per_comp):
         bh, bw = coef[ci].shape[:2]
-        for by in range(bh):
-            for bx in range(bw):
-                nat = np.zeros(64, dtype=np.float64)
-                nat[_ZIGZAG] = coef[ci][by, bx]
-                coeffs = nat.reshape(8, 8) * qt
-                block = t.T @ coeffs @ t + 128.0
-                planes[ci][by * 8 : by * 8 + 8,
-                           bx * 8 : bx * 8 + 8] = block
+        # batched de-zigzag + dequant + IDCT over every block at once:
+        # the same per-element scatter, multiply and 8×8 matmuls as the
+        # former per-block loop (numpy batched matmul is bit-identical
+        # per slice), without bh*bw Python iterations
+        nat = np.zeros((bh, bw, 64), dtype=np.float64)
+        nat[:, :, _ZIGZAG] = coef[ci]
+        coeffs = nat.reshape(bh, bw, 8, 8) * qt
+        blocks = t.T @ coeffs @ t + 128.0
+        planes[ci] = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
     # crop each plane to ITS resolution, then replicate-upsample the
     # subsampled ones back to full geometry (the standard fast JFIF
     # chroma upsampling; exact for the constant-tile oracle path)
