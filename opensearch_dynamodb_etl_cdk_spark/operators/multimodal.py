@@ -884,6 +884,25 @@ def _fixed_residual(samples: list[int], order: int) -> list[int]:
     ]
 
 
+def _fixed_reconstruct(warm: list[int], res: list[int],
+                       order: int) -> list[int]:
+    """Invert the order-k fixed predictor: the residual is the k-th
+    finite difference of the samples, so reconstruction is k rounds of
+    cumulative summation seeded by the warm-up samples' difference
+    pyramid — exact integer arithmetic, identical to the sequential
+    ``v + Σ c·vals[-1-j]`` recurrence it replaces."""
+    if order == 0:
+        return list(res)
+    import numpy as np
+
+    v = np.asarray(res, dtype=np.int64)
+    warm_arr = np.asarray(warm, dtype=np.int64)
+    for k in range(order, 0, -1):
+        init = np.diff(warm_arr, n=k - 1)[-1] if k > 1 else warm_arr[-1]
+        v = int(init) + np.cumsum(v)
+    return warm + v.tolist()
+
+
 def _rice_param_for(residual: list[int]) -> int:
     total = sum((v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
                 for v in residual)  # zigzag magnitudes
@@ -993,15 +1012,29 @@ def _write_subframe(w: _FlacBitWriter, samples: list[int], bps: int,
             for i in range(order, len(samples))
         ]
     else:
-        best = min(
-            (o for o in range(5) if o < len(samples)),
-            key=lambda o: sum(abs(v) for v in _fixed_residual(samples, o)),
-        )
-        order = best
+        # order selection vectorized: _fixed_residual(s, o) IS the o-th
+        # finite difference, so compute np.diff iteratively and keep
+        # the winning residual (same |residual| sums exactly — integer
+        # arithmetic; ties keep the lowest order, like min() did)
+        import numpy as np
+
+        arr = np.asarray(samples, dtype=np.int64)
+        order = 0
+        best_cost = None
+        best_res = arr
+        d = arr
+        for o in range(5):
+            if o >= len(samples):
+                break
+            if o > 0:
+                d = d[1:] - d[:-1]
+            cost = int(np.abs(d).sum())
+            if best_cost is None or cost < best_cost:
+                order, best_cost, best_res = o, cost, d
         header(0b001000 | order)  # FIXED
         for shead in samples[:order]:
             w.write(shead & ((1 << bps) - 1), bps)
-        residual = _fixed_residual(samples, order)
+        residual = best_res.tolist()
     _write_residual(w, residual, order, blocksize, partition_order,
                     force_escape)
 
@@ -1236,11 +1269,7 @@ def _flac_pcm(payload: bytes):
                 order = stype & 0b000111
                 warm = [r.read_signed(sub_bps) for _ in range(order)]
                 res = _read_residual(r, order, bs)
-                coefs = _FIXED_COEFS[order]
-                vals = list(warm)
-                for v in res:
-                    vals.append(v + sum(
-                        c * vals[-1 - j] for j, c in enumerate(coefs)))
+                vals = _fixed_reconstruct(warm, res, order)
             elif stype >= 0b100000:
                 order = (stype & 0b011111) + 1
                 warm = [r.read_signed(sub_bps) for _ in range(order)]
@@ -1252,11 +1281,16 @@ def _flac_pcm(payload: bytes):
                     raise ValueError("negative LPC shift")
                 coefs = [r.read_signed(prec) for _ in range(order)]
                 res = _read_residual(r, order, bs)
-                vals = list(warm)
-                for v in res:
-                    pred = sum(c * vals[-1 - j]
-                               for j, c in enumerate(coefs)) >> shift
-                    vals.append(v + pred)
+                if shift == 0 and coefs == [2, -1]:
+                    # this LPC parameterization IS the order-2 fixed
+                    # predictor (>>0 is exact) — same cumsum inverse
+                    vals = _fixed_reconstruct(warm, res, 2)
+                else:
+                    vals = list(warm)
+                    for v in res:
+                        pred = sum(c * vals[-1 - j]
+                                   for j, c in enumerate(coefs)) >> shift
+                        vals.append(v + pred)
             else:
                 raise ValueError(f"reserved subframe type {stype:#08b}")
             if wasted:
