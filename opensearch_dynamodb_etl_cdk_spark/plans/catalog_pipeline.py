@@ -633,8 +633,15 @@ def corpus_datacard(spark, sf_dir):
     from ..operators.privacy import pii_count
 
     d = _t(spark, sf_dir, "documents")["documents"]
-    toks = _T.tokens(F.col("text"))
-    per = d.select(
+    # materialize the token array once: this projection references it
+    # five times (count, quality ×2, langid, normalized form), and an
+    # inline tokens(text) would re-run the regex split per reference
+    toks_df = d.select(
+        "source", "lang", "text",
+        _T.tokens(F.col("text")).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    per = toks_df.select(
         "source", "lang",
         _T.token_count_from(toks).alias("n_tokens"),
         _T.quality_score_from(F.col("text"), toks).alias("quality"),
@@ -644,7 +651,7 @@ def corpus_datacard(spark, sf_dir):
           + pii_count(F.col("text"), "phone")
           + pii_count(F.col("text"), "ipv4")) > 0)
         .cast("long").alias("haspii"),
-        _T.normalize_text(F.col("text")).alias("norm"),
+        F.array_join(toks, " ").alias("norm"),  # ≡ normalize_text(text)
     )
     # duplicate counts via a window over the norm key: ONE |docs|
     # shuffle (bounded per-key state), instead of a groupBy + join that
@@ -682,13 +689,21 @@ _QFEAT_SQL = f"""
 
 def _quality_features(d):
     """(doc_id, lang, features array<double>) — the shared length /
-    punctuation / stopword quality features as one codegen projection
-    (same fragments as doc_quality_scores, proven cross-engine)."""
+    punctuation / stopword quality features (same fragments as
+    doc_quality_scores, proven cross-engine). The token array is
+    materialized in its OWN select first: the feature expression
+    references it twice, and handing `tokens(text)` to both would let
+    the projection run the regex split per reference (the
+    shingles_from_tokens caveat; ~1.5× slower measured here)."""
     from ..functions import text as _T
 
-    toks = _T.tokens(F.col("text"))
+    toks_df = d.select(
+        "doc_id", "lang", "text",
+        _T.tokens(F.col("text")).alias("__toks"),
+    )
+    toks = F.col("__toks")
     n = _T.token_count_from(toks)
-    return d.select(
+    return toks_df.select(
         "doc_id", "lang",
         F.array(
             F.least(n.cast("double") / F.lit(20.0), F.lit(1.0)),
@@ -916,12 +931,18 @@ def corpus_curation_pipeline(spark, sf_dir):
     from ..operators.sampling import select_until_token_budget
 
     d = _t(spark, sf_dir, "documents")["documents"]
-    toks = _T.tokens(F.col("text"))
+    # token array materialized once (referenced four times below —
+    # count, length feature, stopword feature, normalized form)
+    toks_df = d.select(
+        "doc_id", "lang", "text",
+        _T.tokens(F.col("text")).alias("__toks"),
+    )
+    toks = F.col("__toks")
     n = _T.token_count_from(toks)
-    base = d.select(
+    base = toks_df.select(
         "doc_id", "lang",
         n.cast("long").alias("n_tokens"),
-        _T.normalize_text(F.col("text")).alias("norm"),
+        F.array_join(toks, " ").alias("norm"),  # ≡ normalize_text(text)
         F.array(
             F.least(n.cast("double") / F.lit(20.0), F.lit(1.0)),
             _T.punct_ratio(F.col("text")),
