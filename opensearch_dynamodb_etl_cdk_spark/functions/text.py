@@ -287,8 +287,15 @@ def bigram_logprob_scores(
     )
     ctx = mbg.groupBy("prev").agg(F.sum("cpw").alias("cp"))
     mtok = tk(model_docs).select(F.explode("t").alias("w"))
-    uni = mtok.groupBy("w").agg(F.count("*").alias("cw"))
-    tot = mtok.agg(F.count("*").cast("double").alias("T"))
+    # the unigram table is the model's bounded vocabulary (~10^7 rows
+    # at 100 TB) — persist it so the total-token subquery below and the
+    # scoring join share ONE tokenize+aggregate pass of the model
+    # corpus instead of two (broadcast subqueries do not participate
+    # in exchange reuse, measured: ReusedExchange never fires here)
+    uni = mtok.groupBy("w").agg(F.count("*").alias("cw")).persist()
+    # T = Σ cw exactly (bigint sum over the unigram table) — same
+    # value the former count(*) over the token stream produced
+    tot = uni.agg(F.sum("cw").cast("double").alias("T"))
 
     lp = F.when(
         F.col("cpw").isNotNull(),
