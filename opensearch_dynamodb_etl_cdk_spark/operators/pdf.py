@@ -1669,6 +1669,19 @@ def _pdf_str(b: bytes) -> str:
     return b.decode("latin-1")
 
 
+_ESCAPE_TABLE = {b"n": b"\n", b"r": b"\r", b"t": b"\t",
+                 b"b": b"\b", b"f": b"\f", b"(": b"(",
+                 b")": b")", b"\\": b"\\"}
+# operator tokens start with a letter, apostrophe, quote or star
+_OP_RUN_RE = re.compile(rb"[A-Za-z'\"*]+")
+# bytes that the tokenizer reacts to; everything else is skipped in
+# one compiled-regex hop instead of one Python iteration per byte
+_PLAIN_RUN_RE = re.compile(rb"[^()<>\[\]A-Za-z'\"*]+")
+_WS_RUN_RE = re.compile(rb"\s+")
+_HEX_DIGITS_RE = re.compile(rb"[0-9a-fA-F]*")
+_STR_PLAIN_RE = re.compile(rb"[^\\()]*")
+
+
 def _literal_strings_and_ops(content: bytes):
     """Tokenize a content stream into literal strings and operator
     tokens (enough for Tj/'/TJ extraction): yields ('str', bytes) and
@@ -1680,15 +1693,21 @@ def _literal_strings_and_ops(content: bytes):
             depth, i = 1, i + 1
             out = bytearray()
             while i < n and depth:
+                m = _STR_PLAIN_RE.match(content, i)
+                j = m.end()
+                if j > i:
+                    # copy the whole escape-free, paren-free run at
+                    # once — identical to appending byte by byte
+                    out += content[i:j]
+                    i = j
+                    continue
                 ch = content[i]
                 if ch == 0x5C:  # backslash escape
                     i += 1
                     if i >= n:
                         break
                     e = content[i:i + 1]
-                    table = {b"n": b"\n", b"r": b"\r", b"t": b"\t",
-                             b"b": b"\b", b"f": b"\f", b"(": b"(",
-                             b")": b")", b"\\": b"\\"}
+                    table = _ESCAPE_TABLE
                     if e in table:
                         out += table[e]
                         i += 1
@@ -1731,8 +1750,8 @@ def _literal_strings_and_ops(content: bytes):
             end = content.find(b">", i + 1)
             if end < 0:
                 raise ValueError("PDF: unterminated hex string")
-            digits = re.sub(rb"\s+", b"", content[i + 1:end])
-            if not re.fullmatch(rb"[0-9a-fA-F]*", digits):
+            digits = _WS_RUN_RE.sub(b"", content[i + 1:end])
+            if not _HEX_DIGITS_RE.fullmatch(digits):
                 raise ValueError("PDF: non-hex byte in hex string")
             if len(digits) % 2:
                 digits += b"0"
@@ -1742,12 +1761,16 @@ def _literal_strings_and_ops(content: bytes):
             i += 2 if content[i + 1:i + 2] == b">" else 1  # dict close
         elif c == b"[" or c == b"]":
             i += 1
-        elif re.match(rb"[A-Za-z'\"*]", c):
-            m = re.match(rb"[A-Za-z'\"*]+", content[i:i + 16])
-            yield ("op", m.group(0))
-            i += m.end()
         else:
-            i += 1
+            m = _OP_RUN_RE.match(content, i, i + 16)
+            if m is not None:
+                yield ("op", m.group(0))
+                i = m.end()
+            else:
+                # skip the whole run of non-token bytes at once —
+                # byte-for-byte identical to advancing one at a time
+                m = _PLAIN_RUN_RE.match(content, i)
+                i = m.end() if m is not None else i + 1
 
 
 def extract_pdf_pages(payload: bytes) -> list[str]:
