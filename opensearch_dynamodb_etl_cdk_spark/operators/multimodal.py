@@ -3055,9 +3055,89 @@ class _BitReader:
         self.nbits -= n
         return (self.acc >> self.nbits) & ((1 << n) - 1)
 
+    def _try_fill(self) -> bool:
+        """Non-consuming probe variant of _fill: refuses (returns
+        False) instead of raising on end-of-data or a marker byte, and
+        only consumes input when it actually loads 8 bits — so a
+        look-ahead that stops here leaves the reader in exactly the
+        state the lazy bit-by-bit path would see."""
+        p = self.pos
+        data = self.data
+        if p >= len(data):
+            return False
+        b = data[p]
+        if b == 0xFF:
+            if p + 1 >= len(data) or data[p + 1] != 0x00:
+                return False
+            self.pos = p + 2  # stuffed byte
+        else:
+            self.pos = p + 1
+        self.acc = ((self.acc << 8) | b) & ((1 << (self.nbits + 8)) - 1)
+        self.nbits += 8
+        return True
+
+
+# sentinel key carrying a table's 16-bit-prefix decode LUT inside the
+# (length, code) dict — lengths are 1..16, so (0, -1) can never collide
+_JPEG_LUT_KEY = (0, -1)
+
+
+def _huff_decode_lut(table) -> list:
+    """65536-entry lookup: 16-bit bitstream prefix → (symbol, length).
+    Prefix-free codes make every extension of a code map to the same
+    symbol, so decoding is one peek + one indexed load; entries not
+    covered by any code stay None (the 'invalid Huffman code' case)."""
+    lut: list = [None] * 65536
+    for (ln, code), sym in table.items():
+        if ln == 0:
+            continue
+        entry = (sym, ln)
+        start = code << (16 - ln)
+        for p in range(start, start + (1 << (16 - ln))):
+            lut[p] = entry
+    return lut
+
 
 def _jpeg_read_symbol(r: _BitReader, table) -> int:
-    # hot path: inline bit() to avoid 1-16 method calls per symbol
+    lut = table.get(_JPEG_LUT_KEY)
+    if lut is not None:
+        # fast path: with 16 clean bits buffered, one lookup decodes
+        # the symbol. The inlined fill is _try_fill's logic — it never
+        # consumes past a marker or the end, so when it stops short we
+        # fall through with the reader in exactly the state the
+        # bit-by-bit path expects
+        acc = r.acc
+        nbits = r.nbits
+        if nbits < 16:
+            data = r.data
+            p = r.pos
+            n = len(data)
+            while nbits < 16:
+                if p >= n:
+                    break
+                b = data[p]
+                if b == 0xFF:
+                    if p + 1 >= n or data[p + 1] != 0x00:
+                        break
+                    p += 2  # stuffed byte
+                else:
+                    p += 1
+                acc = (acc << 8) | b
+                nbits += 8
+            acc &= (1 << nbits) - 1  # mask to live bits, like _fill
+            r.pos = p
+            r.acc = acc
+            r.nbits = nbits
+        if nbits >= 16:
+            hit = lut[(acc >> (nbits - 16)) & 0xFFFF]
+            if hit is None:
+                # same condition the loop below reaches after 16
+                # unmatched bits
+                raise ValueError("invalid JPEG Huffman code")
+            r.nbits = nbits - hit[1]
+            return hit[0]
+    # tail / LUT-less path: bit-by-bit with the raising _fill — the
+    # exact original semantics for truncation and stray markers
     code = 0
     get = table.get
     for ln in range(1, 17):
@@ -3452,6 +3532,7 @@ def _jpeg_decode_pixels(payload: bytes):
                             code += 1
                             k += 1
                         code <<= 1
+                    table[_JPEG_LUT_KEY] = _huff_decode_lut(table)
                     if len(_JPEG_DHT_CACHE) < 64:
                         _JPEG_DHT_CACHE[raw] = table
                 huff[(tc, th)] = table
