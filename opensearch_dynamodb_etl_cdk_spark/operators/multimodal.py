@@ -961,9 +961,50 @@ def _read_residual(r: _FlacBitReader, order: int, blocksize: int) -> list[int]:
             out.extend(r.read_signed(raw_bits) if raw_bits else 0
                        for _ in range(n))
             continue
+        # Rice decode with the reader state in locals — the same
+        # byte-refill arithmetic read_unary()/read() perform, without
+        # two method calls + attribute traffic per sample (the
+        # decoder's per-sample hot path); state is written back after
+        # each partition
+        data = r.data
+        dlen = len(data)
+        acc = r.acc
+        nbits = r.nbits
+        pos = r.pos
+        append = out.append
+        kmask = (1 << k) - 1
         for _ in range(n):
-            u = (r.read_unary() << k) | r.read(k)
-            out.append((u >> 1) ^ -(u & 1))
+            q = 0
+            while True:  # unary quotient: count zeros to the next 1
+                if nbits == 0:
+                    if pos >= dlen:
+                        raise ValueError("truncated FLAC bitstream")
+                    acc = data[pos]
+                    pos += 1
+                    nbits = 8
+                if acc == 0:
+                    q += nbits
+                    nbits = 0
+                    continue
+                lead = nbits - acc.bit_length()
+                q += lead
+                nbits -= lead + 1
+                acc &= (1 << nbits) - 1
+                break
+            while nbits < k:
+                if pos >= dlen:
+                    raise ValueError("truncated FLAC bitstream")
+                acc = (acc << 8) | data[pos]
+                pos += 1
+                nbits += 8
+            nbits -= k
+            u = (q << k) | ((acc >> nbits) & kmask)
+            acc &= (1 << nbits) - 1
+            append((u >> 1) ^ -(u & 1))
+        r.acc = acc
+        r.nbits = nbits
+        r.pos = pos
+        r.bit = (8 - nbits % 8) % 8
     return out
 
 
