@@ -137,44 +137,56 @@ def train_bpe(
     ).select("syms", "count")
     words = words.localCheckpoint(eager=True)
 
+    spark = df.sparkSession
+    # the per-round queries go through ONE temp view + ONE spark.sql
+    # call each (the view re-points at the current word table every
+    # round): the equivalent Column-API chains cost ~20 py4j round
+    # trips per merge round, measurable driver time at tiny per-round
+    # job sizes. The SQL text analyzes to the same pair-count argmax
+    # (identical deterministic ORDER BY n DESC, a, b tiebreak) and the
+    # same guarded rewrite expression — merges asserted identical.
+    view = f"__bpe_words_{id(words)}"
+    top_sql = (
+        "SELECT p.a AS a, p.b AS b, SUM(count) AS n "
+        f"FROM (SELECT count, explode({_PAIRS_SQL}) AS p FROM {view}) "
+        "GROUP BY p.a, p.b ORDER BY n DESC, a ASC, b ASC LIMIT 1"
+    )
     merges: list[dict] = []
     prev: DataFrame | None = None
-    pair_struct = F.expr(_PAIRS_SQL)
-    for rank in range(num_merges):
-        top = (
-            words.select(F.col("count"), F.explode(pair_struct).alias("p"))
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("count").alias("n"))
-            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
-            .collect()
-        )
-        # this collect also materialized `words`' lazy checkpoint, so
-        # the previous round's blocks are now safe to free
+    try:
+        for rank in range(num_merges):
+            words.createOrReplaceTempView(view)
+            top = spark.sql(top_sql).collect()
+            # this collect also materialized `words`' lazy checkpoint,
+            # so the previous round's blocks are now safe to free
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            if not top or top[0]["n"] < min_pair_count:
+                break
+            a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+            merges.append(
+                {"rank": rank, "left": a, "right": b, "merged": a + b,
+                 "pair_count": n}
+            )
+            # truncate lineage every round: plan depth stays O(1). The
+            # checkpoint is LAZY — it materializes as part of the next
+            # round's pair-count job instead of running its own eager
+            # job, halving the jobs per merge round (2 → 1); `words` is
+            # kept alive in `prev` until that job has run, since a
+            # locally checkpointed parent cannot be recomputed once
+            # unpersisted.
+            nxt = spark.sql(
+                f"SELECT {_merge_step_sql(a, b)} AS syms, count "
+                f"FROM {view}"
+            ).localCheckpoint(eager=False)
+            prev = words
+            words = nxt
+    finally:
+        spark.catalog.dropTempView(view)
+        words.unpersist()
         if prev is not None:
             prev.unpersist()
-            prev = None
-        if not top or top[0]["n"] < min_pair_count:
-            break
-        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
-        merges.append(
-            {"rank": rank, "left": a, "right": b, "merged": a + b,
-             "pair_count": n}
-        )
-        # truncate lineage every round: plan depth stays O(1). The
-        # checkpoint is LAZY — it materializes as part of the next
-        # round's pair-count job instead of running its own eager job,
-        # halving the jobs per merge round (2 → 1); `words` is kept
-        # alive in `prev` until that job has run, since a locally
-        # checkpointed parent cannot be recomputed once unpersisted.
-        nxt = words.withColumn(
-            "syms", F.expr(_merge_step_sql(a, b))
-        ).localCheckpoint(eager=False)
-        prev = words
-        words = nxt
-    words.unpersist()
-    if prev is not None:
-        prev.unpersist()
     return merges
 
 
