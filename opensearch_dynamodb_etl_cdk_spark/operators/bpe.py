@@ -156,6 +156,7 @@ def train_bpe(
     try:
         for rank in range(num_merges):
             words.createOrReplaceTempView(view)
+            # bounded: top_sql ends in LIMIT 1 — exactly one argmax row
             top = spark.sql(top_sql).collect()
             # this collect also materialized `words`' lazy checkpoint,
             # so the previous round's blocks are now safe to free
