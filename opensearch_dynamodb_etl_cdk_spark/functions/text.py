@@ -237,6 +237,25 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+# One-slot registry for the LM unigram persist: bigram_logprob_scores
+# returns a LAZY query that references the persisted table, so the
+# function cannot unpersist it before returning. Releasing the previous
+# call's handle on each new call bounds executor storage at one
+# vocabulary-sized table per session instead of one per call.
+_LM_UNIGRAM_SLOT: list = []
+
+
+def _persist_lm_unigram(df):
+    while _LM_UNIGRAM_SLOT:
+        try:
+            _LM_UNIGRAM_SLOT.pop().unpersist()
+        except Exception:  # noqa: BLE001 — a stopped session must not
+            pass           # break building the next session's query
+    df = df.persist()
+    _LM_UNIGRAM_SLOT.append(df)
+    return df
+
+
 def bigram_logprob_scores(
     docs,
     model_docs,
@@ -291,8 +310,13 @@ def bigram_logprob_scores(
     # at 100 TB) — persist it so the total-token subquery below and the
     # scoring join share ONE tokenize+aggregate pass of the model
     # corpus instead of two (broadcast subqueries do not participate
-    # in exchange reuse, measured: ReusedExchange never fires here)
-    uni = mtok.groupBy("w").agg(F.count("*").alias("cw")).persist()
+    # in exchange reuse, measured: ReusedExchange never fires here).
+    # Lifetime: the returned query is lazy, so the persist cannot be
+    # released here; _persist_lm_unigram slot-tracks it and frees the
+    # PREVIOUS call's table, bounding a long-lived session at one
+    # pinned vocabulary table (a stale unpersist is always safe —
+    # Spark recomputes if that query ever re-runs).
+    uni = _persist_lm_unigram(mtok.groupBy("w").agg(F.count("*").alias("cw")))
     # T = Σ cw exactly (bigint sum over the unigram table) — same
     # value the former count(*) over the token stream produced
     tot = uni.agg(F.sum("cw").cast("double").alias("T"))

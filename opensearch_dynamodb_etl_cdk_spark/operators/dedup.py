@@ -30,6 +30,25 @@ from ..functions.text import (
 )
 from ..session import min_partitions
 
+# Per-function one-slot registries for persists that the RETURNED lazy
+# query consumes (the function cannot unpersist before returning):
+# releasing the previous call's handles on each new call bounds a
+# long-lived session at one call's worth of pinned blocks per operator.
+# A stale unpersist is always safe — Spark recomputes if that query
+# re-runs.
+_PERSIST_SLOTS: dict[str, list] = {}
+
+
+def _persist_slot(key: str, *frames):
+    for old in _PERSIST_SLOTS.get(key, ()):
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 — a stopped session must not
+            pass           # break building the next session's query
+    out = [f.persist() for f in frames]
+    _PERSIST_SLOTS[key] = out
+    return out if len(out) > 1 else out[0]
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One representative (min id) per exact text; group key is md5(text)
@@ -138,7 +157,9 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     # persisted: consumed three times (signature build + both verify
     # joins); shingling is interpreted array work, worth paying once
-    sh = _shingle_frame(df, text_col, id_col, shingle_k).persist()
+    sh = _persist_slot(
+        "minhash_shingles", _shingle_frame(df, text_col, id_col, shingle_k)
+    )
     sig = _signature_cols(sh, id_col, num_hashes)
 
     band_structs = [
@@ -148,9 +169,11 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    banded = sig.select(
-        id_col, F.explode(F.array(*band_structs)).alias("bk")
-    ).select(id_col, "bk.band", "bk.bucket").persist()
+    banded = _persist_slot(
+        "minhash_banded",
+        sig.select(id_col, F.explode(F.array(*band_structs)).alias("bk"))
+        .select(id_col, "bk.band", "bk.bucket"),
+    )
 
     # cap pathological buckets (boilerplate floods): quadratic blowup guard
     counts = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
@@ -236,7 +259,7 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: block on each of the four 16-bit chunks
     (pigeonhole: hamming ≤ 3 ⇒ at least one chunk identical), verify
     hamming over the full 64 bits."""
-    sh = simhash_frame(df, text_col, id_col).persist()
+    sh = _persist_slot("simhash_frame", simhash_frame(df, text_col, id_col))
     chunked = sh.select(
         id_col,
         "simhash",

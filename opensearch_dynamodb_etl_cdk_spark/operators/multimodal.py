@@ -816,24 +816,47 @@ class _FlacBitReader:
         return self.pos - self.nbits // 8
 
 
-def _crc8(data: bytes) -> int:
-    """CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 — frame headers."""
-    crc = 0
-    for b in data:
-        crc ^= b
+def _crc_tables() -> tuple[list[int], list[int]]:
+    """256-entry byte tables for the two FLAC CRCs, built once per
+    process at import (2×256×8 shift steps — negligible). Each table
+    entry is the bit-at-a-time fold of one input byte, so the
+    table-driven loops below compute exactly the same remainders."""
+    t8, t16 = [], []
+    for b in range(256):
+        c = b
         for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        t8.append(c)
+        c = b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 \
+                else (c << 1) & 0xFFFF
+        t16.append(c)
+    return t8, t16
+
+
+_CRC8_TABLE, _CRC16_TABLE = _crc_tables()
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 — frame headers.
+    Table-driven (was bit-at-a-time: ~40 ops/byte → ~3)."""
+    crc = 0
+    table = _CRC8_TABLE
+    for b in data:
+        crc = table[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
-    """CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), init 0 — frames."""
+    """CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), init 0 — frames.
+    Table-driven byte-wise — this runs over every encoded AND decoded
+    frame, the single hottest function in the FLAC path before this
+    change (40% of decode CPU profiled at bit-at-a-time)."""
     crc = 0
+    table = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
-                else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFF00) ^ table[(crc >> 8) ^ b]
     return crc
 
 
@@ -884,21 +907,57 @@ def _fixed_residual(samples: list[int], order: int) -> list[int]:
     ]
 
 
+def _fixed_reconstruct_exact(warm: list[int], res: list[int],
+                             order: int) -> list[int]:
+    """Arbitrary-precision reference recurrence — the pre-vectorization
+    sequential path, kept as the overflow fallback below."""
+    vals = list(warm)
+    coefs = _FIXED_COEFS[order]
+    for v in res:
+        vals.append(v + sum(c * vals[-1 - j] for j, c in enumerate(coefs)))
+    return vals
+
+
 def _fixed_reconstruct(warm: list[int], res: list[int],
                        order: int) -> list[int]:
     """Invert the order-k fixed predictor: the residual is the k-th
     finite difference of the samples, so reconstruction is k rounds of
     cumulative summation seeded by the warm-up samples' difference
     pyramid — exact integer arithmetic, identical to the sequential
-    ``v + Σ c·vals[-1-j]`` recurrence it replaces."""
+    ``v + Σ c·vals[-1-j]`` recurrence it replaces. Adversarial streams
+    can carry residuals near 2^60 (escape-coded partitions), where the
+    int64 cumsum would wrap silently — those take the exact-arithmetic
+    fallback instead (legit ≤24-bit audio never does: its magnitudes
+    stay far below every guard)."""
     if order == 0:
         return list(res)
     import numpy as np
 
-    v = np.asarray(res, dtype=np.int64)
-    warm_arr = np.asarray(warm, dtype=np.int64)
+    # input guard: keep the warm-up difference pyramid (≤ 2^{order-1}
+    # growth) and the conversion comfortably inside int64. The bound is
+    # taken from the converted array (a per-element Python genexpr here
+    # profiled at ~14% of decode); values ≥ 2^63 raise OverflowError in
+    # the conversion itself, below that min/max are exact — negation
+    # done in Python ints so -2^62-style minima can't wrap.
+    try:
+        v = np.asarray(res, dtype=np.int64)
+        warm_arr = np.asarray(warm, dtype=np.int64)
+    except OverflowError:
+        return _fixed_reconstruct_exact(warm, res, order)
+    bound = max(
+        int(v.max(initial=0)), -int(v.min(initial=0)),
+        int(warm_arr.max(initial=0)), -int(warm_arr.min(initial=0)),
+    )
+    if bound >= 1 << 58:
+        return _fixed_reconstruct_exact(warm, res, order)
+    n = int(v.size)
     for k in range(order, 0, -1):
         init = np.diff(warm_arr, n=k - 1)[-1] if k > 1 else warm_arr[-1]
+        # per-round guard: every cumsum prefix is bounded by
+        # n·max|v| + |init|; if that cannot fit int64 the round could
+        # wrap silently — replay the exact recurrence instead
+        if n and n * int(np.abs(v).max()) + abs(int(init)) >= 1 << 63:
+            return _fixed_reconstruct_exact(warm, res, order)
         v = int(init) + np.cumsum(v)
     return warm + v.tolist()
 
@@ -3053,34 +3112,66 @@ def encode_jpeg(width: int, height: int, pixel_value: int = 128,
 
 
 class _BitReader:
-    __slots__ = ("data", "pos", "acc", "nbits")
+    """JPEG entropy-stream bit reader. The constructor pre-scans the
+    segment ONCE: the longest prefix in which every 0xFF is a stuffed
+    0xFF00 pair is unstuffed into ``clean`` (one C-speed
+    ``bytes.replace``), and the exact exception the former per-byte
+    walk would raise at the first non-clean byte (end of data, lone
+    trailing 0xFF, or a real marker) is precomputed. Refills then run
+    stuffing-check-free off ``clean`` in multi-byte gulps. Error
+    positions are unchanged: consuming bits inside the clean prefix
+    can never raise, and the reader raises ``_err`` exactly when a bit
+    past the prefix is actually needed — the same logical point the
+    per-byte walk raised at (the walk consumed stuffed pairs silently
+    and raised only when it had to load the marker/end byte)."""
+
+    __slots__ = ("clean", "cpos", "acc", "nbits", "_err")
 
     def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
+        i = 0
+        n = len(data)
+        err = "truncated JPEG entropy stream"
+        stop = n
+        while True:
+            j = data.find(0xFF, i)
+            if j == -1:
+                break
+            if j + 1 >= n:
+                # lone trailing 0xFF: the per-byte walk consumed it,
+                # then raised truncation looking for the pair byte
+                stop = j
+                break
+            nxt = data[j + 1]
+            if nxt == 0x00:
+                i = j + 2  # stuffed pair, stays in the clean prefix
+                continue
+            stop = j
+            err = f"unexpected marker 0xff{nxt:02x} inside entropy data"
+            break
+        self.clean = data[:stop].replace(b"\xff\x00", b"\xff")
+        self.cpos = 0
         self.acc = 0
         self.nbits = 0
+        self._err = err
 
     def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise ValueError("truncated JPEG entropy stream")
-        b = self.data[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated JPEG entropy stream")
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
-                self.pos += 1  # stuffed byte
-            else:
-                raise ValueError(
-                    f"unexpected marker 0xff{nxt:02x} inside entropy data"
-                )
-        # mask to the live bits: without this the accumulator retains
-        # every consumed bit and grows into an arbitrarily large int,
-        # making entropy decode O(n²) in the scan length
-        self.acc = ((self.acc << 8) | b) & ((1 << (self.nbits + 8)) - 1)
-        self.nbits += 8
+        # gulp up to 6 bytes per fill (keeps acc ≤ 63 live bits —
+        # small-int territory); masking to the live bits stops the
+        # accumulator growing into an arbitrarily large int (which
+        # would make entropy decode O(n²) in the scan length)
+        cpos = self.cpos
+        clean = self.clean
+        avail = len(clean) - cpos
+        if avail <= 0:
+            raise ValueError(self._err)
+        k = 6 if avail >= 6 else avail
+        self.cpos = cpos + k
+        kb = k << 3
+        nb = self.nbits + kb
+        self.acc = (
+            (self.acc << kb) | int.from_bytes(clean[cpos:cpos + k], "big")
+        ) & ((1 << nb) - 1)
+        self.nbits = nb
 
     def bit(self) -> int:
         if self.nbits == 0:
@@ -3095,27 +3186,6 @@ class _BitReader:
             self._fill()
         self.nbits -= n
         return (self.acc >> self.nbits) & ((1 << n) - 1)
-
-    def _try_fill(self) -> bool:
-        """Non-consuming probe variant of _fill: refuses (returns
-        False) instead of raising on end-of-data or a marker byte, and
-        only consumes input when it actually loads 8 bits — so a
-        look-ahead that stops here leaves the reader in exactly the
-        state the lazy bit-by-bit path would see."""
-        p = self.pos
-        data = self.data
-        if p >= len(data):
-            return False
-        b = data[p]
-        if b == 0xFF:
-            if p + 1 >= len(data) or data[p + 1] != 0x00:
-                return False
-            self.pos = p + 2  # stuffed byte
-        else:
-            self.pos = p + 1
-        self.acc = ((self.acc << 8) | b) & ((1 << (self.nbits + 8)) - 1)
-        self.nbits += 8
-        return True
 
 
 # sentinel key carrying a table's 16-bit-prefix decode LUT inside the
@@ -3143,32 +3213,27 @@ def _jpeg_read_symbol(r: _BitReader, table) -> int:
     lut = table.get(_JPEG_LUT_KEY)
     if lut is not None:
         # fast path: with 16 clean bits buffered, one lookup decodes
-        # the symbol. The inlined fill is _try_fill's logic — it never
-        # consumes past a marker or the end, so when it stops short we
-        # fall through with the reader in exactly the state the
-        # bit-by-bit path expects
+        # the symbol. The refill gulps straight off the pre-unstuffed
+        # clean prefix — when it stops short (prefix exhausted) we fall
+        # through with the reader in exactly the state the bit-by-bit
+        # path expects, and _fill raises the precomputed error only if
+        # a bit past the prefix is actually needed
         acc = r.acc
         nbits = r.nbits
         if nbits < 16:
-            data = r.data
-            p = r.pos
-            n = len(data)
-            while nbits < 16:
-                if p >= n:
-                    break
-                b = data[p]
-                if b == 0xFF:
-                    if p + 1 >= n or data[p + 1] != 0x00:
-                        break
-                    p += 2  # stuffed byte
-                else:
-                    p += 1
-                acc = (acc << 8) | b
-                nbits += 8
-            acc &= (1 << nbits) - 1  # mask to live bits, like _fill
-            r.pos = p
-            r.acc = acc
-            r.nbits = nbits
+            clean = r.clean
+            cpos = r.cpos
+            avail = len(clean) - cpos
+            if avail > 0:
+                k = 4 if avail >= 4 else avail
+                kb = k << 3
+                nbits += kb
+                acc = (
+                    (acc << kb) | int.from_bytes(clean[cpos:cpos + k], "big")
+                ) & ((1 << nbits) - 1)
+                r.cpos = cpos + k
+                r.acc = acc
+                r.nbits = nbits
         if nbits >= 16:
             hit = lut[(acc >> (nbits - 16)) & 0xFFFF]
             if hit is None:

@@ -385,7 +385,11 @@ def ivf_assign(
     tree into every task binary: measured 0.28 s build + 0.8-1.0 s/scan
     vs 0.14 s + 0.17 s for this form on the same data). Centroid norms
     are pre-folded driver-side with the identical IEEE op sequence
-    (x*x accumulated left-to-right, ``math.sqrt``)."""
+    (x*x accumulated left-to-right, ``math.sqrt``).
+
+    Raises ``ValueError`` on an empty centroid list (the pre-r13
+    expression form returned a null cluster column instead; no current
+    caller passes empty centroids — they guard or train first)."""
     if not centroids:
         raise ValueError("ivf_assign: centroids must be non-empty")
     v = f"`{vec_col}`"
