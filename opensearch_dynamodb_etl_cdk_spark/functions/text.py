@@ -247,8 +247,15 @@ _LM_UNIGRAM_SLOT: list = []
 
 def _persist_lm_unigram(df):
     while _LM_UNIGRAM_SLOT:
+        old = _LM_UNIGRAM_SLOT.pop()
         try:
-            _LM_UNIGRAM_SLOT.pop().unpersist()
+            # a repeated call with the same model corpus re-persists the
+            # SAME plan — CacheManager dedupes those into one entry, so
+            # keeping the old handle stays bounded and the new query
+            # reuses the already-materialized table instead of dropping
+            # and recomputing it
+            if not old.sameSemantics(df):
+                old.unpersist()
         except Exception:  # noqa: BLE001 — a stopped session must not
             pass           # break building the next session's query
     df = df.persist()

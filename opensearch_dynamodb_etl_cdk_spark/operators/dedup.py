@@ -42,6 +42,13 @@ _PERSIST_SLOTS: dict[str, list] = {}
 def _persist_slot(key: str, *frames):
     for old in _PERSIST_SLOTS.get(key, ()):
         try:
+            # keep a previous frame alive when the new call re-persists
+            # the SAME plan: CacheManager dedupes identical plans into
+            # one entry, so retaining it stays bounded AND a repeated
+            # call (same inputs) reuses the already-materialized cache
+            # instead of dropping and recomputing it
+            if any(old.sameSemantics(f) for f in frames):
+                continue
             old.unpersist()
         except Exception:  # noqa: BLE001 — a stopped session must not
             pass           # break building the next session's query
