@@ -22,12 +22,18 @@ once dims × rows get large, at the cost of leaving codegen.
 
 from __future__ import annotations
 
+import json
 import math
 import random
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+from pyspark.sql.types import ArrayType, DoubleType
+
+# schema object (not a DDL string) for the centroid literal: skips the
+# per-call DDL parse in from_json
+_CENTS_TYPE = ArrayType(ArrayType(DoubleType()))
 
 from ..functions.vectors import (
     cosine,
@@ -395,15 +401,32 @@ def ivf_assign(
     v = f"`{vec_col}`"
     n = len(centroids)
     norms = []
+    finite = True
     for c in centroids:
         acc = 0.0
         for x in c:
-            acc += float(x) * float(x)
+            x = float(x)
+            finite = finite and math.isfinite(x)
+            acc += x * x
         norms.append(math.sqrt(acc))
-    cents_sql = "array(" + ", ".join(
-        "array(" + ", ".join(_sql_double(x) for x in c) + ")"
-        for c in centroids
-    ) + ")"
+    if finite:
+        # centroid table as a JSON literal + from_json: Catalyst
+        # constant-folds JsonToStructs(Literal) at optimization time to
+        # the IDENTICAL array<array<double>> literal the SQL text below
+        # produces (Jackson's Double.parseDouble is correctly rounded,
+        # same bits as repr round-trip; equality asserted in the JVM
+        # when this landed) — but skips the ~0.1 s ANTLR parse of ~500
+        # double literals that dominated each Lloyd iteration's driver
+        # time. Non-finite centroids (json can't carry inf/nan) keep
+        # the _sql_double path.
+        cents_col = F.from_json(
+            F.lit(json.dumps(centroids)), _CENTS_TYPE
+        )
+    else:
+        cents_col = F.expr("array(" + ", ".join(
+            "array(" + ", ".join(_sql_double(x) for x in c) + ")"
+            for c in centroids
+        ) + ")")
     nbs_sql = "array(" + ", ".join(_sql_double(x) for x in norms) + ")"
     assign_sql = f"""
     array_max(transform(sequence(0, {n - 1}),
@@ -416,7 +439,7 @@ def ivf_assign(
         i AS c))).c
     """
     return (
-        df.withColumn("__ivf_c", F.expr(cents_sql))
+        df.withColumn("__ivf_c", cents_col)
         .withColumn("__ivf_nb", F.expr(nbs_sql))
         .withColumn(cluster_col, F.expr(assign_sql))
         .drop("__ivf_c", "__ivf_nb")
